@@ -1,13 +1,632 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.{Tables, TimeRange}
+import graft.functions.GraftFunctions
+import graft.functions.GraftFunctions._
+import graft.multimodal.Multimodal
+import graft.operators._
+import graft.state.{GlobalTable, KVTable, SecondaryIndex}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract: one entry per implemented operator from SURVEY.md §2,
+  * each paired with ANSI SQL the driver runs in DuckDB over the same parquet
+  * tables.
+  *
+  * Determinism/parity conventions (both sides, see also scripts/check.py):
+  *  - timestamps surface as epoch microseconds BIGINT, never raw timestamps;
+  *  - double aggregates go through exact DECIMAL sums cast back to DOUBLE;
+  *  - vector math uses ×1000 integer quantization (exact folds);
+  *  - every result carries a total ORDER BY.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // epoch µs literals (UTC)
+  private val Jan10_24 = 1704844800000000L // 2024-01-10T00:00:00Z
+  private val Jan20_24 = 1705708800000000L // 2024-01-20T00:00:00Z
+  private val WeekUs = 7L * 24 * 3600 * 1000000L
+
+  private def decSum(c: Column, as: String, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double").as(as)
+  private def decSumWide(c: Column, as: String): Column =
+    sum(c.cast("decimal(24,6)")).cast("double").as(as)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------------
+  // Queries — every operator of SURVEY §2 that is batch-expressible, plus
+  // the LLM-pipeline operators (dedup/similarity/text/multimodal).
+  // ------------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // J2 scatter-gather aggregation (partial+final agg ≙ gather combiner)
+    "q1_pricing_summary" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          decSum(col("l_quantity"), "sum_qty"),
+          decSum(col("l_extendedprice"), "sum_base_price"),
+          decSumWide(col("l_extendedprice") * (lit(1) - col("l_discount")), "sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // R2/J3 prefix + event-time range scan over the keyed changelog view
+    "q2_range_scan" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      KVTable(ev, Seq("event_type", "event_id"), "ts_us")
+        .scan(Seq("click"), TimeRange(Jan10_24, Jan20_24))
+        .select(col("event_id"), col("user_id"), col("value"), col("ts_us"))
+        .orderBy("event_id")
+    }),
+
+    // P1 point lookup against latest-per-key state
+    "q3_point_lookup" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("o_orderdate_us", Tables.epochUs(col("o_orderdate")))
+        .drop("o_orderdate")
+      KVTable(o, Seq("o_orderkey"), "o_orderdate_us")
+        .get(Seq(42L))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate_us"))
+    }),
+
+    // J7 log compaction: latest record per key (max_by, no sort)
+    "q4_compact_latest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      KVTable(ev, Seq("user_id"), "ts_us", tieBreakCols = Seq("event_id")).latest
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"), col("value").as("last_value"),
+          col("ts_us").as("last_ts_us"))
+        .orderBy("user_id")
+    }),
+
+    // J5 serialization-optimized equi-join ≙ broadcast dim join + pruning
+    "q5_star_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          decSumWide(col("l_extendedprice") * (lit(1) - col("l_discount")), "revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
+    }),
+
+    // R4/R5 secondary index build + lookup (word → documents)
+    "q6_secondary_index" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val index = SecondaryIndex.build(docs, Seq("doc_id"), tokens(col("text")))
+      SecondaryIndex.lookup(index, docs, Seq("doc_id"), "spark")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // R8 CDC keep-last-N per key
+    "q7_keep_last_n" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      KVTable(ev, Seq("user_id"), "ts_us", tieBreakCols = Seq("event_id"))
+        .keepLastN(3)
+        .select(col("user_id"), col("recency_rank"), col("event_id"), col("ts_us"))
+        .orderBy("user_id", "recency_rank")
+    }),
+
+    // P9 TTL expiry by event time (ttl = 7 days before max event time)
+    "q8_ttl_expiry" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val maxTs = ev.agg(max(col("ts_us")).as("max_ts"))
+      ev.crossJoin(broadcast(maxTs))
+        .filter(col("ts_us") >= col("max_ts") - WeekUs)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_live"), decSum(col("value"), "sum_value"))
+        .orderBy("user_id")
+    }),
+
+    // P10 numKeys (exact distinct key counts)
+    "q9_num_keys" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      ev.agg(
+        countDistinct(col("user_id")).as("num_users"),
+        countDistinct(col("event_type")).as("num_types"),
+        count(lit(1)).as("num_records"))
+    }),
+
+    // J8 global (broadcast) store enrichment chain
+    "q10_global_enrich" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = GlobalTable(KVTable(Tables.nation(s, d), Seq("n_nationkey"), "n_nationkey"))
+      val r = GlobalTable(KVTable(Tables.region(s, d), Seq("r_regionkey"), "r_regionkey"))
+      val enriched = r.enrich(
+        n.enrich(
+          o.join(broadcast(c), col("o_custkey") === col("c_custkey")),
+          col("c_nationkey") === col("n_nationkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      enriched.groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice"), "total_price"))
+        .orderBy("r_name")
+    }),
+
+    // J10 word count (the canonical stateful aggregation, batch view)
+    "q11_wordcount" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy("word")
+    }),
+
+    // J9 connected components (brand–type co-occurrence graph from part)
+    "q12_connected_components" -> ((s, d) => {
+      val edges = Tables.part(s, d).select(
+        concat(lit("b:"), col("p_brand")).as("src"),
+        concat(lit("t:"), col("p_type")).as("dst"))
+      GraphAlgorithms.connectedComponents(s, edges)
+        .select(col("vertex"), col("component"))
+        .orderBy("vertex")
+    }),
+
+    // tumbling-window rollup (event-time windows; reference has none — §2.7)
+    "q13_hourly_rollup" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      ev.withColumn("hour_us", unix_micros(date_trunc("hour", timestamp_micros(col("ts_us")))))
+        .groupBy(col("hour_us"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), decSum(col("value"), "sum_value"))
+        .orderBy("hour_us", "event_type")
+    }),
+
+    // J6 stream-state enrichment as event-time as-of join (union+window, no range join)
+    "q14_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("c_event_id"))
+        .withColumn("c_ts_us", col("ts_us"))
+      AsOfJoin.asOf(purchases, clicks, "user_id", "ts_us",
+        rightCols = Seq("c_event_id", "c_ts_us"), rightTieBreak = Seq("c_event_id"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("right_c_event_id").as("click_event_id"),
+          col("right_c_ts_us").as("click_ts_us"))
+        .orderBy("event_id")
+    }),
+
+    // §2.5 set ops: distinct + union
+    "q15_set_ops" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type").as("tag_value"))
+        .distinct().withColumn("src", lit("event"))
+      val o = Tables.orders(s, d).select(col("o_orderstatus").as("tag_value"))
+        .distinct().withColumn("src", lit("order"))
+      ev.unionByName(o).orderBy("src", "tag_value")
+    }),
+
+    // S9 JSON record view over the raw log value
+    "q16_json_props" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      ev.withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy("event_type")
+    }),
+
+    // §2.5 argmax / top-N per group (auto-increment-subkey analogue)
+    "q17_topn_per_group" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      c.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 2)
+        .select(col("c_mktsegment"), col("rank"), col("c_custkey"), col("c_acctbal"))
+        .orderBy("c_mktsegment", "rank")
+    }),
+
+    // J1 murmur2 key routing (Kafka-parity partitioner; no SQL oracle —
+    // checked rows-only here, exact test vectors in Murmur2Spec)
+    "q18_route_partition" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val ev = Tables.events(s, d)
+      ev.select(col("user_id")).distinct()
+        .withColumn("partition", kafkaPartition(col("user_id").cast("string"), 32))
+        .orderBy("user_id")
+    }),
+
+    // ---- LLM-data-pipeline operators ----
+
+    // exact dedup via content hash (all groups, keeper = min id)
+    "d1_dedup_exact" -> ((s, d) => {
+      Dedup.exact(Tables.documents(s, d), "doc_id", "text", minGroupSize = 1)
+        .orderBy("content_hash")
+    }),
+
+    // MinHash + LSH banded near-dup candidates
+    "d2_dedup_minhash" -> ((s, d) => {
+      Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
+        numHashes = 8, shingleSize = 3, rowsPerBand = 2, minEstimate = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash 16-bit fingerprints
+    "d3_dedup_simhash" -> ((s, d) => {
+      Dedup.simhash(Tables.documents(s, d), "doc_id", "text", bits = 16)
+        .orderBy("doc_id")
+    }),
+
+    // char-3-gram Jaccard within (lang, length-bucket) blocks
+    "d4_dedup_ngram" -> ((s, d) => {
+      val docs = Tables.documents(s, d).withColumn("blk", expr("n_chars div 20"))
+      Dedup.ngramJaccard(docs, "doc_id", "text", blockCols = Seq("lang", "blk"),
+        n = 3, minJaccard = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // embedding near-dup within label blocks (quantized cosine)
+    "d5_dedup_embedding" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      val a = em.select(col("label").as("block"), col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+      val b = em.select(col("label").as("block"), col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+      a.join(b, "block")
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), quantizedCosine(col("vec_a"), col("vec_b")).as("cosine"))
+        .filter(col("cosine") >= 0.3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // brute-force exact top-k cosine ANN baseline
+    "s1_knn_bruteforce" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(em, em.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // LSH-bucketed ANN (random-hyperplane, 8 planes) — the scale path
+    "s2_knn_lsh" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      Similarity.lshTopK(em, em.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, numPlanes = 8)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // language ID (stopword n-gram heuristic)
+    "t1_lang_id" -> ((s, d) => {
+      TextAnalysis.languageId(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // quality scoring (integer-ratio heuristics)
+    "t2_quality_score" -> ((s, d) => {
+      TextAnalysis.qualityScore(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // token counting (whitespace + BPE-ish pre-tokenizer)
+    "t3_token_counts" -> ((s, d) => {
+      TextAnalysis.tokenCounts(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // document fingerprinting (md5 + rolling polynomial hash)
+    "t4_fingerprints" -> ((s, d) => {
+      TextAnalysis.fingerprints(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // multimodal binary-column plumbing with stubbed decoder
+    "m1_multimodal_features" -> ((s, d) => {
+      val docs = Multimodal.withPayload(Tables.documents(s, d), "text")
+      Multimodal.decodeFeatures(docs, "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // gap-based sessionization (batch analogue of session windows)
+    "q19_sessionize" -> ((s, d) => {
+      Sessionize.summarize(Tables.events(s, d), "user_id", "ts_us", gapUs = 3600L * 1000000L)
+        .orderBy("user_id", "session_seq")
+    })
+  )
+
+  // ------------------------------------------------------------------
+  // DuckDB oracles. Table names are bound by the driver to the same parquet
+  // files. Shared SQL fragments mirror GraftFunctions exactly.
+  // ------------------------------------------------------------------
+
+  private val toksSql =
+    """list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')"""
+  private val normSql = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+  private def qvSql(v: String) = s"[CAST(round(x::DOUBLE*1000) AS BIGINT) for x in $v]"
+  private val cosSql =
+    """CASE WHEN list_sum([qa[i]*qa[i] for i in range(1,65)]) * list_sum([qb[i]*qb[i] for i in range(1,65)]) = 0 THEN 0.0
+      |ELSE list_sum([qa[i]*qb[i] for i in range(1,65)])::DOUBLE /
+      |  sqrt((list_sum([qa[i]*qa[i] for i in range(1,65)]) * list_sum([qb[i]*qb[i] for i in range(1,65)]))::DOUBLE) END""".stripMargin
+
+  // 16-term simhash bit sum, generated to match Dedup.simhash exactly
+  private val simhashBitsSql: String = (0 until 16).map { i =>
+    val mask = 1L << i
+    s"(CASE WHEN 2*len([v for v in vals if (v & $mask) > 0]) > n THEN ${1L << i} ELSE 0 END)"
+  }.mkString(" + ")
+
+  // 8-plane LSH bucket, generated to match Similarity.lshBucket exactly
+  private val lshBucketSql: String = (0 until 8).map { p =>
+    val dot = s"list_sum([qv[j+1] * (CASE WHEN strpos('0123456789abcdef', substr(md5('p${p}_' || j::VARCHAR), 1, 1)) <= 8 THEN 1 ELSE -1 END) for j in range(0,64)])"
+    s"(CASE WHEN $dot >= 0 THEN ${1L << p} ELSE 0 END)"
+  }.mkString(" + ")
+
+  private val langScoresSql: String = TextAnalysis.StopwordLists.toSeq.sortBy(_._1).map {
+    case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString(", ")
+      s"SELECT doc_id, '$lang' AS lang, len(list_filter($toksSql, x -> list_contains([$lst], x))) AS score FROM documents"
+  }.mkString("\nUNION ALL\n")
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_range_scan" ->
+      s"""SELECT event_id, user_id, value, epoch_us(ts) AS ts_us FROM events
+         |WHERE event_type = 'click' AND epoch_us(ts) >= $Jan10_24 AND epoch_us(ts) < $Jan20_24
+         |ORDER BY event_id""".stripMargin,
+
+    "q3_point_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  epoch_us(o_orderdate) AS o_orderdate_us
+        |FROM orders WHERE o_orderkey = 42""".stripMargin,
+
+    "q4_compact_latest" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+        |  value AS last_value, ts_us AS last_ts_us
+        |FROM (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q5_star_join" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q6_secondary_index" ->
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE list_contains($toksSql, 'spark')
+         |ORDER BY doc_id""".stripMargin,
+
+    "q7_keep_last_n" ->
+      """SELECT user_id, CAST(rn AS INTEGER) AS recency_rank, event_id, ts_us
+        |FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
+
+    "q8_ttl_expiry" ->
+      s"""SELECT user_id, COUNT(*) AS n_live,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM events
+         |WHERE epoch_us(ts) >= (SELECT MAX(epoch_us(ts)) FROM events) - $WeekUs
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q9_num_keys" ->
+      """SELECT COUNT(DISTINCT user_id) AS num_users,
+        |  COUNT(DISTINCT event_type) AS num_types, COUNT(*) AS num_records
+        |FROM events""".stripMargin,
+
+    "q10_global_enrich" ->
+      """SELECT r_name, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q11_wordcount" ->
+      s"""SELECT word, COUNT(*) AS cnt
+         |FROM (SELECT unnest($toksSql) AS word FROM documents)
+         |GROUP BY word ORDER BY word""".stripMargin,
+
+    "q12_connected_components" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT 'b:' || p_brand AS src, 't:' || p_type AS dst FROM part
+        |), sym AS (
+        |  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+        |), reach(a, b) AS (
+        |  SELECT src, src FROM sym
+        |  UNION
+        |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+        |)
+        |SELECT a AS vertex, MIN(b) AS component FROM reach GROUP BY a ORDER BY vertex""".stripMargin,
+
+    "q13_hourly_rollup" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q14_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, 1 AS side, event_id,
+        |         NULL::BIGINT AS c_event_id, NULL::BIGINT AS c_ts_us
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts), 0, NULL, event_id, epoch_us(ts)
+        |  FROM events WHERE event_type = 'click'
+        |), w AS (
+        |  SELECT *,
+        |    last_value(c_event_id IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts_us, side, c_event_id ROWS UNBOUNDED PRECEDING) AS click_event_id,
+        |    last_value(c_ts_us IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts_us, side, c_event_id ROWS UNBOUNDED PRECEDING) AS click_ts_us
+        |  FROM u
+        |)
+        |SELECT event_id, user_id, ts_us, click_event_id, click_ts_us
+        |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
+
+    "q15_set_ops" ->
+      """SELECT tag_value, src FROM (
+        |  SELECT DISTINCT event_type AS tag_value, 'event' AS src FROM events
+        |  UNION ALL
+        |  SELECT DISTINCT o_orderstatus, 'order' FROM orders)
+        |ORDER BY src, tag_value""".stripMargin,
+
+    "q16_json_props" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q17_topn_per_group" ->
+      """SELECT c_mktsegment, CAST(rank AS INTEGER) AS rank, c_custkey, c_acctbal
+        |FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+        |        ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rank
+        |      FROM customer)
+        |WHERE rank <= 2 ORDER BY c_mktsegment, rank""".stripMargin,
+
+    // q18_route_partition intentionally omitted: murmur2 has no DuckDB
+    // equivalent; parity is pinned by Murmur2Spec against Kafka test vectors.
+
+    "d1_dedup_exact" ->
+      s"""SELECT md5($normSql) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d2_dedup_minhash" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) AS gs
+         |       FROM toks WHERE len(t) >= 3),
+         |sig AS (SELECT doc_id, [list_min([md5(s::VARCHAR || '|' || g) for g in gs]) for s in range(0,8)] AS sg FROM sh),
+         |banded AS (SELECT doc_id, b AS band, md5(array_to_string(sg[b*2+1:b*2+2], '|')) AS band_hash, sg
+         |           FROM sig, range(0,4) t(b)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |            len([i for i in range(1,9) if a.sg[i] = b.sg[i]]) / 8.0 AS jaccard_est
+         |          FROM banded a JOIN banded b USING (band, band_hash)
+         |          WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, jaccard_est FROM pairs WHERE jaccard_est >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "d3_dedup_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |tv AS (SELECT doc_id,
+         |  [ (strpos('0123456789abcdef', substr(md5(x),1,1))-1)*4096
+         |  + (strpos('0123456789abcdef', substr(md5(x),2,1))-1)*256
+         |  + (strpos('0123456789abcdef', substr(md5(x),3,1))-1)*16
+         |  + (strpos('0123456789abcdef', substr(md5(x),4,1))-1) for x in t] AS vals,
+         |  len(t) AS n FROM toks)
+         |SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS simhash FROM tv ORDER BY doc_id""".stripMargin,
+
+    "d4_dedup_ngram" ->
+      s"""WITH n AS (SELECT doc_id, lang, n_chars//20 AS blk, $normSql AS s FROM documents),
+         |g AS (SELECT doc_id, lang, blk,
+         |        unnest(list_distinct([substr(s, i, 3) for i in range(1, greatest(length(s)-2, 0)+1)])) AS gram
+         |      FROM n),
+         |sizes AS (SELECT doc_id, COUNT(*) AS ng FROM g GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+         |          FROM g a JOIN g b ON a.lang = b.lang AND a.blk = b.blk AND a.gram = b.gram
+         |            AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT id_a, id_b, CAST(i AS DOUBLE)/(sa.ng + sb.ng - i) AS jaccard
+         |FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+         |WHERE CAST(i AS DOUBLE)/(sa.ng + sb.ng - i) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "d5_dedup_embedding" ->
+      s"""WITH q AS (SELECT vec_id, label, ${qvSql("embedding")} AS qv FROM embeddings),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.qv AS qa, b.qv AS qb
+         |      FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id),
+         |c AS (SELECT id_a, id_b, $cosSql AS cosine FROM p)
+         |SELECT id_a, id_b, cosine FROM c WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+
+    "s1_knn_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id, ${qvSql("embedding")} AS qv FROM embeddings),
+         |p AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id, qq.qv AS qa, c.qv AS qb
+         |      FROM q qq JOIN q c ON qq.vec_id < 5 AND qq.vec_id != c.vec_id),
+         |sims AS (SELECT query_id, neighbor_id, $cosSql AS cosine FROM p),
+         |ranked AS (SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM sims)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "s2_knn_lsh" ->
+      s"""WITH q AS (SELECT vec_id, ${qvSql("embedding")} AS qv FROM embeddings),
+         |bucketed AS (SELECT vec_id, qv, $lshBucketSql AS bucket FROM q),
+         |p AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id, qq.qv AS qa, c.qv AS qb
+         |      FROM bucketed qq JOIN bucketed c ON qq.bucket = c.bucket
+         |        AND qq.vec_id < 5 AND qq.vec_id != c.vec_id),
+         |sims AS (SELECT query_id, neighbor_id, $cosSql AS cosine FROM p),
+         |ranked AS (SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM sims)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "t1_lang_id" ->
+      s"""WITH sc AS (
+         |$langScoresSql
+         |), best AS (SELECT doc_id, lang, score,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM sc)
+         |SELECT doc_id, CASE WHEN score = 0 THEN 'und' ELSE lang END AS predicted_lang
+         |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "t2_quality_score" -> {
+      val allStop = TextAnalysis.StopwordLists.values.flatten.toSeq.distinct
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |  len(toks)::BIGINT AS n_tokens,
+         |  length(text)::BIGINT AS n_chars,
+         |  len(list_filter(toks, x -> list_contains([$allStop], x)))::BIGINT AS stop_hits,
+         |  length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::BIGINT AS alpha_len,
+         |  list_sum(list_prepend(0, [length(x) for x in toks]))::BIGINT AS sum_tok_len
+         |  FROM t)
+         |SELECT doc_id, n_tokens, n_chars,
+         |  CASE WHEN n_tokens > 0 THEN stop_hits*1000000//n_tokens ELSE 0 END AS stopword_ppm,
+         |  CASE WHEN n_chars > 0 THEN alpha_len*1000000//n_chars ELSE 0 END AS alpha_ppm,
+         |  CASE WHEN n_tokens > 0 THEN sum_tok_len*1000000//n_tokens ELSE 0 END AS mean_tok_len_ppm,
+         |  (n_tokens >= 10 AND n_tokens <= 100000 AND
+         |   (CASE WHEN n_chars > 0 THEN alpha_len*1000000//n_chars ELSE 0 END) >= 500000) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    "t3_token_counts" ->
+      s"""SELECT doc_id, len($toksSql)::BIGINT AS ws_tokens,
+         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t4_fingerprints" ->
+      s"""SELECT doc_id, md5($normSql) AS content_fp,
+         |  list_reduce(list_prepend(0::BIGINT,
+         |    [ (ascii(substr(x,1,1))*7 + length(x))::BIGINT for x in $toksSql ]),
+         |    (a, b) -> (a*131 + b) % 1000000007) AS rolling_fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m1_multimodal_features" ->
+      """SELECT doc_id, octet_length(encode(text))::BIGINT AS size_bytes,
+        |  ascii(substr(text, 1, 1)) AS first_byte,
+        |  list_sum(list_prepend(0::BIGINT,
+        |    [ascii(substr(text, i, 1))::BIGINT for i in range(1, length(text)+1)]))::BIGINT % 1000000007 AS byte_sum_mod
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q19_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts)) > 3600000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |), sess AS (
+        |  SELECT user_id, ts_us,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq, MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+        |  MAX(ts_us) - MIN(ts_us) AS duration_us, COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin
+  )
 }

@@ -1,0 +1,69 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Changelog algebra over DataFrames.
+  *
+  * The reference models all state as a partitioned key/value change-log with
+  * per-record event time and tombstones
+  * (reference: api/.../storage/Record.java:26-31, LogStorage.java:38-271).
+  * Here a changelog is any DataFrame with designated key columns, an
+  * epoch-µs event-time column, optional tie-break columns (log offset) and an
+  * optional boolean tombstone column. The canonical derived view is
+  * "latest value per key" — the reference's log compaction
+  * (spark/.../LogRDD.scala:47-64 `compact`, max-timestamp combiner).
+  *
+  * Scale notes: `compact` uses `max_by` over a `groupBy`, which Catalyst
+  * executes as partial (map-side) + final aggregation — one shuffle of the
+  * *reduced* data, no sort. That beats the window/`row_number` formulation
+  * (full shuffle + per-partition sort) when keys are much fewer than rows,
+  * which is the compaction regime by definition. `keepLastN` genuinely needs
+  * the per-key ordering so it uses a window.
+  */
+object Changelog {
+
+  /** Latest record per key: max by (ts, tieBreak...). Deterministic when
+    * (keyCols ++ tsCol ++ tieBreakCols) is a unique key of the input. */
+  def compact(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      tieBreakCols: Seq[String] = Nil): DataFrame = {
+    val ordering = struct((tsCol +: tieBreakCols).map(col): _*)
+    val payload = struct(df.columns.map(col): _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max_by(payload, ordering).as("_latest"))
+      .select(col("_latest.*"))
+  }
+
+  /** Drop records flagged as tombstones (deletes) — applied *after* compact,
+    * so a delete-then-nothing key disappears from the latest view, matching
+    * reference compaction semantics (LogRDD.scala:59-63). */
+  def dropTombstones(df: DataFrame, tombstoneCol: String): DataFrame =
+    df.filter(!coalesce(col(tombstoneCol), lit(false)))
+
+  /** TTL expiry by event time, evaluated against a fixed `nowUs` so plans are
+    * deterministic/cacheable (the reference expires on read *and* write:
+    * api/.../storage/MemStore.java:140-154, KVStoreLocal.scala:484-485). */
+  def ttlFilter(df: DataFrame, tsCol: String, ttlUs: Long, nowUs: Long): DataFrame =
+    df.filter(col(tsCol) >= lit(nowUs - ttlUs))
+
+  /** Keep the N most recent records per key (reference keep-last-3 CDC
+    * listener, examples/example-external-state/.../ExampleESGateway.scala:63-69).
+    * Requires per-key ordering → window + row_number. */
+  def keepLastN(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      n: Int,
+      tieBreakCols: Seq[String] = Nil): DataFrame = {
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy((tsCol +: tieBreakCols).map(c => col(c).desc): _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= n)
+      .withColumnRenamed("_rn", "recency_rank")
+  }
+}

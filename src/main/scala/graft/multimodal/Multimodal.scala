@@ -1,0 +1,72 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media are opaque `BinaryType` payloads + a typed metadata struct; decode /
+  * feature-extraction runs distributed via `mapPartitions` over Rows in
+  * batches (the Scala analogue of `mapInPandas`: per-partition batch
+  * iteration, explicit output schema, no driver collect). The actual codec
+  * call is STUBBED — media libraries are not in this container — behind
+  * `decodeStub`, which derives deterministic pseudo-features from the raw
+  * bytes so the Spark-side plumbing (schema, batching, partitioning) is real
+  * and testable end-to-end.
+  */
+object Multimodal {
+
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false),
+    StructField("content_md5", StringType, nullable = false)))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("size_bytes", LongType, nullable = false),
+    StructField("first_byte", IntegerType, nullable = false),
+    StructField("byte_sum_mod", LongType, nullable = false)))
+
+  /** Attach a binary payload column + metadata struct derived from a text
+    * column (deterministic fake media: the UTF-8 bytes stand in for an
+    * encoded image). Plumbing is identical to real media ingestion. */
+  def withPayload(df: DataFrame, textCol: String, kind: String = "image/fake"): DataFrame =
+    df.withColumn("payload", encode(col(textCol), "UTF-8"))
+      .withColumn("media_meta", struct(
+        lit(kind).as("kind"),
+        octet_length(col("payload")).cast("long").as("size_bytes"),
+        md5(col("payload")).as("content_md5")))
+
+  /** STUB decode: where a real pipeline would decode the image and extract
+    * features (resize, embed, frame-sample), we emit deterministic
+    * byte-level features. Runs as distributed mapPartitions in row batches
+    * — swap `stubFeatures` for a real codec without touching the plumbing. */
+  def decodeFeatures(df: DataFrame, idCol: String, batchSize: Int = 256): DataFrame = {
+    val outSchema = StructType(
+      StructField("id", LongType, nullable = false) +: featureSchema.fields)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(col(idCol).cast("long"), col("payload"))
+      .mapPartitions { iter =>
+        // batch the partition like an arrow-batched UDF would
+        iter.grouped(batchSize).flatMap { batch =>
+          batch.map { row =>
+            val bytes = row.getAs[Array[Byte]](1)
+            val (fb, sum) = stubFeatures(bytes)
+            Row(row.getLong(0), bytes.length.toLong, fb, sum)
+          }
+        }
+      }(enc)
+  }
+
+  /** The stub "codec": first byte + byte sum mod 1e9+7. A real build links
+    * an image/audio decoder here. */
+  private def stubFeatures(bytes: Array[Byte]): (Int, Long) = {
+    if (bytes.isEmpty) (0, 0L)
+    else {
+      var s = 0L
+      var i = 0
+      while (i < bytes.length) { s = (s + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
+      (bytes(0) & 0xff, s)
+    }
+  }
+}

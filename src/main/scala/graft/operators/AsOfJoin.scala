@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (stream-state enrichment) join.
+  *
+  * The reference enriches each incoming record with the *current* state of
+  * its key — an ask into the keyspace at the record's processing time
+  * (reference pattern: ExampleBank.scala:48-50, SURVEY §2.4 J6). The batch
+  * equivalent over event time: for each left record, attach the latest right
+  * record with the same key and ts ≤ left.ts.
+  *
+  * Implementation is the union-tag-window trick, not a range join: both
+  * sides are tagged and unioned, then `last(right_payload) ignore nulls`
+  * over (key ORDER BY ts, side) carries the most recent right value forward
+  * onto each left row. One shuffle on the key, per-partition sort, zero
+  * row explosion — this survives 100× scale where a theta/range join
+  * (O(n·m) per key) would not.
+  */
+object AsOfJoin {
+
+  /** left/right must share `keyCol`; both need epoch-µs `tsCol`.
+    * Right columns are attached with prefix `right_`. `rightCols` are the
+    * payload columns to carry. Right rows at exactly left.ts are visible
+    * (ties resolve right-before-left). */
+  /** `rightTieBreak`: right payload columns ordering equal-timestamp right
+    * rows (latest wins) — required for determinism when right timestamps can
+    * collide within a key. */
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      rightCols: Seq[String],
+      rightTieBreak: Seq[String] = Nil): DataFrame = {
+    val leftTagged = left.withColumn("_side", lit(1))
+      .withColumn("_payload", lit(null).cast(structType(right, rightCols)))
+    val rightTagged = right
+      .select(col(keyCol), col(tsCol),
+        struct(rightCols.map(col): _*).as("_payload"))
+      .withColumn("_side", lit(0))
+
+    val unioned = leftTagged.select(
+      (left.columns.map(col) :+ col("_side") :+ col("_payload")): _*)
+      .unionByName(rightTagged.select(col(keyCol), col(tsCol), col("_side"), col("_payload")),
+        allowMissingColumns = true)
+
+    val tieCols = rightTieBreak.map(c => col("_payload").getField(c))
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol) +: col("_side") +: tieCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = unioned.withColumn("_asof", last(col("_payload"), ignoreNulls = true).over(w))
+    val leftOut = carried.filter(col("_side") === 1)
+    rightCols.foldLeft(leftOut) { (df, c) =>
+      df.withColumn(s"right_$c", col("_asof").getField(c))
+    }.drop("_side", "_payload", "_asof")
+  }
+
+  private def structType(df: DataFrame, cols: Seq[String]) = {
+    val fields = cols.map(c => df.schema(c))
+    org.apache.spark.sql.types.StructType(fields)
+  }
+}

@@ -1,0 +1,155 @@
+package graft.operators
+
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale document corpora.
+  *
+  * These generalize the reference's latest-per-key compaction (SURVEY §2.4
+  * J7) from "same key" to "same/near-same content". All variants are
+  * single-pass DataFrame pipelines whose only shuffles are the group-bys /
+  * equi-joins on content keys — the shape that scales to 100 TB: no
+  * all-pairs comparison ever happens on the full corpus; candidate pairs are
+  * generated only within hash buckets (LSH bands, blocking keys).
+  *
+  * Hashing is md5-based so results are deterministic and engine-portable
+  * (the DuckDB oracle computes identical hex digests).
+  */
+object Dedup {
+
+  /** Exact dedup: md5 over normalized text. One row per content group of at
+    * least `minGroupSize` members: keeper = min id, dup count.
+    * Map-side partial agg → one shuffle on the 32-hex-char digest. */
+  def exact(docs: DataFrame, idCol: String, textCol: String, minGroupSize: Int = 2): DataFrame =
+    docs
+      .select(col(idCol), md5(normalizeText(col(textCol))).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") >= minGroupSize)
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * minimum md5 digest over the document's word `shingleSize`-grams.
+    * min over hex strings ≡ min over a random permutation — the standard
+    * MinHash estimator with string-ordered hashes. */
+  def minhashSignature(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int,
+      shingleSize: Int): DataFrame = {
+    val shingles = wordNgrams(tokens(col(textCol)), shingleSize)
+    val seeds = sequence(lit(0), lit(numHashes - 1))
+    docs
+      .filter(size(tokens(col(textCol))) >= shingleSize)
+      .select(
+      col(idCol),
+      transform(
+        seeds,
+        i => array_min(transform(shingles, s => md5(concat(i.cast("string"), lit("|"), s))))
+      ).as("signature"))
+  }
+
+  /** MinHash + LSH banded candidate pairs with estimated Jaccard.
+    * Bands of `rowsPerBand` signature positions are hashed together; docs
+    * sharing any band bucket become candidates (one equi-join on the band
+    * key); the signature-agreement ratio estimates Jaccard. Emits pairs with
+    * estimate ≥ `minEstimate`, id_a < id_b. */
+  def minhashLsh(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      shingleSize: Int = 3,
+      rowsPerBand: Int = 2,
+      minEstimate: Double = 0.5): DataFrame = {
+    val sig = minhashSignature(docs, idCol, textCol, numHashes, shingleSize)
+    val numBands = numHashes / rowsPerBand
+    val banded = sig.select(
+      col(idCol).as("doc"),
+      col("signature"),
+      posexplode(
+        transform(
+          sequence(lit(0), lit(numBands - 1)),
+          b => md5(concat_ws("|", slice(col("signature"), b * rowsPerBand + lit(1), lit(rowsPerBand))))
+        )).as(Seq("band", "band_hash")))
+    val a = banded.select(col("band"), col("band_hash"), col("doc").as("id_a"), col("signature").as("sig_a"))
+    val b = banded.select(col("band"), col("band_hash"), col("doc").as("id_b"), col("signature").as("sig_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), m => m))
+          .cast("double") / numHashes).as("jaccard_est"))
+      .distinct()
+      .filter(col("jaccard_est") >= minEstimate)
+  }
+
+  /** SimHash: `bits`-bit locality-sensitive fingerprint over the token set.
+    * Bit i is set iff the count of tokens whose md5 has bit i set exceeds
+    * half the token count (majority vote with integer arithmetic only —
+    * deterministic, order-free). `bits` ≤ 16 so the per-token bit expansion
+    * stays a cheap array op inside codegen. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
+    require(bits <= 16, "simhash uses the first 4 md5 hex digits (16 bits)")
+    val toks = tokens(col(textCol))
+    // per-token 16-bit value from the first 4 md5 hex digits
+    val tokVals = transform(toks, t => conv(substring(md5(t), 1, 4), 16, 10).cast("long"))
+    val bitCols = (0 until bits).map { i =>
+      val mask = 1L << i
+      aggregate(tokVals, lit(0L), (acc, v) =>
+        acc + when(v.bitwiseAND(lit(mask)) > 0, 1L).otherwise(0L))
+    }
+    val n = size(toks).cast("long")
+    val sim = bitCols.zipWithIndex.map { case (cnt, i) =>
+      when(cnt * 2 > n, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    docs.select(col(idCol), sim.as("simhash"))
+  }
+
+  /** N-gram Jaccard near-dup within blocking buckets: candidates are pairs
+    * sharing a blocking key (here: same `blockCols` values); Jaccard is
+    * computed relationally (explode grams → self-equi-join → count) so the
+    * whole pipeline is shuffles on (gram) and (pair) — no array cross
+    * products, spill-safe at scale. */
+  def ngramJaccard(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[String],
+      n: Int = 3,
+      minJaccard: Double = 0.5): DataFrame = {
+    val grams = docs.select(
+      (col(idCol).as("doc") +: blockCols.map(col)) :+
+        explode(charNgrams(normalizeText(col(textCol)), n)).as("gram"): _*)
+    val sizes = grams.groupBy("doc").agg(count(lit(1)).as("n_grams"))
+    val a = grams.select(blockCols.map(col) :+ col("doc").as("id_a") :+ col("gram").as("gram"): _*)
+    val b = grams.select(blockCols.map(col) :+ col("doc").as("id_b") :+ col("gram").as("gram"): _*)
+    val inter = a.join(b, blockCols :+ "gram")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("n_grams", "na"), "id_a")
+      .join(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("n_grams", "nb"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Embedding near-dup: pairs within the same blocking column whose cosine
+    * similarity ≥ `minCosine`. Blocking bounds the pair space; cosine is the
+    * deterministic sequential fold from GraftFunctions. */
+  def embeddingNearDup(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      blockCol: String,
+      minCosine: Double): DataFrame = {
+    val a = embeddings.select(col(blockCol).as("block"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = embeddings.select(col(blockCol).as("block"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(b, "block")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosineSimilarity(col("vec_a"), col("vec_b")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+}

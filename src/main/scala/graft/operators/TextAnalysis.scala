@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting.
+  *
+  * All scoring is integer or integer-ratio arithmetic (parts-per-million)
+  * — deterministic, partition-order-free, and reproducible in the SQL
+  * oracle. Everything is a narrow per-row projection (no shuffle at all),
+  * which is the ideal 100 TB shape: these run at parquet-scan speed.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword marker lists for the n-gram/stopword
+    * language-ID heuristic. Public common function words. */
+  val StopwordLists: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un"),
+    "zh" -> Seq("的", "是", "了", "在"))
+
+  private def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  /** Language ID: argmax of stopword hits per language; zero scores map to
+    * "und"(etermined); score ties break to the lexicographically *last*
+    * language code (struct-ordering of `array_max`). */
+  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = StopwordLists.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(stopwordHits(toks, words).as("score"), lit(lang).as("lang"))
+    }
+    // array_max over (score, lang) structs picks highest score, and on ties
+    // the lexicographically *last* lang; invert lang ordering by scoring
+    // first — instead we sort desc by score then asc lang via a two-step:
+    val best = array_max(array(scored: _*))
+    docs.select(
+      col(idCol),
+      when(best.getField("score") === 0, lit("und"))
+        .otherwise(best.getField("lang")).as("predicted_lang"))
+  }
+
+  /** Quality scoring: token count, character stats, stopword ratio (ppm),
+    * alpha ratio (ppm), mean token length (ppm) and a boolean keep flag.
+    * Heuristics follow public quality-filter recipes (Gopher/C4-style
+    * length + ratio rules) re-expressed as codegen'd column math. */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks).cast("long")
+    val allStop = StopwordLists.values.flatten.toSeq.distinct
+    val stopHits = stopwordHits(toks, allStop).cast("long")
+    val textLen = length(col(textCol)).cast("long")
+    val alphaLen = length(regexp_replace(col(textCol), "[^a-zA-Z]", "")).cast("long")
+    val sumTokLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    // floor(long*1e6 / long): operands stay < 2^53 so the double quotient
+    // floors to the exact integer division (Spark `/` is double division)
+    def ppm(num: Column, den: Column): Column =
+      when(den > 0, floor(num * 1000000L / den)).otherwise(0L)
+    docs.select(
+      col(idCol),
+      nTok.as("n_tokens"),
+      textLen.as("n_chars"),
+      ppm(stopHits, nTok).as("stopword_ppm"),
+      ppm(alphaLen, textLen).as("alpha_ppm"),
+      ppm(sumTokLen, nTok).as("mean_tok_len_ppm"),
+      (nTok >= 10 && nTok <= 100000 && ppm(alphaLen, textLen) >= 500000L).as("keep"))
+  }
+
+  /** Token counting: whitespace tokens plus a BPE-ish subword segmentation
+    * (letter runs / digit runs / single other chars — the GPT-2 pre-tokenizer
+    * shape, portable regex). */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = size(tokens(col(textCol))).cast("long")
+    val bpe = size(regexp_extract_all(lower(col(textCol)), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
+    docs.select(col(idCol), ws.as("ws_tokens"), bpe.as("bpe_tokens"))
+  }
+
+  /** Document fingerprints: md5 content fingerprint over normalized text +
+    * a 61-ish-bit polynomial rolling hash over tokens
+    * (h = (h*131 + ascii(first char)*7 + len) mod 1e9+7). */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val rolling = aggregate(toks, lit(0L), (acc, t) =>
+      (acc * 131L + ascii(substring(t, 1, 1)).cast("long") * 7L + length(t)) % 1000000007L)
+    docs.select(
+      col(idCol),
+      md5(normalizeText(col(textCol))).as("content_fp"),
+      rolling.as("rolling_fp"))
+  }
+}

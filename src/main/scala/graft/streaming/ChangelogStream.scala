@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Streaming changelog ingestion & materialization.
+  *
+  * Kafka-backed in production (`readStream.format("kafka")` carries key,
+  * value, timestamp, partition, offset — the reference's LogEntry,
+  * api/.../storage/LogEntry.java:22-27); file-backed for tests (this
+  * container has no broker). Either way the canonical changelog columns are
+  * (key, value, ts_us, tombstone) and materialization is
+  * `foreachBatch` upsert into a latest-per-key parquet table — the batch
+  * `MERGE` analogue of the reference's write-through memstore
+  * (KVStoreLocal.put:477-513).
+  */
+object ChangelogStream {
+
+  /** Kafka source → canonical changelog columns. Tombstone = null value,
+    * like the reference (KafkaLogStorage.append/delete:302-320).
+    * Untestable without a broker; the shape is the documented contract. */
+  def fromKafka(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(
+        col("key"),
+        col("value"),
+        unix_micros(col("timestamp")).as("ts_us"),
+        col("value").isNull.as("tombstone"),
+        col("partition"),
+        col("offset"))
+
+  /** File (parquet dir) source with the canonical changelog schema —
+    * the test-friendly LogStorage. */
+  def fromFiles(spark: SparkSession, dir: String, schemaDdl: String): DataFrame =
+    spark.readStream.schema(schemaDdl).parquet(dir)
+
+  /** Materialize a streaming changelog to a latest-per-key parquet table,
+    * exactly-once per micro-batch via idempotent overwrite keyed by batch —
+    * the reference's transactional sink intent (TransactionCoordinator.scala:46-134)
+    * expressed as foreachBatch + deterministic rewrite. */
+  def materializeLatest(
+      changelog: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      tablePath: String,
+      checkpoint: String): DataStreamWriter[Row] = {
+    val spark = changelog.sparkSession
+    changelog.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val existing =
+          try Some(spark.read.parquet(tablePath))
+          catch { case _: Throwable => None }
+        val all = existing.fold(batch)(e => e.unionByName(batch, allowMissingColumns = true))
+        val latest = graft.core.Changelog.compact(all, keyCols, tsCol)
+        latest.persist()
+        latest.count()
+        latest.write.mode("overwrite").parquet(tablePath)
+        latest.unpersist()
+        ()
+      }
+  }
+
+  def start(w: DataStreamWriter[Row]): StreamingQuery = w.start()
+}

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming re-expressions of the reference's stateful
+  * per-key processing (reference: KVStore.getAndUpdate/updateAndGet,
+  * core/.../state/KVStore.scala:118-129, KVStoreLocal.scala:413-464;
+  * streaming loop GatewayStream.scala:165-238).
+  *
+  * The reference's per-key atomic read-modify-write maps 1:1 onto
+  * `mapGroupsWithState`: Spark serializes state updates per key within a
+  * micro-batch, which is exactly the per-key linearizability the reference
+  * enforces with row locks (KVStoreLocal.scala:589-631) — no locks needed.
+  * TTL (StateConf `ttl.sec`) maps to `GroupStateTimeout.ProcessingTimeTimeout`
+  * / explicit timeout timestamps.
+  */
+object StatefulOps {
+
+  /** The reference's `updateAndGet(key, f)` over a keyed stream:
+    * `f: (Option[S], V) => Option[S]`; `None` result removes state (the
+    * tombstone path). Emits (key, newState) on every change — the CDC push
+    * (KVStoreLocal.push, R7/R8). */
+  def updateAndGet[K, V, S](
+      input: Dataset[(K, V)],
+      f: (Option[S], V) => Option[S],
+      ttlMs: Option[Long] = None)(
+      implicit ke: Encoder[K], se: Encoder[S], oe: Encoder[(K, Option[S])],
+      tupleEnc: Encoder[(K, V)]): Dataset[(K, Option[S])] = {
+    val timeout =
+      if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    input
+      .groupByKey(_._1)
+      .mapGroupsWithState[S, (K, Option[S])](timeout) { (key, values, state) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          (key, None)
+        } else {
+          var cur: Option[S] = state.getOption
+          values.foreach { case (_, v) => cur = f(cur, v) }
+          cur match {
+            case Some(s) =>
+              state.update(s)
+              ttlMs.foreach(state.setTimeoutDuration)
+            case None => if (state.exists) state.remove()
+          }
+          (key, cur)
+        }
+      }
+  }
+
+  /** Canonical stateful word count (reference ExampleWordCount.scala:35-52):
+    * running per-word counts, emitted on every update. */
+  def runningWordCount(lines: Dataset[String]): Dataset[(String, Option[Long])] = {
+    import lines.sparkSession.implicits._
+    val words: Dataset[(String, String)] =
+      lines.flatMap(_.toLowerCase.split("\\s+").filter(_.nonEmpty)).map(w => (w, w))
+    updateAndGet[String, String, Long](words, (st, _) => Some(st.getOrElse(0L) + 1L))
+  }
+
+  /** Output-mode guidance mirroring the reference's at-least-once commit
+    * loop (GatewayStream.scala:187-211): update mode + checkpointing. */
+  val DefaultOutputMode: OutputMode = OutputMode.Update()
+}

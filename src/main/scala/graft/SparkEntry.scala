@@ -258,20 +258,15 @@ object SparkEntry {
     // char-3-gram Jaccard within (lang, length-bucket) blocks
     "d4_dedup_ngram" -> ((s, d) => {
       val docs = Tables.documents(s, d).withColumn("blk", expr("n_chars div 20"))
-      Dedup.ngramJaccard(docs, "doc_id", "text", blockCols = Seq("lang", "blk"),
+      Dedup.ngramJaccardBlocked(docs, "doc_id", "text", blockCols = Seq("lang", "blk"),
         n = 3, minJaccard = 0.5)
         .orderBy("id_a", "id_b")
     }),
 
     // embedding near-dup within label blocks (quantized cosine)
     "d5_dedup_embedding" -> ((s, d) => {
-      val em = Tables.embeddings(s, d)
-      val a = em.select(col("label").as("block"), col("vec_id").as("id_a"), col("embedding").as("vec_a"))
-      val b = em.select(col("label").as("block"), col("vec_id").as("id_b"), col("embedding").as("vec_b"))
-      a.join(b, "block")
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), quantizedCosine(col("vec_a"), col("vec_b")).as("cosine"))
-        .filter(col("cosine") >= 0.3)
+      Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
+        blockCol = "label", minCosine = 0.3)
         .orderBy("id_a", "id_b")
     }),
 
@@ -527,7 +522,8 @@ object SparkEntry {
     "d4_dedup_ngram" ->
       s"""WITH n AS (SELECT doc_id, lang, n_chars//20 AS blk, $normSql AS s FROM documents),
          |g AS (SELECT doc_id, lang, blk,
-         |        unnest(list_distinct([substr(s, i, 3) for i in range(1, greatest(length(s)-2, 0)+1)])) AS gram
+         |        unnest(list_distinct([substr(md5(x), 1, 15) for x in
+         |          list_distinct([substr(s, i, 3) for i in range(1, greatest(length(s)-2, 0)+1)])])) AS gram
          |      FROM n),
          |sizes AS (SELECT doc_id, COUNT(*) AS ng FROM g GROUP BY doc_id),
          |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i

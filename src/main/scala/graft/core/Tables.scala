@@ -19,6 +19,7 @@ object Tables {
 
   private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.functions.GraftFunctions.register(spark)
     spark.read.parquet(path(dir, name))
   }
 

@@ -15,11 +15,41 @@ import org.apache.spark.sql.functions._
   */
 object GraftFunctions {
 
-  /** Register expression-backed functions for SQL use. */
+  /** Register expression-backed functions for SQL use (idempotent; called
+    * from Tables so every query session has them). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_murmur2", (children: Seq[Expression]) => Murmur2Expr(children.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ldot", (children: Seq[Expression]) => LongArrayDot(children(0), children(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sic",
+      (children: Seq[Expression]) => SortedLongIntersectCount(children(0), children(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cngrams",
+      (children: Seq[Expression]) =>
+        CharNgramHashSet(children(0),
+          children(1).eval().asInstanceOf[Number].intValue()), "built-in")
   }
+
+  /** Codegen'd integer dot product over two `array<bigint>` columns. */
+  def ldot(a: Column, b: Column): Column = call_function("graft_ldot", a, b)
+
+  /** Codegen'd |A∩B| over two sorted-distinct `array<bigint>` columns. */
+  def sortedIntersectCount(a: Column, b: Column): Column = call_function("graft_sic", a, b)
+
+  /** A string set as sorted distinct 60-bit md5 hashes — the merge-join-able
+    * representation for set similarity (collision odds ~|A||B|/2^60 per
+    * pair, i.e. never at corpus scale). The 15-hex-char md5 prefix is
+    * bijective with the long, so an engine-portable oracle can intersect
+    * `substr(md5(x),1,15)` strings instead. */
+  def hashedSet(arr: Column): Column =
+    array_sort(array_distinct(transform(arr, x => md5Hash60(x))))
+
+  /** Sorted distinct 60-bit gram hashes of a string, in one native pass —
+    * equals `hashedSet(charNgrams(s, n))`, ~10× faster (CharNgramHashSet). */
+  def charNgramHashSet(s: Column, n: Int): Column =
+    call_function("graft_cngrams", s, lit(n))
 
   /** Kafka-parity murmur2 over UTF-8 bytes of a string column (J1 routing). */
   def murmur2(c: Column): Column = {
@@ -119,16 +149,20 @@ object GraftFunctions {
     transform(a, x => round(x.cast("double") * 1000).cast("long"))
 
   /** Cosine over ×1000-quantized vectors: dot and norms are exact integer
-    * folds, so the final double is bit-identical regardless of partitioning
-    * or engine (the oracle reproduces it exactly) — at a ~1e-3 quantization
-    * cost that is irrelevant for near-dup/ANN ranking. */
+    * arithmetic, so the final double is bit-identical regardless of
+    * partitioning or engine (the oracle reproduces it exactly) — at a ~1e-3
+    * quantization cost that is irrelevant for near-dup/ANN ranking.
+    * Prefer `quantizedCosinePre` when vectors are reused across pairs. */
   def quantizedCosine(a: Column, b: Column): Column = {
     val qa = quantize1000(a)
     val qb = quantize1000(b)
-    val dot = aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
-    val na = aggregate(qa, lit(0L), (acc, x) => acc + x * x)
-    val nb = aggregate(qb, lit(0L), (acc, x) => acc + x * x)
-    when(na * nb === 0L, lit(0.0))
-      .otherwise(dot.cast("double") / sqrt((na * nb).cast("double")))
+    quantizedCosinePre(qa, qb, ldot(qa, qa), ldot(qb, qb))
   }
+
+  /** Cosine from pre-quantized vectors + precomputed self-dots (norms²).
+    * Pre-quantizing each side once before a pair join avoids re-quantizing
+    * both vectors per candidate pair. */
+  def quantizedCosinePre(qa: Column, qb: Column, na: Column, nb: Column): Column =
+    when(na * nb === 0L, lit(0.0))
+      .otherwise(ldot(qa, qb).cast("double") / sqrt((na * nb).cast("double")))
 }

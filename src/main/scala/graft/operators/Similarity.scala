@@ -13,32 +13,51 @@ import org.apache.spark.sql.functions._
   *    broadcast, similarity + per-query top-k run map-side then reduce on
   *    the tiny (query, k) result. This is the correct 100 TB baseline when
   *    |queries| is small.
-  *  - `lshTopK`: random-hyperplane LSH. Hyperplane components are
-  *    deterministic ±1 derived from md5, applied to integer-quantized
-  *    vectors so bucket signs are exact integer arithmetic (no float
-  *    order-sensitivity). Candidates = same bucket → per-query top-k within
-  *    bucket. At scale this turns the all-pairs problem into a bucket-local
-  *    one (the standard IVF/LSH trade: recall vs. candidate count).
+  *  - `lshTopK`: random-hyperplane LSH. Hyperplanes are deterministic ±1
+  *    vectors derived from md5 (reproducible in the SQL oracle), applied to
+  *    integer-quantized vectors so bucket signs are exact integer arithmetic
+  *    (no float order-sensitivity). Candidates = same bucket → per-query
+  *    top-k within bucket. At scale this turns the all-pairs problem into a
+  *    bucket-local one (the standard IVF/LSH trade: recall vs candidates).
+  *
+  * All pair math runs on pre-quantized vectors with precomputed norms and
+  * the codegen'd LongArrayDot primitive — one projection pass over each
+  * side, then pure integer loops per candidate pair.
   */
 object Similarity {
 
-  /** Deterministic ±1 hyperplane component for (plane, dim), derived from
-    * md5 — portable to the SQL oracle. */
-  def planeComponent(plane: Column, dim: Column): Column =
-    when(conv(substring(md5(concat(lit("p"), plane.cast("string"), lit("_"), dim.cast("string"))), 1, 1), 16, 10)
-      .cast("int") < 8, lit(1L)).otherwise(lit(-1L))
-
-  /** `numPlanes`-bit LSH bucket id from integer-quantized vector signs. */
-  def lshBucket(vec: Column, numPlanes: Int): Column = {
-    val q = quantize1000(vec)
-    val bitExprs = (0 until numPlanes).map { p =>
-      val dotInt = aggregate(
-        zip_with(q, sequence(lit(0), size(q) - 1), (v, j) => v * planeComponent(lit(p), j)),
-        lit(0L), (acc, x) => acc + x)
-      when(dotInt >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bitExprs.reduce(_ + _)
+  /** Deterministic ±1 hyperplane component for (plane, dim): +1 iff the
+    * first hex digit of md5("p{plane}_{dim}") is 0-7. Computed driver-side
+    * (identical to the oracle's md5) and shipped as a literal array. */
+  def planeComponent(plane: Int, dim: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"p${plane}_$dim".getBytes("UTF-8"))
+    // first hex digit = high nibble of byte 0
+    if (((hex(0) >> 4) & 0xf) < 8) 1L else -1L
   }
+
+  /** The `numPlanes` hyperplanes for `dims` dimensions, as literal columns. */
+  private def planes(numPlanes: Int, dims: Int): Seq[Column] =
+    (0 until numPlanes).map { p =>
+      array((0 until dims).map(j => lit(planeComponent(p, j))): _*)
+    }
+
+  /** `numPlanes`-bit LSH bucket id of a pre-quantized `array<bigint>`
+    * vector: bit p = sign of the integer dot with hyperplane p. */
+  def lshBucketQ(qv: Column, numPlanes: Int, dims: Int): Column =
+    planes(numPlanes, dims).zipWithIndex.map { case (plane, p) =>
+      when(ldot(qv, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Convenience over a raw float/double embedding column. */
+  def lshBucket(vec: Column, numPlanes: Int, dims: Int = 64): Column =
+    lshBucketQ(quantize1000(vec), numPlanes, dims)
+
+  /** Project to (renamed id, quantized vector, norm²) — one pass per side. */
+  private def quantized(df: DataFrame, idCol: String, vecCol: String,
+      idAs: String, qvAs: String, nAs: String): DataFrame =
+    df.select(col(idCol).as(idAs), quantize1000(col(vecCol)).as(qvAs))
+      .withColumn(nAs, ldot(col(qvAs), col(qvAs)))
 
   /** Exact top-k cosine neighbors for each query vector (self excluded).
     * `queries` should be small (it is broadcast). */
@@ -48,11 +67,11 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"))
+    val q = quantized(queries, idCol, vecCol, "query_id", "qv_q", "n_q")
+    val c = quantized(corpus, idCol, vecCol, "neighbor_id", "qv_c", "n_c")
     val sims = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        quantizedCosine(col("query_vec"), col("neighbor_vec")).as("cosine"))
+        quantizedCosinePre(col("qv_q"), col("qv_c"), col("n_q"), col("n_c")).as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -64,15 +83,16 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      numPlanes: Int = 8): DataFrame = {
-    val bucketed = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"),
-      lshBucket(col(vecCol), numPlanes).as("bucket"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
-      lshBucket(col(vecCol), numPlanes).as("bucket"))
-    val sims = bucketed.join(broadcast(q), Seq("bucket"))
+      numPlanes: Int = 8,
+      dims: Int = 64): DataFrame = {
+    val c = quantized(corpus, idCol, vecCol, "neighbor_id", "qv_c", "n_c")
+      .withColumn("bucket", lshBucketQ(col("qv_c"), numPlanes, dims))
+    val q = quantized(queries, idCol, vecCol, "query_id", "qv_q", "n_q")
+      .withColumn("bucket", lshBucketQ(col("qv_q"), numPlanes, dims))
+    val sims = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        quantizedCosine(col("query_vec"), col("neighbor_vec")).as("cosine"))
+        quantizedCosinePre(col("qv_q"), col("qv_c"), col("n_q"), col("n_c")).as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

@@ -1,0 +1,179 @@
+package graft
+
+import graft.functions.{CharNgramHashSet, GraftFunctions, Murmur2}
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.functions._
+
+/** Unit + property tests for the functions layer (port of the reference's
+  * serde/property testing approach, AvroRecordPropSpec.scala:38-73). */
+/** Seeded random sampling in lieu of a scalacheck-scalatest bridge (not in
+  * the offline cache); deterministic across runs. */
+object Sampled {
+  def bytesSamples(n: Int, maxLen: Int): Seq[Array[Byte]] = {
+    val rnd = new scala.util.Random(42)
+    (0 until n).map { _ =>
+      val len = rnd.nextInt(maxLen)
+      val a = new Array[Byte](len); rnd.nextBytes(a); a
+    }
+  }
+  def asciiSamples(n: Int, maxLen: Int): Seq[String] = {
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcdefghijklmnopqrstuvwxyz0123456789   "
+    (0 until n).map(_ => (0 until rnd.nextInt(maxLen)).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+  }
+}
+
+class Murmur2Spec extends SparkSpec {
+
+  // Frozen golden vectors for the public murmur2 algorithm (seed 0x9747b28c)
+  // — pins the implementation against accidental change; the algorithm
+  // itself is transcribed from the published Kafka Utils.murmur2 constants.
+  val goldens: Map[String, Int] = Map(
+    "" -> 275646681,
+    "a" -> -1563381124,
+    "key" -> -1079937367,
+    "hello world" -> 1221641059,
+    "21" -> -973932308,
+    "foobar" -> -790332482,
+    "a-little-bit-long-string" -> -985981536,
+    "a-string-that-is-longer-than-that" -> -1824624575,
+    "abcé" -> -684601669)
+
+  "Murmur2.hash" should "match frozen golden vectors" in {
+    goldens.foreach { case (s, h) => Murmur2.hash(s.getBytes("UTF-8")) shouldBe h }
+  }
+
+  it should "be deterministic and length-sensitive (sampled property)" in {
+    Sampled.bytesSamples(200, 64).foreach { arr =>
+      val h = Murmur2.hash(arr)
+      Murmur2.hash(arr) shouldBe h // deterministic
+      Murmur2.hash(arr :+ 0.toByte) should not be h // length-sensitive
+    }
+  }
+
+  "Murmur2.partition" should "be non-negative and < n for all keys" in {
+    val rnd = new scala.util.Random(7)
+    Sampled.bytesSamples(200, 64).foreach { arr =>
+      val n = rnd.nextInt(1024) + 1
+      val p = Murmur2.partition(arr, n)
+      p should be >= 0
+      p should be < n
+    }
+  }
+
+  "the murmur2 Column expression" should "agree with the JVM implementation" in {
+    import spark.implicits._
+    val df = goldens.keys.toSeq.toDF("s")
+      .withColumn("h", GraftFunctions.murmur2(col("s")))
+    df.collect().foreach { r =>
+      r.getInt(1) shouldBe Murmur2.hash(r.getString(0).getBytes("UTF-8"))
+    }
+  }
+}
+
+class RegistryFramingSpec extends SparkSpec {
+  import spark.implicits._
+
+  "wrapRegistry/unwrapRegistry" should "round-trip payload and schema id" in {
+    val df = Seq(("payload-one", 1), ("x", 42), ("", 123456)).toDF("body", "id")
+      .withColumn("framed", wrapRegistry(encode(col("body"), "UTF-8"), col("id")))
+      .select(
+        col("body"), col("id"),
+        registrySchemaId(col("framed")).as("id2"),
+        decode(unwrapRegistry(col("framed")), "UTF-8").as("body2"),
+        octet_length(col("framed")).as("len"),
+        octet_length(encode(col("body"), "UTF-8")).as("blen"))
+    df.collect().foreach { r =>
+      r.getAs[Int]("id2") shouldBe r.getAs[Int]("id")
+      r.getAs[String]("body2") shouldBe r.getAs[String]("body")
+      // 5-byte header: magic(1) + schemaId(4) — AvroSerde.scala:123-138
+      r.getAs[Int]("len") shouldBe r.getAs[Int]("blen") + 5
+    }
+  }
+}
+
+class TextPrimitivesSpec extends SparkSpec {
+  import spark.implicits._
+
+  "tokens" should "lowercase, split on whitespace runs, drop empties" in {
+    val out = Seq("  Hello   WORLD\tfoo  ", "", "   ").toDF("text")
+      .select(tokens(col("text")).as("t")).as[Seq[String]].collect()
+    out(0) shouldBe Seq("hello", "world", "foo")
+    out(1) shouldBe Seq.empty
+    out(2) shouldBe Seq.empty
+  }
+
+  "wordNgrams" should "produce distinct n-grams and handle short docs" in {
+    val df = Seq("a b c d", "a b", "a b a b a b").toDF("text")
+      .select(wordNgrams(tokens(col("text")), 3).as("g")).as[Seq[String]].collect()
+    df(0) shouldBe Seq("a b c", "b c d")
+    df(1) shouldBe Seq.empty // shorter than n — no descending-sequence bug
+    df(2) shouldBe Seq("a b a", "b a b") // distinct
+  }
+
+  "charNgrams" should "slide over characters with short-input guard" in {
+    val df = Seq("abcd", "ab", "aaaa").toDF("s")
+      .select(charNgrams(col("s"), 3).as("g")).as[Seq[String]].collect()
+    df(0) shouldBe Seq("abc", "bcd")
+    df(1) shouldBe Seq.empty
+    df(2) shouldBe Seq("aaa") // distinct
+  }
+
+  "charNgramHashSet" should "equal the declarative hashedSet(charNgrams) on sampled strings" in {
+    val df = Sampled.asciiSamples(100, 80).toDF("s")
+      .select(
+        charNgramHashSet(col("s"), 3).as("native"),
+        hashedSet(charNgrams(col("s"), 3)).as("hof"))
+    df.collect().foreach { row =>
+      row.getAs[Seq[Long]]("native") shouldBe row.getAs[Seq[Long]]("hof")
+    }
+  }
+
+  it should "match an independent md5 implementation (hash60)" in {
+    // cross-checked against python hashlib in development; frozen here
+    CharNgramHashSet.hash60("abc") shouldBe 648541476951500027L
+  }
+
+  "normalizeText" should "collapse whitespace and lowercase" in {
+    Seq("  A \t B\n\nC ").toDF("t").select(normalizeText(col("t"))).as[String].head() shouldBe "a b c"
+  }
+}
+
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  "quantizedCosine" should "be exactly 1.0 for identical vectors and 0 for zero vectors" in {
+    val df = Seq(
+      (Seq(0.5f, -0.25f, 0.125f), Seq(0.5f, -0.25f, 0.125f)),
+      (Seq(0f, 0f, 0f), Seq(1f, 2f, 3f))).toDF("a", "b")
+      .select(quantizedCosine(col("a"), col("b")).as("c")).as[Double].collect()
+    df(0) shouldBe 1.0
+    df(1) shouldBe 0.0
+  }
+
+  it should "equal the pre-quantized variant" in {
+    val df = Seq((Seq(0.1f, 0.9f, -0.4f), Seq(-0.3f, 0.2f, 0.8f))).toDF("a", "b")
+      .withColumn("qa", quantize1000(col("a")))
+      .withColumn("qb", quantize1000(col("b")))
+      .select(
+        quantizedCosine(col("a"), col("b")).as("c1"),
+        quantizedCosinePre(col("qa"), col("qb"),
+          ldot(col("qa"), col("qa")), ldot(col("qb"), col("qb"))).as("c2"))
+      .collect()(0)
+    df.getDouble(0) shouldBe df.getDouble(1)
+  }
+
+  "ldot" should "compute exact integer dot products" in {
+    Seq((Seq(1L, 2L, 3L), Seq(4L, 5L, 6L))).toDF("a", "b")
+      .select(ldot(col("a"), col("b"))).as[Long].head() shouldBe 32L
+  }
+
+  "sortedIntersectCount" should "count common elements of sorted distinct arrays" in {
+    Seq(
+      (Seq(1L, 3L, 5L, 7L), Seq(2L, 3L, 5L, 8L), 2L),
+      (Seq.empty[Long], Seq(1L), 0L),
+      (Seq(1L, 2L), Seq(1L, 2L), 2L)).toDF("a", "b", "want")
+      .select(sortedIntersectCount(col("a"), col("b")).as("got"), col("want"))
+      .collect().foreach(r => r.getLong(0) shouldBe r.getLong(1))
+  }
+}

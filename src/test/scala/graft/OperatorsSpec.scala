@@ -1,0 +1,249 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "THE  quick   Brown fox jumps over the lazy dog"), // same after normalize? no — token case only
+    (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (4L, "completely different content here entirely unrelated words"),
+    (5L, "the quick brown fox jumps over the lazy cat")) // near dup of 1
+    .toDF("doc_id", "text")
+
+  "Dedup.exact" should "group identical normalized texts under the min id" in {
+    // normalization lowercases and collapses whitespace → docs 1,2,3 identical
+    val g = Dedup.exact(docs, "doc_id", "text", minGroupSize = 2)
+      .orderBy("keep_id").select("keep_id", "dup_count").as[(Long, Long)].collect()
+    g shouldBe Seq((1L, 3L))
+  }
+
+  "Dedup.minhashLsh" should "give estimate 1.0 for identical docs and find near-dups" in {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      numHashes = 8, shingleSize = 3, rowsPerBand = 2, minEstimate = 0.4)
+      .orderBy("id_a", "id_b").as[(Long, Long, Double)].collect()
+    val exactPairs = pairs.filter(_._3 == 1.0).map(p => (p._1, p._2))
+    exactPairs should contain((1L, 2L)) // normalization-equal docs
+    exactPairs should contain((1L, 3L))
+    pairs.map(p => (p._1, p._2)) should contain((1L, 5L)) // near dup caught by banding
+  }
+
+  "Dedup.simhash" should "assign equal fingerprints to identical token multisets only" in {
+    val sh = Dedup.simhash(docs, "doc_id", "text").orderBy("doc_id")
+      .as[(Long, Long)].collect().toMap
+    sh(1L) shouldBe sh(2L) // same tokens lowercased
+    sh(1L) shouldBe sh(3L)
+    sh(1L) should not be sh(4L)
+    // near-dup: small hamming distance
+    java.lang.Long.bitCount(sh(1L) ^ sh(5L)) should be <= 8
+  }
+
+  "Dedup.ngramJaccardBlocked" should "score identical docs 1.0 and near-dups high, within blocks" in {
+    val blocked = docs.withColumn("blk", lit(1))
+    val pairs = Dedup.ngramJaccardBlocked(blocked, "doc_id", "text",
+      blockCols = Seq("blk"), n = 3, minJaccard = 0.3)
+      .as[(Long, Long, Double)].collect().map(p => ((p._1, p._2), p._3)).toMap
+    pairs((1L, 3L)) shouldBe 1.0
+    pairs((1L, 2L)) shouldBe 1.0 // normalization collapses case+whitespace
+    pairs((1L, 5L)) should be > 0.7
+    pairs.keySet should not contain ((1L, 4L))
+  }
+
+  it should "agree with the relational ngramJaccard formulation" in {
+    val blocked = docs.withColumn("blk", lit(1))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id_a", "id_b").as[(Long, Long, Double)].collect().toSeq
+    // relational variant intersects raw gram strings; blocked variant
+    // intersects 60-bit hashes — equal barring astronomically unlikely collisions
+    canon(Dedup.ngramJaccardBlocked(blocked, "doc_id", "text", Seq("blk"), 3, 0.3)) shouldBe
+      canon(Dedup.ngramJaccard(blocked, "doc_id", "text", Seq("blk"), 3, 0.3))
+  }
+
+  "Dedup.embeddingNearDup" should "find exact and near duplicate vectors within blocks" in {
+    val em = Seq(
+      (1L, 0, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, 0, Seq(1.0f, 0.0f, 0.0f)), // identical to 1
+      (3L, 0, Seq(0.999f, 0.01f, 0.0f)), // near 1
+      (4L, 0, Seq(0.0f, 1.0f, 0.0f)), // orthogonal
+      (5L, 1, Seq(1.0f, 0.0f, 0.0f))) // same dir as 1, different block
+      .toDF("vec_id", "label", "embedding")
+    val pairs = Dedup.embeddingNearDup(em, "vec_id", "embedding", "label", 0.9)
+      .orderBy("id_a", "id_b").as[(Long, Long, Double)].collect()
+    pairs.map(p => (p._1, p._2)) shouldBe Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    pairs.head._3 shouldBe 1.0 // identical vectors: exactly 1.0 (integer math)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+    (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+    (3L, Seq(0.0f, 0.9f, 0.1f, 0.0f)),
+    (4L, Seq(-1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+
+  "bruteForceTopK" should "rank by cosine desc with id tie-break, excluding self" in {
+    val res = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", k = 4)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    res shouldBe Seq(1L, 2L, 3L, 4L) // 1 closest, 4 (opposite) last
+  }
+
+  "lshTopK" should "only search within the query's bucket and agree with brute force there" in {
+    val lsh = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", k = 4, numPlanes = 4, dims = 4)
+      .select("neighbor_id", "cosine").as[(Long, Double)].collect().toMap
+    val bf = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", k = 4)
+      .select("neighbor_id", "cosine").as[(Long, Double)].collect().toMap
+    lsh.keySet.subsetOf(bf.keySet) shouldBe true
+    lsh.foreach { case (id, cos) => bf(id) shouldBe cos } // same cosine values
+  }
+
+  "lshBucket" should "assign identical vectors to identical buckets" in {
+    val b = vecs.select(col("vec_id"),
+      Similarity.lshBucket(col("embedding"), numPlanes = 8, dims = 4).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val dup = Seq((9L, Seq(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+      .select(Similarity.lshBucket(col("embedding"), 8, 4)).as[Long].head()
+    dup shouldBe b(0L)
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  "languageId" should "pick the language with most stopword hits, und when none" in {
+    val docs = Seq(
+      (1L, "the cat and the hat is a cat"),
+      (2L, "der hund und die katze ist ein hund"),
+      (3L, "zzz qqq www")).toDF("doc_id", "text")
+    TextAnalysis.languageId(docs, "doc_id", "text")
+      .orderBy("doc_id").select("predicted_lang").as[String].collect() shouldBe
+      Seq("en", "de", "und")
+  }
+
+  "qualityScore" should "compute integer ppm ratios exactly" in {
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog twice today ok")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityScore(docs, "doc_id", "text").collect()(0)
+    r.getAs[Long]("n_tokens") shouldBe 12L
+    // 2 stopword hits ("the" ×2) of 12 → floor(2e6/12) = 166666 ppm
+    r.getAs[Long]("stopword_ppm") shouldBe 166666L
+    r.getAs[Boolean]("keep") shouldBe true
+    val short = TextAnalysis.qualityScore(Seq((2L, "tiny doc")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect()(0)
+    short.getAs[Boolean]("keep") shouldBe false // < 10 tokens
+  }
+
+  "tokenCounts" should "count whitespace and BPE-ish tokens" in {
+    val r = TextAnalysis.tokenCounts(
+      Seq((1L, "hello world42 x!")).toDF("doc_id", "text"), "doc_id", "text").collect()(0)
+    r.getAs[Long]("ws_tokens") shouldBe 3L
+    // [hello][world][42][x][!]
+    r.getAs[Long]("bpe_tokens") shouldBe 5L
+  }
+
+  "fingerprints" should "be stable and normalization-invariant" in {
+    val df = Seq((1L, "Hello   World"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprints(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String, Long)].collect()
+    fps(0)._2 shouldBe fps(1)._2 // content_fp normalization-invariant
+    fps(0)._3 shouldBe fps(1)._3 // rolling_fp too (token-based)
+    fps(0)._2 should not be fps(2)._2
+  }
+}
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  "asOf" should "attach the latest right record at or before each left timestamp" in {
+    val left = Seq((1, 10L), (1, 25L), (1, 5L), (2, 50L)).toDF("k", "ts")
+    val right = Seq((1, 10L, "r10"), (1, 20L, "r20"), (2, 60L, "r60"))
+      .toDF("k", "ts", "v")
+    val out = AsOfJoin.asOf(left, right, "k", "ts", Seq("v"))
+      .orderBy("k", "ts").select("k", "ts", "right_v").as[(Int, Long, Option[String])].collect()
+    out shouldBe Seq(
+      (1, 5L, None), // nothing at/before 5
+      (1, 10L, Some("r10")), // tie: right visible at equal ts
+      (1, 25L, Some("r20")),
+      (2, 50L, None)) // r60 is in the future
+  }
+
+  it should "break equal-timestamp right rows by the tie-break column (latest wins)" in {
+    val left = Seq((1, 10L)).toDF("k", "ts")
+    val right = Seq((1, 10L, 1L), (1, 10L, 2L)).toDF("k", "ts", "seq")
+    AsOfJoin.asOf(left, right, "k", "ts", Seq("seq"), rightTieBreak = Seq("seq"))
+      .select("right_seq").as[Long].head() shouldBe 2L
+  }
+}
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  "connectedComponents" should "merge components transitively (AnalyticsSystemSpec 1-2/3-4/2-3)" in {
+    val edges = Seq(("1", "2"), ("3", "4"), ("2", "3")).toDF("src", "dst")
+    val cc = GraphAlgorithms.connectedComponents(spark, edges)
+      .orderBy("vertex").as[(String, String)].collect()
+    cc shouldBe Seq(("1", "1"), ("2", "1"), ("3", "1"), ("4", "1"))
+  }
+
+  it should "keep disjoint components separate" in {
+    val edges = Seq(("a", "b"), ("c", "d")).toDF("src", "dst")
+    val cc = GraphAlgorithms.connectedComponents(spark, edges)
+      .as[(String, String)].collect().toMap
+    cc("a") shouldBe "a"
+    cc("b") shouldBe "a"
+    cc("c") shouldBe "c"
+    cc("d") shouldBe "c"
+  }
+
+  it should "handle chains longer than one hop per iteration" in {
+    val chain = (1 to 9).map(i => (i.toString, (i + 1).toString)).toDF("src", "dst")
+    val cc = GraphAlgorithms.connectedComponents(spark, chain)
+      .as[(String, String)].collect()
+    cc.map(_._2).distinct shouldBe Array("1")
+  }
+}
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  "summarize" should "split sessions on gaps > gapUs" in {
+    val ev = Seq(
+      (1, 0L), (1, 100L), (1, 200L), // session 0
+      (1, 2000L), (1, 2100L), // session 1 (gap 1800 > 1000)
+      (2, 0L)).toDF("user", "ts")
+    val sess = Sessionize.summarize(ev, "user", "ts", gapUs = 1000L)
+      .orderBy("user", "session_seq")
+      .select("user", "session_seq", "n_events", "duration_us")
+      .as[(Int, Long, Long, Long)].collect()
+    sess shouldBe Seq((1, 0L, 3L, 200L), (1, 1L, 2L, 100L), (2, 0L, 1L, 0L))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.multimodal.Multimodal
+
+  "withPayload + decodeFeatures" should "carry binary payloads through the distributed stub decoder" in {
+    val docs = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
+    val feats = Multimodal.decodeFeatures(Multimodal.withPayload(docs, "text"), "doc_id")
+      .orderBy("id").collect()
+    feats(0).getAs[Long]("size_bytes") shouldBe 3L
+    feats(0).getAs[Int]("first_byte") shouldBe 'a'.toInt
+    feats(0).getAs[Long]("byte_sum_mod") shouldBe ('a' + 'b' + 'c').toLong
+    feats(1).getAs[Long]("size_bytes") shouldBe 0L
+  }
+
+  "media metadata" should "match the payload bytes" in {
+    val row = Multimodal.withPayload(Seq((1L, "xyz")).toDF("doc_id", "text"), "text")
+      .select(col("media_meta.size_bytes"), col("media_meta.kind")).collect()(0)
+    row.getLong(0) shouldBe 3L
+    row.getString(1) shouldBe "image/fake"
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.streaming.StatefulOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Port of the reference's stateful word-count system test
+  * (ExampleWordCountSpec.scala:83-123): exact running counts per word,
+  * emitted on every update — driven through Structured Streaming with a
+  * MemoryStream source (no broker in this environment; the Kafka source
+  * shares the same canonical changelog columns, ChangelogStream.fromKafka). */
+class StatefulWordCountSpec extends SparkSpec {
+  import spark.implicits._
+
+  "runningWordCount" should "emit exact running counts per word across batches" in {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[String]
+    val counts = StatefulOps.runningWordCount(input.toDS())
+      .map { case (w, c) => (w, c.getOrElse(0L)) }
+      .toDF("word", "count")
+
+    val query = counts.writeStream
+      .format("memory")
+      .queryName("wordcounts")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData("Hello World")
+      query.processAllAvailable()
+      var state = spark.sql("SELECT word, count FROM wordcounts")
+        .as[(String, Long)].collect().groupBy(_._1).map { case (w, rows) => w -> rows.map(_._2).max }
+      state("hello") shouldBe 1L
+      state("world") shouldBe 1L
+
+      input.addData("hello hello spark")
+      query.processAllAvailable()
+      state = spark.sql("SELECT word, count FROM wordcounts")
+        .as[(String, Long)].collect().groupBy(_._1).map { case (w, rows) => w -> rows.map(_._2).max }
+      state("hello") shouldBe 3L // running count across batches
+      state("world") shouldBe 1L
+      state("spark") shouldBe 1L
+    } finally query.stop()
+  }
+
+  "updateAndGet" should "support delete-on-None like the reference tombstone path" in {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Int)]
+    // state: running sum; a zero value deletes the key
+    val out = StatefulOps.updateAndGet[String, Int, Long](
+      input.toDS(),
+      (st, v) => if (v == 0) None else Some(st.getOrElse(0L) + v))
+      .map { case (k, s) => (k, s.map(_.toString).getOrElse("DELETED")) }
+      .toDF("key", "state")
+
+    val query = out.writeStream
+      .format("memory").queryName("rmw").outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(("a", 5), ("a", 7), ("b", 1))
+      query.processAllAvailable()
+      input.addData(("a", 0)) // tombstone
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT key, state FROM rmw").as[(String, String)].collect()
+      rows should contain(("a", "12")) // 5+7 within first batch
+      rows should contain(("b", "1"))
+      rows should contain(("a", "DELETED"))
+    } finally query.stop()
+  }
+}

@@ -323,6 +323,46 @@ object SparkEntry {
     "q19_sessionize" -> ((s, d) => {
       Sessionize.summarize(Tables.events(s, d), "user_id", "ts_us", gapUs = 3600L * 1000000L)
         .orderBy("user_id", "session_seq")
+    }),
+
+    // P2-P6 batch upsert + tombstone delete: last-writer-wins merge
+    "q20_upsert_merge" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          Tables.epochUs(col("o_orderdate")).as("o_orderdate_us"))
+        .withColumn("tombstone", lit(false))
+      val base = KVTable(o, Seq("o_orderkey"), "o_orderdate_us",
+        tombstoneCol = Some("tombstone"))
+      val upserts = o.filter(col("o_orderkey") < 10)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .withColumn("o_orderdate_us", col("o_orderdate_us") + WeekUs)
+      val deletes = o.filter(col("o_orderkey") >= 10 && col("o_orderkey") < 15)
+        .withColumn("o_orderdate_us", col("o_orderdate_us") + WeekUs)
+        .withColumn("tombstone", lit(true))
+      base.upsert(upserts).delete(deletes)
+        .where(col("o_orderkey") < 20)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate_us"))
+        .orderBy("o_orderkey")
+    }),
+
+    // J2 scatter-gather with a custom commutative Aggregator (`gather` ≙ merge)
+    "q21_custom_gather" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("value_cents", round(col("value") * 100).cast("long"))
+      ev.groupBy(col("event_type"))
+        .agg(Gather.countSumUdaf(col("value_cents")).as("g"))
+        .select(col("event_type"), col("g.n").as("n"), col("g.sum").as("sum_cents"))
+        .orderBy("event_type")
+    }),
+
+    // sliding event-time window (trailing 1h count per user, RANGE frame)
+    "q22_sliding_window" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      ev.withColumn("trailing_cnt", count(lit(1)).over(w))
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("trailing_cnt"))
+        .orderBy("event_id")
     })
   )
 
@@ -610,6 +650,26 @@ object SparkEntry {
         |  list_sum(list_prepend(0::BIGINT,
         |    [ascii(substr(text, i, 1))::BIGINT for i in range(1, length(text)+1)]))::BIGINT % 1000000007 AS byte_sum_mod
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q20_upsert_merge" ->
+      s"""SELECT o_orderkey,
+         |  CASE WHEN o_orderkey < 10 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice,
+         |  CASE WHEN o_orderkey < 10 THEN epoch_us(o_orderdate) + $WeekUs
+         |       ELSE epoch_us(o_orderdate) END AS o_orderdate_us
+         |FROM orders
+         |WHERE o_orderkey < 20 AND NOT (o_orderkey >= 10 AND o_orderkey < 15)
+         |ORDER BY o_orderkey""".stripMargin,
+
+    "q21_custom_gather" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q22_sliding_window" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_cnt
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q19_sessionize" ->
       """WITH flagged AS (

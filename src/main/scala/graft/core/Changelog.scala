@@ -25,17 +25,26 @@ import org.apache.spark.sql.functions._
 object Changelog {
 
   /** Latest record per key: max by (ts, tieBreak...). Deterministic when
-    * (keyCols ++ tsCol ++ tieBreakCols) is a unique key of the input. */
+    * (keyCols ++ tsCol ++ tieBreakCols) is a unique key of the input.
+    *
+    * Key columns are projected from the GROUPING attributes, not from the
+    * max_by struct: that keeps key predicates above the compacted view
+    * recognizable to `PushPredicateThroughNonJoin`, so point lookups and
+    * prefix scans reach the parquet scan as DataFilters (min/max row-group
+    * pruning) instead of filtering post-aggregate. */
   def compact(
       df: DataFrame,
       keyCols: Seq[String],
       tsCol: String,
       tieBreakCols: Seq[String] = Nil): DataFrame = {
     val ordering = struct((tsCol +: tieBreakCols).map(col): _*)
-    val payload = struct(df.columns.map(col): _*)
+    val nonKeyCols = df.columns.filterNot(keyCols.contains)
+    val payload = struct(nonKeyCols.map(col): _*)
     df.groupBy(keyCols.map(col): _*)
       .agg(max_by(payload, ordering).as("_latest"))
-      .select(col("_latest.*"))
+      .select(keyCols.map(col) ++ nonKeyCols.map(c => col(s"_latest.$c")): _*)
+      // restore the input column order
+      .select(df.columns.map(col): _*)
   }
 
   /** Drop records flagged as tombstones (deletes) — applied *after* compact,

@@ -355,6 +355,12 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // skew-tolerant two-stage salted aggregation (result ≡ plain groupBy)
+    "q23_salted_rollup" -> ((s, d) => {
+      Skew.saltedCountSum(Tables.events(s, d), Seq("user_id"), "value", saltBuckets = 16)
+        .orderBy("user_id")
+    }),
+
     // sliding event-time window (trailing 1h count per user, RANGE frame)
     "q22_sliding_window" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -664,6 +670,11 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q23_salted_rollup" ->
+      """SELECT user_id, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q22_sliding_window" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-tolerant aggregation via key salting.
+  *
+  * At 100 TB a handful of hot keys (the empty document, a null user, a bot
+  * account) can put one reducer hours behind the fleet. Salting splits each
+  * key into `saltBuckets` sub-keys for a first partial aggregation, then
+  * combines the partials in a second (tiny) aggregation — the classic
+  * two-stage combiner, complementary to AQE's skew-join splitting (which
+  * handles joins, not groupBy).
+  *
+  * Only ALGEBRAIC aggregates (reassociatable: sum/count/min/max) are safe to
+  * split this way; the API takes the partial and final expressions
+  * explicitly so the caller states both halves.
+  */
+object Skew {
+
+  /** Two-stage salted aggregation.
+    * `partials`: aggregates for (key, salt) groups; `finals`: how to combine
+    * the partial columns per key (referencing the partial aliases). */
+  def saltedAgg(
+      df: DataFrame,
+      keyCols: Seq[String],
+      saltBuckets: Int)(
+      partials: Seq[Column],
+      finals: Seq[Column]): DataFrame = {
+    // deterministic salt: spread rows of one key over `saltBuckets` reducers.
+    // monotonically_increasing_id is partition-prefixed → uniform enough and
+    // cheap; any row-level column works.
+    val salted = df.withColumn("_salt", pmod(monotonically_increasing_id(), lit(saltBuckets)))
+    salted
+      .groupBy((keyCols.map(col) :+ col("_salt")): _*)
+      .agg(partials.head, partials.tail: _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(finals.head, finals.tail: _*)
+  }
+
+  /** Salted count + exact decimal sum — the common hot-key rollup. Result
+    * equals the unsalted `groupBy(key).agg(count, sum)` exactly (integer and
+    * decimal arithmetic are reassociatable). */
+  def saltedCountSum(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      saltBuckets: Int = 16,
+      scale: Int = 2): DataFrame =
+    saltedAgg(df, keyCols, saltBuckets)(
+      partials = Seq(
+        count(lit(1)).as("_n"),
+        sum(col(valueCol).cast(s"decimal(18,$scale)")).as("_s")),
+      finals = Seq(
+        sum(col("_n")).as("n"),
+        sum(col("_s")).cast("double").as("sum_value")))
+}

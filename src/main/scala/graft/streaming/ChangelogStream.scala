@@ -56,18 +56,30 @@ object ChangelogStream {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val target = new java.io.File(tablePath)
         val existing =
-          try Some(spark.read.parquet(tablePath))
-          catch { case _: Throwable => None }
+          if (target.exists()) Some(spark.read.parquet(tablePath)) else None
         val all = existing.fold(batch)(e => e.unionByName(batch, allowMissingColumns = true))
         val latest = graft.core.Changelog.compact(all, keyCols, tsCol)
-        latest.persist()
-        latest.count()
-        latest.write.mode("overwrite").parquet(tablePath)
-        latest.unpersist()
+        // write-to-temp + atomic swap: never overwrite the table we are
+        // reading from mid-plan, and a crash mid-batch leaves the old table
+        // intact (re-running the batch is idempotent — same batchId, same
+        // deterministic result).
+        val tmp = s"$tablePath.tmp-$batchId"
+        latest.write.mode("overwrite").parquet(tmp)
+        val old = new java.io.File(s"$tablePath.old-$batchId")
+        if (target.exists()) target.renameTo(old)
+        new java.io.File(tmp).renameTo(target)
+        deleteRecursively(old)
         ()
       }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete()
+    ()
   }
 
   def start(w: DataStreamWriter[Row]): StreamingQuery = w.start()

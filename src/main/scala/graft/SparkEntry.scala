@@ -355,6 +355,33 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // shipping-priority style top-k: filters pushed to both scans, broadcast
+    // dim, partial agg, then a global top-10 (TPC-H Q3 analogue)
+    "q24_topk_revenue" -> ((s, d) => {
+      val cutoff = lit("1998-06-01 00:00:00").cast("timestamp_ntz")
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < cutoff)
+      val li = Tables.lineitem(s, d).filter(col("l_shipdate") >= cutoff)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(decSumWide(col("l_extendedprice") * (lit(1) - col("l_discount")), "revenue"))
+        .select(col("l_orderkey"), Tables.epochUs(col("o_orderdate")).as("o_orderdate_us"), col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // EXISTS / NOT EXISTS as semi/anti joins: customers with and without orders
+    "q25_semi_anti" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).select(col("o_custkey"))
+      val withOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("has_orders").as("status"))
+      val withoutOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("no_orders").as("status"))
+      withOrders.unionByName(withoutOrders).orderBy("c_custkey")
+    }),
+
     // skew-tolerant two-stage salted aggregation (result ≡ plain groupBy)
     "q23_salted_rollup" -> ((s, d) => {
       Skew.saltedCountSum(Tables.events(s, d), Seq("user_id"), "value", saltBuckets = 16)
@@ -670,6 +697,26 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q24_topk_revenue" ->
+      """SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l_shipdate >= TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q25_semi_anti" ->
+      """SELECT c_custkey, 'has_orders' AS status FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 'no_orders' FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q23_salted_rollup" ->
       """SELECT user_id, COUNT(*) AS n,

@@ -30,6 +30,12 @@ object GraftFunctions {
       (children: Seq[Expression]) =>
         CharNgramHashSet(children(0),
           children(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash",
+      (children: Seq[Expression]) =>
+        MinHashSignature(children(0),
+          children(1).eval().asInstanceOf[Number].intValue(),
+          children(2).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 
   /** Codegen'd integer dot product over two `array<bigint>` columns. */
@@ -50,6 +56,11 @@ object GraftFunctions {
     * equals `hashedSet(charNgrams(s, n))`, ~10× faster (CharNgramHashSet). */
   def charNgramHashSet(s: Column, n: Int): Column =
     call_function("graft_cngrams", s, lit(n))
+
+  /** MinHash signature of a token array in one native pass (empty array for
+    * docs with fewer than `shingleSize` tokens) — see MinHashSignature. */
+  def minhashSig(toks: Column, numHashes: Int, shingleSize: Int): Column =
+    call_function("graft_minhash", toks, lit(numHashes), lit(shingleSize))
 
   /** Kafka-parity murmur2 over UTF-8 bytes of a string column (J1 routing). */
   def murmur2(c: Column): Column = {

@@ -33,26 +33,19 @@ object Dedup {
     * min over hex strings ≡ min over a random permutation — the standard
     * MinHash estimator with string-ordered hashes.
     *
-    * Relational formulation: explode shingles, compute the seeded digests as
-    * plain codegen'd columns, reduce with `min` aggregates. Catalyst turns
-    * that into map-side partial mins + one shuffle of (doc, numHashes mins)
-    * — the scalable shape, and ~10× the interpreted nested-HOF variant. */
+    * Computed at scan time by the native MinHashSignature expression — no
+    * exploded shingle rows, no shuffle, thread-local digest (the relational
+    * explode + min-agg formulation is equivalent but pays an md5-expression
+    * allocation per (doc, shingle, seed) plus a partial-agg pass). */
   def minhashSignature(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       numHashes: Int,
-      shingleSize: Int): DataFrame = {
-    val exploded = docs
-      .select(col(idCol),
-        explode(wordNgrams(tokens(col(textCol)), shingleSize)).as("shingle"))
-    val minCols = (0 until numHashes).map { i =>
-      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"_h$i")
-    }
-    exploded.groupBy(col(idCol))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col(idCol), array((0 until numHashes).map(i => col(s"_h$i")): _*).as("signature"))
-  }
+      shingleSize: Int): DataFrame =
+    docs
+      .select(col(idCol), minhashSig(tokens(col(textCol)), numHashes, shingleSize).as("signature"))
+      .filter(size(col("signature")) > 0)
 
   /** MinHash + LSH banded candidate pairs with estimated Jaccard.
     * Bands of `rowsPerBand` signature positions are hashed together; docs

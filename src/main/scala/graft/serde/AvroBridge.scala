@@ -1,0 +1,243 @@
+package graft.serde
+
+import java.io.ByteArrayOutputStream
+import java.nio.ByteBuffer
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Catalyst ⇄ Avro schema/value bridge.
+  *
+  * The reference uses one Avro-reflected type system across Kafka, state,
+  * messaging and its Spark connector
+  * (reference: avro/.../record/AvroRecord.scala:421-541, mapping table in
+  * SURVEY §1.2); reader/writer schema projection (rename via alias,
+  * add-with-default, drop) at AvroRecord.scala:259-297. This module maps
+  * `StructType` ⇄ Avro `Schema` with the same correspondences
+  * (nullable ⇄ union(null,T), Map[String,_] ⇄ map, Timestamp ⇄
+  * timestamp-micros) and round-trips `Row`s through binary Avro, with
+  * evolution handled by Avro's resolving decoder — the same machinery the
+  * reference's ScalaAvroProjector drives.
+  *
+  * The 5-byte registry framing (magic 0 + schema id BE,
+  * AvroSerde.scala:123-138) lives column-side in
+  * `GraftFunctions.wrapRegistry/unwrapRegistry/registrySchemaId` and
+  * byte-side here in `frame`/`unframe`.
+  */
+object AvroBridge {
+
+  // ------------------------------------------------------------------
+  // Schema mapping
+  // ------------------------------------------------------------------
+
+  def toAvroSchema(st: StructType, name: String = "record", namespace: String = "graft"): Schema = {
+    val fields = st.fields.map { f =>
+      val base = toAvroType(f.dataType, s"${name}_${f.name}", namespace)
+      val sch =
+        if (f.nullable) Schema.createUnion(List(Schema.create(Schema.Type.NULL), base).asJava)
+        else base
+      new Schema.Field(f.name, sch,
+        null, if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
+    }
+    Schema.createRecord(name, null, namespace, false, fields.toList.asJava)
+  }
+
+  private def toAvroType(dt: DataType, name: String, ns: String): Schema = dt match {
+    case IntegerType | ShortType | ByteType => Schema.create(Schema.Type.INT)
+    case LongType => Schema.create(Schema.Type.LONG)
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case FloatType => Schema.create(Schema.Type.FLOAT)
+    case DoubleType => Schema.create(Schema.Type.DOUBLE)
+    case StringType => Schema.create(Schema.Type.STRING)
+    case BinaryType => Schema.create(Schema.Type.BYTES)
+    case TimestampType | TimestampNTZType =>
+      LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+    case DateType =>
+      LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+    case ArrayType(et, containsNull) =>
+      val e = toAvroType(et, s"${name}_item", ns)
+      Schema.createArray(
+        if (containsNull) Schema.createUnion(List(Schema.create(Schema.Type.NULL), e).asJava) else e)
+    case MapType(StringType, vt, valueContainsNull) =>
+      val v = toAvroType(vt, s"${name}_value", ns)
+      Schema.createMap(
+        if (valueContainsNull) Schema.createUnion(List(Schema.create(Schema.Type.NULL), v).asJava) else v)
+    case st: StructType => toAvroSchema(st, name, ns)
+    case other => throw new IllegalArgumentException(s"unsupported Spark type for Avro: $other")
+  }
+
+  def toSparkSchema(schema: Schema): StructType = {
+    require(schema.getType == Schema.Type.RECORD, s"expected record, got ${schema.getType}")
+    StructType(schema.getFields.asScala.map { f =>
+      val (dt, nullable) = toSparkType(f.schema())
+      StructField(f.name(), dt, nullable)
+    }.toSeq)
+  }
+
+  private def toSparkType(s: Schema): (DataType, Boolean) = s.getType match {
+    case Schema.Type.UNION =>
+      val nonNull = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+      require(nonNull.size == 1, s"only union(null, T) supported, got $s")
+      val (dt, _) = toSparkType(nonNull.head)
+      (dt, true)
+    case Schema.Type.INT =>
+      if (s.getLogicalType != null && s.getLogicalType.getName == "date") (DateType, false)
+      else (IntegerType, false)
+    case Schema.Type.LONG =>
+      if (s.getLogicalType != null && s.getLogicalType.getName == "timestamp-micros")
+        (TimestampType, false)
+      else (LongType, false)
+    case Schema.Type.BOOLEAN => (BooleanType, false)
+    case Schema.Type.FLOAT => (FloatType, false)
+    case Schema.Type.DOUBLE => (DoubleType, false)
+    case Schema.Type.STRING => (StringType, false)
+    case Schema.Type.BYTES => (BinaryType, false)
+    case Schema.Type.FIXED => (BinaryType, false)
+    case Schema.Type.ENUM => (StringType, false)
+    case Schema.Type.ARRAY =>
+      val (et, n) = toSparkType(s.getElementType)
+      (ArrayType(et, containsNull = n), false)
+    case Schema.Type.MAP =>
+      val (vt, n) = toSparkType(s.getValueType)
+      (MapType(StringType, vt, valueContainsNull = n), false)
+    case Schema.Type.RECORD => (toSparkSchema(s), false)
+    case other => throw new IllegalArgumentException(s"unsupported Avro type: $other")
+  }
+
+  // ------------------------------------------------------------------
+  // Row ⇄ binary
+  // ------------------------------------------------------------------
+
+  def encodeRow(row: Row, schema: Schema): Array[Byte] = {
+    val rec = rowToRecord(row, schema)
+    val out = new ByteArrayOutputStream()
+    val enc = EncoderFactory.get().binaryEncoder(out, null)
+    new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+    enc.flush()
+    out.toByteArray
+  }
+
+  /** Decode with an optional distinct reader schema — Avro's resolving
+    * decoder applies the reference's projection semantics (drop fields,
+    * fill defaults, follow aliases). */
+  def decodeRow(bytes: Array[Byte], writer: Schema, reader: Option[Schema] = None): Row = {
+    val rd = new GenericDatumReader[GenericRecord](writer, reader.getOrElse(writer))
+    val dec = DecoderFactory.get().binaryDecoder(bytes, null)
+    recordToRow(rd.read(null, dec), reader.getOrElse(writer))
+  }
+
+  private def rowToRecord(row: Row, schema: Schema): GenericRecord = {
+    val rec = new GenericData.Record(schema)
+    // positional: rows from mapPartitions/tests may carry no schema;
+    // field order is the StructType order by construction
+    schema.getFields.asScala.zipWithIndex.foreach { case (f, i) =>
+      rec.put(f.name(), toAvroValue(row.get(i), unwrapUnion(f.schema())))
+    }
+    rec
+  }
+
+  private def unwrapUnion(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+    else s
+
+  private def toAvroValue(v: Any, s: Schema): Any = v match {
+    case null => null
+    case r: Row => rowToRecord(r, s)
+    case seq: Seq[_] =>
+      seq.map(toAvroValue(_, unwrapUnion(s.getElementType))).asJava
+    case m: Map[_, _] =>
+      m.map { case (k, x) => k.toString -> toAvroValue(x, unwrapUnion(s.getValueType)) }.asJava
+    case b: Array[Byte] => ByteBuffer.wrap(b)
+    case ts: java.sql.Timestamp => ts.getTime * 1000L + (ts.getNanos / 1000) % 1000
+    case ts: java.time.Instant => ts.getEpochSecond * 1000000L + ts.getNano / 1000
+    case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+    case d: java.time.LocalDate => d.toEpochDay.toInt
+    case other => other
+  }
+
+  private def recordToRow(rec: GenericRecord, schema: Schema): Row = {
+    val values = schema.getFields.asScala.map { f =>
+      fromAvroValue(rec.get(f.name()), unwrapUnion(f.schema()))
+    }
+    Row.fromSeq(values.toSeq)
+  }
+
+  private def fromAvroValue(v: Any, s: Schema): Any = v match {
+    case null => null
+    case r: GenericRecord => recordToRow(r, s)
+    case l: java.util.List[_] =>
+      l.asScala.map(fromAvroValue(_, unwrapUnion(s.getElementType))).toSeq
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, x) => k.toString -> fromAvroValue(x, unwrapUnion(s.getValueType)) }.toMap
+    case b: ByteBuffer =>
+      val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+    case u: org.apache.avro.util.Utf8 => u.toString
+    case l: java.lang.Long if s.getLogicalType != null &&
+        s.getLogicalType.getName == "timestamp-micros" =>
+      java.time.Instant.ofEpochSecond(l / 1000000L, (l % 1000000L) * 1000L)
+    case i: java.lang.Integer if s.getLogicalType != null &&
+        s.getLogicalType.getName == "date" =>
+      java.time.LocalDate.ofEpochDay(i.longValue())
+    case other => other
+  }
+
+  // ------------------------------------------------------------------
+  // Registry framing (byte-level; column-level lives in GraftFunctions)
+  // ------------------------------------------------------------------
+
+  def frame(payload: Array[Byte], schemaId: Int): Array[Byte] = {
+    val out = new Array[Byte](payload.length + 5)
+    out(0) = 0 // magic
+    out(1) = ((schemaId >> 24) & 0xff).toByte
+    out(2) = ((schemaId >> 16) & 0xff).toByte
+    out(3) = ((schemaId >> 8) & 0xff).toByte
+    out(4) = (schemaId & 0xff).toByte
+    System.arraycopy(payload, 0, out, 5, payload.length)
+    out
+  }
+
+  def unframe(framed: Array[Byte]): (Int, Array[Byte]) = {
+    require(framed.length >= 5 && framed(0) == 0, "bad registry frame")
+    val id = ((framed(1) & 0xff) << 24) | ((framed(2) & 0xff) << 16) |
+      ((framed(3) & 0xff) << 8) | (framed(4) & 0xff)
+    (id, java.util.Arrays.copyOfRange(framed, 5, framed.length))
+  }
+}
+
+/** In-memory schema registry with the reference's semantics: content-hashed
+  * registration, id-addressed lookup (MemorySchemaRegistry.scala). */
+final class MemorySchemaRegistry {
+  private val byId = scala.collection.concurrent.TrieMap.empty[Int, Schema]
+  private val ids = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val byFingerprint = scala.collection.concurrent.TrieMap.empty[Long, Int]
+
+  def register(schema: Schema): Int = {
+    val fp = org.apache.avro.SchemaNormalization.parsingFingerprint64(schema)
+    byFingerprint.getOrElseUpdate(fp, {
+      val id = ids.incrementAndGet()
+      byId.put(id, schema)
+      id
+    })
+  }
+
+  def schema(id: Int): Option[Schema] = byId.get(id)
+
+  /** Serialize a Row with the registry wire format. */
+  def write(row: Row, sparkSchema: StructType): Array[Byte] = {
+    val avro = AvroBridge.toAvroSchema(sparkSchema)
+    AvroBridge.frame(AvroBridge.encodeRow(row, avro), register(avro))
+  }
+
+  /** Read a framed payload, projecting to `readerSchema` if given. */
+  def read(framed: Array[Byte], readerSchema: Option[Schema] = None): Row = {
+    val (id, payload) = AvroBridge.unframe(framed)
+    val writer = schema(id).getOrElse(throw new IllegalArgumentException(s"unknown schema id $id"))
+    AvroBridge.decodeRow(payload, writer, readerSchema)
+  }
+}

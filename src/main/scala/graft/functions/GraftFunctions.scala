@@ -125,6 +125,14 @@ object GraftFunctions {
   def normalizeText(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
+  /** S9 record views over a raw log value: parse JSON / XML payloads with an
+    * explicit schema (reference LogRDD.json:118-123, LogRDD.xml:130-132). */
+  def jsonView(value: Column, schemaDdl: String): Column =
+    from_json(value, schemaDdl, Map.empty[String, String])
+
+  def xmlView(value: Column, schemaDdl: String): Column =
+    from_xml(value, org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
+
   /** Deterministic 60-bit non-negative hash from md5 (stable across engines:
     * DuckDB `md5` produces the same hex). Used where a numeric hash is
     * needed; where only ordering matters we compare md5 hex strings directly. */

@@ -287,6 +287,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF ANN (deterministic k-means coarse quantizer, probe-4) — no SQL
+    // oracle (iterative k-means isn't SQL-expressible); recall vs the
+    // brute-force baseline is pinned in SimilaritySpec
+    "s3_knn_ivf" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      Similarity.ivfTopK(em, em.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, nCentroids = 16, nProbe = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
     // language ID (stopword n-gram heuristic)
     "t1_lang_id" -> ((s, d) => {
       TextAnalysis.languageId(Tables.documents(s, d), "doc_id", "text")

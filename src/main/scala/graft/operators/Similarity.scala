@@ -76,6 +76,103 @@ object Similarity {
     sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) index: a coarse k-means quantizer assigns every
+    * vector to its nearest centroid; queries probe only the `nProbe`
+    * closest cells. Deterministic: centroids seed from the `nCentroids`
+    * lowest-id vectors and run a fixed number of Lloyd iterations — no RNG.
+    *
+    * Scale shape: centroids are tiny and broadcast; assignment is one
+    * map-side pass over the corpus (never shuffled); training aggregates
+    * only (centroid, partial-sum) pairs. The classic recall/candidates
+    * trade: probe more cells for more recall. */
+  def ivfIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int,
+      iterations: Int = 5): (DataFrame, Array[Array[Double]]) = {
+    val vecs = corpus.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    // deterministic seed: the nCentroids lowest-id vectors
+    var centroids: Array[Array[Double]] = vecs.orderBy("id").limit(nCentroids)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    var it = 0
+    while (it < iterations) {
+      val assigned = assignCells(vecs, centroids)
+      // new centroid = mean of members; empty cells keep their centroid
+      val sums = assigned
+        .select(col("cell"), col("v"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"),
+          aggregateMeanVec(col("v"), centroids(0).length).as("mean"))
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.foreach { r =>
+        next(r.getAs[Int]("cell")) = r.getSeq[Double](r.fieldIndex("mean")).toArray
+      }
+      centroids = next
+      it += 1
+    }
+    (assignCells(vecs, centroids).select(col("id"), col("cell")), centroids)
+  }
+
+  /** Mean vector aggregate via element-wise sums (numeric, not
+    * oracle-facing — IVF carries no SQL oracle; recall is validated against
+    * the brute-force baseline in tests). */
+  private def aggregateMeanVec(v: Column, dims: Int): Column = {
+    val sums = (0 until dims).map(i => sum(element_at(v, i + 1)))
+    val n = count(lit(1))
+    array(sums.map(s => s / n): _*)
+  }
+
+  private def assignCells(vecs: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    // nearest centroid by squared L2, computed as a codegen'd case chain
+    // over broadcast literals (centroid count is small by construction)
+    val dists = centroids.zipWithIndex.map { case (c, i) =>
+      val d = aggregate(
+        zip_with(col("v"), lit(c), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+      struct(d.as("d"), lit(i).as("cell"))
+    }
+    vecs.withColumn("cell", array_min(array(dists: _*)).getField("cell"))
+  }
+
+  /** IVF top-k: search only vectors in the `nProbe` cells nearest to each
+    * query. Exact cosine within the probed cells. */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val (cells, centroids) = ivfIndex(corpus, idCol, vecCol, nCentroids)
+    val c = quantized(corpus, idCol, vecCol, "neighbor_id", "qv_c", "n_c")
+      .join(cells.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+    // query probes: its nProbe nearest centroids
+    val qVecs = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val probeCells = centroids.zipWithIndex.map { case (cvec, i) =>
+      val d = aggregate(
+        zip_with(col("v"), lit(cvec), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+      struct(d.as("d"), lit(i).as("cell"))
+    }
+    val q = quantized(queries, idCol, vecCol, "query_id", "qv_q", "n_q")
+      .join(
+        qVecs.select(col("query_id"),
+          explode(slice(array_sort(array(probeCells: _*)), 1, nProbe).getField("cell")).as("cell")),
+        "query_id")
+    val sims = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        quantizedCosinePre(col("qv_q"), col("qv_c"), col("n_q"), col("n_c")).as("cosine"))
+      .distinct() // a neighbor can appear via multiple probed cells
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** LSH-bucketed top-k: neighbors searched only within the query's bucket. */
   def lshTopK(
       corpus: DataFrame,

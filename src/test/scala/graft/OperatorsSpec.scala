@@ -105,6 +105,28 @@ class SimilaritySpec extends SparkSpec {
     lsh.foreach { case (id, cos) => bf(id) shouldBe cos } // same cosine values
   }
 
+  "ivfTopK" should "find the true nearest neighbor when it shares the probed cell" in {
+    // 4 tight clusters around orthogonal axes; 10 vectors each
+    val rnd = new scala.util.Random(3)
+    val base = Seq(
+      Seq(1.0f, 0f, 0f, 0f), Seq(0f, 1.0f, 0f, 0f),
+      Seq(0f, 0f, 1.0f, 0f), Seq(0f, 0f, 0f, 1.0f))
+    val vecs = (0 until 40).map { i =>
+      val c = base(i % 4)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 4)
+    val ivf = Similarity.ivfTopK(vecs, queries, "vec_id", "embedding",
+      k = 3, nCentroids = 4, nProbe = 1)
+      .filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val bf = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", k = 3)
+      .filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    // probe-1 recall on well-separated clusters: top-1 matches brute force
+    ivf shouldBe bf
+  }
+
   "lshBucket" should "assign identical vectors to identical buckets" in {
     val b = vecs.select(col("vec_id"),
       Similarity.lshBucket(col("embedding"), numPlanes = 8, dims = 4).as("b"))

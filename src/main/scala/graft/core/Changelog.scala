@@ -16,10 +16,11 @@ import org.apache.spark.sql.functions._
   * (spark/.../LogRDD.scala:47-64 `compact`, max-timestamp combiner).
   *
   * Scale notes: `compact` uses `max_by` over a `groupBy`, which Catalyst
-  * executes as partial (map-side) + final aggregation — one shuffle of the
-  * *reduced* data, no sort. That beats the window/`row_number` formulation
-  * (full shuffle + per-partition sort) when keys are much fewer than rows,
-  * which is the compaction regime by definition. `keepLastN` genuinely needs
+  * executes as partial (map-side) + final aggregation — the shuffle carries
+  * one row per key, not the raw log. (Struct-valued buffers make Spark pick
+  * SortAggregate, so each side sorts by key within partitions; that still
+  * beats the window/`row_number` formulation, which must shuffle EVERY raw
+  * row before its per-partition sort.) `keepLastN` genuinely needs
   * the per-key ordering so it uses a window.
   */
 object Changelog {

@@ -322,6 +322,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // multimodal metadata struct over the binary payload
+    "m2_media_metadata" -> ((s, d) => {
+      Multimodal.withPayload(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("media_meta.kind").as("kind"),
+          col("media_meta.size_bytes").as("size_bytes"),
+          col("media_meta.content_md5").as("content_md5"))
+        .orderBy("doc_id")
+    }),
+
     // multimodal binary-column plumbing with stubbed decoder
     "m1_multimodal_features" -> ((s, d) => {
       val docs = Multimodal.withPayload(Tables.documents(s, d), "text")
@@ -687,6 +696,12 @@ object SparkEntry {
          |    [ (ascii(substr(x,1,1))*7 + length(x))::BIGINT for x in $toksSql ]),
          |    (a, b) -> (a*131 + b) % 1000000007) AS rolling_fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m2_media_metadata" ->
+      """SELECT doc_id, 'image/fake' AS kind,
+        |  octet_length(encode(text))::BIGINT AS size_bytes,
+        |  md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "m1_multimodal_features" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS size_bytes,

@@ -1,0 +1,35 @@
+package graft
+
+import graft.core.Changelog
+import graft.operators.Skew
+import org.apache.spark.sql.functions._
+
+/** Multi-million-row smoke of the core reduction paths — not a benchmark,
+  * a "does the shape hold when rows ≫ keys" check: compaction and salted
+  * aggregation must produce exactly keyed-cardinality outputs from a 5M-row
+  * changelog without collecting or exploding anything. */
+class ScaleSmokeSpec extends SparkSpec {
+
+  "compact" should "reduce a 5M-row changelog to exactly one row per key" in {
+    val n = 5000000L
+    val keys = 10000L
+    // synthetic changelog: key = id % keys, ts = id (later ids win)
+    val log = spark.range(n).select(
+      (col("id") % keys).as("key"),
+      col("id").as("ts"),
+      (col("id") * 7).as("payload"))
+    val latest = Changelog.compact(log, Seq("key"), "ts")
+    latest.count() shouldBe keys
+    // winner per key is the max ts ≡ key + keys*(n/keys - 1)
+    val r = latest.filter(col("key") === 123L).select("ts").collect()(0).getLong(0)
+    r shouldBe (123L + keys * (n / keys - 1))
+  }
+
+  "saltedCountSum" should "survive one key owning 90% of 2M rows" in {
+    val df = spark.range(2000000L).select(
+      when(col("id") % 10 =!= 0, lit(777L)).otherwise(col("id")).as("k"),
+      lit(1.0).as("v"))
+    val out = Skew.saltedCountSum(df, Seq("k"), "v", saltBuckets = 32)
+    out.filter(col("k") === 777L).select("n").collect()(0).getLong(0) shouldBe 1800000L
+  }
+}

@@ -36,6 +36,34 @@ object ChangelogStream {
         col("partition"),
         col("offset"))
 
+  /** S1 bounded Kafka read: one batch covering exactly a [start, end) event
+    * -time range, pushed down to offsets via startingOffsetsByTimestamp —
+    * the reference's `reset(partition, TimeRange)` → `offsetsForTimes` path
+    * (KafkaLogStorage.scala:168-204) — plus the residual timestamp filter
+    * for records that slip inside the offset bounds. Untestable without a
+    * broker in this environment; the contract is pinned here. */
+  def kafkaBounded(
+      spark: SparkSession,
+      bootstrap: String,
+      topic: String,
+      startUs: Long,
+      endUs: Long): DataFrame = {
+    val startMs = startUs / 1000L
+    spark.read
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsetsByTimestampStrategy", "latest")
+      .option("startingTimestamp", startMs.toString)
+      .load()
+      .select(
+        col("key"), col("value"),
+        unix_micros(col("timestamp")).as("ts_us"),
+        col("value").isNull.as("tombstone"),
+        col("partition"), col("offset"))
+      .filter(col("ts_us") >= startUs && col("ts_us") < endUs)
+  }
+
   /** File (parquet dir) source with the canonical changelog schema —
     * the test-friendly LogStorage. */
   def fromFiles(spark: SparkSession, dir: String, schemaDdl: String): DataFrame =

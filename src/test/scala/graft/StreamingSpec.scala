@@ -42,6 +42,35 @@ class StatefulWordCountSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  it should "run on the RocksDB state store provider (the reference's MemStoreRocksDb)" in {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[String]
+      val counts = StatefulOps.runningWordCount(input.toDS())
+        .map { case (w, c) => (w, c.getOrElse(0L)) }.toDF("word", "count")
+      val q = counts.writeStream.format("memory").queryName("rocks_wc")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        input.addData("alpha beta")
+        q.processAllAvailable()
+        input.addData("alpha")
+        q.processAllAvailable()
+        val st = spark.sql("SELECT word, max(count) FROM rocks_wc GROUP BY 1")
+          .as[(String, Long)].collect().toMap
+        st("alpha") shouldBe 2L
+        st("beta") shouldBe 1L
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   "updateAndGet" should "support delete-on-None like the reference tombstone path" in {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(String, Int)]

@@ -68,7 +68,11 @@ for d in spark_results:
 
 for n, m in passes: print(f"PASS {n}: {m}")
 for n, m in fails: print(f"FAIL {n}: {m}")
-missing = set(oracles) - {os.path.basename(d) for d in spark_results}
+# missing-detection covers rows-only queries too (a failed query writes no
+# output dir and would otherwise vanish from the report entirely)
+qpath = os.path.join(OUT, "queries.json")
+declared = set(json.load(open(qpath))) if os.path.exists(qpath) else set(oracles)
+missing = declared - {os.path.basename(d) for d in spark_results}
 for n in missing: print(f"MISSING spark output for {n}")
 print(f"\n{len(passes)} pass, {len(fails)} fail, {len(missing)} missing")
 sys.exit(1 if fails or missing else 0)

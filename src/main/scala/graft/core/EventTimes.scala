@@ -21,16 +21,24 @@ object EventTimes {
       try_to_timestamp(s, lit("dd.MM.yyyy HH:mm:ssx"))))
 
   /** Fixed(4) big-endian bytes of an int key — the reference's
-    * order-preserving binary key prefix. */
+    * order-preserving binary key prefix. Negative ints encode as their
+    * unsigned 32-bit two's complement (the 0xFFFFFFFF mask is required:
+    * Spark's hex() promotes int to bigint, and lpad TRUNCATES a 16-char hex
+    * to its leftmost 8 — every negative key would collide to 0xFFFFFFFF).
+    * NB the byte-order ≡ numeric-order property only holds for
+    * non-negative keys (negatives hex-sort above positives). */
   def intToFixed(c: Column): Column =
-    to_binary(lpad(hex(c.cast("int")), 8, "0"), lit("hex"))
+    to_binary(lpad(hex(c.cast("long").bitwiseAND(lit(0xFFFFFFFFL))), 8, "0"), lit("hex"))
 
-  /** Fixed(8) big-endian bytes of a long key. */
+  /** Fixed(8) big-endian bytes of a long key (two's complement for
+    * negatives; ordering property holds for non-negative keys). */
   def longToFixed(c: Column): Column =
     to_binary(lpad(hex(c.cast("long")), 16, "0"), lit("hex"))
 
-  /** Inverse of intToFixed/longToFixed. */
-  def fixedToLong(c: Column): Column = conv(hex(c), 16, 10).cast("long")
+  /** Inverse of longToFixed: signed 64-bit interpretation (conv toBase -10),
+    * so negative longs round-trip without ANSI overflow. 4-byte inputs
+    * decode to their unsigned 32-bit value, matching intToFixed's mask. */
+  def fixedToLong(c: Column): Column = conv(hex(c), 16, -10).cast("long")
 
   /** Canonical lowercase-hex rendering of binary keys (UUID-style). */
   def toHexString(c: Column): Column = lower(hex(c))

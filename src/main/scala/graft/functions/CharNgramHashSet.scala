@@ -36,13 +36,16 @@ object CharNgramHashSet {
   }
 
   def compute(str: UTF8String, n: Int): ArrayData = {
-    val s = str.toString
-    val count = s.length - n + 1
+    // iterate CODE POINTS, not UTF-16 units: Spark's substr and DuckDB's
+    // substr both count code points, and the documented equality with
+    // charNgrams must hold for supplementary characters too
+    val cps = str.toString.codePoints().toArray
+    val count = cps.length - n + 1
     if (count <= 0) return new GenericArrayData(Array.emptyLongArray)
     val hashes = new Array[Long](count)
     var i = 0
     while (i < count) {
-      hashes(i) = hash60(s.substring(i, i + n))
+      hashes(i) = hash60(new String(cps, i, n))
       i += 1
     }
     java.util.Arrays.sort(hashes)

@@ -58,15 +58,24 @@ object Multimodal {
       }(enc)
   }
 
-  /** The stub "codec": first byte + byte sum mod 1e9+7. A real build links
-    * an image/audio decoder here. */
+  /** The stub "codec": first code point + code-point sum mod 1e9+7, decoded
+    * from the UTF-8 payload. Code points (not raw bytes) so the DuckDB
+    * oracle — which can only iterate characters via `ascii(substr(...))` —
+    * computes the identical value for non-ASCII text. A real build links an
+    * image/audio decoder here instead. */
   private def stubFeatures(bytes: Array[Byte]): (Int, Long) = {
     if (bytes.isEmpty) (0, 0L)
     else {
-      var s = 0L
-      var i = 0
-      while (i < bytes.length) { s = (s + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
-      (bytes(0) & 0xff, s)
+      val s = new String(bytes, "UTF-8")
+      var sum = 0L
+      val it = s.codePoints().iterator()
+      var first = -1
+      while (it.hasNext) {
+        val cp = it.nextInt()
+        if (first < 0) first = cp
+        sum = (sum + cp) % 1000000007L
+      }
+      (first, sum)
     }
   }
 }

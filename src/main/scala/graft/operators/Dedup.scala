@@ -60,6 +60,8 @@ object Dedup {
       shingleSize: Int = 3,
       rowsPerBand: Int = 2,
       minEstimate: Double = 0.5): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be divisible by rowsPerBand ($rowsPerBand) - trailing signature positions would silently never band")
     val sig = minhashSignature(docs, idCol, textCol, numHashes, shingleSize)
     val numBands = numHashes / rowsPerBand
     val banded = sig.select(

@@ -91,8 +91,12 @@ object Similarity {
       vecCol: String,
       nCentroids: Int,
       iterations: Int = 5): (DataFrame, Array[Array[Double]]) = {
+    // train on ×1000-quantized integers: element sums are exact longs, so
+    // centroids (and therefore assignments) are identical regardless of
+    // partitioning — a raw-double sum would drift in the last bits and make
+    // "deterministic" IVF partition-order dependent
     val vecs = corpus.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
+      transform(quantize1000(col(vecCol)), x => x.cast("double")).as("v"))
     // deterministic seed: the nCentroids lowest-id vectors
     var centroids: Array[Array[Double]] = vecs.orderBy("id").limit(nCentroids)
       .select("v").collect().map(_.getSeq[Double](0).toArray)
@@ -101,10 +105,10 @@ object Similarity {
       val assigned = assignCells(vecs, centroids)
       // new centroid = mean of members; empty cells keep their centroid
       val sums = assigned
-        .select(col("cell"), col("v"))
+        .select(col("cell"), transform(col("v"), x => x.cast("long")).as("vi"))
         .groupBy("cell")
         .agg(count(lit(1)).as("n"),
-          aggregateMeanVec(col("v"), centroids(0).length).as("mean"))
+          aggregateMeanVec(col("vi"), centroids(0).length).as("mean"))
         .collect()
       val next = centroids.map(_.clone())
       sums.foreach { r =>
@@ -116,13 +120,13 @@ object Similarity {
     (assignCells(vecs, centroids).select(col("id"), col("cell")), centroids)
   }
 
-  /** Mean vector aggregate via element-wise sums (numeric, not
-    * oracle-facing — IVF carries no SQL oracle; recall is validated against
-    * the brute-force baseline in tests). */
+  /** Mean vector via exact integer element sums divided once per dimension
+    * (deterministic; not oracle-facing — IVF carries no SQL oracle; recall
+    * is validated against the brute-force baseline in tests). */
   private def aggregateMeanVec(v: Column, dims: Int): Column = {
     val sums = (0 until dims).map(i => sum(element_at(v, i + 1)))
     val n = count(lit(1))
-    array(sums.map(s => s / n): _*)
+    array(sums.map(s => s.cast("double") / n): _*)
   }
 
   private def assignCells(vecs: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
@@ -150,9 +154,10 @@ object Similarity {
     val (cells, centroids) = ivfIndex(corpus, idCol, vecCol, nCentroids)
     val c = quantized(corpus, idCol, vecCol, "neighbor_id", "qv_c", "n_c")
       .join(cells.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
-    // query probes: its nProbe nearest centroids
+    // query probes: its nProbe nearest centroids (same quantized space as
+    // the trained centroids)
     val qVecs = queries.select(col(idCol).as("query_id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
+      transform(quantize1000(col(vecCol)), x => x.cast("double")).as("v"))
     val probeCells = centroids.zipWithIndex.map { case (cvec, i) =>
       val d = aggregate(
         zip_with(col("v"), lit(cvec), (x, y) => (x - y) * (x - y)),

@@ -48,13 +48,16 @@ object ChangelogStream {
       topic: String,
       startUs: Long,
       endUs: Long): DataFrame = {
-    val startMs = startUs / 1000L
     spark.read
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribe", topic)
       .option("startingOffsetsByTimestampStrategy", "latest")
-      .option("startingTimestamp", startMs.toString)
+      .option("startingTimestamp", (startUs / 1000L).toString)
+      // bound the scan at the offsets for endUs too - otherwise the batch
+      // reads to the topic head and discards the tail with the residual
+      // filter (ceil so boundary-ms records are kept for the us filter)
+      .option("endingTimestamp", ((endUs + 999L) / 1000L).toString)
       .load()
       .select(
         col("key"), col("value"),
@@ -85,29 +88,16 @@ object ChangelogStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val target = new java.io.File(tablePath)
         val existing =
-          if (target.exists()) Some(spark.read.parquet(tablePath)) else None
+          if (AtomicSwap.recover(tablePath)) Some(spark.read.parquet(tablePath)) else None
         val all = existing.fold(batch)(e => e.unionByName(batch, allowMissingColumns = true))
         val latest = graft.core.Changelog.compact(all, keyCols, tsCol)
-        // write-to-temp + atomic swap: never overwrite the table we are
-        // reading from mid-plan, and a crash mid-batch leaves the old table
-        // intact (re-running the batch is idempotent — same batchId, same
-        // deterministic result).
-        val tmp = s"$tablePath.tmp-$batchId"
-        latest.write.mode("overwrite").parquet(tmp)
-        val old = new java.io.File(s"$tablePath.old-$batchId")
-        if (target.exists()) target.renameTo(old)
-        new java.io.File(tmp).renameTo(target)
-        deleteRecursively(old)
+        // crash-safe swap (see AtomicSwap): never overwrite the table we are
+        // reading from mid-plan; interrupted swaps roll back on the next
+        // batch before the table is read.
+        AtomicSwap.swap(latest, tablePath, batchId)
         ()
       }
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    f.delete()
-    ()
   }
 
   def start(w: DataStreamWriter[Row]): StreamingQuery = w.start()

@@ -47,32 +47,17 @@ object GraphStream {
         val edgesPath = s"$root/edges"
         val compPath = s"$root/components"
         val prior =
-          if (new java.io.File(edgesPath).exists()) Some(spark.read.parquet(edgesPath)) else None
+          if (AtomicSwap.recover(edgesPath)) Some(spark.read.parquet(edgesPath)) else None
         val all = prior.fold(canonical(batch))(p =>
           p.unionByName(canonical(batch), allowMissingColumns = true))
         val latest = graft.core.Changelog.compact(all, Seq("src", "dst"), "ts_us")
-        swapWrite(latest, edgesPath, batchId)
+        AtomicSwap.swap(latest, edgesPath, batchId)
         val live = graft.core.Changelog.dropTombstones(
           spark.read.parquet(edgesPath), "tombstone")
+        AtomicSwap.recover(compPath)
         val components = GraphAlgorithms.connectedComponents(spark, live)
-        swapWrite(components, compPath, batchId)
+        AtomicSwap.swap(components, compPath, batchId)
         ()
       }
-  }
-
-  private def swapWrite(df: DataFrame, path: String, batchId: Long): Unit = {
-    val tmp = s"$path.tmp-$batchId"
-    df.write.mode("overwrite").parquet(tmp)
-    val target = new java.io.File(path)
-    val old = new java.io.File(s"$path.old-$batchId")
-    if (target.exists()) target.renameTo(old)
-    new java.io.File(tmp).renameTo(target)
-    delete(old)
-  }
-
-  private def delete(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(delete)
-    f.delete()
-    ()
   }
 }

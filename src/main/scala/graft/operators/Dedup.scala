@@ -72,6 +72,9 @@ object Dedup {
           sequence(lit(0), lit(numBands - 1)),
           b => md5(concat_ws("|", slice(col("signature"), b * rowsPerBand + lit(1), lit(rowsPerBand))))
         )).as(Seq("band", "band_hash")))
+      // materialize once: both sides of the self-join read the checkpoint
+      // instead of re-running the whole signature computation
+      .localCheckpoint(true)
     val a = banded.select(col("band"), col("band_hash"), col("doc").as("id_a"), col("signature").as("sig_a"))
     val b = banded.select(col("band"), col("band_hash"), col("doc").as("id_b"), col("signature").as("sig_b"))
     a.join(b, Seq("band", "band_hash"))

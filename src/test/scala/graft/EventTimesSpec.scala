@@ -33,6 +33,20 @@ class EventTimesSpec extends SparkSpec {
     r.getAs[String]("hex") shouldBe "0000002a"
   }
 
+  it should "round-trip NEGATIVE keys distinctly (two's complement, no lpad truncation)" in {
+    val r = Seq((-2, -100, -2L)).toDF("a", "b", "l").select(
+      EventTimes.fixedToLong(EventTimes.intToFixed(col("a"))).as("a2"),
+      EventTimes.fixedToLong(EventTimes.intToFixed(col("b"))).as("b2"),
+      EventTimes.fixedToLong(EventTimes.longToFixed(col("l"))).as("l2"),
+      octet_length(EventTimes.intToFixed(col("a"))).as("alen"))
+      .collect()(0)
+    // ints decode to their unsigned 32-bit value — but DISTINCT per key
+    r.getAs[Long]("a2") shouldBe 4294967294L // 0xFFFFFFFE
+    r.getAs[Long]("b2") shouldBe 4294967196L // 0xFFFFFF9C — no collision
+    r.getAs[Long]("l2") shouldBe -2L // longs round-trip signed
+    r.getAs[Int]("alen") shouldBe 4 // still Fixed(4), not 8
+  }
+
   it should "preserve unsigned byte ordering for positive keys (prefix-scan property)" in {
     // the reference relies on BE fixed bytes sorting like their numeric keys
     val df = Seq(1L, 255L, 256L, 65535L, 1000000L).toDF("k")

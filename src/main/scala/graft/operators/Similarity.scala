@@ -90,29 +90,30 @@ object Similarity {
       idCol: String,
       vecCol: String,
       nCentroids: Int,
-      iterations: Int = 5): (DataFrame, Array[Array[Double]]) = {
-    // train on ×1000-quantized integers: element sums are exact longs, so
-    // centroids (and therefore assignments) are identical regardless of
-    // partitioning — a raw-double sum would drift in the last bits and make
-    // "deterministic" IVF partition-order dependent
-    val vecs = corpus.select(col(idCol).as("id"),
-      transform(quantize1000(col(vecCol)), x => x.cast("double")).as("v"))
+      iterations: Int = 5): (DataFrame, Array[Array[Long]]) = {
+    // everything in ×1000-quantized integer space: element sums are exact
+    // longs and centroids round to integers, so assignments are identical
+    // regardless of partitioning AND every distance is a codegen'd ldot
+    // (the interpreted per-centroid HOF fold was the bench bottleneck)
+    val vecs = corpus.select(col(idCol).as("id"), quantize1000(col(vecCol)).as("v"))
     // deterministic seed: the nCentroids lowest-id vectors
-    var centroids: Array[Array[Double]] = vecs.orderBy("id").limit(nCentroids)
-      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    var centroids: Array[Array[Long]] = vecs.orderBy("id").limit(nCentroids)
+      .select("v").collect().map(_.getSeq[Long](0).toArray)
     var it = 0
     while (it < iterations) {
       val assigned = assignCells(vecs, centroids)
-      // new centroid = mean of members; empty cells keep their centroid
+      // new centroid = rounded mean of members; empty cells keep theirs
+      val dims = centroids(0).length
       val sums = assigned
-        .select(col("cell"), transform(col("v"), x => x.cast("long")).as("vi"))
         .groupBy("cell")
         .agg(count(lit(1)).as("n"),
-          aggregateMeanVec(col("vi"), centroids(0).length).as("mean"))
+          array((0 until dims).map(i => sum(element_at(col("v"), i + 1))): _*).as("sums"))
         .collect()
       val next = centroids.map(_.clone())
       sums.foreach { r =>
-        next(r.getAs[Int]("cell")) = r.getSeq[Double](r.fieldIndex("mean")).toArray
+        val n = r.getAs[Long]("n")
+        next(r.getAs[Int]("cell")) =
+          r.getSeq[Long](r.fieldIndex("sums")).map(s => Math.round(s.toDouble / n)).toArray
       }
       centroids = next
       it += 1
@@ -120,22 +121,13 @@ object Similarity {
     (assignCells(vecs, centroids).select(col("id"), col("cell")), centroids)
   }
 
-  /** Mean vector via exact integer element sums divided once per dimension
-    * (deterministic; not oracle-facing — IVF carries no SQL oracle; recall
-    * is validated against the brute-force baseline in tests). */
-  private def aggregateMeanVec(v: Column, dims: Int): Column = {
-    val sums = (0 until dims).map(i => sum(element_at(v, i + 1)))
-    val n = count(lit(1))
-    array(sums.map(s => s.cast("double") / n): _*)
-  }
-
-  private def assignCells(vecs: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
-    // nearest centroid by squared L2, computed as a codegen'd case chain
-    // over broadcast literals (centroid count is small by construction)
+  /** argmin over centroids of ‖v−c‖² ≡ argmin of (‖c‖² − 2·v·c): ‖v‖² is
+    * constant per row, so distances reduce to one codegen'd integer dot per
+    * centroid against a broadcast literal. */
+  private def assignCells(vecs: DataFrame, centroids: Array[Array[Long]]): DataFrame = {
     val dists = centroids.zipWithIndex.map { case (c, i) =>
-      val d = aggregate(
-        zip_with(col("v"), lit(c), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
+      val cNorm = c.map(x => x * x).sum
+      val d = lit(cNorm) - lit(2L) * ldot(col("v"), lit(c))
       struct(d.as("d"), lit(i).as("cell"))
     }
     vecs.withColumn("cell", array_min(array(dists: _*)).getField("cell"))
@@ -154,14 +146,12 @@ object Similarity {
     val (cells, centroids) = ivfIndex(corpus, idCol, vecCol, nCentroids)
     val c = quantized(corpus, idCol, vecCol, "neighbor_id", "qv_c", "n_c")
       .join(cells.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
-    // query probes: its nProbe nearest centroids (same quantized space as
-    // the trained centroids)
-    val qVecs = queries.select(col(idCol).as("query_id"),
-      transform(quantize1000(col(vecCol)), x => x.cast("double")).as("v"))
+    // query probes: its nProbe nearest centroids (same quantized space and
+    // same ldot distance algebra as training)
+    val qVecs = queries.select(col(idCol).as("query_id"), quantize1000(col(vecCol)).as("v"))
     val probeCells = centroids.zipWithIndex.map { case (cvec, i) =>
-      val d = aggregate(
-        zip_with(col("v"), lit(cvec), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
+      val cNorm = cvec.map(x => x * x).sum
+      val d = lit(cNorm) - lit(2L) * ldot(col("v"), lit(cvec))
       struct(d.as("d"), lit(i).as("cell"))
     }
     val q = quantized(queries, idCol, vecCol, "query_id", "qv_q", "n_q")

@@ -445,6 +445,32 @@ object SparkEntry {
     s"(CASE WHEN $dot >= 0 THEN ${1L << p} ELSE 0 END)"
   }.mkString(" + ")
 
+  /** Kafka murmur2 emulated in SQL: 32-bit arithmetic over 64-bit ints
+    * (mul32 splits the multiplier to stay under 2^63), little-endian 4-byte
+    * chunks folded with list_reduce, tail + avalanche per the published
+    * algorithm. Validated against the frozen JVM goldens (Murmur2Spec). */
+  private val murmur2PartitionSql: String = {
+    def mul32(a: String, b: String) =
+      s"((($a)*(($b)%65536) + (((($a)*(($b)//65536))%65536)*65536)) % 4294967296)"
+    val m = "1540483477" // 0x5bd1e995
+    val seedLen = "xor(2538058380, length(s))" // 0x9747b28c ^ len
+    val ks = "[ascii(substr(s,4*i+1,1)) + ascii(substr(s,4*i+2,1))*256 + " +
+      "ascii(substr(s,4*i+3,1))*65536 + ascii(substr(s,4*i+4,1))*16777216 " +
+      "for i in range(0, length(s)//4)]"
+    val k1 = mul32("k", m)
+    val k2 = s"xor($k1, ($k1)//16777216)" // k ^= k >>> 24
+    val step = s"xor(${mul32("h", m)}, ${mul32(k2, m)})"
+    val loop = s"list_reduce(list_prepend($seedLen, $ks), (h, k) -> $step)"
+    val tb = "ascii(substr(s,(length(s)//4)*4+%d,1))"
+    val tailVal = s"(CASE length(s)%4 WHEN 3 THEN ${tb.format(1)} + ${tb.format(2)}*256 + ${tb.format(3)}*65536 " +
+      s"WHEN 2 THEN ${tb.format(1)} + ${tb.format(2)}*256 WHEN 1 THEN ${tb.format(1)} ELSE NULL END)"
+    val ht = s"(CASE WHEN length(s)%4 = 0 THEN ($loop) ELSE ${mul32(s"xor(($loop), $tailVal)", m)} END)"
+    val f1 = s"xor($ht, ($ht)//8192)" // h ^= h >>> 13
+    val f2 = mul32(f1, m)
+    val f3 = s"xor($f2, ($f2)//32768)" // h ^= h >>> 15
+    s"CAST(((($f3) % 2147483648) % 32) AS INTEGER)" // (h & 0x7fffffff) % 32
+  }
+
   private val langScoresSql: String = TextAnalysis.StopwordLists.toSeq.sortBy(_._1).map {
     case (lang, words) =>
       val lst = words.map(w => s"'$w'").mkString(", ")
@@ -581,8 +607,10 @@ object SparkEntry {
         |      FROM customer)
         |WHERE rank <= 2 ORDER BY c_mktsegment, rank""".stripMargin,
 
-    // q18_route_partition intentionally omitted: murmur2 has no DuckDB
-    // equivalent; parity is pinned by Murmur2Spec against Kafka test vectors.
+    "q18_route_partition" ->
+      s"""SELECT user_id, $murmur2PartitionSql AS partition
+         |FROM (SELECT DISTINCT user_id, user_id::VARCHAR AS s FROM events)
+         |ORDER BY user_id""".stripMargin,
 
     "d1_dedup_exact" ->
       s"""SELECT md5($normSql) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count

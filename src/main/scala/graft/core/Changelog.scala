@@ -60,6 +60,28 @@ object Changelog {
   def ttlFilter(df: DataFrame, tsCol: String, ttlUs: Long, nowUs: Long): DataFrame =
     df.filter(col(tsCol) >= lit(nowUs - ttlUs))
 
+  /** Vacuum a changelog parquet directory in place: compact to
+    * latest-per-key, drop tombstoned keys and TTL-expired records — the
+    * reference's Kafka retention contract (`cleanup.policy=compact,delete` +
+    * `retention.ms=ttl`, KafkaLogStorage.scala:355-374) as an explicit
+    * maintenance action. Crash-safe via AtomicSwap (run `recover` first if
+    * a prior vacuum may have been interrupted). */
+  def vacuum(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      keyCols: Seq[String],
+      tsCol: String,
+      tombstoneCol: Option[String] = None,
+      ttlUs: Option[Long] = None,
+      nowUs: Long = 0L): Unit = {
+    graft.streaming.AtomicSwap.recover(path)
+    val log = spark.read.parquet(path)
+    val live = ttlUs.fold(log)(t => ttlFilter(log, tsCol, t, nowUs))
+    val compacted = compact(live, keyCols, tsCol)
+    val clean = tombstoneCol.fold(compacted)(tc => dropTombstones(compacted, tc))
+    graft.streaming.AtomicSwap.swap(clean, path, batchId = System.nanoTime())
+  }
+
   /** Keep the N most recent records per key (reference keep-last-3 CDC
     * listener, examples/example-external-state/.../ExampleESGateway.scala:63-69).
     * Requires per-key ordering → window + row_number. */

@@ -339,6 +339,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // composed curation pipeline: quality gate → exact dedup → minhash
+    // near-dup removal → language/fingerprint annotation, oracle-checked
+    // end-to-end
+    "p1_training_pipeline" -> ((s, d) => {
+      TrainingDataPipeline.curate(Tables.documents(s, d), "doc_id", "text", minEstimate = 0.5)
+        .orderBy("doc_id")
+    }),
+
     // gap-based sessionization (batch analogue of session windows)
     "q19_sessionize" -> ((s, d) => {
       Sessionize.summarize(Tables.events(s, d), "user_id", "ts_us", gapUs = 3600L * 1000000L)
@@ -471,11 +479,39 @@ object SparkEntry {
     s"CAST(((($f3) % 2147483648) % 32) AS INTEGER)" // (h & 0x7fffffff) % 32
   }
 
-  private val langScoresSql: String = TextAnalysis.StopwordLists.toSeq.sortBy(_._1).map {
-    case (lang, words) =>
-      val lst = words.map(w => s"'$w'").mkString(", ")
-      s"SELECT doc_id, '$lang' AS lang, len(list_filter($toksSql, x -> list_contains([$lst], x))) AS score FROM documents"
-  }.mkString("\nUNION ALL\n")
+  private def langScoresSql(src: String = "documents"): String =
+    TextAnalysis.StopwordLists.toSeq.sortBy(_._1).map {
+      case (lang, words) =>
+        val lst = words.map(w => s"'$w'").mkString(", ")
+        s"SELECT doc_id, '$lang' AS lang, len(list_filter($toksSql, x -> list_contains([$lst], x))) AS score FROM $src"
+    }.mkString("\nUNION ALL\n")
+
+  /** MinHash+LSH candidate-pair CTE chain over `src` → relation
+    * mh_pairs(id_a, id_b, jaccard_est). Mirrors Dedup.minhashLsh with
+    * numHashes=8, shingleSize=3, rowsPerBand=2. */
+  private def minhashPairsSql(src: String): String =
+    s"""mh_toks AS (SELECT doc_id, $toksSql AS t FROM $src),
+       |mh_sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) AS gs
+       |          FROM mh_toks WHERE len(t) >= 3),
+       |mh_sig AS (SELECT doc_id, [list_min([md5(s::VARCHAR || '|' || g) for g in gs]) for s in range(0,8)] AS sg FROM mh_sh),
+       |mh_banded AS (SELECT doc_id, b AS band, md5(array_to_string(sg[b*2+1:b*2+2], '|')) AS band_hash, sg
+       |              FROM mh_sig, range(0,4) t(b)),
+       |mh_pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |               len([i for i in range(1,9) if a.sg[i] = b.sg[i]]) / 8.0 AS jaccard_est
+       |             FROM mh_banded a JOIN mh_banded b USING (band, band_hash)
+       |             WHERE a.doc_id < b.doc_id)""".stripMargin
+
+  /** Quality metrics CTE body over `src` (mirrors TextAnalysis.qualityScore). */
+  private def qualityMetricsSql(src: String): String = {
+    val allStop = TextAnalysis.StopwordLists.values.flatten.toSeq.distinct
+      .map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       |  len($toksSql)::BIGINT AS n_tokens,
+       |  length(text)::BIGINT AS n_chars,
+       |  len(list_filter($toksSql, x -> list_contains([$allStop], x)))::BIGINT AS stop_hits,
+       |  length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::BIGINT AS alpha_len
+       |FROM $src""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -617,18 +653,31 @@ object SparkEntry {
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d2_dedup_minhash" ->
-      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
-         |sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) AS gs
-         |       FROM toks WHERE len(t) >= 3),
-         |sig AS (SELECT doc_id, [list_min([md5(s::VARCHAR || '|' || g) for g in gs]) for s in range(0,8)] AS sg FROM sh),
-         |banded AS (SELECT doc_id, b AS band, md5(array_to_string(sg[b*2+1:b*2+2], '|')) AS band_hash, sg
-         |           FROM sig, range(0,4) t(b)),
-         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         |            len([i for i in range(1,9) if a.sg[i] = b.sg[i]]) / 8.0 AS jaccard_est
-         |          FROM banded a JOIN banded b USING (band, band_hash)
-         |          WHERE a.doc_id < b.doc_id)
-         |SELECT id_a, id_b, jaccard_est FROM pairs WHERE jaccard_est >= 0.5
+      s"""WITH ${minhashPairsSql("documents")}
+         |SELECT id_a, id_b, jaccard_est FROM mh_pairs WHERE jaccard_est >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "p1_training_pipeline" ->
+      s"""WITH m AS (${qualityMetricsSql("documents")}),
+         |q AS (SELECT doc_id, n_tokens FROM m
+         |      WHERE n_tokens >= 10 AND n_tokens <= 100000
+         |        AND (CASE WHEN n_chars > 0 THEN alpha_len*1000000//n_chars ELSE 0 END) >= 500000),
+         |cand AS (SELECT d.*, q.n_tokens FROM documents d JOIN q USING (doc_id)),
+         |keepers AS (SELECT MIN(doc_id) AS doc_id
+         |            FROM (SELECT doc_id, md5($normSql) AS h FROM cand) GROUP BY h),
+         |ed AS (SELECT c.* FROM cand c JOIN keepers USING (doc_id)),
+         |${minhashPairsSql("ed")},
+         |dropped AS (SELECT DISTINCT id_b AS doc_id FROM mh_pairs WHERE jaccard_est >= 0.5),
+         |surv AS (SELECT * FROM ed ANTI JOIN dropped USING (doc_id)),
+         |sc AS (
+         |${langScoresSql("surv")}
+         |), best AS (SELECT doc_id, lang, score,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM sc)
+         |SELECT s.doc_id,
+         |  (SELECT CASE WHEN b.score = 0 THEN 'und' ELSE b.lang END
+         |   FROM best b WHERE b.rn = 1 AND b.doc_id = s.doc_id) AS predicted_lang,
+         |  md5($normSql) AS content_fp, s.n_tokens
+         |FROM surv s ORDER BY s.doc_id""".stripMargin,
 
     "d3_dedup_simhash" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
@@ -687,7 +736,7 @@ object SparkEntry {
 
     "t1_lang_id" ->
       s"""WITH sc AS (
-         |$langScoresSql
+         |${langScoresSql()}
          |), best AS (SELECT doc_id, lang, score,
          |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM sc)
          |SELECT doc_id, CASE WHEN score = 0 THEN 'und' ELSE lang END AS predicted_lang

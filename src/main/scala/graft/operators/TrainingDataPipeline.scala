@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation: the engine's LLM-pipeline operators
+  * composed the way a 100 TB corpus job would run them —
+  *
+  *   1. quality gate (TextAnalysis.qualityScore `keep` rule);
+  *   2. exact dedup: keep the min-id doc of each normalized-content group;
+  *   3. near-dup removal: MinHash+LSH candidate pairs at ≥ `minEstimate`,
+  *      dropping the higher id of every pair (simple deterministic rule;
+  *      a doc is dropped if ANY qualifying pair names it as id_b);
+  *   4. annotation: predicted language + content fingerprint + token count.
+  *
+  * Every stage is one of the already-audited operators, so the composition
+  * inherits their scale shapes: narrow projections, hash-bucket candidate
+  * generation, no all-pairs work. The whole pipeline is SQL-expressible and
+  * oracle-checked end-to-end (p1_training_pipeline).
+  */
+object TrainingDataPipeline {
+
+  def curate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minEstimate: Double = 0.5): DataFrame = {
+    // 1. quality gate
+    val quality = TextAnalysis.qualityScore(docs, idCol, textCol)
+      .filter(col("keep"))
+      .select(col(idCol), col("n_tokens"))
+    val candidates = docs.join(quality, idCol)
+
+    // 2. exact dedup (within quality survivors)
+    val keepers = Dedup.exact(candidates, idCol, textCol, minGroupSize = 1)
+      .select(col("keep_id").as(idCol))
+    val exactDeduped = candidates.join(keepers, idCol)
+
+    // 3. near-dup removal: drop id_b of every LSH pair above threshold
+    val nearDupIds = Dedup.minhashLsh(exactDeduped, idCol, textCol,
+      numHashes = 8, shingleSize = 3, rowsPerBand = 2, minEstimate = minEstimate)
+      .select(col("id_b").as(idCol)).distinct()
+    val surviving = exactDeduped.join(nearDupIds, Seq(idCol), "left_anti")
+
+    // 4. annotation
+    val langs = TextAnalysis.languageId(surviving, idCol, textCol)
+    val fps = TextAnalysis.fingerprints(surviving, idCol, textCol)
+    surviving
+      .join(langs, idCol)
+      .join(fps, idCol)
+      .select(col(idCol), col("predicted_lang"), col("content_fp"), col("n_tokens"))
+  }
+}

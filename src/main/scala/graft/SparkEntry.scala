@@ -242,10 +242,12 @@ object SparkEntry {
         .orderBy("content_hash")
     }),
 
-    // MinHash + LSH banded near-dup candidates
+    // MinHash + LSH banded near-dup candidates (batch context → materialize
+    // the banded projection once for the self-join)
     "d2_dedup_minhash" -> ((s, d) => {
       Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
-        numHashes = 8, shingleSize = 3, rowsPerBand = 2, minEstimate = 0.5)
+        numHashes = 8, shingleSize = 3, rowsPerBand = 2, minEstimate = 0.5,
+        materializeCandidates = true)
         .orderBy("id_a", "id_b")
     }),
 
@@ -509,7 +511,8 @@ object SparkEntry {
        |  len($toksSql)::BIGINT AS n_tokens,
        |  length(text)::BIGINT AS n_chars,
        |  len(list_filter($toksSql, x -> list_contains([$allStop], x)))::BIGINT AS stop_hits,
-       |  length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::BIGINT AS alpha_len
+       |  length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::BIGINT AS alpha_len,
+       |  list_sum(list_prepend(0, [length(x) for x in $toksSql]))::BIGINT AS sum_tok_len
        |FROM $src""".stripMargin
   }
 
@@ -743,16 +746,7 @@ object SparkEntry {
          |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "t2_quality_score" -> {
-      val allStop = TextAnalysis.StopwordLists.values.flatten.toSeq.distinct
-        .map(w => s"'$w'").mkString(", ")
-      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
-         |m AS (SELECT doc_id,
-         |  len(toks)::BIGINT AS n_tokens,
-         |  length(text)::BIGINT AS n_chars,
-         |  len(list_filter(toks, x -> list_contains([$allStop], x)))::BIGINT AS stop_hits,
-         |  length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::BIGINT AS alpha_len,
-         |  list_sum(list_prepend(0, [length(x) for x in toks]))::BIGINT AS sum_tok_len
-         |  FROM t)
+      s"""WITH m AS (${qualityMetricsSql("documents")})
          |SELECT doc_id, n_tokens, n_chars,
          |  CASE WHEN n_tokens > 0 THEN stop_hits*1000000//n_tokens ELSE 0 END AS stopword_ppm,
          |  CASE WHEN n_chars > 0 THEN alpha_len*1000000//n_chars ELSE 0 END AS alpha_ppm,

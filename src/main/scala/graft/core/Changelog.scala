@@ -74,6 +74,8 @@ object Changelog {
       tombstoneCol: Option[String] = None,
       ttlUs: Option[Long] = None,
       nowUs: Long = 0L): Unit = {
+    require(ttlUs.isEmpty || nowUs > 0L,
+      "vacuum with a TTL requires an explicit nowUs — a zero 'now' would make the TTL filter a silent no-op")
     graft.streaming.AtomicSwap.recover(path)
     val log = spark.read.parquet(path)
     val live = ttlUs.fold(log)(t => ttlFilter(log, tsCol, t, nowUs))

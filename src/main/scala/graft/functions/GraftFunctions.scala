@@ -15,28 +15,43 @@ import org.apache.spark.sql.functions._
   */
 object GraftFunctions {
 
+  private def arity(name: String, usage: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    children => {
+      require(children.length == n,
+        s"$name expects $n argument(s): $usage (got ${children.length})")
+      build(children)
+    }
+
+  private def litInt(name: String, e: Expression): Int = {
+    require(e.foldable, s"$name: this argument must be a literal integer")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+
+  /** The single source of truth for native-function registration — consumed
+    * by both `register` (imperative) and GraftExtensions (session
+    * extensions), so the two surfaces cannot drift. */
+  val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_murmur2", "graft_murmur2(bytes) — Kafka-parity murmur2",
+      arity("graft_murmur2", "(binary)", 1)(c => Murmur2Expr(c.head))),
+    ("graft_ldot", "graft_ldot(a, b) — integer dot of two array<bigint>",
+      arity("graft_ldot", "(array<bigint>, array<bigint>)", 2)(c => LongArrayDot(c(0), c(1)))),
+    ("graft_sic", "graft_sic(a, b) — |A∩B| of sorted distinct array<bigint>",
+      arity("graft_sic", "(array<bigint>, array<bigint>)", 2)(
+        c => SortedLongIntersectCount(c(0), c(1)))),
+    ("graft_cngrams", "graft_cngrams(s, n) — sorted 60-bit md5 hashes of char n-grams",
+      arity("graft_cngrams", "(string, literal int)", 2)(
+        c => CharNgramHashSet(c(0), litInt("graft_cngrams", c(1))))),
+    ("graft_minhash", "graft_minhash(tokens, k, shingle) — minhash signature",
+      arity("graft_minhash", "(array<string>, literal int, literal int)", 3)(
+        c => MinHashSignature(c(0), litInt("graft_minhash", c(1)), litInt("graft_minhash", c(2))))))
+
   /** Register expression-backed functions for SQL use (idempotent; called
     * from Tables so every query session has them). */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_murmur2", (children: Seq[Expression]) => Murmur2Expr(children.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_ldot", (children: Seq[Expression]) => LongArrayDot(children(0), children(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_sic",
-      (children: Seq[Expression]) => SortedLongIntersectCount(children(0), children(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_cngrams",
-      (children: Seq[Expression]) =>
-        CharNgramHashSet(children(0),
-          children(1).eval().asInstanceOf[Number].intValue()), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_minhash",
-      (children: Seq[Expression]) =>
-        MinHashSignature(children(0),
-          children(1).eval().asInstanceOf[Number].intValue(),
-          children(2).eval().asInstanceOf[Number].intValue()), "built-in")
-  }
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
 
   /** Codegen'd integer dot product over two `array<bigint>` columns. */
   def ldot(a: Column, b: Column): Column = call_function("graft_ldot", a, b)

@@ -52,6 +52,11 @@ object Dedup {
     * sharing any band bucket become candidates (one equi-join on the band
     * key); the signature-agreement ratio estimates Jaccard. Emits pairs with
     * estimate ≥ `minEstimate`, id_a < id_b. */
+  /** `materializeCandidates = true` checkpoints the banded projection so the
+    * self-join reads it instead of recomputing signatures on both sides —
+    * worthwhile for batch jobs, but it executes eagerly, pins executor
+    * blocks for the DataFrame's lifetime, and is unsupported on streaming
+    * inputs, so it is opt-in; the default keeps the operator fully lazy. */
   def minhashLsh(
       docs: DataFrame,
       idCol: String,
@@ -59,12 +64,13 @@ object Dedup {
       numHashes: Int = 8,
       shingleSize: Int = 3,
       rowsPerBand: Int = 2,
-      minEstimate: Double = 0.5): DataFrame = {
+      minEstimate: Double = 0.5,
+      materializeCandidates: Boolean = false): DataFrame = {
     require(numHashes % rowsPerBand == 0,
       s"numHashes ($numHashes) must be divisible by rowsPerBand ($rowsPerBand) - trailing signature positions would silently never band")
     val sig = minhashSignature(docs, idCol, textCol, numHashes, shingleSize)
     val numBands = numHashes / rowsPerBand
-    val banded = sig.select(
+    val bandedLazy = sig.select(
       col(idCol).as("doc"),
       col("signature"),
       posexplode(
@@ -72,9 +78,7 @@ object Dedup {
           sequence(lit(0), lit(numBands - 1)),
           b => md5(concat_ws("|", slice(col("signature"), b * rowsPerBand + lit(1), lit(rowsPerBand))))
         )).as(Seq("band", "band_hash")))
-      // materialize once: both sides of the self-join read the checkpoint
-      // instead of re-running the whole signature computation
-      .localCheckpoint(true)
+    val banded = if (materializeCandidates) bandedLazy.localCheckpoint(true) else bandedLazy
     val a = banded.select(col("band"), col("band_hash"), col("doc").as("id_a"), col("signature").as("sig_a"))
     val b = banded.select(col("band"), col("band_hash"), col("doc").as("id_b"), col("signature").as("sig_b"))
     a.join(b, Seq("band", "band_hash"))

@@ -26,23 +26,22 @@ object TextAnalysis {
   private def stopwordHits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(lit): _*)))
 
-  /** Language ID: argmax of stopword hits per language; zero scores map to
-    * "und"(etermined); score ties break to the lexicographically *last*
-    * language code (struct-ordering of `array_max`). */
-  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
+  /** Predicted-language column expression: argmax of stopword hits per
+    * language; zero scores map to "und"(etermined); score ties break to the
+    * lexicographically *last* language code (struct-ordering of
+    * `array_max`). Exposed as a Column so compositions (the curation
+    * pipeline) can attach it in a projection instead of re-joining. */
+  def predictedLangCol(text: Column): Column = {
+    val toks = tokens(text)
     val scored = StopwordLists.toSeq.sortBy(_._1).map { case (lang, words) =>
       struct(stopwordHits(toks, words).as("score"), lit(lang).as("lang"))
     }
-    // array_max over (score, lang) structs picks highest score, and on ties
-    // the lexicographically *last* lang; invert lang ordering by scoring
-    // first — instead we sort desc by score then asc lang via a two-step:
     val best = array_max(array(scored: _*))
-    docs.select(
-      col(idCol),
-      when(best.getField("score") === 0, lit("und"))
-        .otherwise(best.getField("lang")).as("predicted_lang"))
+    when(best.getField("score") === 0, lit("und")).otherwise(best.getField("lang"))
   }
+
+  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), predictedLangCol(col(textCol)).as("predicted_lang"))
 
   /** Quality scoring: token count, character stats, stopword ratio (ppm),
     * alpha ratio (ppm), mean token length (ppm) and a boolean keep flag.
@@ -79,16 +78,17 @@ object TextAnalysis {
     docs.select(col(idCol), ws.as("ws_tokens"), bpe.as("bpe_tokens"))
   }
 
-  /** Document fingerprints: md5 content fingerprint over normalized text +
-    * a 61-ish-bit polynomial rolling hash over tokens
-    * (h = (h*131 + ascii(first char)*7 + len) mod 1e9+7). */
-  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    val rolling = aggregate(toks, lit(0L), (acc, t) =>
+  /** Fingerprint column expressions (md5 over normalized text; polynomial
+    * rolling hash h = (h*131 + ascii(first char)*7 + len) mod 1e9+7). */
+  def contentFpCol(text: Column): Column = md5(normalizeText(text))
+
+  def rollingFpCol(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) =>
       (acc * 131L + ascii(substring(t, 1, 1)).cast("long") * 7L + length(t)) % 1000000007L)
+
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
       col(idCol),
-      md5(normalizeText(col(textCol))).as("content_fp"),
-      rolling.as("rolling_fp"))
-  }
+      contentFpCol(col(textCol)).as("content_fp"),
+      rollingFpCol(col(textCol)).as("rolling_fp"))
 }

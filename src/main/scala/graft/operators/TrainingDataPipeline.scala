@@ -43,12 +43,13 @@ object TrainingDataPipeline {
       .select(col("id_b").as(idCol)).distinct()
     val surviving = exactDeduped.join(nearDupIds, Seq(idCol), "left_anti")
 
-    // 4. annotation
-    val langs = TextAnalysis.languageId(surviving, idCol, textCol)
-    val fps = TextAnalysis.fingerprints(surviving, idCol, textCol)
-    surviving
-      .join(langs, idCol)
-      .join(fps, idCol)
-      .select(col(idCol), col("predicted_lang"), col("content_fp"), col("n_tokens"))
+    // 4. annotation — plain column expressions in one projection (joining
+    // the languageId/fingerprints frames back by id would re-evaluate the
+    // surviving lineage three times and shuffle the corpus twice)
+    surviving.select(
+      col(idCol),
+      TextAnalysis.predictedLangCol(col(textCol)).as("predicted_lang"),
+      TextAnalysis.contentFpCol(col(textCol)).as("content_fp"),
+      col("n_tokens"))
   }
 }

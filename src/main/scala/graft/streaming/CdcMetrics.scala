@@ -16,13 +16,16 @@ object CdcMetrics {
   val ObservationName = "graft_cdc"
 
   /** Attach standard changelog observations: record count, tombstone count,
-    * max event time. Works on batch and streaming DataFrames alike. */
-  def observed(changelog: DataFrame, tsCol: String, tombstoneCol: Option[String]): DataFrame = {
+    * max event time. Works on batch and streaming DataFrames alike.
+    * Observation names must be unique within a query plan — pass a distinct
+    * `name` when instrumenting more than one changelog in one query. */
+  def observed(changelog: DataFrame, tsCol: String, tombstoneCol: Option[String],
+      name: String = ObservationName): DataFrame = {
     val tombstones = tombstoneCol
       .map(tc => sum(when(coalesce(col(tc), lit(false)), 1L).otherwise(0L)))
       .getOrElse(lit(0L))
       .as("n_tombstones")
-    changelog.observe(ObservationName,
+    changelog.observe(name,
       count(lit(1)).as("n_changes"),
       tombstones,
       max(col(tsCol)).as("max_ts_us"))

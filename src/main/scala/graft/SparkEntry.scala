@@ -345,7 +345,8 @@ object SparkEntry {
     // near-dup removal → language/fingerprint annotation, oracle-checked
     // end-to-end
     "p1_training_pipeline" -> ((s, d) => {
-      TrainingDataPipeline.curate(Tables.documents(s, d), "doc_id", "text", minEstimate = 0.5)
+      TrainingDataPipeline.curate(Tables.documents(s, d), "doc_id", "text",
+        minEstimate = 0.5, materializeCandidates = true)
         .orderBy("doc_id")
     }),
 

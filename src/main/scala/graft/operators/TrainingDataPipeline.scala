@@ -21,11 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object TrainingDataPipeline {
 
+  /** `materializeCandidates` forwards to Dedup.minhashLsh — opt in for
+    * batch jobs (see that method's trade-offs). */
   def curate(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      minEstimate: Double = 0.5): DataFrame = {
+      minEstimate: Double = 0.5,
+      materializeCandidates: Boolean = false): DataFrame = {
     // 1. quality gate
     val quality = TextAnalysis.qualityScore(docs, idCol, textCol)
       .filter(col("keep"))
@@ -39,7 +42,8 @@ object TrainingDataPipeline {
 
     // 3. near-dup removal: drop id_b of every LSH pair above threshold
     val nearDupIds = Dedup.minhashLsh(exactDeduped, idCol, textCol,
-      numHashes = 8, shingleSize = 3, rowsPerBand = 2, minEstimate = minEstimate)
+      numHashes = 8, shingleSize = 3, rowsPerBand = 2, minEstimate = minEstimate,
+      materializeCandidates = materializeCandidates)
       .select(col("id_b").as(idCol)).distinct()
     val surviving = exactDeduped.join(nearDupIds, Seq(idCol), "left_anti")
 

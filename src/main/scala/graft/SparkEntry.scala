@@ -366,7 +366,10 @@ object SparkEntry {
         .groupBy(col("user_id"))
         .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
         .agg(count(lit(1)))
-        .na.fill(0L)
+        // scope the fill to the pivot columns: filling the user_id grouping
+        // key would silently rewrite a null key to 0 while the oracle keeps
+        // NULL, masking a mismatch
+        .na.fill(0L, Seq("click", "view", "purchase", "signup", "error"))
         .orderBy("user_id")
     }),
 

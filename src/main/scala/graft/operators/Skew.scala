@@ -27,10 +27,15 @@ object Skew {
       saltBuckets: Int)(
       partials: Seq[Column],
       finals: Seq[Column]): DataFrame = {
-    // deterministic salt: spread rows of one key over `saltBuckets` reducers.
-    // monotonically_increasing_id is partition-prefixed → uniform enough and
-    // cheap; any row-level column works.
-    val salted = df.withColumn("_salt", pmod(monotonically_increasing_id(), lit(saltBuckets)))
+    // deterministic salt: hash the full row content so a retried map task
+    // reproduces identical shuffle output (monotonically_increasing_id /
+    // rand would re-salt rows differently across task attempts and
+    // double-count or drop rows under fetch-failure retries). Hot keys
+    // normally carry distinct payloads, so the content hash still spreads
+    // them over `saltBuckets` reducers; full-duplicate rows share a bucket,
+    // which only costs spread, never correctness.
+    val salted = df.withColumn(
+      "_salt", pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets.toLong)))
     salted
       .groupBy((keyCols.map(col) :+ col("_salt")): _*)
       .agg(partials.head, partials.tail: _*)

@@ -26,8 +26,11 @@ object AtomicSwap {
       .filter(f => f.getName.startsWith(s"$name.old-") || f.getName.startsWith(s"$name.tmp-"))
     if (!target.exists()) {
       // crashed between the two renames: restore the newest backup
+      // newest backup by NUMERIC batch id — a lexicographic name sort would
+      // order "old-9" after "old-10" and restore the wrong generation
       leftovers.filter(_.getName.startsWith(s"$name.old-"))
-        .sortBy(_.getName).lastOption.foreach { backup =>
+        .sortBy(f => f.getName.stripPrefix(s"$name.old-").toLongOption.getOrElse(-1L))
+        .lastOption.foreach { backup =>
           if (!backup.renameTo(target))
             throw new java.io.IOException(s"recovery rename failed: $backup -> $target")
         }

@@ -261,7 +261,7 @@ object SparkEntry {
     "d4_dedup_ngram" -> ((s, d) => {
       val docs = Tables.documents(s, d).withColumn("blk", expr("n_chars div 20"))
       Dedup.ngramJaccardBlocked(docs, "doc_id", "text", blockCols = Seq("lang", "blk"),
-        n = 3, minJaccard = 0.5)
+        n = 3, minJaccard = 0.5, materializeGramSets = true)
         .orderBy("id_a", "id_b")
     }),
 

@@ -28,6 +28,11 @@ object GraftFunctions {
     e.eval().asInstanceOf[Number].intValue()
   }
 
+  private def litStr(name: String, e: Expression): String = {
+    require(e.foldable, s"$name: this argument must be a literal string")
+    e.eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+  }
+
   /** The single source of truth for native-function registration — consumed
     * by both `register` (imperative) and GraftExtensions (session
     * extensions), so the two surfaces cannot drift. */
@@ -44,7 +49,20 @@ object GraftFunctions {
         c => CharNgramHashSet(c(0), litInt("graft_cngrams", c(1))))),
     ("graft_minhash", "graft_minhash(tokens, k, shingle) — minhash signature",
       arity("graft_minhash", "(array<string>, literal int, literal int)", 3)(
-        c => MinHashSignature(c(0), litInt("graft_minhash", c(1)), litInt("graft_minhash", c(2))))))
+        c => MinHashSignature(c(0), litInt("graft_minhash", c(1)), litInt("graft_minhash", c(2))))),
+    ("graft_tokens", "graft_tokens(text) — lowercased whitespace tokens, empties removed",
+      arity("graft_tokens", "(string)", 1)(c => TokenizeText(c.head))),
+    ("graft_simhash", "graft_simhash(tokens, bits) — md5-majority-vote simhash",
+      arity("graft_simhash", "(array<string>, literal int)", 2)(
+        c => SimHashBits(c(0), litInt("graft_simhash", c(1))))),
+    ("graft_stopcount", "graft_stopcount(tokens, 'w1,w2') — tokens contained in the word set",
+      arity("graft_stopcount", "(array<string>, literal string)", 2)(
+        c => StopwordCount(c(0), litStr("graft_stopcount", c(1))))),
+    ("graft_langid", "graft_langid(tokens, 'en:the,a;de:der') — stopword-argmax language id",
+      arity("graft_langid", "(array<string>, literal string)", 2)(
+        c => PredictedLang(c(0), litStr("graft_langid", c(1))))),
+    ("graft_toklen", "graft_toklen(tokens) — sum of token lengths in characters",
+      arity("graft_toklen", "(array<string>)", 1)(c => SumTokenChars(c.head))))
 
   /** Register expression-backed functions for SQL use (idempotent; called
     * from Tables so every query session has them). */
@@ -115,9 +133,35 @@ object GraftFunctions {
 
   /** Lowercased whitespace tokens, empty tokens removed. Matches the
     * reference's index tokenizer `title.split("\\s").trim.toLowerCase`
-    * (examples/.../ESecondaryIndex.scala:109-111) modulo empty-token hygiene. */
-  def tokens(text: Column): Column =
-    filter(split(lower(trim(text)), "\\s+"), t => t =!= lit(""))
+    * (examples/.../ESecondaryIndex.scala:109-111) modulo empty-token
+    * hygiene. Native single pass ≡ `filter(split(lower(trim(text)),
+    * "\\s+"), t => t =!= "")` (the HOF filter is interpreted per token and
+    * sat on every text query's hot path). */
+  def tokens(text: Column): Column = call_function("graft_tokens", text)
+
+  /** SimHash over a token array in one native pass (see SimHashBits). */
+  def simhashBits(toks: Column, bits: Int): Column =
+    call_function("graft_simhash", toks, lit(bits))
+
+  /** Count of tokens contained in the fixed word set, duplicates included
+    * — native one-pass form of `size(filter(toks, _.isin(words)))`. */
+  def stopwordCount(toks: Column, words: Seq[String]): Column = {
+    require(words.forall(w => !w.contains(",") && !w.contains(";")),
+      "stopword lists are baked as csv literals")
+    call_function("graft_stopcount", toks, lit(words.mkString(",")))
+  }
+
+  /** Stopword-argmax language id over `lang -> words` lists (PredictedLang). */
+  def langId(toks: Column, lists: Seq[(String, Seq[String])]): Column = {
+    require(lists.forall { case (l, ws) =>
+      !l.contains(":") && !l.contains(";") && ws.forall(w => !w.contains(",") && !w.contains(";"))
+    }, "language spec is baked as a ';'/':'/',' literal")
+    val spec = lists.map { case (l, ws) => s"$l:${ws.mkString(",")}" }.mkString(";")
+    call_function("graft_langid", toks, lit(spec))
+  }
+
+  /** Σ token length in characters — native form of the `aggregate` fold. */
+  def sumTokenChars(toks: Column): Column = call_function("graft_toklen", toks)
 
   /** Distinct word n-grams joined with a space. Empty array when the doc has
     * fewer than n tokens (guard: Spark `sequence(a,b)` with a>b counts DOWN). */

@@ -93,23 +93,12 @@ object Dedup {
   /** SimHash: `bits`-bit locality-sensitive fingerprint over the token set.
     * Bit i is set iff the count of tokens whose md5 has bit i set exceeds
     * half the token count (majority vote with integer arithmetic only —
-    * deterministic, order-free). `bits` ≤ 16 so the per-token bit expansion
-    * stays a cheap array op inside codegen. */
+    * deterministic, order-free). One native pass per document (SimHashBits);
+    * the declarative form (16 interpreted `aggregate` HOFs over a
+    * `transform`'d md5 array) was the slowest query in the whole bench. */
   def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
     require(bits <= 16, "simhash uses the first 4 md5 hex digits (16 bits)")
-    val toks = tokens(col(textCol))
-    // per-token 16-bit value from the first 4 md5 hex digits
-    val tokVals = transform(toks, t => conv(substring(md5(t), 1, 4), 16, 10).cast("long"))
-    val bitCols = (0 until bits).map { i =>
-      val mask = 1L << i
-      aggregate(tokVals, lit(0L), (acc, v) =>
-        acc + when(v.bitwiseAND(lit(mask)) > 0, 1L).otherwise(0L))
-    }
-    val n = size(toks).cast("long")
-    val sim = bitCols.zipWithIndex.map { case (cnt, i) =>
-      when(cnt * 2 > n, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    docs.select(col(idCol), sim.as("simhash"))
+    docs.select(col(idCol), simhashBits(tokens(col(textCol)), bits).as("simhash"))
   }
 
   /** N-gram Jaccard near-dup within blocking buckets: candidates are pairs
@@ -156,11 +145,16 @@ object Dedup {
       textCol: String,
       blockCols: Seq[String],
       n: Int = 3,
-      minJaccard: Double = 0.5): DataFrame = {
-    val withGrams = docs.select(
+      minJaccard: Double = 0.5,
+      materializeGramSets: Boolean = false): DataFrame = {
+    // materializeGramSets: the self-join otherwise evaluates md5-per-gram on
+    // BOTH sides of every doc — checkpoint the gram-set projection once for
+    // batch jobs (same trade-offs as minhashLsh's materializeCandidates)
+    val gramsLazy = docs.select(
       (col(idCol).as("doc") +: blockCols.map(col)) :+
         charNgramHashSet(normalizeText(col(textCol)), n).as("grams"): _*)
       .withColumn("ng", size(col("grams")))
+    val withGrams = if (materializeGramSets) gramsLazy.localCheckpoint(true) else gramsLazy
     val a = withGrams.select(blockCols.map(col) :+ col("doc").as("id_a") :+
       col("grams").as("ga") :+ col("ng").as("na"): _*)
     val b = withGrams.select(blockCols.map(col) :+ col("doc").as("id_b") :+

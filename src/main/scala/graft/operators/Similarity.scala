@@ -94,8 +94,12 @@ object Similarity {
     // everything in ×1000-quantized integer space: element sums are exact
     // longs and centroids round to integers, so assignments are identical
     // regardless of partitioning AND every distance is a codegen'd ldot
-    // (the interpreted per-centroid HOF fold was the bench bottleneck)
+    // (the interpreted per-centroid HOF fold was the bench bottleneck).
+    // Checkpoint once: every Lloyd iteration plus the final assignment
+    // re-reads this frame — without it each pass re-scans the parquet and
+    // re-quantizes (iterations × full-scan jobs).
     val vecs = corpus.select(col(idCol).as("id"), quantize1000(col(vecCol)).as("v"))
+      .localCheckpoint(true)
     // deterministic seed: the nCentroids lowest-id vectors
     var centroids: Array[Array[Long]] = vecs.orderBy("id").limit(nCentroids)
       .select("v").collect().map(_.getSeq[Long](0).toArray)

@@ -24,21 +24,17 @@ object TextAnalysis {
     "zh" -> Seq("的", "是", "了", "在"))
 
   private def stopwordHits(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isin(words.map(lit): _*)))
+    stopwordCount(toks, words)
 
   /** Predicted-language column expression: argmax of stopword hits per
     * language; zero scores map to "und"(etermined); score ties break to the
-    * lexicographically *last* language code (struct-ordering of
-    * `array_max`). Exposed as a Column so compositions (the curation
-    * pipeline) can attach it in a projection instead of re-joining. */
-  def predictedLangCol(text: Column): Column = {
-    val toks = tokens(text)
-    val scored = StopwordLists.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(stopwordHits(toks, words).as("score"), lit(lang).as("lang"))
-    }
-    val best = array_max(array(scored: _*))
-    when(best.getField("score") === 0, lit("und")).otherwise(best.getField("lang"))
-  }
+    * lexicographically *last* language code. One native pass over the token
+    * array (PredictedLang) — the per-language HOF-filter scoring was
+    * interpreted per (token, word). Exposed as a Column so compositions
+    * (the curation pipeline) can attach it in a projection instead of
+    * re-joining. */
+  def predictedLangCol(text: Column): Column =
+    langId(tokens(text), StopwordLists.toSeq.sortBy(_._1))
 
   def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), predictedLangCol(col(textCol)).as("predicted_lang"))
@@ -54,7 +50,7 @@ object TextAnalysis {
     val stopHits = stopwordHits(toks, allStop).cast("long")
     val textLen = length(col(textCol)).cast("long")
     val alphaLen = length(regexp_replace(col(textCol), "[^a-zA-Z]", "")).cast("long")
-    val sumTokLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val sumTokLen = sumTokenChars(toks)
     // floor(long*1e6 / long): operands stay < 2^53 so the double quotient
     // floors to the exact integer division (Spark `/` is double division)
     def ppm(num: Column, den: Column): Column =

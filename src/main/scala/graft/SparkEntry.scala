@@ -289,9 +289,10 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // IVF ANN (deterministic k-means coarse quantizer, probe-4) — no SQL
-    // oracle (iterative k-means isn't SQL-expressible); recall vs the
-    // brute-force baseline is pinned in SimilaritySpec
+    // IVF ANN (deterministic k-means coarse quantizer, probe-4). Training
+    // is a FIXED number of Lloyd iterations from a deterministic seed, so
+    // the oracle unrolls the whole index build as chained CTEs
+    // (ivfTopKSql); recall vs brute force is also pinned in SimilaritySpec
     "s3_knn_ivf" -> ((s, d) => {
       val em = Tables.embeddings(s, d)
       Similarity.ivfTopK(em, em.filter(col("vec_id") < 5), "vec_id", "embedding",
@@ -459,6 +460,40 @@ object SparkEntry {
       ev.withColumn("trailing_cnt", count(lit(1)).over(w))
         .select(col("event_id"), col("user_id"), col("ts_us"), col("trailing_cnt"))
         .orderBy("event_id")
+    }),
+
+    // deterministic md5-bucket train/val/test split (zero-shuffle,
+    // engine-portable, stable under repartition/rerun)
+    "q29_split_sample" -> ((s, d) => {
+      Sampling.trainValTestSplit(Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"), col("lang"), col("bucket"), col("split"))
+        .orderBy("doc_id")
+    }),
+
+    // CUBE over (returnflag, linestatus) with grouping flags
+    "q30_cube" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"),
+          count(lit(1)).as("n"),
+          decSum(col("l_quantity"), "sum_qty"))
+        .orderBy(col("g_rf"), col("g_ls"),
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // fixed-width value histogram per event type
+    "q31_histogram" -> ((s, d) => {
+      Histogram.fixedWidth(Tables.events(s, d), Seq("event_type"), "value", width = 10.0)
+        .orderBy("event_type", "bin")
+    }),
+
+    // per-language top-5 corpus terms (term-frequency profile)
+    "t5_top_terms" -> ((s, d) => {
+      TextAnalysis.topTermsPerGroup(Tables.documents(s, d), "lang", "text", k = 5)
+        .select(col("lang"), col("token"), col("n"), col("rank"))
+        .orderBy("lang", "rank")
     })
   )
 
@@ -487,6 +522,60 @@ object SparkEntry {
     val dot = s"list_sum([qv[j+1] * (CASE WHEN strpos('0123456789abcdef', substr(md5('p${p}_' || j::VARCHAR), 1, 1)) <= 8 THEN 1 ELSE -1 END) for j in range(0,64)])"
     s"(CASE WHEN $dot >= 0 THEN ${1L << p} ELSE 0 END)"
   }.mkString(" + ")
+
+  /** IVF top-k oracle: Similarity.ivfTopK's k-means training is
+    * deterministic (seed = `nCentroids` lowest-id vectors, a FIXED number of
+    * Lloyd iterations, exact integer distance algebra), so the whole index
+    * build unrolls into chained CTEs — one assignment + one recentering pair
+    * per iteration. Parity-critical details, each mirroring Similarity.scala:
+    *  - assignment argmin is over (cNorm − 2·v·c, cell) — integer-exact on
+    *    both engines (products < 2^53 so DuckDB's HUGEINT and Spark's LONG
+    *    agree), ties to the lowest cell like Spark's struct array_min;
+    *  - recentered coordinate = Java Math.round(sum/n) = FLOOR(x + 0.5)
+    *    (NOT DuckDB round(), which is half-away-from-zero);
+    *  - empty cells keep their previous centroid (LEFT JOIN + COALESCE);
+    *  - probes = the nProbe smallest (distance, cell) per query, matching
+    *    slice(array_sort(...)); candidate dedup via DISTINCT. */
+  private def ivfTopKSql(nCentroids: Int, iterations: Int, nProbe: Int, k: Int): String = {
+    def cnormOf(c: String) = s"list_sum([$c[i]*$c[i] for i in range(1,65)])"
+    def dotOf(c: String, v: String) = s"list_sum([$c[i]*$v[i] for i in range(1,65)])"
+    val iters = (1 to iterations).map { t =>
+      s"""d$t AS (SELECT a.id, a.v, c.cell,
+         |  ROW_NUMBER() OVER (PARTITION BY a.id
+         |    ORDER BY c.cn - 2*${dotOf("c.c", "a.v")}, c.cell) AS rn
+         |  FROM v a CROSS JOIN c${t - 1} c),
+         |a$t AS (SELECT id, v, cell FROM d$t WHERE rn = 1),
+         |u$t AS (SELECT cell, unnest(range(1, 65)) AS dim, unnest(v) AS val FROM a$t),
+         |m$t AS (SELECT cell, list(CAST(FLOOR(CAST(s AS DOUBLE)/n + 0.5) AS BIGINT) ORDER BY dim) AS c
+         |  FROM (SELECT cell, dim, SUM(val) AS s, COUNT(*) AS n FROM u$t GROUP BY cell, dim)
+         |  GROUP BY cell),
+         |c$t AS (SELECT p.cell, COALESCE(m.c, p.c) AS c, ${cnormOf("COALESCE(m.c, p.c)")} AS cn
+         |  FROM c${t - 1} p LEFT JOIN m$t m USING (cell))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id AS id, ${qvSql("embedding")} AS v FROM embeddings),
+       |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cell, v AS c, ${cnormOf("v")} AS cn
+       |  FROM (SELECT id, v FROM v ORDER BY id LIMIT $nCentroids) seed),
+       |$iters,
+       |fd AS (SELECT a.id, a.v, c.cell,
+       |  ROW_NUMBER() OVER (PARTITION BY a.id
+       |    ORDER BY c.cn - 2*${dotOf("c.c", "a.v")}, c.cell) AS rn
+       |  FROM v a CROSS JOIN c$iterations c),
+       |cells AS (SELECT id, v, cell FROM fd WHERE rn = 1),
+       |pd AS (SELECT q.id AS query_id, c.cell,
+       |  ROW_NUMBER() OVER (PARTITION BY q.id
+       |    ORDER BY c.cn - 2*${dotOf("c.c", "q.v")}, c.cell) AS rn
+       |  FROM v q CROSS JOIN c$iterations c WHERE q.id < 5),
+       |probes AS (SELECT query_id, cell FROM pd WHERE rn <= $nProbe),
+       |p AS (SELECT DISTINCT pr.query_id, n.id AS neighbor_id, q.v AS qa, n.v AS qb
+       |  FROM probes pr
+       |  JOIN v q ON q.id = pr.query_id
+       |  JOIN cells n ON n.cell = pr.cell AND n.id != pr.query_id),
+       |sims AS (SELECT DISTINCT query_id, neighbor_id, $cosSql AS cosine FROM p),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER
+       |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM sims)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
 
   /** Kafka murmur2 emulated in SQL: 32-bit arithmetic over 64-bit ints
     * (mul32 splits the multiplier to stay under 2^63), little-endian 4-byte
@@ -791,6 +880,41 @@ object SparkEntry {
          |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM sims)
          |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "s3_knn_ivf" -> ivfTopKSql(nCentroids = 16, iterations = 5, nProbe = 4, k = 5),
+
+    "q29_split_sample" -> {
+      val hx = "'0123456789abcdef'"
+      val bucket =
+        s"CAST((strpos($hx, substr(md5(doc_id::VARCHAR), 31, 1)) - 1) * 16 + " +
+          s"(strpos($hx, substr(md5(doc_id::VARCHAR), 32, 1)) - 1) AS BIGINT)"
+      s"""SELECT doc_id, lang, $bucket AS bucket,
+         |  CASE WHEN $bucket < 200 THEN 'train'
+         |       WHEN $bucket < 228 THEN 'val' ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q30_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q31_histogram" ->
+      """SELECT event_type, CAST(FLOOR(value/10.0) AS BIGINT) AS bin, COUNT(*) AS n
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin,
+
+    "t5_top_terms" ->
+      s"""WITH tok AS (SELECT lang, unnest($toksSql) AS token FROM documents),
+         |c AS (SELECT lang, token, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+         |r AS (SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY lang ORDER BY n DESC, token) AS rank FROM c)
+         |SELECT lang, token, n, CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
 
     "t1_lang_id" ->
       s"""WITH sc AS (

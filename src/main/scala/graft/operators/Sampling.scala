@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling and dataset splitting.
+  *
+  * A 100 TB training pipeline needs samples and train/val/test splits that
+  * are (a) reproducible across runs and engines (no RNG, no
+  * partition-order sensitivity), (b) decided row-locally with zero shuffle,
+  * and (c) stable under re-partitioning and incremental reruns — a document
+  * keeps its split forever. All of that falls out of hashing the stable row
+  * key: the sample is a pure per-row filter that Catalyst pushes into the
+  * scan, so sampling 10% of 100 TB reads the column it hashes and nothing
+  * else.
+  *
+  * The bucket is the LAST two hex digits of md5(key) — 256 equal-probability
+  * buckets, reproducible in any engine with md5 (the DuckDB oracle uses
+  * strpos arithmetic over the same digits).
+  */
+object Sampling {
+
+  /** 0..255 bucket from the last two md5 hex digits of the key's string
+    * form. */
+  def md5Bucket256(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 31, 2), 16, 10).cast("long")
+
+  /** Keep rows whose bucket < `keepBuckets` (of 256) — a deterministic
+    * ~keepBuckets/256 sample, uniform within every stratum because md5 is
+    * independent of any data column. */
+  def deterministicSample(df: DataFrame, keyCol: String, keepBuckets: Int): DataFrame = {
+    require(keepBuckets >= 0 && keepBuckets <= 256, "keepBuckets is out of 256")
+    df.filter(md5Bucket256(col(keyCol)) < keepBuckets)
+  }
+
+  /** Split label from bucket thresholds: bucket < trainUpTo → "train",
+    * < valUpTo → "val", else "test". Defaults ≈ 78/11/11. */
+  def splitCol(key: Column, trainUpTo: Int = 200, valUpTo: Int = 228): Column = {
+    val b = md5Bucket256(key)
+    when(b < trainUpTo, "train").when(b < valUpTo, "val").otherwise("test")
+  }
+
+  /** Annotate every row with its (bucket, split) — the reproducible
+    * train/val/test assignment. */
+  def trainValTestSplit(
+      df: DataFrame,
+      keyCol: String,
+      trainUpTo: Int = 200,
+      valUpTo: Int = 228): DataFrame = {
+    require(0 <= trainUpTo && trainUpTo <= valUpTo && valUpTo <= 256, "thresholds must be ordered")
+    df.withColumn("bucket", md5Bucket256(col(keyCol)))
+      .withColumn("split", splitCol(col(keyCol), trainUpTo, valUpTo))
+  }
+}

@@ -87,4 +87,23 @@ object TextAnalysis {
       col(idCol),
       contentFpCol(col(textCol)).as("content_fp"),
       rollingFpCol(col(textCol)).as("rolling_fp"))
+
+  /** Top-`k` tokens by corpus frequency per group (term-frequency profile).
+    * One explode + one (group, token) count + a top-k window over the
+    * (small) distinct-term frame; ties break to the lexicographically first
+    * token. The explode never materializes the corpus — partial counts
+    * combine map-side. */
+  def topTermsPerGroup(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    val counts = docs
+      .select(col(groupCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(groupCol, "token")
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("n").desc, col("token"))
+    counts.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.{Histogram, Sampling, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class SamplingHistogramSpec extends SparkSpec {
+  import spark.implicits._
+
+  "md5Bucket256" should "be deterministic and within [0, 256)" in {
+    val df = spark.range(1000).select(Sampling.md5Bucket256(col("id")).as("b"))
+    val buckets = df.as[Long].collect()
+    all(buckets) should (be >= 0L and be < 256L)
+    // re-evaluation (different partitioning) yields identical assignment
+    val again = spark.range(1000).repartition(7)
+      .select(col("id"), Sampling.md5Bucket256(col("id")).as("b"))
+      .orderBy("id").select("b").as[Long].collect()
+    again shouldBe buckets
+  }
+
+  "deterministicSample" should "keep exactly the rows whose bucket is under the threshold" in {
+    val df = spark.range(2000).toDF("id")
+    val kept = Sampling.deterministicSample(df, "id", 64)
+    kept.filter(Sampling.md5Bucket256(col("id")) >= 64).count() shouldBe 0L
+    // ~64/256 = 25%, md5 is uniform: allow a wide tolerance
+    kept.count().toDouble shouldBe (500.0 +- 150.0)
+  }
+
+  "trainValTestSplit" should "partition every row into exactly one stable split" in {
+    val df = spark.range(500).toDF("id")
+    val s = Sampling.trainValTestSplit(df, "id")
+    s.count() shouldBe 500L
+    s.filter(col("split") === "train" && col("bucket") >= 200).count() shouldBe 0L
+    s.filter(col("split") === "val" && (col("bucket") < 200 || col("bucket") >= 228))
+      .count() shouldBe 0L
+    s.filter(col("split") === "test" && col("bucket") < 228).count() shouldBe 0L
+    s.select("split").distinct().count() shouldBe 3L
+  }
+
+  "Histogram.fixedWidth" should "bin values half-open and drop nulls" in {
+    val df = Seq(
+      ("a", Some(0.0)), ("a", Some(9.999)), ("a", Some(10.0)), ("a", Some(-0.001)),
+      ("b", Some(25.0)), ("b", None)).toDF("g", "v")
+    val h = Histogram.fixedWidth(df, Seq("g"), "v", width = 10.0)
+      .orderBy("g", "bin").as[(String, Long, Long)].collect()
+    h shouldBe Array(("a", -1L, 1L), ("a", 0L, 2L), ("a", 1L, 1L), ("b", 2L, 1L))
+  }
+
+  "topTermsPerGroup" should "rank by count desc then token asc within each group" in {
+    val docs = Seq(
+      (1L, "en", "alpha alpha beta"),
+      (2L, "en", "alpha beta gamma"),
+      (3L, "de", "zeta zeta eta")).toDF("doc_id", "lang", "text")
+    val top = TextAnalysis.topTermsPerGroup(docs, "lang", "text", k = 2)
+      .orderBy("lang", "rank")
+      .select("lang", "token", "n", "rank")
+      .as[(String, String, Long, Int)].collect()
+    top shouldBe Array(
+      ("de", "zeta", 2L, 1), ("de", "eta", 1L, 2),
+      ("en", "alpha", 3L, 1), ("en", "beta", 2L, 2))
+  }
+
+  "TokenizeText (native)" should "equal the declarative split/filter formulation" in {
+    val nasty = Seq(
+      "Hello World", "  leading and trailing  ", "tabs\tand\nnewlines",
+      "", "   ", "UPPER lower MiXeD", "unicode ÉÀÖ ß 中文 分词",
+      "multi   spaces", "\t\n\f\r", "a", "ein Straßenfest in MÜNCHEN")
+    val df = nasty.toDF("text")
+    val native = df.select(graft.functions.GraftFunctions.tokens(col("text")).as("t"))
+      .as[Seq[String]].collect()
+    val declarative = df.select(
+      filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= lit("")).as("t"))
+      .as[Seq[String]].collect()
+    native shouldBe declarative
+  }
+}

@@ -1,6 +1,6 @@
 package graft
 
-import graft.core.{Tables, TimeRange}
+import graft.core.{Changelog, Tables, TimeRange}
 import graft.functions.GraftFunctions
 import graft.functions.GraftFunctions._
 import graft.multimodal.Multimodal
@@ -494,6 +494,33 @@ object SparkEntry {
       TextAnalysis.topTermsPerGroup(Tables.documents(s, d), "lang", "text", k = 5)
         .select(col("lang"), col("token"), col("n"), col("rank"))
         .orderBy("lang", "rank")
+    }),
+
+    // video-shaped frame sampling: every 4th 16-char frame, fingerprinted
+    "m3_frame_sample" -> ((s, d) => {
+      Multimodal.sampleFrames(Tables.documents(s, d), "doc_id", "text",
+        frameChars = 16, stride = 4)
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    // CDC snapshot diff: first-half vs second-half per-user activity
+    "q32_snapshot_diff" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      val bounds = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
+      val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2
+      def snap(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("user_id").agg(
+          count(lit(1)).as("n"),
+          max_by(col("event_type"), struct(col("ts_us"), col("event_id"))).as("last_type"))
+      Changelog.diffSnapshots(
+        snap(ev.filter(col("ts_us") < mid)),
+        snap(ev.filter(col("ts_us") >= mid)),
+        Seq("user_id"))
+        .select(col("user_id"), col("change_type"),
+          col("old_val.n").as("old_n"), col("old_val.last_type").as("old_last"),
+          col("new_val.n").as("new_n"), col("new_val.last_type").as("new_last"))
+        .orderBy("user_id")
     })
   )
 
@@ -915,6 +942,42 @@ object SparkEntry {
          |    (PARTITION BY lang ORDER BY n DESC, token) AS rank FROM c)
          |SELECT lang, token, n, CAST(rank AS INTEGER) AS rank
          |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+
+    "m3_frame_sample" ->
+      """WITH f AS (SELECT doc_id, text,
+        |    CAST(FLOOR(length(text)/16.0) AS BIGINT) AS nf FROM documents),
+        |s AS (SELECT doc_id, text, unnest(range(0, nf, 4)) AS frame_idx
+        |      FROM f WHERE nf > 0)
+        |SELECT doc_id, frame_idx,
+        |  md5(substr(text, CAST(frame_idx*16 + 1 AS INTEGER), 16)) AS frame_md5
+        |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q32_snapshot_diff" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),
+        |b AS (SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS mid FROM e),
+        |h1 AS (SELECT e.* FROM e, b WHERE ts_us < mid),
+        |h2 AS (SELECT e.* FROM e, b WHERE ts_us >= mid),
+        |o AS (SELECT c.user_id, c.n, l.last_type FROM
+        |  (SELECT user_id, COUNT(*) AS n FROM h1 GROUP BY 1) c JOIN
+        |  (SELECT user_id, event_type AS last_type FROM
+        |     (SELECT user_id, event_type,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+        |      FROM h1) WHERE rn = 1) l USING (user_id)),
+        |nn AS (SELECT c.user_id, c.n, l.last_type FROM
+        |  (SELECT user_id, COUNT(*) AS n FROM h2 GROUP BY 1) c JOIN
+        |  (SELECT user_id, event_type AS last_type FROM
+        |     (SELECT user_id, event_type,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+        |      FROM h2) WHERE rn = 1) l USING (user_id)),
+        |d AS (SELECT COALESCE(o.user_id, nn.user_id) AS user_id,
+        |  CASE WHEN o.user_id IS NULL THEN 'insert'
+        |       WHEN nn.user_id IS NULL THEN 'delete'
+        |       WHEN o.n IS DISTINCT FROM nn.n
+        |         OR o.last_type IS DISTINCT FROM nn.last_type THEN 'update' END AS change_type,
+        |  o.n AS old_n, o.last_type AS old_last, nn.n AS new_n, nn.last_type AS new_last
+        |  FROM o FULL OUTER JOIN nn ON o.user_id = nn.user_id)
+        |SELECT user_id, change_type, old_n, old_last, new_n, new_last
+        |FROM d WHERE change_type IS NOT NULL ORDER BY user_id""".stripMargin,
 
     "t1_lang_id" ->
       s"""WITH sc AS (

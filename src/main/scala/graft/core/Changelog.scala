@@ -100,4 +100,29 @@ object Changelog {
       .filter(col("_rn") <= n)
       .withColumnRenamed("_rn", "recency_rank")
   }
+
+  /** CDC diff of two keyed snapshots — the batch analogue of the
+    * reference's CDC listeners (R8: every change to a key is observable):
+    * classify each key as `insert` (new side only), `delete` (old side
+    * only) or `update` (null-safe value mismatch); unchanged keys are
+    * dropped. Returns keyCols + `old_val`/`new_val` structs of the value
+    * columns + `change_type`.
+    *
+    * Scale shape: one shuffle per side on the key into a sort-merge
+    * full-outer join; snapshots bucketed/pre-partitioned on the key skip
+    * the exchange entirely. */
+  def diffSnapshots(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(oldDf.columns.toSeq == newDf.columns.toSeq,
+      s"snapshots must share a schema: ${oldDf.columns.toSeq} vs ${newDf.columns.toSeq}")
+    val valueCols = oldDf.columns.filterNot(keyCols.contains).toSeq
+    require(valueCols.nonEmpty, "snapshots need at least one non-key column")
+    val o = oldDf.select(keyCols.map(col) :+ struct(valueCols.map(col): _*).as("old_val"): _*)
+    val n = newDf.select(keyCols.map(col) :+ struct(valueCols.map(col): _*).as("new_val"): _*)
+    o.join(n, keyCols, "full_outer")
+      .withColumn("change_type",
+        when(col("old_val").isNull, lit("insert"))
+          .when(col("new_val").isNull, lit("delete"))
+          .when(!(col("old_val") <=> col("new_val")), lit("update")))
+      .filter(col("change_type").isNotNull)
+  }
 }

@@ -58,6 +58,32 @@ object Multimodal {
       }(enc)
   }
 
+  /** Frame sampling — the video-shaped multimodal op: slice the decoded
+    * buffer into fixed-size frames and keep every `stride`-th one, emitting
+    * (id, frame_idx, frame fingerprint). The stub "decoded buffer" is the
+    * document text (characters stand in for frame bytes so the SQL oracle
+    * slices identically); a real build swaps in the decoder's byte buffer
+    * and an embedder in place of md5. Scale shape: explode of a per-row
+    * index sequence + codegen'd substring/md5 — row-local, no shuffle, and
+    * the sampled-frame row count is input/stride, never the full frame
+    * count. */
+  def sampleFrames(
+      df: DataFrame,
+      idCol: String,
+      bufCol: String,
+      frameChars: Int = 16,
+      stride: Int = 4): DataFrame = {
+    require(frameChars > 0 && stride > 0, "frameChars and stride must be positive")
+    // exact: length < 2^26 chars, so the double quotient floors exactly
+    val nFrames = floor(length(col(bufCol)) / frameChars.toDouble).cast("long")
+    df.filter(nFrames > 0)
+      .select(col(idCol), col(bufCol).as("_buf"),
+        explode(sequence(lit(0L), nFrames - 1L, lit(stride.toLong))).as("frame_idx"))
+      .select(col(idCol), col("frame_idx"),
+        md5(col("_buf").substr(
+          (col("frame_idx") * frameChars + 1L).cast("int"), lit(frameChars))).as("frame_md5"))
+  }
+
   /** The stub "codec": first code point + code-point sum mod 1e9+7, decoded
     * from the UTF-8 payload. Code points (not raw bytes) so the DuckDB
     * oracle — which can only iterate characters via `ascii(substr(...))` —

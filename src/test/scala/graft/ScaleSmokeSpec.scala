@@ -32,4 +32,33 @@ class ScaleSmokeSpec extends SparkSpec {
     val out = Skew.saltedCountSum(df, Seq("k"), "v", saltBuckets = 32)
     out.filter(col("k") === 777L).select("n").collect()(0).getLong(0) shouldBe 1800000L
   }
+
+  it should "salt deterministically: same inputs, same partials, any partitioning" in {
+    val df = spark.range(100000L).select((col("id") % 100).as("k"), lit(2.0).as("v"))
+    val a = Skew.saltedCountSum(df, Seq("k"), "v", saltBuckets = 16)
+      .orderBy("k").collect().toSeq
+    val b = Skew.saltedCountSum(df.repartition(13), Seq("k"), "v", saltBuckets = 16)
+      .orderBy("k").collect().toSeq
+    a shouldBe b
+  }
+
+  "native text expressions" should "stream 1M documents at scan speed (row-local, no shuffle)" in {
+    // 1M synthetic docs of ~8 tokens: simhash + langid + token stats in ONE
+    // projection pass. This pins the 100 TB shape: per-row work only, so
+    // the plan must contain zero exchanges before the final aggregation.
+    val docs = spark.range(1000000L).select(
+      col("id"),
+      concat_ws(" ",
+        lit("the"), lit("quick"), col("id").cast("string"),
+        lit("und"), (col("id") % 97).cast("string"),
+        lit("fox"), (col("id") % 13).cast("string"), lit("a")).as("text"))
+    val toks = graft.functions.GraftFunctions.tokens(col("text"))
+    val scored = docs.select(
+      graft.functions.GraftFunctions.simhashBits(toks, 16).as("sh"),
+      graft.functions.GraftFunctions.sumTokenChars(toks).as("len"))
+    val plan = scored.queryExecution.executedPlan.toString
+    plan should not include "Exchange" // row-local: nothing shuffles
+    val agg = scored.agg(bit_xor(col("sh")), sum(col("len"))).collect()(0)
+    agg.getLong(1) should be > 0L // forced full evaluation of both columns
+  }
 }

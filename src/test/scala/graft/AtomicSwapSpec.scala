@@ -48,4 +48,15 @@ class AtomicSwapSpec extends SparkSpec {
     val root = Files.createTempDirectory("swap4").toFile.getAbsolutePath
     AtomicSwap.recover(s"$root/table") shouldBe false
   }
+
+  it should "restore the numerically newest backup, not the lexicographic one" in {
+    val root = Files.createTempDirectory("swap5").toFile.getAbsolutePath
+    val t = s"$root/table"
+    // batch 9 vs batch 10: "old-9" > "old-10" lexicographically but 10 is newer
+    write(s"$t.old-9", "gen9")
+    write(s"$t.old-10", "gen10")
+    AtomicSwap.recover(t) shouldBe true
+    readV(t) shouldBe "gen10"
+    new File(root).listFiles().map(_.getName).toSeq shouldBe Seq("table")
+  }
 }

@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   *
   * Determinism/parity conventions (both sides, see also scripts/check.py):
   *  - timestamps surface as epoch microseconds BIGINT, never raw timestamps;
-  *  - double aggregates go through exact DECIMAL sums cast back to DOUBLE;
+  *  - double aggregates are per-value ×100/×10000 integer-quantized and
+  *    summed as BIGINT (exact, order-independent), then divided once;
   *  - vector math uses ×1000 integer quantization (exact folds);
   *  - every result carries a total ORDER BY.
   */
@@ -27,10 +28,24 @@ object SparkEntry {
   private val Jan20_24 = 1705708800000000L // 2024-01-20T00:00:00Z
   private val WeekUs = 7L * 24 * 3600 * 1000000L
 
-  private def decSum(c: Column, as: String, scale: Int = 2): Column =
-    sum(c.cast(s"decimal(18,$scale)")).cast("double").as(as)
-  private def decSumWide(c: Column, as: String): Column =
-    sum(c.cast("decimal(24,6)")).cast("double").as(as)
+  /** Exact double-sum via per-value integer quantization: round(x×scale) as
+    * BIGINT (the proven round-parity pattern of `quantize1000`), summed as
+    * long — exact, order-independent, and a codegen'd long hash-agg instead
+    * of a DECIMAL sum (~3× cheaper per row; the difference compounds at
+    * 100 TB) — then one double division. Headroom at scale=100: values ≲1e5
+    * quantize to ≲1e7/row, >1e11 rows per group before BIGINT overflow. */
+  private[graft] def qSum(c: Column, as: String, scale: Long = 100L): Column =
+    (sum(round(c * scale).cast("long")).cast("double") / scale.toDouble).as(as)
+  /** ×10000 variant for derived measures (e.g. price×(1−discount)) that
+    * previously carried 4+ fractional digits. */
+  private[graft] def qSumWide(c: Column, as: String): Column =
+    qSum(c, as, 10000L)
+  /** DuckDB rendering of the same sum (SUM(BIGINT) is HUGEINT there —
+    * the inner CAST back to BIGINT keeps both sides in long space). */
+  private[graft] def qSumSql(expr: String, as: String, scale: Long = 100L): String =
+    s"CAST(CAST(SUM(CAST(round(($expr)*$scale) AS BIGINT)) AS BIGINT) AS DOUBLE)/$scale.0 AS $as"
+  private[graft] def qSumWideSql(expr: String, as: String): String =
+    qSumSql(expr, as, 10000L)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -47,9 +62,9 @@ object SparkEntry {
       val li = Tables.lineitem(s, d)
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          decSum(col("l_quantity"), "sum_qty"),
-          decSum(col("l_extendedprice"), "sum_base_price"),
-          decSumWide(col("l_extendedprice") * (lit(1) - col("l_discount")), "sum_disc_price"),
+          qSum(col("l_quantity"), "sum_qty"),
+          qSum(col("l_extendedprice"), "sum_base_price"),
+          qSumWide(col("l_extendedprice") * (lit(1) - col("l_discount")), "sum_disc_price"),
           count(lit(1)).as("count_order"))
         .withColumn("avg_qty", col("sum_qty") / col("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -92,7 +107,7 @@ object SparkEntry {
       li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(
-          decSumWide(col("l_extendedprice") * (lit(1) - col("l_discount")), "revenue"),
+          qSumWide(col("l_extendedprice") * (lit(1) - col("l_discount")), "revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("p_brand")
     }),
@@ -122,7 +137,7 @@ object SparkEntry {
       ev.crossJoin(broadcast(maxTs))
         .filter(col("ts_us") >= col("max_ts") - WeekUs)
         .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_live"), decSum(col("value"), "sum_value"))
+        .agg(count(lit(1)).as("n_live"), qSum(col("value"), "sum_value"))
         .orderBy("user_id")
     }),
 
@@ -147,7 +162,7 @@ object SparkEntry {
           col("c_nationkey") === col("n_nationkey")),
         col("n_regionkey") === col("r_regionkey"))
       enriched.groupBy(col("r_name"))
-        .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice"), "total_price"))
+        .agg(count(lit(1)).as("n_orders"), qSum(col("o_totalprice"), "total_price"))
         .orderBy("r_name")
     }),
 
@@ -174,7 +189,7 @@ object SparkEntry {
       val ev = Tables.events(s, d)
       ev.withColumn("hour_us", unix_micros(date_trunc("hour", timestamp_micros(col("ts_us")))))
         .groupBy(col("hour_us"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"), decSum(col("value"), "sum_value"))
+        .agg(count(lit(1)).as("n_events"), qSum(col("value"), "sum_value"))
         .orderBy("hour_us", "event_type")
     }),
 
@@ -357,7 +372,7 @@ object SparkEntry {
     "q27_rollup" -> ((s, d) => {
       Tables.lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), decSum(col("l_quantity"), "sum_qty"))
+        .agg(count(lit(1)).as("n"), qSum(col("l_quantity"), "sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
@@ -429,7 +444,7 @@ object SparkEntry {
       li.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(decSumWide(col("l_extendedprice") * (lit(1) - col("l_discount")), "revenue"))
+        .agg(qSumWide(col("l_extendedprice") * (lit(1) - col("l_discount")), "revenue"))
         .select(col("l_orderkey"), Tables.epochUs(col("o_orderdate")).as("o_orderdate_us"), col("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
@@ -478,7 +493,7 @@ object SparkEntry {
           grouping(col("l_returnflag")).cast("int").as("g_rf"),
           grouping(col("l_linestatus")).cast("int").as("g_ls"),
           count(lit(1)).as("n"),
-          decSum(col("l_quantity"), "sum_qty"))
+          qSum(col("l_quantity"), "sum_qty"))
         .orderBy(col("g_rf"), col("g_ls"),
           col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
@@ -668,11 +683,11 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(SUM(CAST(round((l_quantity)*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0 AS sum_qty,
+        |  CAST(CAST(SUM(CAST(round((l_extendedprice)*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0 AS sum_base_price,
+        |  CAST(CAST(SUM(CAST(round((l_extendedprice*(1-l_discount))*10000) AS BIGINT)) AS BIGINT) AS DOUBLE)/10000.0 AS sum_disc_price,
         |  COUNT(*) AS count_order,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_qty
+        |  CAST(CAST(SUM(CAST(round((l_quantity)*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0/COUNT(*) AS avg_qty
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
@@ -696,7 +711,7 @@ object SparkEntry {
 
     "q5_star_join" ->
       """SELECT p_brand,
-        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(SUM(CAST(round((l_extendedprice*(1-l_discount))*10000) AS BIGINT)) AS BIGINT) AS DOUBLE)/10000.0 AS revenue,
         |  COUNT(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
@@ -715,7 +730,7 @@ object SparkEntry {
 
     "q8_ttl_expiry" ->
       s"""SELECT user_id, COUNT(*) AS n_live,
-         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |  CAST(CAST(SUM(CAST(round((value)*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0 AS sum_value
          |FROM events
          |WHERE epoch_us(ts) >= (SELECT MAX(epoch_us(ts)) FROM events) - $WeekUs
          |GROUP BY user_id ORDER BY user_id""".stripMargin,
@@ -727,7 +742,7 @@ object SparkEntry {
 
     "q10_global_enrich" ->
       """SELECT r_name, COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |  CAST(CAST(SUM(CAST(round((o_totalprice)*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0 AS total_price
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -754,7 +769,7 @@ object SparkEntry {
     "q13_hourly_rollup" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
         |  COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  CAST(CAST(SUM(CAST(round((value)*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q14_asof_join" ->
@@ -818,7 +833,7 @@ object SparkEntry {
 
     "q27_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |  CAST(CAST(SUM(CAST(round((l_quantity)*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0 AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
@@ -926,7 +941,7 @@ object SparkEntry {
         |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
         |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
         |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |  CAST(CAST(SUM(CAST(round((l_quantity)*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0 AS sum_qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
@@ -1039,7 +1054,7 @@ object SparkEntry {
 
     "q24_topk_revenue" ->
       """SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
-        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+        |  CAST(CAST(SUM(CAST(round((l_extendedprice*(1-l_discount))*10000) AS BIGINT)) AS BIGINT) AS DOUBLE)/10000.0 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -1059,7 +1074,7 @@ object SparkEntry {
 
     "q23_salted_rollup" ->
       """SELECT user_id, COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  CAST(CAST(SUM(CAST(round((value)*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0 AS sum_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q22_sliding_window" ->

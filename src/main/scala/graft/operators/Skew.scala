@@ -43,20 +43,22 @@ object Skew {
       .agg(finals.head, finals.tail: _*)
   }
 
-  /** Salted count + exact decimal sum — the common hot-key rollup. Result
-    * equals the unsalted `groupBy(key).agg(count, sum)` exactly (integer and
-    * decimal arithmetic are reassociatable). */
+  /** Salted count + exact sum — the common hot-key rollup. The value is
+    * ×100 integer-quantized per row, so both aggregation stages are plain
+    * long sums (exact and reassociatable — the result equals the unsalted
+    * `groupBy(key).agg(count, sum)` bit-for-bit) and stay in codegen'd
+    * long hash-agg instead of decimal. */
   def saltedCountSum(
       df: DataFrame,
       keyCols: Seq[String],
       valueCol: String,
       saltBuckets: Int = 16,
-      scale: Int = 2): DataFrame =
+      scale: Long = 100L): DataFrame =
     saltedAgg(df, keyCols, saltBuckets)(
       partials = Seq(
         count(lit(1)).as("_n"),
-        sum(col(valueCol).cast(s"decimal(18,$scale)")).as("_s")),
+        sum(round(col(valueCol) * scale).cast("long")).as("_s")),
       finals = Seq(
         sum(col("_n")).as("n"),
-        sum(col("_s")).cast("double").as("sum_value")))
+        (sum(col("_s")).cast("double") / scale.toDouble).as("sum_value")))
 }

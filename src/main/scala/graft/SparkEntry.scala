@@ -654,18 +654,26 @@ object SparkEntry {
 
   /** MinHash+LSH candidate-pair CTE chain over `src` → relation
     * mh_pairs(id_a, id_b, jaccard_est). Mirrors Dedup.minhashLsh with
-    * numHashes=8, shingleSize=3, rowsPerBand=2. */
-  private def minhashPairsSql(src: String): String =
+    * numHashes=8, shingleSize=3, rowsPerBand=2: one 60-bit md5 prefix per
+    * shingle, then the fixed (aᵢ·h+bᵢ) mod 2^61−1 permutations — HUGEINT
+    * keeps the 122-bit product exact, matching MinHashSignature.permute. */
+  private def minhashPairsSql(src: String): String = {
+    val as = (0 until 8).map(graft.functions.MinHashSignature.coeffA).mkString(", ")
+    val bs = (0 until 8).map(graft.functions.MinHashSignature.coeffB).mkString(", ")
     s"""mh_toks AS (SELECT doc_id, $toksSql AS t FROM $src),
        |mh_sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) AS gs
        |          FROM mh_toks WHERE len(t) >= 3),
-       |mh_sig AS (SELECT doc_id, [list_min([md5(s::VARCHAR || '|' || g) for g in gs]) for s in range(0,8)] AS sg FROM mh_sh),
+       |mh_h AS (SELECT doc_id, [CAST(concat('0x', substr(md5(g),1,15)) AS BIGINT) for g in gs] AS hs FROM mh_sh),
+       |mh_sig AS (SELECT doc_id,
+       |             [list_min([CAST((CAST(h AS HUGEINT) * ([$as][s+1]) + ([$bs][s+1])) % 2305843009213693951 AS BIGINT) for h in hs])
+       |              for s in range(0,8)] AS sg FROM mh_h),
        |mh_banded AS (SELECT doc_id, b AS band, md5(array_to_string(sg[b*2+1:b*2+2], '|')) AS band_hash, sg
        |              FROM mh_sig, range(0,4) t(b)),
        |mh_pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |               len([i for i in range(1,9) if a.sg[i] = b.sg[i]]) / 8.0 AS jaccard_est
        |             FROM mh_banded a JOIN mh_banded b USING (band, band_hash)
        |             WHERE a.doc_id < b.doc_id)""".stripMargin
+  }
 
   /** Quality metrics CTE body over `src` (mirrors TextAnalysis.qualityScore). */
   private def qualityMetricsSql(src: String): String = {

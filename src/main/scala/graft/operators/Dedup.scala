@@ -28,15 +28,16 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
       .filter(col("dup_count") >= minGroupSize)
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * minimum md5 digest over the document's word `shingleSize`-grams.
-    * min over hex strings ≡ min over a random permutation — the standard
-    * MinHash estimator with string-ordered hashes.
+  /** MinHash signature: each shingle hashed ONCE to a 60-bit md5 prefix,
+    * then `numHashes` universal-hash permutations `(aᵢ·h+bᵢ) mod 2^61−1`
+    * (see MinHashSignature) — min per permutation is the standard MinHash
+    * estimator, at one digest per shingle instead of one per (shingle,
+    * permutation).
     *
     * Computed at scan time by the native MinHashSignature expression — no
     * exploded shingle rows, no shuffle, thread-local digest (the relational
     * explode + min-agg formulation is equivalent but pays an md5-expression
-    * allocation per (doc, shingle, seed) plus a partial-agg pass). */
+    * allocation per (doc, shingle) plus a partial-agg pass). */
   def minhashSignature(
       docs: DataFrame,
       idCol: String,
@@ -76,7 +77,9 @@ object Dedup {
       posexplode(
         transform(
           sequence(lit(0), lit(numBands - 1)),
-          b => md5(concat_ws("|", slice(col("signature"), b * rowsPerBand + lit(1), lit(rowsPerBand))))
+          b => md5(concat_ws("|",
+            transform(slice(col("signature"), b * rowsPerBand + lit(1), lit(rowsPerBand)),
+              x => x.cast("string"))))
         )).as(Seq("band", "band_hash")))
     val banded = if (materializeCandidates) bandedLazy.localCheckpoint(true) else bandedLazy
     val a = banded.select(col("band"), col("band_hash"), col("doc").as("id_a"), col("signature").as("sig_a"))

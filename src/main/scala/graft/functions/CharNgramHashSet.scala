@@ -42,17 +42,51 @@ object CharNgramHashSet {
     val cps = str.toString.codePoints().toArray
     val count = cps.length - n + 1
     if (count <= 0) return new GenericArrayData(Array.emptyLongArray)
-    val hashes = new Array[Long](count)
-    var i = 0
-    while (i < count) {
-      hashes(i) = hash60(new String(cps, i, n))
-      i += 1
-    }
+    val hashes =
+      if (n <= 3) {
+        // Natural-language n-grams repeat heavily: dedup BEFORE hashing so
+        // md5 runs once per DISTINCT gram. A gram of ≤3 code points packs
+        // into one long (21 bits per cp, max cp 0x10FFFF), so dedup is a
+        // primitive sort — no per-occurrence String or digest.
+        val packed = new Array[Long](count)
+        var i = 0
+        while (i < count) {
+          var k = 0L
+          var j = 0
+          while (j < n) { k = (k << 21) | cps(i + j); j += 1 }
+          packed(i) = k
+          i += 1
+        }
+        java.util.Arrays.sort(packed)
+        val out = new Array[Long](count)
+        val gram = new Array[Int](n)
+        var w = 0
+        var r = 0
+        while (r < count) {
+          if (r == 0 || packed(r) != packed(r - 1)) {
+            var k = packed(r)
+            var j = n - 1
+            while (j >= 0) { gram(j) = (k & 0x1fffff).toInt; k >>>= 21; j -= 1 }
+            out(w) = hash60(new String(gram, 0, n))
+            w += 1
+          }
+          r += 1
+        }
+        java.util.Arrays.copyOf(out, w)
+      } else {
+        val all = new Array[Long](count)
+        var i = 0
+        while (i < count) {
+          all(i) = hash60(new String(cps, i, n))
+          i += 1
+        }
+        all
+      }
+    // sort + dedup the hash values (distinct grams could still collide)
     java.util.Arrays.sort(hashes)
-    // dedup in place
     var w = 1
     var r = 1
-    while (r < count) {
+    while (r < hashes.length) {
       if (hashes(r) != hashes(w - 1)) { hashes(w) = hashes(r); w += 1 }
       r += 1
     }

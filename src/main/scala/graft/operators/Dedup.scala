@@ -149,7 +149,8 @@ object Dedup {
       blockCols: Seq[String],
       n: Int = 3,
       minJaccard: Double = 0.5,
-      materializeGramSets: Boolean = false): DataFrame = {
+      materializeGramSets: Boolean = false,
+      lengthPrefilter: Boolean = false): DataFrame = {
     // materializeGramSets: the self-join otherwise evaluates md5-per-gram on
     // BOTH sides of every doc — checkpoint the gram-set projection once for
     // batch jobs (same trade-offs as minhashLsh's materializeCandidates)
@@ -162,8 +163,16 @@ object Dedup {
       col("grams").as("ga") :+ col("ng").as("na"): _*)
     val b = withGrams.select(blockCols.map(col) :+ col("doc").as("id_b") :+
       col("grams").as("gb") :+ col("ng").as("nb"): _*)
-    a.join(b, blockCols)
-      .filter(col("id_a") < col("id_b"))
+    val pairs = a.join(b, blockCols).filter(col("id_a") < col("id_b"))
+    // length prefilter (exact: jaccard ≤ min(na,nb)/max(na,nb), so pairs
+    // whose set sizes differ by more than the threshold ratio can skip the
+    // merge entirely). Opt-in: a win when blocks mix document lengths,
+    // measured pure overhead when the blocking key already buckets by
+    // length (every pair passes, the predicate just burns per-pair cycles).
+    val filtered = if (lengthPrefilter)
+      pairs.filter(greatest(col("na"), col("nb")) * minJaccard <= least(col("na"), col("nb")))
+    else pairs
+    filtered
       .select(col("id_a"), col("id_b"),
         sortedIntersectCount(col("ga"), col("gb")).as("inter"),
         col("na"), col("nb"))

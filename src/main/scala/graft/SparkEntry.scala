@@ -536,6 +536,39 @@ object SparkEntry {
           col("old_val.n").as("old_n"), col("old_val.last_type").as("old_last"),
           col("new_val.n").as("new_n"), col("new_val.last_type").as("new_last"))
         .orderBy("user_id")
+    }),
+
+    // point-in-interval range join (bucketized equi-join, no theta join):
+    // count global error events inside each user session
+    "q33_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val sessions = Sessionize.summarize(ev, "user_id", "ts_us", gapUs = 3600L * 1000000L)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("ts_us").as("err_ts"))
+      RangeJoin.pointInInterval(errors, sessions, "err_ts",
+          "session_start_us", "session_end_us", bucketWidth = 3600L * 1000000L)
+        .groupBy("user_id", "session_seq")
+        .agg(count(lit(1)).as("n_errors"))
+        .orderBy("user_id", "session_seq")
+    }),
+
+    // fuzzy self-join: near-identical part names via token blocking +
+    // exact levenshtein on deduped candidate pairs
+    "q34_fuzzy_join" -> ((s, d) => {
+      val names = Tables.part(s, d).select(col("p_name").as("name")).distinct()
+      FuzzyJoin.editDistancePairs(names, "name", "name", maxDistance = 3, maxTokenDf = 1000L)
+        .select(col("id_a").as("name_a"), col("id_b").as("name_b"), col("dist"))
+        .orderBy("name_a", "name_b")
+    }),
+
+    // integer-exact fixed-iteration PageRank over the brand↔type graph
+    "q35_pagerank" -> ((s, d) => {
+      val bt = Tables.part(s, d).select(
+        concat(lit("b:"), col("p_brand")).as("src"),
+        concat(lit("t:"), col("p_type")).as("dst"))
+      val edges = bt.union(bt.select(col("dst").as("src"), col("src").as("dst")))
+      GraphAlgorithms.pageRankPpm(s, edges, iterations = 10)
+        .orderBy("vertex")
     })
   )
 
@@ -1103,6 +1136,64 @@ object SparkEntry {
         |  FROM flagged)
         |SELECT user_id, session_seq, MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
         |  MAX(ts_us) - MIN(ts_us) AS duration_us, COUNT(*) AS n_events
-        |FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin
+        |FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    "q33_range_join" ->
+      """WITH flagged AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts)) > 3600000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |), sess AS (
+        |  SELECT user_id, ts_us,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM flagged
+        |), sessions AS (
+        |  SELECT user_id, session_seq, MIN(ts_us) AS s, MAX(ts_us) AS e
+        |  FROM sess GROUP BY user_id, session_seq
+        |), errors AS (SELECT epoch_us(ts) AS err_ts FROM events WHERE event_type = 'error')
+        |SELECT user_id, session_seq, COUNT(*) AS n_errors
+        |FROM sessions JOIN errors ON err_ts >= s AND err_ts <= e
+        |GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    "q34_fuzzy_join" ->
+      """WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+        |toks AS (SELECT name, unnest(list_distinct(string_split(name, ' '))) AS tok FROM names),
+        |freq AS (SELECT tok FROM toks GROUP BY tok HAVING COUNT(*) <= 1000),
+        |blocked AS (SELECT t.name, t.tok FROM toks t JOIN freq f USING (tok)),
+        |pairs AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b
+        |          FROM blocked a JOIN blocked b USING (tok) WHERE a.name < b.name)
+        |SELECT name_a, name_b, CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+        |FROM pairs WHERE levenshtein(name_a, name_b) <= 3
+        |ORDER BY name_a, name_b""".stripMargin,
+
+    "q35_pagerank" -> pageRankSql(iterations = 10, dampingPpm = 850000L)
   )
+
+  /** Unrolled fixed-iteration PageRank oracle over the brand↔type graph —
+    * same chained-CTE trick as ivfTopKSql: every floor division the Spark
+    * loop performs appears literally, so ranks match bit-for-bit. DuckDB
+    * `//` on non-negative integers ≡ Spark `div`; SUM returns HUGEINT, cast
+    * back to BIGINT after the damped product. */
+  private def pageRankSql(iterations: Int, dampingPpm: Long): String = {
+    val base = 1000000L - dampingPpm
+    val iters = (1 to iterations).map { i =>
+      s"""r$i AS (SELECT v.vertex,
+         |  CAST($base + ($dampingPpm * COALESCE(s.c, 0)) // 1000000 AS BIGINT) AS r
+         |  FROM v LEFT JOIN (
+         |    SELECT e.dst AS vertex, SUM(p.r // d.od) AS c
+         |    FROM e JOIN deg d ON e.src = d.src JOIN r${i - 1} p ON p.vertex = e.src
+         |    GROUP BY e.dst) s USING (vertex))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH eraw AS (
+       |  SELECT 'b:' || p_brand AS src, 't:' || p_type AS dst FROM part
+       |  UNION ALL
+       |  SELECT 't:' || p_type AS src, 'b:' || p_brand AS dst FROM part),
+       |e AS (SELECT DISTINCT src, dst FROM eraw WHERE src <> dst),
+       |v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
+       |deg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+       |r0 AS (SELECT vertex, CAST(1000000 AS BIGINT) AS r FROM v),
+       |$iters
+       |SELECT vertex, r AS rank_ppm FROM r$iterations ORDER BY vertex""".stripMargin
+  }
 }

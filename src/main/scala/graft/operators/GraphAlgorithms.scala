@@ -78,4 +78,60 @@ object GraphAlgorithms {
     vertices.join(mapping, Seq("vertex"), "left")
       .select(col("vertex"), coalesce(col("component"), col("vertex")).as("component"))
   }
+
+  /** Fixed-iteration PageRank in exact integer (parts-per-million)
+    * arithmetic: every engine computing the same floor divisions gets
+    * bit-identical ranks, so the result is oracle-able (same trick as the
+    * IVF k-means training — see SparkEntry.ivfTopKSql).
+    *
+    * Per-vertex normalized form, rank₀ = 1 000 000 ppm for every vertex:
+    *
+    *   rankᵢ₊₁(v) = (10⁶ − d) + (d · Σ_{u→v} rankᵢ(u) div out(u)) div 10⁶
+    *
+    * with `d = dampingPpm` and `div` = integer floor division (inputs are
+    * non-negative so Spark's truncating `div` ≡ DuckDB's `//`). Dangling
+    * vertices simply leak their mass (the standard "lost mass" variant);
+    * vertices with no in-edges settle at the teleport term 10⁶ − d.
+    *
+    * Overflow headroom under ANSI mode: total mass ≤ |V|·10⁶, so the
+    * damped sum stays under 2⁶³ for |V| up to ~10⁷ per receiving vertex's
+    * in-neighborhood — far beyond any aggregated-entity graph; document
+    * graphs larger than that should rank over a contracted (component /
+    * host-level) graph anyway.
+    *
+    * Scale shape: `edges ⋈ ranks` shuffles on `src` then aggregates partial
+    * sums on `dst` — the canonical Pregel-as-joins layout; the edge frame
+    * (with out-degrees) is checkpointed once and re-read every iteration,
+    * ranks are checkpointed per iteration to truncate lineage. */
+  def pageRankPpm(
+      spark: SparkSession,
+      edges: DataFrame,
+      iterations: Int = 10,
+      dampingPpm: Long = 850000L): DataFrame = {
+    require(dampingPpm >= 0 && dampingPpm <= 1000000L, "dampingPpm must be in [0, 1e6]")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val vertices = e.select(col("src").as("vertex"))
+      .union(e.select(col("dst").as("vertex")))
+      .distinct()
+      .localCheckpoint(true)
+    val eDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("out_deg")), "src")
+      .localCheckpoint(true)
+
+    var ranks = vertices.withColumn("rank_ppm", lit(1000000L))
+    var it = 0
+    while (it < iterations) {
+      val contrib = eDeg.join(ranks, eDeg("src") === ranks("vertex"))
+        .select(col("dst").as("vertex"), expr("rank_ppm div out_deg").as("c"))
+        .groupBy("vertex").agg(sum(col("c")).as("in_c"))
+      ranks = vertices.join(contrib, Seq("vertex"), "left")
+        .select(col("vertex"),
+          (lit(1000000L - dampingPpm) +
+            expr(s"(${dampingPpm}L * coalesce(in_c, 0L)) div 1000000L")).as("rank_ppm"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    ranks
+  }
 }

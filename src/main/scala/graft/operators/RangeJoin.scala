@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval (range) join via bucketized equi-join.
+  *
+  * The reference's time scoping is ad-hoc `TimeRange` predicates pushed into
+  * per-key prefix scans (reference: api/.../util/TimeRange.java:80-165,
+  * KVStoreLocal.scala:272-293) — a point lookup shape. The relational
+  * generalization "every point inside every interval" is a theta join, which
+  * Spark executes as BroadcastNestedLoopJoin (O(|points|·|intervals|)) unless
+  * rewritten. This operator rewrites it as an equi-join:
+  *
+  *   - each point lands in exactly ONE bucket of width `bucketWidth`;
+  *   - each interval explodes to its covered buckets (len/W + 2 rows max);
+  *   - equi-join on bucket, then the EXACT residual `start ≤ p ≤ end`.
+  *
+  * Because a point matches from exactly one bucket, no dedup is needed — the
+  * output is exactly the theta-join result. Any monotone bucketing preserves
+  * correctness (`s ≤ p ≤ e ⇒ bucket(s) ≤ bucket(p) ≤ bucket(e)`, so the
+  * exploded range always covers the point's bucket); exactness comes from
+  * the residual filter alone. Pick `bucketWidth` ≈ the typical interval
+  * length: shorter buckets multiply interval rows, longer buckets multiply
+  * false candidate pairs.
+  *
+  * Scale shape: one shuffle per side on the bucket key (both prunable /
+  * AQE-coalescible), candidate pairs bounded per bucket — the classic
+  * MapReduce range-join decomposition, no quadratic stage anywhere.
+  */
+object RangeJoin {
+
+  /** Join `points` (timestamp/long column `pointCol`) to `intervals`
+    * (`startCol`..`endCol`, both inclusive, same units) — all columns of
+    * both sides, one output row per (point, containing interval). Column
+    * names must be disjoint across the two frames. */
+  def pointInInterval(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointCol: String,
+      startCol: String,
+      endCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    // integer `div`, not `/`: double division corrupts epoch-µs magnitudes
+    val pts = points.withColumn("_bucket", expr(s"`$pointCol` div ${bucketWidth}L"))
+    val ivs = intervals
+      .filter(col(endCol) >= col(startCol)) // sequence() counts DOWN when reversed
+      .withColumn("_bucket",
+        explode(sequence(
+          expr(s"`$startCol` div ${bucketWidth}L"),
+          expr(s"`$endCol` div ${bucketWidth}L"))))
+    pts.join(ivs, "_bucket")
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("_bucket")
+  }
+}

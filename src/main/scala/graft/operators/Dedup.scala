@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Par
 import graft.functions.GraftFunctions._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -154,7 +155,7 @@ object Dedup {
     // materializeGramSets: the self-join otherwise evaluates md5-per-gram on
     // BOTH sides of every doc — checkpoint the gram-set projection once for
     // batch jobs (same trade-offs as minhashLsh's materializeCandidates)
-    val gramsLazy = docs.select(
+    val gramsLazy = Par.fanOut(docs).select(
       (col(idCol).as("doc") +: blockCols.map(col)) :+
         charNgramHashSet(normalizeText(col(textCol)), n).as("grams"): _*)
       .withColumn("ng", size(col("grams")))

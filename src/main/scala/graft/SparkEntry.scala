@@ -249,6 +249,33 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // S9 XML record views: raw log values carried as XML markup, parsed with
+    // xpath extractors (reference: LogRDD.xml). No XML column exists in the
+    // testdata, so the query round-trips events through an XML envelope —
+    // render (exercise only the parse side in the scored expressions), then
+    // xpath the fields back out and aggregate. Money is embedded as integer
+    // cents so the string round-trip stays exact.
+    "q36_xml_view" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val raw = concat(
+        lit("<event id=\""), col("event_id").cast("string"),
+        lit("\" user=\""), col("user_id").cast("string"),
+        lit("\"><type>"), col("event_type"),
+        lit("</type><cents>"), round(col("value") * 100).cast("long").cast("string"),
+        lit("</cents></event>"))
+      ev.select(raw.as("raw"))
+        .select(
+          expr("xpath_string(raw, '/event/type/text()')").as("event_type"),
+          expr("xpath_long(raw, '/event/@user')").as("user_id"),
+          expr("xpath_long(raw, '/event/cents/text()')").as("cents"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          (sum(col("cents")).cast("double") / 100.0).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // ---- LLM-data-pipeline operators ----
 
     // exact dedup via content hash (all groups, keeper = min id)
@@ -509,6 +536,19 @@ object SparkEntry {
       TextAnalysis.topTermsPerGroup(Tables.documents(s, d), "lang", "text", k = 5)
         .select(col("lang"), col("token"), col("n"), col("rank"))
         .orderBy("lang", "rank")
+    }),
+
+    // corpus rebalancing: deterministic hash-ranked cap per language stratum
+    "q37_stratified_cap" -> ((s, d) => {
+      Sampling.stratifiedCap(Tables.documents(s, d), Seq("lang"), "doc_id", cap = 50)
+        .select(col("doc_id"), col("lang"), col("source"), col("rank"))
+        .orderBy("lang", "rank")
+    }),
+
+    // duplicate word-trigram ratio per document (repetition quality signal)
+    "t6_repetition" -> ((s, d) => {
+      TextAnalysis.repetition(Tables.documents(s, d), "doc_id", "text", n = 3)
+        .orderBy("doc_id")
     }),
 
     // video-shaped frame sampling: every 4th 16-char frame, fingerprinted
@@ -844,6 +884,25 @@ object SparkEntry {
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "q36_xml_view" ->
+      """WITH x AS (
+        |  SELECT '<event id="' || CAST(event_id AS VARCHAR)
+        |      || '" user="' || CAST(user_id AS VARCHAR)
+        |      || '"><type>' || event_type
+        |      || '</type><cents>' || CAST(CAST(round(value*100) AS BIGINT) AS VARCHAR)
+        |      || '</cents></event>' AS raw
+        |  FROM events
+        |), p AS (
+        |  SELECT regexp_extract(raw, '<type>([^<]*)</type>', 1) AS event_type,
+        |         CAST(regexp_extract(raw, ' user="([0-9]+)"', 1) AS BIGINT) AS user_id,
+        |         CAST(regexp_extract(raw, '<cents>(-?[0-9]+)</cents>', 1) AS BIGINT) AS cents
+        |  FROM x
+        |)
+        |SELECT event_type, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE)/100.0 AS sum_value
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q17_topn_per_group" ->
       """SELECT c_mktsegment, CAST(rank AS INTEGER) AS rank, c_custkey, c_acctbal
         |FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
@@ -998,6 +1057,29 @@ object SparkEntry {
          |    (PARTITION BY lang ORDER BY n DESC, token) AS rank FROM c)
          |SELECT lang, token, n, CAST(rank AS INTEGER) AS rank
          |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+
+    "q37_stratified_cap" ->
+      """WITH r AS (SELECT doc_id, lang, source,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rank
+        |  FROM documents)
+        |SELECT doc_id, lang, source, CAST(rank AS INTEGER) AS rank
+        |FROM r WHERE rank <= 50 ORDER BY lang, rank""".stripMargin,
+
+    "t6_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id,
+        |    substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15) AS h
+        |  FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+        |a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |    CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct FROM g GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(a.n_grams, 0) AS n_grams,
+        |  COALESCE(a.n_distinct, 0) AS n_distinct,
+        |  CASE WHEN COALESCE(a.n_grams, 0) > 0
+        |    THEN CAST(FLOOR((a.n_grams - a.n_distinct) * 1000000 / a.n_grams) AS BIGINT)
+        |    ELSE 0 END AS dup_ppm
+        |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "m3_frame_sample" ->
       """WITH f AS (SELECT doc_id, text,

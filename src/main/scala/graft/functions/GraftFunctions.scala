@@ -62,7 +62,10 @@ object GraftFunctions {
       arity("graft_langid", "(array<string>, literal string)", 2)(
         c => PredictedLang(c(0), litStr("graft_langid", c(1))))),
     ("graft_toklen", "graft_toklen(tokens) — sum of token lengths in characters",
-      arity("graft_toklen", "(array<string>)", 1)(c => SumTokenChars(c.head))))
+      arity("graft_toklen", "(array<string>)", 1)(c => SumTokenChars(c.head))),
+    ("graft_wngram_stats", "graft_wngram_stats(text, n) — [total, distinct] word n-grams",
+      arity("graft_wngram_stats", "(string, literal int)", 2)(
+        c => WordNgramStats(c(0), litInt("graft_wngram_stats", c(1))))))
 
   /** Register expression-backed functions for SQL use (idempotent; called
     * from Tables so every query session has them). */
@@ -162,6 +165,11 @@ object GraftFunctions {
 
   /** Σ token length in characters — native form of the `aggregate` fold. */
   def sumTokenChars(toks: Column): Column = call_function("graft_toklen", toks)
+
+  /** `[total, distinct]` word n-grams of single-space-separated text in one
+    * native pass (WordNgramStats) — the repetition quality signal. */
+  def wordNgramStats(text: Column, n: Int): Column =
+    call_function("graft_wngram_stats", text, lit(n))
 
   /** Distinct word n-grams joined with a space. Empty array when the doc has
     * fewer than n tokens (guard: Spark `sequence(a,b)` with a>b counts DOWN). */

@@ -40,6 +40,24 @@ object Sampling {
     when(b < trainUpTo, "train").when(b < valUpTo, "val").otherwise("test")
   }
 
+  /** Cap every stratum at `cap` rows, keeping a deterministic pseudo-random
+    * subset: rank rows within the stratum by md5(key) and keep rank ≤ cap.
+    * This is corpus rebalancing for training mixes (e.g. at most N docs per
+    * language/source) — hash-ordered so the kept subset is uniform, stable
+    * across runs, and independent of storage order. One shuffle on the
+    * stratum key; skewed strata are bounded by the window's per-partition
+    * streaming (rank is computed without materializing the stratum). */
+  def stratifiedCap(
+      df: DataFrame,
+      strataCols: Seq[String],
+      keyCol: String,
+      cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("rank", row_number().over(w)).filter(col("rank") <= cap)
+  }
+
   /** Annotate every row with its (bucket, split) — the reproducible
     * train/val/test assignment. */
   def trainValTestSplit(

@@ -88,6 +88,26 @@ object TextAnalysis {
       contentFpCol(col(textCol)).as("content_fp"),
       rollingFpCol(col(textCol)).as("rolling_fp"))
 
+  /** Repetition scoring: duplicate word-n-gram ratio per document (the
+    * Gopher-style "duplicate n-gram fraction" quality signal). One native
+    * pass per row (WordNgramStats: split, hash each gram to 60-bit md5,
+    * sort, count) — no shuffle, runs at parquet-scan speed; the ratio is
+    * exact integer ppm arithmetic. Splits on single spaces with empties
+    * kept (≡ DuckDB `string_split(text,' ')`), NOT the lowercasing
+    * `tokens()` — repetition is a surface-form property. */
+  def repetition(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    docs.select(col(idCol), wordNgramStats(col(textCol), n).as("st"))
+      .select(
+        col(idCol),
+        col("st").getItem(0).as("n_grams"),
+        col("st").getItem(1).as("n_distinct"))
+      // floor(long*1e6/long): operands < 2^53, double quotient floors exactly
+      .withColumn("dup_ppm",
+        when(col("n_grams") > 0,
+          floor((col("n_grams") - col("n_distinct")) * 1000000L / col("n_grams")))
+          .otherwise(0L))
+  }
+
   /** Top-`k` tokens by corpus frequency per group (term-frequency profile).
     * One explode + one (group, token) count + a top-k window over the
     * (small) distinct-term frame; ties break to the lexicographically first

@@ -137,6 +137,35 @@ class TextPrimitivesSpec extends SparkSpec {
   "normalizeText" should "collapse whitespace and lowercase" in {
     Seq("  A \t B\n\nC ").toDF("t").select(normalizeText(col("t"))).as[String].head() shouldBe "a b c"
   }
+
+  "wordNgramStats" should "count total and distinct word n-grams with md5-hash distinctness" in {
+    val out = Seq(
+      "a b c d",       // grams: "a b c","b c d" — all distinct
+      "a b a b a b",   // grams: aba, bab, aba, bab — 4 total, 2 distinct
+      "a b",           // shorter than n
+      "")              // empty text → split gives one empty token
+      .toDF("text")
+      .select(wordNgramStats(col("text"), 3).as("st"))
+      .as[Seq[Long]].collect()
+    out(0) shouldBe Seq(2L, 2L)
+    out(1) shouldBe Seq(4L, 2L)
+    out(2) shouldBe Seq(0L, 0L)
+    out(3) shouldBe Seq(0L, 0L)
+  }
+
+  it should "hash grams exactly like the declarative md5Hash60 spelling" in {
+    import graft.functions.CharNgramHashSet
+    // the distinct count must be over hash60("w1 w2 w3") values
+    CharNgramHashSet.hash60("a b c") shouldBe
+      Seq("a b c").toDF("g").select(md5Hash60(col("g"))).as[Long].head()
+  }
+
+  it should "keep empty tokens (string_split parity, not tokens())" in {
+    // "a  b c" splits to ["a","","b","c"] → grams "a  b" and " b c"
+    val st = Seq("a  b c").toDF("text")
+      .select(wordNgramStats(col("text"), 3).as("st")).as[Seq[Long]].head()
+    st shouldBe Seq(2L, 2L)
+  }
 }
 
 class VectorFunctionsSpec extends SparkSpec {

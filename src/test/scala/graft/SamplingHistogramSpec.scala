@@ -25,6 +25,36 @@ class SamplingHistogramSpec extends SparkSpec {
     kept.count().toDouble shouldBe (500.0 +- 150.0)
   }
 
+  "stratifiedCap" should "cap each stratum deterministically by hash rank" in {
+    val df = spark.range(300)
+      .select(col("id"), (col("id") % 3).cast("string").as("lang"))
+    val capped = Sampling.stratifiedCap(df, Seq("lang"), "id", cap = 10)
+    capped.groupBy("lang").count().as[(String, Long)].collect().toMap shouldBe
+      Map("0" -> 10L, "1" -> 10L, "2" -> 10L)
+    // stable under re-partitioning: same kept ids
+    val again = Sampling.stratifiedCap(df.repartition(7), Seq("lang"), "id", cap = 10)
+    again.select("id").as[Long].collect().sorted shouldBe
+      capped.select("id").as[Long].collect().sorted
+    // strata smaller than the cap survive whole
+    val tiny = Sampling.stratifiedCap(df.limit(5), Seq("lang"), "id", cap = 10)
+    tiny.count() shouldBe 5L
+  }
+
+  "repetition" should "score duplicate trigram ratio in exact ppm" in {
+    val docs = Seq(
+      (1L, "a b c d e"),       // 3 grams, all distinct → 0 ppm
+      (2L, "x y x y x y x y"), // 6 grams, 2 distinct → floor(4e6/6)
+      (3L, "q")                // too short → 0 grams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+      .select("n_grams", "n_distinct", "dup_ppm")
+      .as[(Long, Long, Long)].collect()
+    out(0) shouldBe ((3L, 3L, 0L))
+    out(1) shouldBe ((6L, 2L, 666666L))
+    out(2) shouldBe ((0L, 0L, 0L))
+  }
+
   "trainValTestSplit" should "partition every row into exactly one stable split" in {
     val df = spark.range(500).toDF("id")
     val s = Sampling.trainValTestSplit(df, "id")

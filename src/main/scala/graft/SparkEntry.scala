@@ -538,6 +538,17 @@ object SparkEntry {
         .orderBy("lang", "rank")
     }),
 
+    // benchmark decontamination: train docs sharing an 8-gram with the
+    // (src0-as-benchmark) eval corpus; broadcast eval gram set, no shuffle
+    "d6_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminate(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
     // corpus rebalancing: deterministic hash-ranked cap per language stratum
     "q37_stratified_cap" -> ((s, d) => {
       Sampling.stratifiedCap(Tables.documents(s, d), Seq("lang"), "doc_id", cap = 50)
@@ -620,6 +631,9 @@ object SparkEntry {
   private val toksSql =
     """list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')"""
   private val normSql = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+  /** Space-joined word n-gram starting at 1-based `ws[i]` (WordNgrams parity). */
+  private def wordGramSql(n: Int): String =
+    (0 until n).map(k => s"ws[i+$k]").mkString(" || ' ' || ")
   private def qvSql(v: String) = s"[CAST(round(x::DOUBLE*1000) AS BIGINT) for x in $v]"
   private val cosSql =
     """CASE WHEN list_sum([qa[i]*qa[i] for i in range(1,65)]) * list_sum([qb[i]*qb[i] for i in range(1,65)]) = 0 THEN 0.0
@@ -1057,6 +1071,23 @@ object SparkEntry {
          |    (PARTITION BY lang ORDER BY n DESC, token) AS rank FROM c)
          |SELECT lang, token, n, CAST(rank AS INTEGER) AS rank
          |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+
+    "d6_decontaminate" ->
+      s"""WITH tw AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |    FROM documents WHERE source <> 'src0'),
+         |tg AS (SELECT DISTINCT doc_id, substr(md5(${wordGramSql(8)}), 1, 15) AS h
+         |    FROM tw, UNNEST(generate_series(1, len(ws) - 7)) AS t(i)),
+         |ew AS (SELECT string_split(text, ' ') AS ws
+         |    FROM documents WHERE source = 'src0'),
+         |eg AS (SELECT DISTINCT substr(md5(${wordGramSql(8)}), 1, 15) AS h
+         |    FROM ew, UNNEST(generate_series(1, len(ws) - 7)) AS t(i)),
+         |hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |    FROM tg JOIN eg USING (h) GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(hits.n_hits, 0) AS n_hits,
+         |  COALESCE(hits.n_hits, 0) > 0 AS contaminated
+         |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+         |LEFT JOIN hits USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q37_stratified_cap" ->
       """WITH r AS (SELECT doc_id, lang, source,

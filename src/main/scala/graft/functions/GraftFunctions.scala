@@ -65,7 +65,10 @@ object GraftFunctions {
       arity("graft_toklen", "(array<string>)", 1)(c => SumTokenChars(c.head))),
     ("graft_wngram_stats", "graft_wngram_stats(text, n) — [total, distinct] word n-grams",
       arity("graft_wngram_stats", "(string, literal int)", 2)(
-        c => WordNgramStats(c(0), litInt("graft_wngram_stats", c(1))))))
+        c => WordNgramStats(c(0), litInt("graft_wngram_stats", c(1))))),
+    ("graft_wngrams", "graft_wngrams(text, n) — sorted 60-bit md5 hashes of word n-grams",
+      arity("graft_wngrams", "(string, literal int)", 2)(
+        c => WordNgramHashSet(c(0), litInt("graft_wngrams", c(1))))))
 
   /** Register expression-backed functions for SQL use (idempotent; called
     * from Tables so every query session has them). */
@@ -170,6 +173,11 @@ object GraftFunctions {
     * native pass (WordNgramStats) — the repetition quality signal. */
   def wordNgramStats(text: Column, n: Int): Column =
     call_function("graft_wngram_stats", text, lit(n))
+
+  /** Sorted distinct 60-bit word-n-gram hashes (WordNgramHashSet) — the
+    * overlap-joinable representation for decontamination. */
+  def wordNgramHashSet(text: Column, n: Int): Column =
+    call_function("graft_wngrams", text, lit(n))
 
   /** Distinct word n-grams joined with a space. Empty array when the doc has
     * fewer than n tokens (guard: Spark `sequence(a,b)` with a>b counts DOWN). */

@@ -6,27 +6,17 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Word n-gram repetition stats of a string in one native pass:
-  * `[total n-grams, distinct n-grams]` where distinctness is over the 60-bit
-  * md5 hash of each space-joined gram (the engine-portable set convention —
-  * `substr(md5(gram),1,15)` in the oracle, collision odds ~n²/2^60).
-  *
-  * The duplicate-gram fraction `(total-distinct)/total` is the standard
-  * repetition quality signal for training-data curation (Gopher-style
-  * "duplicate n-gram ratio"). Splitting is on single spaces with empty
-  * tokens KEPT — exactly DuckDB `string_split(text, ' ')` — so grams equal
-  * the corresponding char substrings of single-space-normalized text.
-  *
-  * Equivalent HOF spelling (interpreted per gram, ~10× slower):
-  * `transform(sequence(...), i -> md5Hash60(concat_ws(' ', slice(...))))`
-  * then size + size(array_distinct).
-  */
-object WordNgramStats {
+/** Shared word n-gram hashing: split on single spaces with empty tokens KEPT
+  * — exactly DuckDB `string_split(text, ' ')` — and hash every space-joined
+  * n-word gram to its 60-bit md5 prefix (the engine-portable set convention,
+  * `substr(md5(gram),1,15)` in the oracle; collision odds ~n²/2^60). */
+object WordNgrams {
 
-  def compute(str: UTF8String, n: Int): ArrayData = {
+  /** 60-bit hashes of all n-grams in document order (duplicates included). */
+  def hashAll(str: UTF8String, n: Int): Array[Long] = {
     val words = str.toString.split(" ", -1)
     val total = words.length - n + 1
-    if (total <= 0) return new GenericArrayData(Array(0L, 0L))
+    if (total <= 0) return Array.emptyLongArray
     val hashes = new Array[Long](total)
     val sb = new java.lang.StringBuilder(64)
     var i = 0
@@ -41,14 +31,37 @@ object WordNgramStats {
       hashes(i) = CharNgramHashSet.hash60(sb.toString)
       i += 1
     }
+    hashes
+  }
+
+  /** In-place sort + dedup prefix length. */
+  private[functions] def sortedDistinctLen(hashes: Array[Long]): Int = {
     java.util.Arrays.sort(hashes)
-    var distinct = 1L
+    var w = 1
     var r = 1
-    while (r < total) {
-      if (hashes(r) != hashes(r - 1)) distinct += 1
+    while (r < hashes.length) {
+      if (hashes(r) != hashes(w - 1)) { hashes(w) = hashes(r); w += 1 }
       r += 1
     }
-    new GenericArrayData(Array(total.toLong, distinct))
+    w
+  }
+}
+
+/** Word n-gram repetition stats of a string in one native pass:
+  * `[total n-grams, distinct n-grams]`. The duplicate-gram fraction
+  * `(total-distinct)/total` is the standard repetition quality signal for
+  * training-data curation (Gopher-style "duplicate n-gram ratio").
+  *
+  * Equivalent HOF spelling (interpreted per gram, ~10× slower):
+  * `transform(sequence(...), i -> md5Hash60(concat_ws(' ', slice(...))))`
+  * then size + size(array_distinct).
+  */
+object WordNgramStats {
+  def compute(str: UTF8String, n: Int): ArrayData = {
+    val hashes = WordNgrams.hashAll(str, n)
+    if (hashes.isEmpty) return new GenericArrayData(Array(0L, 0L))
+    val distinct = WordNgrams.sortedDistinctLen(hashes)
+    new GenericArrayData(Array(hashes.length.toLong, distinct.toLong))
   }
 }
 
@@ -64,5 +77,32 @@ case class WordNgramStats(child: Expression, n: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.WordNgramStats.compute($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): WordNgramStats =
+    copy(child = newChild)
+}
+
+/** Sorted distinct 60-bit hashes of a string's word n-grams — the word-level
+  * sibling of CharNgramHashSet, used for n-gram overlap operators
+  * (decontamination, set similarity on surface word sequences). */
+object WordNgramHashSet {
+  def compute(str: UTF8String, n: Int): ArrayData = {
+    val hashes = WordNgrams.hashAll(str, n)
+    if (hashes.isEmpty) return new GenericArrayData(Array.emptyLongArray)
+    val w = WordNgrams.sortedDistinctLen(hashes)
+    new GenericArrayData(java.util.Arrays.copyOf(hashes, w))
+  }
+}
+
+case class WordNgramHashSet(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_wngrams"
+
+  protected override def nullSafeEval(input: Any): Any =
+    WordNgramHashSet.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordNgramHashSet.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgramHashSet =
     copy(child = newChild)
 }

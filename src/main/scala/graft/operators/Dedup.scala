@@ -203,4 +203,35 @@ object Dedup {
         quantizedCosinePre(col("qa"), col("qb"), col("na"), col("nb")).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
+
+  /** Benchmark decontamination: flag every training document sharing at
+    * least one word-`n`-gram with the eval/benchmark corpus (the published
+    * n-gram overlap recipe, n≈8-13). Returns one row per training doc:
+    * `(id, n_hits = distinct shared grams, contaminated)`.
+    *
+    * Scale shape: eval corpora (benchmarks) are tiny next to a 100 TB train
+    * corpus, so the distinct eval gram set is broadcast — the train side
+    * streams through a map-side hash-semi-join at scan speed with NO
+    * shuffle of train grams; the only aggregation is per-doc counting of
+    * the (rare) hits. Gram sets are built by the native one-pass
+    * WordNgramHashSet. */
+  def decontaminate(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    val trainGrams = train.select(col(idCol),
+      explode(wordNgramHashSet(col(textCol), n)).as("h"))
+    val evalGrams = eval
+      .select(explode(wordNgramHashSet(col(textCol), n)).as("h")).distinct()
+    val hits = trainGrams
+      .join(broadcast(evalGrams), "h")
+      .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
+    train.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
 }

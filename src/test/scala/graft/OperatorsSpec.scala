@@ -62,6 +62,20 @@ class DedupSpec extends SparkSpec {
       canon(Dedup.ngramJaccard(blocked, "doc_id", "text", Seq("blk"), 3, 0.3))
   }
 
+  "Dedup.decontaminate" should "flag train docs sharing a word n-gram with the eval set" in {
+    val train = Seq(
+      (1L, "the quick brown fox jumps"), // shares "quick brown fox" with eval
+      (2L, "entirely different training content"),
+      (3L, "a quick brown fox appears")  // shares the same trigram
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "one quick brown fox ran")).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(train, eval, "doc_id", "text", n = 3)
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect()
+    out(0) shouldBe ((1L, 1L, true))
+    out(1) shouldBe ((2L, 0L, false))
+    out(2) shouldBe ((3L, 1L, true))
+  }
+
   "Dedup.embeddingNearDup" should "find exact and near duplicate vectors within blocks" in {
     val em = Seq(
       (1L, 0, Seq(1.0f, 0.0f, 0.0f)),

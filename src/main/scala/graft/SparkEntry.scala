@@ -538,6 +538,31 @@ object SparkEntry {
         .orderBy("lang", "rank")
     }),
 
+    // R5 inverted-index intersection: docs containing ALL query terms
+    "q38_search_and" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val index = SecondaryIndex.build(docs, Seq("doc_id"), tokens(col("text")))
+      SecondaryIndex.multiLookup(index, docs, Seq("doc_id"), Seq("spark", "window"))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    // ordered funnel conversion over the event log (click → view → purchase,
+    // time-bounded so each stage has a real failure rate)
+    "q39_funnel" -> ((s, d) => {
+      Analytics.funnel(
+        Tables.events(s, d).filter(col("ts_us") < Jan10_24),
+        "user_id", "event_type", "ts_us",
+        Seq("click", "view", "purchase"))
+        .orderBy("stage")
+    }),
+
+    // weekly cohort retention (first-event cohort × period offset)
+    "q40_cohort_retention" -> ((s, d) => {
+      Analytics.cohortRetention(Tables.events(s, d), "user_id", "ts_us", "week")
+        .orderBy("cohort_us", "period_offset")
+    }),
+
     // benchmark decontamination: train docs sharing an 8-gram with the
     // (src0-as-benchmark) eval corpus; broadcast eval gram set, no shuffle
     "d6_decontaminate" -> ((s, d) => {
@@ -1071,6 +1096,43 @@ object SparkEntry {
          |    (PARTITION BY lang ORDER BY n DESC, token) AS rank FROM c)
          |SELECT lang, token, n, CAST(rank AS INTEGER) AS rank
          |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+
+    "q38_search_and" ->
+      s"""WITH tok AS (SELECT DISTINCT doc_id, token FROM (
+         |    SELECT doc_id, unnest($toksSql) AS token FROM documents)
+         |    WHERE token IN ('spark', 'window')),
+         |hits AS (SELECT doc_id FROM tok GROUP BY doc_id HAVING COUNT(*) = 2)
+         |SELECT d.doc_id, d.lang, d.source
+         |FROM documents d JOIN hits USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q39_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+        |    WHERE epoch_us(ts) < 1704844800000000),
+        |f1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM e
+        |    WHERE event_type = 'click' GROUP BY user_id),
+        |f2 AS (SELECT e.user_id, MIN(ts_us) AS t2 FROM e JOIN f1 USING (user_id)
+        |    WHERE event_type = 'view' AND ts_us > f1.t1 GROUP BY e.user_id),
+        |f3 AS (SELECT e.user_id, MIN(ts_us) AS t3 FROM e JOIN f2 USING (user_id)
+        |    WHERE event_type = 'purchase' AND ts_us > f2.t2 GROUP BY e.user_id),
+        |s AS (SELECT f1.user_id,
+        |    CASE WHEN f3.t3 IS NOT NULL THEN 3
+        |         WHEN f2.t2 IS NOT NULL THEN 2 ELSE 1 END AS stage
+        |  FROM f1 LEFT JOIN f2 USING (user_id) LEFT JOIN f3 USING (user_id))
+        |SELECT CAST(stage AS INTEGER) AS stage, COUNT(*) AS n_entities
+        |FROM s GROUP BY stage ORDER BY stage""".stripMargin,
+
+    "q40_cohort_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |f AS (SELECT user_id, MIN(ts_us) AS first_us FROM e GROUP BY user_id),
+        |a AS (SELECT e.user_id,
+        |    epoch_us(date_trunc('week', make_timestamp(f.first_us))) AS cohort_us,
+        |    CAST((epoch_us(date_trunc('week', make_timestamp(e.ts_us)))
+        |        - epoch_us(date_trunc('week', make_timestamp(f.first_us))))
+        |      / 604800000000 AS BIGINT) AS period_offset
+        |  FROM e JOIN f USING (user_id))
+        |SELECT cohort_us, period_offset, COUNT(DISTINCT user_id) AS n_active
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "d6_decontaminate" ->
       s"""WITH tw AS (SELECT doc_id, string_split(text, ' ') AS ws

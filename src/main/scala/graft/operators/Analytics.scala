@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over the keyed event log: funnel conversion and
+  * cohort retention. Both generalize the reference's per-key time-range
+  * scans (SURVEY §2.3 R2, ExampleBank branch/time queries J3/J4) from
+  * "fetch a key's events" to corpus-wide ordered-sequence aggregation.
+  *
+  * Scale shape: every join/aggregate here keys on the entity column, so the
+  * whole pipeline is a chain of co-partitioned hash aggregations — AQE
+  * reuses the exchange across stages; nothing ever materializes per-event
+  * state wider than (entity, one timestamp).
+  */
+object Analytics {
+
+  /** Ordered funnel: for each entity, how deep into `stages` (event types
+    * that must occur in strictly increasing event-time order) it progressed.
+    * Returns `(stage, n_entities)` — entities whose FURTHEST ordered stage
+    * is `stage` (1-based; entities with no stage-1 event are absent).
+    *
+    * Stage k's frontier is min event time of `stages(k)` strictly after the
+    * stage-k-1 frontier — computed as one filtered aggregation per stage
+    * joined on the entity key, all co-partitioned. */
+  def funnel(
+      events: DataFrame,
+      entityCol: String,
+      typeCol: String,
+      tsCol: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val e = events.select(col(entityCol), col(typeCol), col(tsCol))
+    // frontier(k): (entity, t_k) — min ts of stage k after the prior frontier
+    val first = e.filter(col(typeCol) === stages.head)
+      .groupBy(entityCol).agg(min(tsCol).as("t1"))
+    val frontiers = stages.zipWithIndex.tail.scanLeft(first) {
+      case (prev, (stage, i)) =>
+        e.filter(col(typeCol) === stage)
+          .join(prev.select(col(entityCol), col(s"t$i")), entityCol)
+          .filter(col(tsCol) > col(s"t$i"))
+          .groupBy(entityCol).agg(min(tsCol).as(s"t${i + 1}"))
+    }
+    val joined = frontiers.tail.foldLeft(first) { (acc, f) =>
+      acc.join(f, Seq(entityCol), "left")
+    }
+    val stageExpr = (stages.indices.reverse.init.map { i =>
+      when(col(s"t${i + 1}").isNotNull, lit(i + 1))
+    } :+ lit(1)).reduce((a, b) => coalesce(a, b))
+    joined.select(stageExpr.cast("int").as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("n_entities"))
+  }
+
+  /** Cohort retention: entities are cohorted by the `truncUnit` (e.g.
+    * "week") of their first event; for every (cohort, period offset) count
+    * the distinct entities active in that period. Timestamps are epoch-µs
+    * longs; offsets are exact integer periods (UTC truncation boundaries
+    * make the difference an exact multiple of the unit). */
+  def cohortRetention(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      truncUnit: String = "week"): DataFrame = {
+    val unitUs: Long = truncUnit match {
+      case "week" => 7L * 24 * 3600 * 1000000L
+      case "day" => 24L * 3600 * 1000000L
+      case "hour" => 3600L * 1000000L
+      case u => throw new IllegalArgumentException(s"unsupported cohort unit: $u")
+    }
+    def truncUs(c: org.apache.spark.sql.Column) =
+      unix_micros(date_trunc(truncUnit, timestamp_micros(c)))
+    val firsts = events.groupBy(entityCol).agg(min(col(tsCol)).as("first_us"))
+    events.select(col(entityCol), col(tsCol))
+      .join(firsts, entityCol)
+      .select(
+        col(entityCol),
+        truncUs(col("first_us")).as("cohort_us"),
+        // exact: both are UTC unit boundaries → the difference is an exact
+        // multiple of unitUs and < 2^53, so the double quotient is integral
+        ((truncUs(col(tsCol)) - truncUs(col("first_us"))) / unitUs).cast("long")
+          .as("period_offset"))
+      .groupBy("cohort_us", "period_offset")
+      .agg(countDistinct(col(entityCol)).as("n_active"))
+  }
+}

@@ -43,4 +43,25 @@ object SecondaryIndex {
     val joined = primaryLatest.join(broadcast(hits), keyCols, "left_semi")
     tsCol.fold(joined)(t => joined.filter(range.contains(col(t))))
   }
+
+  /** Multi-term AND lookup: primary records whose index set contains EVERY
+    * key in `indexKeys` — the inverted-index intersection a search engine
+    * runs. `build` is distinct per (index_key, primary key), so a count of
+    * matching postings equals the number of distinct terms hit; keeping
+    * count == |terms| is the intersection. The `isin` prunes the postings
+    * scan to the queried terms before any shuffle, and the (small) hit set
+    * broadcasts into the semi-join against the primary. */
+  def multiLookup(
+      index: DataFrame,
+      primaryLatest: DataFrame,
+      keyCols: Seq[String],
+      indexKeys: Seq[Any]): DataFrame = {
+    val hits = index
+      .filter(col("index_key").isin(indexKeys: _*))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_terms"))
+      .filter(col("n_terms") === indexKeys.length)
+      .select(keyCols.map(col): _*)
+    primaryLatest.join(broadcast(hits), keyCols, "left_semi")
+  }
 }

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Analytics
+import graft.state.SecondaryIndex
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.functions._
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val DayUs = 24L * 3600 * 1000000L
+
+  "Analytics.funnel" should "count entities by furthest strictly-ordered stage" in {
+    val events = Seq(
+      (1L, "click", 1L), (1L, "view", 2L), (1L, "purchase", 3L), // full funnel
+      (2L, "click", 1L), (2L, "view", 2L), (2L, "purchase", 1L), // purchase BEFORE view → stage 2
+      (3L, "view", 1L), (3L, "click", 2L),                       // view only before click → stage 1
+      (4L, "view", 9L)                                           // never clicked → absent
+    ).toDF("user_id", "event_type", "ts_us")
+    val out = Analytics.funnel(events, "user_id", "event_type", "ts_us",
+      Seq("click", "view", "purchase"))
+      .orderBy("stage").as[(Int, Long)].collect()
+    out shouldBe Array((1, 1L), (2, 1L), (3, 1L))
+  }
+
+  it should "require strictly increasing timestamps across stages" in {
+    // same-timestamp stage-2 event does not count (strict >)
+    val events = Seq((1L, "click", 5L), (1L, "view", 5L)).toDF("user_id", "event_type", "ts_us")
+    Analytics.funnel(events, "user_id", "event_type", "ts_us", Seq("click", "view"))
+      .as[(Int, Long)].collect() shouldBe Array((1, 1L))
+  }
+
+  "Analytics.cohortRetention" should "cohort by first-event period and count distinct actives" in {
+    val events = Seq(
+      (1L, 0L * DayUs), (1L, 0L * DayUs + 1), (1L, 2L * DayUs), // cohort day0, active d0+d2
+      (2L, 1L * DayUs + 5), (2L, 2L * DayUs)                    // cohort day1, active d1+d2
+    ).toDF("user_id", "ts_us")
+    val out = Analytics.cohortRetention(events, "user_id", "ts_us", "day")
+      .orderBy("cohort_us", "period_offset")
+      .as[(Long, Long, Long)].collect()
+    out shouldBe Array(
+      (0L, 0L, 1L), (0L, 2L, 1L),
+      (1L * DayUs, 0L, 1L), (1L * DayUs, 1L, 1L))
+  }
+
+  "SecondaryIndex.multiLookup" should "intersect postings across all query terms" in {
+    val docs = Seq(
+      (1L, "spark window table"),
+      (2L, "spark only here"),
+      (3L, "window pane"),
+      (4L, "spark spark window") // duplicate tokens must not double-count
+    ).toDF("doc_id", "text")
+    val index = SecondaryIndex.build(docs, Seq("doc_id"), tokens(col("text")))
+    SecondaryIndex.multiLookup(index, docs, Seq("doc_id"), Seq("spark", "window"))
+      .select("doc_id").orderBy("doc_id").as[Long].collect() shouldBe Array(1L, 4L)
+  }
+}

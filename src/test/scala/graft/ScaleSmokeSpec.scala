@@ -61,4 +61,20 @@ class ScaleSmokeSpec extends SparkSpec {
     val agg = scored.agg(bit_xor(col("sh")), sum(col("len"))).collect()(0)
     agg.getLong(1) should be > 0L // forced full evaluation of both columns
   }
+
+  it should "score repetition over 1M documents row-locally (zero exchanges)" in {
+    val docs = spark.range(1000000L).select(
+      concat_ws(" ",
+        lit("a"), lit("b"), (col("id") % 7).cast("string"),
+        lit("a"), lit("b"), (col("id") % 7).cast("string")).as("text"))
+    val scored = docs.select(
+      graft.functions.GraftFunctions.wordNgramStats(col("text"), 3).as("st"))
+    val plan = scored.queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    val agg = scored
+      .select(col("st").getItem(0).as("t"), col("st").getItem(1).as("u"))
+      .agg(sum(col("t")), sum(col("u"))).collect()(0)
+    agg.getLong(0) shouldBe 4000000L // 4 grams per 6-token doc
+    agg.getLong(1) shouldBe 3000000L // "a b k" repeats once per doc
+  }
 }

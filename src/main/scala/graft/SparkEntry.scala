@@ -263,11 +263,15 @@ object SparkEntry {
         lit("\"><type>"), col("event_type"),
         lit("</type><cents>"), round(col("value") * 100).cast("long").cast("string"),
         lit("</cents></event>"))
+      // ONE StAX parse per row via from_xml (the xpath_* extractors each
+      // re-parse the document with DOM+XPath — measured 30× slower)
       ev.select(raw.as("raw"))
+        .select(xmlView(col("raw"),
+          "_user BIGINT, type STRING, cents BIGINT").as("x"))
         .select(
-          expr("xpath_string(raw, '/event/type/text()')").as("event_type"),
-          expr("xpath_long(raw, '/event/@user')").as("user_id"),
-          expr("xpath_long(raw, '/event/cents/text()')").as("cents"))
+          col("x.type").as("event_type"),
+          col("x._user").as("user_id"),
+          col("x.cents").as("cents"))
         .groupBy(col("event_type"))
         .agg(
           count(lit(1)).as("n"),
@@ -561,6 +565,13 @@ object SparkEntry {
     "q40_cohort_retention" -> ((s, d) => {
       Analytics.cohortRetention(Tables.events(s, d), "user_id", "ts_us", "week")
         .orderBy("cohort_us", "period_offset")
+    }),
+
+    // near-dup clustering: LSH pairs closed into components, keeper = min id
+    "d7_dedup_clusters" -> ((s, d) => {
+      Dedup.nearDupClusters(s, Tables.documents(s, d), "doc_id", "text",
+        numHashes = 8, shingleSize = 3, rowsPerBand = 2, minEstimate = 0.5)
+        .orderBy("doc_id")
     }),
 
     // benchmark decontamination: train docs sharing an 8-gram with the
@@ -1133,6 +1144,20 @@ object SparkEntry {
         |  FROM e JOIN f USING (user_id))
         |SELECT cohort_us, period_offset, COUNT(DISTINCT user_id) AS n_active
         |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "d7_dedup_clusters" ->
+      s"""WITH RECURSIVE ${minhashPairsSql("documents")},
+         |cl_e AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs WHERE jaccard_est >= 0.5),
+         |cl_sym AS (SELECT src, dst FROM cl_e UNION SELECT dst, src FROM cl_e),
+         |cl_reach(a, b) AS (
+         |  SELECT src, src FROM cl_sym
+         |  UNION
+         |  SELECT r.a, s.dst FROM cl_reach r JOIN cl_sym s ON r.b = s.src),
+         |cl_comp AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM cl_reach GROUP BY a)
+         |SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         |  d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS is_keeper
+         |FROM documents d LEFT JOIN cl_comp c USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "d6_decontaminate" ->
       s"""WITH tw AS (SELECT doc_id, string_split(text, ' ') AS ws

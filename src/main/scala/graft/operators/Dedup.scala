@@ -204,6 +204,43 @@ object Dedup {
       .filter(col("cosine") >= minCosine)
   }
 
+  /** Near-dup clustering: MinHash/LSH candidate pairs → connected
+    * components → canonical keeper per cluster. The full dedup story:
+    * pairwise similarity alone can't deduplicate (near-dup is not
+    * transitive, but the KEEP decision must be — A~B, B~C means keep one
+    * of {A,B,C}), so candidate edges are closed into components and the
+    * minimum id in each becomes the canonical document.
+    *
+    * With numeric ids the component label from min-propagation IS the
+    * minimum member id, so `cluster_id` doubles as `keep_id`. Singletons
+    * are injected as self-edges and keep themselves. Scale shape: the pair
+    * graph is tiny next to the corpus (only banded candidates), and the
+    * alternating large-star/small-star loop converges in O(log n)
+    * all-equi-join rounds — no per-vertex iteration state beyond an edge
+    * list. */
+  def nearDupClusters(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      shingleSize: Int = 3,
+      rowsPerBand: Int = 2,
+      minEstimate: Double = 0.5): DataFrame = {
+    val pairs = minhashLsh(docs, idCol, textCol, numHashes, shingleSize,
+      rowsPerBand, minEstimate, materializeCandidates = true)
+    // run the component loop ONLY over pair-touched vertices (a tiny
+    // fraction of the corpus); singletons re-attach as their own cluster
+    // via one left join — they never enter the iterative shuffles
+    val cc = GraphAlgorithms.connectedComponents(spark,
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      .withColumnRenamed("vertex", idCol)
+    docs.select(col(idCol))
+      .join(cc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("component"), col(idCol)).as("cluster_id"))
+      .withColumn("is_keeper", col(idCol) === col("cluster_id"))
+  }
+
   /** Benchmark decontamination: flag every training document sharing at
     * least one word-`n`-gram with the eval/benchmark corpus (the published
     * n-gram overlap recipe, n≈8-13). Returns one row per training doc:

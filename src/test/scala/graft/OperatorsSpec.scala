@@ -62,6 +62,23 @@ class DedupSpec extends SparkSpec {
       canon(Dedup.ngramJaccard(blocked, "doc_id", "text", Seq("blk"), 3, 0.3))
   }
 
+  "Dedup.nearDupClusters" should "close near-dup pairs into clusters with min-id keeper" in {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (11L, "the quick brown fox jumps over the lazy dog tonight"), // dup of 10
+      (12L, "the quick brown fox jumps over the lazy dog today"),   // near-dup chain
+      (40L, "completely unrelated content about database engines here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.nearDupClusters(spark, corpus, "doc_id", "text", minEstimate = 0.5)
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect()
+    // transitive closure: 10-11 exact, 11-12 near → one cluster rooted at 10
+    out.filter(_._1 <= 12L).map(_._2).toSet shouldBe Set(10L)
+    out.filter(_._1 <= 12L).map(r => r._1 -> r._3).toMap shouldBe
+      Map(10L -> true, 11L -> false, 12L -> false)
+    // singleton keeps itself without entering the loop
+    out.find(_._1 == 40L).get shouldBe ((40L, 40L, true))
+  }
+
   "Dedup.decontaminate" should "flag train docs sharing a word n-gram with the eval set" in {
     val train = Seq(
       (1L, "the quick brown fox jumps"), // shares "quick brown fox" with eval

@@ -567,6 +567,16 @@ object SparkEntry {
         .orderBy("cohort_us", "period_offset")
     }),
 
+    // per-type 3σ outliers in exact integer algebra (no float variance)
+    "q41_outliers" -> ((s, d) => {
+      val e = Tables.events(s, d).select(
+        col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      Analytics.zscoreOutliers(e, Seq("event_type"), "cents", k = 3)
+        .select(col("event_id"), col("event_type"), col("cents"))
+        .orderBy("event_id")
+    }),
+
     // near-dup clustering: LSH pairs closed into components, keeper = min id
     "d7_dedup_clusters" -> ((s, d) => {
       Dedup.nearDupClusters(s, Tables.documents(s, d), "doc_id", "text",
@@ -1144,6 +1154,17 @@ object SparkEntry {
         |  FROM e JOIN f USING (user_id))
         |SELECT cohort_us, period_offset, COUNT(DISTINCT user_id) AS n_active
         |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q41_outliers" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(round(value*100) AS BIGINT) AS cents FROM events),
+        |s AS (SELECT event_type, COUNT(*) AS n, SUM(cents) AS sc,
+        |    SUM(cents*cents) AS sc2 FROM e GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.cents
+        |FROM e JOIN s USING (event_type)
+        |WHERE (CAST(s.n AS HUGEINT)*e.cents - sc) * (CAST(s.n AS HUGEINT)*e.cents - sc)
+        |    > 9 * (CAST(s.n AS HUGEINT)*sc2 - CAST(sc AS HUGEINT)*sc)
+        |ORDER BY e.event_id""".stripMargin,
 
     "d7_dedup_clusters" ->
       s"""WITH RECURSIVE ${minhashPairsSql("documents")},

@@ -51,6 +51,35 @@ object Analytics {
       .groupBy("stage").agg(count(lit(1)).as("n_entities"))
   }
 
+  /** Per-group z-score outliers with EXACT integer algebra: keep rows where
+    * (x−μ)² > k²σ², rewritten multiply-through so no float mean/variance
+    * ever exists: `(n·x − Σx)² > k²·(n·Σx² − (Σx)²)`. `valueCol` must be an
+    * integer column (quantize doubles first, e.g. to cents); all products
+    * run in decimal(38,0) (HUGEINT in the oracle) — bit-exact on any
+    * engine, any partitioning. Headroom: needs n·max(x)² < 10³⁸, i.e.
+    * ~10²⁷ rows/group at x ≤ 10⁵ — unbounded in practice.
+    *
+    * Scale shape: one partial+final aggregation for the per-group moments,
+    * broadcast back into a row-local filter — the data column streams once. */
+  def zscoreOutliers(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      k: Int): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val x = col(valueCol)
+    val stats = df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("zs_n"),
+        sum(dec(x)).as("zs_s"),
+        sum(dec(x * x)).as("zs_s2"))
+    val dev = dec(col("zs_n")) * dec(x) - col("zs_s")
+    val varN2 = dec(col("zs_n")) * col("zs_s2") - col("zs_s") * col("zs_s")
+    df.join(broadcast(stats), groupCols)
+      .filter(dev * dev > lit(k * k) * varN2)
+      .drop("zs_n", "zs_s", "zs_s2")
+  }
+
   /** Cohort retention: entities are cohorted by the `truncUnit` (e.g.
     * "week") of their first event; for every (cohort, period offset) count
     * the distinct entities active in that period. Timestamps are epoch-µs

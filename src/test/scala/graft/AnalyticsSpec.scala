@@ -43,6 +43,26 @@ class AnalyticsSpec extends SparkSpec {
       (1L * DayUs, 0L, 1L), (1L * DayUs, 1L, 1L))
   }
 
+  "Analytics.zscoreOutliers" should "flag exactly the rows beyond k sigma, per group" in {
+    // group a: nine 10s and one 100 → μ=19, σ=27; |100−19|=81 > 2σ=54, 10s are not
+    val rows = (Seq.fill(9)(10L) :+ 100L).zipWithIndex.map { case (v, i) => (i.toLong, "a", v) } ++
+      Seq((100L, "b", 5L), (101L, "b", 5L)) // zero variance group: nothing flagged
+    val df = rows.toDF("id", "g", "x")
+    val out = Analytics.zscoreOutliers(df, Seq("g"), "x", k = 2)
+      .select("id").as[Long].collect()
+    out shouldBe Array(9L)
+  }
+
+  it should "be exact at magnitudes where float variance drifts" in {
+    // values ~1e9 with tiny deviations: double (x-mean)^2 sums lose the
+    // low bits; the decimal algebra must still separate 3σ exactly
+    val base = 1000000000L
+    val df = ((1 to 40).map(i => (i.toLong, base + (i % 2))) :+ (99L, base + 1000L))
+      .toDF("id", "x").withColumn("g", lit(1))
+    Analytics.zscoreOutliers(df, Seq("g"), "x", k = 3)
+      .select("id").as[Long].collect() shouldBe Array(99L)
+  }
+
   "SecondaryIndex.multiLookup" should "intersect postings across all query terms" in {
     val docs = Seq(
       (1L, "spark window table"),

@@ -567,6 +567,17 @@ object SparkEntry {
         .orderBy("cohort_us", "period_offset")
     }),
 
+    // equi-depth quantization table: 4 ntile buckets per event type
+    "q42_equidepth" -> ((s, d) => {
+      val e = Tables.events(s, d).select(
+        col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      Histogram.equiDepth(e, Seq("event_type"), "cents",
+        tieBreakCols = Seq("event_id"), buckets = 4)
+        .withColumn("bucket", col("bucket").cast("int"))
+        .orderBy("event_type", "bucket")
+    }),
+
     // per-type 3σ outliers in exact integer algebra (no float variance)
     "q41_outliers" -> ((s, d) => {
       val e = Tables.events(s, d).select(
@@ -1154,6 +1165,15 @@ object SparkEntry {
         |  FROM e JOIN f USING (user_id))
         |SELECT cohort_us, period_offset, COUNT(DISTINCT user_id) AS n_active
         |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q42_equidepth" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(round(value*100) AS BIGINT) AS cents FROM events),
+        |b AS (SELECT event_type, cents, NTILE(4) OVER
+        |    (PARTITION BY event_type ORDER BY cents, event_id) AS bucket FROM e)
+        |SELECT event_type, CAST(bucket AS INTEGER) AS bucket, COUNT(*) AS n,
+        |  MIN(cents) AS lo, MAX(cents) AS hi
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q41_outliers" ->
       """WITH e AS (SELECT event_id, event_type,

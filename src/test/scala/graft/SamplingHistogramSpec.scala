@@ -40,6 +40,17 @@ class SamplingHistogramSpec extends SparkSpec {
     tiny.count() shouldBe 5L
   }
 
+  "equiDepth" should "fill buckets row_number-style with exact ranges" in {
+    // 10 rows, 4 buckets → sizes 3,3,2,2 over the sorted values
+    val df = (1L to 10L).map(i => (i, i * 10L)).toDF("id", "v").withColumn("g", lit("a"))
+    val out = Histogram.equiDepth(df, Seq("g"), "v", Seq("id"), 4)
+      .orderBy("bucket")
+      .select("bucket", "n", "lo", "hi")
+      .as[(Int, Long, Long, Long)].collect()
+    out shouldBe Array(
+      (1, 3L, 10L, 30L), (2, 3L, 40L, 60L), (3, 2L, 70L, 80L), (4, 2L, 90L, 100L))
+  }
+
   "repetition" should "score duplicate trigram ratio in exact ppm" in {
     val docs = Seq(
       (1L, "a b c d e"),       // 3 grams, all distinct → 0 ppm

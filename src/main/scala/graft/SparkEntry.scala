@@ -567,6 +567,14 @@ object SparkEntry {
         .orderBy("cohort_us", "period_offset")
     }),
 
+    // curation v2: repetition gate → decontaminate → cluster dedup → lang cap
+    "p2_curation_v2" -> ((s, d) => {
+      TrainingDataPipeline.curateV2(s, Tables.documents(s, d), "doc_id", "text",
+        evalFilter = col("source") === "src0")
+        .select(col("doc_id"), col("lang"), col("source"), col("rank"))
+        .orderBy("lang", "rank")
+    }),
+
     // equi-depth quantization table: 4 ntile buckets per event type
     "q42_equidepth" -> ((s, d) => {
       val e = Tables.events(s, d).select(
@@ -1165,6 +1173,44 @@ object SparkEntry {
         |  FROM e JOIN f USING (user_id))
         |SELECT cohort_us, period_offset, COUNT(DISTINCT user_id) AS n_active
         |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "p2_curation_v2" ->
+      s"""WITH RECURSIVE
+         |rw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |rg AS (SELECT doc_id, substr(md5(${wordGramSql(3)}), 1, 15) AS h
+         |    FROM rw, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+         |ra AS (SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT h) AS nd
+         |    FROM rg GROUP BY doc_id),
+         |rep_ok AS (SELECT d.doc_id FROM documents d LEFT JOIN ra USING (doc_id)
+         |    WHERE CASE WHEN COALESCE(ra.n, 0) > 0
+         |      THEN FLOOR((ra.n - ra.nd) * 1000000 / ra.n) ELSE 0 END < 10000),
+         |train AS (SELECT d.doc_id, d.text, d.lang, d.source
+         |    FROM documents d JOIN rep_ok USING (doc_id) WHERE d.source <> 'src0'),
+         |tw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM train),
+         |tg AS (SELECT DISTINCT doc_id, substr(md5(${wordGramSql(8)}), 1, 15) AS h
+         |    FROM tw, UNNEST(generate_series(1, len(ws) - 7)) AS t(i)),
+         |ew AS (SELECT string_split(text, ' ') AS ws FROM documents WHERE source = 'src0'),
+         |eg AS (SELECT DISTINCT substr(md5(${wordGramSql(8)}), 1, 15) AS h
+         |    FROM ew, UNNEST(generate_series(1, len(ws) - 7)) AS t(i)),
+         |contaminated AS (SELECT DISTINCT doc_id FROM tg JOIN eg USING (h)),
+         |surv AS (SELECT t.* FROM train t LEFT JOIN contaminated c USING (doc_id)
+         |    WHERE c.doc_id IS NULL),
+         |${minhashPairsSql("surv")},
+         |cl_e AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs WHERE jaccard_est >= 0.5),
+         |cl_sym AS (SELECT src, dst FROM cl_e UNION SELECT dst, src FROM cl_e),
+         |cl_reach(a, b) AS (
+         |  SELECT src, src FROM cl_sym
+         |  UNION
+         |  SELECT r.a, s.dst FROM cl_reach r JOIN cl_sym s ON r.b = s.src),
+         |cl_comp AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM cl_reach GROUP BY a),
+         |kept AS (SELECT s.doc_id, s.lang, s.source
+         |    FROM surv s LEFT JOIN cl_comp c USING (doc_id)
+         |    WHERE COALESCE(c.cluster_id, s.doc_id) = s.doc_id),
+         |ranked AS (SELECT doc_id, lang, source, ROW_NUMBER() OVER
+         |    (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rank
+         |  FROM kept)
+         |SELECT doc_id, lang, source, CAST(rank AS INTEGER) AS rank
+         |FROM ranked WHERE rank <= 40 ORDER BY lang, rank""".stripMargin,
 
     "q42_equidepth" ->
       """WITH e AS (SELECT event_id, event_type,

@@ -56,4 +56,40 @@ object TrainingDataPipeline {
       TextAnalysis.contentFpCol(col(textCol)).as("content_fp"),
       col("n_tokens"))
   }
+
+  /** Curation v2 — the round-2 operators composed into the full large-corpus
+    * recipe (each stage is an audited operator; the composition inherits
+    * their scale shapes):
+    *
+    *   1. repetition gate: drop docs whose duplicate-trigram ratio ≥
+    *      `maxDupPpm` (native one-pass scoring, row-local);
+    *   2. decontamination: drop training docs sharing any word-8-gram with
+    *      the eval corpus (broadcast eval gram set);
+    *   3. near-dup clustering: transitive keep-one — only cluster keepers
+    *      survive (CC over the LSH pair graph only);
+    *   4. corpus rebalance: deterministic hash-ranked cap per language.
+    */
+  def curateV2(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      evalFilter: org.apache.spark.sql.Column,
+      maxDupPpm: Long = 10000L,
+      capPerLang: Int = 40): DataFrame = {
+    val repOk = TextAnalysis.repetition(docs, idCol, textCol, n = 3)
+      .filter(col("dup_ppm") < maxDupPpm)
+      .select(col(idCol))
+    val train = docs.filter(!evalFilter).join(repOk, idCol)
+    val eval = docs.filter(evalFilter)
+    val cleanIds = Dedup.decontaminate(train, eval, idCol, textCol, n = 8)
+      .filter(!col("contaminated"))
+      .select(col(idCol))
+    val survivors = train.join(cleanIds, idCol)
+    val keeperIds = Dedup.nearDupClusters(spark, survivors, idCol, textCol)
+      .filter(col("is_keeper"))
+      .select(col(idCol))
+    Sampling.stratifiedCap(survivors.join(keeperIds, idCol),
+      Seq("lang"), idCol, capPerLang)
+  }
 }

@@ -22,4 +22,25 @@ class TrainingDataPipelineSpec extends SparkSpec {
     r1.getAs[Long]("n_tokens") shouldBe 13L
     r1.getAs[String]("content_fp") should have length 32
   }
+
+  "curateV2" should "chain repetition gate, decontamination, cluster dedup, and lang cap" in {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      // eval corpus (source=eval)
+      (100L, "benchmark question about spark window functions and state stores", "en", "eval"),
+      // train: contaminated (shares the 8-gram run with the eval doc)
+      (1L, "benchmark question about spark window functions and state stores copied", "en", "web"),
+      // train: heavy repetition → dropped by the gate
+      (2L, "x y z x y z x y z x y z x y z x y z", "en", "web"),
+      // train: near-dup pair → only the min id survives
+      (3L, "a perfectly ordinary training document with enough words to shingle", "en", "web"),
+      (4L, "a perfectly ordinary training document with enough words to shingle", "en", "web"),
+      // train: clean singleton in another language
+      (5L, "ein ganz anderes deutsches dokument mit vielen verschiedenen worten hier", "de", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TrainingDataPipeline.curateV2(spark, docs, "doc_id", "text",
+      evalFilter = col("source") === "eval", maxDupPpm = 500000L, capPerLang = 10)
+      .select("doc_id").as[Long].collect().sorted
+    out shouldBe Array(3L, 5L)
+  }
 }

@@ -69,6 +69,13 @@ object TrainingDataPipeline {
     *      survive (CC over the LSH pair graph only);
     *   4. corpus rebalance: deterministic hash-ranked cap per language.
     */
+  /** `materialize` checkpoints the two frames the pipeline re-reads (the
+    * post-gate train set is consumed by the gram explode, the
+    * decontamination re-join, and the survivor join; the survivor set by
+    * the minhash self-join and the final cap) — without it every consumer
+    * re-runs the full upstream lineage per pass. On by default: three
+    * passes over a materialized corpus beat three recomputations of the
+    * gate + overlap stages at any scale. */
   def curateV2(
       spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame,
@@ -76,16 +83,18 @@ object TrainingDataPipeline {
       textCol: String,
       evalFilter: org.apache.spark.sql.Column,
       maxDupPpm: Long = 10000L,
-      capPerLang: Int = 40): DataFrame = {
+      capPerLang: Int = 40,
+      materialize: Boolean = true): DataFrame = {
+    def pin(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint(true) else df
     val repOk = TextAnalysis.repetition(docs, idCol, textCol, n = 3)
       .filter(col("dup_ppm") < maxDupPpm)
       .select(col(idCol))
-    val train = docs.filter(!evalFilter).join(repOk, idCol)
+    val train = pin(docs.filter(!evalFilter).join(repOk, idCol))
     val eval = docs.filter(evalFilter)
     val cleanIds = Dedup.decontaminate(train, eval, idCol, textCol, n = 8)
       .filter(!col("contaminated"))
       .select(col(idCol))
-    val survivors = train.join(cleanIds, idCol)
+    val survivors = pin(train.join(cleanIds, idCol))
     val keeperIds = Dedup.nearDupClusters(spark, survivors, idCol, textCol)
       .filter(col("is_keeper"))
       .select(col(idCol))

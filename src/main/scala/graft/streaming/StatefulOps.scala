@@ -59,6 +59,39 @@ object StatefulOps {
     updateAndGet[String, String, Long](words, (st, _) => Some(st.getOrElse(0L) + 1L))
   }
 
+  /** Streaming first-seen-wins dedup — the reference's insert-if-absent
+    * (P4 `insert`, KVStore.scala:107) lifted to a stream: the first record
+    * per key is emitted, every later one is dropped. This is streaming
+    * exact dedup when keyed by content hash (batch counterpart: Dedup.exact).
+    * Within one micro-batch ties break by the supplied ordering, so output
+    * is deterministic under replay. State per key is one boolean; bound it
+    * for unbounded corpora with `ttlMs` (accepting re-emission after the
+    * horizon — the same trade TTL'd stores make, P9). */
+  def firstSeenOnly[K, V](
+      input: Dataset[(K, V)],
+      ttlMs: Option[Long] = None)(
+      implicit ord: Ordering[V], ke: Encoder[K], oe: Encoder[(K, V)],
+      be: Encoder[Boolean]): Dataset[(K, V)] = {
+    val timeout =
+      if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    input
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (K, V)](OutputMode.Append(), timeout) {
+        (key, values, state) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else if (state.exists || values.isEmpty) {
+            Iterator.empty
+          } else {
+            state.update(true)
+            ttlMs.foreach(state.setTimeoutDuration)
+            Iterator.single((key, values.map(_._2).min))
+          }
+      }
+  }
+
   /** Output-mode guidance mirroring the reference's at-least-once commit
     * loop (GatewayStream.scala:187-211): update mode + checkpointing. */
   val DefaultOutputMode: OutputMode = OutputMode.Update()

@@ -94,4 +94,22 @@ class StatefulWordCountSpec extends SparkSpec {
       rows should contain(("a", "DELETED"))
     } finally query.stop()
   }
+
+  "firstSeenOnly" should "emit each content key once across batches (streaming exact dedup)" in {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Long)] // (content_hash, doc_id)
+    val out = StatefulOps.firstSeenOnly(input.toDS()).toDF("hash", "doc_id")
+    val query = out.writeStream
+      .format("memory").queryName("dedup_stream").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(("h1", 7L), ("h1", 3L), ("h2", 9L))
+      query.processAllAvailable()
+      input.addData(("h1", 1L), ("h3", 4L)) // h1 already seen → dropped
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT hash, doc_id FROM dedup_stream")
+        .as[(String, Long)].collect().sorted
+      // within-batch tie for h1 breaks to the smallest doc_id
+      rows shouldBe Array(("h1", 3L), ("h2", 9L), ("h3", 4L))
+    } finally query.stop()
+  }
 }

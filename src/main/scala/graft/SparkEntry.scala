@@ -517,6 +517,21 @@ object SparkEntry {
     }),
 
     // CUBE over (returnflag, linestatus) with grouping flags
+    // arbitrary GROUPING SETS (not a rollup/cube prefix chain)
+    "q43_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"),
+          count(lit(1)).as("n"),
+          qSum(col("l_quantity"), "sum_qty"))
+        .orderBy(col("g_rf"), col("g_ls"),
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
     "q30_cube" -> ((s, d) => {
       Tables.lineitem(s, d)
         .cube(col("l_returnflag"), col("l_linestatus"))
@@ -1114,6 +1129,16 @@ object SparkEntry {
          |       WHEN $bucket < 228 THEN 'val' ELSE 'test' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    "q43_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+        |  COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(round((l_quantity)*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0 AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus))
+        |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "q30_cube" ->
       """SELECT l_returnflag, l_linestatus,

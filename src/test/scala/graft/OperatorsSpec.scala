@@ -261,6 +261,22 @@ class GraphSpec extends SparkSpec {
       .as[(String, String)].collect()
     cc.map(_._2).distinct shouldBe Array("1")
   }
+
+  it should "produce identical components from the local and distributed paths" in {
+    // moderately tangled graph: rings, a chain, cross links, self loops
+    val edges = ((1 to 40).map(i => (i.toLong, (i % 40 + 1).toLong)) ++
+      (50 to 70).map(i => (i.toLong, (i + 1).toLong)) ++
+      Seq((40L, 50L), (80L, 80L), (90L, 91L)))
+      .toDF("src", "dst")
+    def canon(localThreshold: Long) =
+      GraphAlgorithms.connectedComponents(spark, edges, localThreshold = localThreshold)
+        .orderBy("vertex").as[(Long, Long)].collect().toSeq
+    val local = canon(Long.MaxValue) // force union-find
+    val dist = canon(0L)             // force the star-contraction loop
+    local shouldBe dist
+    local.find(_._1 == 80L).get._2 shouldBe 80L // self-loop only → own root
+    local.find(_._1 == 55L).get._2 shouldBe 1L  // chain bridged to the ring
+  }
 }
 
 class SessionizeSpec extends SparkSpec {

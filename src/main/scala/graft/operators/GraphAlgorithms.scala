@@ -99,6 +99,43 @@ object GraphAlgorithms {
       .select(col("vertex"), coalesce(col("component"), col("vertex")).as("component"))
   }
 
+  /** Driver-side fixed-iteration PageRank — the identical ppm floor
+    * arithmetic as the distributed loop, over collected (src, dst, out_deg)
+    * edges. */
+  private def localPageRank(
+      spark: SparkSession,
+      vertices: DataFrame,
+      eDeg: DataFrame,
+      iterations: Int,
+      dampingPpm: Long): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val verts = vertices.collect().map(_.get(0))
+    val edgesL = eDeg.collect().map(r => (r.get(0), r.get(1), r.getLong(2)))
+    var rank = new java.util.HashMap[Any, java.lang.Long]()
+    verts.foreach(v => rank.put(v, 1000000L))
+    var it = 0
+    while (it < iterations) {
+      val in = new java.util.HashMap[Any, java.lang.Long]()
+      edgesL.foreach { case (src, dst, deg) =>
+        in.merge(dst, rank.get(src) / deg, (a, b) => a + b)
+      }
+      val next = new java.util.HashMap[Any, java.lang.Long]()
+      verts.foreach { v =>
+        val inC: Long = Option(in.get(v)).map(_.longValue()).getOrElse(0L)
+        next.put(v, (1000000L - dampingPpm) + (dampingPpm * inC) / 1000000L)
+      }
+      rank = next
+      it += 1
+    }
+    val dt = vertices.schema.head.dataType
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      verts.map(v => org.apache.spark.sql.Row(v, rank.get(v).longValue())).toSeq.asJava
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vertex", dt, nullable = false),
+      org.apache.spark.sql.types.StructField("rank_ppm",
+        org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
   /** Driver-side closure for subcritical graphs: union-find with path
     * compression over the collected edge list, then min-label per root —
     * identical output contract to the distributed loop (component = min
@@ -172,7 +209,8 @@ object GraphAlgorithms {
       edges: DataFrame,
       iterations: Int = 10,
       dampingPpm: Long = 850000L,
-      checkpointInterval: Int = 16): DataFrame = {
+      checkpointInterval: Int = 16,
+      localThreshold: Long = LocalEdgeThreshold): DataFrame = {
     require(checkpointInterval > 0, "checkpointInterval must be positive")
     require(dampingPpm >= 0 && dampingPpm <= 1000000L, "dampingPpm must be in [0, 1e6]")
     val e = edges.select(col("src"), col("dst"))
@@ -184,6 +222,12 @@ object GraphAlgorithms {
       .localCheckpoint(true)
     val eDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("out_deg")), "src")
       .localCheckpoint(true)
+
+    // same adaptive trade as connectedComponents: the arithmetic is exact
+    // integer ppm either way, so a subcritical graph computes identical
+    // ranks on the driver without 10 rounds of join scheduling
+    if (eDeg.count() <= localThreshold)
+      return localPageRank(spark, vertices, eDeg, iterations, dampingPpm)
 
     var ranks = vertices.withColumn("rank_ppm", lit(1000000L))
     var it = 0

@@ -77,6 +77,16 @@ class PageRankSpec extends SparkSpec {
     r1 shouldBe r2
   }
 
+  it should "compute identical ranks from the local and distributed paths" in {
+    val edges = (Seq(("a", "b"), ("b", "a"), ("c", "a"), ("c", "b"), ("d", "c")) ++
+      (1 to 20).map(i => (s"x$i", s"x${i % 20 + 1}"))).toDF("src", "dst")
+    def ranks(localThreshold: Long) =
+      GraphAlgorithms.pageRankPpm(spark, edges, iterations = 12,
+        localThreshold = localThreshold)
+        .as[(String, Long)].collect().toMap
+    ranks(Long.MaxValue) shouldBe ranks(0L) // union of exact integer paths
+  }
+
   it should "converge ring graphs to uniform rank" in {
     val ring = (0 until 6).map(i => (s"v$i", s"v${(i + 1) % 6}")).toDF("src", "dst")
     val r = GraphAlgorithms.pageRankPpm(spark, ring, iterations = 20)

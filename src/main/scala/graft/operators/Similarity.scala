@@ -90,7 +90,8 @@ object Similarity {
       idCol: String,
       vecCol: String,
       nCentroids: Int,
-      iterations: Int = 5): (DataFrame, Array[Array[Long]]) = {
+      iterations: Int = 5,
+      localTrainThreshold: Long = LocalTrainThreshold): (DataFrame, Array[Array[Long]]) = {
     // everything in ×1000-quantized integer space: element sums are exact
     // longs and centroids round to integers, so assignments are identical
     // regardless of partitioning AND every distance is a codegen'd ldot
@@ -103,26 +104,83 @@ object Similarity {
     // deterministic seed: the nCentroids lowest-id vectors
     var centroids: Array[Array[Long]] = vecs.orderBy("id").limit(nCentroids)
       .select("v").collect().map(_.getSeq[Long](0).toArray)
-    var it = 0
-    while (it < iterations) {
-      val assigned = assignCells(vecs, centroids)
-      // new centroid = rounded mean of members; empty cells keep theirs
-      val dims = centroids(0).length
-      val sums = assigned
-        .groupBy("cell")
-        .agg(count(lit(1)).as("n"),
-          array((0 until dims).map(i => sum(element_at(col("v"), i + 1))): _*).as("sums"))
-        .collect()
-      val next = centroids.map(_.clone())
-      sums.foreach { r =>
-        val n = r.getAs[Long]("n")
-        next(r.getAs[Int]("cell")) =
-          r.getSeq[Long](r.fieldIndex("sums")).map(s => Math.round(s.toDouble / n)).toArray
+    // Adaptive training (same trade as GraphAlgorithms.LocalEdgeThreshold):
+    // every Lloyd iteration collects (cell, sums) to the driver anyway, so
+    // below ~64k vectors (≤ 32 MB at 64 dims) collecting the TRAINING SET
+    // once and iterating locally with the identical integer argmin/round
+    // arithmetic produces the same centroids without per-iteration job
+    // scheduling. Assignment of the full corpus stays distributed either
+    // way (one map-side pass).
+    if (vecs.count() <= localTrainThreshold) {
+      val rows = vecs.select("v").collect().map(_.getSeq[Long](0).toArray)
+      centroids = trainLocal(rows, centroids, iterations)
+    } else {
+      var it = 0
+      while (it < iterations) {
+        val assigned = assignCells(vecs, centroids)
+        // new centroid = rounded mean of members; empty cells keep theirs
+        val dims = centroids(0).length
+        val sums = assigned
+          .groupBy("cell")
+          .agg(count(lit(1)).as("n"),
+            array((0 until dims).map(i => sum(element_at(col("v"), i + 1))): _*).as("sums"))
+          .collect()
+        val next = centroids.map(_.clone())
+        sums.foreach { r =>
+          val n = r.getAs[Long]("n")
+          next(r.getAs[Int]("cell")) =
+            r.getSeq[Long](r.fieldIndex("sums")).map(s => Math.round(s.toDouble / n)).toArray
+        }
+        centroids = next
+        it += 1
       }
-      centroids = next
-      it += 1
     }
     (assignCells(vecs, centroids).select(col("id"), col("cell")), centroids)
+  }
+
+  /** Below this many corpus vectors, Lloyd training iterates on the driver
+    * (the per-iteration reduction collects there regardless). */
+  val LocalTrainThreshold: Long = 65536L
+
+  /** Driver-side Lloyd iterations — bit-identical to the distributed loop:
+    * same ‖c‖²−2·v·c integer argmin (strict `<` keeps the lowest cell on
+    * ties, matching array_min's struct ordering), same Math.round mean,
+    * empty cells keep their centroid. */
+  private def trainLocal(
+      rows: Array[Array[Long]],
+      init: Array[Array[Long]],
+      iterations: Int): Array[Array[Long]] = {
+    var centroids = init
+    val dims = if (centroids.nonEmpty) centroids(0).length else 0
+    var it = 0
+    while (it < iterations) {
+      val norms = centroids.map(c => c.map(x => x * x).sum)
+      val sums = Array.ofDim[Long](centroids.length, dims)
+      val counts = new Array[Long](centroids.length)
+      rows.foreach { v =>
+        var best = 0
+        var bestD = Long.MaxValue
+        var i = 0
+        while (i < centroids.length) {
+          val c = centroids(i)
+          var dot = 0L
+          var j = 0
+          while (j < dims) { dot += c(j) * v(j); j += 1 }
+          val d = norms(i) - 2L * dot
+          if (d < bestD) { bestD = d; best = i }
+          i += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dims) { sums(best)(j) += v(j); j += 1 }
+      }
+      centroids = centroids.zipWithIndex.map { case (c, i) =>
+        if (counts(i) == 0L) c.clone()
+        else sums(i).map(s => Math.round(s.toDouble / counts(i)))
+      }
+      it += 1
+    }
+    centroids
   }
 
   /** argmin over centroids of ‖v−c‖² ≡ argmin of (‖c‖² − 2·v·c): ‖v‖² is

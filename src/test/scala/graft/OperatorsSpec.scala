@@ -158,6 +158,20 @@ class SimilaritySpec extends SparkSpec {
     ivf shouldBe bf
   }
 
+  "ivfIndex" should "train identical centroids on the local and distributed paths" in {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(8)((rnd.nextFloat() - 0.5f) * 2f))
+    }.toDF("vec_id", "embedding")
+    def train(threshold: Long) =
+      Similarity.ivfIndex(vecs, "vec_id", "embedding", nCentroids = 4,
+        iterations = 4, localTrainThreshold = threshold)
+    val (cellsL, centroidsL) = train(Long.MaxValue)
+    val (cellsD, centroidsD) = train(0L)
+    centroidsL.map(_.toSeq).toSeq shouldBe centroidsD.map(_.toSeq).toSeq
+    cellsL.orderBy("id").collect().toSeq shouldBe cellsD.orderBy("id").collect().toSeq
+  }
+
   "lshBucket" should "assign identical vectors to identical buckets" in {
     val b = vecs.select(col("vec_id"),
       Similarity.lshBucket(col("embedding"), numPlanes = 8, dims = 4).as("b"))

@@ -35,7 +35,10 @@ object TrainingDataPipeline {
       .select(col(idCol), col("n_tokens"))
     val candidates = docs.join(quality, idCol)
 
-    // 2. exact dedup (within quality survivors)
+    // 2. exact dedup (within quality survivors). exactDeduped is consumed
+    // twice but its lineage is narrow projections + broadcast joins —
+    // pinning it measured as a wash at sf0.1, so it stays lazy (the heavy
+    // banded projection inside minhashLsh has its own checkpoint opt-in).
     val keepers = Dedup.exact(candidates, idCol, textCol, minGroupSize = 1)
       .select(col("keep_id").as(idCol))
     val exactDeduped = candidates.join(keepers, idCol)

@@ -576,6 +576,13 @@ object SparkEntry {
         .orderBy("stage")
     }),
 
+    // rolling 7-day distinct active users per observed day (exact, no sketch)
+    "q44_rolling_active" -> ((s, d) => {
+      Analytics.rollingActive(Tables.events(s, d), "user_id", "ts_us",
+        periods = 7, truncUnit = "day")
+        .orderBy("end_us")
+    }),
+
     // weekly cohort retention (first-event cohort × period offset)
     "q40_cohort_retention" -> ((s, d) => {
       Analytics.cohortRetention(Tables.events(s, d), "user_id", "ts_us", "week")
@@ -1186,6 +1193,16 @@ object SparkEntry {
         |  FROM f1 LEFT JOIN f2 USING (user_id) LEFT JOIN f3 USING (user_id))
         |SELECT CAST(stage AS INTEGER) AS stage, COUNT(*) AS n_entities
         |FROM s GROUP BY stage ORDER BY stage""".stripMargin,
+
+    "q44_rolling_active" ->
+      """WITH e AS (SELECT DISTINCT epoch_us(date_trunc('day', ts)) AS period_us,
+        |    user_id FROM events),
+        |observed AS (SELECT DISTINCT period_us AS end_us FROM e),
+        |c AS (SELECT user_id, unnest(range(period_us,
+        |    period_us + 7*86400000000, 86400000000)) AS end_us FROM e)
+        |SELECT c.end_us, COUNT(DISTINCT c.user_id) AS n_active
+        |FROM c JOIN observed USING (end_us)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q40_cohort_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),

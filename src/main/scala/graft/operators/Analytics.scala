@@ -51,6 +51,42 @@ object Analytics {
       .groupBy("stage").agg(count(lit(1)).as("n_entities"))
   }
 
+  /** Rolling `periods`-unit distinct actives: for every observed period end
+    * P, the count of distinct entities active in [P-(periods-1), P] — the
+    * rolling-DAU/WAU family, exact (no sketch).
+    *
+    * Shape at scale: dedup to (period, entity) first (bounded by entities ×
+    * periods, not events), explode each pair to the `periods` window ends
+    * it feeds (a constant fan-out), keep only observed period ends, then
+    * one distinct aggregation. No window function, no per-entity state —
+    * the fan-out join is the sketch-free way to make "distinct over a
+    * sliding window" associative. */
+  def rollingActive(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      periods: Int,
+      truncUnit: String = "day"): DataFrame = {
+    require(periods > 0, "periods must be positive")
+    val unitUs: Long = truncUnit match {
+      case "week" => 7L * 24 * 3600 * 1000000L
+      case "day" => 24L * 3600 * 1000000L
+      case "hour" => 3600L * 1000000L
+      case u => throw new IllegalArgumentException(s"unsupported unit: $u")
+    }
+    val e = events.select(
+      unix_micros(date_trunc(truncUnit, timestamp_micros(col(tsCol)))).as("period_us"),
+      col(entityCol)).distinct()
+    val observed = e.select(col("period_us").as("end_us")).distinct()
+    val contrib = e.select(
+      explode(sequence(col("period_us"),
+        col("period_us") + lit((periods - 1) * unitUs), lit(unitUs))).as("end_us"),
+      col(entityCol))
+    contrib.join(observed, "end_us")
+      .groupBy("end_us")
+      .agg(countDistinct(col(entityCol)).as("n_active"))
+  }
+
   /** Per-group z-score outliers with EXACT integer algebra: keep rows where
     * (x−μ)² > k²σ², rewritten multiply-through so no float mean/variance
     * ever exists: `(n·x − Σx)² > k²·(n·Σx² − (Σx)²)`. `valueCol` must be an

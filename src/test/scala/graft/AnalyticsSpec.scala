@@ -43,6 +43,19 @@ class AnalyticsSpec extends SparkSpec {
       (1L * DayUs, 0L, 1L), (1L * DayUs, 1L, 1L))
   }
 
+  "Analytics.rollingActive" should "count distinct entities over the trailing window" in {
+    val events = Seq(
+      (1L, 0L * DayUs + 5), (2L, 0L * DayUs + 9), // day 0: users 1,2
+      (1L, 1L * DayUs + 1),                       // day 1: user 1
+      (3L, 4L * DayUs + 2)                        // day 4: user 3
+    ).toDF("user_id", "ts_us")
+    val out = Analytics.rollingActive(events, "user_id", "ts_us", periods = 3, truncUnit = "day")
+      .orderBy("end_us").as[(Long, Long)].collect()
+    // observed days: 0, 1, 4. Trailing-3 windows: d0 → {1,2}; d1 → {1,2};
+    // d4 → {3} (days 0-1 fell out of the [2,4] window)
+    out shouldBe Array((0L, 2L), (1L * DayUs, 2L), (4L * DayUs, 1L))
+  }
+
   "Analytics.zscoreOutliers" should "flag exactly the rows beyond k sigma, per group" in {
     // group a: nine 10s and one 100 → μ=19, σ=27; |100−19|=81 > 2σ=54, 10s are not
     val rows = (Seq.fill(9)(10L) :+ 100L).zipWithIndex.map { case (v, i) => (i.toLong, "a", v) } ++

@@ -26,6 +26,12 @@ class GraftExtensionsSpec extends AnyFlatSpec with Matchers {
       s.sql(
         "SELECT graft_murmur2(cast('21' as binary)) AS h").collect()(0)
         .getInt(0) shouldBe -973932308 // frozen golden
+      s.sql(
+        "SELECT graft_wngram_stats('a b a b a b', 3) AS st").collect()(0)
+        .getSeq[Long](0) shouldBe Seq(4L, 2L)
+      s.sql(
+        "SELECT size(graft_wngrams('a b c d', 2)) AS n").collect()(0)
+        .getInt(0) shouldBe 3
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)

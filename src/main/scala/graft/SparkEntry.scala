@@ -576,6 +576,16 @@ object SparkEntry {
         .orderBy("stage")
     }),
 
+    // SCD2 temporal history: per-user validity intervals from the event log
+    "q45_scd2" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts_us"))
+      Changelog.scd2History(ev, Seq("user_id"), "ts_us", tieBreakCols = Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("valid_from_us"), col("valid_to_us"))
+        .orderBy("user_id", "valid_from_us", "event_id")
+    }),
+
     // rolling 7-day distinct active users per observed day (exact, no sketch)
     "q44_rolling_active" -> ((s, d) => {
       Analytics.rollingActive(Tables.events(s, d), "user_id", "ts_us",
@@ -1193,6 +1203,14 @@ object SparkEntry {
         |  FROM f1 LEFT JOIN f2 USING (user_id) LEFT JOIN f3 USING (user_id))
         |SELECT CAST(stage AS INTEGER) AS stage, COUNT(*) AS n_entities
         |FROM s GROUP BY stage ORDER BY stage""".stripMargin,
+
+    "q45_scd2" ->
+      """SELECT user_id, event_id, event_type,
+        |  epoch_us(ts) AS valid_from_us,
+        |  LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS valid_to_us
+        |FROM events
+        |ORDER BY user_id, valid_from_us, event_id""".stripMargin,
 
     "q44_rolling_active" ->
       """WITH e AS (SELECT DISTINCT epoch_us(date_trunc('day', ts)) AS period_us,

@@ -101,6 +101,28 @@ object Changelog {
       .withColumnRenamed("_rn", "recency_rank")
   }
 
+  /** SCD2 history view of a keyed changelog: every record becomes a
+    * validity interval `[valid_from_us, valid_to_us)` — valid until the
+    * key's next change, open (null) for the current record. The temporal
+    * "as was at time T" query is then one row-local filter
+    * (`valid_from <= T AND (valid_to IS NULL OR T < valid_to)`), which is
+    * how a warehouse serves the reference's time-bounded reads (R2) over
+    * full history instead of latest state.
+    *
+    * Scale shape: one shuffle on the key; `lead` streams each partition
+    * once. Intervals are exact epoch-µs longs. */
+  def scd2History(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      tieBreakCols: Seq[String] = Nil): DataFrame = {
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy((tsCol +: tieBreakCols).map(col): _*)
+    df.withColumn("valid_from_us", col(tsCol))
+      .withColumn("valid_to_us", lead(col(tsCol), 1).over(w))
+  }
+
   /** CDC diff of two keyed snapshots — the batch analogue of the
     * reference's CDC listeners (R8: every change to a key is observable):
     * classify each key as `insert` (new side only), `delete` (old side

@@ -7,6 +7,26 @@ import org.apache.spark.sql.functions._
 class DiffFramesSpec extends SparkSpec {
   import spark.implicits._
 
+  "scd2History" should "chain validity intervals per key with an open current record" in {
+    val log = Seq(
+      (1L, 100L, "a"), (1L, 200L, "b"), (1L, 300L, "c"),
+      (2L, 150L, "x")
+    ).toDF("k", "ts_us", "v")
+    val h = Changelog.scd2History(log, Seq("k"), "ts_us")
+      .orderBy("k", "valid_from_us")
+      .select("k", "v", "valid_from_us", "valid_to_us")
+      .as[(Long, String, Long, Option[Long])].collect()
+    h shouldBe Array(
+      (1L, "a", 100L, Some(200L)), (1L, "b", 200L, Some(300L)),
+      (1L, "c", 300L, None), (2L, "x", 150L, None))
+    // "as was at T" is a row-local filter over the intervals
+    val at250 = Changelog.scd2History(log, Seq("k"), "ts_us")
+      .filter(col("valid_from_us") <= 250L &&
+        (col("valid_to_us").isNull || col("valid_to_us") > 250L))
+      .select("k", "v").as[(Long, String)].collect().toMap
+    at250 shouldBe Map(1L -> "b", 2L -> "x")
+  }
+
   "diffSnapshots" should "classify inserts, deletes, updates and drop unchanged keys" in {
     val old = Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c")).toDF("k", "n", "v")
     val neu = Seq((2L, 20L, "b"), (3L, 31L, "c"), (4L, 40L, "d")).toDF("k", "n", "v")

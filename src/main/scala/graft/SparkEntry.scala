@@ -576,6 +576,18 @@ object SparkEntry {
         .orderBy("stage")
     }),
 
+    // salted skew join: result-identical to the plain equi-join (the oracle
+    // IS the plain join — proves the salting is correctness-free)
+    "q46_salted_join" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("user_id"), col("value"))
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      Skew.saltedJoin(e, c, Seq("user_id"), saltBuckets = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), qSum(col("value"), "sum_value"))
+        .orderBy("c_mktsegment")
+    }),
+
     // SCD2 temporal history: per-user validity intervals from the event log
     "q45_scd2" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -1203,6 +1215,12 @@ object SparkEntry {
         |  FROM f1 LEFT JOIN f2 USING (user_id) LEFT JOIN f3 USING (user_id))
         |SELECT CAST(stage AS INTEGER) AS stage, COUNT(*) AS n_entities
         |FROM s GROUP BY stage ORDER BY stage""".stripMargin,
+
+    "q46_salted_join" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n,
+         |  ${qSumSql("value", "sum_value")}
+         |FROM events JOIN customer ON events.user_id = customer.c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q45_scd2" ->
       """SELECT user_id, event_id, event_type,

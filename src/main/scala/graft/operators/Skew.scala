@@ -43,6 +43,27 @@ object Skew {
       .agg(finals.head, finals.tail: _*)
   }
 
+  /** Skewed equi-join via salting: the skewed (large) side gets a
+    * deterministic content-hash salt; the other side is replicated once per
+    * salt bucket; the join runs on (key, salt) — one hot key's rows spread
+    * over `saltBuckets` parallel tasks instead of one straggler. Result is
+    * row-identical to `large.join(small, keyCols)` (every matching pair
+    * meets in exactly one bucket). Use when AQE's skew-join split can't
+    * apply — broadcast-ineligible small side with a shuffled-hash/SMJ plan,
+    * or AQE off; replication multiplies the small side ×`saltBuckets`, so
+    * keep buckets modest. */
+  def saltedJoin(
+      large: DataFrame,
+      small: DataFrame,
+      keyCols: Seq[String],
+      saltBuckets: Int = 16): DataFrame = {
+    val salted = large.withColumn(
+      "_salt", pmod(xxhash64(large.columns.map(col): _*), lit(saltBuckets.toLong)))
+    val replicated = small.withColumn(
+      "_salt", explode(sequence(lit(0L), lit(saltBuckets.toLong - 1))))
+    salted.join(replicated, keyCols :+ "_salt").drop("_salt")
+  }
+
   /** Salted count + exact sum — the common hot-key rollup. The value is
     * ×100 integer-quantized per row, so both aggregation stages are plain
     * long sums (exact and reassociatable — the result equals the unsalted

@@ -82,4 +82,19 @@ class SkewSpec extends SparkSpec {
       .orderBy("k").as[(Long, Long, Double)].collect()
     salted shouldBe plain
   }
+
+  "saltedJoin" should "be row-identical to the plain equi-join on skewed keys" in {
+    import graft.operators.Skew
+    val rnd = new scala.util.Random(7)
+    val large = (1 to 4000).map { i =>
+      val k = if (rnd.nextDouble() < 0.7) 1L else rnd.nextInt(20).toLong
+      (k, i.toLong)
+    }.toDF("k", "payload")
+    val small = (0 to 19).map(k => (k.toLong, s"dim$k")).toDF("k", "name")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "payload", "name").orderBy("k", "payload")
+        .as[(Long, Long, String)].collect().toSeq
+    canon(Skew.saltedJoin(large, small, Seq("k"), saltBuckets = 8)) shouldBe
+      canon(large.join(small, Seq("k")))
+  }
 }

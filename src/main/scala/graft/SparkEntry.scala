@@ -1350,9 +1350,9 @@ object SparkEntry {
         |FROM r WHERE rank <= 50 ORDER BY lang, rank""".stripMargin,
 
     "t6_repetition" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |g AS (SELECT doc_id,
-        |    substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15) AS h
+        |    substr(md5(${wordGramSql(3)}), 1, 15) AS h
         |  FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
         |a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
         |    CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct FROM g GROUP BY doc_id)

@@ -66,6 +66,7 @@ object WordNgramStats {
 }
 
 case class WordNgramStats(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"word n-gram size must be >= 1 (got $n)")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_wngram_stats"
@@ -93,6 +94,7 @@ object WordNgramHashSet {
 }
 
 case class WordNgramHashSet(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"word n-gram size must be >= 1 (got $n)")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_wngrams"

@@ -104,16 +104,21 @@ object Analytics {
       k: Int): DataFrame = {
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val x = col(valueCol)
-    val stats = df.groupBy(groupCols.map(col): _*)
+    // square AFTER the decimal cast: dec(x*x) would square in long space
+    // first and overflow at max(x) >= 2^31.5 under ANSI
+    val stats0 = df.groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("zs_n"),
         sum(dec(x)).as("zs_s"),
-        sum(dec(x * x)).as("zs_s2"))
+        sum(dec(x) * dec(x)).as("zs_s2"))
+    // null-safe join keys: a NULL group is still a group with outliers
+    val stats = groupCols.foldLeft(stats0)((s, c) => s.withColumnRenamed(c, s"zs_$c"))
+    val cond = groupCols.map(c => col(c) <=> col(s"zs_$c")).reduce(_ && _)
     val dev = dec(col("zs_n")) * dec(x) - col("zs_s")
     val varN2 = dec(col("zs_n")) * col("zs_s2") - col("zs_s") * col("zs_s")
-    df.join(broadcast(stats), groupCols)
+    df.join(broadcast(stats), cond)
       .filter(dev * dev > lit(k * k) * varN2)
-      .drop("zs_n", "zs_s", "zs_s2")
+      .drop((Seq("zs_n", "zs_s", "zs_s2") ++ groupCols.map(c => s"zs_$c")): _*)
   }
 
   /** Cohort retention: entities are cohorted by the `truncUnit` (e.g.

@@ -53,7 +53,7 @@ object GraphAlgorithms {
       .localCheckpoint(true)
 
     val edgeCount = e.count()
-    if (edgeCount <= localThreshold)
+    if (edgeCount <= localThreshold && locallyOrderable(vertices.schema.head.dataType))
       return localComponents(spark, vertices, e)
 
     var converged = e.isEmpty
@@ -97,6 +97,27 @@ object GraphAlgorithms {
     val mapping = e.select(col("a").as("vertex"), col("b").as("component"))
     vertices.join(mapping, Seq("vertex"), "left")
       .select(col("vertex"), coalesce(col("component"), col("vertex")).as("component"))
+  }
+
+  /** Vertex types the driver-side paths handle with Spark-identical
+    * equality AND ordering: JVM value types whose boxed equals/compareTo
+    * match Catalyst semantics. Strings are ordered by UTF-8 bytes (not
+    * String.compareTo — UTF-16 code-unit order diverges for supplementary
+    * characters). Binary/array/struct vertices fall back to the distributed
+    * loop, where collected reference equality would silently mis-unify. */
+  private def locallyOrderable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.StringType => true
+    case org.apache.spark.sql.types.BooleanType => true
+    case _: org.apache.spark.sql.types.NumericType => true
+    case _ => false
+  }
+
+  private def localLt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: String, y: String) =>
+      java.util.Arrays.compareUnsigned(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+    case _ => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
   }
 
   /** Driver-side fixed-iteration PageRank — the identical ppm floor
@@ -159,13 +180,11 @@ object GraphAlgorithms {
       val ra = find(r.get(0)); val rb = find(r.get(1))
       if (ra != rb) parent.put(ra, rb)
     }
-    @inline def lt(a: Any, b: Any): Boolean =
-      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
     val minOfRoot = new java.util.HashMap[Any, Any]()
     verts.foreach { v =>
       val r = find(v)
       val cur = minOfRoot.get(r)
-      if (cur == null || lt(v, cur)) minOfRoot.put(r, v)
+      if (cur == null || localLt(v, cur)) minOfRoot.put(r, v)
     }
     val dt = vertices.schema.head.dataType
     val rows: java.util.List[org.apache.spark.sql.Row] =
@@ -226,7 +245,7 @@ object GraphAlgorithms {
     // same adaptive trade as connectedComponents: the arithmetic is exact
     // integer ppm either way, so a subcritical graph computes identical
     // ranks on the driver without 10 rounds of join scheduling
-    if (eDeg.count() <= localThreshold)
+    if (eDeg.count() <= localThreshold && locallyOrderable(vertices.schema.head.dataType))
       return localPageRank(spark, vertices, eDeg, iterations, dampingPpm)
 
     var ranks = vertices.withColumn("rank_ppm", lit(1000000L))

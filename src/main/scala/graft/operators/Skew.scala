@@ -57,8 +57,17 @@ object Skew {
       small: DataFrame,
       keyCols: Seq[String],
       saltBuckets: Int = 16): DataFrame = {
-    val salted = large.withColumn(
-      "_salt", pmod(xxhash64(large.columns.map(col): _*), lit(saltBuckets.toLong)))
+    require(!large.columns.contains("_salt") && !small.columns.contains("_salt"),
+      "saltedJoin reserves the _salt column name")
+    // salt from the hashABLE columns only (xxhash64 rejects MapType); as in
+    // saltedAgg, byte-identical rows share a bucket — costs spread, never
+    // correctness
+    val hashable = large.schema.fields.filterNot(
+      _.dataType.isInstanceOf[org.apache.spark.sql.types.MapType]).map(f => col(f.name))
+    val saltExpr =
+      if (hashable.isEmpty) lit(0L)
+      else pmod(xxhash64(hashable.toSeq: _*), lit(saltBuckets.toLong))
+    val salted = large.withColumn("_salt", saltExpr)
     val replicated = small.withColumn(
       "_salt", explode(sequence(lit(0L), lit(saltBuckets.toLong - 1))))
     salted.join(replicated, keyCols :+ "_salt").drop("_salt")

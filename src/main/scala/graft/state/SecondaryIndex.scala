@@ -56,11 +56,14 @@ object SecondaryIndex {
       primaryLatest: DataFrame,
       keyCols: Seq[String],
       indexKeys: Seq[Any]): DataFrame = {
+    // dedup the query terms: the postings count is over DISTINCT terms, so
+    // a repeated term would make the == |terms| intersection unsatisfiable
+    val terms = indexKeys.distinct
     val hits = index
-      .filter(col("index_key").isin(indexKeys: _*))
+      .filter(col("index_key").isin(terms: _*))
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_terms"))
-      .filter(col("n_terms") === indexKeys.length)
+      .filter(col("n_terms") === terms.length)
       .select(keyCols.map(col): _*)
     primaryLatest.join(broadcast(hits), keyCols, "left_semi")
   }

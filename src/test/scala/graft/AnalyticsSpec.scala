@@ -66,14 +66,24 @@ class AnalyticsSpec extends SparkSpec {
     out shouldBe Array(9L)
   }
 
-  it should "be exact at magnitudes where float variance drifts" in {
-    // values ~1e9 with tiny deviations: double (x-mean)^2 sums lose the
-    // low bits; the decimal algebra must still separate 3σ exactly
-    val base = 1000000000L
+  it should "be exact at magnitudes where float variance drifts and long squares overflow" in {
+    // values ~4e9: x*x overflows Long (the decimal cast must precede the
+    // square), and double (x-mean)^2 sums lose the low bits; the decimal
+    // algebra must still separate 3σ exactly
+    val base = 4000000000L
     val df = ((1 to 40).map(i => (i.toLong, base + (i % 2))) :+ (99L, base + 1000L))
       .toDF("id", "x").withColumn("g", lit(1))
     Analytics.zscoreOutliers(df, Seq("g"), "x", k = 3)
       .select("id").as[Long].collect() shouldBe Array(99L)
+  }
+
+  it should "report outliers inside a NULL group (null-safe stats join)" in {
+    val rows = (Seq.fill(9)(10L) :+ 100L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val df = rows.toDF("id", "x")
+      .withColumn("g", lit(null).cast("string"))
+    Analytics.zscoreOutliers(df, Seq("g"), "x", k = 2)
+      .select("id").as[Long].collect() shouldBe Array(9L)
   }
 
   "SecondaryIndex.multiLookup" should "intersect postings across all query terms" in {
@@ -86,5 +96,8 @@ class AnalyticsSpec extends SparkSpec {
     val index = SecondaryIndex.build(docs, Seq("doc_id"), tokens(col("text")))
     SecondaryIndex.multiLookup(index, docs, Seq("doc_id"), Seq("spark", "window"))
       .select("doc_id").orderBy("doc_id").as[Long].collect() shouldBe Array(1L, 4L)
+    // duplicate query terms dedup — NOT an unsatisfiable count
+    SecondaryIndex.multiLookup(index, docs, Seq("doc_id"), Seq("spark", "spark"))
+      .select("doc_id").orderBy("doc_id").as[Long].collect() shouldBe Array(1L, 2L, 4L)
   }
 }

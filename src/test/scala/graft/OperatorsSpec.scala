@@ -291,6 +291,20 @@ class GraphSpec extends SparkSpec {
     local.find(_._1 == 80L).get._2 shouldBe 80L // self-loop only → own root
     local.find(_._1 == 55L).get._2 shouldBe 1L  // chain bridged to the ring
   }
+
+  it should "fall back to the distributed loop for binary vertices" in {
+    // Array[Byte] has reference equality on the driver — the local path
+    // must not claim it; the distributed loop handles it correctly
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y"))
+      .toDF("src", "dst")
+      .select(col("src").cast("binary").as("src"), col("dst").cast("binary").as("dst"))
+    val cc = GraphAlgorithms.connectedComponents(spark, edges)
+      .select(col("vertex").cast("string"), col("component").cast("string"))
+      .as[(String, String)].collect().toMap
+    cc("a") shouldBe "a"
+    cc("c") shouldBe "a"
+    cc("y") shouldBe "x"
+  }
 }
 
 class SessionizeSpec extends SparkSpec {

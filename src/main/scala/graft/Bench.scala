@@ -25,18 +25,26 @@ object Bench {
       runToNoop(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
     } catch { case _: Throwable => }
     // Best of 2 runs per query: a single local[32] run carries ~0.5-1 s of
-    // scheduler/GC jitter that would swamp sub-second queries.
+    // scheduler/GC jitter that would swamp sub-second queries. A query that
+    // throws reports -1 (NOT its time-to-throw — a broken query must never
+    // score as the fastest one) and is excluded from the total.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { runToNoop(fn(spark, sfDir)) } catch { case _: Throwable => }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          runToNoop(fn(spark, sfDir))
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"bench: $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            None
+        }
       }
-      name -> times.min
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

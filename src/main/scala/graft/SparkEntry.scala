@@ -738,8 +738,10 @@ object SparkEntry {
   // ------------------------------------------------------------------
 
   private val toksSql =
-    """list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')"""
-  private val normSql = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+    // explicit whitespace class, NOT RE2 '\s': Java/native tokenization
+    // treats vertical tab 0x0B as whitespace, RE2's \s does not
+    """list_filter(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0B\f\r]+'), x -> x != '')"""
+  private val normSql = """regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g')"""
   /** Space-joined word n-gram starting at 1-based `ws[i]` (WordNgrams parity). */
   private def wordGramSql(n: Int): String =
     (0 until n).map(k => s"ws[i+$k]").mkString(" || ' ' || ")
@@ -1421,7 +1423,7 @@ object SparkEntry {
 
     "t3_token_counts" ->
       s"""SELECT doc_id, len($toksSql)::BIGINT AS ws_tokens,
-         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS bpe_tokens
+         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]'))::BIGINT AS bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t4_fingerprints" ->

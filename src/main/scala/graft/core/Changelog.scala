@@ -73,13 +73,14 @@ object Changelog {
       tsCol: String,
       tombstoneCol: Option[String] = None,
       ttlUs: Option[Long] = None,
-      nowUs: Long = 0L): Unit = {
+      nowUs: Long = 0L,
+      tieBreakCols: Seq[String] = Nil): Unit = {
     require(ttlUs.isEmpty || nowUs > 0L,
       "vacuum with a TTL requires an explicit nowUs — a zero 'now' would make the TTL filter a silent no-op")
     graft.streaming.AtomicSwap.recover(path)
     val log = spark.read.parquet(path)
     val live = ttlUs.fold(log)(t => ttlFilter(log, tsCol, t, nowUs))
-    val compacted = compact(live, keyCols, tsCol)
+    val compacted = compact(live, keyCols, tsCol, tieBreakCols)
     val clean = tombstoneCol.fold(compacted)(tc => dropTombstones(compacted, tc))
     graft.streaming.AtomicSwap.swap(clean, path, batchId = System.nanoTime())
   }

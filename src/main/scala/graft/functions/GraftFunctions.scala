@@ -118,16 +118,23 @@ object GraftFunctions {
   // purely from codegen'd byte functions.
   // --------------------------------------------------------------------
 
-  /** Frame a binary payload with the 5-byte registry header. */
+  /** Frame a binary payload with the 5-byte registry header. Mask to the
+    * low 32 bits BEFORE hex: a negative id hexes through bigint promotion
+    * to 16 'F'-led chars and lpad(…,8) would TRUNCATE them all to
+    * 0xFFFFFFFF (same trap EventTimes.intToFixed documents). */
   def wrapRegistry(payload: Column, schemaId: Column): Column =
     concat(
       to_binary(lit("00"), lit("hex")),
-      to_binary(lpad(hex(schemaId.cast("int")), 8, "0"), lit("hex")),
+      to_binary(lpad(hex(schemaId.cast("long").bitwiseAND(lit(0xFFFFFFFFL))), 8, "0"), lit("hex")),
       payload)
 
-  /** Schema id from a framed payload (bytes 2-5, big-endian). */
-  def registrySchemaId(framed: Column): Column =
-    conv(hex(substring(framed, 2, 4)), 16, 10).cast("int")
+  /** Schema id from a framed payload (bytes 2-5, big-endian), re-signed:
+    * ids with the top bit set come back as the negative int they were
+    * framed from (a plain cast("int") would throw under ANSI). */
+  def registrySchemaId(framed: Column): Column = {
+    val u = conv(hex(substring(framed, 2, 4)), 16, 10).cast("long")
+    when(u >= 2147483648L, u - 4294967296L).otherwise(u).cast("int")
+  }
 
   /** Strip the 5-byte header → body bytes. */
   def unwrapRegistry(framed: Column): Column =
@@ -255,8 +262,12 @@ object GraftFunctions {
 
   /** Cosine from pre-quantized vectors + precomputed self-dots (norms²).
     * Pre-quantizing each side once before a pair join avoids re-quantizing
-    * both vectors per candidate pair. */
+    * both vectors per candidate pair. The norm product multiplies in DOUBLE
+    * (not long — na·nb overflows int64 for component magnitudes ≳ 7 and
+    * ANSI would abort); each factor is < 2^53 so both engines correctly
+    * round the same exact product to the same double. */
   def quantizedCosinePre(qa: Column, qb: Column, na: Column, nb: Column): Column =
-    when(na * nb === 0L, lit(0.0))
-      .otherwise(ldot(qa, qb).cast("double") / sqrt((na * nb).cast("double")))
+    when(na === 0L || nb === 0L, lit(0.0))
+      .otherwise(ldot(qa, qb).cast("double") /
+        sqrt(na.cast("double") * nb.cast("double")))
 }

@@ -35,6 +35,10 @@ object AsOfJoin {
       tsCol: String,
       rightCols: Seq[String],
       rightTieBreak: Seq[String] = Nil): DataFrame = {
+    val reserved = Seq("_side", "_payload", "_asof") ++ rightCols.map(c => s"right_$c")
+    val clash = left.columns.intersect(reserved)
+    require(clash.isEmpty,
+      s"asOf reserves column name(s) ${clash.mkString(", ")} on the left side")
     val leftTagged = left.withColumn("_side", lit(1))
       .withColumn("_payload", lit(null).cast(structType(right, rightCols)))
     val rightTagged = right

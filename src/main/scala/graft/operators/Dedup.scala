@@ -159,7 +159,12 @@ object Dedup {
       (col(idCol).as("doc") +: blockCols.map(col)) :+
         charNgramHashSet(normalizeText(col(textCol)), n).as("grams"): _*)
       .withColumn("ng", size(col("grams")))
-    val withGrams = if (materializeGramSets) gramsLazy.localCheckpoint(true) else gramsLazy
+    val withGrams0 = if (materializeGramSets) gramsLazy.localCheckpoint(true) else gramsLazy
+    // gram-less docs (normalized text shorter than n) cannot be near-dups;
+    // dropping them BEFORE the self-join also kills the 0/0 = NaN jaccard a
+    // pair of empty sets would produce (NaN >= threshold is TRUE in Spark's
+    // NaN ordering — it would emit spurious pairs the oracle never has)
+    val withGrams = withGrams0.filter(col("ng") > 0)
     val a = withGrams.select(blockCols.map(col) :+ col("doc").as("id_a") :+
       col("grams").as("ga") :+ col("ng").as("na"): _*)
     val b = withGrams.select(blockCols.map(col) :+ col("doc").as("id_b") :+

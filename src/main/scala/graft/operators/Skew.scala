@@ -33,9 +33,14 @@ object Skew {
     // double-count or drop rows under fetch-failure retries). Hot keys
     // normally carry distinct payloads, so the content hash still spreads
     // them over `saltBuckets` reducers; full-duplicate rows share a bucket,
-    // which only costs spread, never correctness.
-    val salted = df.withColumn(
-      "_salt", pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets.toLong)))
+    // which only costs spread, never correctness. Map columns are excluded
+    // (xxhash64 rejects MapType).
+    val hashable = df.schema.fields.filterNot(
+      _.dataType.isInstanceOf[org.apache.spark.sql.types.MapType]).map(f => col(f.name))
+    val saltExpr =
+      if (hashable.isEmpty) lit(0L)
+      else pmod(xxhash64(hashable.toSeq: _*), lit(saltBuckets.toLong))
+    val salted = df.withColumn("_salt", saltExpr)
     salted
       .groupBy((keyCols.map(col) :+ col("_salt")): _*)
       .agg(partials.head, partials.tail: _*)

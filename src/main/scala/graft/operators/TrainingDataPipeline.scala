@@ -87,7 +87,8 @@ object TrainingDataPipeline {
       evalFilter: org.apache.spark.sql.Column,
       maxDupPpm: Long = 10000L,
       capPerLang: Int = 40,
-      materialize: Boolean = true): DataFrame = {
+      materialize: Boolean = true,
+      strataCols: Seq[String] = Seq("lang")): DataFrame = {
     def pin(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint(true) else df
     val repOk = TextAnalysis.repetition(docs, idCol, textCol, n = 3)
       .filter(col("dup_ppm") < maxDupPpm)
@@ -102,6 +103,6 @@ object TrainingDataPipeline {
       .filter(col("is_keeper"))
       .select(col(idCol))
     Sampling.stratifiedCap(survivors.join(keeperIds, idCol),
-      Seq("lang"), idCol, capPerLang)
+      strataCols, idCol, capPerLang)
   }
 }

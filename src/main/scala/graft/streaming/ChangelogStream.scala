@@ -76,12 +76,18 @@ object ChangelogStream {
     * exactly-once per micro-batch via idempotent overwrite keyed by batch —
     * the reference's transactional sink intent (TransactionCoordinator.scala:46-134)
     * expressed as foreachBatch + deterministic rewrite. */
+  /** `tieBreakCols`: ordering for same-timestamp updates to one key — pass
+    * `Seq("offset")` for Kafka-sourced changelogs (Kafka timestamps are
+    * MILLISECOND resolution, so two updates to a key in one ms tie on
+    * `tsCol` alone and the survivor would be arbitrary across reruns,
+    * breaking the idempotent-overwrite guarantee). */
   def materializeLatest(
       changelog: DataFrame,
       keyCols: Seq[String],
       tsCol: String,
       tablePath: String,
-      checkpoint: String): DataStreamWriter[Row] = {
+      checkpoint: String,
+      tieBreakCols: Seq[String] = Nil): DataStreamWriter[Row] = {
     val spark = changelog.sparkSession
     changelog.writeStream
       .outputMode("append")
@@ -91,7 +97,7 @@ object ChangelogStream {
         val existing =
           if (AtomicSwap.recover(tablePath)) Some(spark.read.parquet(tablePath)) else None
         val all = existing.fold(batch)(e => e.unionByName(batch, allowMissingColumns = true))
-        val latest = graft.core.Changelog.compact(all, keyCols, tsCol)
+        val latest = graft.core.Changelog.compact(all, keyCols, tsCol, tieBreakCols)
         // crash-safe swap (see AtomicSwap): never overwrite the table we are
         // reading from mid-plan; interrupted swaps roll back on the next
         // batch before the table is read.

@@ -33,11 +33,15 @@ object GraphStream {
 
   /** Stream (src, dst, ts_us, tombstone) edge changes; maintain
     * `<root>/edges` (latest-per-edge) and `<root>/components`
-    * (vertex, component). */
+    * (vertex, component). `tieBreakCols` orders same-timestamp mutations of
+    * one edge (e.g. a log offset/sequence column) — without it a connect +
+    * disconnect in the same timestamp unit resolves arbitrarily across
+    * reruns. */
   def maintainComponents(
       edgeChangelog: DataFrame,
       root: String,
-      checkpoint: String): DataStreamWriter[Row] = {
+      checkpoint: String,
+      tieBreakCols: Seq[String] = Nil): DataStreamWriter[Row] = {
     val spark = edgeChangelog.sparkSession
     edgeChangelog.writeStream
       .outputMode("append")
@@ -50,7 +54,7 @@ object GraphStream {
           if (AtomicSwap.recover(edgesPath)) Some(spark.read.parquet(edgesPath)) else None
         val all = prior.fold(canonical(batch))(p =>
           p.unionByName(canonical(batch), allowMissingColumns = true))
-        val latest = graft.core.Changelog.compact(all, Seq("src", "dst"), "ts_us")
+        val latest = graft.core.Changelog.compact(all, Seq("src", "dst"), "ts_us", tieBreakCols)
         AtomicSwap.swap(latest, edgesPath, batchId)
         val live = graft.core.Changelog.dropTombstones(
           spark.read.parquet(edgesPath), "tombstone")

@@ -45,6 +45,25 @@ class ChangelogStreamSpec extends SparkSpec {
       Seq((1, "a2"), (2, "b1"), (3, "c1")) // last writer won; old keys kept
   }
 
+  it should "break same-timestamp ties deterministically via tieBreakCols" in {
+    val root = Files.createTempDirectory("graft-cls-tie").toFile.getAbsolutePath
+    val in = s"$root/in"
+    new java.io.File(in).mkdirs()
+    // two updates to one key in the SAME timestamp (ms-resolution source):
+    // the higher offset must win, on every rerun
+    Seq((1, "older", 100L, false, 7L), (1, "newer", 100L, false, 8L))
+      .toDF("key", "value", "ts_us", "tombstone", "offset")
+      .write.mode("append").parquet(in)
+    val q = ChangelogStream.start(ChangelogStream.materializeLatest(
+      ChangelogStream.fromFiles(spark, in,
+        "key INT, value STRING, ts_us BIGINT, tombstone BOOLEAN, offset BIGINT"),
+      Seq("key"), "ts_us", s"$root/table", s"$root/ckpt",
+      tieBreakCols = Seq("offset")))
+    q.awaitTermination()
+    spark.read.parquet(s"$root/table")
+      .select("value").as[String].collect() shouldBe Array("newer")
+  }
+
   it should "drop tombstoned keys from the materialized view" in {
     val root = Files.createTempDirectory("graft-cls2").toFile.getAbsolutePath
     val in = s"$root/in"

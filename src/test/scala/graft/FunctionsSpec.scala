@@ -90,6 +90,15 @@ class RegistryFramingSpec extends SparkSpec {
       r.getAs[Int]("len") shouldBe r.getAs[Int]("blen") + 5
     }
   }
+
+  it should "round-trip negative and top-bit schema ids (signed 32-bit wrap)" in {
+    // a negative id hexes to 16 chars via bigint promotion; the low-32 mask
+    // must keep the true bytes (lpad would otherwise truncate to FFFFFFFF)
+    val df = Seq(-1, -42, Int.MinValue, Int.MaxValue).toDF("id")
+      .withColumn("framed", wrapRegistry(encode(lit("p"), "UTF-8"), col("id")))
+      .select(col("id"), registrySchemaId(col("framed")).as("id2"))
+    df.collect().foreach(r => r.getAs[Int]("id2") shouldBe r.getAs[Int]("id"))
+  }
 }
 
 class TextPrimitivesSpec extends SparkSpec {
@@ -178,6 +187,16 @@ class VectorFunctionsSpec extends SparkSpec {
       .select(quantizedCosine(col("a"), col("b")).as("c")).as[Double].collect()
     df(0) shouldBe 1.0
     df(1) shouldBe 0.0
+  }
+
+  it should "not overflow on large-magnitude components (norm product in double)" in {
+    // components ~100 → each norm² ≈ 64·1e10; the long product would exceed
+    // 2^63 and abort under ANSI — the double product must survive and the
+    // cosine of a vector with itself stays exactly 1.0
+    val big = Seq.fill(64)(100.0f)
+    val df = Seq((big, big)).toDF("a", "b")
+      .select(quantizedCosine(col("a"), col("b")).as("c")).as[Double].collect()
+    df(0) shouldBe 1.0
   }
 
   it should "equal the pre-quantized variant" in {

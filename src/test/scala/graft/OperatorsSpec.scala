@@ -52,6 +52,15 @@ class DedupSpec extends SparkSpec {
     pairs.keySet should not contain ((1L, 4L))
   }
 
+  it should "emit no pair (not NaN) for docs too short to have grams" in {
+    // both texts normalize to < 3 code points → empty gram sets; a 0/0
+    // jaccard would be NaN, and NaN >= threshold is TRUE in Spark ordering
+    val tiny = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+      .withColumn("blk", lit(1))
+    Dedup.ngramJaccardBlocked(tiny, "doc_id", "text", Seq("blk"), 3, 0.5)
+      .count() shouldBe 0L
+  }
+
   it should "agree with the relational ngramJaccard formulation" in {
     val blocked = docs.withColumn("blk", lit(1))
     def canon(df: org.apache.spark.sql.DataFrame) =

@@ -576,6 +576,30 @@ object SparkEntry {
         .orderBy("stage")
     }),
 
+    // PII scrubbing: synthetic log lines (no PII in the testdata) built from
+    // event columns, then redacted — only the scrub side is scored
+    "t7_pii_scrub" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val raw = concat(
+        lit("user "), col("user_id").cast("string"),
+        when(col("user_id") % 3 === 0,
+          concat(lit(" mail u"), col("user_id").cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("user_id") % 2 === 0,
+          concat(lit(" ip 10.0."), (col("user_id") % 250).cast("string"), lit(".7")))
+          .otherwise(lit("")),
+        when(col("event_id") % 5 === 0,
+          concat(lit(" card 4111222233334"),
+            lpad((col("event_id") % 1000).cast("string"), 3, "0")))
+          .otherwise(lit("")),
+        lit(" type="), col("event_type"))
+      TextAnalysis.scrubPii(
+        ev.select(col("event_id"), raw.as("raw")), "event_id", "raw")
+        .select(col("event_id"), col("n_emails"), col("n_ips"), col("n_cards"),
+          md5(col("scrubbed")).as("scrub_md5"))
+        .orderBy("event_id")
+    }),
+
     // salted skew join: result-identical to the plain equi-join (the oracle
     // IS the plain join — proves the salting is correctness-free)
     "q46_salted_join" -> ((s, d) => {
@@ -1217,6 +1241,27 @@ object SparkEntry {
         |  FROM f1 LEFT JOIN f2 USING (user_id) LEFT JOIN f3 USING (user_id))
         |SELECT CAST(stage AS INTEGER) AS stage, COUNT(*) AS n_entities
         |FROM s GROUP BY stage ORDER BY stage""".stripMargin,
+
+    "t7_pii_scrub" -> {
+      val em = graft.operators.TextAnalysis.EmailRe
+      val ip = graft.operators.TextAnalysis.Ipv4Re
+      val cc = graft.operators.TextAnalysis.CardRe
+      s"""WITH x AS (SELECT event_id, 'user ' || CAST(user_id AS VARCHAR)
+         |  || CASE WHEN user_id % 3 = 0
+         |       THEN ' mail u' || CAST(user_id AS VARCHAR) || '@example.com' ELSE '' END
+         |  || CASE WHEN user_id % 2 = 0
+         |       THEN ' ip 10.0.' || CAST(user_id % 250 AS VARCHAR) || '.7' ELSE '' END
+         |  || CASE WHEN event_id % 5 = 0
+         |       THEN ' card 4111222233334' || lpad(CAST(event_id % 1000 AS VARCHAR), 3, '0') ELSE '' END
+         |  || ' type=' || event_type AS raw FROM events)
+         |SELECT event_id,
+         |  len(regexp_extract_all(raw, '$em'))::BIGINT AS n_emails,
+         |  len(regexp_extract_all(raw, '$ip'))::BIGINT AS n_ips,
+         |  len(regexp_extract_all(raw, '$cc'))::BIGINT AS n_cards,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(raw,
+         |    '$em', '[PII]', 'g'), '$ip', '[PII]', 'g'), '$cc', '[PII]', 'g')) AS scrub_md5
+         |FROM x ORDER BY event_id""".stripMargin
+    },
 
     "q46_salted_join" ->
       s"""SELECT c_mktsegment, COUNT(*) AS n,

@@ -108,6 +108,38 @@ object TextAnalysis {
           .otherwise(0L))
   }
 
+  /** PII patterns shared by the scrubber and its oracle — deliberately
+    * limited to regex constructs with identical semantics in Java regex and
+    * RE2 (char classes, bounded repetition, \b, (?i)): no lookaround, no
+    * backreferences. */
+  val EmailRe = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val CardRe = "\\b[0-9]{13,19}\\b"
+
+  /** PII scrubbing — the redaction pass a training corpus runs before
+    * anything else: per row, count and replace emails, IPv4 addresses and
+    * long digit runs (card/account shapes). Pure row-local projection
+    * (scan-speed, zero shuffle); patterns apply in a fixed order
+    * (email → ip → card) so counts are unambiguous. */
+  def scrubPii(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      replacement: String = "[PII]"): DataFrame = {
+    val t = col(textCol)
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, EmailRe, replacement),
+        Ipv4Re, replacement),
+      CardRe, replacement)
+    docs.select(
+      col(idCol),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(t, lit(CardRe), lit(0))).cast("long").as("n_cards"),
+      scrubbed.as("scrubbed"))
+  }
+
   /** Top-`k` tokens by corpus frequency per group (term-frequency profile).
     * One explode + one (group, token) count + a top-k window over the
     * (small) distinct-term frame; ties break to the lexicographically first

@@ -51,6 +51,24 @@ class SamplingHistogramSpec extends SparkSpec {
       (1, 3L, 10L, 30L), (2, 3L, 40L, 60L), (3, 2L, 70L, 80L), (4, 2L, 90L, 100L))
   }
 
+  "scrubPii" should "redact and count emails, IPs, and card numbers" in {
+    val docs = Seq(
+      (1L, "contact Bob.Smith+x@Example.COM or 192.168.1.1 now"),
+      (2L, "card 4111222233334444 expires soon"),
+      (3L, "nothing sensitive here"),
+      (4L, "short digits 123456789012 stay")) // 12 digits: below card range
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.scrubPii(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    out(0).getAs[Long]("n_emails") shouldBe 1L
+    out(0).getAs[Long]("n_ips") shouldBe 1L
+    out(0).getAs[String]("scrubbed") shouldBe "contact [PII] or [PII] now"
+    out(1).getAs[Long]("n_cards") shouldBe 1L
+    out(1).getAs[String]("scrubbed") shouldBe "card [PII] expires soon"
+    out(2).getAs[String]("scrubbed") shouldBe "nothing sensitive here"
+    out(3).getAs[Long]("n_cards") shouldBe 0L
+  }
+
   "repetition" should "score duplicate trigram ratio in exact ppm" in {
     val docs = Seq(
       (1L, "a b c d e"),       // 3 grams, all distinct → 0 ppm

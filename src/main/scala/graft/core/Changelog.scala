@@ -85,6 +85,27 @@ object Changelog {
     graft.streaming.AtomicSwap.swap(clean, path, batchId = System.nanoTime())
   }
 
+  /** Small-files compaction: rewrite a parquet directory into
+    * ~`targetFileBytes` files (crash-safe swap). Streaming materialization
+    * and frequent appends accumulate thousands of tiny files whose
+    * per-file open/footer cost dominates scans long before data volume
+    * does — the standard warehouse maintenance action. Returns the target
+    * partition count. */
+  def compactFiles(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      targetFileBytes: Long = 128L << 20): Int = {
+    require(targetFileBytes > 0, "target file size must be positive")
+    graft.streaming.AtomicSwap.recover(path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(p).getLength
+    val parts = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    graft.streaming.AtomicSwap.swap(
+      spark.read.parquet(path).repartition(parts), path, batchId = System.nanoTime())
+    parts
+  }
+
   /** Keep the N most recent records per key (reference keep-last-3 CDC
     * listener, examples/example-external-state/.../ExampleESGateway.scala:63-69).
     * Requires per-key ordering → window + row_number. */

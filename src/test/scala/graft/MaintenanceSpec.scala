@@ -25,6 +25,19 @@ class VacuumSpec extends SparkSpec {
       .select("key", "value").as[(Int, String)].collect()
     after shouldBe Seq((1, "new")) // one live record; history/tombstones/expired gone
   }
+
+  "Changelog.compactFiles" should "rewrite many small files into few, preserving data" in {
+    val root = Files.createTempDirectory("cfc").toFile.getAbsolutePath
+    val path = s"$root/log"
+    spark.range(1000).toDF("id").repartition(32).write.parquet(path)
+    def parquetFiles = new java.io.File(path).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    parquetFiles should be >= 16 // genuinely fragmented before
+    val parts = Changelog.compactFiles(spark, path, targetFileBytes = 1L << 30)
+    parts shouldBe 1
+    parquetFiles shouldBe 1
+    spark.read.parquet(path).count() shouldBe 1000L
+  }
 }
 
 class CdcMetricsSpec extends SparkSpec {

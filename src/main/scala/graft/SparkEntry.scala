@@ -576,6 +576,24 @@ object SparkEntry {
         .orderBy("stage")
     }),
 
+    // time-weighted average over SCD2 validity intervals (closed intervals
+    // only; exact: long products, decimal sums, one double division)
+    "q47_time_weighted" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"), col("ts_us"))
+      Changelog.scd2History(ev, Seq("user_id"), "ts_us", tieBreakCols = Seq("event_id"))
+        .filter(col("valid_to_us").isNotNull)
+        .select(col("user_id"), col("cents"),
+          (col("valid_to_us") - col("valid_from_us")).as("dur_us"))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_intervals"),
+          (sum((col("cents") * col("dur_us")).cast("decimal(38,0)")).cast("double") /
+            sum(col("dur_us").cast("decimal(38,0)")).cast("double")).as("twa_cents"))
+        .orderBy("user_id")
+    }),
+
     // PII scrubbing: synthetic log lines (no PII in the testdata) built from
     // event columns, then redacted — only the scrub side is scored
     "t7_pii_scrub" -> ((s, d) => {
@@ -1241,6 +1259,18 @@ object SparkEntry {
         |  FROM f1 LEFT JOIN f2 USING (user_id) LEFT JOIN f3 USING (user_id))
         |SELECT CAST(stage AS INTEGER) AS stage, COUNT(*) AS n_entities
         |FROM s GROUP BY stage ORDER BY stage""".stripMargin,
+
+    "q47_time_weighted" ->
+      """WITH h AS (SELECT user_id,
+        |    CAST(round(value*100) AS BIGINT) AS cents,
+        |    epoch_us(ts) AS vf,
+        |    LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS vt
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_intervals,
+        |  (CAST(SUM(cents*(vt-vf)) AS DOUBLE)) / (CAST(SUM(vt-vf) AS DOUBLE)) AS twa_cents
+        |FROM h WHERE vt IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "t7_pii_scrub" -> {
       val em = graft.operators.TextAnalysis.EmailRe

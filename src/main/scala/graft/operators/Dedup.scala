@@ -67,7 +67,8 @@ object Dedup {
       shingleSize: Int = 3,
       rowsPerBand: Int = 2,
       minEstimate: Double = 0.5,
-      materializeCandidates: Boolean = false): DataFrame = {
+      materializeCandidates: Boolean = false,
+      maxBucketSize: Long = defaultMaxBucketSize): DataFrame = {
     require(numHashes % rowsPerBand == 0,
       s"numHashes ($numHashes) must be divisible by rowsPerBand ($rowsPerBand) - trailing signature positions would silently never band")
     val sig = minhashSignature(docs, idCol, textCol, numHashes, shingleSize)
@@ -82,7 +83,8 @@ object Dedup {
             transform(slice(col("signature"), b * rowsPerBand + lit(1), lit(rowsPerBand)),
               x => x.cast("string"))))
         )).as(Seq("band", "band_hash")))
-    val banded = if (materializeCandidates) bandedLazy.localCheckpoint(true) else bandedLazy
+    val banded0 = if (materializeCandidates) bandedLazy.localCheckpoint(true) else bandedLazy
+    val banded = capBuckets(banded0, Seq("band", "band_hash"), maxBucketSize)
     val a = banded.select(col("band"), col("band_hash"), col("doc").as("id_a"), col("signature").as("sig_a"))
     val b = banded.select(col("band"), col("band_hash"), col("doc").as("id_b"), col("signature").as("sig_b"))
     a.join(b, Seq("band", "band_hash"))

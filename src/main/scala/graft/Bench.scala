@@ -51,12 +51,15 @@ object Bench {
     // Seconds rounded to 3 decimals keeps ~23 chars/query; if the query set
     // ever grows past the budget anyway, degrade to 2 decimals rather than
     // ship an unparseable line. Full-precision numbers go to bench_full.json.
+    // Locale.ROOT: a comma-decimal default locale (de_DE) would emit
+    // {"q1":1,234} — invalid JSON.
+    def num(decimals: Int, v: Double): String =
+      String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
     def line(decimals: Int): String = {
-      val fmt = s"%.${decimals}f"
       val qs = results.map { case (k, v) =>
-        "\"" + k + "\":" + (if (v < 0) "-1" else fmt.format(v))
+        "\"" + k + "\":" + (if (v < 0) "-1" else num(decimals, v))
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(3, total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
     }
     val out = Seq(3, 2).map(line).find(_.length <= 1900).getOrElse(line(1))
     val full = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -65,7 +68,10 @@ object Bench {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_full.json"),
         s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$full,"sf":"$sfDir"}""".getBytes("UTF-8"))
-    } catch { case _: Throwable => } // best-effort; stdout line is the deliverable
+    } catch {
+      case scala.util.control.NonFatal(e) => // best-effort; stdout line is the deliverable
+        System.err.println(s"bench: bench_full.json write failed: $e")
+    }
     println(out)
     spark.stop()
   }

@@ -26,13 +26,24 @@ import org.apache.spark.sql.DataFrame
   * joins over blocked candidates). Measured on the sf0.1 bench: it pays for
   * itself in `Dedup.ngramJaccardBlocked` (~1 s of single-threaded per-pair
   * merges → 32-way, −0.6 s) but LOSES on every narrow per-row projection
-  * (language ID, token counts, simhash, quantize: the shuffle, its AQE
-  * stage barrier, and the `.rdd` partition-count probe cost more than the
-  * idle cores). Scan-speed operators stay shuffle-free by design.
+  * (language ID, token counts, simhash, quantize: the shuffle and its AQE
+  * stage barrier cost more than the idle cores). Scan-speed operators stay
+  * shuffle-free by design.
+  *
+  * Smallness is decided from the OPTIMIZED-PLAN size estimate — a pure
+  * driver-side statistic. The previous probe (`df.rdd.getNumPartitions`)
+  * forced physical planning and, under AQE, materialized upstream query
+  * stages: one extra Spark job per invocation, per composition.
   */
 object Par {
+  /** Inputs estimated below this many bytes per target partition are
+    * fanned out. 4 MB/core ≈ the point where a CPU-bound pair-join stage
+    * stops benefiting from more splits. */
+  private val bytesPerSlot = 4L << 20
+
   def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estBytes < BigInt(bytesPerSlot) * target) df.repartition(target) else df
   }
 }

@@ -19,6 +19,28 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Default bucket cap: Long.MaxValue = no capping. The cap is OPT-IN
+    * because every capped bucket silently drops candidate pairs, and the
+    * DuckDB oracle queries have no matching drop rule — callers that are
+    * hash-compared against an oracle must leave this off; production 100 TB
+    * jobs should set it (a few thousand) so one degenerate bucket (e.g. a
+    * boilerplate page duplicated 10⁶ times) can't produce 10¹² join pairs. */
+  val defaultMaxBucketSize: Long = Long.MaxValue
+
+  /** Drop all rows of any bucket (group of `bucketCols` values) whose row
+    * count exceeds `cap`. No-op (and no extra shuffle) when `cap` is
+    * Long.MaxValue. Uses a window count partitioned on the bucket key — the
+    * same hash partitioning the downstream self-join needs, so at scale the
+    * exchange is reused rather than added. */
+  def capBuckets(df: DataFrame, bucketCols: Seq[String], cap: Long): DataFrame =
+    if (cap == Long.MaxValue) df
+    else {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(bucketCols.map(col): _*)
+      df.withColumn("__bucket_n", count(lit(1)).over(w))
+        .filter(col("__bucket_n") <= cap)
+        .drop("__bucket_n")
+    }
+
   /** Exact dedup: md5 over normalized text. One row per content group of at
     * least `minGroupSize` members: keeper = min id, dup count.
     * Map-side partial agg → one shuffle on the 32-hex-char digest. */
@@ -153,7 +175,8 @@ object Dedup {
       n: Int = 3,
       minJaccard: Double = 0.5,
       materializeGramSets: Boolean = false,
-      lengthPrefilter: Boolean = false): DataFrame = {
+      lengthPrefilter: Boolean = false,
+      maxBlockSize: Long = defaultMaxBucketSize): DataFrame = {
     // materializeGramSets: the self-join otherwise evaluates md5-per-gram on
     // BOTH sides of every doc — checkpoint the gram-set projection once for
     // batch jobs (same trade-offs as minhashLsh's materializeCandidates)
@@ -166,7 +189,7 @@ object Dedup {
     // dropping them BEFORE the self-join also kills the 0/0 = NaN jaccard a
     // pair of empty sets would produce (NaN >= threshold is TRUE in Spark's
     // NaN ordering — it would emit spurious pairs the oracle never has)
-    val withGrams = withGrams0.filter(col("ng") > 0)
+    val withGrams = capBuckets(withGrams0.filter(col("ng") > 0), blockCols, maxBlockSize)
     val a = withGrams.select(blockCols.map(col) :+ col("doc").as("id_a") :+
       col("grams").as("ga") :+ col("ng").as("na"): _*)
     val b = withGrams.select(blockCols.map(col) :+ col("doc").as("id_b") :+
@@ -198,10 +221,12 @@ object Dedup {
       idCol: String,
       vecCol: String,
       blockCol: String,
-      minCosine: Double): DataFrame = {
-    val q = embeddings.select(col(blockCol).as("block"), col(idCol).as("id"),
+      minCosine: Double,
+      maxBlockSize: Long = defaultMaxBucketSize): DataFrame = {
+    val q0 = embeddings.select(col(blockCol).as("block"), col(idCol).as("id"),
       quantize1000(col(vecCol)).as("qv"))
       .withColumn("nv", ldot(col("qv"), col("qv")))
+    val q = capBuckets(q0, Seq("block"), maxBlockSize)
     val a = q.select(col("block"), col("id").as("id_a"), col("qv").as("qa"), col("nv").as("na"))
     val b = q.select(col("block"), col("id").as("id_b"), col("qv").as("qb"), col("nv").as("nb"))
     a.join(b, "block")
@@ -233,9 +258,11 @@ object Dedup {
       numHashes: Int = 8,
       shingleSize: Int = 3,
       rowsPerBand: Int = 2,
-      minEstimate: Double = 0.5): DataFrame = {
+      minEstimate: Double = 0.5,
+      maxBucketSize: Long = defaultMaxBucketSize): DataFrame = {
     val pairs = minhashLsh(docs, idCol, textCol, numHashes, shingleSize,
-      rowsPerBand, minEstimate, materializeCandidates = true)
+      rowsPerBand, minEstimate, materializeCandidates = true,
+      maxBucketSize = maxBucketSize)
     // run the component loop ONLY over pair-touched vertices (a tiny
     // fraction of the corpus); singletons re-attach as their own cluster
     // via one left join — they never enter the iterative shuffles

@@ -62,6 +62,35 @@ class ScaleSmokeSpec extends SparkSpec {
     agg.getLong(1) should be > 0L // forced full evaluation of both columns
   }
 
+  "capBuckets" should "stop a degenerate LSH bucket from going quadratic" in {
+    // 10k identical docs = every band bucket holds all 10k rows; uncapped
+    // the self-join would enumerate ~10^8 pairs per band. The cap drops the
+    // degenerate bucket entirely — zero pairs, not 10^8 — while distinct
+    // docs (tiny buckets) still pair normally.
+    val dup = spark.range(10000L).select(col("id"), lit("the same boilerplate page text repeated").as("text"))
+    val capped = graft.operators.Dedup.minhashLsh(
+      dup, "id", "text", numHashes = 4, rowsPerBand = 2, minEstimate = 0.1,
+      maxBucketSize = 100L)
+    capped.count() shouldBe 0L
+    // cap off (default) on a small group still yields all pairs
+    val tiny = spark.range(3L).select(col("id"), lit("identical text for all three docs").as("text"))
+    graft.operators.Dedup.minhashLsh(tiny, "id", "text",
+      numHashes = 4, rowsPerBand = 2, minEstimate = 0.1).count() shouldBe 3L
+  }
+
+  it should "cap embedding near-dup blocks the same way" in {
+    val vecs = spark.range(5000L).select(
+      col("id"), lit("hot").as("blk"),
+      array(lit(1.0), lit(2.0), lit(3.0)).as("v"))
+    val capped = graft.operators.Dedup.embeddingNearDup(
+      vecs, "id", "v", "blk", minCosine = 0.9, maxBlockSize = 100L)
+    capped.count() shouldBe 0L
+    val small = spark.range(4L).select(
+      col("id"), lit("b").as("blk"), array(lit(1.0), lit(0.0)).as("v"))
+    graft.operators.Dedup.embeddingNearDup(small, "id", "v", "blk", minCosine = 0.9)
+      .count() shouldBe 6L // 4 choose 2 identical vectors
+  }
+
   it should "score repetition over 1M documents row-locally (zero exchanges)" in {
     val docs = spark.range(1000000L).select(
       concat_ws(" ",

@@ -68,7 +68,14 @@ object GraftFunctions {
         c => WordNgramStats(c(0), litInt("graft_wngram_stats", c(1))))),
     ("graft_wngrams", "graft_wngrams(text, n) — sorted 60-bit md5 hashes of word n-grams",
       arity("graft_wngrams", "(string, literal int)", 2)(
-        c => WordNgramHashSet(c(0), litInt("graft_wngrams", c(1))))))
+        c => WordNgramHashSet(c(0), litInt("graft_wngrams", c(1))))),
+    ("graft_scrub_pii",
+      "graft_scrub_pii(text, 'emailRe', 'ipRe', 'cardRe', 'repl') — struct(scrubbed, n_emails, n_ips, n_cards)",
+      arity("graft_scrub_pii", "(string, 4 literal strings)", 5)(
+        c => PiiScrub(c(0), litStr("graft_scrub_pii", c(1)), litStr("graft_scrub_pii", c(2)),
+          litStr("graft_scrub_pii", c(3)), litStr("graft_scrub_pii", c(4))))),
+    ("graft_rolling_fp", "graft_rolling_fp(tokens) — polynomial rolling fingerprint mod 1e9+7",
+      arity("graft_rolling_fp", "(array<string>)", 1)(c => RollingFingerprint(c.head))))
 
   /** Register expression-backed functions for SQL use (idempotent; called
     * from Tables so every query session has them). */
@@ -175,6 +182,18 @@ object GraftFunctions {
 
   /** Σ token length in characters — native form of the `aggregate` fold. */
   def sumTokenChars(toks: Column): Column = call_function("graft_toklen", toks)
+
+  /** One-pass PII scrub struct (scrubbed, n_emails, n_ips, n_cards) — the
+    * native form of 3×regexp_extract_all + 3×regexp_replace (PiiScrub). */
+  def scrubPiiStruct(text: Column, emailRe: String, ipRe: String, cardRe: String,
+      replacement: String): Column =
+    call_function("graft_scrub_pii", text,
+      lit(emailRe), lit(ipRe), lit(cardRe), lit(replacement))
+
+  /** Polynomial rolling fingerprint over a token array — native form of
+    * `aggregate(toks, 0L, (h,t) => (h*131 + ascii(substr(t,1,1))*7 +
+    * length(t)) % 1e9+7)` (RollingFingerprint). */
+  def rollingFp(toks: Column): Column = call_function("graft_rolling_fp", toks)
 
   /** `[total, distinct]` word n-grams of single-space-separated text in one
     * native pass (WordNgramStats) — the repetition quality signal. */

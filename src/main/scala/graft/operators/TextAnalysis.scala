@@ -78,9 +78,9 @@ object TextAnalysis {
     * rolling hash h = (h*131 + ascii(first char)*7 + len) mod 1e9+7). */
   def contentFpCol(text: Column): Column = md5(normalizeText(text))
 
-  def rollingFpCol(text: Column): Column =
-    aggregate(tokens(text), lit(0L), (acc, t) =>
-      (acc * 131L + ascii(substring(t, 1, 1)).cast("long") * 7L + length(t)) % 1000000007L)
+  /** Native one-pass fold (RollingFingerprint) — the interpreted `aggregate`
+    * HOF form evaluated 4 sub-expressions per (row, token). */
+  def rollingFpCol(text: Column): Column = rollingFp(tokens(text))
 
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
@@ -125,20 +125,20 @@ object TextAnalysis {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      replacement: String = "[PII]"): DataFrame = {
-    val t = col(textCol)
-    val scrubbed = regexp_replace(
-      regexp_replace(
-        regexp_replace(t, EmailRe, replacement),
-        Ipv4Re, replacement),
-      CardRe, replacement)
-    docs.select(
-      col(idCol),
-      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
-      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
-      size(regexp_extract_all(t, lit(CardRe), lit(0))).cast("long").as("n_cards"),
-      scrubbed.as("scrubbed"))
-  }
+      replacement: String = "[PII]"): DataFrame =
+    // One native expression evaluates all counts + the sequential
+    // replacement in a single pass (PiiScrub) — the declarative form paid
+    // 6 independent full-text regex scans per row. Two-step select so the
+    // struct is computed once (CollapseProject keeps multiply-referenced
+    // non-trivial aliases in their own project).
+    docs.select(col(idCol),
+        scrubPiiStruct(col(textCol), EmailRe, Ipv4Re, CardRe, replacement).as("st"))
+      .select(
+        col(idCol),
+        col("st").getField("n_emails").as("n_emails"),
+        col("st").getField("n_ips").as("n_ips"),
+        col("st").getField("n_cards").as("n_cards"),
+        col("st").getField("scrubbed").as("scrubbed"))
 
   /** Top-`k` tokens by corpus frequency per group (term-frequency profile).
     * One explode + one (group, token) count + a top-k window over the

@@ -225,3 +225,64 @@ class VectorFunctionsSpec extends SparkSpec {
       .collect().foreach(r => r.getLong(0) shouldBe r.getLong(1))
   }
 }
+
+/** Parity of the round-4 native expressions against the exact declarative
+  * formulations they replaced (which were themselves oracle-verified). */
+class PiiNativeSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.{functions => F}
+  import graft.operators.TextAnalysis.{EmailRe, Ipv4Re, CardRe}
+
+  private val tricky = Seq(
+    "contact Bob.Smith+x@Example.COM or 192.168.1.1 now",
+    "card 4111222233334444 expires soon",
+    "nothing sensitive here",
+    "short digits 123456789012 stay",
+    "mail john@192.168.0.1.com hides an ip",   // ip counted on original, gone after email scrub
+    "edge 999.999.999.999 and 1.2.3.4.5",      // regex-shape ips, overlapping runs
+    "a@b.co x@y.de two@mails.org",
+    "1234567890123@digits.example",            // card-shaped local part — email wins the scrub order
+    "@ lone at 123",
+    "", " ", "12.34.56.78abc no boundary")
+
+  "PiiScrub" should "equal the 6-regex declarative formulation on tricky inputs" in {
+    val df = tricky.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val t = col("text")
+    val decl = df.select(col("id"),
+      F.size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      F.size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+      F.size(regexp_extract_all(t, lit(CardRe), lit(0))).cast("long").as("n_cards"),
+      regexp_replace(regexp_replace(regexp_replace(t, EmailRe, "[PII]"),
+        Ipv4Re, "[PII]"), CardRe, "[PII]").as("scrubbed"))
+      .orderBy("id").collect()
+    val nat = graft.operators.TextAnalysis.scrubPii(df, "id", "text")
+      .orderBy("id").collect()
+    nat.zip(decl).foreach { case (n, d) =>
+      n.getAs[Long]("n_emails") shouldBe d.getAs[Long]("n_emails")
+      n.getAs[Long]("n_ips") shouldBe d.getAs[Long]("n_ips")
+      n.getAs[Long]("n_cards") shouldBe d.getAs[Long]("n_cards")
+      n.getAs[String]("scrubbed") shouldBe d.getAs[String]("scrubbed")
+    }
+  }
+
+  it should "handle null text as null row" in {
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, "a@b.co")).toDF("id", "text")
+    val out = graft.operators.TextAnalysis.scrubPii(df, "id", "text").orderBy("id").collect()
+    out(0).isNullAt(1) shouldBe true
+    out(1).getAs[Long]("n_emails") shouldBe 1L
+  }
+
+  "RollingFingerprint" should "equal the interpreted aggregate fold on sampled ASCII text" in {
+    val df = Sampled.asciiSamples(200, 120).toDF("text")
+    val hof = aggregate(tokens(col("text")), lit(0L), (acc, t) =>
+      (acc * 131L + ascii(substring(t, 1, 1)).cast("long") * 7L + F.length(t)) % 1000000007L)
+    df.select(rollingFp(tokens(col("text"))).as("native"), hof.as("decl"))
+      .collect().foreach(r => r.getLong(0) shouldBe r.getLong(1))
+  }
+
+  it should "use the Unicode code point of the first char (DuckDB ascii parity)" in {
+    // "é" → U+00E9 = 233; h = (0·131 + 233·7 + 1) mod 1e9+7 = 1632
+    Seq("é").toDF("text").select(rollingFp(tokens(col("text"))))
+      .as[Long].head() shouldBe 1632L
+  }
+}

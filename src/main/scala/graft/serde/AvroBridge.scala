@@ -79,12 +79,46 @@ object AvroBridge {
     }.toSeq)
   }
 
+  /** True for the reference's UUID encoding: fixed(16) carrying a uuid
+    * logical type (AvroRecord.scala:494-497 puts LogicalTypes.uuid on a
+    * fixed, not the standard string form). */
+  private def isUuidFixed(s: Schema): Boolean =
+    s.getType == Schema.Type.FIXED && s.getFixedSize == 16 &&
+      ((s.getLogicalType != null && s.getLogicalType.getName == "uuid") ||
+        "uuid" == s.getProp("logicalType"))
+
+  /** Non-null branches of a union, in declaration order — the order is the
+    * tag space of the tagged-struct encoding. */
+  private def unionBranches(s: Schema): Seq[Schema] =
+    s.getTypes.asScala.filter(_.getType != Schema.Type.NULL).toSeq
+
+  /** Field name for a union branch in the tagged struct: the Avro type name
+    * (record/enum/fixed name, or primitive type name), deduplicated by
+    * position if two branches share one. */
+  private def branchFieldNames(branches: Seq[Schema]): Seq[String] = {
+    val raw = branches.map(_.getName)
+    raw.zipWithIndex.map { case (n, i) => if (raw.count(_ == n) > 1) s"${n}_$i" else n }
+  }
+
+  /** Spark image of a multi-branch union (SURVEY §1.2: Spark SQL has no
+    * native union type): struct(_tag INT, <branch0> T0, …, <branchN> TN)
+    * where _tag indexes the NON-NULL branches in declaration order and
+    * exactly the field at position _tag+1 is non-null. */
+  def taggedUnionType(s: Schema): StructType = {
+    val branches = unionBranches(s)
+    StructType(
+      StructField("_tag", IntegerType, nullable = false) +:
+        branchFieldNames(branches).zip(branches).map { case (n, b) =>
+          StructField(n, toSparkType(b)._1, nullable = true)
+        })
+  }
+
   private def toSparkType(s: Schema): (DataType, Boolean) = s.getType match {
     case Schema.Type.UNION =>
-      val nonNull = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
-      require(nonNull.size == 1, s"only union(null, T) supported, got $s")
-      val (dt, _) = toSparkType(nonNull.head)
-      (dt, true)
+      val branches = unionBranches(s)
+      val hasNull = s.getTypes.size() != branches.size
+      if (branches.size == 1) (toSparkType(branches.head)._1, true)
+      else (taggedUnionType(s), hasNull)
     case Schema.Type.INT =>
       if (s.getLogicalType != null && s.getLogicalType.getName == "date") (DateType, false)
       else (IntegerType, false)
@@ -97,7 +131,8 @@ object AvroBridge {
     case Schema.Type.DOUBLE => (DoubleType, false)
     case Schema.Type.STRING => (StringType, false)
     case Schema.Type.BYTES => (BinaryType, false)
-    case Schema.Type.FIXED => (BinaryType, false)
+    case Schema.Type.FIXED =>
+      if (isUuidFixed(s)) (StringType, false) else (BinaryType, false)
     case Schema.Type.ENUM => (StringType, false)
     case Schema.Type.ARRAY =>
       val (et, n) = toSparkType(s.getElementType)
@@ -136,55 +171,129 @@ object AvroBridge {
     // positional: rows from mapPartitions/tests may carry no schema;
     // field order is the StructType order by construction
     schema.getFields.asScala.zipWithIndex.foreach { case (f, i) =>
-      rec.put(f.name(), toAvroValue(row.get(i), unwrapUnion(f.schema())))
+      rec.put(f.name(), toAvroValue(row.get(i), f.schema()))
     }
     rec
   }
 
-  private def unwrapUnion(s: Schema): Schema =
-    if (s.getType == Schema.Type.UNION)
-      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
-    else s
+  private def uuidToBytes(u: java.util.UUID): Array[Byte] = {
+    val bb = ByteBuffer.allocate(16)
+    bb.putLong(u.getMostSignificantBits).putLong(u.getLeastSignificantBits)
+    bb.array()
+  }
 
-  private def toAvroValue(v: Any, s: Schema): Any = v match {
-    case null => null
-    case r: Row => rowToRecord(r, s)
-    case seq: Seq[_] =>
-      seq.map(toAvroValue(_, unwrapUnion(s.getElementType))).asJava
-    case m: Map[_, _] =>
-      m.map { case (k, x) => k.toString -> toAvroValue(x, unwrapUnion(s.getValueType)) }.asJava
-    case b: Array[Byte] => ByteBuffer.wrap(b)
-    case ts: java.sql.Timestamp => ts.getTime * 1000L + (ts.getNanos / 1000) % 1000
-    case ts: java.time.Instant => ts.getEpochSecond * 1000000L + ts.getNano / 1000
-    case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
-    case d: java.time.LocalDate => d.toEpochDay.toInt
-    case other => other
+  /** Schema-directed Spark → Avro value conversion. Unions: union(null,T)
+    * maps a nullable value; multi-branch unions expect the tagged-struct Row
+    * (`taggedUnionType`) and encode the branch `_tag` selects. */
+  private def toAvroValue(v: Any, s: Schema): Any = s.getType match {
+    case Schema.Type.UNION =>
+      val branches = unionBranches(s)
+      if (branches.size == 1) { if (v == null) null else toAvroValue(v, branches.head) }
+      else if (v == null) null
+      else {
+        val row = v.asInstanceOf[Row]
+        val tag = row.getInt(0)
+        require(tag >= 0 && tag < branches.size,
+          s"union tag $tag out of range for ${branches.size} branches in $s")
+        toAvroValue(row.get(tag + 1), branches(tag))
+      }
+    case Schema.Type.RECORD => if (v == null) null else rowToRecord(v.asInstanceOf[Row], s)
+    case Schema.Type.ARRAY => v match {
+      case null => null
+      case seq: Seq[_] => seq.map(toAvroValue(_, s.getElementType)).asJava
+    }
+    case Schema.Type.MAP => v match {
+      case null => null
+      case m: Map[_, _] =>
+        m.map { case (k, x) => k.toString -> toAvroValue(x, s.getValueType) }.asJava
+    }
+    case Schema.Type.ENUM =>
+      if (v == null) null
+      else {
+        val sym = v.toString
+        require(s.hasEnumSymbol(sym), s"'$sym' is not a symbol of enum ${s.getFullName}: ${s.getEnumSymbols}")
+        new GenericData.EnumSymbol(s, sym)
+      }
+    case Schema.Type.FIXED => v match {
+      case null => null
+      case str: String if isUuidFixed(s) =>
+        new GenericData.Fixed(s, uuidToBytes(java.util.UUID.fromString(str)))
+      case u: java.util.UUID => new GenericData.Fixed(s, uuidToBytes(u))
+      case b: Array[Byte] =>
+        require(b.length == s.getFixedSize,
+          s"fixed(${s.getFixedSize}) ${s.getFullName} got ${b.length} bytes")
+        new GenericData.Fixed(s, b)
+    }
+    case _ => v match {
+      case null => null
+      case b: Array[Byte] => ByteBuffer.wrap(b)
+      case ts: java.sql.Timestamp => ts.getTime * 1000L + (ts.getNanos / 1000) % 1000
+      case ts: java.time.Instant => ts.getEpochSecond * 1000000L + ts.getNano / 1000
+      case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+      case d: java.time.LocalDate => d.toEpochDay.toInt
+      case other => other
+    }
   }
 
   private def recordToRow(rec: GenericRecord, schema: Schema): Row = {
     val values = schema.getFields.asScala.map { f =>
-      fromAvroValue(rec.get(f.name()), unwrapUnion(f.schema()))
+      fromAvroValue(rec.get(f.name()), f.schema())
     }
     Row.fromSeq(values.toSeq)
   }
 
-  private def fromAvroValue(v: Any, s: Schema): Any = v match {
-    case null => null
-    case r: GenericRecord => recordToRow(r, s)
-    case l: java.util.List[_] =>
-      l.asScala.map(fromAvroValue(_, unwrapUnion(s.getElementType))).toSeq
-    case m: java.util.Map[_, _] =>
-      m.asScala.map { case (k, x) => k.toString -> fromAvroValue(x, unwrapUnion(s.getValueType)) }.toMap
-    case b: ByteBuffer =>
-      val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
-    case u: org.apache.avro.util.Utf8 => u.toString
-    case l: java.lang.Long if s.getLogicalType != null &&
-        s.getLogicalType.getName == "timestamp-micros" =>
-      java.time.Instant.ofEpochSecond(l / 1000000L, (l % 1000000L) * 1000L)
-    case i: java.lang.Integer if s.getLogicalType != null &&
-        s.getLogicalType.getName == "date" =>
-      java.time.LocalDate.ofEpochDay(i.longValue())
-    case other => other
+  /** Schema-directed Avro → Spark value conversion (inverse of
+    * `toAvroValue`; multi-branch unions come back as the tagged struct with
+    * exactly one non-null branch field). */
+  private def fromAvroValue(v: Any, s: Schema): Any = s.getType match {
+    case Schema.Type.UNION =>
+      val branches = unionBranches(s)
+      if (branches.size == 1) { if (v == null) null else fromAvroValue(v, branches.head) }
+      else if (v == null) null
+      else {
+        // resolveUnion indexes the FULL branch list (incl. null) by value
+        // class/name; re-map to the non-null tag space
+        val fullIdx = GenericData.get().resolveUnion(s, v)
+        val branch = s.getTypes.get(fullIdx)
+        val tag = branches.indexOf(branch)
+        val cells = new Array[Any](branches.size + 1)
+        cells(0) = tag
+        cells(tag + 1) = fromAvroValue(v, branch)
+        Row.fromSeq(cells.toSeq)
+      }
+    case Schema.Type.RECORD =>
+      if (v == null) null else recordToRow(v.asInstanceOf[GenericRecord], s)
+    case Schema.Type.ARRAY => v match {
+      case null => null
+      case l: java.util.List[_] => l.asScala.map(fromAvroValue(_, s.getElementType)).toSeq
+    }
+    case Schema.Type.MAP => v match {
+      case null => null
+      case m: java.util.Map[_, _] =>
+        m.asScala.map { case (k, x) => k.toString -> fromAvroValue(x, s.getValueType) }.toMap
+    }
+    case Schema.Type.ENUM => if (v == null) null else v.toString
+    case Schema.Type.FIXED => v match {
+      case null => null
+      case f: GenericData.Fixed =>
+        if (isUuidFixed(s)) {
+          val bb = ByteBuffer.wrap(f.bytes())
+          new java.util.UUID(bb.getLong, bb.getLong).toString
+        } else f.bytes().clone()
+    }
+    case _ => v match {
+      case null => null
+      case b: ByteBuffer =>
+        val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+      case u: org.apache.avro.util.Utf8 => u.toString
+      case l: java.lang.Long if s.getLogicalType != null &&
+          s.getLogicalType.getName == "timestamp-micros" =>
+        java.time.Instant.ofEpochSecond(l / 1000000L, (l % 1000000L) * 1000L)
+      case i: java.lang.Integer if s.getLogicalType != null &&
+          s.getLogicalType.getName == "date" =>
+        java.time.LocalDate.ofEpochDay(i.longValue())
+      case other => other
+    }
   }
 
   // ------------------------------------------------------------------

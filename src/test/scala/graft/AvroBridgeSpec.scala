@@ -123,3 +123,117 @@ class AvroBridgeSpec extends SparkSpec {
     decoded.toSeq shouldBe data
   }
 }
+
+/** Multi-branch unions, enum, fixed and UUID — the reference's sealed-trait
+  * @Union encoding (AvroRecord.scala:443-537, expectations in
+  * AvroUnionSpec.scala): Spark has no union type, so a multi-branch union
+  * maps to struct(_tag, <branch fields>) per SURVEY §1.2. */
+class AvroUnionBridgeSpec extends SparkSpec {
+
+  // union of two records — the reference's `Me(myPet: Pet)` shape with
+  // branches ordered like @Union(1) Cat, @Union(2) Dog
+  private val petUnion = new Schema.Parser().parse(
+    """{"type":"record","name":"Me","namespace":"graft.test","fields":[
+      |  {"name":"myPet","type":[
+      |    {"type":"record","name":"Cat","fields":[
+      |      {"name":"name","type":"string"},
+      |      {"name":"opt","type":["int","null"],"default":1}]},
+      |    {"type":"record","name":"Dog","fields":[
+      |      {"name":"name","type":"string"}]}]}]}""".stripMargin)
+
+  "toSparkSchema" should "map a 2-branch record union to a tagged struct" in {
+    val st = AvroBridge.toSparkSchema(petUnion)
+    val pet = st("myPet").dataType.asInstanceOf[StructType]
+    pet.fieldNames.toSeq shouldBe Seq("_tag", "Cat", "Dog")
+    pet("_tag").dataType shouldBe IntegerType
+    pet("Cat").dataType.asInstanceOf[StructType].fieldNames.toSeq shouldBe Seq("name", "opt")
+    pet("Dog").dataType.asInstanceOf[StructType].fieldNames.toSeq shouldBe Seq("name")
+    st("myPet").nullable shouldBe false // no null branch
+  }
+
+  "encodeRow/decodeRow" should "round-trip both branches of a record union" in {
+    val dog = Row(Row(1, null, Row("Finn")))            // _tag 1 = Dog
+    val cat = Row(Row(0, Row("Fionna", 3), null))       // _tag 0 = Cat, opt=3
+    AvroBridge.decodeRow(AvroBridge.encodeRow(dog, petUnion), petUnion) shouldBe dog
+    AvroBridge.decodeRow(AvroBridge.encodeRow(cat, petUnion), petUnion) shouldBe cat
+  }
+
+  it should "round-trip a union inside an array (They.theirPets)" in {
+    val they = new Schema.Parser().parse(
+      """{"type":"record","name":"They","namespace":"graft.test","fields":[
+        |  {"name":"theirPets","type":{"type":"array","items":[
+        |    {"type":"record","name":"Cat","fields":[{"name":"name","type":"string"}]},
+        |    {"type":"record","name":"Dog","fields":[{"name":"name","type":"string"}]}]}}]}""".stripMargin)
+    val row = Row(Seq(Row(1, null, Row("Finn")), Row(0, Row("Fionna"), null)))
+    AvroBridge.decodeRow(AvroBridge.encodeRow(row, they), they) shouldBe row
+  }
+
+  it should "round-trip a union of primitives (int|string) with a null branch" in {
+    val s = new Schema.Parser().parse(
+      """{"type":"record","name":"R","fields":[
+        |  {"name":"v","type":["null","int","string"],"default":null}]}""".stripMargin)
+    val st = AvroBridge.toSparkSchema(s)
+    st("v").nullable shouldBe true
+    st("v").dataType.asInstanceOf[StructType].fieldNames.toSeq shouldBe Seq("_tag", "int", "string")
+    val asInt = Row(Row(0, 42, null))
+    val asStr = Row(Row(1, null, "hi"))
+    val asNull = Row(null)
+    AvroBridge.decodeRow(AvroBridge.encodeRow(asInt, s), s) shouldBe asInt
+    AvroBridge.decodeRow(AvroBridge.encodeRow(asStr, s), s) shouldBe asStr
+    AvroBridge.decodeRow(AvroBridge.encodeRow(asNull, s), s) shouldBe asNull
+  }
+
+  "enum" should "map to string and round-trip with symbol validation" in {
+    val s = new Schema.Parser().parse(
+      """{"type":"record","name":"E","fields":[
+        |  {"name":"side","type":{"type":"enum","name":"Side","symbols":["BUY","SELL"]}}]}""".stripMargin)
+    AvroBridge.toSparkSchema(s)("side").dataType shouldBe StringType
+    val row = Row("SELL")
+    AvroBridge.decodeRow(AvroBridge.encodeRow(row, s), s) shouldBe row
+    an[IllegalArgumentException] should be thrownBy
+      AvroBridge.encodeRow(Row("HOLD"), s)
+  }
+
+  "fixed" should "round-trip as binary with size enforcement" in {
+    val s = new Schema.Parser().parse(
+      """{"type":"record","name":"F","fields":[
+        |  {"name":"k","type":{"type":"fixed","name":"K8","size":8}}]}""".stripMargin)
+    AvroBridge.toSparkSchema(s)("k").dataType shouldBe BinaryType
+    val bytes = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)
+    val back = AvroBridge.decodeRow(AvroBridge.encodeRow(Row(bytes), s), s)
+    back.getAs[Array[Byte]](0).toSeq shouldBe bytes.toSeq
+    an[IllegalArgumentException] should be thrownBy
+      AvroBridge.encodeRow(Row(Array[Byte](1, 2)), s)
+  }
+
+  "uuid" should "map fixed(16) logicalType uuid to a canonical string (reference AvroRecord.scala:494-497)" in {
+    val s = new Schema.Parser().parse(
+      """{"type":"record","name":"U","fields":[
+        |  {"name":"id","type":{"type":"fixed","name":"id","size":16,"logicalType":"uuid"}}]}""".stripMargin)
+    AvroBridge.toSparkSchema(s)("id").dataType shouldBe StringType
+    val u = "123e4567-e89b-12d3-a456-426614174000"
+    val back = AvroBridge.decodeRow(AvroBridge.encodeRow(Row(u), s), s)
+    back.getString(0) shouldBe u
+  }
+
+  "a union round-trip over a DataFrame" should "survive distributed encode/decode" in {
+    import spark.implicits._
+    val avroJson = petUnion.toString
+    val data = (1L to 50L).map { i =>
+      if (i % 2 == 0) Row(Row(1, null, Row(s"dog$i"))) else Row(Row(0, Row(s"cat$i", i.toInt), null))
+    }
+    val encoded = spark.sparkContext.parallelize(data, 4).map { r =>
+      val sch = new Schema.Parser().parse(avroJson)
+      AvroBridge.encodeRow(r, sch)
+    }
+    val decoded = encoded.map { b =>
+      val sch = new Schema.Parser().parse(avroJson)
+      val r = AvroBridge.decodeRow(b, sch)
+      val pet = r.getStruct(0)
+      if (pet.getInt(0) == 1) ("dog", pet.getStruct(2).getString(0))
+      else ("cat", pet.getStruct(1).getString(0))
+    }.collect().toSeq
+    decoded.count(_._1 == "dog") shouldBe 25
+    decoded.count(_._1 == "cat") shouldBe 25
+  }
+}

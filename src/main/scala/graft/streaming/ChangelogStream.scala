@@ -53,18 +53,20 @@ object ChangelogStream {
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribe", topic)
       .option("startingOffsetsByTimestampStrategy", "latest")
-      .option("startingTimestamp", (startUs / 1000L).toString)
+      .option("startingTimestamp", KafkaBounds.startMs(startUs).toString)
       // bound the scan at the offsets for endUs too - otherwise the batch
       // reads to the topic head and discards the tail with the residual
-      // filter (ceil so boundary-ms records are kept for the us filter)
-      .option("endingTimestamp", ((endUs + 999L) / 1000L).toString)
+      // filter (ceil so boundary-ms records are kept for the us filter);
+      // the floor/ceil/residual arithmetic lives in KafkaBounds so it is
+      // unit-testable without a broker
+      .option("endingTimestamp", KafkaBounds.endMsCeil(endUs).toString)
       .load()
       .select(
         col("key"), col("value"),
         unix_micros(col("timestamp")).as("ts_us"),
         col("value").isNull.as("tombstone"),
         col("partition"), col("offset"))
-      .filter(col("ts_us") >= startUs && col("ts_us") < endUs)
+      .filter(KafkaBounds.residual(col("ts_us"), startUs, endUs))
   }
 
   /** File (parquet dir) source with the canonical changelog schema —

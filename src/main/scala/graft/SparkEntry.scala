@@ -682,6 +682,25 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // MinHash LSH with the degenerate-bucket cap ENABLED and tripped (cap=2
+    // drops every band bucket of 3+ docs at both sf0.01 and sf0.1): the
+    // 100 TB guard rail, oracle-proven — the DuckDB side mirrors the exact
+    // whole-bucket drop rule, so parity holds with rows actually dropped
+    "d8_minhash_capped" -> ((s, d) => {
+      Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
+        numHashes = 8, shingleSize = 3, rowsPerBand = 2, minEstimate = 0.5,
+        materializeCandidates = true, maxBucketSize = 2L)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash Hamming-ball near-dup pairs (Manku et al. banding: 2 byte-
+    // bands catch every Hamming<=1 pair via pigeonhole, popcount residual)
+    "d9_simhash_pairs" -> ((s, d) => {
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+        bits = 16, maxHamming = 1)
+        .orderBy("id_a", "id_b")
+    }),
+
     // near-dup clustering: LSH pairs closed into components, keeper = min id
     "d7_dedup_clusters" -> ((s, d) => {
       Dedup.nearDupClusters(s, Tables.documents(s, d), "doc_id", "text",
@@ -897,9 +916,15 @@ object SparkEntry {
     * numHashes=8, shingleSize=3, rowsPerBand=2: one 60-bit md5 prefix per
     * shingle, then the fixed (aᵢ·h+bᵢ) mod 2^61−1 permutations — HUGEINT
     * keeps the 122-bit product exact, matching MinHashSignature.permute. */
-  private def minhashPairsSql(src: String): String = {
+  private def minhashPairsSql(src: String, cap: Option[Long] = None): String = {
     val as = (0 until 8).map(graft.functions.MinHashSignature.coeffA).mkString(", ")
     val bs = (0 until 8).map(graft.functions.MinHashSignature.coeffB).mkString(", ")
+    // cap: mirror of Dedup.capBuckets — ALL rows of any (band, band_hash)
+    // bucket larger than the cap are dropped before pairing (whole-bucket
+    // rule: deterministic, no tie-breaking, so both engines drop the same
+    // rows and parity is exact)
+    val bandedSrc = cap.fold("mh_banded")(c =>
+      s"(SELECT * FROM (SELECT *, COUNT(*) OVER (PARTITION BY band, band_hash) AS bn FROM mh_banded) WHERE bn <= $c)")
     s"""mh_toks AS (SELECT doc_id, $toksSql AS t FROM $src),
        |mh_sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) AS gs
        |          FROM mh_toks WHERE len(t) >= 3),
@@ -911,7 +936,7 @@ object SparkEntry {
        |              FROM mh_sig, range(0,4) t(b)),
        |mh_pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |               len([i for i in range(1,9) if a.sg[i] = b.sg[i]]) / 8.0 AS jaccard_est
-       |             FROM mh_banded a JOIN mh_banded b USING (band, band_hash)
+       |             FROM $bandedSrc a JOIN $bandedSrc b USING (band, band_hash)
        |             WHERE a.doc_id < b.doc_id)""".stripMargin
   }
 
@@ -1134,6 +1159,32 @@ object SparkEntry {
          |   FROM best b WHERE b.rn = 1 AND b.doc_id = s.doc_id) AS predicted_lang,
          |  md5($normSql) AS content_fp, s.n_tokens
          |FROM surv s ORDER BY s.doc_id""".stripMargin,
+
+    "d8_minhash_capped" ->
+      s"""WITH ${minhashPairsSql("documents", cap = Some(2L))}
+         |SELECT id_a, id_b, jaccard_est FROM mh_pairs WHERE jaccard_est >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // simhash per doc (same CTE chain as d3), then Manku-style banding:
+    // 2 byte-bands, equi-join on (band, byte value), exact popcount
+    // residual. bit_count returns TINYINT in DuckDB / INT in Spark → CAST.
+    "d9_simhash_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |tv AS (SELECT doc_id,
+         |  [ (strpos('0123456789abcdef', substr(md5(x),1,1))-1)*4096
+         |  + (strpos('0123456789abcdef', substr(md5(x),2,1))-1)*256
+         |  + (strpos('0123456789abcdef', substr(md5(x),3,1))-1)*16
+         |  + (strpos('0123456789abcdef', substr(md5(x),4,1))-1) for x in t] AS vals,
+         |  len(t) AS n FROM toks),
+         |sh AS (SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS simhash FROM tv),
+         |banded AS (SELECT doc_id, simhash, b, (simhash >> (b*8)) & 255 AS byte
+         |           FROM sh, range(0,2) t(b)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |          FROM banded a JOIN banded b USING (b, byte)
+         |          WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 1
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "d3_dedup_simhash" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),

@@ -129,6 +129,49 @@ object Dedup {
     docs.select(col(idCol), simhashBits(tokens(col(textCol)), bits).as("simhash"))
   }
 
+  /** SimHash near-dup pairs within a Hamming ball: every pair of documents
+    * whose `bits`-bit SimHash fingerprints differ in at most `maxHamming`
+    * bit positions. Candidate generation is the published band trick
+    * (Manku, Jain & Sarma, WWW'07 §3): split the fingerprint into
+    * `maxHamming + 1` equal bit-bands — two fingerprints within the ball
+    * must agree EXACTLY on at least one band (pigeonhole), so candidates
+    * come from one equi-join on (band index, band value) and the exact
+    * popcount residual runs per candidate, never per corpus pair. Scale
+    * shape matches minhashLsh: shuffles only on band keys, optional
+    * `maxBucketSize` bounds a degenerate band value (e.g. the all-zeros
+    * fingerprint of empty documents). */
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bits: Int = 16,
+      maxHamming: Int = 1,
+      maxBucketSize: Long = defaultMaxBucketSize): DataFrame = {
+    val numBands = maxHamming + 1
+    require(bits % numBands == 0,
+      s"bits ($bits) must be divisible by maxHamming+1 ($numBands) for equal bands")
+    val bandBits = bits / numBands
+    val mask = (1L << bandBits) - 1
+    val sh = simhash(docs, idCol, textCol, bits)
+    val bandsArr = array((0 until numBands).map(bn =>
+      struct(lit(bn).as("band"),
+        shiftright(col("simhash"), bn * bandBits).bitwiseAND(mask).as("band_bits"))): _*)
+    val banded0 = sh
+      .select(col(idCol).as("doc"), col("simhash"), explode(bandsArr).as("bb"))
+      .select(col("doc"), col("simhash"), col("bb.band").as("band"), col("bb.band_bits").as("band_bits"))
+    val banded = capBuckets(banded0, Seq("band", "band_bits"), maxBucketSize)
+    val a = banded.select(col("band"), col("band_bits"),
+      col("doc").as("id_a"), col("simhash").as("ha"))
+    val b = banded.select(col("band"), col("band_bits"),
+      col("doc").as("id_b"), col("simhash").as("hb"))
+    a.join(b, Seq("band", "band_bits"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** N-gram Jaccard near-dup within blocking buckets: candidates are pairs
     * sharing a blocking key (here: same `blockCols` values); Jaccard is
     * computed relationally (explode grams → self-equi-join → count) so the

@@ -41,6 +41,30 @@ class DedupSpec extends SparkSpec {
     java.lang.Long.bitCount(sh(1L) ^ sh(5L)) should be <= 8
   }
 
+  "Dedup.simhashPairs" should "find every Hamming<=r pair via banding (vs brute force)" in {
+    // brute-force oracle over the same fingerprints: banding must be
+    // RECALL-EXACT within the ball (pigeonhole guarantees it), not approximate
+    val sh = Dedup.simhash(docs, "doc_id", "text").as[(Long, Long)].collect()
+    def brute(r: Int) = (for {
+      (ia, ha) <- sh; (ib, hb) <- sh if ia < ib
+      if java.lang.Long.bitCount(ha ^ hb) <= r
+    } yield (ia, ib)).sorted.toSeq
+    for (r <- Seq(1, 3)) {
+      val got = Dedup.simhashPairs(docs, "doc_id", "text", bits = 16, maxHamming = r)
+        .select("id_a", "id_b").as[(Long, Long)].collect().sorted.toSeq
+      got shouldBe brute(r)
+    }
+  }
+
+  it should "respect the bucket cap (degenerate band value dropped)" in {
+    // 12 identical docs: every band bucket has 12 members → cap 4 drops all
+    val many = (1L to 12L).map(i => (i, "same text for everyone here")).toDF("doc_id", "text")
+    Dedup.simhashPairs(many, "doc_id", "text", maxHamming = 1, maxBucketSize = 4L)
+      .count() shouldBe 0L
+    Dedup.simhashPairs(many, "doc_id", "text", maxHamming = 1)
+      .count() shouldBe 66L // 12*11/2 uncapped
+  }
+
   "Dedup.ngramJaccardBlocked" should "score identical docs 1.0 and near-dups high, within blocks" in {
     val blocked = docs.withColumn("blk", lit(1))
     val pairs = Dedup.ngramJaccardBlocked(blocked, "doc_id", "text",

@@ -596,6 +596,13 @@ object SparkEntry {
 
     // PII scrubbing: synthetic log lines (no PII in the testdata) built from
     // event columns, then redacted — only the scrub side is scored
+    // sliding 64-token windows, 16-token overlap (context-window prep)
+    "t8_chunking" -> ((s, d) => {
+      TextAnalysis.chunk(Tables.documents(s, d), "doc_id", "text",
+        chunkTokens = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     "t7_pii_scrub" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val raw = concat(
@@ -1343,6 +1350,19 @@ object SparkEntry {
          |    '$em', '[PII]', 'g'), '$ip', '[PII]', 'g'), '$cc', '[PII]', 'g')) AS scrub_md5
          |FROM x ORDER BY event_id""".stripMargin
     },
+
+    // chunk starts 0,48,96,… while < n (range(0,n,48)); slice caps at n on
+    // both engines; final short chunk keeps least(64, n-s) tokens
+    "t8_chunking" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |nn AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+         |st AS (SELECT doc_id, t, n, unnest(range(0, n, 48)) AS s FROM nn),
+         |c AS (SELECT doc_id, CAST(s//48 AS INTEGER) AS chunk_idx,
+         |        array_to_string(t[CAST(s+1 AS INTEGER):CAST(s+64 AS INTEGER)], ' ') AS chunk_text,
+         |        CAST(least(64, n - s) AS BIGINT) AS n_chunk_tokens
+         |      FROM st)
+         |SELECT doc_id, chunk_idx, chunk_text, n_chunk_tokens FROM c
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q46_salted_join" ->
       s"""SELECT c_mktsegment, COUNT(*) AS n,

@@ -145,6 +145,40 @@ object TextAnalysis {
     * (small) distinct-term frame; ties break to the lexicographically first
     * token. The explode never materializes the corpus — partial counts
     * combine map-side. */
+  /** Sliding token-window chunking: split each document into windows of
+    * `chunkTokens` tokens advancing by `chunkTokens - overlap` (the standard
+    * context-window preprocessing step for training corpora). Chunk starts
+    * are `0, stride, 2·stride, …` while < n_tokens, so the final chunk may
+    * be short but no token is unreachable; token-less documents emit no
+    * chunks. Emits `(id, chunk_idx, chunk_text, n_chunk_tokens)`.
+    *
+    * Scale shape: pure row-local explode — no shuffle; output row count is
+    * input token count ÷ stride. The `sequence` start/stop are both 0-based
+    * with stop = n−1 so an empty array can't trigger sequence's descending
+    * mode (it counts DOWN when start > stop — the filter guards n > 0). */
+  def chunk(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap ($overlap) < chunkTokens ($chunkTokens)")
+    val stride = chunkTokens - overlap
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+      .filter(col("n") > 0)
+      .select(col(idCol), col("t"), col("n"),
+        posexplode(sequence(lit(0L), col("n") - 1L, lit(stride.toLong)))
+          .as(Seq("chunk_idx", "s")))
+      .select(
+        col(idCol),
+        col("chunk_idx").cast("int").as("chunk_idx"),
+        array_join(slice(col("t"), (col("s") + 1L).cast("int"), lit(chunkTokens)), " ").as("chunk_text"),
+        least(lit(chunkTokens.toLong), col("n") - col("s")).as("n_chunk_tokens"))
+  }
+
   def topTermsPerGroup(
       docs: DataFrame,
       groupCol: String,

@@ -256,6 +256,27 @@ class TextAnalysisSpec extends SparkSpec {
     fps(0)._3 shouldBe fps(1)._3 // rolling_fp too (token-based)
     fps(0)._2 should not be fps(2)._2
   }
+
+  "chunk" should "emit overlapping token windows covering every token" in {
+    val doc = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val got = TextAnalysis.chunk(doc, "doc_id", "text", chunkTokens = 4, overlap = 1)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "chunk_text", "n_chunk_tokens")
+      .as[(Int, String, Long)].collect().toSeq
+    // stride 3: starts 0,3,6,9
+    got shouldBe Seq(
+      (0, "w1 w2 w3 w4", 4L),
+      (1, "w4 w5 w6 w7", 4L),
+      (2, "w7 w8 w9 w10", 4L),
+      (3, "w10", 1L))
+  }
+
+  it should "emit nothing for token-less docs and one chunk for short docs" in {
+    val df = Seq((1L, "   "), (2L, "only three tokens")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunk(df, "doc_id", "text", chunkTokens = 8)
+      .select("doc_id", "chunk_text", "n_chunk_tokens").as[(Long, String, Long)].collect().toSeq
+    got shouldBe Seq((2L, "only three tokens", 3L))
+  }
 }
 
 class AsOfJoinSpec extends SparkSpec {

@@ -780,6 +780,24 @@ object SparkEntry {
         .orderBy("user_id", "session_seq")
     }),
 
+    // interval-overlap join (bucketized equi-join, canonical-bucket emit —
+    // no theta/nested-loop join, no dedup shuffle): two order-window
+    // relations, every overlapping pair of 7-day windows
+    "q48_interval_overlap" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      def windows(mod: Int, kc: String, sc: String, ec: String) = o
+        .filter(col("o_orderkey") % mod === 0)
+        .select(col("o_orderkey").as(kc),
+          Tables.epochUs(col("o_orderdate")).as(sc),
+          (Tables.epochUs(col("o_orderdate")) + WeekUs).as(ec))
+      RangeJoin.intervalOverlap(
+        windows(97, "a_key", "a_start", "a_end"),
+        windows(89, "b_key", "b_start", "b_end"),
+        "a_start", "a_end", "b_start", "b_end", bucketWidth = WeekUs)
+        .select("a_key", "b_key", "a_start", "b_start")
+        .orderBy("a_key", "b_key")
+    }),
+
     // fuzzy self-join: near-identical part names via token blocking +
     // exact levenshtein on deduped candidate pairs
     "q34_fuzzy_join" -> ((s, d) => {
@@ -1650,6 +1668,19 @@ object SparkEntry {
         |SELECT user_id, session_seq, MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
         |  MAX(ts_us) - MIN(ts_us) AS duration_us, COUNT(*) AS n_events
         |FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    // the oracle is the PLAIN theta join — proving the bucket decomposition
+    // + canonical-bucket emit returns exactly the quadratic-join result
+    "q48_interval_overlap" ->
+      s"""WITH a AS (SELECT o_orderkey AS a_key, epoch_us(o_orderdate) AS a_start,
+         |             epoch_us(o_orderdate) + $WeekUs AS a_end
+         |           FROM orders WHERE o_orderkey % 97 = 0),
+         |b AS (SELECT o_orderkey AS b_key, epoch_us(o_orderdate) AS b_start,
+         |        epoch_us(o_orderdate) + $WeekUs AS b_end
+         |      FROM orders WHERE o_orderkey % 89 = 0)
+         |SELECT a_key, b_key, a_start, b_start
+         |FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
+         |ORDER BY a_key, b_key""".stripMargin,
 
     "q33_range_join" ->
       """WITH flagged AS (

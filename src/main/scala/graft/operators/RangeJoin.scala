@@ -54,4 +54,37 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("_bucket")
   }
+
+  /** Interval-overlap join: one output row per pair of intervals
+    * (`a` × `b`, both ends inclusive, same units) with
+    * `aStart ≤ bEnd AND bStart ≤ aEnd` — the theta join Spark would
+    * otherwise nested-loop — decomposed into the same bucket equi-join as
+    * `pointInInterval`. Both sides explode to their covered buckets; a
+    * candidate pair meets in EVERY bucket the overlap spans, so instead of
+    * a dedup shuffle the pair is emitted only from its canonical bucket —
+    * the bucket of `greatest(aStart, bStart)`, the overlap's first bucket,
+    * which both sides cover by construction. Output stays exactly the
+    * theta-join result with zero extra shuffles.
+    *
+    * `keys`: optional equi-key columns (same names both sides) joined
+    * alongside the bucket — the common "overlap within entity" shape, and
+    * at scale the partitioning is (keys, bucket) so one entity's intervals
+    * never all meet in one task unless they truly share a bucket. */
+  def intervalOverlap(
+      a: DataFrame,
+      b: DataFrame,
+      aStart: String, aEnd: String,
+      bStart: String, bEnd: String,
+      bucketWidth: Long,
+      keys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def buckets(df: DataFrame, s: String, e: String): DataFrame =
+      df.filter(col(e) >= col(s)) // sequence() counts DOWN when reversed
+        .withColumn("_bucket",
+          explode(sequence(expr(s"`$s` div ${bucketWidth}L"), expr(s"`$e` div ${bucketWidth}L"))))
+    buckets(a, aStart, aEnd).join(buckets(b, bStart, bEnd), keys :+ "_bucket")
+      .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
+      .filter(col("_bucket") === expr(s"greatest(`$aStart`, `$bStart`) div ${bucketWidth}L"))
+      .drop("_bucket")
+  }
 }

@@ -59,6 +59,8 @@ object AvroBridge {
       LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
     case DateType =>
       LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+    case d: DecimalType =>
+      LogicalTypes.decimal(d.precision, d.scale).addToSchema(Schema.create(Schema.Type.BYTES))
     case ArrayType(et, containsNull) =>
       val e = toAvroType(et, s"${name}_item", ns)
       Schema.createArray(
@@ -130,9 +132,16 @@ object AvroBridge {
     case Schema.Type.FLOAT => (FloatType, false)
     case Schema.Type.DOUBLE => (DoubleType, false)
     case Schema.Type.STRING => (StringType, false)
-    case Schema.Type.BYTES => (BinaryType, false)
+    case Schema.Type.BYTES => s.getLogicalType match {
+      case dec: LogicalTypes.Decimal => (DecimalType(dec.getPrecision, dec.getScale), false)
+      case _ => (BinaryType, false)
+    }
     case Schema.Type.FIXED =>
-      if (isUuidFixed(s)) (StringType, false) else (BinaryType, false)
+      if (isUuidFixed(s)) (StringType, false)
+      else s.getLogicalType match {
+        case dec: LogicalTypes.Decimal => (DecimalType(dec.getPrecision, dec.getScale), false)
+        case _ => (BinaryType, false)
+      }
     case Schema.Type.ENUM => (StringType, false)
     case Schema.Type.ARRAY =>
       val (et, n) = toSparkType(s.getElementType)
@@ -227,6 +236,15 @@ object AvroBridge {
     case _ => v match {
       case null => null
       case b: Array[Byte] => ByteBuffer.wrap(b)
+      // decimal(bytes): two's-complement unscaled value at the SCHEMA scale
+      // (Avro's wire rule) — rescale first so 1.5 encodes identically at
+      // scale 2 regardless of the input representation's scale
+      case bd: java.math.BigDecimal =>
+        val dec = s.getLogicalType.asInstanceOf[LogicalTypes.Decimal]
+        ByteBuffer.wrap(bd.setScale(dec.getScale).unscaledValue().toByteArray)
+      case bd: scala.math.BigDecimal =>
+        val dec = s.getLogicalType.asInstanceOf[LogicalTypes.Decimal]
+        ByteBuffer.wrap(bd.underlying().setScale(dec.getScale).unscaledValue().toByteArray)
       case ts: java.sql.Timestamp => ts.getTime * 1000L + (ts.getNanos / 1000) % 1000
       case ts: java.time.Instant => ts.getEpochSecond * 1000000L + ts.getNano / 1000
       case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
@@ -279,10 +297,17 @@ object AvroBridge {
         if (isUuidFixed(s)) {
           val bb = ByteBuffer.wrap(f.bytes())
           new java.util.UUID(bb.getLong, bb.getLong).toString
+        } else if (s.getLogicalType.isInstanceOf[LogicalTypes.Decimal]) {
+          new java.math.BigDecimal(new java.math.BigInteger(f.bytes()),
+            s.getLogicalType.asInstanceOf[LogicalTypes.Decimal].getScale)
         } else f.bytes().clone()
     }
     case _ => v match {
       case null => null
+      case b: ByteBuffer if s.getLogicalType.isInstanceOf[LogicalTypes.Decimal] =>
+        val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr)
+        new java.math.BigDecimal(new java.math.BigInteger(arr),
+          s.getLogicalType.asInstanceOf[LogicalTypes.Decimal].getScale)
       case b: ByteBuffer =>
         val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
       case u: org.apache.avro.util.Utf8 => u.toString

@@ -47,6 +47,21 @@ class AvroBridgeSpec extends SparkSpec {
     AvroBridge.decodeRow(AvroBridge.encodeRow(withNulls, avro), avro) shouldBe withNulls
   }
 
+  it should "round-trip decimals as bytes + decimal logical type at the schema scale" in {
+    val dec = StructType(Seq(StructField("amount", DecimalType(18, 2), nullable = true)))
+    val avro = AvroBridge.toAvroSchema(dec, "d")
+    AvroBridge.toSparkSchema(avro) shouldBe dec
+    // inputs at a DIFFERENT scale must rescale to the schema's (Avro wire rule)
+    for (in <- Seq(new java.math.BigDecimal("12.5"), new java.math.BigDecimal("12.50"),
+        new java.math.BigDecimal("-0.070"))) {
+      val out = AvroBridge.decodeRow(AvroBridge.encodeRow(Row(in), avro), avro)
+        .getAs[java.math.BigDecimal](0)
+      out.scale() shouldBe 2
+      out.compareTo(in) shouldBe 0
+    }
+    AvroBridge.decodeRow(AvroBridge.encodeRow(Row(null), avro), avro) shouldBe Row(null)
+  }
+
   it should "round-trip timestamps as timestamp-micros" in {
     val st = StructType(Seq(StructField("ts", TimestampType, nullable = false)))
     val avro = AvroBridge.toAvroSchema(st, "t")

@@ -26,6 +26,34 @@ class RangeJoinSpec extends SparkSpec {
     RangeJoin.pointInInterval(points, intervals, "p", "s", "e", bucketWidth = 10L)
       .count() shouldBe 1L
   }
+
+  "RangeJoin.intervalOverlap" should "match the theta-join result exactly (brute-force sweep)" in {
+    // deterministic pseudo-random interval sets; compare against the plain
+    // quadratic join at several bucket widths, including widths far off the
+    // typical interval length (correctness must not depend on tuning)
+    def mk(seed: Long, n: Int) = (0 until n).map { i =>
+      val s = (seed * (i + 1) * 2654435761L % 500L + 500L) % 500L
+      (seed * 100 + i, s, s + (seed + i * 7) % 60L)
+    }
+    val a = mk(3, 40).toDF("a_key", "a_start", "a_end")
+    val b = mk(5, 50).toDF("b_key", "b_start", "b_end")
+    val brute = a.join(b, col("a_start") <= col("b_end") && col("b_start") <= col("a_end"))
+      .select("a_key", "b_key").as[(Long, Long)].collect().sorted.toSeq
+    for (w <- Seq(7L, 64L, 1000L)) {
+      RangeJoin.intervalOverlap(a, b, "a_start", "a_end", "b_start", "b_end", w)
+        .select("a_key", "b_key").as[(Long, Long)].collect().sorted.toSeq shouldBe brute
+    }
+  }
+
+  it should "join only within keys when keys are given, and drop reversed intervals" in {
+    val a = Seq(("u1", 1L, 0L, 10L), ("u2", 2L, 0L, 10L), ("u1", 3L, 50L, 40L))
+      .toDF("u", "a_key", "a_start", "a_end")
+    val b = Seq(("u1", 9L, 5L, 15L), ("u2", 8L, 100L, 110L))
+      .toDF("u", "b_key", "b_start", "b_end")
+    RangeJoin.intervalOverlap(a, b, "a_start", "a_end", "b_start", "b_end",
+        bucketWidth = 10L, keys = Seq("u"))
+      .select("a_key", "b_key").as[(Long, Long)].collect().toSeq shouldBe Seq((1L, 9L))
+  }
 }
 
 class FuzzyJoinSpec extends SparkSpec {

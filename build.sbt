@@ -35,4 +35,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // ContextCleaner passes; 8g put the storm threshold mid-bench (this
   // container has 128 GiB).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 70+ queries × whole-stage codegen = hundreds of generated classes; the
+  // JDK default 240m code cache fills mid-bench and JIT quietly shuts off
+  // (interpreter fallback on whoever runs last)
+  "-XX:ReservedCodeCacheSize=512m",
 )

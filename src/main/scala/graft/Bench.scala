@@ -19,10 +19,15 @@ object Bench {
     def runToNoop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     // Warm the JVM/codegen/parquet-footer paths once so per-query numbers
-    // measure the queries, not first-query JIT + filesystem warmup.
+    // measure the queries, not first-query JIT + filesystem warmup. q36 is
+    // warmed explicitly: its StAX/from_xml path needs ~3 executions before
+    // C2 reaches steady state (measured 12.3 → 5.7 → 2.4 → 2.1 s), so
+    // best-of-2 alone would overstate it ~2.5×; no other query needs more
+    // than its first timed run to settle.
     try {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       runToNoop(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
+      runToNoop(SparkEntry.queries("q36_xml_view")(spark, sfDir))
     } catch { case _: Throwable => }
     // Deterministic storage hygiene BETWEEN queries (untimed): operators
     // that localCheckpoint (minhash candidates, CC edge frames, IVF

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** One emission per (document, band): the best prior match in that band's
+  * bucket, or none. A document is near-dup iff ANY of its bands matched —
+  * consumers take `max(est) group by doc_id` (kept outside the stateful
+  * operator so the query stays a single stateful stage). */
+case class BandMatch(doc_id: Long, match_id: Option[Long], est: Double)
+
+/** Streaming near-duplicate detection — the streaming face of
+  * `operators.Dedup.minhashLsh`.
+  *
+  * Batch LSH self-joins the banded corpus; unbounded streams can't
+  * self-join without unbounded state. Instead the band buckets BECOME the
+  * state: each (band, band-hash) group holds up to `maxBucketSize`
+  * (docId, signature) entries via `flatMapGroupsWithState` (the same
+  * per-key serialization the reference's getAndUpdate relies on,
+  * KVStoreLocal.scala:413-464), and every arriving document is scored
+  * against its bucket's prior members — O(bucket) work per (doc, band),
+  * state bounded by cap × live buckets, no shuffle beyond the band key.
+  *
+  * The cap doubles as the degenerate-bucket guard (`Dedup.capBuckets`'s
+  * streaming analogue): a boilerplate bucket saturates at `maxBucketSize`
+  * members and further arrivals still get flagged against it (unlike the
+  * batch cap, which drops the bucket entirely — streaming wants the
+  * FLAG, batch wants the pair list pruned).
+  *
+  * Determinism: within a micro-batch each bucket processes its documents
+  * in ascending id order; ties on estimate keep the earliest-inserted
+  * member. */
+object StreamingDedup {
+
+  def nearDupFlags(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      shingleSize: Int = 3,
+      rowsPerBand: Int = 2,
+      minEstimate: Double = 0.5,
+      maxBucketSize: Int = 64): Dataset[BandMatch] = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be divisible by rowsPerBand ($rowsPerBand)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val numBands = numHashes / rowsPerBand
+    val banded = docs
+      .select(col(idCol).cast("long").as("doc"),
+        minhashSig(tokens(col(textCol)), numHashes, shingleSize).as("signature"))
+      .filter(size(col("signature")) > 0)
+      .select(col("doc"), col("signature"),
+        posexplode(
+          transform(
+            sequence(lit(0), lit(numBands - 1)),
+            b => md5(concat_ws("|",
+              transform(slice(col("signature"), b * rowsPerBand + lit(1), lit(rowsPerBand)),
+                x => x.cast("string"))))
+          )).as(Seq("band", "band_hash")))
+      .select(col("doc"), col("signature"),
+        concat_ws(":", col("band"), col("band_hash")).as("bucket"))
+      .as[(Long, Seq[Long], String)]
+
+    banded
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[Seq[Seq[Long]], BandMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) { (_, rows, state) =>
+        // bucket state rows are (docId +: signature); insertion-ordered
+        var bucket = state.getOption.getOrElse(Seq.empty)
+        val out = Seq.newBuilder[BandMatch]
+        rows.toSeq.sortBy(_._1).foreach { case (doc, sig, _) =>
+          var bestId = Option.empty[Long]
+          var bestEst = -1.0
+          bucket.foreach { entry =>
+            val pid = entry.head
+            if (pid != doc) {
+              val est = entry.tail.zip(sig).count(p => p._1 == p._2).toDouble / sig.size
+              if (est > bestEst) { bestEst = est; bestId = Some(pid) }
+            }
+          }
+          out += (bestId match {
+            case Some(pid) if bestEst >= minEstimate => BandMatch(doc, Some(pid), bestEst)
+            case _ => BandMatch(doc, None, 0.0)
+          })
+          if (bucket.size < maxBucketSize && !bucket.exists(_.head == doc))
+            bucket = bucket :+ (doc +: sig)
+        }
+        state.update(bucket)
+        out.result().iterator
+      }
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import graft.streaming.StreamingDedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming near-dup detection: LSH band buckets as flatMapGroupsWithState
+  * state, scored against prior members across micro-batches. */
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and keeps running"
+
+  it should "flag near-dups across micro-batches and never a first arrival" in {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val flags = StreamingDedup.nearDupFlags(
+      input.toDS().toDF("doc_id", "text"), "doc_id", "text", minEstimate = 0.5)
+    val q = flags.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    def dups() = spark.sql(
+      """SELECT doc_id, max(est) AS est,
+        |  min(CASE WHEN match_id IS NOT NULL THEN match_id END) AS m
+        |FROM sdedup GROUP BY doc_id HAVING max(est) >= 0.5""".stripMargin)
+      .as[(Long, Double, Long)].collect().map(r => (r._1, r._3)).sorted.toSeq
+    try {
+      // batch 1: 1 and an unrelated doc — nothing to match against
+      input.addData((1L, base), (4L, "completely different words entirely unrelated content here"))
+      q.processAllAvailable()
+      dups() shouldBe empty
+      // batch 2: 2 = exact dup of 1 (est 1.0); still nothing for 4
+      input.addData((2L, base))
+      q.processAllAvailable()
+      dups() shouldBe Seq((2L, 1L))
+      // batch 3: 3 matches the earliest-inserted bucket member on ties
+      input.addData((3L, base))
+      q.processAllAvailable()
+      dups() shouldBe Seq((2L, 1L), (3L, 1L))
+    } finally q.stop()
+  }
+
+  it should "still flag arrivals against a saturated bucket (cap keeps state bounded)" in {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val flags = StreamingDedup.nearDupFlags(
+      input.toDS().toDF("doc_id", "text"), "doc_id", "text",
+      minEstimate = 0.5, maxBucketSize = 2)
+    val q = flags.writeStream.format("memory").queryName("sdedup_cap")
+      .outputMode("append").start()
+    try {
+      input.addData((1L to 10L).map(i => (i, base)): _*)
+      q.processAllAvailable()
+      // doc 1 is first (no match); 2..10 all flag against the bucket even
+      // though only 2 signatures are retained
+      val dup = spark.sql(
+        "SELECT DISTINCT doc_id FROM sdedup_cap WHERE match_id IS NOT NULL")
+        .as[Long].collect().sorted.toSeq
+      dup shouldBe (2L to 10L)
+    } finally q.stop()
+  }
+}

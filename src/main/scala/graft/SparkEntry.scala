@@ -798,6 +798,23 @@ object SparkEntry {
         .orderBy("a_key", "b_key")
     }),
 
+    // entity resolution: fuzzy pairs (edit distance <= 2) closed into
+    // clusters — FuzzyJoin + connectedComponents composed; canonical
+    // entity = min 60-bit name hash (same md5-prefix longs both engines)
+    "q49_entity_resolution" -> ((s, d) => {
+      def h60(c: Column): Column =
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      val names = Tables.part(s, d).select(col("p_name").as("name")).distinct()
+      val pairs = FuzzyJoin.editDistancePairs(names, "name", "name",
+        maxDistance = 2, maxTokenDf = 1000L)
+      val cc = GraphAlgorithms.connectedComponents(s,
+        pairs.select(h60(col("id_a")).as("src"), h60(col("id_b")).as("dst")))
+      names.withColumn("h", h60(col("name")))
+        .join(cc, col("h") === col("vertex"), "left")
+        .select(col("name"), coalesce(col("component"), col("h")).as("cluster_id"))
+        .orderBy("name")
+    }),
+
     // fuzzy self-join: near-identical part names via token blocking +
     // exact levenshtein on deduped candidate pairs
     "q34_fuzzy_join" -> ((s, d) => {
@@ -1699,6 +1716,29 @@ object SparkEntry {
         |SELECT user_id, session_seq, COUNT(*) AS n_errors
         |FROM sessions JOIN errors ON err_ts >= s AND err_ts <= e
         |GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    // same blocking/levenshtein as q34, closure per d7's recursive pattern;
+    // cluster id = MIN 60-bit md5-prefix hash (≡ Spark's conv(md5) longs)
+    "q49_entity_resolution" ->
+      """WITH RECURSIVE names AS (SELECT DISTINCT p_name AS name FROM part),
+        |hn AS (SELECT name, CAST(concat('0x', substr(md5(name),1,15)) AS BIGINT) AS h FROM names),
+        |toks AS (SELECT name, unnest(list_distinct(string_split(name, ' '))) AS tok FROM names),
+        |freq AS (SELECT tok FROM toks GROUP BY tok HAVING COUNT(*) <= 1000),
+        |blocked AS (SELECT t.name, t.tok FROM toks t JOIN freq f USING (tok)),
+        |pairs AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b
+        |          FROM blocked a JOIN blocked b USING (tok)
+        |          WHERE a.name < b.name AND levenshtein(a.name, b.name) <= 2),
+        |er_e AS (SELECT ha.h AS src, hb.h AS dst
+        |         FROM pairs p JOIN hn ha ON p.name_a = ha.name JOIN hn hb ON p.name_b = hb.name),
+        |er_sym AS (SELECT src, dst FROM er_e UNION SELECT dst, src FROM er_e),
+        |er_reach(a, b) AS (
+        |  SELECT src, src FROM er_sym
+        |  UNION
+        |  SELECT r.a, s.dst FROM er_reach r JOIN er_sym s ON r.b = s.src),
+        |er_comp AS (SELECT a AS h, MIN(b) AS cluster_id FROM er_reach GROUP BY a)
+        |SELECT n.name, COALESCE(c.cluster_id, n.h) AS cluster_id
+        |FROM hn n LEFT JOIN er_comp c USING (h)
+        |ORDER BY n.name""".stripMargin,
 
     "q34_fuzzy_join" ->
       """WITH names AS (SELECT DISTINCT p_name AS name FROM part),

@@ -27,6 +27,7 @@ object SparkEntry {
   private val Jan10_24 = 1704844800000000L // 2024-01-10T00:00:00Z
   private val Jan20_24 = 1705708800000000L // 2024-01-20T00:00:00Z
   private val WeekUs = 7L * 24 * 3600 * 1000000L
+  private val DayUs = 24L * 3600 * 1000000L
 
   /** Exact double-sum via per-value integer quantization: round(x×scale) as
     * BIGINT (the proven round-parity pattern of `quantize1000`), summed as
@@ -796,6 +797,18 @@ object SparkEntry {
         "a_start", "a_end", "b_start", "b_end", bucketWidth = WeekUs)
         .select("a_key", "b_key", "a_start", "b_start")
         .orderBy("a_key", "b_key")
+    }),
+
+    // gap-fill resampling: daily grid per user between first and last
+    // event, value carried forward over empty days (LOCF densification)
+    "q50_gap_fill" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+      Analytics.resampleLocf(ev, Seq("user_id"), "ts_us", "cents",
+          stepUs = DayUs, tieBreakCols = Seq("event_id"))
+        .select(col("user_id"), col("slot").as("day"), col("cents"), col("observed"))
+        .orderBy("user_id", "day")
     }),
 
     // entity resolution: fuzzy pairs (edit distance <= 2) closed into
@@ -1716,6 +1729,29 @@ object SparkEntry {
         |SELECT user_id, session_seq, COUNT(*) AS n_errors
         |FROM sessions JOIN errors ON err_ts >= s AND err_ts <= e
         |GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    // daily slots via epoch-µs floor-division; latest-in-slot by
+    // (ts, event_id) row_number; grid = unnest(range); LOCF via
+    // last_value IGNORE NULLS over the same (user, day) ordering
+    "q50_gap_fill" ->
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         |              CAST(round(value*100) AS BIGINT) AS cents,
+         |              epoch_us(ts) // $DayUs AS slot
+         |            FROM events),
+         |latest AS (SELECT user_id, slot, cents FROM (
+         |    SELECT user_id, slot, cents,
+         |      ROW_NUMBER() OVER (PARTITION BY user_id, slot
+         |                         ORDER BY ts_us DESC, event_id DESC) AS rn
+         |    FROM ev) WHERE rn = 1),
+         |bounds AS (SELECT user_id, MIN(slot) AS s0, MAX(slot) AS s1 FROM ev GROUP BY user_id),
+         |grid AS (SELECT user_id, unnest(range(s0, s1 + 1)) AS slot FROM bounds),
+         |filled AS (SELECT g.user_id, g.slot,
+         |    last_value(l.cents IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.slot
+         |      ROWS UNBOUNDED PRECEDING) AS cents,
+         |    l.cents IS NOT NULL AS observed
+         |  FROM grid g LEFT JOIN latest l ON g.user_id = l.user_id AND g.slot = l.slot)
+         |SELECT user_id, slot AS day, cents, observed FROM filled
+         |ORDER BY user_id, day""".stripMargin,
 
     // same blocking/levenshtein as q34, closure per d7's recursive pattern;
     // cluster id = MIN 60-bit md5-prefix hash (≡ Spark's conv(md5) longs)

@@ -126,6 +126,48 @@ object Analytics {
     * the distinct entities active in that period. Timestamps are epoch-µs
     * longs; offsets are exact integer periods (UTC truncation boundaries
     * make the difference an exact multiple of the unit). */
+  /** Gap-fill resampling with last-observation-carried-forward: one row per
+    * (key, slot) for EVERY `stepUs`-wide slot between each key's first and
+    * last event — missing slots get the most recent prior value (LOCF), the
+    * standard time-series densification before joins/aggregations that
+    * assume a regular grid.
+    *
+    * Within a slot the surviving value is the latest by (`tsUsCol`,
+    * `tieBreakCols`) — the compaction tie-break rule, so re-runs are
+    * bit-identical. Scale shape: one aggregation per (key, slot), a
+    * per-key min/max aggregate for the grid, one explode (bounded by the
+    * key's time span ÷ step), and a window partitioned on the SAME key the
+    * aggregations shuffled on — the exchange is reused; fill cost is
+    * O(slots), never O(slots × events). */
+  def resampleLocf(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsUsCol: String,
+      valCol: String,
+      stepUs: Long,
+      tieBreakCols: Seq[String] = Nil): DataFrame = {
+    require(stepUs > 0, "stepUs must be positive")
+    val keys = keyCols.map(col)
+    val slotted = events.withColumn("slot", expr(s"`$tsUsCol` div ${stepUs}L"))
+    // latest value per occupied (key, slot): max_by over the ordering tuple
+    val ordering = struct((col(tsUsCol) +: tieBreakCols.map(col)): _*)
+    val daily = slotted
+      .groupBy(keys :+ col("slot"): _*)
+      .agg(max_by(col(valCol), ordering).as("v_obs"))
+    val grid = slotted
+      .groupBy(keys: _*)
+      .agg(min(col("slot")).as("s0"), max(col("slot")).as("s1"))
+      .select(keys :+ explode(sequence(col("s0"), col("s1"))).as("slot"): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col("slot"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid.join(daily, keyCols :+ "slot", "left")
+      .select(keys ++ Seq(
+        col("slot"),
+        last(col("v_obs"), ignoreNulls = true).over(w).as(valCol),
+        col("v_obs").isNotNull.as("observed")): _*)
+  }
+
   def cohortRetention(
       events: DataFrame,
       entityCol: String,

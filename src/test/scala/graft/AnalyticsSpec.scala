@@ -86,6 +86,31 @@ class AnalyticsSpec extends SparkSpec {
       .select("id").as[Long].collect() shouldBe Array(9L)
   }
 
+  "Analytics.resampleLocf" should "densify the per-key grid and carry values forward" in {
+    // user A: events in slots 0 and 3 (step 10) — slots 1,2 carry slot-0's
+    // value; user B: single event → single-slot grid
+    val ev = Seq(
+      ("a", 5L, 1L, 100L), ("a", 7L, 2L, 110L), // same slot: latest (ts=7) wins
+      ("a", 35L, 3L, 300L),
+      ("b", 42L, 4L, 400L))
+      .toDF("u", "ts", "eid", "v")
+    val got = Analytics.resampleLocf(ev, Seq("u"), "ts", "v", stepUs = 10L, tieBreakCols = Seq("eid"))
+      .orderBy("u", "slot")
+      .select("u", "slot", "v", "observed").as[(String, Long, Long, Boolean)].collect().toSeq
+    got shouldBe Seq(
+      ("a", 0L, 110L, true),
+      ("a", 1L, 110L, false),
+      ("a", 2L, 110L, false),
+      ("a", 3L, 300L, true),
+      ("b", 4L, 400L, true))
+  }
+
+  it should "break same-timestamp ties by the tie-break column" in {
+    val ev = Seq(("a", 5L, 1L, 100L), ("a", 5L, 9L, 900L)).toDF("u", "ts", "eid", "v")
+    Analytics.resampleLocf(ev, Seq("u"), "ts", "v", 10L, Seq("eid"))
+      .select("v").as[Long].collect() shouldBe Array(900L)
+  }
+
   "SecondaryIndex.multiLookup" should "intersect postings across all query terms" in {
     val docs = Seq(
       (1L, "spark window table"),

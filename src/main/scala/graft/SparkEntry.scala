@@ -747,6 +747,14 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // cross-media duplicate frames: sampled fingerprints shared by >= 2
+    // media, with the canonical first (doc, frame) occurrence
+    "m4_duplicate_frames" -> ((s, d) => {
+      Multimodal.duplicateFrames(Tables.documents(s, d), "doc_id", "text",
+        frameChars = 16, stride = 4, minDocs = 2L)
+        .orderBy("frame_md5")
+    }),
+
     // CDC snapshot diff: first-half vs second-half per-user activity
     "q32_snapshot_diff" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -1568,6 +1576,23 @@ object SparkEntry {
         |SELECT doc_id, frame_idx,
         |  md5(substr(text, CAST(frame_idx*16 + 1 AS INTEGER), 16)) AS frame_md5
         |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // same frame CTE as m3; pair packed as doc*2^20+idx so MIN is one
+    // comparable BIGINT on both engines
+    "m4_duplicate_frames" ->
+      """WITH f AS (SELECT doc_id, text,
+        |    CAST(FLOOR(length(text)/16.0) AS BIGINT) AS nf FROM documents),
+        |s AS (SELECT doc_id, text, unnest(range(0, nf, 4)) AS frame_idx
+        |      FROM f WHERE nf > 0),
+        |fr AS (SELECT doc_id, frame_idx,
+        |         md5(substr(text, CAST(frame_idx*16 + 1 AS INTEGER), 16)) AS frame_md5
+        |       FROM s),
+        |g AS (SELECT frame_md5, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_frames,
+        |        MIN(doc_id * 1048576 + frame_idx) AS fp
+        |      FROM fr GROUP BY frame_md5)
+        |SELECT frame_md5, n_docs, n_frames,
+        |  fp // 1048576 AS first_doc, fp % 1048576 AS first_idx
+        |FROM g WHERE n_docs >= 2 ORDER BY frame_md5""".stripMargin,
 
     "q32_snapshot_diff" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),

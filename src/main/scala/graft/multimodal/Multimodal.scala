@@ -84,6 +84,37 @@ object Multimodal {
           (col("frame_idx") * frameChars + 1L).cast("int"), lit(frameChars))).as("frame_md5"))
   }
 
+  /** Cross-media duplicate frames — the multimodal analogue of exact text
+    * dedup (`Dedup.exact`): sampled-frame fingerprints grouped corpus-wide;
+    * fingerprints seen in at least `minDocs` distinct media are reported
+    * with their canonical first occurrence (lexicographically smallest
+    * (media id, frame index), carried as the single long
+    * `id·2²⁰ + frameIdx` so the min is one comparable value on any engine —
+    * frame indices stay under 2²⁰ for any sub-16M-char buffer).
+    *
+    * Scale shape: the only shuffle is the partial-agg'd groupBy on the
+    * 128-bit fingerprint; sampled frames are input/stride rows, and the
+    * output is only the (rare) duplicated fingerprints. */
+  def duplicateFrames(
+      df: DataFrame,
+      idCol: String,
+      bufCol: String,
+      frameChars: Int = 16,
+      stride: Int = 4,
+      minDocs: Long = 2L): DataFrame = {
+    val packed = col(idCol) * lit(1L << 20) + col("frame_idx")
+    sampleFrames(df, idCol, bufCol, frameChars, stride)
+      .groupBy("frame_md5")
+      .agg(
+        countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_frames"),
+        min(packed).as("first_packed"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("frame_md5"), col("n_docs"), col("n_frames"),
+        expr(s"first_packed div ${1L << 20}").as("first_doc"),
+        (col("first_packed") % (1L << 20)).as("first_idx"))
+  }
+
   /** The stub "codec": first code point + code-point sum mod 1e9+7, decoded
     * from the UTF-8 payload. Code points (not raw bytes) so the DuckDB
     * oracle — which can only iterate characters via `ascii(substr(...))` —

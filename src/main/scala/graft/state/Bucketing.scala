@@ -1,0 +1,53 @@
+package graft.state
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed storage for co-located joins (SURVEY §4: "pre-partition both
+  * sides on the join key so repeated joins never shuffle").
+  *
+  * The reference co-locates state by routing every key through the same
+  * murmur2 partitioner on both the ingest and query paths
+  * (api/.../Murmur2Partitioner.java; SURVEY §2.4 J1), so a join between
+  * two stores on the same key space is node-local by construction. The
+  * Spark-native equivalent is hash bucketing at WRITE time: both tables
+  * persist pre-shuffled into the same number of hash buckets, and every
+  * subsequent equi-join on the bucket key skips BOTH exchanges — at 100 TB
+  * that turns the recurring cost of a fact-fact join from "reshuffle the
+  * corpus per query" into a one-time write-side layout decision, exactly
+  * the trade the reference makes.
+  *
+  * Buckets also bound task input (`numBuckets` ≈ corpus / healthy-task-
+  * size) and survive across sessions — any job that reads the table gets
+  * the exchange-free plan, not just the one that wrote it. BucketingSpec
+  * proves the plan shape: same-bucketing join → zero shuffle exchanges;
+  * the unbucketed control → two.
+  */
+object Bucketing {
+
+  /** Persist `df` hash-bucketed (and within-bucket sorted) by `keys` as
+    * catalog table `table`. Sorting makes downstream sort-merge joins
+    * skip their per-task sort as well. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      keys: Seq[String],
+      numBuckets: Int): Unit = {
+    require(keys.nonEmpty && numBuckets > 0, "need keys and positive numBuckets")
+    df.write
+      .mode("overwrite")
+      .format("parquet")
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+  }
+
+  /** Equi-join two same-bucketed tables on their bucket keys — planned
+    * exchange-free when both sides were written with the same `numBuckets`
+    * over `keys`. */
+  def colocatedJoin(
+      spark: SparkSession,
+      leftTable: String,
+      rightTable: String,
+      keys: Seq[String]): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), keys)
+}

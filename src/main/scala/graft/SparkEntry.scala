@@ -734,6 +734,15 @@ object SparkEntry {
         .orderBy("lang", "rank")
     }),
 
+    // deterministic training mix: 50%/30%/20% from three sources, others 0
+    "q51_mixture_sample" -> ((s, d) => {
+      Sampling.mixtureSample(Tables.documents(s, d), "source", "doc_id",
+          weightsPpm = Map("src1" -> 500000L, "src2" -> 300000L, "src3" -> 200000L),
+          total = 40L)
+        .select(col("doc_id"), col("source"), col("rank"))
+        .orderBy("source", "rank")
+    }),
+
     // duplicate word-trigram ratio per document (repetition quality signal)
     "t6_repetition" -> ((s, d) => {
       TextAnalysis.repetition(Tables.documents(s, d), "doc_id", "text", n = 3)

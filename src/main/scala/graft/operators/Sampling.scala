@@ -58,6 +58,32 @@ object Sampling {
     df.withColumn("rank", row_number().over(w)).filter(col("rank") <= cap)
   }
 
+  /** Deterministic mixture sampling — build a training mix to target
+    * proportions: stratum `s` contributes at most `floor(total·wₛ/10⁶)`
+    * rows (`weightsPpm`, parts-per-million; strata absent from the map
+    * contribute nothing), chosen hash-ranked like [[stratifiedCap]] so the
+    * selection is uniform within the stratum, stable across runs, and
+    * independent of storage order. Under-populated strata yield what they
+    * have (floor + integer ppm keeps both engines bit-identical; no
+    * probabilistic rounding). Same scale shape as stratifiedCap: one
+    * shuffle on the stratum column, streaming window rank. */
+  def mixtureSample(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      weightsPpm: Map[String, Long],
+      total: Long): DataFrame = {
+    require(total >= 0 && weightsPpm.values.forall(_ >= 0), "weights and total must be non-negative")
+    val limit = weightsPpm.foldLeft(lit(0L)) { case (acc, (s, ppm)) =>
+      when(col(strataCol) === s, lit(total * ppm / 1000000L)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= limit)
+  }
+
   /** Annotate every row with its (bucket, split) — the reproducible
     * train/val/test assignment. */
   def trainValTestSplit(

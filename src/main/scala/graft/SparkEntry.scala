@@ -1562,6 +1562,21 @@ object SparkEntry {
         |SELECT doc_id, lang, source, CAST(rank AS INTEGER) AS rank
         |FROM r WHERE rank <= 50 ORDER BY lang, rank""".stripMargin,
 
+    // per-stratum limit = floor(total * ppm / 1e6): 40 * {0.5, 0.3, 0.2}
+    // -> 20/12/8; integer floor-division on both engines (parity rule 5)
+    "q51_mixture_sample" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rank
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(rank AS INTEGER) AS rank
+        |FROM r WHERE rank <= CASE source
+        |  WHEN 'src1' THEN 40 * 500000 // 1000000
+        |  WHEN 'src2' THEN 40 * 300000 // 1000000
+        |  WHEN 'src3' THEN 40 * 200000 // 1000000
+        |  ELSE 0 END
+        |ORDER BY source, rank""".stripMargin,
+
     "t6_repetition" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |g AS (SELECT doc_id,

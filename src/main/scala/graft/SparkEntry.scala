@@ -764,19 +764,23 @@ object SparkEntry {
         .orderBy("frame_md5")
     }),
 
-    // CDC snapshot diff: first-half vs second-half per-user activity
+    // CDC snapshot diff: first-half vs second-half per-user activity.
+    // The time midpoint is computed IN-PLAN (1-row broadcast, q8's pattern)
+    // — no separate driver job, events is scanned once per snapshot branch,
+    // not once extra for the bounds.
     "q32_snapshot_diff" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
-      val bounds = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
-      val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2
+      val mid = ev.agg(min(col("ts_us")).as("mn"), max(col("ts_us")).as("mx"))
+        .select(expr("(mn + mx) div 2").as("mid_ts"))
+      val withMid = ev.crossJoin(broadcast(mid))
       def snap(df: org.apache.spark.sql.DataFrame) =
         df.groupBy("user_id").agg(
           count(lit(1)).as("n"),
           max_by(col("event_type"), struct(col("ts_us"), col("event_id"))).as("last_type"))
       Changelog.diffSnapshots(
-        snap(ev.filter(col("ts_us") < mid)),
-        snap(ev.filter(col("ts_us") >= mid)),
+        snap(withMid.filter(col("ts_us") < col("mid_ts"))),
+        snap(withMid.filter(col("ts_us") >= col("mid_ts"))),
         Seq("user_id"))
         .select(col("user_id"), col("change_type"),
           col("old_val.n").as("old_n"), col("old_val.last_type").as("old_last"),

@@ -69,19 +69,32 @@ object RangeJoin {
     * `keys`: optional equi-key columns (same names both sides) joined
     * alongside the bucket — the common "overlap within entity" shape, and
     * at scale the partitioning is (keys, bucket) so one entity's intervals
-    * never all meet in one task unless they truly share a bucket. */
+    * never all meet in one task unless they truly share a bucket.
+    *
+    * `maxBucketSize`: opt-in degenerate-bucket cap (default Long.MaxValue =
+    * off), same contract as [[Dedup.capBuckets]]. A bucket populated by many
+    * long overlapping intervals goes quadratic exactly like an LSH band —
+    * with the cap on, each side drops all rows of any (keys, bucket) group
+    * larger than the cap BEFORE the join, bounding pairs per bucket at cap².
+    * Lossy (pairs whose canonical bucket was oversized disappear), so
+    * oracle-compared callers must leave it off; 100 TB jobs should set it. */
   def intervalOverlap(
       a: DataFrame,
       b: DataFrame,
       aStart: String, aEnd: String,
       bStart: String, bEnd: String,
       bucketWidth: Long,
-      keys: Seq[String] = Nil): DataFrame = {
+      keys: Seq[String] = Nil,
+      maxBucketSize: Long = Dedup.defaultMaxBucketSize): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    def buckets(df: DataFrame, s: String, e: String): DataFrame =
-      df.filter(col(e) >= col(s)) // sequence() counts DOWN when reversed
+    def buckets(df: DataFrame, s: String, e: String): DataFrame = {
+      val exploded = df.filter(col(e) >= col(s)) // sequence() counts DOWN when reversed
         .withColumn("_bucket",
           explode(sequence(expr(s"`$s` div ${bucketWidth}L"), expr(s"`$e` div ${bucketWidth}L"))))
+      // window count partitions on (keys, _bucket) — the join's own
+      // partitioning, so the exchange is reused, not added
+      Dedup.capBuckets(exploded, keys :+ "_bucket", maxBucketSize)
+    }
     buckets(a, aStart, aEnd).join(buckets(b, bStart, bEnd), keys :+ "_bucket")
       .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
       .filter(col("_bucket") === expr(s"greatest(`$aStart`, `$bStart`) div ${bucketWidth}L"))

@@ -91,6 +91,28 @@ class ScaleSmokeSpec extends SparkSpec {
       .count() shouldBe 6L // 4 choose 2 identical vectors
   }
 
+  it should "cap degenerate interval-overlap buckets the same way" in {
+    // 10k long intervals all covering bucket 0: uncapped the bucket
+    // equi-join enumerates ~10^8 candidate pairs; the cap drops the
+    // oversized bucket group on each side before the join.
+    val many = spark.range(10000L).select(
+      col("id").as("a_id"), lit(0L).as("a_start"), lit(50L).as("a_end"))
+    val manyB = many.select(
+      col("a_id").as("b_id"), col("a_start").as("b_start"), col("a_end").as("b_end"))
+    val capped = graft.operators.RangeJoin.intervalOverlap(
+      many, manyB, "a_start", "a_end", "b_start", "b_end",
+      bucketWidth = 100L, maxBucketSize = 100L)
+    capped.count() shouldBe 0L
+    // cap off (default): small overlapping sets still pair exactly
+    val a3 = spark.range(3L).select(
+      col("id").as("a_id"), lit(0L).as("a_start"), lit(50L).as("a_end"))
+    val b3 = a3.select(
+      col("a_id").as("b_id"), col("a_start").as("b_start"), col("a_end").as("b_end"))
+    graft.operators.RangeJoin.intervalOverlap(
+      a3, b3, "a_start", "a_end", "b_start", "b_end", bucketWidth = 100L)
+      .count() shouldBe 9L // all 3x3 pairs overlap
+  }
+
   it should "score repetition over 1M documents row-locally (zero exchanges)" in {
     val docs = spark.range(1000000L).select(
       concat_ws(" ",

@@ -34,6 +34,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 24g: local[32] benches pin localCheckpoint blocks + broadcasts between
   // ContextCleaner passes; 8g put the storm threshold mid-bench (this
   // container has 128 GiB).
+  // NOTE: do NOT pin -Xms to -Xmx: measured 2x WORSE across the whole
+  // bench (105 s vs 53 s total; heavy queries 3x) — a permanently-huge G1
+  // young gen turns every collection into a long copy pause under Spark's
+  // allocation rates. Let ergonomics size the heap.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // 70+ queries × whole-stage codegen = hundreds of generated classes; the
   // JDK default 240m code cache fills mid-bench and JIT quietly shuts off

@@ -39,16 +39,36 @@ object Bench {
     // while the same queries run in ~2 s isolated). Unpersisting
     // explicitly and nudging the reference queue keeps every query
     // measured from the same clean-storage state.
+    // GC policy (SPARK_GRAFT_BENCH_GC): a full GC before EVERY timed run
+    // (r4 behavior, "always") costs the next query a flat +0.2-0.5 s —
+    // the post-GC heap is shrunk/compacted and the query re-expands it —
+    // which inflated every sub-second query ~1.4x vs r2. No GC at all lets
+    // ContextCleaner debt (checkpoint blocks, broadcasts) build into a
+    // storm that lands 10-50x on whoever runs next (the r4 gotcha). The
+    // default "auto" threads the needle: collect only when the previous
+    // query pinned blocks (localCheckpoint) or every 8th query (bounds the
+    // broadcast/weak-ref backlog). "always"/"off" remain for A/B probing.
+    val gcMode = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "auto")
+    var sinceGc = 0
     def releaseStorage(): Unit = {
+      val pinned = spark.sparkContext.getPersistentRDDs.nonEmpty
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      System.gc()
+      sinceGc += 1
+      if (gcMode == "always" || (gcMode == "auto" && (pinned || sinceGc >= 8))) {
+        System.gc()
+        sinceGc = 0
+      }
     }
     // Best of 2 runs per query: a single local[32] run carries ~0.5-1 s of
     // scheduler/GC jitter that would swamp sub-second queries. A query that
     // throws reports -1 (NOT its time-to-throw — a broken query must never
     // score as the fastest one) and is excluded from the total.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated subset for A/B profiling
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to 2).flatMap { _ =>
         releaseStorage()
         val t0 = System.nanoTime()

@@ -734,6 +734,31 @@ object SparkEntry {
         .orderBy("lang", "rank")
     }),
 
+    // J1/§4 co-located layout as a QUERY: both fact tables persisted
+    // hash-bucketed on the join key (a one-time write-side layout decision,
+    // done on first run and reused after — exactly the recurring-join trade
+    // the reference makes with its murmur2-partitioned stores), then a
+    // fact-fact join that plans with NO exchange below the aggregation.
+    // Results are layout-independent, so the oracle is the plain join.
+    "q52_bucketed_join" -> ((s, d) => {
+      val suffix = java.lang.Integer.toHexString(d.hashCode)
+      val (ot, lt) = (s"b_orders_$suffix", s"b_lineitem_$suffix")
+      if (!s.catalog.tableExists(ot))
+        graft.state.Bucketing.writeBucketed(
+          Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+          ot, Seq("o_orderkey"), numBuckets = 8)
+      if (!s.catalog.tableExists(lt))
+        graft.state.Bucketing.writeBucketed(
+          Tables.lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
+            col("l_extendedprice"), col("l_discount")),
+          lt, Seq("o_orderkey"), numBuckets = 8)
+      graft.state.Bucketing.colocatedJoin(s, ot, lt, Seq("o_orderkey"), forceMerge = true)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          qSumWide(col("l_extendedprice") * (lit(1) - col("l_discount")), "revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
     // deterministic training mix: 50%/30%/20% from three sources, others 0
     "q51_mixture_sample" -> ((s, d) => {
       Sampling.mixtureSample(Tables.documents(s, d), "source", "doc_id",
@@ -1565,6 +1590,13 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, lang, source, CAST(rank AS INTEGER) AS rank
         |FROM r WHERE rank <= 50 ORDER BY lang, rank""".stripMargin,
+
+    // layout-independent result: the oracle is the plain (unbucketed) join
+    "q52_bucketed_join" ->
+      s"""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  ${qSumWideSql("l_extendedprice*(1-l_discount)", "revenue")}
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // per-stratum limit = floor(total * ppm / 1e6): 40 * {0.5, 0.3, 0.2}
     // -> 20/12/8; integer floor-division on both engines (parity rule 5)

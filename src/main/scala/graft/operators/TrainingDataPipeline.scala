@@ -22,13 +22,21 @@ import org.apache.spark.sql.functions._
 object TrainingDataPipeline {
 
   /** `materializeCandidates` forwards to Dedup.minhashLsh — opt in for
-    * batch jobs (see that method's trade-offs). */
+    * batch jobs (see that method's trade-offs).
+    *
+    * `maxBucketSize` is the production degenerate-bucket cap, forwarded to
+    * the LSH stage (see [[Dedup.capBuckets]]). With the cap on, docs of an
+    * oversized band bucket generate no pairs — they SURVIVE curation
+    * instead of being dropped as near-dups. That is the safe failure mode
+    * (over-keep, never over-drop), and the cap bounds the pair join at
+    * cap² per bucket; default off for oracle parity. */
   def curate(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       minEstimate: Double = 0.5,
-      materializeCandidates: Boolean = false): DataFrame = {
+      materializeCandidates: Boolean = false,
+      maxBucketSize: Long = Dedup.defaultMaxBucketSize): DataFrame = {
     // 1. quality gate
     val quality = TextAnalysis.qualityScore(docs, idCol, textCol)
       .filter(col("keep"))
@@ -46,7 +54,7 @@ object TrainingDataPipeline {
     // 3. near-dup removal: drop id_b of every LSH pair above threshold
     val nearDupIds = Dedup.minhashLsh(exactDeduped, idCol, textCol,
       numHashes = 8, shingleSize = 3, rowsPerBand = 2, minEstimate = minEstimate,
-      materializeCandidates = materializeCandidates)
+      materializeCandidates = materializeCandidates, maxBucketSize = maxBucketSize)
       .select(col("id_b").as(idCol)).distinct()
     val surviving = exactDeduped.join(nearDupIds, Seq(idCol), "left_anti")
 
@@ -88,7 +96,8 @@ object TrainingDataPipeline {
       maxDupPpm: Long = 10000L,
       capPerLang: Int = 40,
       materialize: Boolean = true,
-      strataCols: Seq[String] = Seq("lang")): DataFrame = {
+      strataCols: Seq[String] = Seq("lang"),
+      maxBucketSize: Long = Dedup.defaultMaxBucketSize): DataFrame = {
     def pin(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint(true) else df
     val repOk = TextAnalysis.repetition(docs, idCol, textCol, n = 3)
       .filter(col("dup_ppm") < maxDupPpm)
@@ -99,7 +108,8 @@ object TrainingDataPipeline {
       .filter(!col("contaminated"))
       .select(col(idCol))
     val survivors = pin(train.join(cleanIds, idCol))
-    val keeperIds = Dedup.nearDupClusters(spark, survivors, idCol, textCol)
+    val keeperIds = Dedup.nearDupClusters(spark, survivors, idCol, textCol,
+      maxBucketSize = maxBucketSize)
       .filter(col("is_keeper"))
       .select(col(idCol))
     Sampling.stratifiedCap(survivors.join(keeperIds, idCol),

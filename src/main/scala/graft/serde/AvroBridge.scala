@@ -238,18 +238,29 @@ object AvroBridge {
       case b: Array[Byte] => ByteBuffer.wrap(b)
       // decimal(bytes): two's-complement unscaled value at the SCHEMA scale
       // (Avro's wire rule) — rescale first so 1.5 encodes identically at
-      // scale 2 regardless of the input representation's scale
+      // scale 2 regardless of the input representation's scale. Strict: a
+      // value needing MORE scale than the schema (1.005 into decimal(18,2))
+      // is a caller bug, not something to round away silently — but name
+      // the schema in the error instead of a bare ArithmeticException
       case bd: java.math.BigDecimal =>
-        val dec = s.getLogicalType.asInstanceOf[LogicalTypes.Decimal]
-        ByteBuffer.wrap(bd.setScale(dec.getScale).unscaledValue().toByteArray)
+        ByteBuffer.wrap(rescaleExact(bd, s).unscaledValue().toByteArray)
       case bd: scala.math.BigDecimal =>
-        val dec = s.getLogicalType.asInstanceOf[LogicalTypes.Decimal]
-        ByteBuffer.wrap(bd.underlying().setScale(dec.getScale).unscaledValue().toByteArray)
+        ByteBuffer.wrap(rescaleExact(bd.underlying(), s).unscaledValue().toByteArray)
       case ts: java.sql.Timestamp => ts.getTime * 1000L + (ts.getNanos / 1000) % 1000
       case ts: java.time.Instant => ts.getEpochSecond * 1000000L + ts.getNano / 1000
       case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
       case d: java.time.LocalDate => d.toEpochDay.toInt
       case other => other
+    }
+  }
+
+  private def rescaleExact(bd: java.math.BigDecimal, s: Schema): java.math.BigDecimal = {
+    val dec = s.getLogicalType.asInstanceOf[LogicalTypes.Decimal]
+    try bd.setScale(dec.getScale)
+    catch {
+      case _: ArithmeticException => throw new IllegalArgumentException(
+        s"decimal value $bd (scale ${bd.scale}) does not fit " +
+          s"decimal(${dec.getPrecision},${dec.getScale}) of ${s.getFullName} without rounding")
     }
   }
 

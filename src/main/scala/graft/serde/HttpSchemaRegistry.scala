@@ -67,7 +67,11 @@ final class UrlTransport(
   * the in-memory registry. */
 final class HttpSchemaRegistry(transport: RegistryTransport) {
   private val mapper = new ObjectMapper
-  private val idBySchema = TrieMap.empty[Long, Int]   // parsing-fingerprint → id
+  // keyed by (subject, parsing-fingerprint): the id is per-schema globally,
+  // but the registration POST is per-subject — caching by fingerprint alone
+  // would skip the POST for a second subject, leaving it unregistered
+  // server-side (latest(subject2) would 404 after a "successful" register)
+  private val idBySchema = TrieMap.empty[(String, Long), Int]
   private val schemaById = TrieMap.empty[Int, Schema]
 
   private def fail(status: Int, body: String, what: String): Nothing =
@@ -78,7 +82,7 @@ final class HttpSchemaRegistry(transport: RegistryTransport) {
     * existing id for a schema it has already seen. */
   def register(subject: String, schema: Schema): Int = {
     val fp = org.apache.avro.SchemaNormalization.parsingFingerprint64(schema)
-    idBySchema.getOrElseUpdate(fp, {
+    idBySchema.getOrElseUpdate((subject, fp), {
       val payload = mapper.createObjectNode()
       payload.put("schema", schema.toString)
       val (status, body) =

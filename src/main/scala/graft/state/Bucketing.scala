@@ -33,6 +33,17 @@ object Bucketing {
       keys: Seq[String],
       numBuckets: Int): Unit = {
     require(keys.nonEmpty && numBuckets > 0, "need keys and positive numBuckets")
+    val spark = df.sparkSession
+    // with the in-memory catalog, a table written by a PREVIOUS JVM leaves
+    // its warehouse directory behind while the catalog entry is gone —
+    // saveAsTable then fails LOCATION_ALREADY_EXISTS. Clear the stale
+    // location (default database only, matching this engine's usage).
+    if (!spark.catalog.tableExists(table)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     df.write
       .mode("overwrite")
       .format("parquet")
@@ -43,11 +54,17 @@ object Bucketing {
 
   /** Equi-join two same-bucketed tables on their bucket keys — planned
     * exchange-free when both sides were written with the same `numBuckets`
-    * over `keys`. */
+    * over `keys`. `forceMerge` adds a sort-merge-join hint: at small SF the
+    * planner would broadcast one side (hiding the exchange-free property
+    * this layout exists for); at 100 TB both facts exceed any broadcast
+    * threshold and SMJ-over-buckets is the plan regardless. */
   def colocatedJoin(
       spark: SparkSession,
       leftTable: String,
       rightTable: String,
-      keys: Seq[String]): DataFrame =
-    spark.table(leftTable).join(spark.table(rightTable), keys)
+      keys: Seq[String],
+      forceMerge: Boolean = false): DataFrame = {
+    val left = spark.table(leftTable)
+    (if (forceMerge) left.hint("merge") else left).join(spark.table(rightTable), keys)
+  }
 }

@@ -38,6 +38,51 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  it should "agree with batch minhashLsh on the flagged-duplicate set (same corpus, same cap)" in {
+    // Parity contract: a doc is a flagged duplicate iff it shares a band
+    // bucket (est >= min) with a LOWER-id doc. Batch expresses that as the
+    // id_a < id_b pair list; streaming (fed in ascending id order) as
+    // match_id != null. With the same cap, and buckets below the cap, the
+    // two modes must flag exactly the same documents.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus: Seq[(Long, String)] = Seq(
+      1L -> base,
+      2L -> "an entirely different document about spark physical plans",
+      3L -> base, // dup of 1
+      4L -> (base + " with a small suffix appended"), // near-dup of 1
+      5L -> "another unrelated text mentioning watermarks and state stores",
+      6L -> base, // dup of 1/3
+      7L -> "an entirely different document about spark physical plans", // dup of 2
+      8L -> "completely unique third subject with no shared shingles at all")
+    val cap = 16L // larger than any bucket: cap semantics never diverge
+
+    val batchFlagged = graft.operators.Dedup.minhashLsh(
+      corpus.toDF("doc_id", "text"), "doc_id", "text",
+      numHashes = 8, shingleSize = 3, rowsPerBand = 2, minEstimate = 0.5,
+      maxBucketSize = cap)
+      .select("id_b").distinct().as[Long].collect().sorted.toSeq
+
+    val input = MemoryStream[(Long, String)]
+    val flags = StreamingDedup.nearDupFlags(
+      input.toDS().toDF("doc_id", "text"), "doc_id", "text",
+      numHashes = 8, shingleSize = 3, rowsPerBand = 2, minEstimate = 0.5,
+      maxBucketSize = cap.toInt)
+    val q = flags.writeStream.format("memory").queryName("sdedup_parity")
+      .outputMode("append").start()
+    try {
+      // three micro-batches, ascending ids: insertion order == id order
+      corpus.grouped(3).foreach { batch =>
+        input.addData(batch: _*)
+        q.processAllAvailable()
+      }
+      val streamFlagged = spark.sql(
+        "SELECT DISTINCT doc_id FROM sdedup_parity WHERE match_id IS NOT NULL")
+        .as[Long].collect().sorted.toSeq
+      streamFlagged shouldBe batchFlagged
+      batchFlagged should not be empty // the corpus must actually exercise dups
+    } finally q.stop()
+  }
+
   it should "still flag arrivals against a saturated bucket (cap keeps state bounded)" in {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Long, String)]

@@ -23,6 +23,33 @@ class TrainingDataPipelineSpec extends SparkSpec {
     r1.getAs[String]("content_fp") should have length 32
   }
 
+  it should "survive a degenerate corpus with the production bucket cap (over-keep, never quadratic)" in {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    // 2k near-identical-but-distinct docs (unique trailing token defeats
+    // exact dedup, shared shingles flood the LSH band buckets) + 2 normal
+    // near-dups + 1 unique doc. Uncapped this is ~4M candidate pairs from
+    // one bucket; with the cap the degenerate bucket is dropped and its
+    // docs SURVIVE (the safe over-keep failure mode) while the small
+    // bucket still deduplicates.
+    val boiler = spark.range(2000L).select(
+      col("id").as("doc_id"),
+      concat(lit("identical boilerplate navigation header and footer text repeated across every single page "),
+        col("id").cast("string")).as("text"))
+    val rest = Seq(
+      (5001L, "a perfectly ordinary training document with enough words to shingle"),
+      (5002L, "a perfectly ordinary training document with enough words to shingle today"),
+      (5003L, "an entirely different long document about stream processing engines and state"))
+      .toDF("doc_id", "text")
+    val out = TrainingDataPipeline.curate(boiler.union(rest), "doc_id", "text",
+      minEstimate = 0.4, maxBucketSize = 100L)
+      .select("doc_id").as[Long].collect().sorted
+    // all 2000 degenerate docs kept; 5002 dropped as near-dup of 5001
+    out.length shouldBe 2002
+    out should contain(5001L)
+    out should not contain 5002L
+    out should contain(5003L)
+  }
+
   "curateV2" should "chain repetition gate, decontamination, cluster dedup, and lang cap" in {
     import org.apache.spark.sql.functions.col
     val docs = Seq(

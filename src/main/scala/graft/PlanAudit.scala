@@ -47,7 +47,11 @@ object PlanAudit {
     "s3_knn_ivf" -> "centroids broadcast, cell assignment map-side; probe joins only selected cells — corpus scan is the only full pass, query cost scales with probed cells not corpus",
     "q36_xml_view" -> "one StAX from_xml parse per row at scan speed (zero shuffle pre-agg) — row-local cost, embarrassingly parallel at any scale",
     "q32_snapshot_diff" -> "time midpoint as a 1-row broadcast (no driver job, no extra scan); snapshots are partial-agg'd on user_id before the diff join",
-    "q52_bucketed_join" -> "write-once bucketed layout: the fact-fact sort-merge join has NO Exchange below it (bucketing satisfies the distribution on both sides); the only shuffles are the tiny post-join agg + order")
+    "q52_bucketed_join" -> "write-once bucketed layout: the fact-fact sort-merge join has NO Exchange below it (bucketing satisfies the distribution on both sides); the only shuffles are the tiny post-join agg + order",
+    "d10_containment" -> "containment dedup: hashed gram set once per doc, blocked self-join, codegen'd merge-intersect per pair — candidates bounded by block, never all-pairs",
+    "t9_adaptive_quality" -> "per-stratum quantile gate: ONE shuffle on the stratum key; rank and count share the window partition (exchange reused)",
+    "t10_vocab_stats" -> "vocabulary stats: explode + two chained partial-agg'd shuffles (stratum, token)->(stratum) — no distinct over the raw corpus",
+    "d11_source_overlap" -> "pair list is tiny next to the corpus: both source-lookup joins broadcast the pairs, corpus never reshuffles")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -604,6 +604,20 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // per-source adaptive quality gate: keep the best 60% of EVERY source
+    // (rank-within-stratum, not a global threshold)
+    "t9_adaptive_quality" -> ((s, d) => {
+      TextAnalysis.adaptiveQualityFilter(Tables.documents(s, d), "doc_id", "text",
+        strataCol = "source", keepPpm = 600000L)
+        .orderBy("source", "rank")
+    }),
+
+    // corpus vocabulary drift stats per source (type-token + hapax ppm)
+    "t10_vocab_stats" -> ((s, d) => {
+      TextAnalysis.vocabStats(Tables.documents(s, d), "text", "source")
+        .orderBy("source")
+    }),
+
     "t7_pii_scrub" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val raw = concat(
@@ -707,6 +721,35 @@ object SparkEntry {
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
         bits = 16, maxHamming = 1)
         .orderBy("id_a", "id_b")
+    }),
+
+    // containment pairs: truncated/embedded copies that Jaccard misses
+    // (blocked by lang only — length-bucketing would separate a copy from
+    // its longer source)
+    "d10_containment" -> ((s, d) => {
+      Dedup.ngramContainment(Tables.documents(s, d), "doc_id", "text",
+        blockCols = Seq("lang"), n = 3, minContainment = 0.8,
+        materializeGramSets = true)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // inter-source duplication matrix: near-dup pair counts per source pair
+    // (which sources plagiarize which — the corpus-mix diagnostic). Pairs
+    // are tiny next to the corpus, so the source joins broadcast them.
+    "d11_source_overlap" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        numHashes = 8, shingleSize = 3, rowsPerBand = 2, minEstimate = 0.5,
+        materializeCandidates = true)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.toDF("id_a", "src_a"), "id_a")
+        .join(src.toDF("id_b", "src_b"), "id_b")
+        .select(least(col("src_a"), col("src_b")).as("source_a"),
+          greatest(col("src_a"), col("src_b")).as("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
     }),
 
     // near-dup clustering: LSH pairs closed into components, keeper = min id
@@ -1457,6 +1500,59 @@ object SparkEntry {
          |      FROM st)
          |SELECT doc_id, chunk_idx, chunk_text, n_chunk_tokens FROM c
          |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "t9_adaptive_quality" ->
+      """WITH s AS (SELECT doc_id, source,
+        |    CASE WHEN length(text) > 0
+        |      THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))*1000000//length(text)
+        |      ELSE 0 END AS alpha_ppm
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, alpha_ppm,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY alpha_ppm DESC, doc_id) AS rank,
+        |    COUNT(*) OVER (PARTITION BY source) AS n_total
+        |  FROM s)
+        |SELECT doc_id, source, alpha_ppm, CAST(rank AS INTEGER) AS rank
+        |FROM r WHERE rank <= n_total * 600000 // 1000000
+        |ORDER BY source, rank""".stripMargin,
+
+    "t10_vocab_stats" ->
+      s"""WITH tk AS (SELECT source, unnest($toksSql) AS tok FROM documents),
+         |c AS (SELECT source, tok, COUNT(*) AS cnt FROM tk GROUP BY 1, 2),
+         |a AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         |        CAST(COUNT(*) AS BIGINT) AS n_types,
+         |        CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+         |      FROM c GROUP BY 1)
+         |SELECT source, n_tokens, n_types, n_hapax,
+         |  CASE WHEN n_tokens > 0 THEN n_types*1000000//n_tokens ELSE 0 END AS type_token_ppm,
+         |  CASE WHEN n_types > 0 THEN n_hapax*1000000//n_types ELSE 0 END AS hapax_ppm
+         |FROM a ORDER BY source""".stripMargin,
+
+    "d10_containment" ->
+      s"""WITH n AS (SELECT doc_id, lang, $normSql AS s FROM documents),
+         |g AS (SELECT doc_id, lang,
+         |        unnest(list_distinct([substr(md5(x), 1, 15) for x in
+         |          list_distinct([substr(s, i, 3) for i in range(1, greatest(length(s)-2, 0)+1)])])) AS gram
+         |      FROM n),
+         |sizes AS (SELECT doc_id, COUNT(*) AS ng FROM g GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+         |          FROM g a JOIN g b ON a.lang = b.lang AND a.gram = b.gram
+         |            AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT id_a, id_b, CAST(i AS DOUBLE)/least(sa.ng, sb.ng) AS containment
+         |FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+         |WHERE CAST(i AS DOUBLE)/least(sa.ng, sb.ng) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "d11_source_overlap" ->
+      s"""WITH ${minhashPairsSql("documents")},
+         |f AS (SELECT id_a, id_b FROM mh_pairs WHERE jaccard_est >= 0.5)
+         |SELECT least(a.source, b.source) AS source_a,
+         |  greatest(a.source, b.source) AS source_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM f JOIN documents a ON f.id_a = a.doc_id
+         |       JOIN documents b ON f.id_b = b.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q46_salted_join" ->
       s"""SELECT c_mktsegment, COUNT(*) AS n,

@@ -255,6 +255,44 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** N-gram containment pairs: `|A∩B| / min(|A|,|B|)` ≥ threshold — the
+    * asymmetric-copy detector Jaccard misses. A document fully embedded in
+    * a much longer one (truncated copy, quote-with-commentary, boilerplate
+    * wrapper) has small Jaccard `|A∩B|/|A∪B|` but containment ~1.0
+    * (Broder's resemblance-vs-containment distinction, SEQUENCES'97).
+    * Same machinery and scale shape as [[ngramJaccardBlocked]]: one hashed
+    * gram set per doc, codegen'd sorted-merge intersect per candidate
+    * pair. Blocks must NOT bucket by length — that would separate the
+    * truncated copy from its source; block on metadata (lang, domain). */
+  def ngramContainment(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[String],
+      n: Int = 3,
+      minContainment: Double = 0.8,
+      materializeGramSets: Boolean = false,
+      maxBlockSize: Long = defaultMaxBucketSize): DataFrame = {
+    val gramsLazy = Par.fanOut(docs).select(
+      (col(idCol).as("doc") +: blockCols.map(col)) :+
+        charNgramHashSet(normalizeText(col(textCol)), n).as("grams"): _*)
+      .withColumn("ng", size(col("grams")))
+    val withGrams0 = if (materializeGramSets) gramsLazy.localCheckpoint(true) else gramsLazy
+    // gram-less docs can't be contained (and 0/0 = NaN would leak pairs)
+    val withGrams = capBuckets(withGrams0.filter(col("ng") > 0), blockCols, maxBlockSize)
+    val a = withGrams.select(blockCols.map(col) :+ col("doc").as("id_a") :+
+      col("grams").as("ga") :+ col("ng").as("na"): _*)
+    val b = withGrams.select(blockCols.map(col) :+ col("doc").as("id_b") :+
+      col("grams").as("gb") :+ col("ng").as("nb"): _*)
+    a.join(b, blockCols).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        sortedIntersectCount(col("ga"), col("gb")).as("inter"),
+        col("na"), col("nb"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / least(col("na"), col("nb"))).as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
+
   /** Embedding near-dup: pairs within the same blocking column whose
     * (quantized, exact-integer) cosine ≥ `minCosine`. Blocking bounds the
     * pair space; each side is quantized once with its norm precomputed, so

@@ -192,4 +192,57 @@ object TextAnalysis {
       .partitionBy(groupCol).orderBy(col("n").desc, col("token"))
     counts.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Per-stratum ADAPTIVE quality filtering: keep the top `keepPpm`
+    * fraction of every stratum ranked by quality (alpha ratio here — the
+    * integer-exact t2 metric), instead of one global threshold. A fixed
+    * cutoff over-prunes clean sources and under-prunes noisy ones; ranking
+    * within the stratum keeps the best X% of EACH source — the per-domain
+    * quantile-filter recipe of public curation pipelines. Deterministic:
+    * ties broken by id; limit = floor(stratum_count · keepPpm / 10⁶) in
+    * exact integer math. One shuffle on the stratum key; rank and count
+    * share the partition, so the window exchange is reused. */
+  def adaptiveQualityFilter(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      strataCol: String,
+      keepPpm: Long): DataFrame = {
+    require(keepPpm >= 0 && keepPpm <= 1000000L, "keepPpm is parts-per-million")
+    val textLen = length(col(textCol)).cast("long")
+    val alphaLen = length(regexp_replace(col(textCol), "[^a-zA-Z]", "")).cast("long")
+    // floor(long*1e6/long): operands < 2^53, double quotient floors exactly
+    val score = when(textLen > 0, floor(alphaLen * 1000000L / textLen)).otherwise(0L)
+    val part = org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol))
+    docs.select(col(idCol), col(strataCol), score.as("alpha_ppm"))
+      .withColumn("rank",
+        row_number().over(part.orderBy(col("alpha_ppm").desc, col(idCol))))
+      .withColumn("n_total", count(lit(1)).over(part))
+      .filter(col("rank") <= floor(col("n_total") * keepPpm / 1000000L))
+      .drop("n_total")
+  }
+
+  /** Corpus vocabulary statistics per stratum: token count, distinct types,
+    * hapax legomena (types seen once), and the derived type-token / hapax
+    * ratios (exact integer ppm). The drift signals corpus curation watches:
+    * a crashing type-token ratio flags template spam, a hapax explosion
+    * flags OCR noise / encoding corruption. Scale shape: explode + two
+    * chained partial-agg'd shuffles, (stratum, token) then (stratum) —
+    * never a distinct over the raw corpus. */
+  def vocabStats(docs: DataFrame, textCol: String, strataCol: String): DataFrame =
+    docs
+      .select(col(strataCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(strataCol, "tok")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(strataCol)
+      .agg(
+        sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col(strataCol), col("n_tokens"), col("n_types"), col("n_hapax"),
+        // floor(long*1e6/long): operands < 2^53, exact
+        when(col("n_tokens") > 0, floor(col("n_types") * 1000000L / col("n_tokens")))
+          .otherwise(0L).as("type_token_ppm"),
+        when(col("n_types") > 0, floor(col("n_hapax") * 1000000L / col("n_types")))
+          .otherwise(0L).as("hapax_ppm"))
 }

@@ -95,6 +95,62 @@ class DedupSpec extends SparkSpec {
       canon(Dedup.ngramJaccard(blocked, "doc_id", "text", Seq("blk"), 3, 0.3))
   }
 
+  "Dedup.ngramContainment" should "catch a truncated copy that Jaccard misses" in {
+    val long = "the quick brown fox jumps over the lazy dog while the cat sleeps " +
+      "and the birds sing in the morning sun above the quiet green valley"
+    val truncated = long.take(40) // strict prefix: containment ~1, jaccard low
+    val corpus = Seq((1L, long), (2L, truncated),
+      (3L, "completely unrelated text about query optimizers and shuffles"))
+      .toDF("doc_id", "text").withColumn("blk", lit(1))
+    // Jaccard misses the pair at 0.5 (|A∩B|/|A∪B| is small)...
+    Dedup.ngramJaccardBlocked(corpus, "doc_id", "text", Seq("blk"), 3, 0.5)
+      .count() shouldBe 0L
+    // ...containment flags exactly it with score ~1.0
+    val pairs = Dedup.ngramContainment(corpus, "doc_id", "text", Seq("blk"), 3, 0.8)
+      .as[(Long, Long, Double)].collect()
+    pairs.map(p => (p._1, p._2)).toSeq shouldBe Seq((1L, 2L))
+    pairs.head._3 should be >= 0.95
+  }
+
+  it should "drop gram-less docs and respect the block cap" in {
+    val tiny = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text").withColumn("blk", lit(1))
+    Dedup.ngramContainment(tiny, "doc_id", "text", Seq("blk"), 3, 0.5).count() shouldBe 0L
+    val many = (1L to 50L).map(i => (i, "the very same boilerplate text every time"))
+      .toDF("doc_id", "text").withColumn("blk", lit(1))
+    Dedup.ngramContainment(many, "doc_id", "text", Seq("blk"), 3, 0.5,
+      maxBlockSize = 10L).count() shouldBe 0L
+  }
+
+  "TextAnalysis.adaptiveQualityFilter" should "keep the top fraction of each stratum independently" in {
+    // stratum A: 4 docs with distinct alpha ratios; stratum B: 2 docs.
+    // keepPpm=500000 → floor(4*0.5)=2 from A, floor(2*0.5)=1 from B.
+    val docs = Seq(
+      (1L, "abcdefgh", "A"),   // alpha 1.0
+      (2L, "abc 1234", "A"),   // lower
+      (3L, "ab 12 34", "A"),   // lower still
+      (4L, "12345678", "A"),   // alpha 0
+      (10L, "purely alphabetic words", "B"),
+      (11L, "1234 5678 9012 3456", "B"))
+      .toDF("doc_id", "text", "source")
+    val kept = graft.operators.TextAnalysis
+      .adaptiveQualityFilter(docs, "doc_id", "text", "source", keepPpm = 500000L)
+      .select("doc_id").as[Long].collect().sorted
+    kept shouldBe Array(1L, 2L, 10L)
+  }
+
+  "TextAnalysis.vocabStats" should "count tokens, types and hapax exactly" in {
+    val docs = Seq(
+      ("s1", "a b a c"),   // tokens 4, types 3 (a=2, b=1, c=1), hapax 2
+      ("s1", "a"),         // s1 totals: 5 tokens, types {a=3,b,c}, hapax 2
+      ("s2", "x y z"))     // 3 tokens, 3 types, 3 hapax
+      .toDF("source", "text")
+    val rows = graft.operators.TextAnalysis.vocabStats(docs, "text", "source")
+      .orderBy("source")
+      .select("source", "n_tokens", "n_types", "n_hapax")
+      .as[(String, Long, Long, Long)].collect()
+    rows shouldBe Array(("s1", 5L, 3L, 2L), ("s2", 3L, 3L, 3L))
+  }
+
   "Dedup.nearDupClusters" should "close near-dup pairs into clusters with min-id keeper" in {
     val corpus = Seq(
       (10L, "the quick brown fox jumps over the lazy dog tonight"),

@@ -51,7 +51,8 @@ object PlanAudit {
     "d10_containment" -> "containment dedup: hashed gram set once per doc, blocked self-join, codegen'd merge-intersect per pair — candidates bounded by block, never all-pairs",
     "t9_adaptive_quality" -> "per-stratum quantile gate: ONE shuffle on the stratum key; rank and count share the window partition (exchange reused)",
     "t10_vocab_stats" -> "vocabulary stats: explode + two chained partial-agg'd shuffles (stratum, token)->(stratum) — no distinct over the raw corpus",
-    "d11_source_overlap" -> "pair list is tiny next to the corpus: both source-lookup joins broadcast the pairs, corpus never reshuffles")
+    "d11_source_overlap" -> "pair list is tiny next to the corpus: both source-lookup joins broadcast the pairs, corpus never reshuffles",
+    "s4_semantic_dedup" -> "semantic dedup without a blocking key: k-means cells bound candidate pairs (centroids broadcast, assignment map-side); pair cost is sum(|cell|^2), never n^2")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

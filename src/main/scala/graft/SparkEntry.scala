@@ -348,6 +348,15 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // semantic near-dup: k-means cells as candidate blocks — embedding
+    // dedup with NO metadata blocking key (oracle unrolls the same
+    // deterministic integer k-means as s3, then pairs within cells)
+    "s4_semantic_dedup" -> ((s, d) => {
+      Similarity.ivfNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
+        minCosine = 0.3, nCentroids = 16)
+        .orderBy("id_a", "id_b")
+    }),
+
     // language ID (stopword n-gram heuristic)
     "t1_lang_id" -> ((s, d) => {
       TextAnalysis.languageId(Tables.documents(s, d), "doc_id", "text")
@@ -981,7 +990,10 @@ object SparkEntry {
     *  - empty cells keep their previous centroid (LEFT JOIN + COALESCE);
     *  - probes = the nProbe smallest (distance, cell) per query, matching
     *    slice(array_sort(...)); candidate dedup via DISTINCT. */
-  private def ivfTopKSql(nCentroids: Int, iterations: Int, nProbe: Int, k: Int): String = {
+  /** Shared IVF cell-assignment CTE chain (`v`, `c0`..`c<iters>`, `cells`):
+    * the fixed-iteration integer k-means of Similarity.ivfIndex unrolled —
+    * used by both the s3 top-k oracle and the s4 semantic-dedup oracle. */
+  private def ivfCellsSql(nCentroids: Int, iterations: Int): String = {
     def cnormOf(c: String) = s"list_sum([$c[i]*$c[i] for i in range(1,65)])"
     def dotOf(c: String, v: String) = s"list_sum([$c[i]*$v[i] for i in range(1,65)])"
     val iters = (1 to iterations).map { t =>
@@ -997,7 +1009,7 @@ object SparkEntry {
          |c$t AS (SELECT p.cell, COALESCE(m.c, p.c) AS c, ${cnormOf("COALESCE(m.c, p.c)")} AS cn
          |  FROM c${t - 1} p LEFT JOIN m$t m USING (cell))""".stripMargin
     }.mkString(",\n")
-    s"""WITH v AS (SELECT vec_id AS id, ${qvSql("embedding")} AS v FROM embeddings),
+    s"""v AS (SELECT vec_id AS id, ${qvSql("embedding")} AS v FROM embeddings),
        |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cell, v AS c, ${cnormOf("v")} AS cn
        |  FROM (SELECT id, v FROM v ORDER BY id LIMIT $nCentroids) seed),
        |$iters,
@@ -1005,7 +1017,12 @@ object SparkEntry {
        |  ROW_NUMBER() OVER (PARTITION BY a.id
        |    ORDER BY c.cn - 2*${dotOf("c.c", "a.v")}, c.cell) AS rn
        |  FROM v a CROSS JOIN c$iterations c),
-       |cells AS (SELECT id, v, cell FROM fd WHERE rn = 1),
+       |cells AS (SELECT id, v, cell FROM fd WHERE rn = 1)""".stripMargin
+  }
+
+  private def ivfTopKSql(nCentroids: Int, iterations: Int, nProbe: Int, k: Int): String = {
+    def dotOf(c: String, v: String) = s"list_sum([$c[i]*$v[i] for i in range(1,65)])"
+    s"""WITH ${ivfCellsSql(nCentroids, iterations)},
        |pd AS (SELECT q.id AS query_id, c.cell,
        |  ROW_NUMBER() OVER (PARTITION BY q.id
        |    ORDER BY c.cn - 2*${dotOf("c.c", "q.v")}, c.cell) AS rn
@@ -1386,6 +1403,14 @@ object SparkEntry {
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "s3_knn_ivf" -> ivfTopKSql(nCentroids = 16, iterations = 5, nProbe = 4, k = 5),
+
+    "s4_semantic_dedup" ->
+      s"""WITH ${ivfCellsSql(nCentroids = 16, iterations = 5)},
+         |p AS (SELECT a.id AS id_a, b.id AS id_b, a.v AS qa, b.v AS qb
+         |      FROM cells a JOIN cells b ON a.cell = b.cell AND a.id < b.id),
+         |sims AS (SELECT id_a, id_b, $cosSql AS cosine FROM p)
+         |SELECT id_a, id_b, cosine FROM sims WHERE cosine >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q29_split_sample" -> {
       val hx = "'0123456789abcdef'"

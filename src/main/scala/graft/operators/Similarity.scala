@@ -230,6 +230,31 @@ object Similarity {
     sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Semantic near-dup via IVF blocking: embedding near-dup pairs where the
+    * candidate blocks are the k-means cells of [[ivfIndex]] instead of an
+    * exact metadata key. THE 100 TB scale path for semantic dedup — exact
+    * blocking keys (label, domain) don't exist for raw embeddings, and
+    * all-pairs cosine is quadratic; cells bound candidates to
+    * Σ|cell|² ≪ n². Single-probe by design: near-dups straddling a cell
+    * boundary are missed (the standard IVF recall trade — more centroids =
+    * smaller cells = cheaper pairs but more boundary misses). Deterministic
+    * end-to-end: integer k-means (bit-identical on any partitioning) +
+    * exact quantized cosine, so the result is oracle-able despite being an
+    * approximate algorithm. `maxCellSize` caps a degenerate cell (e.g. a
+    * mode-collapsed embedding cluster) exactly like an LSH band cap. */
+  def ivfNearDup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double,
+      nCentroids: Int = 16,
+      iterations: Int = 5,
+      maxCellSize: Long = Dedup.defaultMaxBucketSize): DataFrame = {
+    val (cells, _) = ivfIndex(corpus, idCol, vecCol, nCentroids, iterations)
+    val withCell = corpus.join(cells.withColumnRenamed("id", idCol), idCol)
+    Dedup.embeddingNearDup(withCell, idCol, vecCol, "cell", minCosine, maxCellSize)
+  }
+
   /** LSH-bucketed top-k: neighbors searched only within the query's bucket. */
   def lshTopK(
       corpus: DataFrame,

@@ -247,6 +247,34 @@ class SimilaritySpec extends SparkSpec {
     ivf shouldBe bf
   }
 
+  "ivfNearDup" should "be sound (every pair a true near-dup) and find in-cluster pairs" in {
+    // 4 orthogonal clusters: in-cluster cosines ~1, cross-cluster ~0
+    val rnd = new scala.util.Random(7)
+    val base = Seq(
+      Seq(1.0f, 0f, 0f, 0f), Seq(0f, 1.0f, 0f, 0f),
+      Seq(0f, 0f, 1.0f, 0f), Seq(0f, 0f, 0f, 1.0f))
+    val vecs = (0 until 40).map { i =>
+      val c = base(i % 4)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val pairs = Similarity.ivfNearDup(vecs, "vec_id", "embedding",
+      minCosine = 0.9, nCentroids = 4)
+      .as[(Long, Long, Double)].collect()
+    // soundness: the exact cosine of every emitted pair clears the bar
+    all(pairs.map(_._3)) should be >= 0.9
+    // well-separated clusters + 4 centroids: each cluster is one cell, so
+    // every in-cluster pair is found = 4 * C(10,2)
+    pairs.length shouldBe 4 * 45
+    // and the pairs never cross clusters (cosine would be ~0)
+    pairs.foreach { case (a, b, _) => (a % 4) shouldBe (b % 4) }
+  }
+
+  it should "cap a degenerate cell like an LSH band" in {
+    val same = (1L to 100L).map(i => (i, Seq(1.0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    Similarity.ivfNearDup(same, "vec_id", "embedding", minCosine = 0.9,
+      nCentroids = 2, maxCellSize = 10L).count() shouldBe 0L
+  }
+
   "ivfIndex" should "train identical centroids on the local and distributed paths" in {
     val rnd = new scala.util.Random(11)
     val vecs = (0 until 60).map { i =>

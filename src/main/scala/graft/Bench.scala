@@ -94,8 +94,13 @@ object Bench {
     // ship an unparseable line. Full-precision numbers go to bench_full.json.
     // Locale.ROOT: a comma-decimal default locale (de_DE) would emit
     // {"q1":1,234} — invalid JSON.
-    def num(decimals: Int, v: Double): String =
-      String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+    // trailing zeros stripped ("0.680"->"0.68", "1.000"->"1"): at 83+
+    // queries the stripped 3- or 2-decimal line fits the budget where the
+    // fixed-width one would fall through to 1-decimal resolution
+    def num(decimals: Int, v: Double): String = {
+      val s = String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
+    }
     def line(decimals: Int): String = {
       val qs = results.map { case (k, v) =>
         "\"" + k + "\":" + (if (v < 0) "-1" else num(decimals, v))

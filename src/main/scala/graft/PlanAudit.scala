@@ -52,7 +52,8 @@ object PlanAudit {
     "t9_adaptive_quality" -> "per-stratum quantile gate: ONE shuffle on the stratum key; rank and count share the window partition (exchange reused)",
     "t10_vocab_stats" -> "vocabulary stats: explode + two chained partial-agg'd shuffles (stratum, token)->(stratum) — no distinct over the raw corpus",
     "d11_source_overlap" -> "pair list is tiny next to the corpus: both source-lookup joins broadcast the pairs, corpus never reshuffles",
-    "s4_semantic_dedup" -> "semantic dedup without a blocking key: k-means cells bound candidate pairs (centroids broadcast, assignment map-side); pair cost is sum(|cell|^2), never n^2")
+    "s4_semantic_dedup" -> "semantic dedup without a blocking key: k-means cells bound candidate pairs (centroids broadcast, assignment map-side); pair cost is sum(|cell|^2), never n^2",
+    "q53_triangles" -> "degree-ordered orientation: wedges only from out-pairs (out-degree <= sqrt(2m)), each triangle counted once from its lowest-ranked corner; support>=2 prunes the pair graph 300x before any wedge forms")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

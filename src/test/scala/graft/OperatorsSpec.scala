@@ -414,6 +414,23 @@ class GraphSpec extends SparkSpec {
     cc.map(_._2).distinct shouldBe Array("1")
   }
 
+  "triangleCount" should "count exactly on hand-verifiable graphs" in {
+    // K4: C(4,3) = 4 triangles; given as directed/dup/self-loop-noisy input
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a != b } yield (a, b))
+      .toDF("src", "dst")
+    GraphAlgorithms.triangleCount(k4.unionAll(Seq((1L, 1L)).toDF("src", "dst")))
+      .as[Long].head() shouldBe 4L
+    // triangle + pendant edge: exactly 1
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    GraphAlgorithms.triangleCount(tri).as[Long].head() shouldBe 1L
+    // star (hub + 5 spokes): wedges galore, 0 triangles
+    val star = (2L to 6L).map(i => (1L, i)).toDF("src", "dst")
+    GraphAlgorithms.triangleCount(star).as[Long].head() shouldBe 0L
+    // bipartite square (4-cycle): 0
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    GraphAlgorithms.triangleCount(square).as[Long].head() shouldBe 0L
+  }
+
   it should "produce identical components from the local and distributed paths" in {
     // moderately tangled graph: rings, a chain, cross links, self loops
     val edges = ((1 to 40).map(i => (i.toLong, (i % 40 + 1).toLong)) ++

@@ -101,13 +101,21 @@ object Bench {
       val s = String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
     }
-    def line(decimals: Int): String = {
-      val qs = results.map { case (k, v) =>
+    def line(decimals: Int, keep: Int): String = {
+      // when even 1-decimal overflows the budget, keep only the `keep`
+      // slowest queries (the ones that matter for grading) — the full map
+      // at full precision is always in bench_full.json. A >2000-char line
+      // gets its HEAD clipped by the driver's tail read, losing "value"
+      // entirely (the round-2 failure) — a truncated map never does.
+      val kept = results.toSeq.sortBy(-_._2).take(keep).sortBy(_._1)
+      val qs = kept.map { case (k, v) =>
         "\"" + k + "\":" + (if (v < 0) "-1" else num(decimals, v))
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num(3, total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+      val omitted = if (results.size > keep) s""","queries_omitted":${results.size - keep}""" else ""
+      s"""{"metric":"total","value":${num(3, total)},"unit":"sec","failed":$failed,"queries":$qs$omitted,"sf":"$sfDir"}"""
     }
-    val out = Seq(3, 2).map(line).find(_.length <= 1900).getOrElse(line(1))
+    val out = (Seq(3, 2, 1).map(line(_, results.size)) ++
+      Seq(64, 48, 32).map(line(1, _))).find(_.length <= 1900).getOrElse(line(1, 16))
     val full = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     try {

@@ -317,6 +317,15 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // two-stage dedup: loose LSH candidates (est >= 0.3) verified against
+    // exact shingle Jaccard >= 0.5 — estimate false positives removed
+    "d12_lsh_verified" -> ((s, d) => {
+      Dedup.minhashLshVerified(Tables.documents(s, d), "doc_id", "text",
+        numHashes = 8, shingleSize = 3, rowsPerBand = 2,
+        minEstimate = 0.3, minJaccard = 0.5, materializeCandidates = true)
+        .orderBy("id_a", "id_b")
+    }),
+
     // SimHash 16-bit fingerprints
     "d3_dedup_simhash" -> ((s, d) => {
       Dedup.simhash(Tables.documents(s, d), "doc_id", "text", bits = 16)
@@ -1314,6 +1323,19 @@ object SparkEntry {
     "d2_dedup_minhash" ->
       s"""WITH ${minhashPairsSql("documents")}
          |SELECT id_a, id_b, jaccard_est FROM mh_pairs WHERE jaccard_est >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // candidates from the same unrolled minhash CTEs (mh_h carries each
+    // doc's distinct shingle hashes), verified by exact list intersection
+    "d12_lsh_verified" ->
+      s"""WITH ${minhashPairsSql("documents")},
+         |g AS (SELECT doc_id, hs, len(hs) AS ng FROM mh_h),
+         |cand AS (SELECT id_a, id_b FROM mh_pairs WHERE jaccard_est >= 0.3),
+         |v AS (SELECT id_a, id_b,
+         |        len(list_intersect(a.hs, b.hs)) AS i, a.ng AS na, b.ng AS nb
+         |      FROM cand JOIN g a ON id_a = a.doc_id JOIN g b ON id_b = b.doc_id)
+         |SELECT id_a, id_b, CAST(i AS DOUBLE)/(na + nb - i) AS jaccard
+         |FROM v WHERE CAST(i AS DOUBLE)/(na + nb - i) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q26_percentiles" ->

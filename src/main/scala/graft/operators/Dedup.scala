@@ -118,6 +118,49 @@ object Dedup {
       .filter(col("jaccard_est") >= minEstimate)
   }
 
+  /** Two-stage LSH dedup — the production recipe: MinHash/LSH generates
+    * CANDIDATES cheaply (possibly with a loose `minEstimate`), then every
+    * candidate pair is VERIFIED against its exact shingle-set Jaccard and
+    * only pairs clearing `minJaccard` survive. The signature estimate has
+    * variance 1/numHashes — with 8 hashes a true-0.35 pair estimates ≥ 0.5
+    * often enough to pollute a dedup keep-list; the verify stage removes
+    * those false positives at the cost of one codegen'd sorted-merge
+    * intersect per CANDIDATE (not per corpus pair — the LSH bound still
+    * holds). Gram sets are the SAME shingle universe the signature hashes
+    * (token `shingleSize`-grams, 60-bit md5 prefixes), computed in one
+    * native pass per doc. */
+  def minhashLshVerified(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      shingleSize: Int = 3,
+      rowsPerBand: Int = 2,
+      minEstimate: Double = 0.5,
+      minJaccard: Double = 0.5,
+      materializeCandidates: Boolean = false,
+      maxBucketSize: Long = defaultMaxBucketSize): DataFrame = {
+    val cand = minhashLsh(docs, idCol, textCol, numHashes, shingleSize,
+      rowsPerBand, minEstimate, materializeCandidates, maxBucketSize)
+      .select(col("id_a"), col("id_b"))
+    // concat_ws(" ", tokens(text)) is the canonical normalized text, so the
+    // single-space word grams of WordNgramHashSet are exactly the token
+    // shingles MinHashSignature hashed — same universe, same 60-bit hash
+    val gs = docs.select(col(idCol).as("doc"),
+      wordNgramHashSet(concat_ws(" ", tokens(col(textCol))), shingleSize).as("gs"))
+      .withColumn("ng", size(col("gs")))
+      .filter(col("ng") > 0)
+    cand
+      .join(gs.select(col("doc").as("id_a"), col("gs").as("ga"), col("ng").as("na")), "id_a")
+      .join(gs.select(col("doc").as("id_b"), col("gs").as("gb"), col("ng").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        sortedIntersectCount(col("ga"), col("gb")).as("inter"),
+        col("na"), col("nb"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** SimHash: `bits`-bit locality-sensitive fingerprint over the token set.
     * Bit i is set iff the count of tokens whose md5 has bit i set exceeds
     * half the token count (majority vote with integer arithmetic only —

@@ -95,6 +95,25 @@ class DedupSpec extends SparkSpec {
       canon(Dedup.ngramJaccard(blocked, "doc_id", "text", Seq("blk"), 3, 0.3))
   }
 
+  "Dedup.minhashLshVerified" should "emit EXACT shingle Jaccard and drop estimate-only pairs" in {
+    // A and B: 10-token texts sharing the first 7 tokens. Token-3-shingle
+    // sets: 8 each, 5 shared -> exact J = 5/11. The md5 sketch may estimate
+    // above 0.5, but verify must score exactly 5/11 and drop at 0.5.
+    val a = "w1 w2 w3 w4 w5 w6 w7 a8 a9 a10"
+    val b = "w1 w2 w3 w4 w5 w6 w7 b8 b9 b10"
+    val corpus = Seq((1L, a), (2L, b), (3L, a)).toDF("doc_id", "text")
+    def verified(minJ: Double) = Dedup.minhashLshVerified(corpus, "doc_id", "text",
+      numHashes = 8, shingleSize = 3, rowsPerBand = 1, // 8 single-hash bands: J=5/11 pair is a candidate
+      minEstimate = 0.0, minJaccard = minJ)
+      .as[(Long, Long, Double)].collect().map(p => ((p._1, p._2), p._3)).toMap
+    val loose = verified(0.2)
+    loose((1L, 3L)) shouldBe 1.0 // identical docs
+    loose((1L, 2L)) shouldBe (5.0 / 11.0) // EXACT, not the sketch estimate
+    val strict = verified(0.5)
+    strict.keySet should contain((1L, 3L))
+    strict.keySet should not contain ((1L, 2L)) // estimate can't save it
+  }
+
   "Dedup.ngramContainment" should "catch a truncated copy that Jaccard misses" in {
     val long = "the quick brown fox jumps over the lazy dog while the cat sleeps " +
       "and the birds sing in the morning sun above the quiet green valley"

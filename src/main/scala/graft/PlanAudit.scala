@@ -54,7 +54,8 @@ object PlanAudit {
     "d11_source_overlap" -> "pair list is tiny next to the corpus: both source-lookup joins broadcast the pairs, corpus never reshuffles",
     "s4_semantic_dedup" -> "semantic dedup without a blocking key: k-means cells bound candidate pairs (centroids broadcast, assignment map-side); pair cost is sum(|cell|^2), never n^2",
     "q53_triangles" -> "degree-ordered orientation: wedges only from out-pairs (out-degree <= sqrt(2m)), each triangle counted once from its lowest-ranked corner; support>=2 prunes the pair graph 300x before any wedge forms",
-    "d12_lsh_verified" -> "two-stage dedup: LSH bounds candidates, exact verify is one codegen'd merge-intersect per CANDIDATE (native gram sets once per doc) — never per corpus pair")
+    "d12_lsh_verified" -> "two-stage dedup: LSH bounds candidates, exact verify is one codegen'd merge-intersect per CANDIDATE (native gram sets once per doc) — never per corpus pair",
+    "t11_characteristic_terms" -> "two chained partial-agg'd counts ((stratum, term) then (term)), equi-join on the term key, window only over the minCount-surviving term set")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

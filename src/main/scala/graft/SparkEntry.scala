@@ -655,6 +655,14 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // most over-represented terms per source (integer-ppm lift — TF-IDF's
+    // job without the float log)
+    "t11_characteristic_terms" -> ((s, d) => {
+      TextAnalysis.characteristicTerms(Tables.documents(s, d), "source", "text",
+        k = 5, minCount = 2L)
+        .orderBy("source", "rank")
+    }),
+
     "t7_pii_scrub" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val raw = concat(
@@ -1613,6 +1621,22 @@ object SparkEntry {
          |  CASE WHEN n_tokens > 0 THEN n_types*1000000//n_tokens ELSE 0 END AS type_token_ppm,
          |  CASE WHEN n_types > 0 THEN n_hapax*1000000//n_types ELSE 0 END AS hapax_ppm
          |FROM a ORDER BY source""".stripMargin,
+
+    // two-step integer flooring mirrored exactly; corpus rate clamped >= 1
+    "t11_characteristic_terms" ->
+      s"""WITH tk AS (SELECT source, unnest($toksSql) AS term FROM documents),
+         |bs AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cnt_s FROM tk GROUP BY 1, 2),
+         |st AS (SELECT source, CAST(SUM(cnt_s) AS BIGINT) AS n_s FROM bs GROUP BY 1),
+         |bc AS (SELECT term, CAST(SUM(cnt_s) AS BIGINT) AS cnt_c FROM bs GROUP BY 1),
+         |ct AS (SELECT CAST(SUM(cnt_c) AS BIGINT) AS n_c FROM bc),
+         |sc AS (SELECT bs.source, bs.term, bs.cnt_s,
+         |         (cnt_s*1000000//n_s) * 1000000 // greatest(cnt_c*1000000//n_c, 1) AS lift_ppm
+         |       FROM bs JOIN st USING (source) JOIN bc USING (term) CROSS JOIN ct
+         |       WHERE cnt_s >= 2),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+         |        ORDER BY lift_ppm DESC, term) AS rank FROM sc)
+         |SELECT source, term, cnt_s, lift_ppm, CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
 
     "d10_containment" ->
       s"""WITH n AS (SELECT doc_id, lang, $normSql AS s FROM documents),

@@ -222,6 +222,47 @@ object TextAnalysis {
       .drop("n_total")
   }
 
+  /** Characteristic terms per stratum: the `k` terms most over-represented
+    * in each stratum relative to the whole corpus — TF-IDF's job done in
+    * exact integer arithmetic (no float log, so the result is bit-stable
+    * and engine-portable). lift_ppm = floor(rate_s_ppm · 10⁶ / rate_c_ppm)
+    * where rate_s/rate_c are the term's per-stratum/corpus token-rate ppms;
+    * `minCount` kills one-off noise terms. The corpus-curation diagnostic:
+    * a source whose top terms are "click", "subscribe" is ads; one whose
+    * top terms are code identifiers is a code dump. Scale shape: two
+    * chained partial-agg'd counts ((stratum, term), then (term)), a join
+    * on the term key, and one window per stratum over the tiny surviving
+    * term set. */
+  def characteristicTerms(
+      docs: DataFrame,
+      strataCol: String,
+      textCol: String,
+      k: Int,
+      minCount: Long = 2L): DataFrame = {
+    val toks = docs.select(col(strataCol), explode(tokens(col(textCol))).as("term"))
+    val bySrc = toks.groupBy(strataCol, "term").agg(count(lit(1)).as("cnt_s"))
+    val srcTotals = bySrc.groupBy(strataCol).agg(sum(col("cnt_s")).as("n_s"))
+    val byCorpus = bySrc.groupBy("term").agg(sum(col("cnt_s")).as("cnt_c"))
+    val corpusTotal = byCorpus.agg(sum(col("cnt_c")).as("n_c"))
+    // floor(long*1e6/long) twice: operands < 2^53, double quotient floors
+    // exactly; two-step flooring is mirrored verbatim in the oracle
+    val rateS = floor(col("cnt_s") * 1000000L / col("n_s"))
+    // clamp to >= 1: at corpus scale a rare-but-concentrated term's corpus
+    // rate can floor to 0 ppm — lift is then "at least cnt_s/n_s * 1e6"
+    val rateC = greatest(floor(col("cnt_c") * 1000000L / col("n_c")), lit(1L))
+    val scored = bySrc
+      .filter(col("cnt_s") >= minCount)
+      .join(srcTotals, strataCol)
+      .join(byCorpus, "term")
+      .crossJoin(broadcast(corpusTotal))
+      .select(col(strataCol), col("term"), col("cnt_s"),
+        floor(rateS * 1000000L / rateC).cast("long").as("lift_ppm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(col("lift_ppm").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Corpus vocabulary statistics per stratum: token count, distinct types,
     * hapax legomena (types seen once), and the derived type-token / hapax
     * ratios (exact integer ppm). The drift signals corpus curation watches:

@@ -157,6 +157,29 @@ class DedupSpec extends SparkSpec {
     kept shouldBe Array(1L, 2L, 10L)
   }
 
+  "TextAnalysis.characteristicTerms" should "rank source-exclusive terms above shared ones" in {
+    val docs = Seq(
+      ("ads", "the subscribe subscribe subscribe click"),
+      ("ads", "the subscribe click click buy now"),
+      ("code", "the def class def class return"),
+      ("code", "the def return import class x1"))
+      .toDF("source", "text")
+    // source-EXCLUSIVE terms all have lift ~ n_corpus/n_source (the rates
+    // divide out), far above any shared term — the top slot must be one of
+    // them, never the uniform 'the'
+    val top = graft.operators.TextAnalysis
+      .characteristicTerms(docs, "source", "text", k = 2, minCount = 2L)
+      .filter(col("rank") === 1)
+      .select("source", "term").as[(String, String)].collect().toMap
+    Set("subscribe", "click") should contain(top("ads"))
+    Set("def", "class", "return") should contain(top("code"))
+    // 'the' is uniformly distributed: lift ~1e6, never a top term
+    val theLift = graft.operators.TextAnalysis
+      .characteristicTerms(docs, "source", "text", k = 100, minCount = 2L)
+      .filter(col("term") === "the").select("lift_ppm").as[Long].collect()
+    all(theLift) should be < 1500000L
+  }
+
   "TextAnalysis.vocabStats" should "count tokens, types and hapax exactly" in {
     val docs = Seq(
       ("s1", "a b a c"),   // tokens 4, types 3 (a=2, b=1, c=1), hapax 2

@@ -49,12 +49,14 @@ object Bench {
     // query pinned blocks (localCheckpoint) or every 8th query (bounds the
     // broadcast/weak-ref backlog). "always"/"off" remain for A/B probing.
     val gcMode = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "auto")
+    // sinceGc counts QUERIES (incremented once per query in the bench
+    // loop, not per best-of-2 run — an earlier revision incremented it in
+    // here and actually fired every 4th query)
     var sinceGc = 0
     def releaseStorage(): Unit = {
       val pinned = spark.sparkContext.getPersistentRDDs.nonEmpty
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      sinceGc += 1
       if (gcMode == "always" || (gcMode == "auto" && (pinned || sinceGc >= 8))) {
         System.gc()
         sinceGc = 0
@@ -69,6 +71,7 @@ object Bench {
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      sinceGc += 1
       val times = (1 to 2).flatMap { _ =>
         releaseStorage()
         val t0 = System.nanoTime()

@@ -829,7 +829,7 @@ object SparkEntry {
     // fact-fact join that plans with NO exchange below the aggregation.
     // Results are layout-independent, so the oracle is the plain join.
     "q52_bucketed_join" -> ((s, d) => {
-      val suffix = java.lang.Integer.toHexString(d.hashCode)
+      val suffix = graft.state.Bucketing.tableSuffix(d)
       val (ot, lt) = (s"b_orders_$suffix", s"b_lineitem_$suffix")
       if (!s.catalog.tableExists(ot))
         graft.state.Bucketing.writeBucketed(

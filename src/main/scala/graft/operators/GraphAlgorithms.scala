@@ -279,7 +279,8 @@ object GraphAlgorithms {
     *
     * Vertices must be non-negative longs < 10⁹ (rank packs as
     * `degree·10⁹ + id` — a single BIGINT total order portable to any
-    * engine). Returns one row: `n_triangles`. */
+    * engine); the precondition is ENFORCED with a cheap min/max agg and a
+    * descriptive failure. Returns one row: `n_triangles`. */
   def triangleCount(edges: DataFrame): DataFrame = {
     // canonical undirected edge set (a < b), self-loops dropped
     val und = edges
@@ -290,6 +291,17 @@ object GraphAlgorithms {
       // the degree join, the wedge self-join and the closure join all
       // re-read this frame — compute the dedup once
       .localCheckpoint(true)
+    // enforce the rank-packing precondition (degree·10⁹ + id is injective
+    // only for ids in [0, 10⁹)) — fail loudly instead of silently
+    // mis-orienting; one 1-row agg over the already-checkpointed frame
+    val bounds = und
+      .agg(min(col("a")).cast("long").as("lo"), max(col("b")).cast("long").as("hi"))
+      .head()
+    if (!bounds.isNullAt(0)) {
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      require(lo >= 0L && hi < 1000000000L,
+        s"triangleCount: vertex ids must lie in [0, 1e9) for rank packing; saw [$lo, $hi]")
+    }
     val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
     val ranked = und

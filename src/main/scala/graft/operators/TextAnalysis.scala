@@ -26,6 +26,12 @@ object TextAnalysis {
   private def stopwordHits(toks: Column, words: Seq[String]): Column =
     stopwordCount(toks, words)
 
+  /** Exact long floor-division (Catalyst IntegralDivide, SQL `div`) —
+    * matches DuckDB `//` for non-negative operands at ANY magnitude. The
+    * former floor(double-division) form was only exact while the numerator
+    * stayed under 2^53 (~9e9 token counts), which a 100 TB corpus exceeds. */
+  private def ldiv(a: Column, b: Column): Column = call_function("div", a, b)
+
   /** Predicted-language column expression: argmax of stopword hits per
     * language; zero scores map to "und"(etermined); score ties break to the
     * lexicographically *last* language code. One native pass over the token
@@ -51,10 +57,9 @@ object TextAnalysis {
     val textLen = length(col(textCol)).cast("long")
     val alphaLen = length(regexp_replace(col(textCol), "[^a-zA-Z]", "")).cast("long")
     val sumTokLen = sumTokenChars(toks)
-    // floor(long*1e6 / long): operands stay < 2^53 so the double quotient
-    // floors to the exact integer division (Spark `/` is double division)
+    // exact long floor-division ≡ DuckDB `//` at any magnitude
     def ppm(num: Column, den: Column): Column =
-      when(den > 0, floor(num * 1000000L / den)).otherwise(0L)
+      when(den > 0, ldiv(num * 1000000L, den)).otherwise(0L)
     docs.select(
       col(idCol),
       nTok.as("n_tokens"),
@@ -101,10 +106,10 @@ object TextAnalysis {
         col(idCol),
         col("st").getItem(0).as("n_grams"),
         col("st").getItem(1).as("n_distinct"))
-      // floor(long*1e6/long): operands < 2^53, double quotient floors exactly
+      // exact long floor-division ≡ DuckDB `//` at any magnitude
       .withColumn("dup_ppm",
         when(col("n_grams") > 0,
-          floor((col("n_grams") - col("n_distinct")) * 1000000L / col("n_grams")))
+          ldiv((col("n_grams") - col("n_distinct")) * 1000000L, col("n_grams")))
           .otherwise(0L))
   }
 
@@ -211,14 +216,14 @@ object TextAnalysis {
     require(keepPpm >= 0 && keepPpm <= 1000000L, "keepPpm is parts-per-million")
     val textLen = length(col(textCol)).cast("long")
     val alphaLen = length(regexp_replace(col(textCol), "[^a-zA-Z]", "")).cast("long")
-    // floor(long*1e6/long): operands < 2^53, double quotient floors exactly
-    val score = when(textLen > 0, floor(alphaLen * 1000000L / textLen)).otherwise(0L)
+    // exact long floor-division ≡ DuckDB `//` at any magnitude
+    val score = when(textLen > 0, ldiv(alphaLen * 1000000L, textLen)).otherwise(0L)
     val part = org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol))
     docs.select(col(idCol), col(strataCol), score.as("alpha_ppm"))
       .withColumn("rank",
         row_number().over(part.orderBy(col("alpha_ppm").desc, col(idCol))))
       .withColumn("n_total", count(lit(1)).over(part))
-      .filter(col("rank") <= floor(col("n_total") * keepPpm / 1000000L))
+      .filter(col("rank") <= ldiv(col("n_total") * keepPpm, lit(1000000L)))
       .drop("n_total")
   }
 
@@ -244,19 +249,19 @@ object TextAnalysis {
     val srcTotals = bySrc.groupBy(strataCol).agg(sum(col("cnt_s")).as("n_s"))
     val byCorpus = bySrc.groupBy("term").agg(sum(col("cnt_s")).as("cnt_c"))
     val corpusTotal = byCorpus.agg(sum(col("cnt_c")).as("n_c"))
-    // floor(long*1e6/long) twice: operands < 2^53, double quotient floors
-    // exactly; two-step flooring is mirrored verbatim in the oracle
-    val rateS = floor(col("cnt_s") * 1000000L / col("n_s"))
+    // exact long floor-division twice (≡ DuckDB `//` at any magnitude);
+    // two-step flooring is mirrored verbatim in the oracle
+    val rateS = ldiv(col("cnt_s") * 1000000L, col("n_s"))
     // clamp to >= 1: at corpus scale a rare-but-concentrated term's corpus
     // rate can floor to 0 ppm — lift is then "at least cnt_s/n_s * 1e6"
-    val rateC = greatest(floor(col("cnt_c") * 1000000L / col("n_c")), lit(1L))
+    val rateC = greatest(ldiv(col("cnt_c") * 1000000L, col("n_c")), lit(1L))
     val scored = bySrc
       .filter(col("cnt_s") >= minCount)
       .join(srcTotals, strataCol)
       .join(byCorpus, "term")
       .crossJoin(broadcast(corpusTotal))
       .select(col(strataCol), col("term"), col("cnt_s"),
-        floor(rateS * 1000000L / rateC).cast("long").as("lift_ppm"))
+        ldiv(rateS * 1000000L, rateC).as("lift_ppm"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol))
       .orderBy(col("lift_ppm").desc, col("term"))
@@ -281,9 +286,9 @@ object TextAnalysis {
         count(lit(1)).as("n_types"),
         sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("n_hapax"))
       .select(col(strataCol), col("n_tokens"), col("n_types"), col("n_hapax"),
-        // floor(long*1e6/long): operands < 2^53, exact
-        when(col("n_tokens") > 0, floor(col("n_types") * 1000000L / col("n_tokens")))
+        // exact long floor-division ≡ DuckDB `//` at any magnitude
+        when(col("n_tokens") > 0, ldiv(col("n_types") * 1000000L, col("n_tokens")))
           .otherwise(0L).as("type_token_ppm"),
-        when(col("n_types") > 0, floor(col("n_hapax") * 1000000L / col("n_types")))
+        when(col("n_types") > 0, ldiv(col("n_hapax") * 1000000L, col("n_types")))
           .otherwise(0L).as("hapax_ppm"))
 }

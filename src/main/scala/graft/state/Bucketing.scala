@@ -24,6 +24,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
+  /** Deterministic catalog-table suffix for a source-data directory:
+    * 64-bit md5 prefix of the FULL path (a 32-bit `String.hashCode` can
+    * collide across two dataset dirs in one JVM) salted with the dir's
+    * newest modification time, so regenerating the same dir's parquet
+    * mid-session yields a fresh table name instead of `tableExists`
+    * silently short-circuiting onto stale bucketed data. */
+  def tableSuffix(dir: String): String = {
+    val f = new java.io.File(dir)
+    val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+    val mtime = (f.lastModified() +: kids.map(_.lastModified())).max
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir@$mtime".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+  }
+
   /** Persist `df` hash-bucketed (and within-bucket sorted) by `keys` as
     * catalog table `table`. Sorting makes downstream sort-merge joins
     * skip their per-task sort as well. */

@@ -193,15 +193,20 @@ object SparkEntry {
     // orientation — out-degree <= O(sqrt m), hub wedges never explode
     // (Suri & Vassilvitskii WWW'11 shape).
     "q53_triangles" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val edges = li.join(li.select(col("o"), col("p").as("p2")), "o")
-        .filter(col("p") < col("p2"))
-        .groupBy(col("p").as("src"), col("p2").as("dst"))
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 2)
-        .drop("support")
-      GraphAlgorithms.triangleCount(edges)
+      GraphAlgorithms.triangleCount(GraphAlgorithms.cooccurrenceEdges(
+        Tables.lineitem(s, d), "l_orderkey", "l_partkey", minSupport = 2L))
+    }),
+
+    // same analytic with the PRODUCTION basket cap ON (drop baskets > 5
+    // items before the quadratic pair join — the whole-bucket rule of
+    // Dedup.capBuckets, mirrored verbatim in the oracle as d8 does): one
+    // degenerate 10k-item basket would otherwise emit 10^8 pair rows
+    // before any pruning. TPC-H baskets run 1-7 items, so cap=5 actually
+    // drops data here and proves the mirrored drop rule, not a no-op.
+    "q54_copurchase_capped" -> ((s, d) => {
+      GraphAlgorithms.triangleCount(GraphAlgorithms.cooccurrenceEdges(
+        Tables.lineitem(s, d), "l_orderkey", "l_partkey",
+        minSupport = 2L, maxBasketSize = 5L))
     }),
 
     // tumbling-window rollup (event-time windows; reference has none — §2.7)
@@ -1113,6 +1118,30 @@ object SparkEntry {
     * numHashes=8, shingleSize=3, rowsPerBand=2: one 60-bit md5 prefix per
     * shingle, then the fixed (aᵢ·h+bᵢ) mod 2^61−1 permutations — HUGEINT
     * keeps the 122-bit product exact, matching MinHashSignature.permute. */
+  /** Co-purchase triangle-count oracle (mirrors GraphAlgorithms
+    * .cooccurrenceEdges + triangleCount). `cap`: whole-bucket basket drop
+    * (≡ Dedup.capBuckets on the order key) applied BEFORE pairing. */
+  private def copurchaseTrianglesSql(cap: Option[Long]): String = {
+    val liSrc = cap.fold("li0")(c =>
+      s"(SELECT o, p FROM (SELECT o, p, COUNT(*) OVER (PARTITION BY o) AS bn FROM li0) WHERE bn <= $c)")
+    s"""WITH li0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS (SELECT x.p AS a, y.p AS b
+       |      FROM $liSrc x JOIN $liSrc y ON x.o = y.o AND x.p < y.p
+       |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM
+       |          (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+       |        GROUP BY v),
+       |r AS (SELECT e.a, e.b, da.d*1000000000 + e.a AS ra, db.d*1000000000 + e.b AS rb
+       |      FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
+       |o AS (SELECT CASE WHEN ra < rb THEN a ELSE b END AS src,
+       |             CASE WHEN ra < rb THEN b ELSE a END AS dst,
+       |             greatest(ra, rb) AS rd FROM r),
+       |w AS (SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
+       |      FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.rd < o2.rd)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+       |FROM w JOIN o ON w.v = o.src AND w.w = o.dst""".stripMargin
+  }
+
   private def minhashPairsSql(src: String, cap: Option[Long] = None): String = {
     val as = (0 until 8).map(graft.functions.MinHashSignature.coeffA).mkString(", ")
     val bs = (0 until 8).map(graft.functions.MinHashSignature.coeffB).mkString(", ")
@@ -1238,23 +1267,11 @@ object SparkEntry {
 
     // same orientation algebra: rank = degree*1e9 + id, wedges from
     // out-pairs of the lowest-ranked corner, closure join on (v, w)
-    "q53_triangles" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |e AS (SELECT x.p AS a, y.p AS b
-        |      FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
-        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-        |deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM
-        |          (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
-        |        GROUP BY v),
-        |r AS (SELECT e.a, e.b, da.d*1000000000 + e.a AS ra, db.d*1000000000 + e.b AS rb
-        |      FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
-        |o AS (SELECT CASE WHEN ra < rb THEN a ELSE b END AS src,
-        |             CASE WHEN ra < rb THEN b ELSE a END AS dst,
-        |             greatest(ra, rb) AS rd FROM r),
-        |w AS (SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
-        |      FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.rd < o2.rd)
-        |SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
-        |FROM w JOIN o ON w.v = o.src AND w.w = o.dst""".stripMargin,
+    "q53_triangles" -> copurchaseTrianglesSql(cap = None),
+
+    // basket cap mirrored as the same whole-bucket drop rule (window
+    // count per order key, drop all rows of baskets > 5) before pairing
+    "q54_copurchase_capped" -> copurchaseTrianglesSql(cap = Some(5L)),
 
     "q13_hourly_rollup" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,

@@ -281,6 +281,34 @@ object GraphAlgorithms {
     * `degree·10⁹ + id` — a single BIGINT total order portable to any
     * engine); the precondition is ENFORCED with a cheap min/max agg and a
     * descriptive failure. Returns one row: `n_triangles`. */
+  /** Co-occurrence edge list from a (basket, item) relation: one
+    * undirected edge `src < dst` per item pair sharing at least
+    * `minSupport` baskets — the input graph for co-purchase analytics.
+    *
+    * The basket self-join is QUADRATIC in basket size: one degenerate
+    * 10 k-item basket (a crawler cart, a batch-import order) emits 10⁸
+    * pair rows before the support filter can prune anything. `maxBasketSize`
+    * (opt-in, same whole-bucket drop contract as [[Dedup.capBuckets]] —
+    * deterministic, no tie-breaking, oracle-mirrorable) drops oversized
+    * baskets BEFORE pairing; production 100 TB jobs should set it. The cap
+    * window partitions on the basket key — the same hash partitioning the
+    * self-join needs, so the exchange is reused, not added. */
+  def cooccurrenceEdges(
+      items: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minSupport: Long = 2L,
+      maxBasketSize: Long = Long.MaxValue): DataFrame = {
+    val li = items.select(col(basketCol).as("o"), col(itemCol).as("p")).distinct()
+    val capped = Dedup.capBuckets(li, Seq("o"), maxBasketSize)
+    capped.join(capped.select(col("o"), col("p").as("p2")), "o")
+      .filter(col("p") < col("p2"))
+      .groupBy(col("p").as("src"), col("p2").as("dst"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .drop("support")
+  }
+
   def triangleCount(edges: DataFrame): DataFrame = {
     // canonical undirected edge set (a < b), self-loops dropped
     val und = edges

@@ -78,6 +78,28 @@ class ScaleSmokeSpec extends SparkSpec {
       numHashes = 4, rowsPerBand = 2, minEstimate = 0.1).count() shouldBe 3L
   }
 
+  it should "cap a degenerate co-purchase basket before the pair join" in {
+    // one 10k-item basket: uncapped, the basket self-join would emit
+    // ~5*10^7 pair rows before the support filter sees any of them. The
+    // cap drops the oversized basket whole; the small baskets still pair.
+    val big = spark.range(10000L).select(lit(1L).as("o"), col("id").as("p"))
+    val small = spark.range(4L).selectExpr("2 + id % 2 AS o", "id % 3 AS p")
+    val items = big.unionAll(small)
+    val edges = graft.operators.GraphAlgorithms.cooccurrenceEdges(
+      items, "o", "p", minSupport = 1L, maxBasketSize = 100L)
+    // only the two small baskets survive: {0,2} and {0,1} -> edges (0,2),(0,1)
+    edges.count() shouldBe 2L
+    // cap off on tiny data is unchanged (and includes the big basket)
+    graft.operators.GraphAlgorithms.cooccurrenceEdges(
+      small, "o", "p", minSupport = 1L).count() shouldBe 2L
+  }
+
+  "triangleCount" should "reject vertex ids outside the rank-packing domain" in {
+    val bad = spark.range(2L).select(col("id").as("src"), (col("id") + 1000000000L).as("dst"))
+    an[IllegalArgumentException] should be thrownBy
+      graft.operators.GraphAlgorithms.triangleCount(bad)
+  }
+
   it should "cap embedding near-dup blocks the same way" in {
     val vecs = spark.range(5000L).select(
       col("id"), lit("hot").as("blk"),

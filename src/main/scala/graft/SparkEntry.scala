@@ -151,6 +151,15 @@ object SparkEntry {
         count(lit(1)).as("num_records"))
     }),
 
+    // P11 getStats: the store's DESCRIBE-style diagnostic row (file-stat
+    // columns excluded here — filesystem metadata has no SQL oracle)
+    "q55_store_stats" -> ((s, d) => {
+      KVTable(Tables.events(s, d), Seq("user_id"), "ts_us",
+          tieBreakCols = Seq("event_id"))
+        .getStats
+        .select("n_log_rows", "n_keys", "n_tombstones", "min_ts_us", "max_ts_us")
+    }),
+
     // J8 global (broadcast) store enrichment chain
     "q10_global_enrich" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -1237,6 +1246,14 @@ object SparkEntry {
     "q9_num_keys" ->
       """SELECT COUNT(DISTINCT user_id) AS num_users,
         |  COUNT(DISTINCT event_type) AS num_types, COUNT(*) AS num_records
+        |FROM events""".stripMargin,
+
+    // DuckDB COUNT returns BIGINT already; no tombstone column -> 0
+    "q55_store_stats" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_log_rows,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
+        |  CAST(0 AS BIGINT) AS n_tombstones,
+        |  MIN(epoch_us(ts)) AS min_ts_us, MAX(epoch_us(ts)) AS max_ts_us
         |FROM events""".stripMargin,
 
     "q10_global_enrich" ->

@@ -74,6 +74,40 @@ final case class KVTable(
   def approxNumKeys: DataFrame =
     latest.agg(approx_count_distinct(xxhash64(keyCols.map(col): _*)).as("approx_num_keys"))
 
+  /** P11 `getStats` — DESCRIBE-style store diagnostics as ONE row
+    * (reference `KVStoreLocal.getStats`:636-639 dumps log + memstore stats
+    * as text; here both planes are DataFrames, so the stats are a query).
+    * Columns: changelog depth, live-key count, tombstone count, event-time
+    * span, and — for a file-backed changelog — file count and total bytes
+    * read from filesystem METADATA (a catalog-sized listing, never a data
+    * scan). Two partial-agg'd jobs (raw log + compacted view) composed by
+    * cross join; nothing is collected. */
+  def getStats: DataFrame = {
+    val tombRows = tombstoneCol.fold(lit(0L))(tc =>
+      coalesce(sum(when(coalesce(col(tc), lit(false)), 1L).otherwise(0L)), lit(0L)))
+    val logStats = changelog.agg(
+      count(lit(1)).as("n_log_rows"),
+      tombRows.as("n_tombstones"),
+      min(col(tsCol)).cast("long").as("min_ts_us"),
+      max(col(tsCol)).cast("long").as("max_ts_us"))
+    val keyStats = latest.agg(count(lit(1)).as("n_keys"))
+    val files = changelog.inputFiles
+    val bytes =
+      if (files.isEmpty) 0L
+      else {
+        val conf = changelog.sparkSession.sparkContext.hadoopConfiguration
+        files.map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(conf).getFileStatus(p).getLen
+        }.sum
+      }
+    logStats.crossJoin(keyStats)
+      .withColumn("n_files", lit(files.length.toLong))
+      .withColumn("total_bytes", lit(bytes))
+      .select(col("n_log_rows"), col("n_keys"), col("n_tombstones"),
+        col("min_ts_us"), col("max_ts_us"), col("n_files"), col("total_bytes"))
+  }
+
   /** R8 keep-last-N CDC view (not compacted — history retained per key). */
   def keepLastN(n: Int): DataFrame =
     Changelog.keepLastN(changelog, keyCols, tsCol, n, tieBreakCols)

@@ -118,6 +118,39 @@ class KVTableSpec extends SparkSpec {
     t.numKeys shouldBe 1
   }
 
+  "getStats" should "report log depth, live keys, tombstones and the event-time span (P11)" in {
+    val t = KVTable(
+      Seq(
+        (1L, "a", 10L, false),
+        (1L, "a2", 20L, false),
+        (2L, "b", 15L, false),
+        (3L, "c", 5L, false),
+        (3L, null.asInstanceOf[String], 30L, true)) // 3 deleted
+        .toDF("key", "value", "ts", "tombstone"),
+      Seq("key"), "ts", tombstoneCol = Some("tombstone"))
+    val r = t.getStats.collect()(0)
+    r.getAs[Long]("n_log_rows") shouldBe 5L
+    r.getAs[Long]("n_keys") shouldBe 2L // key 3 tombstoned out
+    r.getAs[Long]("n_tombstones") shouldBe 1L
+    r.getAs[Long]("min_ts_us") shouldBe 5L
+    r.getAs[Long]("max_ts_us") shouldBe 30L
+    // in-memory changelog: no backing files
+    r.getAs[Long]("n_files") shouldBe 0L
+    r.getAs[Long]("total_bytes") shouldBe 0L
+  }
+
+  it should "report file metadata for a parquet-backed changelog" in {
+    val dir = java.nio.file.Files.createTempDirectory("kv_stats").toString
+    Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("key", "value", "ts")
+      .write.mode("overwrite").parquet(dir)
+    val t = KVTable(spark.read.parquet(dir), Seq("key"), "ts")
+    val r = t.getStats.collect()(0)
+    r.getAs[Long]("n_log_rows") shouldBe 2L
+    r.getAs[Long]("n_keys") shouldBe 2L
+    r.getAs[Long]("n_files") should be > 0L
+    r.getAs[Long]("total_bytes") should be > 0L
+  }
+
   "delete" should "tombstone keys out of the latest view" in {
     val t = KVTable(
       Seq((1L, "a", 10L, false), (2L, "b", 10L, false)).toDF("key", "value", "ts", "tombstone"),

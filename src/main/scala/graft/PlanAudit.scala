@@ -55,7 +55,10 @@ object PlanAudit {
     "s4_semantic_dedup" -> "semantic dedup without a blocking key: k-means cells bound candidate pairs (centroids broadcast, assignment map-side); pair cost is sum(|cell|^2), never n^2",
     "q53_triangles" -> "degree-ordered orientation: wedges only from out-pairs (out-degree <= sqrt(2m)), each triangle counted once from its lowest-ranked corner; support>=2 prunes the pair graph 300x before any wedge forms",
     "d12_lsh_verified" -> "two-stage dedup: LSH bounds candidates, exact verify is one codegen'd merge-intersect per CANDIDATE (native gram sets once per doc) — never per corpus pair",
-    "t11_characteristic_terms" -> "two chained partial-agg'd counts ((stratum, term) then (term)), equi-join on the term key, window only over the minCount-surviving term set")
+    "t11_characteristic_terms" -> "two chained partial-agg'd counts ((stratum, term) then (term)), equi-join on the term key, window only over the minCount-surviving term set",
+    "q40_cohort_retention" -> "first-event cohort via one partial-agg'd min per entity, then an equi-join co-partitioned on the SAME entity key (exchange reused, no window over raw events); countDistinct partial-aggs on (cohort, offset) — at 100x the only growth is the entity-keyed shuffle, never an all-events sort",
+    "q54_copurchase_capped" -> "basket cap (window count on the order key, the same partitioning the self-join needs) drops degenerate baskets BEFORE the quadratic pair join — candidate pairs bounded by cap^2 per basket, so one 10k-item basket cannot emit 10^8 rows",
+    "q55_store_stats" -> "two partial-agg'd single-row aggregates (raw log + compacted view) cross-joined; file stats from catalog metadata — no data scan beyond the two aggs")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

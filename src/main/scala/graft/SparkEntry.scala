@@ -24,6 +24,10 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   // epoch µs literals (UTC)
+  /** Fixed demo salt for q56 (a deployment generates its own via
+    * SecureRandom, reference TimeCryptoProof.generateSalt). */
+  private val CryptoSaltHex = "000102030405060708090A0B0C0D0E0F"
+
   private val Jan10_24 = 1704844800000000L // 2024-01-10T00:00:00Z
   private val Jan20_24 = 1705708800000000L // 2024-01-20T00:00:00Z
   private val WeekUs = 7L * 24 * 3600 * 1000000L
@@ -158,6 +162,19 @@ object SparkEntry {
           tieBreakCols = Seq("event_id"))
         .getStats
         .select("n_log_rows", "n_keys", "n_tombstones", "min_ts_us", "max_ts_us")
+    }),
+
+    // §2.6h crypto proof: minute-windowed salted request signatures signed
+    // IN-PLAN over codegen'd built-ins (no UDF); time injected from the
+    // event row, so the result is deterministic and oracle-able
+    "q56_signed_requests" -> ((s, d) => {
+      val path = concat(lit("/api/events/"), col("event_type"), lit("/"),
+        col("event_id").cast("string"))
+      Tables.events(s, d)
+        .select(col("event_id"),
+          graft.functions.TimeCryptoProof.signCol(
+            path, CryptoSaltHex, expr("(ts_us div 60000000) * 60")).as("signature"))
+        .orderBy("event_id")
     }),
 
     // J8 global (broadcast) store enrichment chain
@@ -1247,6 +1264,15 @@ object SparkEntry {
       """SELECT COUNT(DISTINCT user_id) AS num_users,
         |  COUNT(DISTINCT event_type) AS num_types, COUNT(*) AS num_records
         |FROM events""".stripMargin,
+
+    // hex-preimage signature mirrored verbatim: salt hex ‖ 16-digit hex
+    // minute ‖ path, one string sha256 per row on both engines
+    "q56_signed_requests" ->
+      s"""SELECT event_id,
+         |  upper(sha256('$CryptoSaltHex'
+         |    || lpad(upper(to_hex((epoch_us(ts)//60000000)*60)), 16, '0')
+         |    || '/api/events/' || event_type || '/' || CAST(event_id AS VARCHAR))) AS signature
+         |FROM events ORDER BY event_id""".stripMargin,
 
     // DuckDB COUNT returns BIGINT already; no tombstone column -> 0
     "q55_store_stats" ->

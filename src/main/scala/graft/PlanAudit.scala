@@ -58,7 +58,11 @@ object PlanAudit {
     "t11_characteristic_terms" -> "two chained partial-agg'd counts ((stratum, term) then (term)), equi-join on the term key, window only over the minCount-surviving term set",
     "q40_cohort_retention" -> "first-event cohort via one partial-agg'd min per entity, then an equi-join co-partitioned on the SAME entity key (exchange reused, no window over raw events); countDistinct partial-aggs on (cohort, offset) — at 100x the only growth is the entity-keyed shuffle, never an all-events sort",
     "q54_copurchase_capped" -> "basket cap (window count on the order key, the same partitioning the self-join needs) drops degenerate baskets BEFORE the quadratic pair join — candidate pairs bounded by cap^2 per basket, so one 10k-item basket cannot emit 10^8 rows",
-    "q55_store_stats" -> "two partial-agg'd single-row aggregates (raw log + compacted view) cross-joined; file stats from catalog metadata — no data scan beyond the two aggs")
+    "q55_store_stats" -> "two partial-agg'd single-row aggregates (raw log + compacted view) cross-joined; file stats from catalog metadata — no data scan beyond the two aggs",
+    "d13_boilerplate" -> "native gram hash-sets at scan speed, ONE partial-agg'd df shuffle on the 60-bit gram hash; boilerplate set is the high-df vocabulary tail (small) — AQE sizes the marker join at runtime; final score one partial-agg'd count per doc key",
+    "q57_epoch_upsample" -> "pure row-local projection + explode: zero shuffle, output rows proportional to epochs — the md5 coin is keyed, so 100x data is 100x map work and nothing else",
+    "q56_signed_requests" -> "per-row sha2 over codegen'd built-ins at scan speed — zero shuffle pre-order, no UDF boundary",
+    "q58_context_pack" -> "ONE shuffle on the stratum key; running token sum and bin id ride the same window partition (exchange reused)")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -164,6 +164,32 @@ object SparkEntry {
         .select("n_log_rows", "n_keys", "n_tombstones", "min_ts_us", "max_ts_us")
     }),
 
+    // boilerplate-contamination scoring: trigrams in > dfMax docs are
+    // boilerplate; docs scored by their boilerplate-gram ppm
+    "d13_boilerplate" -> ((s, d) => {
+      TextAnalysis.boilerplateScore(Tables.documents(s, d), "doc_id", "text",
+          n = 3, dfMax = 50L)
+        .orderBy("doc_id")
+    }),
+
+    // deterministic epoch upsampling: src1 2.5 epochs, src2 1, src3 0.4 —
+    // the with-replacement training mix (md5-coin fractional copies)
+    "q57_epoch_upsample" -> ((s, d) => {
+      Sampling.epochUpsample(Tables.documents(s, d), "source", "doc_id",
+          epochsPpm = Map("src1" -> 2500000L, "src2" -> 1000000L, "src3" -> 400000L))
+        .select(col("doc_id"), col("source"), col("copy_idx"))
+        .orderBy("doc_id", "copy_idx")
+    }),
+
+    // context packing: per-source token-budget bins from an exclusive
+    // prefix sum (budget 512 tokens)
+    "q58_context_pack" -> ((s, d) => {
+      val withTok = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      Sampling.contextPack(withTok, "source", "doc_id", "n_tokens", budgetTokens = 512L)
+        .orderBy("doc_id")
+    }),
+
     // §2.6h crypto proof: minute-windowed salted request signatures signed
     // IN-PLAN over codegen'd built-ins (no UDF); time injected from the
     // event row, so the result is deterministic and oracle-able
@@ -1264,6 +1290,48 @@ object SparkEntry {
       """SELECT COUNT(DISTINCT user_id) AS num_users,
         |  COUNT(DISTINCT event_type) AS num_types, COUNT(*) AS num_records
         |FROM events""".stripMargin,
+
+    // same string_split(text,' ') gram semantics as d6; DISTINCT grams per
+    // doc (WordNgramHashSet is a set); whole-corpus df then left-mark join
+    "d13_boilerplate" ->
+      s"""WITH rw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |g AS (SELECT DISTINCT doc_id, substr(md5(${wordGramSql(3)}), 1, 15) AS h
+         |      FROM rw, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+         |b AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM g GROUP BY h) WHERE df > 50),
+         |sc AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |         CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+         |       FROM g LEFT JOIN b USING (h) GROUP BY g.doc_id)
+         |SELECT d.doc_id, COALESCE(sc.n_grams, 0) AS n_grams,
+         |  COALESCE(sc.n_boiler, 0) AS n_boiler,
+         |  CASE WHEN COALESCE(sc.n_grams, 0) > 0
+         |    THEN sc.n_boiler*1000000//sc.n_grams ELSE 0 END AS boiler_ppm
+         |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // md5-coin fractional copies: copies = e//1e6 + (hash_ppm < e%1e6);
+    // range() in the SELECT list (lateral range on a column cannot join)
+    "q57_epoch_upsample" ->
+      """WITH c AS (SELECT doc_id, source,
+        |    CASE source WHEN 'src1' THEN 2500000 WHEN 'src2' THEN 1000000
+        |      WHEN 'src3' THEN 400000 ELSE 0 END AS e,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      % 1000000 AS hp
+        |  FROM documents),
+        |n AS (SELECT doc_id, source,
+        |    e//1000000 + CASE WHEN hp < e % 1000000 THEN 1 ELSE 0 END AS n_copies
+        |  FROM c WHERE e > 0)
+        |SELECT doc_id, source, CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy_idx
+        |FROM n WHERE n_copies > 0 ORDER BY doc_id, copy_idx""".stripMargin,
+
+    // window SUM returns HUGEINT -> CAST BIGINT; exclusive prefix via
+    // ROWS ... 1 PRECEDING, first row NULL -> 0
+    "q58_context_pack" ->
+      s"""WITH tk AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |            FROM documents),
+         |p AS (SELECT doc_id, source, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tb
+         |  FROM tk)
+         |SELECT doc_id, source, n_tokens, tb//512 AS bin FROM p ORDER BY doc_id""".stripMargin,
 
     // hex-preimage signature mirrored verbatim: salt hex ‖ 16-digit hex
     // minute ‖ path, one string sha256 per row on both engines

@@ -84,6 +84,65 @@ object Sampling {
       .filter(col("rank") <= limit)
   }
 
+  /** Deterministic epoch UPSAMPLING — the training-mix counterpart of
+    * [[mixtureSample]] for weights > 1: a stratum assigned `epochsPpm`
+    * = 2 500 000 repeats every document twice and a deterministic
+    * md5-chosen half of them a third time. Per doc:
+    * `copies = epochs div 10⁶ + (1 if md5_ppm(key) < epochs mod 10⁶)`,
+    * emitted as (row ✕ copy_idx) via `sequence`/`explode`. Strata absent
+    * from the map get 0 copies (dropped).
+    *
+    * Scale shape: pure row-local projection + explode — zero shuffle, output
+    * rows ∝ epochs. The md5 coin is keyed (not random), so the same doc
+    * always gets the same copy count — reproducible mixes, exact oracle. */
+  def epochUpsample(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      epochsPpm: Map[String, Long]): DataFrame = {
+    require(epochsPpm.values.forall(_ >= 0), "epochsPpm must be non-negative")
+    val epochs = epochsPpm.foldLeft(lit(0L)) { case (acc, (s, ppm)) =>
+      when(col(strataCol) === s, lit(ppm)).otherwise(acc)
+    }
+    // 60-bit md5 prefix → uniform ppm in [0, 1e6) (the repo-standard
+    // engine-portable hash, ≡ DuckDB substr(md5(k),1,15))
+    val hashPpm = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+      .cast("long") % 1000000L
+    df.withColumn("n_copies",
+        call_function("div", epochs, lit(1000000L)) +
+          when(hashPpm < epochs % 1000000L, 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(1L), col("n_copies"))))
+      .drop("n_copies")
+  }
+
+  /** Deterministic CONTEXT PACKING — assign documents to fixed token-budget
+    * bins (training-context assembly): within each stratum, documents in
+    * key order accumulate tokens; a document's bin is
+    * `exclusive_prefix_tokens div budget`. The greedy-first-fit refinement
+    * is sequential by nature; this prefix-sum formulation is the
+    * shuffle-free approximation production packers batch with (a document
+    * straddling a boundary stays in its prefix bin — bins overflow by at
+    * most one document, never split one).
+    *
+    * Scale shape: ONE shuffle on the stratum key; the running sum and the
+    * bin id ride the same window partition. Bin ids are stratum-local. */
+  def contextPack(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      nTokensCol: String,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(col(keyCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("tokens_before", coalesce(sum(col(nTokensCol)).over(w), lit(0L)))
+      .withColumn("bin", call_function("div", col("tokens_before"), lit(budgetTokens)))
+      .drop("tokens_before")
+  }
+
   /** Annotate every row with its (bucket, split) — the reproducible
     * train/val/test assignment. */
   def trainValTestSplit(

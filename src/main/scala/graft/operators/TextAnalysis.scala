@@ -268,6 +268,50 @@ object TextAnalysis {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Boilerplate-contamination scoring (the RefinedWeb/Gopher "frequent
+    * n-gram" signal): an n-gram occurring in more than `dfMax` documents is
+    * boilerplate (navigation chrome, license headers, template spam); each
+    * document is scored by the ppm of its distinct grams that are
+    * boilerplate. Output: (id, n_grams, n_boiler, boiler_ppm).
+    *
+    * Scale shape: gram hash-sets are computed natively at scan speed
+    * (WordNgramHashSet, one pass, no shuffle), document frequencies by ONE
+    * partial-agg'd shuffle on the 60-bit gram hash; the surviving
+    * boilerplate set (df > dfMax) is then a `left` join marker back onto
+    * the per-doc grams — left un-hinted so AQE broadcasts it when its
+    * RUNTIME size fits (it is the high-df tail of the vocabulary, orders
+    * of magnitude smaller than the gram space) and shuffle-joins when it
+    * does not; the final score is one partial-agg'd count per doc key.
+    * Nothing is ever all-pairs and no frame is re-read more than the two
+    * native scans. */
+  def boilerplateScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      dfMax: Long = 10L): DataFrame = {
+    val grams = docs.select(col(idCol),
+      explode(wordNgramHashSet(col(textCol), n)).as("h"))
+    val boiler = grams
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfMax)
+      .select(col("h"), lit(1L).as("is_boiler"))
+    val scored = grams
+      .join(boiler, Seq("h"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_grams"),
+        coalesce(sum(col("is_boiler")), lit(0L)).as("n_boiler"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          ldiv(coalesce(col("n_boiler"), lit(0L)) * 1000000L, col("n_grams")))
+          .otherwise(0L).as("boiler_ppm"))
+  }
+
   /** Corpus vocabulary statistics per stratum: token count, distinct types,
     * hapax legomena (types seen once), and the derived type-token / hapax
     * ratios (exact integer ppm). The drift signals corpus curation watches:

@@ -84,6 +84,58 @@ class SamplingHistogramSpec extends SparkSpec {
     out(2) shouldBe ((0L, 0L, 0L))
   }
 
+  "epochUpsample" should "emit exact whole-epoch copies and a deterministic fractional coin" in {
+    val df = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"),
+      (5L, "b"), (6L, "b"),
+      (7L, "c")).toDF("id", "src")
+    // a: exactly 2 epochs; b: 1 epoch; c: unmapped -> dropped
+    val up = Sampling.epochUpsample(df, "src", "id",
+      Map("a" -> 2000000L, "b" -> 1000000L))
+    val byId = up.groupBy("id").count().as[(Long, Long)].collect().toMap
+    byId(1L) shouldBe 2L; byId(2L) shouldBe 2L; byId(3L) shouldBe 2L; byId(4L) shouldBe 2L
+    byId(5L) shouldBe 1L; byId(6L) shouldBe 1L
+    byId.contains(7L) shouldBe false
+    up.select("copy_idx").as[Long].collect().min shouldBe 1L
+    // fractional epochs: copies per doc is 0 or 1 at 0.5, stable on re-run
+    val frac = Sampling.epochUpsample(df.filter(col("src") === "a"), "src", "id",
+      Map("a" -> 500000L))
+    val counts = frac.groupBy("id").count().as[(Long, Long)].collect().toMap
+    all(counts.values) shouldBe 1L // present docs have exactly one copy
+    val again = Sampling.epochUpsample(df.filter(col("src") === "a"), "src", "id",
+      Map("a" -> 500000L)).groupBy("id").count().as[(Long, Long)].collect().toMap
+    again shouldBe counts
+  }
+
+  "contextPack" should "bin by exclusive prefix tokens within each stratum" in {
+    val df = Seq(
+      (1L, "a", 300L), (2L, "a", 300L), (3L, "a", 300L), (4L, "a", 50L),
+      (5L, "b", 600L), (6L, "b", 10L)).toDF("id", "src", "n_tok")
+    val packed = Sampling.contextPack(df, "src", "id", "n_tok", budgetTokens = 512L)
+      .select("id", "bin").as[(Long, Long)].collect().toMap
+    // a: prefixes 0,300,600,900 -> bins 0,0,1,1
+    packed(1L) shouldBe 0L; packed(2L) shouldBe 0L
+    packed(3L) shouldBe 1L; packed(4L) shouldBe 1L
+    // b: stratum-local bins restart at 0; 600-token doc overflows bin 0
+    // (prefix rule: straddlers stay in their prefix bin)
+    packed(5L) shouldBe 0L; packed(6L) shouldBe 1L
+  }
+
+  "boilerplateScore" should "flag grams shared by more than dfMax docs, zero for short docs" in {
+    val boiler = "click here to subscribe"
+    val docs = (1L to 5L).map(i => (i, s"$boiler unique$i tail$i words$i here$i"))
+      .toDF("doc_id", "text")
+      .unionAll(Seq((6L, "one two")).toDF("doc_id", "text")) // < 3 tokens: 0 grams
+    val scored = TextAnalysis.boilerplateScore(docs, "doc_id", "text", n = 3, dfMax = 4L)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect()
+    // "click here to"/"here to subscribe" appear in 5 > 4 docs -> boiler
+    scored.take(5).foreach { case (_, nGrams, nBoiler, ppm) =>
+      nBoiler shouldBe 2L
+      ppm shouldBe (2L * 1000000L) / nGrams
+    }
+    scored.last shouldBe ((6L, 0L, 0L, 0L))
+  }
+
   "trainValTestSplit" should "partition every row into exactly one stable split" in {
     val df = spark.range(500).toDF("id")
     val s = Sampling.trainValTestSplit(df, "id")

@@ -405,6 +405,14 @@ object SparkEntry {
     }),
 
     // brute-force exact top-k cosine ANN baseline
+    // embedding-quality audit: cosine to own label centroid (integer sums,
+    // one double division), mislabel/outlier flag
+    "s5_label_outliers" -> ((s, d) => {
+      Similarity.labelCentroidAudit(Tables.embeddings(s, d),
+          "vec_id", "embedding", "label", minCosine = 0.5)
+        .orderBy("vec_id")
+    }),
+
     "s1_knn_bruteforce" -> ((s, d) => {
       val em = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(em, em.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
@@ -1290,6 +1298,25 @@ object SparkEntry {
       """SELECT COUNT(DISTINCT user_id) AS num_users,
         |  COUNT(DISTINCT event_type) AS num_types, COUNT(*) AS num_records
         |FROM events""".stripMargin,
+
+    // centroid = exact integer element sums (HUGEINT -> BIGINT casts);
+    // norm product multiplied in DOUBLE (centroid norm² overflows int64)
+    "s5_label_outliers" ->
+      s"""WITH q AS (SELECT vec_id, label, ${qvSql("embedding")} AS qv FROM embeddings),
+         |x AS (SELECT label, i, CAST(SUM(qv[i]) AS BIGINT) AS s
+         |      FROM q, range(1, 65) t(i) GROUP BY label, i),
+         |c AS (SELECT label, list(s ORDER BY i) AS cv FROM x GROUP BY label),
+         |sc AS (SELECT q.vec_id, q.label,
+         |    CAST(list_sum([qv[i]*qv[i] for i in range(1,65)]) AS BIGINT) AS nv,
+         |    CAST(list_sum([cv[i]*cv[i] for i in range(1,65)]) AS BIGINT) AS nc,
+         |    CAST(list_sum([qv[i]*cv[i] for i in range(1,65)]) AS BIGINT) AS dot
+         |  FROM q JOIN c USING (label)),
+         |r AS (SELECT vec_id, label,
+         |    CASE WHEN nv = 0 OR nc = 0 THEN 0.0
+         |      ELSE dot::DOUBLE / sqrt(nv::DOUBLE * nc::DOUBLE) END AS centroid_cos
+         |  FROM sc)
+         |SELECT vec_id, label, centroid_cos, centroid_cos < 0.5 AS is_outlier
+         |FROM r ORDER BY vec_id""".stripMargin,
 
     // same string_split(text,' ') gram semantics as d6; DISTINCT grams per
     // doc (WordNgramHashSet is a set); whole-corpus df then left-mark join

@@ -59,6 +59,46 @@ object Similarity {
     df.select(col(idCol).as(idAs), quantize1000(col(vecCol)).as(qvAs))
       .withColumn(nAs, ldot(col(qvAs), col(qvAs)))
 
+  /** Embedding-quality audit: cosine of every vector to its LABEL CENTROID
+    * — the standard mislabel/outlier detector over a labeled embedding
+    * table (a vector far from its own class centroid is a labeling error,
+    * an encoder failure, or genuine drift).
+    *
+    * Exactness: cosine is scale-invariant, so the UN-divided element-wise
+    * centroid sum is used as the centroid direction — exact integer sums
+    * in ×1000-quantized space (no float mean, no order sensitivity), one
+    * double division at the very end (the repo-wide vector-parity rule).
+    * Norm products are multiplied in DOUBLE (a centroid-sum norm² times a
+    * vector norm² overflows int64 at corpus scale).
+    *
+    * Scale shape: one posexplode partial-agg'd shuffle keyed (label, dim)
+    * — 64× row inflation map-side combined down to |labels|·dims rows; the
+    * centroid table is broadcast (|labels| ≪ corpus); scoring is one
+    * map-side pass with the codegen'd integer dot. The corpus never
+    * self-joins and never shuffles whole vectors. */
+  def labelCentroidAudit(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      minCosine: Double): DataFrame = {
+    val q = vectors.select(col(idCol).as("vid"), col(labelCol).as("lbl"),
+      quantize1000(col(vecCol)).as("qv"))
+    val centroids = q
+      .select(col("lbl"), posexplode(col("qv")).as(Seq("i", "x")))
+      .groupBy("lbl", "i").agg(sum(col("x")).as("s"))
+      .groupBy("lbl").agg(collect_list(struct(col("i"), col("s"))).as("cl"))
+      // reassemble in dim order; interpreted HOF is fine here — the frame
+      // is |labels| rows, never the corpus
+      .select(col("lbl"), expr("transform(array_sort(cl), e -> e.s)").as("cv"))
+      .withColumn("nc", ldot(col("cv"), col("cv")))
+    q.withColumn("nv", ldot(col("qv"), col("qv")))
+      .join(broadcast(centroids), "lbl")
+      .select(col("vid").as(idCol), col("lbl").as(labelCol),
+        quantizedCosinePre(col("qv"), col("cv"), col("nv"), col("nc")).as("centroid_cos"))
+      .withColumn("is_outlier", col("centroid_cos") < lit(minCosine))
+  }
+
   /** Exact top-k cosine neighbors for each query vector (self excluded).
     * `queries` should be small (it is broadcast). */
   def bruteForceTopK(

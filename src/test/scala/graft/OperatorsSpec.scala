@@ -311,6 +311,22 @@ class SimilaritySpec extends SparkSpec {
     pairs.foreach { case (a, b, _) => (a % 4) shouldBe (b % 4) }
   }
 
+  "labelCentroidAudit" should "flag the vector pointing away from its label centroid" in {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(1.0f, 0.1f), 0),
+      (3L, Seq(-1.0f, 0.0f), 0), // opposes the label-0 centroid
+      (4L, Seq(0.0f, 1.0f), 1)) // singleton label: cos to itself = 1
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroidAudit(vecs, "vec_id", "embedding", "label",
+        minCosine = 0.5)
+      .orderBy("vec_id").as[(Long, Int, Double, Boolean)].collect()
+    out.map(_._4).toSeq shouldBe Seq(false, false, true, false)
+    out(0)._3 should be > 0.9
+    out(2)._3 should be < -0.9
+    out(3)._3 shouldBe 1.0 +- 1e-9
+  }
+
   it should "cap a degenerate cell like an LSH band" in {
     val same = (1L to 100L).map(i => (i, Seq(1.0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
     Similarity.ivfNearDup(same, "vec_id", "embedding", minCosine = 0.9,

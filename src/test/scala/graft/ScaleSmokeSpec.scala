@@ -62,6 +62,28 @@ class ScaleSmokeSpec extends SparkSpec {
     agg.getLong(1) should be > 0L // forced full evaluation of both columns
   }
 
+  "epochUpsample" should "upsample 1M rows with zero exchanges (pure projection + explode)" in {
+    val df = spark.range(1000000L).select(
+      col("id"), (col("id") % 3).cast("string").as("src"))
+    val up = graft.operators.Sampling.epochUpsample(df, "src", "id",
+      Map("0" -> 2000000L, "1" -> 1000000L)) // stratum 2 unmapped -> dropped
+    up.queryExecution.executedPlan.toString should not include "Exchange"
+    // exact whole-epoch arithmetic: 2x the ~333334 "0" rows + 1x the "1" rows
+    up.count() shouldBe (2L * 333334L + 333333L)
+  }
+
+  "signCol" should "sign 1M rows at scan speed (zero exchanges, codegen'd)" in {
+    val df = spark.range(1000000L).select(
+      concat(lit("/api/"), col("id").cast("string")).as("path"),
+      (col("id") % 100000L * 60L).as("minute"))
+    val signed = df.select(graft.functions.TimeCryptoProof.signCol(
+      col("path"), "000102030405060708090A0B0C0D0E0F", col("minute")).as("sig"))
+    val plan = signed.queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    plan should include("*(1)") // the whole-stage-codegen stage marker
+    signed.agg(count(lit(1))).collect()(0).getLong(0) shouldBe 1000000L
+  }
+
   "capBuckets" should "stop a degenerate LSH bucket from going quadratic" in {
     // 10k identical docs = every band bucket holds all 10k rows; uncapped
     // the self-join would enumerate ~10^8 pairs per band. The cap drops the

@@ -11,7 +11,10 @@ import org.apache.spark.sql.Row
   * table onto the driver. Large keyspaces serve point reads through
   * `KVTable.get`, whose predicate pushes to the columnar scan instead.
   */
-final class Snapshot private (index: Map[Seq[Any], Row], val keyCols: Seq[String]) {
+final class Snapshot private (
+    index: Map[Seq[Any], Row],
+    val keyCols: Seq[String],
+    val keyTypes: Seq[org.apache.spark.sql.types.DataType]) {
   def get(key: Seq[Any]): Option[Row] = index.get(key)
   def size: Int = index.size
 }
@@ -23,6 +26,7 @@ object Snapshot {
     require(rows.length <= maxRows,
       s"snapshot exceeds $maxRows rows — serve this keyspace via KVTable.get instead")
     val keyIdx = kv.keyCols.map(latest.schema.fieldIndex)
-    new Snapshot(rows.map(r => keyIdx.map(r.get) -> r).toMap, kv.keyCols)
+    new Snapshot(rows.map(r => keyIdx.map(r.get) -> r).toMap, kv.keyCols,
+      keyIdx.map(i => latest.schema.fields(i).dataType))
   }
 }

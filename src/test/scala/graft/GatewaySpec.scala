@@ -1,0 +1,84 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import graft.functions.TimeCryptoProof
+import graft.serving.{ChangeFeed, Gateway}
+import graft.state.{KVTable, Snapshot}
+
+/** The HTTP serving layer (reference GatewayHttp's data plane): point
+  * reads, stats, CDC watch buffer, and signed-URL auth — driven over REAL
+  * loopback HTTP with the JDK client. */
+class GatewaySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val client = HttpClient.newHttpClient()
+  private def get(url: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def store = KVTable(
+    Seq(
+      (1L, "alice", 100L, false),
+      (2L, "bob", 100L, false),
+      (2L, "robert", 200L, false), // later write wins
+      (3L, "carol", 100L, true)) // tombstoned
+      .toDF("account", "owner", "ts", "tombstone"),
+    Seq("account"), "ts", tombstoneCol = Some("tombstone"))
+
+  it should "serve point reads, misses, and stats from the latest view" in {
+    val gw = new Gateway(Snapshot.of(store)).start()
+    try {
+      val ok = get(s"http://127.0.0.1:${gw.port}/kv/2")
+      ok.statusCode() shouldBe 200
+      ok.body() should include(""""owner":"robert"""") // compacted: last write
+      get(s"http://127.0.0.1:${gw.port}/kv/3").statusCode() shouldBe 404 // tombstoned
+      get(s"http://127.0.0.1:${gw.port}/kv/99").statusCode() shouldBe 404
+      get(s"http://127.0.0.1:${gw.port}/stats").body() shouldBe """{"num_keys":2}"""
+      get(s"http://127.0.0.1:${gw.port}/nope").statusCode() shouldBe 404
+    } finally gw.stop()
+  }
+
+  it should "enforce signed-URL auth with the ±1-minute window (§2.6h gateway check)" in {
+    val salt = "000102030405060708090A0B0C0D0E0F"
+    val now = 1704844830L
+    val gw = new Gateway(Snapshot.of(store), saltHex = Some(salt), clock = () => now).start()
+    try {
+      val base = s"http://127.0.0.1:${gw.port}"
+      get(s"$base/kv/1").statusCode() shouldBe 401 // unsigned
+      val sig = TimeCryptoProof.sign("/kv/1", salt, TimeCryptoProof.wholeMinute(now))
+      get(s"$base/kv/1?signature=$sig").statusCode() shouldBe 200
+      // previous window still verifies (clock skew tolerance)
+      val prev = TimeCryptoProof.sign("/kv/1", salt, TimeCryptoProof.wholeMinute(now) - 60L)
+      get(s"$base/kv/1?signature=$prev").statusCode() shouldBe 200
+      // two windows back: expired
+      val old = TimeCryptoProof.sign("/kv/1", salt, TimeCryptoProof.wholeMinute(now) - 120L)
+      get(s"$base/kv/1?signature=$old").statusCode() shouldBe 401
+      // a signature never authorizes a DIFFERENT path
+      get(s"$base/kv/2?signature=$sig").statusCode() shouldBe 401
+    } finally gw.stop()
+  }
+
+  it should "serve the buffered per-key change feed with seq cursors (R7/R8)" in {
+    val feed = new ChangeFeed(keepLastN = 2)
+    val gw = new Gateway(Snapshot.of(store), feed).start()
+    try {
+      val base = s"http://127.0.0.1:${gw.port}"
+      get(s"$base/watch/acct1").body() shouldBe "[]"
+      feed.append("acct1", """{"balance":10}""")
+      val s2 = feed.append("acct1", """{"balance":20}""")
+      feed.append("other", """{"balance":99}""")
+      val all = get(s"$base/watch/acct1").body()
+      all should include(""""balance":10""")
+      all should include(""""balance":20""")
+      all should not include """"balance":99""" // key isolation
+      // cursor: only changes after seq=s2's predecessor
+      get(s"$base/watch/acct1?from=${s2 - 1}").body() shouldBe
+        s"""[{"seq":$s2,"value":{"balance":20}}]"""
+      // keep-last-N: a third append evicts the first
+      feed.append("acct1", """{"balance":30}""")
+      get(s"$base/watch/acct1").body() should not include """"balance":10"""
+    } finally gw.stop()
+  }
+}

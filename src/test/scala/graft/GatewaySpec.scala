@@ -60,6 +60,33 @@ class GatewaySpec extends SparkSpec {
     } finally gw.stop()
   }
 
+  it should "push a live streaming query's changes through /watch end-to-end (R7)" in {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    val feed = new ChangeFeed()
+    val gw = new Gateway(Snapshot.of(store), feed).start()
+    // the engine-side subscription (filter to the key) + the transport-side
+    // sink (foreachBatch appending to the gateway's buffer) — the full
+    // reference KeyValueMediator path: subscribe, then push every change
+    val sub = graft.streaming.Subscriptions.subscribe(
+      input.toDS().toDF("account", "balance"), "account", "acct7")
+    val q = sub.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r =>
+          feed.append(r.getAs[String]("account"), s"""{"balance":${r.getAs[Long]("balance")}}"""))
+      }.start()
+    try {
+      input.addData(("acct7", 10L), ("other", 99L))
+      q.processAllAvailable()
+      input.addData(("acct7", 25L))
+      q.processAllAvailable()
+      val body = get(s"http://127.0.0.1:${gw.port}/watch/acct7").body()
+      body should include(""""balance":10""")
+      body should include(""""balance":25""")
+      body should not include """"balance":99""" // unsubscribed key never pushed
+    } finally { q.stop(); gw.stop() }
+  }
+
   it should "serve the buffered per-key change feed with seq cursors (R7/R8)" in {
     val feed = new ChangeFeed(keepLastN = 2)
     val gw = new Gateway(Snapshot.of(store), feed).start()

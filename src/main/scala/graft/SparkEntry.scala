@@ -181,6 +181,16 @@ object SparkEntry {
         .orderBy("doc_id", "copy_idx")
     }),
 
+    // size-weighted deterministic sampling: 20 docs per source, inclusion
+    // probability proportional to n_chars (priority-sampling shape)
+    "q59_weighted_sample" -> ((s, d) => {
+      Sampling.weightedPrioritySample(Tables.documents(s, d), "source", "doc_id",
+          "n_chars", k = 20)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("priority"),
+          col("rank").cast("int").as("rank"))
+        .orderBy("source", "rank")
+    }),
+
     // context packing: per-source token-budget bins from an exclusive
     // prefix sum (budget 512 tokens)
     "q58_context_pack" -> ((s, d) => {
@@ -1348,6 +1358,17 @@ object SparkEntry {
         |  FROM c WHERE e > 0)
         |SELECT doc_id, source, CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy_idx
         |FROM n WHERE n_copies > 0 ORDER BY doc_id, copy_idx""".stripMargin,
+
+    // priority = md5_ppm(key)*1e6 // max(weight,1); ROW_NUMBER -> INT cast
+    "q59_weighted_sample" ->
+      """WITH p AS (SELECT doc_id, source, n_chars,
+        |    (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      % 1000000) * 1000000 // greatest(n_chars, 1) AS priority
+        |  FROM documents),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |        ORDER BY priority, doc_id) AS rank FROM p)
+        |SELECT doc_id, source, n_chars, priority, CAST(rank AS INTEGER) AS rank
+        |FROM r WHERE rank <= 20 ORDER BY source, rank""".stripMargin,
 
     // window SUM returns HUGEINT -> CAST BIGINT; exclusive prefix via
     // ROWS ... 1 PRECEDING, first row NULL -> 0

@@ -25,6 +25,11 @@ object Sampling {
   def md5Bucket256(key: Column): Column =
     conv(substring(md5(key.cast("string")), 31, 2), 16, 10).cast("long")
 
+  /** Uniform deterministic ppm in [0, 10⁶) from the 60-bit md5 prefix of
+    * the key's string form (≡ DuckDB `substr(md5(k),1,15)` as a long). */
+  def md5Ppm(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long") % 1000000L
+
   /** Keep rows whose bucket < `keepBuckets` (of 256) — a deterministic
     * ~keepBuckets/256 sample, uniform within every stratum because md5 is
     * independent of any data column. */
@@ -104,16 +109,42 @@ object Sampling {
     val epochs = epochsPpm.foldLeft(lit(0L)) { case (acc, (s, ppm)) =>
       when(col(strataCol) === s, lit(ppm)).otherwise(acc)
     }
-    // 60-bit md5 prefix → uniform ppm in [0, 1e6) (the repo-standard
-    // engine-portable hash, ≡ DuckDB substr(md5(k),1,15))
-    val hashPpm = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
-      .cast("long") % 1000000L
+    val hashPpm = md5Ppm(col(keyCol))
     df.withColumn("n_copies",
         call_function("div", epochs, lit(1000000L)) +
           when(hashPpm < epochs % 1000000L, 1L).otherwise(0L))
       .filter(col("n_copies") > 0)
       .withColumn("copy_idx", explode(sequence(lit(1L), col("n_copies"))))
       .drop("n_copies")
+  }
+
+  /** Deterministic SIZE-WEIGHTED sampling: keep the `k` rows of each
+    * stratum with the smallest integer priority
+    * `md5_ppm(key)·10⁶ div max(weight, 1)` — the deterministic analogue of
+    * priority / weighted-reservoir sampling (Efraimidis–Spirakis shape):
+    * heavier rows draw proportionally smaller priorities, so inclusion
+    * probability grows with weight, while the md5 coin keeps the choice
+    * reproducible and engine-portable (exact integer arithmetic, no
+    * float log). The training-data use: sample documents ∝ token count so
+    * a byte-budgeted subcorpus is token-representative, not doc-count-
+    * representative.
+    *
+    * Scale shape: one shuffle on the stratum key, rank window only. */
+  def weightedPrioritySample(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 0, "k must be non-negative")
+    val priority = call_function("div",
+      md5Ppm(col(keyCol)) * 1000000L, greatest(col(weightCol).cast("long"), lit(1L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(col("priority"), col(keyCol))
+    df.withColumn("priority", priority)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
   }
 
   /** Deterministic CONTEXT PACKING — assign documents to fixed token-budget

@@ -107,6 +107,22 @@ class SamplingHistogramSpec extends SparkSpec {
     again shouldBe counts
   }
 
+  "weightedPrioritySample" should "bias selection toward heavy rows, deterministically" in {
+    // 200 light rows (w=1) + 200 heavy rows (w=1000) in one stratum: a
+    // k=50 sample should be dominated by heavy rows (priority ∝ 1/w)
+    val df = spark.range(400).select(
+      col("id"), lit("s").as("src"),
+      when(col("id") < 200, 1L).otherwise(1000L).as("w"))
+    val picked = Sampling.weightedPrioritySample(df, "src", "id", "w", k = 50)
+      .select("id").as[Long].collect().toSet
+    picked.size shouldBe 50
+    picked.count(_ >= 200) should be > 40 // heavy rows dominate
+    // determinism across partitionings
+    val again = Sampling.weightedPrioritySample(df.repartition(7), "src", "id", "w", k = 50)
+      .select("id").as[Long].collect().toSet
+    again shouldBe picked
+  }
+
   "contextPack" should "bin by exclusive prefix tokens within each stratum" in {
     val df = Seq(
       (1L, "a", 300L), (2L, "a", 300L), (3L, "a", 300L), (4L, "a", 50L),

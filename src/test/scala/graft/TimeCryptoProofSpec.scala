@@ -59,6 +59,28 @@ class TimeCryptoProofSpec extends SparkSpec {
     TimeCryptoProof.verify(sig, "/xyz", saltHex, 1704844830L) shouldBe true
   }
 
+  it should "hold sign/verify for 200 seeded random (salt, arg) pairs (reference property 2)" in {
+    // the reference sweeps random salts x alpha strings with scalacheck
+    // (TimeCryptoProofSpec.scala:48-67); same matrix via the repo's seeded
+    // Sampled idiom (no scalatest-scalacheck bridge in the offline cache)
+    val rnd = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val sBytes = new Array[Byte](16); rnd.nextBytes(sBytes)
+      val sHex = TimeCryptoProof.toHex(sBytes)
+      val arg = Sampled.asciiSamples(1, 40)(rnd.nextInt(1)) + rnd.nextLong()
+      val now = math.abs(rnd.nextLong() % 4102444800L) // < year 2100
+      val sig = TimeCryptoProof.sign(arg, sHex, TimeCryptoProof.wholeMinute(now))
+      withClue(s"salt=$sHex arg=$arg now=$now") {
+        TimeCryptoProof.verify(sig, arg, sHex, now) shouldBe true
+        TimeCryptoProof.verify(sig, arg + "x", sHex, now) shouldBe false
+        val wire = TimeCryptoProof.signWire(arg, sBytes, TimeCryptoProof.wholeMinute(now))
+        TimeCryptoProof.verifyWire(wire, arg, sBytes, now) shouldBe true
+        // hex round-trip on the random salt (reference property 1)
+        TimeCryptoProof.fromHex(sHex) shouldBe sBytes
+      }
+    }
+  }
+
   "signCol" should "match the driver-side sign() bit-for-bit (codegen'd, no UDF)" in {
     val rows = Seq(
       ("/api/events/click/1", 1704844800L),

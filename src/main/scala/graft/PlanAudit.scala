@@ -63,7 +63,8 @@ object PlanAudit {
     "q57_epoch_upsample" -> "pure row-local projection + explode: zero shuffle, output rows proportional to epochs — the md5 coin is keyed, so 100x data is 100x map work and nothing else",
     "q56_signed_requests" -> "per-row sha2 over codegen'd built-ins at scan speed — zero shuffle pre-order, no UDF boundary",
     "q58_context_pack" -> "ONE shuffle on the stratum key; running token sum and bin id ride the same window partition (exchange reused)",
-    "s5_label_outliers" -> "one posexplode partial-agg'd shuffle on (label, dim); centroid table broadcast (|labels| rows); scoring is a map-side codegen'd integer dot — the corpus never self-joins or reshuffles")
+    "s5_label_outliers" -> "one posexplode partial-agg'd shuffle on (label, dim); centroid table broadcast (|labels| rows); scoring is a map-side codegen'd integer dot — the corpus never self-joins or reshuffles",
+    "t12_quality_classifier" -> "hashing-trick linear model: token explode with weights computed IN the projection (row-local, no weight join on the default path), one partial-agg'd shuffle on the doc key")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -164,6 +164,14 @@ object SparkEntry {
         .select("n_log_rows", "n_keys", "n_tombstones", "min_ts_us", "max_ts_us")
     }),
 
+    // hashed-feature linear quality classifier (fastText shape): 4096
+    // buckets, deterministic md5-derived weights, keep = score >= 0
+    "t12_quality_classifier" -> ((s, d) => {
+      TextAnalysis.hashedLinearScore(Tables.documents(s, d), "doc_id", "text",
+          dims = 4096)
+        .orderBy("doc_id")
+    }),
+
     // boilerplate-contamination scoring: trigrams in > dfMax docs are
     // boilerplate; docs scored by their boilerplate-gram ppm
     "d13_boilerplate" -> ((s, d) => {
@@ -1327,6 +1335,22 @@ object SparkEntry {
          |  FROM sc)
          |SELECT vec_id, label, centroid_cos, centroid_cos < 0.5 AS is_outlier
          |FROM r ORDER BY vec_id""".stripMargin,
+
+    // bucket = md5_60bit(tok) % 4096; weight = (md5_60bit(bucket) % 1e6)
+    // % 2001 - 1000 — both engines derive the same integer weights
+    "t12_quality_classifier" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |tb AS (SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 4096 AS b
+         |  FROM tk),
+         |tw AS (SELECT doc_id,
+         |    (CAST(concat('0x', substr(md5(CAST(b AS VARCHAR)), 1, 15)) AS BIGINT)
+         |      % 1000000) % 2001 - 1000 AS w
+         |  FROM tb),
+         |sc AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score FROM tw GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(sc.score, 0) AS score,
+         |  COALESCE(sc.score, 0) >= 0 AS keep
+         |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     // same string_split(text,' ') gram semantics as d6; DISTINCT grams per
     // doc (WordNgramHashSet is a set); whole-corpus df then left-mark join

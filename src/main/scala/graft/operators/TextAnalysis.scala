@@ -268,6 +268,47 @@ object TextAnalysis {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Model-based quality scoring in the fastText/CCNet SHAPE: a linear
+    * classifier over HASHED token features — each token hashes to one of
+    * `dims` buckets, the document score is the sum of its tokens' bucket
+    * weights, keep = score ≥ 0. This is how production pipelines run a
+    * trained quality/toxicity/language classifier at corpus scale: hashing
+    * trick, integer weights, one pass.
+    *
+    * `weights` (bucket → weight) is the trained model, broadcast-joined.
+    * When omitted, deterministic pseudo-weights are derived from the
+    * bucket's own md5 (w ∈ [−1000, 1000]) — that keeps the full scoring
+    * path row-local (weight computed IN the projection, no join at all)
+    * and exactly reproducible in the SQL oracle; swap in real weights for
+    * a real model.
+    *
+    * Scale shape: explode + one partial-agg'd shuffle on the doc key; the
+    * optional weight join broadcasts |dims| rows. Nothing else. */
+  def hashedLinearScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dims: Int = 4096,
+      weights: Option[DataFrame] = None): DataFrame = {
+    require(dims > 0, "dims must be positive")
+    def md5Long(c: Column): Column =
+      conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    val tokBuckets = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .select(col(idCol), (md5Long(col("tok")) % dims).as("b"))
+    val scoredToks = weights match {
+      case Some(w) => tokBuckets.join(broadcast(w), "b") // trained model path
+      case None => // pseudo-weights from the bucket id: fully row-local
+        tokBuckets.withColumn("w", (md5Long(col("b")) % 1000000L) % 2001L - 1000L)
+    }
+    val scores = scoredToks.groupBy(idCol).agg(sum(col("w")).as("score"))
+    docs.select(col(idCol))
+      .join(scores, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("score"), lit(0L)).as("score"),
+        (coalesce(col("score"), lit(0L)) >= 0L).as("keep"))
+  }
+
   /** Boilerplate-contamination scoring (the RefinedWeb/Gopher "frequent
     * n-gram" signal): an n-gram occurring in more than `dfMax` documents is
     * boilerplate (navigation chrome, license headers, template spam); each

@@ -370,6 +370,32 @@ class TextAnalysisSpec extends SparkSpec {
       Seq("en", "de", "und")
   }
 
+  "hashedLinearScore" should "score with TRAINED weights through the broadcast-join path" in {
+    // a 2-bucket model where every token of doc 1 lands in a positive
+    // bucket is hard to construct by hand — instead supply weights for ALL
+    // buckets and verify the sum algebra: w(b) = b (identity), so
+    // score(doc) = sum of its tokens' bucket ids
+    val docs = Seq((1L, "alpha beta alpha"), (2L, ""), (3L, "gamma")).toDF("doc_id", "text")
+    val dims = 16
+    val w = spark.range(dims).select(col("id").as("b"), col("id").as("w"))
+    val out = TextAnalysis.hashedLinearScore(docs, "doc_id", "text", dims, Some(w))
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect()
+    def bucket(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % dims
+    }
+    out(0)._2 shouldBe (2 * bucket("alpha") + bucket("beta"))
+    out(1) shouldBe ((2L, 0L, true)) // empty doc: score 0, kept
+    out(2)._2 shouldBe bucket("gamma")
+    // default (md5-derived) path is deterministic and keep ≡ score >= 0
+    val d1 = TextAnalysis.hashedLinearScore(docs, "doc_id", "text").collect()
+    val d2 = TextAnalysis.hashedLinearScore(docs.repartition(3), "doc_id", "text")
+      .collect()
+    d1.map(_.toSeq).toSet shouldBe d2.map(_.toSeq).toSet
+    d1.foreach(r => r.getAs[Boolean]("keep") shouldBe (r.getAs[Long]("score") >= 0L))
+  }
+
   "qualityScore" should "compute integer ppm ratios exactly" in {
     val docs = Seq((1L, "the quick brown fox jumps over the lazy dog twice today ok")).toDF("doc_id", "text")
     val r = TextAnalysis.qualityScore(docs, "doc_id", "text").collect()(0)

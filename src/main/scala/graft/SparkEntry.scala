@@ -1317,13 +1317,17 @@ object SparkEntry {
         |  COUNT(DISTINCT event_type) AS num_types, COUNT(*) AS num_records
         |FROM events""".stripMargin,
 
-    // centroid = exact integer element sums (HUGEINT -> BIGINT casts);
-    // norm product multiplied in DOUBLE (centroid norm² overflows int64)
+    // centroid = truncated integer mean per dim (Spark div truncates
+    // toward zero; DuckDB // floors -> CASE emulation for negative sums);
+    // norm product multiplied in DOUBLE
     "s5_label_outliers" ->
       s"""WITH q AS (SELECT vec_id, label, ${qvSql("embedding")} AS qv FROM embeddings),
-         |x AS (SELECT label, i, CAST(SUM(qv[i]) AS BIGINT) AS s
+         |x AS (SELECT label, i, CAST(SUM(qv[i]) AS BIGINT) AS s,
+         |        CAST(COUNT(*) AS BIGINT) AS n
          |      FROM q, range(1, 65) t(i) GROUP BY label, i),
-         |c AS (SELECT label, list(s ORDER BY i) AS cv FROM x GROUP BY label),
+         |xm AS (SELECT label, i,
+         |        CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END AS s FROM x),
+         |c AS (SELECT label, list(s ORDER BY i) AS cv FROM xm GROUP BY label),
          |sc AS (SELECT q.vec_id, q.label,
          |    CAST(list_sum([qv[i]*qv[i] for i in range(1,65)]) AS BIGINT) AS nv,
          |    CAST(list_sum([cv[i]*cv[i] for i in range(1,65)]) AS BIGINT) AS nc,

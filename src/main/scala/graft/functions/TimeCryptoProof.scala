@@ -80,12 +80,19 @@ object TimeCryptoProof {
     toHex(sha256(preimage.getBytes(StandardCharsets.UTF_8)))
   }
 
+  /** Constant-time hex-signature comparison (MessageDigest.isEqual) — this
+    * sits on the Gateway's auth path, where String.== would leak a
+    * prefix-match timing channel. */
+  private def ctEquals(a: String, b: String): Boolean =
+    MessageDigest.isEqual(
+      a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8))
+
   /** Reference `verify` semantics (TimeCryptoProof.java:171-179) over the
     * canonical form: valid if the signature matches the supplied minute
     * window or either neighbor — ±1-minute clock-skew tolerance. */
   def verify(signature: String, arg: String, saltHex: String, nowSec: Long): Boolean = {
     val m = wholeMinute(nowSec)
-    Seq(0L, -60L, 60L).exists(off => sign(arg, saltHex, m + off) == signature)
+    Seq(0L, -60L, 60L).exists(off => ctEquals(sign(arg, saltHex, m + off), signature))
   }
 
   /** The reference PHP example's `signURL`
@@ -126,6 +133,6 @@ object TimeCryptoProof {
 
   def verifyWire(signature: String, arg: String, salt: Array[Byte], nowSec: Long): Boolean = {
     val m = wholeMinute(nowSec)
-    Seq(0L, -60L, 60L).exists(off => signWire(arg, salt, m + off) == signature)
+    Seq(0L, -60L, 60L).exists(off => ctEquals(signWire(arg, salt, m + off), signature))
   }
 }

@@ -25,10 +25,10 @@ object Sampling {
   def md5Bucket256(key: Column): Column =
     conv(substring(md5(key.cast("string")), 31, 2), 16, 10).cast("long")
 
-  /** Uniform deterministic ppm in [0, 10⁶) from the 60-bit md5 prefix of
-    * the key's string form (≡ DuckDB `substr(md5(k),1,15)` as a long). */
+  /** Uniform deterministic ppm in [0, 10⁶) from the repo-standard 60-bit
+    * md5 hash (≡ DuckDB `substr(md5(k),1,15)` as a long). */
   def md5Ppm(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long") % 1000000L
+    graft.functions.GraftFunctions.md5Hash60(key) % 1000000L
 
   /** Keep rows whose bucket < `keepBuckets` (of 256) — a deterministic
     * ~keepBuckets/256 sample, uniform within every stratum because md5 is

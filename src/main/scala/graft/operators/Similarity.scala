@@ -64,12 +64,17 @@ object Similarity {
     * table (a vector far from its own class centroid is a labeling error,
     * an encoder failure, or genuine drift).
     *
-    * Exactness: cosine is scale-invariant, so the UN-divided element-wise
-    * centroid sum is used as the centroid direction — exact integer sums
-    * in ×1000-quantized space (no float mean, no order sensitivity), one
-    * double division at the very end (the repo-wide vector-parity rule).
-    * Norm products are multiplied in DOUBLE (a centroid-sum norm² times a
-    * vector norm² overflows int64 at corpus scale).
+    * Exactness: the centroid is the element-wise TRUNCATED integer mean
+    * `sum(q_i) div n` in ×1000-quantized space — deterministic and
+    * order-free (Spark `div` truncates toward zero; the oracle emulates
+    * that for negative sums, since DuckDB `//` floors). Dividing by the
+    * label count (rather than using the raw sum, which cosine's scale
+    * invariance would otherwise allow) keeps centroid coordinates in the
+    * same ×1000 range as the vectors, so the int64 norm dot can NEVER
+    * overflow regardless of label size — a raw-sum centroid's norm² wraps
+    * silently past ~3e8-member labels. One double division at the very
+    * end (the repo-wide vector-parity rule); the norm product is
+    * multiplied in DOUBLE.
     *
     * Scale shape: one posexplode partial-agg'd shuffle keyed (label, dim)
     * — 64× row inflation map-side combined down to |labels|·dims rows; the
@@ -82,11 +87,16 @@ object Similarity {
       vecCol: String,
       labelCol: String,
       minCosine: Double): DataFrame = {
+    // the quantized projection feeds BOTH the centroid aggregation and the
+    // scoring join — checkpoint it once (CLAUDE.md: any frame two passes
+    // re-read, or the interpreted quantize HOF runs per pass)
     val q = vectors.select(col(idCol).as("vid"), col(labelCol).as("lbl"),
       quantize1000(col(vecCol)).as("qv"))
+      .localCheckpoint(true)
     val centroids = q
       .select(col("lbl"), posexplode(col("qv")).as(Seq("i", "x")))
-      .groupBy("lbl", "i").agg(sum(col("x")).as("s"))
+      .groupBy("lbl", "i").agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .select(col("lbl"), col("i"), call_function("div", col("s"), col("n")).as("s"))
       .groupBy("lbl").agg(collect_list(struct(col("i"), col("s"))).as("cl"))
       // reassemble in dim order; interpreted HOF is fine here — the frame
       // is |labels| rows, never the corpus

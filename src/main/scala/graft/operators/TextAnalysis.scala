@@ -291,15 +291,13 @@ object TextAnalysis {
       dims: Int = 4096,
       weights: Option[DataFrame] = None): DataFrame = {
     require(dims > 0, "dims must be positive")
-    def md5Long(c: Column): Column =
-      conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
     val tokBuckets = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-      .select(col(idCol), (md5Long(col("tok")) % dims).as("b"))
+      .select(col(idCol), (md5Hash60(col("tok")) % dims).as("b"))
     val scoredToks = weights match {
       case Some(w) => tokBuckets.join(broadcast(w), "b") // trained model path
       case None => // pseudo-weights from the bucket id: fully row-local
-        tokBuckets.withColumn("w", (md5Long(col("b")) % 1000000L) % 2001L - 1000L)
+        tokBuckets.withColumn("w", (md5Hash60(col("b")) % 1000000L) % 2001L - 1000L)
     }
     val scores = scoredToks.groupBy(idCol).agg(sum(col("w")).as("score"))
     docs.select(col(idCol))

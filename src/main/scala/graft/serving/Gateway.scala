@@ -29,15 +29,19 @@ import graft.state.Snapshot
   * local memstore, not a fact scan. Fact-table point reads belong to
   * `KVTable.get` (predicate pushdown), not a web tier. JDK-only
   * (`com.sun.net.httpserver`), zero new dependencies. */
-final class ChangeFeed(keepLastN: Int = 256) {
-  private val buf = mutable.Map.empty[String, mutable.ArrayDeque[(Long, String)]]
+final class ChangeFeed(keepLastN: Int = 256, maxKeys: Int = 65536) {
+  // LinkedHashMap: insertion order backs the key-eviction bound below
+  private val buf = mutable.LinkedHashMap.empty[String, mutable.ArrayDeque[(Long, String)]]
   private var seq = 0L
 
   def append(key: String, valueJson: String): Long = synchronized {
     seq += 1
     val q = buf.getOrElseUpdate(key, mutable.ArrayDeque.empty)
     q.append((seq, valueJson))
-    if (q.length > keepLastN) q.removeHead() // R8 keep-last-N bound
+    if (q.length > keepLastN) q.removeHead() // R8 keep-last-N bound per key
+    // bound the KEY map too — without this, streaming over an unbounded
+    // key space grows the buffer map forever; oldest-subscribed key goes
+    if (buf.size > maxKeys) buf.remove(buf.head._1)
     seq
   }
 
@@ -97,16 +101,25 @@ final class Gateway(
     mapper.writeValueAsString(node)
   }
 
-  /** Coerce URL path segments (strings) to the snapshot's key types. */
-  private def coerceKey(segments: Seq[String]): Seq[Any] = {
+  /** Coerce URL path segments (strings) to the snapshot's key types.
+    * Returns None when a segment cannot be a value of its key type (or the
+    * type is one a URL path cannot address) — the caller answers 404, a
+    * miss, never a 500. */
+  private def coerceKey(segments: Seq[String]): Option[Seq[Any]] = {
     import org.apache.spark.sql.types._
-    segments.zip(snapshot.keyTypes).map {
+    try Some(segments.zip(snapshot.keyTypes).map {
       case (s, LongType) => s.toLong
       case (s, IntegerType) => s.toInt
       case (s, ShortType) => s.toShort
+      case (s, ByteType) => s.toByte
+      case (s, DoubleType) => s.toDouble
+      case (s, FloatType) => s.toFloat
       case (s, BooleanType) => s.toBoolean
-      case (s, _) => s
-    }
+      case (s, StringType) => s
+      case (_, other) =>
+        throw new IllegalArgumentException(s"unaddressable key type $other")
+    })
+    catch { case _: IllegalArgumentException => None } // incl. NumberFormat
   }
 
   private def handle(ex: HttpExchange): Unit =
@@ -118,7 +131,7 @@ final class Gateway(
           case Seq("stats") =>
             respond(ex, 200, s"""{"num_keys":${snapshot.size}}""")
           case "kv" +: key if key.length == snapshot.keyCols.length =>
-            snapshot.get(coerceKey(key)) match {
+            coerceKey(key).flatMap(snapshot.get) match {
               case Some(row) => respond(ex, 200, rowJson(row))
               case None => respond(ex, 404, """{"error":"not found"}""")
             }

@@ -74,8 +74,8 @@ object TopicEnsure {
     * Returns the config delta that was applied (or would be, if read-only). */
   def ensureExists(admin: TopicAdmin, spec: TopicSpec): Map[String, String] =
     spec.partitions match {
-      case Some(n) if spec.compacted =>
-        ensureCorrectConfiguration(admin, spec.copy(partitions = Some(n)), readonly = false)
+      case Some(_) if spec.compacted =>
+        ensureCorrectConfiguration(admin, spec, readonly = false)
       case Some(n) =>
         createTopicIfNotExists(admin, spec.topic, n, spec.replicationFactor)
         Map.empty

@@ -64,10 +64,12 @@ class TimeCryptoProofSpec extends SparkSpec {
     // (TimeCryptoProofSpec.scala:48-67); same matrix via the repo's seeded
     // Sampled idiom (no scalatest-scalacheck bridge in the offline cache)
     val rnd = new scala.util.Random(7)
-    (1 to 200).foreach { _ =>
+    (1 to 200).foreach { i =>
       val sBytes = new Array[Byte](16); rnd.nextBytes(sBytes)
       val sHex = TimeCryptoProof.toHex(sBytes)
-      val arg = Sampled.asciiSamples(1, 40)(rnd.nextInt(1)) + rnd.nextLong()
+      // varied args: random length 0-40 (empty included), full printable
+      // ASCII range — spaces, slashes, punctuation
+      val arg = (0 until rnd.nextInt(41)).map(_ => (32 + rnd.nextInt(95)).toChar).mkString
       val now = math.abs(rnd.nextLong() % 4102444800L) // < year 2100
       val sig = TimeCryptoProof.sign(arg, sHex, TimeCryptoProof.wholeMinute(now))
       withClue(s"salt=$sHex arg=$arg now=$now") {

@@ -180,6 +180,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // BM25 top-k lexical retrieval (integer-exact: rational idf with 20x
+    // saturation, tf saturation at k1=1.2 b=0.75 as BIGINT ratios)
+    "t13_bm25_search" -> ((s, d) => {
+      Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        terms = Seq("spark", "join", "shuffle"), k = 25)
+    }),
+
+    // bigram-LM fluency scoring: add-one-smoothed mean bigram probability
+    // (KenLM-style quality filter, trained on the corpus itself)
+    "t14_lm_fluency" -> ((s, d) => {
+      Retrieval.bigramLmFluency(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // DSIR importance weights: hashed-bigram target/raw distribution
+    // ratio, target = src1 docs (the "wiki-like" slice)
+    "s6_dsir_importance" -> ((s, d) => {
+      Retrieval.dsirImportance(Tables.documents(s, d), "doc_id", "text",
+          isTarget = col("source") === "src1", buckets = 8192)
+        .orderBy("doc_id")
+    }),
+
+    // most-duplicated passages (memorization-risk audit): top 5-gram spans
+    // by cross-document frequency, with occurrence counts
+    "d14_repeated_spans" -> ((s, d) => {
+      Dedup.repeatedSpans(Tables.documents(s, d), "doc_id", "text",
+        n = 5, minDf = 2L, k = 100)
+    }),
+
     // deterministic epoch upsampling: src1 2.5 epochs, src2 1, src3 0.4 —
     // the with-replacement training mix (md5-coin fractional copies)
     "q57_epoch_upsample" -> ((s, d) => {
@@ -1355,6 +1384,91 @@ object SparkEntry {
          |SELECT d.doc_id, COALESCE(sc.score, 0) AS score,
          |  COALESCE(sc.score, 0) >= 0 AS keep
          |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // integer-exact BM25: idf = least((2(N-df)+1)*1e6 // (2df+1), 2e7)
+    // (the Robertson idf argument as a rational, 20x saturation instead of
+    // log); tfsat = 44*tf*avgdl*1e6 // (20*tf*avgdl + 6*avgdl + 18*dl)
+    // (k1=1.2, b=0.75 with num/den scaled by 20*avgdl); avgdl floored
+    "t13_bm25_search" ->
+      s"""WITH base AS (SELECT doc_id, $toksSql AS t,
+         |    CAST(len($toksSql) AS BIGINT) AS dl FROM documents),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(COALESCE(SUM(dl), 0) AS BIGINT) AS total_tokens FROM base),
+         |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM base)
+         |  WHERE term IN ('spark', 'join', 'shuffle') GROUP BY doc_id, dl, term),
+         |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT tf.doc_id,
+         |    (least(((2*(st.n_docs - df.df) + 1)*1000000) // (2*df.df + 1), 20000000)
+         |     * ((44*tf.tf*(st.total_tokens//st.n_docs)*1000000)
+         |        // (20*tf.tf*(st.total_tokens//st.n_docs)
+         |            + 6*(st.total_tokens//st.n_docs) + 18*tf.dl))) // 1000000 AS contrib
+         |  FROM tf JOIN df USING (term) CROSS JOIN st)
+         |SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score,
+         |  CAST(COUNT(*) AS BIGINT) AS n_terms
+         |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+
+    // add-one-smoothed bigram LM over graft_tokens; prefix counts c1 are
+    // sums over the bigram table (NOT raw unigram counts — the last token
+    // of each doc is no bigram prefix); V = corpus distinct tokens
+    "t14_lm_fluency" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+         |  FROM tk, UNNEST(generate_series(1, len(t)-1)) AS u(i)),
+         |db AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM bg GROUP BY doc_id, w1, w2),
+         |c12 AS (SELECT w1, w2, CAST(SUM(cnt) AS BIGINT) AS c12 FROM db GROUP BY w1, w2),
+         |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+         |v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+         |  FROM (SELECT unnest(t) AS tok FROM tk)),
+         |sc AS (SELECT db.doc_id,
+         |    CAST(SUM(db.cnt * (((c12.c12 + 1)*1000000) // (c1.c1 + v.v))) AS BIGINT) AS sp,
+         |    CAST(SUM(db.cnt) AS BIGINT) AS n_bigrams
+         |  FROM db JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+         |  GROUP BY db.doc_id)
+         |SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+         |  CASE WHEN COALESCE(sc.n_bigrams, 0) > 0 THEN sc.sp // sc.n_bigrams
+         |    ELSE 0 END AS fluency_ppm
+         |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // DSIR ratio weights: p_ppb = (cnt+1)*1e9 // (tot+B) per side, ratio
+    // ppm saturated at 1e9; count-weighted per-doc mean; target = src1
+    "s6_dsir_importance" ->
+      s"""WITH tk AS (SELECT doc_id, (source = 'src1') AS is_t, $toksSql AS t
+         |  FROM documents),
+         |bg AS (SELECT doc_id, is_t, t[i] || ' ' || t[i+1] AS gram
+         |  FROM tk, UNNEST(generate_series(1, len(t)-1)) AS u(i)),
+         |fe AS (SELECT doc_id, is_t,
+         |    CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) % 8192 AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY doc_id, is_t, b),
+         |bs AS (SELECT b, CAST(SUM(CASE WHEN is_t THEN cnt ELSE 0 END) AS BIGINT) AS cnt_t,
+         |    CAST(SUM(cnt) AS BIGINT) AS cnt_r FROM fe GROUP BY b),
+         |tt AS (SELECT CAST(COALESCE(SUM(cnt_t), 0) AS BIGINT) AS tot_t,
+         |    CAST(COALESCE(SUM(cnt_r), 0) AS BIGINT) AS tot_r FROM bs),
+         |wt AS (SELECT b,
+         |    least((((cnt_t + 1)*1000000000) // (tot_t + 8192)) * 1000000
+         |      // greatest(((cnt_r + 1)*1000000000) // (tot_r + 8192), 1),
+         |      1000000000) AS w_ppm
+         |  FROM bs CROSS JOIN tt),
+         |sc AS (SELECT fe.doc_id, CAST(SUM(fe.cnt * wt.w_ppm) AS BIGINT) AS sw,
+         |    CAST(SUM(fe.cnt) AS BIGINT) AS n_feats
+         |  FROM fe JOIN wt USING (b) GROUP BY fe.doc_id)
+         |SELECT d.doc_id, (d.source = 'src1') AS is_target,
+         |  COALESCE(sc.n_feats, 0) AS n_feats,
+         |  CASE WHEN COALESCE(sc.n_feats, 0) > 0 THEN sc.sw // sc.n_feats
+         |    ELSE 0 END AS importance_ppm
+         |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // surface-form 5-gram spans (string_split ' ', empties kept, same ws
+    // frame as d13) with multiplicity; total order df/n_occ/gram
+    "d14_repeated_spans" ->
+      s"""WITH rw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |g AS (SELECT doc_id, ${wordGramSql(5)} AS gram
+         |  FROM rw, UNNEST(generate_series(1, len(ws) - 4)) AS t(i))
+         |SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+         |  CAST(COUNT(*) AS BIGINT) AS n_occ, MIN(doc_id) AS first_doc
+         |FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+         |ORDER BY df DESC, n_occ DESC, gram LIMIT 100""".stripMargin,
 
     // same string_split(text,' ') gram semantics as d6; DISTINCT grams per
     // doc (WordNgramHashSet is a set); whole-corpus df then left-mark join

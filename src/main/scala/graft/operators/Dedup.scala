@@ -429,4 +429,45 @@ object Dedup {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       .withColumn("contaminated", col("n_hits") > 0)
   }
+
+  /** Most-duplicated passages: the top-`k` word `n`-grams (surface form:
+    * single-space split, empties kept — the same gram frame as
+    * [[graft.operators.TextAnalysis.boilerplateScore]]'s hashes, but
+    * carrying the TEXT) appearing in at least `minDf` DISTINCT documents,
+    * with occurrence counts and the lowest containing doc id. This is the
+    * memorization-risk audit of "Deduplicating Training Data Makes
+    * Language Models Better" (Lee et al. 2022): the exact passages a model
+    * will regurgitate are precisely the ones duplicated across documents —
+    * surfacing them (not just scoring docs) is what lets a curation run
+    * pick removal rules.
+    *
+    * Scale shape: row-local gram explode → ONE partial-agg'd shuffle on
+    * the gram string (count + distinct-doc count + min share the grouping);
+    * `df >= minDf` prunes the vocabulary tail before the top-k, which is
+    * TakeOrdered (no global sort). Gram strings shuffle whole; at 100 TB
+    * swap the group key for the 60-bit gram hash and re-join the text of
+    * the k winners — same plan, one extra broadcast join. */
+  def repeatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      minDf: Long = 2L,
+      k: Int = 100): DataFrame = {
+    require(n > 0 && minDf >= 1 && k > 0, "need n > 0, minDf >= 1, k > 0")
+    docs
+      .select(col(idCol), split(col(textCol), " ", -1).as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("ws")) - n),
+        i => concat_ws(" ", slice(col("ws"), i + 1, lit(n))))).as("gram"))
+      .groupBy("gram")
+      .agg(
+        count_distinct(col(idCol)).as("df"),
+        count(lit(1)).as("n_occ"),
+        min(col(idCol)).as("first_doc"))
+      .filter(col("df") >= minDf)
+      .orderBy(col("df").desc, col("n_occ").desc, col("gram"))
+      .limit(k)
+  }
 }

@@ -1,0 +1,197 @@
+package graft.operators
+
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained scoring models for training-data pipelines: BM25
+  * retrieval, n-gram language-model fluency, and DSIR-style importance
+  * weighting. Each trains its statistics FROM the corpus (document
+  * frequencies, bigram counts, feature distributions) and scores documents
+  * against them — the "model-based filter" tier of a curation pipeline,
+  * one level above the row-local heuristics in [[TextAnalysis]].
+  *
+  * All scoring is exact integer arithmetic (parts-per-million /
+  * parts-per-billion with explicit floor divisions and saturation clamps)
+  * — no float log, so results are bit-stable across partitionings and
+  * engines, and every operator has an exact SQL oracle.
+  */
+object Retrieval {
+
+  /** Exact long floor-division (Catalyst IntegralDivide, SQL `div`) —
+    * matches DuckDB `//` for non-negative operands at ANY magnitude. */
+  private def ldiv(a: Column, b: Column): Column = call_function("div", a, b)
+
+  /** Non-distinct word-bigram rows `(… , w1, w2)` from a token-array
+    * column: one row per adjacent token pair, multiplicity preserved
+    * (unlike [[graft.functions.GraftFunctions.wordNgrams]], which is a
+    * distinct set). Row-local explode — no shuffle. The `transform` lambda
+    * only BUILDS the pair array (interpreted per token, like wordNgrams);
+    * all downstream arithmetic is codegen'd column math. */
+  private def explodeBigrams(df: DataFrame, keep: Seq[Column], toks: Column): DataFrame = {
+    val kept = df.select(keep :+ toks.as("t"): _*)
+    val names = kept.columns.dropRight(1).map(col(_))
+    kept
+      .filter(size(col("t")) >= 2)
+      .select(names :+ explode(transform(
+        sequence(lit(0), size(col("t")) - 2),
+        i => struct(
+          element_at(col("t"), i + 1).as("w1"),
+          element_at(col("t"), i + 2).as("w2")))).as("bg"): _*)
+      .select(names ++ Seq(col("bg.w1").as("w1"), col("bg.w2").as("w2")): _*)
+  }
+
+  /** BM25 top-`k` retrieval for a fixed bag of query terms — the lexical
+    * search / relevance-ranking operator (used in curation for targeted
+    * corpus slicing, e.g. "pull the k docs most about X").
+    *
+    * Integer-exact BM25 (k1 = 1.2, b = 0.75), derived so every step is a
+    * ratio of BIGINTs:
+    *  - `idf_ppm = least(⌊(2(N−df)+1)·10⁶ / (2df+1)⌋, 2·10⁷)` — exactly
+    *    the argument of the Robertson idf `ln((N−df+0.5)/(df+0.5))` as a
+    *    rational, with the log replaced by a 20× saturation clamp (the
+    *    BM25+ "cap rare-term idf" move in integer space; keeps the
+    *    idf·tf product inside int64 for corpora up to ~10¹⁸ docs).
+    *  - `tfsat_ppm = ⌊44·tf·avgdl·10⁶ / (20·tf·avgdl + 6·avgdl + 18·dl)⌋`
+    *    ≡ `tf(k1+1)/(tf + k1(1−b+b·dl/avgdl))` with num/den scaled by
+    *    20·avgdl; `avgdl = ⌊Σdl/N⌋` (floored integer, mirrored in the
+    *    oracle).
+    *  - per-term contribution `⌊idf_ppm·tfsat_ppm/10⁶⌋`, doc score = Σ.
+    *
+    * Scale shape: the explode keeps ONLY query-term tokens (the filter is
+    * inside the scan projection), so the shuffled tf frame is ∝ matching
+    * tokens, never the corpus; term df and corpus stats are 1-to-|terms|
+    * rows, broadcast; the final top-k is TakeOrdered (no global sort). */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k: Int): DataFrame = {
+    require(terms.nonEmpty && k > 0, "need at least one query term and k > 0")
+    val base = docs
+      .select(col(idCol), tokens(col(textCol)).as("t"))
+      .select(col(idCol), col("t"), size(col("t")).cast("long").as("dl"))
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(col("dl")), lit(0L)).as("total_tokens"))
+    val tf = base
+      .select(col(idCol), col("dl"), explode(col("t")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val avgdl = ldiv(col("total_tokens"), col("n_docs"))
+    val idfPpm = least(
+      ldiv((lit(2L) * (col("n_docs") - col("df")) + 1L) * 1000000L, lit(2L) * col("df") + 1L),
+      lit(20000000L))
+    val tfsatPpm = ldiv(
+      lit(44L) * col("tf") * avgdl * 1000000L,
+      lit(20L) * col("tf") * avgdl + lit(6L) * avgdl + lit(18L) * col("dl"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), ldiv(idfPpm * tfsatPpm, lit(1000000L)).as("contrib"))
+      .groupBy(idCol)
+      .agg(sum(col("contrib")).as("score"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Bigram language-model fluency scoring — the KenLM-style "does this
+    * read like language" quality filter, log-free: train add-one-smoothed
+    * bigram probabilities on the corpus itself, then score each document
+    * by its MEAN bigram probability in ppm
+    * (`p_ppm(w1,w2) = ⌊(c(w1,w2)+1)·10⁶ / (c(w1·)+V)⌋`, where `c(w1·)` is
+    * the bigram-prefix count and V the corpus vocabulary size). Template
+    * spam and highly repetitive text score HIGH (their bigrams dominate
+    * the corpus), word salad scores LOW — both tails are curation signals.
+    * Documents with fewer than 2 tokens score 0 over 0 bigrams.
+    *
+    * Scale shape: the model is two chained partial-agg'd shuffles
+    * ((w1,w2) counts, then w1 prefix sums); scoring pre-aggregates each
+    * document's bigrams to `(id, w1, w2, cnt)` so the model join moves
+    * distinct-bigrams-per-doc rows, not tokens. The prefix join on `w1`
+    * is the one skew-prone edge (stopword prefixes) — AQE's runtime skew
+    * split handles it, exactly like any hot-key fact join. */
+  def bigramLmFluency(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bigrams = explodeBigrams(docs, Seq(col(idCol)), tokens(col(textCol)))
+    val docBi = bigrams.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    val c12 = docBi.groupBy("w1", "w2").agg(sum(col("cnt")).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val vocab = docs
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    val scored = docBi
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol), col("cnt"),
+        ldiv((col("c12") + 1L) * 1000000L, col("c1") + col("v")).as("p_ppm"))
+      .groupBy(idCol)
+      .agg(sum(col("cnt") * col("p_ppm")).as("sp"), sum(col("cnt")).as("n_bigrams"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0L, ldiv(col("sp"), col("n_bigrams")))
+          .otherwise(0L).as("fluency_ppm"))
+  }
+
+  /** DSIR-shaped importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling" — the public recipe):
+    * hash every word bigram into `buckets` feature buckets, estimate the
+    * feature distribution of the TARGET slice (`isTarget`) and of the raw
+    * corpus, and score each document by the mean target/raw probability
+    * ratio of its features — high scores read "distributionally like the
+    * target". The log-sum of ratios becomes a mean of integer ratios:
+    *  - per bucket, `p_ppb = ⌊(cnt+1)·10⁹ / (tot+B)⌋` (add-one smoothing;
+    *    ppb keeps rare-bucket precision; int64-safe while a single bucket
+    *    stays under ~9·10⁹ occurrences — at B=8192 that is a ~10¹⁴-token
+    *    corpus),
+    *  - `w_ppm = least(⌊p_t_ppb·10⁶ / max(p_r_ppb,1)⌋, 10⁹)` — the ratio,
+    *    saturated at 1000× so one exotic bucket cannot dominate the mean,
+    *  - doc `importance_ppm = ⌊Σ cnt·w_ppm / Σ cnt⌋` (count-weighted mean).
+    *
+    * Scale shape: features pre-aggregate per (doc, bucket); bucket stats
+    * are ONE partial-agg'd shuffle on ≤ `buckets` keys; the weight table
+    * is `buckets` rows, broadcast back — the corpus itself is never
+    * joined fact-to-fact. */
+  def dsirImportance(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      buckets: Int = 8192): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val bigrams = explodeBigrams(
+      docs, Seq(col(idCol), isTarget.as("is_t")), tokens(col(textCol)))
+    val feats = bigrams
+      .select(col(idCol), col("is_t"),
+        (md5Hash60(concat_ws(" ", col("w1"), col("w2"))) % buckets).as("b"))
+      .groupBy(col(idCol), col("is_t"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val bucketStats = feats.groupBy("b").agg(
+      sum(when(col("is_t"), col("cnt")).otherwise(0L)).as("cnt_t"),
+      sum(col("cnt")).as("cnt_r"))
+    val tots = bucketStats.agg(
+      coalesce(sum(col("cnt_t")), lit(0L)).as("tot_t"),
+      coalesce(sum(col("cnt_r")), lit(0L)).as("tot_r"))
+    val pT = ldiv((col("cnt_t") + 1L) * 1000000000L, col("tot_t") + buckets.toLong)
+    val pR = ldiv((col("cnt_r") + 1L) * 1000000000L, col("tot_r") + buckets.toLong)
+    val weights = bucketStats
+      .crossJoin(broadcast(tots))
+      .select(col("b"),
+        least(ldiv(pT * 1000000L, greatest(pR, lit(1L))), lit(1000000000L)).as("w_ppm"))
+    val scored = feats
+      .join(broadcast(weights), "b")
+      .groupBy(idCol)
+      .agg(sum(col("cnt") * col("w_ppm")).as("sw"), sum(col("cnt")).as("n_feats"))
+    docs.select(col(idCol), isTarget.as("is_target"))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol), col("is_target"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        when(coalesce(col("n_feats"), lit(0L)) > 0L, ldiv(col("sw"), col("n_feats")))
+          .otherwise(0L).as("importance_ppm"))
+  }
+}

@@ -285,25 +285,41 @@ object GraphAlgorithms {
     * undirected edge `src < dst` per item pair sharing at least
     * `minSupport` baskets — the input graph for co-purchase analytics.
     *
-    * The basket self-join is QUADRATIC in basket size: one degenerate
+    * Pair generation is QUADRATIC in basket size: one degenerate
     * 10 k-item basket (a crawler cart, a batch-import order) emits 10⁸
     * pair rows before the support filter can prune anything. `maxBasketSize`
     * (opt-in, same whole-bucket drop contract as [[Dedup.capBuckets]] —
     * deterministic, no tie-breaking, oracle-mirrorable) drops oversized
-    * baskets BEFORE pairing; production 100 TB jobs should set it. The cap
-    * window partitions on the basket key — the same hash partitioning the
-    * self-join needs, so the exchange is reused, not added. */
+    * baskets BEFORE pairing; production 100 TB jobs should set it. */
   def cooccurrenceEdges(
       items: DataFrame,
       basketCol: String,
       itemCol: String,
       minSupport: Long = 2L,
       maxBasketSize: Long = Long.MaxValue): DataFrame = {
-    val li = items.select(col(basketCol).as("o"), col(itemCol).as("p")).distinct()
-    val capped = Dedup.capBuckets(li, Seq("o"), maxBasketSize)
-    capped.join(capped.select(col("o"), col("p").as("p2")), "o")
-      .filter(col("p") < col("p2"))
-      .groupBy(col("p").as("src"), col("p2").as("dst"))
+    // ONE shuffle builds per-basket sorted distinct item arrays
+    // (collect_set dedups in the partial agg — no separate distinct pass),
+    // the cap is then a free row-local size filter (no window), and pair
+    // generation is a row-local explode of in-array combinations — the
+    // former shape (distinct + cap window + self-join on the basket key)
+    // paid three basket-key exchanges for the same rows. Skew is identical:
+    // either way one basket's quadratic pair set is produced by one task,
+    // which is exactly what maxBasketSize bounds.
+    val baskets = items
+      .groupBy(col(basketCol).as("o"))
+      .agg(sort_array(collect_set(col(itemCol))).as("ps"))
+      .filter(size(col("ps")).between(2, maxBasketSize))
+    val n = size(col("ps"))
+    baskets
+      .select(explode(flatten(transform(
+        sequence(lit(0), n - 2),
+        i => transform(
+          sequence(i + 1, n - 1),
+          j => struct(
+            element_at(col("ps"), i + 1).as("src"),
+            element_at(col("ps"), j + 1).as("dst")))))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .groupBy("src", "dst")
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
       .drop("support")

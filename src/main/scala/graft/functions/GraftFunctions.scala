@@ -69,6 +69,12 @@ object GraftFunctions {
     ("graft_wngrams", "graft_wngrams(text, n) — sorted 60-bit md5 hashes of word n-grams",
       arity("graft_wngrams", "(string, literal int)", 2)(
         c => WordNgramHashSet(c(0), litInt("graft_wngrams", c(1))))),
+    ("graft_wngram_list", "graft_wngram_list(text, n) — surface word n-gram texts, duplicates kept",
+      arity("graft_wngram_list", "(string, literal int)", 2)(
+        c => WordNgramList(c(0), litInt("graft_wngram_list", c(1))))),
+    ("graft_tngram_list", "graft_tngram_list(tokens, n) — token n-gram texts, duplicates kept",
+      arity("graft_tngram_list", "(array<string>, literal int)", 2)(
+        c => TokenNgramList(c(0), litInt("graft_tngram_list", c(1))))),
     ("graft_scrub_pii",
       "graft_scrub_pii(text, 'emailRe', 'ipRe', 'cardRe', 'repl') — struct(scrubbed, n_emails, n_ips, n_cards)",
       arity("graft_scrub_pii", "(string, 4 literal strings)", 5)(
@@ -204,6 +210,15 @@ object GraftFunctions {
     * overlap-joinable representation for decontamination. */
   def wordNgramHashSet(text: Column, n: Int): Column =
     call_function("graft_wngrams", text, lit(n))
+
+  /** Surface-form word n-gram TEXTS in document order, duplicates kept
+    * (single-space split, empties kept — WordNgramList). */
+  def wordNgramList(text: Column, n: Int): Column =
+    call_function("graft_wngram_list", text, lit(n))
+
+  /** N-gram texts of a token array, duplicates kept (TokenNgramList). */
+  def tokenNgramList(toks: Column, n: Int): Column =
+    call_function("graft_tngram_list", toks, lit(n))
 
   /** Distinct word n-grams joined with a space. Empty array when the doc has
     * fewer than n tokens (guard: Spark `sequence(a,b)` with a>b counts DOWN). */

@@ -108,3 +108,85 @@ case class WordNgramHashSet(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): WordNgramHashSet =
     copy(child = newChild)
 }
+
+/** N-gram TEXT lists in one native pass — document order, duplicates
+  * included (unlike the hash-set forms above): the gram frame for
+  * operators that need the surface string back (repeated-span audits) or
+  * per-occurrence multiplicity (language models, feature counting).
+  * Equivalent HOF spelling, interpreted per gram:
+  * `transform(sequence(0, size(ws)-n), i -> concat_ws(' ', slice(ws, i+1, n)))`. */
+object NgramJoin {
+  /** Space-joined n-grams of a pre-split word array. */
+  def fromWords(words: Array[String], n: Int): ArrayData = {
+    val total = words.length - n + 1
+    if (total <= 0) return new GenericArrayData(Array.empty[Any])
+    val grams = new Array[Any](total)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < total) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      grams(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(grams)
+  }
+
+  /** Surface form: split on single spaces, empties KEPT — exactly DuckDB
+    * `string_split(text, ' ')` (the WordNgrams convention). */
+  def computeStr(str: UTF8String, n: Int): ArrayData =
+    fromWords(str.toString.split(" ", -1), n)
+
+  /** Token-array form (for `graft_tokens` output or any array<string>). */
+  def computeArr(arr: ArrayData, n: Int): ArrayData = {
+    val len = arr.numElements()
+    val words = new Array[String](len)
+    var i = 0
+    while (i < len) { words(i) = arr.getUTF8String(i).toString; i += 1 }
+    fromWords(words, n)
+  }
+}
+
+/** Surface-form word n-gram text list of a string (single-space split,
+  * empties kept, duplicates included, document order). */
+case class WordNgramList(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"word n-gram size must be >= 1 (got $n)")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "graft_wngram_list"
+
+  protected override def nullSafeEval(input: Any): Any =
+    NgramJoin.computeStr(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NgramJoin.computeStr($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgramList =
+    copy(child = newChild)
+}
+
+/** Space-joined n-gram text list of a token ARRAY (duplicates included,
+  * document order) — the multiplicity-preserving sibling of
+  * [[graft.functions.GraftFunctions.wordNgrams]]. */
+case class TokenNgramList(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n-gram size must be >= 1 (got $n)")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "graft_tngram_list"
+
+  protected override def nullSafeEval(input: Any): Any =
+    NgramJoin.computeArr(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NgramJoin.computeArr($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenNgramList =
+    copy(child = newChild)
+}

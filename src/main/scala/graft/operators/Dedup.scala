@@ -456,11 +456,9 @@ object Dedup {
       k: Int = 100): DataFrame = {
     require(n > 0 && minDf >= 1 && k > 0, "need n > 0, minDf >= 1, k > 0")
     docs
-      .select(col(idCol), split(col(textCol), " ", -1).as("ws"))
-      .filter(size(col("ws")) >= n)
-      .select(col(idCol), explode(transform(
-        sequence(lit(0), size(col("ws")) - n),
-        i => concat_ws(" ", slice(col("ws"), i + 1, lit(n))))).as("gram"))
+      // native one-pass gram list (WordNgramList — the transform/slice HOF
+      // spelling is interpreted per gram); sub-n docs emit no rows
+      .select(col(idCol), explode(wordNgramList(col(textCol), n)).as("gram"))
       .groupBy("gram")
       .agg(
         count_distinct(col(idCol)).as("df"),

@@ -22,23 +22,20 @@ object Retrieval {
     * matches DuckDB `//` for non-negative operands at ANY magnitude. */
   private def ldiv(a: Column, b: Column): Column = call_function("div", a, b)
 
-  /** Non-distinct word-bigram rows `(… , w1, w2)` from a token-array
+  /** Non-distinct word-bigram rows `(…, gram, w1, w2)` from a token-array
     * column: one row per adjacent token pair, multiplicity preserved
     * (unlike [[graft.functions.GraftFunctions.wordNgrams]], which is a
-    * distinct set). Row-local explode — no shuffle. The `transform` lambda
-    * only BUILDS the pair array (interpreted per token, like wordNgrams);
-    * all downstream arithmetic is codegen'd column math. */
+    * distinct set). The pair array is built by the native TokenNgramList
+    * (one pass, codegen'd — the `transform`/`struct` HOF spelling is
+    * interpreted per token); w1/w2 split back out via `substring_index`,
+    * which is exact because tokens cannot contain spaces. Row-local
+    * explode — no shuffle; sub-bigram docs emit no rows. */
   private def explodeBigrams(df: DataFrame, keep: Seq[Column], toks: Column): DataFrame = {
-    val kept = df.select(keep :+ toks.as("t"): _*)
-    val names = kept.columns.dropRight(1).map(col(_))
-    kept
-      .filter(size(col("t")) >= 2)
-      .select(names :+ explode(transform(
-        sequence(lit(0), size(col("t")) - 2),
-        i => struct(
-          element_at(col("t"), i + 1).as("w1"),
-          element_at(col("t"), i + 2).as("w2")))).as("bg"): _*)
-      .select(names ++ Seq(col("bg.w1").as("w1"), col("bg.w2").as("w2")): _*)
+    val kept = df.select(keep :+ explode(tokenNgramList(toks, 2)).as("gram"): _*)
+    val names = kept.columns.map(col(_))
+    kept.select(names ++ Seq(
+      substring_index(col("gram"), " ", 1).as("w1"),
+      substring_index(col("gram"), " ", -1).as("w2")): _*)
   }
 
   /** BM25 top-`k` retrieval for a fixed bag of query terms — the lexical
@@ -168,7 +165,7 @@ object Retrieval {
       docs, Seq(col(idCol), isTarget.as("is_t")), tokens(col(textCol)))
     val feats = bigrams
       .select(col(idCol), col("is_t"),
-        (md5Hash60(concat_ws(" ", col("w1"), col("w2"))) % buckets).as("b"))
+        (md5Hash60(col("gram")) % buckets).as("b"))
       .groupBy(col(idCol), col("is_t"), col("b"))
       .agg(count(lit(1)).as("cnt"))
     val bucketStats = feats.groupBy("b").agg(

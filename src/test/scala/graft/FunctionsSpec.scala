@@ -175,6 +175,34 @@ class TextPrimitivesSpec extends SparkSpec {
       .select(wordNgramStats(col("text"), 3).as("st")).as[Seq[Long]].head()
     st shouldBe Seq(2L, 2L)
   }
+
+  "wordNgramList" should "emit surface grams in order with duplicates and empties kept" in {
+    val out = Seq(
+      "a b a b",  // bigrams: "a b","b a","a b" — duplicate kept
+      "a  b",     // ["a","","b"] → "a " and " b"
+      "a",        // shorter than n
+      "")         // single empty token
+      .toDF("text")
+      .select(wordNgramList(col("text"), 2).as("g")).as[Seq[String]].collect()
+    out(0) shouldBe Seq("a b", "b a", "a b")
+    out(1) shouldBe Seq("a ", " b")
+    out(2) shouldBe Seq.empty
+    out(3) shouldBe Seq.empty
+  }
+
+  "tokenNgramList" should "match the transform/concat_ws HOF spelling over tokens" in {
+    val df = Seq("The quick  brown fox", "one", "").toDF("text")
+      .select(tokens(col("text")).as("t"))
+    val native = df.select(tokenNgramList(col("t"), 2).as("g")).as[Seq[String]].collect()
+    val hof = df.select(
+      when(org.apache.spark.sql.functions.size(col("t")) >= 2, transform(
+        sequence(lit(0), org.apache.spark.sql.functions.size(col("t")) - 2),
+        i => concat_ws(" ", slice(col("t"), i + 1, lit(2)))))
+        .otherwise(array().cast("array<string>")).as("g"))
+      .as[Seq[String]].collect()
+    native shouldBe hof
+    native(0) shouldBe Seq("the quick", "quick brown", "brown fox")
+  }
 }
 
 class VectorFunctionsSpec extends SparkSpec {

@@ -57,14 +57,18 @@ object PlanAudit {
     "d12_lsh_verified" -> "two-stage dedup: LSH bounds candidates, exact verify is one codegen'd merge-intersect per CANDIDATE (native gram sets once per doc) — never per corpus pair",
     "t11_characteristic_terms" -> "two chained partial-agg'd counts ((stratum, term) then (term)), equi-join on the term key, window only over the minCount-surviving term set",
     "q40_cohort_retention" -> "first-event cohort via one partial-agg'd min per entity, then an equi-join co-partitioned on the SAME entity key (exchange reused, no window over raw events); countDistinct partial-aggs on (cohort, offset) — at 100x the only growth is the entity-keyed shuffle, never an all-events sort",
-    "q54_copurchase_capped" -> "basket cap (window count on the order key, the same partitioning the self-join needs) drops degenerate baskets BEFORE the quadratic pair join — candidate pairs bounded by cap^2 per basket, so one 10k-item basket cannot emit 10^8 rows",
+    "q54_copurchase_capped" -> "ONE basket-key shuffle builds sorted distinct item arrays (collect_set partial-aggs map-side); the cap is a row-local size filter and pairing is a row-local in-array explode — degenerate baskets are dropped before any pair exists, candidate pairs bounded by cap^2 per basket",
     "q55_store_stats" -> "two partial-agg'd single-row aggregates (raw log + compacted view) cross-joined; file stats from catalog metadata — no data scan beyond the two aggs",
     "d13_boilerplate" -> "native gram hash-sets at scan speed, ONE partial-agg'd df shuffle on the 60-bit gram hash; boilerplate set is the high-df vocabulary tail (small) — AQE sizes the marker join at runtime; final score one partial-agg'd count per doc key",
     "q57_epoch_upsample" -> "pure row-local projection + explode: zero shuffle, output rows proportional to epochs — the md5 coin is keyed, so 100x data is 100x map work and nothing else",
     "q56_signed_requests" -> "per-row sha2 over codegen'd built-ins at scan speed — zero shuffle pre-order, no UDF boundary",
     "q58_context_pack" -> "ONE shuffle on the stratum key; running token sum and bin id ride the same window partition (exchange reused)",
     "s5_label_outliers" -> "one posexplode partial-agg'd shuffle on (label, dim); centroid table broadcast (|labels| rows); scoring is a map-side codegen'd integer dot — the corpus never self-joins or reshuffles",
-    "t12_quality_classifier" -> "hashing-trick linear model: token explode with weights computed IN the projection (row-local, no weight join on the default path), one partial-agg'd shuffle on the doc key")
+    "t12_quality_classifier" -> "hashing-trick linear model: token explode with weights computed IN the projection (row-local, no weight join on the default path), one partial-agg'd shuffle on the doc key",
+    "t13_bm25_search" -> "inverted-index shape: the explode keeps ONLY query-term tokens (filter inside the scan projection), so the tf shuffle moves matching tokens, never the corpus; term df + corpus stats broadcast (<=|terms| rows); final top-k is TakeOrdered, no global sort",
+    "t14_lm_fluency" -> "bigram LM: native one-pass gram list at scan speed; model = two chained partial-agg'd shuffles ((w1,w2) then w1); scoring joins distinct-bigrams-per-doc (pre-aggregated), not tokens — the hot-prefix skew edge is AQE's runtime skew split",
+    "s6_dsir_importance" -> "hashed-feature importance: features pre-agg per (doc, bucket); bucket stats ONE partial-agg'd shuffle on <=8192 keys; weight table broadcast back — the corpus is never joined fact-to-fact",
+    "d14_repeated_spans" -> "native one-pass gram list + ONE partial-agg'd shuffle on the gram (count/distinct-doc/min share the grouping); df>=minDf prunes the vocabulary tail before a TakeOrdered top-k")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -209,6 +209,15 @@ object SparkEntry {
         n = 5, minDf = 2L, k = 100)
     }),
 
+    // targeted curation: repeated-span ban list, then per-source top-half
+    // gates by LM fluency and DSIR target-likeness (adaptive ranks — no
+    // corpus-specific thresholds, robust at any scale factor)
+    "p3_targeted_curation" -> ((s, d) => {
+      TrainingDataPipeline.curateTargeted(Tables.documents(s, d), "doc_id",
+          "text", "source", isTarget = col("source") === "src1")
+        .orderBy("doc_id")
+    }),
+
     // deterministic epoch upsampling: src1 2.5 epochs, src2 1, src3 0.4 —
     // the with-replacement training mix (md5-coin fractional copies)
     "q57_epoch_upsample" -> ((s, d) => {
@@ -1273,6 +1282,69 @@ object SparkEntry {
        |             WHERE a.doc_id < b.doc_id)""".stripMargin
   }
 
+  /** Bigram-LM fluency (mirrors Retrieval.bigramLmFluency): add-one
+    * smoothing, mean bigram probability ppm, sub-bigram docs 0. Complete
+    * SELECT without ORDER BY — composable as a parenthesized subquery. */
+  private def lmFluencySql: String =
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+       |  FROM tk, UNNEST(generate_series(1, len(t)-1)) AS u(i)),
+       |db AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM bg GROUP BY doc_id, w1, w2),
+       |c12 AS (SELECT w1, w2, CAST(SUM(cnt) AS BIGINT) AS c12 FROM db GROUP BY w1, w2),
+       |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+       |v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+       |  FROM (SELECT unnest(t) AS tok FROM tk)),
+       |sc AS (SELECT db.doc_id,
+       |    CAST(SUM(db.cnt * (((c12.c12 + 1)*1000000) // (c1.c1 + v.v))) AS BIGINT) AS sp,
+       |    CAST(SUM(db.cnt) AS BIGINT) AS n_bigrams
+       |  FROM db JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+       |  GROUP BY db.doc_id)
+       |SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+       |  CASE WHEN COALESCE(sc.n_bigrams, 0) > 0 THEN sc.sp // sc.n_bigrams
+       |    ELSE 0 END AS fluency_ppm
+       |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
+
+  /** DSIR importance (mirrors Retrieval.dsirImportance, target = src1,
+    * B = 8192). Complete SELECT without ORDER BY — composable. */
+  private def dsirImportanceSql: String =
+    s"""WITH tk AS (SELECT doc_id, (source = 'src1') AS is_t, $toksSql AS t
+       |  FROM documents),
+       |bg AS (SELECT doc_id, is_t, t[i] || ' ' || t[i+1] AS gram
+       |  FROM tk, UNNEST(generate_series(1, len(t)-1)) AS u(i)),
+       |fe AS (SELECT doc_id, is_t,
+       |    CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) % 8192 AS b,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY doc_id, is_t, b),
+       |bs AS (SELECT b, CAST(SUM(CASE WHEN is_t THEN cnt ELSE 0 END) AS BIGINT) AS cnt_t,
+       |    CAST(SUM(cnt) AS BIGINT) AS cnt_r FROM fe GROUP BY b),
+       |tt AS (SELECT CAST(COALESCE(SUM(cnt_t), 0) AS BIGINT) AS tot_t,
+       |    CAST(COALESCE(SUM(cnt_r), 0) AS BIGINT) AS tot_r FROM bs),
+       |wt AS (SELECT b,
+       |    least((((cnt_t + 1)*1000000000) // (tot_t + 8192)) * 1000000
+       |      // greatest(((cnt_r + 1)*1000000000) // (tot_r + 8192), 1),
+       |      1000000000) AS w_ppm
+       |  FROM bs CROSS JOIN tt),
+       |sc AS (SELECT fe.doc_id, CAST(SUM(fe.cnt * wt.w_ppm) AS BIGINT) AS sw,
+       |    CAST(SUM(fe.cnt) AS BIGINT) AS n_feats
+       |  FROM fe JOIN wt USING (b) GROUP BY fe.doc_id)
+       |SELECT d.doc_id, (d.source = 'src1') AS is_target,
+       |  COALESCE(sc.n_feats, 0) AS n_feats,
+       |  CASE WHEN COALESCE(sc.n_feats, 0) > 0 THEN sc.sw // sc.n_feats
+       |    ELSE 0 END AS importance_ppm
+       |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
+
+  /** Top-100 repeated 5-gram spans (mirrors Dedup.repeatedSpans). The
+    * ORDER BY + LIMIT are part of the result contract (deterministic
+    * top-k), so they stay inside when composed as a subquery. */
+  private def repeatedSpansSql: String =
+    s"""WITH rw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |g AS (SELECT doc_id, ${wordGramSql(5)} AS gram
+       |  FROM rw, UNNEST(generate_series(1, len(ws) - 4)) AS t(i))
+       |SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       |  CAST(COUNT(*) AS BIGINT) AS n_occ, MIN(doc_id) AS first_doc
+       |FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+       |ORDER BY df DESC, n_occ DESC, gram LIMIT 100""".stripMargin
+
   /** Quality metrics CTE body over `src` (mirrors TextAnalysis.qualityScore). */
   private def qualityMetricsSql(src: String): String = {
     val allStop = TextAnalysis.StopwordLists.values.flatten.toSeq.distinct
@@ -1411,64 +1483,40 @@ object SparkEntry {
     // add-one-smoothed bigram LM over graft_tokens; prefix counts c1 are
     // sums over the bigram table (NOT raw unigram counts — the last token
     // of each doc is no bigram prefix); V = corpus distinct tokens
-    "t14_lm_fluency" ->
-      s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
-         |bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
-         |  FROM tk, UNNEST(generate_series(1, len(t)-1)) AS u(i)),
-         |db AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
-         |  FROM bg GROUP BY doc_id, w1, w2),
-         |c12 AS (SELECT w1, w2, CAST(SUM(cnt) AS BIGINT) AS c12 FROM db GROUP BY w1, w2),
-         |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
-         |v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
-         |  FROM (SELECT unnest(t) AS tok FROM tk)),
-         |sc AS (SELECT db.doc_id,
-         |    CAST(SUM(db.cnt * (((c12.c12 + 1)*1000000) // (c1.c1 + v.v))) AS BIGINT) AS sp,
-         |    CAST(SUM(db.cnt) AS BIGINT) AS n_bigrams
-         |  FROM db JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
-         |  GROUP BY db.doc_id)
-         |SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
-         |  CASE WHEN COALESCE(sc.n_bigrams, 0) > 0 THEN sc.sp // sc.n_bigrams
-         |    ELSE 0 END AS fluency_ppm
-         |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    "t14_lm_fluency" -> s"$lmFluencySql ORDER BY doc_id",
 
     // DSIR ratio weights: p_ppb = (cnt+1)*1e9 // (tot+B) per side, ratio
     // ppm saturated at 1e9; count-weighted per-doc mean; target = src1
-    "s6_dsir_importance" ->
-      s"""WITH tk AS (SELECT doc_id, (source = 'src1') AS is_t, $toksSql AS t
-         |  FROM documents),
-         |bg AS (SELECT doc_id, is_t, t[i] || ' ' || t[i+1] AS gram
-         |  FROM tk, UNNEST(generate_series(1, len(t)-1)) AS u(i)),
-         |fe AS (SELECT doc_id, is_t,
-         |    CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) % 8192 AS b,
-         |    CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY doc_id, is_t, b),
-         |bs AS (SELECT b, CAST(SUM(CASE WHEN is_t THEN cnt ELSE 0 END) AS BIGINT) AS cnt_t,
-         |    CAST(SUM(cnt) AS BIGINT) AS cnt_r FROM fe GROUP BY b),
-         |tt AS (SELECT CAST(COALESCE(SUM(cnt_t), 0) AS BIGINT) AS tot_t,
-         |    CAST(COALESCE(SUM(cnt_r), 0) AS BIGINT) AS tot_r FROM bs),
-         |wt AS (SELECT b,
-         |    least((((cnt_t + 1)*1000000000) // (tot_t + 8192)) * 1000000
-         |      // greatest(((cnt_r + 1)*1000000000) // (tot_r + 8192), 1),
-         |      1000000000) AS w_ppm
-         |  FROM bs CROSS JOIN tt),
-         |sc AS (SELECT fe.doc_id, CAST(SUM(fe.cnt * wt.w_ppm) AS BIGINT) AS sw,
-         |    CAST(SUM(fe.cnt) AS BIGINT) AS n_feats
-         |  FROM fe JOIN wt USING (b) GROUP BY fe.doc_id)
-         |SELECT d.doc_id, (d.source = 'src1') AS is_target,
-         |  COALESCE(sc.n_feats, 0) AS n_feats,
-         |  CASE WHEN COALESCE(sc.n_feats, 0) > 0 THEN sc.sw // sc.n_feats
-         |    ELSE 0 END AS importance_ppm
-         |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    "s6_dsir_importance" -> s"$dsirImportanceSql ORDER BY doc_id",
 
     // surface-form 5-gram spans (string_split ' ', empties kept, same ws
     // frame as d13) with multiplicity; total order df/n_occ/gram
-    "d14_repeated_spans" ->
-      s"""WITH rw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         |g AS (SELECT doc_id, ${wordGramSql(5)} AS gram
-         |  FROM rw, UNNEST(generate_series(1, len(ws) - 4)) AS t(i))
-         |SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
-         |  CAST(COUNT(*) AS BIGINT) AS n_occ, MIN(doc_id) AS first_doc
-         |FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
-         |ORDER BY df DESC, n_occ DESC, gram LIMIT 100""".stripMargin,
+    "d14_repeated_spans" -> repeatedSpansSql,
+
+    // composed targeted curation: ban-list anti-join (top repeated spans),
+    // then two chained per-source keep-top-half rank gates (fluency, DSIR
+    // importance) — each stage's CTE is the verbatim standalone oracle
+    "p3_targeted_curation" ->
+      s"""WITH ban AS (SELECT gram FROM ($repeatedSpansSql)),
+         |rw2 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |dg AS (SELECT doc_id, ${wordGramSql(5)} AS gram
+         |  FROM rw2, UNNEST(generate_series(1, len(ws) - 4)) AS t(i)),
+         |bd AS (SELECT DISTINCT doc_id FROM dg JOIN ban USING (gram)),
+         |fl AS (SELECT doc_id, fluency_ppm FROM ($lmFluencySql)),
+         |imp AS (SELECT doc_id, importance_ppm FROM ($dsirImportanceSql)),
+         |cand AS (SELECT d.doc_id, d.source, fl.fluency_ppm, imp.importance_ppm
+         |  FROM documents d JOIN fl USING (doc_id) JOIN imp USING (doc_id)
+         |  WHERE d.doc_id NOT IN (SELECT doc_id FROM bd)),
+         |g1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY fluency_ppm DESC, doc_id) AS r,
+         |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n FROM cand),
+         |k1 AS (SELECT doc_id, source, fluency_ppm, importance_ppm FROM g1
+         |  WHERE r <= (n*500000)//1000000),
+         |g2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY importance_ppm DESC, doc_id) AS r,
+         |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n FROM k1)
+         |SELECT doc_id, source, fluency_ppm, importance_ppm FROM g2
+         |WHERE r <= (n*500000)//1000000 ORDER BY doc_id""".stripMargin,
 
     // same string_split(text,' ') gram semantics as d6; DISTINCT grams per
     // doc (WordNgramHashSet is a set); whole-corpus df then left-mark join

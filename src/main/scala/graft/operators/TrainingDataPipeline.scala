@@ -115,4 +115,66 @@ object TrainingDataPipeline {
     Sampling.stratifiedCap(survivors.join(keeperIds, idCol),
       strataCols, idCol, capPerLang)
   }
+
+  /** TARGETED curation — the round-three tier of a curation stack: after
+    * heuristic gates (curate) and dedup/decontamination (curateV2), select
+    * the slice of the corpus that best matches a TARGET distribution,
+    * using the corpus-trained models of [[Retrieval]]:
+    *
+    *   1. ban-list removal: any document containing one of the top
+    *      `spanK` cross-document repeated spans ([[Dedup.repeatedSpans]])
+    *      is dropped — the memorization-risk rule;
+    *   2. fluency gate: per-stratum top `keepPpm` by bigram-LM fluency
+    *      ([[Retrieval.bigramLmFluency]]) — adaptive (rank within the
+    *      stratum), so one noisy source cannot starve clean ones and the
+    *      gate needs no corpus-specific threshold;
+    *   3. importance gate: per-stratum top `keepPpm` by DSIR
+    *      target-likeness ([[Retrieval.dsirImportance]]).
+    *
+    * Output: `(id, strata, fluency_ppm, importance_ppm)` of the selected
+    * documents. Deterministic end to end (rank ties break on id) and
+    * SQL-expressible — oracle-checked as p3_targeted_curation.
+    *
+    * Scale shape: every stage inherits its operator's audited shape; the
+    * ban list is `spanK` rows broadcast against a native one-pass gram
+    * scan; both gates are ONE shuffle each on the stratum key (rank and
+    * count share the window partition). */
+  def curateTargeted(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      strataCol: String,
+      isTarget: org.apache.spark.sql.Column,
+      spanN: Int = 5,
+      spanDf: Long = 2L,
+      spanK: Int = 100,
+      keepPpm: Long = 500000L): DataFrame = {
+    require(keepPpm >= 0 && keepPpm <= 1000000L, "keepPpm is parts-per-million")
+    def ldiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("div", a, b)
+    // per-stratum adaptive keep-top gate (the adaptiveQualityFilter rule)
+    def topPpm(df: DataFrame, scoreCol: String): DataFrame = {
+      val part = org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol))
+      df.withColumn("__rank",
+          row_number().over(part.orderBy(col(scoreCol).desc, col(idCol))))
+        .withColumn("__n", count(lit(1)).over(part))
+        .filter(col("__rank") <= ldiv(col("__n") * keepPpm, lit(1000000L)))
+        .drop("__rank", "__n")
+    }
+    val ban = Dedup.repeatedSpans(docs, idCol, textCol, spanN, spanDf, spanK)
+      .select("gram")
+    val banned = docs
+      .select(col(idCol), explode(wordNgramList(col(textCol), spanN)).as("gram"))
+      .join(broadcast(ban), "gram")
+      .select(col(idCol)).distinct()
+    val fl = Retrieval.bigramLmFluency(docs, idCol, textCol)
+      .select(col(idCol), col("fluency_ppm"))
+    val imp = Retrieval.dsirImportance(docs, idCol, textCol, isTarget)
+      .select(col(idCol), col("importance_ppm"))
+    val cand = docs.select(col(idCol), col(strataCol))
+      .join(banned, Seq(idCol), "left_anti")
+      .join(fl, idCol)
+      .join(imp, idCol)
+    topPpm(topPpm(cand, "fluency_ppm"), "importance_ppm")
+  }
 }

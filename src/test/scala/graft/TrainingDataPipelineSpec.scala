@@ -70,4 +70,37 @@ class TrainingDataPipelineSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     out shouldBe Array(3L, 5L)
   }
+
+  "curateTargeted" should "ban repeated-span docs then keep per-source top halves by fluency and importance" in {
+    import org.apache.spark.sql.functions.col
+    val span = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      // target slice (wiki): typical phrasing
+      (1L, "the quick fox runs fast today and the quick fox rests", "wiki"),
+      (2L, "the quick fox sleeps now and the quick fox wakes up", "wiki"),
+      // web: contains the cross-doc repeated span → banned outright
+      (10L, s"some page $span footer text here", "web"),
+      (11L, s"other page $span footer text too", "web"),
+      // web: fluent AND target-like — remixes of target BIGRAMS with no
+      // 5-token run shared with any other doc (else the ban list fires)
+      (12L, "quick fox wakes today and so the quick fox rests", "web"),
+      (13L, "now the quick fox wakes and fast the quick fox runs", "web"),
+      // web: word salad — same words, permuted (low fluency, low importance)
+      (14L, "fox the runs quick fast and today rests fox quick the", "web"),
+      (15L, "now sleeps wakes fox quick the up and fox the quick", "web"))
+      .toDF("doc_id", "text", "source")
+    val out = TrainingDataPipeline.curateTargeted(docs, "doc_id", "text",
+        "source", isTarget = col("source") === "wiki",
+        spanN = 5, spanDf = 2L, spanK = 10, keepPpm = 500000L)
+      .select("doc_id").as[Long].collect().sorted
+    // banned: 10, 11. web survivors ranked: {12,13} beat {14,15} on fluency
+    // (top half of 4), then top half of {12,13} by importance → one doc.
+    out should not contain 10L
+    out should not contain 11L
+    out.intersect(Seq(14L, 15L)) shouldBe empty
+    out.count(Seq(12L, 13L).contains) shouldBe 1
+    // wiki: chained floor halving 2 -> 1 -> 0 (tiny strata starve; at
+    // corpus scale keepPpm gates compound as documented)
+    out.count(Seq(1L, 2L).contains) shouldBe 0
+  }
 }

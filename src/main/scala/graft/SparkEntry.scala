@@ -246,6 +246,67 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // KMV distinct sketch (k = 32 registers per event type): estimate
+    // (k−1)·2⁴⁰ // (h_k // 2²⁰) next to the exact distinct-user count
+    "q60_kmv_distinct" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val regs = Sketches.kmvRegisters(ev, Seq("event_type"), "user_id", k = 32)
+      val est = Sketches.kmvEstimate(regs, Seq("event_type"), k = 32)
+      val exact = ev.groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("n_exact"))
+      exact.join(est, "event_type")
+        .select(col("event_type"), col("n_exact"), col("n_est"))
+        .orderBy("event_type")
+    }),
+
+    // Count-Min frequency sketch (4×64 counters over per-user events);
+    // probes users 0..19 — the estimate upper-bounds the exact count
+    "q61_cms_counts" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cms = Sketches.cmsBuild(ev, col("user_id"), lit(1L), depth = 4, width = 64)
+      val probes = ev.select(col("user_id")).filter(col("user_id") < 20)
+      val exact = ev.filter(col("user_id") < 20).groupBy("user_id")
+        .agg(count(lit(1)).as("n_exact"))
+      Sketches.cmsLookup(cms, probes, "user_id", depth = 4, width = 64)
+        .join(exact, Seq("user_id"))
+        .select(col("user_id"), col("n_exact"), col("n_est"),
+          (col("n_est") >= col("n_exact")).as("upper_bounds"))
+        .orderBy("user_id")
+    }),
+
+    // Bloom membership (64×60-bit words, 3 hashes) over customers holding
+    // a >490k order; probing every customer keeps maybe-rows only — no
+    // false negatives, FPs visible via the exact actually_in flag
+    "q62_bloom_membership" -> ((s, d) => {
+      val hot = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 490000.0)
+        .select(col("o_custkey"))
+      val bloom = Sketches.bloomBuild(hot, col("o_custkey"), words = 64, hashes = 3)
+      val probes = Tables.customer(s, d).select(col("c_custkey"))
+      val actual = hot.distinct()
+        .withColumnRenamed("o_custkey", "c_custkey")
+        .withColumn("actually_in", lit(true))
+      Sketches.bloomProbe(bloom, probes, "c_custkey", words = 64, hashes = 3)
+        .filter(col("maybe_present"))
+        .join(actual, Seq("c_custkey"), "left")
+        .select(col("c_custkey"), col("maybe_present"),
+          coalesce(col("actually_in"), lit(false)).as("actually_in"))
+        .orderBy("c_custkey")
+    }),
+
+    // HyperLogLog (m = 64 registers, integer estimator): rho from exact
+    // bitlength (length(bin(w))), S = Σ 2^(41−M_j), no float log anywhere
+    "q63_hll_distinct" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val regs = Sketches.hllRegisters(ev, Seq("event_type"), "user_id", m = 64)
+      val est = Sketches.hllEstimate(regs, Seq("event_type"), m = 64)
+      val exact = ev.groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("n_exact"))
+      exact.join(est, "event_type")
+        .select(col("event_type"), col("n_exact"), col("n_est"))
+        .orderBy("event_type")
+    }),
+
     // §2.6h crypto proof: minute-windowed salted request signatures signed
     // IN-PLAN over codegen'd built-ins (no UDF); time injected from the
     // event row, so the result is deterministic and oracle-able
@@ -1570,6 +1631,95 @@ object SparkEntry {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tb
          |  FROM tk)
          |SELECT doc_id, source, n_tokens, tb//512 AS bin FROM p ORDER BY doc_id""".stripMargin,
+
+    // KMV: k smallest distinct 60-bit md5 hashes; est = 31·2^40 //
+    // (h_k // 2^20) once the register set is full, exact below k
+    "q60_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM events),
+        |r AS (SELECT event_type, hv,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn FROM h),
+        |e AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_reg, MAX(hv) AS hk
+        |  FROM r WHERE rn <= 32 GROUP BY event_type),
+        |x AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+        |  FROM events GROUP BY event_type)
+        |SELECT x.event_type, x.n_exact,
+        |  CAST(CASE WHEN e.n_reg < 32 THEN e.n_reg
+        |       ELSE (31 * (1::BIGINT << 40)) // greatest(hk // (1::BIGINT << 20), 1)
+        |       END AS BIGINT) AS n_est
+        |FROM x JOIN e USING (event_type) ORDER BY event_type""".stripMargin,
+
+    // CMS 4×64: bucket = md5_60("r:key") % 64, counter = row count; probe
+    // estimate = min over the 4 rows (COALESCE 0 for empty cells)
+    "q61_cms_counts" ->
+      """WITH cell AS (SELECT unnest(range(0, 4)) AS r, CAST(user_id AS VARCHAR) AS k
+        |  FROM events),
+        |cms AS (SELECT r,
+        |    CAST(concat('0x', substr(md5(CAST(r AS VARCHAR) || ':' || k), 1, 15)) AS BIGINT)
+        |      % 64 AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM cell GROUP BY 1, 2),
+        |p AS (SELECT DISTINCT user_id FROM events WHERE user_id < 20),
+        |pb AS (SELECT user_id, r,
+        |    CAST(concat('0x', substr(md5(CAST(r AS VARCHAR) || ':'
+        |      || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 64 AS b
+        |  FROM (SELECT user_id, unnest(range(0, 4)) AS r FROM p)),
+        |est AS (SELECT user_id, CAST(MIN(COALESCE(c, 0)) AS BIGINT) AS n_est
+        |  FROM pb LEFT JOIN cms USING (r, b) GROUP BY user_id),
+        |x AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+        |  FROM events WHERE user_id < 20 GROUP BY user_id)
+        |SELECT x.user_id, x.n_exact, est.n_est, est.n_est >= x.n_exact AS upper_bounds
+        |FROM x JOIN est USING (user_id) ORDER BY user_id""".stripMargin,
+
+    // Bloom 64 words × 60 bits, 3 hashes: pos = md5_60("i:key") % 3840,
+    // word = pos//60, mask = 1<<(pos%60), words bit_or'd; probe needs all
+    // 3 bits set; strict-positive 60-bit masks keep signed int64 safe
+    "q62_bloom_membership" ->
+      """WITH hot AS (SELECT DISTINCT o_custkey AS k FROM orders
+        |  WHERE o_totalprice > 490000),
+        |pp AS (SELECT CAST(concat('0x', substr(md5(CAST(i AS VARCHAR) || ':'
+        |      || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 3840 AS pos
+        |  FROM (SELECT k, unnest(range(0, 3)) AS i FROM hot)),
+        |bloom AS (SELECT pos // 60 AS word,
+        |    CAST(bit_or(1::BIGINT << CAST(pos % 60 AS INTEGER)) AS BIGINT) AS bits
+        |  FROM pp GROUP BY 1),
+        |prb AS (SELECT c_custkey, pos // 60 AS word,
+        |    1::BIGINT << CAST(pos % 60 AS INTEGER) AS mask
+        |  FROM (SELECT c_custkey,
+        |      CAST(concat('0x', substr(md5(CAST(i AS VARCHAR) || ':'
+        |        || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 3840 AS pos
+        |    FROM (SELECT c_custkey, unnest(range(0, 3)) AS i FROM customer))),
+        |hits AS (SELECT c_custkey,
+        |    CAST(SUM(CASE WHEN (COALESCE(bits, 0) & mask) <> 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nh
+        |  FROM prb LEFT JOIN bloom USING (word) GROUP BY c_custkey)
+        |SELECT h.c_custkey, nh = 3 AS maybe_present, hot.k IS NOT NULL AS actually_in
+        |FROM hits h LEFT JOIN hot ON h.c_custkey = hot.k
+        |WHERE nh = 3 ORDER BY h.c_custkey""".stripMargin,
+
+    // HLL m=64: idx = h%64, w = (h//64) mod 2^40, rho = 41−bitlength(w)
+    // (41 at w=0); register = max rho; S = Σ 2^(41−M) with empty registers
+    // contributing 2^41; raw estimate = 709·(64²·2^41 // S) // 1000
+    "q63_hll_distinct" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM events),
+        |r AS (SELECT event_type, hv % 64 AS idx,
+        |    (hv // 64) % (1::BIGINT << 40) AS w40 FROM b),
+        |reg AS (SELECT event_type, idx,
+        |    MAX(CASE WHEN w40 = 0 THEN 41 ELSE 41 - length(bin(w40)) END) AS mreg
+        |  FROM r GROUP BY 1, 2),
+        |a AS (SELECT event_type,
+        |    CAST(SUM(1::BIGINT << CAST(41 - mreg AS INTEGER)) AS BIGINT) AS sp,
+        |    CAST(COUNT(*) AS BIGINT) AS np
+        |  FROM reg GROUP BY 1),
+        |e AS (SELECT event_type, sp + (64 - np) * (1::BIGINT << 41) AS s FROM a),
+        |x AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+        |  FROM events GROUP BY event_type)
+        |SELECT x.event_type, x.n_exact,
+        |  CAST(709 * ((4096 * (1::BIGINT << 41)) // s) // 1000 AS BIGINT) AS n_est
+        |FROM x JOIN e USING (event_type) ORDER BY event_type""".stripMargin,
 
     // hex-preimage signature mirrored verbatim: salt hex ‖ 16-digit hex
     // minute ‖ path, one string sha256 per row on both engines

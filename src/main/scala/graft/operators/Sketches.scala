@@ -1,0 +1,249 @@
+package graft.operators
+
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mergeable summary sketches for 100 TB-scale profiling: KMV (distinct
+  * cardinality), Count-Min (frequency), Bloom (membership) and HyperLogLog
+  * (distinct cardinality, fixed-size registers). A cluster-scale engine
+  * needs these wherever an exact answer would shuffle the corpus — data
+  * profiling, join-size estimation, membership pruning before an expensive
+  * join, per-partition distinct counting.
+  *
+  * Every sketch here is a DATAFRAME OF REGISTERS, not an opaque binary blob:
+  *  - KMV registers merge by re-ranking the union (k smallest survive),
+  *  - CMS registers merge by summing counters per (row, bucket),
+  *  - Bloom registers merge by `bit_or` per word,
+  *  - HLL registers merge by `max` per bucket.
+  * That makes every merge a plain partial-agg'd `groupBy` — the sketches
+  * compose with the engine's shuffle machinery instead of hiding state in
+  * UDAF buffers, and estimates stay one SQL expression.
+  *
+  * Determinism/oracle parity: all hashing is the engine-portable 60-bit md5
+  * prefix ([[graft.functions.GraftFunctions.md5Hash60]]), all arithmetic is
+  * integer (floor divisions via Catalyst `div` ≡ DuckDB `//`; powers of two
+  * via `shiftleft`), and the HLL "harmonic mean" is computed exactly as a
+  * scaled sum of powers of two — no float log2 anywhere, so the estimates
+  * are bit-identical across partitionings and engines. Accuracy follows the
+  * standard bounds (KMV/HLL ~1/√k relative error; CMS overestimates by at
+  * most ε·N with ε=e/width at depth ln(1/δ)); the integer estimators trade
+  * ≤0.2% additional rounding error for exactness.
+  *
+  * Scale shapes: register builds are single partial-agg'd shuffles on
+  * register keys (≤ m·depth rows out), never on the corpus; KMV's top-k
+  * rank-filter compiles to Spark's WindowGroupLimit (per-partition top-k
+  * before the merge); probes broadcast the finished sketch (≤ a few KB).
+  */
+object Sketches {
+
+  /** Exact long floor-division (Catalyst IntegralDivide, SQL `div`) —
+    * matches DuckDB `//` for non-negative operands at ANY magnitude. */
+  private def ldiv(a: Column, b: Column): Column = call_function("div", a, b)
+
+  /** `1L << n` with a COLUMN shift amount (the Scala `functions.shiftleft`
+    * only takes a literal Int amount; the SQL function takes expressions). */
+  private def pow2(n: Column): Column =
+    call_function("shiftleft", lit(1L), n.cast("int"))
+
+  /** Seeded portable hash: 60-bit md5 of `"<seed>:<key>"`. */
+  private def seededHash(seed: Column, key: Column): Column =
+    md5Hash60(concat(seed.cast("string"), lit(":"), key.cast("string")))
+
+  private def seedRows(n: Int): Column =
+    explode(array((0 until n).map(lit): _*))
+
+  // ------------------------------------------------------------------
+  // KMV — k minimum values distinct sketch (Bar-Yossef et al. 2002)
+  // ------------------------------------------------------------------
+
+  /** KMV registers per group: the `k` smallest distinct 60-bit hashes of
+    * `valueCol`, as rows `(groupCols…, rank, hv)` with `rank` 1-based by
+    * ascending hash. The rank-≤-k filter over a row_number window compiles
+    * to WindowGroupLimit — Spark inserts a per-partition group-limit before
+    * the final per-group sort, so the full distinct-hash set is never
+    * globally sorted. */
+  def kmvRegisters(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      k: Int): DataFrame = {
+    require(k > 1, "KMV needs k > 1 (the estimator divides by the k-th hash)")
+    val g = groupCols.map(col)
+    val distinctHashes = df
+      .select(g :+ md5Hash60(col(valueCol)).as("hv"): _*)
+      .distinct()
+    val w = Window.partitionBy(g: _*).orderBy(col("hv"))
+    distinctHashes
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Merge register frames (union of [[kmvRegisters]] outputs, possibly
+    * from different partitions/engines/days): the k smallest distinct
+    * hashes of the union are the union's exact KMV sketch. */
+  def kmvMerge(regs: DataFrame, groupCols: Seq[String], k: Int): DataFrame = {
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*).orderBy(col("hv"))
+    regs.select(g :+ col("hv"): _*).distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Cardinality estimate from KMV registers: exact count while the group
+    * has fewer than `k` distinct hashes, else `(k−1)·2⁴⁰ ÷ (h_k ÷ 2²⁰)`
+    * (the classic `(k−1)/h_k` with the 60-bit hash down-scaled to 40 bits
+    * so the numerator stays in int64 for any practical `k`). */
+  def kmvEstimate(regs: DataFrame, groupCols: Seq[String], k: Int): DataFrame = {
+    val agg = regs.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_reg"), max(col("hv")).as("hk"))
+    agg.select(groupCols.map(col) :+
+      when(col("n_reg") < k, col("n_reg"))
+        .otherwise(ldiv(
+          lit((k - 1).toLong * (1L << 40)),
+          greatest(ldiv(col("hk"), lit(1L << 20)), lit(1L))))
+        .as("n_est"): _*)
+  }
+
+  // ------------------------------------------------------------------
+  // Count-Min — frequency sketch (Cormode & Muthukrishnan 2005)
+  // ------------------------------------------------------------------
+
+  /** Count-Min registers `(r, b, c)`: for each of `depth` hash rows,
+    * bucket `b = h_r(key) % width` accumulates the total weight of keys
+    * landing in it. One partial-agg'd shuffle on ≤ depth·width keys;
+    * merging two sketches = `groupBy(r, b).sum(c)`. */
+  def cmsBuild(
+      df: DataFrame,
+      key: Column,
+      weight: Column,
+      depth: Int,
+      width: Int): DataFrame = {
+    require(depth > 0 && width > 0, "depth and width must be positive")
+    df.select(key.cast("string").as("k"), weight.cast("long").as("w"))
+      .select(seedRows(depth).as("r"), col("k"), col("w"))
+      .select(col("r"), (seededHash(col("r"), col("k")) % width).as("b"), col("w"))
+      .groupBy("r", "b")
+      .agg(sum(col("w")).as("c"))
+  }
+
+  /** Point estimates for `probes(keyCol)`: `min_r c[r][h_r(key)]` — an
+    * upper bound on the true weight (CMS never underestimates). The sketch
+    * (≤ depth·width rows) broadcasts; the probe side never shuffles except
+    * the final tiny per-key min. */
+  def cmsLookup(
+      cms: DataFrame,
+      probes: DataFrame,
+      keyCol: String,
+      depth: Int,
+      width: Int): DataFrame = {
+    val cells = probes
+      .select(col(keyCol))
+      .distinct()
+      .select(col(keyCol), seedRows(depth).as("r"))
+      .select(col(keyCol), col("r"),
+        (seededHash(col("r"), col(keyCol)) % width).as("b"))
+    cells.join(broadcast(cms), Seq("r", "b"), "left")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("c"), lit(0L))).as("n_est"))
+  }
+
+  // ------------------------------------------------------------------
+  // Bloom — membership sketch (Bloom 1970)
+  // ------------------------------------------------------------------
+
+  /** Bloom filter as `(word, bits)` rows over `words`×60-bit words (60-bit
+    * words keep every mask strictly positive in signed int64 on both
+    * engines): each key sets `hashes` bit positions; rows aggregate with
+    * `bit_or`. Merging two filters of the same geometry = `bit_or` per
+    * word. Absent words are all-zero. */
+  def bloomBuild(
+      df: DataFrame,
+      key: Column,
+      words: Int,
+      hashes: Int): DataFrame = {
+    require(words > 0 && hashes > 0, "words and hashes must be positive")
+    val m = words.toLong * 60L
+    df.select(key.cast("string").as("k"))
+      .distinct()
+      .select(seedRows(hashes).as("i"), col("k"))
+      .select((seededHash(col("i"), col("k")) % m).as("pos"))
+      .select(ldiv(col("pos"), lit(60L)).as("word"),
+        pow2(col("pos") % 60L).as("mask"))
+      .groupBy("word")
+      .agg(bit_or(col("mask")).as("bits"))
+  }
+
+  /** Membership probe: `maybe_present` ⇔ all `hashes` bit positions of the
+    * key are set. No false negatives; false-positive rate follows the
+    * standard `(1−e^{−kn/m})^k`. The filter broadcasts (≤ `words` rows). */
+  def bloomProbe(
+      bloom: DataFrame,
+      probes: DataFrame,
+      keyCol: String,
+      words: Int,
+      hashes: Int): DataFrame = {
+    val m = words.toLong * 60L
+    probes
+      .select(col(keyCol))
+      .distinct()
+      .select(col(keyCol), seedRows(hashes).as("i"))
+      .select(col(keyCol), (seededHash(col("i"), col(keyCol)) % m).as("pos"))
+      .select(col(keyCol), ldiv(col("pos"), lit(60L)).as("word"),
+        pow2(col("pos") % 60L).as("mask"))
+      .join(broadcast(bloom), Seq("word"), "left")
+      .select(col(keyCol),
+        ((coalesce(col("bits"), lit(0L)).bitwiseAND(col("mask"))) =!= 0L)
+          .cast("long").as("hit"))
+      .groupBy(keyCol)
+      .agg((sum(col("hit")) === hashes.toLong).as("maybe_present"))
+  }
+
+  // ------------------------------------------------------------------
+  // HLL — HyperLogLog distinct sketch (Flajolet et al. 2007), integer form
+  // ------------------------------------------------------------------
+
+  /** HLL registers per group: bucket `idx = h % m`, register = max over the
+    * bucket's values of `rho(w)` where `w = (h ÷ m) mod 2⁴⁰` (the 40-bit
+    * suffix) and `rho` = position of the highest set bit from the top,
+    * i.e. `41 − bitlength(w)` (41 for w = 0). `bitlength` is exact on both
+    * engines as `length(bin(w))` — no float log2. One partial-agg'd
+    * shuffle on ≤ m keys per group; merge = `max` per (group, idx). */
+  def hllRegisters(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      m: Int): DataFrame = {
+    require(m > 1, "HLL needs at least 2 buckets")
+    val g = groupCols.map(col)
+    val h = md5Hash60(col(valueCol))
+    val w40 = ldiv(h, lit(m.toLong)) % (1L << 40)
+    val rho = when(w40 === 0L, lit(41))
+      .otherwise(lit(41) - length(bin(w40)))
+    df.select(g ++ Seq((h % m).as("idx"), rho.as("rho")): _*)
+      .groupBy(g :+ col("idx"): _*)
+      .agg(max(col("rho")).as("mreg"))
+  }
+
+  /** Raw HLL estimate from registers, all-integer: the harmonic-mean
+    * denominator `Σ 2^{−M_j}` is computed exactly as `S = Σ 2^{41−M_j}`
+    * (empty registers contribute `2⁴¹`; with `M_j ∈ [1,41]` every term is
+    * an integer), then `E = α_pm · (m²·2⁴¹ ÷ S) ÷ 1000` with `α_pm` the
+    * per-mille bias constant (709 for m=64, 7213/(1+1.079/m)·(1/10) in
+    * general). This is the RAW estimator — no small/large-range
+    * corrections (they need `ln`; KMV covers the small range exactly). */
+  def hllEstimate(
+      regs: DataFrame,
+      groupCols: Seq[String],
+      m: Int,
+      alphaPm: Int = 709): DataFrame = {
+    val agg = regs.groupBy(groupCols.map(col): _*)
+      .agg(sum(pow2(lit(41) - col("mreg"))).as("s_present"),
+        count(lit(1)).as("n_present"))
+    val s = col("s_present") + (lit(m.toLong) - col("n_present")) * (1L << 41)
+    agg.select(groupCols.map(col) :+
+      ldiv(lit(alphaPm.toLong) * ldiv(lit(m.toLong * m.toLong * (1L << 41)), s),
+        lit(1000L)).as("n_est"): _*)
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import graft.operators.Sketches
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 400 values across two groups with known distinct counts: g1 has 300
+  // distinct values (> k: estimation path), g2 has 10 (< k: exact path).
+  private lazy val vals = ((1 to 300).map(i => ("g1", s"v$i")) ++
+    (1 to 100).map(i => ("g2", s"w${i % 10}"))).toDF("g", "v")
+
+  "Sketches.kmv" should "be exact below k and within KMV error above k" in {
+    val regs = Sketches.kmvRegisters(vals, Seq("g"), "v", k = 64)
+    val est = Sketches.kmvEstimate(regs, Seq("g"), k = 64)
+      .as[(String, Long)].collect().toMap
+    est("g2") shouldBe 10L // below k → exact
+    // k=64 → σ ≈ n/√k ≈ 37; assert a generous 3σ band
+    est("g1") should be(300L +- 115L)
+  }
+
+  it should "merge registers to exactly the sketch of the union" in {
+    val a = vals.filter(col("v") < "v2") // lexicographic split, overlapping hashes
+    val b = vals.filter(col("v") >= "v1")
+    val merged = Sketches.kmvMerge(
+      Sketches.kmvRegisters(a, Seq("g"), "v", 64)
+        .unionByName(Sketches.kmvRegisters(b, Seq("g"), "v", 64)),
+      Seq("g"), 64)
+    val direct = Sketches.kmvRegisters(vals, Seq("g"), "v", 64)
+    merged.select("g", "rank", "hv").except(direct.select("g", "rank", "hv"))
+      .count() shouldBe 0L
+    direct.select("g", "rank", "hv").except(merged.select("g", "rank", "hv"))
+      .count() shouldBe 0L
+  }
+
+  "Sketches.cms" should "never underestimate and be exact without collisions" in {
+    val rows = Seq.tabulate(100)(i => (s"k${i % 5}", 1L)).toDF("k", "w")
+    val cms = Sketches.cmsBuild(rows, col("k"), col("w"), depth = 4, width = 1024)
+    val probes = Seq("k0", "k1", "k4", "missing").toDF("k")
+    val est = Sketches.cmsLookup(cms, probes, "k", depth = 4, width = 1024)
+      .as[(String, Long)].collect().toMap
+    est("k0") shouldBe 20L // wide sketch, 5 keys → collision-free
+    est("k4") shouldBe 20L
+    est("missing") shouldBe 0L
+    // narrow sketch: estimates only ever grow past the truth
+    val tight = Sketches.cmsBuild(rows, col("k"), col("w"), depth = 2, width = 2)
+    Sketches.cmsLookup(tight, probes.filter(col("k") =!= "missing"), "k", 2, 2)
+      .as[(String, Long)].collect().foreach { case (_, e) => e should be >= 20L }
+  }
+
+  it should "merge by summing counters per cell" in {
+    val rows = Seq.tabulate(60)(i => (s"k$i", 1L)).toDF("k", "w")
+    val (a, b) = (rows.filter(col("k") < "k3"), rows.filter(col("k") >= "k3"))
+    val merged = Sketches.cmsBuild(a, col("k"), col("w"), 4, 64)
+      .unionByName(Sketches.cmsBuild(b, col("k"), col("w"), 4, 64))
+      .groupBy("r", "b").agg(sum(col("c")).as("c"))
+    val direct = Sketches.cmsBuild(rows, col("k"), col("w"), 4, 64)
+    merged.except(direct).count() shouldBe 0L
+    direct.except(merged).count() shouldBe 0L
+  }
+
+  "Sketches.bloom" should "have no false negatives and bounded geometry" in {
+    val keys = (1 to 200).map(i => s"k$i").toDF("k")
+    val bloom = Sketches.bloomBuild(keys, col("k"), words = 64, hashes = 3)
+    bloom.count() should be <= 64L // at most one row per word
+    val probes = ((1 to 200).map(i => s"k$i") ++ (1 to 200).map(i => s"x$i")).toDF("k")
+    val r = Sketches.bloomProbe(bloom, probes, "k", 64, 3)
+      .as[(String, Boolean)].collect().toMap
+    (1 to 200).foreach(i => r(s"k$i") shouldBe true) // members always hit
+    // ~200 keys in 3840 bits → FP rate ≈ 2%: most non-members miss
+    (1 to 200).count(i => r(s"x$i")) should be < 40
+  }
+
+  it should "merge by bit_or per word" in {
+    val keys = (1 to 100).map(i => s"k$i").toDF("k")
+    val (a, b) = (keys.filter(col("k") < "k5"), keys.filter(col("k") >= "k5"))
+    val merged = Sketches.bloomBuild(a, col("k"), 64, 3)
+      .unionByName(Sketches.bloomBuild(b, col("k"), 64, 3))
+      .groupBy("word").agg(bit_or(col("bits")).as("bits"))
+    val direct = Sketches.bloomBuild(keys, col("k"), 64, 3)
+    merged.except(direct).count() shouldBe 0L
+    direct.except(merged).count() shouldBe 0L
+  }
+
+  "Sketches.hll" should "estimate within HLL error and merge by max register" in {
+    val many = (1 to 2000).map(i => ("g", s"v$i")).toDF("g", "v")
+    val est = Sketches.hllEstimate(
+      Sketches.hllRegisters(many, Seq("g"), "v", m = 64), Seq("g"), m = 64)
+      .as[(String, Long)].collect().toMap
+    // m=64 → σ ≈ 1.04/√64 ≈ 13%; allow 3σ
+    est("g") should be(2000L +- 800L)
+
+    val (a, b) = (many.filter(col("v") < "v2"), many.filter(col("v") >= "v2"))
+    val merged = Sketches.hllRegisters(a, Seq("g"), "v", 64)
+      .unionByName(Sketches.hllRegisters(b, Seq("g"), "v", 64))
+      .groupBy("g", "idx").agg(max(col("mreg")).as("mreg"))
+    val direct = Sketches.hllRegisters(many, Seq("g"), "v", 64)
+    merged.except(direct).count() shouldBe 0L
+    direct.except(merged).count() shouldBe 0L
+  }
+}

@@ -187,6 +187,21 @@ object SparkEntry {
         terms = Seq("spark", "join", "shuffle"), k = 25)
     }),
 
+    // hybrid search: BM25 lexical top-25 + embedding-cosine top-25 for
+    // query vector 0, reciprocal-rank fused (1e6 // (60 + rank), top 15)
+    "s7_hybrid_rrf" -> ((s, d) => {
+      val lexW = Window.orderBy(col("score").desc, col("doc_id"))
+      val lex = Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+          terms = Seq("spark", "join", "shuffle"), k = 25)
+        .select(col("doc_id"), row_number().over(lexW).as("rank"))
+      val em = Tables.embeddings(s, d)
+      val sem = Similarity.bruteForceTopK(em, em.filter(col("vec_id") === 0),
+          "vec_id", "embedding", k = 25)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(lex, sem), "doc_id", "rank", k = 15)
+        .orderBy(col("rrf_ppm").desc, col("doc_id"))
+    }),
+
     // bigram-LM fluency scoring: add-one-smoothed mean bigram probability
     // (KenLM-style quality filter, trained on the corpus itself)
     "t14_lm_fluency" -> ((s, d) => {
@@ -1346,6 +1361,31 @@ object SparkEntry {
   /** Bigram-LM fluency (mirrors Retrieval.bigramLmFluency): add-one
     * smoothing, mean bigram probability ppm, sub-bigram docs 0. Complete
     * SELECT without ORDER BY — composable as a parenthesized subquery. */
+  /** Integer-exact BM25 top-25 for terms (spark, join, shuffle) — the t13
+    * oracle, also embedded as the lexical CTE of s7_hybrid_rrf:
+    * idf = least((2(N−df)+1)·1e6 // (2df+1), 2e7) (Robertson idf argument
+    * as a rational, 20× saturation instead of log);
+    * tfsat = 44·tf·avgdl·1e6 // (20·tf·avgdl + 6·avgdl + 18·dl)
+    * (k1=1.2, b=0.75 scaled by 20·avgdl); avgdl floored. */
+  private def bm25TopKSql: String =
+    s"""WITH base AS (SELECT doc_id, $toksSql AS t,
+       |    CAST(len($toksSql) AS BIGINT) AS dl FROM documents),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(COALESCE(SUM(dl), 0) AS BIGINT) AS total_tokens FROM base),
+       |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM base)
+       |  WHERE term IN ('spark', 'join', 'shuffle') GROUP BY doc_id, dl, term),
+       |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |sc AS (SELECT tf.doc_id,
+       |    (least(((2*(st.n_docs - df.df) + 1)*1000000) // (2*df.df + 1), 20000000)
+       |     * ((44*tf.tf*(st.total_tokens//st.n_docs)*1000000)
+       |        // (20*tf.tf*(st.total_tokens//st.n_docs)
+       |            + 6*(st.total_tokens//st.n_docs) + 18*tf.dl))) // 1000000 AS contrib
+       |  FROM tf JOIN df USING (term) CROSS JOIN st)
+       |SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score,
+       |  CAST(COUNT(*) AS BIGINT) AS n_terms
+       |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
+
   private def lmFluencySql: String =
     s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
        |bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
@@ -1522,24 +1562,28 @@ object SparkEntry {
     // (the Robertson idf argument as a rational, 20x saturation instead of
     // log); tfsat = 44*tf*avgdl*1e6 // (20*tf*avgdl + 6*avgdl + 18*dl)
     // (k1=1.2, b=0.75 with num/den scaled by 20*avgdl); avgdl floored
-    "t13_bm25_search" ->
-      s"""WITH base AS (SELECT doc_id, $toksSql AS t,
-         |    CAST(len($toksSql) AS BIGINT) AS dl FROM documents),
-         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |    CAST(COALESCE(SUM(dl), 0) AS BIGINT) AS total_tokens FROM base),
-         |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
-         |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM base)
-         |  WHERE term IN ('spark', 'join', 'shuffle') GROUP BY doc_id, dl, term),
-         |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
-         |sc AS (SELECT tf.doc_id,
-         |    (least(((2*(st.n_docs - df.df) + 1)*1000000) // (2*df.df + 1), 20000000)
-         |     * ((44*tf.tf*(st.total_tokens//st.n_docs)*1000000)
-         |        // (20*tf.tf*(st.total_tokens//st.n_docs)
-         |            + 6*(st.total_tokens//st.n_docs) + 18*tf.dl))) // 1000000 AS contrib
-         |  FROM tf JOIN df USING (term) CROSS JOIN st)
-         |SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score,
-         |  CAST(COUNT(*) AS BIGINT) AS n_terms
-         |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+    "t13_bm25_search" -> bm25TopKSql,
+
+    // RRF hybrid search: BM25 top-25 (t13's CTE verbatim) + brute-force
+    // cosine top-25 for query vector 0 (s1's CTE, single query), fused by
+    // sum of 1e6 // (60 + rank); top 15 by (fused score, doc_id)
+    "s7_hybrid_rrf" ->
+      s"""WITH lex AS (SELECT doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+         |  FROM ($bm25TopKSql)),
+         |sem AS (SELECT neighbor_id AS doc_id, rank FROM (
+         |  WITH q AS (SELECT vec_id, ${qvSql("embedding")} AS qv FROM embeddings),
+         |  p AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id, qq.qv AS qa, c.qv AS qb
+         |        FROM q qq JOIN q c ON qq.vec_id = 0 AND qq.vec_id != c.vec_id),
+         |  sims AS (SELECT query_id, neighbor_id, $cosSql AS cosine FROM p),
+         |  ranked AS (SELECT *, ROW_NUMBER() OVER
+         |      (ORDER BY cosine DESC, neighbor_id) AS rank FROM sims)
+         |  SELECT neighbor_id, rank FROM ranked WHERE rank <= 25)),
+         |u AS (SELECT doc_id, rank FROM lex UNION ALL SELECT doc_id, rank FROM sem),
+         |f AS (SELECT doc_id, CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_ppm,
+         |      CAST(COUNT(*) AS BIGINT) AS n_lists FROM u GROUP BY doc_id)
+         |SELECT doc_id, rrf_ppm, n_lists FROM f
+         |ORDER BY rrf_ppm DESC, doc_id LIMIT 15""".stripMargin,
 
     // add-one-smoothed bigram LM over graft_tokens; prefix counts c1 are
     // sums over the bigram table (NOT raw unigram counts — the last token

@@ -94,6 +94,37 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of ranked retrieval
+    * lists — the standard hybrid-search combiner (lexical BM25 + embedding
+    * ANN, or any mix of rankers): each list contributes
+    * `⌊10⁶ / (c + rank)⌋` per document, fused score = Σ over the lists
+    * containing it. Integer-exact (`c` = 60, the canonical constant), so
+    * fusion is deterministic and oracle-able; `n_lists` reports how many
+    * rankers surfaced the document.
+    *
+    * Scale shape: the inputs are ALREADY top-k lists (a few hundred rows
+    * each, whatever corpus they came from), so the union + groupBy is
+    * driver-trivial; the heavy lifting stays inside the upstream rankers,
+    * which keep their own bounded shapes. */
+  def rrfFuse(
+      lists: Seq[DataFrame],
+      idCol: String,
+      rankCol: String,
+      k: Int,
+      c: Int = 60): DataFrame = {
+    require(lists.nonEmpty && k > 0, "need at least one ranked list and k > 0")
+    val union = lists
+      .map(_.select(col(idCol), col(rankCol).cast("long").as("_rank")))
+      .reduce(_ unionByName _)
+    union
+      .select(col(idCol),
+        ldiv(lit(1000000L), lit(c.toLong) + col("_rank")).as("contrib"))
+      .groupBy(idCol)
+      .agg(sum(col("contrib")).as("rrf_ppm"), count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_ppm").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Bigram language-model fluency scoring — the KenLM-style "does this
     * read like language" quality filter, log-free: train add-one-smoothed
     * bigram probabilities on the corpus itself, then score each document

@@ -99,4 +99,27 @@ class RetrievalSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect()
     r.map(_._1).toSet shouldBe Set("A B C D E", "a b c d e") // case preserved
   }
+
+  "Retrieval.rrfFuse" should "rank docs in both lists above single-list docs" in {
+    val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val sem = Seq((20L, 1), (40L, 2), (10L, 3)).toDF("id", "rank")
+    val r = Retrieval.rrfFuse(Seq(lex, sem), "id", "rank", k = 10)
+      .as[(Long, Long, Long)].collect()
+    val byId = r.map(t => t._1 -> t).toMap
+    byId(10L)._3 shouldBe 2L // in both lists
+    byId(20L)._3 shouldBe 2L
+    byId(30L)._3 shouldBe 1L
+    // exact integer contributions: 1e6//61, 1e6//62, 1e6//63
+    byId(10L)._2 shouldBe (1000000L / 61 + 1000000L / 63)
+    byId(30L)._2 shouldBe 1000000L / 63
+    // two-list docs outrank every one-list doc here
+    r.take(2).map(_._1).toSet shouldBe Set(10L, 20L)
+  }
+
+  it should "respect k with the (score desc, id) total order" in {
+    val lex = Seq((1L, 1), (2L, 2), (3L, 3), (4L, 4)).toDF("id", "rank")
+    val r = Retrieval.rrfFuse(Seq(lex), "id", "rank", k = 2)
+      .as[(Long, Long, Long)].collect()
+    r.map(_._1) shouldBe Array(1L, 2L)
+  }
 }

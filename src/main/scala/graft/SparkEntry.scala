@@ -28,6 +28,7 @@ object SparkEntry {
     * SecureRandom, reference TimeCryptoProof.generateSalt). */
   private val CryptoSaltHex = "000102030405060708090A0B0C0D0E0F"
 
+  private val Jan1_24 = 1704067200000000L // 2024-01-01T00:00:00Z
   private val Jan10_24 = 1704844800000000L // 2024-01-10T00:00:00Z
   private val Jan20_24 = 1705708800000000L // 2024-01-20T00:00:00Z
   private val WeekUs = 7L * 24 * 3600 * 1000000L
@@ -320,6 +321,17 @@ object SparkEntry {
       exact.join(est, "event_type")
         .select(col("event_type"), col("n_exact"), col("n_est"))
         .orderBy("event_type")
+    }),
+
+    // Z-order layout audit: Morton-interleave (user bucket, hour since
+    // Jan 1) into 64 partitions; per-partition min/max of BOTH dims stay
+    // tight — the footer stats a z-ordered 100 TB write would skip on
+    "q64_zorder_layout" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"),
+          call_function("div", col("ts_us") - Jan1_24, lit(3600000000L)).as("hr"))
+      Layout.zOrderStats(ev, col("user_id"), col("hr"), bits = 10, partitions = 64)
+        .orderBy("pid")
     }),
 
     // §2.6h crypto proof: minute-windowed salted request signatures signed
@@ -1764,6 +1776,17 @@ object SparkEntry {
         |SELECT x.event_type, x.n_exact,
         |  CAST(709 * ((4096 * (1::BIGINT << 41)) // s) // 1000 AS BIGINT) AS n_est
         |FROM x JOIN e USING (event_type) ORDER BY event_type""".stripMargin,
+
+    // Morton z = Σ_j ((x>>j & 1) << 2j) + ((y>>j & 1) << 2j+1) over 10-bit
+    // coords (user bucket, hour since Jan 1); pid = top 6 z-bits
+    "q64_zorder_layout" ->
+      s"""WITH c AS (SELECT user_id & 1023 AS x,
+         |    ((epoch_us(ts) - $Jan1_24) // 3600000000) & 1023 AS y
+         |  FROM events),
+         |z AS (SELECT x, y, ${Layout.zValueSql("x", "y", 10)} AS z FROM c)
+         |SELECT z >> 14 AS pid, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  MIN(x) AS x_min, MAX(x) AS x_max, MIN(y) AS y_min, MAX(y) AS y_max
+         |FROM z GROUP BY 1 ORDER BY pid""".stripMargin,
 
     // hex-preimage signature mirrored verbatim: salt hex ‖ 16-digit hex
     // minute ‖ path, one string sha256 per row on both engines

@@ -323,6 +323,30 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // KMV set algebra from registers alone: per-day active-user sketches
+    // (first 5 days, k=32), pairwise union/intersection/Jaccard estimates
+    // by re-ranked merge + inclusion-exclusion, exact intersection beside
+    "q65_kmv_setops" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(concat(lit("d"),
+            call_function("div", col("ts_us") - Jan1_24, lit(DayUs)).cast("string")).as("day"),
+          col("user_id"),
+          call_function("div", col("ts_us") - Jan1_24, lit(DayUs)).as("di"))
+        .filter(col("di") < 5).drop("di")
+      val regs = Sketches.kmvRegisters(ev, Seq("day"), "user_id", k = 32)
+      val ops = Sketches.kmvPairwiseOps(regs, "day", k = 32)
+      val du = ev.distinct()
+      val ex = du.select(col("day").as("ga"), col("user_id"))
+        .join(du.select(col("day").as("gb"), col("user_id")), "user_id")
+        .filter(col("ga") < col("gb"))
+        .groupBy("ga", "gb").agg(count(lit(1)).as("n_inter_exact"))
+      ops.join(ex, Seq("ga", "gb"), "left")
+        .select(col("ga"), col("gb"), col("a_est"), col("b_est"), col("union_est"),
+          col("inter_est"), col("jaccard_ppm"),
+          coalesce(col("n_inter_exact"), lit(0L)).as("n_inter_exact"))
+        .orderBy("ga", "gb")
+    }),
+
     // Z-order layout audit: Morton-interleave (user bucket, hour since
     // Jan 1) into 64 partitions; per-partition min/max of BOTH dims stay
     // tight — the footer stats a z-ordered 100 TB write would skip on
@@ -1373,6 +1397,12 @@ object SparkEntry {
   /** Bigram-LM fluency (mirrors Retrieval.bigramLmFluency): add-one
     * smoothing, mean bigram probability ppm, sub-bigram docs 0. Complete
     * SELECT without ORDER BY — composable as a parenthesized subquery. */
+  /** The KMV estimator as DuckDB SQL (mirrors Sketches.kmvEstExpr, k=32):
+    * exact below k, else (k−1)·2⁴⁰ // (h_k // 2²⁰). */
+  private def kmvEstCaseSql(nReg: String, hk: String): String =
+    s"CAST(CASE WHEN $nReg < 32 THEN $nReg ELSE (31 * (1::BIGINT << 40)) " +
+      s"// greatest($hk // (1::BIGINT << 20), 1) END AS BIGINT)"
+
   /** Integer-exact BM25 top-25 for terms (spark, join, shuffle) — the t13
     * oracle, also embedded as the lexical CTE of s7_hybrid_rrf:
     * idf = least((2(N−df)+1)·1e6 // (2df+1), 2e7) (Robertson idf argument
@@ -1776,6 +1806,44 @@ object SparkEntry {
         |SELECT x.event_type, x.n_exact,
         |  CAST(709 * ((4096 * (1::BIGINT << 41)) // s) // 1000 AS BIGINT) AS n_est
         |FROM x JOIN e USING (event_type) ORDER BY event_type""".stripMargin,
+
+    // KMV registers per day (k=32), pair merge re-ranked, estimates via
+    // the shared estimator CASE; exact intersection from the distinct
+    // (day, user) frame; inclusion-exclusion clamped at 0
+    "q65_kmv_setops" -> {
+      val est = kmvEstCaseSql _
+      s"""WITH ev AS (SELECT 'd' || CAST((epoch_us(ts) - $Jan1_24) // $DayUs AS VARCHAR) AS day,
+         |    user_id FROM events WHERE (epoch_us(ts) - $Jan1_24) // $DayUs < 5),
+         |h AS (SELECT DISTINCT day,
+         |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+         |  FROM ev),
+         |r AS (SELECT day, hv, ROW_NUMBER() OVER (PARTITION BY day ORDER BY hv) AS rn FROM h),
+         |reg AS (SELECT day, hv FROM r WHERE rn <= 32),
+         |e AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_reg, MAX(hv) AS hk
+         |  FROM reg GROUP BY 1),
+         |s AS (SELECT day, ${est("n_reg", "hk")} AS n_est FROM e),
+         |g AS (SELECT DISTINCT day FROM reg),
+         |pr AS (SELECT a.day AS ga, b.day AS gb FROM g a JOIN g b ON a.day < b.day),
+         |m AS (SELECT DISTINCT ga, gb, hv FROM (
+         |    SELECT pr.ga, pr.gb, reg.hv FROM pr JOIN reg ON reg.day = pr.ga
+         |    UNION ALL SELECT pr.ga, pr.gb, reg.hv FROM pr JOIN reg ON reg.day = pr.gb)),
+         |mr AS (SELECT ga, gb, hv,
+         |    ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY hv) AS rn FROM m),
+         |ue AS (SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS n_reg, MAX(hv) AS hk
+         |  FROM mr WHERE rn <= 32 GROUP BY 1, 2),
+         |un AS (SELECT ga, gb, ${est("n_reg", "hk")} AS union_est FROM ue),
+         |j AS (SELECT un.ga, un.gb, sa.n_est AS a_est, sb.n_est AS b_est, un.union_est,
+         |    greatest(sa.n_est + sb.n_est - un.union_est, 0) AS inter_est
+         |  FROM un JOIN s sa ON sa.day = un.ga JOIN s sb ON sb.day = un.gb),
+         |du AS (SELECT DISTINCT day, user_id FROM ev),
+         |x AS (SELECT a.day AS ga, b.day AS gb, CAST(COUNT(*) AS BIGINT) AS n_inter_exact
+         |  FROM du a JOIN du b ON a.user_id = b.user_id AND a.day < b.day GROUP BY 1, 2)
+         |SELECT j.ga, j.gb, j.a_est, j.b_est, j.union_est,
+         |  CAST(j.inter_est AS BIGINT) AS inter_est,
+         |  CAST(j.inter_est * 1000000 // greatest(j.union_est, 1) AS BIGINT) AS jaccard_ppm,
+         |  COALESCE(x.n_inter_exact, 0) AS n_inter_exact
+         |FROM j LEFT JOIN x USING (ga, gb) ORDER BY ga, gb""".stripMargin
+    },
 
     // Morton z = Σ_j ((x>>j & 1) << 2j) + ((y>>j & 1) << 2j+1) over 10-bit
     // coords (user bucket, hour since Jan 1); pid = top 6 z-bits

@@ -91,19 +91,56 @@ object Sketches {
       .filter(col("rank") <= k)
   }
 
-  /** Cardinality estimate from KMV registers: exact count while the group
-    * has fewer than `k` distinct hashes, else `(k−1)·2⁴⁰ ÷ (h_k ÷ 2²⁰)`
-    * (the classic `(k−1)/h_k` with the 60-bit hash down-scaled to 40 bits
-    * so the numerator stays in int64 for any practical `k`). */
+  /** The KMV estimator as an expression over a register count and the k-th
+    * smallest hash: exact below `k`, else `(k−1)·2⁴⁰ ÷ (h_k ÷ 2²⁰)` (the
+    * classic `(k−1)/h_k` with the 60-bit hash down-scaled to 40 bits so
+    * the numerator stays in int64 for any practical `k`). */
+  private def kmvEstExpr(nReg: Column, hk: Column, k: Int): Column =
+    when(nReg < k, nReg)
+      .otherwise(ldiv(
+        lit((k - 1).toLong * (1L << 40)),
+        greatest(ldiv(hk, lit(1L << 20)), lit(1L))))
+
+  /** Cardinality estimate from KMV registers. */
   def kmvEstimate(regs: DataFrame, groupCols: Seq[String], k: Int): DataFrame = {
     val agg = regs.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_reg"), max(col("hv")).as("hk"))
     agg.select(groupCols.map(col) :+
-      when(col("n_reg") < k, col("n_reg"))
-        .otherwise(ldiv(
-          lit((k - 1).toLong * (1L << 40)),
-          greatest(ldiv(col("hk"), lit(1L << 20)), lit(1L))))
-        .as("n_est"): _*)
+      kmvEstExpr(col("n_reg"), col("hk"), k).as("n_est"): _*)
+  }
+
+  /** Pairwise set-operation estimates across the sketch groups, from the
+    * registers ALONE (the raw sets are never revisited — this is the point
+    * of sketch composition): for every group pair `ga < gb`,
+    * `union_est` from the merged (re-ranked) registers, `inter_est` by
+    * inclusion–exclusion `max(a + b − union, 0)`, and the derived
+    * `jaccard_ppm = inter·10⁶ ÷ union`. Frame sizes are
+    * `pairs × 2k` rows throughout — trivial for any group count a sketch
+    * summary would be built over. */
+  def kmvPairwiseOps(regs: DataFrame, groupCol: String, k: Int): DataFrame = {
+    val single = kmvEstimate(regs, Seq(groupCol), k)
+    val groups = regs.select(col(groupCol).as("ga")).distinct()
+    val pairs = groups.join(groups.select(col("ga").as("gb")), col("ga") < col("gb"))
+    val ra = pairs.join(regs.select(col(groupCol).as("ga"), col("hv")), Seq("ga"))
+    val rb = pairs.join(regs.select(col(groupCol).as("gb"), col("hv")), Seq("gb"))
+    val merged = ra.select(col("ga"), col("gb"), col("hv"))
+      .union(rb.select(col("ga"), col("gb"), col("hv")))
+      .distinct()
+    val w = Window.partitionBy(col("ga"), col("gb")).orderBy(col("hv"))
+    val unionEst = merged
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .groupBy("ga", "gb")
+      .agg(count(lit(1)).as("n_reg"), max(col("hv")).as("hk"))
+      .select(col("ga"), col("gb"),
+        kmvEstExpr(col("n_reg"), col("hk"), k).as("union_est"))
+    val inter = unionEst
+      .join(single.select(col(groupCol).as("ga"), col("n_est").as("a_est")), Seq("ga"))
+      .join(single.select(col(groupCol).as("gb"), col("n_est").as("b_est")), Seq("gb"))
+      .select(col("ga"), col("gb"), col("a_est"), col("b_est"), col("union_est"),
+        greatest(col("a_est") + col("b_est") - col("union_est"), lit(0L)).as("inter_est"))
+    inter.withColumn("jaccard_ppm",
+      ldiv(col("inter_est") * 1000000L, greatest(col("union_est"), lit(1L))))
   }
 
   // ------------------------------------------------------------------

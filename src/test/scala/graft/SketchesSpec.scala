@@ -34,6 +34,33 @@ class SketchesSpec extends SparkSpec {
       .count() shouldBe 0L
   }
 
+  "Sketches.kmvPairwiseOps" should "estimate union/intersection from registers alone" in {
+    // g1 = 1..200, g2 = 101..300 → |∩| = 100, |∪| = 300, J = 1/3
+    val two = ((1 to 200).map(i => ("a", s"v$i")) ++
+      (101 to 300).map(i => ("b", s"v$i"))).toDF("g", "v")
+    val regs = Sketches.kmvRegisters(two, Seq("g"), "v", k = 64)
+    val r = Sketches.kmvPairwiseOps(regs, "g", k = 64)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+    r should have length 1
+    val (ga, gb, aEst, bEst, unionEst, interEst, jac) = r.head
+    (ga, gb) shouldBe (("a", "b"))
+    aEst should be(200L +- 80L)
+    bEst should be(200L +- 80L)
+    unionEst should be(300L +- 110L) // ~3σ at k=64
+    interEst should be(100L +- 100L) // inclusion-exclusion compounds error
+    jac should be(333333L +- 300000L)
+  }
+
+  it should "report disjoint groups as near-zero intersection" in {
+    val two = ((1 to 150).map(i => ("a", s"x$i")) ++
+      (1 to 150).map(i => ("b", s"y$i"))).toDF("g", "v")
+    val regs = Sketches.kmvRegisters(two, Seq("g"), "v", k = 64)
+    val r = Sketches.kmvPairwiseOps(regs, "g", k = 64)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().head
+    r._6 should be <= 60L // inter_est ≈ 0 (clamped, small-error band)
+    r._5 should be(300L +- 110L)
+  }
+
   "Sketches.cms" should "never underestimate and be exact without collisions" in {
     val rows = Seq.tabulate(100)(i => (s"k${i % 5}", 1L)).toDF("k", "w")
     val cms = Sketches.cmsBuild(rows, col("k"), col("w"), depth = 4, width = 1024)

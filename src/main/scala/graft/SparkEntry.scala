@@ -1212,6 +1212,17 @@ object SparkEntry {
       val edges = bt.union(bt.select(col("dst").as("src"), col("src").as("dst")))
       GraphAlgorithms.pageRankPpm(s, edges, iterations = 10)
         .orderBy("vertex")
+    }),
+
+    // deterministic label propagation (plurality label, smallest-label
+    // tie-break, 3 synchronous rounds) over the brand↔type graph
+    "q66_label_prop" -> ((s, d) => {
+      val bt = Tables.part(s, d).select(
+        concat(lit("b:"), col("p_brand")).as("src"),
+        concat(lit("t:"), col("p_type")).as("dst"))
+      val edges = bt.union(bt.select(col("dst").as("src"), col("src").as("dst")))
+      GraphAlgorithms.labelPropagation(s, edges, iterations = 3)
+        .orderBy("vertex")
     })
   )
 
@@ -2729,7 +2740,9 @@ object SparkEntry {
         |FROM pairs WHERE levenshtein(name_a, name_b) <= 3
         |ORDER BY name_a, name_b""".stripMargin,
 
-    "q35_pagerank" -> pageRankSql(iterations = 10, dampingPpm = 850000L)
+    "q35_pagerank" -> pageRankSql(iterations = 10, dampingPpm = 850000L),
+
+    "q66_label_prop" -> labelPropSql(iterations = 3)
   )
 
   /** Unrolled fixed-iteration PageRank oracle over the brand↔type graph —
@@ -2737,6 +2750,34 @@ object SparkEntry {
     * loop performs appears literally, so ranks match bit-for-bit. DuckDB
     * `//` on non-negative integers ≡ Spark `div`; SUM returns HUGEINT, cast
     * back to BIGINT after the damped product. */
+  /** Unrolled fixed-iteration label propagation over the brand↔type graph
+    * — each round is neighbor-label counts, per-vertex plurality pick
+    * (count desc, label asc — ASCII byte order, identical collation both
+    * engines) and a keep-own-label fallback for isolated vertices. */
+  private def labelPropSql(iterations: Int): String = {
+    val iters = (1 to iterations).map { i =>
+      s"""l$i AS (SELECT l.vertex, COALESCE(p.label, l.label) AS label
+         |  FROM l${i - 1} l LEFT JOIN (
+         |    SELECT vertex, label FROM (
+         |      SELECT n.vertex, n.label,
+         |        ROW_NUMBER() OVER (PARTITION BY n.vertex
+         |          ORDER BY n.n DESC, n.label) AS rn
+         |      FROM (SELECT e.dst AS vertex, p.label, COUNT(*) AS n
+         |            FROM e JOIN l${i - 1} p ON p.vertex = e.src
+         |            GROUP BY e.dst, p.label) n)
+         |    WHERE rn = 1) p ON p.vertex = l.vertex)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH eraw AS (
+       |  SELECT 'b:' || p_brand AS src, 't:' || p_type AS dst FROM part
+       |  UNION ALL
+       |  SELECT 't:' || p_type AS src, 'b:' || p_brand AS dst FROM part),
+       |e AS (SELECT DISTINCT src, dst FROM eraw WHERE src <> dst),
+       |v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
+       |l0 AS (SELECT vertex, vertex AS label FROM v),
+       |$iters
+       |SELECT vertex, label FROM l$iterations ORDER BY vertex""".stripMargin
+  }
+
   private def pageRankSql(iterations: Int, dampingPpm: Long): String = {
     val base = 1000000L - dampingPpm
     val iters = (1 to iterations).map { i =>

@@ -325,6 +325,61 @@ object GraphAlgorithms {
       .drop("support")
   }
 
+  /** Deterministic synchronous label propagation (Raghavan et al. 2007) —
+    * community detection one level finer than connected components: labels
+    * start as vertex ids and each round every vertex adopts the PLURALITY
+    * label among its neighbors (most frequent; ties broken by smallest
+    * label — the determinism fix over the randomized original), running a
+    * FIXED number of synchronous rounds. Isolated vertices keep their own
+    * label. Because rounds, update order and tie-breaks are all fixed, the
+    * result is bit-stable across partitionings and engines (oracle-able as
+    * unrolled CTEs, like PageRank).
+    *
+    * Scale shape per round: one equi-join (edges × labels, shuffled on the
+    * vertex key) + one partial-agg'd count + one per-vertex top-1 — which
+    * compiles to WindowGroupLimit (per-partition top-1 before the merge),
+    * so the (vertex, label, n) frame is never globally sorted. Labels
+    * frames re-read next round are lineage-truncated on the checkpoint
+    * cadence. */
+  def labelPropagation(
+      spark: SparkSession,
+      edges: DataFrame,
+      iterations: Int = 3,
+      checkpointInterval: Int = 4): DataFrame = {
+    require(iterations > 0 && checkpointInterval > 0,
+      "iterations and checkpointInterval must be positive")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val vertices = e.select(col("src").as("vertex"))
+      .union(e.select(col("dst").as("vertex")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = vertices.withColumn("label", col("vertex"))
+    var it = 0
+    while (it < iterations) {
+      val counts = e.join(labels, e("src") === labels("vertex"))
+        .select(col("dst").as("vertex"), col("label"))
+        .groupBy("vertex", "label")
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vertex"))
+        .orderBy(col("n").desc, col("label"))
+      val pick = counts
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vertex"), col("label").as("new_label"))
+      labels = labels.join(pick, Seq("vertex"), "left")
+        .select(col("vertex"),
+          coalesce(col("new_label"), col("label")).as("label"))
+      it += 1
+      if (it % checkpointInterval == 0 && it < iterations)
+        labels = labels.localCheckpoint(true)
+    }
+    labels
+  }
+
   def triangleCount(edges: DataFrame): DataFrame = {
     // canonical undirected edge set (a < b), self-loops dropped
     val und = edges

@@ -498,6 +498,26 @@ class GraphSpec extends SparkSpec {
     cc.map(_._2).distinct shouldBe Array("1")
   }
 
+  "labelPropagation" should "split bridged triangles into two communities" in {
+    // two triangles joined by one bridge; symmetric (undirected) input
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val r = GraphAlgorithms.labelPropagation(spark, edges, iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    // hand-traced synchronous rounds with (count desc, label asc) ties:
+    // l3 = {1,2,3}→1 and {4,5,6}→3
+    Seq(1L, 2L, 3L).map(r) shouldBe Seq(1L, 1L, 1L)
+    Seq(4L, 5L, 6L).map(r) shouldBe Seq(3L, 3L, 3L)
+  }
+
+  it should "keep the own label when a vertex has no incoming edge" in {
+    val r = GraphAlgorithms.labelPropagation(spark,
+        Seq((7L, 8L)).toDF("src", "dst"), iterations = 2)
+      .as[(Long, Long)].collect().toMap
+    r(7L) shouldBe 7L // no in-neighbors → keeps its own label every round
+    r(8L) shouldBe 7L
+  }
+
   "triangleCount" should "count exactly on hand-verifiable graphs" in {
     // K4: C(4,3) = 4 triangles; given as directed/dup/self-loop-noisy input
     val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a != b } yield (a, b))

@@ -323,6 +323,13 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // single-scan column profile (row-local explode, two partial-agg'd
+    // shuffles): nulls, distincts, string min/max, plurality top value
+    "q67_profile" -> ((s, d) => {
+      Analytics.profile(Tables.events(s, d), Seq("event_type", "user_id", "props"))
+        .orderBy("col_name")
+    }),
+
     // KMV set algebra from registers alone: per-day active-user sketches
     // (first 5 days, k=32), pairwise union/intersection/Jaccard estimates
     // by re-ranked merge + inclusion-exclusion, exact intersection beside
@@ -1817,6 +1824,27 @@ object SparkEntry {
         |SELECT x.event_type, x.n_exact,
         |  CAST(709 * ((4096 * (1::BIGINT << 41)) // s) // 1000 AS BIGINT) AS n_est
         |FROM x JOIN e USING (event_type) ORDER BY event_type""".stripMargin,
+
+    // tall per-column frame (stringified), base stats + plurality top
+    // value with (count desc, value asc) tie-break
+    "q67_profile" ->
+      """WITH tall AS (
+        |  SELECT 'event_type' AS col_name, event_type AS v FROM events
+        |  UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+        |  UNION ALL SELECT 'props', props FROM events),
+        |base AS (SELECT col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |    CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+        |    MIN(v) AS v_min, MAX(v) AS v_max
+        |  FROM tall GROUP BY 1),
+        |t AS (SELECT col_name, v, COUNT(*) AS n FROM tall
+        |  WHERE v IS NOT NULL GROUP BY 1, 2),
+        |tp AS (SELECT col_name, v AS top_value, CAST(n AS BIGINT) AS top_n
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY col_name
+        |          ORDER BY n DESC, v) AS rn FROM t) WHERE rn = 1)
+        |SELECT base.col_name, base.n_rows, base.n_null, base.n_distinct,
+        |  base.v_min, base.v_max, tp.top_value, tp.top_n
+        |FROM base LEFT JOIN tp USING (col_name) ORDER BY col_name""".stripMargin,
 
     // KMV registers per day (k=32), pair merge re-ranked, estimates via
     // the shared estimator CASE; exact intersection from the distinct

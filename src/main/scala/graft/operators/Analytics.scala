@@ -15,6 +15,39 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
+  /** Column profile — the first query anyone runs on a new 100 TB table:
+    * per column, row/null/distinct counts, lexicographic min/max of the
+    * stringified values, and the most frequent value (plurality; ties by
+    * smallest value, so the result is deterministic).
+    *
+    * Scale shape: ONE scan of the table — the per-column tall frame comes
+    * from a row-local `explode(array(struct...))`, not one scan per column
+    * — then two partial-agg'd shuffles keyed by (column) and
+    * (column, value); the top-1 rank compiles to WindowGroupLimit. All
+    * values compare as strings (cast documented in the output contract);
+    * profile doubles via quantized longs if exact numeric order matters. */
+  def profile(df: org.apache.spark.sql.DataFrame, cols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    val tall = df
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("e"))
+      .select(col("e.c").as("col_name"), col("e.v").as("v"))
+    val base = tall.groupBy("col_name").agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+      count_distinct(col("v")).as("n_distinct"),
+      min(col("v")).as("v_min"),
+      max(col("v")).as("v_max"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("col_name")).orderBy(col("n").desc, col("v"))
+    val top = tall.filter(col("v").isNotNull)
+      .groupBy("col_name", "v").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("col_name"), col("v").as("top_value"), col("n").as("top_n"))
+    base.join(top, Seq("col_name"), "left")
+  }
+
   /** Ordered funnel: for each entity, how deep into `stages` (event types
     * that must occur in strictly increasing event-time order) it progressed.
     * Returns `(stage, n_entities)` — entities whose FURTHEST ordered stage

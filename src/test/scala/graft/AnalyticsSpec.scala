@@ -10,6 +10,23 @@ class AnalyticsSpec extends SparkSpec {
 
   private val DayUs = 24L * 3600 * 1000000L
 
+  "Analytics.profile" should "report nulls, distincts, bounds and deterministic top value" in {
+    val df = Seq(
+      (Some("b"), 10L), (Some("a"), 10L), (Some("a"), 20L),
+      (None, 30L), (Some("b"), 40L))
+      .toDF("s", "n")
+    val r = Analytics.profile(df, Seq("s", "n"))
+      .as[(String, Long, Long, Long, String, String, String, Long)]
+      .collect().map(t => t._1 -> t).toMap
+    val s = r("s")
+    (s._2, s._3, s._4) shouldBe ((5L, 1L, 2L)) // rows, nulls, distincts
+    (s._5, s._6) shouldBe (("a", "b"))
+    (s._7, s._8) shouldBe (("a", 2L)) // a/b tie on 2 → smallest value wins
+    val n = r("n")
+    (n._2, n._3, n._4) shouldBe ((5L, 0L, 4L))
+    (n._7, n._8) shouldBe (("10", 2L)) // stringified longs
+  }
+
   "Analytics.funnel" should "count entities by furthest strictly-ordered stage" in {
     val events = Seq(
       (1L, "click", 1L), (1L, "view", 2L), (1L, "purchase", 3L), // full funnel

@@ -323,6 +323,19 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Bloom runtime-filter join: lineitem rows pruned row-locally against
+    // a 256-word bloom of high-value order keys BEFORE the shuffle; FPs
+    // die in the join, so the oracle is the PLAIN join — the sketch only
+    // cuts shuffled bytes
+    "q68_bloom_join" -> ((s, d) => {
+      val hot = Tables.orders(s, d).filter(col("o_totalprice") > 450000.0)
+      Sketches.bloomPrunedJoin(hot, Tables.lineitem(s, d),
+          "o_orderkey", "l_orderkey", words = 256, hashes = 3)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), qSum(col("l_extendedprice"), "sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     // single-scan column profile (row-local explode, two partial-agg'd
     // shuffles): nulls, distincts, string min/max, plurality top value
     "q67_profile" -> ((s, d) => {
@@ -1824,6 +1837,14 @@ object SparkEntry {
         |SELECT x.event_type, x.n_exact,
         |  CAST(709 * ((4096 * (1::BIGINT << 41)) // s) // 1000 AS BIGINT) AS n_est
         |FROM x JOIN e USING (event_type) ORDER BY event_type""".stripMargin,
+
+    // the PLAIN join — bloom false positives cannot change the result
+    "q68_bloom_join" ->
+      s"""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+         |  ${qSumSql("l_extendedprice", "sum_price")}
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_totalprice > 450000
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // tall per-column frame (stringified), base stats + plurality top
     // value with (count desc, value asc) tie-break

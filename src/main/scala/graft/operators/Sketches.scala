@@ -237,6 +237,49 @@ object Sketches {
       .agg((sum(col("hit")) === hashes.toLong).as("maybe_present"))
   }
 
+  /** Row-local membership test against a MATERIALIZED bloom (the `words`
+    * bit-words as a literal array): true iff all `hashes` positions are
+    * set. A pure codegen'd expression — no join, no shuffle — which is
+    * what makes the bloom usable as a pre-shuffle runtime filter. */
+  def bloomFilterColumn(
+      bits: Array[Long],
+      key: Column,
+      hashes: Int): Column = {
+    val m = bits.length.toLong * 60L
+    val arr = lit(bits)
+    (0 until hashes).map { i =>
+      val pos = seededHash(lit(i), key) % m
+      (element_at(arr, (ldiv(pos, lit(60L)) + 1L).cast("int"))
+        .bitwiseAND(pow2(pos % 60L))) =!= 0L
+    }.reduce(_ && _)
+  }
+
+  /** Bloom-pruned equi-join — the runtime-filter pattern: build a bloom
+    * over the (already filtered, selective) build side's keys, drop probe
+    * rows whose key misses it BEFORE the shuffle, then join. False
+    * positives pass the filter and are eliminated by the join itself, so
+    * the result is EXACTLY the plain join — the sketch only cuts shuffled
+    * bytes (here by the build side's selectivity; Spark's own AQE bloom
+    * pushdown is the same move, this makes it explicit and portable).
+    *
+    * The filter materializes driver-side — bounded at 8·`words` bytes by
+    * the constructor argument, the same bounded-collect discipline as a
+    * broadcast threshold. */
+  def bloomPrunedJoin(
+      build: DataFrame,
+      probe: DataFrame,
+      buildKey: String,
+      probeKey: String,
+      words: Int,
+      hashes: Int): DataFrame = {
+    val rows = bloomBuild(build, col(buildKey), words, hashes).collect()
+    val bits = new Array[Long](words)
+    rows.foreach(r => bits(r.getLong(0).toInt) = r.getLong(1))
+    probe
+      .filter(bloomFilterColumn(bits, col(probeKey), hashes))
+      .join(build, col(probeKey) === col(buildKey))
+  }
+
   // ------------------------------------------------------------------
   // HLL — HyperLogLog distinct sketch (Flajolet et al. 2007), integer form
   // ------------------------------------------------------------------

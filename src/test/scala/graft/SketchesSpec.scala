@@ -110,6 +110,27 @@ class SketchesSpec extends SparkSpec {
     direct.except(merged).count() shouldBe 0L
   }
 
+  "Sketches.bloomPrunedJoin" should "equal the plain join while pruning the probe" in {
+    val build = (1 to 50).map(i => (i.toLong * 7, s"b$i")).toDF("bk", "bv")
+    val probe = (1 to 2000).map(i => (i.toLong, s"p$i")).toDF("pk", "pv")
+    val pruned = Sketches.bloomPrunedJoin(build, probe, "bk", "pk", words = 64, hashes = 3)
+      .select("pk", "pv", "bk", "bv")
+    val plain = probe.join(build, col("pk") === col("bk")).select("pk", "pv", "bk", "bv")
+    pruned.except(plain).count() shouldBe 0L
+    plain.except(pruned).count() shouldBe 0L
+    pruned.count() shouldBe 50L
+    // the row-local filter actually prunes: far fewer probe rows survive
+    val kept = probe.filter(Sketches.bloomFilterColumn(
+      Sketches.bloomBuild(build, col("bk"), 64, 3).collect()
+        .foldLeft(new Array[Long](64)) { (a, r) => a(r.getLong(0).toInt) = r.getLong(1); a },
+      col("pk"), 3)).count()
+    kept should be < 400L // 50 members + ~5% FP of 2000
+    // and pruning is pure expression work — no exchange before the join
+    val probePlan = probe.filter(Sketches.bloomFilterColumn(
+      new Array[Long](64), col("pk"), 3)).queryExecution.executedPlan.toString
+    probePlan should not include "Exchange"
+  }
+
   "Sketches.hll" should "estimate within HLL error and merge by max register" in {
     val many = (1 to 2000).map(i => ("g", s"v$i")).toDF("g", "v")
     val est = Sketches.hllEstimate(

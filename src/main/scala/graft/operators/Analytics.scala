@@ -22,26 +22,33 @@ object Analytics {
     *
     * Scale shape: ONE scan of the table — the per-column tall frame comes
     * from a row-local `explode(array(struct...))`, not one scan per column
-    * — then two partial-agg'd shuffles keyed by (column) and
-    * (column, value); the top-1 rank compiles to WindowGroupLimit. All
+    * — into ONE partial-agg'd shuffle keyed (column, value). Every other
+    * stat derives from that value-count frame (row count = Σn, distincts =
+    * its non-null row count, nulls = the null group's n, bounds = min/max
+    * over its keys, top value = its top-1 rank → WindowGroupLimit), so the
+    * frame both consumers re-read is PROFILE-sized (distinct values), not
+    * corpus-sized — checkpointed once per the repo's re-read rule. All
     * values compare as strings (cast documented in the output contract);
-    * profile doubles via quantized longs if exact numeric order matters. */
+    * profile doubles via quantized longs if exact numeric order matters.
+    * Guarded by PlanShapeSpec: the final plan contains no second scan. */
   def profile(df: org.apache.spark.sql.DataFrame, cols: Seq[String]): org.apache.spark.sql.DataFrame = {
     require(cols.nonEmpty, "need at least one column to profile")
-    val tall = df
+    val t = df
       .select(explode(array(cols.map(c =>
         struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("e"))
       .select(col("e.c").as("col_name"), col("e.v").as("v"))
-    val base = tall.groupBy("col_name").agg(
-      count(lit(1)).as("n_rows"),
-      sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
-      count_distinct(col("v")).as("n_distinct"),
+      .groupBy("col_name", "v")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val base = t.groupBy("col_name").agg(
+      sum(col("n")).as("n_rows"),
+      coalesce(sum(when(col("v").isNull, col("n"))), lit(0L)).as("n_null"),
+      count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
       min(col("v")).as("v_min"),
       max(col("v")).as("v_max"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("col_name")).orderBy(col("n").desc, col("v"))
-    val top = tall.filter(col("v").isNotNull)
-      .groupBy("col_name", "v").agg(count(lit(1)).as("n"))
+    val top = t.filter(col("v").isNotNull)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("col_name"), col("v").as("top_value"), col("n").as("top_n"))

@@ -68,7 +68,17 @@ object PlanAudit {
     "t13_bm25_search" -> "inverted-index shape: the explode keeps ONLY query-term tokens (filter inside the scan projection), so the tf shuffle moves matching tokens, never the corpus; term df + corpus stats broadcast (<=|terms| rows); final top-k is TakeOrdered, no global sort",
     "t14_lm_fluency" -> "bigram LM: native one-pass gram list at scan speed; model = two chained partial-agg'd shuffles ((w1,w2) then w1); scoring joins distinct-bigrams-per-doc (pre-aggregated), not tokens — the hot-prefix skew edge is AQE's runtime skew split",
     "s6_dsir_importance" -> "hashed-feature importance: features pre-agg per (doc, bucket); bucket stats ONE partial-agg'd shuffle on <=8192 keys; weight table broadcast back — the corpus is never joined fact-to-fact",
-    "d14_repeated_spans" -> "native one-pass gram list + ONE partial-agg'd shuffle on the gram (count/distinct-doc/min share the grouping); df>=minDf prunes the vocabulary tail before a TakeOrdered top-k")
+    "d14_repeated_spans" -> "native one-pass gram list + ONE partial-agg'd shuffle on the gram (count/distinct-doc/min share the grouping); df>=minDf prunes the vocabulary tail before a TakeOrdered top-k",
+    "q60_kmv_distinct" -> "KMV registers: distinct partial-agg on (group, hash), rank<=k compiles to WindowGroupLimit (per-partition top-k before the merge) — the distinct hash set is never globally sorted; estimator is one tiny per-group agg",
+    "q61_cms_counts" -> "CMS: depth-way explode map-side combined into ONE partial-agg'd shuffle on <=depth*width register keys; probes broadcast-join the finished sketch — the stream/corpus is never rescanned per probe",
+    "q62_bloom_membership" -> "bloom build is one partial-agg'd bit_or on <=words keys; the probe joins the <=words-row filter broadcast — membership is per-row bit math, no shuffle of the probe beyond its own distinct",
+    "q63_hll_distinct" -> "HLL: ONE partial-agg'd shuffle on <=m register keys per group (no distinct pre-pass needed — max rho absorbs duplicates); estimate is a per-group integer fold, empty registers handled arithmetically (no m-row fill join)",
+    "q64_zorder_layout" -> "z-value is literal-shift integer math inside whole-stage codegen (zero shuffle); ONE partial-agg'd shuffle on <=partitions keys for the footer stats — at a real write the same value feeds repartitionByRange + sortWithinPartitions",
+    "q65_kmv_setops" -> "set algebra runs on REGISTERS (pairs x 2k rows), never the corpus: one re-rank window per pair for the union sketch, inclusion-exclusion is row arithmetic; the only corpus-sized work is the one distinct building the base sketches",
+    "q66_label_prop" -> "per round: edges x labels equi-join co-partitioned on the vertex key, plurality pick is a partial-agg'd count + WindowGroupLimit top-1 — no global sort; labels checkpoint on cadence so lineage stays flat",
+    "q67_profile" -> "single scan: row-local explode to (column, value), ONE partial-agg'd shuffle to value counts (profile-sized, checkpointed); every stat derives from that frame — base stats as a chained agg, top value as WindowGroupLimit top-1",
+    "q68_bloom_join" -> "runtime-filter join: build-side bloom collects to a bounded literal array, probe rows die in a row-local codegen'd filter BEFORE the shuffle — shuffled bytes scale with the build side's selectivity, and FPs are eliminated by the join itself",
+    "s7_hybrid_rrf" -> "fusion runs on top-k lists (hundreds of rows): the rankers keep their own bounded shapes (BM25 never shuffles the corpus, ANN broadcasts queries); RRF is a union + one tiny agg")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -323,6 +323,32 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // mergeable log-histogram quantile sketch (8 sub-buckets per octave,
+    // ≤12.5% relative error) vs the exact deterministic k-th smallest —
+    // both via the same ceiling-rank rule over cumulative counts
+    "q69_quantile_sketch" -> ((s, d) => {
+      val qs = Seq(500000L, 900000L, 990000L)
+      val vals = Tables.events(s, d)
+        .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      val sk = Sketches.logHistSketch(vals, Seq("event_type"), "cents", s = 3)
+      val est = Sketches.logHistQuantiles(sk, Seq("event_type"), qs, s = 3)
+      val cw = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = vals.groupBy("event_type", "cents").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(cw))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+      val exact = cum
+        .select(col("event_type"), col("cents"), col("cum"), col("n"),
+          explode(array(qs.map(lit): _*)).as("q_ppm"))
+        .filter(col("cum") >= greatest(
+          call_function("div", col("q_ppm") * col("n") + 999999L, lit(1000000L)), lit(1L)))
+        .groupBy("event_type", "q_ppm")
+        .agg(min(col("cents")).as("q_exact"))
+      est.join(exact, Seq("event_type", "q_ppm"))
+        .select(col("event_type"), col("q_ppm"), col("q_est"), col("q_exact"))
+        .orderBy("event_type", "q_ppm")
+    }),
+
     // Bloom runtime-filter join: lineitem rows pruned row-locally against
     // a 256-word bloom of high-value order keys BEFORE the shuffle; FPs
     // die in the join, so the oracle is the PLAIN join — the sketch only
@@ -1837,6 +1863,38 @@ object SparkEntry {
         |SELECT x.event_type, x.n_exact,
         |  CAST(709 * ((4096 * (1::BIGINT << 41)) // s) // 1000 AS BIGINT) AS n_est
         |FROM x JOIN e USING (event_type) ORDER BY event_type""".stripMargin,
+
+    // same ceiling-rank rule on both frames: bucket-id cumsum for the
+    // estimate, exact value cumsum for the truth; bucket lower bound
+    // reconstructed by the shared integer formula
+    "q69_quantile_sketch" ->
+      s"""WITH v AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents
+         |  FROM events),
+         |g AS (SELECT DISTINCT event_type FROM v),
+         |qq AS (SELECT event_type, unnest([500000, 900000, 990000]) AS q_ppm FROM g),
+         |sk AS (SELECT event_type, ${Sketches.logBucketSql("cents", 3)} AS id,
+         |    COUNT(*) AS cnt FROM v GROUP BY 1, 2),
+         |sc AS (SELECT event_type, id,
+         |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |    CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM sk),
+         |est AS (SELECT qq.event_type, qq.q_ppm, MIN(sc.id) AS id
+         |  FROM qq JOIN sc ON sc.event_type = qq.event_type
+         |    AND sc.cum >= greatest((qq.q_ppm * sc.n + 999999) // 1000000, 1)
+         |  GROUP BY 1, 2),
+         |cc AS (SELECT event_type, cents,
+         |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |    CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+         |  FROM (SELECT event_type, cents, COUNT(*) AS cnt FROM v GROUP BY 1, 2)),
+         |ex AS (SELECT qq.event_type, qq.q_ppm, MIN(cc.cents) AS q_exact
+         |  FROM qq JOIN cc ON cc.event_type = qq.event_type
+         |    AND cc.cum >= greatest((qq.q_ppm * cc.n + 999999) // 1000000, 1)
+         |  GROUP BY 1, 2)
+         |SELECT est.event_type, CAST(est.q_ppm AS BIGINT) AS q_ppm,
+         |  ${Sketches.logBucketLowSql("est.id", 3)} AS q_est, ex.q_exact
+         |FROM est JOIN ex USING (event_type, q_ppm)
+         |ORDER BY event_type, q_ppm""".stripMargin,
 
     // the PLAIN join — bloom false positives cannot change the result
     "q68_bloom_join" ->

@@ -281,6 +281,87 @@ object Sketches {
   }
 
   // ------------------------------------------------------------------
+  // Log-histogram — mergeable quantile sketch (DDSketch-shaped, integer)
+  // ------------------------------------------------------------------
+
+  /** Log-histogram bucket id of a non-negative long, with `2^s` linear
+    * sub-buckets per octave (DDSketch's relative-accuracy idea in exact
+    * integer form): values below `2^s` map to themselves (exact), larger
+    * values to `(bitlength−s)·2^s + (v >> (bitlength−1−s)) − 2^s`. Ids are
+    * contiguous and order-preserving; relative bucket width ≤ `2^−s`.
+    * `bitlength` is `length(bin(v))` — exact on both engines. */
+  def logBucket(v: Column, s: Int): Column = {
+    val e = length(bin(v))
+    when(v < (1L << s), v)
+      .otherwise((e - s).cast("long") * (1L << s) +
+        call_function("shiftright", v, (e - 1 - s).cast("int")) - (1L << s))
+  }
+
+  /** Inclusive lower bound of a bucket id — the deterministic
+    * representative a quantile lookup returns. */
+  def logBucketLow(id: Column, s: Int): Column = {
+    val k = call_function("shiftright", id, lit(s))
+    val sub = id.bitwiseAND((1L << s) - 1L)
+    when(id < (1L << s), id)
+      .otherwise(pow2(k + (s - 1)) + call_function("shiftleft", sub, (k - 1).cast("int")))
+  }
+
+  /** The same bucket id / lower bound as ANSI SQL (for oracles). */
+  def logBucketSql(v: String, s: Int): String =
+    s"(CASE WHEN $v < ${1L << s} THEN $v ELSE " +
+      s"(length(bin($v)) - $s) * ${1L << s} + " +
+      s"($v >> CAST(length(bin($v)) - ${1 + s} AS INTEGER)) - ${1L << s} END)"
+
+  def logBucketLowSql(id: String, s: Int): String =
+    s"(CASE WHEN $id < ${1L << s} THEN $id ELSE " +
+      s"(1::BIGINT << CAST(($id >> $s) + ${s - 1} AS INTEGER)) + " +
+      s"(($id & ${(1L << s) - 1}) << CAST(($id >> $s) - 1 AS INTEGER)) END)"
+
+  /** Quantile-sketch registers per group: `(groupCols…, id, cnt)` — one
+    * partial-agg'd shuffle on ≤ a-few-hundred bucket keys per group
+    * (64·2^s buckets cover the full long range). Merge = sum per
+    * (group, id). Values must be non-negative longs — quantize doubles
+    * first (the repo-wide ×100/×1000 convention). */
+  def logHistSketch(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      s: Int = 3): DataFrame = {
+    require(s >= 1 && s <= 6, "sub-bucket bits s must be in [1, 6]")
+    val g = groupCols.map(col)
+    df.select(g :+ logBucket(col(valueCol), s).as("id"): _*)
+      .groupBy(g :+ col("id"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile estimates from the sketch: for each requested ppm quantile,
+    * the lower bound of the first bucket whose cumulative count reaches
+    * `k = ⌈q·n⌉` (exact integer ceiling). Relative error ≤ the bucket
+    * width `2^−s`. The cumulative window runs over register rows (hundreds
+    * per group), never the data. */
+  def logHistQuantiles(
+      sketch: DataFrame,
+      groupCols: Seq[String],
+      quantilesPpm: Seq[Long],
+      s: Int = 3): DataFrame = {
+    require(quantilesPpm.nonEmpty, "need at least one quantile")
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sketch
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(g: _*)))
+    val qs = explode(array(quantilesPpm.map(lit): _*)).as("q_ppm")
+    cum.select(g ++ Seq(col("id"), col("cum"), col("n")): _*)
+      .select(g ++ Seq(col("id"), col("cum"), col("n"), qs): _*)
+      .filter(col("cum") >=
+        greatest(ldiv(col("q_ppm") * col("n") + 999999L, lit(1000000L)), lit(1L)))
+      .groupBy(g :+ col("q_ppm"): _*)
+      .agg(min(col("id")).as("id"))
+      .select(g ++ Seq(col("q_ppm"), logBucketLow(col("id"), s).as("q_est")): _*)
+  }
+
+  // ------------------------------------------------------------------
   // HLL — HyperLogLog distinct sketch (Flajolet et al. 2007), integer form
   // ------------------------------------------------------------------
 

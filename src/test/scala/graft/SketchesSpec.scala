@@ -131,6 +131,38 @@ class SketchesSpec extends SparkSpec {
     probePlan should not include "Exchange"
   }
 
+  "Sketches.logHist" should "bucket order-preservingly within 2^-s relative error" in {
+    val vs = (Seq(0L, 1L, 7L, 8L, 9L, 100L, 1023L, 1024L) ++
+      (1 to 50).map(i => i.toLong * 997)).toDF("v")
+    val r = vs.select(col("v"), Sketches.logBucket(col("v"), 3).as("id"))
+      .withColumn("lb", Sketches.logBucketLow(col("id"), 3))
+      .as[(Long, Long, Long)].collect()
+    r.foreach { case (v, _, lb) =>
+      lb should be <= v
+      if (v >= 8) (v - lb).toDouble / v should be <= 0.125 // 2^-3
+      else lb shouldBe v // sub-2^s values exact
+    }
+    // order-preserving: sorting by id never inverts value order across buckets
+    val sorted = r.sortBy(_._1)
+    sorted.map(_._2) shouldBe sorted.map(_._2).sorted
+  }
+
+  it should "estimate quantiles within bucket error and merge by per-cell sum" in {
+    val data = (1 to 10000).map(i => ("g", i.toLong)).toDF("g", "v")
+    val sk = Sketches.logHistSketch(data, Seq("g"), "v", s = 3)
+    val est = Sketches.logHistQuantiles(sk, Seq("g"), Seq(500000L, 990000L), s = 3)
+      .as[(String, Long, Long)].collect().map(t => t._2 -> t._3).toMap
+    est(500000L).toDouble should be(5000.0 +- 650.0) // ≤12.5% low-side
+    est(990000L).toDouble should be(9900.0 +- 1250.0)
+    // merge = sum per (group, id)
+    val (a, b) = (data.filter(col("v") <= 4000), data.filter(col("v") > 4000))
+    val merged = Sketches.logHistSketch(a, Seq("g"), "v", 3)
+      .unionByName(Sketches.logHistSketch(b, Seq("g"), "v", 3))
+      .groupBy("g", "id").agg(sum(col("cnt")).as("cnt"))
+    merged.except(sk).count() shouldBe 0L
+    sk.except(merged).count() shouldBe 0L
+  }
+
   "Sketches.hll" should "estimate within HLL error and merge by max register" in {
     val many = (1 to 2000).map(i => ("g", s"v$i")).toDF("g", "v")
     val est = Sketches.hllEstimate(

@@ -356,7 +356,7 @@ object SparkEntry {
     "q68_bloom_join" -> ((s, d) => {
       val hot = Tables.orders(s, d).filter(col("o_totalprice") > 450000.0)
       Sketches.bloomPrunedJoin(hot, Tables.lineitem(s, d),
-          "o_orderkey", "l_orderkey", words = 256, hashes = 3)
+          "o_orderkey", "l_orderkey", words = 4096, hashes = 3)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_items"), qSum(col("l_extendedprice"), "sum_price"))
         .orderBy("o_orderpriority")

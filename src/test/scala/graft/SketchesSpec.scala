@@ -121,7 +121,7 @@ class SketchesSpec extends SparkSpec {
     pruned.count() shouldBe 50L
     // the row-local filter actually prunes: far fewer probe rows survive
     val kept = probe.filter(Sketches.bloomFilterColumn(
-      Sketches.bloomBuild(build, col("bk"), 64, 3).collect()
+      Sketches.bloomBuildFast(build, col("bk"), 64, 3).collect()
         .foldLeft(new Array[Long](64)) { (a, r) => a(r.getLong(0).toInt) = r.getLong(1); a },
       col("pk"), 3)).count()
     kept should be < 400L // 50 members + ~5% FP of 2000

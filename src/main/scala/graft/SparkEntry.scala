@@ -1269,6 +1269,37 @@ object SparkEntry {
       val edges = bt.union(bt.select(col("dst").as("src"), col("src").as("dst")))
       GraphAlgorithms.labelPropagation(s, edges, iterations = 3)
         .orderBy("vertex")
+    }),
+
+    // EXACT heavy hitters with a CMS-pruned shuffle: rows tested row-
+    // locally against materialized counters BEFORE the groupBy (CMS never
+    // underestimates -> no false negatives; colliding light keys die on
+    // the exact HAVING), so the oracle is the PLAIN exact query — the
+    // sketch only cuts shuffled keys
+    "q70_heavy_hitters" -> ((s, d) => {
+      Sketches.heavyHitters(Tables.lineitem(s, d), "l_suppkey",
+          threshold = 620L, depth = 3, width = 1024)
+        .orderBy("l_suppkey")
+    }),
+
+    // k-core (k=3) of the co-purchase graph by synchronous peeling —
+    // deterministic fixpoint (the k-core is unique), degree counts within
+    // the core; the dense-subgraph extraction that precedes community
+    // analytics
+    "q71_kcore" -> ((s, d) => {
+      GraphAlgorithms.kCore(s, GraphAlgorithms.cooccurrenceEdges(
+          Tables.lineitem(s, d), "l_orderkey", "l_partkey", minSupport = 2L),
+          k = 3)
+        .orderBy("vertex")
+    }),
+
+    // winnowed-fingerprint copy candidates (MOSS): per-window min gram
+    // hash (packed hash|pos BIGINT argmin), df-capped inverted-index
+    // join, pairs sharing >= 2 fingerprints
+    "t15_winnowing" -> ((s, d) => {
+      Dedup.winnowedPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 4, window = 4, minShared = 2L, maxFpDf = 50L)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -2849,7 +2880,19 @@ object SparkEntry {
 
     "q35_pagerank" -> pageRankSql(iterations = 10, dampingPpm = 850000L),
 
-    "q66_label_prop" -> labelPropSql(iterations = 3)
+    "q66_label_prop" -> labelPropSql(iterations = 3),
+
+    // exact heavy hitters: the CMS probe filter is invisible in the result
+    // (no false negatives; survivors re-verified exactly), so the oracle
+    // is the plain exact aggregate
+    "q70_heavy_hitters" ->
+      """SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem
+        |GROUP BY l_suppkey HAVING COUNT(*) >= 620 ORDER BY l_suppkey""".stripMargin,
+
+    "q71_kcore" -> kCoreSql(k = 3, rounds = 16),
+
+    "t15_winnowing" -> winnowingPairsSql(n = 4, window = 4,
+      minShared = 2L, maxFpDf = 50L)
   )
 
   /** Unrolled fixed-iteration PageRank oracle over the brand↔type graph —
@@ -2884,6 +2927,60 @@ object SparkEntry {
        |$iters
        |SELECT vertex, label FROM l$iterations ORDER BY vertex""".stripMargin
   }
+
+  /** Unrolled synchronous k-core peeling over the co-purchase graph
+    * (mirrors GraphAlgorithms.kCore over cooccurrenceEdges): each round
+    * keeps vertices with current degree ≥ k, then restricts the symmetric
+    * adjacency to kept endpoints. The k-core fixpoint is unique and the
+    * synchronous schedule is deterministic, so `rounds` ≥ the peeling depth
+    * makes the tail rounds no-ops — Spark iterates to the edge-count
+    * fixpoint, the oracle just unrolls generously (like pageRankSql). */
+  private def kCoreSql(k: Int, rounds: Int): String = {
+    // each round references the previous EXACTLY ONCE (DuckDB inlines
+    // CTEs — a 3-reference round would expand 3^rounds). Window counts on
+    // the SYMMETRIC adjacency: COUNT() PARTITION BY u ≡ deg(u), ditto v,
+    // so one filtered projection is the whole peel.
+    val iters = (1 to rounds).map { i =>
+      s"""s$i AS (SELECT u, v FROM (
+         |    SELECT u, v, COUNT(*) OVER (PARTITION BY u) AS du,
+         |      COUNT(*) OVER (PARTITION BY v) AS dv FROM s${i - 1})
+         |  WHERE du >= $k AND dv >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS (SELECT x.p AS a, y.p AS b
+       |      FROM li0 x JOIN li0 y ON x.o = y.o AND x.p < y.p
+       |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |s0 AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
+       |$iters
+       |SELECT u AS vertex, CAST(COUNT(*) AS BIGINT) AS degree
+       |FROM s$rounds GROUP BY u HAVING COUNT(*) >= $k ORDER BY vertex""".stripMargin
+  }
+
+  /** Winnowed-fingerprint copy candidates (mirrors Dedup.winnowedPairs):
+    * packed `(hash60 >> 20) · 2²⁰ + pos` argmin per complete gram window,
+    * distinct (doc, fp), whole-bucket df cap, inverted-index pair join. */
+  private def winnowingPairsSql(
+      n: Int, window: Int, minShared: Long, maxFpDf: Long): String =
+    s"""WITH rw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |g AS (SELECT doc_id, i - 1 AS pos, ${wordGramSql(n)} AS gram
+       |  FROM rw, UNNEST(generate_series(1, len(ws) - ${n - 1})) AS t(i)),
+       |pk AS (SELECT doc_id, pos,
+       |    (CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) >> 20) * 1048576 + pos AS pk
+       |  FROM g WHERE pos < 1048576),
+       |wv AS (SELECT doc_id, pos,
+       |    MIN(pk) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${window - 1} FOLLOWING) AS wmin,
+       |    COUNT(*) OVER (PARTITION BY doc_id) AS ng
+       |  FROM pk),
+       |sel AS (SELECT DISTINCT doc_id, wmin FROM wv WHERE pos <= ng - $window),
+       |fp AS (SELECT DISTINCT doc_id, wmin >> 20 AS fp FROM sel),
+       |kept AS (SELECT doc_id, fp FROM (
+       |    SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS dfn FROM fp)
+       |  WHERE dfn <= $maxFpDf)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+       |FROM kept a JOIN kept b USING (fp) WHERE a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING COUNT(*) >= $minShared
+       |ORDER BY id_a, id_b""".stripMargin
 
   private def pageRankSql(iterations: Int, dampingPpm: Long): String = {
     val base = 1000000L - dampingPpm

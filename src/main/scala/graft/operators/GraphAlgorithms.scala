@@ -380,6 +380,66 @@ object GraphAlgorithms {
     labels
   }
 
+  /** k-core: the maximal subgraph in which every vertex has degree ≥ `k`
+    * (Seidman 1983) — the standard "dense part" extraction before community
+    * analytics, and the degeneracy bound that makes triangle/clique
+    * enumeration tractable. Computed by SYNCHRONOUS PEELING: each round
+    * drops every vertex whose current degree is below `k` (all at once —
+    * no ordering, no tie-breaks, so the fixpoint is reached
+    * deterministically on any engine; the k-core itself is unique, making
+    * the operator oracle-able as unrolled CTEs like PageRank/label-prop).
+    *
+    * Scale shape per round: one partial-agg'd degree count + two
+    * equi-joins against the (tiny, shrinking) surviving-vertex set — all
+    * shuffles on vertex keys, never on pairs; the adjacency frame is
+    * checkpointed per round so lineage stays flat. Convergence is the
+    * edge-count fixpoint (removing zero rows means every remaining degree
+    * already clears `k`) — one cheap count per round, same discipline as
+    * connectedComponents' fingerprint. Rounds are bounded by the peeling
+    * depth (≤ graph diameter in practice; worst case a path peels one
+    * layer per round, hence `maxIter` as the safety bound).
+    *
+    * Returns `(vertex, degree)` of the k-core members with their final
+    * within-core degrees. */
+  def kCore(
+      spark: SparkSession,
+      edges: DataFrame,
+      k: Int,
+      maxIter: Int = 50): DataFrame = {
+    require(k >= 1 && maxIter >= 1, "need k >= 1 and maxIter >= 1")
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    var sym = und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(true)
+    var n = sym.count()
+    var converged = n == 0L
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val keep = sym.groupBy("u")
+        .agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k)
+        .select(col("u"))
+      val next = sym.join(keep, "u")
+        .join(keep.select(col("u").as("v")), "v")
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+      val m = next.count()
+      converged = m == n
+      n = m
+      sym = next
+      iter += 1
+    }
+    // at the fixpoint every remaining degree clears k, so the filter is a
+    // no-op there — it guards only the maxIter-exhausted partial state
+    sym.groupBy("u")
+      .agg(count(lit(1)).as("degree"))
+      .filter(col("degree") >= k)
+      .select(col("u").as("vertex"), col("degree"))
+  }
+
   def triangleCount(edges: DataFrame): DataFrame = {
     // canonical undirected edge set (a < b), self-loops dropped
     val und = edges

@@ -186,6 +186,77 @@ object Sketches {
       .agg(min(coalesce(col("c"), lit(0L))).as("n_est"))
   }
 
+  /** CMS counters MATERIALIZED as one flat array (`depth`·`width` cells,
+    * cell `r·width + h_r(key) % width`), built over the fast codegen'd
+    * xxhash64 — the runtime-filter form of the sketch, same bounded-collect
+    * discipline as [[bloomPrunedJoin]] (8·depth·width bytes driver-side,
+    * fixed by the constructor arguments; the groupBy is partial-agg'd so at
+    * most depth·width rows ever shuffle regardless of input size). Not
+    * oracle-portable (xxhash64), which is fine exactly where the counter
+    * values never surface in results. */
+  def cmsMaterializeFast(
+      df: DataFrame,
+      key: Column,
+      depth: Int,
+      width: Int): Array[Long] = {
+    require(depth > 0 && width > 0, "depth and width must be positive")
+    val rows = df.select(key.as("k"))
+      .select(explode(array((0 until depth).map(r =>
+        fastHash(r, col("k")) % width + lit(r.toLong * width)): _*)).as("cell"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("c"))
+      .collect()
+    val arr = new Array[Long](depth * width)
+    rows.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    arr
+  }
+
+  /** Row-local "CMS estimate ≥ threshold" test against materialized
+    * counters: true iff EVERY row's counter clears the threshold (the min
+    * over rows is the CMS estimate, and `min ≥ t` ⇔ all ≥ t — no min
+    * needed). Pure codegen'd expression — no join, no shuffle. */
+  def cmsThresholdColumn(
+      counters: Array[Long],
+      width: Int,
+      key: Column,
+      threshold: Long): Column = {
+    require(counters.length % width == 0, "counters length must be depth*width")
+    val depth = counters.length / width
+    val arr = lit(counters)
+    (0 until depth).map { r =>
+      element_at(arr,
+        (fastHash(r, key) % width + (r.toLong * width + 1L)).cast("int")) >= threshold
+    }.reduce(_ && _)
+  }
+
+  /** EXACT heavy hitters with a CMS-pruned shuffle — the sketch-as-runtime-
+    * filter pattern of [[bloomPrunedJoin]] applied to aggregation: keys
+    * occurring at least `threshold` times, with exact counts. A CMS built
+    * over the corpus (one bounded depth·width shuffle) is materialized and
+    * every row is tested ROW-LOCALLY before the groupBy; since CMS never
+    * underestimates, every true heavy hitter's rows all pass (the test
+    * depends only on the key — all-or-none per key, no false negatives),
+    * and colliding light keys that sneak through die on the exact HAVING.
+    * The result is therefore EXACTLY `groupBy(key).count() ≥ threshold` —
+    * the sketch only cuts the shuffle from all keys to near-candidates,
+    * which at a 100 TB long-tail key distribution is most of the bytes.
+    * Size `width` ≫ expected heavy-hitter count (ε = e/width error adds
+    * ≤ ε·N to every estimate — too-small widths stay correct but stop
+    * pruning). */
+  def heavyHitters(
+      df: DataFrame,
+      keyCol: String,
+      threshold: Long,
+      depth: Int = 3,
+      width: Int = 1024): DataFrame = {
+    require(threshold > 0, "threshold must be positive")
+    val counters = cmsMaterializeFast(df, col(keyCol), depth, width)
+    df.filter(cmsThresholdColumn(counters, width, col(keyCol), threshold))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= threshold)
+  }
+
   // ------------------------------------------------------------------
   // Bloom — membership sketch (Bloom 1970)
   // ------------------------------------------------------------------

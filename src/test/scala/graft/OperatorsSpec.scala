@@ -65,6 +65,53 @@ class DedupSpec extends SparkSpec {
       .count() shouldBe 66L // 12*11/2 uncapped
   }
 
+  "Dedup.winnowedFingerprints" should "honor the winnowing guarantee on shared runs" in {
+    // n=4, window=4 → any shared run of window+n-1 = 7 words yields 4
+    // consecutive shared grams = one complete shared window, whose min-hash
+    // gram is selected in BOTH docs regardless of position offsets
+    val shared = "alpha beta gamma delta epsilon zeta eta"
+    val two = Seq(
+      (1L, s"one two three $shared four five six"),
+      (2L, s"seven eight $shared nine ten eleven twelve thirteen"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowedFingerprints(two, "doc_id", "text", n = 4, window = 4)
+    val byDoc = fps.select("doc_id", "fp").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    byDoc(1L).intersect(byDoc(2L)) should not be empty
+    // identical docs select identical fingerprint sets
+    val dup = Seq((1L, shared + " " + shared), (2L, shared + " " + shared))
+      .toDF("doc_id", "text")
+    val d = Dedup.winnowedFingerprints(dup, "doc_id", "text", n = 4, window = 4)
+      .select("doc_id", "fp", "fp_pos").as[(Long, Long, Long)].collect()
+    d.filter(_._1 == 1L).map(t => (t._2, t._3)).toSet shouldBe
+      d.filter(_._1 == 2L).map(t => (t._2, t._3)).toSet
+    // sub-window docs emit nothing (no complete window exists)
+    Dedup.winnowedFingerprints(
+      Seq((9L, "only five words right here")).toDF("doc_id", "text"),
+      "doc_id", "text", n = 4, window = 4).count() shouldBe 0L
+  }
+
+  "Dedup.winnowedPairs" should "pair copies and respect the fingerprint df cap" in {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val corpus = Seq(
+      (1L, base),
+      (2L, base + " with a short appended tail"), // contains base verbatim
+      (3L, "entirely different words about completely unrelated topics and things here now"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowedPairs(corpus, "doc_id", "text",
+      n = 4, window = 4, minShared = 2L)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    pairs should contain((1L, 2L))
+    pairs.map(p => Set(p._1, p._2)) should not contain Set(1L, 3L)
+    // boilerplate fingerprint shared by MANY docs: df cap drops the whole
+    // posting list before pairing (capBuckets whole-bucket rule)
+    val many = (1L to 10L).map(i => (i, base)).toDF("doc_id", "text")
+    Dedup.winnowedPairs(many, "doc_id", "text", n = 4, window = 4,
+      minShared = 1L, maxFpDf = 5L).count() shouldBe 0L
+    Dedup.winnowedPairs(many, "doc_id", "text", n = 4, window = 4,
+      minShared = 1L).count() shouldBe 45L // 10*9/2 uncapped
+  }
+
   "Dedup.ngramJaccardBlocked" should "score identical docs 1.0 and near-dups high, within blocks" in {
     val blocked = docs.withColumn("blk", lit(1))
     val pairs = Dedup.ngramJaccardBlocked(blocked, "doc_id", "text",
@@ -533,6 +580,30 @@ class GraphSpec extends SparkSpec {
     // bipartite square (4-cycle): 0
     val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
     GraphAlgorithms.triangleCount(square).as[Long].head() shouldBe 0L
+  }
+
+  "kCore" should "peel to the unique maximal subgraph of min degree k" in {
+    // K4 with a pendant chain 4-5-6: 2-core = K4 ∪ nothing of the chain
+    // (5,6 peel in cascade), 3-core = K4, 4-core = empty
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L))
+    val edges = und.toDF("src", "dst")
+    val core2 = GraphAlgorithms.kCore(spark, edges, k = 2)
+      .orderBy("vertex").as[(Long, Long)].collect()
+    core2.map(_._1) shouldBe Array(1L, 2L, 3L, 4L)
+    core2.map(_._2) shouldBe Array(3L, 3L, 3L, 3L) // within-core degrees
+    GraphAlgorithms.kCore(spark, edges, k = 3)
+      .orderBy("vertex").as[(Long, Long)].collect()
+      .map(_._1) shouldBe Array(1L, 2L, 3L, 4L)
+    GraphAlgorithms.kCore(spark, edges, k = 4).count() shouldBe 0L
+    // a pure path has no 2-core (peels from both ends — the cascade case)
+    val path = (1L to 6L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("src", "dst")
+    GraphAlgorithms.kCore(spark, path, k = 2).count() shouldBe 0L
+    // directed/dup/self-loop noise canonicalizes away
+    val noisy = (und ++ und.map(_.swap) ++ Seq((1L, 1L))).toDF("src", "dst")
+    GraphAlgorithms.kCore(spark, noisy, k = 3)
+      .orderBy("vertex").as[(Long, Long)].collect()
+      .map(_._1) shouldBe Array(1L, 2L, 3L, 4L)
   }
 
   it should "produce identical components from the local and distributed paths" in {

@@ -179,4 +179,33 @@ class SketchesSpec extends SparkSpec {
     merged.except(direct).count() shouldBe 0L
     direct.except(merged).count() shouldBe 0L
   }
+
+  // skewed key frequencies: h1=50, h2=30, mid=10, 100 singletons
+  private lazy val skewed = (
+    (1 to 50).map(_ => "h1") ++ (1 to 30).map(_ => "h2") ++
+      (1 to 10).map(_ => "mid") ++ (1 to 100).map(i => s"tail$i")
+    ).toDF("k")
+
+  "Sketches.heavyHitters" should "equal the exact groupBy at any threshold and width" in {
+    def exact(t: Long) = skewed.groupBy("k").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= t).as[(String, Long)].collect().toMap
+    // width 4 forces heavy collisions — light keys pass the CMS gate but
+    // must die on the exact HAVING; the result stays EXACT regardless
+    for (t <- Seq(5L, 25L, 40L, 60L); w <- Seq(4, 1024)) {
+      Sketches.heavyHitters(skewed, "k", threshold = t, depth = 3, width = w)
+        .as[(String, Long)].collect().toMap shouldBe exact(t)
+    }
+  }
+
+  it should "prune light rows before the shuffle via the row-local CMS gate" in {
+    val counters = Sketches.cmsMaterializeFast(skewed, col("k"), depth = 3, width = 1024)
+    val passed = skewed
+      .filter(Sketches.cmsThresholdColumn(counters, 1024, col("k"), 25L))
+      .as[String].collect()
+    // every h1/h2 row passes (no false negatives), and with width 1024 the
+    // 100 singletons essentially never collide into heaviness
+    passed.count(_ == "h1") shouldBe 50
+    passed.count(_ == "h2") shouldBe 30
+    passed.length should be < 100 // most of the 190 rows pruned row-locally
+  }
 }

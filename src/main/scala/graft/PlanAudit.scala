@@ -78,7 +78,11 @@ object PlanAudit {
     "q66_label_prop" -> "per round: edges x labels equi-join co-partitioned on the vertex key, plurality pick is a partial-agg'd count + WindowGroupLimit top-1 — no global sort; labels checkpoint on cadence so lineage stays flat",
     "q67_profile" -> "single scan: row-local explode to (column, value), ONE partial-agg'd shuffle to value counts (profile-sized, checkpointed); every stat derives from that frame — base stats as a chained agg, top value as WindowGroupLimit top-1",
     "q68_bloom_join" -> "runtime-filter join: build-side bloom collects to a bounded literal array, probe rows die in a row-local codegen'd filter BEFORE the shuffle — shuffled bytes scale with the build side's selectivity, and FPs are eliminated by the join itself",
-    "s7_hybrid_rrf" -> "fusion runs on top-k lists (hundreds of rows): the rankers keep their own bounded shapes (BM25 never shuffles the corpus, ANN broadcasts queries); RRF is a union + one tiny agg")
+    "s7_hybrid_rrf" -> "fusion runs on top-k lists (hundreds of rows): the rankers keep their own bounded shapes (BM25 never shuffles the corpus, ANN broadcasts queries); RRF is a union + one tiny agg",
+    "q69_quantile_sketch" -> "log-histogram registers: row-local bucket id inside codegen, ONE partial-agg'd shuffle on <=hundreds of bucket keys per group; quantile lookup windows run over register rows, never the data",
+    "q70_heavy_hitters" -> "exact heavy hitters with a CMS-pruned shuffle: counters collect bounded (depth*width), rows die in a row-local codegen'd threshold gate BEFORE the groupBy — shuffled keys scale with candidate density, not corpus keys; the exact HAVING kills colliding light keys",
+    "q71_kcore" -> "synchronous peel per round: one partial-agg'd degree count + two equi-joins against the shrinking keep set, adjacency checkpointed — shuffles on vertex keys only, rounds bounded by peeling depth with an edge-count fixpoint stop",
+    "t15_winnowing" -> "winnowed fingerprints: row-local gram explode, per-doc window argmin over ONE doc-key exchange (both windows share it); pairs from a df-capped inverted-index equi-join on the fingerprint — posting lists bounded, candidates never corpus^2")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -82,7 +82,8 @@ object PlanAudit {
     "q69_quantile_sketch" -> "log-histogram registers: row-local bucket id inside codegen, ONE partial-agg'd shuffle on <=hundreds of bucket keys per group; quantile lookup windows run over register rows, never the data",
     "q70_heavy_hitters" -> "exact heavy hitters with a CMS-pruned shuffle: counters collect bounded (depth*width), rows die in a row-local codegen'd threshold gate BEFORE the groupBy — shuffled keys scale with candidate density, not corpus keys; the exact HAVING kills colliding light keys",
     "q71_kcore" -> "synchronous peel per round: one partial-agg'd degree count + two equi-joins against the shrinking keep set, adjacency checkpointed — shuffles on vertex keys only, rounds bounded by peeling depth with an edge-count fixpoint stop",
-    "t15_winnowing" -> "winnowed fingerprints: row-local gram explode, per-doc window argmin over ONE doc-key exchange (both windows share it); pairs from a df-capped inverted-index equi-join on the fingerprint — posting lists bounded, candidates never corpus^2")
+    "t15_winnowing" -> "winnowed fingerprints: row-local gram explode, per-doc window argmin over ONE doc-key exchange (both windows share it); pairs from a df-capped inverted-index equi-join on the fingerprint — posting lists bounded, candidates never corpus^2",
+    "q72_join_size_sketch" -> "join-size estimate runs on REGISTERS (<=depth*width rows per side): register equi-join + per-row dot + min — the corpora are scanned once to build sketches and never again; the certified upper bound is what you consult BEFORE committing to the real shuffle")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -1293,6 +1293,26 @@ object SparkEntry {
         .orderBy("vertex")
     }),
 
+    // CMS inner-product join-size estimate (Cormode–Muthukrishnan): the
+    // "how big is purchases ⋈ clicks before I shuffle it" planning
+    // primitive — registers only, corpora never rescanned, certified
+    // upper bound (min over rows of Σ cA·cB), exact join count beside
+    "q72_join_size_sketch" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val pur = ev.filter(col("event_type") === "purchase")
+      val cli = ev.filter(col("event_type") === "click")
+      val est = Sketches.cmsInnerProduct(
+        Sketches.cmsBuild(pur, col("user_id"), lit(1L), depth = 4, width = 64),
+        Sketches.cmsBuild(cli, col("user_id"), lit(1L), depth = 4, width = 64),
+        depth = 4)
+      val exact = pur.select(col("user_id"))
+        .join(cli.select(col("user_id")), "user_id")
+        .agg(count(lit(1)).as("n_exact"))
+      est.crossJoin(exact)
+        .select(col("n_exact"), col("join_size_est"),
+          (col("join_size_est") >= col("n_exact")).as("upper_bounds"))
+    }),
+
     // winnowed-fingerprint copy candidates (MOSS): per-window min gram
     // hash (packed hash|pos BIGINT argmin), df-capped inverted-index
     // join, pairs sharing >= 2 fingerprints
@@ -2890,6 +2910,29 @@ object SparkEntry {
         |GROUP BY l_suppkey HAVING COUNT(*) >= 620 ORDER BY l_suppkey""".stripMargin,
 
     "q71_kcore" -> kCoreSql(k = 3, rounds = 16),
+
+    // mirrors cmsBuild (seeded 60-bit md5 % width, per q61) on both sides,
+    // then min over rows of the per-row cell-product sum
+    "q72_join_size_sketch" ->
+      """WITH pur AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events WHERE event_type = 'purchase'),
+        |cli AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events WHERE event_type = 'click'),
+        |ca AS (SELECT r,
+        |    CAST(concat('0x', substr(md5(CAST(r AS VARCHAR) || ':' || k), 1, 15)) AS BIGINT) % 64 AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(range(0, 4)) AS r, k FROM pur) GROUP BY 1, 2),
+        |cb AS (SELECT r,
+        |    CAST(concat('0x', substr(md5(CAST(r AS VARCHAR) || ':' || k), 1, 15)) AS BIGINT) % 64 AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(range(0, 4)) AS r, k FROM cli) GROUP BY 1, 2),
+        |dots AS (SELECT ca.r, CAST(SUM(ca.c * cb.c) AS BIGINT) AS dot
+        |  FROM ca JOIN cb ON ca.r = cb.r AND ca.b = cb.b GROUP BY ca.r),
+        |est AS (SELECT CAST(MIN(COALESCE(dot, 0)) AS BIGINT) AS join_size_est
+        |  FROM (SELECT unnest(range(0, 4)) AS r) s LEFT JOIN dots USING (r)),
+        |x AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact
+        |  FROM pur p JOIN cli c ON p.k = c.k)
+        |SELECT x.n_exact, est.join_size_est,
+        |  est.join_size_est >= x.n_exact AS upper_bounds
+        |FROM x CROSS JOIN est""".stripMargin,
 
     "t15_winnowing" -> winnowingPairsSql(n = 4, window = 4,
       minShared = 2L, maxFpDf = 50L)

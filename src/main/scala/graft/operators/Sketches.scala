@@ -186,6 +186,33 @@ object Sketches {
       .agg(min(coalesce(col("c"), lit(0L))).as("n_est"))
   }
 
+  /** JOIN-SIZE ESTIMATE from two CMS registers alone (the Cormode &
+    * Muthukrishnan inner-product estimator): for each hash row `r`,
+    * `Σ_b cA[r][b]·cB[r][b]` NEVER underestimates the true equi-join
+    * cardinality `Σ_k fA(k)·fB(k)` (collisions only add non-negative cross
+    * terms), so the min over rows is a certified upper bound. This is the
+    * "how big is the join before I shuffle it" planning primitive: both
+    * sketches are ≤ depth·width-row frames mergeable across
+    * partitions/days/engines, and the estimate runs on registers only —
+    * the corpora are never rescanned.
+    *
+    * Returns one row `(join_size_est)`. Sizing under ANSI mode: each cell
+    * product is ≤ (N_A/width + skew)·(N_B/width + skew) — keep
+    * `N_A·N_B/width` well under 2⁶³ (width 2¹⁶ covers two 10¹²-row sides;
+    * a heavy-hitter key pair contributes fA·fB exactly, same as the true
+    * join). Rows with no overlapping cells contribute a zero dot (the
+    * estimate is then exactly 0 ≥ truth 0). */
+  def cmsInnerProduct(cmsA: DataFrame, cmsB: DataFrame, depth: Int): DataFrame = {
+    require(depth > 0, "depth must be positive")
+    val dots = cmsA.select(col("r"), col("b"), col("c").as("ca"))
+      .join(cmsB.select(col("r"), col("b"), col("c").as("cb")), Seq("r", "b"))
+      .groupBy("r")
+      .agg(sum(col("ca") * col("cb")).as("dot"))
+    cmsA.sparkSession.range(depth).select(col("id").as("r"))
+      .join(dots, Seq("r"), "left")
+      .agg(min(coalesce(col("dot"), lit(0L))).as("join_size_est"))
+  }
+
   /** CMS counters MATERIALIZED as one flat array (`depth`·`width` cells,
     * cell `r·width + h_r(key) % width`), built over the fast codegen'd
     * xxhash64 — the runtime-filter form of the sketch, same bounded-collect

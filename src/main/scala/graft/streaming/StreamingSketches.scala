@@ -56,4 +56,11 @@ object StreamingSketches {
     * aggregation, runs in update mode as-is. */
   def cmsRegisterStream(df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame =
     Sketches.cmsBuild(df, col(keyCol), lit(1L), depth, width)
+
+  /** The batch log-histogram quantile-sketch builder applied to a streaming
+    * frame — count aggregation per (group, bucket), runs in update mode
+    * as-is; quantile lookups run [[Sketches.logHistQuantiles]] over the
+    * sunk registers. */
+  def logHistRegisterStream(df: DataFrame, groupCol: String, valueCol: String, s: Int): DataFrame =
+    Sketches.logHistSketch(df, Seq(groupCol), valueCol, s)
 }

@@ -116,6 +116,30 @@ class ScaleSmokeSpec extends SparkSpec {
       small, "o", "p", minSupport = 1L).count() shouldBe 2L
   }
 
+  "heavyHitters" should "prune a 2M-row long tail row-locally before the shuffle" in {
+    // 5 heavy keys own half the rows (200k each); 1M tail keys the rest.
+    // CMS estimates for tail rows sit near N/width ≈ 500 ≪ threshold, so
+    // the row-local gate drops the tail before any shuffle; result exact.
+    val df = spark.range(2000000L).select(
+      when(col("id") % 2 === 0, concat(lit("h"), col("id") % 5))
+        .otherwise(concat(lit("t"), col("id"))).as("k"))
+    val hh = graft.operators.Sketches.heavyHitters(df, "k",
+      threshold = 100000L, depth = 3, width = 4096)
+      .orderBy("k").collect()
+    hh.map(_.getString(0)) shouldBe Array("h0", "h1", "h2", "h3", "h4")
+    all(hh.map(_.getLong(1))) shouldBe 200000L
+  }
+
+  "winnowedPairs" should "df-cap a boilerplate fingerprint shared by 20k docs" in {
+    // 20k identical docs: every fingerprint's posting list holds all 20k
+    // — uncapped the inverted-index join would emit ~2*10^8 pairs. The df
+    // cap drops those posting lists whole; distinct docs still pair.
+    val dup = spark.range(20000L).select(col("id").as("doc_id"),
+      lit("alpha beta gamma delta epsilon zeta eta theta iota kappa").as("text"))
+    graft.operators.Dedup.winnowedPairs(dup, "doc_id", "text",
+      n = 4, window = 4, minShared = 1L, maxFpDf = 100L).count() shouldBe 0L
+  }
+
   "triangleCount" should "reject vertex ids outside the rank-packing domain" in {
     val bad = spark.range(2L).select(col("id").as("src"), (col("id") + 1000000000L).as("dst"))
     an[IllegalArgumentException] should be thrownBy

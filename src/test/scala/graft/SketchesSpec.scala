@@ -180,6 +180,25 @@ class SketchesSpec extends SparkSpec {
     direct.except(merged).count() shouldBe 0L
   }
 
+  "Sketches.cmsInnerProduct" should "upper-bound the join size, exactly at low collision" in {
+    // A: key i occurs i times (1..20); B: even keys occur 3 times
+    // → true join size Σ_{even i} 3·i = 330
+    val a = (1 to 20).flatMap(i => Seq.fill(i)(s"k$i")).toDF("k")
+    val b = (1 to 20).filter(_ % 2 == 0).flatMap(i => Seq.fill(3)(s"k$i")).toDF("k")
+    def est(w: Int) = Sketches.cmsInnerProduct(
+      Sketches.cmsBuild(a, col("k"), lit(1L), 4, w),
+      Sketches.cmsBuild(b, col("k"), lit(1L), 4, w), depth = 4)
+      .as[Long].head()
+    est(4096) shouldBe 330L // 20 keys in 4096 buckets: collision-free rows exist
+    est(8) should be >= 330L // heavy collisions still never underestimate
+    // disjoint sides at generous width → exactly zero
+    val c = (1 to 20).map(i => s"z$i").toDF("k")
+    Sketches.cmsInnerProduct(
+      Sketches.cmsBuild(a, col("k"), lit(1L), 4, 4096),
+      Sketches.cmsBuild(c, col("k"), lit(1L), 4, 4096), depth = 4)
+      .as[Long].head() shouldBe 0L
+  }
+
   // skewed key frequencies: h1=50, h2=30, mid=10, 100 singletons
   private lazy val skewed = (
     (1 to 50).map(_ => "h1") ++ (1 to 30).map(_ => "h2") ++

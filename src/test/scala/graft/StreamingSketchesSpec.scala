@@ -88,4 +88,28 @@ class StreamingSketchesSpec extends SparkSpec {
       .as[(String, Seq[Long])].collect().toMap
     streamed shouldBe batch
   }
+
+  it should "stream log-histogram registers identical to the batch build" in {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vals = (1 to 300).map(i => (s"g${i % 2}", (i * i).toLong))
+    val batch = Sketches.logHistSketch(vals.toDF("g", "v"), Seq("g"), "v", s = 3)
+      .as[(String, Long, Long)].collect().toSet
+
+    val input = MemoryStream[(String, Long)]
+    val regs = StreamingSketches.logHistRegisterStream(
+      input.toDF().toDF("g", "v"), "g", "v", s = 3)
+    val q = regs.writeStream.format("memory").queryName("lh_regs")
+      .outputMode("update").start()
+    try {
+      vals.grouped(90).foreach { chunk =>
+        input.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // bucket counts only grow → final value per (g, id) = max emitted
+    val streamed = spark.sql(
+      "SELECT g, id, max(cnt) AS cnt FROM lh_regs GROUP BY g, id")
+      .as[(String, Long, Long)].collect().toSet
+    streamed shouldBe batch
+  }
 }

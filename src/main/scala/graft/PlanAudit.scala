@@ -83,7 +83,9 @@ object PlanAudit {
     "q70_heavy_hitters" -> "exact heavy hitters with a CMS-pruned shuffle: counters collect bounded (depth*width), rows die in a row-local codegen'd threshold gate BEFORE the groupBy — shuffled keys scale with candidate density, not corpus keys; the exact HAVING kills colliding light keys",
     "q71_kcore" -> "synchronous peel per round: one partial-agg'd degree count + two equi-joins against the shrinking keep set, adjacency checkpointed — shuffles on vertex keys only, rounds bounded by peeling depth with an edge-count fixpoint stop",
     "t15_winnowing" -> "winnowed fingerprints: row-local gram explode, per-doc window argmin over ONE doc-key exchange (both windows share it); pairs from a df-capped inverted-index equi-join on the fingerprint — posting lists bounded, candidates never corpus^2",
-    "q72_join_size_sketch" -> "join-size estimate runs on REGISTERS (<=depth*width rows per side): register equi-join + per-row dot + min — the corpora are scanned once to build sketches and never again; the certified upper bound is what you consult BEFORE committing to the real shuffle")
+    "q72_join_size_sketch" -> "join-size estimate runs on REGISTERS (<=depth*width rows per side): register equi-join + per-row dot + min — the corpora are scanned once to build sketches and never again; the certified upper bound is what you consult BEFORE committing to the real shuffle",
+    "q73_ktruss" -> "k-truss: per round, triangles enumerate via degree-ordered orientation (out-degree <= sqrt(2m), hub wedges never explode), support is ONE partial-agg'd shuffle on the canonical edge key, under-supported edges drop synchronously; the shrinking edge frame checkpoints per round",
+    "q74_rendezvous_route" -> "rendezvous routing: per-key argmax over node-seeded hashes is a pure row-local codegen'd expression — zero shuffle before the tiny (nodes x nodes) move-matrix agg; membership change recomputes nothing but the expression")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

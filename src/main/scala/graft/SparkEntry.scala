@@ -1293,6 +1293,32 @@ object SparkEntry {
         .orderBy("vertex")
     }),
 
+    // k-truss (k=3) of the co-purchase graph: synchronous edge peeling by
+    // triangle support (degree-ordered enumeration per round) — the
+    // edge-level strengthening of k-core, unique fixpoint
+    "q73_ktruss" -> ((s, d) => {
+      GraphAlgorithms.kTruss(s, GraphAlgorithms.cooccurrenceEdges(
+          Tables.lineitem(s, d), "l_orderkey", "l_partkey", minSupport = 2L),
+          k = 3)
+        .orderBy("a", "b")
+    }),
+
+    // rendezvous (HRW) routing: per-key argmax of node-seeded hashes —
+    // the elastic-membership extension of J1's fixed murmur2 routing;
+    // adding node-d moves ONLY keys whose new max is node-d (~1/4),
+    // visible as n3 <> n4 rows existing solely with n4 = 'node-d'
+    "q74_rendezvous_route" -> ((s, d) => {
+      val nodes3 = Seq("node-a", "node-b", "node-c")
+      val keys = Tables.events(s, d).select(col("user_id")).distinct()
+      keys
+        .select(col("user_id"),
+          rendezvousNode(col("user_id"), nodes3).as("n3"),
+          rendezvousNode(col("user_id"), nodes3 :+ "node-d").as("n4"))
+        .groupBy("n3", "n4")
+        .agg(count(lit(1)).as("n_keys"))
+        .orderBy("n3", "n4")
+    }),
+
     // CMS inner-product join-size estimate (Cormode–Muthukrishnan): the
     // "how big is purchases ⋈ clicks before I shuffle it" planning
     // primitive — registers only, corpora never rescanned, certified
@@ -2911,6 +2937,10 @@ object SparkEntry {
 
     "q71_kcore" -> kCoreSql(k = 3, rounds = 16),
 
+    "q73_ktruss" -> kTrussSql(k = 3, rounds = 4),
+
+    "q74_rendezvous_route" -> rendezvousRouteSql,
+
     // mirrors cmsBuild (seeded 60-bit md5 % width, per q61) on both sides,
     // then min over rows of the per-row cell-product sum
     "q72_join_size_sketch" ->
@@ -2997,6 +3027,58 @@ object SparkEntry {
        |$iters
        |SELECT u AS vertex, CAST(COUNT(*) AS BIGINT) AS degree
        |FROM s$rounds GROUP BY u HAVING COUNT(*) >= $k ORDER BY vertex""".stripMargin
+  }
+
+  /** Unrolled synchronous k-truss peeling (mirrors GraphAlgorithms.kTruss
+    * over cooccurrenceEdges). Triangles enumerate once per round from the
+    * smallest corner (x < y < z; Spark's degree-ordered orientation finds
+    * the same triangle SET, so supports agree). Every round's edge/triangle
+    * CTE is MATERIALIZED — each is referenced 3×, and DuckDB inlines
+    * non-materialized CTEs (3^rounds blowup otherwise, the kCoreSql
+    * lesson). */
+  private def kTrussSql(k: Int, rounds: Int): String = {
+    def triSql(i: Int, src: String): String =
+      s"""t$i AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM $src e1 JOIN $src e2 ON e1.a = e2.a AND e1.b < e2.b
+         |  JOIN $src e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |s$i AS MATERIALIZED (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM (
+         |    SELECT x AS a, y AS b FROM t$i
+         |    UNION ALL SELECT x, z FROM t$i
+         |    UNION ALL SELECT y, z FROM t$i) GROUP BY 1, 2)""".stripMargin
+    val iters = (1 to rounds).map { i =>
+      s"""${triSql(i, s"e${i - 1}")},
+         |e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
+         |  LEFT JOIN s$i s USING (a, b) WHERE COALESCE(s.c, 0) >= ${k - 2})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e0 AS MATERIALIZED (SELECT x.p AS a, y.p AS b
+       |  FROM li0 x JOIN li0 y ON x.o = y.o AND x.p < y.p
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |$iters,
+       |${triSql(rounds + 1, s"e$rounds")}
+       |SELECT e.a, e.b, CAST(COALESCE(s.c, 0) AS BIGINT) AS support
+       |FROM e$rounds e LEFT JOIN s${rounds + 1} s USING (a, b)
+       |WHERE COALESCE(s.c, 0) >= ${k - 2}
+       |ORDER BY a, b""".stripMargin
+  }
+
+  /** Rendezvous routing distribution (mirrors GraftFunctions.rendezvousNode
+    * twice: 3 nodes and 3+1 nodes). The CASE scans nodes in list order, so
+    * ties break identically to the Spark when-chain. */
+  private def rendezvousRouteSql: String = {
+    def h(n: String) =
+      s"CAST(concat('0x', substr(md5('$n:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    def pick(alias: String, nodes: Seq[String]): String = {
+      val g = s"greatest(${nodes.map(h).mkString(", ")})"
+      val cases = nodes.map(n => s"WHEN ${h(n)} = $g THEN '$n'").mkString(" ")
+      s"(CASE $cases END) AS $alias"
+    }
+    val n3 = Seq("node-a", "node-b", "node-c")
+    s"""WITH keys AS (SELECT DISTINCT user_id FROM events),
+       |r AS (SELECT user_id, ${pick("n3", n3)}, ${pick("n4", n3 :+ "node-d")}
+       |  FROM keys)
+       |SELECT n3, n4, CAST(COUNT(*) AS BIGINT) AS n_keys
+       |FROM r GROUP BY n3, n4 ORDER BY n3, n4""".stripMargin
   }
 
   /** Winnowed-fingerprint copy candidates (mirrors Dedup.winnowedPairs):

@@ -255,6 +255,25 @@ object GraftFunctions {
   def md5Hash60(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
+  /** Rendezvous (highest-random-weight) node assignment (Thaler & Ravishankar
+    * 1998): the node maximizing `md5Hash60(node ‖ ':' ‖ key)` — the
+    * elastic-membership generalization of fixed murmur2 partition routing
+    * (reference Group routing, SURVEY J1): adding/removing a node moves ONLY
+    * the keys whose argmax changes (~1/n of them), no global reshuffle.
+    * Pure row-local codegen'd expression; ties (2⁻⁶⁰) break to the first
+    * node in list order — deterministic and SQL-mirrorable. */
+  def rendezvousNode(key: Column, nodes: Seq[String]): Column = {
+    require(nodes.nonEmpty, "need at least one node")
+    if (nodes.size == 1) lit(nodes.head)
+    else {
+      val hs = nodes.map(n => md5Hash60(concat(lit(n), lit(":"), key.cast("string"))))
+      val gmax = greatest(hs: _*)
+      nodes.zip(hs).foldRight(lit(null).cast("string")) { case ((n, h), acc) =>
+        when(h === gmax, lit(n)).otherwise(acc)
+      }
+    }
+  }
+
   // --------------------------------------------------------------------
   // Vector primitives over Array[Float]/Array[Double] embedding columns.
   // Sequential left-fold => deterministic bit-exact results independent of

@@ -440,6 +440,90 @@ object GraphAlgorithms {
       .select(col("u").as("vertex"), col("degree"))
   }
 
+  /** k-truss: the maximal subgraph whose every edge lies in at least
+    * `k − 2` triangles (Cohen 2008) — the edge-level strengthening of
+    * [[kCore]] (every k-truss is inside the (k−1)-core) and the standard
+    * "cohesive community scaffold" extraction. Synchronous peeling like
+    * kCore: each round recomputes per-edge triangle support on the
+    * surviving edge set and drops every under-supported edge at once — no
+    * ordering, no tie-breaks, unique fixpoint, oracle-able as unrolled
+    * (materialized) CTEs.
+    *
+    * Per-round triangle enumeration uses the same DEGREE-ORDERED
+    * ORIENTATION as [[triangleCount]] (wedges only from out-pairs,
+    * out-degree ≤ O(√m)), so a hub's quadratic wedge set never
+    * materializes; support aggregation is one partial-agg'd shuffle on the
+    * canonical edge key, and the shrinking edge frame is checkpointed per
+    * round. Vertices must be non-negative longs < 10⁹ (the rank-packing
+    * precondition, enforced by the same bounds check).
+    *
+    * Returns the surviving canonical edges with their within-truss
+    * support: `(a, b, support)`, `a < b`, `support ≥ k − 2`. */
+  def kTruss(
+      spark: SparkSession,
+      edges: DataFrame,
+      k: Int,
+      maxIter: Int = 50): DataFrame = {
+    require(k >= 3 && maxIter >= 1, "need k >= 3 and maxIter >= 1")
+    var e = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val bounds = e
+      .agg(min(col("a")).cast("long").as("lo"), max(col("b")).cast("long").as("hi"))
+      .head()
+    if (!bounds.isNullAt(0)) {
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      require(lo >= 0L && hi < 1000000000L,
+        s"kTruss: vertex ids must lie in [0, 1e9) for rank packing; saw [$lo, $hi]")
+    }
+    // per-triangle canonical edge triple via degree-ordered wedges; the
+    // support frame is keyed by the canonical (a, b) edge
+    def support(und: DataFrame): DataFrame = {
+      val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      val ranked = und
+        .join(deg.select(col("v").as("a"), (col("d") * 1000000000L + col("a")).as("ra")), "a")
+        .join(deg.select(col("v").as("b"), (col("d") * 1000000000L + col("b")).as("rb")), "b")
+      val oriented = ranked.select(
+        when(col("ra") < col("rb"), col("a")).otherwise(col("b")).as("src"),
+        when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("dst"),
+        greatest(col("ra"), col("rb")).as("rd"))
+      val w = oriented.select(col("src").as("u"), col("dst").as("v"), col("rd").as("rv"))
+        .join(oriented.select(col("src").as("u"), col("dst").as("w"), col("rd").as("rw")), "u")
+        .filter(col("rv") < col("rw"))
+      val tri = w.join(oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+        .select(col("u"), col("v"), col("w"))
+      tri.select(explode(array(
+          struct(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b")),
+          struct(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b")),
+          struct(least(col("v"), col("w")).as("a"), greatest(col("v"), col("w")).as("b"))))
+          .as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("support"))
+    }
+    var n = e.count()
+    var converged = n == 0L
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = e.join(support(e), Seq("a", "b"), "left")
+        .filter(coalesce(col("support"), lit(0L)) >= (k - 2).toLong)
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+      val m = next.count()
+      converged = m == n
+      n = m
+      e = next
+      iter += 1
+    }
+    // final supports over the converged edge set (all ≥ k−2 at fixpoint)
+    e.join(support(e), Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("support"), lit(0L)).as("support"))
+      .filter(col("support") >= (k - 2).toLong)
+  }
+
   def triangleCount(edges: DataFrame): DataFrame = {
     // canonical undirected edge set (a < b), self-loops dropped
     val und = edges

@@ -313,4 +313,28 @@ class PiiNativeSpec extends SparkSpec {
     Seq("é").toDF("text").select(rollingFp(tokens(col("text"))))
       .as[Long].head() shouldBe 1632L
   }
+
+  "rendezvousNode" should "assign stably, balance keys, and move minimally on node add" in {
+    val nodes = Seq("node-a", "node-b", "node-c")
+    val keys = spark.range(3000L).select(col("id"))
+    val r = keys.select(col("id"),
+        rendezvousNode(col("id"), nodes).as("n3"),
+        rendezvousNode(col("id"), nodes :+ "node-d").as("n4"))
+      .as[(Long, String, String)].collect()
+    // deterministic re-evaluation
+    r.take(10).foreach { case (k, n3, _) =>
+      spark.range(k, k + 1).select(rendezvousNode(col("id"), nodes))
+        .as[String].head() shouldBe n3
+    }
+    // roughly balanced (md5 uniformity; generous band around 1000/node)
+    val byNode = r.groupBy(_._2).view.mapValues(_.length).toMap
+    nodes.foreach { n => byNode(n) should (be >= 800 and be <= 1200) }
+    // minimal movement: every moved key moved TO the new node, ~1/4 of keys
+    val moved = r.filter(t => t._2 != t._3)
+    all(moved.map(_._3)) shouldBe "node-d"
+    moved.length should (be >= 550 and be <= 950)
+    // degenerate single-node membership
+    spark.range(1L).select(rendezvousNode(col("id"), Seq("only")))
+      .as[String].head() shouldBe "only"
+  }
 }

@@ -606,6 +606,31 @@ class GraphSpec extends SparkSpec {
       .map(_._1) shouldBe Array(1L, 2L, 3L, 4L)
   }
 
+  "kTruss" should "keep edges by triangle support with cascading peel" in {
+    val k4und = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val k4 = k4und.toDF("src", "dst")
+    // K4: every edge lies in exactly 2 triangles → 3- and 4-truss keep all
+    // 6 edges, 5-truss (support ≥ 3) is empty
+    val t3 = GraphAlgorithms.kTruss(spark, k4, k = 3)
+      .orderBy("a", "b").as[(Long, Long, Long)].collect()
+    t3.map(t => (t._1, t._2)) shouldBe k4und.toArray
+    all(t3.map(_._3)) shouldBe 2L
+    GraphAlgorithms.kTruss(spark, k4, k = 4).count() shouldBe 6L
+    GraphAlgorithms.kTruss(spark, k4, k = 5).count() shouldBe 0L
+    // triangle + pendant: 3-truss = the triangle only
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    GraphAlgorithms.kTruss(spark, tri, k = 3)
+      .orderBy("a", "b").as[(Long, Long, Long)].collect()
+      .map(t => (t._1, t._2)) shouldBe Array((1L, 2L), (1L, 3L), (2L, 3L))
+    // two triangles sharing edge (2,3): 4-truss peels in CASCADE — round 1
+    // drops the support-1 edges, round 2 drops the now-unsupported (2,3)
+    val twoTri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    GraphAlgorithms.kTruss(spark, twoTri, k = 4).count() shouldBe 0L
+    // directed/dup/self-loop noise canonicalizes away
+    val noisy = (k4und ++ k4und.map(_.swap) ++ Seq((2L, 2L))).toDF("src", "dst")
+    GraphAlgorithms.kTruss(spark, noisy, k = 4).count() shouldBe 6L
+  }
+
   it should "produce identical components from the local and distributed paths" in {
     // moderately tangled graph: rings, a chain, cross links, self loops
     val edges = ((1 to 40).map(i => (i.toLong, (i % 40 + 1).toLong)) ++

@@ -85,7 +85,9 @@ object PlanAudit {
     "t15_winnowing" -> "winnowed fingerprints: row-local gram explode, per-doc window argmin over ONE doc-key exchange (both windows share it); pairs from a df-capped inverted-index equi-join on the fingerprint — posting lists bounded, candidates never corpus^2",
     "q72_join_size_sketch" -> "join-size estimate runs on REGISTERS (<=depth*width rows per side): register equi-join + per-row dot + min — the corpora are scanned once to build sketches and never again; the certified upper bound is what you consult BEFORE committing to the real shuffle",
     "q73_ktruss" -> "k-truss: per round, triangles enumerate via degree-ordered orientation (out-degree <= sqrt(2m), hub wedges never explode), support is ONE partial-agg'd shuffle on the canonical edge key, under-supported edges drop synchronously; the shrinking edge frame checkpoints per round",
-    "q74_rendezvous_route" -> "rendezvous routing: per-key argmax over node-seeded hashes is a pure row-local codegen'd expression — zero shuffle before the tiny (nodes x nodes) move-matrix agg; membership change recomputes nothing but the expression")
+    "q74_rendezvous_route" -> "rendezvous routing: per-key argmax over node-seeded hashes is a pure row-local codegen'd expression — zero shuffle before the tiny (nodes x nodes) move-matrix agg; membership change recomputes nothing but the expression",
+    "q75_sketch_partition" -> "sketch-ranged layout: bounds come from the register sketch (ONE <=hundreds-of-keys shuffle; no sampling scan of the data), pid is a row-local indicator sum inside codegen, audit is one partial-agg'd shuffle on <=partitions keys",
+    "s8_knn_multiprobe" -> "multi-probe ANN: corpus bucketed once map-side; the 9x probe explosion lives inside the BROADCAST query relation, so the corpus is never re-scanned or re-shuffled; per-candidate cost is one codegen'd integer dot")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

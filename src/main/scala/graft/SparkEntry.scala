@@ -643,6 +643,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // multi-probe LSH ANN: each query probes its bucket + all Hamming-1
+    // neighbor buckets — single-plane misses (the dominant LSH miss mode)
+    // recovered at 9x QUERY-side cost; corpus bucketed once, never
+    // re-shuffled. Recall >= single-probe pinned in SimilaritySpec
+    "s8_knn_multiprobe" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      Similarity.lshTopKMultiProbe(em, em.filter(col("vec_id") < 5), "vec_id",
+          "embedding", k = 5, numPlanes = 8)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
     // IVF ANN (deterministic k-means coarse quantizer, probe-4). Training
     // is a FIXED number of Lloyd iterations from a deterministic seed, so
     // the oracle unrolls the whole index build as chained CTEs
@@ -1291,6 +1303,17 @@ object SparkEntry {
           Tables.lineitem(s, d), "l_orderkey", "l_partkey", minSupport = 2L),
           k = 3)
         .orderBy("vertex")
+    }),
+
+    // sketch-derived range partitioning: bounds = octile quantiles of the
+    // mergeable log-histogram (no sampling scan, deterministic, mergeable
+    // across days); pid is a row-local indicator sum; footer-stat audit
+    // proves ordered non-overlapping ranges with near-equal counts
+    "q75_sketch_partition" -> ((s, d) => {
+      Layout.sketchRangeStats(
+          Tables.events(s, d).select(round(col("value") * 100).cast("long").as("cents")),
+          col("cents"), numPartitions = 8, s = 3)
+        .orderBy("pid")
     }),
 
     // k-truss (k=3) of the co-purchase graph: synchronous edge peeling by
@@ -2939,7 +2962,49 @@ object SparkEntry {
 
     "q73_ktruss" -> kTrussSql(k = 3, rounds = 4),
 
+    // mirrors Layout.sketchRangeStats: same logHist bucket/quantile
+    // formulas as q69, bounds gathered into a list, pid = per-row count
+    // of cleared bounds
+    "q75_sketch_partition" -> {
+      val qs = (1 until 8).map(i => i * 1000000L / 8).mkString(", ")
+      s"""WITH v AS (SELECT CAST(round(value*100) AS BIGINT) AS cents FROM events),
+         |sk AS (SELECT ${Sketches.logBucketSql("cents", 3)} AS id, COUNT(*) AS cnt
+         |  FROM v GROUP BY 1),
+         |sc AS (SELECT id,
+         |    CAST(SUM(cnt) OVER (ORDER BY id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |    CAST(SUM(cnt) OVER () AS BIGINT) AS n FROM sk),
+         |qq AS (SELECT unnest([$qs]) AS q_ppm),
+         |est AS (SELECT qq.q_ppm, MIN(sc.id) AS id
+         |  FROM qq JOIN sc ON sc.cum >= greatest((qq.q_ppm * sc.n + 999999) // 1000000, 1)
+         |  GROUP BY 1),
+         |b AS (SELECT list(${Sketches.logBucketLowSql("id", 3)} ORDER BY q_ppm) AS bounds
+         |  FROM est),
+         |p AS (SELECT CAST(len([x FOR x IN b.bounds IF cents > x]) AS BIGINT) AS pid, cents
+         |  FROM v, b)
+         |SELECT pid, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  MIN(cents) AS v_min, MAX(cents) AS v_max
+         |FROM p GROUP BY pid ORDER BY pid""".stripMargin
+    },
+
     "q74_rendezvous_route" -> rendezvousRouteSql,
+
+    // same bucket formula as s2, queries expanded to bucket XOR each
+    // single-bit flip (0 = own bucket); DuckDB xor() ≡ Spark bitwiseXOR
+    "s8_knn_multiprobe" ->
+      s"""WITH q AS (SELECT vec_id, ${qvSql("embedding")} AS qv FROM embeddings),
+         |bucketed AS (SELECT vec_id, qv, $lshBucketSql AS bucket FROM q),
+         |probes AS (SELECT vec_id, qv, xor(bucket, f) AS bucket
+         |  FROM bucketed, unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) t(f)
+         |  WHERE vec_id < 5),
+         |p AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id, qq.qv AS qa, c.qv AS qb
+         |      FROM probes qq JOIN bucketed c ON qq.bucket = c.bucket
+         |        AND qq.vec_id != c.vec_id),
+         |sims AS (SELECT query_id, neighbor_id, $cosSql AS cosine FROM p),
+         |ranked AS (SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM sims)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // mirrors cmsBuild (seeded 60-bit md5 % width, per q61) on both sides,
     // then min over rows of the per-row cell-product sum

@@ -48,6 +48,50 @@ object Layout {
     * Scale shape: one partial-agg'd shuffle on ≤ `partitions` keys; at a
     * real write the same Z-value feeds `repartitionByRange(z)` +
     * `sortWithinPartitions(z)` and the stats come free from the footers. */
+  /** Range-partition BOUNDS from a mergeable log-histogram sketch
+    * ([[Sketches.logHistSketch]]): the `i/numPartitions` quantile bucket
+    * lower bounds, ascending. Spark's own `repartitionByRange` SAMPLES the
+    * input per job (an extra pass, nondeterministic at that); sketch-derived
+    * bounds are deterministic, cost nothing beyond the registers (which a
+    * profiling pass or yesterday's run already produced — they MERGE across
+    * days/partitions), and are engine-portable. Bounded driver collect:
+    * `numPartitions − 1` longs. Duplicate bounds (skewed value domains)
+    * simply leave some partitions empty — over-partition, never wrong. */
+  def sketchRangeBounds(sketch: DataFrame, numPartitions: Int, s: Int = 3): Array[Long] = {
+    require(numPartitions >= 2, "need at least 2 partitions")
+    val qs = (1 until numPartitions).map(i => i * 1000000L / numPartitions)
+    Sketches.logHistQuantiles(sketch, Seq.empty, qs, s)
+      .orderBy("q_ppm").select("q_est").collect().map(_.getLong(0))
+  }
+
+  /** Row-local partition id against materialized ascending bounds:
+    * `pid = |{b : value > b}|` ∈ [0, bounds.length] — a codegen'd
+    * indicator sum, no join, no sampling scan. Feed the result to
+    * `repartition(n, col)` (hash on the id) or use it as the write
+    * partition column; within-id `sortWithinPartitions` completes the
+    * range layout. */
+  def rangePartitionId(bounds: Array[Long], value: Column): Column =
+    if (bounds.isEmpty) lit(0L)
+    else bounds.map(b => when(value > b, 1L).otherwise(0L)).reduce(_ + _)
+
+  /** Audit of the sketch-ranged layout: per assigned partition, row count
+    * and value min/max — the footer stats a range-partitioned write would
+    * carry. Ranges must be non-overlapping and ordered (each partition's
+    * max < the next's min is the data-skipping contract); counts are
+    * near-equal within the sketch's `2^−s` relative bucket error. */
+  def sketchRangeStats(
+      df: DataFrame,
+      value: Column,
+      numPartitions: Int,
+      s: Int = 3): DataFrame = {
+    val sketch = Sketches.logHistSketch(df.select(value.as("v")), Seq.empty, "v", s)
+    val bounds = sketchRangeBounds(sketch, numPartitions, s)
+    df.select(rangePartitionId(bounds, value).as("pid"), value.as("v"))
+      .groupBy("pid")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("v")).as("v_min"), max(col("v")).as("v_max"))
+  }
+
   def zOrderStats(
       df: DataFrame,
       xCol: Column,

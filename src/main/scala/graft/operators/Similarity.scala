@@ -306,6 +306,39 @@ object Similarity {
   }
 
   /** LSH-bucketed top-k: neighbors searched only within the query's bucket. */
+  /** Multi-probe LSH top-k (the Hamming-1 form of Lv et al., VLDB'07): each
+    * query probes its own hyperplane bucket PLUS the `numPlanes` buckets
+    * differing in exactly one plane bit — a near neighbor that fell on the
+    * other side of a single hyperplane (the dominant LSH miss mode) is
+    * recovered. Recall rises toward brute force at `numPlanes + 1`× cost
+    * on the QUERY side only: the corpus is bucketed once and never
+    * re-shuffled or re-scanned; the probe explosion happens inside the
+    * broadcast query relation, and each (query, corpus) pair can match at
+    * most once (a corpus row has one bucket; probe buckets are distinct). */
+  def lshTopKMultiProbe(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numPlanes: Int = 8,
+      dims: Int = 64): DataFrame = {
+    val c = quantized(corpus, idCol, vecCol, "neighbor_id", "qv_c", "n_c")
+      .withColumn("bucket", lshBucketQ(col("qv_c"), numPlanes, dims))
+    val flips = array((lit(0L) +: (0 until numPlanes).map(p => lit(1L << p))): _*)
+    val q = quantized(queries, idCol, vecCol, "query_id", "qv_q", "n_q")
+      .withColumn("bucket0", lshBucketQ(col("qv_q"), numPlanes, dims))
+      .withColumn("flip", explode(flips))
+      .select(col("query_id"), col("qv_q"), col("n_q"),
+        col("bucket0").bitwiseXOR(col("flip")).as("bucket"))
+    val sims = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        quantizedCosinePre(col("qv_q"), col("qv_c"), col("n_q"), col("n_c")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   def lshTopK(
       corpus: DataFrame,
       queries: DataFrame,

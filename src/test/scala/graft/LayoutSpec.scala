@@ -46,4 +46,28 @@ class LayoutSpec extends SparkSpec {
       (ymax - ymin) shouldBe 7L
     }
   }
+
+  "Layout.sketchRangeStats" should "produce ordered non-overlapping near-equal ranges" in {
+    // skewed domain (quadratic growth) — exactly where naive equal-width
+    // ranges fail and quantile bounds shine
+    val df = spark.range(10000L)
+      .select(call_function("div", col("id") * col("id"), lit(1000L)).as("v"))
+    val stats = Layout.sketchRangeStats(df, col("v"), numPartitions = 8, s = 3)
+      .orderBy("pid").as[(Long, Long, Long, Long)].collect()
+    stats.map(_._2).sum shouldBe 10000L
+    // ordered, non-overlapping: each partition's max < next partition's min
+    stats.sliding(2).foreach { case Array((_, _, _, maxA), (_, _, minB, _)) =>
+      maxA should be < minB
+    }
+    // near-equal counts within the 2^-3 bucket-width tolerance (generous 2x)
+    all(stats.map(_._2)) should (be >= 600L and be <= 2500L)
+    // bounds are deterministic and bounded in size
+    val sketch = graft.operators.Sketches.logHistSketch(
+      df.select(col("v")), Seq.empty, "v", s = 3)
+    val b1 = Layout.sketchRangeBounds(sketch, 8)
+    val b2 = Layout.sketchRangeBounds(sketch, 8)
+    b1 shouldBe b2
+    b1.length shouldBe 7
+    b1.sorted shouldBe b1
+  }
 }

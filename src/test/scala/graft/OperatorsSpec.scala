@@ -314,6 +314,33 @@ class SimilaritySpec extends SparkSpec {
     lsh.foreach { case (id, cos) => bf(id) shouldBe cos } // same cosine values
   }
 
+  "lshTopKMultiProbe" should "recover at least single-probe recall, each pair once" in {
+    // 60 vectors in 3 loose clusters: single-probe misses near neighbors
+    // that fall across one hyperplane; Hamming-1 probing recovers them
+    val rnd = new scala.util.Random(11)
+    val base = Seq(Seq(1.0f, 0.2f, 0f, 0f), Seq(0f, 1.0f, 0.2f, 0f), Seq(0.2f, 0f, 1.0f, 0f))
+    val many = (0 until 60).map { i =>
+      val c = base(i % 3)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.4f))
+    }.toDF("vec_id", "embedding")
+    val queries = many.filter(col("vec_id") < 6)
+    def recall(res: org.apache.spark.sql.DataFrame): Double = {
+      val bf = Similarity.bruteForceTopK(many, queries, "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      res.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+        .intersect(bf).size.toDouble / bf.size
+    }
+    val single = Similarity.lshTopK(many, queries, "vec_id", "embedding",
+      k = 5, numPlanes = 8, dims = 4)
+    val multi = Similarity.lshTopKMultiProbe(many, queries, "vec_id", "embedding",
+      k = 5, numPlanes = 8, dims = 4)
+    recall(multi) should be >= recall(single)
+    recall(multi) should be > 0.5 // Hamming-1 probing must actually help here
+    // no duplicate (query, neighbor) rows from distinct probe buckets
+    val rows = multi.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    rows.length shouldBe rows.toSet.size
+  }
+
   "ivfTopK" should "find the true nearest neighbor when it shares the probed cell" in {
     // 4 tight clusters around orthogonal axes; 10 vectors each
     val rnd = new scala.util.Random(3)

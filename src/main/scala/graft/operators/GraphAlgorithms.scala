@@ -390,9 +390,9 @@ object GraphAlgorithms {
     * the operator oracle-able as unrolled CTEs like PageRank/label-prop).
     *
     * Scale shape per round: one partial-agg'd degree count + two
-    * equi-joins against the (tiny, shrinking) surviving-vertex set — all
-    * shuffles on vertex keys, never on pairs; the adjacency frame is
-    * checkpointed per round so lineage stays flat. Convergence is the
+    * equi-joins against the shrinking surviving-vertex set — all shuffles
+    * on vertex keys, never on pairs; the adjacency frame is checkpointed
+    * per round so lineage stays flat. Convergence is the
     * edge-count fixpoint (removing zero rows means every remaining degree
     * already clears `k`) — one cheap count per round, same discipline as
     * connectedComponents' fingerprint. Rounds are bounded by the peeling

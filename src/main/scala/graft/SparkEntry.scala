@@ -1305,6 +1305,18 @@ object SparkEntry {
         .orderBy("vertex")
     }),
 
+    // winsorized robust aggregation: per-event-type p1/p99 bounds from
+    // the mergeable log-histogram sketch, row-local clamp (broadcast
+    // bounds), raw vs clamped sums + clamp counts — one pathological value
+    // no longer owns the mean
+    "q76_winsorized" -> ((s, d) => {
+      Analytics.winsorizedStats(
+          Tables.events(s, d)
+            .select(col("event_type"), round(col("value") * 100).cast("long").as("cents")),
+          Seq("event_type"), "cents", loPpm = 10000L, hiPpm = 990000L, s = 3)
+        .orderBy("event_type")
+    }),
+
     // sketch-derived range partitioning: bounds = octile quantiles of the
     // mergeable log-histogram (no sampling scan, deterministic, mergeable
     // across days); pid is a row-local indicator sum; footer-stat audit
@@ -2965,6 +2977,35 @@ object SparkEntry {
     // mirrors Layout.sketchRangeStats: same logHist bucket/quantile
     // formulas as q69, bounds gathered into a list, pid = per-row count
     // of cleared bounds
+    // same per-group logHist quantile rule as q69 at q_ppm in (1e4, 99e4),
+    // pivoted to lo/hi, then a row-local clamp and integer sums
+    "q76_winsorized" ->
+      s"""WITH v AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents
+         |  FROM events),
+         |sk AS (SELECT event_type, ${Sketches.logBucketSql("cents", 3)} AS id,
+         |    COUNT(*) AS cnt FROM v GROUP BY 1, 2),
+         |sc AS (SELECT event_type, id,
+         |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |    CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM sk),
+         |qq AS (SELECT event_type, unnest([10000, 990000]) AS q_ppm
+         |  FROM (SELECT DISTINCT event_type FROM v)),
+         |est AS (SELECT qq.event_type, qq.q_ppm, MIN(sc.id) AS id
+         |  FROM qq JOIN sc ON sc.event_type = qq.event_type
+         |    AND sc.cum >= greatest((qq.q_ppm * sc.n + 999999) // 1000000, 1)
+         |  GROUP BY 1, 2),
+         |b AS (SELECT event_type,
+         |    MIN(CASE WHEN q_ppm = 10000 THEN ${Sketches.logBucketLowSql("id", 3)} END) AS lo,
+         |    MIN(CASE WHEN q_ppm = 990000 THEN ${Sketches.logBucketLowSql("id", 3)} END) AS hi
+         |  FROM est GROUP BY event_type)
+         |SELECT v.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(cents) AS BIGINT) AS sum_raw,
+         |  CAST(SUM(greatest(b.lo, least(cents, b.hi))) AS BIGINT) AS sum_winsorized,
+         |  CAST(SUM(CASE WHEN cents < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_low,
+         |  CAST(SUM(CASE WHEN cents > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_high
+         |FROM v JOIN b USING (event_type)
+         |GROUP BY v.event_type ORDER BY v.event_type""".stripMargin,
+
     "q75_sketch_partition" -> {
       val qs = (1 until 8).map(i => i * 1000000L / 8).mkString(", ")
       s"""WITH v AS (SELECT CAST(round(value*100) AS BIGINT) AS cents FROM events),

@@ -137,6 +137,43 @@ object Analytics {
     *
     * Scale shape: one partial+final aggregation for the per-group moments,
     * broadcast back into a row-local filter — the data column streams once. */
+  /** Winsorized (sketch-clamped) robust aggregation: per group, clamp the
+    * value column at the sketch's `loPpm`/`hiPpm` quantile bounds and
+    * report raw vs clamped sums plus clamp counts — the standard
+    * outlier-robust statistic for corpus metrics (one pathological
+    * document's 10⁹-token length no longer owns the mean). Bounds come
+    * from the MERGEABLE log-histogram ([[Sketches.logHistSketch]]), so at
+    * scale they can be yesterday's registers — no extra pass; the bounds
+    * frame is one row per group and broadcasts into a row-local clamp.
+    * All-integer arithmetic end to end (values are pre-quantized longs per
+    * the repo convention), deterministic, oracle-able. */
+  def winsorizedStats(
+      df: org.apache.spark.sql.DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      loPpm: Long = 10000L,
+      hiPpm: Long = 990000L,
+      s: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(loPpm < hiPpm, "loPpm must be below hiPpm")
+    val g = groupCols.map(org.apache.spark.sql.functions.col)
+    val sketch = Sketches.logHistSketch(df, groupCols, valueCol, s)
+    val bounds = Sketches.logHistQuantiles(sketch, groupCols, Seq(loPpm, hiPpm), s)
+      .groupBy(g: _*)
+      .agg(
+        min(when(col("q_ppm") === loPpm, col("q_est"))).as("lo"),
+        min(when(col("q_ppm") === hiPpm, col("q_est"))).as("hi"))
+    val v = col(valueCol)
+    df.join(broadcast(bounds), groupCols)
+      .select(g :+ v.as("v") :+ col("lo") :+ col("hi"): _*)
+      .groupBy(g: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("v")).as("sum_raw"),
+        sum(greatest(col("lo"), least(col("v"), col("hi")))).as("sum_winsorized"),
+        sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_clamped_low"),
+        sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_clamped_high"))
+  }
+
   def zscoreOutliers(
       df: DataFrame,
       groupCols: Seq[String],

@@ -142,4 +142,29 @@ class AnalyticsSpec extends SparkSpec {
     SecondaryIndex.multiLookup(index, docs, Seq("doc_id"), Seq("spark", "spark"))
       .select("doc_id").orderBy("doc_id").as[Long].collect() shouldBe Array(1L, 2L, 4L)
   }
+
+  "Analytics.winsorizedStats" should "clamp outliers at sketch bounds, raw sums intact" in {
+    // 998 values of 96 (a bucket lower bound at s=3 — quantile estimates
+    // are bucket LOWER bounds, so non-representative values would read as
+    // "clamped" by the bucket-width error) plus two gross outliers
+    val rows = (1 to 998).map(_ => ("g", 96L)) ++ Seq(("g", 0L), ("g", 1000000L))
+    val df = rows.toDF("grp", "v")
+    val r = Analytics.winsorizedStats(df, Seq("grp"), "v",
+      loPpm = 10000L, hiPpm = 990000L, s = 3)
+      .as[(String, Long, Long, Long, Long, Long)].head()
+    val (_, n, raw, wins, nLo, nHi) = r
+    n shouldBe 1000L
+    raw shouldBe 998L * 96L + 1000000L // raw sum keeps the outlier
+    // the high outlier clamps to the p99 bound (96: >98.9% of the mass),
+    // the low one is raised to the p1 bound (also 96)
+    nHi shouldBe 1L
+    nLo shouldBe 1L
+    wins shouldBe 1000L * 96L
+    // a clean group of a bucket-representative value is untouched
+    val clean = (1 to 100).map(i => ("c", 48L)).toDF("grp", "v")
+    val rc = Analytics.winsorizedStats(clean, Seq("grp"), "v")
+      .as[(String, Long, Long, Long, Long, Long)].head()
+    rc._3 shouldBe rc._4 // sum_raw == sum_winsorized
+    rc._5 + rc._6 shouldBe 0L
+  }
 }

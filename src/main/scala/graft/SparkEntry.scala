@@ -1305,6 +1305,18 @@ object SparkEntry {
         .orderBy("vertex")
     }),
 
+    // time-travel view: the latest-per-key state AS OF Jan 10 (the
+    // reference's bootstrap-to-checkpoint replay as a declarative filter;
+    // ts predicate sits below the compaction aggregate → row-group pruning)
+    "q77_time_travel" -> ((s, d) => {
+      KVTable(Tables.events(s, d), Seq("user_id"), "ts_us",
+          tieBreakCols = Seq("event_id"))
+        .asOf(Jan10_24)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("value").as("last_value"), col("ts_us").as("last_ts_us"))
+        .orderBy("user_id")
+    }),
+
     // winsorized robust aggregation: per-event-type p1/p99 bounds from
     // the mergeable log-histogram sketch, row-local clamp (broadcast
     // bounds), raw vs clamped sums + clamp counts — one pathological value
@@ -2977,6 +2989,15 @@ object SparkEntry {
     // mirrors Layout.sketchRangeStats: same logHist bucket/quantile
     // formulas as q69, bounds gathered into a list, pid = per-row count
     // of cleared bounds
+    "q77_time_travel" ->
+      s"""SELECT user_id, event_id AS last_event_id, value AS last_value,
+         |  ts_us AS last_ts_us
+         |FROM (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+         |        ROW_NUMBER() OVER (PARTITION BY user_id
+         |          ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         |      FROM events WHERE epoch_us(ts) <= $Jan10_24)
+         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
     // same per-group logHist quantile rule as q69 at q_ppm in (1e4, 99e4),
     // pivoted to lo/hi, then a row-local clamp and integer sums
     "q76_winsorized" ->

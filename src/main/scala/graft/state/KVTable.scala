@@ -108,6 +108,22 @@ final case class KVTable(
         col("min_ts_us"), col("max_ts_us"), col("n_files"), col("total_bytes"))
   }
 
+  /** Point-in-time (time-travel) view: the latest-per-key state AS OF
+    * `tUs` — the reference's bootstrap-to-checkpoint replay
+    * (Log.bootstrap, api/.../Log.java:133-161) as a declarative filter:
+    * drop every log row after `tUs`, then the usual compact/tombstone
+    * pipeline. TTL is evaluated AT `tUs` (a record live then but expired
+    * now is present, matching what a replay to that moment would have
+    * served). The ts predicate sits below the aggregate, so parquet
+    * row-group pruning on the time column applies — replaying "yesterday's
+    * state" scans only yesterday's files on a time-partitioned log. */
+  def asOf(tUs: Long): DataFrame = {
+    val upTo = changelog.filter(col(tsCol) <= tUs)
+    val live = ttlUs.fold(upTo)(t => Changelog.ttlFilter(upTo, tsCol, t, tUs))
+    val compacted = Changelog.compact(live, keyCols, tsCol, tieBreakCols)
+    tombstoneCol.fold(compacted)(tc => Changelog.dropTombstones(compacted, tc))
+  }
+
   /** R8 keep-last-N CDC view (not compacted — history retained per key). */
   def keepLastN(n: Int): DataFrame =
     Changelog.keepLastN(changelog, keyCols, tsCol, n, tieBreakCols)

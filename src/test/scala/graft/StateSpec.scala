@@ -118,6 +118,30 @@ class KVTableSpec extends SparkSpec {
     t.numKeys shouldBe 1
   }
 
+  "KVTable.asOf" should "replay to a point in time with TTL evaluated AT that time" in {
+    val t = KVTable(
+      Seq(
+        (1L, "v1", 1_000_000L, false),
+        (1L, "v2", 8_000_000L, false), // later overwrite
+        (2L, "w1", 2_000_000L, false),
+        (2L, null.asInstanceOf[String], 6_000_000L, true), // later tombstone
+        (3L, "x1", 7_000_000L, false)) // born after the snapshot
+        .toDF("key", "value", "ts", "dead"),
+      Seq("key"), "ts", tombstoneCol = Some("dead"))
+    val snap = t.asOf(5_000_000L).select("key", "value").as[(Long, String)]
+      .collect().toMap
+    snap shouldBe Map(1L -> "v1", 2L -> "w1") // pre-overwrite, pre-tombstone, no key 3
+    // full latest: overwrite applied, key 2 tombstoned, key 3 live
+    t.latest.select("key", "value").as[(Long, String)].collect().toMap shouldBe
+      Map(1L -> "v2", 3L -> "x1")
+    // TTL at the snapshot time: key 2's w1 (ts=2s) is EXPIRED as of t=8s
+    // with ttl=5s even though it was live at t=5s; key 1's t=8s overwrite
+    // and key 3 are fresh
+    val ttl = t.copy(ttlUs = Some(5_000_000L), nowUs = 99L)
+    ttl.asOf(8_000_000L).select("key").as[Long].collect().sorted shouldBe Seq(1L, 3L)
+    ttl.asOf(5_000_000L).select("key").as[Long].collect().sorted shouldBe Seq(1L, 2L)
+  }
+
   "getStats" should "report log depth, live keys, tombstones and the event-time span (P11)" in {
     val t = KVTable(
       Seq(

@@ -676,6 +676,18 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // cluster-balanced subset: IVF cells as topic strata, hash-ranked cap
+    // per cell — the "no topic dominates the training mix" recipe; both
+    // stages are audited shapes (broadcast centroids, one stratum shuffle)
+    "s9_cluster_balanced" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      val (cells, _) = Similarity.ivfIndex(em, "vec_id", "embedding", nCentroids = 16)
+      Sampling.stratifiedCap(cells.withColumnRenamed("id", "vec_id"),
+          Seq("cell"), "vec_id", cap = 20)
+        .select(col("vec_id"), col("cell"), col("rank").cast("int").as("rank"))
+        .orderBy("cell", "rank")
+    }),
+
     // language ID (stopword n-gram heuristic)
     "t1_lang_id" -> ((s, d) => {
       TextAnalysis.languageId(Tables.documents(s, d), "doc_id", "text")
@@ -2373,6 +2385,16 @@ object SparkEntry {
          |sims AS (SELECT id_a, id_b, $cosSql AS cosine FROM p)
          |SELECT id_a, id_b, cosine FROM sims WHERE cosine >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // ivfCellsSql's deterministic k-means cells + the q37 hash-rank cap rule
+    "s9_cluster_balanced" ->
+      s"""WITH ${ivfCellsSql(nCentroids = 16, iterations = 5)},
+         |r AS (SELECT id AS vec_id, cell,
+         |    ROW_NUMBER() OVER (PARTITION BY cell
+         |      ORDER BY md5(id::VARCHAR), id) AS rank
+         |  FROM cells)
+         |SELECT vec_id, cell, CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 20 ORDER BY cell, rank""".stripMargin,
 
     "q29_split_sample" -> {
       val hx = "'0123456789abcdef'"

@@ -1329,6 +1329,25 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // S3+S4 bootstrap-replay equivalence: snapshot the state at the log
+    // midpoint (bootstrap scan), apply the CDC tail on top, re-compact.
+    // The oracle computes latest-per-key over the FULL log in one pass, so
+    // the hash match IS the reference's checkpoint+replay ≡ full-reset
+    // invariant (spark/.../LogRDDSpec.scala:114-127)
+    "q78_bootstrap_replay" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type"), col("value"))
+      val mid = ev.agg(min(col("ts_us")).as("mn"), max(col("ts_us")).as("mx"))
+        .select(expr("(mn + mx) div 2").as("mid_ts"))
+      Changelog.bootstrapThenApply(ev.crossJoin(broadcast(mid)),
+          Seq("user_id"), "ts_us", "mid_ts", tieBreakCols = Seq("event_id"))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"), col("value").as("last_value"),
+          col("ts_us").as("last_ts_us"))
+        .orderBy("user_id")
+    }),
+
     // winsorized robust aggregation: per-event-type p1/p99 bounds from
     // the mergeable log-histogram sketch, row-local clamp (broadcast
     // bounds), raw vs clamped sums + clamp counts — one pathological value
@@ -3019,6 +3038,18 @@ object SparkEntry {
          |          ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
          |      FROM events WHERE epoch_us(ts) <= $Jan10_24)
          |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // single-pass latest-per-key over the whole log — equality with the
+    // Spark side's two-phase bootstrap+tail replay is the point
+    "q78_bootstrap_replay" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        |  value AS last_value, ts_us AS last_ts_us
+        |FROM (SELECT user_id, event_id, event_type, value,
+        |        epoch_us(ts) AS ts_us,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id
+        |          ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     // same per-group logHist quantile rule as q69 at q_ppm in (1e4, 99e4),
     // pivoted to lo/hi, then a row-local clamp and integer sums

@@ -48,6 +48,31 @@ object Changelog {
       .select(df.columns.map(col): _*)
   }
 
+  /** S3 bootstrap + S4 tail apply as one equivalence-checkable operator:
+    * compact the log prefix up to `boundaryCol` into a state snapshot (the
+    * reference's bootstrap scan, spark/.../LogRDD.scala:47-64 over a
+    * time-bounded reset), then union the CDC tail (> boundary) on top and
+    * re-compact. Because latest-per-key is an associative max, the result
+    * equals compacting the full log in one pass — the invariant the
+    * reference asserts over its Kafka log
+    * (spark/src/test/scala/.../LogRDDSpec.scala:114-127) and the reason a
+    * restarting store can checkpoint + replay-tail instead of re-reading
+    * history. `boundaryCol` names an epoch-µs column on `log` (typically a
+    * broadcast 1-row midpoint) so the split needs no driver-side action;
+    * it is dropped from the output. */
+  def bootstrapThenApply(
+      log: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      boundaryCol: String,
+      tieBreakCols: Seq[String] = Nil): DataFrame = {
+    val snapshot = compact(
+      log.filter(col(tsCol) <= col(boundaryCol)).drop(boundaryCol),
+      keyCols, tsCol, tieBreakCols)
+    val tail = log.filter(col(tsCol) > col(boundaryCol)).drop(boundaryCol)
+    compact(snapshot.unionByName(tail), keyCols, tsCol, tieBreakCols)
+  }
+
   /** Drop records flagged as tombstones (deletes) — applied *after* compact,
     * so a delete-then-nothing key disappears from the latest view, matching
     * reference compaction semantics (LogRDD.scala:59-63). */

@@ -33,11 +33,30 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 
-  /** Events with `ts_us: Long` (epoch microseconds) replacing the raw ns ts.
-    * NB `div`, not `/`: Spark's `/` on longs is DOUBLE division, which loses
-    * precision above 2^53 — epoch-ns values are ~2^61. */
-  def events(s: SparkSession, d: String): DataFrame =
-    read(s, d, "events").withColumn("ts_us", expr("ts div 1000")).drop("ts")
+  /** Events with `ts_us: Long` (epoch microseconds) replacing the raw ts.
+    *
+    * Schema-adaptive: the driver has shipped `events.parquet` both as INT64
+    * TIMESTAMP(NANOS) (loads as LongType under `nanosAsLong`) and as INT64
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (loads as TIMESTAMP_NTZ).
+    *  - LongType (epoch ns): `ts div 1000`. NB `div`, not `/`: Spark's `/`
+    *    on longs is DOUBLE division, which loses precision above 2^53 —
+    *    epoch-ns values are ~2^61.
+    *  - timestamp / timestamp_ntz: `unix_micros(cast(ts as timestamp))`
+    *    (session tz is UTC, so NTZ≡LTZ) ≡ DuckDB `epoch_us(ts)` exactly.
+    * Any other type fails fast with a schema message rather than 43 opaque
+    * per-query analysis errors (round-7 regression). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+    val raw = read(s, d, "events")
+    val tsUs = raw.schema("ts").dataType match {
+      case LongType                          => expr("ts div 1000")
+      case TimestampType | TimestampNTZType  => epochUs(col("ts"))
+      case other => throw new IllegalStateException(
+        s"events.parquet 'ts' has unsupported type $other; expected epoch-ns LongType " +
+          "(INT64 TIMESTAMP(NANOS) under nanosAsLong) or timestamp/timestamp_ntz (INT64 TIMESTAMP(MICROS))")
+    }
+    raw.withColumn("ts_us", tsUs).drop("ts")
+  }
 
   /** Epoch microseconds of any timestamp/timestamp_ntz column (session tz is
     * UTC everywhere, so NTZ and LTZ agree). Output contract: query results

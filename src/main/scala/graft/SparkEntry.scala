@@ -667,6 +667,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // hard-negative mining (filtered ANN): top-5 most-similar vectors with
+    // a DIFFERENT label, served by the same full-corpus IVF index as s3 —
+    // one index, any label predicate
+    "s10_hard_negatives" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      Similarity.ivfHardNegatives(em, em.filter(col("vec_id") < 5), "vec_id",
+        "embedding", "label", k = 5, nCentroids = 16, nProbe = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("neighbor_label"), col("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
     // semantic near-dup: k-means cells as candidate blocks — embedding
     // dedup with NO metadata blocking key (oracle unrolls the same
     // deterministic integer k-means as s3, then pairs within cells)
@@ -1517,6 +1529,34 @@ object SparkEntry {
        |ranked AS (SELECT *, ROW_NUMBER() OVER
        |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM sims)
        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** [[ivfTopKSql]] with the hard-negative label gate: candidates join the
+    * label table and drop same-label neighbors BEFORE ranking — mirrors
+    * Similarity.ivfHardNegatives over the same deterministic cells. */
+  private def ivfHardNegSql(nCentroids: Int, iterations: Int, nProbe: Int, k: Int): String = {
+    def dotOf(c: String, v: String) = s"list_sum([$c[i]*$v[i] for i in range(1,65)])"
+    s"""WITH ${ivfCellsSql(nCentroids, iterations)},
+       |lbl AS (SELECT vec_id AS id, label FROM embeddings),
+       |pd AS (SELECT q.id AS query_id, c.cell,
+       |  ROW_NUMBER() OVER (PARTITION BY q.id
+       |    ORDER BY c.cn - 2*${dotOf("c.c", "q.v")}, c.cell) AS rn
+       |  FROM v q CROSS JOIN c$iterations c WHERE q.id < 5),
+       |probes AS (SELECT query_id, cell FROM pd WHERE rn <= $nProbe),
+       |p AS (SELECT DISTINCT pr.query_id, n.id AS neighbor_id,
+       |    nl.label AS neighbor_label, q.v AS qa, n.v AS qb
+       |  FROM probes pr
+       |  JOIN v q ON q.id = pr.query_id
+       |  JOIN cells n ON n.cell = pr.cell AND n.id != pr.query_id
+       |  JOIN lbl ql ON ql.id = pr.query_id
+       |  JOIN lbl nl ON nl.id = n.id AND nl.label != ql.label),
+       |sims AS (SELECT DISTINCT query_id, neighbor_id, neighbor_label,
+       |    $cosSql AS cosine FROM p),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER
+       |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM sims)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+       |  neighbor_label, cosine
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
@@ -2396,6 +2436,8 @@ object SparkEntry {
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "s3_knn_ivf" -> ivfTopKSql(nCentroids = 16, iterations = 5, nProbe = 4, k = 5),
+
+    "s10_hard_negatives" -> ivfHardNegSql(nCentroids = 16, iterations = 5, nProbe = 4, k = 5),
 
     "s4_semantic_dedup" ->
       s"""WITH ${ivfCellsSql(nCentroids = 16, iterations = 5)},

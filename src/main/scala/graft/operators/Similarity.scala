@@ -280,6 +280,57 @@ object Similarity {
     sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining: for each labeled query vector, the top-k most
+    * similar corpus vectors with a DIFFERENT label — the contrastive-
+    * training staple (the best negatives are the near-misses, not random
+    * draws). This is filtered ANN: the IVF index is trained on the FULL
+    * corpus, so ONE index serves every label predicate (the filter applies
+    * to candidates inside the probed cells, never re-training or
+    * re-scanning per filter) — at 100 TB the index is the expensive
+    * artifact and label predicates are free candidate-side filters. Same
+    * deterministic integer k-means + exact quantized cosine as [[ivfTopK]],
+    * so the approximate algorithm stays oracle-able; same recall trade
+    * (a hard negative in an unprobed cell is missed). */
+  def ivfHardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val (cells, centroids) = ivfIndex(corpus, idCol, vecCol, nCentroids)
+    val c = quantized(corpus, idCol, vecCol, "neighbor_id", "qv_c", "n_c")
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("neighbor_label")), "neighbor_id")
+      .join(cells.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+    val qVecs = queries.select(col(idCol).as("query_id"), quantize1000(col(vecCol)).as("v"))
+    val probeCells = centroids.zipWithIndex.map { case (cvec, i) =>
+      val cNorm = cvec.map(x => x * x).sum
+      val d = lit(cNorm) - lit(2L) * ldot(col("v"), lit(cvec))
+      struct(d.as("d"), lit(i).as("cell"))
+    }
+    val q = quantized(queries, idCol, vecCol, "query_id", "qv_q", "n_q")
+      .join(queries.select(col(idCol).as("query_id"),
+        col(labelCol).as("query_label")), "query_id")
+      .join(
+        qVecs.select(col("query_id"),
+          explode(slice(array_sort(array(probeCells: _*)), 1, nProbe).getField("cell")).as("cell")),
+        "query_id")
+    // the label gate runs BEFORE ranking (a same-label near-miss must not
+    // occupy a rank slot) and map-side (inside the cell join, so filtered
+    // candidates never reach the top-k window)
+    val sims = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        col("neighbor_label") =!= col("query_label"))
+      .select(col("query_id"), col("neighbor_id"), col("neighbor_label"),
+        quantizedCosinePre(col("qv_q"), col("qv_c"), col("n_q"), col("n_c")).as("cosine"))
+      .distinct() // a neighbor can appear via multiple probed cells
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Semantic near-dup via IVF blocking: embedding near-dup pairs where the
     * candidate blocks are the k-means cells of [[ivfIndex]] instead of an
     * exact metadata key. THE 100 TB scale path for semantic dedup — exact

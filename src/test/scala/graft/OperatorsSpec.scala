@@ -363,6 +363,36 @@ class SimilaritySpec extends SparkSpec {
     ivf shouldBe bf
   }
 
+  "ivfHardNegatives" should "return only different-label neighbors, ranked like label-filtered ivfTopK" in {
+    // same 4-cluster layout; label = cluster, so a query's hard negatives
+    // are the nearest vectors OUTSIDE its own cluster
+    val rnd = new scala.util.Random(3)
+    val base = Seq(
+      Seq(1.0f, 0f, 0f, 0f), Seq(0f, 1.0f, 0f, 0f),
+      Seq(0f, 0f, 1.0f, 0f), Seq(0f, 0f, 0f, 1.0f))
+    val vecs = (0 until 40).map { i =>
+      val c = base(i % 4)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f), (i % 4).toLong)
+    }.toDF("vec_id", "embedding", "label")
+    val queries = vecs.filter(col("vec_id") < 4)
+    val hn = Similarity.ivfHardNegatives(vecs, queries, "vec_id", "embedding",
+      "label", k = 3, nCentroids = 4, nProbe = 4)
+    val rows = hn.select("query_id", "neighbor_id", "neighbor_label", "rank")
+      .as[(Long, Long, Long, Int)].collect()
+    // the label gate: no neighbor shares its query's label (label = id % 4)
+    rows.foreach { case (q, _, nl, _) => nl should not be (q % 4) }
+    // nProbe = nCentroids means every candidate survives to the label gate,
+    // so the result must equal exact brute force over the corpus minus the
+    // query's own label (same quantized-cosine algebra)
+    val expected = queries.select("vec_id", "label").as[(Long, Long)].collect().flatMap {
+      case (qid, lbl) =>
+        Similarity.bruteForceTopK(vecs.filter(col("label") =!= lbl),
+          queries.filter(col("vec_id") === qid), "vec_id", "embedding", k = 3)
+          .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    }.toSet
+    rows.map { case (q, n, _, r) => (q, n, r) }.toSet shouldBe expected
+  }
+
   "ivfNearDup" should "be sound (every pair a true near-dup) and find in-cluster pairs" in {
     // 4 orthogonal clusters: in-cluster cosines ~1, cross-cluster ~0
     val rnd = new scala.util.Random(7)

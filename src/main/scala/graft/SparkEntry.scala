@@ -588,6 +588,20 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // incremental day-over-day dedup: the fresh 20% (doc_id % 5 = 0) pairs
+    // against the persisted band table of the other 80% — history never
+    // re-pairs itself; result ≡ full-corpus LSH restricted to ≥1-fresh pairs
+    "d15_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val history = Dedup.bandSignatures(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+        numHashes = 8, shingleSize = 3, rowsPerBand = 2)
+      Dedup.incrementalMinhashLsh(history, docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", numHashes = 8, shingleSize = 3, rowsPerBand = 2,
+        minEstimate = 0.5, materializeCandidates = true)
+        .orderBy("id_a", "id_b")
+    }),
+
     // two-stage dedup: loose LSH candidates (est >= 0.3) verified against
     // exact shingle Jaccard >= 0.5 — estimate false positives removed
     "d12_lsh_verified" -> ((s, d) => {
@@ -2295,6 +2309,14 @@ object SparkEntry {
     "d2_dedup_minhash" ->
       s"""WITH ${minhashPairsSql("documents")}
          |SELECT id_a, id_b, jaccard_est FROM mh_pairs WHERE jaccard_est >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the incremental path is pair-for-pair the full-corpus LSH minus
+    // history-only pairs — the oracle says so literally
+    "d15_incremental_dedup" ->
+      s"""WITH ${minhashPairsSql("documents")}
+         |SELECT id_a, id_b, jaccard_est FROM mh_pairs
+         |WHERE jaccard_est >= 0.5 AND (id_a % 5 = 0 OR id_b % 5 = 0)
          |ORDER BY id_a, id_b""".stripMargin,
 
     // candidates from the same unrolled minhash CTEs (mh_h carries each

@@ -81,6 +81,34 @@ object Dedup {
     * worthwhile for batch jobs, but it executes eagerly, pins executor
     * blocks for the DataFrame's lifetime, and is unsupported on streaming
     * inputs, so it is opt-in; the default keeps the operator fully lazy. */
+  /** Banded minhash signatures `(doc, signature, band, band_hash)` — the
+    * PERSISTABLE artifact of LSH dedup: write this table once per corpus
+    * increment (changelog-compacted on `doc`) and every later increment
+    * joins against it instead of re-banding history. One row per
+    * (doc, band); band_hash = md5 over that band's signature slice. */
+  def bandSignatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      shingleSize: Int = 3,
+      rowsPerBand: Int = 2): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be divisible by rowsPerBand ($rowsPerBand) - trailing signature positions would silently never band")
+    val sig = minhashSignature(docs, idCol, textCol, numHashes, shingleSize)
+    val numBands = numHashes / rowsPerBand
+    sig.select(
+      col(idCol).as("doc"),
+      col("signature"),
+      posexplode(
+        transform(
+          sequence(lit(0), lit(numBands - 1)),
+          b => md5(concat_ws("|",
+            transform(slice(col("signature"), b * rowsPerBand + lit(1), lit(rowsPerBand)),
+              x => x.cast("string"))))
+        )).as(Seq("band", "band_hash")))
+  }
+
   def minhashLsh(
       docs: DataFrame,
       idCol: String,
@@ -91,20 +119,7 @@ object Dedup {
       minEstimate: Double = 0.5,
       materializeCandidates: Boolean = false,
       maxBucketSize: Long = defaultMaxBucketSize): DataFrame = {
-    require(numHashes % rowsPerBand == 0,
-      s"numHashes ($numHashes) must be divisible by rowsPerBand ($rowsPerBand) - trailing signature positions would silently never band")
-    val sig = minhashSignature(docs, idCol, textCol, numHashes, shingleSize)
-    val numBands = numHashes / rowsPerBand
-    val bandedLazy = sig.select(
-      col(idCol).as("doc"),
-      col("signature"),
-      posexplode(
-        transform(
-          sequence(lit(0), lit(numBands - 1)),
-          b => md5(concat_ws("|",
-            transform(slice(col("signature"), b * rowsPerBand + lit(1), lit(rowsPerBand)),
-              x => x.cast("string"))))
-        )).as(Seq("band", "band_hash")))
+    val bandedLazy = bandSignatures(docs, idCol, textCol, numHashes, shingleSize, rowsPerBand)
     val banded0 = if (materializeCandidates) bandedLazy.localCheckpoint(true) else bandedLazy
     val banded = capBuckets(banded0, Seq("band", "band_hash"), maxBucketSize)
     val a = banded.select(col("band"), col("band_hash"), col("doc").as("id_a"), col("signature").as("sig_a"))
@@ -129,6 +144,59 @@ object Dedup {
     * holds). Gram sets are the SAME shingle universe the signature hashes
     * (token `shingleSize`-grams, 60-bit md5 prefixes), computed in one
     * native pass per doc. */
+  /** Incremental (day-over-day) MinHash/LSH dedup: candidate pairs between
+    * a NEW document increment and the accumulated corpus, without ever
+    * re-pairing history against itself. `historyBands` is the persisted
+    * [[bandSignatures]] table of everything already ingested; the fresh
+    * increment is banded here and joined (band, band_hash)-equi against
+    * history ∪ fresh, with the FRESH side as the build relation — so
+    * per-increment cost scales with the increment's bucket density, never
+    * |history|². This is the production shape at 100 TB: the band table is
+    * the changelog artifact (upsert new docs, tombstone removed ones) and
+    * each day's run touches history only through the bucket join, which
+    * AQE sizes from the (usually tiny) fresh side at runtime.
+    *
+    * Exactly equivalent to `minhashLsh(history ∪ fresh)` restricted to
+    * pairs with ≥ 1 fresh member (DedupSpec asserts it; the bucket cap is
+    * applied to the UNION, preserving the equivalence). Output matches
+    * minhashLsh: `(id_a, id_b, jaccard_est)`, `id_a < id_b`. */
+  def incrementalMinhashLsh(
+      historyBands: DataFrame,
+      freshDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      shingleSize: Int = 3,
+      rowsPerBand: Int = 2,
+      minEstimate: Double = 0.5,
+      materializeCandidates: Boolean = false,
+      maxBucketSize: Long = defaultMaxBucketSize): DataFrame = {
+    val freshLazy =
+      bandSignatures(freshDocs, idCol, textCol, numHashes, shingleSize, rowsPerBand)
+    val freshBands = if (materializeCandidates) freshLazy.localCheckpoint(true) else freshLazy
+    // cap over the union: a bucket degenerate across the two generations is
+    // just as degenerate as within one (and the full-corpus equivalence
+    // needs the same whole-bucket drop rule)
+    val all = capBuckets(
+      historyBands.withColumn("fresh", lit(false))
+        .unionByName(freshBands.withColumn("fresh", lit(true))),
+      Seq("band", "band_hash"), maxBucketSize)
+    val a = all.select(col("band"), col("band_hash"), col("doc").as("u"),
+      col("signature").as("sig_u"))
+    val f = all.filter(col("fresh")).select(col("band"), col("band_hash"),
+      col("doc").as("w"), col("signature").as("sig_w"))
+    a.join(f, Seq("band", "band_hash"))
+      .filter(col("u") =!= col("w"))
+      .select(
+        least(col("u"), col("w")).as("id_a"),
+        greatest(col("u"), col("w")).as("id_b"),
+        // jaccard estimate is symmetric, so canonicalizing ids is safe
+        (size(filter(zip_with(col("sig_u"), col("sig_w"), (x, y) => x === y), m => m))
+          .cast("double") / numHashes).as("jaccard_est"))
+      .distinct()
+      .filter(col("jaccard_est") >= minEstimate)
+  }
+
   def minhashLshVerified(
       docs: DataFrame,
       idCol: String,

@@ -31,6 +31,24 @@ class DedupSpec extends SparkSpec {
     pairs.map(p => (p._1, p._2)) should contain((1L, 5L)) // near dup caught by banding
   }
 
+  "Dedup.incrementalMinhashLsh" should "equal full-corpus LSH restricted to pairs with a fresh member" in {
+    // generation split: odd ids are history, even ids the fresh increment
+    val history = docs.filter(col("doc_id") % 2 === 1)
+    val fresh = docs.filter(col("doc_id") % 2 === 0)
+    val inc = Dedup.incrementalMinhashLsh(
+      Dedup.bandSignatures(history, "doc_id", "text", numHashes = 8, shingleSize = 3, rowsPerBand = 2),
+      fresh, "doc_id", "text", numHashes = 8, shingleSize = 3, rowsPerBand = 2, minEstimate = 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    val full = Dedup.minhashLsh(docs, "doc_id", "text",
+      numHashes = 8, shingleSize = 3, rowsPerBand = 2, minEstimate = 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    inc shouldBe full.filter { case (a, b, _) => a % 2 == 0 || b % 2 == 0 }
+    // no history-only pair can ever appear (1,3) is an exact dup pair but
+    // both sides are history — the increment must not re-find it
+    inc.map(p => (p._1, p._2)) should not contain ((1L, 3L))
+    full.map(p => (p._1, p._2)) should contain((1L, 3L)) // sanity: it exists
+  }
+
   "Dedup.simhash" should "assign equal fingerprints to identical token multisets only" in {
     val sh = Dedup.simhash(docs, "doc_id", "text").orderBy("doc_id")
       .as[(Long, Long)].collect().toMap

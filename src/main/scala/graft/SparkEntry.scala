@@ -1133,6 +1133,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // keeper selection: within each near-dup cluster keep the highest
+    // alpha-ratio member (tie -> lowest id) — the quality-aware refinement
+    // of d7's min-id placeholder rule
+    "d16_quality_keeper" -> ((s, d) => {
+      Dedup.qualityKeeper(s, Tables.documents(s, d), "doc_id", "text",
+        numHashes = 8, shingleSize = 3, rowsPerBand = 2, minEstimate = 0.5)
+        .orderBy("doc_id")
+    }),
+
     // benchmark decontamination: train docs sharing an 8-gram with the
     // (src0-as-benchmark) eval corpus; broadcast eval gram set, no shuffle
     "d6_decontaminate" -> ((s, d) => {
@@ -2755,6 +2764,33 @@ object SparkEntry {
         |WHERE (CAST(s.n AS HUGEINT)*e.cents - sc) * (CAST(s.n AS HUGEINT)*e.cents - sc)
         |    > 9 * (CAST(s.n AS HUGEINT)*sc2 - CAST(sc AS HUGEINT)*sc)
         |ORDER BY e.event_id""".stripMargin,
+
+    // same cluster CTEs as d7 + the alpha-ppm quality rank; keeper =
+    // FIRST_VALUE over (alpha_ppm DESC, doc_id) per cluster
+    "d16_quality_keeper" ->
+      s"""WITH RECURSIVE ${minhashPairsSql("documents")},
+         |cl_e AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs WHERE jaccard_est >= 0.5),
+         |cl_sym AS (SELECT src, dst FROM cl_e UNION SELECT dst, src FROM cl_e),
+         |cl_reach(a, b) AS (
+         |  SELECT src, src FROM cl_sym
+         |  UNION
+         |  SELECT r.a, s.dst FROM cl_reach r JOIN cl_sym s ON r.b = s.src),
+         |cl_comp AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM cl_reach GROUP BY a),
+         |q AS (SELECT doc_id,
+         |    CASE WHEN length(text) > 0
+         |      THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))*1000000 // length(text)
+         |      ELSE 0 END AS alpha_ppm
+         |  FROM documents),
+         |j AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id, q.alpha_ppm
+         |  FROM documents d LEFT JOIN cl_comp c USING (doc_id) JOIN q USING (doc_id)),
+         |e AS (SELECT doc_id, cluster_id,
+         |    FIRST_VALUE(doc_id) OVER (PARTITION BY cluster_id
+         |      ORDER BY alpha_ppm DESC, doc_id) AS keeper_id,
+         |    CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+         |  FROM j)
+         |SELECT doc_id, cluster_id, keeper_id, doc_id = keeper_id AS is_keeper,
+         |  cluster_size
+         |FROM e ORDER BY doc_id""".stripMargin,
 
     "d7_dedup_clusters" ->
       s"""WITH RECURSIVE ${minhashPairsSql("documents")},

@@ -467,6 +467,47 @@ object Dedup {
       .withColumn("is_keeper", col(idCol) === col("cluster_id"))
   }
 
+  /** Keeper selection — the step AFTER near-dup clustering in every real
+    * dedup pipeline: of each duplicate cluster, keep the HIGHEST-QUALITY
+    * member (alpha-ratio ppm here, the Gopher/C4-style signal from
+    * TextAnalysis.qualityScore), not the arbitrary min-id
+    * ([[nearDupClusters]]'s placeholder rule). Tie-break: lowest id —
+    * deterministic on both engines.
+    *
+    * Scale shape: clustering keeps its bounded LSH+CC shape; quality is a
+    * row-local projection joined once on the doc key; keeper election is
+    * two windows over ONE cluster-key exchange (rank and size share the
+    * partition). Returns one row per doc:
+    * `(id, cluster_id, keeper_id, is_keeper, cluster_size)`. */
+  def qualityKeeper(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      shingleSize: Int = 3,
+      rowsPerBand: Int = 2,
+      minEstimate: Double = 0.5,
+      maxBucketSize: Long = defaultMaxBucketSize): DataFrame = {
+    val clusters = nearDupClusters(spark, docs, idCol, textCol, numHashes,
+      shingleSize, rowsPerBand, minEstimate, maxBucketSize)
+      .select(col(idCol), col("cluster_id"))
+    // alpha-ratio ppm exactly as TextAnalysis.qualityScore: exact integer
+    // floor-division (`div`), zero-length texts score 0
+    val alphaPpm = when(length(col(textCol)) > 0,
+      call_function("div",
+        length(regexp_replace(col(textCol), "[^a-zA-Z]", "")).cast("long") * 1000000L,
+        length(col(textCol)).cast("long"))).otherwise(0L)
+    val quality = docs.select(col(idCol), alphaPpm.as("alpha_ppm"))
+    val byCluster = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    val election = byCluster.orderBy(col("alpha_ppm").desc, col(idCol))
+    clusters.join(quality, Seq(idCol))
+      .withColumn("keeper_id", first(col(idCol)).over(election))
+      .withColumn("cluster_size", count(lit(1)).over(byCluster))
+      .select(col(idCol), col("cluster_id"), col("keeper_id"),
+        (col(idCol) === col("keeper_id")).as("is_keeper"), col("cluster_size"))
+  }
+
   /** Benchmark decontamination: flag every training document sharing at
     * least one word-`n`-gram with the eval/benchmark corpus (the published
     * n-gram overlap recipe, n≈8-13). Returns one row per training doc:

@@ -323,6 +323,29 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // sliding 3-hour distinct users from MERGEABLE hourly HLL registers:
+    // hourly registers built once, every overlapping window max-merges
+    // them (row-local explode + one register-key shuffle) — the raw events
+    // are never re-scanned per window; exact distinct alongside
+    "q79_sliding_hll" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        call_function("div", col("ts_us"), lit(3600000000L)).as("hour"),
+        col("user_id"))
+      val hourly = Sketches.hllRegisters(ev, Seq("hour"), "user_id", m = 64)
+      val est = Sketches.hllEstimate(
+        Sketches.slidingRegisterMerge(hourly, "hour", width = 3),
+        Seq("win_end"), m = 64)
+      val ends = ev.select(col("hour").as("win_end")).distinct()
+      val exact = ev
+        .select(col("user_id"),
+          explode(sequence(col("hour"), col("hour") + 2)).as("win_end"))
+        .join(ends, "win_end")
+        .groupBy("win_end").agg(count_distinct(col("user_id")).as("n_exact"))
+      exact.join(est, "win_end")
+        .select(col("win_end"), col("n_exact"), col("n_est"))
+        .orderBy("win_end")
+    }),
+
     // mergeable log-histogram quantile sketch (8 sub-buckets per octave,
     // ≤12.5% relative error) vs the exact deterministic k-th smallest —
     // both via the same ceiling-rank rule over cumulative counts
@@ -2081,6 +2104,33 @@ object SparkEntry {
         |SELECT x.event_type, x.n_exact,
         |  CAST(709 * ((4096 * (1::BIGINT << 41)) // s) // 1000 AS BIGINT) AS n_est
         |FROM x JOIN e USING (event_type) ORDER BY event_type""".stripMargin,
+
+    // q63's register algebra keyed by hour, then the BETWEEN merge join —
+    // window registers are max-merges of hourly ones, estimate unchanged
+    "q79_sliding_hll" ->
+      """WITH e AS (SELECT epoch_us(ts) // 3600000000 AS hour, user_id FROM events),
+        |w AS (SELECT DISTINCT hour AS win_end FROM e),
+        |b AS (SELECT hour,
+        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM e),
+        |r AS (SELECT hour, hv % 64 AS idx,
+        |    (hv // 64) % (1::BIGINT << 40) AS w40 FROM b),
+        |reg AS (SELECT hour, idx,
+        |    MAX(CASE WHEN w40 = 0 THEN 41 ELSE 41 - length(bin(w40)) END) AS mreg
+        |  FROM r GROUP BY 1, 2),
+        |wreg AS (SELECT w.win_end, reg.idx, MAX(reg.mreg) AS mreg
+        |  FROM reg JOIN w ON reg.hour BETWEEN w.win_end - 2 AND w.win_end
+        |  GROUP BY 1, 2),
+        |a AS (SELECT win_end,
+        |    CAST(SUM(1::BIGINT << CAST(41 - mreg AS INTEGER)) AS BIGINT) AS sp,
+        |    CAST(COUNT(*) AS BIGINT) AS np
+        |  FROM wreg GROUP BY 1),
+        |es AS (SELECT win_end, sp + (64 - np) * (1::BIGINT << 41) AS s FROM a),
+        |x AS (SELECT w.win_end, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_exact
+        |  FROM e JOIN w ON e.hour BETWEEN w.win_end - 2 AND w.win_end GROUP BY 1)
+        |SELECT x.win_end, x.n_exact,
+        |  CAST(709 * ((4096 * (1::BIGINT << 41)) // s) // 1000 AS BIGINT) AS n_est
+        |FROM x JOIN es USING (win_end) ORDER BY win_end""".stripMargin,
 
     // same ceiling-rank rule on both frames: bucket-id cumsum for the
     // estimate, exact value cumsum for the truth; bucket lower bound

@@ -518,6 +518,25 @@ object Sketches {
       .agg(max(col("rho")).as("mreg"))
   }
 
+  /** Sliding-window register merge — WHY mergeable sketches exist in a
+    * time-partitioned pipeline: per-unit (hour/day) registers are built
+    * once, and every overlapping window is a max-merge of `width`
+    * register frames, never a re-scan of the raw data. Each register row
+    * contributes to window-ends `[unit, unit + width − 1]` via a row-local
+    * explode, followed by ONE partial-agg'd shuffle on ≤ |units|·m
+    * register keys; ends are restricted to units that exist. Output has
+    * the same (win_end, idx, mreg) shape, so [[hllEstimate]] applies
+    * unchanged. */
+  def slidingRegisterMerge(regs: DataFrame, unitCol: String, width: Int): DataFrame = {
+    require(width >= 1, "window width in units must be >= 1")
+    val ends = regs.select(col(unitCol).as("win_end")).distinct()
+    regs.select(col("idx"), col("mreg"),
+        explode(sequence(col(unitCol), col(unitCol) + (width - 1))).as("win_end"))
+      .join(ends, "win_end")
+      .groupBy("win_end", "idx")
+      .agg(max(col("mreg")).as("mreg"))
+  }
+
   /** Raw HLL estimate from registers, all-integer: the harmonic-mean
     * denominator `Σ 2^{−M_j}` is computed exactly as `S = Σ 2^{41−M_j}`
     * (empty registers contribute `2⁴¹`; with `M_j ∈ [1,41]` every term is

@@ -749,6 +749,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Moore-Lewis contrastive selection: per-doc target-LM (src1) vs
+    // general-LM score difference — "reads like the target domain, unlike
+    // the average"; the cross-entropy-difference classic next to s6's DSIR
+    "t16_moore_lewis" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Retrieval.mooreLewis(docs, "doc_id", "text", col("source") === "src1")
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("doc_id"), col("source"), col("target_ppm"),
+          col("general_ppm"), col("ml_ppm"))
+        .orderBy("doc_id")
+    }),
+
     // token counting (whitespace + BPE-ish pre-tokenizer)
     "t3_token_counts" -> ((s, d) => {
       TextAnalysis.tokenCounts(Tables.documents(s, d), "doc_id", "text")
@@ -1929,6 +1941,44 @@ object SparkEntry {
     // sums over the bigram table (NOT raw unigram counts — the last token
     // of each doc is no bigram prefix); V = corpus distinct tokens
     "t14_lm_fluency" -> s"$lmFluencySql ORDER BY doc_id",
+
+    // two LMs over the same bigram algebra as t14 — the target LM from the
+    // src1 slice with LEFT-join add-one smoothing for unseen bigrams
+    "t16_moore_lewis" ->
+      s"""WITH tk AS (SELECT doc_id, source, $toksSql AS t FROM documents),
+         |bg AS (SELECT doc_id, source, t[i] AS w1, t[i+1] AS w2
+         |  FROM tk, UNNEST(generate_series(1, len(t)-1)) AS u(i)),
+         |db AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM bg GROUP BY doc_id, w1, w2),
+         |t12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+         |  FROM bg WHERE source = 'src1' GROUP BY w1, w2),
+         |t1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM t12 GROUP BY w1),
+         |tv AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+         |  FROM (SELECT unnest(t) AS tok FROM tk WHERE source = 'src1')),
+         |g12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+         |  FROM bg GROUP BY w1, w2),
+         |g1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM g12 GROUP BY w1),
+         |gv AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+         |  FROM (SELECT unnest(t) AS tok FROM tk)),
+         |st AS (SELECT db.doc_id,
+         |    CAST(SUM(db.cnt * (((COALESCE(t12.c12, 0) + 1)*1000000)
+         |      // (COALESCE(t1.c1, 0) + tv.v))) AS BIGINT) AS sp,
+         |    CAST(SUM(db.cnt) AS BIGINT) AS nb
+         |  FROM db LEFT JOIN t12 USING (w1, w2) LEFT JOIN t1 USING (w1) CROSS JOIN tv
+         |  GROUP BY db.doc_id),
+         |sg AS (SELECT db.doc_id,
+         |    CAST(SUM(db.cnt * (((COALESCE(g12.c12, 0) + 1)*1000000)
+         |      // (COALESCE(g1.c1, 0) + gv.v))) AS BIGINT) AS sp,
+         |    CAST(SUM(db.cnt) AS BIGINT) AS nb
+         |  FROM db LEFT JOIN g12 USING (w1, w2) LEFT JOIN g1 USING (w1) CROSS JOIN gv
+         |  GROUP BY db.doc_id),
+         |f AS (SELECT d.doc_id, d.source,
+         |    CASE WHEN COALESCE(st.nb, 0) > 0 THEN st.sp // st.nb ELSE 0 END AS target_ppm,
+         |    CASE WHEN COALESCE(sg.nb, 0) > 0 THEN sg.sp // sg.nb ELSE 0 END AS general_ppm
+         |  FROM documents d LEFT JOIN st USING (doc_id) LEFT JOIN sg USING (doc_id))
+         |SELECT doc_id, source, target_ppm, general_ppm,
+         |  target_ppm - general_ppm AS ml_ppm
+         |FROM f ORDER BY doc_id""".stripMargin,
 
     // DSIR ratio weights: p_ppb = (cnt+1)*1e9 // (tot+B) per side, ratio
     // ppm saturated at 1e9; count-weighted per-doc mean; target = src1

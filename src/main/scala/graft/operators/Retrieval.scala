@@ -141,21 +141,41 @@ object Retrieval {
     * distinct-bigrams-per-doc rows, not tokens. The prefix join on `w1`
     * is the one skew-prone edge (stopword prefixes) — AQE's runtime skew
     * split handles it, exactly like any hot-key fact join. */
-  def bigramLmFluency(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bigrams = explodeBigrams(docs, Seq(col(idCol)), tokens(col(textCol)))
-    val docBi = bigrams.groupBy(col(idCol), col("w1"), col("w2"))
+  def bigramLmFluency(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    bigramLmScore(docs, docs, idCol, textCol, "fluency_ppm")
+
+  /** Score `docs` under a bigram LM trained on `trainDocs` (add-one
+    * smoothed, integer ppm — same algebra as [[bigramLmFluency]], which is
+    * the self-trained special case). Bigrams unseen in training score
+    * `1·10⁶ ÷ (c1 + V)` via the LEFT joins (coalesce-to-0 counts) — for a
+    * self-trained LM every scored bigram exists in training, so the left
+    * joins degenerate to the old inner joins bit-for-bit.
+    *
+    * Scale shape: the LM is two chained partial-agg'd shuffles over the
+    * TRAINING corpus only; scoring joins the scored docs' distinct-bigram
+    * frame (pre-aggregated per doc) against it; V is a 1-row broadcast. */
+  def bigramLmScore(
+      docs: DataFrame,
+      trainDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      scoreName: String): DataFrame = {
+    val docBi = explodeBigrams(docs, Seq(col(idCol)), tokens(col(textCol)))
+      .groupBy(col(idCol), col("w1"), col("w2"))
       .agg(count(lit(1)).as("cnt"))
-    val c12 = docBi.groupBy("w1", "w2").agg(sum(col("cnt")).as("c12"))
+    val c12 = explodeBigrams(trainDocs, Nil, tokens(col(textCol)))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
-    val vocab = docs
+    val vocab = trainDocs
       .select(explode(tokens(col(textCol))).as("tok"))
       .agg(count_distinct(col("tok")).as("v"))
     val scored = docBi
-      .join(c12, Seq("w1", "w2"))
-      .join(c1, Seq("w1"))
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
       .select(col(idCol), col("cnt"),
-        ldiv((col("c12") + 1L) * 1000000L, col("c1") + col("v")).as("p_ppm"))
+        ldiv((coalesce(col("c12"), lit(0L)) + 1L) * 1000000L,
+          coalesce(col("c1"), lit(0L)) + col("v")).as("p_ppm"))
       .groupBy(idCol)
       .agg(sum(col("cnt") * col("p_ppm")).as("sp"), sum(col("cnt")).as("n_bigrams"))
     docs.select(col(idCol))
@@ -163,7 +183,27 @@ object Retrieval {
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         when(coalesce(col("n_bigrams"), lit(0L)) > 0L, ldiv(col("sp"), col("n_bigrams")))
-          .otherwise(0L).as("fluency_ppm"))
+          .otherwise(0L).as(scoreName))
+  }
+
+  /** Moore-Lewis contrastive data selection (Moore & Lewis 2010, the
+    * published cross-entropy-difference recipe, integer form): score every
+    * document under a TARGET-domain LM and under the GENERAL-corpus LM;
+    * `ml_ppm = target − general` ranks "reads like the target domain,
+    * unlike the average" — the classic complement to hashed-feature DSIR
+    * (s6). Both LMs share the scale shape of [[bigramLmScore]]; the target
+    * LM trains on the (small) target slice only. */
+  def mooreLewis(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: org.apache.spark.sql.Column): DataFrame = {
+    val target = bigramLmScore(docs, docs.filter(isTarget), idCol, textCol, "target_ppm")
+      .select(col(idCol), col("target_ppm"))
+    val general = bigramLmScore(docs, docs, idCol, textCol, "general_ppm")
+      .select(col(idCol), col("general_ppm"))
+    target.join(general, Seq(idCol))
+      .withColumn("ml_ppm", col("target_ppm") - col("general_ppm"))
   }
 
   /** DSIR-shaped importance weighting (Xie et al. 2023, "Data Selection

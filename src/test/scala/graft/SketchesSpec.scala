@@ -180,6 +180,24 @@ class SketchesSpec extends SparkSpec {
     direct.except(merged).count() shouldBe 0L
   }
 
+  "Sketches.slidingRegisterMerge" should "equal registers built directly over each window's units" in {
+    // hours 10, 11, 13 (gap at 12): values overlap across hours
+    val ev = Seq((10L, "a"), (10L, "b"), (11L, "b"), (11L, "c"),
+      (13L, "a"), (13L, "d")).toDF("hour", "v")
+    val hourly = Sketches.hllRegisters(ev, Seq("hour"), "v", m = 64)
+    val merged = Sketches.slidingRegisterMerge(hourly, "hour", width = 3)
+    // direct: for each EXISTING hour h, registers over rows with hour in
+    // [h-2, h] — must match the explode+max merge register-for-register
+    val direct = ev.select(col("v"),
+        explode(sequence(col("hour"), col("hour") + 2)).as("win_end"))
+      .join(ev.select(col("hour").as("win_end")).distinct(), "win_end")
+    val directRegs = Sketches.hllRegisters(direct, Seq("win_end"), "v", m = 64)
+    merged.except(directRegs).count() shouldBe 0L
+    directRegs.except(merged).count() shouldBe 0L
+    // window ends only at existing units: 10, 11, 13 — never the gap 12
+    merged.select("win_end").distinct().as[Long].collect().sorted shouldBe Seq(10L, 11L, 13L)
+  }
+
   "Sketches.cmsInnerProduct" should "upper-bound the join size, exactly at low collision" in {
     // A: key i occurs i times (1..20); B: even keys occur 3 times
     // → true join size Σ_{even i} 3·i = 330

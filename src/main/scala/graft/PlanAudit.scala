@@ -90,6 +90,7 @@ object PlanAudit {
     "s8_knn_multiprobe" -> "multi-probe ANN: corpus bucketed once map-side; the 9x probe explosion lives inside the BROADCAST query relation, so the corpus is never re-scanned or re-shuffled; per-candidate cost is one codegen'd integer dot",
     "q76_winsorized" -> "winsorized aggregation: quantile bounds derive from the register sketch (ONE register-key shuffle), broadcast as one row per group into a row-local clamp — the data passes twice at scan speed (sketch build + clamped agg), with the first pass free whenever yesterday's registers exist",
     "s9_cluster_balanced" -> "cluster-balanced subset: centroids broadcast (map-side cell assignment), then ONE shuffle on the cell key with a streaming window rank — the corpus never self-joins; the cap bounds every topic's contribution deterministically",
+    "q80_rmw_fold" -> "per-key RMW fold without state: the clamp-at-zero recurrence folds in closed form — ONE ordered window over the key exchange (running sum + prefix-min share it) and one order-free aggregate; no mapGroupsWithState, no per-key sequential pass",
     "t16_moore_lewis" -> "contrastive selection: TWO bigram LMs share the t14 shape (two chained partial-agg'd shuffles each, the target LM over the small src1 slice only); scoring joins the per-doc distinct-bigram frame, V is a 1-row broadcast — never a token-level join",
     "q79_sliding_hll" -> "sliding distinct from mergeable registers: hourly HLL registers built ONCE (one <=units*m-key shuffle), each overlapping window max-merges them via a row-local explode + one register-key shuffle — the raw events are scanned once regardless of window count or overlap",
     "d16_quality_keeper" -> "keeper election: clustering keeps its bounded LSH+CC shape, quality is a row-local projection joined on the doc key, and the argmax-quality keeper + cluster size are TWO windows sharing ONE cluster-key exchange",

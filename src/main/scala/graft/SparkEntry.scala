@@ -1399,6 +1399,18 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // per-key getAndUpdate RMW fold (P6, ExampleBank clamp-at-zero balance)
+    // in CLOSED FORM: b_n = S_n - min(0, min_k S_k) — one ordered window +
+    // one aggregate replaces sequential per-key state
+    "q80_rmw_fold" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        (round(col("value") * 100).cast("long") - 3500L).as("delta_cents"),
+        col("ts_us"), col("event_id"))
+      Analytics.clampedRunningFold(ev, Seq("user_id"), "delta_cents",
+          Seq("ts_us", "event_id"))
+        .orderBy("user_id")
+    }),
+
     // S3+S4 bootstrap-replay equivalence: snapshot the state at the log
     // midpoint (bootstrap scan), apply the CDC tail on top, re-compact.
     // The oracle computes latest-per-key over the FULL log in one pass, so
@@ -3238,6 +3250,26 @@ object SparkEntry {
          |          ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
          |      FROM events WHERE epoch_us(ts) <= $Jan10_24)
          |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // same closed form: running sum window, prefix-min for the clamp flag,
+    // order-free final aggregates
+    "q80_rmw_fold" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(round(value*100) AS BIGINT) - 3500 AS d,
+        |    epoch_us(ts) AS ts_us, event_id FROM events),
+        |r1 AS (SELECT user_id, d, ts_us, event_id,
+        |    CAST(SUM(d) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+        |  FROM e),
+        |r2 AS (SELECT user_id, d, s,
+        |    CAST(MIN(s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS pm
+        |  FROM r1)
+        |SELECT user_id,
+        |  CAST(SUM(d) AS BIGINT) - LEAST(0, CAST(MIN(s) AS BIGINT)) AS final_balance,
+        |  CAST(COUNT(*) AS BIGINT) AS n_updates,
+        |  CAST(SUM(CASE WHEN s < 0 AND s < COALESCE(pm, 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+        |FROM r2 GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // single-pass latest-per-key over the whole log — equality with the
     // Spark side's two-phase bootstrap+tail replay is the point

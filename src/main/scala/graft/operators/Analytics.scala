@@ -63,6 +63,49 @@ object Analytics {
     * Stage k's frontier is min event time of `stages(k)` strictly after the
     * stage-k-1 frontier — computed as one filtered aggregation per stage
     * joined on the entity key, all co-partitioned. */
+  /** Per-key clamp-at-zero running fold in CLOSED FORM — the batch oracle
+    * for the reference's `getAndUpdate` read-modify-write loop (P6;
+    * KVStore.java getAndUpdate, the ExampleBank balance semantics where a
+    * withdrawal can never take a balance below zero).
+    *
+    * The fold `b_i = max(0, b_{i−1} + δ_i)` looks sequential, but has the
+    * prefix-sum identity `b_n = S_n − min(0, min_{k≤n} S_k)` — so the
+    * WHOLE per-key history folds with ONE ordered window (running sum) +
+    * ONE aggregate, no `mapGroupsWithState`, no per-key iteration, fully
+    * shuffle-parallel by key. `n_clamped` counts the updates where the
+    * clamp actually fired (the running min strictly decreased below zero —
+    * each new strict minimum is exactly one clamped update).
+    *
+    * Returns one row per key: (keyCols*, final_balance, n_updates,
+    * n_clamped). Deterministic when (keyCols, orderCols) is unique. */
+  def clampedRunningFold(
+      df: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String],
+      deltaCol: String,
+      orderCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val run = df
+      .withColumn("__s", sum(col(deltaCol)).over(w))
+      // a clamp fires exactly when the running sum sets a NEW strict
+      // minimum below zero (prefix-min before this row, null-safe at head)
+      .withColumn("__clamped",
+        (col("__s") < 0L && (col("__s") < coalesce(min(col("__s")).over(wPrev), lit(0L))))
+          .cast("long"))
+    // order-free final aggregates: S_n = Σδ, min prefix = min(__s) — no
+    // `last()` (grouped `last` is row-order nondeterministic in Spark)
+    run.groupBy(keyCols.map(col): _*)
+      .agg(
+        (sum(col(deltaCol)) - least(lit(0L), min(col("__s")))).as("final_balance"),
+        count(lit(1)).as("n_updates"),
+        sum(col("__clamped")).as("n_clamped"))
+  }
+
   def funnel(
       events: DataFrame,
       entityCol: String,

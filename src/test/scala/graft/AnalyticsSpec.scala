@@ -10,6 +10,25 @@ class AnalyticsSpec extends SparkSpec {
 
   private val DayUs = 24L * 3600 * 1000000L
 
+  "Analytics.clampedRunningFold" should "match the literal sequential fold on random histories" in {
+    val rnd = new scala.util.Random(19)
+    val rows = for (k <- 0L until 20L; i <- 0L until 30L)
+      yield (k, rnd.nextInt(201) - 100L, i)
+    val df = rows.toDF("k", "d", "ord")
+    val got = Analytics.clampedRunningFold(df, Seq("k"), "d", Seq("ord"))
+      .select("k", "final_balance", "n_updates", "n_clamped")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    // literal fold: b = max(0, b + d), counting the clamps
+    rows.groupBy(_._1).foreach { case (k, h) =>
+      var b = 0L; var clamps = 0L
+      h.sortBy(_._3).foreach { case (_, d, _) =>
+        if (b + d < 0L) { b = 0L; clamps += 1 } else b += d
+      }
+      got(k) shouldBe ((b, h.size.toLong, clamps))
+    }
+  }
+
   "Analytics.profile" should "report nulls, distincts, bounds and deterministic top value" in {
     val df = Seq(
       (Some("b"), 10L), (Some("a"), 10L), (Some("a"), 20L),

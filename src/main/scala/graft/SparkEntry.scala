@@ -1411,6 +1411,64 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // incremental materialized-view maintenance: additive per-key aggregate
+    // STATE (n, sum, max) computed on the log halves independently, then
+    // merged state-to-state — the oracle recomputes from the full log, so
+    // the hash match is the merge(state(base), state(delta)) ≡ state(full)
+    // invariant that lets a 100 TB history be scanned once, ever
+    "q81_mv_incremental" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"), col("ts_us"))
+      val mid = ev.agg(min(col("ts_us")).as("mn"), max(col("ts_us")).as("mx"))
+        .select(expr("(mn + mx) div 2").as("mid_ts"))
+      val withMid = ev.crossJoin(broadcast(mid))
+      val base = Analytics.additiveAggState(
+        withMid.filter(col("ts_us") <= col("mid_ts")), Seq("user_id"), "cents", "ts_us")
+      val delta = Analytics.additiveAggState(
+        withMid.filter(col("ts_us") > col("mid_ts")), Seq("user_id"), "cents", "ts_us")
+      Analytics.mergeAdditiveStates(Seq(base, delta), Seq("user_id"))
+        .orderBy("user_id")
+    }),
+
+    // trailing-window anomaly monitor: |x − mean(hist)| > 3σ(hist) over the
+    // preceding 20 same-key values, tested EXACTLY in integer space
+    // ((n·x − S)² > 9·(n·Q − S²)) — no doubles, no division, bit-stable
+    "q82_rolling_anomaly" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+          col("ts_us"), round(col("value") * 100).cast("long").as("cents"))
+        .filter(col("cents").isNotNull)
+      Analytics.rollingAnomalies(ev, Seq("user_id"), "cents",
+          Seq("ts_us", "event_id"), histRows = 20, minHist = 8, k = 3)
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("cents"),
+          col("n_hist"))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
+    // gaps-and-islands interval coalescing: each event opens a 10-minute
+    // activity interval; overlapping intervals merge into islands (one
+    // ordered window + one co-partitioned aggregate, no self-join)
+    "q83_interval_merge" -> ((s, d) => {
+      val iv = Tables.events(s, d).select(col("user_id"),
+        col("ts_us").as("start_us"),
+        (col("ts_us") + lit(600000000L)).as("end_us"), col("event_id"))
+      Analytics.mergeIntervals(iv, Seq("user_id"), "start_us", "end_us",
+          Seq("event_id"))
+        .select(col("user_id"), col("island"), col("island_start"),
+          col("island_end"), col("n_rows"))
+        .orderBy("user_id", "island")
+    }),
+
+    // Pareto frontier (skyline) per event type, maximizing (amount,
+    // recency) — two windows on one sort, never the O(n²) dominance join
+    "q84_pareto_front" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"), col("ts_us"))
+        .filter(col("cents").isNotNull)
+      Analytics.paretoFrontier(ev, Seq("event_type"), "cents", "ts_us")
+        .select(col("event_type"), col("event_id"), col("cents"), col("ts_us"))
+        .orderBy("event_type", "cents", "ts_us", "event_id")
+    }),
+
     // S3+S4 bootstrap-replay equivalence: snapshot the state at the log
     // midpoint (bootstrap scan), apply the CDC tail on top, re-compact.
     // The oracle computes latest-per-key over the FULL log in one pass, so
@@ -3270,6 +3328,66 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_updates,
         |  CAST(SUM(CASE WHEN s < 0 AND s < COALESCE(pm, 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
         |FROM r2 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // single-pass full-log recompute — equality with the Spark side's
+    // base-state + delta-state merge is the IVM invariant
+    "q81_mv_incremental" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  MAX(epoch_us(ts)) AS last_ts_us
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // same integer test; DuckDB window SUMs land in HUGEINT so the
+    // products never overflow (Spark side uses decimal(38,0))
+    "q82_rolling_anomaly" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |w AS (SELECT user_id, event_id, ts_us, cents,
+        |    COUNT(cents) OVER h AS n,
+        |    CAST(SUM(cents) OVER h AS HUGEINT) AS s,
+        |    CAST(SUM(cents*cents) OVER h AS HUGEINT) AS q
+        |  FROM e WINDOW h AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, ts_us, cents, CAST(n AS BIGINT) AS n_hist
+        |FROM w WHERE n >= 8 AND (n*cents - s)*(n*cents - s) > 9*(n*q - s*s)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    // island flag = start exceeds running max end of all earlier intervals
+    // (COALESCE to start-1 ≡ Spark's Long.MinValue: first row always opens)
+    "q83_interval_merge" ->
+      """WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS start_us,
+        |    epoch_us(ts) + 600000000 AS end_us FROM events),
+        |f AS (SELECT user_id, event_id, start_us, end_us,
+        |    CASE WHEN start_us > COALESCE(MAX(end_us) OVER (PARTITION BY user_id
+        |      ORDER BY start_us, end_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), start_us - 1)
+        |      THEN 1 ELSE 0 END AS nw
+        |  FROM iv),
+        |g AS (SELECT user_id, start_us, end_us,
+        |    CAST(SUM(nw) OVER (PARTITION BY user_id
+        |      ORDER BY start_us, end_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+        |  FROM f)
+        |SELECT user_id, island, MIN(start_us) AS island_start,
+        |  MAX(end_us) AS island_end, COUNT(*) AS n_rows
+        |FROM g GROUP BY user_id, island ORDER BY user_id, island""".stripMargin,
+
+    // dominated iff a strictly-larger-cents row has ts ≥ mine (RANGE frame
+    // on the DESC integer ordering ≡ cents > current) or a cents-tie has
+    // ts > mine; duplicates of (cents, ts) all survive — same two windows
+    "q84_pareto_front" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    CAST(round(value*100) AS BIGINT) AS cents, epoch_us(ts) AS ts_us
+        |  FROM events WHERE value IS NOT NULL),
+        |w AS (SELECT *,
+        |    MAX(ts_us) OVER (PARTITION BY event_type ORDER BY cents DESC
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mxy,
+        |    MAX(ts_us) OVER (PARTITION BY event_type, cents) AS mty
+        |  FROM e)
+        |SELECT event_type, event_id, cents, ts_us FROM w
+        |WHERE (mxy IS NULL OR mxy < ts_us) AND mty = ts_us
+        |ORDER BY event_type, cents, ts_us, event_id""".stripMargin,
 
     // single-pass latest-per-key over the whole log — equality with the
     // Spark side's two-phase bootstrap+tail replay is the point

@@ -314,4 +314,141 @@ object Analytics {
       .groupBy("cohort_us", "period_offset")
       .agg(countDistinct(col(entityCol)).as("n_active"))
   }
+
+  /** Additive aggregate STATE of a keyed frame: per key, (n_events,
+    * sum_cents, last_ts_us). This is the per-partition/per-epoch register
+    * an incrementally-maintained materialized view stores — every field is
+    * mergeable (counts and sums add, maxes max), so yesterday's state plus
+    * today's delta state recombine without touching yesterday's rows.
+    * (Reference: the compacted-state + CDC-tail model of
+    * api/.../storage/Log.java bootstrap/tail, lifted from latest-per-key
+    * to additive aggregates.) */
+  def additiveAggState(
+      df: DataFrame,
+      keyCols: Seq[String],
+      centsCol: String,
+      tsUsCol: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col(centsCol)).as("sum_cents"),
+        max(col(tsUsCol)).as("last_ts_us"))
+
+  /** Merge additive aggregate states ([[additiveAggState]] outputs) — the
+    * incremental-view-maintenance step: `merge(state(base), state(delta))
+    * ≡ state(base ∪ delta)`, proven by the oracle recomputing from the
+    * full log. Scale shape: the merge aggregates STATE-sized frames (one
+    * row per key each), never the underlying corpus — the 100 TB history
+    * is only ever scanned once, on the day it arrives. */
+  def mergeAdditiveStates(states: Seq[DataFrame], keyCols: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "need at least one state to merge")
+    states.reduce(_ unionByName _)
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        sum(col("n_events")).as("n_events"),
+        sum(col("sum_cents")).as("sum_cents"),
+        max(col("last_ts_us")).as("last_ts_us"))
+  }
+
+  /** Trailing-window anomaly detection — the batch form of the streaming
+    * "is this value surprising vs this key's recent history" monitor. A
+    * row is anomalous when its value deviates from the mean of the
+    * preceding `histRows` values by more than `k` sample-free standard
+    * deviations, with at least `minHist` history rows.
+    *
+    * EXACT integer arithmetic: with n = |hist|, S = Σv, Q = Σv², the test
+    * `(x − S/n)² > k²·(Q/n − (S/n)²)` multiplies through by n² to
+    * `(n·x − S)² > k²·(n·Q − S²)` — all integer products (squares in
+    * decimal(38,0) so ANSI never overflows), no division, no doubles, so
+    * the flag is bit-deterministic and oracle-exact. One ordered window
+    * per key; at scale this is a single shuffle on the key, state per row
+    * is three registers. Returns only the flagged rows. */
+  def rollingAnomalies(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      orderCols: Seq[String],
+      histRows: Int = 20,
+      minHist: Int = 8,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val wHist = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-histRows, -1)
+    val x = col(valueCol)
+    val withStats = df
+      .withColumn("__n", count(x).over(wHist))
+      .withColumn("__s", sum(dec(x)).over(wHist))
+      .withColumn("__q", sum(dec(x) * dec(x)).over(wHist))
+    val dev = dec(col("__n")) * dec(x) - col("__s")
+    val varN2 = dec(col("__n")) * col("__q") - col("__s") * col("__s")
+    withStats
+      .filter(col("__n") >= minHist && dev * dev > lit(k.toLong * k) * varN2)
+      .withColumn("n_hist", col("__n"))
+      .drop("__n", "__s", "__q")
+  }
+
+  /** Gaps-and-islands interval coalescing: merge overlapping/touching
+    * `[start, end]` intervals per key into islands, returning one row per
+    * island with its span and member count. A new island starts exactly
+    * when an interval's start exceeds the running max end of everything
+    * before it — one ordered window per key (running max + running flag
+    * sum), then a co-partitioned aggregate; the window and the groupBy
+    * share the key partitioning so AQE reuses the exchange. Deterministic
+    * for any total `orderCols` extension of (start, end). */
+  def mergeIntervals(
+      df: DataFrame,
+      keyCols: Seq[String],
+      startCol: String,
+      endCol: String,
+      tieBreakCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = (Seq(startCol, endCol) ++ tieBreakCols).map(col)
+    val wPrev = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(order: _*).rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(order: _*).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = df
+      .withColumn("__new",
+        (col(startCol) > coalesce(max(col(endCol)).over(wPrev), lit(Long.MinValue)))
+          .cast("long"))
+      .withColumn("island", sum(col("__new")).over(wRun))
+    flagged.groupBy((keyCols :+ "island").map(col): _*)
+      .agg(
+        min(col(startCol)).as("island_start"),
+        max(col(endCol)).as("island_end"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Pareto frontier (skyline) per group, maximizing integer columns
+    * (`xCol`, `yCol`): keep a row iff no other row in its group weakly
+    * dominates it (≥ on both, > on at least one). Duplicated (x, y)
+    * points are all kept (neither dominates).
+    *
+    * O(n log n), not O(n²): sort each group by x descending once; a row is
+    * dominated iff (a) some row with STRICTLY larger x has y ≥ this y —
+    * `max(y) RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING` on the
+    * descending integer x ordering is exactly "x > current" — or (b) some
+    * row with EQUAL x has strictly larger y (`max(y)` over the x-tie
+    * partition). Two windows, one shuffle, no self-join — the all-pairs
+    * dominance check never materializes. */
+  def paretoFrontier(
+      df: DataFrame,
+      keyCols: Seq[String],
+      xCol: String,
+      yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wStrict = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(xCol).desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wTies = Window.partitionBy((keyCols :+ xCol).map(col): _*)
+    df
+      .withColumn("__mxy", max(col(yCol)).over(wStrict))
+      .withColumn("__mty", max(col(yCol)).over(wTies))
+      .filter(
+        (col("__mxy").isNull || col("__mxy") < col(yCol)) &&
+          col("__mty") === col(yCol))
+      .drop("__mxy", "__mty")
+  }
 }

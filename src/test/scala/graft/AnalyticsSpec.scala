@@ -186,4 +186,114 @@ class AnalyticsSpec extends SparkSpec {
     rc._3 shouldBe rc._4 // sum_raw == sum_winsorized
     rc._5 + rc._6 shouldBe 0L
   }
+
+  "Analytics additive MV maintenance" should "merge split states to the full-recompute state" in {
+    val ev = Seq(
+      ("a", 10L, 100L), ("a", 20L, 200L), ("a", 30L, 50L),
+      ("b", 15L, 7L), ("b", 25L, 9L))
+      .toDF("u", "ts", "cents")
+    val full = Analytics.additiveAggState(ev, Seq("u"), "cents", "ts")
+    val base = Analytics.additiveAggState(ev.filter(col("ts") <= 20L), Seq("u"), "cents", "ts")
+    val delta = Analytics.additiveAggState(ev.filter(col("ts") > 20L), Seq("u"), "cents", "ts")
+    val merged = Analytics.mergeAdditiveStates(Seq(base, delta), Seq("u"))
+    merged.orderBy("u").collect() shouldBe full.orderBy("u").collect()
+    merged.orderBy("u").as[(String, Long, Long, Long)].collect() shouldBe Array(
+      ("a", 3L, 350L, 30L), ("b", 2L, 16L, 25L))
+  }
+
+  it should "merge a key present in only one state" in {
+    val ev = Seq(("a", 10L, 5L), ("b", 90L, 7L)).toDF("u", "ts", "cents")
+    val merged = Analytics.mergeAdditiveStates(Seq(
+      Analytics.additiveAggState(ev.filter(col("ts") <= 50L), Seq("u"), "cents", "ts"),
+      Analytics.additiveAggState(ev.filter(col("ts") > 50L), Seq("u"), "cents", "ts")),
+      Seq("u"))
+    merged.orderBy("u").as[(String, Long, Long, Long)].collect() shouldBe Array(
+      ("a", 1L, 5L, 10L), ("b", 1L, 7L, 90L))
+  }
+
+  "Analytics.rollingAnomalies" should "flag a spike against its trailing window only" in {
+    // key "a": 8 quiet values (var 0), then a spike, then quiet again —
+    // only the spike row flags (later rows include the spike in their
+    // history, inflating sigma)
+    val quiet = (1 to 8).map(i => ("a", i.toLong, i.toLong, 100L))
+    val spike = Seq(("a", 9L, 9L, 500L))
+    val after = (10 to 12).map(i => ("a", i.toLong, i.toLong, 100L))
+    val ev = (quiet ++ spike ++ after).toDF("u", "ts", "eid", "v")
+    val got = Analytics.rollingAnomalies(ev, Seq("u"), "v", Seq("ts", "eid"),
+      histRows = 20, minHist = 8, k = 3)
+      .select("eid", "v", "n_hist").as[(Long, Long, Long)].collect().toSeq
+    got shouldBe Seq((9L, 500L, 8L))
+  }
+
+  it should "not flag with fewer than minHist history rows" in {
+    val ev = (1 to 5).map(i => ("a", i.toLong, i.toLong, 100L)) :+ ("a", 6L, 6L, 9999L)
+    Analytics.rollingAnomalies(ev.toDF("u", "ts", "eid", "v"), Seq("u"), "v",
+      Seq("ts", "eid"), histRows = 20, minHist = 8, k = 3)
+      .count() shouldBe 0L
+  }
+
+  it should "use the exact variance test, not a degenerate zero-sigma shortcut" in {
+    // history alternates 90/110 (mean 100, var 100, sigma 10): x=131 is
+    // 3.1σ (flag), x=129 is 2.9σ (no flag) — the integer test must
+    // distinguish them
+    val hist = (1 to 8).map(i => ("a", i.toLong, i.toLong, if (i % 2 == 0) 110L else 90L))
+    def run(x: Long) = Analytics.rollingAnomalies(
+      (hist :+ ("a", 9L, 9L, x)).toDF("u", "ts", "eid", "v"),
+      Seq("u"), "v", Seq("ts", "eid"), histRows = 20, minHist = 8, k = 3).count()
+    run(131L) shouldBe 1L
+    run(129L) shouldBe 0L
+  }
+
+  "Analytics.mergeIntervals" should "coalesce overlapping intervals into islands" in {
+    val iv = Seq(
+      ("a", 0L, 10L, 1L), ("a", 5L, 12L, 2L), ("a", 12L, 20L, 3L), // touching end==start merges
+      ("a", 21L, 30L, 4L),                                          // gap of 1 → new island
+      ("b", 100L, 110L, 5L))
+      .toDF("u", "s", "e", "eid")
+    val got = Analytics.mergeIntervals(iv, Seq("u"), "s", "e", Seq("eid"))
+      .orderBy("u", "island")
+      .select("u", "island", "island_start", "island_end", "n_rows")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    got shouldBe Seq(
+      ("a", 1L, 0L, 20L, 3L),
+      ("a", 2L, 21L, 30L, 1L),
+      ("b", 1L, 100L, 110L, 1L))
+  }
+
+  it should "not split an island when a short interval nests inside a long one" in {
+    // [0,100] then [10,20] then [30,40]: the running-max (not lag) rule
+    // keeps everything in one island even though 30 > 20
+    val iv = Seq(("a", 0L, 100L, 1L), ("a", 10L, 20L, 2L), ("a", 30L, 40L, 3L))
+      .toDF("u", "s", "e", "eid")
+    Analytics.mergeIntervals(iv, Seq("a").map(_ => "u"), "s", "e", Seq("eid"))
+      .select("island_start", "island_end", "n_rows")
+      .as[(Long, Long, Long)].collect().toSeq shouldBe Seq((0L, 100L, 3L))
+  }
+
+  "Analytics.paretoFrontier" should "keep exactly the non-dominated rows" in {
+    val pts = Seq(
+      ("g", 1L, 5L, 9L),  // frontier (max y)
+      ("g", 2L, 7L, 7L),  // frontier
+      ("g", 3L, 7L, 5L),  // dominated by eid=2 (same x, lower y)
+      ("g", 4L, 9L, 3L),  // frontier (max x)
+      ("g", 5L, 6L, 6L),  // dominated by eid=2
+      ("g", 6L, 9L, 3L))  // duplicate of eid=4 — both kept
+      .toDF("grp", "eid", "x", "y")
+    Analytics.paretoFrontier(pts, Seq("grp"), "x", "y")
+      .select("eid").orderBy("eid").as[Long].collect().toSeq shouldBe Seq(1L, 2L, 4L, 6L)
+  }
+
+  it should "match the brute-force dominance definition on random points" in {
+    val rnd = new scala.util.Random(42)
+    val pts = (1 to 200).map(i =>
+      ("g", i.toLong, rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+    val df = pts.toDF("grp", "eid", "x", "y")
+    val fast = Analytics.paretoFrontier(df, Seq("grp"), "x", "y")
+      .select("eid").as[Long].collect().toSet
+    val brute = pts.filter { case (_, _, x, y) =>
+      !pts.exists { case (_, _, x2, y2) =>
+        x2 >= x && y2 >= y && (x2 > x || y2 > y) }
+    }.map(_._2).toSet
+    fast shouldBe brute
+  }
 }

@@ -680,6 +680,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // recall@k evaluation: LSH (s2) graded against brute-force ground
+    // truth (s1) — result-sized join, exact floor-ppm recall; queries the
+    // index missed entirely surface as 0 instead of silently dropping
+    "s12_ann_recall" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      val qs = em.filter(col("vec_id") < 5)
+      val truth = Similarity.bruteForceTopK(em, qs, "vec_id", "embedding", k = 5)
+      val approx = Similarity.lshTopK(em, qs, "vec_id", "embedding", k = 5, numPlanes = 8)
+      Similarity.annRecall(truth, approx, k = 5)
+        .orderBy("query_id")
+    }),
+
     // multi-probe LSH ANN: each query probes its bucket + all Hamming-1
     // neighbor buckets — single-plane misses (the dominant LSH miss mode)
     // recovered at 9x QUERY-side cost; corpus bucketed once, never
@@ -2635,6 +2647,33 @@ object SparkEntry {
          |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM sims)
          |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // the s1 and s2 pipelines verbatim as CTEs, then a result-sized join;
+    // recall_ppm uses DuckDB `//` ≡ Spark `div` (non-negative operands)
+    "s12_ann_recall" ->
+      s"""WITH q AS (SELECT vec_id, ${qvSql("embedding")} AS qv FROM embeddings),
+         |tp AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id, qq.qv AS qa, c.qv AS qb
+         |      FROM q qq JOIN q c ON qq.vec_id < 5 AND qq.vec_id != c.vec_id),
+         |tsims AS (SELECT query_id, neighbor_id, $cosSql AS cosine FROM tp),
+         |truth AS (SELECT query_id, neighbor_id FROM (SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM tsims)
+         |  WHERE rank <= 5),
+         |bucketed AS (SELECT vec_id, qv, $lshBucketSql AS bucket FROM q),
+         |ap AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id, qq.qv AS qa, c.qv AS qb
+         |      FROM bucketed qq JOIN bucketed c ON qq.bucket = c.bucket
+         |        AND qq.vec_id < 5 AND qq.vec_id != c.vec_id),
+         |asims AS (SELECT query_id, neighbor_id, $cosSql AS cosine FROM ap),
+         |approx AS (SELECT query_id, neighbor_id FROM (SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM asims)
+         |  WHERE rank <= 5),
+         |hits AS (SELECT t.query_id, COUNT(*) AS n_hits FROM truth t
+         |  JOIN approx a ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+         |  GROUP BY t.query_id)
+         |SELECT tq.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST((1000000 * COALESCE(h.n_hits, 0)) // 5 AS BIGINT) AS recall_ppm
+         |FROM (SELECT DISTINCT query_id FROM truth) tq
+         |LEFT JOIN hits h ON tq.query_id = h.query_id
+         |ORDER BY tq.query_id""".stripMargin,
 
     "s3_knn_ivf" -> ivfTopKSql(nCentroids = 16, iterations = 5, nProbe = 4, k = 5),
 

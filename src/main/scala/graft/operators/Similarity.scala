@@ -409,4 +409,30 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Recall@k of an approximate top-k result against exact ground truth —
+    * the evaluation every ANN index ships with. Both inputs are top-k
+    * frames with (query_id, neighbor_id); output is one row per ground-
+    * truth query: (query_id, n_hits, recall_ppm) where recall_ppm is the
+    * exact floor ppm `10⁶·|approx ∩ truth| div k` (integer division per
+    * the repo ppm rule). Queries the approximate index missed entirely
+    * still appear with 0 — silent drops would overstate recall.
+    *
+    * Scale shape: one equi-join on (query_id, neighbor_id) — both sides
+    * are k rows per query, so this joins RESULT-sized frames; the corpus
+    * is never touched. */
+  def annRecall(truth: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val t = truth.select(col("query_id"), col("neighbor_id"))
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+    val hits = t.join(a, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    t.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        call_function("div",
+          lit(1000000L) * coalesce(col("n_hits"), lit(0L)), lit(k.toLong))
+          .as("recall_ppm"))
+  }
 }

@@ -359,6 +359,18 @@ class SimilaritySpec extends SparkSpec {
     rows.length shouldBe rows.toSet.size
   }
 
+  "annRecall" should "count overlap per query with floor-ppm recall and keep zero-hit queries" in {
+    val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L), (2L, 20L),
+      (2L, 21L), (2L, 22L), (2L, 23L), (3L, 30L), (3L, 31L), (3L, 32L), (3L, 33L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 11L), (1L, 99L), (1L, 98L), // 2/4
+      (2L, 20L), (2L, 21L), (2L, 22L), (2L, 23L))                // 4/4; query 3: 0/4
+      .toDF("query_id", "neighbor_id")
+    val got = Similarity.annRecall(truth, approx, k = 4)
+      .orderBy("query_id").as[(Long, Long, Long)].collect().toSeq
+    got shouldBe Seq((1L, 2L, 500000L), (2L, 4L, 1000000L), (3L, 0L, 0L))
+  }
+
   "ivfTopK" should "find the true nearest neighbor when it shares the probed cell" in {
     // 4 tight clusters around orthogonal axes; 10 vectors each
     val rnd = new scala.util.Random(3)

@@ -648,6 +648,15 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // TF-weighted bigram cosine join: candidates share a RARE gram
+    // (df ≤ |corpus| div 50 — a relative cap, so the blocking survives
+    // corpus growth), exact TF dot over the pair's full vectors
+    "d17_tf_cosine" -> ((s, d) => {
+      Dedup.tfCosineJoin(Tables.documents(s, d), "doc_id", "text",
+          n = 2, dfCapDivisor = 50L, minCosine = 0.05)
+        .orderBy("id_a", "id_b")
+    }),
+
     // embedding near-dup within label blocks (quantized cosine)
     "d5_dedup_embedding" -> ((s, d) => {
       Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -2617,6 +2626,33 @@ object SparkEntry {
          |SELECT id_a, id_b, CAST(i AS DOUBLE)/(sa.ng + sb.ng - i) AS jaccard
          |FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
          |WHERE CAST(i AS DOUBLE)/(sa.ng + sb.ng - i) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // d14's surface-form word-gram semantics (string_split ' ', empties
+    // kept) at n=2; tf is MATERIALIZED (referenced 4×, r7 CTE-inlining
+    // rule); same relative df cap and full-vector dot as the Spark side
+    "d17_tf_cosine" ->
+      s"""WITH rw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |tf AS MATERIALIZED (SELECT doc_id, h, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, substr(md5(${wordGramSql(2)}), 1, 15) AS h
+         |    FROM rw, UNNEST(generate_series(1, len(ws) - 1)) AS t(i))
+         |  GROUP BY doc_id, h),
+         |nrm AS (SELECT doc_id, CAST(SUM(tf*tf) AS BIGINT) AS n2 FROM tf GROUP BY 1),
+         |rare AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM tf GROUP BY h)
+         |  WHERE df <= (SELECT COUNT(*) FROM documents) // 50),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM tf a JOIN rare r ON a.h = r.h
+         |  JOIN tf b ON b.h = a.h AND a.doc_id < b.doc_id),
+         |dots AS (SELECT c.id_a, c.id_b, CAST(SUM(ta.tf * tb.tf) AS BIGINT) AS dot
+         |  FROM cand c JOIN tf ta ON ta.doc_id = c.id_a
+         |  JOIN tf tb ON tb.doc_id = c.id_b AND tb.h = ta.h
+         |  GROUP BY 1, 2),
+         |sims AS (SELECT d.id_a, d.id_b, d.dot,
+         |    CASE WHEN na.n2 * nb.n2 = 0 THEN 0.0
+         |         ELSE d.dot::DOUBLE / sqrt((na.n2 * nb.n2)::DOUBLE) END AS cosine
+         |  FROM dots d JOIN nrm na ON na.doc_id = d.id_a
+         |  JOIN nrm nb ON nb.doc_id = d.id_b)
+         |SELECT id_a, id_b, dot, cosine FROM sims WHERE cosine >= 0.05
          |ORDER BY id_a, id_b""".stripMargin,
 
     "d5_dedup_embedding" ->

@@ -655,4 +655,64 @@ object Dedup {
       .orderBy(col("df").desc, col("n_occ").desc, col("gram"))
       .limit(k)
   }
+
+  /** TF-weighted cosine similarity join over word n-gram vectors — the
+    * sparse-vector cousin of [[ngramJaccard]] (set overlap ignores how
+    * OFTEN a phrase repeats; TF cosine catches the "same boilerplate
+    * pasted 40 times" shape Jaccard scores low).
+    *
+    * Candidate semantics (part of the contract, mirrored by the oracle):
+    * a pair is considered iff the two documents share at least one RARE
+    * gram — document frequency ≤ corpusSize div `dfCapDivisor`. The cap
+    * is RELATIVE, so the blocking survives corpus growth: an absolute cap
+    * goes degenerate the moment a 10× corpus pushes every df past it
+    * (measured on the driver testdata: df scales linearly with sf). The
+    * exact TF dot then runs over the pair's FULL gram vectors, so the
+    * reported cosine is the true cosine, not a rare-gram-only estimate.
+    *
+    * Scale shape: candidates come from an equi-join on the rare-gram
+    * inverted index — each qualifying gram contributes ≤ cap² pairs,
+    * never all-pairs; the dot re-join keys on (doc, gram) and the result
+    * frame, all partial-agg'd. Integer end to end (TFs and norms are
+    * longs; 60-bit md5 gram keys per the repo rule), one double division
+    * per surviving pair. */
+  def tfCosineJoin(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2,
+      dfCapDivisor: Long = 50L,
+      minCosine: Double = 0.5): DataFrame = {
+    require(n > 0 && dfCapDivisor > 0, "need n > 0 and dfCapDivisor > 0")
+    val tf = docs
+      .select(col(idCol).as("doc"), explode(wordNgramList(col(textCol), n)).as("gram"))
+      .select(col("doc"), md5Hash60(col("gram")).as("h"))
+      .groupBy("doc", "h").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // re-read by dfs, candidates, and both dot sides
+    val norms = tf.groupBy("doc").agg(sum(col("tf") * col("tf")).as("n2"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val dfs = tf.groupBy("h").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") <= expr("n_docs div " + dfCapDivisor))
+      .select("h")
+    val rare = tf.join(dfs, "h").select(col("h"), col("doc"))
+    val cand = rare.select(col("h"), col("doc").as("id_a"))
+      .join(rare.select(col("h"), col("doc").as("id_b")), "h")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val dots = cand
+      .join(tf.select(col("doc").as("id_a"), col("h"), col("tf").as("tf_a")), "id_a")
+      .join(tf.select(col("doc").as("id_b"), col("h"), col("tf").as("tf_b")),
+        Seq("id_b", "h"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("tf_a") * col("tf_b")).as("dot"))
+    dots
+      .join(norms.select(col("doc").as("id_a"), col("n2").as("na")), "id_a")
+      .join(norms.select(col("doc").as("id_b"), col("n2").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("dot"),
+        when(col("na") * col("nb") === 0L, lit(0.0))
+          .otherwise(col("dot").cast("double") /
+            sqrt((col("na") * col("nb")).cast("double"))).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
 }

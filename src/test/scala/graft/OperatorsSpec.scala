@@ -302,6 +302,32 @@ class DedupSpec extends SparkSpec {
     pairs.map(p => (p._1, p._2)) shouldBe Seq((1L, 2L), (1L, 3L), (2L, 3L))
     pairs.head._3 shouldBe 1.0 // identical vectors: exactly 1.0 (integer math)
   }
+
+  "Dedup.tfCosineJoin" should "pair only docs sharing a rare gram, scored over full vectors" in {
+    // 10 docs, divisor 2 → df cap 5: the 8 identical "common word here"
+    // docs share only df-8 grams (no candidates); docs 1-2 share the df-2
+    // gram "rare gem" → one pair, cosine = 1/√(2·2) = 0.5
+    val docs = (Seq(
+      (1L, "rare gem alpha"),
+      (2L, "rare gem beta")) ++
+      (3L to 10L).map(i => (i, "common word here")))
+      .toDF("doc_id", "text")
+    val got = Dedup.tfCosineJoin(docs, "doc_id", "text",
+      n = 2, dfCapDivisor = 2L, minCosine = 0.4)
+      .select("id_a", "id_b", "dot", "cosine")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    got shouldBe Seq((1L, 2L, 1L, 0.5))
+  }
+
+  it should "weight repeated grams by term frequency, not set membership" in {
+    // a = "p q p q" → tf(p q)=2, tf(q p)=1, n2=5; b = "p q" → n2=1;
+    // dot = 2 → cosine 2/√5 (a set-based measure would score 1/√2)
+    val docs = Seq((1L, "p q p q"), (2L, "p q")).toDF("doc_id", "text")
+    val got = Dedup.tfCosineJoin(docs, "doc_id", "text",
+      n = 2, dfCapDivisor = 1L, minCosine = 0.1)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    got shouldBe Seq((1L, 2L, 2L, 2.0 / math.sqrt(5.0)))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

@@ -689,6 +689,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // MMR diversified top-5 from a brute-force top-10 pool: greedy
+    // redundancy-penalized re-rank (λ=0.5), distributed pool + bounded
+    // per-query greedy — no more "five copies of the same near-dup"
+    "s11_mmr_diversify" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      Similarity.mmrDiversifyTopK(em, em.filter(col("vec_id") < 5), "vec_id",
+          "embedding", k = 5, poolSize = 10)
+        .orderBy("query_id", "mmr_rank")
+    }),
+
     // recall@k evaluation: LSH (s2) graded against brute-force ground
     // truth (s1) — result-sized join, exact floor-ppm recall; queries the
     // index missed entirely surface as 0 instead of silently dropping
@@ -1679,6 +1689,51 @@ object SparkEntry {
        |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM sims)
        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** MMR greedy diversification unrolled as `k − 1` chained CTE rounds
+    * over a materialized top-`poolSize` pool + its pairwise cosine table
+    * (pool²/query rows — tiny). Every multiply-referenced CTE is
+    * MATERIALIZED (r7 CTE-inlining rule, else rounds expand k^rounds).
+    * Mirrors Similarity.mmrDiversifyTopK: same canonical cosines, same
+    * `0.5·rel − 0.5·maxSim` score, ties to the smallest neighbor id. */
+  private def mmrSql(poolSize: Int, k: Int): String = {
+    val rounds = (2 to k).map { r =>
+      s"""cand$r AS MATERIALIZED (
+         |  SELECT p.query_id, p.neighbor_id, p.cosine, MAX(pp.cos) AS ms
+         |  FROM pool p JOIN sel${r - 1} s ON s.query_id = p.query_id
+         |  JOIN pp ON pp.query_id = p.query_id AND pp.ia = p.neighbor_id
+         |    AND pp.ib = s.neighbor_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} x
+         |      WHERE x.query_id = p.query_id AND x.neighbor_id = p.neighbor_id)
+         |  GROUP BY 1, 2, 3),
+         |pick$r AS (SELECT query_id, neighbor_id, cosine, $r AS rank FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY 0.5*cosine - 0.5*ms DESC, neighbor_id) AS rn FROM cand$r)
+         |  WHERE rn = 1),
+         |sel$r AS MATERIALIZED (SELECT * FROM sel${r - 1}
+         |  UNION ALL SELECT * FROM pick$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id, ${qvSql("embedding")} AS qv FROM embeddings),
+       |p0 AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id, qq.qv AS qa, c.qv AS qb
+       |      FROM q qq JOIN q c ON qq.vec_id < 5 AND qq.vec_id != c.vec_id),
+       |sims AS (SELECT query_id, neighbor_id, qb, $cosSql AS cosine FROM p0),
+       |pool AS MATERIALIZED (SELECT query_id, neighbor_id, qb, cosine FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS prank FROM sims)
+       |  WHERE prank <= $poolSize),
+       |pp AS MATERIALIZED (SELECT query_id, ia, ib, $cosSql AS cos FROM (
+       |    SELECT a.query_id, a.neighbor_id AS ia, b.neighbor_id AS ib,
+       |      a.qb AS qa, b.qb AS qb
+       |    FROM pool a JOIN pool b ON a.query_id = b.query_id
+       |      AND a.neighbor_id != b.neighbor_id)),
+       |sel1 AS MATERIALIZED (SELECT query_id, neighbor_id, cosine, 1 AS rank FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rn FROM pool)
+       |  WHERE rn = 1),
+       |$rounds
+       |SELECT query_id, CAST(rank AS INTEGER) AS mmr_rank, neighbor_id, cosine
+       |FROM sel$k ORDER BY query_id, mmr_rank""".stripMargin
   }
 
   /** [[ivfTopKSql]] with the hard-negative label gate: candidates join the
@@ -2683,6 +2738,8 @@ object SparkEntry {
          |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM sims)
          |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "s11_mmr_diversify" -> mmrSql(poolSize = 10, k = 5),
 
     // the s1 and s2 pipelines verbatim as CTEs, then a result-sized join;
     // recall_ppm uses DuckDB `//` ≡ Spark `div` (non-negative operands)

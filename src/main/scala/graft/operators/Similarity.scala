@@ -410,6 +410,81 @@ object Similarity {
     sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** MMR (maximal marginal relevance) diversified top-k: greedy selection
+    * maximizing `λ·cos(q,c) − (1−λ)·max_{s∈selected} cos(c,s)` — the
+    * classic redundancy-penalized retrieval (Carbonell & Goldstein, SIGIR
+    * '98), the standard fix when a plain ANN top-k returns five copies of
+    * the same near-duplicate document.
+    *
+    * Two stages, split by what scales: the candidate POOL (top `poolSize`
+    * by exact cosine) is the distributed part — same broadcast-queries
+    * map-side shape as [[bruteForceTopK]], corpus never shuffles; the
+    * greedy re-rank is inherently sequential but runs per query over ≤
+    * `poolSize` candidates, so it executes as one `flatMapGroups` whose
+    * group work is O(poolSize²·dims) on quantized integer vectors —
+    * bounded, shuffle-parallel across queries, no driver involvement.
+    *
+    * Determinism/parity: all cosines are the canonical quantized form
+    * (integer dot ÷ √(double norm product)) — bit-identical to the SQL
+    * oracle's unrolled greedy rounds; ties in MMR score break toward the
+    * smallest neighbor id on both sides. Requires long ids. */
+  def mmrDiversifyTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      poolSize: Int,
+      lambda: Double = 0.5): DataFrame = {
+    require(k >= 1 && poolSize >= k, "need 1 <= k <= poolSize")
+    val q = quantized(queries, idCol, vecCol, "query_id", "qv_q", "n_q")
+    val c = quantized(corpus, idCol, vecCol, "neighbor_id", "qv_c", "n_c")
+    val sims = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv_c"),
+        quantizedCosinePre(col("qv_q"), col("qv_c"), col("n_q"), col("n_c")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    val pool = sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= poolSize)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    pool
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        col("cosine"), col("qv_c"))
+      .as[(Long, Long, Double, Seq[Long])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Seq[Long])]) =>
+        def dot(a: Array[Long], b: Array[Long]): Long = {
+          var s = 0L; var i = 0
+          while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+        }
+        // same canonical double as quantizedCosinePre/the oracle's cosSql
+        def cos(a: Array[Long], na: Long, b: Array[Long], nb: Long): Double =
+          if (na == 0L || nb == 0L) 0.0
+          else dot(a, b).toDouble / math.sqrt(na.toDouble * nb.toDouble)
+        val remaining = scala.collection.mutable.ArrayBuffer(
+          it.map { case (_, id, rel, qv) =>
+            val arr = qv.toArray
+            (id, rel, arr, dot(arr, arr))
+          }.toSeq: _*)
+        val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Array[Long], Long)]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
+        var rank = 1
+        while (rank <= k && remaining.nonEmpty) {
+          val best =
+            if (sel.isEmpty) remaining.minBy(cd => (-cd._2, cd._1))
+            else remaining.minBy { cd =>
+              val ms = sel.iterator.map(s => cos(cd._3, cd._4, s._3, s._4)).max
+              (-(lambda * cd._2 - (1.0 - lambda) * ms), cd._1)
+            }
+          remaining -= best
+          sel += best
+          out += ((qid, rank, best._1, best._2))
+          rank += 1
+        }
+        out.iterator
+      }
+      .toDF("query_id", "mmr_rank", "neighbor_id", "cosine")
+  }
+
   /** Recall@k of an approximate top-k result against exact ground truth —
     * the evaluation every ANN index ships with. Both inputs are top-k
     * frames with (query_id, neighbor_id); output is one row per ground-

@@ -385,6 +385,46 @@ class SimilaritySpec extends SparkSpec {
     rows.length shouldBe rows.toSet.size
   }
 
+  "mmrDiversifyTopK" should "demote a redundant near-duplicate below a diverse candidate" in {
+    // query 0 ≈ x-axis; 1 and 2 are near-identical high-relevance vectors,
+    // 3 is moderately relevant but diverse. Plain top-3: (1, 2, 3). MMR
+    // (λ=0.5): 1 first (highest relevance), then 3 (2's similarity ≈1 to
+    // the already-picked 1 crushes its marginal score), then 2.
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0f, 0f, 0f)),
+      (1L, Seq(0.9f, 0.1f, 0f, 0f)),
+      (2L, Seq(0.9f, 0.11f, 0f, 0f)),
+      (3L, Seq(0.5f, 0f, 0.5f, 0f)))
+      .toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") === 0L)
+    val plain = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", k = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    val mmr = Similarity.mmrDiversifyTopK(vecs, queries, "vec_id", "embedding",
+      k = 3, poolSize = 3)
+      .orderBy("mmr_rank").select("neighbor_id").as[Long].collect().toSeq
+    plain shouldBe Seq(1L, 2L, 3L)
+    mmr shouldBe Seq(1L, 3L, 2L)
+  }
+
+  it should "reduce to relevance order with lambda = 1 and stop at the pool size" in {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0f, 0f, 0f)),
+      (1L, Seq(0.9f, 0.1f, 0f, 0f)),
+      (2L, Seq(0.9f, 0.11f, 0f, 0f)),
+      (3L, Seq(0.5f, 0f, 0.5f, 0f)))
+      .toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") === 0L)
+    // λ=1: no diversity penalty — identical to brute-force order
+    Similarity.mmrDiversifyTopK(vecs, queries, "vec_id", "embedding",
+      k = 3, poolSize = 3, lambda = 1.0)
+      .orderBy("mmr_rank").select("neighbor_id").as[Long].collect().toSeq shouldBe
+      Seq(1L, 2L, 3L)
+    // k capped by available pool: only 3 non-self candidates exist
+    Similarity.mmrDiversifyTopK(vecs, queries, "vec_id", "embedding",
+      k = 5, poolSize = 10)
+      .count() shouldBe 3L
+  }
+
   "annRecall" should "count overlap per query with floor-ppm recall and keep zero-hit queries" in {
     val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L), (2L, 20L),
       (2L, 21L), (2L, 22L), (2L, 23L), (3L, 30L), (3L, 31L), (3L, 32L), (3L, 33L))

@@ -1489,6 +1489,33 @@ object SparkEntry {
         .orderBy("user_id", "island")
     }),
 
+    // cumulative distinct event types per user per day: COUNT(DISTINCT)
+    // OVER in first-seen-flag form — Spark has no distinct windows and
+    // the naive spelling is O(n²) state; this is one narrow window + a
+    // running sum over period-sized rows
+    "q85_cumulative_distinct" -> ((s, d) => {
+      Analytics.cumulativeDistinct(Tables.events(s, d), Seq("user_id"),
+          "event_type", "ts_us", tieBreakCols = Seq("event_id"))
+        .select(col("user_id"), col("period_us"), col("n_new"),
+          col("n_events"), col("cum_distinct"))
+        .orderBy("user_id", "period_us")
+    }),
+
+    // click→purchase conversion-lag histogram: first click, first purchase
+    // strictly after it, floor-minute buckets — two co-partitioned
+    // aggregates (funnel frontiers), no per-pair join
+    "q86_conversion_lag" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts_us"))
+      val f1 = e.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(min(col("ts_us")).as("t1"))
+      val f2 = e.filter(col("event_type") === "purchase")
+        .join(f1, "user_id").filter(col("ts_us") > col("t1"))
+        .groupBy("user_id", "t1").agg(min(col("ts_us")).as("t2"))
+      f2.select(expr("(t2 - t1) div 60000000").as("lag_min"))
+        .groupBy("lag_min").agg(count(lit(1)).as("n_users"))
+        .orderBy("lag_min")
+    }),
+
     // Pareto frontier (skyline) per event type, maximizing (amount,
     // recency) — two windows on one sort, never the O(n²) dominance join
     "q84_pareto_front" -> ((s, d) => {
@@ -3504,6 +3531,35 @@ object SparkEntry {
         |SELECT user_id, island, MIN(start_us) AS island_start,
         |  MAX(end_us) AS island_end, COUNT(*) AS n_rows
         |FROM g GROUP BY user_id, island ORDER BY user_id, island""".stripMargin,
+
+    // same first-seen-flag identity; DuckDB window SUM → BIGINT casts
+    "q85_cumulative_distinct" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+        |    epoch_us(date_trunc('day', ts)) AS day_us FROM events),
+        |f AS (SELECT user_id, day_us,
+        |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts_us, event_id) = 1 THEN 1 ELSE 0 END AS first_seen
+        |  FROM e),
+        |d AS (SELECT user_id, day_us AS period_us,
+        |    CAST(SUM(first_seen) AS BIGINT) AS n_new, COUNT(*) AS n_events
+        |  FROM f GROUP BY 1, 2)
+        |SELECT user_id, period_us, n_new, n_events,
+        |  CAST(SUM(n_new) OVER (PARTITION BY user_id ORDER BY period_us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_distinct
+        |FROM d ORDER BY user_id, period_us""".stripMargin,
+
+    // q39's frontier CTE shape; floor-minute via `//` ≡ Spark `div`
+    "q86_conversion_lag" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |f1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM e
+        |    WHERE event_type = 'click' GROUP BY user_id),
+        |f2 AS (SELECT e.user_id, f1.t1, MIN(e.ts_us) AS t2
+        |  FROM e JOIN f1 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts_us > f1.t1
+        |  GROUP BY 1, 2)
+        |SELECT CAST((t2 - t1) // 60000000 AS BIGINT) AS lag_min,
+        |  COUNT(*) AS n_users
+        |FROM f2 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // dominated iff a strictly-larger-cents row has ts ≥ mine (RANGE frame
     // on the DESC integer ordering ≡ cents > current) or a cents-tie has

@@ -421,6 +421,38 @@ object Analytics {
         count(lit(1)).as("n_rows"))
   }
 
+  /** Cumulative distinct count per key over time periods — the scale-safe
+    * spelling of `COUNT(DISTINCT x) OVER (ORDER BY t)`, which Spark does
+    * not support and which would be O(n²) state anyway. The trick: a
+    * value's FIRST occurrence per key (row_number = 1 over (key, value)
+    * ordered by time) contributes exactly 1 to the distinct count forever
+    * after, so cumulative-distinct = running sum of first-seen flags —
+    * one high-cardinality-but-narrow window keyed (key, value), a
+    * per-period aggregate, and a running sum over PERIOD-sized rows.
+    * Returns (key*, period_us, n_new, n_events, cum_distinct). */
+  def cumulativeDistinct(
+      df: DataFrame,
+      keyCols: Seq[String],
+      distinctCol: String,
+      tsUsCol: String,
+      tieBreakCols: Seq[String] = Nil,
+      truncUnit: String = "day"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wFirst = Window.partitionBy((keyCols :+ distinctCol).map(col): _*)
+      .orderBy((tsUsCol +: tieBreakCols).map(col): _*)
+    val flagged = df
+      .withColumn("__first", (row_number().over(wFirst) === 1).cast("long"))
+      .withColumn("period_us",
+        unix_micros(date_trunc(truncUnit, timestamp_micros(col(tsUsCol)))))
+    val daily = flagged
+      .groupBy((keyCols :+ "period_us").map(col): _*)
+      .agg(sum(col("__first")).as("n_new"), count(lit(1)).as("n_events"))
+    val wCum = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("period_us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.withColumn("cum_distinct", sum(col("n_new")).over(wCum))
+  }
+
   /** Pareto frontier (skyline) per group, maximizing integer columns
     * (`xCol`, `yCol`): keep a row iff no other row in its group weakly
     * dominates it (≥ on both, > on at least one). Duplicated (x, y)

@@ -270,6 +270,25 @@ class AnalyticsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq shouldBe Seq((0L, 100L, 3L))
   }
 
+  "Analytics.cumulativeDistinct" should "equal a brute-force distinct count at every period" in {
+    val day = 86400000000L
+    val ev = Seq(
+      ("a", "x", 0L, 1L), ("a", "x", 10L, 2L),          // day 0: x new
+      ("a", "y", day + 5L, 3L), ("a", "x", day + 9L, 4L), // day 1: y new
+      ("a", "y", 3 * day, 5L),                           // day 3: nothing new
+      ("b", "z", 2 * day, 6L))
+      .toDF("u", "t", "ts", "eid")
+    val got = Analytics.cumulativeDistinct(ev, Seq("u"), "t", "ts", Seq("eid"))
+      .orderBy("u", "period_us")
+      .select("u", "period_us", "n_new", "n_events", "cum_distinct")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    got shouldBe Seq(
+      ("a", 0L, 1L, 2L, 1L),
+      ("a", day, 1L, 2L, 2L),
+      ("a", 3 * day, 0L, 1L, 2L),
+      ("b", 2 * day, 1L, 1L, 1L))
+  }
+
   "Analytics.paretoFrontier" should "keep exactly the non-dominated rows" in {
     val pts = Seq(
       ("g", 1L, 5L, 9L),  // frontier (max y)

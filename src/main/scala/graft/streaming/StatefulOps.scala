@@ -92,6 +92,51 @@ object StatefulOps {
       }
   }
 
+  /** Streaming form of [[graft.operators.Analytics.rollingAnomalies]]:
+    * per-key trailing-window anomaly monitor over an event stream. State
+    * per key is the last `histRows` values (a bounded ring — never the
+    * history); a row flags when `(n·x − S)² > k²·(n·Q − S²)` over that
+    * ring, the SAME exact integer test as the batch operator (BigInt
+    * intermediates here ≡ decimal(38,0) there), so batch and streaming
+    * flags are bit-identical on identically-ordered input — asserted by
+    * StreamingSpec. Rows inside one micro-batch are processed in
+    * (tsUs, tieBreak) order; cross-batch order is the stream's arrival
+    * order, as with every per-key monitor.
+    *
+    * Input (key, tsUs, tieBreak, value) → flagged (key, tsUs, tieBreak,
+    * value, nHist). */
+  def anomalyMonitor[K](
+      input: Dataset[(K, Long, Long, Long)],
+      histRows: Int = 20,
+      minHist: Int = 8,
+      k: Int = 3)(
+      implicit ke: Encoder[K], se: Encoder[Seq[Long]],
+      oe: Encoder[(K, Long, Long, Long, Long)]): Dataset[(K, Long, Long, Long, Long)] = {
+    require(histRows >= minHist && minHist >= 1 && k >= 1,
+      "need histRows >= minHist >= 1 and k >= 1")
+    input
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[Long], (K, Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) { (key, rows, state) =>
+        var hist: Vector[Long] = state.getOption.map(_.toVector).getOrElse(Vector.empty)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(K, Long, Long, Long, Long)]
+        rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+          val n = hist.size
+          if (n >= minHist) {
+            val s = hist.iterator.map(BigInt(_)).sum
+            val q = hist.iterator.map(v => BigInt(v) * v).sum
+            val dev = BigInt(n) * r._4 - s
+            val varN2 = BigInt(n) * q - s * s
+            if (dev * dev > BigInt(k.toLong * k) * varN2)
+              out += ((key, r._2, r._3, r._4, n.toLong))
+          }
+          hist = (hist :+ r._4).takeRight(histRows)
+        }
+        state.update(hist)
+        out.iterator
+      }
+  }
+
   /** Output-mode guidance mirroring the reference's at-least-once commit
     * loop (GatewayStream.scala:187-211): update mode + checkpointing. */
   val DefaultOutputMode: OutputMode = OutputMode.Update()

@@ -112,4 +112,39 @@ class StatefulWordCountSpec extends SparkSpec {
       rows shouldBe Array(("h1", 3L), ("h2", 9L), ("h3", 4L))
     } finally query.stop()
   }
+
+  "anomalyMonitor" should "flag bit-identically to the batch rollingAnomalies" in {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // 5 keys × 40 events: quiet baseline with seeded spikes
+    val rnd = new scala.util.Random(7)
+    val rows = for (key <- 1L to 5L; i <- 0 until 40) yield {
+      val v = if (rnd.nextInt(12) == 0) 900L + rnd.nextInt(200)
+              else 100L + rnd.nextInt(21) - 10
+      (key, i.toLong * 1000L, key * 1000L + i, v) // (key, ts, tie, value)
+    }
+    val batch = graft.operators.Analytics.rollingAnomalies(
+      rows.toDF("u", "ts", "eid", "v"), Seq("u"), "v", Seq("ts", "eid"),
+      histRows = 20, minHist = 8, k = 3)
+      .select("u", "ts", "eid", "v", "n_hist")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    batch.size should be > 0 // the fixture must actually contain anomalies
+    val input = MemoryStream[(Long, Long, Long, Long)]
+    val query = StatefulOps.anomalyMonitor(input.toDS(), histRows = 20, minHist = 8, k = 3)
+      .toDF("u", "ts", "eid", "v", "n_hist")
+      .writeStream.format("memory").queryName("anom").outputMode(OutputMode.Append())
+      .start()
+    try {
+      // arrival in event-time order split across three micro-batches —
+      // per-key order is preserved, so streaming ≡ batch
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      sorted.grouped(70).foreach { chunk =>
+        input.addData(chunk: _*)
+        query.processAllAvailable()
+      }
+      val streamed = spark.sql("SELECT * FROM anom")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      streamed shouldBe batch
+    } finally query.stop()
+  }
 }

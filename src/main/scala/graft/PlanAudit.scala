@@ -96,7 +96,14 @@ object PlanAudit {
     "d16_quality_keeper" -> "keeper election: clustering keeps its bounded LSH+CC shape, quality is a row-local projection joined on the doc key, and the argmax-quality keeper + cluster size are TWO windows sharing ONE cluster-key exchange",
     "d15_incremental_dedup" -> "incremental dedup: history participates ONLY through its persisted band table (no re-banding, no history-history pairs — the build relation is the fresh increment's bands); per-increment cost tracks the increment's bucket density, not |corpus|^2",
     "s10_hard_negatives" -> "filtered ANN (hard-negative mining): ONE full-corpus IVF index serves any label predicate — the label gate is a candidate-side filter inside the probed-cell join (before the top-k window), so changing the filter re-trains nothing and re-scans nothing",
-    "p3_targeted_curation" -> "composed pipeline (the suite's slowest query): lang/quality gates are row-local scans; decontamination broadcasts the eval gram set (map-side semi-join); near-dup stage is capped-band LSH + verify on CANDIDATES only; the final stratified cap is one stratum-key shuffle with a streaming window rank — no stage is all-pairs, so 100x data is 100x per-stage work")
+    "p3_targeted_curation" -> "composed pipeline (the suite's slowest query): lang/quality gates are row-local scans; decontamination broadcasts the eval gram set (map-side semi-join); near-dup stage is capped-band LSH + verify on CANDIDATES only; the final stratified cap is one stratum-key shuffle with a streaming window rank — no stage is all-pairs, so 100x data is 100x per-stage work",
+    "q81_mv_incremental" -> "incremental MV maintenance: base and delta halves aggregate independently (partial-agg'd on the key), the merge aggregates STATE-sized frames — at a real deployment the base state is yesterday's table, so the 100 TB history is scanned once on arrival and never again",
+    "q82_rolling_anomaly" -> "trailing-window anomaly: ONE ordered window per key carries three integer registers (n, S, Q in decimal); the flag is a row-local integer comparison — no self-join, no doubles, and the same exact test runs as bounded-ring streaming state (StatefulOps.anomalyMonitor)",
+    "q84_pareto_front" -> "Pareto frontier without the O(n^2) dominance join: both dominance tests are windows over ONE sort per group (strict-x via RANGE-to-1-PRECEDING on the DESC integer ordering, x-ties via the tie partition) — the all-pairs check never materializes",
+    "q85_cumulative_distinct" -> "COUNT(DISTINCT) OVER in first-seen-flag form: one narrow window keyed (key, value) marks first occurrences, then the running sum rides PERIOD-sized rows — no per-row distinct state, no O(n^2) window",
+    "d17_tf_cosine" -> "TF cosine join: candidates from the RARE-gram inverted index (relative df cap — each qualifying gram contributes <= cap^2 pairs), the exact dot re-joins gram vectors per CANDIDATE pair only; tf frame checkpointed once, re-read by all four consumers",
+    "s11_mmr_diversify" -> "MMR re-rank: the pool is the audited broadcast-queries brute-force shape (corpus never shuffles); the greedy is one flatMapGroups over <= poolSize rows per query — sequential where the algorithm is sequential, parallel across queries, zero driver involvement",
+    "s12_ann_recall" -> "recall evaluation joins two RESULT-sized top-k frames on (query, neighbor) — the corpus is never touched; zero-hit queries survive via the left join from the truth side")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -1516,6 +1516,25 @@ object SparkEntry {
         .orderBy("lag_min")
     }),
 
+    // first-order Markov transitions over user event histories: lead
+    // window per user, state-space-sized counts, exact floor-ppm rows
+    "q87_markov_transitions" -> ((s, d) => {
+      Analytics.markovTransitions(Tables.events(s, d), Seq("user_id"),
+          "event_type", Seq("ts_us", "event_id"))
+        .orderBy("from_state", "to_state")
+    }),
+
+    // k-anonymity audit: quasi-identifiers (lang, source, length bucket);
+    // buckets under k=5 are the re-identification risk a release must
+    // suppress — the privacy-side complement of t7's PII scrubbing
+    "q88_k_anonymity" -> ((s, d) => {
+      Analytics.kAnonymity(
+          Tables.documents(s, d)
+            .select(col("lang"), col("source"), expr("n_chars div 100").as("len_bucket")),
+          Seq("lang", "source", "len_bucket"), k = 5L)
+        .orderBy("lang", "source", "len_bucket")
+    }),
+
     // Pareto frontier (skyline) per event type, maximizing (amount,
     // recency) — two windows on one sort, never the O(n²) dominance join
     "q84_pareto_front" -> ((s, d) => {
@@ -3560,6 +3579,26 @@ object SparkEntry {
         |SELECT CAST((t2 - t1) // 60000000 AS BIGINT) AS lag_min,
         |  COUNT(*) AS n_users
         |FROM f2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // LEAD over the same total order; window-SUM → HUGEINT cast before //
+    "q87_markov_transitions" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+        |  FROM events),
+        |t AS (SELECT event_type AS from_state,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS to_state
+        |  FROM e),
+        |c AS (SELECT from_state, to_state, COUNT(*) AS n FROM t
+        |  WHERE to_state IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_state, to_state, n,
+        |  CAST((n * 1000000) // CAST(SUM(n) OVER (PARTITION BY from_state) AS BIGINT)
+        |    AS BIGINT) AS p_ppm
+        |FROM c ORDER BY from_state, to_state""".stripMargin,
+
+    "q88_k_anonymity" ->
+      """SELECT lang, source, n_chars // 100 AS len_bucket, COUNT(*) AS n,
+        |  CAST(CASE WHEN COUNT(*) >= 5 THEN 1 ELSE 0 END AS INTEGER) AS is_anonymous
+        |FROM documents GROUP BY 1, 2, 3 ORDER BY lang, source, len_bucket""".stripMargin,
 
     // dominated iff a strictly-larger-cents row has ts ≥ mine (RANGE frame
     // on the DESC integer ordering ≡ cents > current) or a cents-tie has

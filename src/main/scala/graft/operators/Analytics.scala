@@ -453,6 +453,45 @@ object Analytics {
     daily.withColumn("cum_distinct", sum(col("n_new")).over(wCum))
   }
 
+  /** First-order Markov transition matrix over per-key event sequences:
+    * counts of (state → next state) across every key's time-ordered
+    * history, with exact floor-ppm transition probabilities. The standard
+    * behavioral model behind "what usually follows a click".
+    *
+    * Scale shape: one `lead` window per key (the only corpus-sized
+    * shuffle), then a partial-agg'd count on (from, to) — state-space-
+    * sized, tiny. Probabilities divide by the from-state row total via a
+    * window over the COUNT frame, never the data. */
+  def markovTransitions(
+      df: DataFrame,
+      keyCols: Seq[String],
+      stateCol: String,
+      orderCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wNext = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val wFrom = Window.partitionBy(col("from_state"))
+    df
+      .withColumn("__next", lead(col(stateCol), 1).over(wNext))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(stateCol).as("from_state"), col("__next").as("to_state"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p_ppm",
+        call_function("div", col("n") * 1000000L, sum(col("n")).over(wFrom)))
+  }
+
+  /** k-anonymity audit over quasi-identifier buckets: per bucket, the row
+    * count and whether it meets the anonymity threshold (a bucket smaller
+    * than `k` re-identifies its members — the groups a release would have
+    * to suppress or generalize). One partial-agg'd shuffle on the
+    * quasi-identifier key; the flag is row-local on bucket-sized rows. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("is_anonymous", (col("n") >= k).cast("int"))
+  }
+
   /** Pareto frontier (skyline) per group, maximizing integer columns
     * (`xCol`, `yCol`): keep a row iff no other row in its group weakly
     * dominates it (≥ on both, > on at least one). Duplicated (x, y)

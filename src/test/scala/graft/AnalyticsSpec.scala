@@ -270,6 +270,35 @@ class AnalyticsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq shouldBe Seq((0L, 100L, 3L))
   }
 
+  "Analytics.markovTransitions" should "count time-ordered transitions with exact ppm rows" in {
+    val ev = Seq(
+      ("a", 1L, 1L, "x"), ("a", 2L, 2L, "y"), ("a", 3L, 3L, "x"), ("a", 4L, 4L, "y"),
+      ("b", 1L, 5L, "x"), ("b", 2L, 6L, "z"))
+      .toDF("u", "ts", "eid", "s")
+    val got = Analytics.markovTransitions(ev, Seq("u"), "s", Seq("ts", "eid"))
+      .orderBy("from_state", "to_state")
+      .as[(String, String, Long, Long)].collect().toSeq
+    // from x: x→y twice, x→z once (p = 666666 / 333333 ppm, floor); y→x once
+    got shouldBe Seq(
+      ("x", "y", 2L, 666666L),
+      ("x", "z", 1L, 333333L),
+      ("y", "x", 1L, 1000000L))
+  }
+
+  it should "not fabricate a transition across keys" in {
+    // last event of key a and first of key b must not chain
+    val ev = Seq(("a", 1L, 1L, "x"), ("b", 2L, 2L, "y")).toDF("u", "ts", "eid", "s")
+    Analytics.markovTransitions(ev, Seq("u"), "s", Seq("ts", "eid")).count() shouldBe 0L
+  }
+
+  "Analytics.kAnonymity" should "flag buckets meeting the threshold" in {
+    val rows = (1 to 5).map(i => ("en", "srcA")) ++ Seq(("en", "srcB"), ("fr", "srcA"))
+    val got = Analytics.kAnonymity(rows.toDF("lang", "source"), Seq("lang", "source"), k = 5L)
+      .orderBy("lang", "source")
+      .as[(String, String, Long, Int)].collect().toSeq
+    got shouldBe Seq(("en", "srcA", 5L, 1), ("en", "srcB", 1L, 0), ("fr", "srcA", 1L, 0))
+  }
+
   "Analytics.cumulativeDistinct" should "equal a brute-force distinct count at every period" in {
     val day = 86400000000L
     val ev = Seq(

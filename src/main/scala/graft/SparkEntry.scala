@@ -648,6 +648,23 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // consensus dedup: the d2 (MinHash LSH), d9 (SimHash) and d4 (blocked
+    // n-gram Jaccard) detectors merged pair-for-pair with per-signal flags
+    // — act on agreement, review single-signal pairs
+    "d18_consensus_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val mh = Dedup.minhashLsh(docs, "doc_id", "text",
+        numHashes = 8, shingleSize = 3, rowsPerBand = 2, minEstimate = 0.5,
+        materializeCandidates = true)
+      val sh = Dedup.simhashPairs(docs, "doc_id", "text", bits = 16, maxHamming = 1)
+      val nj = Dedup.ngramJaccardBlocked(
+        docs.withColumn("blk", expr("n_chars div 20")), "doc_id", "text",
+        blockCols = Seq("lang", "blk"), n = 3, minJaccard = 0.5,
+        materializeGramSets = true)
+      Dedup.consensusPairs(Seq("minhash" -> mh, "simhash" -> sh, "jaccard" -> nj))
+        .orderBy("id_a", "id_b")
+    }),
+
     // TF-weighted bigram cosine join: candidates share a RARE gram
     // (df ≤ |corpus| div 50 — a relative cap, so the blocking survives
     // corpus growth), exact TF dot over the pair's full vectors
@@ -2728,6 +2745,54 @@ object SparkEntry {
          |FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
          |WHERE CAST(i AS DOUBLE)/(sa.ng + sb.ng - i) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // the d2/d9/d4 oracle pipelines verbatim (prefix-renamed CTEs), then
+    // pair-frame flag joins — the union is every pair ANY signal fired on
+    "d18_consensus_dedup" ->
+      s"""WITH ${minhashPairsSql("documents")},
+         |mhf AS (SELECT id_a, id_b FROM mh_pairs WHERE jaccard_est >= 0.5),
+         |stoks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |stv AS (SELECT doc_id,
+         |  [ (strpos('0123456789abcdef', substr(md5(x),1,1))-1)*4096
+         |  + (strpos('0123456789abcdef', substr(md5(x),2,1))-1)*256
+         |  + (strpos('0123456789abcdef', substr(md5(x),3,1))-1)*16
+         |  + (strpos('0123456789abcdef', substr(md5(x),4,1))-1) for x in t] AS vals,
+         |  len(t) AS n FROM stoks),
+         |ssh AS (SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS simhash FROM stv),
+         |sbanded AS (SELECT doc_id, simhash, b, (simhash >> (b*8)) & 255 AS byte
+         |           FROM ssh, range(0,2) t(b)),
+         |shf AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |          FROM sbanded a JOIN sbanded b USING (b, byte)
+         |          WHERE a.doc_id < b.doc_id
+         |            AND bit_count(xor(a.simhash, b.simhash)) <= 1),
+         |jn AS (SELECT doc_id, lang, n_chars//20 AS blk, $normSql AS s FROM documents),
+         |jg AS (SELECT doc_id, lang, blk,
+         |        unnest(list_distinct([substr(md5(x), 1, 15) for x in
+         |          list_distinct([substr(s, i, 3) for i in range(1, greatest(length(s)-2, 0)+1)])])) AS gram
+         |      FROM jn),
+         |jsizes AS (SELECT doc_id, COUNT(*) AS ng FROM jg GROUP BY doc_id),
+         |jinter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+         |          FROM jg a JOIN jg b ON a.lang = b.lang AND a.blk = b.blk AND a.gram = b.gram
+         |            AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |jf AS (SELECT id_a, id_b FROM jinter
+         |  JOIN jsizes sa ON id_a = sa.doc_id JOIN jsizes sb ON id_b = sb.doc_id
+         |  WHERE CAST(i AS DOUBLE)/(sa.ng + sb.ng - i) >= 0.5),
+         |allp AS (SELECT id_a, id_b FROM mhf UNION
+         |         SELECT id_a, id_b FROM shf UNION
+         |         SELECT id_a, id_b FROM jf)
+         |SELECT p.id_a, p.id_b,
+         |  CAST(CASE WHEN m.id_a IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS minhash,
+         |  CAST(CASE WHEN s2.id_a IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS simhash,
+         |  CAST(CASE WHEN j2.id_a IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS jaccard,
+         |  CAST(CASE WHEN m.id_a IS NOT NULL THEN 1 ELSE 0 END
+         |     + CASE WHEN s2.id_a IS NOT NULL THEN 1 ELSE 0 END
+         |     + CASE WHEN j2.id_a IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS n_signals
+         |FROM allp p
+         |LEFT JOIN mhf m ON m.id_a = p.id_a AND m.id_b = p.id_b
+         |LEFT JOIN shf s2 ON s2.id_a = p.id_a AND s2.id_b = p.id_b
+         |LEFT JOIN jf j2 ON j2.id_a = p.id_a AND j2.id_b = p.id_b
+         |ORDER BY p.id_a, p.id_b""".stripMargin,
 
     // d14's surface-form word-gram semantics (string_split ' ', empties
     // kept) at n=2; tf is MATERIALIZED (referenced 4×, r7 CTE-inlining

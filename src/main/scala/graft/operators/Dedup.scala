@@ -656,6 +656,27 @@ object Dedup {
       .limit(k)
   }
 
+  /** Consensus of independent near-dup signals: full-outer-merge the
+    * (id_a, id_b) pair sets of several detectors into one frame with a
+    * 0/1 flag per signal and the agreement count. The production dedup
+    * pattern: act on high-consensus pairs automatically, queue
+    * single-signal pairs for review — no detector alone decides.
+    *
+    * Scale shape: each signal keeps its own bounded candidate shape; the
+    * merge joins PAIR-sized frames on (id_a, id_b) — the corpus is never
+    * touched here. */
+  def consensusPairs(signals: Seq[(String, DataFrame)]): DataFrame = {
+    require(signals.nonEmpty, "need at least one signal")
+    val flagged = signals.map { case (name, df) =>
+      df.select(col("id_a"), col("id_b")).distinct().withColumn(name, lit(1))
+    }
+    val joined = flagged.reduce((a, b) => a.join(b, Seq("id_a", "id_b"), "full_outer"))
+    val flags = signals.map { case (n, _) => coalesce(col(n), lit(0)).as(n) }
+    joined
+      .select((Seq(col("id_a"), col("id_b")) ++ flags): _*)
+      .withColumn("n_signals", signals.map { case (n, _) => col(n) }.reduce(_ + _))
+  }
+
   /** TF-weighted cosine similarity join over word n-gram vectors — the
     * sparse-vector cousin of [[ngramJaccard]] (set overlap ignores how
     * OFTEN a phrase repeats; TF cosine catches the "same boilerplate

@@ -303,6 +303,18 @@ class DedupSpec extends SparkSpec {
     pairs.head._3 shouldBe 1.0 // identical vectors: exactly 1.0 (integer math)
   }
 
+  "Dedup.consensusPairs" should "merge pair sets with per-signal flags and agreement count" in {
+    val a = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val b = Seq((1L, 2L), (4L, 5L), (4L, 5L)).toDF("id_a", "id_b") // dup row must not double-flag
+    val got = Dedup.consensusPairs(Seq("sig_a" -> a, "sig_b" -> b))
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Int, Int, Int)].collect().toSeq
+    got shouldBe Seq(
+      (1L, 2L, 1, 1, 2),
+      (1L, 3L, 1, 0, 1),
+      (4L, 5L, 0, 1, 1))
+  }
+
   "Dedup.tfCosineJoin" should "pair only docs sharing a rare gram, scored over full vectors" in {
     // 10 docs, divisor 2 → df cap 5: the 8 identical "common word here"
     // docs share only df-8 grams (no candidates); docs 1-2 share the df-2

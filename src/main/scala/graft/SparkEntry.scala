@@ -1533,6 +1533,21 @@ object SparkEntry {
         .orderBy("lag_min")
     }),
 
+    // distribution drift between the log's time halves: exact integer
+    // total-variation distance per event type over shared value bins —
+    // the "did the data move under the model" monitor, no float probs
+    "q89_distribution_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"), col("ts_us"))
+      val mid = ev.agg(min(col("ts_us")).as("mn"), max(col("ts_us")).as("mx"))
+        .select(expr("(mn + mx) div 2").as("mid_ts"))
+      val coh = ev.crossJoin(broadcast(mid))
+        .select(col("event_type"), expr("cents div 1000").as("bin"),
+          when(col("ts_us") <= col("mid_ts"), 1).otherwise(2).as("cohort"))
+      Analytics.distributionDrift(coh, Seq("event_type"), "bin", "cohort")
+        .orderBy("event_type")
+    }),
+
     // first-order Markov transitions over user event histories: lead
     // window per user, state-space-sized counts, exact floor-ppm rows
     "q87_markov_transitions" -> ((s, d) => {
@@ -3644,6 +3659,29 @@ object SparkEntry {
         |SELECT CAST((t2 - t1) // 60000000 AS BIGINT) AS lag_min,
         |  COUNT(*) AS n_users
         |FROM f2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same common-denominator TV arithmetic in HUGEINT; `//` ≡ `div`
+    "q89_distribution_drift" ->
+      """WITH b AS (SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM events),
+        |e AS (SELECT event_type, CAST(round(value*100) AS BIGINT) // 1000 AS bin,
+        |    CASE WHEN epoch_us(ts) <= (SELECT (mn + mx) // 2 FROM b)
+        |      THEN 1 ELSE 2 END AS cohort
+        |  FROM events),
+        |c AS (SELECT event_type, bin,
+        |    CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN cohort = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM e GROUP BY 1, 2),
+        |t AS (SELECT *,
+        |    CAST(SUM(n1) OVER (PARTITION BY event_type) AS BIGINT) AS t1,
+        |    CAST(SUM(n2) OVER (PARTITION BY event_type) AS BIGINT) AS t2
+        |  FROM c)
+        |SELECT event_type, COUNT(*) AS n_bins,
+        |  MIN(t1) AS n_cohort1, MIN(t2) AS n_cohort2,
+        |  CAST(CASE WHEN MIN(t1) > 0 AND MIN(t2) > 0 THEN
+        |      (1000000 * CAST(SUM(ABS(n1*t2 - n2*t1)) AS HUGEINT))
+        |        // (2 * MIN(t1) * MIN(t2))
+        |    ELSE 1000000 END AS BIGINT) AS tv_ppm
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // LEAD over the same total order; window-SUM → HUGEINT cast before //
     "q87_markov_transitions" ->

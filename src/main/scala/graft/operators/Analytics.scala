@@ -480,6 +480,53 @@ object Analytics {
         call_function("div", col("n") * 1000000L, sum(col("n")).over(wFrom)))
   }
 
+  /** Distribution drift between two cohorts, as exact integer total
+    * variation distance. Per group, both cohorts histogram into shared
+    * `binCol` bins; TV = ½·Σ|p₁ − p₂| computed over the common
+    * denominator — `(10⁶·Σ|n₁·N₂ − n₂·N₁|) div (2·N₁·N₂)` — so the drift
+    * score is floor-ppm exact with no float probabilities. The
+    * training-data drift monitor: a spike in tv_ppm for a slice means the
+    * new cohort's distribution moved.
+    *
+    * `cohortCol` must be 1 or 2. Scale shape: one partial-agg'd shuffle
+    * on (group, bin), totals via a window over BIN-sized rows, final agg
+    * per group. Decimal(38,0) products so a 100 TB cohort can't overflow
+    * the cross terms. */
+  def distributionDrift(
+      df: DataFrame,
+      groupCols: Seq[String],
+      binCol: String,
+      cohortCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val g = groupCols.map(col)
+    val binned = df
+      .groupBy((groupCols :+ binCol).map(col): _*)
+      .agg(
+        sum(when(col(cohortCol) === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col(cohortCol) === 2, 1L).otherwise(0L)).as("n2"))
+    val wg = Window.partitionBy(g: _*)
+    val withTotals = binned
+      .withColumn("t1", sum(col("n1")).over(wg))
+      .withColumn("t2", sum(col("n2")).over(wg))
+    withTotals
+      .groupBy(g: _*)
+      .agg(
+        count(lit(1)).as("n_bins"),
+        min(col("t1")).as("n_cohort1"),
+        min(col("t2")).as("n_cohort2"),
+        sum(abs(dec(col("n1")) * dec(col("t2")) - dec(col("n2")) * dec(col("t1"))))
+          .as("__num"))
+      .withColumn("tv_ppm",
+        // IntegralDivide (`div`) on decimals ≡ DuckDB `//` — exact floor
+        // at any magnitude; decimal `/` would ROUND and break parity
+        when(col("n_cohort1") > 0 && col("n_cohort2") > 0,
+          call_function("div", dec(lit(1000000L)) * col("__num"),
+            dec(lit(2L)) * dec(col("n_cohort1")) * dec(col("n_cohort2"))))
+          .otherwise(lit(1000000L)))
+      .drop("__num")
+  }
+
   /** k-anonymity audit over quasi-identifier buckets: per bucket, the row
     * count and whether it meets the anonymity threshold (a bucket smaller
     * than `k` re-identifies its members — the groups a release would have

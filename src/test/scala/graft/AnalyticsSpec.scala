@@ -291,6 +291,33 @@ class AnalyticsSpec extends SparkSpec {
     Analytics.markovTransitions(ev, Seq("u"), "s", Seq("ts", "eid")).count() shouldBe 0L
   }
 
+  "Analytics.distributionDrift" should "compute exact total-variation ppm" in {
+    // group g: cohort1 = {bin0 x2, bin1 x2}, cohort2 = {bin0 x1, bin1 x3}
+    // → TV = ½(|½−¼| + |½−¾|) = ¼ → 250000 ppm exactly
+    val rows = Seq(
+      ("g", 0L, 1), ("g", 0L, 1), ("g", 1L, 1), ("g", 1L, 1),
+      ("g", 0L, 2), ("g", 1L, 2), ("g", 1L, 2), ("g", 1L, 2),
+      // group h: identical distributions → 0 ppm
+      ("h", 0L, 1), ("h", 1L, 1), ("h", 0L, 2), ("h", 1L, 2),
+      // group i: cohort 2 empty → sentinel 1000000
+      ("i", 0L, 1))
+      .toDF("grp", "bin", "cohort")
+    val got = Analytics.distributionDrift(rows, Seq("grp"), "bin", "cohort")
+      .orderBy("grp")
+      .select("grp", "n_bins", "n_cohort1", "n_cohort2", "tv_ppm")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    got shouldBe Seq(
+      ("g", 2L, 4L, 4L, 250000L),
+      ("h", 2L, 2L, 2L, 0L),
+      ("i", 1L, 1L, 0L, 1000000L))
+  }
+
+  it should "report full drift for disjoint supports" in {
+    val rows = Seq(("g", 0L, 1), ("g", 1L, 2)).toDF("grp", "bin", "cohort")
+    Analytics.distributionDrift(rows, Seq("grp"), "bin", "cohort")
+      .select("tv_ppm").as[Long].head() shouldBe 1000000L
+  }
+
   "Analytics.kAnonymity" should "flag buckets meeting the threshold" in {
     val rows = (1 to 5).map(i => ("en", "srcA")) ++ Seq(("en", "srcB"), ("fr", "srcA"))
     val got = Analytics.kAnonymity(rows.toDF("lang", "source"), Seq("lang", "source"), k = 5L)

@@ -706,6 +706,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // PQ (product quantization) ANN: 8 subspace codebooks, corpus encoded
+    // to 8 codes in one zero-shuffle projection, asymmetric integer score
+    // against reconstructed centroids — the searchable index is 64x
+    // smaller than the vectors; training fully unrolled in the oracle
+    "s13_pq_topk" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      Similarity.pqTopK(em, em.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, numSubspaces = 8, subCentroids = 16, iterations = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // MMR diversified top-5 from a brute-force top-10 pool: greedy
     // redundancy-penalized re-rank (λ=0.5), distributed pool + bounded
     // per-query greedy — no more "five copies of the same near-dup"
@@ -1766,6 +1777,60 @@ object SparkEntry {
        |ranked AS (SELECT *, ROW_NUMBER() OVER
        |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM sims)
        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** PQ ANN unrolled: per subspace, the ivfCellsSql k-means pattern runs
+    * over the dimension slice (same seed/argmin/round rules); each corpus
+    * vector joins its assigned centroid VECTOR per subspace, and the
+    * asymmetric score sums integer slice-dots against those
+    * reconstructions — every code and score matches Spark bit-for-bit. */
+  private def pqTopKSql(m: Int, ksub: Int, iterations: Int, k: Int): String = {
+    val subDim = 64 / m
+    val rng = s"range(1,${subDim + 1})"
+    def cnormOf(c: String) = s"list_sum([$c[i]*$c[i] for i in $rng])"
+    def dotOf(c: String, v: String) = s"list_sum([$c[i]*$v[i] for i in $rng])"
+    val subBlocks = (0 until m).map { sIx =>
+      val p = s"s$sIx"
+      val lo = sIx * subDim + 1
+      val hi = (sIx + 1) * subDim
+      val iters = (1 to iterations).map { t =>
+        s"""${p}d$t AS (SELECT a.id, a.v, c.cell,
+           |  ROW_NUMBER() OVER (PARTITION BY a.id
+           |    ORDER BY c.cn - 2*${dotOf("c.c", "a.v")}, c.cell) AS rn
+           |  FROM ${p}v a CROSS JOIN ${p}c${t - 1} c),
+           |${p}a$t AS (SELECT id, v, cell FROM ${p}d$t WHERE rn = 1),
+           |${p}u$t AS (SELECT cell, unnest(range(1, ${subDim + 1})) AS dim, unnest(v) AS val FROM ${p}a$t),
+           |${p}m$t AS (SELECT cell, list(CAST(FLOOR(CAST(s AS DOUBLE)/n + 0.5) AS BIGINT) ORDER BY dim) AS c
+           |  FROM (SELECT cell, dim, SUM(val) AS s, COUNT(*) AS n FROM ${p}u$t GROUP BY cell, dim)
+           |  GROUP BY cell),
+           |${p}c$t AS (SELECT pp.cell, COALESCE(mm.c, pp.c) AS c, ${cnormOf("COALESCE(mm.c, pp.c)")} AS cn
+           |  FROM ${p}c${t - 1} pp LEFT JOIN ${p}m$t mm USING (cell))""".stripMargin
+      }.mkString(",\n")
+      s"""${p}v AS (SELECT id, v[$lo:$hi] AS v FROM v),
+         |${p}c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cell, v AS c, ${cnormOf("v")} AS cn
+         |  FROM (SELECT id, v FROM ${p}v ORDER BY id LIMIT $ksub) seed),
+         |$iters,
+         |${p}fd AS (SELECT a.id, c.c, c.cell,
+         |  ROW_NUMBER() OVER (PARTITION BY a.id
+         |    ORDER BY c.cn - 2*${dotOf("c.c", "a.v")}, c.cell) AS rn
+         |  FROM ${p}v a CROSS JOIN ${p}c$iterations c),
+         |${p}e AS (SELECT id, c AS cv FROM ${p}fd WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val approxSum = (0 until m).map { sIx =>
+      val off = sIx * subDim
+      s"list_sum([e$sIx.cv[i]*q.v[$off+i] for i in $rng])"
+    }.mkString("\n      + ")
+    val joins = (0 until m).map(sIx => s"JOIN s${sIx}e e$sIx ON e$sIx.id = n.id").mkString("\n  ")
+    s"""WITH v AS (SELECT vec_id AS id, ${qvSql("embedding")} AS v FROM embeddings),
+       |$subBlocks,
+       |pairs AS (SELECT q.id AS query_id, n.id AS neighbor_id,
+       |    CAST($approxSum AS BIGINT) AS approx_dot
+       |  FROM v q JOIN v n ON q.id < 5 AND q.id != n.id
+       |  $joins),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY approx_dot DESC, neighbor_id) AS rank FROM pairs)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, approx_dot
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
@@ -2866,6 +2931,8 @@ object SparkEntry {
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "s11_mmr_diversify" -> mmrSql(poolSize = 10, k = 5),
+
+    "s13_pq_topk" -> pqTopKSql(m = 8, ksub = 16, iterations = 3, k = 5),
 
     // the s1 and s2 pipelines verbatim as CTEs, then a result-sized join;
     // recall_ppm uses DuckDB `//` ≡ Spark `div` (non-negative operands)

@@ -151,16 +151,29 @@ object Similarity {
     // re-quantizes (iterations × full-scan jobs).
     val vecs = corpus.select(col(idCol).as("id"), quantize1000(col(vecCol)).as("v"))
       .localCheckpoint(true)
+    val centroids = trainCentroids(vecs, nCentroids, iterations, localTrainThreshold)
+    (assignCells(vecs, centroids).select(col("id"), col("cell")), centroids)
+  }
+
+  /** Deterministic Lloyd training over a pre-quantized `(id, v)` frame —
+    * the shared quantizer trainer behind [[ivfIndex]] (full vectors) and
+    * [[pqTopK]] (per-subspace slices). Seed = the `nCentroids` lowest-id
+    * vectors; fixed `iterations`.
+    *
+    * Adaptive (same trade as GraphAlgorithms.LocalEdgeThreshold): every
+    * Lloyd iteration collects (cell, sums) to the driver anyway, so below
+    * ~64k vectors collecting the TRAINING SET once and iterating locally
+    * with the identical integer argmin/round arithmetic produces the same
+    * centroids without per-iteration job scheduling. Assignment of the
+    * full corpus stays distributed either way (one map-side pass). */
+  private def trainCentroids(
+      vecs: DataFrame,
+      nCentroids: Int,
+      iterations: Int,
+      localTrainThreshold: Long = LocalTrainThreshold): Array[Array[Long]] = {
     // deterministic seed: the nCentroids lowest-id vectors
     var centroids: Array[Array[Long]] = vecs.orderBy("id").limit(nCentroids)
       .select("v").collect().map(_.getSeq[Long](0).toArray)
-    // Adaptive training (same trade as GraphAlgorithms.LocalEdgeThreshold):
-    // every Lloyd iteration collects (cell, sums) to the driver anyway, so
-    // below ~64k vectors (≤ 32 MB at 64 dims) collecting the TRAINING SET
-    // once and iterating locally with the identical integer argmin/round
-    // arithmetic produces the same centroids without per-iteration job
-    // scheduling. Assignment of the full corpus stays distributed either
-    // way (one map-side pass).
     if (vecs.count() <= localTrainThreshold) {
       val rows = vecs.select("v").collect().map(_.getSeq[Long](0).toArray)
       centroids = trainLocal(rows, centroids, iterations)
@@ -185,7 +198,7 @@ object Similarity {
         it += 1
       }
     }
-    (assignCells(vecs, centroids).select(col("id"), col("cell")), centroids)
+    centroids
   }
 
   /** Below this many corpus vectors, Lloyd training iterates on the driver
@@ -236,14 +249,17 @@ object Similarity {
   /** argmin over centroids of ‖v−c‖² ≡ argmin of (‖c‖² − 2·v·c): ‖v‖² is
     * constant per row, so distances reduce to one codegen'd integer dot per
     * centroid against a broadcast literal. */
-  private def assignCells(vecs: DataFrame, centroids: Array[Array[Long]]): DataFrame = {
+  private def cellExpr(v: Column, centroids: Array[Array[Long]]): Column = {
     val dists = centroids.zipWithIndex.map { case (c, i) =>
       val cNorm = c.map(x => x * x).sum
-      val d = lit(cNorm) - lit(2L) * ldot(col("v"), lit(c))
+      val d = lit(cNorm) - lit(2L) * ldot(v, lit(c))
       struct(d.as("d"), lit(i).as("cell"))
     }
-    vecs.withColumn("cell", array_min(array(dists: _*)).getField("cell"))
+    array_min(array(dists: _*)).getField("cell")
   }
+
+  private def assignCells(vecs: DataFrame, centroids: Array[Array[Long]]): DataFrame =
+    vecs.withColumn("cell", cellExpr(col("v"), centroids))
 
   /** IVF top-k: search only vectors in the `nProbe` cells nearest to each
     * query. Exact cosine within the probed cells. */
@@ -408,6 +424,64 @@ object Similarity {
         quantizedCosinePre(col("qv_q"), col("qv_c"), col("n_q"), col("n_c")).as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Product-quantization ANN (Jégou et al., PAMI 2011 shape): the vector
+    * space splits into `numSubspaces` contiguous slices, each with its own
+    * deterministic k-means codebook ([[trainCentroids]] per slice); every
+    * corpus vector is ENCODED as `numSubspaces` small codes, and queries
+    * rank candidates by the asymmetric approximation
+    * `Σ_s ⟨q_s, codebook_s[code_s]⟩` — inner products against
+    * reconstructed centroids, never the original vectors.
+    *
+    * Why it matters at 100 TB: the searchable index is codes — 8 bytes a
+    * vector instead of 512 (64 × int64 quantized) — so the candidate scan
+    * shuffles/caches 64× less; the original embeddings are only needed
+    * for an (optional) exact re-rank of the short list. Here the encode
+    * is ONE zero-shuffle projection (codebooks are driver literals, the
+    * argmin is a codegen'd expression per subspace), queries broadcast,
+    * and the approx score is integer-exact — no floats anywhere, so the
+    * oracle unrolls the whole per-subspace training and reproduces every
+    * code and score bit-for-bit. */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numSubspaces: Int = 8,
+      subCentroids: Int = 16,
+      iterations: Int = 3,
+      dims: Int = 64): DataFrame = {
+    require(dims % numSubspaces == 0, "dims must divide evenly into subspaces")
+    val subDim = dims / numSubspaces
+    val vecs = corpus.select(col(idCol).as("id"), quantize1000(col(vecCol)).as("v"))
+      .localCheckpoint(true)
+    // per-subspace codebooks (bounded driver state: m × ksub × subDim longs)
+    val codebooks: Array[Array[Array[Long]]] = (0 until numSubspaces).map { s =>
+      trainCentroids(
+        vecs.select(col("id"), slice(col("v"), s * subDim + 1, subDim).as("v")),
+        subCentroids, iterations)
+    }.toArray
+    // encode: all codes in ONE projection — argmin per subspace is a
+    // row-local codegen'd expression against literal codebooks
+    val codeCols = (0 until numSubspaces).map { s =>
+      cellExpr(slice(col("v"), s * subDim + 1, subDim), codebooks(s)).as(s"c$s")
+    }
+    val enc = vecs.select(col("id").as("neighbor_id") +: codeCols: _*)
+    val q = queries.select(col(idCol).as("query_id"),
+      quantize1000(col(vecCol)).as("qv_q"))
+    // asymmetric score: Σ_s ⟨q_s, codebook_s[code_s]⟩ — the code indexes a
+    // literal nested array, the dot is the codegen'd integer primitive
+    val approx = (0 until numSubspaces).map { s =>
+      ldot(slice(col("qv_q"), s * subDim + 1, subDim),
+        element_at(typedLit(codebooks(s).map(_.toSeq).toSeq), col(s"c$s") + 1))
+    }.reduce(_ + _)
+    val sims = enc.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), approx.as("approx_dot"))
+    val w = Window.partitionBy("query_id").orderBy(col("approx_dot").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("approx_dot"))
   }
 
   /** MMR (maximal marginal relevance) diversified top-k: greedy selection

@@ -471,6 +471,35 @@ class SimilaritySpec extends SparkSpec {
     ivf shouldBe bf
   }
 
+  "pqTopK" should "rank the true cluster first on well-separated data" in {
+    // 4 tight clusters on orthogonal axes (8 dims, 4 subspaces of 2):
+    // asymmetric PQ scores must still put same-cluster vectors on top
+    val rnd = new scala.util.Random(5)
+    val base = Seq(
+      Seq(1f, 1f, 0f, 0f, 0f, 0f, 0f, 0f), Seq(0f, 0f, 1f, 1f, 0f, 0f, 0f, 0f),
+      Seq(0f, 0f, 0f, 0f, 1f, 1f, 0f, 0f), Seq(0f, 0f, 0f, 0f, 0f, 0f, 1f, 1f))
+    val vecs = (0 until 40).map { i =>
+      val c = base(i % 4)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 4)
+    val top = Similarity.pqTopK(vecs, queries, "vec_id", "embedding",
+      k = 3, numSubspaces = 4, subCentroids = 4, iterations = 3, dims = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    top.length shouldBe 12
+    // every returned neighbor is from the query's own cluster (mod 4)
+    top.foreach { case (q, n) => (n % 4) shouldBe (q % 4) }
+  }
+
+  it should "score with integer asymmetric dots (no floats)" in {
+    val vecs = (0 until 8).map(i => (i.toLong, Seq.fill(8)(i.toFloat / 10)))
+      .toDF("vec_id", "embedding")
+    val schema = Similarity.pqTopK(vecs, vecs.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", k = 2, numSubspaces = 4, subCentroids = 2,
+      iterations = 2, dims = 8).schema
+    schema("approx_dot").dataType.typeName shouldBe "long"
+  }
+
   "ivfHardNegatives" should "return only different-label neighbors, ranked like label-filtered ivfTopK" in {
     // same 4-cluster layout; label = cluster, so a query's hard negatives
     // are the nearest vectors OUTSIDE its own cluster

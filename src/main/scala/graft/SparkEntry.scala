@@ -1544,6 +1544,16 @@ object SparkEntry {
         .orderBy("lag_min")
     }),
 
+    // peak concurrency per event type: sweep line over 10-minute activity
+    // intervals — one ordered window, never the O(n²) overlap self-join;
+    // reports the peak and the earliest time it was reached
+    "q90_peak_concurrency" -> ((s, d) => {
+      val iv = Tables.events(s, d).select(col("event_type"),
+        col("ts_us").as("start_us"), (col("ts_us") + lit(600000000L)).as("end_us"))
+      Analytics.peakConcurrency(iv, Seq("event_type"), "start_us", "end_us")
+        .orderBy("event_type")
+    }),
+
     // distribution drift between the log's time halves: exact integer
     // total-variation distance per event type over shared value bins —
     // the "did the data move under the model" monitor, no float probs
@@ -3726,6 +3736,23 @@ object SparkEntry {
         |SELECT CAST((t2 - t1) // 60000000 AS BIGINT) AS lag_min,
         |  COUNT(*) AS n_users
         |FROM f2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same sweep: UNION ALL of +1/-1 points, running sum over (t, delta)
+    "q90_peak_concurrency" ->
+      """WITH pts AS (
+        |  SELECT event_type, epoch_us(ts) AS t, 1 AS delta FROM events
+        |  UNION ALL
+        |  SELECT event_type, epoch_us(ts) + 600000000 AS t, -1 AS delta FROM events),
+        |r AS (SELECT event_type, t, delta,
+        |    CAST(SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+        |  FROM pts),
+        |m AS (SELECT event_type, t, run,
+        |    CAST(MAX(run) OVER (PARTITION BY event_type) AS BIGINT) AS mx
+        |  FROM r)
+        |SELECT event_type, MIN(mx) AS max_concurrent,
+        |  MIN(CASE WHEN run = mx THEN t END) AS peak_ts_us
+        |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // same common-denominator TV arithmetic in HUGEINT; `//` ≡ `div`
     "q89_distribution_drift" ->

@@ -527,6 +527,40 @@ object Analytics {
       .drop("__num")
   }
 
+  /** Peak concurrency per group via sweep line: intervals `[start, end)`
+    * become +1/−1 delta points; the running sum ordered by (time, delta)
+    * is the live-interval count, its max the peak, and the earliest time
+    * attaining the peak the answer to "when were we busiest". Half-open
+    * semantics: an end at t frees its slot before a start at t claims one
+    * (delta −1 sorts first). Deterministic despite tied timestamps — the
+    * delta SEQUENCE under (t, delta) ordering is identical for any
+    * tie-break, so the prefix-sum multiset, its max, and the attaining t
+    * are all order-free.
+    *
+    * Scale shape: one union projection (2 rows per interval), ONE ordered
+    * window per group, a group-sized final aggregate — the classic
+    * alternative (self-join counting overlaps) is O(n²) and never forms. */
+  def peakConcurrency(
+      df: DataFrame,
+      keyCols: Seq[String],
+      startCol: String,
+      endCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = keyCols.map(col)
+    val pts = df.select(g :+ col(startCol).as("t") :+ lit(1L).as("delta"): _*)
+      .unionByName(df.select(g :+ col(endCol).as("t") :+ lit(-1L).as("delta"): _*))
+    val wRun = Window.partitionBy(g: _*).orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(g: _*)
+    pts
+      .withColumn("__run", sum(col("delta")).over(wRun))
+      .withColumn("__max", max(col("__run")).over(wAll))
+      .groupBy(g: _*)
+      .agg(
+        min(col("__max")).as("max_concurrent"),
+        min(when(col("__run") === col("__max"), col("t"))).as("peak_ts_us"))
+  }
+
   /** k-anonymity audit over quasi-identifier buckets: per bucket, the row
     * count and whether it meets the anonymity threshold (a bucket smaller
     * than `k` re-identifies its members — the groups a release would have

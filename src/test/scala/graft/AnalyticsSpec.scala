@@ -291,6 +291,18 @@ class AnalyticsSpec extends SparkSpec {
     Analytics.markovTransitions(ev, Seq("u"), "s", Seq("ts", "eid")).count() shouldBe 0L
   }
 
+  "Analytics.peakConcurrency" should "count live intervals with half-open ends" in {
+    val iv = Seq(
+      ("g", 0L, 10L), ("g", 5L, 15L), ("g", 8L, 12L), // 3 live at t=8
+      ("g", 10L, 20L),  // starts exactly when the first ends → still 3
+      ("g", 30L, 40L),
+      ("h", 0L, 5L), ("h", 5L, 9L)) // half-open: never concurrent
+      .toDF("k", "s", "e")
+    val got = Analytics.peakConcurrency(iv, Seq("k"), "s", "e")
+      .orderBy("k").as[(String, Long, Long)].collect().toSeq
+    got shouldBe Seq(("g", 3L, 8L), ("h", 1L, 0L))
+  }
+
   "Analytics.distributionDrift" should "compute exact total-variation ppm" in {
     // group g: cohort1 = {bin0 x2, bin1 x2}, cohort2 = {bin0 x1, bin1 x3}
     // → TV = ½(|½−¼| + |½−¾|) = ¼ → 250000 ppm exactly

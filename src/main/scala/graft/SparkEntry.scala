@@ -717,6 +717,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // two-stage PQ retrieval: codes narrow to 20 candidates, exact cosine
+    // re-ranks — the full-vector table is read per-candidate, not per-corpus
+    "s14_pq_rerank" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      Similarity.pqRerankTopK(em, em.filter(col("vec_id") < 5), "vec_id",
+        "embedding", k = 5, poolSize = 20, numSubspaces = 8, subCentroids = 16,
+        iterations = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // MMR diversified top-5 from a brute-force top-10 pool: greedy
     // redundancy-penalized re-rank (λ=0.5), distributed pool + bounded
     // per-query greedy — no more "five copies of the same near-dup"
@@ -1795,7 +1805,7 @@ object SparkEntry {
     * vector joins its assigned centroid VECTOR per subspace, and the
     * asymmetric score sums integer slice-dots against those
     * reconstructions — every code and score matches Spark bit-for-bit. */
-  private def pqTopKSql(m: Int, ksub: Int, iterations: Int, k: Int): String = {
+  private def pqTopKSql(m: Int, ksub: Int, iterations: Int): String = {
     val subDim = 64 / m
     val rng = s"range(1,${subDim + 1})"
     def cnormOf(c: String) = s"list_sum([$c[i]*$c[i] for i in $rng])"
@@ -1832,17 +1842,34 @@ object SparkEntry {
       s"list_sum([e$sIx.cv[i]*q.v[$off+i] for i in $rng])"
     }.mkString("\n      + ")
     val joins = (0 until m).map(sIx => s"JOIN s${sIx}e e$sIx ON e$sIx.id = n.id").mkString("\n  ")
-    s"""WITH v AS (SELECT vec_id AS id, ${qvSql("embedding")} AS v FROM embeddings),
+    s"""v AS (SELECT vec_id AS id, ${qvSql("embedding")} AS v FROM embeddings),
        |$subBlocks,
        |pairs AS (SELECT q.id AS query_id, n.id AS neighbor_id,
        |    CAST($approxSum AS BIGINT) AS approx_dot
        |  FROM v q JOIN v n ON q.id < 5 AND q.id != n.id
        |  $joins),
        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-       |    ORDER BY approx_dot DESC, neighbor_id) AS rank FROM pairs)
+       |    ORDER BY approx_dot DESC, neighbor_id) AS rank FROM pairs)""".stripMargin
+  }
+
+  private def pqTopKSelectSql(m: Int, ksub: Int, iterations: Int, k: Int): String =
+    s"""WITH ${pqTopKSql(m, ksub, iterations)}
        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, approx_dot
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
-  }
+
+  /** Two-stage retrieval: the PQ candidate chain at `poolSize`, then an
+    * exact quantized-cosine re-rank of the short list — same canonical
+    * cosSql double as every other s-query. */
+  private def pqRerankSql(m: Int, ksub: Int, iterations: Int, poolSize: Int, k: Int): String =
+    s"""WITH ${pqTopKSql(m, ksub, iterations)},
+       |cand AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= $poolSize),
+       |px AS (SELECT c.query_id, c.neighbor_id, q.v AS qa, n.v AS qb
+       |  FROM cand c JOIN v q ON q.id = c.query_id JOIN v n ON n.id = c.neighbor_id),
+       |sims AS (SELECT query_id, neighbor_id, $cosSql AS cosine FROM px),
+       |rr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS rank FROM sims)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+       |FROM rr WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
   /** MMR greedy diversification unrolled as `k − 1` chained CTE rounds
     * over a materialized top-`poolSize` pool + its pairwise cosine table
@@ -2942,7 +2969,9 @@ object SparkEntry {
 
     "s11_mmr_diversify" -> mmrSql(poolSize = 10, k = 5),
 
-    "s13_pq_topk" -> pqTopKSql(m = 8, ksub = 16, iterations = 3, k = 5),
+    "s13_pq_topk" -> pqTopKSelectSql(m = 8, ksub = 16, iterations = 3, k = 5),
+
+    "s14_pq_rerank" -> pqRerankSql(m = 8, ksub = 16, iterations = 3, poolSize = 20, k = 5),
 
     // the s1 and s2 pipelines verbatim as CTEs, then a result-sized join;
     // recall_ppm uses DuckDB `//` ≡ Spark `div` (non-negative operands)

@@ -484,6 +484,37 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("approx_dot"))
   }
 
+  /** Two-stage PQ retrieval: [[pqTopK]] produces a `poolSize` candidate
+    * short list from codes alone, then ONLY those candidates fetch their
+    * real vectors for an exact quantized-cosine re-rank — the production
+    * ANN serving pattern (approximate index narrows, exact math decides).
+    * At 100 TB the full-vector table is touched for poolSize rows per
+    * query instead of the corpus. */
+  def pqRerankTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      poolSize: Int,
+      numSubspaces: Int = 8,
+      subCentroids: Int = 16,
+      iterations: Int = 3,
+      dims: Int = 64): DataFrame = {
+    require(poolSize >= k, "poolSize must be >= k")
+    val cand = pqTopK(corpus, queries, idCol, vecCol, poolSize,
+      numSubspaces, subCentroids, iterations, dims)
+      .select(col("query_id"), col("neighbor_id"))
+    val c = quantized(corpus, idCol, vecCol, "neighbor_id", "qv_c", "n_c")
+    val q = quantized(queries, idCol, vecCol, "query_id", "qv_q", "n_q")
+    val sims = cand.join(c, Seq("neighbor_id")).join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        quantizedCosinePre(col("qv_q"), col("qv_c"), col("n_q"), col("n_c")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** MMR (maximal marginal relevance) diversified top-k: greedy selection
     * maximizing `λ·cos(q,c) − (1−λ)·max_{s∈selected} cos(c,s)` — the
     * classic redundancy-penalized retrieval (Carbonell & Goldstein, SIGIR

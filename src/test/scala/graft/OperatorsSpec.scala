@@ -491,6 +491,26 @@ class SimilaritySpec extends SparkSpec {
     top.foreach { case (q, n) => (n % 4) shouldBe (q % 4) }
   }
 
+  "pqRerankTopK" should "recover brute-force top-k when the pool is wide enough" in {
+    val rnd = new scala.util.Random(5)
+    val base = Seq(
+      Seq(1f, 1f, 0f, 0f, 0f, 0f, 0f, 0f), Seq(0f, 0f, 1f, 1f, 0f, 0f, 0f, 0f),
+      Seq(0f, 0f, 0f, 0f, 1f, 1f, 0f, 0f), Seq(0f, 0f, 0f, 0f, 0f, 0f, 1f, 1f))
+    val vecs = (0 until 40).map { i =>
+      val c = base(i % 4)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 2)
+    // pool = whole corpus → the exact re-rank IS brute force
+    val rr = Similarity.pqRerankTopK(vecs, queries, "vec_id", "embedding",
+      k = 3, poolSize = 39, numSubspaces = 4, subCentroids = 4,
+      iterations = 3, dims = 8)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val bf = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", k = 3)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    rr shouldBe bf
+  }
+
   it should "score with integer asymmetric dots (no floats)" in {
     val vecs = (0 until 8).map(i => (i.toLong, Seq.fill(8)(i.toFloat / 10)))
       .toDF("vec_id", "embedding")

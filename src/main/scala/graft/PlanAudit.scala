@@ -103,7 +103,14 @@ object PlanAudit {
     "q85_cumulative_distinct" -> "COUNT(DISTINCT) OVER in first-seen-flag form: one narrow window keyed (key, value) marks first occurrences, then the running sum rides PERIOD-sized rows — no per-row distinct state, no O(n^2) window",
     "d17_tf_cosine" -> "TF cosine join: candidates from the RARE-gram inverted index (relative df cap — each qualifying gram contributes <= cap^2 pairs), the exact dot re-joins gram vectors per CANDIDATE pair only; tf frame checkpointed once, re-read by all four consumers",
     "s11_mmr_diversify" -> "MMR re-rank: the pool is the audited broadcast-queries brute-force shape (corpus never shuffles); the greedy is one flatMapGroups over <= poolSize rows per query — sequential where the algorithm is sequential, parallel across queries, zero driver involvement",
-    "s12_ann_recall" -> "recall evaluation joins two RESULT-sized top-k frames on (query, neighbor) — the corpus is never touched; zero-hit queries survive via the left join from the truth side")
+    "s12_ann_recall" -> "recall evaluation joins two RESULT-sized top-k frames on (query, neighbor) — the corpus is never touched; zero-hit queries survive via the left join from the truth side",
+    "q87_markov_transitions" -> "Markov transitions: one lead window per key (the only corpus-sized shuffle), counts partial-agg on (from, to) — state-space-sized; probabilities divide via a window over the COUNT frame, never the data",
+    "q89_distribution_drift" -> "drift monitor: one partial-agg'd shuffle on (group, bin), cohort totals via a window over BIN-sized rows, TV in exact integer cross-products — probabilities never materialize as floats",
+    "q90_peak_concurrency" -> "sweep line: 2 delta points per interval, ONE ordered window per group — the O(n^2) overlap self-join never forms; peak and attaining time are order-free under tied timestamps",
+    "d18_consensus_dedup" -> "consensus: each detector keeps its own bounded candidate shape; the merge full-outer-joins PAIR-sized frames on (id_a, id_b) — the corpus is never touched by the consensus step",
+    "s13_pq_topk" -> "PQ ANN: codebooks are driver literals (m x ksub x subDim longs), the 8-code encode is ONE zero-shuffle codegen'd projection, queries broadcast — the searchable index is codes (8 small ints/vector), 64x narrower than the vectors",
+    "s14_pq_rerank" -> "two-stage retrieval: the code index narrows to poolSize candidates per query; ONLY those rows join back to the full-vector table for the exact re-rank — full vectors are read per-candidate, never per-corpus",
+    "s15_kcenter_coreset" -> "farthest-first coreset: the corpus carries ONE integer dmin register; each of the k rounds is a map-side LEAST relax + a top-1 reduction (one-row collect) — no pairwise distance matrix ever forms, cost is k scans of a checkpointed narrow frame")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -717,6 +717,14 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // k-center greedy coreset (farthest-first): 8 diverse exemplars + the
+    // coverage-radius sequence; one running dmin register per row, k
+    // one-row reductions — no pairwise matrix
+    "s15_kcenter_coreset" -> ((s, d) => {
+      Similarity.kCenterSelect(Tables.embeddings(s, d), "vec_id", "embedding", k = 8)
+        .orderBy("rank")
+    }),
+
     // two-stage PQ retrieval: codes narrow to 20 candidates, exact cosine
     // re-ranks — the full-vector table is read per-candidate, not per-corpus
     "s14_pq_rerank" -> ((s, d) => {
@@ -1871,6 +1879,30 @@ object SparkEntry {
        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
        |FROM rr WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** Farthest-first traversal unrolled: each round is (top-1 by dmin DESC,
+    * id) + a LEAST(dmin, dist-to-pick) relax — every CTE MATERIALIZED
+    * (each is referenced twice: by the next pick and the next relax). */
+  private def kCenterSql(k: Int): String = {
+    val dot = "list_sum([a.v[i]*p.v[i] for i in range(1,65)])"
+    val rounds = (2 to k).map { r =>
+      val prev = if (r == 2) "d1" else s"d${r - 1}"
+      s"""p$r AS MATERIALIZED (SELECT id, v, nv, dmin FROM $prev ORDER BY dmin DESC, id LIMIT 1),
+         |d$r AS MATERIALIZED (SELECT a.id, a.v, a.nv,
+         |    LEAST(a.dmin, a.nv - 2*$dot + p.nv) AS dmin
+         |  FROM $prev a, p$r p)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q0 AS (SELECT vec_id AS id, ${qvSql("embedding")} AS v FROM embeddings),
+       |n AS MATERIALIZED (SELECT id, v, list_sum([v[i]*v[i] for i in range(1,65)]) AS nv FROM q0),
+       |s1 AS MATERIALIZED (SELECT id, v, nv FROM n ORDER BY id LIMIT 1),
+       |d1 AS MATERIALIZED (SELECT a.id, a.v, a.nv,
+       |    a.nv - 2*$dot + p.nv AS dmin FROM n a, s1 p),
+       |$rounds
+       |SELECT * FROM (
+       |  SELECT 1 AS rank, id AS center_id, CAST(0 AS BIGINT) AS radius_sq FROM s1
+       |  ${(2 to k).map(r => s"UNION ALL SELECT $r, id, CAST(dmin AS BIGINT) FROM p$r").mkString("\n  ")})
+       |ORDER BY rank""".stripMargin
+  }
+
   /** MMR greedy diversification unrolled as `k − 1` chained CTE rounds
     * over a materialized top-`poolSize` pool + its pairwise cosine table
     * (pool²/query rows — tiny). Every multiply-referenced CTE is
@@ -2972,6 +3004,8 @@ object SparkEntry {
     "s13_pq_topk" -> pqTopKSelectSql(m = 8, ksub = 16, iterations = 3, k = 5),
 
     "s14_pq_rerank" -> pqRerankSql(m = 8, ksub = 16, iterations = 3, poolSize = 20, k = 5),
+
+    "s15_kcenter_coreset" -> kCenterSql(k = 8),
 
     // the s1 and s2 pipelines verbatim as CTEs, then a result-sized join;
     // recall_ppm uses DuckDB `//` ≡ Spark `div` (non-negative operands)

@@ -484,6 +484,53 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("approx_dot"))
   }
 
+  /** k-center greedy coreset selection (farthest-first traversal,
+    * Gonzalez 1985 — the 2-approximation to the k-center cover): seed at
+    * the lowest id, then repeatedly add the point FARTHEST from every
+    * selected center. The classic diverse-subset picker for training-data
+    * curation ("cover the embedding space with k exemplars"), and the
+    * radius sequence it emits is the coverage guarantee: after the r-th
+    * pick, every corpus point is within √radius_sq(r) of some center.
+    *
+    * Exactness: distances are integer squared-L2 on ×1000-quantized
+    * vectors (‖v‖² − 2·v·c + ‖c‖², all codegen'd integer dots); argmax
+    * ties break to the lowest id — bit-deterministic, fully unrollable in
+    * the SQL oracle.
+    *
+    * Scale shape: the corpus frame carries ONE running register (dmin);
+    * each round is a map-side `least(dmin, dist-to-new-center)` update
+    * plus a top-1 reduction — k bounded driver collects of ONE row each,
+    * no pairwise matrix, no shuffle beyond the top-1. */
+  def kCenterSelect(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = corpus.sparkSession
+    val vecs = corpus.select(col(idCol).as("id"), quantize1000(col(vecCol)).as("v"))
+      .localCheckpoint(true)
+    def distTo(c: Array[Long]): Column = {
+      val cn = c.map(x => x * x).sum
+      ldot(col("v"), col("v")) - lit(2L) * ldot(col("v"), lit(c)) + lit(cn)
+    }
+    val seed = vecs.orderBy("id").limit(1).select("id", "v").collect()(0)
+    val picks = scala.collection.mutable.ArrayBuffer(
+      (1, seed.getLong(0), 0L))
+    var cur = vecs.withColumn("dmin", distTo(seed.getSeq[Long](1).toArray))
+    var r = 2
+    while (r <= k) {
+      val top = cur.orderBy(col("dmin").desc, col("id")).limit(1)
+        .select("id", "v", "dmin").collect()(0)
+      picks += ((r, top.getLong(0), top.getLong(2)))
+      cur = cur.withColumn("dmin",
+        least(col("dmin"), distTo(top.getSeq[Long](1).toArray)))
+      r += 1
+    }
+    import spark.implicits._
+    picks.toSeq.toDF("rank", "center_id", "radius_sq")
+  }
+
   /** Two-stage PQ retrieval: [[pqTopK]] produces a `poolSize` candidate
     * short list from codes alone, then ONLY those candidates fetch their
     * real vectors for an exact quantized-cosine re-rank — the production

@@ -471,6 +471,36 @@ class SimilaritySpec extends SparkSpec {
     ivf shouldBe bf
   }
 
+  "kCenterSelect" should "cover well-separated clusters before refining any of them" in {
+    val rnd = new scala.util.Random(11)
+    val base = Seq(
+      Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f), Seq(0f, 0f, 1f, 0f), Seq(0f, 0f, 0f, 1f))
+    val vecs = (0 until 40).map { i =>
+      val c = base(i % 4)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f))
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.kCenterSelect(vecs, "vec_id", "embedding", k = 4)
+      .orderBy("rank")
+      .as[(Int, Long, Long)].collect().toSeq
+    got.head._2 shouldBe 0L // seed = lowest id
+    got.head._3 shouldBe 0L
+    // the 4 picks land in 4 DIFFERENT clusters — farthest-first covers
+    got.map(_._2 % 4).toSet should have size 4
+    // coverage radius is non-increasing from the second pick on
+    val radii = got.drop(1).map(_._3)
+    radii.sliding(2).foreach { case Seq(a, b) => b should be <= a; case _ => }
+  }
+
+  it should "emit exactly min(k, corpus) rows with integer radii" in {
+    val vecs = (0 until 3).map(i => (i.toLong, Seq(i.toFloat, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kCenterSelect(vecs, "vec_id", "embedding", k = 3)
+      .orderBy("rank").as[(Int, Long, Long)].collect().toSeq
+    // points at 0, 1000, 2000 (quantized): seed 0, then farthest (id 2,
+    // d=4e6), then id 1 (d=1e6 to both)
+    got shouldBe Seq((1, 0L, 0L), (2, 2L, 4000000L), (3, 1L, 1000000L))
+  }
+
   "pqTopK" should "rank the true cluster first on well-separated data" in {
     // 4 tight clusters on orthogonal axes (8 dims, 4 subspaces of 2):
     // asymmetric PQ scores must still put same-cluster vectors on top

@@ -110,7 +110,8 @@ object PlanAudit {
     "d18_consensus_dedup" -> "consensus: each detector keeps its own bounded candidate shape; the merge full-outer-joins PAIR-sized frames on (id_a, id_b) — the corpus is never touched by the consensus step",
     "s13_pq_topk" -> "PQ ANN: codebooks are driver literals (m x ksub x subDim longs), the 8-code encode is ONE zero-shuffle codegen'd projection, queries broadcast — the searchable index is codes (8 small ints/vector), 64x narrower than the vectors",
     "s14_pq_rerank" -> "two-stage retrieval: the code index narrows to poolSize candidates per query; ONLY those rows join back to the full-vector table for the exact re-rank — full vectors are read per-candidate, never per-corpus",
-    "s15_kcenter_coreset" -> "farthest-first coreset: the corpus carries ONE integer dmin register; each of the k rounds is a map-side LEAST relax + a top-1 reduction (one-row collect) — no pairwise distance matrix ever forms, cost is k scans of a checkpointed narrow frame")
+    "s15_kcenter_coreset" -> "farthest-first coreset: the corpus carries ONE integer dmin register; each of the k rounds is a map-side LEAST relax + a top-1 reduction (one-row collect) — no pairwise distance matrix ever forms, cost is k scans of a checkpointed narrow frame",
+    "q92_watermark_lag" -> "watermark audit: ONE prefix-max window per type over ingest order, then a partial-agg'd summary — disorder statistics without sorting the stream twice or joining arrival against event time")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -820,6 +820,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // language-confusion matrix: declared metadata lang vs t1's predicted
+    // lang — the label-quality audit for a multilingual corpus
+    "t17_lang_confusion" -> ((s, d) => {
+      val c = Tables.documents(s, d)
+        .select(col("lang").as("declared_lang"),
+          TextAnalysis.predictedLangCol(col("text")).as("predicted_lang"))
+        .groupBy("declared_lang", "predicted_lang")
+        .agg(count(lit(1)).as("n"))
+      c.withColumn("share_ppm",
+          call_function("div", col("n") * 1000000L,
+            sum(col("n")).over(Window.partitionBy(col("declared_lang")))))
+        .orderBy("declared_lang", "predicted_lang")
+    }),
+
     // quality scoring (integer-ratio heuristics)
     "t2_quality_score" -> ((s, d) => {
       TextAnalysis.qualityScore(Tables.documents(s, d), "doc_id", "text")
@@ -1560,6 +1574,42 @@ object SparkEntry {
       f2.select(expr("(t2 - t1) div 60000000").as("lag_min"))
         .groupBy("lag_min").agg(count(lit(1)).as("n_users"))
         .orderBy("lag_min")
+    }),
+
+    // recency-weighted engagement: power-of-two half-life decay — each
+    // whole day of age halves the contribution (cents div 2^age), integer
+    // EXACT where float exp-decay would be order-sensitive; age capped so
+    // the shift never overflows
+    "q91_decayed_sum" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"), col("ts_us"))
+      val mx = ev.agg(max(col("ts_us")).as("mx"))
+      ev.crossJoin(broadcast(mx))
+        .withColumn("age",
+          least(expr("(mx - ts_us) div 86400000000"), lit(40L)).cast("int"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("cents")).as("sum_cents"),
+          sum(expr("cents div shiftleft(CAST(1 AS BIGINT), age)")).as("decayed_cents"))
+        .orderBy("user_id")
+    }),
+
+    // watermark-lag audit: out-of-orderness of event time vs ingest order
+    // (event_id) — the data-driven answer to "how late must the watermark
+    // be"; max lag + share of events more than 60 s late, per type
+    "q92_watermark_lag" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts_us"))
+        .withColumn("lag_us", max(col("ts_us")).over(w) - col("ts_us"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          max(col("lag_us")).as("max_lag_us"),
+          sum(when(col("lag_us") > 60000000L, 1L).otherwise(0L)).as("n_late_60s"))
+        .withColumn("late_60s_ppm",
+          call_function("div", col("n_late_60s") * 1000000L, col("n")))
+        .orderBy("event_type")
     }),
 
     // peak concurrency per event type: sweep line over 10-minute activity
@@ -3497,6 +3547,21 @@ object SparkEntry {
          |SELECT doc_id, CASE WHEN score = 0 THEN 'und' ELSE lang END AS predicted_lang
          |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
+    // t1's predicted-lang CTE joined back to the declared metadata lang
+    "t17_lang_confusion" ->
+      s"""WITH sc AS (
+         |${langScoresSql()}
+         |), best AS (SELECT doc_id, lang, score,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM sc),
+         |pred AS (SELECT doc_id, CASE WHEN score = 0 THEN 'und' ELSE lang END AS predicted_lang
+         |  FROM best WHERE rn = 1),
+         |c AS (SELECT d.lang AS declared_lang, p.predicted_lang, COUNT(*) AS n
+         |  FROM documents d JOIN pred p USING (doc_id) GROUP BY 1, 2)
+         |SELECT declared_lang, predicted_lang, n,
+         |  CAST((n * 1000000) // CAST(SUM(n) OVER (PARTITION BY declared_lang) AS BIGINT)
+         |    AS BIGINT) AS share_ppm
+         |FROM c ORDER BY declared_lang, predicted_lang""".stripMargin,
+
     "t2_quality_score" -> {
       s"""WITH m AS (${qualityMetricsSql("documents")})
          |SELECT doc_id, n_tokens, n_chars,
@@ -3799,6 +3864,32 @@ object SparkEntry {
         |SELECT CAST((t2 - t1) // 60000000 AS BIGINT) AS lag_min,
         |  COUNT(*) AS n_users
         |FROM f2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // DuckDB `<<` takes a column amount (Spark needs the SQL shiftleft
+    // spelling); `//` ≡ `div` on the non-negative shift results
+    "q91_decayed_sum" ->
+      """WITH mx AS (SELECT MAX(epoch_us(ts)) AS mx FROM events),
+        |e AS (SELECT user_id, CAST(round(value*100) AS BIGINT) AS cents,
+        |    LEAST(((SELECT mx FROM mx) - epoch_us(ts)) // 86400000000, 40) AS age
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  CAST(SUM(cents // (CAST(1 AS BIGINT) << age)) AS BIGINT) AS decayed_cents
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // prefix max over ingest order (event_id); HUGEINT window sums cast
+    "q92_watermark_lag" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us FROM events),
+        |l AS (SELECT event_type,
+        |    CAST(MAX(ts_us) OVER (PARTITION BY event_type ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - ts_us AS lag_us
+        |  FROM e),
+        |a AS (SELECT event_type, COUNT(*) AS n, MAX(lag_us) AS max_lag_us,
+        |    CAST(SUM(CASE WHEN lag_us > 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_60s
+        |  FROM l GROUP BY 1)
+        |SELECT event_type, n, max_lag_us, n_late_60s,
+        |  CAST((n_late_60s * 1000000) // n AS BIGINT) AS late_60s_ppm
+        |FROM a ORDER BY event_type""".stripMargin,
 
     // same sweep: UNION ALL of +1/-1 points, running sum over (t, delta)
     "q90_peak_concurrency" ->

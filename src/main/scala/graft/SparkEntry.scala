@@ -1576,6 +1576,31 @@ object SparkEntry {
         .orderBy("lag_min")
     }),
 
+    // top-20 session paths: gap-sessionize, cap each session's path at its
+    // first 8 events (bounded strings), count identical paths — the
+    // behavioral-pattern miner; path order is total (ts, event_id)
+    "q93_session_paths" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      val sess = Sessionize.assign(ev, "user_id", "ts_us",
+        gapUs = 3600000000L, tieBreakCols = Seq("event_id"))
+      val wIn = Window.partitionBy(col("user_id"), col("session_seq"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val paths = sess.withColumn("rn", row_number().over(wIn)).filter(col("rn") <= 8)
+        .groupBy("user_id", "session_seq")
+        .agg(array_join(
+          expr("transform(array_sort(collect_list(struct(ts_us, event_id, event_type))), x -> x.event_type)"),
+          ">").as("path"))
+      val counts = paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      // TakeOrdered top-20 FIRST, then rank the 20-row frame — the global
+      // window never sees the full path space
+      counts.orderBy(col("n_sessions").desc, col("path")).limit(20)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("n_sessions").desc, col("path"))).cast("int"))
+        .select("rank", "path", "n_sessions")
+        .orderBy("rank")
+    }),
+
     // recency-weighted engagement: power-of-two half-life decay — each
     // whole day of age halves the contribution (cents div 2^age), integer
     // EXACT where float exp-decay would be order-sensitive; age capped so
@@ -3864,6 +3889,28 @@ object SparkEntry {
         |SELECT CAST((t2 - t1) // 60000000 AS BIGINT) AS lag_min,
         |  COUNT(*) AS n_users
         |FROM f2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q19's sessionization with total (ts, event_id) order; path built by
+    // string_agg with the same in-session ordering; global top-20 rank
+    "q93_session_paths" ->
+      """WITH flagged AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |sess AS (SELECT user_id, ts_us, event_id, event_type,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM flagged),
+        |capped AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER
+        |      (PARTITION BY user_id, session_seq ORDER BY ts_us, event_id) AS rn
+        |    FROM sess) WHERE rn <= 8),
+        |p AS (SELECT user_id, session_seq,
+        |    string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+        |  FROM capped GROUP BY 1, 2),
+        |c AS (SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY 1),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS rank FROM c)
+        |SELECT CAST(rank AS INTEGER) AS rank, path, n_sessions
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     // DuckDB `<<` takes a column amount (Spark needs the SQL shiftleft
     // spelling); `//` ≡ `div` on the non-negative shift results

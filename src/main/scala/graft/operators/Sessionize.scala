@@ -15,9 +15,13 @@ import org.apache.spark.sql.functions._
 object Sessionize {
 
   /** Assign `session_seq` (0-based per key) to each row: a new session
-    * starts when the gap to the previous event exceeds `gapUs`. */
-  def assign(events: DataFrame, keyCol: String, tsCol: String, gapUs: Long): DataFrame = {
-    val byKey = Window.partitionBy(keyCol).orderBy(col(tsCol))
+    * starts when the gap to the previous event exceeds `gapUs`.
+    * `tieBreakCols` extend the ordering to a total one — required when
+    * downstream consumers are tie-SENSITIVE (e.g. path strings); session
+    * boundaries themselves are tie-insensitive (a tied row's gap is 0). */
+  def assign(events: DataFrame, keyCol: String, tsCol: String, gapUs: Long,
+      tieBreakCols: Seq[String] = Nil): DataFrame = {
+    val byKey = Window.partitionBy(keyCol).orderBy((tsCol +: tieBreakCols).map(col): _*)
     val isNew = when(
       col(tsCol) - lag(col(tsCol), 1).over(byKey) > gapUs, 1L
     ).otherwise(lit(0L))

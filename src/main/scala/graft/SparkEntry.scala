@@ -1576,6 +1576,15 @@ object SparkEntry {
         .orderBy("lag_min")
     }),
 
+    // largest-remainder apportionment: spread a 1000-doc sample budget
+    // across (lang, source) strata proportionally, EXACTLY — Σalloc = B
+    // by construction, no float rounding drift
+    "q94_budget_alloc" -> ((s, d) => {
+      Sampling.largestRemainderAlloc(Tables.documents(s, d),
+          Seq("lang", "source"), budget = 1000L)
+        .orderBy("lang", "source")
+    }),
+
     // top-20 session paths: gap-sessionize, cap each session's path at its
     // first 8 events (bounded strings), count identical paths — the
     // behavioral-pattern miner; path order is total (ts, event_id)
@@ -3889,6 +3898,20 @@ object SparkEntry {
         |SELECT CAST((t2 - t1) // 60000000 AS BIGINT) AS lag_min,
         |  COUNT(*) AS n_users
         |FROM f2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same Hamilton arithmetic; `//`+`%` ≡ `div`+`%` on non-negatives
+    "q94_budget_alloc" ->
+      """WITH st AS (SELECT lang, source, COUNT(*) AS n_rows FROM documents GROUP BY 1, 2),
+        |t AS (SELECT *, CAST(SUM(n_rows) OVER () AS BIGINT) AS N FROM st),
+        |q AS (SELECT lang, source, n_rows,
+        |    CAST((1000*n_rows) // N AS BIGINT) AS quota,
+        |    CAST((1000*n_rows) % N AS BIGINT) AS rem FROM t),
+        |w AS (SELECT *, CAST(1000 - SUM(quota) OVER () AS BIGINT) AS leftover,
+        |    ROW_NUMBER() OVER (ORDER BY rem DESC, lang, source) AS rk FROM q)
+        |SELECT lang, source, n_rows, quota,
+        |  CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+        |  CAST(quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM w ORDER BY lang, source""".stripMargin,
 
     // q19's sessionization with total (ts, event_id) order; path built by
     // string_agg with the same in-session ordering; global top-20 rank

@@ -176,6 +176,38 @@ object Sampling {
 
   /** Annotate every row with its (bucket, split) — the reproducible
     * train/val/test assignment. */
+  /** Largest-remainder (Hamilton) apportionment of a sample budget across
+    * strata, proportional to stratum size — the exact integer answer to
+    * "give me 1000 docs spread like the corpus" (floats + rounding either
+    * overshoot the budget or lose determinism). quota = ⌊B·n/N⌋; the
+    * leftover B − Σquota goes one-each to the strata with the largest
+    * remainders (ties → stratum key order), so Σalloc = B ALWAYS.
+    *
+    * Scale shape: one partial-agg'd count per stratum; everything after
+    * runs on the STRATUM-sized frame (global windows there are fine — the
+    * frame is |strata| rows, not the corpus). Pair with
+    * [[stratifiedCap]]'s hash-rank to materialize the per-stratum rows. */
+  def largestRemainderAlloc(
+      df: DataFrame,
+      strataCols: Seq[String],
+      budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val g = strataCols.map(col)
+    val strata = df.groupBy(g: _*).agg(count(lit(1)).as("n_rows"))
+    val wAll = Window.partitionBy()
+    val withTot = strata.withColumn("__N", sum(col("n_rows")).over(wAll))
+    val quota = call_function("div", lit(budget) * col("n_rows"), col("__N"))
+    val rem = (lit(budget) * col("n_rows")) % col("__N")
+    val q = withTot.withColumn("quota", quota).withColumn("__rem", rem)
+      .withColumn("__left", lit(budget) - sum(col("quota")).over(wAll))
+      .withColumn("__rk",
+        row_number().over(Window.orderBy((col("__rem").desc +: g): _*)))
+    q.withColumn("extra", (col("__rk") <= col("__left")).cast("long"))
+      .withColumn("alloc", col("quota") + col("extra"))
+      .select(g ++ Seq(col("n_rows"), col("quota"), col("extra"), col("alloc")): _*)
+  }
+
   def trainValTestSplit(
       df: DataFrame,
       keyCol: String,

@@ -199,4 +199,28 @@ class SamplingHistogramSpec extends SparkSpec {
       .as[Seq[String]].collect()
     native shouldBe declarative
   }
+
+  "Sampling.largestRemainderAlloc" should "hit the budget exactly with proportional quotas" in {
+    import spark.implicits._
+    // strata 5/3/2 of 10 rows, budget 7: quotas 3/2/1 (floor of 3.5/2.1/1.4),
+    // leftover 1 goes to the largest remainder (stratum a, rem .5)
+    val rows = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c")
+    val got = Sampling.largestRemainderAlloc(rows.toDF("s"), Seq("s"), budget = 7L)
+      .orderBy("s")
+      .select("s", "n_rows", "quota", "extra", "alloc")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    got shouldBe Seq(("a", 5L, 3L, 1L, 4L), ("b", 3L, 2L, 0L, 2L), ("c", 2L, 1L, 0L, 1L))
+    got.map(_._5).sum shouldBe 7L
+  }
+
+  it should "sum to the budget for adversarial remainders" in {
+    import spark.implicits._
+    // 7 equal strata, budget 10: quotas 1 each, 3 extras by tie-broken key order
+    val rows = (0 until 7).flatMap(i => Seq.fill(3)(s"s$i"))
+    val got = Sampling.largestRemainderAlloc(rows.toDF("s"), Seq("s"), budget = 10L)
+      .select("alloc").as[Long].collect()
+    got.sum shouldBe 10L
+    got.max shouldBe 2L
+    got.min shouldBe 1L
+  }
 }

@@ -706,6 +706,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF-PQ: the billion-scale index shape — coarse cells gate the
+    // candidates (probe-4), PQ codes score them; a query touches neither
+    // the corpus nor any full vector
+    "s16_ivf_pq" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      Similarity.ivfPqTopK(em, em.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, nCentroids = 16, nProbe = 4, numSubspaces = 8, subCentroids = 16,
+        pqIterations = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // PQ (product quantization) ANN: 8 subspace codebooks, corpus encoded
     // to 8 codes in one zero-shuffle projection, asymmetric integer score
     // against reconstructed centroids — the searchable index is 64x
@@ -1897,12 +1908,16 @@ object SparkEntry {
     * vector joins its assigned centroid VECTOR per subspace, and the
     * asymmetric score sums integer slice-dots against those
     * reconstructions — every code and score matches Spark bit-for-bit. */
-  private def pqTopKSql(m: Int, ksub: Int, iterations: Int): String = {
+  /** Per-subspace k-means chains (`s{i}v`..`s{i}e`), referencing an
+    * existing `v (id, v)` CTE. `s{i}e` carries each vector's assigned
+    * centroid VECTOR for subspace i (the reconstruction the asymmetric
+    * score dots against). */
+  private def pqSubspacesSql(m: Int, ksub: Int, iterations: Int): String = {
     val subDim = 64 / m
     val rng = s"range(1,${subDim + 1})"
     def cnormOf(c: String) = s"list_sum([$c[i]*$c[i] for i in $rng])"
     def dotOf(c: String, v: String) = s"list_sum([$c[i]*$v[i] for i in $rng])"
-    val subBlocks = (0 until m).map { sIx =>
+    (0 until m).map { sIx =>
       val p = s"s$sIx"
       val lo = sIx * subDim + 1
       val hi = (sIx + 1) * subDim
@@ -1929,19 +1944,53 @@ object SparkEntry {
          |  FROM ${p}v a CROSS JOIN ${p}c$iterations c),
          |${p}e AS (SELECT id, c AS cv FROM ${p}fd WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    val approxSum = (0 until m).map { sIx =>
+  }
+
+  /** `Σ_s ⟨q.v slice, s{i}e reconstruction⟩` — expects aliases `q` and `e{i}`. */
+  private def pqApproxSumSql(m: Int): String = {
+    val subDim = 64 / m
+    (0 until m).map { sIx =>
       val off = sIx * subDim
-      s"list_sum([e$sIx.cv[i]*q.v[$off+i] for i in $rng])"
+      s"list_sum([e$sIx.cv[i]*q.v[$off+i] for i in range(1,${subDim + 1})])"
     }.mkString("\n      + ")
-    val joins = (0 until m).map(sIx => s"JOIN s${sIx}e e$sIx ON e$sIx.id = n.id").mkString("\n  ")
+  }
+
+  private def pqJoinsSql(m: Int, target: String): String =
+    (0 until m).map(sIx => s"JOIN s${sIx}e e$sIx ON e$sIx.id = $target").mkString("\n  ")
+
+  private def pqTopKSql(m: Int, ksub: Int, iterations: Int): String =
     s"""v AS (SELECT vec_id AS id, ${qvSql("embedding")} AS v FROM embeddings),
-       |$subBlocks,
+       |${pqSubspacesSql(m, ksub, iterations)},
        |pairs AS (SELECT q.id AS query_id, n.id AS neighbor_id,
-       |    CAST($approxSum AS BIGINT) AS approx_dot
+       |    CAST(${pqApproxSumSql(m)} AS BIGINT) AS approx_dot
        |  FROM v q JOIN v n ON q.id < 5 AND q.id != n.id
-       |  $joins),
+       |  ${pqJoinsSql(m, "n.id")}),
        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |    ORDER BY approx_dot DESC, neighbor_id) AS rank FROM pairs)""".stripMargin
+
+  /** IVF-PQ oracle: ivfCellsSql's coarse cells gate candidates (probes =
+    * nProbe nearest cells per query), pqSubspacesSql's reconstructions
+    * provide the asymmetric score — both chains share the one `v` CTE. */
+  private def ivfPqSql(nCentroids: Int, ivfIters: Int, nProbe: Int,
+      m: Int, ksub: Int, pqIters: Int, k: Int): String = {
+    def dotOf64(c: String, v: String) = s"list_sum([$c[i]*$v[i] for i in range(1,65)])"
+    s"""WITH ${ivfCellsSql(nCentroids, ivfIters)},
+       |${pqSubspacesSql(m, ksub, pqIters)},
+       |pd AS (SELECT q.id AS query_id, c.cell,
+       |  ROW_NUMBER() OVER (PARTITION BY q.id
+       |    ORDER BY c.cn - 2*${dotOf64("c.c", "q.v")}, c.cell) AS rn
+       |  FROM v q CROSS JOIN c$ivfIters c WHERE q.id < 5),
+       |probes AS (SELECT query_id, cell FROM pd WHERE rn <= $nProbe),
+       |cand AS (SELECT DISTINCT pr.query_id, n.id AS neighbor_id
+       |  FROM probes pr JOIN cells n ON n.cell = pr.cell AND n.id != pr.query_id),
+       |pairs AS (SELECT cd.query_id, cd.neighbor_id,
+       |    CAST(${pqApproxSumSql(m)} AS BIGINT) AS approx_dot
+       |  FROM cand cd JOIN v q ON q.id = cd.query_id
+       |  ${pqJoinsSql(m, "cd.neighbor_id")}),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY approx_dot DESC, neighbor_id) AS rank FROM pairs)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, approx_dot
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
   private def pqTopKSelectSql(m: Int, ksub: Int, iterations: Int, k: Int): String =
@@ -3090,6 +3139,9 @@ object SparkEntry {
     "s14_pq_rerank" -> pqRerankSql(m = 8, ksub = 16, iterations = 3, poolSize = 20, k = 5),
 
     "s15_kcenter_coreset" -> kCenterSql(k = 8),
+
+    "s16_ivf_pq" -> ivfPqSql(nCentroids = 16, ivfIters = 5, nProbe = 4,
+      m = 8, ksub = 16, pqIters = 3, k = 5),
 
     // the s1 and s2 pipelines verbatim as CTEs, then a result-sized join;
     // recall_ppm uses DuckDB `//` ≡ Spark `div` (non-negative operands)

@@ -457,28 +457,92 @@ object Similarity {
     val subDim = dims / numSubspaces
     val vecs = corpus.select(col(idCol).as("id"), quantize1000(col(vecCol)).as("v"))
       .localCheckpoint(true)
-    // per-subspace codebooks (bounded driver state: m × ksub × subDim longs)
-    val codebooks: Array[Array[Array[Long]]] = (0 until numSubspaces).map { s =>
-      trainCentroids(
-        vecs.select(col("id"), slice(col("v"), s * subDim + 1, subDim).as("v")),
-        subCentroids, iterations)
-    }.toArray
-    // encode: all codes in ONE projection — argmin per subspace is a
-    // row-local codegen'd expression against literal codebooks
-    val codeCols = (0 until numSubspaces).map { s =>
-      cellExpr(slice(col("v"), s * subDim + 1, subDim), codebooks(s)).as(s"c$s")
-    }
-    val enc = vecs.select(col("id").as("neighbor_id") +: codeCols: _*)
+    val codebooks = pqCodebooks(vecs, numSubspaces, subDim, subCentroids, iterations)
+    val enc = vecs.select(col("id").as("neighbor_id") +:
+      pqCodeCols(numSubspaces, subDim, codebooks): _*)
     val q = queries.select(col(idCol).as("query_id"),
       quantize1000(col(vecCol)).as("qv_q"))
-    // asymmetric score: Σ_s ⟨q_s, codebook_s[code_s]⟩ — the code indexes a
-    // literal nested array, the dot is the codegen'd integer primitive
-    val approx = (0 until numSubspaces).map { s =>
+    val sims = enc.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        pqApproxExpr(numSubspaces, subDim, codebooks).as("approx_dot"))
+    val w = Window.partitionBy("query_id").orderBy(col("approx_dot").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("approx_dot"))
+  }
+
+  /** Per-subspace codebooks over a pre-quantized `(id, v)` frame —
+    * bounded driver state: m × ksub × subDim longs. */
+  private def pqCodebooks(vecs: DataFrame, m: Int, subDim: Int, ksub: Int,
+      iterations: Int): Array[Array[Array[Long]]] =
+    (0 until m).map { s =>
+      trainCentroids(
+        vecs.select(col("id"), slice(col("v"), s * subDim + 1, subDim).as("v")),
+        ksub, iterations)
+    }.toArray
+
+  /** All m codes in ONE projection — the argmin per subspace is a
+    * row-local codegen'd expression against literal codebooks. */
+  private def pqCodeCols(m: Int, subDim: Int,
+      codebooks: Array[Array[Array[Long]]]): Seq[Column] =
+    (0 until m).map { s =>
+      cellExpr(slice(col("v"), s * subDim + 1, subDim), codebooks(s)).as(s"c$s")
+    }
+
+  /** Asymmetric PQ score `Σ_s ⟨q_s, codebook_s[code_s]⟩` — the code
+    * indexes a literal nested array, the dot is the codegen'd integer
+    * primitive. Expects `qv_q` (query vector) and `c0..c{m-1}` columns. */
+  private def pqApproxExpr(m: Int, subDim: Int,
+      codebooks: Array[Array[Array[Long]]]): Column =
+    (0 until m).map { s =>
       ldot(slice(col("qv_q"), s * subDim + 1, subDim),
         element_at(typedLit(codebooks(s).map(_.toSeq).toSeq), col(s"c$s") + 1))
     }.reduce(_ + _)
-    val sims = enc.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), approx.as("approx_dot"))
+
+  /** IVF-PQ: the billion-scale index shape — the IVF coarse quantizer
+    * gates CANDIDATES (only `nProbe` cells are searched) and PQ codes
+    * provide the per-candidate score, so a query touches neither the full
+    * corpus nor any full vector: candidate volume is bounded by the
+    * probed cells and each candidate costs m code-table integer dots.
+    * Both stages reuse the audited deterministic machinery ([[ivfIndex]]
+    * coarse cells, [[pqTopK]] codebooks/codes), so the composite is as
+    * oracle-able as its parts. */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      numSubspaces: Int = 8,
+      subCentroids: Int = 16,
+      pqIterations: Int = 3,
+      dims: Int = 64): DataFrame = {
+    require(dims % numSubspaces == 0, "dims must divide evenly into subspaces")
+    val subDim = dims / numSubspaces
+    val (cells, centroids) = ivfIndex(corpus, idCol, vecCol, nCentroids)
+    val vecs = corpus.select(col(idCol).as("id"), quantize1000(col(vecCol)).as("v"))
+      .localCheckpoint(true)
+    val codebooks = pqCodebooks(vecs, numSubspaces, subDim, subCentroids, pqIterations)
+    val enc = vecs.select(col("id").as("neighbor_id") +:
+        pqCodeCols(numSubspaces, subDim, codebooks): _*)
+      .join(cells.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+    val qVecs = queries.select(col(idCol).as("query_id"), quantize1000(col(vecCol)).as("v"))
+    val probeCells = centroids.zipWithIndex.map { case (cvec, i) =>
+      val cNorm = cvec.map(x => x * x).sum
+      val d = lit(cNorm) - lit(2L) * ldot(col("v"), lit(cvec))
+      struct(d.as("d"), lit(i).as("cell"))
+    }
+    val q = queries.select(col(idCol).as("query_id"), quantize1000(col(vecCol)).as("qv_q"))
+      .join(
+        qVecs.select(col("query_id"),
+          explode(slice(array_sort(array(probeCells: _*)), 1, nProbe).getField("cell")).as("cell")),
+        "query_id")
+    val sims = enc.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        pqApproxExpr(numSubspaces, subDim, codebooks).as("approx_dot"))
+      .distinct()
     val w = Window.partitionBy("query_id").orderBy(col("approx_dot").desc, col("neighbor_id"))
     sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("approx_dot"))

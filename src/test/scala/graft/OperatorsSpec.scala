@@ -541,6 +541,24 @@ class SimilaritySpec extends SparkSpec {
     rr shouldBe bf
   }
 
+  "ivfPqTopK" should "find same-cluster neighbors through the probed cells" in {
+    val rnd = new scala.util.Random(5)
+    val base = Seq(
+      Seq(1f, 1f, 0f, 0f, 0f, 0f, 0f, 0f), Seq(0f, 0f, 1f, 1f, 0f, 0f, 0f, 0f),
+      Seq(0f, 0f, 0f, 0f, 1f, 1f, 0f, 0f), Seq(0f, 0f, 0f, 0f, 0f, 0f, 1f, 1f))
+    val vecs = (0 until 40).map { i =>
+      val c = base(i % 4)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 4)
+    val top = Similarity.ivfPqTopK(vecs, queries, "vec_id", "embedding",
+      k = 3, nCentroids = 4, nProbe = 1, numSubspaces = 4, subCentroids = 4,
+      pqIterations = 3, dims = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    top.length shouldBe 12
+    top.foreach { case (q, n) => (n % 4) shouldBe (q % 4) }
+  }
+
   it should "score with integer asymmetric dots (no floats)" in {
     val vecs = (0 until 8).map(i => (i.toLong, Seq.fill(8)(i.toFloat / 10)))
       .toDF("vec_id", "embedding")

@@ -1587,6 +1587,17 @@ object SparkEntry {
         .orderBy("lag_min")
     }),
 
+    // grouped Pearson correlation, exact integer moments: does amount
+    // correlate with hour-of-day per event type — built-in corr is a
+    // float fold (order-nondeterministic), this one hash-matches
+    "q95_grouped_corr" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"),
+        expr("(ts_us div 3600000000) % 24").as("hour"))
+      Analytics.groupedCorrelation(ev, Seq("event_type"), "cents", "hour")
+        .orderBy("event_type")
+    }),
+
     // largest-remainder apportionment: spread a 1000-doc sample budget
     // across (lang, source) strata proportionally, EXACTLY — Σalloc = B
     // by construction, no float rounding drift
@@ -3950,6 +3961,26 @@ object SparkEntry {
         |SELECT CAST((t2 - t1) // 60000000 AS BIGINT) AS lag_min,
         |  COUNT(*) AS n_users
         |FROM f2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same five integer moments in HUGEINT; the final division is the
+    // only double on both sides (correctly-rounded casts of exact ints)
+    "q95_grouped_corr" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value*100) AS BIGINT) AS x,
+        |    (epoch_us(ts) // 3600000000) % 24 AS y
+        |  FROM events),
+        |m AS (SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+        |    CAST(SUM(x*x) AS HUGEINT) AS sxx, CAST(SUM(y*y) AS HUGEINT) AS syy,
+        |    CAST(SUM(x*y) AS HUGEINT) AS sxy
+        |  FROM e GROUP BY 1),
+        |d AS (SELECT event_type, n,
+        |    n*sxy - sx*sy AS num, n*sxx - sx*sx AS d1, n*syy - sy*sy AS d2
+        |  FROM m)
+        |SELECT event_type, n,
+        |  CASE WHEN d1 > 0 AND d2 > 0
+        |    THEN num::DOUBLE / sqrt(d1::DOUBLE * d2::DOUBLE) END AS corr
+        |FROM d ORDER BY event_type""".stripMargin,
 
     // same Hamilton arithmetic; `//`+`%` ≡ `div`+`%` on non-negatives
     "q94_budget_alloc" ->

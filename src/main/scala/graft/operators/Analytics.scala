@@ -527,6 +527,38 @@ object Analytics {
       .drop("__num")
   }
 
+  /** Pearson correlation per group with EXACT integer moments: the five
+    * sums (n, Σx, Σy, Σx², Σy², Σxy) accumulate in decimal(38,0) —
+    * order-free and overflow-free — and only the final
+    * `num / √(d₁·d₂)` touches doubles. Both factors are correctly-rounded
+    * casts of exact integers, so the result is bit-identical to the
+    * oracle's HUGEINT arithmetic (built-in `corr` is a float fold —
+    * partial-order nondeterministic, never hash-stable). Returns NULL
+    * correlation for degenerate groups (zero variance). */
+  def groupedCorrelation(
+      df: DataFrame,
+      groupCols: Seq[String],
+      xCol: String,
+      yCol: String): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val x = dec(col(xCol))
+    val y = dec(col(yCol))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * x).as("__sxx"), sum(y * y).as("__syy"),
+        sum(x * y).as("__sxy"))
+      .withColumn("__num", dec(col("n")) * col("__sxy") - col("__sx") * col("__sy"))
+      .withColumn("__d1", dec(col("n")) * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("__d2", dec(col("n")) * col("__syy") - col("__sy") * col("__sy"))
+      .withColumn("corr",
+        when(col("__d1") > 0 && col("__d2") > 0,
+          col("__num").cast("double") /
+            sqrt(col("__d1").cast("double") * col("__d2").cast("double"))))
+      .drop("__sx", "__sy", "__sxx", "__syy", "__sxy", "__num", "__d1", "__d2")
+  }
+
   /** Peak concurrency per group via sweep line: intervals `[start, end)`
     * become +1/−1 delta points; the running sum ordered by (time, delta)
     * is the live-interval count, its max the peak, and the earliest time

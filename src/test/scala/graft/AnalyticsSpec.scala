@@ -291,6 +291,22 @@ class AnalyticsSpec extends SparkSpec {
     Analytics.markovTransitions(ev, Seq("u"), "s", Seq("ts", "eid")).count() shouldBe 0L
   }
 
+  "Analytics.groupedCorrelation" should "match the closed form on hand data" in {
+    // y = 2x exactly → r = 1; anti-correlated pair → r = -1; constant → NULL
+    val rows = Seq(
+      ("a", 1L, 2L), ("a", 2L, 4L), ("a", 3L, 6L),
+      ("b", 1L, 3L), ("b", 2L, 2L), ("b", 3L, 1L),
+      ("c", 5L, 7L), ("c", 5L, 9L))
+      .toDF("g", "x", "y")
+    val got = Analytics.groupedCorrelation(rows, Seq("g"), "x", "y")
+      .orderBy("g").select("g", "n", "corr")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    got(0) shouldBe ("a", 3L, Some(1.0))
+    got(1) shouldBe ("b", 3L, Some(-1.0))
+    got(2) shouldBe ("c", 2L, None) // zero x-variance → undefined
+  }
+
   "Analytics.peakConcurrency" should "count live intervals with half-open ends" in {
     val iv = Seq(
       ("g", 0L, 10L), ("g", 5L, 15L), ("g", 8L, 12L), // 3 live at t=8

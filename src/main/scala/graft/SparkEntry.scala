@@ -1587,6 +1587,17 @@ object SparkEntry {
         .orderBy("lag_min")
     }),
 
+    // link prediction on the co-purchase graph: Jaccard over common
+    // neighbors (hub-capped wedges), existing edges anti-joined away —
+    // "bought X also bought Y" candidates, top-20
+    "s17_link_prediction" -> ((s, d) => {
+      GraphAlgorithms.jaccardLinkPrediction(
+        GraphAlgorithms.cooccurrenceEdges(Tables.lineitem(s, d),
+          "l_orderkey", "l_partkey", minSupport = 2L, maxBasketSize = 5L),
+        k = 20, maxHubDegree = 50L)
+        .orderBy("rank")
+    }),
+
     // grouped Pearson correlation, exact integer moments: does amount
     // correlate with hour-of-day per event type — built-in corr is a
     // float fold (order-nondeterministic), this one hash-matches
@@ -3961,6 +3972,31 @@ object SparkEntry {
         |SELECT CAST((t2 - t1) // 60000000 AS BIGINT) AS lag_min,
         |  COUNT(*) AS n_users
         |FROM f2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q54's edge CTE (support >= 2, basket cap 5) + hub-capped wedges;
+    // full-graph degrees in the denominator, one canonical double division
+    "s17_link_prediction" ->
+      """WITH li0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |li AS (SELECT o, p FROM (SELECT o, p, COUNT(*) OVER (PARTITION BY o) AS bn
+        |    FROM li0) WHERE bn <= 5),
+        |e AS (SELECT x.p AS a, y.p AS b
+        |      FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+        |hubadj AS (SELECT adj.u, adj.v FROM adj JOIN deg ON deg.u = adj.u
+        |  WHERE deg.d <= 50),
+        |inter AS (SELECT x.v AS a, y.v AS b, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM hubadj x JOIN hubadj y ON x.u = y.u AND x.v < y.v
+        |  GROUP BY 1, 2),
+        |cand AS (SELECT i.a, i.b, i.inter FROM inter i
+        |  LEFT JOIN e ON e.a = i.a AND e.b = i.b WHERE e.a IS NULL),
+        |sc AS (SELECT c.a, c.b, c.inter,
+        |    CAST(c.inter AS DOUBLE) / CAST(da.d + db.d - c.inter AS DOUBLE) AS jaccard
+        |  FROM cand c JOIN deg da ON da.u = c.a JOIN deg db ON db.u = c.b),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY jaccard DESC, a, b) AS rank FROM sc)
+        |SELECT CAST(rank AS INTEGER) AS rank, a, b, inter, jaccard
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     // same five integer moments in HUGEINT; the final division is the
     // only double on both sides (correctly-rounded casts of exact ints)

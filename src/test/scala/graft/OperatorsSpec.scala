@@ -783,6 +783,27 @@ class AsOfJoinSpec extends SparkSpec {
 class GraphSpec extends SparkSpec {
   import spark.implicits._
 
+  "jaccardLinkPrediction" should "score non-edges by common-neighbor Jaccard and skip existing edges" in {
+    // path graph 1-2-3 plus 2-4: non-edges sharing a neighbor:
+    // (1,3) via 2, (1,4) via 2, (3,4) via 2 — all inter=1; degrees 1/3/1/1
+    val edges = Seq((1L, 2L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    val got = GraphAlgorithms.jaccardLinkPrediction(edges, k = 10)
+      .orderBy("rank").as[(Int, Long, Long, Long, Double)].collect().toSeq
+    got.map(t => (t._2, t._3)) should contain theSameElementsAs
+      Seq((1L, 3L), (1L, 4L), (3L, 4L))
+    got.foreach { t => t._4 shouldBe 1L; t._5 shouldBe 1.0 } // 1/(1+1-1)
+  }
+
+  it should "drop wedges through hubs above the degree cap" in {
+    // star around hub 0 with 5 leaves: hub degree 5 > cap 4 → no candidates
+    val edges = (1L to 5L).map(i => (0L, i)).toDF("src", "dst")
+    GraphAlgorithms.jaccardLinkPrediction(edges, k = 10, maxHubDegree = 4L)
+      .count() shouldBe 0L
+    // raising the cap exposes the 10 leaf pairs
+    GraphAlgorithms.jaccardLinkPrediction(edges, k = 100, maxHubDegree = 5L)
+      .count() shouldBe 10L
+  }
+
   "connectedComponents" should "merge components transitively (AnalyticsSystemSpec 1-2/3-4/2-3)" in {
     val edges = Seq(("1", "2"), ("3", "4"), ("2", "3")).toDF("src", "dst")
     val cc = GraphAlgorithms.connectedComponents(spark, edges)

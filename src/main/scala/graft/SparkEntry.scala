@@ -1590,6 +1590,73 @@ object SparkEntry {
     // link prediction on the co-purchase graph: Jaccard over common
     // neighbors (hub-capped wedges), existing edges anti-joined away —
     // "bought X also bought Y" candidates, top-20
+    // correlated-avg subquery (TPC-H Q17 shape): lineitems whose quantity is
+    // below 20% of their part's average — avg decorrelated into one per-part
+    // aggregate then re-joined on the SAME key (the agg shuffle partitioning
+    // is reusable; no per-row subquery execution). Exact: qc < sum/(5·cnt)
+    // cross-multiplied to 5·qc·cnt < sum — zero divisions, zero doubles
+    "q96_small_qty_parts" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_partkey"),
+        round(col("l_quantity") * 100).cast("long").as("qc"),
+        round(col("l_extendedprice") * 100).cast("long").as("pc"))
+      val perPart = li.groupBy("l_partkey")
+        .agg(count(lit(1)).as("cnt"), sum(col("qc")).as("sum_qc"))
+      li.join(perPart, "l_partkey")
+        .filter(col("qc") * lit(5L) * col("cnt") < col("sum_qc"))
+        .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_small"), sum(col("pc")).as("small_rev_cents"))
+        .orderBy("p_brand")
+    }),
+
+    // lone-late-supplier audit (TPC-H Q21 shape): suppliers that shipped
+    // >60 days after the order date on multi-supplier orders where every
+    // OTHER supplier was on time. EXISTS/NOT EXISTS decorrelated into
+    // per-order counts (n_supp ≥ 2, n_late = 1) — two group-bys on keys the
+    // data is already shuffled by, no correlated probes
+    "q97_waiting_suppliers" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), Tables.epochUs(col("o_orderdate")).as("odate_us"))
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), Tables.epochUs(col("l_shipdate")).as("sdate_us"))
+      val perOS = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(max(when(col("sdate_us") - col("odate_us") > lit(60L * DayUs), 1L)
+          .otherwise(0L)).as("any_late"))
+      val perO = perOS.groupBy(col("l_orderkey").as("ok"))
+        .agg(count(lit(1)).as("n_supp"), sum(col("any_late")).as("n_late"))
+      perOS.filter(col("any_late") === 1L)
+        .join(perO.filter(col("n_supp") >= 2L && col("n_late") === 1L),
+          col("l_orderkey") === col("ok"))
+        .groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))
+        .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+    }),
+
+    // top-revenue parts vs a global total (TPC-H Q11 shape): the scalar
+    // subquery becomes one 1-row broadcast; threshold rev > total div 2000
+    // keeps everything in long space (no 10000·rev overflow at 100 TB) and
+    // bounds the result to ≤2000 rows BY CONSTRUCTION at any scale
+    "q98_important_parts" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_partkey"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000).cast("long").as("rc"))
+      val perPart = li.groupBy("l_partkey").agg(sum(col("rc")).as("rev"))
+      val total = perPart.agg(sum(col("rev")).as("total"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("rev") > expr("total div 2000"))
+        .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("p_brand"),
+          (col("rev").cast("double") / 10000.0).as("revenue"),
+          // staged ppm: ×1000 then ÷(total÷1000) — same formula both engines,
+          // numerator headroom to ~$1e12 revenue per part (rev*1e6 would not)
+          expr("(rev * 1000) div (total div 1000)").as("share_ppm"))
+        .orderBy(col("revenue").desc, col("l_partkey"))
+    }),
+
     "s17_link_prediction" -> ((s, d) => {
       GraphAlgorithms.jaccardLinkPrediction(
         GraphAlgorithms.cooccurrenceEdges(Tables.lineitem(s, d),
@@ -3975,6 +4042,43 @@ object SparkEntry {
 
     // q54's edge CTE (support >= 2, basket cap 5) + hub-capped wedges;
     // full-graph degrees in the denominator, one canonical double division
+    // cross-multiplied avg threshold: 5·qc·cnt < sum_qc, all BIGINT
+    "q96_small_qty_parts" ->
+      """WITH li AS (SELECT l_partkey, CAST(round(l_quantity*100) AS BIGINT) AS qc,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS pc FROM lineitem),
+        |pa AS (SELECT l_partkey, COUNT(*) AS cnt,
+        |    CAST(SUM(qc) AS BIGINT) AS sum_qc FROM li GROUP BY 1)
+        |SELECT p_brand, COUNT(*) AS n_small, CAST(SUM(li.pc) AS BIGINT) AS small_rev_cents
+        |FROM li JOIN pa USING (l_partkey) JOIN part ON l_partkey = p_partkey
+        |WHERE li.qc*5*cnt < sum_qc
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // EXISTS/NOT EXISTS as per-order supplier/late counts (n_supp≥2, n_late=1)
+    "q97_waiting_suppliers" ->
+      """WITH os AS (SELECT l_orderkey, l_suppkey,
+        |    MAX(CASE WHEN epoch_us(l_shipdate) - epoch_us(o_orderdate)
+        |      > 5184000000000 THEN 1 ELSE 0 END) AS any_late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |po AS (SELECT l_orderkey, COUNT(*) AS n_supp,
+        |    CAST(SUM(any_late) AS BIGINT) AS n_late FROM os GROUP BY 1)
+        |SELECT s_suppkey, s_name, COUNT(*) AS numwait
+        |FROM os JOIN po USING (l_orderkey) JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE os.any_late = 1 AND po.n_supp >= 2 AND po.n_late = 1
+        |GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey""".stripMargin,
+
+    // scalar subquery as a 1-row cross join; `//` ≡ `div` on non-negatives
+    "q98_important_parts" ->
+      """WITH li AS (SELECT l_partkey,
+        |    CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT) AS rc FROM lineitem),
+        |pp AS (SELECT l_partkey, CAST(SUM(rc) AS BIGINT) AS rev FROM li GROUP BY 1),
+        |t AS (SELECT CAST(SUM(rev) AS BIGINT) AS total FROM pp)
+        |SELECT l_partkey, p_brand, rev::DOUBLE/10000.0 AS revenue,
+        |  CAST((rev * 1000) // (total // 1000) AS BIGINT) AS share_ppm
+        |FROM pp, t JOIN part ON l_partkey = p_partkey
+        |WHERE rev > total // 2000
+        |ORDER BY revenue DESC, l_partkey""".stripMargin,
+
     "s17_link_prediction" ->
       """WITH li0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |li AS (SELECT o, p FROM (SELECT o, p, COUNT(*) OVER (PARTITION BY o) AS bn

@@ -1657,6 +1657,23 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_partkey"))
     }),
 
+    // multi-source BFS over the co-purchase graph: hop distance ≤4 from the
+    // 5 highest-degree parts — per round the FRONTIER (not the cumulative
+    // table) expands through the adjacency and an anti-join drops
+    // already-labeled nodes, so total work tracks the wavefront, and the
+    // round count is a constant regardless of data scale
+    "q99_bfs_hops" -> ((s, d) => {
+      val edges = GraphAlgorithms.cooccurrenceEdges(Tables.lineitem(s, d),
+        "l_orderkey", "l_partkey", minSupport = 2L, maxBasketSize = 5L)
+        .localCheckpoint(true)
+      val deg = edges.select(col("src").as("u"))
+        .unionByName(edges.select(col("dst").as("u")))
+        .groupBy("u").agg(count(lit(1)).as("dg"))
+      val seeds = deg.orderBy(col("dg").desc, col("u")).limit(5)
+        .select(col("u").as("node"))
+      GraphAlgorithms.bfsHops(edges, seeds, maxHops = 4).orderBy("node")
+    }),
+
     "s17_link_prediction" -> ((s, d) => {
       GraphAlgorithms.jaccardLinkPrediction(
         GraphAlgorithms.cooccurrenceEdges(Tables.lineitem(s, d),
@@ -4078,6 +4095,40 @@ object SparkEntry {
         |FROM pp, t JOIN part ON l_partkey = p_partkey
         |WHERE rev > total // 2000
         |ORDER BY revenue DESC, l_partkey""".stripMargin,
+
+    // s17's edge CTEs, then 4 unrolled BFS rounds; every multiply-referenced
+    // CTE is MATERIALIZED (DuckDB inlines otherwise — the round k reference
+    // chain would expand 2^rounds); MIN over the union ≡ the anti-join
+    "q99_bfs_hops" ->
+      """WITH li0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |li AS (SELECT o, p FROM (SELECT o, p, COUNT(*) OVER (PARTITION BY o) AS bn
+        |    FROM li0) WHERE bn <= 5),
+        |e AS MATERIALIZED (SELECT x.p AS a, y.p AS b
+        |      FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |adj AS MATERIALIZED (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT u, COUNT(*) AS dg FROM adj GROUP BY 1),
+        |seeds AS (SELECT u AS node FROM
+        |  (SELECT u, ROW_NUMBER() OVER (ORDER BY dg DESC, u) AS rk FROM deg)
+        |  WHERE rk <= 5),
+        |d0 AS MATERIALIZED (SELECT node, 0 AS dist FROM seeds),
+        |d1 AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM (
+        |    SELECT node, dist FROM d0 UNION ALL
+        |    SELECT adj.v, 1 FROM adj JOIN d0 ON adj.u = d0.node WHERE d0.dist = 0)
+        |  GROUP BY 1),
+        |d2 AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM (
+        |    SELECT node, dist FROM d1 UNION ALL
+        |    SELECT adj.v, 2 FROM adj JOIN d1 ON adj.u = d1.node WHERE d1.dist = 1)
+        |  GROUP BY 1),
+        |d3 AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM (
+        |    SELECT node, dist FROM d2 UNION ALL
+        |    SELECT adj.v, 3 FROM adj JOIN d2 ON adj.u = d2.node WHERE d2.dist = 2)
+        |  GROUP BY 1),
+        |d4 AS (SELECT node, MIN(dist) AS dist FROM (
+        |    SELECT node, dist FROM d3 UNION ALL
+        |    SELECT adj.v, 4 FROM adj JOIN d3 ON adj.u = d3.node WHERE d3.dist = 3)
+        |  GROUP BY 1)
+        |SELECT node, CAST(dist AS INTEGER) AS dist FROM d4 ORDER BY node""".stripMargin,
 
     "s17_link_prediction" ->
       """WITH li0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

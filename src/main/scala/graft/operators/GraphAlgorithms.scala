@@ -605,4 +605,43 @@ object GraphAlgorithms {
         row_number().over(Window.orderBy(col("jaccard").desc, col("a"), col("b"))).cast("int"))
       .select(col("rank"), col("a"), col("b"), col("inter"), col("jaccard"))
   }
+
+  /** Multi-source BFS hop distance, bounded at `maxHops` rounds.
+    *
+    * Per round the frontier (distance k−1 exactly — NOT the whole distance
+    * table) joins the adjacency, dedups, and anti-joins everything already
+    * labeled; newly reached vertices get distance k. Each round is one
+    * frontier-sized join + one anti-join — work is O(edges touched by the
+    * expanding wavefront), never |V|×|E|, and the round count is a hard
+    * constant, so the plan depth is fixed at any data scale. Frontier and
+    * cumulative table are eagerly checkpointed per round (lineage would
+    * otherwise double each pass). Unreached vertices are absent from the
+    * result (no sentinel distance).
+    *
+    * Returns (node, dist: int) with dist = exact minimum hop count from any
+    * seed; seeds themselves carry dist 0. */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val adj = edges.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
+      .localCheckpoint(true)
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0)).localCheckpoint(true)
+    var frontier = dist
+    var k = 1
+    var exhausted = false
+    while (k <= maxHops && !exhausted) {
+      val next = adj.join(frontier.select(col("node").as("u")), "u")
+        .select(col("v").as("node")).distinct()
+        .join(dist.select("node"), Seq("node"), "left_anti")
+        .withColumn("dist", lit(k))
+        .localCheckpoint(true)
+      if (next.isEmpty) exhausted = true
+      else {
+        dist = dist.unionByName(next).localCheckpoint(true)
+        frontier = next
+      }
+      k += 1
+    }
+    dist
+  }
 }

@@ -804,6 +804,24 @@ class GraphSpec extends SparkSpec {
       .count() shouldBe 10L
   }
 
+  "bfsHops" should "label min hop distance from any seed, omitting unreached nodes" in {
+    // path 1-2-3-4-5-6 plus isolated edge 8-9; seeds {1, 5}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (8L, 9L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L, 5L).toDF("node")
+    val got = GraphAlgorithms.bfsHops(edges, seeds, maxHops = 2)
+      .orderBy("node").as[(Long, Int)].collect().toSeq
+    // node 3 is 2 hops from both seeds (min, not duplicate); 8/9 unreached
+    got shouldBe Seq((1L, 0), (2L, 1), (3L, 2), (4L, 1), (5L, 0), (6L, 1))
+  }
+
+  it should "stop expanding once the frontier empties" in {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val got = GraphAlgorithms.bfsHops(edges, Seq(1L).toDF("node"), maxHops = 10)
+      .orderBy("node").as[(Long, Int)].collect().toSeq
+    got shouldBe Seq((1L, 0), (2L, 1))
+  }
+
   "connectedComponents" should "merge components transitively (AnalyticsSystemSpec 1-2/3-4/2-3)" in {
     val edges = Seq(("1", "2"), ("3", "4"), ("2", "3")).toDF("src", "dst")
     val cc = GraphAlgorithms.connectedComponents(spark, edges)

@@ -1657,6 +1657,35 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_partkey"))
     }),
 
+    // M4 downsampling: per (event_type, day) the 4 values a pixel-perfect
+    // chart needs — the render-a-billion-points reduction; output size is
+    // bucket count, not row count. Null values dropped explicitly (the
+    // events null policy), amounts in integer cents
+    "q100_m4_downsample" -> ((s, d) => {
+      val e = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"), col("ts_us"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+      Analytics.m4Downsample(e, Seq("event_type"), "ts_us", "event_id", "cents",
+          bucketWidthUs = DayUs)
+        .orderBy("event_type", "bucket")
+    }),
+
+    // one-sided CUSUM monitor per event type against its own integer mean:
+    // the sequential clamp recurrence collapses to prefix-sum minus prefix-
+    // min (q80's closed form), so drift detection over 100 TB of events is
+    // two stacked windows on one shuffle — no state store, no fold
+    "q101_cusum" -> ((s, d) => {
+      val e = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"), col("ts_us"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val tgt = e.groupBy(col("event_type").as("et"))
+        .agg(expr("sum(cents) div count(1)").as("target"))
+      val j = e.join(broadcast(tgt), e("event_type") === tgt("et")).drop("et")
+      Analytics.cusum(j, Seq("event_type"), "cents", "target",
+          Seq("ts_us", "event_id"), threshold = 100000L)
+        .orderBy("event_type")
+    }),
+
     // multi-source BFS over the co-purchase graph: hop distance ≤4 from the
     // 5 highest-degree parts — per round the FRONTIER (not the cumulative
     // table) expands through the adjacency and an anti-join drops
@@ -4095,6 +4124,44 @@ object SparkEntry {
         |FROM pp, t JOIN part ON l_partkey = p_partkey
         |WHERE rev > total // 2000
         |ORDER BY revenue DESC, l_partkey""".stripMargin,
+
+    // FIRST_VALUE over ordered window (default frame) ≡ Spark first().over
+    // (the d16-proven pairing); `//` ≡ `div` on non-negative epoch µs
+    "q100_m4_downsample" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+        |    CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |w AS (SELECT event_type, ts_us // 86400000000 AS bucket, cents,
+        |    FIRST_VALUE(cents) OVER (PARTITION BY event_type, ts_us // 86400000000
+        |      ORDER BY ts_us, event_id) AS f,
+        |    FIRST_VALUE(cents) OVER (PARTITION BY event_type, ts_us // 86400000000
+        |      ORDER BY ts_us DESC, event_id DESC) AS l
+        |  FROM e)
+        |SELECT event_type, CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n,
+        |  MIN(cents) AS min_v, MAX(cents) AS max_v,
+        |  MIN(f) AS first_v, MIN(l) AS last_v
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same closed form: C = S − min(0, prefix-min S); target = sum//count
+    // (floor ≡ div on the non-negative cents); window sums cast from HUGEINT
+    "q101_cusum" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+        |    CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |t AS (SELECT event_type, CAST(SUM(cents) AS BIGINT) // COUNT(*) AS target
+        |  FROM e GROUP BY 1),
+        |s AS (SELECT event_type, ts_us, event_id,
+        |    CAST(SUM(cents - target) OVER w AS BIGINT) AS s
+        |  FROM e JOIN t USING (event_type)
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
+        |    ROWS UNBOUNDED PRECEDING)),
+        |c AS (SELECT event_type, s - LEAST(0, MIN(s) OVER w) AS c
+        |  FROM s
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT event_type, COUNT(*) AS n, MAX(c) AS max_cusum,
+        |  CAST(SUM(CASE WHEN c > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // s17's edge CTEs, then 4 unrolled BFS rounds; every multiply-referenced
     // CTE is MATERIALIZED (DuckDB inlines otherwise — the round k reference

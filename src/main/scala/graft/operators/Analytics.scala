@@ -635,4 +635,76 @@ object Analytics {
           col("__mty") === col(yCol))
       .drop("__mxy", "__mty")
   }
+
+  /** M4 time-series downsampling (Jugel et al., VLDB 2014): per (series,
+    * time bucket) keep exactly the four values a pixel-perfect line chart
+    * needs — min, max, first, last — plus the row count. The canonical
+    * "render a billion points" reduction: output is bucket-count-sized
+    * regardless of input scale.
+    *
+    * Scale shape: one shuffle on (series, bucket); first/last come from
+    * `first()` over the two ordered windows (ASC and DESC on the total
+    * (ts, tie) order — deterministic, unlike grouped `first`), which share
+    * the group-by partitioning, so the whole operator is sort-within-
+    * partitions work on top of a single exchange.
+    *
+    * Returns (seriesCols*, bucket, n, min_v, max_v, first_v, last_v) with
+    * bucket = tsCol div bucketWidth (integer µs arithmetic). */
+  def m4Downsample(
+      df: DataFrame,
+      seriesCols: Seq[String],
+      tsCol: String,
+      tieCol: String,
+      valueCol: String,
+      bucketWidthUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withBucket = df.withColumn("bucket", expr(s"$tsCol div ${bucketWidthUs}L"))
+    val part = Window.partitionBy((seriesCols :+ "bucket").map(col): _*)
+    val asc = part.orderBy(col(tsCol), col(tieCol))
+    val desc = part.orderBy(col(tsCol).desc, col(tieCol).desc)
+    withBucket
+      .withColumn("__first", first(col(valueCol)).over(asc))
+      .withColumn("__last", first(col(valueCol)).over(desc))
+      .groupBy((seriesCols :+ "bucket").map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        min(col(valueCol)).as("min_v"),
+        max(col(valueCol)).as("max_v"),
+        min(col("__first")).as("first_v"),
+        min(col("__last")).as("last_v"))
+  }
+
+  /** One-sided CUSUM change detection (Page 1954) against a per-group
+    * integer target: C_n = max(0, C_{n−1} + (x_n − target)).
+    *
+    * The sequential recurrence has the same closed form as
+    * [[clampedRunningFold]]: C_n = S_n − min(0, min_{k≤n} S_k) over prefix
+    * sums S of the deviations — so the "stateful" monitor is two stacked
+    * window passes on ONE (group) shuffle, no sequential fold, no state
+    * store. `target` must be integer-exact on both engines: callers pass it
+    * pre-joined (e.g. `sum div count`, non-negative operands only — Spark
+    * `div` truncates toward zero where DuckDB `//` floors).
+    *
+    * Returns per group: n, max_cusum (peak cumulative excess), n_alarms
+    * (rows where C_n > threshold). */
+  def cusum(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      targetCol: String,
+      orderCols: Seq[String],
+      threshold: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df
+      .withColumn("__s", sum(col(valueCol) - col(targetCol)).over(w))
+      .withColumn("__c", col("__s") - least(lit(0L), min(col("__s")).over(w)))
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("__c")).as("max_cusum"),
+        sum((col("__c") > threshold).cast("long")).as("n_alarms"))
+  }
 }

@@ -373,6 +373,43 @@ class AnalyticsSpec extends SparkSpec {
       ("b", 2 * day, 1L, 1L, 1L))
   }
 
+  "Analytics.m4Downsample" should "keep min/max/first/last per series bucket" in {
+    // one series, bucket width 10: bucket 0 = ts 1,3,7; bucket 1 = ts 12
+    val df = Seq(
+      ("a", 1L, 1L, 50L), ("a", 3L, 2L, 10L), ("a", 7L, 3L, 99L),
+      ("a", 12L, 4L, 5L),
+      // tie on ts within a bucket: tie col decides first/last
+      ("b", 5L, 1L, 7L), ("b", 5L, 2L, 3L))
+      .toDF("series", "ts", "tie", "v")
+    val got = Analytics.m4Downsample(df, Seq("series"), "ts", "tie", "v", 10L)
+      .orderBy("series", "bucket")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    got shouldBe Seq(
+      ("a", 0L, 3L, 10L, 99L, 50L, 99L),
+      ("a", 1L, 1L, 5L, 5L, 5L, 5L),
+      ("b", 0L, 2L, 3L, 7L, 7L, 3L))
+  }
+
+  "Analytics.cusum" should "match the literal sequential max(0, C+x-t) monitor" in {
+    val rnd = new scala.util.Random(7)
+    val rows = for (k <- 0L until 10L; i <- 0L until 50L)
+      yield (k, rnd.nextInt(101).toLong, i)
+    val df = rows.toDF("k", "x", "ord").withColumn("target", lit(50L))
+    val got = Analytics.cusum(df, Seq("k"), "x", "target", Seq("ord"), threshold = 30L)
+      .select("k", "n", "max_cusum", "n_alarms")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    rows.groupBy(_._1).foreach { case (k, h) =>
+      var c = 0L; var mx = 0L; var alarms = 0L
+      h.sortBy(_._3).foreach { case (_, x, _) =>
+        c = math.max(0L, c + x - 50L)
+        mx = math.max(mx, c)
+        if (c > 30L) alarms += 1
+      }
+      got(k) shouldBe ((h.size.toLong, mx, alarms))
+    }
+  }
+
   "Analytics.paretoFrontier" should "keep exactly the non-dominated rows" in {
     val pts = Seq(
       ("g", 1L, 5L, 9L),  // frontier (max y)

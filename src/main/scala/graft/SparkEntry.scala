@@ -1657,6 +1657,37 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_partkey"))
     }),
 
+    // per-nation OLS of order value on customer balance: five exact integer
+    // moments in one shuffle (orders⋈customer on the join key, then one
+    // nation-keyed aggregate); only the final slope/intercept/r² divisions
+    // are doubles — identical IEEE expression trees on both engines
+    "q102_grouped_ols" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("yc"))
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal") * 100).cast("long").as("xc"))
+      Analytics.groupedOls(o.join(c, o("o_custkey") === c("c_custkey")),
+          Seq("c_nationkey"), "xc", "yc")
+        .orderBy("c_nationkey")
+    }),
+
+    // quality-percentile normalization: per-language percent-rank of doc
+    // length in exact ppm — RANK over the value alone (ties share a rank,
+    // so no tie-break column is needed: the result depends only on the
+    // value multiset), ×1e6 floor-divided by (n−1)
+    "t18_rank_normalize" -> ((s, d) => {
+      val doc = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+      val w = Window.partitionBy("lang")
+      doc
+        .withColumn("rk", rank().over(w.orderBy(col("n_chars"))))
+        .withColumn("n", count(lit(1)).over(w))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          when(col("n") > 1L,
+            expr("(CAST(rk - 1 AS BIGINT) * 1000000) div (n - 1)"))
+            .otherwise(0L).as("pr_ppm"))
+        .orderBy("doc_id")
+    }),
+
     // M4 downsampling: per (event_type, day) the 4 values a pixel-perfect
     // chart needs — the render-a-billion-points reduction; output size is
     // bucket count, not row count. Null values dropped explicitly (the
@@ -4124,6 +4155,43 @@ object SparkEntry {
         |FROM pp, t JOIN part ON l_partkey = p_partkey
         |WHERE rev > total // 2000
         |ORDER BY revenue DESC, l_partkey""".stripMargin,
+
+    // q95's HUGEINT moment CTE; intercept/r² double trees shaped exactly
+    // like the Spark side (slope reused, corr squared)
+    "q102_grouped_ols" ->
+      """WITH j AS (SELECT c_nationkey, CAST(round(c_acctbal*100) AS BIGINT) AS x,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |m AS (SELECT c_nationkey, COUNT(*) AS n,
+        |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+        |    CAST(SUM(x*x) AS HUGEINT) AS sxx, CAST(SUM(y*y) AS HUGEINT) AS syy,
+        |    CAST(SUM(x*y) AS HUGEINT) AS sxy
+        |  FROM j GROUP BY 1),
+        |d AS (SELECT c_nationkey, n, sx, sy,
+        |    n*sxy - sx*sy AS num, n*sxx - sx*sx AS d1, n*syy - sy*sy AS d2
+        |  FROM m)
+        |SELECT c_nationkey, n,
+        |  CASE WHEN d1 > 0 THEN num::DOUBLE / d1::DOUBLE END AS slope,
+        |  CASE WHEN d1 > 0 THEN
+        |    (sy::DOUBLE - (num::DOUBLE / d1::DOUBLE) * sx::DOUBLE) / n::DOUBLE
+        |  END AS intercept,
+        |  CASE WHEN d1 > 0 AND d2 > 0 THEN
+        |    (num::DOUBLE / sqrt(d1::DOUBLE * d2::DOUBLE)) *
+        |    (num::DOUBLE / sqrt(d1::DOUBLE * d2::DOUBLE))
+        |  END AS r2
+        |FROM d ORDER BY c_nationkey""".stripMargin,
+
+    // RANK (ties share) over the bare value — order-free; Spark rank is INT
+    // so the oracle's BIGINT rank stays inside the CAST'd arithmetic
+    "t18_rank_normalize" ->
+      """WITH r AS (SELECT doc_id, lang, n_chars,
+        |    RANK() OVER (PARTITION BY lang ORDER BY n_chars) AS rk,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars,
+        |  CAST(CASE WHEN n > 1 THEN ((rk - 1) * 1000000) // (n - 1)
+        |    ELSE 0 END AS BIGINT) AS pr_ppm
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // FIRST_VALUE over ordered window (default frame) ≡ Spark first().over
     // (the d16-proven pairing); `//` ≡ `div` on non-negative epoch µs

@@ -559,6 +559,47 @@ object Analytics {
       .drop("__sx", "__sy", "__sxx", "__syy", "__sxy", "__num", "__d1", "__d2")
   }
 
+  /** Grouped simple OLS y = intercept + slope·x from the same five exact
+    * integer moments as [[groupedCorrelation]] — one partial-agg'd shuffle,
+    * hash-stable where a float fold is not.
+    *
+    * slope = (n·Σxy − Σx·Σy)/(n·Σxx − Σx²): exact decimal numerator and
+    * denominator, ONE double division. The intercept's exact-rational form
+    * (Σy·d1 − num·Σx)/(n·d1) would overflow decimal(38) at ~1e11 rows, so
+    * it is computed as (Σy − slope·Σx)/n on correctly-rounded double casts
+    * of the exact moments — a fixed IEEE expression tree, bit-identical
+    * across engines (the repo's canonical-double rule). r² = corr², squared
+    * in double space rather than as num²/(d1·d2) for the same overflow
+    * reason. Constant x (d1 = 0) yields nulls. */
+  def groupedOls(
+      df: DataFrame,
+      groupCols: Seq[String],
+      xCol: String,
+      yCol: String): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val x = dec(col(xCol))
+    val y = dec(col(yCol))
+    val corrD = col("__num").cast("double") /
+      sqrt(col("__d1").cast("double") * col("__d2").cast("double"))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * x).as("__sxx"), sum(y * y).as("__syy"),
+        sum(x * y).as("__sxy"))
+      .withColumn("__num", dec(col("n")) * col("__sxy") - col("__sx") * col("__sy"))
+      .withColumn("__d1", dec(col("n")) * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("__d2", dec(col("n")) * col("__syy") - col("__sy") * col("__sy"))
+      .withColumn("slope",
+        when(col("__d1") > 0, col("__num").cast("double") / col("__d1").cast("double")))
+      .withColumn("intercept",
+        when(col("__d1") > 0,
+          (col("__sy").cast("double") - col("slope") * col("__sx").cast("double")) /
+            col("n").cast("double")))
+      .withColumn("r2", when(col("__d1") > 0 && col("__d2") > 0, corrD * corrD))
+      .drop("__sx", "__sy", "__sxx", "__syy", "__sxy", "__num", "__d1", "__d2")
+  }
+
   /** Peak concurrency per group via sweep line: intervals `[start, end)`
     * become +1/−1 delta points; the running sum ordered by (time, delta)
     * is the live-interval count, its max the peak, and the earliest time

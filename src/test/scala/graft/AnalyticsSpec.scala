@@ -373,6 +373,19 @@ class AnalyticsSpec extends SparkSpec {
       ("b", 2 * day, 1L, 1L, 1L))
   }
 
+  "Analytics.groupedOls" should "recover slope/intercept from exact moments" in {
+    // group a: exact line y = 3x + 7 → slope 3, intercept 7, r² = 1
+    // group b: constant x → all-null fit
+    val df = (Seq((1L, 10L), (2L, 13L), (5L, 22L), (9L, 34L)).map { case (x, y) => ("a", x, y) } ++
+      Seq(("b", 4L, 1L), ("b", 4L, 9L))).toDF("g", "x", "y")
+    val got = Analytics.groupedOls(df, Seq("g"), "x", "y")
+      .orderBy("g")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    got(0) shouldBe (("a", 4L, Some(3.0), Some(7.0), Some(1.0)))
+    got(1) shouldBe (("b", 2L, None, None, None))
+  }
+
   "Analytics.m4Downsample" should "keep min/max/first/last per series bucket" in {
     // one series, bucket width 10: bucket 0 = ts 1,3,7; bucket 1 = ts 12
     val df = Seq(

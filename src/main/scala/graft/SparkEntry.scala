@@ -1657,6 +1657,16 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_partkey"))
     }),
 
+    // exact phrase retrieval over a positional index: only the 3 query
+    // terms survive the posexplode, word i shifts to pos−i, and adjacency
+    // is two co-keyed equi-joins on (doc, pos) — the adjacency question a
+    // gram-SET index (q38) cannot answer
+    "t19_phrase_search" -> ((s, d) => {
+      Retrieval.phraseSearch(Tables.documents(s, d), "doc_id", "text",
+          phrase = Seq("slow", "hash", "batch"))
+        .orderBy("doc_id")
+    }),
+
     // per-nation OLS of order value on customer balance: five exact integer
     // moments in one shuffle (orders⋈customer on the join key, then one
     // nation-keyed aggregate); only the final slope/intercept/r² divisions
@@ -4155,6 +4165,17 @@ object SparkEntry {
         |FROM pp, t JOIN part ON l_partkey = p_partkey
         |WHERE rev > total // 2000
         |ORDER BY revenue DESC, l_partkey""".stripMargin,
+
+    // parallel unnest zips (term, 0-based pos); per-word CTEs shift by i
+    "t19_phrase_search" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |po AS (SELECT doc_id, unnest(t) AS term, unnest(range(len(t))) AS pos FROM tk),
+         |w0 AS (SELECT doc_id, pos AS p FROM po WHERE term = 'slow'),
+         |w1 AS (SELECT doc_id, pos - 1 AS p FROM po WHERE term = 'hash'),
+         |w2 AS (SELECT doc_id, pos - 2 AS p FROM po WHERE term = 'batch')
+         |SELECT doc_id, COUNT(*) AS n_hits
+         |FROM w0 JOIN w1 USING (doc_id, p) JOIN w2 USING (doc_id, p)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q95's HUGEINT moment CTE; intercept/r² double trees shaped exactly
     // like the Spark side (slope reused, corr squared)

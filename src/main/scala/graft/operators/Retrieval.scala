@@ -94,6 +94,38 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Positional-index phrase search: documents containing `phrase` as
+    * ADJACENT tokens, with the occurrence count — the exact-match
+    * retrieval primitive a gram-set index (q38's AND-search) cannot
+    * answer, because set membership loses adjacency.
+    *
+    * Shape: postings (id, pos, term) come from one `posexplode` whose
+    * filter keeps ONLY the phrase's terms — the shuffled frame is ∝
+    * matching tokens, never the corpus (the same query-term-only rule as
+    * [[bm25TopK]]). Word i's postings shift to `pos − i`, so a full
+    * phrase occurrence is an equi-join of all word frames on (id, pos):
+    * n−1 co-keyed joins of query-term-sized inputs, no window, no
+    * adjacency self-join of the whole corpus.
+    *
+    * Returns (idCol, n_hits) for documents with ≥1 occurrence. */
+  def phraseSearch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "a phrase needs at least two words")
+    val postings = docs
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
+      .filter(col("term").isin(phrase.distinct: _*))
+    val frames = phrase.zipWithIndex.map { case (w, i) =>
+      postings.filter(col("term") === w)
+        .select(col(idCol), (col("pos") - i).as("p"))
+    }
+    frames.reduce((a, b) => a.join(b, Seq(idCol, "p")))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) of ranked retrieval
     * lists — the standard hybrid-search combiner (lexical BM25 + embedding
     * ANN, or any mix of rankers): each list contributes

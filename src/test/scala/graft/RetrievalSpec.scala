@@ -36,6 +36,25 @@ class RetrievalSpec extends SparkSpec {
     r.map(_._2) shouldBe r.map(_._2).sorted.reverse
   }
 
+  "Retrieval.phraseSearch" should "count only adjacent in-order occurrences" in {
+    val docs = Seq(
+      (1L, "big data big data systems"),     // "big data" twice
+      (2L, "data big"),                      // reversed — no hit
+      (3L, "big x data"),                    // gap — no hit
+      (4L, "BIG\tDATA"),                     // case/whitespace-normalized hit
+      (5L, "nothing here")).toDF("doc_id", "text")
+    val got = Retrieval.phraseSearch(docs, "doc_id", "text", Seq("big", "data"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    got shouldBe Seq((1L, 2L), (4L, 1L))
+  }
+
+  it should "handle phrases with repeated words" in {
+    val docs = Seq((1L, "go go go stop"), (2L, "go stop go")).toDF("doc_id", "text")
+    // "go go" occurs at pos 0 and 1 in doc 1, never in doc 2
+    Retrieval.phraseSearch(docs, "doc_id", "text", Seq("go", "go"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq shouldBe Seq((1L, 2L))
+  }
+
   "Retrieval.bigramLmFluency" should "score corpus-typical bigrams above word salad" in {
     val corpus = Seq(
       (1L, "the quick fox runs"),

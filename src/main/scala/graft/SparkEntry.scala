@@ -28,6 +28,9 @@ object SparkEntry {
     * SecureRandom, reference TimeCryptoProof.generateSalt). */
   private val CryptoSaltHex = "000102030405060708090A0B0C0D0E0F"
 
+  private val Jan1_96 = 820454400000000L // 1996-01-01T00:00:00Z
+  private val Jan1_00 = 946684800000000L // 2000-01-01T00:00:00Z
+  private val Jan1_97 = 852076800000000L // 1997-01-01T00:00:00Z
   private val Jan1_24 = 1704067200000000L // 2024-01-01T00:00:00Z
   private val Jan10_24 = 1704844800000000L // 2024-01-10T00:00:00Z
   private val Jan20_24 = 1705708800000000L // 2024-01-20T00:00:00Z
@@ -1655,6 +1658,45 @@ object SparkEntry {
           // numerator headroom to ~$1e12 revenue per part (rev*1e6 would not)
           expr("(rev * 1000) div (total div 1000)").as("share_ppm"))
         .orderBy(col("revenue").desc, col("l_partkey"))
+    }),
+
+    // top supplier(s) by 1996 revenue (TPC-H Q15 shape): the MAX-revenue
+    // scalar subquery is a 1-row broadcast against the same supplier-keyed
+    // aggregate — ties all surface; year filter prunes at the scan
+    "q103_top_supplier" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .withColumn("sd_us", Tables.epochUs(col("l_shipdate")))
+        .filter(col("sd_us") >= lit(Jan1_96) && col("sd_us") < lit(Jan1_97))
+        .select(col("l_suppkey"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+            .cast("long").as("rc"))
+        .groupBy("l_suppkey").agg(sum(col("rc")).as("rev"))
+      val mx = rev.agg(max(col("rev")).as("mxr"))
+      rev.crossJoin(broadcast(mx)).filter(col("rev") === col("mxr"))
+        .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          (col("rev").cast("double") / 10000.0).as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // rich-but-idle customers (TPC-H Q22 shape): balance above the positive-
+    // balance average (cross-multiplied: bal·n_pos > Σpos — no division) and
+    // no orders since 2000 (anti-join on the pruned order scan), per segment
+    "q104_idle_rich" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("bal"))
+      val stats = c.filter(col("bal") > 0L)
+        .agg(count(lit(1)).as("npos"), sum(col("bal")).as("spos"))
+      val recent = Tables.orders(s, d)
+        .filter(Tables.epochUs(col("o_orderdate")) >= lit(Jan1_00))
+        .select(col("o_custkey")).distinct()
+      c.crossJoin(broadcast(stats))
+        .filter(col("bal") * col("npos") > col("spos"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_custs"), sum(col("bal")).as("sum_bal_cents"))
+        .orderBy("c_mktsegment")
     }),
 
     // exact phrase retrieval over a positional index: only the 3 query
@@ -4165,6 +4207,31 @@ object SparkEntry {
         |FROM pp, t JOIN part ON l_partkey = p_partkey
         |WHERE rev > total // 2000
         |ORDER BY revenue DESC, l_partkey""".stripMargin,
+
+    // max-scalar-subquery over the same aggregate; ties kept
+    "q103_top_supplier" ->
+      s"""WITH rev AS (SELECT l_suppkey,
+         |    CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) AS rev
+         |  FROM lineitem
+         |  WHERE epoch_us(l_shipdate) >= $Jan1_96 AND epoch_us(l_shipdate) < $Jan1_97
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name, rev::DOUBLE/10000.0 AS total_revenue
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE rev = (SELECT MAX(rev) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+
+    // positive-balance average via cross-multiplication; NOT EXISTS orders
+    "q104_idle_rich" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(round(c_acctbal*100) AS BIGINT) AS bal FROM customer),
+        |st AS (SELECT COUNT(*) AS npos, CAST(SUM(bal) AS BIGINT) AS spos
+        |  FROM c WHERE bal > 0)
+        |SELECT c_mktsegment, COUNT(*) AS n_custs, CAST(SUM(bal) AS BIGINT) AS sum_bal_cents
+        |FROM c, st
+        |WHERE bal * npos > spos
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND epoch_us(o_orderdate) >= 946684800000000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // parallel unnest zips (term, 0-based pos); per-word CTEs shift by i
     "t19_phrase_search" ->

@@ -1660,6 +1660,40 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_partkey"))
     }),
 
+    // daily-seasonality detector: Pearson autocorrelation of the hourly
+    // event-count series at lag 24 h — the series is already aggregate-
+    // sized, the lag pair comes from an equi-join on h−24 (hours absent
+    // from the log pair with nothing; no dense gap-fill materializes), and
+    // the correlation is the exact-integer-moment fold of q95
+    "q105_autocorrelation" -> ((s, d) => {
+      val hc = Tables.events(s, d)
+        .groupBy(expr("ts_us div 3600000000").as("h"))
+        .agg(count(lit(1)).as("n"))
+      val pairs = hc.select(col("h"), col("n").as("n0"))
+        .join(hc.select((col("h") + 24L).as("h"), col("n").as("n24")), "h")
+        .withColumn("series", lit("hourly_lag24"))
+      Analytics.groupedCorrelation(pairs, Seq("series"), "n0", "n24")
+        .orderBy("series")
+    }),
+
+    // last-touch attribution: each purchase credits the user's most recent
+    // PRECEDING non-purchase event — one ordered window with an
+    // ignore-nulls last() over the strict-past frame; no per-purchase
+    // point lookup, no self-join
+    "q106_attribution" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      e.withColumn("src",
+          last(when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true)
+            .over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("src"), lit("(none)")).as("attributed"))
+        .agg(count(lit(1)).as("n_purchases"))
+        .orderBy("attributed")
+    }),
+
     // top supplier(s) by 1996 revenue (TPC-H Q15 shape): the MAX-revenue
     // scalar subquery is a 1-row broadcast against the same supplier-keyed
     // aggregate — ties all surface; year filter prunes at the scan
@@ -4207,6 +4241,38 @@ object SparkEntry {
         |FROM pp, t JOIN part ON l_partkey = p_partkey
         |WHERE rev > total // 2000
         |ORDER BY revenue DESC, l_partkey""".stripMargin,
+
+    // q95's moment CTE over the lag-24 joined hourly series
+    "q105_autocorrelation" ->
+      """WITH hc AS (SELECT epoch_us(ts) // 3600000000 AS h, COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT a.n AS x, b.n AS y
+        |  FROM hc a JOIN hc b ON a.h = b.h + 24),
+        |m AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+        |    CAST(SUM(x*x) AS HUGEINT) AS sxx, CAST(SUM(y*y) AS HUGEINT) AS syy,
+        |    CAST(SUM(x*y) AS HUGEINT) AS sxy
+        |  FROM p),
+        |d AS (SELECT n, n*sxy - sx*sy AS num, n*sxx - sx*sx AS d1,
+        |    n*syy - sy*sy AS d2 FROM m)
+        |SELECT 'hourly_lag24' AS series, n,
+        |  CASE WHEN d1 > 0 AND d2 > 0
+        |    THEN num::DOUBLE / sqrt(d1::DOUBLE * d2::DOUBLE) END AS corr
+        |FROM d ORDER BY series""".stripMargin,
+
+    // IGNORE NULLS last_value over the strict-past frame ≡ Spark
+    // last(..., ignoreNulls).over(rowsBetween(unboundedPreceding, -1))
+    "q106_attribution" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+        |  FROM events),
+        |a AS (SELECT event_type,
+        |    LAST_VALUE(CASE WHEN event_type != 'purchase' THEN event_type END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS src
+        |  FROM e)
+        |SELECT COALESCE(src, '(none)') AS attributed, COUNT(*) AS n_purchases
+        |FROM a WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // max-scalar-subquery over the same aggregate; ties kept
     "q103_top_supplier" ->

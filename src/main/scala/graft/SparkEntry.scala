@@ -1660,6 +1660,15 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_partkey"))
     }),
 
+    // temperature-τ=½ corpus mixing: the q94 budget spread √-flattened —
+    // small (lang, source) domains get upweighted exactly, Σalloc = 1000
+    // by Hamilton construction; ⌊√(n·10⁶)⌋ is the one canonical double hop
+    "s18_temperature_mix" -> ((s, d) => {
+      Sampling.temperatureMixtureAlloc(Tables.documents(s, d),
+          Seq("lang", "source"), budget = 1000L)
+        .orderBy("lang", "source")
+    }),
+
     // daily-seasonality detector: Pearson autocorrelation of the hourly
     // event-count series at lag 24 h — the series is already aggregate-
     // sized, the lag pair comes from an equi-join on h−24 (hours absent
@@ -4241,6 +4250,23 @@ object SparkEntry {
         |FROM pp, t JOIN part ON l_partkey = p_partkey
         |WHERE rev > total // 2000
         |ORDER BY revenue DESC, l_partkey""".stripMargin,
+
+    // q94's Hamilton SQL over ⌊√(n·10⁶)⌋ weights; FLOOR(SQRT(...)) is the
+    // same correctly-rounded double pipeline as the Spark side
+    "s18_temperature_mix" ->
+      """WITH st AS (SELECT lang, source, COUNT(*) AS n_rows FROM documents GROUP BY 1, 2),
+        |ws AS (SELECT lang, source, n_rows,
+        |    CAST(FLOOR(SQRT((n_rows::DOUBLE) * 1000000.0)) AS BIGINT) AS w FROM st),
+        |t AS (SELECT *, CAST(SUM(w) OVER () AS BIGINT) AS tw FROM ws),
+        |q AS (SELECT lang, source, n_rows, w,
+        |    CAST((1000*w) // tw AS BIGINT) AS quota,
+        |    CAST((1000*w) % tw AS BIGINT) AS rem FROM t),
+        |x AS (SELECT *, CAST(1000 - SUM(quota) OVER () AS BIGINT) AS leftover,
+        |    ROW_NUMBER() OVER (ORDER BY rem DESC, lang, source) AS rk FROM q)
+        |SELECT lang, source, n_rows, w, quota,
+        |  CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+        |  CAST(quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM x ORDER BY lang, source""".stripMargin,
 
     // q95's moment CTE over the lag-24 joined hourly series
     "q105_autocorrelation" ->

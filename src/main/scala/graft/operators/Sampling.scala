@@ -208,6 +208,41 @@ object Sampling {
       .select(g ++ Seq(col("n_rows"), col("quota"), col("extra"), col("alloc")): _*)
   }
 
+  /** Temperature-scaled mixture allocation (τ = ½): spread a sample budget
+    * across strata proportional to √size instead of size — the standard
+    * LLM-corpus mixing move (multinomial sampling with temperature, as in
+    * the GPT-3 / XLM-R data recipes) that upweights small domains without
+    * letting any one giant domain dominate.
+    *
+    * Exactness: the weight is `⌊√(n·10⁶)⌋` — one long→double conversion,
+    * one IEEE sqrt, one floor, all correctly rounded and therefore
+    * bit-identical across engines (the repo's canonical-double rule); the
+    * apportionment over those integer weights is the same Hamilton
+    * largest-remainder scheme as [[largestRemainderAlloc]], so Σalloc =
+    * budget ALWAYS. Same scale shape too: one stratum count, then
+    * stratum-sized windows. */
+  def temperatureMixtureAlloc(
+      df: DataFrame,
+      strataCols: Seq[String],
+      budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val g = strataCols.map(col)
+    val strata = df.groupBy(g: _*).agg(count(lit(1)).as("n_rows"))
+      .withColumn("w", floor(sqrt(col("n_rows").cast("double") * lit(1000000.0))).cast("long"))
+    val wAll = Window.partitionBy()
+    val withTot = strata.withColumn("__W", sum(col("w")).over(wAll))
+    val quota = call_function("div", lit(budget) * col("w"), col("__W"))
+    val rem = (lit(budget) * col("w")) % col("__W")
+    val q = withTot.withColumn("quota", quota).withColumn("__rem", rem)
+      .withColumn("__left", lit(budget) - sum(col("quota")).over(wAll))
+      .withColumn("__rk",
+        row_number().over(Window.orderBy((col("__rem").desc +: g): _*)))
+    q.withColumn("extra", (col("__rk") <= col("__left")).cast("long"))
+      .withColumn("alloc", col("quota") + col("extra"))
+      .select(g ++ Seq(col("n_rows"), col("w"), col("quota"), col("extra"), col("alloc")): _*)
+  }
+
   def trainValTestSplit(
       df: DataFrame,
       keyCol: String,

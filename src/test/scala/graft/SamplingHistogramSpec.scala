@@ -213,6 +213,23 @@ class SamplingHistogramSpec extends SparkSpec {
     got.map(_._5).sum shouldBe 7L
   }
 
+  "Sampling.temperatureMixtureAlloc" should "flatten toward sqrt weights and hit the budget" in {
+    import spark.implicits._
+    // strata 1/4/16: weights ⌊√(n·10⁶)⌋ = 1000/2000/4000, W = 7000;
+    // quotas of budget 10: 1 (rem 3000) / 2 (rem 6000) / 5 (rem 5000);
+    // leftover 2 → b and c. Linear alloc would be ~0/2/8: a is upweighted.
+    val rows = Seq.fill(1)("a") ++ Seq.fill(4)("b") ++ Seq.fill(16)("c")
+    val got = Sampling.temperatureMixtureAlloc(rows.toDF("s"), Seq("s"), budget = 10L)
+      .orderBy("s")
+      .select("s", "n_rows", "w", "quota", "extra", "alloc")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    got shouldBe Seq(
+      ("a", 1L, 1000L, 1L, 0L, 1L),
+      ("b", 4L, 2000L, 2L, 1L, 3L),
+      ("c", 16L, 4000L, 5L, 1L, 6L))
+    got.map(_._6).sum shouldBe 10L
+  }
+
   it should "sum to the budget for adversarial remainders" in {
     import spark.implicits._
     // 7 equal strata, budget 10: quotas 1 each, 3 extras by tie-broken key order

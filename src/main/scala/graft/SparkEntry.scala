@@ -1660,6 +1660,16 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_partkey"))
     }),
 
+    // PPJoin-family prefix-filtered similarity join: LOSSLESS candidates
+    // (unlike LSH/blocking) — rarest-first gram prefixes + in-join size
+    // filter, exact merge-count verify; the oracle is the plain all-pairs
+    // definition because the filter provably misses nothing
+    "d19_prefix_join" -> ((s, d) => {
+      Dedup.prefixFilterJaccard(Tables.documents(s, d), "doc_id", "text",
+          tNum = 1L, tDen = 2L)
+        .orderBy("id_a", "id_b")
+    }),
+
     // temperature-τ=½ corpus mixing: the q94 budget spread √-flattened —
     // small (lang, source) domains get upweighted exactly, Σalloc = 1000
     // by Hamilton construction; ⌊√(n·10⁶)⌋ is the one canonical double hop
@@ -4250,6 +4260,25 @@ object SparkEntry {
         |FROM pp, t JOIN part ON l_partkey = p_partkey
         |WHERE rev > total // 2000
         |ORDER BY revenue DESC, l_partkey""".stripMargin,
+
+    // the DEFINITION the lossless filter implements: all pairs, bigram-set
+    // Jaccard ≥ 1/2 as the integer test 2·inter ≥ union; raw gram strings
+    // intersect identically to the engine's 60-bit hashes
+    "d19_prefix_join" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |g AS (SELECT doc_id, list_sort(list_distinct(
+         |    [t[i] || ' ' || t[i+1] for i in range(1, len(t))])) AS gs FROM tk),
+         |sets AS (SELECT doc_id, gs, CAST(len(gs) AS BIGINT) AS n FROM g
+         |  WHERE len(gs) > 0),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) AS inter,
+         |    a.n AS na, b.n AS nb
+         |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+         |    AND a.n <= 2*b.n AND b.n <= 2*a.n)
+         |SELECT id_a, id_b, inter,
+         |  inter::DOUBLE / (na + nb - inter) AS jaccard
+         |FROM p WHERE 2*inter >= na + nb - inter
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // q94's Hamilton SQL over ⌊√(n·10⁶)⌋ weights; FLOOR(SQRT(...)) is the
     // same correctly-rounded double pipeline as the Spark side

@@ -519,6 +519,68 @@ object Dedup {
     * shuffle of train grams; the only aggregation is per-doc counting of
     * the (rare) hits. Gram sets are built by the native one-pass
     * WordNgramHashSet. */
+  /** Prefix-filtered set-similarity self-join (the SSJoin/PPJoin family:
+    * Chaudhuri et al. ICDE'06, Xiao et al. WWW'08) over word-bigram sets —
+    * LOSSLESS candidate generation, unlike LSH banding (d2, probabilistic)
+    * or rare-gram blocking (d4, heuristic): the output is EXACTLY every
+    * pair with Jaccard ≥ tNum/tDen.
+    *
+    * Why it's lossless: order every document's gram set by ascending
+    * document frequency (ties by hash — a global total order) and keep only
+    * the first `|x| − ⌈t·|x|⌉ + 1` grams as its PREFIX. If J(x,y) ≥ t then
+    * |y| ≥ t·|x|, so the required overlap ⌈t/(1+t)·(|x|+|y|)⌉ ≥ ⌈t·|x|⌉,
+    * and two sets meeting it must collide inside both prefixes — so the
+    * prefix-postings self-join misses nothing. Rarest-first ordering makes
+    * those postings the SMALLEST possible buckets.
+    *
+    * Scale shape: candidates come from an equi-join on prefix gram hashes
+    * (∝ Σ prefix-bucket², concentrated on rare grams), cut further by the
+    * size filter t·|a| ≤ |b| ≤ |a|/t applied IN the join; the exact verify
+    * is one codegen'd sorted-merge intersect per surviving candidate. The
+    * gram-set frame is checkpointed once (re-read by df count, prefix
+    * build, and both verify sides).
+    *
+    * Threshold is a rational tNum/tDen so the ≥-t test is the integer
+    * comparison tDen·inter ≥ tNum·(union) — no double-boundary flake.
+    * Returns (id_a, id_b, inter, jaccard). */
+  def prefixFilterJaccard(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tNum: Long = 1L,
+      tDen: Long = 2L): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val sets = Par.fanOut(docs)
+      .select(col(idCol).as("doc"),
+        hashedSet(wordNgrams(tokens(col(textCol)), 2)).as("ts"))
+      .withColumn("sz", size(col("ts")).cast("long"))
+      .filter(col("sz") > 0L)
+      .localCheckpoint(true)
+    val exploded = sets.select(col("doc"), col("sz"), explode(col("ts")).as("h"))
+    val dfreq = exploded.groupBy("h").agg(count(lit(1)).as("df"))
+    val prefix = exploded.join(dfreq, "h")
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("doc").orderBy(col("df"), col("h"))))
+      .filter(col("rn") <= col("sz") - expr(s"(sz * $tNum + ${tDen - 1}) div $tDen") + 1L)
+      .select(col("h"), col("doc"), col("sz"))
+    val cand = prefix.select(col("h"), col("doc").as("id_a"), col("sz").as("na"))
+      .join(prefix.select(col("h"), col("doc").as("id_b"), col("sz").as("nb")), "h")
+      .filter(col("id_a") < col("id_b") &&
+        col("na") * tNum <= col("nb") * tDen &&
+        col("nb") * tNum <= col("na") * tDen)
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sets.select(col("doc").as("id_a"), col("ts").as("ta"), col("sz").as("na")), "id_a")
+      .join(sets.select(col("doc").as("id_b"), col("ts").as("tb"), col("sz").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        sortedIntersectCount(col("ta"), col("tb")).as("inter"), col("na"), col("nb"))
+      .filter(col("inter") * tDen >= (col("na") + col("nb") - col("inter")) * tNum)
+      .select(col("id_a"), col("id_b"), col("inter"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+  }
+
   def decontaminate(
       train: DataFrame,
       eval: DataFrame,

@@ -130,6 +130,27 @@ class DedupSpec extends SparkSpec {
       minShared = 1L).count() shouldBe 45L // 10*9/2 uncapped
   }
 
+  "Dedup.prefixFilterJaccard" should "equal brute-force all-pairs bigram Jaccard (losslessness)" in {
+    // random word-salad docs over a tiny vocab — adversarial for a lossy
+    // filter: many borderline pairs straddle the threshold
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val docs = (1L to 40L).map(i =>
+      (i, (0 until 6 + rnd.nextInt(8)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.prefixFilterJaccard(df, "doc_id", "text", tNum = 1L, tDen = 2L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute force on the same bigram SETS
+    def grams(t: String): Set[String] =
+      t.split(" ").sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet
+    val brute = (for {
+      (i, ti) <- docs; (j, tj) <- docs if i < j
+      gi = grams(ti); gj = grams(tj) if gi.nonEmpty && gj.nonEmpty
+      inter = (gi & gj).size if 2 * inter >= gi.size + gj.size - inter
+    } yield (i, j)).toSet
+    got shouldBe brute
+  }
+
   "Dedup.ngramJaccardBlocked" should "score identical docs 1.0 and near-dups high, within blocks" in {
     val blocked = docs.withColumn("blk", lit(1))
     val pairs = Dedup.ngramJaccardBlocked(blocked, "doc_id", "text",

@@ -1660,6 +1660,21 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_partkey"))
     }),
 
+    // incremental graph maintenance: components of the pre-2000 customer–
+    // supplier graph are CONTRACTED to their labels, and only the 2000+
+    // delta edges run through CC again — min-of-mins makes it exactly ≡
+    // recomputing on the full edge log, which is what the oracle does
+    "q107_incremental_cc" -> ((s, d) => {
+      val e = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c:"), col("o_custkey")).as("src"),
+          concat(lit("s:"), col("l_suppkey")).as("dst"),
+          Tables.epochUs(col("o_orderdate")).as("odate_us"))
+      val base = e.filter(col("odate_us") < lit(Jan1_00)).select("src", "dst")
+      val delta = e.filter(col("odate_us") >= lit(Jan1_00)).select("src", "dst")
+      GraphAlgorithms.incrementalComponents(s, base, delta).orderBy("vertex")
+    }),
+
     // PPJoin-family prefix-filtered similarity join: LOSSLESS candidates
     // (unlike LSH/blocking) — rarest-first gram prefixes + in-join size
     // filter, exact merge-count verify; the oracle is the plain all-pairs
@@ -4260,6 +4275,22 @@ object SparkEntry {
         |FROM pp, t JOIN part ON l_partkey = p_partkey
         |WHERE rev > total // 2000
         |ORDER BY revenue DESC, l_partkey""".stripMargin,
+
+    // full-graph recompute (q12's reach fixpoint) over ALL edges — the
+    // incremental contraction must land on identical min-vertex labels
+    "q107_incremental_cc" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), sym AS (
+        |  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+        |), reach(a, b) AS (
+        |  SELECT src, src FROM sym
+        |  UNION
+        |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+        |)
+        |SELECT a AS vertex, MIN(b) AS component FROM reach GROUP BY a
+        |ORDER BY vertex""".stripMargin,
 
     // the DEFINITION the lossless filter implements: all pairs, bigram-set
     // Jaccard ≥ 1/2 as the integer test 2·inter ≥ union; raw gram strings

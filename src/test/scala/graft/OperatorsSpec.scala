@@ -843,6 +843,31 @@ class GraphSpec extends SparkSpec {
     got shouldBe Seq((1L, 0), (2L, 1))
   }
 
+  "incrementalComponents" should "equal a full recompute on random edge splits" in {
+    val rnd = new scala.util.Random(23)
+    // sparse random graph: 60 vertices, 50 edges → several components
+    val all = (1 to 50).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    val (baseE, deltaE) = all.partition(_ => rnd.nextBoolean())
+    val inc = GraphAlgorithms.incrementalComponents(spark,
+        baseE.toDF("src", "dst"), deltaE.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    val full = GraphAlgorithms.connectedComponents(spark, all.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    inc shouldBe full
+  }
+
+  it should "handle an empty delta and a delta that bridges components" in {
+    val base = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+    GraphAlgorithms.incrementalComponents(spark, base,
+        Seq.empty[(Long, Long)].toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap shouldBe
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L)
+    GraphAlgorithms.incrementalComponents(spark, base, Seq((2L, 3L)).toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap shouldBe
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L)
+  }
+
   "connectedComponents" should "merge components transitively (AnalyticsSystemSpec 1-2/3-4/2-3)" in {
     val edges = Seq(("1", "2"), ("3", "4"), ("2", "3")).toDF("src", "dst")
     val cc = GraphAlgorithms.connectedComponents(spark, edges)

@@ -1660,6 +1660,39 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_partkey"))
     }),
 
+    // item-item collaborative filtering: cosine over the (customer, part,
+    // Σquantity) matrix — co-rated pairs from the per-user self-join with
+    // whole-heavy-user drop (cap 40 → ≤1600 pairs/user), exact integer
+    // dots/norms, one canonical double division, TakeOrdered top-20
+    "s19_item_cosine" -> ((s, d) => {
+      val rat = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
+        .agg(sum(round(col("l_quantity") * 100).cast("long")).as("q"))
+      Similarity.itemCosine(rat, "u", "i", "q", maxUserItems = 40L, k = 20)
+        .orderBy("rank")
+    }),
+
+    // degree assortativity of the co-purchase graph (Newman 2002): Pearson
+    // over (deg u, deg v) across directed edge endpoints — do hubs link to
+    // hubs? Exact integer moments on a degree-join of the edge list; the
+    // symmetric adjacency makes x/y marginals identical
+    "q108_degree_assortativity" -> ((s, d) => {
+      val edges = GraphAlgorithms.cooccurrenceEdges(Tables.lineitem(s, d),
+        "l_orderkey", "l_partkey", minSupport = 2L, maxBasketSize = 5L)
+        .localCheckpoint(true)
+      val adj = edges.select(col("src").as("u"), col("dst").as("v"))
+        .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
+      val deg = adj.groupBy("u").agg(count(lit(1)).as("dg"))
+      val pairs = adj
+        .join(deg.select(col("u"), col("dg").as("du")), "u")
+        .join(deg.select(col("u").as("v"), col("dg").as("dv")), "v")
+        .withColumn("graph", lit("copurchase"))
+      Analytics.groupedCorrelation(pairs, Seq("graph"), "du", "dv")
+        .withColumnRenamed("corr", "assortativity")
+        .orderBy("graph")
+    }),
+
     // incremental graph maintenance: components of the pre-2000 customer–
     // supplier graph are CONTRACTED to their labels, and only the 2000+
     // delta edges run through CC again — min-of-mins makes it exactly ≡
@@ -4275,6 +4308,50 @@ object SparkEntry {
         |FROM pp, t JOIN part ON l_partkey = p_partkey
         |WHERE rev > total // 2000
         |ORDER BY revenue DESC, l_partkey""".stripMargin,
+
+    // same cap-and-drop matrix on both sides; dot::DOUBLE/sqrt(na*nb) is
+    // the canonical double tree
+    "s19_item_cosine" ->
+      """WITH r AS (SELECT o_custkey AS u, l_partkey AS i,
+        |    CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+        |c AS (SELECT u, COUNT(*) AS ni FROM r GROUP BY 1),
+        |rc AS (SELECT r.* FROM r JOIN c USING (u) WHERE ni <= 40),
+        |nrm AS (SELECT i, CAST(SUM(q*q) AS BIGINT) AS n2 FROM rc GROUP BY 1),
+        |d AS (SELECT a.i AS item_a, b.i AS item_b,
+        |    CAST(SUM(a.q*b.q) AS BIGINT) AS dot
+        |  FROM rc a JOIN rc b ON a.u = b.u AND a.i < b.i GROUP BY 1, 2),
+        |sc AS (SELECT item_a, item_b, dot,
+        |    dot::DOUBLE / sqrt(na.n2::DOUBLE * nb.n2::DOUBLE) AS cosine
+        |  FROM d JOIN nrm na ON na.i = d.item_a JOIN nrm nb ON nb.i = d.item_b),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY cosine DESC, item_a, item_b) AS rank
+        |  FROM sc)
+        |SELECT CAST(rank AS INTEGER) AS rank, item_a, item_b, dot, cosine
+        |FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // s17's edge CTEs → degree join → q95's moment algebra
+    "q108_degree_assortativity" ->
+      """WITH li0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |li AS (SELECT o, p FROM (SELECT o, p, COUNT(*) OVER (PARTITION BY o) AS bn
+        |    FROM li0) WHERE bn <= 5),
+        |e AS (SELECT x.p AS a, y.p AS b
+        |      FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT u, COUNT(*) AS dg FROM adj GROUP BY 1),
+        |p AS (SELECT du.dg AS x, dv.dg AS y
+        |  FROM adj JOIN deg du ON du.u = adj.u JOIN deg dv ON dv.u = adj.v),
+        |m AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+        |    CAST(SUM(x*x) AS HUGEINT) AS sxx, CAST(SUM(y*y) AS HUGEINT) AS syy,
+        |    CAST(SUM(x*y) AS HUGEINT) AS sxy
+        |  FROM p),
+        |d AS (SELECT n, n*sxy - sx*sy AS num, n*sxx - sx*sx AS d1,
+        |    n*syy - sy*sy AS d2 FROM m)
+        |SELECT 'copurchase' AS graph, n,
+        |  CASE WHEN d1 > 0 AND d2 > 0
+        |    THEN num::DOUBLE / sqrt(d1::DOUBLE * d2::DOUBLE) END AS assortativity
+        |FROM d ORDER BY graph""".stripMargin,
 
     // full-graph recompute (q12's reach fixpoint) over ALL edges — the
     // incremental contraction must land on identical min-vertex labels

@@ -726,4 +726,50 @@ object Similarity {
           lit(1000000L) * coalesce(col("n_hits"), lit(0L)), lit(k.toLong))
           .as("recall_ppm"))
   }
+
+  /** Item–item cosine similarity over a sparse (user, item, value) rating
+    * matrix — the classic "customers who bought X also bought Y, weighted"
+    * collaborative-filtering neighborhood (Sarwar et al., WWW'01).
+    *
+    * Exactness: dots and squared norms are integer sums over the SAME
+    * capped matrix; the only double is the final
+    * `dot / √(‖a‖²·‖b‖²)` — the repo's canonical one-hop division.
+    *
+    * Scale shape: co-rated pairs come from the per-user self-join, so one
+    * power user owns a quadratic pair set — users with more than
+    * `maxUserItems` distinct items are dropped WHOLE (the same
+    * cap-and-drop rule as every capped operator here, mirrored by the
+    * oracle) bounding per-user work at cap²; norms are one item-keyed
+    * aggregate; the top-k is TakeOrdered. The capped matrix is
+    * checkpointed once (read by norms + both pair sides).
+    *
+    * Returns (rank, item_a, item_b, dot, cosine), top `k` by cosine. */
+  def itemCosine(
+      ratings: DataFrame,
+      userCol: String,
+      itemCol: String,
+      valueCol: String,
+      maxUserItems: Long,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = ratings.groupBy(userCol).agg(count(lit(1)).as("__ni"))
+    val rc = ratings.join(cnt, userCol).filter(col("__ni") <= maxUserItems)
+      .select(col(userCol).as("__u"), col(itemCol).as("__i"), col(valueCol).as("__q"))
+      .localCheckpoint(true)
+    val nrm = rc.groupBy("__i").agg(sum(col("__q") * col("__q")).as("n2"))
+    val dots = rc.select(col("__u"), col("__i").as("item_a"), col("__q").as("qa"))
+      .join(rc.select(col("__u"), col("__i").as("item_b"), col("__q").as("qb")), "__u")
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(sum(col("qa") * col("qb")).as("dot"))
+    val scored = dots
+      .join(nrm.select(col("__i").as("item_a"), col("n2").as("na")), "item_a")
+      .join(nrm.select(col("__i").as("item_b"), col("n2").as("nb")), "item_b")
+      .withColumn("cosine",
+        col("dot").cast("double") / sqrt(col("na").cast("double") * col("nb").cast("double")))
+    scored.orderBy(col("cosine").desc, col("item_a"), col("item_b")).limit(k)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("cosine").desc, col("item_a"), col("item_b"))).cast("int"))
+      .select(col("rank"), col("item_a"), col("item_b"), col("dot"), col("cosine"))
+  }
 }

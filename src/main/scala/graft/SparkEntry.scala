@@ -1660,6 +1660,27 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_partkey"))
     }),
 
+    // followed-by operator: for EVERY click, did the same user purchase
+    // within 10 min — the event-sequence join expressed as one ordered
+    // window (min future purchase ts over the strict-following frame), no
+    // per-event self-join; conversion curve by hour of day in exact ppm
+    "q109_followed_by" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      e.withColumn("next_p",
+          min(when(col("event_type") === "purchase", col("ts_us"))).over(w))
+        .filter(col("event_type") === "click")
+        .withColumn("hour", expr("(ts_us div 3600000000) % 24"))
+        .groupBy("hour")
+        .agg(count(lit(1)).as("n_clicks"),
+          sum((col("next_p").isNotNull &&
+            col("next_p") - col("ts_us") <= lit(600000000L)).cast("long")).as("n_conv"))
+        .withColumn("conv_ppm", expr("(n_conv * 1000000) div n_clicks"))
+        .orderBy("hour")
+    }),
+
     // item-item collaborative filtering: cosine over the (customer, part,
     // Σquantity) matrix — co-rated pairs from the per-user self-join with
     // whole-heavy-user drop (cap 40 → ≤1600 pairs/user), exact integer
@@ -4308,6 +4329,23 @@ object SparkEntry {
         |FROM pp, t JOIN part ON l_partkey = p_partkey
         |WHERE rev > total // 2000
         |ORDER BY revenue DESC, l_partkey""".stripMargin,
+
+    // MIN over the strict-following ROWS frame on the same total order
+    "q109_followed_by" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+        |  FROM events),
+        |n AS (SELECT event_type, ts_us,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN ts_us END)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_p
+        |  FROM e),
+        |c AS (SELECT (ts_us // 3600000000) % 24 AS hour,
+        |    CASE WHEN next_p IS NOT NULL AND next_p - ts_us <= 600000000
+        |      THEN 1 ELSE 0 END AS conv
+        |  FROM n WHERE event_type = 'click')
+        |SELECT hour, COUNT(*) AS n_clicks, CAST(SUM(conv) AS BIGINT) AS n_conv,
+        |  CAST((CAST(SUM(conv) AS BIGINT) * 1000000) // COUNT(*) AS BIGINT) AS conv_ppm
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same cap-and-drop matrix on both sides; dot::DOUBLE/sqrt(na*nb) is
     // the canonical double tree

@@ -108,6 +108,13 @@ object PlanAudit {
     "q89_distribution_drift" -> "drift monitor: one partial-agg'd shuffle on (group, bin), cohort totals via a window over BIN-sized rows, TV in exact integer cross-products — probabilities never materialize as floats",
     "q90_peak_concurrency" -> "sweep line: 2 delta points per interval, ONE ordered window per group — the O(n^2) overlap self-join never forms; peak and attaining time are order-free under tied timestamps",
     "d18_consensus_dedup" -> "consensus: each detector keeps its own bounded candidate shape; the merge full-outer-joins PAIR-sized frames on (id_a, id_b) — the corpus is never touched by the consensus step",
+    "q96_small_qty_parts" -> "decorrelated correlated-avg subquery (Q17 shape): per-part aggregate re-joined on the SAME key (one extra fact shuffle, no per-row subquery), threshold cross-multiplied to integers, dim broadcast — at 100x the only growth is the two part-keyed exchanges",
+    "q97_waiting_suppliers" -> "EXISTS/NOT-EXISTS decorrelated into per-order counts (Q21 shape): two chained partial-agg'd group-bys on keys the join already shuffled by — no correlated probes, no row-at-a-time semi-joins",
+    "q99_bfs_hops" -> "frontier BFS: each round joins the FRONTIER (not the cumulative labels) to the adjacency and anti-joins known nodes — work tracks the expanding wavefront; round count constant; frontier + labels checkpoint per round so lineage stays flat",
+    "q101_cusum" -> "CUSUM in closed form: prefix sum and prefix min share ONE ordered window exchange per key; the per-type integer target is a 5-row broadcast — the sequential monitor never runs sequentially",
+    "d19_prefix_join" -> "prefix-filtered similarity join: candidates from the RAREST-first prefix postings (lossless — provably superset of all qualifying pairs), size filter applied inside the join, exact verify one codegen'd merge-intersect per candidate; gram sets checkpointed once, read by df/prefix/verify",
+    "q107_incremental_cc" -> "incremental CC: the delta CC runs on the CONTRACTED graph (component-label vertices + delta edges), the 100 TB base edge log contributes only its label table, re-joined once — base edges are never re-iterated",
+    "s19_item_cosine" -> "item-item CF: co-rated pairs from the per-user self-join with whole-heavy-user drop (cap^2 bound per user), norms one item-keyed partial agg, capped matrix checkpointed once; top-k is TakeOrdered",
     "s13_pq_topk" -> "PQ ANN: codebooks are driver literals (m x ksub x subDim longs), the 8-code encode is ONE zero-shuffle codegen'd projection, queries broadcast — the searchable index is codes (8 small ints/vector), 64x narrower than the vectors",
     "s14_pq_rerank" -> "two-stage retrieval: the code index narrows to poolSize candidates per query; ONLY those rows join back to the full-vector table for the exact re-rank — full vectors are read per-candidate, never per-corpus",
     "s15_kcenter_coreset" -> "farthest-first coreset: the corpus carries ONE integer dmin register; each of the k rounds is a map-side LEAST relax + a top-1 reduction (one-row collect) — no pairwise distance matrix ever forms, cost is k scans of a checkpointed narrow frame",

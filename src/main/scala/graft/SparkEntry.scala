@@ -1660,6 +1660,53 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_partkey"))
     }),
 
+    // exact weighted median price per (flag, status): smallest value whose
+    // tie-inclusive running weight reaches half the total — the RANGE
+    // default frame makes ties structural, 2·cum ≥ tot keeps it integer
+    "q110_weighted_median" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_returnflag"), col("l_linestatus"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
+        round(col("l_quantity") * 100).cast("long").as("wq"))
+      Analytics.weightedMedian(li, Seq("l_returnflag", "l_linestatus"),
+          "price_cents", "wq")
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // PMI keyword pairs: top-20 token pairs by pointwise mutual information
+    // (ranked by the exact rational N·c(a,b)/(c(a)·c(b)) — log is monotone,
+    // so it never needs to exist); pairs explode row-locally from per-doc
+    // distinct token arrays, counts are two partial-agg'd shuffles
+    "t20_pmi_pairs" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), array_sort(array_distinct(tokens(col("text")))).as("ps"))
+      val nDocs = base.agg(count(lit(1)).as("nd"))
+      val tokc = base.select(explode(col("ps")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val n = size(col("ps"))
+      val pairs = base.filter(size(col("ps")) >= 2)
+        .select(explode(flatten(transform(
+          sequence(lit(0), n - 2),
+          i => transform(
+            sequence(i + 1, n - 1),
+            j => struct(
+              element_at(col("ps"), i + 1).as("a"),
+              element_at(col("ps"), j + 1).as("b")))))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= 5L)
+      pairs
+        .join(tokc.select(col("tok").as("a"), col("c").as("ca")), "a")
+        .join(tokc.select(col("tok").as("b"), col("c").as("cb")), "b")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("pmi_ratio",
+          (col("nd") * col("cab")).cast("double") / (col("ca") * col("cb")).cast("double"))
+        .orderBy(col("pmi_ratio").desc, col("a"), col("b")).limit(20)
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(col("pmi_ratio").desc, col("a"), col("b"))).cast("int"))
+        .select(col("rank"), col("a"), col("b"), col("cab"), col("pmi_ratio"))
+        .orderBy("rank")
+    }),
+
     // followed-by operator: for EVERY click, did the same user purchase
     // within 10 min — the event-sequence join expressed as one ordered
     // window (min future purchase ts over the strict-following frame), no
@@ -4329,6 +4376,42 @@ object SparkEntry {
         |FROM pp, t JOIN part ON l_partkey = p_partkey
         |WHERE rev > total // 2000
         |ORDER BY revenue DESC, l_partkey""".stripMargin,
+
+    // default ordered frame is RANGE (tie-inclusive) in BOTH engines —
+    // the structural tie-safety the operator relies on
+    "q110_weighted_median" ->
+      """WITH li AS (SELECT l_returnflag, l_linestatus,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS v,
+        |    CAST(round(l_quantity*100) AS BIGINT) AS wq
+        |  FROM lineitem),
+        |w AS (SELECT l_returnflag, l_linestatus, v, wq,
+        |    CAST(SUM(wq) OVER (PARTITION BY l_returnflag, l_linestatus
+        |      ORDER BY v) AS BIGINT) AS cum,
+        |    CAST(SUM(wq) OVER (PARTITION BY l_returnflag, l_linestatus)
+        |      AS BIGINT) AS tot
+        |  FROM li)
+        |SELECT l_returnflag, l_linestatus,
+        |  MIN(CASE WHEN cum*2 >= tot THEN v END) AS wmedian,
+        |  COUNT(*) AS n, MAX(tot) AS total_weight
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // pair counts via the doc-keyed self-join (≡ the engine's in-array
+    // explode on the same distinct sets); rank by the exact rational
+    "t20_pmi_pairs" ->
+      s"""WITH tk AS (SELECT doc_id, list_sort(list_distinct($toksSql)) AS ps FROM documents),
+         |nd AS (SELECT COUNT(*) AS nd FROM tk),
+         |po AS (SELECT doc_id, unnest(ps) AS tok FROM tk),
+         |tc AS (SELECT tok, COUNT(*) AS c FROM po GROUP BY 1),
+         |pairs AS (SELECT x.tok AS a, y.tok AS b, COUNT(*) AS cab
+         |  FROM po x JOIN po y ON x.doc_id = y.doc_id AND x.tok < y.tok
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+         |sc AS (SELECT a, b, cab,
+         |    ((SELECT nd FROM nd) * cab)::DOUBLE / (ca.c * cb.c)::DOUBLE AS pmi_ratio
+         |  FROM pairs JOIN tc ca ON ca.tok = a JOIN tc cb ON cb.tok = b),
+         |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY pmi_ratio DESC, a, b) AS rank
+         |  FROM sc)
+         |SELECT CAST(rank AS INTEGER) AS rank, a, b, cab, pmi_ratio
+         |FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     // MIN over the strict-following ROWS frame on the same total order
     "q109_followed_by" ->

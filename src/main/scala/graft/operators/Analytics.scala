@@ -715,6 +715,37 @@ object Analytics {
         min(col("__last")).as("last_v"))
   }
 
+  /** Exact weighted median per group: the smallest value v such that
+    * Σ weight(rows with value ≤ v) ≥ half the group's total weight.
+    *
+    * Tie-safety is structural: the running weight sum uses the DEFAULT
+    * ordered-window frame — RANGE UNBOUNDED PRECEDING TO CURRENT ROW in
+    * both Spark and DuckDB — which includes ALL rows tied on the value, so
+    * the cumulative sum at any value is well-defined no matter how ties
+    * land across partitions. The ≥-half test is the integer comparison
+    * 2·cum ≥ total (no halving, no doubles).
+    *
+    * Scale shape: ONE ordered window exchange per group (running sum and
+    * group total share it) + one order-free min aggregate. */
+  def weightedMedian(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      weightCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = keyCols.map(col)
+    val wOrd = Window.partitionBy(g: _*).orderBy(col(valueCol))
+    val wAll = Window.partitionBy(g: _*)
+    df
+      .withColumn("__cum", sum(col(weightCol)).over(wOrd))
+      .withColumn("__tot", sum(col(weightCol)).over(wAll))
+      .groupBy(g: _*)
+      .agg(
+        min(when(col("__cum") * 2 >= col("__tot"), col(valueCol))).as("wmedian"),
+        count(lit(1)).as("n"),
+        max(col("__tot")).as("total_weight"))
+  }
+
   /** One-sided CUSUM change detection (Page 1954) against a per-group
     * integer target: C_n = max(0, C_{n−1} + (x_n − target)).
     *

@@ -373,6 +373,28 @@ class AnalyticsSpec extends SparkSpec {
       ("b", 2 * day, 1L, 1L, 1L))
   }
 
+  "Analytics.weightedMedian" should "match the literal smallest-v-with-half-weight rule" in {
+    val rnd = new scala.util.Random(31)
+    val rows = for (k <- 0L until 8L; _ <- 0 until 40)
+      yield (k, rnd.nextInt(10).toLong, 1L + rnd.nextInt(5).toLong)
+    val got = Analytics.weightedMedian(rows.toDF("k", "v", "wq"), Seq("k"), "v", "wq")
+      .select("k", "wmedian").as[(Long, Long)].collect().toMap
+    rows.groupBy(_._1).foreach { case (k, h) =>
+      val tot = h.map(_._3).sum
+      val expect = h.map(_._2).distinct.sorted
+        .find(v => 2 * h.filter(_._2 <= v).map(_._3).sum >= tot).get
+      got(k) shouldBe expect
+    }
+  }
+
+  it should "be unaffected by tied values (RANGE frame includes all ties)" in {
+    // all weight sits on one tied value
+    val df = Seq(("g", 5L, 1L), ("g", 5L, 1L), ("g", 5L, 1L), ("g", 9L, 1L))
+      .toDF("k", "v", "wq")
+    Analytics.weightedMedian(df, Seq("k"), "v", "wq")
+      .select("wmedian").as[Long].head() shouldBe 5L
+  }
+
   "Analytics.groupedOls" should "recover slope/intercept from exact moments" in {
     // group a: exact line y = 3x + 7 → slope 3, intercept 7, r² = 1
     // group b: constant x → all-null fit

@@ -1771,8 +1771,13 @@ object SparkEntry {
         .select(concat(lit("c:"), col("o_custkey")).as("src"),
           concat(lit("s:"), col("l_suppkey")).as("dst"),
           Tables.epochUs(col("o_orderdate")).as("odate_us"))
+      // the join projection is re-read by CC (count + collect + vertices)
+      // and the contraction — checkpoint each half once (the repo's re-read
+      // rule); dedup first so the pinned blocks are edge-set-sized
       val base = e.filter(col("odate_us") < lit(Jan1_00)).select("src", "dst")
+        .localCheckpoint(true)
       val delta = e.filter(col("odate_us") >= lit(Jan1_00)).select("src", "dst")
+        .localCheckpoint(true)
       GraphAlgorithms.incrementalComponents(s, base, delta).orderBy("vertex")
     }),
 
@@ -1782,7 +1787,7 @@ object SparkEntry {
     // definition because the filter provably misses nothing
     "d19_prefix_join" -> ((s, d) => {
       Dedup.prefixFilterJaccard(Tables.documents(s, d), "doc_id", "text",
-          tNum = 1L, tDen = 2L)
+          tNum = 1L, tDen = 2L, blockCols = Seq("lang"))
         .orderBy("id_a", "id_b")
     }),
 
@@ -4494,15 +4499,15 @@ object SparkEntry {
     // Jaccard ≥ 1/2 as the integer test 2·inter ≥ union; raw gram strings
     // intersect identically to the engine's 60-bit hashes
     "d19_prefix_join" ->
-      s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
-         |g AS (SELECT doc_id, list_sort(list_distinct(
+      s"""WITH tk AS (SELECT doc_id, lang, $toksSql AS t FROM documents),
+         |g AS (SELECT doc_id, lang, list_sort(list_distinct(
          |    [t[i] || ' ' || t[i+1] for i in range(1, len(t))])) AS gs FROM tk),
-         |sets AS (SELECT doc_id, gs, CAST(len(gs) AS BIGINT) AS n FROM g
+         |sets AS (SELECT doc_id, lang, gs, CAST(len(gs) AS BIGINT) AS n FROM g
          |  WHERE len(gs) > 0),
          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |    CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) AS inter,
          |    a.n AS na, b.n AS nb
-         |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+         |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id AND a.lang = b.lang
          |    AND a.n <= 2*b.n AND b.n <= 2*a.n)
          |SELECT id_a, id_b, inter,
          |  inter::DOUBLE / (na + nb - inter) AS jaccard

@@ -542,33 +542,55 @@ object Dedup {
     *
     * Threshold is a rational tNum/tDen so the ≥-t test is the integer
     * comparison tDen·inter ≥ tNum·(union) — no double-boundary flake.
+    *
+    * Two further LOSSLESS cuts: the PPJoin position filter (see inline
+    * comment) drops candidates whose generating prefix positions cap the
+    * possible overlap below α, and optional `blockCols` scope the pair
+    * DEFINITION (e.g. near-dups within a language — the standard dedup
+    * practice), which shrinks every posting bucket by the block's share.
     * Returns (id_a, id_b, inter, jaccard). */
   def prefixFilterJaccard(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       tNum: Long = 1L,
-      tDen: Long = 2L): DataFrame = {
+      tDen: Long = 2L,
+      blockCols: Seq[String] = Seq.empty): DataFrame = {
     require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
     import org.apache.spark.sql.expressions.Window
+    val blocks = blockCols.map(col)
     val sets = Par.fanOut(docs)
-      .select(col(idCol).as("doc"),
-        hashedSet(wordNgrams(tokens(col(textCol)), 2)).as("ts"))
+      .select(col(idCol).as("doc") +: blocks :+
+        hashedSet(wordNgrams(tokens(col(textCol)), 2)).as("ts"): _*)
       .withColumn("sz", size(col("ts")).cast("long"))
       .filter(col("sz") > 0L)
       .localCheckpoint(true)
-    val exploded = sets.select(col("doc"), col("sz"), explode(col("ts")).as("h"))
+    val exploded = sets.select(
+      Seq(col("doc"), col("sz")) ++ blocks :+ explode(col("ts")).as("h"): _*)
     val dfreq = exploded.groupBy("h").agg(count(lit(1)).as("df"))
     val prefix = exploded.join(dfreq, "h")
       .withColumn("rn",
-        row_number().over(Window.partitionBy("doc").orderBy(col("df"), col("h"))))
+        row_number().over(Window.partitionBy("doc").orderBy(col("df"), col("h")))
+          .cast("long"))
       .filter(col("rn") <= col("sz") - expr(s"(sz * $tNum + ${tDen - 1}) div $tDen") + 1L)
-      .select(col("h"), col("doc"), col("sz"))
-    val cand = prefix.select(col("h"), col("doc").as("id_a"), col("sz").as("na"))
-      .join(prefix.select(col("h"), col("doc").as("id_b"), col("sz").as("nb")), "h")
+      .select(Seq(col("h")) ++ blocks ++ Seq(col("doc"), col("sz"), col("rn")): _*)
+    // PPJoin position filter (Xiao et al. WWW'08): a pair generated from
+    // prefix positions (i, j) can still overlap at most min(|a|−i, |b|−j)+1
+    // grams — below the required α = ⌈t/(1+t)·(|a|+|b|)⌉ the candidate
+    // cannot qualify and is dropped IN the join, before the distinct.
+    val alpha = (lit(tNum) * (col("na") + col("nb")) + lit(tNum + tDen - 1L))
+    val cand = prefix.select(
+        Seq(col("h")) ++ blocks ++
+          Seq(col("doc").as("id_a"), col("sz").as("na"), col("rn").as("ra")): _*)
+      .join(prefix.select(
+        Seq(col("h")) ++ blocks ++
+          Seq(col("doc").as("id_b"), col("sz").as("nb"), col("rn").as("rb")): _*),
+        "h" +: blockCols)
       .filter(col("id_a") < col("id_b") &&
         col("na") * tNum <= col("nb") * tDen &&
-        col("nb") * tNum <= col("na") * tDen)
+        col("nb") * tNum <= col("na") * tDen &&
+        least(col("na") - col("ra"), col("nb") - col("rb")) + 1L >=
+          call_function("div", alpha, lit(tNum + tDen)))
       .select("id_a", "id_b").distinct()
     cand
       .join(sets.select(col("doc").as("id_a"), col("ts").as("ta"), col("sz").as("na")), "id_a")

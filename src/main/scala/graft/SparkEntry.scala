@@ -1660,6 +1660,46 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_partkey"))
     }),
 
+    // sequential patterns (SPADE-lite): in how many sessions does type A
+    // occur BEFORE type B (any gap) — "exists a<b" collapses to the exact
+    // test min_ts(A) < max_ts(B), so the corpus reduces to one (session,
+    // type) min/max aggregate and the pair join is 25 rows per session max
+    "q111_seq_patterns" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      val sess = Sessionize.assign(ev, "user_id", "ts_us",
+        gapUs = 3600000000L, tieBreakCols = Seq("event_id"))
+      val st = sess.groupBy("user_id", "session_seq", "event_type")
+        .agg(min(col("ts_us")).as("tmin"), max(col("ts_us")).as("tmax"))
+      st.select(col("user_id"), col("session_seq"),
+          col("event_type").as("a"), col("tmin"))
+        .join(st.select(col("user_id"), col("session_seq"),
+          col("event_type").as("b"), col("tmax")), Seq("user_id", "session_seq"))
+        .filter(col("tmin") < col("tmax"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_sessions"))
+        .orderBy("a", "b")
+    }),
+
+    // ratio-to-parent rollup: nation revenue as exact ppm of its region and
+    // of the grand total — window sums over the NATION-sized aggregate, the
+    // fact table shuffles once
+    "q112_ratio_to_parent" -> ((s, d) => {
+      val rev = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+      rev
+        .withColumn("region_cents",
+          sum(col("rev_cents")).over(Window.partitionBy("r_name")))
+        .withColumn("total_cents", sum(col("rev_cents")).over(Window.partitionBy()))
+        .select(col("r_name"), col("n_name"), col("rev_cents"),
+          expr("(rev_cents * 1000000) div region_cents").as("of_region_ppm"),
+          expr("(rev_cents * 1000000) div total_cents").as("of_total_ppm"))
+        .orderBy("r_name", "n_name")
+    }),
+
     // exact weighted median price per (flag, status): smallest value whose
     // tie-inclusive running weight reaches half the total — the RANGE
     // default frame makes ties structural, 2·cum ≥ tot keeps it integer
@@ -4381,6 +4421,40 @@ object SparkEntry {
         |FROM pp, t JOIN part ON l_partkey = p_partkey
         |WHERE rev > total // 2000
         |ORDER BY revenue DESC, l_partkey""".stripMargin,
+
+    // q93's sessionization, then the min/max-per-(session, type) collapse
+    "q111_seq_patterns" ->
+      """WITH flagged AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |sess AS (SELECT user_id, ts_us, event_type,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM flagged),
+        |st AS (SELECT user_id, session_seq, event_type,
+        |    MIN(ts_us) AS tmin, MAX(ts_us) AS tmax
+        |  FROM sess GROUP BY 1, 2, 3)
+        |SELECT x.event_type AS a, y.event_type AS b, COUNT(*) AS n_sessions
+        |FROM st x JOIN st y ON x.user_id = y.user_id
+        |  AND x.session_seq = y.session_seq AND x.tmin < y.tmax
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // window sums over the nation-sized aggregate; `//` ≡ `div`, HUGEINT cast
+    "q112_ratio_to_parent" ->
+      """WITH rev AS (SELECT r_name, n_name,
+        |    CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |w AS (SELECT *, CAST(SUM(rev_cents) OVER (PARTITION BY r_name) AS BIGINT) AS rc,
+        |    CAST(SUM(rev_cents) OVER () AS BIGINT) AS tc FROM rev)
+        |SELECT r_name, n_name, rev_cents,
+        |  CAST((rev_cents * 1000000) // rc AS BIGINT) AS of_region_ppm,
+        |  CAST((rev_cents * 1000000) // tc AS BIGINT) AS of_total_ppm
+        |FROM w ORDER BY r_name, n_name""".stripMargin,
 
     // default ordered frame is RANGE (tie-inclusive) in BOTH engines —
     // the structural tie-safety the operator relies on

@@ -762,6 +762,19 @@ object SparkEntry {
     // recall@k evaluation: LSH (s2) graded against brute-force ground
     // truth (s1) — result-sized join, exact floor-ppm recall; queries the
     // index missed entirely surface as 0 instead of silently dropping
+    // graded ranking eval: NDCG@5 of LSH vs brute-force truth with the
+    // EXACT harmonic discount (lcm-scaled integer DCG, one division by the
+    // constant ideal) — charges the ANN for ranking good neighbors low,
+    // which recall@k (s12) cannot see
+    "s20_ndcg_eval" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      val qs = em.filter(col("vec_id") < 5)
+      val truth = Similarity.bruteForceTopK(em, qs, "vec_id", "embedding", k = 5)
+      val approx = Similarity.lshTopK(em, qs, "vec_id", "embedding", k = 5, numPlanes = 8)
+      Similarity.ndcgAt(truth, approx, k = 5)
+        .orderBy("query_id")
+    }),
+
     "s12_ann_recall" -> ((s, d) => {
       val em = Tables.embeddings(s, d)
       val qs = em.filter(col("vec_id") < 5)
@@ -1658,6 +1671,30 @@ object SparkEntry {
           // numerator headroom to ~$1e12 revenue per part (rev*1e6 would not)
           expr("(rev * 1000) div (total div 1000)").as("share_ppm"))
         .orderBy(col("revenue").desc, col("l_partkey"))
+    }),
+
+    // international trade matrix (TPC-H Q7 shape): revenue between distinct
+    // (supplier nation, customer nation) pairs by ship year — the fact
+    // table takes two key-joins (order, supplier) while all four dimension
+    // hops broadcast; year from UTC epoch µs is calendar-identical
+    "q113_nation_volume" -> ((s, d) => {
+      val cust = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .select(col("o_orderkey"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("l_orderkey"), col("n_name").as("supp_nation"),
+          year(col("l_shipdate").cast("timestamp")).as("ship_year"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+            .cast("long").as("rc"))
+        .join(cust, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "ship_year")
+        .agg(count(lit(1)).as("n_items"),
+          (sum(col("rc")).cast("double") / 10000.0).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
     }),
 
     // sequential patterns (SPADE-lite): in how many sessions does type A
@@ -3577,6 +3614,35 @@ object SparkEntry {
 
     // the s1 and s2 pipelines verbatim as CTEs, then a result-sized join;
     // recall_ppm uses DuckDB `//` ≡ Spark `div` (non-negative operands)
+    // s12's truth/approx CTEs with ranks kept; gain 6−rank, disc 60//(rank+1)
+    // (exact: 60 = lcm(2..6)), IDCG = 5·30+4·20+3·15+2·12+1·10 = 309
+    "s20_ndcg_eval" ->
+      s"""WITH q AS (SELECT vec_id, ${qvSql("embedding")} AS qv FROM embeddings),
+         |tp AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id, qq.qv AS qa, c.qv AS qb
+         |      FROM q qq JOIN q c ON qq.vec_id < 5 AND qq.vec_id != c.vec_id),
+         |tsims AS (SELECT query_id, neighbor_id, $cosSql AS cosine FROM tp),
+         |truth AS (SELECT query_id, neighbor_id, rank FROM (SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM tsims)
+         |  WHERE rank <= 5),
+         |bucketed AS (SELECT vec_id, qv, $lshBucketSql AS bucket FROM q),
+         |ap AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id, qq.qv AS qa, c.qv AS qb
+         |      FROM bucketed qq JOIN bucketed c ON qq.bucket = c.bucket
+         |        AND qq.vec_id < 5 AND qq.vec_id != c.vec_id),
+         |asims AS (SELECT query_id, neighbor_id, $cosSql AS cosine FROM ap),
+         |approx AS (SELECT query_id, neighbor_id, rank FROM (SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM asims)
+         |  WHERE rank <= 5),
+         |d AS (SELECT a.query_id,
+         |    CAST(SUM((6 - t.rank) * (60 // (a.rank + 1))) AS BIGINT) AS dcg_scaled
+         |  FROM approx a JOIN truth t
+         |    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+         |  GROUP BY 1)
+         |SELECT tq.query_id, CAST(COALESCE(d.dcg_scaled, 0) AS BIGINT) AS dcg_scaled,
+         |  COALESCE(d.dcg_scaled, 0)::DOUBLE / 309.0 AS ndcg
+         |FROM (SELECT DISTINCT query_id FROM truth) tq
+         |LEFT JOIN d ON tq.query_id = d.query_id
+         |ORDER BY tq.query_id""".stripMargin,
+
     "s12_ann_recall" ->
       s"""WITH q AS (SELECT vec_id, ${qvSql("embedding")} AS qv FROM embeddings),
          |tp AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id, qq.qv AS qa, c.qv AS qb
@@ -4421,6 +4487,22 @@ object SparkEntry {
         |FROM pp, t JOIN part ON l_partkey = p_partkey
         |WHERE rev > total // 2000
         |ORDER BY revenue DESC, l_partkey""".stripMargin,
+
+    // DuckDB year() is BIGINT, Spark's is INT — cast in the oracle
+    "q113_nation_volume" ->
+      """WITH f AS (SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+        |    CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT) AS rc
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  WHERE sn.n_name != cn.n_name)
+        |SELECT supp_nation, cust_nation, ship_year, COUNT(*) AS n_items,
+        |  CAST(SUM(rc) AS BIGINT)::DOUBLE/10000.0 AS revenue
+        |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     // q93's sessionization, then the min/max-per-(session, type) collapse
     "q111_seq_patterns" ->

@@ -727,6 +727,41 @@ object Similarity {
           .as("recall_ppm"))
   }
 
+  /** NDCG@k ranking quality of an approximate top-k against brute-force
+    * truth — the graded companion to [[annRecall]] (which only counts set
+    * hits; NDCG also charges the approx list for ranking good neighbors
+    * low).
+    *
+    * EXACT arithmetic via a harmonic discount: position i contributes
+    * gain/(i+1) with gain = k−truth_rank+1, and scaling by L = lcm(2..k+1)
+    * makes every term an integer — `L div (i+1)` is exact — so DCG is an
+    * integer sum and the single double division by the (constant, ideal)
+    * IDCG happens once. The log2 discount of textbook NDCG is NOT used:
+    * neither engine guarantees correctly-rounded logs, and harmonic
+    * weighting preserves the metric's ordering semantics.
+    *
+    * Scale shape: joins two RESULT-sized top-k frames on (query, neighbor)
+    * — the corpus is never touched. Zero-hit queries surface with ndcg 0. */
+  def ndcgAt(truth: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val L = (2 to k + 1).map(_.toLong).foldLeft(1L)((l, x) => l / gcd(l, x) * x)
+    val idcg = (1 to k).map(i => (k - i + 1).toLong * (L / (i + 1))).sum
+    val gains = truth.select(col("query_id"), col("neighbor_id"),
+      (lit(k + 1) - col("rank")).cast("long").as("gain"))
+    // integral div (Spark `/` on longs is double division — exact only
+    // below 2^53, and L grows as lcm(2..k+1))
+    val discs = approx.select(col("query_id"), col("neighbor_id"),
+      call_function("div", lit(L), col("rank").cast("long") + lit(1L)).as("disc"))
+    val dcg = discs.join(gains, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(sum(col("gain") * col("disc")).as("dcg_scaled"))
+    truth.select("query_id").distinct()
+      .join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("dcg_scaled"), lit(0L)).as("dcg_scaled"),
+        (coalesce(col("dcg_scaled"), lit(0L)).cast("double") / idcg.toDouble).as("ndcg"))
+  }
+
   /** Item–item cosine similarity over a sparse (user, item, value) rating
     * matrix — the classic "customers who bought X also bought Y, weighted"
     * collaborative-filtering neighborhood (Sarwar et al., WWW'01).

@@ -137,6 +137,39 @@ object StatefulOps {
       }
   }
 
+  /** Streaming form of [[graft.operators.Analytics.cusum]]: per-key
+    * one-sided CUSUM monitor C = max(0, C + (x − target)) over an event
+    * stream. State per key is THREE longs (C, its running max, alarm
+    * count) — where the batch operator exploits the closed form
+    * S − min(0, prefix-min S), the stream just runs the recurrence, and
+    * the two are provably the same fold, so final (n, max_cusum,
+    * n_alarms) per key are bit-identical on identically-ordered input —
+    * asserted by StreamingSpec. Rows inside one micro-batch process in
+    * (tsUs, tieBreak) order.
+    *
+    * Input (key, tsUs, tieBreak, value, target) → per-row alarms
+    * (key, tsUs, tieBreak, cusum) for rows where C exceeds `threshold`. */
+  def cusumMonitor[K](
+      input: Dataset[(K, Long, Long, Long, Long)],
+      threshold: Long)(
+      implicit ke: Encoder[K], se: Encoder[(Long, Long, Long)],
+      oe: Encoder[(K, Long, Long, Long)]): Dataset[(K, Long, Long, Long)] = {
+    input
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (K, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) { (key, rows, state) =>
+        var (c, mx, alarms) = state.getOption.getOrElse((0L, 0L, 0L))
+        val out = scala.collection.mutable.ArrayBuffer.empty[(K, Long, Long, Long)]
+        rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+          c = math.max(0L, c + (r._4 - r._5))
+          mx = math.max(mx, c)
+          if (c > threshold) { alarms += 1; out += ((key, r._2, r._3, c)) }
+        }
+        state.update((c, mx, alarms))
+        out.iterator
+      }
+  }
+
   /** Output-mode guidance mirroring the reference's at-least-once commit
     * loop (GatewayStream.scala:187-211): update mode + checkpointing. */
   val DefaultOutputMode: OutputMode = OutputMode.Update()

@@ -147,4 +147,44 @@ class StatefulWordCountSpec extends SparkSpec {
       streamed shouldBe batch
     } finally query.stop()
   }
+
+  "cusumMonitor" should "alarm bit-identically to the batch closed-form cusum" in {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, lit}
+    val rnd = new scala.util.Random(13)
+    // drifting keys: mean shifts +20 halfway through for odd keys
+    val rows = for (key <- 1L to 6L; i <- 0 until 50) yield {
+      val base = if (key % 2 == 1 && i >= 25) 120L else 100L
+      (key, i.toLong * 1000L, key * 100L + i, base + rnd.nextInt(11) - 5, 100L)
+    }
+    val batch = graft.operators.Analytics.cusum(
+      rows.toDF("u", "ts", "eid", "v", "target"), Seq("u"), "v", "target",
+      Seq("ts", "eid"), threshold = 60L)
+      .select("u", "n", "max_cusum", "n_alarms")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    batch.values.map(_._3).sum should be > 0L // fixture must actually alarm
+    val input = MemoryStream[(Long, Long, Long, Long, Long)]
+    val query = StatefulOps.cusumMonitor(input.toDS(), threshold = 60L)
+      .toDF("u", "ts", "eid", "cusum")
+      .writeStream.format("memory").queryName("cus").outputMode(OutputMode.Append())
+      .start()
+    try {
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      sorted.grouped(80).foreach { chunk =>
+        input.addData(chunk: _*)
+        query.processAllAvailable()
+      }
+      // per-key alarm count and peak alarm value match the batch fold
+      val streamed = spark.sql("SELECT u, COUNT(*) AS n_alarms, MAX(cusum) AS mx FROM cus GROUP BY u")
+        .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+      batch.foreach { case (k, (_, mxBatch, alarmsBatch)) =>
+        if (alarmsBatch > 0L) {
+          streamed(k)._1 shouldBe alarmsBatch
+          // peak cusum is the max over alarmed rows iff the peak alarms
+          streamed(k)._2 shouldBe mxBatch
+        } else streamed.get(k) shouldBe None
+      }
+    } finally query.stop()
+  }
 }

@@ -1673,6 +1673,49 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_partkey"))
     }),
 
+    // cohort lifetime-value curve: users cohorted by first-seen week, their
+    // purchase revenue laid out by week offset with a per-cohort running
+    // total — q40's retention matrix with money; one user-keyed aggregate,
+    // one co-keyed join, one COHORT-sized window
+    "q114_cohort_ltv" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_type"),
+          round(coalesce(col("value"), lit(0.0)) * 100).cast("long").as("cents"))
+      val first = e.groupBy("user_id").agg(min(col("ts_us")).as("t0"))
+      val rev = e.filter(col("event_type") === "purchase")
+        .join(first, "user_id")
+        .select(expr(s"t0 div $WeekUs").as("cohort_week"),
+          expr(s"(ts_us - t0) div $WeekUs").as("offset_weeks"), col("cents"))
+        .groupBy("cohort_week", "offset_weeks")
+        .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("rev_cents"))
+      rev.withColumn("cum_rev_cents",
+          sum(col("rev_cents")).over(Window.partitionBy("cohort_week")
+            .orderBy("offset_weeks")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("cohort_week", "offset_weeks")
+    }),
+
+    // robust statistics: per-type median, MAD, and |x−med| > 3·MAD outlier
+    // counts — two exact median passes (q110's tie-safe machinery with unit
+    // weights), all comparisons integer
+    "q115_mad_outliers" -> ((s, d) => {
+      val e = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("one", lit(1L))
+      val med = Analytics.weightedMedian(e, Seq("event_type"), "cents", "one")
+        .select(col("event_type"), col("wmedian").as("med"))
+      val dev = e.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("cents") - col("med")))
+      val mad = Analytics.weightedMedian(dev, Seq("event_type"), "adev", "one")
+        .select(col("event_type"), col("wmedian").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"), col("med"), col("mad"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("adev") > col("mad") * 3L).cast("long")).as("n_outliers"))
+        .select("event_type", "n", "med", "mad", "n_outliers")
+        .orderBy("event_type")
+    }),
+
     // international trade matrix (TPC-H Q7 shape): revenue between distinct
     // (supplier nation, customer nation) pairs by ship year — the fact
     // table takes two key-joins (order, supplier) while all four dimension
@@ -4487,6 +4530,43 @@ object SparkEntry {
         |FROM pp, t JOIN part ON l_partkey = p_partkey
         |WHERE rev > total // 2000
         |ORDER BY revenue DESC, l_partkey""".stripMargin,
+
+    // cohort by first-seen week over ALL events, revenue from purchases;
+    // window sums cast from HUGEINT
+    "q114_cohort_ltv" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type,
+         |    CAST(round(COALESCE(value, 0)*100) AS BIGINT) AS cents FROM events),
+         |f AS (SELECT user_id, MIN(ts_us) AS t0 FROM e GROUP BY 1),
+         |r AS (SELECT t0 // $WeekUs AS cohort_week,
+         |    (ts_us - t0) // $WeekUs AS offset_weeks, cents
+         |  FROM e JOIN f USING (user_id) WHERE event_type = 'purchase'),
+         |a AS (SELECT cohort_week, offset_weeks, COUNT(*) AS n_purchases,
+         |    CAST(SUM(cents) AS BIGINT) AS rev_cents FROM r GROUP BY 1, 2)
+         |SELECT cohort_week, offset_weeks, n_purchases, rev_cents,
+         |  CAST(SUM(rev_cents) OVER (PARTITION BY cohort_week ORDER BY offset_weeks
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents
+         |FROM a ORDER BY cohort_week, offset_weeks""".stripMargin,
+
+    // two cum*2 >= tot median passes (q110's frame), then integer outlier test
+    "q115_mad_outliers" ->
+      """WITH e AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |w1 AS (SELECT event_type, cents,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY cents) AS BIGINT) AS cum,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS tot FROM e),
+        |med AS (SELECT event_type, MIN(CASE WHEN cum*2 >= tot THEN cents END) AS med
+        |  FROM w1 GROUP BY 1),
+        |d AS (SELECT e.event_type, cents, med, abs(cents - med) AS adev
+        |  FROM e JOIN med USING (event_type)),
+        |w2 AS (SELECT event_type, med, adev,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY adev) AS BIGINT) AS cum,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS tot FROM d),
+        |mad AS (SELECT event_type, MIN(CASE WHEN cum*2 >= tot THEN adev END) AS mad
+        |  FROM w2 GROUP BY 1)
+        |SELECT d.event_type, COUNT(*) AS n, MAX(d.med) AS med, MAX(mad.mad) AS mad,
+        |  CAST(SUM(CASE WHEN adev > mad.mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN mad ON d.event_type = mad.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // DuckDB year() is BIGINT, Spark's is INT — cast in the oracle
     "q113_nation_volume" ->

@@ -1673,6 +1673,26 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_partkey"))
     }),
 
+    // effective-dataset-size report: per language, docs/tokens BEFORE and
+    // AFTER near-dup removal (d7's min-id keeper rule) — the KPI a corpus
+    // curation run actually publishes; dedup keeps its bounded LSH+CC
+    // shape, the report is one lang-keyed aggregate over the keeper join
+    "t21_effective_tokens" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val clusters = Dedup.nearDupClusters(s, docs, "doc_id", "text",
+        numHashes = 8, shingleSize = 3, rowsPerBand = 2, minEstimate = 0.5)
+      docs.select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .join(clusters.select(col("doc_id"), col("is_keeper")), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("is_keeper").cast("long")).as("n_kept"),
+          sum(col("n_tokens")).as("tokens_raw"),
+          sum(when(col("is_keeper"), col("n_tokens")).otherwise(0L)).as("tokens_kept"))
+        .withColumn("kept_ppm", expr("(tokens_kept * 1000000) div tokens_raw"))
+        .orderBy("lang")
+    }),
+
     // cohort lifetime-value curve: users cohorted by first-seen week, their
     // purchase revenue laid out by week offset with a per-cohort running
     // total — q40's retention matrix with money; one user-keyed aggregate,
@@ -4530,6 +4550,28 @@ object SparkEntry {
         |FROM pp, t JOIN part ON l_partkey = p_partkey
         |WHERE rev > total // 2000
         |ORDER BY revenue DESC, l_partkey""".stripMargin,
+
+    // d7's cluster CTEs + per-doc token counts rolled up per language
+    "t21_effective_tokens" ->
+      s"""WITH RECURSIVE ${minhashPairsSql("documents")},
+         |cl_e AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs WHERE jaccard_est >= 0.5),
+         |cl_sym AS (SELECT src, dst FROM cl_e UNION SELECT dst, src FROM cl_e),
+         |cl_reach(a, b) AS (
+         |  SELECT src, src FROM cl_sym
+         |  UNION
+         |  SELECT r.a, s.dst FROM cl_reach r JOIN cl_sym s ON r.b = s.src),
+         |cl_comp AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM cl_reach GROUP BY a),
+         |k AS (SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |j AS (SELECT k.lang, k.n_tokens,
+         |    CASE WHEN k.doc_id = COALESCE(c.cluster_id, k.doc_id) THEN 1 ELSE 0 END AS keep
+         |  FROM k LEFT JOIN cl_comp c ON c.doc_id = k.doc_id)
+         |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(keep) AS BIGINT) AS n_kept,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_raw,
+         |  CAST(SUM(keep * n_tokens) AS BIGINT) AS tokens_kept,
+         |  CAST((CAST(SUM(keep * n_tokens) AS BIGINT) * 1000000)
+         |    // CAST(SUM(n_tokens) AS BIGINT) AS BIGINT) AS kept_ppm
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // cohort by first-seen week over ALL events, revenue from purchases;
     // window sums cast from HUGEINT

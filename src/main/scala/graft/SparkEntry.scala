@@ -1673,6 +1673,45 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_partkey"))
     }),
 
+    // novelty audit: what fraction of each doc's bigrams is it the FIRST
+    // (lowest-id) to introduce — the "is the corpus still adding new
+    // content" curve; one gram-keyed min + a co-keyed join back, never a
+    // doc×doc comparison
+    "t22_ngram_novelty" -> ((s, d) => {
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), explode(wordNgrams(tokens(col("text")), 2)).as("g"))
+      val firstOwner = grams.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+      grams.join(firstOwner, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum((col("doc_id") === col("first_doc")).cast("long")).as("n_novel"))
+        .withColumn("novelty_ppm", expr("(n_novel * 1000000) div n_grams"))
+        .orderBy("doc_id")
+    }),
+
+    // index-health audit: within-cell SSE of the IVF quantizer (the k-means
+    // distortion that decides "retrain or not") — centroids are integer by
+    // construction, so every squared distance is exact long arithmetic via
+    // ||v||² − 2v·c + ||c||², three codegen'd ldots per row
+    "s21_ivf_distortion" -> ((s, d) => {
+      import s.implicits._
+      val em = Tables.embeddings(s, d)
+      val (cells, centroids) = Similarity.ivfIndex(em, "vec_id", "embedding",
+        nCentroids = 16, iterations = 5)
+      val vecs = em.select(col("vec_id").as("id"), quantize1000(col("embedding")).as("v"))
+      val centDf = broadcast(
+        centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+          .toDF("cell", "c"))
+      vecs.join(cells, "id").join(centDf, "cell")
+        .select(col("cell"),
+          (ldot(col("v"), col("v")) - lit(2L) * ldot(col("v"), col("c")) +
+            ldot(col("c"), col("c"))).as("d2"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vectors"), sum(col("d2")).as("sse"))
+        .select(col("cell").cast("long").as("cell"), col("n_vectors"), col("sse"))
+        .orderBy("cell")
+    }),
+
     // effective-dataset-size report: per language, docs/tokens BEFORE and
     // AFTER near-dup removal (d7's min-id keeper rule) — the KPI a corpus
     // curation run actually publishes; dedup keeps its bounded LSH+CC
@@ -4550,6 +4589,32 @@ object SparkEntry {
         |FROM pp, t JOIN part ON l_partkey = p_partkey
         |WHERE rev > total // 2000
         |ORDER BY revenue DESC, l_partkey""".stripMargin,
+
+    // distinct bigrams per doc; MIN over the gram key decides novelty
+    "t22_ngram_novelty" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |gr AS (SELECT doc_id, unnest(list_distinct(
+         |    [t[i] || ' ' || t[i+1] for i in range(1, len(t))])) AS gram
+         |  FROM tk WHERE len(t) >= 2),
+         |f AS (SELECT gram, MIN(doc_id) AS first_doc FROM gr GROUP BY 1)
+         |SELECT doc_id, COUNT(*) AS n_grams,
+         |  CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  CAST((CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000000) // COUNT(*) AS BIGINT) AS novelty_ppm
+         |FROM gr JOIN f USING (gram)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the full k-means unroll, then per-row exact distance vs the final
+    // centroid table (cn = ||c||² is already in the CTE)
+    "s21_ivf_distortion" ->
+      s"""WITH ${ivfCellsSql(16, 5)},
+         |dd AS (SELECT x.cell,
+         |    list_sum([x.v[i]*x.v[i] for i in range(1,65)])
+         |      - 2*list_sum([cc.c[i]*x.v[i] for i in range(1,65)]) + cc.cn AS d2
+         |  FROM cells x JOIN c5 cc USING (cell))
+         |SELECT CAST(cell AS BIGINT) AS cell, COUNT(*) AS n_vectors,
+         |  CAST(SUM(d2) AS BIGINT) AS sse
+         |FROM dd GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // d7's cluster CTEs + per-doc token counts rolled up per language
     "t21_effective_tokens" ->

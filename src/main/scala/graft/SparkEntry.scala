@@ -1673,6 +1673,42 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_partkey"))
     }),
 
+    // EXACT DAU/MAU stickiness: distinct user-days explode onto the ≤30
+    // window days each covers (bounded 30× row-local blowup — never a
+    // per-day rescan), MAU = count distinct per window day, stickiness in
+    // exact ppm; q79 is the register-merge version of this, this is truth
+    "q116_stickiness" -> ((s, d) => {
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+        .distinct()
+      val bounds = ud.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      val mau = ud
+        .select(col("user_id"), explode(sequence(col("day"), col("day") + 29L)).as("day"))
+        .distinct()
+        .crossJoin(broadcast(bounds))
+        .filter(col("day") <= col("d1"))
+        .groupBy("day").agg(count(lit(1)).as("mau"))
+      dau.join(mau, "day")
+        .select(col("day"), col("dau"), col("mau"),
+          expr("(dau * 1000000) div mau").as("stickiness_ppm"))
+        .orderBy("day")
+    }),
+
+    // week-over-week growth per event type: weekly counts, one lag window
+    // over the WEEK-sized frame, Laplace-smoothed growth in exact ppm
+    "q117_wow_growth" -> ((s, d) => {
+      val wk = Tables.events(s, d)
+        .groupBy(col("event_type"), expr(s"ts_us div $WeekUs").as("week"))
+        .agg(count(lit(1)).as("n"))
+      wk.withColumn("prev_n",
+          lag(col("n"), 1).over(Window.partitionBy("event_type").orderBy("week")))
+        .withColumn("growth_ppm",
+          when(col("prev_n").isNotNull,
+            expr("((n + 1) * 1000000) div (prev_n + 1)")))
+        .orderBy("event_type", "week")
+    }),
+
     // novelty audit: what fraction of each doc's bigrams is it the FIRST
     // (lowest-id) to introduce — the "is the corpus still adding new
     // content" curve; one gram-keyed min + a co-keyed join back, never a
@@ -4589,6 +4625,30 @@ object SparkEntry {
         |FROM pp, t JOIN part ON l_partkey = p_partkey
         |WHERE rev > total // 2000
         |ORDER BY revenue DESC, l_partkey""".stripMargin,
+
+    // same ≤30-day expansion via lateral unnest(range); trailing window =
+    // days [d−29, d] clipped at the observed max day
+    "q116_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |b AS (SELECT MAX(day) AS d1 FROM ud),
+        |dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1),
+        |mx AS (SELECT DISTINCT user_id, unnest(range(day, day + 30)) AS day FROM ud),
+        |mau AS (SELECT day, COUNT(*) AS mau FROM mx, b WHERE day <= b.d1 GROUP BY 1)
+        |SELECT day, dau, mau,
+        |  CAST((dau * 1000000) // mau AS BIGINT) AS stickiness_ppm
+        |FROM dau JOIN mau USING (day) ORDER BY day""".stripMargin,
+
+    // lag over the week-sized aggregate; +1 Laplace floor-div ppm
+    "q117_wow_growth" ->
+      s"""WITH wk AS (SELECT event_type, epoch_us(ts) // $WeekUs AS week, COUNT(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |l AS (SELECT event_type, week, n,
+         |    lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n FROM wk)
+         |SELECT event_type, week, n, prev_n,
+         |  CAST(CASE WHEN prev_n IS NOT NULL
+         |    THEN ((n + 1) * 1000000) // (prev_n + 1) END AS BIGINT) AS growth_ppm
+         |FROM l ORDER BY event_type, week""".stripMargin,
 
     // distinct bigrams per doc; MIN over the gram key decides novelty
     "t22_ngram_novelty" ->

@@ -28,6 +28,18 @@ object SparkEntry {
     * SecureRandom, reference TimeCryptoProof.generateSalt). */
   private val CryptoSaltHex = "000102030405060708090A0B0C0D0E0F"
 
+  /** Wilson-score lower bound (z = 1.96) over exact counts `k`/`n` — ONE
+    * SQL string evaluated verbatim by both Spark and DuckDB, so every
+    * double op has the identical parse tree and the result is
+    * bit-identical (the canonical-double rule applied to a whole formula).
+    * z² stays the product expression 1.96*1.96: a 3.8416 literal would be
+    * a DIFFERENT double. */
+  private val WilsonLb =
+    "(CAST(k AS DOUBLE)/CAST(n AS DOUBLE) + (1.96*1.96)/(2*CAST(n AS DOUBLE)) " +
+      "- 1.96*sqrt((CAST(k AS DOUBLE)/CAST(n AS DOUBLE)*(1 - CAST(k AS DOUBLE)/CAST(n AS DOUBLE)))/CAST(n AS DOUBLE) " +
+      "+ (1.96*1.96)/(4*CAST(n AS DOUBLE)*CAST(n AS DOUBLE)))) " +
+      "/ (1 + (1.96*1.96)/CAST(n AS DOUBLE))"
+
   private val Jan1_96 = 820454400000000L // 1996-01-01T00:00:00Z
   private val Jan1_00 = 946684800000000L // 2000-01-01T00:00:00Z
   private val Jan1_97 = 852076800000000L // 1997-01-01T00:00:00Z
@@ -1671,6 +1683,23 @@ object SparkEntry {
           // numerator headroom to ~$1e12 revenue per part (rev*1e6 would not)
           expr("(rev * 1000) div (total div 1000)").as("share_ppm"))
         .orderBy(col("revenue").desc, col("l_partkey"))
+    }),
+
+    // confidence-aware ranking: parts by the Wilson lower bound of their
+    // return rate — the "sort by rating" formula that beats raw k/n on
+    // small n; the whole double formula is ONE shared SQL string so both
+    // engines evaluate the identical IEEE tree
+    "q118_wilson_rank" -> ((s, d) => {
+      val parts = Tables.lineitem(s, d)
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n"),
+          sum((col("l_returnflag") === "R").cast("long")).as("k"))
+        .withColumn("wilson_lb", expr(WilsonLb))
+      parts.orderBy(col("wilson_lb").desc, col("l_partkey")).limit(20)
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(col("wilson_lb").desc, col("l_partkey"))).cast("int"))
+        .select(col("rank"), col("l_partkey"), col("n"), col("k"), col("wilson_lb"))
+        .orderBy("rank")
     }),
 
     // EXACT DAU/MAU stickiness: distinct user-days explode onto the ≤30
@@ -4625,6 +4654,17 @@ object SparkEntry {
         |FROM pp, t JOIN part ON l_partkey = p_partkey
         |WHERE rev > total // 2000
         |ORDER BY revenue DESC, l_partkey""".stripMargin,
+
+    // the SAME WilsonLb SQL string, verbatim
+    "q118_wilson_rank" ->
+      s"""WITH p AS (SELECT l_partkey, COUNT(*) AS n,
+         |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS k
+         |  FROM lineitem GROUP BY 1),
+         |w AS (SELECT l_partkey, n, k, $WilsonLb AS wilson_lb FROM p),
+         |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY wilson_lb DESC, l_partkey) AS rank
+         |  FROM w)
+         |SELECT CAST(rank AS INTEGER) AS rank, l_partkey, n, k, wilson_lb
+         |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     // same ≤30-day expansion via lateral unnest(range); trailing window =
     // days [d−29, d] clipped at the observed max day

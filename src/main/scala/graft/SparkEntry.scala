@@ -1685,6 +1685,32 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_partkey"))
     }),
 
+    // revenue-concentration audit per segment: exact Gini (rank-weighted
+    // integer sums — tie order provably cancels) and Herfindahl index,
+    // each ONE double division over exact decimal/HUGEINT moments
+    "q119_concentration" -> ((s, d) => {
+      val rev = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("c_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("cents"), col("c_custkey"))
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      rev.withColumn("i", row_number().over(w).cast("long"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("cents"))).as("t"),
+          sum(dec(col("cents")) * dec(col("cents"))).as("s2"),
+          sum(dec(col("i")) * dec(col("cents"))).as("w1"))
+        .select(col("c_mktsegment"), col("n"),
+          col("t").cast("double").as("total"),
+          ((lit(2).cast("decimal(38,0)") * col("w1") -
+            dec(col("n") + 1) * col("t")).cast("double") /
+            (dec(col("n")) * col("t")).cast("double")).as("gini"),
+          (col("s2").cast("double") /
+            (col("t").cast("double") * col("t").cast("double"))).as("hhi"))
+        .orderBy("c_mktsegment")
+    }),
+
     // confidence-aware ranking: parts by the Wilson lower bound of their
     // return rate — the "sort by rating" formula that beats raw k/n on
     // small n; the whole double formula is ONE shared SQL string so both
@@ -4654,6 +4680,25 @@ object SparkEntry {
         |FROM pp, t JOIN part ON l_partkey = p_partkey
         |WHERE rev > total // 2000
         |ORDER BY revenue DESC, l_partkey""".stripMargin,
+
+    // same moments in HUGEINT; rank over (cents, custkey) — equal values
+    // make the i·x sum tie-order-invariant
+    "q119_concentration" ->
+      """WITH r AS (SELECT c_mktsegment, c_custkey,
+        |    CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |k AS (SELECT c_mktsegment, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY cents, c_custkey) AS i FROM r),
+        |m AS (SELECT c_mktsegment, COUNT(*) AS n,
+        |    CAST(SUM(cents) AS HUGEINT) AS t,
+        |    CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS s2,
+        |    CAST(SUM(CAST(i AS HUGEINT) * cents) AS HUGEINT) AS w1
+        |  FROM k GROUP BY 1)
+        |SELECT c_mktsegment, n, t::DOUBLE AS total,
+        |  (2*w1 - (n+1)*t)::DOUBLE / (n*t)::DOUBLE AS gini,
+        |  s2::DOUBLE / (t::DOUBLE * t::DOUBLE) AS hhi
+        |FROM m ORDER BY c_mktsegment""".stripMargin,
 
     // the SAME WilsonLb SQL string, verbatim
     "q118_wilson_rank" ->

@@ -1685,6 +1685,25 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_partkey"))
     }),
 
+    // RFM segmentation: recency/frequency/monetary quintiles per customer
+    // (ntile over total orders — deterministic with the custkey tie-break;
+    // ntile's remainder-to-first-buckets rule is identical in both
+    // engines), rolled up per 125-cell segment
+    "q120_rfm_segments" -> ((s, d) => {
+      val m = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(max(Tables.epochUs(col("o_orderdate"))).as("last_us"),
+          count(lit(1)).as("f"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("mc"))
+      val seg = m
+        .withColumn("r_score", ntile(5).over(Window.orderBy(col("last_us"), col("o_custkey"))))
+        .withColumn("f_score", ntile(5).over(Window.orderBy(col("f"), col("o_custkey"))))
+        .withColumn("m_score", ntile(5).over(Window.orderBy(col("mc"), col("o_custkey"))))
+      seg.groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_customers"), sum(col("mc")).as("rev_cents"))
+        .orderBy("r_score", "f_score", "m_score")
+    }),
+
     // revenue-concentration audit per segment: exact Gini (rank-weighted
     // integer sums — tie order provably cancels) and Herfindahl index,
     // each ONE double division over exact decimal/HUGEINT moments
@@ -4680,6 +4699,22 @@ object SparkEntry {
         |FROM pp, t JOIN part ON l_partkey = p_partkey
         |WHERE rev > total // 2000
         |ORDER BY revenue DESC, l_partkey""".stripMargin,
+
+    // ntile ≡ ntile (both: even split, remainder to the first buckets);
+    // Spark ntile is INT, DuckDB's BIGINT → cast
+    "q120_rfm_segments" ->
+      """WITH m AS (SELECT o_custkey, MAX(epoch_us(o_orderdate)) AS last_us,
+        |    COUNT(*) AS f,
+        |    CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS mc
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT mc,
+        |    CAST(ntile(5) OVER (ORDER BY last_us, o_custkey) AS INTEGER) AS r_score,
+        |    CAST(ntile(5) OVER (ORDER BY f, o_custkey) AS INTEGER) AS f_score,
+        |    CAST(ntile(5) OVER (ORDER BY mc, o_custkey) AS INTEGER) AS m_score
+        |  FROM m)
+        |SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+        |  CAST(SUM(mc) AS BIGINT) AS rev_cents
+        |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     // same moments in HUGEINT; rank over (cents, custkey) — equal values
     // make the i·x sum tie-order-invariant

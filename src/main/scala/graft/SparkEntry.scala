@@ -1685,6 +1685,47 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_partkey"))
     }),
 
+    // lexical-diversity audit: type-token ratio by document-length decile
+    // (does vocabulary keep growing with length?) — one ntile window over
+    // doc-level stats, exact ppm ratios
+    "t23_ttr_deciles" -> ((s, d) => {
+      val st = Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        size(array_distinct(tokens(col("text")))).cast("long").as("n_types"))
+      st.withColumn("decile",
+          ntile(10).over(Window.orderBy(col("n_chars"), col("doc_id"))))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("tokens"),
+          sum(col("n_types")).as("types"))
+        .withColumn("ttr_ppm", expr("(types * 1000000) div tokens"))
+        .orderBy("decile")
+    }),
+
+    // kNN classifier eval: predict each query's label by 5-NN majority vote
+    // (plurality, ties → smallest label) against brute-force neighbors —
+    // the "are these embeddings any good" sanity eval; votes aggregate on
+    // RESULT-sized frames
+    "s22_knn_classifier" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      val qs = em.filter(col("vec_id") < 50)
+      val nn = Similarity.bruteForceTopK(em, qs, "vec_id", "embedding", k = 5)
+      val lbl = em.select(col("vec_id"), col("label"))
+      val votes = nn
+        .join(lbl.select(col("vec_id").as("neighbor_id"), col("label").as("nl")), "neighbor_id")
+        .groupBy("query_id", "nl").agg(count(lit(1)).as("v"))
+      val pred = votes
+        .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("v").desc, col("nl"))))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), col("nl").as("predicted"))
+      pred.join(lbl.select(col("vec_id").as("query_id"), col("label").as("true_label")),
+          "query_id")
+        .select(col("query_id"), col("true_label"), col("predicted"),
+          (col("true_label") === col("predicted")).as("correct"))
+        .orderBy("query_id")
+    }),
+
     // RFM segmentation: recency/frequency/monetary quintiles per customer
     // (ntile over total orders — deterministic with the custkey tie-break;
     // ntile's remainder-to-first-buckets rule is identical in both
@@ -4699,6 +4740,39 @@ object SparkEntry {
         |FROM pp, t JOIN part ON l_partkey = p_partkey
         |WHERE rev > total // 2000
         |ORDER BY revenue DESC, l_partkey""".stripMargin,
+
+    // doc-level token/type counts, one ntile; `//` ppm
+    "t23_ttr_deciles" ->
+      s"""WITH st AS (SELECT doc_id, n_chars,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tok,
+         |    CAST(len(list_distinct($toksSql)) AS BIGINT) AS n_types
+         |  FROM documents),
+         |dd AS (SELECT *, CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS INTEGER)
+         |    AS decile FROM st)
+         |SELECT decile, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tokens,
+         |  CAST(SUM(n_types) AS BIGINT) AS types,
+         |  CAST((CAST(SUM(n_types) AS BIGINT) * 1000000)
+         |    // CAST(SUM(n_tok) AS BIGINT) AS BIGINT) AS ttr_ppm
+         |FROM dd GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // s12's brute-force truth CTE (k=5, 50 queries), then the plurality vote
+    "s22_knn_classifier" ->
+      s"""WITH q AS (SELECT vec_id, label, ${qvSql("embedding")} AS qv FROM embeddings),
+         |tp AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id, qq.qv AS qa, c.qv AS qb
+         |      FROM q qq JOIN q c ON qq.vec_id < 50 AND qq.vec_id != c.vec_id),
+         |tsims AS (SELECT query_id, neighbor_id, $cosSql AS cosine FROM tp),
+         |nn AS (SELECT query_id, neighbor_id FROM (SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM tsims)
+         |  WHERE rank <= 5),
+         |votes AS (SELECT nn.query_id, ql.label AS nl, COUNT(*) AS v
+         |  FROM nn JOIN q ql ON ql.vec_id = nn.neighbor_id GROUP BY 1, 2),
+         |pred AS (SELECT query_id, nl AS predicted FROM (SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY query_id ORDER BY v DESC, nl) AS rk FROM votes)
+         |  WHERE rk = 1)
+         |SELECT p.query_id, t.label AS true_label, p.predicted,
+         |  t.label = p.predicted AS correct
+         |FROM pred p JOIN q t ON t.vec_id = p.query_id
+         |ORDER BY p.query_id""".stripMargin,
 
     // ntile ≡ ntile (both: even split, remainder to the first buckets);
     // Spark ntile is INT, DuckDB's BIGINT → cast

@@ -1685,6 +1685,25 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_partkey"))
     }),
 
+    // nearest-direction as-of join (pandas merge_asof 'nearest'): each
+    // purchase attaches its closest click EITHER side, ties backward —
+    // both directional carries share one key exchange and one sort
+    "q121_nearest_click" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"), col("event_id").as("c_event_id"))
+        .withColumn("c_ts_us", col("ts_us"))
+      AsOfJoin.asOfNearest(purchases, clicks, "user_id", "ts_us",
+          rightCols = Seq("c_event_id", "c_ts_us"), rightTieBreak = Seq("c_event_id"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("right_c_event_id").as("click_event_id"),
+          col("right_c_ts_us").as("click_ts_us"),
+          col("asof_dist_us"))
+        .orderBy("event_id")
+    }),
+
     // lexical-diversity audit: type-token ratio by document-length decile
     // (does vocabulary keep growing with length?) — one ntile window over
     // doc-level stats, exact ppm ratios
@@ -4740,6 +4759,37 @@ object SparkEntry {
         |FROM pp, t JOIN part ON l_partkey = p_partkey
         |WHERE rev > total // 2000
         |ORDER BY revenue DESC, l_partkey""".stripMargin,
+
+    // q14's union-tag carry in BOTH directions over the same window order;
+    // the distance compare is row-local CASE arithmetic
+    "q121_nearest_click" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, 1 AS side, event_id,
+        |         NULL::BIGINT AS c_event_id, NULL::BIGINT AS c_ts_us
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts), 0, NULL, event_id, epoch_us(ts)
+        |  FROM events WHERE event_type = 'click'
+        |), w AS (
+        |  SELECT *,
+        |    last_value(c_event_id IGNORE NULLS) OVER wb AS b_id,
+        |    last_value(c_ts_us IGNORE NULLS) OVER wb AS b_ts,
+        |    first_value(c_event_id IGNORE NULLS) OVER wf AS f_id,
+        |    first_value(c_ts_us IGNORE NULLS) OVER wf AS f_ts
+        |  FROM u
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY ts_us, side, c_event_id
+        |    ROWS UNBOUNDED PRECEDING),
+        |  wf AS (PARTITION BY user_id ORDER BY ts_us, side, c_event_id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT event_id, user_id, ts_us,
+        |  CASE WHEN b_ts IS NULL THEN f_id WHEN f_ts IS NULL THEN b_id
+        |       WHEN ts_us - b_ts <= f_ts - ts_us THEN b_id ELSE f_id END AS click_event_id,
+        |  CASE WHEN b_ts IS NULL THEN f_ts WHEN f_ts IS NULL THEN b_ts
+        |       WHEN ts_us - b_ts <= f_ts - ts_us THEN b_ts ELSE f_ts END AS click_ts_us,
+        |  abs(ts_us - CASE WHEN b_ts IS NULL THEN f_ts WHEN f_ts IS NULL THEN b_ts
+        |       WHEN ts_us - b_ts <= f_ts - ts_us THEN b_ts ELSE f_ts END) AS asof_dist_us
+        |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
 
     // doc-level token/type counts, one ntile; `//` ppm
     "t23_ttr_deciles" ->

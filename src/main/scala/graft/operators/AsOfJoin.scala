@@ -63,6 +63,66 @@ object AsOfJoin {
     }.drop("_side", "_payload", "_asof")
   }
 
+  /** Nearest-direction as-of join (pandas `merge_asof(direction='nearest')`
+    * semantics): each left row attaches the right row minimizing |Δts|
+    * within its key — ties (equal distance both ways) resolve BACKWARD.
+    *
+    * Same union-tag-window shape as [[asOf]], evaluated in both directions
+    * over ONE key exchange (the backward `last ignore nulls` and forward
+    * `first ignore nulls` windows share partitioning AND sort order), then
+    * a row-local distance compare. Still zero row explosion — a range join
+    * would pay O(n·m) per key for the same answer.
+    *
+    * At equal right timestamps the backward carry keeps the LAST right row
+    * in `rightTieBreak` order (latest wins, as in [[asOf]]) and the forward
+    * carry keeps the FIRST — both deterministic. Adds `right_<c>` columns
+    * plus `asof_dist_us` (null when the key has no right rows). */
+  def asOfNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      rightCols: Seq[String],
+      rightTieBreak: Seq[String] = Nil): DataFrame = {
+    val payloadCols = tsCol +: rightCols
+    val reserved = Seq("_side", "_payload", "_bw", "_fw", "asof_dist_us") ++
+      rightCols.map(c => s"right_$c")
+    val clash = left.columns.intersect(reserved)
+    require(clash.isEmpty,
+      s"asOfNearest reserves column name(s) ${clash.mkString(", ")} on the left side")
+    val leftTagged = left.withColumn("_side", lit(1))
+      .withColumn("_payload", lit(null).cast(structType(right, payloadCols)))
+    val rightTagged = right
+      .select(col(keyCol), col(tsCol),
+        struct(payloadCols.map(col): _*).as("_payload"))
+      .withColumn("_side", lit(0))
+    val unioned = leftTagged.select(
+      (left.columns.map(col) :+ col("_side") :+ col("_payload")): _*)
+      .unionByName(rightTagged.select(col(keyCol), col(tsCol), col("_side"), col("_payload")),
+        allowMissingColumns = true)
+    val tieCols = rightTieBreak.map(c => col("_payload").getField(c))
+    val ord = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol) +: col("_side") +: tieCols: _*)
+    val wBack = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = unioned
+      .withColumn("_bw", last(col("_payload"), ignoreNulls = true).over(wBack))
+      .withColumn("_fw", first(col("_payload"), ignoreNulls = true).over(wFwd))
+      .filter(col("_side") === 1)
+    val db = col(tsCol) - col("_bw").getField(tsCol)
+    val df_ = col("_fw").getField(tsCol) - col(tsCol)
+    val chosen = when(col("_bw").isNull, col("_fw"))
+      .when(col("_fw").isNull, col("_bw"))
+      .when(db <= df_, col("_bw"))
+      .otherwise(col("_fw"))
+    val withChoice = carried.withColumn("_payload", chosen)
+      .withColumn("asof_dist_us",
+        abs(col(tsCol) - col("_payload").getField(tsCol)))
+    rightCols.foldLeft(withChoice) { (df, c) =>
+      df.withColumn(s"right_$c", col("_payload").getField(c))
+    }.drop("_side", "_payload", "_bw", "_fw")
+  }
+
   private def structType(df: DataFrame, cols: Seq[String]) = {
     val fields = cols.map(c => df.schema(c))
     org.apache.spark.sql.types.StructType(fields)

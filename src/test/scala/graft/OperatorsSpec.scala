@@ -799,6 +799,27 @@ class AsOfJoinSpec extends SparkSpec {
     AsOfJoin.asOf(left, right, "k", "ts", Seq("seq"), rightTieBreak = Seq("seq"))
       .select("right_seq").as[Long].head() shouldBe 2L
   }
+
+  "asOfNearest" should "pick the closer side, ties backward, nulls when no right rows" in {
+    val left = Seq((1, 10L), (1, 26L), (1, 100L), (2, 5L), (3, 7L)).toDF("k", "ts")
+    val right = Seq((1, 8L, "a"), (1, 30L, "b"), (2, 40L, "c")).toDF("k", "ts", "v")
+    val out = AsOfJoin.asOfNearest(left, right, "k", "ts", Seq("v"))
+      .orderBy("k", "ts").select("k", "ts", "right_v", "asof_dist_us")
+      .as[(Int, Long, Option[String], Option[Long])].collect()
+    out shouldBe Seq(
+      (1, 10L, Some("a"), Some(2L)),   // 8 is closer than 30
+      (1, 26L, Some("b"), Some(4L)),   // 30 (dist 4) beats 8 (dist 18)
+      (1, 100L, Some("b"), Some(70L)), // only past rows remain
+      (2, 5L, Some("c"), Some(35L)),   // only future rows
+      (3, 7L, None, None))             // no right rows for key 3
+  }
+
+  it should "resolve exact-distance ties backward" in {
+    val left = Seq((1, 20L)).toDF("k", "ts")
+    val right = Seq((1, 10L, "past"), (1, 30L, "future")).toDF("k", "ts", "v")
+    AsOfJoin.asOfNearest(left, right, "k", "ts", Seq("v"))
+      .select("right_v").as[String].head() shouldBe "past"
+  }
 }
 
 class GraphSpec extends SparkSpec {

@@ -1685,6 +1685,43 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_partkey"))
     }),
 
+    // graph cohesion: global clustering coefficient (transitivity) of the
+    // co-purchase graph — 3·triangles / wedges, both EXACT integers
+    // (wedges = Σ d(d−1)/2 is arithmetic on the degree table), one
+    // canonical double division at the end
+    "q122_clustering_coeff" -> ((s, d) => {
+      val edges = GraphAlgorithms.cooccurrenceEdges(Tables.lineitem(s, d),
+        "l_orderkey", "l_partkey", minSupport = 2L).localCheckpoint(true)
+      val tri = GraphAlgorithms.triangleCount(edges)
+      val wedges = edges.select(col("src").as("v"))
+        .unionByName(edges.select(col("dst").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("dg"))
+        .agg(sum(expr("(dg * (dg - 1)) div 2")).as("n_wedges"))
+      tri.crossJoin(broadcast(wedges))
+        .select(col("n_triangles"), col("n_wedges"),
+          ((col("n_triangles") * 3L).cast("double") / col("n_wedges").cast("double"))
+            .as("transitivity"))
+    }),
+
+    // entity-matching primitive: mutual nearest neighbors (a is b's 1-NN
+    // AND b is a's) within IVF cells — the high-precision pair proposer;
+    // candidate space is cell-bounded, the mutual check joins two
+    // CORPUS-sized (not pair-sized) 1-NN tables
+    "s23_mutual_nn" -> ((s, d) => {
+      val pairs = Similarity.ivfNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
+        minCosine = -1.0, nCentroids = 16, iterations = 5)
+      val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nb"), col("cosine"))
+        .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("nb"), col("cosine")))
+      val nn1 = sym.withColumn("rk", row_number().over(
+          Window.partitionBy("id").orderBy(col("cosine").desc, col("nb"))))
+        .filter(col("rk") === 1).select(col("id"), col("nb"), col("cosine"))
+      nn1.select(col("id").as("id_a"), col("nb").as("id_b"), col("cosine"))
+        .join(nn1.select(col("nb").as("id_a"), col("id").as("id_b")),
+          Seq("id_a", "id_b"))
+        .filter(col("id_a") < col("id_b"))
+        .orderBy("id_a")
+    }),
+
     // nearest-direction as-of join (pandas merge_asof 'nearest'): each
     // purchase attaches its closest click EITHER side, ties backward —
     // both directional carries share one key exchange and one sort
@@ -4759,6 +4796,43 @@ object SparkEntry {
         |FROM pp, t JOIN part ON l_partkey = p_partkey
         |WHERE rev > total // 2000
         |ORDER BY revenue DESC, l_partkey""".stripMargin,
+
+    // q53's triangle CTEs + the degree-table wedge sum
+    "q122_clustering_coeff" ->
+      """WITH li0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT x.p AS a, y.p AS b
+        |      FROM li0 x JOIN li0 y ON x.o = y.o AND x.p < y.p
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM
+        |          (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+        |        GROUP BY v),
+        |r AS (SELECT e.a, e.b, da.d*1000000000 + e.a AS ra, db.d*1000000000 + e.b AS rb
+        |      FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
+        |o AS (SELECT CASE WHEN ra < rb THEN a ELSE b END AS src,
+        |             CASE WHEN ra < rb THEN b ELSE a END AS dst,
+        |             greatest(ra, rb) AS rd FROM r),
+        |w AS (SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
+        |      FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.rd < o2.rd),
+        |tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |  FROM w JOIN o ON w.v = o.src AND w.w = o.dst),
+        |wd AS (SELECT CAST(SUM((d*(d-1))//2) AS BIGINT) AS n_wedges FROM deg)
+        |SELECT n_triangles, n_wedges,
+        |  (n_triangles*3)::DOUBLE / n_wedges::DOUBLE AS transitivity
+        |FROM tr, wd""".stripMargin,
+
+    // full k-means unroll → within-cell pair cosines → per-id 1-NN →
+    // the mutual join of two corpus-sized NN tables
+    "s23_mutual_nn" ->
+      s"""WITH ${ivfCellsSql(16, 5)},
+         |p AS (SELECT a.id AS id, b.id AS nb, a.v AS qa, b.v AS qb
+         |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.id != b.id),
+         |sims AS (SELECT id, nb, $cosSql AS cosine FROM p),
+         |nn AS (SELECT id, nb, cosine FROM (SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY id ORDER BY cosine DESC, nb) AS rk FROM sims)
+         |  WHERE rk = 1)
+         |SELECT a.id AS id_a, a.nb AS id_b, a.cosine
+         |FROM nn a JOIN nn b ON a.nb = b.id AND b.nb = a.id AND a.id < b.id
+         |ORDER BY id_a""".stripMargin,
 
     // q14's union-tag carry in BOTH directions over the same window order;
     // the distance compare is row-local CASE arithmetic

@@ -1685,6 +1685,24 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_partkey"))
     }),
 
+    // double-charge detector: purchases by the same user for the same
+    // whole-dollar amount within 24 h — one lag window on (user, amount),
+    // no self-join; surfaces the later event of each suspicious pair
+    "q123_double_charge" -> ((s, d) => {
+      val p = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .filter(col("value").isNotNull)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          round(col("value")).cast("long").as("amt"))
+      val w = Window.partitionBy("user_id", "amt").orderBy(col("ts_us"), col("event_id"))
+      p.withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+        .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+        .filter(col("prev_ts").isNotNull && col("ts_us") - col("prev_ts") <= lit(86400000000L))
+        .select(col("user_id"), col("amt"),
+          col("prev_id").as("first_event_id"), col("event_id").as("second_event_id"),
+          (col("ts_us") - col("prev_ts")).as("gap_us"))
+        .orderBy("user_id", "second_event_id")
+    }),
+
     // graph cohesion: global clustering coefficient (transitivity) of the
     // co-purchase graph — 3·triangles / wedges, both EXACT integers
     // (wedges = Σ d(d−1)/2 is arithmetic on the degree table), one
@@ -4796,6 +4814,19 @@ object SparkEntry {
         |FROM pp, t JOIN part ON l_partkey = p_partkey
         |WHERE rev > total // 2000
         |ORDER BY revenue DESC, l_partkey""".stripMargin,
+
+    // same lag window on the (user, amount) partition
+    "q123_double_charge" ->
+      """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(round(value) AS BIGINT) AS amt
+        |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |l AS (SELECT *,
+        |    lag(ts_us) OVER w AS prev_ts, lag(event_id) OVER w AS prev_id
+        |  FROM p WINDOW w AS (PARTITION BY user_id, amt ORDER BY ts_us, event_id))
+        |SELECT user_id, amt, prev_id AS first_event_id,
+        |  event_id AS second_event_id, ts_us - prev_ts AS gap_us
+        |FROM l WHERE prev_ts IS NOT NULL AND ts_us - prev_ts <= 86400000000
+        |ORDER BY user_id, second_event_id""".stripMargin,
 
     // q53's triangle CTEs + the degree-table wedge sum
     "q122_clustering_coeff" ->

@@ -115,6 +115,12 @@ object PlanAudit {
     "d19_prefix_join" -> "prefix-filtered similarity join: candidates from the RAREST-first prefix postings (lossless — provably superset of all qualifying pairs), size filter applied inside the join, exact verify one codegen'd merge-intersect per candidate; gram sets checkpointed once, read by df/prefix/verify",
     "q107_incremental_cc" -> "incremental CC: the delta CC runs on the CONTRACTED graph (component-label vertices + delta edges), the 100 TB base edge log contributes only its label table, re-joined once — base edges are never re-iterated",
     "s19_item_cosine" -> "item-item CF: co-rated pairs from the per-user self-join with whole-heavy-user drop (cap^2 bound per user), norms one item-keyed partial agg, capped matrix checkpointed once; top-k is TakeOrdered",
+    "q110_weighted_median" -> "weighted median: running weight sum and group total share ONE ordered window exchange (RANGE default frame makes ties structural); the answer is an order-free min aggregate — no per-group sort-and-pick",
+    "t20_pmi_pairs" -> "PMI pairs: row-local in-array pair explode (bounded by distinct-token count per doc), two chained partial-agg'd count shuffles (pair, token), broadcast N; rank by the exact rational — no log, no double sums",
+    "q116_stickiness" -> "exact DAU/MAU: each distinct user-day explodes onto its <=30 window days ROW-LOCALLY (bounded blowup), then one (day)-keyed distinct+count — the raw log is scanned once, no per-day rescan, no sliding-distinct state",
+    "q121_nearest_click" -> "nearest as-of: backward last() and forward first() carries share ONE key exchange AND one sort; the direction pick is row-local CASE arithmetic — the range join (O(n*m) per key) never forms",
+    "s23_mutual_nn" -> "mutual NN: candidate pairs bounded by IVF cells (centroids broadcast, assignment map-side); the mutual check joins two CORPUS-sized 1-NN tables, never the pair set against itself",
+    "q113_nation_volume" -> "trade matrix: the fact table takes exactly two key-joins (order, supplier); all four dimension hops are broadcasts — no fact-fact shuffle beyond the order join, group-by partial-aggs map-side",
     "s13_pq_topk" -> "PQ ANN: codebooks are driver literals (m x ksub x subDim longs), the 8-code encode is ONE zero-shuffle codegen'd projection, queries broadcast — the searchable index is codes (8 small ints/vector), 64x narrower than the vectors",
     "s14_pq_rerank" -> "two-stage retrieval: the code index narrows to poolSize candidates per query; ONLY those rows join back to the full-vector table for the exact re-rank — full vectors are read per-candidate, never per-corpus",
     "s15_kcenter_coreset" -> "farthest-first coreset: the corpus carries ONE integer dmin register; each of the k rounds is a map-side LEAST relax + a top-1 reduction (one-row collect) — no pairwise distance matrix ever forms, cost is k scans of a checkpointed narrow frame",

@@ -1685,6 +1685,42 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_partkey"))
     }),
 
+    // 80/20 analysis: per segment, how many top customers cover 80% of
+    // revenue — descending cumulative window, threshold crossed via the
+    // integer test 5·cum ≥ 4·total (no percentage doubles)
+    "q124_pareto_8020" -> ((s, d) => {
+      val rev = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("c_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("cents").desc, col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy("c_mktsegment")
+      rev
+        .withColumn("cum", sum(col("cents")).over(w))
+        .withColumn("tot", sum(col("cents")).over(tot))
+        // first row where the running 80% threshold is met still counts
+        .withColumn("pre", col("cum") - col("cents"))
+        .filter(col("pre") * 5L < col("tot") * 4L)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_top"),
+          max(expr("(cum * 1000000) div tot")).as("covered_ppm"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // corpus duplication profile: near-dup cluster-size histogram (how many
+    // singletons / pairs / bigger families) — d7's clusters rolled up twice
+    // (cluster → size, size → count); frames are cluster-sized, never docs²
+    "d20_cluster_sizes" -> ((s, d) => {
+      val clusters = Dedup.nearDupClusters(s, Tables.documents(s, d), "doc_id", "text",
+        numHashes = 8, shingleSize = 3, rowsPerBand = 2, minEstimate = 0.5)
+      clusters.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+        .orderBy("cluster_size")
+    }),
+
     // double-charge detector: purchases by the same user for the same
     // whole-dollar amount within 24 h — one lag window on (user, amount),
     // no self-join; surfaces the later event of each suspicious pair
@@ -4814,6 +4850,39 @@ object SparkEntry {
         |FROM pp, t JOIN part ON l_partkey = p_partkey
         |WHERE rev > total // 2000
         |ORDER BY revenue DESC, l_partkey""".stripMargin,
+
+    // descending cumulative share; the pre-threshold test keeps the
+    // crossing row (pre·5 < tot·4 ⟺ the row before it was under 80%)
+    "q124_pareto_8020" ->
+      """WITH r AS (SELECT c_mktsegment, c_custkey,
+        |    CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |w AS (SELECT c_mktsegment, cents,
+        |    CAST(SUM(cents) OVER (PARTITION BY c_mktsegment
+        |      ORDER BY cents DESC, c_custkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(SUM(cents) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS tot
+        |  FROM r)
+        |SELECT c_mktsegment, COUNT(*) AS n_top,
+        |  CAST(MAX((cum * 1000000) // tot) AS BIGINT) AS covered_ppm
+        |FROM w WHERE (cum - cents) * 5 < tot * 4
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // d7's cluster CTEs → size histogram
+    "d20_cluster_sizes" ->
+      s"""WITH RECURSIVE ${minhashPairsSql("documents")},
+         |cl_e AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs WHERE jaccard_est >= 0.5),
+         |cl_sym AS (SELECT src, dst FROM cl_e UNION SELECT dst, src FROM cl_e),
+         |cl_reach(a, b) AS (
+         |  SELECT src, src FROM cl_sym
+         |  UNION
+         |  SELECT r.a, s.dst FROM cl_reach r JOIN cl_sym s ON r.b = s.src),
+         |cl_comp AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM cl_reach GROUP BY a),
+         |assigned AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN cl_comp c ON c.doc_id = d.doc_id),
+         |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM assigned GROUP BY 1)
+         |SELECT cluster_size, COUNT(*) AS n_clusters,
+         |  cluster_size * COUNT(*) AS n_docs
+         |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same lag window on the (user, amount) partition
     "q123_double_charge" ->

@@ -1685,6 +1685,58 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_partkey"))
     }),
 
+    // session conversion by week: sessions flagged (had click, had
+    // purchase) via two bool-max aggregates on the session key — the
+    // abandoned-cart rate; exact ppm over session-sized frames
+    "q125_session_conversion" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      val sess = Sessionize.assign(ev, "user_id", "ts_us",
+        gapUs = 3600000000L, tieBreakCols = Seq("event_id"))
+      val flags = sess.groupBy("user_id", "session_seq")
+        .agg(min(col("ts_us")).as("t0"),
+          max((col("event_type") === "click").cast("long")).as("had_click"),
+          max((col("event_type") === "purchase").cast("long")).as("had_purchase"))
+      flags.filter(col("had_click") === 1L)
+        .groupBy(expr(s"t0 div $WeekUs").as("week"))
+        .agg(count(lit(1)).as("n_click_sessions"),
+          sum(col("had_purchase")).as("n_converted"))
+        .withColumn("conv_ppm", expr("(n_converted * 1000000) div n_click_sessions"))
+        .orderBy("week")
+    }),
+
+    // vocabulary health: hapax legomena (corpus-count-1 tokens) share per
+    // source — one token-count shuffle, token occurrences re-join their
+    // corpus count on the same key
+    "t24_hapax_ratio" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      val corpus = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      toks.join(corpus, "tok")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum((col("c") === 1L).cast("long")).as("n_hapax"))
+        .withColumn("hapax_ppm", expr("(n_hapax * 1000000) div n_tokens"))
+        .orderBy("source")
+    }),
+
+    // late-order audit (TPC-H Q4 shape): orders with AT LEAST ONE lineitem
+    // shipped >30 days after the order date, counted per priority — the
+    // EXISTS is a left-semi join on the order key
+    "q126_priority_late" -> ((s, d) => {
+      val late = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select(col("o_orderkey").as("ok2"),
+          Tables.epochUs(col("o_orderdate")).as("od_us")),
+          col("l_orderkey") === col("ok2"))
+        .filter(Tables.epochUs(col("l_shipdate")) - col("od_us") > lit(30L * DayUs))
+        .select(col("l_orderkey")).distinct()
+      Tables.orders(s, d)
+        .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_late_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
     // 80/20 analysis: per segment, how many top customers cover 80% of
     // revenue — descending cumulative window, threshold crossed via the
     // integer test 5·cum ≥ 4·total (no percentage doubles)
@@ -4850,6 +4902,47 @@ object SparkEntry {
         |FROM pp, t JOIN part ON l_partkey = p_partkey
         |WHERE rev > total // 2000
         |ORDER BY revenue DESC, l_partkey""".stripMargin,
+
+    // q93's sessionization + boolean-max flags per session
+    "q125_session_conversion" ->
+      s"""WITH flagged AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000
+         |      THEN 1 ELSE 0 END AS new_s
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+         |sess AS (SELECT user_id, ts_us, event_type,
+         |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+         |  FROM flagged),
+         |fl AS (SELECT user_id, session_seq, MIN(ts_us) AS t0,
+         |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS had_click,
+         |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS had_purchase
+         |  FROM sess GROUP BY 1, 2)
+         |SELECT t0 // $WeekUs AS week, COUNT(*) AS n_click_sessions,
+         |  CAST(SUM(had_purchase) AS BIGINT) AS n_converted,
+         |  CAST((CAST(SUM(had_purchase) AS BIGINT) * 1000000) // COUNT(*) AS BIGINT)
+         |    AS conv_ppm
+         |FROM fl WHERE had_click = 1
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // corpus token counts once; hapax = count exactly 1
+    "t24_hapax_ratio" ->
+      s"""WITH tok AS (SELECT source, unnest($toksSql) AS tok FROM documents),
+         |c AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY 1)
+         |SELECT source, COUNT(*) AS n_tokens,
+         |  CAST(SUM(CASE WHEN c.c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         |  CAST((CAST(SUM(CASE WHEN c.c = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         |    // COUNT(*) AS BIGINT) AS hapax_ppm
+         |FROM tok JOIN c USING (tok)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // EXISTS as a semi-join on the order key
+    "q126_priority_late" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_late_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND epoch_us(l_shipdate) - epoch_us(o_orderdate) > 2592000000000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // descending cumulative share; the pre-threshold test keeps the
     // crossing row (pre·5 < tot·4 ⟺ the row before it was under 80%)

@@ -1685,6 +1685,45 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_partkey"))
     }),
 
+    // ANN cost model: candidates each index would examine per query — LSH
+    // bucket population vs IVF probed-cell population, in exact ppm of the
+    // corpus. The audit that justifies (or indicts) an index BEFORE queries
+    // run; everything derives from index metadata, the corpus is scanned
+    // once to build it
+    "s24_ann_candidates" -> ((s, d) => {
+      import s.implicits._
+      val em = Tables.embeddings(s, d)
+      val vecs = em.select(col("vec_id").as("id"), quantize1000(col("embedding")).as("v"))
+        .localCheckpoint(true)
+      val corpusN = vecs.agg(count(lit(1)).as("corpus_n"))
+      val bucketed = vecs.withColumn("bucket", Similarity.lshBucketQ(col("v"), 8, 64))
+      val bsizes = bucketed.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      val lsh = bucketed.filter(col("id") < 5).join(bsizes, "bucket")
+        .select(col("id").as("query_id"), (col("bn") - 1L).as("lsh_candidates"))
+      val (cells, centroids) = Similarity.ivfIndex(em, "vec_id", "embedding",
+        nCentroids = 16, iterations = 5)
+      val csizes = cells.groupBy("cell").agg(count(lit(1)).as("csz"))
+      val centDf = broadcast(
+        centroids.zipWithIndex.map { case (c, i) =>
+          (i, c.toSeq, c.map(x => x * x).sum)
+        }.toSeq.toDF("cell", "c", "cnorm"))
+      val probes = vecs.filter(col("id") < 5).crossJoin(centDf)
+        .withColumn("dist", col("cnorm") - lit(2L) * ldot(col("v"), col("c")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("id").orderBy(col("dist"), col("cell"))))
+        .filter(col("rn") <= 4)
+      val ivf = probes.join(csizes, "cell").groupBy("id")
+        .agg((sum(col("csz")) - 1L).as("ivf_candidates"))
+        .withColumnRenamed("id", "qid2")
+      lsh.join(ivf, col("query_id") === col("qid2")).drop("qid2")
+        .crossJoin(broadcast(corpusN))
+        .select(col("query_id"), col("lsh_candidates"), col("ivf_candidates"),
+          col("corpus_n"),
+          expr("(lsh_candidates * 1000000) div corpus_n").as("lsh_ppm"),
+          expr("(ivf_candidates * 1000000) div corpus_n").as("ivf_ppm"))
+        .orderBy("query_id")
+    }),
+
     // session conversion by week: sessions flagged (had click, had
     // purchase) via two bool-max aggregates on the session key — the
     // abandoned-cart rate; exact ppm over session-sized frames
@@ -4902,6 +4941,29 @@ object SparkEntry {
         |FROM pp, t JOIN part ON l_partkey = p_partkey
         |WHERE rev > total // 2000
         |ORDER BY revenue DESC, l_partkey""".stripMargin,
+
+    // both index CTE families over the same v table; candidate counts are
+    // population arithmetic on bucket/cell sizes
+    "s24_ann_candidates" ->
+      s"""WITH ${ivfCellsSql(16, 5)},
+         |q AS (SELECT id AS vec_id, v AS qv FROM v),
+         |bucketed AS (SELECT vec_id, $lshBucketSql AS bucket FROM q),
+         |bs AS (SELECT bucket, COUNT(*) AS bn FROM bucketed GROUP BY 1),
+         |lsh AS (SELECT vec_id AS query_id, CAST(bn - 1 AS BIGINT) AS lsh_candidates
+         |  FROM bucketed JOIN bs USING (bucket) WHERE vec_id < 5),
+         |cs AS (SELECT cell, COUNT(*) AS csz FROM cells GROUP BY 1),
+         |pd AS (SELECT qq.id AS query_id, c.cell,
+         |  ROW_NUMBER() OVER (PARTITION BY qq.id
+         |    ORDER BY c.cn - 2*list_sum([c.c[i]*qq.v[i] for i in range(1,65)]), c.cell) AS rn
+         |  FROM v qq CROSS JOIN c5 c WHERE qq.id < 5),
+         |probes AS (SELECT query_id, cell FROM pd WHERE rn <= 4),
+         |ivf AS (SELECT query_id, CAST(SUM(csz) - 1 AS BIGINT) AS ivf_candidates
+         |  FROM probes JOIN cs USING (cell) GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS corpus_n FROM v)
+         |SELECT query_id, lsh_candidates, ivf_candidates, corpus_n,
+         |  CAST((lsh_candidates * 1000000) // corpus_n AS BIGINT) AS lsh_ppm,
+         |  CAST((ivf_candidates * 1000000) // corpus_n AS BIGINT) AS ivf_ppm
+         |FROM lsh JOIN ivf USING (query_id), n ORDER BY query_id""".stripMargin,
 
     // q93's sessionization + boolean-max flags per session
     "q125_session_conversion" ->

@@ -1685,6 +1685,25 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_partkey"))
     }),
 
+    // purchase cadence: median days between a customer's consecutive
+    // orders, per segment — one lag window on the customer key feeding the
+    // exact weighted-median machinery (unit weights)
+    "q127_purchase_cadence" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("o_custkey"), col("o_orderkey"),
+          Tables.epochUs(col("o_orderdate")).as("od_us"))
+      val w = Window.partitionBy("o_custkey").orderBy(col("od_us"), col("o_orderkey"))
+      val gaps = o.withColumn("prev", lag(col("od_us"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("c_mktsegment"),
+          expr(s"(od_us - prev) div $DayUs").as("gap_days"))
+        .withColumn("one", lit(1L))
+      Analytics.weightedMedian(gaps, Seq("c_mktsegment"), "gap_days", "one")
+        .select(col("c_mktsegment"), col("n"), col("wmedian").as("median_gap_days"))
+        .orderBy("c_mktsegment")
+    }),
+
     // ANN cost model: candidates each index would examine per query — LSH
     // bucket population vs IVF probed-cell population, in exact ppm of the
     // corpus. The audit that justifies (or indicts) an index BEFORE queries
@@ -4941,6 +4960,25 @@ object SparkEntry {
         |FROM pp, t JOIN part ON l_partkey = p_partkey
         |WHERE rev > total // 2000
         |ORDER BY revenue DESC, l_partkey""".stripMargin,
+
+    // lag gaps, then the q110 median frame with unit weights
+    "q127_purchase_cadence" ->
+      s"""WITH o AS (SELECT c_mktsegment, o_custkey, o_orderkey,
+         |    epoch_us(o_orderdate) AS od_us
+         |  FROM orders JOIN customer ON o_custkey = c_custkey),
+         |g AS (SELECT c_mktsegment,
+         |    (od_us - lag(od_us) OVER (PARTITION BY o_custkey
+         |      ORDER BY od_us, o_orderkey)) // $DayUs AS gap_days
+         |  FROM o),
+         |gg AS (SELECT * FROM g WHERE gap_days IS NOT NULL),
+         |w AS (SELECT c_mktsegment, gap_days,
+         |    CAST(COUNT(*) OVER (PARTITION BY c_mktsegment ORDER BY gap_days)
+         |      AS BIGINT) AS cum,
+         |    CAST(COUNT(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS tot
+         |  FROM gg)
+         |SELECT c_mktsegment, COUNT(*) AS n,
+         |  MIN(CASE WHEN cum*2 >= tot THEN gap_days END) AS median_gap_days
+         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // both index CTE families over the same v table; candidate counts are
     // population arithmetic on bucket/cell sizes

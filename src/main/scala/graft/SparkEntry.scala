@@ -2749,6 +2749,44 @@ object SparkEntry {
       Dedup.winnowedPairs(Tables.documents(s, d), "doc_id", "text",
           n = 4, window = 4, minShared = 2L, maxFpDf = 50L)
         .orderBy("id_a", "id_b")
+    }),
+
+    // longest consecutive-day activity streak per user → user-count
+    // histogram. Gaps-and-islands: day − row_number is constant exactly
+    // within a run of consecutive days — two hash-aggs on the user key,
+    // one user-sized window, no self-join at any scale
+    "q128_activity_streaks" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("user_id"), expr(s"ts_us div $DayUs").as("day")).distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      days.withColumn("grp", col("day") - row_number().over(w))
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+        .groupBy("user_id").agg(max(col("len")).as("streak_days"))
+        .groupBy("streak_days").agg(count(lit(1)).as("n_users"))
+        .orderBy("streak_days")
+    }),
+
+    // customer distribution by order count (TPC-H Q13 shape) — zero-order
+    // customers kept by the left join; shuffles once on the customer key
+    // then reduces to an order-count-sized histogram
+    "q129_custdist" -> ((s, d) => {
+      Tables.customer(s, d).select(col("c_custkey"))
+        .join(Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // hubs & authorities on the directed brand→type graph: exact-integer
+    // HITS (unnormalized = alternating-path counts), 3 rounds — brands are
+    // pure hubs, types pure authorities; ranking ≡ normalized HITS
+    "q130_hits" -> ((s, d) => {
+      val edges = Tables.part(s, d).select(
+        concat(lit("b:"), col("p_brand")).as("src"),
+        concat(lit("t:"), col("p_type")).as("dst"))
+      GraphAlgorithms.hitsExact(edges, iterations = 3)
+        .orderBy("vertex")
     })
   )
 
@@ -6009,7 +6047,52 @@ object SparkEntry {
         |FROM x CROSS JOIN est""".stripMargin,
 
     "t15_winnowing" -> winnowingPairsSql(n = 4, window = 4,
-      minShared = 2L, maxFpDf = 50L)
+      minShared = 2L, maxFpDf = 50L),
+
+    // gaps-and-islands: day − row_number constant within a consecutive run
+    "q128_activity_streaks" ->
+      s"""WITH days AS (SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day
+         |  FROM events),
+         |g AS (SELECT user_id, day,
+         |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+         |  FROM days),
+         |runs AS (SELECT user_id, COUNT(*) AS len FROM g GROUP BY user_id, grp),
+         |l AS (SELECT user_id, CAST(MAX(len) AS BIGINT) AS streak_days
+         |  FROM runs GROUP BY 1)
+         |SELECT streak_days, COUNT(*) AS n_users
+         |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // zero-order customers survive the left join with c_count 0
+    "q129_custdist" ->
+      """WITH c AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |SELECT CAST(c_count AS BIGINT) AS c_count, COUNT(*) AS custdist
+        |FROM c GROUP BY 1
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // 3 unrolled HITS rounds; hub/auth are exact alternating-path counts
+    "q130_hits" ->
+      """WITH e AS (SELECT DISTINCT 'b:' || p_brand AS src, 't:' || p_type AS dst
+        |  FROM part),
+        |verts AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
+        |h0 AS (SELECT vertex, CAST(1 AS BIGINT) AS hub FROM verts),
+        |a1 AS (SELECT dst AS vertex, CAST(SUM(hub) AS BIGINT) AS auth
+        |  FROM e JOIN h0 ON src = h0.vertex GROUP BY 1),
+        |h1 AS (SELECT src AS vertex, CAST(SUM(auth) AS BIGINT) AS hub
+        |  FROM e JOIN a1 ON dst = a1.vertex GROUP BY 1),
+        |a2 AS (SELECT dst AS vertex, CAST(SUM(hub) AS BIGINT) AS auth
+        |  FROM e JOIN h1 ON src = h1.vertex GROUP BY 1),
+        |h2 AS (SELECT src AS vertex, CAST(SUM(auth) AS BIGINT) AS hub
+        |  FROM e JOIN a2 ON dst = a2.vertex GROUP BY 1),
+        |a3 AS (SELECT dst AS vertex, CAST(SUM(hub) AS BIGINT) AS auth
+        |  FROM e JOIN h2 ON src = h2.vertex GROUP BY 1),
+        |h3 AS (SELECT src AS vertex, CAST(SUM(auth) AS BIGINT) AS hub
+        |  FROM e JOIN a3 ON dst = a3.vertex GROUP BY 1)
+        |SELECT v.vertex, COALESCE(h3.hub, 0) AS hub, COALESCE(a3.auth, 0) AS auth
+        |FROM verts v LEFT JOIN h3 ON v.vertex = h3.vertex
+        |LEFT JOIN a3 ON v.vertex = a3.vertex
+        |ORDER BY v.vertex""".stripMargin
   )
 
   /** Unrolled fixed-iteration PageRank oracle over the brand↔type graph —

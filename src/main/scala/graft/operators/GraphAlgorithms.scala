@@ -684,4 +684,51 @@ object GraphAlgorithms {
     }
     dist
   }
+
+  /** Exact-integer HITS (Kleinberg's hubs & authorities) over a directed
+    * edge list, fixed iteration count, normalization step removed: from
+    * all-ones hub scores, round k computes
+    *
+    *   authₖ(v) = Σ_{u→v} hubₖ₋₁(u)      hubₖ(v) = Σ_{v→w} authₖ(w)
+    *
+    * Without the per-round L2 normalization every score is an exact count
+    * of directed alternating paths — a BIGINT, bit-identical across
+    * engines, partitionings and summation orders (the conventional float
+    * power iteration is none of those). Normalizing only rescales each
+    * round uniformly, so rankings and score RATIOS equal normalized HITS
+    * at the same k. Scores grow like (mean degree)^(2k); the iteration
+    * bound keeps any graph with per-round sums under ~10⁹ per vertex in
+    * long range — aggregated-entity graphs (brand/type, host-level)
+    * qualify, raw-edge graphs should be contracted first, same guidance
+    * as [[pageRankPpm]].
+    *
+    * Scale shape: two shuffle joins per round (edges⋈hub on src-key, then
+    * edges⋈auth on dst-key) with map-side partial sums; the deduped edge
+    * frame is checkpointed once and re-read every round; rounds compose
+    * lazily into one job (no per-round action). Vertices missing a score
+    * (no out-edges → hub 0; no in-edges → auth 0) are restored by the
+    * final left joins. */
+  def hitsExact(edges: DataFrame, iterations: Int = 3): DataFrame = {
+    require(iterations >= 1 && iterations <= 6,
+      "iterations must be in [1,6]: unnormalized scores grow like degree^(2k)")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    val vertices = e.select(col("src").as("vertex"))
+      .unionByName(e.select(col("dst").as("vertex"))).distinct()
+    var hub = vertices.withColumn("hub", lit(1L))
+    var auth: DataFrame = vertices.withColumn("auth", lit(0L))
+    for (_ <- 1 to iterations) {
+      auth = e.join(hub.select(col("vertex").as("src"), col("hub")), "src")
+        .groupBy(col("dst").as("vertex")).agg(sum(col("hub")).as("auth"))
+      hub = e.join(auth.select(col("vertex").as("dst"), col("auth")), "dst")
+        .groupBy(col("src").as("vertex")).agg(sum(col("auth")).as("hub"))
+    }
+    vertices
+      .join(hub, Seq("vertex"), "left")
+      .join(auth, Seq("vertex"), "left")
+      .select(col("vertex"),
+        coalesce(col("hub"), lit(0L)).as("hub"),
+        coalesce(col("auth"), lit(0L)).as("auth"))
+  }
 }

@@ -2787,6 +2787,67 @@ object SparkEntry {
         concat(lit("t:"), col("p_type")).as("dst"))
       GraphAlgorithms.hitsExact(edges, iterations = 3)
         .orderBy("vertex")
+    }),
+
+    // lexical diversity per source via the Simpson/repeat-probability index:
+    // P(two random tokens collide) = Σc(c−1)/(N(N−1)) — an exact rational
+    // from the token-count marginal (no logs, unlike entropy). Staged ×1000
+    // ppm division for long headroom (q98 pattern); corpora where Σc(c−1)
+    // itself exceeds long range need DECIMAL(38) moments
+    "t25_simpson_diversity" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      toks.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(col("c") * (col("c") - 1L)).as("coll"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          expr("(coll * 1000) div ((n_tokens * (n_tokens - 1)) div 1000)")
+            .as("collision_ppm"))
+        .orderBy("source")
+    }),
+
+    // revenue lost to returned items per customer nation (TPC-H Q10 shape):
+    // the return-flag filter prunes the fact scan first, dims join on keys,
+    // nation broadcast; exact ×10000 integer revenue (qSumWide pattern)
+    "q131_returned_revenue" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+            .cast("long").as("rc"))
+      li.join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg((sum(col("rc")).cast("double") / 10000.0).as("lost_revenue"),
+          countDistinct(col("c_custkey")).as("n_customers"))
+        .orderBy(col("lost_revenue").desc, col("n_name"))
+    }),
+
+    // range search census: neighbors within cosine ≥ .95/.90/.80 of each
+    // query — all-integer via cross-multiplied squares (cos ≥ τ ⟺ dot>0 ∧
+    // q²·dot² ≥ p²·na·nb for τ = p/q), no sqrt anywhere; norms precomputed
+    // per side so the broadcast probe is one ldot per pair
+    "s25_radius_census" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+        .select(col("vec_id"), quantize1000(col("embedding")).as("v"))
+        .withColumn("nv", ldot(col("v"), col("v")))
+      val q = vecs.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nv").as("nq"))
+      val hit = (p: Long, qq: Long) =>
+        col("dot") > 0L && col("dot") * col("dot") * qq >= col("nn") * p
+      vecs.filter(col("vec_id") >= 5).crossJoin(broadcast(q))
+        .withColumn("dot", ldot(col("v"), col("qv")))
+        .withColumn("nn", col("nv") * col("nq"))
+        .groupBy("query_id")
+        .agg(sum(when(hit(361L, 400L), 1L).otherwise(0L)).as("n_ge95"),
+          sum(when(hit(81L, 100L), 1L).otherwise(0L)).as("n_ge90"),
+          sum(when(hit(16L, 25L), 1L).otherwise(0L)).as("n_ge80"))
+        .orderBy("query_id")
     })
   )
 
@@ -6092,7 +6153,54 @@ object SparkEntry {
         |SELECT v.vertex, COALESCE(h3.hub, 0) AS hub, COALESCE(a3.auth, 0) AS auth
         |FROM verts v LEFT JOIN h3 ON v.vertex = h3.vertex
         |LEFT JOIN a3 ON v.vertex = a3.vertex
-        |ORDER BY v.vertex""".stripMargin
+        |ORDER BY v.vertex""".stripMargin,
+
+    // token-count marginal → exact collision probability (staged ppm)
+    "t25_simpson_diversity" ->
+      s"""WITH tok AS (SELECT source, unnest($toksSql) AS tok FROM documents),
+         |c AS (SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+         |m AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |    COUNT(*) AS n_types,
+         |    CAST(SUM(c * (c - 1)) AS BIGINT) AS coll
+         |  FROM c GROUP BY 1)
+         |SELECT source, n_tokens, n_types,
+         |  CAST((coll * 1000) // ((n_tokens * (n_tokens - 1)) // 1000) AS BIGINT)
+         |    AS collision_ppm
+         |FROM m ORDER BY source""".stripMargin,
+
+    // return-flag filter first, then the key joins; qSumWide revenue
+    "q131_returned_revenue" ->
+      """SELECT n_name,
+        |  CAST(CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT))
+        |    AS BIGINT) AS DOUBLE)/10000.0 AS lost_revenue,
+        |  COUNT(DISTINCT c_custkey) AS n_customers
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1 ORDER BY lost_revenue DESC, n_name""".stripMargin,
+
+    // cross-multiplied squared-cosine thresholds; HUGEINT intermediates in
+    // DuckDB, long-safe in Spark (dot ≤ 6.4e7 ⇒ 400·dot² ≤ 1.7e18)
+    "s25_radius_census" ->
+      s"""WITH v AS (SELECT vec_id, ${qvSql("embedding")} AS v FROM embeddings),
+         |n AS (SELECT vec_id, v,
+         |    CAST(list_sum([v[i]*v[i] for i in range(1,65)]) AS BIGINT) AS nv
+         |  FROM v),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nv AS nq FROM n WHERE vec_id < 5),
+         |p AS (SELECT query_id,
+         |    CAST(list_sum([c.v[i]*q.qv[i] for i in range(1,65)]) AS BIGINT) AS dot,
+         |    c.nv * q.nq AS nn
+         |  FROM n c CROSS JOIN q q WHERE c.vec_id >= 5)
+         |SELECT query_id,
+         |  CAST(SUM(CASE WHEN dot > 0 AND dot*dot*400 >= nn*361 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_ge95,
+         |  CAST(SUM(CASE WHEN dot > 0 AND dot*dot*100 >= nn*81 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_ge90,
+         |  CAST(SUM(CASE WHEN dot > 0 AND dot*dot*25 >= nn*16 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_ge80
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Unrolled fixed-iteration PageRank oracle over the brand↔type graph —

@@ -2848,6 +2848,70 @@ object SparkEntry {
           sum(when(hit(81L, 100L), 1L).otherwise(0L)).as("n_ge90"),
           sum(when(hit(16L, 25L), 1L).otherwise(0L)).as("n_ge80"))
         .orderBy("query_id")
+    }),
+
+    // promo-revenue share per ship month (TPC-H Q14 shape): one fact scan,
+    // part-type flag broadcast-joined, conditional integer sums, staged-ppm
+    // share (q98 pattern — headroom past 2⁶³ month revenue in cents·10⁴)
+    "q132_promo_share" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_partkey"),
+        unix_micros(date_trunc("month", col("l_shipdate").cast("timestamp")))
+          .as("month_us"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+          .cast("long").as("rc"))
+      li.join(broadcast(Tables.part(s, d).select(col("p_partkey"),
+          col("p_type").startsWith("PROMO").cast("long").as("is_promo"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("month_us")
+        .agg(sum(col("rc") * col("is_promo")).as("promo_rc"),
+          sum(col("rc")).as("total_rc"))
+        .select(col("month_us"),
+          (col("promo_rc").cast("double") / 10000.0).as("promo_revenue"),
+          expr("(promo_rc * 1000) div (total_rc div 1000)").as("promo_ppm"))
+        .orderBy("month_us")
+    }),
+
+    // term burstiness: variance-to-mean ratio of per-document counts for the
+    // top-20 corpus terms, zeros included (docs without the term) — VMR > 1
+    // means clumped/topical, ≈1 Poisson-like function words. All-integer:
+    // VMR·1e6 = (N·Σx² − (Σx)²)·10⁶ div ((N−1)·Σx), non-negative by
+    // Cauchy–Schwarz so truncating div is engine-identical
+    "t26_burstiness" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val perDoc = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok", "doc_id").agg(count(lit(1)).as("x"))
+      val stats = perDoc.groupBy("tok")
+        .agg(sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+          count(lit(1)).as("n_docs_with"))
+        .orderBy(col("sx").desc, col("tok")).limit(20)
+      stats.crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+        .select(col("tok"), col("sx").as("total_count"), col("n_docs_with"),
+          expr("((n * sxx - sx * sx) * 1000000) div ((n - 1) * sx)").as("vmr_ppm"))
+        .orderBy(col("total_count").desc, col("tok"))
+    }),
+
+    // rank agreement between supplier account balance and realized revenue:
+    // Spearman distance 6Σd²/(n(n²−1)) in staged ppm — RANK over the bare
+    // value (ties share a rank, deterministic in both engines, the t18
+    // rule), zero-revenue suppliers kept by the left join
+    "q133_spearman_balance" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d).groupBy("l_suppkey")
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+          .cast("long")).as("rev"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey"), round(col("s_acctbal") * 100).cast("long").as("bal"))
+        .join(rev, col("s_suppkey") === col("l_suppkey"), "left")
+        .withColumn("rev", coalesce(col("rev"), lit(0L)))
+      val ranked = sup.select(
+        rank().over(Window.orderBy(col("bal").desc)).cast("long").as("r_bal"),
+        rank().over(Window.orderBy(col("rev").desc)).cast("long").as("r_rev"))
+      ranked.agg(count(lit(1)).as("n"),
+          sum((col("r_bal") - col("r_rev")) * (col("r_bal") - col("r_rev")))
+            .as("sum_d2"))
+        .select(col("n"), col("sum_d2"),
+          // unstaged: headroom to n≈10⁴ suppliers (2e6·n³ < 2⁶³); bigger
+          // supplier dimensions would rank a hash-sample instead
+          expr("(6 * sum_d2 * 1000000) div (n * (n * n - 1))").as("dist_ppm"))
     })
   )
 
@@ -6200,7 +6264,53 @@ object SparkEntry {
          |    AS BIGINT) AS n_ge90,
          |  CAST(SUM(CASE WHEN dot > 0 AND dot*dot*25 >= nn*16 THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_ge80
-         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // conditional integer sums per ship month; staged-ppm share
+    "q132_promo_share" ->
+      """WITH li AS (SELECT epoch_us(date_trunc('month', l_shipdate)) AS month_us,
+        |    CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT) AS rc,
+        |    CASE WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS is_promo
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |m AS (SELECT month_us, CAST(SUM(rc * is_promo) AS BIGINT) AS promo_rc,
+        |    CAST(SUM(rc) AS BIGINT) AS total_rc
+        |  FROM li GROUP BY 1)
+        |SELECT month_us, CAST(promo_rc AS DOUBLE)/10000.0 AS promo_revenue,
+        |  CAST((promo_rc * 1000) // (total_rc // 1000) AS BIGINT) AS promo_ppm
+        |FROM m ORDER BY month_us""".stripMargin,
+
+    // per-doc count moments; VMR from N·Σx² − (Σx)² (zeros implicit)
+    "t26_burstiness" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |x AS (SELECT tok, doc_id, COUNT(*) AS x FROM tok GROUP BY 1, 2),
+         |st AS (SELECT tok, CAST(SUM(x) AS BIGINT) AS sx,
+         |    CAST(SUM(x*x) AS BIGINT) AS sxx, COUNT(*) AS n_docs_with
+         |  FROM x GROUP BY 1
+         |  ORDER BY sx DESC, tok LIMIT 20),
+         |nd AS (SELECT COUNT(*) AS n FROM documents)
+         |SELECT tok, sx AS total_count, n_docs_with,
+         |  CAST(((n * sxx - sx * sx) * 1000000) // ((n - 1) * sx) AS BIGINT)
+         |    AS vmr_ppm
+         |FROM st, nd ORDER BY total_count DESC, tok""".stripMargin,
+
+    // two bare-value RANKs (tie-deterministic), one integer Spearman distance
+    "q133_spearman_balance" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |sup AS (SELECT CAST(round(s_acctbal*100) AS BIGINT) AS bal,
+        |    COALESCE(rev, 0) AS rev
+        |  FROM supplier LEFT JOIN rev ON s_suppkey = l_suppkey),
+        |r AS (SELECT CAST(RANK() OVER (ORDER BY bal DESC) AS BIGINT) AS r_bal,
+        |    CAST(RANK() OVER (ORDER BY rev DESC) AS BIGINT) AS r_rev
+        |  FROM sup),
+        |agg AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM((r_bal - r_rev)*(r_bal - r_rev)) AS BIGINT) AS sum_d2
+        |  FROM r)
+        |SELECT n, sum_d2,
+        |  CAST((6 * sum_d2 * 1000000) // (n * (n * n - 1)) AS BIGINT) AS dist_ppm
+        |FROM agg""".stripMargin
   )
 
   /** Unrolled fixed-iteration PageRank oracle over the brand↔type graph —

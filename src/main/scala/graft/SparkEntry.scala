@@ -2912,6 +2912,74 @@ object SparkEntry {
           // unstaged: headroom to n≈10⁴ suppliers (2e6·n³ < 2⁶³); bigger
           // supplier dimensions would rank a hash-sample instead
           expr("(6 * sum_d2 * 1000000) div (n * (n * n - 1))").as("dist_ppm"))
+    }),
+
+    // storage-savings report: bytes reclaimed per source by exact text
+    // dedup (keep-one-per-hash) — the go/no-go number before running the
+    // expensive near-dup passes; one groupBy on (source, md5) then a
+    // source-sized rollup, identical-text groups share n_chars so the
+    // keeper's size is min(n_chars)
+    "d21_dedup_savings" -> ((s, d) => {
+      val g = Tables.documents(s, d)
+        .select(col("source"), col("n_chars"), md5(col("text")).as("h"))
+        .groupBy("source", "h")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("gc"),
+          min(col("n_chars")).as("kc"))
+      g.groupBy("source")
+        .agg(count(lit(1)).as("n_unique"), sum(col("n")).as("n_docs"),
+          sum(col("gc")).as("total_chars"), sum(col("kc")).as("kept_chars"))
+        .withColumn("savings_ppm",
+          expr("((total_chars - kept_chars) * 1000000) div total_chars"))
+        .orderBy("source")
+    }),
+
+    // fulfilment latency profile per order priority (TPC-H Q12 spirit):
+    // exact min / median / max / mean of ship−order delay in whole days —
+    // one join shuffle on the order key, medians via the tie-safe
+    // cumulative-count frame (q110 rule), mean as exact ppm-days
+    "q134_ship_delay_profile" -> ((s, d) => {
+      val delays = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), Tables.epochUs(col("l_shipdate")).as("sd_us"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+          Tables.epochUs(col("o_orderdate")).as("od_us")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          expr(s"(sd_us - od_us) div $DayUs").as("delay_days"))
+        .withColumn("one", lit(1L))
+      val med = Analytics.weightedMedian(delays, Seq("o_orderpriority"),
+        "delay_days", "one")
+        .select(col("o_orderpriority"), col("wmedian").as("median_days"))
+      delays.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), min(col("delay_days")).as("min_days"),
+          max(col("delay_days")).as("max_days"),
+          sum(col("delay_days")).as("sum_days"))
+        .join(med, "o_orderpriority")
+        .select(col("o_orderpriority"), col("n"), col("min_days"),
+          col("median_days"), col("max_days"),
+          expr("(sum_days * 1000000) div n").as("mean_days_ppm"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // clustering-quality eval: majority-label purity per IVF cell (exact
+    // integer k-means, so cells are oracle-able) — the labeled-data sanity
+    // check on the same coarse quantizer the ANN queries probe; plurality
+    // label ties break to the smallest label, row_number over (count desc,
+    // label) is deterministic
+    "s26_cell_purity" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      val (cells, _) = Similarity.ivfIndex(em, "vec_id", "embedding",
+        nCentroids = 16, iterations = 5)
+      val cnt = cells.join(em.select(col("vec_id").as("id"), col("label")), "id")
+        .groupBy("cell", "label").agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy("cell").agg(sum(col("c")).as("n"))
+      cnt.withColumn("rn", row_number().over(
+          Window.partitionBy("cell").orderBy(col("c").desc, col("label"))))
+        .filter(col("rn") === 1)
+        .join(tot, "cell")
+        .select(col("cell").cast("long").as("cell"), col("n"),
+          col("label").as("top_label"),
+          expr("(c * 1000000) div n").as("purity_ppm"))
+        .orderBy("cell")
     })
   )
 
@@ -6310,7 +6378,50 @@ object SparkEntry {
         |  FROM r)
         |SELECT n, sum_d2,
         |  CAST((6 * sum_d2 * 1000000) // (n * (n * n - 1)) AS BIGINT) AS dist_ppm
-        |FROM agg""".stripMargin
+        |FROM agg""".stripMargin,
+
+    // keep-one-per-md5 groups; keeper size = min(n_chars) of the group
+    "d21_dedup_savings" ->
+      """WITH g AS (SELECT source, md5(text) AS h, COUNT(*) AS n,
+        |    CAST(SUM(n_chars) AS BIGINT) AS gc, MIN(n_chars) AS kc
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, COUNT(*) AS n_unique, CAST(SUM(n) AS BIGINT) AS n_docs,
+        |  CAST(SUM(gc) AS BIGINT) AS total_chars,
+        |  CAST(SUM(kc) AS BIGINT) AS kept_chars,
+        |  CAST(((CAST(SUM(gc) AS BIGINT) - CAST(SUM(kc) AS BIGINT)) * 1000000)
+        |    // CAST(SUM(gc) AS BIGINT) AS BIGINT) AS savings_ppm
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q110's tie-safe cumulative median frame with unit weights + moments
+    "q134_ship_delay_profile" ->
+      s"""WITH de AS (SELECT o_orderpriority,
+         |    (epoch_us(l_shipdate) - epoch_us(o_orderdate)) // $DayUs AS delay_days
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |w AS (SELECT o_orderpriority, delay_days,
+         |    CAST(COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY delay_days)
+         |      AS BIGINT) AS cum,
+         |    CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS tot
+         |  FROM de)
+         |SELECT o_orderpriority, COUNT(*) AS n,
+         |  MIN(delay_days) AS min_days,
+         |  MIN(CASE WHEN cum*2 >= tot THEN delay_days END) AS median_days,
+         |  MAX(delay_days) AS max_days,
+         |  CAST((CAST(SUM(delay_days) AS BIGINT) * 1000000) // COUNT(*) AS BIGINT)
+         |    AS mean_days_ppm
+         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same integer-k-means cells CTE; plurality label via (c desc, label)
+    "s26_cell_purity" ->
+      s"""WITH ${ivfCellsSql(16, 5)},
+         |lab AS (SELECT c.cell, e.label FROM cells c JOIN embeddings e ON c.id = e.vec_id),
+         |cnt AS (SELECT cell, label, COUNT(*) AS c FROM lab GROUP BY 1, 2),
+         |tot AS (SELECT cell, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+         |m AS (SELECT cell, label, c,
+         |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY c DESC, label) AS rn
+         |  FROM cnt)
+         |SELECT CAST(m.cell AS BIGINT) AS cell, tot.n, m.label AS top_label,
+         |  CAST((m.c * 1000000) // tot.n AS BIGINT) AS purity_ppm
+         |FROM m JOIN tot USING (cell) WHERE rn = 1 ORDER BY cell""".stripMargin
   )
 
   /** Unrolled fixed-iteration PageRank oracle over the brand↔type graph —

@@ -2980,6 +2980,69 @@ object SparkEntry {
           col("label").as("top_label"),
           expr("(c * 1000000) div n").as("purity_ppm"))
         .orderBy("cell")
+    }),
+
+    // ABC inventory classification: parts partitioned into A (first 80% of
+    // revenue), B (to 95%), C (tail) by the integer pre-threshold test on a
+    // descending cumulative window (q124 rule — the crossing row belongs to
+    // the class it completes). Global window over the parts DIM (not the
+    // fact table); >10⁸-part catalogs would pre-bucket by sketched range
+    // bounds (Layout.sketchRangeBounds) first
+    "q135_abc_class" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d).groupBy("l_partkey")
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+          .cast("long")).as("rc"))
+      val w = Window.orderBy(col("rc").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev.withColumn("cum", sum(col("rc")).over(w))
+        .withColumn("tot", sum(col("rc")).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("pre", col("cum") - col("rc"))
+        .withColumn("abc_class",
+          when(col("pre") * 5L < col("tot") * 4L, "A")
+            .when(col("pre") * 20L < col("tot") * 19L, "B")
+            .otherwise("C"))
+        .groupBy("abc_class")
+        .agg(count(lit(1)).as("n_parts"),
+          (sum(col("rc")).cast("double") / 10000.0).as("revenue"))
+        .orderBy("abc_class")
+    }),
+
+    // copurchase-graph degree distribution: the shape audit run before any
+    // graph algorithm (is this graph peelable? skewed?) — symmetric edge
+    // union, two hash-aggs, histogram-sized result
+    "q136_degree_histogram" -> ((s, d) => {
+      val edges = GraphAlgorithms.cooccurrenceEdges(
+        Tables.lineitem(s, d), "l_orderkey", "l_partkey", minSupport = 2L)
+      edges.select(col("src").as("u")).unionByName(edges.select(col("dst").as("u")))
+        .groupBy("u").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_vertices"))
+        .orderBy("degree")
+    }),
+
+    // atypicality audit: 5 least-centroid-like docs per source by TF cosine
+    // between the doc's integer term counts and its source's aggregate term
+    // profile — low cosine = off-topic/outlier doc, the curation signal
+    // before manual review. Integer dot/norms + ONE canonical double
+    // division (the proven bit-identical formula), rank ties by doc_id
+    "t27_atypical_docs" -> ((s, d) => {
+      val dc = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("source", "doc_id", "tok").agg(count(lit(1)).as("cd"))
+      val sc = dc.groupBy("source", "tok").agg(sum(col("cd")).as("cs"))
+      val nd = dc.groupBy("source", "doc_id")
+        .agg(sum(col("cd") * col("cd")).as("nd"))
+      val ns = sc.groupBy("source").agg(sum(col("cs") * col("cs")).as("ns"))
+      val dot = dc.join(sc, Seq("source", "tok"))
+        .groupBy("source", "doc_id").agg(sum(col("cd") * col("cs")).as("dot"))
+      dot.join(nd, Seq("source", "doc_id")).join(ns, "source")
+        .withColumn("cosine",
+          col("dot").cast("double") / sqrt((col("nd") * col("ns")).cast("double")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("source").orderBy(col("cosine"), col("doc_id"))))
+        .filter(col("rank") <= 5)
+        .select(col("source"), col("rank"), col("doc_id"), col("cosine"))
+        .orderBy("source", "rank")
     })
   )
 
@@ -6421,7 +6484,61 @@ object SparkEntry {
          |  FROM cnt)
          |SELECT CAST(m.cell AS BIGINT) AS cell, tot.n, m.label AS top_label,
          |  CAST((m.c * 1000000) // tot.n AS BIGINT) AS purity_ppm
-         |FROM m JOIN tot USING (cell) WHERE rn = 1 ORDER BY cell""".stripMargin
+         |FROM m JOIN tot USING (cell) WHERE rn = 1 ORDER BY cell""".stripMargin,
+
+    // q124's pre-threshold classification at the 80% and 95% lines
+    "q135_abc_class" ->
+      """WITH rev AS (SELECT l_partkey,
+        |    CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT))
+        |      AS BIGINT) AS rc
+        |  FROM lineitem GROUP BY 1),
+        |w AS (SELECT rc,
+        |    CAST(SUM(rc) OVER (ORDER BY rc DESC, l_partkey
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(SUM(rc) OVER () AS BIGINT) AS tot
+        |  FROM rev),
+        |cl AS (SELECT rc,
+        |    CASE WHEN (cum - rc) * 5 < tot * 4 THEN 'A'
+        |         WHEN (cum - rc) * 20 < tot * 19 THEN 'B'
+        |         ELSE 'C' END AS abc_class
+        |  FROM w)
+        |SELECT abc_class, COUNT(*) AS n_parts,
+        |  CAST(CAST(SUM(rc) AS BIGINT) AS DOUBLE)/10000.0 AS revenue
+        |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same co-order edge definition as the k-core/k-truss family
+    "q136_degree_histogram" ->
+      """WITH li0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT x.p AS a, y.p AS b
+        |  FROM li0 x JOIN li0 y ON x.o = y.o AND x.p < y.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |s AS (SELECT a AS u FROM e UNION ALL SELECT b FROM e),
+        |deg AS (SELECT u, COUNT(*) AS degree FROM s GROUP BY 1)
+        |SELECT CAST(degree AS BIGINT) AS degree, COUNT(*) AS n_vertices
+        |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // integer TF dot/norms per (doc, source); one canonical double division
+    "t27_atypical_docs" ->
+      s"""WITH tok AS (SELECT source, doc_id, unnest($toksSql) AS tok FROM documents),
+         |dc AS (SELECT source, doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cd
+         |  FROM tok GROUP BY 1, 2, 3),
+         |sc AS (SELECT source, tok, CAST(SUM(cd) AS BIGINT) AS cs
+         |  FROM dc GROUP BY 1, 2),
+         |nd AS (SELECT source, doc_id, CAST(SUM(cd*cd) AS BIGINT) AS nd
+         |  FROM dc GROUP BY 1, 2),
+         |ns AS (SELECT source, CAST(SUM(cs*cs) AS BIGINT) AS ns FROM sc GROUP BY 1),
+         |dt AS (SELECT dc.source, dc.doc_id, CAST(SUM(dc.cd * sc.cs) AS BIGINT) AS dot
+         |  FROM dc JOIN sc ON dc.source = sc.source AND dc.tok = sc.tok
+         |  GROUP BY 1, 2),
+         |cosd AS (SELECT dt.source, dt.doc_id,
+         |    CAST(dot AS DOUBLE) / sqrt(CAST(nd.nd * ns.ns AS DOUBLE)) AS cosine
+         |  FROM dt JOIN nd ON dt.source = nd.source AND dt.doc_id = nd.doc_id
+         |  JOIN ns ON dt.source = ns.source),
+         |r AS (SELECT source, doc_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY cosine, doc_id) AS rank
+         |  FROM cosd)
+         |SELECT source, CAST(rank AS INTEGER) AS rank, doc_id, cosine
+         |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin
   )
 
   /** Unrolled fixed-iteration PageRank oracle over the brand↔type graph —

@@ -3043,6 +3043,59 @@ object SparkEntry {
         .filter(col("rank") <= 5)
         .select(col("source"), col("rank"), col("doc_id"), col("cosine"))
         .orderBy("source", "rank")
+    }),
+
+    // Shewhart c-chart over daily event volume: days beyond the 2σ warning
+    // limits, all-integer via the cross-multiplied test
+    // (N·x − S)² > 4·(N·Q − S²)
+    // (population variance; both sides exact longs) — no float mean/stddev
+    // anywhere. Day counts roll up map-side; the 1-row moment frame
+    // broadcasts. Counts past ~10⁹/day need DECIMAL(38) moments
+    "q137_control_chart" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(expr(s"ts_us div $DayUs").as("day")).agg(count(lit(1)).as("x"))
+      val mom = daily.agg(count(lit(1)).as("nn"), sum(col("x")).as("ss"),
+        sum(col("x") * col("x")).as("qq"))
+      daily.crossJoin(broadcast(mom))
+        .filter((col("nn") * col("x") - col("ss")) * (col("nn") * col("x") - col("ss"))
+          > lit(4L) * (col("nn") * col("qq") - col("ss") * col("ss")))
+        .select(col("day"), col("x").as("n_events"),
+          when(col("nn") * col("x") > col("ss"), "high").otherwise("low").as("side"),
+          expr("(x * 1000000) div (ss div nn)").as("vs_mean_ppm"))
+        .orderBy("day")
+    }),
+
+    // per-dimension signal profile of the embedding space: exact integer
+    // mean/variance of the ×1000-quantized values per dim — the audit that
+    // drives PQ subspace allocation and dead-dimension pruning; posexplode
+    // shuffles (dim, value) pairs once, 64-row result
+    "s27_dim_variance" -> ((s, d) => {
+      val dims = Tables.embeddings(s, d)
+        .select(posexplode(quantize1000(col("embedding"))).as(Seq("dim", "v")))
+      dims.groupBy("dim")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          sum(col("v") * col("v")).as("qv"))
+        .select(col("dim"), col("n"),
+          // +1000·n offset keeps the numerator non-negative (values ≥ −1000):
+          // truncating div ≡ floor ≡ DuckDB // only on non-negatives
+          expr("((sv + 1000 * n) div n) - 1000").as("mean_q"),
+          expr("(n * qv - sv * sv) div (n * n)").as("var_q"))
+        .orderBy("dim")
+    }),
+
+    // Benford first-digit audit on order totals (in cents, so the leading
+    // digit is of an integer — no locale/format dependence): digit
+    // frequencies in exact ppm; the classic fabricated-data screen
+    "q138_benford" -> ((s, d) => {
+      val digits = Tables.orders(s, d)
+        .select(substring(round(col("o_totalprice") * 100).cast("long")
+          .cast("string"), 1, 1).as("digit"))
+      val tot = digits.agg(count(lit(1)).as("n_total"))
+      digits.groupBy("digit").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          expr("(n * 1000000) div n_total").as("share_ppm"))
+        .orderBy("digit")
     })
   )
 
@@ -6538,7 +6591,43 @@ object SparkEntry {
          |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY cosine, doc_id) AS rank
          |  FROM cosd)
          |SELECT source, CAST(rank AS INTEGER) AS rank, doc_id, cosine
-         |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin
+         |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+
+    // cross-multiplied |x−μ|>3σ on integer moments; floored-mean ppm
+    "q137_control_chart" ->
+      s"""WITH daily AS (SELECT epoch_us(ts) // $DayUs AS day, COUNT(*) AS x
+         |  FROM events GROUP BY 1),
+         |m AS (SELECT COUNT(*) AS nn, CAST(SUM(x) AS BIGINT) AS ss,
+         |    CAST(SUM(x*x) AS BIGINT) AS qq
+         |  FROM daily)
+         |SELECT day, x AS n_events,
+         |  CASE WHEN nn*x > ss THEN 'high' ELSE 'low' END AS side,
+         |  CAST((x * 1000000) // (ss // nn) AS BIGINT) AS vs_mean_ppm
+         |FROM daily, m
+         |WHERE (nn*x - ss)*(nn*x - ss) > 4*(nn*qq - ss*ss)
+         |ORDER BY day""".stripMargin,
+
+    // parallel unnest zips (value, 0-based dim); integer moments per dim
+    "s27_dim_variance" ->
+      s"""WITH v AS (SELECT ${qvSql("embedding")} AS v FROM embeddings),
+         |dims AS (SELECT CAST(unnest(range(len(v))) AS INTEGER) AS dim,
+         |    unnest(v) AS val FROM v),
+         |m AS (SELECT dim, COUNT(*) AS n, CAST(SUM(val) AS BIGINT) AS sv,
+         |    CAST(SUM(val*val) AS BIGINT) AS qv
+         |  FROM dims GROUP BY 1)
+         |SELECT dim, n, CAST(((sv + 1000*n) // n) - 1000 AS BIGINT) AS mean_q,
+         |  CAST((n*qv - sv*sv) // (n*n) AS BIGINT) AS var_q
+         |FROM m ORDER BY dim""".stripMargin,
+
+    // leading digit of the exact integer cents
+    "q138_benford" ->
+      """WITH d AS (SELECT substr(CAST(CAST(round(o_totalprice*100) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS digit
+        |  FROM orders),
+        |t AS (SELECT COUNT(*) AS n_total FROM d)
+        |SELECT digit, COUNT(*) AS n,
+        |  CAST((COUNT(*) * 1000000) // n_total AS BIGINT) AS share_ppm
+        |FROM d, t GROUP BY digit, n_total ORDER BY digit""".stripMargin
   )
 
   /** Unrolled fixed-iteration PageRank oracle over the brand↔type graph —

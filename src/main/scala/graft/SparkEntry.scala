@@ -3096,6 +3096,64 @@ object SparkEntry {
         .select(col("digit"), col("n"),
           expr("(n * 1000000) div n_total").as("share_ppm"))
         .orderBy("digit")
+    }),
+
+    // training-shard packing audit: media blobs assigned to fixed-size
+    // shards by running byte offset (shard = prefix-bytes div target) —
+    // the tar/webdataset layout plan. Global strict-past window here; at
+    // fleet scale the same assignment is two-pass (per-partition byte sums
+    // → broadcast offsets), which preserves the identical shard ids
+    "m5_shard_packing" -> ((s, d) => {
+      val m = Multimodal.withPayload(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("media_meta.size_bytes").as("sz"))
+      val w = Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      m.withColumn("pre", coalesce(sum(col("sz")).over(w), lit(0L)))
+        .withColumn("shard_id", expr("pre div 65536"))
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_items"), sum(col("sz")).as("bytes"),
+          max(col("sz")).as("max_item"))
+        .orderBy("shard_id")
+    }),
+
+    // PQ codebook-usage balance: rows per (subspace, code) of the same
+    // deterministic encoder s13 searches with — a subspace collapsing onto
+    // few codes adds no discrimination; share in exact ppm of the corpus
+    "s28_pq_code_usage" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      val codes = Similarity.pqCodes(em, "vec_id", "embedding",
+        numSubspaces = 8, subCentroids = 16, iterations = 3)
+      val tot = em.agg(count(lit(1)).as("n_vec"))
+      codes.groupBy("subspace", "code").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .select(col("subspace"), col("code").cast("long").as("code"), col("n"),
+          expr("(n * 1000000) div n_vec").as("share_ppm"))
+        .orderBy("subspace", "code")
+    }),
+
+    // categorical-mix drift monitor: per month, the order-priority whose
+    // share deviates most from the all-time mix — |ppm − ppm| of two
+    // non-negative floor divisions, ties to the lexicographically first
+    // priority; the drift alarm for label/category distributions
+    "q139_priority_mix_shift" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(
+        unix_micros(date_trunc("month", col("o_orderdate").cast("timestamp")))
+          .as("month_us"), col("o_orderpriority"))
+      val mc = o.groupBy("month_us", "o_orderpriority").agg(count(lit(1)).as("c"))
+      val mt = mc.groupBy("month_us").agg(sum(col("c")).as("n_m"))
+      val ac = o.groupBy("o_orderpriority").agg(count(lit(1)).as("c_all"))
+      val at = o.agg(count(lit(1)).as("n_all"))
+      val dev = mc.join(mt, "month_us")
+        .join(broadcast(ac), "o_orderpriority").crossJoin(broadcast(at))
+        .select(col("month_us"), col("o_orderpriority"),
+          abs(expr("(c * 1000000) div n_m") - expr("(c_all * 1000000) div n_all"))
+            .as("dev_ppm"))
+      dev.withColumn("rn", row_number().over(
+          Window.partitionBy("month_us")
+            .orderBy(col("dev_ppm").desc, col("o_orderpriority"))))
+        .filter(col("rn") === 1)
+        .select(col("month_us"), col("o_orderpriority"), col("dev_ppm"))
+        .orderBy("month_us")
     })
   )
 
@@ -6627,7 +6685,49 @@ object SparkEntry {
         |t AS (SELECT COUNT(*) AS n_total FROM d)
         |SELECT digit, COUNT(*) AS n,
         |  CAST((COUNT(*) * 1000000) // n_total AS BIGINT) AS share_ppm
-        |FROM d, t GROUP BY digit, n_total ORDER BY digit""".stripMargin
+        |FROM d, t GROUP BY digit, n_total ORDER BY digit""".stripMargin,
+
+    // strict-past byte prefix sum → fixed-size shard id
+    "m5_shard_packing" ->
+      """WITH m AS (SELECT doc_id, octet_length(encode(text))::BIGINT AS sz
+        |  FROM documents),
+        |w AS (SELECT sz, COALESCE(CAST(SUM(sz) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |    AS pre
+        |  FROM m)
+        |SELECT pre // 65536 AS shard_id, COUNT(*) AS n_items,
+        |  CAST(SUM(sz) AS BIGINT) AS bytes, MAX(sz) AS max_item
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // final per-subspace assignments read straight from the s{i}fd CTEs
+    "s28_pq_code_usage" ->
+      s"""WITH v AS (SELECT vec_id AS id, ${qvSql("embedding")} AS v FROM embeddings),
+         |${pqSubspacesSql(8, 16, 3)},
+         |codes AS (${(0 until 8).map(i =>
+            s"SELECT CAST($i AS INTEGER) AS subspace, id, cell FROM s${i}fd WHERE rn = 1")
+            .mkString("\n  UNION ALL ")}),
+         |tot AS (SELECT COUNT(*) AS n_vec FROM v)
+         |SELECT subspace, CAST(cell AS BIGINT) AS code, COUNT(*) AS n,
+         |  CAST((COUNT(*) * 1000000) // n_vec AS BIGINT) AS share_ppm
+         |FROM codes, tot GROUP BY subspace, cell, n_vec
+         |ORDER BY subspace, code""".stripMargin,
+
+    // |month ppm − all-time ppm| of floor-division shares; argmax via rn
+    "q139_priority_mix_shift" ->
+      """WITH o AS (SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+        |    o_orderpriority FROM orders),
+        |mc AS (SELECT month_us, o_orderpriority, COUNT(*) AS c FROM o GROUP BY 1, 2),
+        |mt AS (SELECT month_us, CAST(SUM(c) AS BIGINT) AS n_m FROM mc GROUP BY 1),
+        |ac AS (SELECT o_orderpriority, COUNT(*) AS c_all FROM o GROUP BY 1),
+        |at AS (SELECT COUNT(*) AS n_all FROM o),
+        |dev AS (SELECT mc.month_us, mc.o_orderpriority,
+        |    abs(CAST((mc.c * 1000000) // mt.n_m AS BIGINT)
+        |      - CAST((ac.c_all * 1000000) // at.n_all AS BIGINT)) AS dev_ppm
+        |  FROM mc JOIN mt USING (month_us) JOIN ac USING (o_orderpriority), at),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY month_us
+        |    ORDER BY dev_ppm DESC, o_orderpriority) AS rn FROM dev)
+        |SELECT month_us, o_orderpriority, dev_ppm
+        |FROM r WHERE rn = 1 ORDER BY month_us""".stripMargin
   )
 
   /** Unrolled fixed-iteration PageRank oracle over the brand↔type graph —

@@ -470,6 +470,32 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("approx_dot"))
   }
 
+  /** PQ code assignment per (vector, subspace) — the index-health view of
+    * the same training/encode pipeline as [[pqTopK]]: deterministic integer
+    * k-means per subspace, argmin code per slice, one zero-shuffle encode
+    * projection, then an explode to long (id, subspace, code) rows. Used
+    * for codebook-balance audits (a subspace whose codes collapse onto few
+    * centroids contributes no discrimination to the asymmetric score). */
+  def pqCodes(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numSubspaces: Int = 8,
+      subCentroids: Int = 16,
+      iterations: Int = 3,
+      dims: Int = 64): DataFrame = {
+    require(dims % numSubspaces == 0, "dims must divide evenly into subspaces")
+    val subDim = dims / numSubspaces
+    val vecs = corpus.select(col(idCol).as("id"), quantize1000(col(vecCol)).as("v"))
+      .localCheckpoint(true)
+    val codebooks = pqCodebooks(vecs, numSubspaces, subDim, subCentroids, iterations)
+    val enc = vecs.select(col("id") +: pqCodeCols(numSubspaces, subDim, codebooks): _*)
+    enc.select(col("id"), explode(array((0 until numSubspaces).map { s =>
+        struct(lit(s).as("subspace"), col(s"c$s").as("code"))
+      }: _*)).as("sc"))
+      .select(col("id"), col("sc.subspace").as("subspace"), col("sc.code").as("code"))
+  }
+
   /** Per-subspace codebooks over a pre-quantized `(id, v)` frame —
     * bounded driver state: m × ksub × subDim longs. */
   private def pqCodebooks(vecs: DataFrame, m: Int, subDim: Int, ksub: Int,

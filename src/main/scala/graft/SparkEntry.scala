@@ -3154,6 +3154,55 @@ object SparkEntry {
         .filter(col("rn") === 1)
         .select(col("month_us"), col("o_orderpriority"), col("dev_ppm"))
         .orderBy("month_us")
+    }),
+
+    // error-burst detector: hours whose error share exceeds 2× the all-time
+    // error rate — the cross-multiplied test err·N > 2·E·n keeps everything
+    // in integers (no rate doubles); hour counts roll up map-side, the
+    // 1-row global register broadcasts
+    "q140_error_burst" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(expr("ts_us div 3600000000").as("hour_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          sum((col("event_type") === "error").cast("long")).as("n_errors"))
+      val glob = hourly.agg(sum(col("n_events")).as("nn"),
+        sum(col("n_errors")).as("ee"))
+      hourly.crossJoin(broadcast(glob))
+        .filter(col("n_errors") * col("nn") > lit(2L) * col("ee") * col("n_events"))
+        .select(col("hour_idx"), col("n_events"), col("n_errors"),
+          expr("(n_errors * 1000000) div n_events").as("err_ppm"))
+        .orderBy("hour_idx")
+    }),
+
+    // recency census: users by whole days idle since their last event
+    // (relative to the corpus max — the "as-of now" register), with the
+    // cumulative still-active share per idle bucket — the churn-curve input;
+    // one (max) rollup per user against one broadcast register
+    "q141_recency_histogram" -> ((s, d) => {
+      val u = Tables.events(s, d).groupBy("user_id")
+        .agg(max(col("ts_us")).as("l"))
+      val mx = u.agg(max(col("l")).as("m"), count(lit(1)).as("nt"))
+      val hist = u.crossJoin(broadcast(mx))
+        .groupBy(expr(s"(m - l) div $DayUs").as("days_idle"))
+        .agg(count(lit(1)).as("n_users"), max(col("nt")).as("nt"))
+      hist.withColumn("cum_users", sum(col("n_users")).over(
+          Window.orderBy("days_idle")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("days_idle"), col("n_users"),
+          expr("(cum_users * 1000000) div nt").as("cum_share_ppm"))
+        .orderBy("days_idle")
+    }),
+
+    // weekday-effect profile: volume and purchase propensity per day of
+    // week — dow from pure epoch-day arithmetic ((day+4) mod 7, day 0 was a
+    // Thursday), no calendar functions on either engine
+    "q142_weekend_effect" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(expr(s"((ts_us div $DayUs) + 4) % 7").as("dow"))
+        .agg(count(lit(1)).as("n_events"),
+          sum((col("event_type") === "purchase").cast("long")).as("n_purchases"))
+        .withColumn("purchase_ppm", expr("(n_purchases * 1000000) div n_events"))
+        .orderBy("dow")
     })
   )
 
@@ -6727,7 +6776,47 @@ object SparkEntry {
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY month_us
         |    ORDER BY dev_ppm DESC, o_orderpriority) AS rn FROM dev)
         |SELECT month_us, o_orderpriority, dev_ppm
-        |FROM r WHERE rn = 1 ORDER BY month_us""".stripMargin
+        |FROM r WHERE rn = 1 ORDER BY month_us""".stripMargin,
+
+    // cross-multiplied 2× rate test on integer hour/global registers
+    "q140_error_burst" ->
+      """WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hour_idx,
+        |    COUNT(*) AS n_events,
+        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_errors
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT CAST(SUM(n_events) AS BIGINT) AS nn,
+        |    CAST(SUM(n_errors) AS BIGINT) AS ee FROM h)
+        |SELECT hour_idx, n_events, n_errors,
+        |  CAST((n_errors * 1000000) // n_events AS BIGINT) AS err_ppm
+        |FROM h, g WHERE n_errors * nn > 2 * ee * n_events
+        |ORDER BY hour_idx""".stripMargin,
+
+    // max per user vs the broadcast corpus max; cumulative share over the
+    // idle-day buckets
+    "q141_recency_histogram" ->
+      s"""WITH u AS (SELECT user_id, MAX(epoch_us(ts)) AS l FROM events GROUP BY 1),
+         |mx AS (SELECT MAX(l) AS m, COUNT(*) AS nt FROM u),
+         |h AS (SELECT (m - l) // $DayUs AS days_idle, COUNT(*) AS n_users,
+         |    MAX(nt) AS nt
+         |  FROM u, mx GROUP BY 1),
+         |c AS (SELECT days_idle, n_users, nt,
+         |    CAST(SUM(n_users) OVER (ORDER BY days_idle
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+         |  FROM h)
+         |SELECT days_idle, n_users,
+         |  CAST((cum_users * 1000000) // nt AS BIGINT) AS cum_share_ppm
+         |FROM c ORDER BY days_idle""".stripMargin,
+
+    // epoch-day arithmetic dow; purchase propensity in exact ppm
+    "q142_weekend_effect" ->
+      s"""SELECT ((epoch_us(ts) // $DayUs) + 4) % 7 AS dow,
+         |  COUNT(*) AS n_events,
+         |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_purchases,
+         |  CAST((CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |    AS BIGINT) * 1000000) // COUNT(*) AS BIGINT) AS purchase_ppm
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Unrolled fixed-iteration PageRank oracle over the brand↔type graph —

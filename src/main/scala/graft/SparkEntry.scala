@@ -3203,6 +3203,75 @@ object SparkEntry {
           sum((col("event_type") === "purchase").cast("long")).as("n_purchases"))
         .withColumn("purchase_ppm", expr("(n_purchases * 1000000) div n_events"))
         .orderBy("dow")
+    }),
+
+    // U-shaped (position-based) attribution: each purchase's preceding
+    // touches since the prior purchase share credit 40/20/40 (first/
+    // middles/last; 100/50-50 for 1-2 touches) — journeys cut by a
+    // strict-past purchase counter (one user-keyed exchange serves every
+    // window), credit in integer ppm (middle remainder truncates,
+    // documented); complements q106's last-touch rule
+    "q143_position_attribution" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val jd = Tables.events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+        .withColumn("j", coalesce(
+          sum((col("event_type") === "purchase").cast("long"))
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val convs = jd.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("j"))
+      val tw = Window.partitionBy("user_id", "j").orderBy(col("ts_us"), col("event_id"))
+      jd.filter(col("event_type") =!= "purchase")
+        .join(convs, Seq("user_id", "j"), "left_semi")
+        .withColumn("rn", row_number().over(tw))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("user_id", "j")))
+        .withColumn("credit_ppm",
+          when(col("cnt") === 1, 1000000L)
+            .when(col("cnt") === 2, 500000L)
+            .when(col("rn") === 1 || col("rn") === col("cnt"), 400000L)
+            .otherwise(expr("200000 div (cnt - 2)")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_touches"),
+          sum(col("credit_ppm")).as("credit_ppm_total"))
+        .orderBy("event_type")
+    }),
+
+    // chi-square independence of (day-of-week × event type): χ² in ppm from
+    // pure integer registers — per-cell term (O·N − R·C)²·10⁶/(N·R·C)
+    // with the staged floor division (deterministic on both engines; the
+    // per-cell floor is the documented convention). Contingency cells roll
+    // up map-side; margins broadcast
+    "q144_chi_square" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(expr(s"((ts_us div $DayUs) + 4) % 7").as("dow"), col("event_type"))
+      val obs = ev.groupBy("dow", "event_type").agg(count(lit(1)).as("o"))
+      val rowm = obs.groupBy("dow").agg(sum(col("o")).as("r"))
+      val colm = obs.groupBy("event_type").agg(sum(col("o")).as("c"))
+      val tot = obs.agg(sum(col("o")).as("nn"))
+      val cells = obs.join(rowm, "dow").join(broadcast(colm), "event_type")
+        .crossJoin(broadcast(tot))
+        .select(expr("((o*nn - r*c) * (o*nn - r*c)) div ((nn*r*c) div 1000000)")
+          .as("term_ppm"))
+      val dims = rowm.agg(count(lit(1)).as("n_dow"))
+        .crossJoin(colm.agg(count(lit(1)).as("n_types")))
+      cells.agg(sum(col("term_ppm")).as("chi2_ppm"))
+        .crossJoin(broadcast(dims))
+        .select(col("chi2_ppm"),
+          ((col("n_dow") - 1L) * (col("n_types") - 1L)).as("dof"))
+    }),
+
+    // LSH operating-curve sweep: candidate pairs surviving at each
+    // estimated-jaccard threshold (multiples of 1/8 — exact doubles) from
+    // ONE banding pass — the tuning table for choosing d2's minEstimate
+    "d22_lsh_threshold_sweep" -> ((s, d) => {
+      val pairs = Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
+        numHashes = 8, shingleSize = 3, rowsPerBand = 2, minEstimate = 0.0,
+        materializeCandidates = true)
+      pairs.agg(count(lit(1)).as("n_candidates"),
+        sum((col("jaccard_est") >= 0.25).cast("long")).as("n_ge25"),
+        sum((col("jaccard_est") >= 0.5).cast("long")).as("n_ge50"),
+        sum((col("jaccard_est") >= 0.75).cast("long")).as("n_ge75"),
+        sum((col("jaccard_est") >= 1.0).cast("long")).as("n_eq100"))
     })
   )
 
@@ -6816,7 +6885,62 @@ object SparkEntry {
          |    AS n_purchases,
          |  CAST((CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
          |    AS BIGINT) * 1000000) // COUNT(*) AS BIGINT) AS purchase_ppm
-         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // strict-past purchase counter cuts journeys; 40/20/40 position credit
+    "q143_position_attribution" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |    COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS j
+        |  FROM events),
+        |conv AS (SELECT DISTINCT user_id, j FROM e WHERE event_type = 'purchase'),
+        |t AS (SELECT e.user_id, e.j, e.event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY e.user_id, e.j
+        |      ORDER BY e.ts_us, e.event_id) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY e.user_id, e.j) AS BIGINT) AS cnt
+        |  FROM e JOIN conv USING (user_id, j)
+        |  WHERE e.event_type != 'purchase'),
+        |cr AS (SELECT event_type,
+        |    CASE WHEN cnt = 1 THEN 1000000
+        |         WHEN cnt = 2 THEN 500000
+        |         WHEN rn = 1 OR rn = cnt THEN 400000
+        |         ELSE 200000 // (cnt - 2) END AS credit_ppm
+        |  FROM t)
+        |SELECT event_type, COUNT(*) AS n_touches,
+        |  CAST(SUM(credit_ppm) AS BIGINT) AS credit_ppm_total
+        |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // staged per-cell floor terms over the integer contingency registers
+    "q144_chi_square" ->
+      s"""WITH ev AS (SELECT ((epoch_us(ts) // $DayUs) + 4) % 7 AS dow, event_type
+         |  FROM events),
+         |obs AS (SELECT dow, event_type, COUNT(*) AS o FROM ev GROUP BY 1, 2),
+         |rm AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY 1),
+         |cm AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY 1),
+         |tt AS (SELECT CAST(SUM(o) AS BIGINT) AS nn FROM obs),
+         |cells AS (SELECT ((o*nn - r*c)*(o*nn - r*c)) // ((nn*r*c) // 1000000)
+         |    AS term_ppm
+         |  FROM obs JOIN rm USING (dow) JOIN cm USING (event_type), tt),
+         |dims AS (SELECT (SELECT COUNT(*) FROM rm) AS n_dow,
+         |    (SELECT COUNT(*) FROM cm) AS n_types)
+         |SELECT CAST(SUM(term_ppm) AS BIGINT) AS chi2_ppm,
+         |  CAST((n_dow - 1) * (n_types - 1) AS BIGINT) AS dof
+         |FROM cells, dims GROUP BY n_dow, n_types""".stripMargin,
+
+    // one banding pass, conditional sums at the 1/8-multiple thresholds
+    "d22_lsh_threshold_sweep" ->
+      s"""WITH ${minhashPairsSql("documents")}
+         |SELECT COUNT(*) AS n_candidates,
+         |  CAST(SUM(CASE WHEN jaccard_est >= 0.25 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_ge25,
+         |  CAST(SUM(CASE WHEN jaccard_est >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_ge50,
+         |  CAST(SUM(CASE WHEN jaccard_est >= 0.75 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_ge75,
+         |  CAST(SUM(CASE WHEN jaccard_est >= 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_eq100
+         |FROM mh_pairs""".stripMargin
   )
 
   /** Unrolled fixed-iteration PageRank oracle over the brand↔type graph —

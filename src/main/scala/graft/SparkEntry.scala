@@ -3272,6 +3272,60 @@ object SparkEntry {
         sum((col("jaccard_est") >= 0.5).cast("long")).as("n_ge50"),
         sum((col("jaccard_est") >= 0.75).cast("long")).as("n_ge75"),
         sum((col("jaccard_est") >= 1.0).cast("long")).as("n_eq100"))
+    }),
+
+    // calendar seasonality index: order volume per month-of-year vs the
+    // uniform expectation, in exact ppm (10⁶ = an average month) — the
+    // capacity-planning profile; calendar month is deterministic on both
+    // engines (UTC session)
+    "q145_seasonality_index" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(month(col("o_orderdate").cast("timestamp")).as("moy"))
+      val tot = o.agg(count(lit(1)).as("nt"))
+      o.groupBy("moy").agg(count(lit(1)).as("n_orders"))
+        .crossJoin(broadcast(tot))
+        .select(col("moy"), col("n_orders"),
+          expr("(n_orders * 12 * 1000000) div nt").as("index_ppm"))
+        .orderBy("moy")
+    }),
+
+    // acquisition vs retention: monthly revenue split between first-time
+    // and returning customers — the customer's first order month joins back
+    // on the customer key (one exchange), shares in exact cents-ppm
+    "q146_new_vs_returning" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        unix_micros(date_trunc("month", col("o_orderdate").cast("timestamp")))
+          .as("month_us"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val firstm = o.groupBy("o_custkey").agg(min(col("month_us")).as("fm"))
+      o.join(firstm, "o_custkey")
+        .withColumn("is_new", (col("month_us") === col("fm")).cast("long"))
+        .groupBy("month_us")
+        .agg(sum(col("cents") * col("is_new")).as("new_cents"),
+          sum(col("cents")).as("total_cents"))
+        .select(col("month_us"),
+          (col("new_cents").cast("double") / 100.0).as("new_revenue"),
+          ((col("total_cents") - col("new_cents")).cast("double") / 100.0)
+            .as("returning_revenue"),
+          expr("(new_cents * 1000) div (total_cents div 1000)").as("new_share_ppm"))
+        .orderBy("month_us")
+    }),
+
+    // max drawdown of each user's running spend balance: prefix-sum →
+    // prefix-max → peak-to-trough gap, all in integer cents on ONE
+    // user-keyed exchange (three frames share the sort); top-20 deepest
+    "q147_max_drawdown" -> ((s, d) => {
+      val p = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      p.withColumn("bal", sum(col("cents")).over(w))
+        .withColumn("peak", max(col("bal")).over(w))
+        .withColumn("dd", col("peak") - col("bal"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_points"), max(col("dd")).as("max_drawdown_cents"))
+        .orderBy(col("max_drawdown_cents").desc, col("user_id")).limit(20)
     })
   )
 
@@ -6940,7 +6994,51 @@ object SparkEntry {
          |    AS n_ge75,
          |  CAST(SUM(CASE WHEN jaccard_est >= 1.0 THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_eq100
-         |FROM mh_pairs""".stripMargin
+         |FROM mh_pairs""".stripMargin,
+
+    // month-of-year volume vs the uniform 1/12 expectation
+    "q145_seasonality_index" ->
+      """WITH o AS (SELECT month(o_orderdate) AS moy FROM orders),
+        |t AS (SELECT COUNT(*) AS nt FROM o)
+        |SELECT moy, COUNT(*) AS n_orders,
+        |  CAST((COUNT(*) * 12 * 1000000) // nt AS BIGINT) AS index_ppm
+        |FROM o, t GROUP BY moy, nt ORDER BY moy""".stripMargin,
+
+    // first order month per customer; staged cents-ppm share
+    "q146_new_vs_returning" ->
+      """WITH o AS (SELECT o_custkey,
+        |    epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS cents
+        |  FROM orders),
+        |f AS (SELECT o_custkey, MIN(month_us) AS fm FROM o GROUP BY 1),
+        |m AS (SELECT month_us,
+        |    CAST(SUM(CASE WHEN month_us = fm THEN cents ELSE 0 END) AS BIGINT)
+        |      AS new_cents,
+        |    CAST(SUM(cents) AS BIGINT) AS total_cents
+        |  FROM o JOIN f USING (o_custkey) GROUP BY 1)
+        |SELECT month_us, CAST(new_cents AS DOUBLE)/100.0 AS new_revenue,
+        |  CAST(total_cents - new_cents AS DOUBLE)/100.0 AS returning_revenue,
+        |  CAST((new_cents * 1000) // (total_cents // 1000) AS BIGINT)
+        |    AS new_share_ppm
+        |FROM m ORDER BY month_us""".stripMargin,
+
+    // prefix-sum balance, prefix-max peak, deepest peak-to-trough gap
+    "q147_max_drawdown" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT user_id, ts_us, event_id,
+        |    CAST(SUM(cents) OVER w AS BIGINT) AS bal
+        |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS UNBOUNDED PRECEDING)),
+        |dd AS (SELECT user_id,
+        |    CAST(MAX(bal) OVER w AS BIGINT) - bal AS dd
+        |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT user_id, COUNT(*) AS n_points,
+        |  CAST(MAX(dd) AS BIGINT) AS max_drawdown_cents
+        |FROM dd GROUP BY 1
+        |ORDER BY max_drawdown_cents DESC, user_id LIMIT 20""".stripMargin
   )
 
   /** Unrolled fixed-iteration PageRank oracle over the brand↔type graph —

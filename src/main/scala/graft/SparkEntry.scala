@@ -3326,6 +3326,62 @@ object SparkEntry {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_points"), max(col("dd")).as("max_drawdown_cents"))
         .orderBy(col("max_drawdown_cents").desc, col("user_id")).limit(20)
+    }),
+
+    // per-user day-activity bitmap: one BIGINT packs which of the (≤63)
+    // days since corpus start the user was active — bit_or is the map-side-
+    // combinable presence fold (the roaring-bitmap idea at word width),
+    // popcount gives active days for free. Longer horizons shard the mask
+    // by 63-day epoch and OR per shard
+    "q148_activity_bitmap" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("user_id"), expr(s"ts_us div $DayUs").as("day"))
+      val base = days.agg(min(col("day")).as("d0"))
+      days.crossJoin(broadcast(base))
+        .filter(col("day") - col("d0") < 63L)
+        .withColumn("bit", expr("shiftleft(CAST(1 AS BIGINT), CAST(day - d0 AS INT))"))
+        .groupBy("user_id")
+        .agg(bit_or(col("bit")).as("activity_mask"))
+        .withColumn("active_days", bit_count(col("activity_mask")))
+        .orderBy("user_id")
+    }),
+
+    // template detection: the 20 most duplicated 8-token document prefixes
+    // (form letters / boilerplate headers) with how many sources they span
+    // — a groupBy on the prefix string, no pairwise comparison anywhere
+    "t28_template_prefixes" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("source"),
+          concat_ws(" ", slice(tokens(col("text")), 1, 8)).as("prefix"))
+        .filter(size(tokens(col("text"))) >= 8)
+        .groupBy("prefix")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("n_docs").desc, col("prefix")).limit(20)
+    }),
+
+    // association lift between event types at user granularity:
+    // lift·10⁶ = (n_ab·N·10⁶) div (n_a·n_b) over presence sets — the
+    // market-basket signal; presence via one distinct, pairs via self-join
+    // on the user key (25→10 unordered type pairs, frames stay type²-sized)
+    "q149_event_lift" -> ((s, d) => {
+      val pres = Tables.events(s, d)
+        .select(col("user_id"), col("event_type")).distinct()
+        .localCheckpoint(true)
+      val nUsers = Tables.events(s, d).select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("nt"))
+      val typeN = pres.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val pairs = pres.select(col("user_id"), col("event_type").as("ta"))
+        .join(pres.select(col("user_id"), col("event_type").as("tb")), "user_id")
+        .filter(col("ta") < col("tb"))
+        .groupBy("ta", "tb").agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(typeN.select(col("event_type").as("ta"), col("n").as("n_a"))), "ta")
+        .join(broadcast(typeN.select(col("event_type").as("tb"), col("n").as("n_b"))), "tb")
+        .crossJoin(broadcast(nUsers))
+        .select(col("ta"), col("tb"), col("n_ab"),
+          expr("(n_ab * nt * 1000000) div (n_a * n_b)").as("lift_ppm"))
+        .orderBy("ta", "tb")
     })
   )
 
@@ -7038,7 +7094,44 @@ object SparkEntry {
         |SELECT user_id, COUNT(*) AS n_points,
         |  CAST(MAX(dd) AS BIGINT) AS max_drawdown_cents
         |FROM dd GROUP BY 1
-        |ORDER BY max_drawdown_cents DESC, user_id LIMIT 20""".stripMargin
+        |ORDER BY max_drawdown_cents DESC, user_id LIMIT 20""".stripMargin,
+
+    // bit_or-packed day presence; TINYINT bit_count widened to INTEGER
+    "q148_activity_bitmap" ->
+      s"""WITH days AS (SELECT user_id, epoch_us(ts) // $DayUs AS day FROM events),
+         |b AS (SELECT MIN(day) AS d0 FROM days),
+         |m AS (SELECT user_id,
+         |    CAST(bit_or(1::BIGINT << CAST(day - d0 AS INTEGER)) AS BIGINT)
+         |      AS activity_mask
+         |  FROM days, b WHERE day - d0 < 63 GROUP BY 1)
+         |SELECT user_id, activity_mask,
+         |  CAST(bit_count(activity_mask) AS INTEGER) AS active_days
+         |FROM m ORDER BY user_id""".stripMargin,
+
+    // 8-token prefix families with source spread
+    "t28_template_prefixes" ->
+      s"""WITH t AS (SELECT source, $toksSql AS ts FROM documents),
+         |p AS (SELECT source, array_to_string(ts[1:8], ' ') AS prefix
+         |  FROM t WHERE len(ts) >= 8)
+         |SELECT prefix, COUNT(*) AS n_docs,
+         |  COUNT(DISTINCT source) AS n_sources
+         |FROM p GROUP BY 1
+         |ORDER BY n_docs DESC, prefix LIMIT 20""".stripMargin,
+
+    // presence sets → pair counts; integer lift vs independence
+    "q149_event_lift" ->
+      """WITH pres AS (SELECT DISTINCT user_id, event_type FROM events),
+        |nt AS (SELECT COUNT(DISTINCT user_id) AS nt FROM events),
+        |tn AS (SELECT event_type, COUNT(*) AS n FROM pres GROUP BY 1),
+        |pairs AS (SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS n_ab
+        |  FROM pres a JOIN pres b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT ta, tb, n_ab,
+        |  CAST((n_ab * nt * 1000000) // (na.n * nb.n) AS BIGINT) AS lift_ppm
+        |FROM pairs JOIN tn na ON na.event_type = ta
+        |JOIN tn nb ON nb.event_type = tb, nt
+        |ORDER BY ta, tb""".stripMargin
   )
 
   /** Unrolled fixed-iteration PageRank oracle over the brand↔type graph —

@@ -685,7 +685,33 @@ class SimilaritySpec extends SparkSpec {
       .select(Similarity.lshBucket(col("embedding"), 8, 4)).as[Long].head()
     dup shouldBe b(0L)
   }
+
+  "pqCodes" should "assign every vector a code per subspace, agreeing with the cluster layout" in {
+    // two tight clusters per 4-dim half: subspace codes must separate them
+    val rnd = new scala.util.Random(7)
+    val base = Seq(Seq(1f, 1f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Seq(0f, 0f, 0f, 0f, 1f, 1f, 0f, 0f))
+    val vecs = (0 until 20).map { i =>
+      val c = base(i % 2)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f))
+    }.toDF("vec_id", "embedding")
+    val codes = Similarity.pqCodes(vecs, "vec_id", "embedding",
+      numSubspaces = 2, subCentroids = 2, iterations = 2, dims = 8)
+      .as[(Long, Int, Int)].collect()
+    codes.length shouldBe 40 // 20 vectors × 2 subspaces
+    codes.foreach { case (_, s, c) =>
+      s should (be >= 0 and be < 2); c should (be >= 0 and be < 2)
+    }
+    // within one subspace, both clusters get distinct codes and members agree
+    val bySub = codes.groupBy(_._2)
+    bySub.foreach { case (_, rows) =>
+      val byCluster = rows.groupBy(_._1 % 2).map { case (k, v) => k -> v.map(_._3).toSet }
+      byCluster.values.foreach(_.size shouldBe 1)
+    }
+  }
 }
+
+
 
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
@@ -1028,7 +1054,27 @@ class GraphSpec extends SparkSpec {
     cc("c") shouldBe "a"
     cc("y") shouldBe "x"
   }
+
+  "hitsExact" should "compute exact alternating-path counts on a bipartite graph" in {
+    // a→{x,y}, b→{x}; k=2 by hand:
+    //   round 1: auth(x)=2, auth(y)=1; hub(a)=3, hub(b)=2
+    //   round 2: auth(x)=hub(a)+hub(b)=5, auth(y)=hub(a)=3; hub(a)=8, hub(b)=5
+    val edges = Seq(("a", "x"), ("a", "y"), ("b", "x")).toDF("src", "dst")
+    val got = GraphAlgorithms.hitsExact(edges, iterations = 2)
+      .as[(String, Long, Long)].collect().map { case (v, h, a) => v -> ((h, a)) }.toMap
+    got shouldBe Map("a" -> ((8L, 0L)), "b" -> ((5L, 0L)),
+      "x" -> ((0L, 5L)), "y" -> ((0L, 3L)))
+  }
+
+  it should "ignore self-loops and duplicate edges" in {
+    val edges = Seq(("a", "x"), ("a", "x"), ("a", "a")).toDF("src", "dst")
+    val got = GraphAlgorithms.hitsExact(edges, iterations = 1)
+      .as[(String, Long, Long)].collect().map { case (v, h, a) => v -> ((h, a)) }.toMap
+    got shouldBe Map("a" -> ((1L, 0L)), "x" -> ((0L, 1L)))
+  }
 }
+
+
 
 class SessionizeSpec extends SparkSpec {
   import spark.implicits._

@@ -170,6 +170,38 @@ object StatefulOps {
       }
   }
 
+  /** Streaming max-drawdown monitor — the streaming twin of the batch
+    * q147 window pipeline (prefix-sum balance → prefix-max peak → deepest
+    * gap). The whole computation is a 3-long register per key
+    * (balance, peak, maxDrawdown); the batch windows fold the identical
+    * recurrence, so on identically-ordered input the final registers are
+    * bit-identical — asserted by StreamingSpec. Emits a row each time a
+    * key's drawdown record DEEPENS (the alert stream), so output volume is
+    * O(record improvements), not O(events).
+    *
+    * Input (key, tsUs, tieBreak, deltaCents) → (key, tsUs, tieBreak,
+    * maxDrawdownCents) on record-deepening rows. */
+  def drawdownMonitor[K](
+      input: Dataset[(K, Long, Long, Long)])(
+      implicit ke: Encoder[K], se: Encoder[(Long, Long, Long)],
+      oe: Encoder[(K, Long, Long, Long)]): Dataset[(K, Long, Long, Long)] = {
+    input
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (K, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) { (key, rows, state) =>
+        var (bal, peak, maxdd) = state.getOption.getOrElse((0L, 0L, 0L))
+        val out = scala.collection.mutable.ArrayBuffer.empty[(K, Long, Long, Long)]
+        rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+          bal += r._4
+          if (bal > peak) peak = bal
+          val dd = peak - bal
+          if (dd > maxdd) { maxdd = dd; out += ((key, r._2, r._3, maxdd)) }
+        }
+        state.update((bal, peak, maxdd))
+        out.iterator
+      }
+  }
+
   /** Output-mode guidance mirroring the reference's at-least-once commit
     * loop (GatewayStream.scala:187-211): update mode + checkpointing. */
   val DefaultOutputMode: OutputMode = OutputMode.Update()

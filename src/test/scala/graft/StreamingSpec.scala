@@ -187,4 +187,41 @@ class StatefulWordCountSpec extends SparkSpec {
       }
     } finally query.stop()
   }
+
+  "drawdownMonitor" should "reach the same max drawdown as the batch window fold" in {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, max => fmax, sum => fsum}
+    val rnd = new scala.util.Random(29)
+    val rows = for (key <- 1L to 5L; i <- 0 until 60)
+      yield (key, i.toLong * 1000L, key * 1000L + i, rnd.nextInt(201).toLong - 100L)
+    // batch: the q147 pipeline (prefix-sum → prefix-max → deepest gap)
+    val w = Window.partitionBy("k").orderBy(col("ts"), col("eid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val batch = rows.toDF("k", "ts", "eid", "delta")
+      .withColumn("bal", fsum(col("delta")).over(w))
+      .withColumn("peak", fmax(col("bal")).over(w))
+      .groupBy("k").agg(fmax(col("peak") - col("bal")).as("maxdd"))
+      .as[(Long, Long)].collect().toMap
+    val input = MemoryStream[(Long, Long, Long, Long)]
+    val query = StatefulOps.drawdownMonitor(input.toDS())
+      .toDF("k", "ts", "eid", "maxdd")
+      .writeStream.format("memory").queryName("dd").outputMode(OutputMode.Append())
+      .start()
+    try {
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      sorted.grouped(70).foreach { chunk =>
+        input.addData(chunk: _*)
+        query.processAllAvailable()
+      }
+      // the last (deepest) emitted record per key equals the batch fold;
+      // emissions are strictly increasing per key by construction
+      val streamed = spark.sql("SELECT k, MAX(maxdd) FROM dd GROUP BY k")
+        .as[(Long, Long)].collect().toMap
+      batch.foreach { case (k, dd) =>
+        if (dd > 0L) streamed(k) shouldBe dd
+        else streamed.get(k) shouldBe None
+      }
+    } finally query.stop()
+  }
 }

@@ -3382,6 +3382,58 @@ object SparkEntry {
         .select(col("ta"), col("tb"), col("n_ab"),
           expr("(n_ab * nt * 1000000) div (n_a * n_b)").as("lift_ppm"))
         .orderBy("ta", "tb")
+    }),
+
+    // data-skipping effectiveness audit: per layout (time-clustered vs
+    // Z-order blocks), the share of blocks a user-point predicate can skip
+    // using only min/max footer stats — the measured justification for
+    // q64's layout; blocks are z-prefix cells (z div 2¹²), probes are the
+    // 5 lowest user ids, everything integer
+    "q150_skipping_audit" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        call_function("div", col("ts_us") - Jan1_24, lit(3600000000L)).as("hr"))
+        .localCheckpoint(true)
+      val probes = broadcast(
+        ev.select(col("user_id").as("u")).distinct().orderBy("u").limit(5))
+      def audit(layout: String, blk: Column) = {
+        val stats = ev.withColumn("blk", blk).groupBy("blk")
+          .agg(min(col("user_id")).as("mn"), max(col("user_id")).as("mx"))
+        val nb = stats.agg(count(lit(1)).as("n_blocks"))
+        val cand = stats.crossJoin(probes)
+          .filter(col("u") >= col("mn") && col("u") <= col("mx"))
+          .agg(count(lit(1)).as("n_candidate"))
+        nb.crossJoin(cand).select(lit(layout).as("layout"),
+          col("n_blocks"), col("n_candidate"),
+          expr("((n_blocks * 5 - n_candidate) * 1000000) div (n_blocks * 5)")
+            .as("skip_ppm"))
+      }
+      audit("time", expr("hr div 16"))
+        .unionByName(audit("zorder",
+          call_function("div", Layout.zValue(col("user_id"), col("hr"), 10),
+            lit(4096L))))
+        .orderBy("layout")
+    }),
+
+    // bloom-filter false-positive audit: the q62 filter (64 words × 3
+    // hashes) probed with the full customer dimension — measured fp rate
+    // over true negatives in exact ppm, the number that validates the
+    // (words, hashes) sizing before shipping the filter into a join
+    "q151_bloom_fpp" -> ((s, d) => {
+      val hot = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 490000.0)
+        .select(col("o_custkey"))
+      val bloom = Sketches.bloomBuild(hot, col("o_custkey"), words = 64, hashes = 3)
+      val probes = Tables.customer(s, d).select(col("c_custkey"))
+      val actual = hot.distinct().withColumnRenamed("o_custkey", "c_custkey")
+        .withColumn("actually_in", lit(true))
+      Sketches.bloomProbe(bloom, probes, "c_custkey", words = 64, hashes = 3)
+        .join(actual, Seq("c_custkey"), "left")
+        .agg(count(lit(1)).as("n_probes"),
+          sum(col("maybe_present").cast("long")).as("n_maybe"),
+          sum(coalesce(col("actually_in"), lit(false)).cast("long")).as("n_true"))
+        .select(col("n_probes"), col("n_maybe"), col("n_true"),
+          expr("((n_maybe - n_true) * 1000000) div (n_probes - n_true)")
+            .as("fp_ppm"))
     })
   )
 
@@ -7131,7 +7183,63 @@ object SparkEntry {
         |  CAST((n_ab * nt * 1000000) // (na.n * nb.n) AS BIGINT) AS lift_ppm
         |FROM pairs JOIN tn na ON na.event_type = ta
         |JOIN tn nb ON nb.event_type = tb, nt
-        |ORDER BY ta, tb""".stripMargin
+        |ORDER BY ta, tb""".stripMargin,
+
+    // block min/max stats per layout; candidate = probe within [mn, mx]
+    "q150_skipping_audit" ->
+      s"""WITH ev AS (SELECT user_id,
+         |    (epoch_us(ts) - $Jan1_24) // 3600000000 AS hr FROM events),
+         |pr AS (SELECT u FROM (SELECT DISTINCT user_id AS u FROM ev
+         |  ORDER BY u LIMIT 5)),
+         |tstats AS (SELECT hr // 16 AS blk, MIN(user_id) AS mn, MAX(user_id) AS mx
+         |  FROM ev GROUP BY 1),
+         |zc AS (SELECT user_id, user_id & 1023 AS x, hr & 1023 AS y FROM ev),
+         |zstats AS (SELECT ${Layout.zValueSql("x", "y", 10)} // 4096 AS blk,
+         |    MIN(user_id) AS mn, MAX(user_id) AS mx
+         |  FROM zc GROUP BY 1),
+         |a AS (SELECT 'time' AS layout,
+         |    (SELECT COUNT(*) FROM tstats) AS n_blocks,
+         |    (SELECT COUNT(*) FROM tstats, pr WHERE u BETWEEN mn AND mx)
+         |      AS n_candidate
+         |  UNION ALL
+         |  SELECT 'zorder',
+         |    (SELECT COUNT(*) FROM zstats),
+         |    (SELECT COUNT(*) FROM zstats, pr WHERE u BETWEEN mn AND mx))
+         |SELECT layout, CAST(n_blocks AS BIGINT) AS n_blocks,
+         |  CAST(n_candidate AS BIGINT) AS n_candidate,
+         |  CAST(((n_blocks*5 - n_candidate)*1000000) // (n_blocks*5) AS BIGINT)
+         |    AS skip_ppm
+         |FROM a ORDER BY layout""".stripMargin,
+
+    // q62's bloom CTEs aggregated into a measured fp rate
+    "q151_bloom_fpp" ->
+      """WITH hot AS (SELECT DISTINCT o_custkey AS k FROM orders
+        |  WHERE o_totalprice > 490000),
+        |pp AS (SELECT CAST(concat('0x', substr(md5(CAST(i AS VARCHAR) || ':'
+        |      || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 3840 AS pos
+        |  FROM (SELECT k, unnest(range(0, 3)) AS i FROM hot)),
+        |bloom AS (SELECT pos // 60 AS word,
+        |    CAST(bit_or(1::BIGINT << CAST(pos % 60 AS INTEGER)) AS BIGINT) AS bits
+        |  FROM pp GROUP BY 1),
+        |prb AS (SELECT c_custkey, pos // 60 AS word,
+        |    1::BIGINT << CAST(pos % 60 AS INTEGER) AS mask
+        |  FROM (SELECT c_custkey,
+        |      CAST(concat('0x', substr(md5(CAST(i AS VARCHAR) || ':'
+        |        || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 3840 AS pos
+        |    FROM (SELECT c_custkey, unnest(range(0, 3)) AS i FROM customer))),
+        |hits AS (SELECT c_custkey,
+        |    CAST(SUM(CASE WHEN (COALESCE(bits, 0) & mask) <> 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nh
+        |  FROM prb LEFT JOIN bloom USING (word) GROUP BY c_custkey),
+        |agg AS (SELECT COUNT(*) AS n_probes,
+        |    CAST(SUM(CASE WHEN nh = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+        |    CAST(SUM(CASE WHEN hot.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_true
+        |  FROM hits h LEFT JOIN hot ON h.c_custkey = hot.k)
+        |SELECT n_probes, n_maybe, n_true,
+        |  CAST(((n_maybe - n_true) * 1000000) // (n_probes - n_true) AS BIGINT)
+        |    AS fp_ppm
+        |FROM agg""".stripMargin
   )
 
   /** Unrolled fixed-iteration PageRank oracle over the brand↔type graph —

@@ -3434,6 +3434,60 @@ object SparkEntry {
         .select(col("n_probes"), col("n_maybe"), col("n_true"),
           expr("((n_maybe - n_true) * 1000000) div (n_probes - n_true)")
             .as("fp_ppm"))
+    }),
+
+    // supplier diversity per product family (TPC-H Q16 shape): distinct
+    // suppliers per (brand, size) — the single-source-risk screen; the
+    // distinct shuffles once on the composite key, top-20 by coverage
+    "q152_supplier_coverage" -> ((s, d) => {
+      Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
+        .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand"),
+          col("p_size")), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+        .limit(20)
+    }),
+
+    // promotion-forecast revenue (TPC-H Q6 shape): the would-be revenue
+    // change from eliminating a discount band in one shipping year — pure
+    // scan+filter+sum, the canonical predicate-pushdown probe; exact
+    // ×10⁶-quantized sum (price·discount carries 6 fractional digits)
+    "q153_forecast_revenue" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(Tables.epochUs(col("l_shipdate")) >= lit(Jan1_96) &&
+          Tables.epochUs(col("l_shipdate")) < lit(Jan1_97) &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24.0)
+        .agg(count(lit(1)).as("n_lineitems"),
+          (sum(round(col("l_extendedprice") * col("l_discount") * 1000000)
+            .cast("long")).cast("double") / 1000000.0).as("revenue_effect"))
+    }),
+
+    // Heaps-law corpus growth curve: cumulative docs / token occurrences /
+    // vocabulary size at each doc-id decile — new types charge their FIRST
+    // decile (min over a monotone bucketing ≡ decile of first occurrence),
+    // so one token shuffle serves the whole curve; sub-linear vocab growth
+    // is the healthy-corpus signature
+    "t29_vocab_growth" -> ((s, d) => {
+      val dec = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("decile", ntile(10).over(Window.orderBy("doc_id")))
+      val tokDec = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .join(dec, "doc_id")
+      val occ = tokDec.groupBy("decile").agg(count(lit(1)).as("n_occ"))
+      val vocabNew = tokDec.groupBy("tok").agg(min(col("decile")).as("decile"))
+        .groupBy("decile").agg(count(lit(1)).as("new_types"))
+      val docsPer = dec.groupBy("decile").agg(count(lit(1)).as("n_docs"))
+      val w = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docsPer.join(occ, "decile").join(vocabNew, Seq("decile"), "left")
+        .withColumn("nt0", coalesce(col("new_types"), lit(0L)))
+        .select(col("decile"),
+          sum(col("n_docs")).over(w).as("docs_cum"),
+          sum(col("n_occ")).over(w).as("tokens_cum"),
+          sum(col("nt0")).over(w).as("vocab_cum"))
+        .orderBy("decile")
     })
   )
 
@@ -7239,7 +7293,43 @@ object SparkEntry {
         |SELECT n_probes, n_maybe, n_true,
         |  CAST(((n_maybe - n_true) * 1000000) // (n_probes - n_true) AS BIGINT)
         |    AS fp_ppm
-        |FROM agg""".stripMargin
+        |FROM agg""".stripMargin,
+
+    // distinct suppliers per (brand, size); top-20 coverage
+    "q152_supplier_coverage" ->
+      """SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 20""".stripMargin,
+
+    // scan+filter+sum with the ×10⁶ exact quantization
+    "q153_forecast_revenue" ->
+      s"""SELECT COUNT(*) AS n_lineitems,
+         |  CAST(CAST(SUM(CAST(round(l_extendedprice*l_discount*1000000) AS BIGINT))
+         |    AS BIGINT) AS DOUBLE)/1000000.0 AS revenue_effect
+         |FROM lineitem
+         |WHERE epoch_us(l_shipdate) >= $Jan1_96 AND epoch_us(l_shipdate) < $Jan1_97
+         |  AND l_discount >= 0.05 AND l_discount <= 0.07
+         |  AND l_quantity < 24""".stripMargin,
+
+    // NTILE bucketing is allocation-exact on both engines (the q120 rule);
+    // new types charge their first decile
+    "t29_vocab_growth" ->
+      s"""WITH dec AS (SELECT doc_id, NTILE(10) OVER (ORDER BY doc_id) AS decile
+         |  FROM documents),
+         |tok AS (SELECT d.doc_id, unnest($toksSql) AS tok FROM documents d),
+         |td AS (SELECT t.tok, dec.decile FROM tok t JOIN dec ON t.doc_id = dec.doc_id),
+         |occ AS (SELECT decile, COUNT(*) AS n_occ FROM td GROUP BY 1),
+         |vn AS (SELECT decile, COUNT(*) AS new_types FROM (
+         |    SELECT tok, MIN(decile) AS decile FROM td GROUP BY 1) GROUP BY 1),
+         |dp AS (SELECT decile, COUNT(*) AS n_docs FROM dec GROUP BY 1)
+         |SELECT dp.decile,
+         |  CAST(SUM(n_docs) OVER w AS BIGINT) AS docs_cum,
+         |  CAST(SUM(n_occ) OVER w AS BIGINT) AS tokens_cum,
+         |  CAST(SUM(COALESCE(new_types, 0)) OVER w AS BIGINT) AS vocab_cum
+         |FROM dp JOIN occ USING (decile) LEFT JOIN vn USING (decile)
+         |WINDOW w AS (ORDER BY dp.decile ROWS UNBOUNDED PRECEDING)
+         |ORDER BY dp.decile""".stripMargin
   )
 
   /** Unrolled fixed-iteration PageRank oracle over the brand↔type graph —

@@ -3488,6 +3488,60 @@ object SparkEntry {
           sum(col("n_occ")).over(w).as("tokens_cum"),
           sum(col("nt0")).over(w).as("vocab_cum"))
         .orderBy("decile")
+    }),
+
+    // tail-latency profile: p50/p90/p99 of event value per type (exact
+    // sort-based interpolated percentiles — Spark `percentile` ≡ DuckDB
+    // `quantile_cont`, the q26 parity) — the SLO dashboard numbers
+    "q154_tail_latency" -> ((s, d) => {
+      Tables.events(s, d).filter(col("value").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.9)").as("p90"),
+          expr("percentile(value, 0.99)").as("p99"))
+        .orderBy("event_type")
+    }),
+
+    // referential-integrity audit across the star schema: orphan counts by
+    // left-anti join on each foreign key plus duplicate-key checks — the
+    // pre-flight data-quality gate; every check is one key-shuffle, results
+    // collapse to a single row
+    "q155_integrity_audit" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      val orphanOrders = orders.select(col("o_custkey"))
+        .join(Tables.customer(s, d).select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("orphan_orders"))
+      val orphanLines = li.select(col("l_orderkey"))
+        .join(orders.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("orphan_lineitems"))
+      val orphanParts = li.select(col("l_partkey"))
+        .join(Tables.part(s, d).select(col("p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left_anti")
+        .agg(count(lit(1)).as("orphan_partrefs"))
+      val dupKeys = orders.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+        .agg(sum((col("c") > 1L).cast("long")).as("dup_orderkeys"))
+      orphanOrders.crossJoin(orphanLines).crossJoin(orphanParts)
+        .crossJoin(dupKeys)
+    }),
+
+    // language purity per source: share of docs carrying the source's
+    // plurality language (ties to the lexicographically first lang) — the
+    // mislabeled-shard screen run before language-filtered training cuts
+    "t30_language_purity" -> ((s, d) => {
+      val cnt = Tables.documents(s, d).groupBy("source", "lang")
+        .agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy("source").agg(sum(col("c")).as("n_docs"))
+      cnt.withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy(col("c").desc, col("lang"))))
+        .filter(col("rn") === 1)
+        .join(tot, "source")
+        .select(col("source"), col("n_docs"), col("lang").as("top_lang"),
+          expr("(c * 1000000) div n_docs").as("purity_ppm"))
+        .orderBy("source")
     })
   )
 
@@ -7329,7 +7383,41 @@ object SparkEntry {
          |  CAST(SUM(COALESCE(new_types, 0)) OVER w AS BIGINT) AS vocab_cum
          |FROM dp JOIN occ USING (decile) LEFT JOIN vn USING (decile)
          |WINDOW w AS (ORDER BY dp.decile ROWS UNBOUNDED PRECEDING)
-         |ORDER BY dp.decile""".stripMargin
+         |ORDER BY dp.decile""".stripMargin,
+
+    // quantile_cont ≡ Spark percentile (the q26 parity)
+    "q154_tail_latency" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.9) AS p90,
+        |  quantile_cont(value, 0.99) AS p99
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // anti-join orphans + duplicate-key register, one row
+    "q155_integrity_audit" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+        |    (SELECT c_custkey FROM customer)) AS orphan_orders,
+        |  (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN
+        |    (SELECT o_orderkey FROM orders)) AS orphan_lineitems,
+        |  (SELECT COUNT(*) FROM lineitem WHERE l_partkey NOT IN
+        |    (SELECT p_partkey FROM part)) AS orphan_partrefs,
+        |  (SELECT CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) FROM
+        |    (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey))
+        |    AS dup_orderkeys""".stripMargin,
+
+    // plurality lang per source (c desc, lang) then exact ppm purity
+    "t30_language_purity" ->
+      """WITH cnt AS (SELECT source, lang, COUNT(*) AS c FROM documents
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs FROM cnt GROUP BY 1),
+        |r AS (SELECT source, lang, c,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, lang) AS rn
+        |  FROM cnt)
+        |SELECT r.source, tot.n_docs, r.lang AS top_lang,
+        |  CAST((r.c * 1000000) // tot.n_docs AS BIGINT) AS purity_ppm
+        |FROM r JOIN tot USING (source) WHERE rn = 1 ORDER BY r.source""".stripMargin
   )
 
   /** Unrolled fixed-iteration PageRank oracle over the brand↔type graph —

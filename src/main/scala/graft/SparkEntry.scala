@@ -3542,6 +3542,79 @@ object SparkEntry {
         .select(col("source"), col("n_docs"), col("lang").as("top_lang"),
           expr("(c * 1000000) div n_docs").as("purity_ppm"))
         .orderBy("source")
+    }),
+
+    // month-over-month revenue bridge: ΔMRR decomposed into new + expansion
+    // − contraction − churned via a FULL OUTER self-join of per-customer
+    // month revenue on consecutive month indices (year·12+month — calendar-
+    // safe), everything in exact cents; the four components provably sum to
+    // the total delta
+    "q156_revenue_bridge" -> ((s, d) => {
+      val rev = Tables.orders(s, d)
+        .groupBy(col("o_custkey"),
+          (year(col("o_orderdate").cast("timestamp")) * 12 +
+            month(col("o_orderdate").cast("timestamp"))).as("midx"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .localCheckpoint(true)
+      val prev = rev.select(col("o_custkey").as("pc"),
+        (col("midx") + 1).as("pmidx"), col("cents").as("pcents"))
+      rev.join(prev, col("o_custkey") === col("pc") && col("midx") === col("pmidx"),
+          "full_outer")
+        .select(coalesce(col("midx"), col("pmidx")).as("m"),
+          coalesce(col("cents"), lit(0L)).as("cur"),
+          coalesce(col("pcents"), lit(0L)).as("prv"),
+          col("cents").isNull.as("gone"), col("pcents").isNull.as("fresh"))
+        .groupBy("m")
+        .agg(
+          sum(when(col("fresh"), col("cur")).otherwise(0L)).as("new_cents"),
+          sum(when(!col("fresh") && !col("gone") && col("cur") > col("prv"),
+            col("cur") - col("prv")).otherwise(0L)).as("expansion_cents"),
+          sum(when(!col("fresh") && !col("gone") && col("cur") < col("prv"),
+            col("prv") - col("cur")).otherwise(0L)).as("contraction_cents"),
+          sum(when(col("gone"), col("prv")).otherwise(0L)).as("churned_cents"))
+        .withColumn("delta_cents",
+          col("new_cents") + col("expansion_cents")
+            - col("contraction_cents") - col("churned_cents"))
+        .orderBy("m")
+    }),
+
+    // curse-of-dimensionality audit: per query, nearest vs mean squared
+    // distance over the corpus — contrast = mean/min in ppm (all-integer;
+    // a contrast near 1 means distances concentrate and ANN pruning loses
+    // power). min_d2 floor-guarded at 1 for exact-duplicate corpora
+    "s29_distance_contrast" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+        .select(col("vec_id"), quantize1000(col("embedding")).as("v"))
+        .withColumn("nv", ldot(col("v"), col("v")))
+      val q = vecs.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nv").as("nq"))
+      vecs.filter(col("vec_id") >= 5).crossJoin(broadcast(q))
+        .withColumn("d2",
+          col("nv") + col("nq") - lit(2L) * ldot(col("v"), col("qv")))
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n"), min(col("d2")).as("min_d2"),
+          sum(col("d2")).as("sum_d2"))
+        .select(col("query_id"), col("n"), col("min_d2"),
+          expr("(sum_d2 * 1000000) div (n * greatest(min_d2, 1))")
+            .as("contrast_ppm"))
+        .orderBy("query_id")
+    }),
+
+    // survival curve: users still active k days after first contact —
+    // lifespan histogram plus a DESCENDING cumulative share (survivors at
+    // ≥ k days) in exact ppm; one (min,max) rollup per user
+    "q157_survival_curve" -> ((s, d) => {
+      val span = Tables.events(s, d).groupBy("user_id")
+        .agg(expr(s"(max(ts_us) - min(ts_us)) div $DayUs").as("lifespan_days"))
+      val tot = span.agg(count(lit(1)).as("nt"))
+      val hist = span.groupBy("lifespan_days").agg(count(lit(1)).as("n_users"))
+      hist.crossJoin(broadcast(tot))
+        .withColumn("surviving", sum(col("n_users")).over(
+          Window.orderBy(col("lifespan_days").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("lifespan_days"), col("n_users"),
+          expr("(surviving * 1000000) div nt").as("surviving_ppm"))
+        .orderBy("lifespan_days")
     })
   )
 
@@ -7417,7 +7490,64 @@ object SparkEntry {
         |  FROM cnt)
         |SELECT r.source, tot.n_docs, r.lang AS top_lang,
         |  CAST((r.c * 1000000) // tot.n_docs AS BIGINT) AS purity_ppm
-        |FROM r JOIN tot USING (source) WHERE rn = 1 ORDER BY r.source""".stripMargin
+        |FROM r JOIN tot USING (source) WHERE rn = 1 ORDER BY r.source""".stripMargin,
+
+    // FULL OUTER on consecutive month indices; four components + identity
+    "q156_revenue_bridge" ->
+      """WITH rev AS (SELECT o_custkey,
+        |    year(o_orderdate)*12 + month(o_orderdate) AS midx,
+        |    CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |j AS (SELECT COALESCE(c.midx, p.midx + 1) AS m,
+        |    COALESCE(c.cents, 0) AS cur, COALESCE(p.cents, 0) AS prv,
+        |    c.cents IS NULL AS gone, p.cents IS NULL AS fresh
+        |  FROM rev c FULL OUTER JOIN rev p
+        |    ON c.o_custkey = p.o_custkey AND c.midx = p.midx + 1),
+        |b AS (SELECT m,
+        |    CAST(SUM(CASE WHEN fresh THEN cur ELSE 0 END) AS BIGINT) AS new_cents,
+        |    CAST(SUM(CASE WHEN NOT fresh AND NOT gone AND cur > prv
+        |      THEN cur - prv ELSE 0 END) AS BIGINT) AS expansion_cents,
+        |    CAST(SUM(CASE WHEN NOT fresh AND NOT gone AND cur < prv
+        |      THEN prv - cur ELSE 0 END) AS BIGINT) AS contraction_cents,
+        |    CAST(SUM(CASE WHEN gone THEN prv ELSE 0 END) AS BIGINT) AS churned_cents
+        |  FROM j GROUP BY 1)
+        |SELECT m, new_cents, expansion_cents, contraction_cents, churned_cents,
+        |  new_cents + expansion_cents - contraction_cents - churned_cents
+        |    AS delta_cents
+        |FROM b ORDER BY m""".stripMargin,
+
+    // exact integer squared distances; mean/min contrast in ppm
+    "s29_distance_contrast" ->
+      s"""WITH v AS (SELECT vec_id, ${qvSql("embedding")} AS v FROM embeddings),
+         |n AS (SELECT vec_id, v,
+         |    CAST(list_sum([v[i]*v[i] for i in range(1,65)]) AS BIGINT) AS nv
+         |  FROM v),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nv AS nq FROM n WHERE vec_id < 5),
+         |p AS (SELECT query_id,
+         |    c.nv + q.nq
+         |      - 2*CAST(list_sum([c.v[i]*q.qv[i] for i in range(1,65)]) AS BIGINT)
+         |      AS d2
+         |  FROM n c CROSS JOIN q q WHERE c.vec_id >= 5)
+         |SELECT query_id, COUNT(*) AS n, CAST(MIN(d2) AS BIGINT) AS min_d2,
+         |  CAST((CAST(SUM(d2) AS BIGINT) * 1000000)
+         |    // (COUNT(*) * greatest(CAST(MIN(d2) AS BIGINT), 1)) AS BIGINT)
+         |    AS contrast_ppm
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // lifespan histogram + descending cumulative survivors
+    "q157_survival_curve" ->
+      s"""WITH sp AS (SELECT user_id,
+         |    (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // $DayUs AS lifespan_days
+         |  FROM events GROUP BY 1),
+         |t AS (SELECT COUNT(*) AS nt FROM sp),
+         |h AS (SELECT lifespan_days, COUNT(*) AS n_users FROM sp GROUP BY 1),
+         |c AS (SELECT lifespan_days, n_users, nt,
+         |    CAST(SUM(n_users) OVER (ORDER BY lifespan_days DESC
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS surviving
+         |  FROM h, t)
+         |SELECT lifespan_days, n_users,
+         |  CAST((surviving * 1000000) // nt AS BIGINT) AS surviving_ppm
+         |FROM c ORDER BY lifespan_days""".stripMargin
   )
 
   /** Unrolled fixed-iteration PageRank oracle over the brand↔type graph —

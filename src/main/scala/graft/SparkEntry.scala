@@ -3615,6 +3615,55 @@ object SparkEntry {
         .select(col("lifespan_days"), col("n_users"),
           expr("(surviving * 1000000) div nt").as("surviving_ppm"))
         .orderBy("lifespan_days")
+    }),
+
+    // IVF recall-vs-probe operating curve: recall@5 at nProbe ∈ {1,2,4}
+    // against brute-force truth — the cost/recall trade the index tuner
+    // reads before fixing nProbe; deterministic integer k-means makes the
+    // whole sweep oracle-able (the oracle shares ONE training chain)
+    "s30_probe_recall_curve" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      val qs = em.filter(col("vec_id") < 5)
+      val truth = Similarity.bruteForceTopK(em, qs, "vec_id", "embedding", k = 5)
+        .localCheckpoint(true)
+      Seq(1, 2, 4).map { p =>
+        Similarity.annRecall(truth,
+            Similarity.ivfTopK(em, qs, "vec_id", "embedding", k = 5,
+              nCentroids = 16, nProbe = p), k = 5)
+          .withColumn("probe", lit(p))
+      }.reduce(_ unionByName _)
+        .select(col("query_id"), col("probe"), col("n_hits"), col("recall_ppm"))
+        .orderBy("query_id", "probe")
+    }),
+
+    // content-defined chunking dedup (the rsync/LBFS idea on tokens): a
+    // token whose cheap hash ≡ 0 (mod 8) closes a chunk, so chunk
+    // boundaries survive insertions/deletions unlike fixed windows; report
+    // corpus-level chunk count, distinct-content count, duplicate share
+    // and mean chunk length — the byte-savings estimate for chunk-level
+    // storage dedup
+    "d23_cdc_chunking" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+        .withColumn("b",
+          ((ascii(col("tok")) * 7 + length(col("tok"))) % 8 === 0).cast("long"))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val chunks = toks
+        .withColumn("chunk_id", coalesce(sum(col("b"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .groupBy("doc_id", "chunk_id")
+        .agg(count(lit(1)).as("n_toks"),
+          md5(expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')"))
+            .as("h"))
+      chunks.agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("h")).as("distinct_chunks"),
+          sum(col("n_toks")).as("total_tokens"))
+        .select(col("n_chunks"), col("distinct_chunks"),
+          expr("((n_chunks - distinct_chunks) * 1000000) div n_chunks")
+            .as("dup_chunk_ppm"),
+          expr("(total_tokens * 1000000) div n_chunks")
+            .as("mean_chunk_tokens_ppm"))
     })
   )
 
@@ -3720,6 +3769,46 @@ object SparkEntry {
     * existing `v (id, v)` CTE. `s{i}e` carries each vector's assigned
     * centroid VECTOR for subspace i (the reconstruction the asymmetric
     * score dots against). */
+  /** Probe-sweep recall oracle: ONE ivfCellsSql training chain shared by
+    * every probe depth; per depth, candidates → exact-cosine top-k →
+    * hit count against the brute-force truth. */
+  private def ivfProbeSweepSql(nCentroids: Int, iterations: Int,
+      probes: Seq[Int], k: Int): String = {
+    def dotOf(c: String, v: String) = s"list_sum([$c[i]*$v[i] for i in range(1,65)])"
+    val perProbe = probes.map { p =>
+      s"""cand$p AS (SELECT DISTINCT pr.query_id, n.id AS neighbor_id,
+         |    q.v AS qa, n.v AS qb
+         |  FROM (SELECT query_id, cell FROM pd WHERE rn <= $p) pr
+         |  JOIN v q ON q.id = pr.query_id
+         |  JOIN cells n ON n.cell = pr.cell AND n.id != pr.query_id),
+         |top$p AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY $cosSql DESC, neighbor_id) AS rank
+         |    FROM cand$p) WHERE rank <= $k),
+         |rec$p AS (SELECT tq.query_id, CAST($p AS INTEGER) AS probe,
+         |    CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |    CAST((1000000 * COALESCE(h.n_hits, 0)) // $k AS BIGINT) AS recall_ppm
+         |  FROM (SELECT DISTINCT query_id FROM truth) tq
+         |  LEFT JOIN (SELECT t.query_id, COUNT(*) AS n_hits FROM truth t
+         |    JOIN top$p a ON t.query_id = a.query_id
+         |      AND t.neighbor_id = a.neighbor_id GROUP BY 1) h
+         |    ON tq.query_id = h.query_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${ivfCellsSql(nCentroids, iterations)},
+       |tp AS (SELECT qq.id AS query_id, c.id AS neighbor_id, qq.v AS qa, c.v AS qb
+       |  FROM v qq JOIN v c ON qq.id < 5 AND qq.id != c.id),
+       |truth AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY $cosSql DESC, neighbor_id) AS rank FROM tp) WHERE rank <= $k),
+       |pd AS (SELECT q.id AS query_id, c.cell,
+       |  ROW_NUMBER() OVER (PARTITION BY q.id
+       |    ORDER BY c.cn - 2*${dotOf("c.c", "q.v")}, c.cell) AS rn
+       |  FROM v q CROSS JOIN c$iterations c WHERE q.id < 5),
+       |$perProbe
+       |${probes.map(p => s"SELECT * FROM rec$p").mkString("\nUNION ALL ")}
+       |ORDER BY query_id, probe""".stripMargin
+  }
+
   private def pqSubspacesSql(m: Int, ksub: Int, iterations: Int): String = {
     val subDim = 64 / m
     val rng = s"range(1,${subDim + 1})"
@@ -7547,7 +7636,38 @@ object SparkEntry {
          |  FROM h, t)
          |SELECT lifespan_days, n_users,
          |  CAST((surviving * 1000000) // nt AS BIGINT) AS surviving_ppm
-         |FROM c ORDER BY lifespan_days""".stripMargin
+         |FROM c ORDER BY lifespan_days""".stripMargin,
+
+    "s30_probe_recall_curve" -> ivfProbeSweepSql(nCentroids = 16,
+      iterations = 5, probes = Seq(1, 2, 4), k = 5),
+
+    // boundary token (hash ≡ 0 mod 8) closes a chunk; strict-past cumsum
+    // assigns ids; chunk content hashed via ORDER BY pos string_agg
+    "d23_cdc_chunking" ->
+      s"""WITH t0 AS (SELECT doc_id, $toksSql AS ts FROM documents),
+         |tok AS (SELECT doc_id, unnest(ts) AS tok,
+         |    unnest(range(len(ts))) AS pos FROM t0),
+         |b AS (SELECT doc_id, pos, tok,
+         |    CASE WHEN (ascii(substr(tok,1,1))*7 + length(tok)) % 8 = 0
+         |      THEN 1 ELSE 0 END AS bd
+         |  FROM tok),
+         |cid AS (SELECT doc_id, pos, tok,
+         |    COALESCE(CAST(SUM(bd) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+         |      AS chunk_id
+         |  FROM b),
+         |ch AS (SELECT doc_id, chunk_id, COUNT(*) AS n_toks,
+         |    md5(string_agg(tok, ' ' ORDER BY pos)) AS h
+         |  FROM cid GROUP BY 1, 2),
+         |agg AS (SELECT COUNT(*) AS n_chunks,
+         |    COUNT(DISTINCT h) AS distinct_chunks,
+         |    CAST(SUM(n_toks) AS BIGINT) AS total_tokens FROM ch)
+         |SELECT n_chunks, distinct_chunks,
+         |  CAST(((n_chunks - distinct_chunks) * 1000000) // n_chunks AS BIGINT)
+         |    AS dup_chunk_ppm,
+         |  CAST((total_tokens * 1000000) // n_chunks AS BIGINT)
+         |    AS mean_chunk_tokens_ppm
+         |FROM agg""".stripMargin
   )
 
   /** Unrolled fixed-iteration PageRank oracle over the brand↔type graph —

@@ -3664,6 +3664,62 @@ object SparkEntry {
             .as("dup_chunk_ppm"),
           expr("(total_tokens * 1000000) div n_chunks")
             .as("mean_chunk_tokens_ppm"))
+    }),
+
+    // temporal ping-pong motifs: A→B→A event-type bounces per (A, B) —
+    // two lags on the per-user ordered stream (one exchange serves both),
+    // the oscillation signal sequence mining misses when it only counts
+    // forward transitions (q87)
+    "q158_bounce_motifs" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+        .withColumn("a", lag(col("event_type"), 2).over(w))
+        .withColumn("b", lag(col("event_type"), 1).over(w))
+        .filter(col("a").isNotNull && col("a") === col("event_type")
+          && col("a") =!= col("b"))
+        .groupBy(col("a").as("t_outer"), col("b").as("t_inner"))
+        .agg(count(lit(1)).as("n_bounces"))
+        .orderBy("t_outer", "t_inner")
+    }),
+
+    // shipment backlog curve: orders placed vs fully shipped per month
+    // (an order ships when its LAST lineitem ships), running backlog =
+    // cumulative placed − shipped — the ops burndown; full-outer on the
+    // month index keeps tail months where shipments outlive placements
+    "q159_shipment_backlog" -> ((s, d) => {
+      def midx(c: Column) = year(c.cast("timestamp")) * 12 + month(c.cast("timestamp"))
+      val placed = Tables.orders(s, d)
+        .groupBy(midx(col("o_orderdate")).as("m")).agg(count(lit(1)).as("placed"))
+      val shipped = Tables.lineitem(s, d)
+        .groupBy("l_orderkey").agg(max(Tables.epochUs(col("l_shipdate"))).as("last_us"))
+        .groupBy(midx(timestamp_micros(col("last_us"))).as("m"))
+        .agg(count(lit(1)).as("shipped"))
+      placed.join(shipped, Seq("m"), "full_outer")
+        .select(col("m"), coalesce(col("placed"), lit(0L)).as("placed"),
+          coalesce(col("shipped"), lit(0L)).as("shipped"))
+        .withColumn("backlog", sum(col("placed") - col("shipped")).over(
+          Window.orderBy("m").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("m")
+    }),
+
+    // average-order-value trend: AOV per month in exact floored cents plus
+    // the month-over-month ratio — ratio_ppm divides two POSITIVE longs
+    // (safe truncation), the signed change falls out by subtraction, never
+    // by dividing a negative
+    "q160_aov_trend" -> ((s, d) => {
+      val m = Tables.orders(s, d)
+        .groupBy((year(col("o_orderdate").cast("timestamp")) * 12 +
+          month(col("o_orderdate").cast("timestamp"))).as("m"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .withColumn("aov_cents", expr("cents div n_orders"))
+      m.withColumn("prev", lag(col("aov_cents"), 1).over(Window.orderBy("m")))
+        .withColumn("ratio_ppm",
+          when(col("prev").isNotNull, expr("(aov_cents * 1000000) div prev")))
+        .select(col("m"), col("n_orders"), col("aov_cents"),
+          col("ratio_ppm"), (col("ratio_ppm") - 1000000L).as("change_ppm"))
+        .orderBy("m")
     })
   )
 
@@ -7667,7 +7723,47 @@ object SparkEntry {
          |    AS dup_chunk_ppm,
          |  CAST((total_tokens * 1000000) // n_chunks AS BIGINT)
          |    AS mean_chunk_tokens_ppm
-         |FROM agg""".stripMargin
+         |FROM agg""".stripMargin,
+
+    // double lag over the same per-user order
+    "q158_bounce_motifs" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    LAG(event_type, 2) OVER w AS a, LAG(event_type, 1) OVER w AS b
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT a AS t_outer, b AS t_inner, COUNT(*) AS n_bounces
+        |FROM e WHERE a IS NOT NULL AND a = event_type AND a != b
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // order ships at its max lineitem shipdate; full outer on month index
+    "q159_shipment_backlog" ->
+      """WITH placed AS (SELECT year(o_orderdate)*12 + month(o_orderdate) AS m,
+        |    COUNT(*) AS placed FROM orders GROUP BY 1),
+        |lastship AS (SELECT l_orderkey, MAX(l_shipdate) AS sd FROM lineitem
+        |  GROUP BY 1),
+        |shipped AS (SELECT year(sd)*12 + month(sd) AS m, COUNT(*) AS shipped
+        |  FROM lastship GROUP BY 1),
+        |j AS (SELECT COALESCE(p.m, s.m) AS m, COALESCE(placed, 0) AS placed,
+        |    COALESCE(shipped, 0) AS shipped
+        |  FROM placed p FULL OUTER JOIN shipped s ON p.m = s.m)
+        |SELECT m, placed, shipped,
+        |  CAST(SUM(placed - shipped) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS backlog
+        |FROM j ORDER BY m""".stripMargin,
+
+    // floored-cents AOV; positive-operand ratio, signed change by subtraction
+    "q160_aov_trend" ->
+      """WITH m AS (SELECT year(o_orderdate)*12 + month(o_orderdate) AS m,
+        |    COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |a AS (SELECT m, n_orders, cents // n_orders AS aov_cents FROM m),
+        |l AS (SELECT m, n_orders, aov_cents,
+        |    LAG(aov_cents, 1) OVER (ORDER BY m) AS prev FROM a)
+        |SELECT m, n_orders, CAST(aov_cents AS BIGINT) AS aov_cents,
+        |  CAST((aov_cents * 1000000) // prev AS BIGINT) AS ratio_ppm,
+        |  CAST((aov_cents * 1000000) // prev - 1000000 AS BIGINT) AS change_ppm
+        |FROM l ORDER BY m""".stripMargin
   )
 
   /** Unrolled fixed-iteration PageRank oracle over the brand↔type graph —

@@ -3720,6 +3720,59 @@ object SparkEntry {
         .select(col("m"), col("n_orders"), col("aov_cents"),
           col("ratio_ppm"), (col("ratio_ppm") - 1000000L).as("change_ppm"))
         .orderBy("m")
+    }),
+
+    // SLA attainment per priority: orders FULLY shipped within 30 days of
+    // placement (order-granular — the max-lineitem rollup feeds one integer
+    // comparison), attainment in exact ppm; q134's line-granular profile
+    // aggregated to the number the contract actually binds
+    "q161_priority_sla" -> ((s, d) => {
+      val lastShip = Tables.lineitem(s, d).groupBy("l_orderkey")
+        .agg(max(Tables.epochUs(col("l_shipdate"))).as("last_us"))
+      Tables.orders(s, d)
+        .join(lastShip, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum((col("last_us") - Tables.epochUs(col("o_orderdate"))
+            <= lit(30L * DayUs)).cast("long")).as("n_within_sla"))
+        .withColumn("sla_ppm", expr("(n_within_sla * 1000000) div n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // k-means convergence audit: squared centroid movement in the LAST
+    // Lloyd iteration (iter 4 → 5) per cell — exact integers because the
+    // whole training is integer arithmetic; near-zero movement certifies
+    // the fixed iteration count the ANN family (s3/s4/s9/s10/s30) freezes
+    "s31_kmeans_convergence" -> ((s, d) => {
+      import s.implicits._
+      val em = Tables.embeddings(s, d)
+      val (_, c4) = Similarity.ivfIndex(em, "vec_id", "embedding",
+        nCentroids = 16, iterations = 4)
+      val (_, c5) = Similarity.ivfIndex(em, "vec_id", "embedding",
+        nCentroids = 16, iterations = 5)
+      c4.zip(c5).zipWithIndex.map { case ((a, b), cell) =>
+        (cell.toLong, a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+      }.toSeq.toDF("cell", "move_d2").orderBy("cell")
+    }),
+
+    // corpus-diversity audit: exact vocabulary Jaccard between source
+    // pairs — distinct (source, token) sets self-join on the token key,
+    // |A∪B| = |A|+|B|−|A∩B|, overlap in ppm; 20 most-similar pairs
+    "t31_vocab_overlap" -> ((s, d) => {
+      val st = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .distinct().localCheckpoint(true)
+      val sizes = st.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = st.select(col("source").as("sa"), col("tok"))
+        .join(st.select(col("source").as("sb"), col("tok")), "tok")
+        .filter(col("sa") < col("sb"))
+        .groupBy("sa", "sb").agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(broadcast(sizes.select(col("source").as("sa"), col("n").as("na"))), "sa")
+        .join(broadcast(sizes.select(col("source").as("sb"), col("n").as("nb"))), "sb")
+        .select(col("sa"), col("sb"), col("n_inter"),
+          expr("(n_inter * 1000000) div (na + nb - n_inter)").as("jaccard_ppm"))
+        .orderBy(col("jaccard_ppm").desc, col("sa"), col("sb")).limit(20)
     })
   )
 
@@ -7763,7 +7816,42 @@ object SparkEntry {
         |SELECT m, n_orders, CAST(aov_cents AS BIGINT) AS aov_cents,
         |  CAST((aov_cents * 1000000) // prev AS BIGINT) AS ratio_ppm,
         |  CAST((aov_cents * 1000000) // prev - 1000000 AS BIGINT) AS change_ppm
-        |FROM l ORDER BY m""".stripMargin
+        |FROM l ORDER BY m""".stripMargin,
+
+    // order-granular: max lineitem shipdate vs order date, 30-day bound
+    "q161_priority_sla" ->
+      s"""WITH ls AS (SELECT l_orderkey, MAX(epoch_us(l_shipdate)) AS last_us
+         |  FROM lineitem GROUP BY 1)
+         |SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |  CAST(SUM(CASE WHEN last_us - epoch_us(o_orderdate) <= ${30L * DayUs}
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_within_sla,
+         |  CAST((CAST(SUM(CASE WHEN last_us - epoch_us(o_orderdate)
+         |    <= ${30L * DayUs} THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         |    // COUNT(*) AS BIGINT) AS sla_ppm
+         |FROM orders JOIN ls ON o_orderkey = l_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // both centroid generations come out of ONE unrolled training chain
+    "s31_kmeans_convergence" ->
+      s"""WITH ${ivfCellsSql(16, 5)}
+         |SELECT CAST(p.cell AS BIGINT) AS cell,
+         |  CAST(list_sum([(p.c[i]-q.c[i])*(p.c[i]-q.c[i]) for i in range(1,65)])
+         |    AS BIGINT) AS move_d2
+         |FROM c4 p JOIN c5 q USING (cell) ORDER BY cell""".stripMargin,
+
+    // distinct (source, token) sets; |A∪B| = |A|+|B|−|A∩B|
+    "t31_vocab_overlap" ->
+      s"""WITH st AS (SELECT DISTINCT source, unnest($toksSql) AS tok
+         |  FROM documents),
+         |sz AS (SELECT source, COUNT(*) AS n FROM st GROUP BY 1),
+         |iv AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS n_inter
+         |  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT sa, sb, n_inter,
+         |  CAST((n_inter * 1000000) // (na.n + nb.n - n_inter) AS BIGINT)
+         |    AS jaccard_ppm
+         |FROM iv JOIN sz na ON na.source = sa JOIN sz nb ON nb.source = sb
+         |ORDER BY jaccard_ppm DESC, sa, sb LIMIT 20""".stripMargin
   )
 
   /** Unrolled fixed-iteration PageRank oracle over the brand↔type graph —

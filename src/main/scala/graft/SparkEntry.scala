@@ -3773,6 +3773,53 @@ object SparkEntry {
         .select(col("sa"), col("sb"), col("n_inter"),
           expr("(n_inter * 1000000) div (na + nb - n_inter)").as("jaccard_ppm"))
         .orderBy(col("jaccard_ppm").desc, col("sa"), col("sb")).limit(20)
+    }),
+
+    // resurrection profile: users by their LONGEST dormancy gap in whole
+    // days (a long gap followed by any event = a comeback) — one lag on
+    // the user-keyed order, max per user, histogram; the reactivation-
+    // campaign sizing table
+    "q162_resurrection_gaps" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+        .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy("user_id")
+        .agg(expr(s"max(gap) div $DayUs").as("max_gap_days"))
+        .groupBy("max_gap_days").agg(count(lit(1)).as("n_users"))
+        .orderBy("max_gap_days")
+    }),
+
+    // brand cross-sell matrix: brand pairs co-appearing in one order —
+    // the distinct (order, brand) projection self-joins on the order key
+    // (25 brands bound the blow-up, orders are the shuffle key); top-20
+    "q163_brand_cross_sell" -> ((s, d) => {
+      val ob = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand")).distinct()
+        .localCheckpoint(true)
+      ob.select(col("ok"), col("p_brand").as("ba"))
+        .join(ob.select(col("ok"), col("p_brand").as("bb")), "ok")
+        .filter(col("ba") < col("bb"))
+        .groupBy("ba", "bb").agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("ba"), col("bb")).limit(20)
+    }),
+
+    // OOV-heavy documents: share of tokens whose corpus count ≤ 2, per
+    // doc in exact ppm — the docs most likely to be noise/garble; token
+    // occurrences re-join their corpus counts on the token key, top-20
+    "t32_rare_token_docs" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val corpus = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      toks.join(corpus, "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum((col("c") <= 2L).cast("long")).as("n_rare"))
+        .withColumn("rare_ppm", expr("(n_rare * 1000000) div n_tokens"))
+        .orderBy(col("rare_ppm").desc, col("doc_id")).limit(20)
     })
   )
 
@@ -7851,7 +7898,38 @@ object SparkEntry {
          |  CAST((n_inter * 1000000) // (na.n + nb.n - n_inter) AS BIGINT)
          |    AS jaccard_ppm
          |FROM iv JOIN sz na ON na.source = sa JOIN sz nb ON nb.source = sb
-         |ORDER BY jaccard_ppm DESC, sa, sb LIMIT 20""".stripMargin
+         |ORDER BY jaccard_ppm DESC, sa, sb LIMIT 20""".stripMargin,
+
+    // lag gaps → max per user → histogram
+    "q162_resurrection_gaps" ->
+      s"""WITH g AS (SELECT user_id,
+         |    epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id
+         |      ORDER BY epoch_us(ts), event_id) AS gap
+         |  FROM events),
+         |m AS (SELECT user_id, MAX(gap) // $DayUs AS max_gap_days
+         |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+         |SELECT max_gap_days, COUNT(*) AS n_users
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // distinct (order, brand) self-join on the order key
+    "q163_brand_cross_sell" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT a.p_brand AS ba, b.p_brand AS bb, COUNT(*) AS n_orders
+        |FROM ob a JOIN ob b ON a.ok = b.ok AND a.p_brand < b.p_brand
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, ba, bb LIMIT 20""".stripMargin,
+
+    // corpus counts re-joined per occurrence; rare = count ≤ 2
+    "t32_rare_token_docs" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |c AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY 1),
+         |p AS (SELECT doc_id, COUNT(*) AS n_tokens,
+         |    CAST(SUM(CASE WHEN c.c <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+         |  FROM tok JOIN c USING (tok) GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_rare,
+         |  CAST((n_rare * 1000000) // n_tokens AS BIGINT) AS rare_ppm
+         |FROM p ORDER BY rare_ppm DESC, doc_id LIMIT 20""".stripMargin
   )
 
   /** Unrolled fixed-iteration PageRank oracle over the brand↔type graph —

@@ -3820,6 +3820,59 @@ object SparkEntry {
           sum((col("c") <= 2L).cast("long")).as("n_rare"))
         .withColumn("rare_ppm", expr("(n_rare * 1000000) div n_tokens"))
         .orderBy(col("rare_ppm").desc, col("doc_id")).limit(20)
+    }),
+
+    // partition-balance audit of the J1 murmur2 router: keys per partition
+    // → max-vs-mean skew in ppm — the hot-partition early warning read off
+    // the SAME hash the cluster routes with (a skewed router at 100 TB is
+    // a stuck consumer, not a slow query)
+    "q164_route_balance" -> ((s, d) => {
+      val parts = Tables.events(s, d).select(col("user_id")).distinct()
+        .withColumn("partition", kafkaPartition(col("user_id").cast("string"), 32))
+        .groupBy("partition").agg(count(lit(1)).as("n_keys"))
+      parts.agg(count(lit(1)).as("n_partitions"),
+          sum(col("n_keys")).as("n_keys_total"),
+          min(col("n_keys")).as("min_keys"), max(col("n_keys")).as("max_keys"))
+        .select(col("n_partitions"), col("n_keys_total"),
+          col("min_keys"), col("max_keys"),
+          expr("(max_keys * n_partitions * 1000000) div n_keys_total")
+            .as("skew_ppm"))
+    }),
+
+    // PQ reconstruction distortion per subspace: Σ‖slice − codeword‖² in
+    // exact integers — which subspaces the codebook represents poorly (the
+    // complement of s28's usage balance); mean per vector via floored div
+    "s32_pq_distortion" -> ((s, d) => {
+      Similarity.pqDistortion(Tables.embeddings(s, d), "vec_id", "embedding",
+          numSubspaces = 8, subCentroids = 16, iterations = 3)
+        .select(col("subspace"), col("n"), col("sum_d2"),
+          expr("sum_d2 div n").as("mean_d2"))
+        .orderBy("subspace")
+    }),
+
+    // MinHash estimator calibration: |est − true| jaccard over EVERY banded
+    // candidate pair, in exact ppm (est is a multiple of 1/8 — exact in
+    // doubles; truth from the same 60-bit gram universe the signatures
+    // hashed) — the measured error bar behind d2's minEstimate choice
+    "d24_minhash_calibration" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cand = Dedup.minhashLsh(docs, "doc_id", "text", numHashes = 8,
+        shingleSize = 3, rowsPerBand = 2, minEstimate = 0.0,
+        materializeCandidates = true)
+      val gs = docs.select(col("doc_id").as("doc"),
+          wordNgramHashSet(concat_ws(" ", tokens(col("text"))), 3).as("gs"))
+        .withColumn("ng", size(col("gs")).cast("long")).filter(col("ng") > 0)
+      cand
+        .join(gs.select(col("doc").as("id_a"), col("gs").as("ga"), col("ng").as("na")), "id_a")
+        .join(gs.select(col("doc").as("id_b"), col("gs").as("gb"), col("ng").as("nb")), "id_b")
+        .withColumn("inter", sortedIntersectCount(col("ga"), col("gb")).cast("long"))
+        .withColumn("true_ppm", expr("(inter * 1000000) div (na + nb - inter)"))
+        .withColumn("est_ppm", (col("jaccard_est") * 8).cast("long") * 125000L)
+        .withColumn("err", abs(col("est_ppm") - col("true_ppm")))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("err")).as("sum_err"),
+          max(col("err")).as("max_err_ppm"))
+        .select(col("n_pairs"), expr("sum_err div n_pairs").as("mae_ppm"),
+          col("max_err_ppm"))
     })
   )
 
@@ -7929,7 +7982,51 @@ object SparkEntry {
          |  FROM tok JOIN c USING (tok) GROUP BY 1)
          |SELECT doc_id, n_tokens, n_rare,
          |  CAST((n_rare * 1000000) // n_tokens AS BIGINT) AS rare_ppm
-         |FROM p ORDER BY rare_ppm DESC, doc_id LIMIT 20""".stripMargin
+         |FROM p ORDER BY rare_ppm DESC, doc_id LIMIT 20""".stripMargin,
+
+    // keys per murmur2 partition → max-vs-mean skew
+    "q164_route_balance" ->
+      s"""WITH k AS (SELECT DISTINCT user_id, user_id::VARCHAR AS s FROM events),
+         |p AS (SELECT $murmur2PartitionSql AS partition, COUNT(*) AS n_keys
+         |  FROM k GROUP BY 1),
+         |a AS (SELECT COUNT(*) AS n_partitions,
+         |    CAST(SUM(n_keys) AS BIGINT) AS n_keys_total,
+         |    MIN(n_keys) AS min_keys, MAX(n_keys) AS max_keys FROM p)
+         |SELECT n_partitions, n_keys_total, min_keys, max_keys,
+         |  CAST((max_keys * n_partitions * 1000000) // n_keys_total AS BIGINT)
+         |    AS skew_ppm
+         |FROM a""".stripMargin,
+
+    // s{i}v slices vs s{i}e codewords from the shared training chains
+    "s32_pq_distortion" ->
+      s"""WITH v AS (SELECT vec_id AS id, ${qvSql("embedding")} AS v FROM embeddings),
+         |${pqSubspacesSql(8, 16, 3)},
+         |d AS (${(0 until 8).map { i =>
+            s"""SELECT CAST($i AS INTEGER) AS subspace,
+               |  CAST(list_sum([(a.v[i]-e.cv[i])*(a.v[i]-e.cv[i]) for i in range(1,9)])
+               |    AS BIGINT) AS d2
+               |  FROM s${i}v a JOIN s${i}e e USING (id)""".stripMargin
+          }.mkString("\n  UNION ALL ")})
+         |SELECT subspace, COUNT(*) AS n, CAST(SUM(d2) AS BIGINT) AS sum_d2,
+         |  CAST(CAST(SUM(d2) AS BIGINT) // COUNT(*) AS BIGINT) AS mean_d2
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // every banded pair; est is k/8 exact, truth from the same gram universe
+    "d24_minhash_calibration" ->
+      s"""WITH ${minhashPairsSql("documents")},
+         |g AS (SELECT doc_id, hs, len(hs) AS ng FROM mh_h),
+         |vv AS (SELECT id_a, id_b, jaccard_est,
+         |    CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS i,
+         |    CAST(a.ng AS BIGINT) AS na, CAST(b.ng AS BIGINT) AS nb
+         |  FROM mh_pairs JOIN g a ON id_a = a.doc_id JOIN g b ON id_b = b.doc_id),
+         |e AS (SELECT CAST(jaccard_est * 8 AS BIGINT) * 125000 AS est_ppm,
+         |    CAST((i * 1000000) // (na + nb - i) AS BIGINT) AS true_ppm
+         |  FROM vv)
+         |SELECT COUNT(*) AS n_pairs,
+         |  CAST(CAST(SUM(abs(est_ppm - true_ppm)) AS BIGINT) // COUNT(*) AS BIGINT)
+         |    AS mae_ppm,
+         |  CAST(MAX(abs(est_ppm - true_ppm)) AS BIGINT) AS max_err_ppm
+         |FROM e""".stripMargin
   )
 
   /** Unrolled fixed-iteration PageRank oracle over the brand↔type graph —

@@ -496,6 +496,38 @@ object Similarity {
       .select(col("id"), col("sc.subspace").as("subspace"), col("sc.code").as("code"))
   }
 
+  /** PQ reconstruction distortion per subspace — Σ‖v_s − codebook_s[code_s]‖²
+    * over the corpus, exact integers end-to-end (quantized slices, integer
+    * codebooks). The per-subspace residual energy is the direct read on
+    * which subspaces the quantizer represents poorly; one zero-shuffle
+    * encode projection, then an m-row aggregate. */
+  def pqDistortion(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numSubspaces: Int = 8,
+      subCentroids: Int = 16,
+      iterations: Int = 3,
+      dims: Int = 64): DataFrame = {
+    require(dims % numSubspaces == 0, "dims must divide evenly into subspaces")
+    val subDim = dims / numSubspaces
+    val vecs = corpus.select(col(idCol).as("id"), quantize1000(col(vecCol)).as("v"))
+      .localCheckpoint(true)
+    val codebooks = pqCodebooks(vecs, numSubspaces, subDim, subCentroids, iterations)
+    val enc = vecs.select(col("id") +: col("v") +:
+      pqCodeCols(numSubspaces, subDim, codebooks): _*)
+    val perSub = (0 until numSubspaces).map { s =>
+      val sl = slice(col("v"), s * subDim + 1, subDim)
+      val cw = element_at(typedLit(codebooks(s).map(_.toSeq).toSeq), col(s"c$s") + 1)
+      struct(lit(s).as("subspace"),
+        (ldot(sl, sl) - lit(2L) * ldot(sl, cw) + ldot(cw, cw)).as("d2"))
+    }
+    enc.select(explode(array(perSub: _*)).as("sd"))
+      .select(col("sd.subspace").as("subspace"), col("sd.d2").as("d2"))
+      .groupBy("subspace")
+      .agg(count(lit(1)).as("n"), sum(col("d2")).as("sum_d2"))
+  }
+
   /** Per-subspace codebooks over a pre-quantized `(id, v)` frame —
     * bounded driver state: m × ksub × subDim longs. */
   private def pqCodebooks(vecs: DataFrame, m: Int, subDim: Int, ksub: Int,

@@ -3626,10 +3626,13 @@ object SparkEntry {
       val qs = em.filter(col("vec_id") < 5)
       val truth = Similarity.bruteForceTopK(em, qs, "vec_id", "embedding", k = 5)
         .localCheckpoint(true)
+      val (cells, centroids) = Similarity.ivfIndex(em, "vec_id", "embedding",
+        nCentroids = 16)
+      val pinned = cells.localCheckpoint(true)
       Seq(1, 2, 4).map { p =>
         Similarity.annRecall(truth,
-            Similarity.ivfTopK(em, qs, "vec_id", "embedding", k = 5,
-              nCentroids = 16, nProbe = p), k = 5)
+            Similarity.ivfTopKFromIndex(pinned, centroids, em, qs,
+              "vec_id", "embedding", k = 5, nProbe = p), k = 5)
           .withColumn("probe", lit(p))
       }.reduce(_ unionByName _)
         .select(col("query_id"), col("probe"), col("n_hits"), col("recall_ppm"))

@@ -272,6 +272,21 @@ object Similarity {
       nCentroids: Int = 16,
       nProbe: Int = 4): DataFrame = {
     val (cells, centroids) = ivfIndex(corpus, idCol, vecCol, nCentroids)
+    ivfTopKFromIndex(cells, centroids, corpus, queries, idCol, vecCol, k, nProbe)
+  }
+
+  /** [[ivfTopK]] against a PREBUILT index — callers sweeping `nProbe` (or
+    * serving many query batches) pay the training once; at 100 TB the
+    * index build is the expensive pass and searches must reuse it. */
+  def ivfTopKFromIndex(
+      cells: DataFrame,
+      centroids: Array[Array[Long]],
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int): DataFrame = {
     val c = quantized(corpus, idCol, vecCol, "neighbor_id", "qv_c", "n_c")
       .join(cells.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
     // query probes: its nProbe nearest centroids (same quantized space and

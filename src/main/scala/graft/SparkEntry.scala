@@ -3876,6 +3876,75 @@ object SparkEntry {
           max(col("err")).as("max_err_ppm"))
         .select(col("n_pairs"), expr("sum_err div n_pairs").as("mae_ppm"),
           col("max_err_ppm"))
+    }),
+
+    // SimHash distance ↔ token-set Jaccard calibration: mean true Jaccard
+    // per Hamming distance over banded candidate pairs (4 bands of 4 bits
+    // ⇒ Hamming ≤ 3 complete) — monotone decay validates the fingerprint
+    // as a similarity proxy; set ops on token arrays, pair frames tiny
+    "d25_simhash_calibration" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+        bits = 16, maxHamming = 3)
+      val ts = docs.select(col("doc_id").as("doc"),
+        array_distinct(tokens(col("text"))).as("ts"))
+      pairs
+        .join(ts.select(col("doc").as("id_a"), col("ts").as("ta")), "id_a")
+        .join(ts.select(col("doc").as("id_b"), col("ts").as("tb")), "id_b")
+        .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+        .withColumn("true_ppm", expr(
+          "(inter * 1000000) div (size(ta) + size(tb) - inter)"))
+        .groupBy("hamming")
+        .agg(count(lit(1)).as("n_pairs"), sum(col("true_ppm")).as("s"))
+        .select(col("hamming"), col("n_pairs"),
+          expr("s div n_pairs").as("mean_true_ppm"))
+        .orderBy("hamming")
+    }),
+
+    // receivables-style aging: orders still unshipped at the cutoff (their
+    // LAST lineitem ships on/after it) bucketed by days outstanding, with
+    // the value at risk in exact cents — the classic 30/60/90 report
+    "q165_aging_buckets" -> ((s, d) => {
+      val lastShip = Tables.lineitem(s, d).groupBy("l_orderkey")
+        .agg(max(Tables.epochUs(col("l_shipdate"))).as("last_us"))
+      Tables.orders(s, d)
+        .withColumn("od_us", Tables.epochUs(col("o_orderdate")))
+        .filter(col("od_us") < lit(Jan1_97))
+        .join(lastShip, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("last_us") >= lit(Jan1_97))
+        .withColumn("age_days", expr(s"($Jan1_97 - od_us) div $DayUs"))
+        .withColumn("bucket",
+          when(col("age_days") <= 30, "a_0_30")
+            .when(col("age_days") <= 60, "b_31_60")
+            .when(col("age_days") <= 90, "c_61_90")
+            .otherwise("d_90_plus"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("open_cents"))
+        .orderBy("bucket")
+    }),
+
+    // behavioral rhythm: variance-to-mean of inter-event gaps (in whole
+    // minutes) per user — metronomes (bots, schedulers) sit near 0, human
+    // bursts high; staged-ppm VMR on integer gap moments, 20 most regular
+    // among users with ≥ 20 gaps
+    "q166_habit_regularity" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val gaps = Tables.events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+        .withColumn("gap_min",
+          call_function("div", col("ts_us") - lag(col("ts_us"), 1).over(w),
+            lit(60000000L)))
+        .filter(col("gap_min").isNotNull)
+      gaps.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum(col("gap_min")).as("sg"),
+          sum(col("gap_min") * col("gap_min")).as("qg"))
+        .filter(col("n") >= 20L && col("sg") > 0L)
+        .select(col("user_id"), col("n"),
+          // staged + floor-guarded denominator (tight same-minute streams)
+          expr("((n * qg - sg * sg) * 1000) div greatest(((n - 1) * sg) div 1000, 1)")
+            .as("vmr_ppm"))
+        .orderBy(col("vmr_ppm"), col("user_id")).limit(20)
     })
   )
 
@@ -8029,7 +8098,66 @@ object SparkEntry {
          |  CAST(CAST(SUM(abs(est_ppm - true_ppm)) AS BIGINT) // COUNT(*) AS BIGINT)
          |    AS mae_ppm,
          |  CAST(MAX(abs(est_ppm - true_ppm)) AS BIGINT) AS max_err_ppm
-         |FROM e""".stripMargin
+         |FROM e""".stripMargin,
+
+    // d9's simhash banding at 4 bands of 4 bits; token-set jaccard truth
+    "d25_simhash_calibration" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |tv AS (SELECT doc_id,
+         |  [ (strpos('0123456789abcdef', substr(md5(x),1,1))-1)*4096
+         |  + (strpos('0123456789abcdef', substr(md5(x),2,1))-1)*256
+         |  + (strpos('0123456789abcdef', substr(md5(x),3,1))-1)*16
+         |  + (strpos('0123456789abcdef', substr(md5(x),4,1))-1) for x in t] AS vals,
+         |  len(t) AS n FROM toks),
+         |sh AS (SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS simhash FROM tv),
+         |banded AS (SELECT doc_id, simhash, b, (simhash >> (b*4)) & 15 AS nib
+         |           FROM sh, range(0,4) t(b)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |          FROM banded a JOIN banded b USING (b, nib)
+         |          WHERE a.doc_id < b.doc_id),
+         |cand AS (SELECT * FROM pairs WHERE hamming <= 3),
+         |sets AS (SELECT doc_id, list_distinct(t) AS ts FROM toks),
+         |tp AS (SELECT hamming,
+         |    CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS i,
+         |    CAST(len(a.ts) AS BIGINT) AS na, CAST(len(b.ts) AS BIGINT) AS nb
+         |  FROM cand JOIN sets a ON id_a = a.doc_id JOIN sets b ON id_b = b.doc_id),
+         |e AS (SELECT hamming,
+         |    CAST((i * 1000000) // (na + nb - i) AS BIGINT) AS true_ppm FROM tp)
+         |SELECT hamming, COUNT(*) AS n_pairs,
+         |  CAST(CAST(SUM(true_ppm) AS BIGINT) // COUNT(*) AS BIGINT) AS mean_true_ppm
+         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // open at cutoff = last lineitem ships on/after it; 30/60/90 buckets
+    "q165_aging_buckets" ->
+      s"""WITH ls AS (SELECT l_orderkey, MAX(epoch_us(l_shipdate)) AS last_us
+         |  FROM lineitem GROUP BY 1),
+         |o AS (SELECT o_orderkey, epoch_us(o_orderdate) AS od_us,
+         |    CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders),
+         |open_o AS (SELECT ($Jan1_97 - od_us) // $DayUs AS age_days, cents
+         |  FROM o JOIN ls ON o_orderkey = l_orderkey
+         |  WHERE od_us < $Jan1_97 AND last_us >= $Jan1_97)
+         |SELECT CASE WHEN age_days <= 30 THEN 'a_0_30'
+         |    WHEN age_days <= 60 THEN 'b_31_60'
+         |    WHEN age_days <= 90 THEN 'c_61_90'
+         |    ELSE 'd_90_plus' END AS bucket,
+         |  COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS open_cents
+         |FROM open_o GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // staged VMR of whole-minute gaps; floor-guarded denominator
+    "q166_habit_regularity" ->
+      """WITH g AS (SELECT user_id,
+        |    (epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id)) // 60000000 AS gap_min
+        |  FROM events),
+        |m AS (SELECT user_id, COUNT(*) AS n, CAST(SUM(gap_min) AS BIGINT) AS sg,
+        |    CAST(SUM(gap_min*gap_min) AS BIGINT) AS qg
+        |  FROM g WHERE gap_min IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n,
+        |  CAST(((n * qg - sg * sg) * 1000) // greatest(((n - 1) * sg) // 1000, 1)
+        |    AS BIGINT) AS vmr_ppm
+        |FROM m WHERE n >= 20 AND sg > 0
+        |ORDER BY vmr_ppm, user_id LIMIT 20""".stripMargin
   )
 
   /** Unrolled fixed-iteration PageRank oracle over the brand↔type graph —

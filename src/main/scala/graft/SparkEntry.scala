@@ -41,6 +41,7 @@ object SparkEntry {
       "/ (1 + (1.96*1.96)/CAST(n AS DOUBLE))"
 
   private val Jan1_96 = 820454400000000L // 1996-01-01T00:00:00Z
+  private val Jan1_98 = 883612800000000L // 1998-01-01T00:00:00Z
   private val Jan1_00 = 946684800000000L // 2000-01-01T00:00:00Z
   private val Jan1_97 = 852076800000000L // 1997-01-01T00:00:00Z
   private val Jan1_24 = 1704067200000000L // 2024-01-01T00:00:00Z
@@ -3945,6 +3946,64 @@ object SparkEntry {
           expr("((n * qg - sg * sg) * 1000) div greatest(((n - 1) * sg) div 1000, 1)")
             .as("vmr_ppm"))
         .orderBy(col("vmr_ppm"), col("user_id")).limit(20)
+    }),
+
+    // customer value-segment migration: monetary quintile in 1995-97 vs
+    // 1998+ for customers active in both — the 5×5 transition matrix that
+    // prices retention programs; ntile over a TOTAL order (cents desc,
+    // custkey) is allocation-exact on both engines (q120 rule)
+    "q167_segment_migration" -> ((s, d) => {
+      def seg(df: DataFrame) = df
+        .groupBy("o_custkey")
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .withColumn("seg", ntile(5).over(
+          Window.orderBy(col("cents").desc, col("o_custkey"))))
+      val o = Tables.orders(s, d)
+        .withColumn("od_us", Tables.epochUs(col("o_orderdate")))
+      val p1 = seg(o.filter(col("od_us") < lit(Jan1_98)))
+        .select(col("o_custkey"), col("seg").as("seg_early"))
+      val p2 = seg(o.filter(col("od_us") >= lit(Jan1_98)))
+        .select(col("o_custkey").as("c2"), col("seg").as("seg_late"))
+      p1.join(p2, col("o_custkey") === col("c2"))
+        .groupBy("seg_early", "seg_late").agg(count(lit(1)).as("n_customers"))
+        .orderBy("seg_early", "seg_late")
+    }),
+
+    // unit-price dispersion per part: same part billed at different
+    // per-unit prices (cents div whole-unit qty — exact) — the pricing-
+    // consistency audit; top-20 widest spreads
+    "q168_price_dispersion" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT) div CAST(l_quantity AS BIGINT)")
+            .as("unit_cents"))
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n_sales"), min(col("unit_cents")).as("min_unit"),
+          max(col("unit_cents")).as("max_unit"))
+        .withColumn("spread_cents", col("max_unit") - col("min_unit"))
+        .orderBy(col("spread_cents").desc, col("l_partkey")).limit(20)
+    }),
+
+    // LSH candidate precision: share of banded candidates whose TRUE
+    // 3-gram jaccard clears 0.5 — with d24's MAE, the full quality card
+    // for the d2 index (recall is 1 by construction above the band design
+    // point); one row
+    "d26_lsh_precision" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cand = Dedup.minhashLsh(docs, "doc_id", "text", numHashes = 8,
+        shingleSize = 3, rowsPerBand = 2, minEstimate = 0.0,
+        materializeCandidates = true)
+      val gs = docs.select(col("doc_id").as("doc"),
+          wordNgramHashSet(concat_ws(" ", tokens(col("text"))), 3).as("gs"))
+        .withColumn("ng", size(col("gs")).cast("long")).filter(col("ng") > 0)
+      cand
+        .join(gs.select(col("doc").as("id_a"), col("gs").as("ga"), col("ng").as("na")), "id_a")
+        .join(gs.select(col("doc").as("id_b"), col("gs").as("gb"), col("ng").as("nb")), "id_b")
+        .withColumn("inter", sortedIntersectCount(col("ga"), col("gb")).cast("long"))
+        .withColumn("hit",
+          (col("inter") * 2L >= (col("na") + col("nb") - col("inter"))).cast("long"))
+        .agg(count(lit(1)).as("n_candidates"), sum(col("hit")).as("n_verified"))
+        .withColumn("precision_ppm", expr("(n_verified * 1000000) div n_candidates"))
     })
   )
 
@@ -8157,7 +8216,51 @@ object SparkEntry {
         |  CAST(((n * qg - sg * sg) * 1000) // greatest(((n - 1) * sg) // 1000, 1)
         |    AS BIGINT) AS vmr_ppm
         |FROM m WHERE n >= 20 AND sg > 0
-        |ORDER BY vmr_ppm, user_id LIMIT 20""".stripMargin
+        |ORDER BY vmr_ppm, user_id LIMIT 20""".stripMargin,
+
+    // per-period monetary quintiles; inner join keeps both-period customers
+    "q167_segment_migration" ->
+      s"""WITH o AS (SELECT o_custkey, epoch_us(o_orderdate) AS od_us,
+         |    CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders),
+         |p1 AS (SELECT o_custkey, NTILE(5) OVER (ORDER BY SUM(cents) DESC,
+         |    o_custkey) AS seg_early
+         |  FROM o WHERE od_us < $Jan1_98 GROUP BY o_custkey),
+         |p2 AS (SELECT o_custkey, NTILE(5) OVER (ORDER BY SUM(cents) DESC,
+         |    o_custkey) AS seg_late
+         |  FROM o WHERE od_us >= $Jan1_98 GROUP BY o_custkey)
+         |SELECT CAST(seg_early AS INTEGER) AS seg_early,
+         |  CAST(seg_late AS INTEGER) AS seg_late, COUNT(*) AS n_customers
+         |FROM p1 JOIN p2 USING (o_custkey)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // exact per-unit cents via integer division by the whole-valued qty
+    "q168_price_dispersion" ->
+      """WITH u AS (SELECT l_partkey,
+        |    CAST(round(l_extendedprice*100) AS BIGINT)
+        |      // CAST(l_quantity AS BIGINT) AS unit_cents
+        |  FROM lineitem),
+        |p AS (SELECT l_partkey, COUNT(*) AS n_sales,
+        |    MIN(unit_cents) AS min_unit, MAX(unit_cents) AS max_unit
+        |  FROM u GROUP BY 1)
+        |SELECT l_partkey, n_sales, min_unit, max_unit,
+        |  max_unit - min_unit AS spread_cents
+        |FROM p ORDER BY spread_cents DESC, l_partkey LIMIT 20""".stripMargin,
+
+    // banded candidates vs true-jaccard ≥ 0.5 (2·i ≥ union, integer)
+    "d26_lsh_precision" ->
+      s"""WITH ${minhashPairsSql("documents")},
+         |g AS (SELECT doc_id, hs, len(hs) AS ng FROM mh_h),
+         |vv AS (SELECT id_a, id_b,
+         |    CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS i,
+         |    CAST(a.ng AS BIGINT) AS na, CAST(b.ng AS BIGINT) AS nb
+         |  FROM mh_pairs JOIN g a ON id_a = a.doc_id JOIN g b ON id_b = b.doc_id),
+         |agg AS (SELECT COUNT(*) AS n_candidates,
+         |    CAST(SUM(CASE WHEN i * 2 >= (na + nb - i) THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_verified
+         |  FROM vv)
+         |SELECT n_candidates, n_verified,
+         |  CAST((n_verified * 1000000) // n_candidates AS BIGINT) AS precision_ppm
+         |FROM agg""".stripMargin
   )
 
   /** Unrolled fixed-iteration PageRank oracle over the brand↔type graph —

@@ -4004,6 +4004,49 @@ object SparkEntry {
           (col("inter") * 2L >= (col("na") + col("nb") - col("inter"))).cast("long"))
         .agg(count(lit(1)).as("n_candidates"), sum(col("hit")).as("n_verified"))
         .withColumn("precision_ppm", expr("(n_verified * 1000000) div n_candidates"))
+    }),
+
+    // grouped control chart: (event type × day) volume cells beyond their
+    // TYPE's 2σ band — q137's cross-multiplied integer test with the
+    // moment registers computed per group instead of globally; the
+    // per-stream anomaly view a global chart averages away
+    "q169_typed_control_chart" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), expr(s"ts_us div $DayUs").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val mom = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("nn"), sum(col("x")).as("ss"),
+          sum(col("x") * col("x")).as("qq"))
+      daily.join(broadcast(mom), "event_type")
+        .filter((col("nn") * col("x") - col("ss")) * (col("nn") * col("x") - col("ss"))
+          > lit(4L) * (col("nn") * col("qq") - col("ss") * col("ss")))
+        .select(col("event_type"), col("day"), col("x").as("n_events"),
+          when(col("nn") * col("x") > col("ss"), "high").otherwise("low").as("side"))
+        .orderBy("event_type", "day")
+    }),
+
+    // classifier-confidence margin: per labeled query, best same-label vs
+    // best other-label cosine over the corpus — a thin (or negative)
+    // margin marks the queries s22's vote will flip on; exact integer
+    // dots, one canonical double division per pair, max/subtract exact
+    "s33_knn_margin" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      val vecs = em.select(col("vec_id"), col("label"),
+          quantize1000(col("embedding")).as("v"))
+        .withColumn("nv", ldot(col("v"), col("v")))
+      val q = vecs.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+          col("v").as("qv"), col("nv").as("nq"))
+      vecs.filter(col("vec_id") >= 5).crossJoin(broadcast(q))
+        .withColumn("dot", ldot(col("v"), col("qv")))
+        .withColumn("nn", col("nv") * col("nq"))
+        .withColumn("cosine", when(col("nn") === 0L, lit(0.0))
+          .otherwise(col("dot").cast("double") / sqrt(col("nn").cast("double"))))
+        .groupBy("query_id", "qlabel")
+        .agg(max(when(col("label") === col("qlabel"), col("cosine"))).as("best_same"),
+          max(when(col("label") =!= col("qlabel"), col("cosine"))).as("best_other"))
+        .withColumn("margin", col("best_same") - col("best_other"))
+        .orderBy("query_id")
     })
   )
 
@@ -8260,7 +8303,41 @@ object SparkEntry {
          |  FROM vv)
          |SELECT n_candidates, n_verified,
          |  CAST((n_verified * 1000000) // n_candidates AS BIGINT) AS precision_ppm
-         |FROM agg""".stripMargin
+         |FROM agg""".stripMargin,
+
+    // q137's integer test with per-type registers
+    "q169_typed_control_chart" ->
+      s"""WITH daily AS (SELECT event_type, epoch_us(ts) // $DayUs AS day,
+         |    COUNT(*) AS x
+         |  FROM events GROUP BY 1, 2),
+         |m AS (SELECT event_type, COUNT(*) AS nn, CAST(SUM(x) AS BIGINT) AS ss,
+         |    CAST(SUM(x*x) AS BIGINT) AS qq
+         |  FROM daily GROUP BY 1)
+         |SELECT event_type, day, x AS n_events,
+         |  CASE WHEN nn*x > ss THEN 'high' ELSE 'low' END AS side
+         |FROM daily JOIN m USING (event_type)
+         |WHERE (nn*x - ss)*(nn*x - ss) > 4*(nn*qq - ss*ss)
+         |ORDER BY event_type, day""".stripMargin,
+
+    // best same-label vs other-label cosine; canonical double per pair
+    "s33_knn_margin" ->
+      s"""WITH v AS (SELECT vec_id, label, ${qvSql("embedding")} AS v FROM embeddings),
+         |n AS (SELECT vec_id, label, v,
+         |    CAST(list_sum([v[i]*v[i] for i in range(1,65)]) AS BIGINT) AS nv
+         |  FROM v),
+         |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv, nv AS nq
+         |  FROM n WHERE vec_id < 5),
+         |p AS (SELECT query_id, qlabel, c.label,
+         |    CASE WHEN c.nv * q.nq = 0 THEN 0.0
+         |      ELSE CAST(list_sum([c.v[i]*q.qv[i] for i in range(1,65)]) AS BIGINT)::DOUBLE
+         |        / sqrt((c.nv * q.nq)::DOUBLE) END AS cosine
+         |  FROM n c CROSS JOIN q q WHERE c.vec_id >= 5)
+         |SELECT query_id, qlabel,
+         |  MAX(CASE WHEN label = qlabel THEN cosine END) AS best_same,
+         |  MAX(CASE WHEN label != qlabel THEN cosine END) AS best_other,
+         |  MAX(CASE WHEN label = qlabel THEN cosine END)
+         |    - MAX(CASE WHEN label != qlabel THEN cosine END) AS margin
+         |FROM p GROUP BY 1, 2 ORDER BY query_id""".stripMargin
   )
 
   /** Unrolled fixed-iteration PageRank oracle over the brand↔type graph —

@@ -4047,6 +4047,74 @@ object SparkEntry {
           max(when(col("label") =!= col("qlabel"), col("cosine"))).as("best_other"))
         .withColumn("margin", col("best_same") - col("best_other"))
         .orderBy("query_id")
+    }),
+
+    // acquisition quality: share of each first-order cohort month that
+    // places a SECOND order within 90 days — row_number picks order #1 and
+    // #2 on one customer-keyed window, exact ppm per cohort month
+    "q170_second_order_rate" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("od_us"), col("o_orderkey"))
+      val ranked = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          Tables.epochUs(col("o_orderdate")).as("od_us"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+      val first = ranked.filter(col("rn") === 1)
+        .select(col("o_custkey"), col("od_us").as("first_us"))
+      val second = ranked.filter(col("rn") === 2)
+        .select(col("o_custkey").as("c2"), col("od_us").as("second_us"))
+      first.join(second, col("o_custkey") === col("c2"), "left")
+        .groupBy(unix_micros(date_trunc("month", timestamp_micros(col("first_us"))))
+          .as("cohort_us"))
+        .agg(count(lit(1)).as("n_new"),
+          sum((col("second_us").isNotNull &&
+            col("second_us") - col("first_us") <= lit(90L * DayUs)).cast("long"))
+            .as("n_repeat_90d"))
+        .withColumn("repeat_ppm", expr("(n_repeat_90d * 1000000) div n_new"))
+        .orderBy("cohort_us")
+    }),
+
+    // vocabulary concentration: exact Gini of token frequencies per source
+    // (q119's rank-weighted integer identity on the token-count marginal)
+    // — Zipfian corpora sit high; a flat Gini flags synthetic/templated
+    // text
+    "t34_token_gini" -> ((s, d) => {
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      val cnt = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("source").orderBy(col("c"), col("tok"))
+      cnt.withColumn("i", row_number().over(w).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_types"), sum(dec(col("c"))).as("t"),
+          sum(dec(col("i")) * dec(col("c"))).as("w1"))
+        .select(col("source"), col("n_types"),
+          col("t").cast("double").as("n_tokens"),
+          ((lit(2).cast("decimal(38,0)") * col("w1") -
+            dec(col("n_types") + 1) * col("t")).cast("double") /
+            (dec(col("n_types")) * col("t")).cast("double")).as("gini"))
+        .orderBy("source")
+    }),
+
+    // LSH recall@k curve (k = 1/5/10 at fixed banding): how fast the
+    // single-probe index decays as k grows — both top-10 rankings computed
+    // once, per-k prefixes compared; the k-sweep companion to s30's probe
+    // sweep
+    "s34_recall_at_k" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      val qs = em.filter(col("vec_id") < 5)
+      val truth = Similarity.bruteForceTopK(em, qs, "vec_id", "embedding", k = 10)
+        .localCheckpoint(true)
+      val approx = Similarity.lshTopK(em, qs, "vec_id", "embedding", k = 10,
+        numPlanes = 8).localCheckpoint(true)
+      Seq(1, 5, 10).map { k =>
+        Similarity.annRecall(truth.filter(col("rank") <= k),
+            approx.filter(col("rank") <= k), k = k)
+          .withColumn("k", lit(k))
+      }.reduce(_ unionByName _)
+        .select(col("query_id"), col("k"), col("n_hits"), col("recall_ppm"))
+        .orderBy("query_id", "k")
     })
   )
 
@@ -8337,7 +8405,70 @@ object SparkEntry {
          |  MAX(CASE WHEN label != qlabel THEN cosine END) AS best_other,
          |  MAX(CASE WHEN label = qlabel THEN cosine END)
          |    - MAX(CASE WHEN label != qlabel THEN cosine END) AS margin
-         |FROM p GROUP BY 1, 2 ORDER BY query_id""".stripMargin
+         |FROM p GROUP BY 1, 2 ORDER BY query_id""".stripMargin,
+
+    // first/second order via one ranked window; 90-day bound
+    "q170_second_order_rate" ->
+      s"""WITH r AS (SELECT o_custkey, epoch_us(o_orderdate) AS od_us,
+         |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+         |      ORDER BY epoch_us(o_orderdate), o_orderkey) AS rn
+         |  FROM orders),
+         |f AS (SELECT o_custkey, od_us AS first_us FROM r WHERE rn = 1),
+         |s2 AS (SELECT o_custkey, od_us AS second_us FROM r WHERE rn = 2),
+         |m AS (SELECT epoch_us(date_trunc('month', make_timestamp(first_us)))
+         |      AS cohort_us,
+         |    COUNT(*) AS n_new,
+         |    CAST(SUM(CASE WHEN second_us IS NOT NULL
+         |      AND second_us - first_us <= ${90L * DayUs} THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_repeat_90d
+         |  FROM f LEFT JOIN s2 USING (o_custkey) GROUP BY 1)
+         |SELECT cohort_us, n_new, n_repeat_90d,
+         |  CAST((n_repeat_90d * 1000000) // n_new AS BIGINT) AS repeat_ppm
+         |FROM m ORDER BY cohort_us""".stripMargin,
+
+    // q119's rank-weighted Gini identity on the token-count marginal
+    "t34_token_gini" ->
+      s"""WITH tok AS (SELECT source, unnest($toksSql) AS tok FROM documents),
+         |c AS (SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+         |k AS (SELECT source, c,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY c, tok) AS i FROM c),
+         |m AS (SELECT source, COUNT(*) AS n_types, CAST(SUM(c) AS HUGEINT) AS t,
+         |    CAST(SUM(CAST(i AS HUGEINT) * c) AS HUGEINT) AS w1
+         |  FROM k GROUP BY 1)
+         |SELECT source, n_types, t::DOUBLE AS n_tokens,
+         |  (2*w1 - (n_types+1)*t)::DOUBLE / (n_types*t)::DOUBLE AS gini
+         |FROM m ORDER BY source""".stripMargin,
+
+    // both top-10 rankings once; per-k prefix intersection
+    "s34_recall_at_k" ->
+      s"""WITH q AS (SELECT vec_id, ${qvSql("embedding")} AS qv FROM embeddings),
+         |tp AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    qq.qv AS qa, c.qv AS qb
+         |  FROM q qq JOIN q c ON qq.vec_id < 5 AND qq.vec_id != c.vec_id),
+         |tr AS (SELECT query_id, neighbor_id, rank FROM (
+         |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY $cosSql DESC, neighbor_id) AS rank FROM tp) WHERE rank <= 10),
+         |bucketed AS (SELECT vec_id, qv, $lshBucketSql AS bucket FROM q),
+         |ap AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    qq.qv AS qa, c.qv AS qb
+         |  FROM bucketed qq JOIN bucketed c ON qq.bucket = c.bucket
+         |    AND qq.vec_id < 5 AND qq.vec_id != c.vec_id),
+         |ar AS (SELECT query_id, neighbor_id, rank FROM (
+         |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY $cosSql DESC, neighbor_id) AS rank FROM ap) WHERE rank <= 10),
+         |${Seq(1, 5, 10).map { k =>
+            s"""rec$k AS (SELECT tq.query_id, CAST($k AS INTEGER) AS k,
+               |    CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+               |    CAST((1000000 * COALESCE(h.n_hits, 0)) // $k AS BIGINT) AS recall_ppm
+               |  FROM (SELECT DISTINCT query_id FROM tr) tq
+               |  LEFT JOIN (SELECT t.query_id, COUNT(*) AS n_hits
+               |    FROM (SELECT * FROM tr WHERE rank <= $k) t
+               |    JOIN (SELECT * FROM ar WHERE rank <= $k) a
+               |      ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+               |    GROUP BY 1) h ON tq.query_id = h.query_id)""".stripMargin
+          }.mkString(",\n")}
+         |SELECT * FROM rec1 UNION ALL SELECT * FROM rec5 UNION ALL
+         |SELECT * FROM rec10 ORDER BY query_id, k""".stripMargin
   )
 
   /** Unrolled fixed-iteration PageRank oracle over the brand↔type graph —

@@ -4115,6 +4115,57 @@ object SparkEntry {
       }.reduce(_ unionByName _)
         .select(col("query_id"), col("k"), col("n_hits"), col("recall_ppm"))
         .orderBy("query_id", "k")
+    }),
+
+    // discount-response analysis: per discount band, volume / mean quantity
+    // / return rate — does a deeper discount move more units or bounce more
+    // returns; all-integer means in ppm, bands from exact cent thresholds
+    // (discount doubles compare identically to the same literals on both
+    // engines)
+    "q171_discount_response" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .withColumn("band",
+          when(col("l_discount") < 0.02, "a_0_2")
+            .when(col("l_discount") < 0.05, "b_2_5")
+            .when(col("l_discount") < 0.08, "c_5_8")
+            .otherwise("d_8_plus"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("long")).as("qty"),
+          sum((col("l_returnflag") === "R").cast("long")).as("n_returns"))
+        .select(col("band"), col("n_lines"),
+          expr("(qty * 1000000) div n_lines").as("mean_qty_ppm"),
+          expr("(n_returns * 1000000) div n_lines").as("return_ppm"))
+        .orderBy("band")
+    }),
+
+    // dataset card: the one-row corpus summary a training run is stamped
+    // with — docs, tokens, vocabulary, exact-dup and near-dup-candidate
+    // ppm, language/source spread; every number exact and composed from
+    // the same primitives the dedicated queries use
+    "p4_dataset_card" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(explode(tokens(col("text"))).as("tok"))
+      val base = docs.agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(md5(col("text"))).as("n_unique_texts"))
+      val tk = toks.agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_types"))
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text", numHashes = 8,
+          shingleSize = 3, rowsPerBand = 2, minEstimate = 0.5,
+          materializeCandidates = true)
+        .localCheckpoint(true)
+      val nd = pairs.select(col("id_a"))
+        .union(pairs.select(col("id_b")))
+        .distinct().agg(count(lit(1)).as("n_near_dup_docs"))
+      base.crossJoin(tk).crossJoin(nd)
+        .select(col("n_docs"), col("n_langs"), col("n_sources"),
+          col("total_chars"), col("n_tokens"), col("n_types"),
+          expr("((n_docs - n_unique_texts) * 1000000) div n_docs")
+            .as("exact_dup_ppm"),
+          expr("(n_near_dup_docs * 1000000) div n_docs").as("near_dup_ppm"))
     })
   )
 
@@ -8468,7 +8519,44 @@ object SparkEntry {
                |    GROUP BY 1) h ON tq.query_id = h.query_id)""".stripMargin
           }.mkString(",\n")}
          |SELECT * FROM rec1 UNION ALL SELECT * FROM rec5 UNION ALL
-         |SELECT * FROM rec10 ORDER BY query_id, k""".stripMargin
+         |SELECT * FROM rec10 ORDER BY query_id, k""".stripMargin,
+
+    // cent-threshold bands; integer means in ppm
+    "q171_discount_response" ->
+      """WITH b AS (SELECT
+        |    CASE WHEN l_discount < 0.02 THEN 'a_0_2'
+        |         WHEN l_discount < 0.05 THEN 'b_2_5'
+        |         WHEN l_discount < 0.08 THEN 'c_5_8'
+        |         ELSE 'd_8_plus' END AS band,
+        |    CAST(l_quantity AS BIGINT) AS q,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+        |  FROM lineitem)
+        |SELECT band, COUNT(*) AS n_lines,
+        |  CAST((CAST(SUM(q) AS BIGINT) * 1000000) // COUNT(*) AS BIGINT)
+        |    AS mean_qty_ppm,
+        |  CAST((CAST(SUM(r) AS BIGINT) * 1000000) // COUNT(*) AS BIGINT)
+        |    AS return_ppm
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // base registers + token registers + near-dup doc set from mh_pairs
+    "p4_dataset_card" ->
+      s"""WITH ${minhashPairsSql("documents")},
+         |base AS (SELECT COUNT(*) AS n_docs,
+         |    COUNT(DISTINCT lang) AS n_langs,
+         |    COUNT(DISTINCT source) AS n_sources,
+         |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |    COUNT(DISTINCT md5(text)) AS n_unique_texts
+         |  FROM documents),
+         |tk AS (SELECT COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_types
+         |  FROM (SELECT unnest($toksSql) AS tok FROM documents)),
+         |nd AS (SELECT COUNT(*) AS n_near_dup_docs FROM (
+         |  SELECT id_a AS d FROM mh_pairs WHERE jaccard_est >= 0.5
+         |  UNION SELECT id_b FROM mh_pairs WHERE jaccard_est >= 0.5))
+         |SELECT n_docs, n_langs, n_sources, total_chars, n_tokens, n_types,
+         |  CAST(((n_docs - n_unique_texts) * 1000000) // n_docs AS BIGINT)
+         |    AS exact_dup_ppm,
+         |  CAST((n_near_dup_docs * 1000000) // n_docs AS BIGINT) AS near_dup_ppm
+         |FROM base, tk, nd""".stripMargin
   )
 
   /** Unrolled fixed-iteration PageRank oracle over the brand↔type graph —

@@ -4166,6 +4166,70 @@ object SparkEntry {
           expr("((n_docs - n_unique_texts) * 1000000) div n_docs")
             .as("exact_dup_ppm"),
           expr("(n_near_dup_docs * 1000000) div n_docs").as("near_dup_ppm"))
+    }),
+
+    // daypart profile: volume, purchase propensity and mean value by
+    // 6-hour band — hour from pure epoch arithmetic, value in exact cents,
+    // the capacity/staffing view of the event stream
+    "q172_daypart_profile" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("hour", expr(s"(ts_us div 3600000000) % 24"))
+        .withColumn("daypart",
+          when(col("hour") < 6, "a_night")
+            .when(col("hour") < 12, "b_morning")
+            .when(col("hour") < 18, "c_afternoon")
+            .otherwise("d_evening"))
+        .groupBy("daypart")
+        .agg(count(lit(1)).as("n_events"),
+          sum((col("event_type") === "purchase").cast("long")).as("n_purchases"),
+          sum(coalesce(round(col("value") * 100).cast("long"), lit(0L)))
+            .as("value_cents"))
+        .withColumn("purchase_ppm", expr("(n_purchases * 1000000) div n_events"))
+        .orderBy("daypart")
+    }),
+
+    // head heaviness: the top token's share of the top-10 mass per source —
+    // a Zipf-steepness proxy with no logs; rank over (count desc, token)
+    // is total so both prefix sums agree
+    "t35_head_heaviness" -> ((s, d) => {
+      val cnt = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      cnt.withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy(col("c").desc, col("tok"))))
+        .filter(col("rn") <= 10)
+        .groupBy("source")
+        .agg(max(when(col("rn") === 1, col("c"))).as("top1"),
+          sum(col("c")).as("top10"))
+        .withColumn("head_ppm", expr("(top1 * 1000000) div top10"))
+        .orderBy("source")
+    }),
+
+    // embedding-space separability: mean within-label vs cross-label
+    // squared distance for a 50-anchor sample against the corpus — all
+    // integer d² sums, two floored means and their ratio; ratio ≪ 1e6
+    // means labels form real clusters
+    "s35_separability" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), quantize1000(col("embedding")).as("v"))
+        .withColumn("nv", ldot(col("v"), col("v")))
+        .localCheckpoint(true)
+      val anchors = vecs.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("aid"), col("label").as("alabel"),
+          col("v").as("av"), col("nv").as("an"))
+      vecs.crossJoin(broadcast(anchors))
+        .filter(col("vec_id") =!= col("aid"))
+        .withColumn("d2",
+          col("nv") + col("an") - lit(2L) * ldot(col("v"), col("av")))
+        .withColumn("same", (col("label") === col("alabel")).cast("long"))
+        .agg(sum(when(col("same") === 1L, col("d2"))).as("sw"),
+          sum(when(col("same") === 1L, 1L).otherwise(0L)).as("nw"),
+          sum(when(col("same") === 0L, col("d2"))).as("sx"),
+          sum(when(col("same") === 0L, 1L).otherwise(0L)).as("nx"))
+        .select(col("nw").as("n_within"), col("nx").as("n_cross"),
+          expr("sw div nw").as("mean_within_d2"),
+          expr("sx div nx").as("mean_cross_d2"),
+          expr("((sw div nw) * 1000000) div (sx div nx)").as("ratio_ppm"))
     })
   )
 
@@ -8556,7 +8620,63 @@ object SparkEntry {
          |  CAST(((n_docs - n_unique_texts) * 1000000) // n_docs AS BIGINT)
          |    AS exact_dup_ppm,
          |  CAST((n_near_dup_docs * 1000000) // n_docs AS BIGINT) AS near_dup_ppm
-         |FROM base, tk, nd""".stripMargin
+         |FROM base, tk, nd""".stripMargin,
+
+    // epoch-hour mod 24 dayparts; null values contribute 0 cents
+    "q172_daypart_profile" ->
+      """WITH e AS (SELECT event_type, value,
+        |    (epoch_us(ts) // 3600000000) % 24 AS hour FROM events),
+        |b AS (SELECT CASE WHEN hour < 6 THEN 'a_night'
+        |    WHEN hour < 12 THEN 'b_morning'
+        |    WHEN hour < 18 THEN 'c_afternoon'
+        |    ELSE 'd_evening' END AS daypart, event_type, value FROM e)
+        |SELECT daypart, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_purchases,
+        |  CAST(SUM(COALESCE(CAST(round(value*100) AS BIGINT), 0)) AS BIGINT)
+        |    AS value_cents,
+        |  CAST((CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) * 1000000) // COUNT(*) AS BIGINT) AS purchase_ppm
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // top-1 share of the top-10 mass; (c desc, tok) rank is total
+    "t35_head_heaviness" ->
+      s"""WITH tok AS (SELECT source, unnest($toksSql) AS tok FROM documents),
+         |c AS (SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+         |r AS (SELECT source, c,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, tok) AS rn
+         |  FROM c),
+         |m AS (SELECT source, MAX(CASE WHEN rn = 1 THEN c END) AS top1,
+         |    CAST(SUM(c) AS BIGINT) AS top10
+         |  FROM r WHERE rn <= 10 GROUP BY 1)
+         |SELECT source, top1, top10,
+         |  CAST((top1 * 1000000) // top10 AS BIGINT) AS head_ppm
+         |FROM m ORDER BY source""".stripMargin,
+
+    // integer d² sums over 50-anchor sample × corpus; floored means
+    "s35_separability" ->
+      s"""WITH v AS (SELECT vec_id, label, ${qvSql("embedding")} AS v FROM embeddings),
+         |n AS (SELECT vec_id, label, v,
+         |    CAST(list_sum([v[i]*v[i] for i in range(1,65)]) AS BIGINT) AS nv
+         |  FROM v),
+         |a AS (SELECT vec_id AS aid, label AS alabel, v AS av, nv AS an
+         |  FROM n WHERE vec_id < 50),
+         |p AS (SELECT c.label = a.alabel AS same,
+         |    c.nv + a.an
+         |      - 2*CAST(list_sum([c.v[i]*a.av[i] for i in range(1,65)]) AS BIGINT)
+         |      AS d2
+         |  FROM n c CROSS JOIN a WHERE c.vec_id != a.aid),
+         |agg AS (SELECT
+         |    CAST(SUM(CASE WHEN same THEN d2 END) AS BIGINT) AS sw,
+         |    CAST(SUM(CASE WHEN same THEN 1 ELSE 0 END) AS BIGINT) AS nw,
+         |    CAST(SUM(CASE WHEN NOT same THEN d2 END) AS BIGINT) AS sx,
+         |    CAST(SUM(CASE WHEN NOT same THEN 1 ELSE 0 END) AS BIGINT) AS nx
+         |  FROM p)
+         |SELECT nw AS n_within, nx AS n_cross,
+         |  CAST(sw // nw AS BIGINT) AS mean_within_d2,
+         |  CAST(sx // nx AS BIGINT) AS mean_cross_d2,
+         |  CAST(((sw // nw) * 1000000) // (sx // nx) AS BIGINT) AS ratio_ppm
+         |FROM agg""".stripMargin
   )
 
   /** Unrolled fixed-iteration PageRank oracle over the brand↔type graph —

@@ -4230,6 +4230,25 @@ object SparkEntry {
           expr("sw div nw").as("mean_within_d2"),
           expr("sx div nx").as("mean_cross_d2"),
           expr("((sw div nw) * 1000000) div (sx div nx)").as("ratio_ppm"))
+    }),
+
+    // engagement-depth curve: purchase propensity by session SIZE (events
+    // per session, capped at 10+) — does a longer session convert better;
+    // q125's sessionization feeding a size-bucketed rollup, exact ppm
+    "q173_session_size_conversion" -> ((s, d) => {
+      val sess = Sessionize.assign(
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type")),
+        "user_id", "ts_us", gapUs = 3600000000L, tieBreakCols = Seq("event_id"))
+      sess.groupBy("user_id", "session_seq")
+        .agg(count(lit(1)).as("n_events"),
+          max((col("event_type") === "purchase").cast("long")).as("had_purchase"))
+        .withColumn("size_bucket", least(col("n_events"), lit(10L)))
+        .groupBy("size_bucket")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("had_purchase")).as("n_converted"))
+        .withColumn("conv_ppm", expr("(n_converted * 1000000) div n_sessions"))
+        .orderBy("size_bucket")
     })
   )
 
@@ -8676,7 +8695,26 @@ object SparkEntry {
          |  CAST(sw // nw AS BIGINT) AS mean_within_d2,
          |  CAST(sx // nx AS BIGINT) AS mean_cross_d2,
          |  CAST(((sw // nw) * 1000000) // (sx // nx) AS BIGINT) AS ratio_ppm
-         |FROM agg""".stripMargin
+         |FROM agg""".stripMargin,
+
+    // q125's sessionization CTEs, size-bucketed (least(n,10))
+    "q173_session_size_conversion" ->
+      """WITH flagged AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |sess AS (SELECT user_id, event_type,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM flagged),
+        |fl AS (SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS had_purchase
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT least(n_events, 10) AS size_bucket, COUNT(*) AS n_sessions,
+        |  CAST(SUM(had_purchase) AS BIGINT) AS n_converted,
+        |  CAST((CAST(SUM(had_purchase) AS BIGINT) * 1000000) // COUNT(*) AS BIGINT)
+        |    AS conv_ppm
+        |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Unrolled fixed-iteration PageRank oracle over the brand↔type graph —

@@ -2233,16 +2233,25 @@ object SparkEntry {
       val nDocs = base.agg(count(lit(1)).as("nd"))
       val tokc = base.select(explode(col("ps")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("c"))
-      val n = size(col("ps"))
-      val pairs = base.filter(size(col("ps")) >= 2)
-        .select(explode(flatten(transform(
-          sequence(lit(0), n - 2),
-          i => transform(
-            sequence(i + 1, n - 1),
-            j => struct(
-              element_at(col("ps"), i + 1).as("a"),
-              element_at(col("ps"), j + 1).as("b")))))).as("e"))
-        .select(col("e.a").as("a"), col("e.b").as("b"))
+      // Boilerplate rule (pair DEFINITION, mirrored in the oracle): tokens
+      // in > 90% of documents never pair — df·10 > nd·9. Non-binding at the
+      // test SFs (synthetic df peaks at ~80%) but it bounds the head-token
+      // pair explosion at real corpus scale, where stopword df → ~100%.
+      // The banned set is ≤ avgDocLen/0.9 tokens by counting, so the
+      // broadcast is always tiny (the q70 runtime-filter pattern).
+      val banned = tokc.crossJoin(broadcast(nDocs))
+        .filter(col("c") * 10 > col("nd") * 9)
+        .agg(sort_array(collect_list(col("tok"))).as("banned"))
+      val filtered = base.crossJoin(broadcast(banned))
+        .select(col("doc_id"), array_except(col("ps"), col("banned")).as("ps"))
+        .filter(size(col("ps")) >= 2)
+      // ordered-pair explode as two native generators (posexplode + slice)
+      // — the previous nested transform/sequence/struct HOF chain was
+      // interpreted per element and dominated t20's wall clock
+      val pairs = filtered
+        .select(col("ps"), posexplode(col("ps")).as(Seq("i", "a")))
+        .select(col("a"),
+          explode(expr("slice(ps, i + 2, size(ps) - i - 1)")).as("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("cab"))
         .filter(col("cab") >= 5L)
       pairs
@@ -2486,8 +2495,14 @@ object SparkEntry {
       val e = Tables.events(s, d).filter(col("value").isNotNull)
         .select(col("event_type"), col("ts_us"), col("event_id"),
           round(col("value") * 100).cast("long").as("cents"))
+      // sign-safe mean (q160/s27 offset rule): cents CAN go negative in
+      // principle, and Spark `div` truncates toward zero where DuckDB `//`
+      // floors — offsetting the numerator by 10^6·n keeps it non-negative
+      // (|cents| ≤ 10^6 by the events.value domain), where both agree; for
+      // all-positive data the result is bit-identical to `sum div count`
       val tgt = e.groupBy(col("event_type").as("et"))
-        .agg(expr("sum(cents) div count(1)").as("target"))
+        .agg(expr("((sum(cents) + 1000000 * count(1)) div count(1)) - 1000000")
+          .as("target"))
       val j = e.join(broadcast(tgt), e("event_type") === tgt("et")).drop("et")
       Analytics.cusum(j, Seq("event_type"), "cents", "target",
           Seq("ts_us", "event_id"), threshold = 100000L)
@@ -3880,13 +3895,18 @@ object SparkEntry {
     }),
 
     // SimHash distance ↔ token-set Jaccard calibration: mean true Jaccard
-    // per Hamming distance over banded candidate pairs (4 bands of 4 bits
+    // per Hamming distance over banded candidate pairs (4 bands of 8 bits
     // ⇒ Hamming ≤ 3 complete) — monotone decay validates the fingerprint
-    // as a similarity proxy; set ops on token arrays, pair frames tiny
+    // as a similarity proxy; set ops on token arrays, pair frames tiny.
+    // Scale bound (PLANS.md d25): 32-bit fingerprint keeps each band's
+    // value space at 256 (not 16), and capBuckets(128) whole-bucket-drops
+    // degenerate template clusters, so candidate pairs are ≤
+    // 4·256·128²/2 ≈ 8.4M at ANY corpus size — constant, not quadratic.
+    // Measured sf0.01→sf0.1: candidates 26k→262k (linear in docs).
     "d25_simhash_calibration" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
-        bits = 16, maxHamming = 3)
+        bits = 32, maxHamming = 3, maxBucketSize = 128L)
       val ts = docs.select(col("doc_id").as("doc"),
         array_distinct(tokens(col("text"))).as("ts"))
       pairs
@@ -4276,6 +4296,21 @@ object SparkEntry {
     val mask = 1L << i
     s"(CASE WHEN 2*len([v for v in vals if (v & $mask) > 0]) > n THEN ${1L << i} ELSE 0 END)"
   }.mkString(" + ")
+
+  // 32-bit variant (first 8 md5 hex digits per token — SimHashBits bits>16)
+  private val simhashBits32Sql: String = (0 until 32).map { i =>
+    val mask = 1L << i
+    s"(CASE WHEN 2*len([v for v in vals if (v & $mask) > 0]) > n THEN ${1L << i} ELSE 0 END)"
+  }.mkString(" + ")
+
+  // per-token 32-bit value: first 8 md5 hex chars big-endian
+  private val vals32Sql: String = {
+    val terms = (0 until 8).map { j =>
+      val w = 1L << (4 * (7 - j))
+      s"(strpos('0123456789abcdef', substr(md5(x),${j + 1},1))-1)*$w"
+    }.mkString("\n  + ")
+    s"[ $terms for x in t]"
+  }
 
   // 8-plane LSH bucket, generated to match Similarity.lshBucket exactly
   private val lshBucketSql: String = (0 until 8).map { p =>
@@ -6961,8 +6996,10 @@ object SparkEntry {
          |nd AS (SELECT COUNT(*) AS nd FROM tk),
          |po AS (SELECT doc_id, unnest(ps) AS tok FROM tk),
          |tc AS (SELECT tok, COUNT(*) AS c FROM po GROUP BY 1),
+         |ok AS (SELECT doc_id, tok FROM po JOIN tc USING (tok)
+         |  WHERE c * 10 <= (SELECT nd FROM nd) * 9),
          |pairs AS (SELECT x.tok AS a, y.tok AS b, COUNT(*) AS cab
-         |  FROM po x JOIN po y ON x.doc_id = y.doc_id AND x.tok < y.tok
+         |  FROM ok x JOIN ok y ON x.doc_id = y.doc_id AND x.tok < y.tok
          |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
          |sc AS (SELECT a, b, cab,
          |    ((SELECT nd FROM nd) * cab)::DOUBLE / (ca.c * cb.c)::DOUBLE AS pmi_ratio
@@ -7213,7 +7250,9 @@ object SparkEntry {
       """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id,
         |    CAST(round(value*100) AS BIGINT) AS cents
         |  FROM events WHERE value IS NOT NULL),
-        |t AS (SELECT event_type, CAST(SUM(cents) AS BIGINT) // COUNT(*) AS target
+        |t AS (SELECT event_type,
+        |    ((CAST(SUM(cents) AS BIGINT) + 1000000 * COUNT(*)) // COUNT(*))
+        |      - 1000000 AS target
         |  FROM e GROUP BY 1),
         |s AS (SELECT event_type, ts_us, event_id,
         |    CAST(SUM(cents - target) OVER w AS BIGINT) AS s
@@ -8407,18 +8446,16 @@ object SparkEntry {
     // d9's simhash banding at 4 bands of 4 bits; token-set jaccard truth
     "d25_simhash_calibration" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
-         |tv AS (SELECT doc_id,
-         |  [ (strpos('0123456789abcdef', substr(md5(x),1,1))-1)*4096
-         |  + (strpos('0123456789abcdef', substr(md5(x),2,1))-1)*256
-         |  + (strpos('0123456789abcdef', substr(md5(x),3,1))-1)*16
-         |  + (strpos('0123456789abcdef', substr(md5(x),4,1))-1) for x in t] AS vals,
-         |  len(t) AS n FROM toks),
-         |sh AS (SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS simhash FROM tv),
-         |banded AS (SELECT doc_id, simhash, b, (simhash >> (b*4)) & 15 AS nib
+         |tv AS (SELECT doc_id, $vals32Sql AS vals, len(t) AS n FROM toks),
+         |sh AS (SELECT doc_id, CAST($simhashBits32Sql AS BIGINT) AS simhash FROM tv),
+         |banded0 AS (SELECT doc_id, simhash, b, (simhash >> (b*8)) & 255 AS byt
          |           FROM sh, range(0,4) t(b)),
+         |banded AS (SELECT doc_id, simhash, b, byt FROM (
+         |    SELECT *, COUNT(*) OVER (PARTITION BY b, byt) AS bn FROM banded0)
+         |  WHERE bn <= 128),
          |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          |            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-         |          FROM banded a JOIN banded b USING (b, nib)
+         |          FROM banded a JOIN banded b USING (b, byt)
          |          WHERE a.doc_id < b.doc_id),
          |cand AS (SELECT * FROM pairs WHERE hamming <= 3),
          |sets AS (SELECT doc_id, list_distinct(t) AS ts FROM toks),

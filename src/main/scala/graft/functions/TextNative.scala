@@ -62,25 +62,32 @@ case class TokenizeText(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** SimHash over a token array: per token (duplicates included) the 16-bit
-  * value is the first 4 hex digits of md5(token); bit i of the result is set
-  * iff more than half the tokens have bit i set. Equals the declarative
-  * per-bit `aggregate` majority vote (and the oracle's strpos-over-md5-hex
-  * arithmetic) exactly. */
+/** SimHash over a token array: per token (duplicates included) the per-token
+  * value is the md5(token) prefix — first 4 hex digits (16 bits) when
+  * `bits <= 16`, first 8 hex digits (32 bits) otherwise; bit i of the result
+  * is set iff more than half the tokens have bit i set. Equals the
+  * declarative per-bit `aggregate` majority vote (and the oracle's
+  * strpos-over-md5-hex arithmetic) exactly. The 16-bit path is kept
+  * byte-identical to the original (d3/d9/d15 fingerprints unchanged);
+  * wider fingerprints exist so band buckets stay sparse as the corpus
+  * grows (d25's 8-bit bands: 256 values per band instead of 16). */
 object SimHashBits {
   def compute(tokens: ArrayData, bits: Int): Long = {
     val n = tokens.numElements()
-    val counts = new Array[Long](16)
+    val counts = new Array[Long](32)
     val md = TextNative.localMd.get()
     var i = 0
     while (i < n) {
       md.reset()
       md.update(tokens.getUTF8String(i).getBytes)
       val d = md.digest()
-      val v = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+      val v: Long =
+        if (bits <= 16) ((d(0) & 0xffL) << 8) | (d(1) & 0xff)
+        else ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xff)
       var b = 0
       while (b < bits) {
-        if ((v & (1 << b)) != 0) counts(b) += 1
+        if ((v & (1L << b)) != 0) counts(b) += 1
         b += 1
       }
       i += 1
@@ -96,7 +103,8 @@ object SimHashBits {
 }
 
 case class SimHashBits(child: Expression, bits: Int) extends UnaryExpression {
-  require(bits >= 1 && bits <= 16, "simhash uses the first 4 md5 hex digits (16 bits)")
+  require(bits >= 1 && bits <= 32,
+    "simhash uses the first 4 (bits<=16) or 8 (bits<=32) md5 hex digits")
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash"
 

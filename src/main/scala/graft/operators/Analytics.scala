@@ -726,7 +726,11 @@ object Analytics {
     * 2·cum ≥ total (no halving, no doubles).
     *
     * Scale shape: ONE ordered window exchange per group (running sum and
-    * group total share it) + one order-free min aggregate. */
+    * group total share it) + one order-free min aggregate.
+    *
+    * PRECONDITION: weights must be non-negative — the cumulative-sum-
+    * crosses-half rule needs a monotone running sum; a negative weight
+    * silently yields a wrong median (same sign caveat as [[cusum]]). */
   def weightedMedian(
       df: DataFrame,
       keyCols: Seq[String],

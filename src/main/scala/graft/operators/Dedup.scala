@@ -236,7 +236,8 @@ object Dedup {
     * the declarative form (16 interpreted `aggregate` HOFs over a
     * `transform`'d md5 array) was the slowest query in the whole bench. */
   def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
-    require(bits <= 16, "simhash uses the first 4 md5 hex digits (16 bits)")
+    require(bits <= 32,
+      "simhash uses the first 4 (bits<=16) or 8 (bits<=32) md5 hex digits")
     docs.select(col(idCol), simhashBits(tokens(col(textCol)), bits).as("simhash"))
   }
 

@@ -816,7 +816,9 @@ object Similarity {
     * Scale shape: joins two RESULT-sized top-k frames on (query, neighbor)
     * — the corpus is never touched. Zero-hit queries surface with ndcg 0. */
   def ndcgAt(truth: DataFrame, approx: DataFrame, k: Int): DataFrame = {
-    require(k > 0, "k must be positive")
+    // lcm(2..k+1) grows ~e^k: L(30) ≈ 2.3e12 and the largest DCG sum is
+    // ≤ k²·L — still < 2^63 at k=30, overflow (ANSI runtime error) beyond
+    require(k > 0 && k <= 30, "k must be in [1, 30]: lcm(2..k+1) overflows Long past that")
     def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
     val L = (2 to k + 1).map(_.toLong).foldLeft(1L)((l, x) => l / gcd(l, x) * x)
     val idcg = (1 to k).map(i => (k - i + 1).toLong * (L / (i + 1))).sum
@@ -860,7 +862,10 @@ object Similarity {
       maxUserItems: Long,
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cnt = ratings.groupBy(userCol).agg(count(lit(1)).as("__ni"))
+    // cap counts DISTINCT items so duplicate (user,item) rows can't slip a
+    // heavy user under the cap (they'd also double-count dot products —
+    // callers should still pre-aggregate to one row per (user,item))
+    val cnt = ratings.groupBy(userCol).agg(countDistinct(col(itemCol)).as("__ni"))
     val rc = ratings.join(cnt, userCol).filter(col("__ni") <= maxUserItems)
       .select(col(userCol).as("__u"), col(itemCol).as("__i"), col(valueCol).as("__q"))
       .localCheckpoint(true)

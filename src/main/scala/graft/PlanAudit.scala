@@ -116,7 +116,7 @@ object PlanAudit {
     "q107_incremental_cc" -> "incremental CC: the delta CC runs on the CONTRACTED graph (component-label vertices + delta edges), the 100 TB base edge log contributes only its label table, re-joined once — base edges are never re-iterated",
     "s19_item_cosine" -> "item-item CF: co-rated pairs from the per-user self-join with whole-heavy-user drop (cap^2 bound per user), norms one item-keyed partial agg, capped matrix checkpointed once; top-k is TakeOrdered",
     "q110_weighted_median" -> "weighted median: running weight sum and group total share ONE ordered window exchange (RANGE default frame makes ties structural); the answer is an order-free min aggregate — no per-group sort-and-pick",
-    "t20_pmi_pairs" -> "PMI pairs: row-local in-array pair explode (bounded by distinct-token count per doc), two chained partial-agg'd count shuffles (pair, token), broadcast N; rank by the exact rational — no log, no double sums",
+    "t20_pmi_pairs" -> "PMI pairs: >90%-df boilerplate tokens leave BEFORE pairing (banned set is <=avgDocLen/0.9 tokens, broadcast — the q70 runtime-filter pattern), the ordered-pair explode is two native generators (posexplode + slice, no interpreted HOFs), two chained partial-agg'd count shuffles (pair, token), broadcast N — at real corpus scale the stopword head (df->100%) is exactly what the rule removes, so per-doc pair volume is bounded by the distinct NON-boilerplate token count squared",
     "q116_stickiness" -> "exact DAU/MAU: each distinct user-day explodes onto its <=30 window days ROW-LOCALLY (bounded blowup), then one (day)-keyed distinct+count — the raw log is scanned once, no per-day rescan, no sliding-distinct state",
     "q121_nearest_click" -> "nearest as-of: backward last() and forward first() carries share ONE key exchange AND one sort; the direction pick is row-local CASE arithmetic — the range join (O(n*m) per key) never forms",
     "s23_mutual_nn" -> "mutual NN: candidate pairs bounded by IVF cells (centroids broadcast, assignment map-side); the mutual check joins two CORPUS-sized 1-NN tables, never the pair set against itself",
@@ -124,7 +124,12 @@ object PlanAudit {
     "s13_pq_topk" -> "PQ ANN: codebooks are driver literals (m x ksub x subDim longs), the 8-code encode is ONE zero-shuffle codegen'd projection, queries broadcast — the searchable index is codes (8 small ints/vector), 64x narrower than the vectors",
     "s14_pq_rerank" -> "two-stage retrieval: the code index narrows to poolSize candidates per query; ONLY those rows join back to the full-vector table for the exact re-rank — full vectors are read per-candidate, never per-corpus",
     "s15_kcenter_coreset" -> "farthest-first coreset: the corpus carries ONE integer dmin register; each of the k rounds is a map-side LEAST relax + a top-1 reduction (one-row collect) — no pairwise distance matrix ever forms, cost is k scans of a checkpointed narrow frame",
-    "q92_watermark_lag" -> "watermark audit: ONE prefix-max window per type over ingest order, then a partial-agg'd summary — disorder statistics without sorting the stream twice or joining arrival against event time")
+    "q92_watermark_lag" -> "watermark audit: ONE prefix-max window per type over ingest order, then a partial-agg'd summary — disorder statistics without sorting the stream twice or joining arrival against event time",
+    "d25_simhash_calibration" -> "simhash<->Jaccard calibration: 32-bit fingerprint keeps each of the 4 bands at 256 values (16-bit bands go dense as the corpus grows) and capBuckets(128) whole-bucket-drops template clusters BEFORE the band self-join — candidate pairs <= 4*256*128^2/2 ~ 8.4M at ANY corpus size (measured linear 26k->262k on 10x data); exact token-set ops run per CANDIDATE only",
+    "t22_ngram_novelty" -> "novelty audit: gram explode partial-aggs into ONE (gram)-keyed min (first owner), the join back re-uses the same gram-key partitioning, per-doc rollup is a second partial-agg'd shuffle — never a doc x doc comparison; AQE skew-join splits any hot boilerplate gram at runtime",
+    "s17_link_prediction" -> "Jaccard link prediction: wedges come from the hub-keyed self-join of the checkpointed adjacency with whole-hub-drop at degree<=50 (wedge volume is sum d(h)^2 — one celebrity hub otherwise owns the job), existing edges leave via an anti-join, denominators stay full-graph degrees, top-k is TakeOrdered",
+    "q136_degree_histogram" -> "degree distribution: symmetric edge union partial-aggs into (vertex)->degree then (degree)->count — two hash-agg shuffles, histogram-sized result; the expensive part (cooccurrenceEdges) keeps its capped-basket bound (<=5^2 pairs per order)",
+    "q122_clustering_coeff" -> "transitivity: triangles via degree-ordered orientation (out-degree <= sqrt(2m)), wedges are ARITHMETIC on the degree table (sum d(d-1)/2, no wedge materialization); both exact integers cross-joined as 1-row frames, one canonical double division")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

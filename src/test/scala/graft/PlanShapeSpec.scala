@@ -39,4 +39,54 @@ class PlanShapeSpec extends SparkSpec {
     val plan = planOf(Sketches.bloomProbe(bloom, keys, "k", 64, 3))
     plan should include("BroadcastHashJoin")
   }
+
+  // ------------------------------------------------------------------
+  // Skew hygiene for the gram-key joins (t22 first-owner, d17/d19
+  // postings): a boilerplate gram is the classic skewed key. The
+  // insurance is two-part: (1) AQE skew-join stays enabled in every
+  // session (Spark 4 default — this pins it against a future config
+  // regression), and (2) the joins stay EQUI-joins that compile to
+  // shuffle joins AQE can skew-split — never a nested-loop/cartesian
+  // shape, which AQE cannot rescue.
+  // ------------------------------------------------------------------
+
+  "the session" should "keep AQE skew-join handling enabled" in {
+    spark.conf.get("spark.sql.adaptive.enabled") shouldBe "true"
+    spark.conf.get("spark.sql.adaptive.skewJoin.enabled") shouldBe "true"
+  }
+
+  private def withNoBroadcast[A](body: => A): A = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  "t22's gram-key first-owner join" should "be a skew-splittable shuffle join" in {
+    import graft.functions.GraftFunctions.{tokens, wordNgrams}
+    val docs = (1 to 400).map(i => (i.toLong, s"alpha beta w$i x${i % 7} y${i % 3}"))
+      .toDF("doc_id", "text")
+    val grams = docs.select(col("doc_id"),
+      explode(wordNgrams(tokens(col("text")), 2)).as("g"))
+    val firstOwner = grams.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+    withNoBroadcast {
+      val plan = planOf(grams.join(firstOwner, "g")
+        .groupBy("doc_id").agg(count(lit(1)).as("n")))
+      plan should include("SortMergeJoin")
+      (plan should not).include("BroadcastNestedLoopJoin")
+      (plan should not).include("CartesianProduct")
+    }
+  }
+
+  "d19's prefix-posting join" should "never degrade to a nested-loop shape" in {
+    val docs = (1 to 200).map(i =>
+      (i.toLong, s"the quick brown fox ${i % 9} jumps over dog ${i % 5}"))
+      .toDF("doc_id", "text")
+    withNoBroadcast {
+      val plan = planOf(graft.operators.Dedup.prefixFilterJaccard(
+        docs, "doc_id", "text", tNum = 1L, tDen = 2L))
+      (plan should not).include("BroadcastNestedLoopJoin")
+      (plan should not).include("CartesianProduct")
+      plan should include("SortMergeJoin")
+    }
+  }
 }

@@ -1,14 +1,7 @@
 package graft
 
-import graft.core.{Changelog, Tables, TimeRange}
-import graft.functions.GraftFunctions
-import graft.functions.GraftFunctions._
-import graft.multimodal.Multimodal
-import graft.operators._
-import graft.state.{GlobalTable, KVTable, SecondaryIndex}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
+import graft.queries._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract: one entry per implemented operator from SURVEY.md §2,
   * each paired with ANSI SQL the driver runs in DuckDB over the same parquet
@@ -23,8895 +16,23 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  // epoch µs literals (UTC)
-  /** Fixed demo salt for q56 (a deployment generates its own via
-    * SecureRandom, reference TimeCryptoProof.generateSalt). */
-  private val CryptoSaltHex = "000102030405060708090A0B0C0D0E0F"
-
-  /** Wilson-score lower bound (z = 1.96) over exact counts `k`/`n` — ONE
-    * SQL string evaluated verbatim by both Spark and DuckDB, so every
-    * double op has the identical parse tree and the result is
-    * bit-identical (the canonical-double rule applied to a whole formula).
-    * z² stays the product expression 1.96*1.96: a 3.8416 literal would be
-    * a DIFFERENT double. */
-  private val WilsonLb =
-    "(CAST(k AS DOUBLE)/CAST(n AS DOUBLE) + (1.96*1.96)/(2*CAST(n AS DOUBLE)) " +
-      "- 1.96*sqrt((CAST(k AS DOUBLE)/CAST(n AS DOUBLE)*(1 - CAST(k AS DOUBLE)/CAST(n AS DOUBLE)))/CAST(n AS DOUBLE) " +
-      "+ (1.96*1.96)/(4*CAST(n AS DOUBLE)*CAST(n AS DOUBLE)))) " +
-      "/ (1 + (1.96*1.96)/CAST(n AS DOUBLE))"
-
-  private val Jan1_96 = 820454400000000L // 1996-01-01T00:00:00Z
-  private val Jan1_98 = 883612800000000L // 1998-01-01T00:00:00Z
-  private val Jan1_00 = 946684800000000L // 2000-01-01T00:00:00Z
-  private val Jan1_97 = 852076800000000L // 1997-01-01T00:00:00Z
-  private val Jan1_24 = 1704067200000000L // 2024-01-01T00:00:00Z
-  private val Jan10_24 = 1704844800000000L // 2024-01-10T00:00:00Z
-  private val Jan20_24 = 1705708800000000L // 2024-01-20T00:00:00Z
-  private val WeekUs = 7L * 24 * 3600 * 1000000L
-  private val DayUs = 24L * 3600 * 1000000L
-
-  /** Exact double-sum via per-value integer quantization: round(x×scale) as
-    * BIGINT (the proven round-parity pattern of `quantize1000`), summed as
-    * long — exact, order-independent, and a codegen'd long hash-agg instead
-    * of a DECIMAL sum (~3× cheaper per row; the difference compounds at
-    * 100 TB) — then one double division. Headroom at scale=100: values ≲1e5
-    * quantize to ≲1e7/row, >1e11 rows per group before BIGINT overflow. */
-  private[graft] def qSum(c: Column, as: String, scale: Long = 100L): Column =
-    (sum(round(c * scale).cast("long")).cast("double") / scale.toDouble).as(as)
-  /** ×10000 variant for derived measures (e.g. price×(1−discount)) that
-    * previously carried 4+ fractional digits. */
-  private[graft] def qSumWide(c: Column, as: String): Column =
-    qSum(c, as, 10000L)
-  /** DuckDB rendering of the same sum (SUM(BIGINT) is HUGEINT there —
-    * the inner CAST back to BIGINT keeps both sides in long space). */
-  private[graft] def qSumSql(expr: String, as: String, scale: Long = 100L): String =
-    s"CAST(CAST(SUM(CAST(round(($expr)*$scale) AS BIGINT)) AS BIGINT) AS DOUBLE)/$scale.0 AS $as"
-  private[graft] def qSumWideSql(expr: String, as: String): String =
-    qSumSql(expr, as, 10000L)
-
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   // ------------------------------------------------------------------
   // Queries — every operator of SURVEY §2 that is batch-expressible, plus
-  // the LLM-pipeline operators (dedup/similarity/text/multimodal).
+  // the LLM-pipeline operators (dedup/similarity/text/multimodal) —
+  // aggregated from the per-domain registries in graft.queries (each
+  // query sits next to its DuckDB oracle in its domain file).
   // ------------------------------------------------------------------
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-
-    // J2 scatter-gather aggregation (partial+final agg ≙ gather combiner)
-    "q1_pricing_summary" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-      li.groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          qSum(col("l_quantity"), "sum_qty"),
-          qSum(col("l_extendedprice"), "sum_base_price"),
-          qSumWide(col("l_extendedprice") * (lit(1) - col("l_discount")), "sum_disc_price"),
-          count(lit(1)).as("count_order"))
-        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")
-    }),
-
-    // R2/J3 prefix + event-time range scan over the keyed changelog view
-    "q2_range_scan" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      KVTable(ev, Seq("event_type", "event_id"), "ts_us")
-        .scan(Seq("click"), TimeRange(Jan10_24, Jan20_24))
-        .select(col("event_id"), col("user_id"), col("value"), col("ts_us"))
-        .orderBy("event_id")
-    }),
-
-    // P1 point lookup against latest-per-key state
-    "q3_point_lookup" -> ((s, d) => {
-      val o = Tables.orders(s, d)
-        .withColumn("o_orderdate_us", Tables.epochUs(col("o_orderdate")))
-        .drop("o_orderdate")
-      KVTable(o, Seq("o_orderkey"), "o_orderdate_us")
-        .get(Seq(42L))
-        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-          col("o_totalprice"), col("o_orderdate_us"))
-    }),
-
-    // J7 log compaction: latest record per key (max_by, no sort)
-    "q4_compact_latest" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      KVTable(ev, Seq("user_id"), "ts_us", tieBreakCols = Seq("event_id")).latest
-        .select(col("user_id"), col("event_id").as("last_event_id"),
-          col("event_type").as("last_event_type"), col("value").as("last_value"),
-          col("ts_us").as("last_ts_us"))
-        .orderBy("user_id")
-    }),
-
-    // J5 serialization-optimized equi-join ≙ broadcast dim join + pruning
-    "q5_star_join" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-      val p = Tables.part(s, d)
-      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-        .groupBy(col("p_brand"))
-        .agg(
-          qSumWide(col("l_extendedprice") * (lit(1) - col("l_discount")), "revenue"),
-          count(lit(1)).as("n_items"))
-        .orderBy("p_brand")
-    }),
-
-    // R4/R5 secondary index build + lookup (word → documents)
-    "q6_secondary_index" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val index = SecondaryIndex.build(docs, Seq("doc_id"), tokens(col("text")))
-      SecondaryIndex.lookup(index, docs, Seq("doc_id"), "spark")
-        .select(col("doc_id"), col("lang"), col("n_chars"))
-        .orderBy("doc_id")
-    }),
-
-    // R8 CDC keep-last-N per key
-    "q7_keep_last_n" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      KVTable(ev, Seq("user_id"), "ts_us", tieBreakCols = Seq("event_id"))
-        .keepLastN(3)
-        .select(col("user_id"), col("recency_rank"), col("event_id"), col("ts_us"))
-        .orderBy("user_id", "recency_rank")
-    }),
-
-    // P9 TTL expiry by event time (ttl = 7 days before max event time)
-    "q8_ttl_expiry" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val maxTs = ev.agg(max(col("ts_us")).as("max_ts"))
-      ev.crossJoin(broadcast(maxTs))
-        .filter(col("ts_us") >= col("max_ts") - WeekUs)
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_live"), qSum(col("value"), "sum_value"))
-        .orderBy("user_id")
-    }),
-
-    // P10 numKeys (exact distinct key counts)
-    "q9_num_keys" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      ev.agg(
-        countDistinct(col("user_id")).as("num_users"),
-        countDistinct(col("event_type")).as("num_types"),
-        count(lit(1)).as("num_records"))
-    }),
-
-    // P11 getStats: the store's DESCRIBE-style diagnostic row (file-stat
-    // columns excluded here — filesystem metadata has no SQL oracle)
-    "q55_store_stats" -> ((s, d) => {
-      KVTable(Tables.events(s, d), Seq("user_id"), "ts_us",
-          tieBreakCols = Seq("event_id"))
-        .getStats
-        .select("n_log_rows", "n_keys", "n_tombstones", "min_ts_us", "max_ts_us")
-    }),
-
-    // hashed-feature linear quality classifier (fastText shape): 4096
-    // buckets, deterministic md5-derived weights, keep = score >= 0
-    "t12_quality_classifier" -> ((s, d) => {
-      TextAnalysis.hashedLinearScore(Tables.documents(s, d), "doc_id", "text",
-          dims = 4096)
-        .orderBy("doc_id")
-    }),
-
-    // boilerplate-contamination scoring: trigrams in > dfMax docs are
-    // boilerplate; docs scored by their boilerplate-gram ppm
-    "d13_boilerplate" -> ((s, d) => {
-      TextAnalysis.boilerplateScore(Tables.documents(s, d), "doc_id", "text",
-          n = 3, dfMax = 50L)
-        .orderBy("doc_id")
-    }),
-
-    // BM25 top-k lexical retrieval (integer-exact: rational idf with 20x
-    // saturation, tf saturation at k1=1.2 b=0.75 as BIGINT ratios)
-    "t13_bm25_search" -> ((s, d) => {
-      Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text",
-        terms = Seq("spark", "join", "shuffle"), k = 25)
-    }),
-
-    // hybrid search: BM25 lexical top-25 + embedding-cosine top-25 for
-    // query vector 0, reciprocal-rank fused (1e6 // (60 + rank), top 15)
-    "s7_hybrid_rrf" -> ((s, d) => {
-      val lexW = Window.orderBy(col("score").desc, col("doc_id"))
-      val lex = Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text",
-          terms = Seq("spark", "join", "shuffle"), k = 25)
-        .select(col("doc_id"), row_number().over(lexW).as("rank"))
-      val em = Tables.embeddings(s, d)
-      val sem = Similarity.bruteForceTopK(em, em.filter(col("vec_id") === 0),
-          "vec_id", "embedding", k = 25)
-        .select(col("neighbor_id").as("doc_id"), col("rank"))
-      Retrieval.rrfFuse(Seq(lex, sem), "doc_id", "rank", k = 15)
-        .orderBy(col("rrf_ppm").desc, col("doc_id"))
-    }),
-
-    // bigram-LM fluency scoring: add-one-smoothed mean bigram probability
-    // (KenLM-style quality filter, trained on the corpus itself)
-    "t14_lm_fluency" -> ((s, d) => {
-      Retrieval.bigramLmFluency(Tables.documents(s, d), "doc_id", "text")
-        .orderBy("doc_id")
-    }),
-
-    // DSIR importance weights: hashed-bigram target/raw distribution
-    // ratio, target = src1 docs (the "wiki-like" slice)
-    "s6_dsir_importance" -> ((s, d) => {
-      Retrieval.dsirImportance(Tables.documents(s, d), "doc_id", "text",
-          isTarget = col("source") === "src1", buckets = 8192)
-        .orderBy("doc_id")
-    }),
-
-    // most-duplicated passages (memorization-risk audit): top 5-gram spans
-    // by cross-document frequency, with occurrence counts
-    "d14_repeated_spans" -> ((s, d) => {
-      Dedup.repeatedSpans(Tables.documents(s, d), "doc_id", "text",
-        n = 5, minDf = 2L, k = 100)
-    }),
-
-    // targeted curation: repeated-span ban list, then per-source top-half
-    // gates by LM fluency and DSIR target-likeness (adaptive ranks — no
-    // corpus-specific thresholds, robust at any scale factor)
-    "p3_targeted_curation" -> ((s, d) => {
-      TrainingDataPipeline.curateTargeted(Tables.documents(s, d), "doc_id",
-          "text", "source", isTarget = col("source") === "src1")
-        .orderBy("doc_id")
-    }),
-
-    // deterministic epoch upsampling: src1 2.5 epochs, src2 1, src3 0.4 —
-    // the with-replacement training mix (md5-coin fractional copies)
-    "q57_epoch_upsample" -> ((s, d) => {
-      Sampling.epochUpsample(Tables.documents(s, d), "source", "doc_id",
-          epochsPpm = Map("src1" -> 2500000L, "src2" -> 1000000L, "src3" -> 400000L))
-        .select(col("doc_id"), col("source"), col("copy_idx"))
-        .orderBy("doc_id", "copy_idx")
-    }),
-
-    // size-weighted deterministic sampling: 20 docs per source, inclusion
-    // probability proportional to n_chars (priority-sampling shape)
-    "q59_weighted_sample" -> ((s, d) => {
-      Sampling.weightedPrioritySample(Tables.documents(s, d), "source", "doc_id",
-          "n_chars", k = 20)
-        .select(col("doc_id"), col("source"), col("n_chars"), col("priority"),
-          col("rank").cast("int").as("rank"))
-        .orderBy("source", "rank")
-    }),
-
-    // context packing: per-source token-budget bins from an exclusive
-    // prefix sum (budget 512 tokens)
-    "q58_context_pack" -> ((s, d) => {
-      val withTok = Tables.documents(s, d).select(col("doc_id"), col("source"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"))
-      Sampling.contextPack(withTok, "source", "doc_id", "n_tokens", budgetTokens = 512L)
-        .orderBy("doc_id")
-    }),
-
-    // KMV distinct sketch (k = 32 registers per event type): estimate
-    // (k−1)·2⁴⁰ // (h_k // 2²⁰) next to the exact distinct-user count
-    "q60_kmv_distinct" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val regs = Sketches.kmvRegisters(ev, Seq("event_type"), "user_id", k = 32)
-      val est = Sketches.kmvEstimate(regs, Seq("event_type"), k = 32)
-      val exact = ev.groupBy("event_type")
-        .agg(count_distinct(col("user_id")).as("n_exact"))
-      exact.join(est, "event_type")
-        .select(col("event_type"), col("n_exact"), col("n_est"))
-        .orderBy("event_type")
-    }),
-
-    // Count-Min frequency sketch (4×64 counters over per-user events);
-    // probes users 0..19 — the estimate upper-bounds the exact count
-    "q61_cms_counts" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val cms = Sketches.cmsBuild(ev, col("user_id"), lit(1L), depth = 4, width = 64)
-      val probes = ev.select(col("user_id")).filter(col("user_id") < 20)
-      val exact = ev.filter(col("user_id") < 20).groupBy("user_id")
-        .agg(count(lit(1)).as("n_exact"))
-      Sketches.cmsLookup(cms, probes, "user_id", depth = 4, width = 64)
-        .join(exact, Seq("user_id"))
-        .select(col("user_id"), col("n_exact"), col("n_est"),
-          (col("n_est") >= col("n_exact")).as("upper_bounds"))
-        .orderBy("user_id")
-    }),
-
-    // Bloom membership (64×60-bit words, 3 hashes) over customers holding
-    // a >490k order; probing every customer keeps maybe-rows only — no
-    // false negatives, FPs visible via the exact actually_in flag
-    "q62_bloom_membership" -> ((s, d) => {
-      val hot = Tables.orders(s, d)
-        .filter(col("o_totalprice") > 490000.0)
-        .select(col("o_custkey"))
-      val bloom = Sketches.bloomBuild(hot, col("o_custkey"), words = 64, hashes = 3)
-      val probes = Tables.customer(s, d).select(col("c_custkey"))
-      val actual = hot.distinct()
-        .withColumnRenamed("o_custkey", "c_custkey")
-        .withColumn("actually_in", lit(true))
-      Sketches.bloomProbe(bloom, probes, "c_custkey", words = 64, hashes = 3)
-        .filter(col("maybe_present"))
-        .join(actual, Seq("c_custkey"), "left")
-        .select(col("c_custkey"), col("maybe_present"),
-          coalesce(col("actually_in"), lit(false)).as("actually_in"))
-        .orderBy("c_custkey")
-    }),
-
-    // HyperLogLog (m = 64 registers, integer estimator): rho from exact
-    // bitlength (length(bin(w))), S = Σ 2^(41−M_j), no float log anywhere
-    "q63_hll_distinct" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val regs = Sketches.hllRegisters(ev, Seq("event_type"), "user_id", m = 64)
-      val est = Sketches.hllEstimate(regs, Seq("event_type"), m = 64)
-      val exact = ev.groupBy("event_type")
-        .agg(count_distinct(col("user_id")).as("n_exact"))
-      exact.join(est, "event_type")
-        .select(col("event_type"), col("n_exact"), col("n_est"))
-        .orderBy("event_type")
-    }),
-
-    // sliding 3-hour distinct users from MERGEABLE hourly HLL registers:
-    // hourly registers built once, every overlapping window max-merges
-    // them (row-local explode + one register-key shuffle) — the raw events
-    // are never re-scanned per window; exact distinct alongside
-    "q79_sliding_hll" -> ((s, d) => {
-      val ev = Tables.events(s, d).select(
-        call_function("div", col("ts_us"), lit(3600000000L)).as("hour"),
-        col("user_id"))
-      val hourly = Sketches.hllRegisters(ev, Seq("hour"), "user_id", m = 64)
-      val est = Sketches.hllEstimate(
-        Sketches.slidingRegisterMerge(hourly, "hour", width = 3),
-        Seq("win_end"), m = 64)
-      val ends = ev.select(col("hour").as("win_end")).distinct()
-      val exact = ev
-        .select(col("user_id"),
-          explode(sequence(col("hour"), col("hour") + 2)).as("win_end"))
-        .join(ends, "win_end")
-        .groupBy("win_end").agg(count_distinct(col("user_id")).as("n_exact"))
-      exact.join(est, "win_end")
-        .select(col("win_end"), col("n_exact"), col("n_est"))
-        .orderBy("win_end")
-    }),
-
-    // mergeable log-histogram quantile sketch (8 sub-buckets per octave,
-    // ≤12.5% relative error) vs the exact deterministic k-th smallest —
-    // both via the same ceiling-rank rule over cumulative counts
-    "q69_quantile_sketch" -> ((s, d) => {
-      val qs = Seq(500000L, 900000L, 990000L)
-      val vals = Tables.events(s, d)
-        .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
-      val sk = Sketches.logHistSketch(vals, Seq("event_type"), "cents", s = 3)
-      val est = Sketches.logHistQuantiles(sk, Seq("event_type"), qs, s = 3)
-      val cw = Window.partitionBy(col("event_type")).orderBy(col("cents"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = vals.groupBy("event_type", "cents").agg(count(lit(1)).as("cnt"))
-        .withColumn("cum", sum(col("cnt")).over(cw))
-        .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
-      val exact = cum
-        .select(col("event_type"), col("cents"), col("cum"), col("n"),
-          explode(array(qs.map(lit): _*)).as("q_ppm"))
-        .filter(col("cum") >= greatest(
-          call_function("div", col("q_ppm") * col("n") + 999999L, lit(1000000L)), lit(1L)))
-        .groupBy("event_type", "q_ppm")
-        .agg(min(col("cents")).as("q_exact"))
-      est.join(exact, Seq("event_type", "q_ppm"))
-        .select(col("event_type"), col("q_ppm"), col("q_est"), col("q_exact"))
-        .orderBy("event_type", "q_ppm")
-    }),
-
-    // Bloom runtime-filter join: lineitem rows pruned row-locally against
-    // a 256-word bloom of high-value order keys BEFORE the shuffle; FPs
-    // die in the join, so the oracle is the PLAIN join — the sketch only
-    // cuts shuffled bytes
-    "q68_bloom_join" -> ((s, d) => {
-      val hot = Tables.orders(s, d).filter(col("o_totalprice") > 450000.0)
-      Sketches.bloomPrunedJoin(hot, Tables.lineitem(s, d),
-          "o_orderkey", "l_orderkey", words = 4096, hashes = 3)
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n_items"), qSum(col("l_extendedprice"), "sum_price"))
-        .orderBy("o_orderpriority")
-    }),
-
-    // single-scan column profile (row-local explode, two partial-agg'd
-    // shuffles): nulls, distincts, string min/max, plurality top value
-    "q67_profile" -> ((s, d) => {
-      Analytics.profile(Tables.events(s, d), Seq("event_type", "user_id", "props"))
-        .orderBy("col_name")
-    }),
-
-    // KMV set algebra from registers alone: per-day active-user sketches
-    // (first 5 days, k=32), pairwise union/intersection/Jaccard estimates
-    // by re-ranked merge + inclusion-exclusion, exact intersection beside
-    "q65_kmv_setops" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .select(concat(lit("d"),
-            call_function("div", col("ts_us") - Jan1_24, lit(DayUs)).cast("string")).as("day"),
-          col("user_id"),
-          call_function("div", col("ts_us") - Jan1_24, lit(DayUs)).as("di"))
-        .filter(col("di") < 5).drop("di")
-      val regs = Sketches.kmvRegisters(ev, Seq("day"), "user_id", k = 32)
-      val ops = Sketches.kmvPairwiseOps(regs, "day", k = 32)
-      val du = ev.distinct()
-      val ex = du.select(col("day").as("ga"), col("user_id"))
-        .join(du.select(col("day").as("gb"), col("user_id")), "user_id")
-        .filter(col("ga") < col("gb"))
-        .groupBy("ga", "gb").agg(count(lit(1)).as("n_inter_exact"))
-      ops.join(ex, Seq("ga", "gb"), "left")
-        .select(col("ga"), col("gb"), col("a_est"), col("b_est"), col("union_est"),
-          col("inter_est"), col("jaccard_ppm"),
-          coalesce(col("n_inter_exact"), lit(0L)).as("n_inter_exact"))
-        .orderBy("ga", "gb")
-    }),
-
-    // Z-order layout audit: Morton-interleave (user bucket, hour since
-    // Jan 1) into 64 partitions; per-partition min/max of BOTH dims stay
-    // tight — the footer stats a z-ordered 100 TB write would skip on
-    "q64_zorder_layout" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .select(col("user_id"),
-          call_function("div", col("ts_us") - Jan1_24, lit(3600000000L)).as("hr"))
-      Layout.zOrderStats(ev, col("user_id"), col("hr"), bits = 10, partitions = 64)
-        .orderBy("pid")
-    }),
-
-    // §2.6h crypto proof: minute-windowed salted request signatures signed
-    // IN-PLAN over codegen'd built-ins (no UDF); time injected from the
-    // event row, so the result is deterministic and oracle-able
-    "q56_signed_requests" -> ((s, d) => {
-      val path = concat(lit("/api/events/"), col("event_type"), lit("/"),
-        col("event_id").cast("string"))
-      Tables.events(s, d)
-        .select(col("event_id"),
-          graft.functions.TimeCryptoProof.signCol(
-            path, CryptoSaltHex, expr("(ts_us div 60000000) * 60")).as("signature"))
-        .orderBy("event_id")
-    }),
-
-    // J8 global (broadcast) store enrichment chain
-    "q10_global_enrich" -> ((s, d) => {
-      val o = Tables.orders(s, d)
-      val c = Tables.customer(s, d)
-      val n = GlobalTable(KVTable(Tables.nation(s, d), Seq("n_nationkey"), "n_nationkey"))
-      val r = GlobalTable(KVTable(Tables.region(s, d), Seq("r_regionkey"), "r_regionkey"))
-      val enriched = r.enrich(
-        n.enrich(
-          o.join(broadcast(c), col("o_custkey") === col("c_custkey")),
-          col("c_nationkey") === col("n_nationkey")),
-        col("n_regionkey") === col("r_regionkey"))
-      enriched.groupBy(col("r_name"))
-        .agg(count(lit(1)).as("n_orders"), qSum(col("o_totalprice"), "total_price"))
-        .orderBy("r_name")
-    }),
-
-    // J10 word count (the canonical stateful aggregation, batch view)
-    "q11_wordcount" -> ((s, d) => {
-      Tables.documents(s, d)
-        .select(explode(tokens(col("text"))).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("cnt"))
-        .orderBy("word")
-    }),
-
-    // J9 connected components (brand–type co-occurrence graph from part)
-    "q12_connected_components" -> ((s, d) => {
-      val edges = Tables.part(s, d).select(
-        concat(lit("b:"), col("p_brand")).as("src"),
-        concat(lit("t:"), col("p_type")).as("dst"))
-      GraphAlgorithms.connectedComponents(s, edges)
-        .select(col("vertex"), col("component"))
-        .orderBy("vertex")
-    }),
-
-    // exact triangle count on the FREQUENT co-purchase graph: parts
-    // co-occurring in >= 2 orders (the support threshold every
-    // co-occurrence pipeline applies before graph analytics — the raw
-    // pair graph at this vocab density is ~300x larger and measured 80x
-    // slower with no analytic value). Counting is degree-ordered
-    // orientation — out-degree <= O(sqrt m), hub wedges never explode
-    // (Suri & Vassilvitskii WWW'11 shape).
-    "q53_triangles" -> ((s, d) => {
-      GraphAlgorithms.triangleCount(GraphAlgorithms.cooccurrenceEdges(
-        Tables.lineitem(s, d), "l_orderkey", "l_partkey", minSupport = 2L))
-    }),
-
-    // same analytic with the PRODUCTION basket cap ON (drop baskets > 5
-    // items before the quadratic pair join — the whole-bucket rule of
-    // Dedup.capBuckets, mirrored verbatim in the oracle as d8 does): one
-    // degenerate 10k-item basket would otherwise emit 10^8 pair rows
-    // before any pruning. TPC-H baskets run 1-7 items, so cap=5 actually
-    // drops data here and proves the mirrored drop rule, not a no-op.
-    "q54_copurchase_capped" -> ((s, d) => {
-      GraphAlgorithms.triangleCount(GraphAlgorithms.cooccurrenceEdges(
-        Tables.lineitem(s, d), "l_orderkey", "l_partkey",
-        minSupport = 2L, maxBasketSize = 5L))
-    }),
-
-    // tumbling-window rollup (event-time windows; reference has none — §2.7)
-    "q13_hourly_rollup" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      ev.withColumn("hour_us", unix_micros(date_trunc("hour", timestamp_micros(col("ts_us")))))
-        .groupBy(col("hour_us"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"), qSum(col("value"), "sum_value"))
-        .orderBy("hour_us", "event_type")
-    }),
-
-    // J6 stream-state enrichment as event-time as-of join (union+window, no range join)
-    "q14_asof_join" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts_us"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts_us"),
-          col("event_id").as("c_event_id"))
-        .withColumn("c_ts_us", col("ts_us"))
-      AsOfJoin.asOf(purchases, clicks, "user_id", "ts_us",
-        rightCols = Seq("c_event_id", "c_ts_us"), rightTieBreak = Seq("c_event_id"))
-        .select(col("event_id"), col("user_id"), col("ts_us"),
-          col("right_c_event_id").as("click_event_id"),
-          col("right_c_ts_us").as("click_ts_us"))
-        .orderBy("event_id")
-    }),
-
-    // §2.5 set ops: distinct + union
-    "q15_set_ops" -> ((s, d) => {
-      val ev = Tables.events(s, d).select(col("event_type").as("tag_value"))
-        .distinct().withColumn("src", lit("event"))
-      val o = Tables.orders(s, d).select(col("o_orderstatus").as("tag_value"))
-        .distinct().withColumn("src", lit("order"))
-      ev.unionByName(o).orderBy("src", "tag_value")
-    }),
-
-    // S9 JSON record view over the raw log value
-    "q16_json_props" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      ev.withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
-        .orderBy("event_type")
-    }),
-
-    // §2.5 argmax / top-N per group (auto-increment-subkey analogue)
-    "q17_topn_per_group" -> ((s, d) => {
-      val c = Tables.customer(s, d)
-      val w = Window.partitionBy(col("c_mktsegment"))
-        .orderBy(col("c_acctbal").desc, col("c_custkey"))
-      c.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 2)
-        .select(col("c_mktsegment"), col("rank"), col("c_custkey"), col("c_acctbal"))
-        .orderBy("c_mktsegment", "rank")
-    }),
-
-    // J1 murmur2 key routing (Kafka-parity partitioner; no SQL oracle —
-    // checked rows-only here, exact test vectors in Murmur2Spec)
-    "q18_route_partition" -> ((s, d) => {
-      GraftFunctions.register(s)
-      val ev = Tables.events(s, d)
-      ev.select(col("user_id")).distinct()
-        .withColumn("partition", kafkaPartition(col("user_id").cast("string"), 32))
-        .orderBy("user_id")
-    }),
-
-    // S9 XML record views: raw log values carried as XML markup, parsed with
-    // xpath extractors (reference: LogRDD.xml). No XML column exists in the
-    // testdata, so the query round-trips events through an XML envelope —
-    // render (exercise only the parse side in the scored expressions), then
-    // xpath the fields back out and aggregate. Money is embedded as integer
-    // cents so the string round-trip stays exact.
-    "q36_xml_view" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val raw = concat(
-        lit("<event id=\""), col("event_id").cast("string"),
-        lit("\" user=\""), col("user_id").cast("string"),
-        lit("\"><type>"), col("event_type"),
-        lit("</type><cents>"), round(col("value") * 100).cast("long").cast("string"),
-        lit("</cents></event>"))
-      // ONE StAX parse per row via from_xml (the xpath_* extractors each
-      // re-parse the document with DOM+XPath — measured 30× slower)
-      ev.select(raw.as("raw"))
-        .select(xmlView(col("raw"),
-          "_user BIGINT, type STRING, cents BIGINT").as("x"))
-        .select(
-          col("x.type").as("event_type"),
-          col("x._user").as("user_id"),
-          col("x.cents").as("cents"))
-        .groupBy(col("event_type"))
-        .agg(
-          count(lit(1)).as("n"),
-          countDistinct(col("user_id")).as("n_users"),
-          (sum(col("cents")).cast("double") / 100.0).as("sum_value"))
-        .orderBy("event_type")
-    }),
-
-    // ---- LLM-data-pipeline operators ----
-
-    // exact dedup via content hash (all groups, keeper = min id)
-    "d1_dedup_exact" -> ((s, d) => {
-      Dedup.exact(Tables.documents(s, d), "doc_id", "text", minGroupSize = 1)
-        .orderBy("content_hash")
-    }),
-
-    // MinHash + LSH banded near-dup candidates (batch context → materialize
-    // the banded projection once for the self-join)
-    "d2_dedup_minhash" -> ((s, d) => {
-      Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
-        numHashes = 8, shingleSize = 3, rowsPerBand = 2, minEstimate = 0.5,
-        materializeCandidates = true)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // incremental day-over-day dedup: the fresh 20% (doc_id % 5 = 0) pairs
-    // against the persisted band table of the other 80% — history never
-    // re-pairs itself; result ≡ full-corpus LSH restricted to ≥1-fresh pairs
-    "d15_incremental_dedup" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val history = Dedup.bandSignatures(
-        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
-        numHashes = 8, shingleSize = 3, rowsPerBand = 2)
-      Dedup.incrementalMinhashLsh(history, docs.filter(col("doc_id") % 5 === 0),
-        "doc_id", "text", numHashes = 8, shingleSize = 3, rowsPerBand = 2,
-        minEstimate = 0.5, materializeCandidates = true)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // two-stage dedup: loose LSH candidates (est >= 0.3) verified against
-    // exact shingle Jaccard >= 0.5 — estimate false positives removed
-    "d12_lsh_verified" -> ((s, d) => {
-      Dedup.minhashLshVerified(Tables.documents(s, d), "doc_id", "text",
-        numHashes = 8, shingleSize = 3, rowsPerBand = 2,
-        minEstimate = 0.3, minJaccard = 0.5, materializeCandidates = true)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // SimHash 16-bit fingerprints
-    "d3_dedup_simhash" -> ((s, d) => {
-      Dedup.simhash(Tables.documents(s, d), "doc_id", "text", bits = 16)
-        .orderBy("doc_id")
-    }),
-
-    // char-3-gram Jaccard within (lang, length-bucket) blocks
-    "d4_dedup_ngram" -> ((s, d) => {
-      val docs = Tables.documents(s, d).withColumn("blk", expr("n_chars div 20"))
-      Dedup.ngramJaccardBlocked(docs, "doc_id", "text", blockCols = Seq("lang", "blk"),
-        n = 3, minJaccard = 0.5, materializeGramSets = true)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // consensus dedup: the d2 (MinHash LSH), d9 (SimHash) and d4 (blocked
-    // n-gram Jaccard) detectors merged pair-for-pair with per-signal flags
-    // — act on agreement, review single-signal pairs
-    "d18_consensus_dedup" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val mh = Dedup.minhashLsh(docs, "doc_id", "text",
-        numHashes = 8, shingleSize = 3, rowsPerBand = 2, minEstimate = 0.5,
-        materializeCandidates = true)
-      val sh = Dedup.simhashPairs(docs, "doc_id", "text", bits = 16, maxHamming = 1)
-      val nj = Dedup.ngramJaccardBlocked(
-        docs.withColumn("blk", expr("n_chars div 20")), "doc_id", "text",
-        blockCols = Seq("lang", "blk"), n = 3, minJaccard = 0.5,
-        materializeGramSets = true)
-      Dedup.consensusPairs(Seq("minhash" -> mh, "simhash" -> sh, "jaccard" -> nj))
-        .orderBy("id_a", "id_b")
-    }),
-
-    // TF-weighted bigram cosine join: candidates share a RARE gram
-    // (df ≤ |corpus| div 50 — a relative cap, so the blocking survives
-    // corpus growth), exact TF dot over the pair's full vectors
-    "d17_tf_cosine" -> ((s, d) => {
-      Dedup.tfCosineJoin(Tables.documents(s, d), "doc_id", "text",
-          n = 2, dfCapDivisor = 50L, minCosine = 0.05)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // embedding near-dup within label blocks (quantized cosine)
-    "d5_dedup_embedding" -> ((s, d) => {
-      Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
-        blockCol = "label", minCosine = 0.3)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // brute-force exact top-k cosine ANN baseline
-    // embedding-quality audit: cosine to own label centroid (integer sums,
-    // one double division), mislabel/outlier flag
-    "s5_label_outliers" -> ((s, d) => {
-      Similarity.labelCentroidAudit(Tables.embeddings(s, d),
-          "vec_id", "embedding", "label", minCosine = 0.5)
-        .orderBy("vec_id")
-    }),
-
-    "s1_knn_bruteforce" -> ((s, d) => {
-      val em = Tables.embeddings(s, d)
-      Similarity.bruteForceTopK(em, em.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
-        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
-        .orderBy("query_id", "rank")
-    }),
-
-    // LSH-bucketed ANN (random-hyperplane, 8 planes) — the scale path
-    "s2_knn_lsh" -> ((s, d) => {
-      val em = Tables.embeddings(s, d)
-      Similarity.lshTopK(em, em.filter(col("vec_id") < 5), "vec_id", "embedding",
-        k = 5, numPlanes = 8)
-        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
-        .orderBy("query_id", "rank")
-    }),
-
-    // IVF-PQ: the billion-scale index shape — coarse cells gate the
-    // candidates (probe-4), PQ codes score them; a query touches neither
-    // the corpus nor any full vector
-    "s16_ivf_pq" -> ((s, d) => {
-      val em = Tables.embeddings(s, d)
-      Similarity.ivfPqTopK(em, em.filter(col("vec_id") < 5), "vec_id", "embedding",
-        k = 5, nCentroids = 16, nProbe = 4, numSubspaces = 8, subCentroids = 16,
-        pqIterations = 3)
-        .orderBy("query_id", "rank")
-    }),
-
-    // PQ (product quantization) ANN: 8 subspace codebooks, corpus encoded
-    // to 8 codes in one zero-shuffle projection, asymmetric integer score
-    // against reconstructed centroids — the searchable index is 64x
-    // smaller than the vectors; training fully unrolled in the oracle
-    "s13_pq_topk" -> ((s, d) => {
-      val em = Tables.embeddings(s, d)
-      Similarity.pqTopK(em, em.filter(col("vec_id") < 5), "vec_id", "embedding",
-        k = 5, numSubspaces = 8, subCentroids = 16, iterations = 3)
-        .orderBy("query_id", "rank")
-    }),
-
-    // k-center greedy coreset (farthest-first): 8 diverse exemplars + the
-    // coverage-radius sequence; one running dmin register per row, k
-    // one-row reductions — no pairwise matrix
-    "s15_kcenter_coreset" -> ((s, d) => {
-      Similarity.kCenterSelect(Tables.embeddings(s, d), "vec_id", "embedding", k = 8)
-        .orderBy("rank")
-    }),
-
-    // two-stage PQ retrieval: codes narrow to 20 candidates, exact cosine
-    // re-ranks — the full-vector table is read per-candidate, not per-corpus
-    "s14_pq_rerank" -> ((s, d) => {
-      val em = Tables.embeddings(s, d)
-      Similarity.pqRerankTopK(em, em.filter(col("vec_id") < 5), "vec_id",
-        "embedding", k = 5, poolSize = 20, numSubspaces = 8, subCentroids = 16,
-        iterations = 3)
-        .orderBy("query_id", "rank")
-    }),
-
-    // MMR diversified top-5 from a brute-force top-10 pool: greedy
-    // redundancy-penalized re-rank (λ=0.5), distributed pool + bounded
-    // per-query greedy — no more "five copies of the same near-dup"
-    "s11_mmr_diversify" -> ((s, d) => {
-      val em = Tables.embeddings(s, d)
-      Similarity.mmrDiversifyTopK(em, em.filter(col("vec_id") < 5), "vec_id",
-          "embedding", k = 5, poolSize = 10)
-        .orderBy("query_id", "mmr_rank")
-    }),
-
-    // recall@k evaluation: LSH (s2) graded against brute-force ground
-    // truth (s1) — result-sized join, exact floor-ppm recall; queries the
-    // index missed entirely surface as 0 instead of silently dropping
-    // graded ranking eval: NDCG@5 of LSH vs brute-force truth with the
-    // EXACT harmonic discount (lcm-scaled integer DCG, one division by the
-    // constant ideal) — charges the ANN for ranking good neighbors low,
-    // which recall@k (s12) cannot see
-    "s20_ndcg_eval" -> ((s, d) => {
-      val em = Tables.embeddings(s, d)
-      val qs = em.filter(col("vec_id") < 5)
-      val truth = Similarity.bruteForceTopK(em, qs, "vec_id", "embedding", k = 5)
-      val approx = Similarity.lshTopK(em, qs, "vec_id", "embedding", k = 5, numPlanes = 8)
-      Similarity.ndcgAt(truth, approx, k = 5)
-        .orderBy("query_id")
-    }),
-
-    "s12_ann_recall" -> ((s, d) => {
-      val em = Tables.embeddings(s, d)
-      val qs = em.filter(col("vec_id") < 5)
-      val truth = Similarity.bruteForceTopK(em, qs, "vec_id", "embedding", k = 5)
-      val approx = Similarity.lshTopK(em, qs, "vec_id", "embedding", k = 5, numPlanes = 8)
-      Similarity.annRecall(truth, approx, k = 5)
-        .orderBy("query_id")
-    }),
-
-    // multi-probe LSH ANN: each query probes its bucket + all Hamming-1
-    // neighbor buckets — single-plane misses (the dominant LSH miss mode)
-    // recovered at 9x QUERY-side cost; corpus bucketed once, never
-    // re-shuffled. Recall >= single-probe pinned in SimilaritySpec
-    "s8_knn_multiprobe" -> ((s, d) => {
-      val em = Tables.embeddings(s, d)
-      Similarity.lshTopKMultiProbe(em, em.filter(col("vec_id") < 5), "vec_id",
-          "embedding", k = 5, numPlanes = 8)
-        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
-        .orderBy("query_id", "rank")
-    }),
-
-    // IVF ANN (deterministic k-means coarse quantizer, probe-4). Training
-    // is a FIXED number of Lloyd iterations from a deterministic seed, so
-    // the oracle unrolls the whole index build as chained CTEs
-    // (ivfTopKSql); recall vs brute force is also pinned in SimilaritySpec
-    "s3_knn_ivf" -> ((s, d) => {
-      val em = Tables.embeddings(s, d)
-      Similarity.ivfTopK(em, em.filter(col("vec_id") < 5), "vec_id", "embedding",
-        k = 5, nCentroids = 16, nProbe = 4)
-        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
-        .orderBy("query_id", "rank")
-    }),
-
-    // hard-negative mining (filtered ANN): top-5 most-similar vectors with
-    // a DIFFERENT label, served by the same full-corpus IVF index as s3 —
-    // one index, any label predicate
-    "s10_hard_negatives" -> ((s, d) => {
-      val em = Tables.embeddings(s, d)
-      Similarity.ivfHardNegatives(em, em.filter(col("vec_id") < 5), "vec_id",
-        "embedding", "label", k = 5, nCentroids = 16, nProbe = 4)
-        .select(col("query_id"), col("rank"), col("neighbor_id"),
-          col("neighbor_label"), col("cosine"))
-        .orderBy("query_id", "rank")
-    }),
-
-    // semantic near-dup: k-means cells as candidate blocks — embedding
-    // dedup with NO metadata blocking key (oracle unrolls the same
-    // deterministic integer k-means as s3, then pairs within cells)
-    "s4_semantic_dedup" -> ((s, d) => {
-      Similarity.ivfNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
-        minCosine = 0.3, nCentroids = 16)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // cluster-balanced subset: IVF cells as topic strata, hash-ranked cap
-    // per cell — the "no topic dominates the training mix" recipe; both
-    // stages are audited shapes (broadcast centroids, one stratum shuffle)
-    "s9_cluster_balanced" -> ((s, d) => {
-      val em = Tables.embeddings(s, d)
-      val (cells, _) = Similarity.ivfIndex(em, "vec_id", "embedding", nCentroids = 16)
-      Sampling.stratifiedCap(cells.withColumnRenamed("id", "vec_id"),
-          Seq("cell"), "vec_id", cap = 20)
-        .select(col("vec_id"), col("cell"), col("rank").cast("int").as("rank"))
-        .orderBy("cell", "rank")
-    }),
-
-    // language ID (stopword n-gram heuristic)
-    "t1_lang_id" -> ((s, d) => {
-      TextAnalysis.languageId(Tables.documents(s, d), "doc_id", "text")
-        .orderBy("doc_id")
-    }),
-
-    // language-confusion matrix: declared metadata lang vs t1's predicted
-    // lang — the label-quality audit for a multilingual corpus
-    "t17_lang_confusion" -> ((s, d) => {
-      val c = Tables.documents(s, d)
-        .select(col("lang").as("declared_lang"),
-          TextAnalysis.predictedLangCol(col("text")).as("predicted_lang"))
-        .groupBy("declared_lang", "predicted_lang")
-        .agg(count(lit(1)).as("n"))
-      c.withColumn("share_ppm",
-          call_function("div", col("n") * 1000000L,
-            sum(col("n")).over(Window.partitionBy(col("declared_lang")))))
-        .orderBy("declared_lang", "predicted_lang")
-    }),
-
-    // quality scoring (integer-ratio heuristics)
-    "t2_quality_score" -> ((s, d) => {
-      TextAnalysis.qualityScore(Tables.documents(s, d), "doc_id", "text")
-        .orderBy("doc_id")
-    }),
-
-    // Moore-Lewis contrastive selection: per-doc target-LM (src1) vs
-    // general-LM score difference — "reads like the target domain, unlike
-    // the average"; the cross-entropy-difference classic next to s6's DSIR
-    "t16_moore_lewis" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Retrieval.mooreLewis(docs, "doc_id", "text", col("source") === "src1")
-        .join(docs.select(col("doc_id"), col("source")), "doc_id")
-        .select(col("doc_id"), col("source"), col("target_ppm"),
-          col("general_ppm"), col("ml_ppm"))
-        .orderBy("doc_id")
-    }),
-
-    // token counting (whitespace + BPE-ish pre-tokenizer)
-    "t3_token_counts" -> ((s, d) => {
-      TextAnalysis.tokenCounts(Tables.documents(s, d), "doc_id", "text")
-        .orderBy("doc_id")
-    }),
-
-    // document fingerprinting (md5 + rolling polynomial hash)
-    "t4_fingerprints" -> ((s, d) => {
-      TextAnalysis.fingerprints(Tables.documents(s, d), "doc_id", "text")
-        .orderBy("doc_id")
-    }),
-
-    // multimodal metadata struct over the binary payload
-    "m2_media_metadata" -> ((s, d) => {
-      Multimodal.withPayload(Tables.documents(s, d), "text")
-        .select(col("doc_id"), col("media_meta.kind").as("kind"),
-          col("media_meta.size_bytes").as("size_bytes"),
-          col("media_meta.content_md5").as("content_md5"))
-        .orderBy("doc_id")
-    }),
-
-    // multimodal binary-column plumbing with stubbed decoder
-    "m1_multimodal_features" -> ((s, d) => {
-      val docs = Multimodal.withPayload(Tables.documents(s, d), "text")
-      Multimodal.decodeFeatures(docs, "doc_id")
-        .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")
-    }),
-
-    // exact percentiles (sort-based, linear interpolation — both engines)
-    "q26_percentiles" -> ((s, d) => {
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          expr("percentile(l_quantity, 0.25)").as("p25"),
-          expr("percentile(l_quantity, 0.5)").as("median"),
-          expr("percentile(l_quantity, 0.75)").as("p75"))
-        .orderBy("l_returnflag")
-    }),
-
-    // ROLLUP subtotals (multi-dimensional aggregation)
-    "q27_rollup" -> ((s, d) => {
-      Tables.lineitem(s, d)
-        .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), qSum(col("l_quantity"), "sum_qty"))
-        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
-    }),
-
-    // pivot: per-user event-type counts as columns
-    "q28_pivot" -> ((s, d) => {
-      Tables.events(s, d)
-        .groupBy(col("user_id"))
-        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
-        .agg(count(lit(1)))
-        // scope the fill to the pivot columns: filling the user_id grouping
-        // key would silently rewrite a null key to 0 while the oracle keeps
-        // NULL, masking a mismatch
-        .na.fill(0L, Seq("click", "view", "purchase", "signup", "error"))
-        .orderBy("user_id")
-    }),
-
-    // composed curation pipeline: quality gate → exact dedup → minhash
-    // near-dup removal → language/fingerprint annotation, oracle-checked
-    // end-to-end
-    "p1_training_pipeline" -> ((s, d) => {
-      TrainingDataPipeline.curate(Tables.documents(s, d), "doc_id", "text",
-        minEstimate = 0.5, materializeCandidates = true)
-        .orderBy("doc_id")
-    }),
-
-    // gap-based sessionization (batch analogue of session windows)
-    "q19_sessionize" -> ((s, d) => {
-      Sessionize.summarize(Tables.events(s, d), "user_id", "ts_us", gapUs = 3600L * 1000000L)
-        .orderBy("user_id", "session_seq")
-    }),
-
-    // P2-P6 batch upsert + tombstone delete: last-writer-wins merge
-    "q20_upsert_merge" -> ((s, d) => {
-      val o = Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_totalprice"),
-          Tables.epochUs(col("o_orderdate")).as("o_orderdate_us"))
-        .withColumn("tombstone", lit(false))
-      val base = KVTable(o, Seq("o_orderkey"), "o_orderdate_us",
-        tombstoneCol = Some("tombstone"))
-      val upserts = o.filter(col("o_orderkey") < 10)
-        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
-        .withColumn("o_orderdate_us", col("o_orderdate_us") + WeekUs)
-      val deletes = o.filter(col("o_orderkey") >= 10 && col("o_orderkey") < 15)
-        .withColumn("o_orderdate_us", col("o_orderdate_us") + WeekUs)
-        .withColumn("tombstone", lit(true))
-      base.upsert(upserts).delete(deletes)
-        .where(col("o_orderkey") < 20)
-        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate_us"))
-        .orderBy("o_orderkey")
-    }),
-
-    // J2 scatter-gather with a custom commutative Aggregator (`gather` ≙ merge)
-    "q21_custom_gather" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .withColumn("value_cents", round(col("value") * 100).cast("long"))
-      ev.groupBy(col("event_type"))
-        .agg(Gather.countSumUdaf(col("value_cents")).as("g"))
-        .select(col("event_type"), col("g.n").as("n"), col("g.sum").as("sum_cents"))
-        .orderBy("event_type")
-    }),
-
-    // shipping-priority style top-k: filters pushed to both scans, broadcast
-    // dim, partial agg, then a global top-10 (TPC-H Q3 analogue)
-    "q24_topk_revenue" -> ((s, d) => {
-      val cutoff = lit("1998-06-01 00:00:00").cast("timestamp_ntz")
-      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
-      val o = Tables.orders(s, d).filter(col("o_orderdate") < cutoff)
-      val li = Tables.lineitem(s, d).filter(col("l_shipdate") >= cutoff)
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-        .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(qSumWide(col("l_extendedprice") * (lit(1) - col("l_discount")), "revenue"))
-        .select(col("l_orderkey"), Tables.epochUs(col("o_orderdate")).as("o_orderdate_us"), col("revenue"))
-        .orderBy(col("revenue").desc, col("l_orderkey"))
-        .limit(10)
-    }),
-
-    // EXISTS / NOT EXISTS as semi/anti joins: customers with and without orders
-    "q25_semi_anti" -> ((s, d) => {
-      val c = Tables.customer(s, d)
-      val o = Tables.orders(s, d).select(col("o_custkey"))
-      val withOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
-        .select(col("c_custkey"), lit("has_orders").as("status"))
-      val withoutOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
-        .select(col("c_custkey"), lit("no_orders").as("status"))
-      withOrders.unionByName(withoutOrders).orderBy("c_custkey")
-    }),
-
-    // skew-tolerant two-stage salted aggregation (result ≡ plain groupBy)
-    "q23_salted_rollup" -> ((s, d) => {
-      Skew.saltedCountSum(Tables.events(s, d), Seq("user_id"), "value", saltBuckets = 16)
-        .orderBy("user_id")
-    }),
-
-    // sliding event-time window (trailing 1h count per user, RANGE frame)
-    "q22_sliding_window" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
-        .rangeBetween(-3600L * 1000000L, 0L)
-      ev.withColumn("trailing_cnt", count(lit(1)).over(w))
-        .select(col("event_id"), col("user_id"), col("ts_us"), col("trailing_cnt"))
-        .orderBy("event_id")
-    }),
-
-    // deterministic md5-bucket train/val/test split (zero-shuffle,
-    // engine-portable, stable under repartition/rerun)
-    "q29_split_sample" -> ((s, d) => {
-      Sampling.trainValTestSplit(Tables.documents(s, d), "doc_id")
-        .select(col("doc_id"), col("lang"), col("bucket"), col("split"))
-        .orderBy("doc_id")
-    }),
-
-    // CUBE over (returnflag, linestatus) with grouping flags
-    // arbitrary GROUPING SETS (not a rollup/cube prefix chain)
-    "q43_grouping_sets" -> ((s, d) => {
-      Tables.lineitem(s, d)
-        .groupingSets(
-          Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_linestatus"))),
-          col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          grouping(col("l_returnflag")).cast("int").as("g_rf"),
-          grouping(col("l_linestatus")).cast("int").as("g_ls"),
-          count(lit(1)).as("n"),
-          qSum(col("l_quantity"), "sum_qty"))
-        .orderBy(col("g_rf"), col("g_ls"),
-          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
-    }),
-
-    "q30_cube" -> ((s, d) => {
-      Tables.lineitem(s, d)
-        .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          grouping(col("l_returnflag")).cast("int").as("g_rf"),
-          grouping(col("l_linestatus")).cast("int").as("g_ls"),
-          count(lit(1)).as("n"),
-          qSum(col("l_quantity"), "sum_qty"))
-        .orderBy(col("g_rf"), col("g_ls"),
-          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
-    }),
-
-    // fixed-width value histogram per event type
-    "q31_histogram" -> ((s, d) => {
-      Histogram.fixedWidth(Tables.events(s, d), Seq("event_type"), "value", width = 10.0)
-        .orderBy("event_type", "bin")
-    }),
-
-    // per-language top-5 corpus terms (term-frequency profile)
-    "t5_top_terms" -> ((s, d) => {
-      TextAnalysis.topTermsPerGroup(Tables.documents(s, d), "lang", "text", k = 5)
-        .select(col("lang"), col("token"), col("n"), col("rank"))
-        .orderBy("lang", "rank")
-    }),
-
-    // R5 inverted-index intersection: docs containing ALL query terms
-    "q38_search_and" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val index = SecondaryIndex.build(docs, Seq("doc_id"), tokens(col("text")))
-      SecondaryIndex.multiLookup(index, docs, Seq("doc_id"), Seq("spark", "window"))
-        .select(col("doc_id"), col("lang"), col("source"))
-        .orderBy("doc_id")
-    }),
-
-    // ordered funnel conversion over the event log (click → view → purchase,
-    // time-bounded so each stage has a real failure rate)
-    "q39_funnel" -> ((s, d) => {
-      Analytics.funnel(
-        Tables.events(s, d).filter(col("ts_us") < Jan10_24),
-        "user_id", "event_type", "ts_us",
-        Seq("click", "view", "purchase"))
-        .orderBy("stage")
-    }),
-
-    // time-weighted average over SCD2 validity intervals (closed intervals
-    // only; exact: long products, decimal sums, one double division)
-    "q47_time_weighted" -> ((s, d) => {
-      val ev = Tables.events(s, d).select(
-        col("user_id"), col("event_id"),
-        round(col("value") * 100).cast("long").as("cents"), col("ts_us"))
-      Changelog.scd2History(ev, Seq("user_id"), "ts_us", tieBreakCols = Seq("event_id"))
-        .filter(col("valid_to_us").isNotNull)
-        .select(col("user_id"), col("cents"),
-          (col("valid_to_us") - col("valid_from_us")).as("dur_us"))
-        .groupBy("user_id")
-        .agg(
-          count(lit(1)).as("n_intervals"),
-          (sum((col("cents") * col("dur_us")).cast("decimal(38,0)")).cast("double") /
-            sum(col("dur_us").cast("decimal(38,0)")).cast("double")).as("twa_cents"))
-        .orderBy("user_id")
-    }),
-
-    // PII scrubbing: synthetic log lines (no PII in the testdata) built from
-    // event columns, then redacted — only the scrub side is scored
-    // sliding 64-token windows, 16-token overlap (context-window prep)
-    "t8_chunking" -> ((s, d) => {
-      TextAnalysis.chunk(Tables.documents(s, d), "doc_id", "text",
-        chunkTokens = 64, overlap = 16)
-        .orderBy("doc_id", "chunk_idx")
-    }),
-
-    // per-source adaptive quality gate: keep the best 60% of EVERY source
-    // (rank-within-stratum, not a global threshold)
-    "t9_adaptive_quality" -> ((s, d) => {
-      TextAnalysis.adaptiveQualityFilter(Tables.documents(s, d), "doc_id", "text",
-        strataCol = "source", keepPpm = 600000L)
-        .orderBy("source", "rank")
-    }),
-
-    // corpus vocabulary drift stats per source (type-token + hapax ppm)
-    "t10_vocab_stats" -> ((s, d) => {
-      TextAnalysis.vocabStats(Tables.documents(s, d), "text", "source")
-        .orderBy("source")
-    }),
-
-    // most over-represented terms per source (integer-ppm lift — TF-IDF's
-    // job without the float log)
-    "t11_characteristic_terms" -> ((s, d) => {
-      TextAnalysis.characteristicTerms(Tables.documents(s, d), "source", "text",
-        k = 5, minCount = 2L)
-        .orderBy("source", "rank")
-    }),
-
-    "t7_pii_scrub" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val raw = concat(
-        lit("user "), col("user_id").cast("string"),
-        when(col("user_id") % 3 === 0,
-          concat(lit(" mail u"), col("user_id").cast("string"), lit("@example.com")))
-          .otherwise(lit("")),
-        when(col("user_id") % 2 === 0,
-          concat(lit(" ip 10.0."), (col("user_id") % 250).cast("string"), lit(".7")))
-          .otherwise(lit("")),
-        when(col("event_id") % 5 === 0,
-          concat(lit(" card 4111222233334"),
-            lpad((col("event_id") % 1000).cast("string"), 3, "0")))
-          .otherwise(lit("")),
-        lit(" type="), col("event_type"))
-      TextAnalysis.scrubPii(
-        ev.select(col("event_id"), raw.as("raw")), "event_id", "raw")
-        .select(col("event_id"), col("n_emails"), col("n_ips"), col("n_cards"),
-          md5(col("scrubbed")).as("scrub_md5"))
-        .orderBy("event_id")
-    }),
-
-    // salted skew join: result-identical to the plain equi-join (the oracle
-    // IS the plain join — proves the salting is correctness-free)
-    "q46_salted_join" -> ((s, d) => {
-      val e = Tables.events(s, d).select(col("user_id"), col("value"))
-      val c = Tables.customer(s, d)
-        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
-      Skew.saltedJoin(e, c, Seq("user_id"), saltBuckets = 8)
-        .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n"), qSum(col("value"), "sum_value"))
-        .orderBy("c_mktsegment")
-    }),
-
-    // SCD2 temporal history: per-user validity intervals from the event log
-    "q45_scd2" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .select(col("user_id"), col("event_id"), col("event_type"), col("ts_us"))
-      Changelog.scd2History(ev, Seq("user_id"), "ts_us", tieBreakCols = Seq("event_id"))
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          col("valid_from_us"), col("valid_to_us"))
-        .orderBy("user_id", "valid_from_us", "event_id")
-    }),
-
-    // rolling 7-day distinct active users per observed day (exact, no sketch)
-    "q44_rolling_active" -> ((s, d) => {
-      Analytics.rollingActive(Tables.events(s, d), "user_id", "ts_us",
-        periods = 7, truncUnit = "day")
-        .orderBy("end_us")
-    }),
-
-    // weekly cohort retention (first-event cohort × period offset)
-    "q40_cohort_retention" -> ((s, d) => {
-      Analytics.cohortRetention(Tables.events(s, d), "user_id", "ts_us", "week")
-        .orderBy("cohort_us", "period_offset")
-    }),
-
-    // curation v2: repetition gate → decontaminate → cluster dedup → lang cap
-    "p2_curation_v2" -> ((s, d) => {
-      TrainingDataPipeline.curateV2(s, Tables.documents(s, d), "doc_id", "text",
-        evalFilter = col("source") === "src0")
-        .select(col("doc_id"), col("lang"), col("source"), col("rank"))
-        .orderBy("lang", "rank")
-    }),
-
-    // equi-depth quantization table: 4 ntile buckets per event type
-    "q42_equidepth" -> ((s, d) => {
-      val e = Tables.events(s, d).select(
-        col("event_id"), col("event_type"),
-        round(col("value") * 100).cast("long").as("cents"))
-      Histogram.equiDepth(e, Seq("event_type"), "cents",
-        tieBreakCols = Seq("event_id"), buckets = 4)
-        .withColumn("bucket", col("bucket").cast("int"))
-        .orderBy("event_type", "bucket")
-    }),
-
-    // per-type 3σ outliers in exact integer algebra (no float variance)
-    "q41_outliers" -> ((s, d) => {
-      val e = Tables.events(s, d).select(
-        col("event_id"), col("event_type"),
-        round(col("value") * 100).cast("long").as("cents"))
-      Analytics.zscoreOutliers(e, Seq("event_type"), "cents", k = 3)
-        .select(col("event_id"), col("event_type"), col("cents"))
-        .orderBy("event_id")
-    }),
-
-    // MinHash LSH with the degenerate-bucket cap ENABLED and tripped (cap=2
-    // drops every band bucket of 3+ docs at both sf0.01 and sf0.1): the
-    // 100 TB guard rail, oracle-proven — the DuckDB side mirrors the exact
-    // whole-bucket drop rule, so parity holds with rows actually dropped
-    "d8_minhash_capped" -> ((s, d) => {
-      Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
-        numHashes = 8, shingleSize = 3, rowsPerBand = 2, minEstimate = 0.5,
-        materializeCandidates = true, maxBucketSize = 2L)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // SimHash Hamming-ball near-dup pairs (Manku et al. banding: 2 byte-
-    // bands catch every Hamming<=1 pair via pigeonhole, popcount residual)
-    "d9_simhash_pairs" -> ((s, d) => {
-      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
-        bits = 16, maxHamming = 1)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // containment pairs: truncated/embedded copies that Jaccard misses
-    // (blocked by lang only — length-bucketing would separate a copy from
-    // its longer source)
-    "d10_containment" -> ((s, d) => {
-      Dedup.ngramContainment(Tables.documents(s, d), "doc_id", "text",
-        blockCols = Seq("lang"), n = 3, minContainment = 0.8,
-        materializeGramSets = true)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // inter-source duplication matrix: near-dup pair counts per source pair
-    // (which sources plagiarize which — the corpus-mix diagnostic). Pairs
-    // are tiny next to the corpus, so the source joins broadcast them.
-    "d11_source_overlap" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
-        numHashes = 8, shingleSize = 3, rowsPerBand = 2, minEstimate = 0.5,
-        materializeCandidates = true)
-      val src = docs.select(col("doc_id"), col("source"))
-      pairs
-        .join(src.toDF("id_a", "src_a"), "id_a")
-        .join(src.toDF("id_b", "src_b"), "id_b")
-        .select(least(col("src_a"), col("src_b")).as("source_a"),
-          greatest(col("src_a"), col("src_b")).as("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(count(lit(1)).as("n_pairs"))
-        .orderBy("source_a", "source_b")
-    }),
-
-    // near-dup clustering: LSH pairs closed into components, keeper = min id
-    "d7_dedup_clusters" -> ((s, d) => {
-      Dedup.nearDupClusters(s, Tables.documents(s, d), "doc_id", "text",
-        numHashes = 8, shingleSize = 3, rowsPerBand = 2, minEstimate = 0.5)
-        .orderBy("doc_id")
-    }),
-
-    // keeper selection: within each near-dup cluster keep the highest
-    // alpha-ratio member (tie -> lowest id) — the quality-aware refinement
-    // of d7's min-id placeholder rule
-    "d16_quality_keeper" -> ((s, d) => {
-      Dedup.qualityKeeper(s, Tables.documents(s, d), "doc_id", "text",
-        numHashes = 8, shingleSize = 3, rowsPerBand = 2, minEstimate = 0.5)
-        .orderBy("doc_id")
-    }),
-
-    // benchmark decontamination: train docs sharing an 8-gram with the
-    // (src0-as-benchmark) eval corpus; broadcast eval gram set, no shuffle
-    "d6_decontaminate" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Dedup.decontaminate(
-        docs.filter(col("source") =!= "src0"),
-        docs.filter(col("source") === "src0"),
-        "doc_id", "text", n = 8)
-        .orderBy("doc_id")
-    }),
-
-    // corpus rebalancing: deterministic hash-ranked cap per language stratum
-    "q37_stratified_cap" -> ((s, d) => {
-      Sampling.stratifiedCap(Tables.documents(s, d), Seq("lang"), "doc_id", cap = 50)
-        .select(col("doc_id"), col("lang"), col("source"), col("rank"))
-        .orderBy("lang", "rank")
-    }),
-
-    // J1/§4 co-located layout as a QUERY: both fact tables persisted
-    // hash-bucketed on the join key (a one-time write-side layout decision,
-    // done on first run and reused after — exactly the recurring-join trade
-    // the reference makes with its murmur2-partitioned stores), then a
-    // fact-fact join that plans with NO exchange below the aggregation.
-    // Results are layout-independent, so the oracle is the plain join.
-    "q52_bucketed_join" -> ((s, d) => {
-      val suffix = graft.state.Bucketing.tableSuffix(d)
-      val (ot, lt) = (s"b_orders_$suffix", s"b_lineitem_$suffix")
-      if (!s.catalog.tableExists(ot))
-        graft.state.Bucketing.writeBucketed(
-          Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
-          ot, Seq("o_orderkey"), numBuckets = 8)
-      if (!s.catalog.tableExists(lt))
-        graft.state.Bucketing.writeBucketed(
-          Tables.lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
-            col("l_extendedprice"), col("l_discount")),
-          lt, Seq("o_orderkey"), numBuckets = 8)
-      graft.state.Bucketing.colocatedJoin(s, ot, lt, Seq("o_orderkey"), forceMerge = true)
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n_items"),
-          qSumWide(col("l_extendedprice") * (lit(1) - col("l_discount")), "revenue"))
-        .orderBy("o_orderpriority")
-    }),
-
-    // deterministic training mix: 50%/30%/20% from three sources, others 0
-    "q51_mixture_sample" -> ((s, d) => {
-      Sampling.mixtureSample(Tables.documents(s, d), "source", "doc_id",
-          weightsPpm = Map("src1" -> 500000L, "src2" -> 300000L, "src3" -> 200000L),
-          total = 40L)
-        .select(col("doc_id"), col("source"), col("rank"))
-        .orderBy("source", "rank")
-    }),
-
-    // duplicate word-trigram ratio per document (repetition quality signal)
-    "t6_repetition" -> ((s, d) => {
-      TextAnalysis.repetition(Tables.documents(s, d), "doc_id", "text", n = 3)
-        .orderBy("doc_id")
-    }),
-
-    // video-shaped frame sampling: every 4th 16-char frame, fingerprinted
-    "m3_frame_sample" -> ((s, d) => {
-      Multimodal.sampleFrames(Tables.documents(s, d), "doc_id", "text",
-        frameChars = 16, stride = 4)
-        .orderBy("doc_id", "frame_idx")
-    }),
-
-    // cross-media duplicate frames: sampled fingerprints shared by >= 2
-    // media, with the canonical first (doc, frame) occurrence
-    "m4_duplicate_frames" -> ((s, d) => {
-      Multimodal.duplicateFrames(Tables.documents(s, d), "doc_id", "text",
-        frameChars = 16, stride = 4, minDocs = 2L)
-        .orderBy("frame_md5")
-    }),
-
-    // CDC snapshot diff: first-half vs second-half per-user activity.
-    // The time midpoint is computed IN-PLAN (1-row broadcast, q8's pattern)
-    // — no separate driver job, events is scanned once per snapshot branch,
-    // not once extra for the bounds.
-    "q32_snapshot_diff" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
-      val mid = ev.agg(min(col("ts_us")).as("mn"), max(col("ts_us")).as("mx"))
-        .select(expr("(mn + mx) div 2").as("mid_ts"))
-      val withMid = ev.crossJoin(broadcast(mid))
-      def snap(df: org.apache.spark.sql.DataFrame) =
-        df.groupBy("user_id").agg(
-          count(lit(1)).as("n"),
-          max_by(col("event_type"), struct(col("ts_us"), col("event_id"))).as("last_type"))
-      Changelog.diffSnapshots(
-        snap(withMid.filter(col("ts_us") < col("mid_ts"))),
-        snap(withMid.filter(col("ts_us") >= col("mid_ts"))),
-        Seq("user_id"))
-        .select(col("user_id"), col("change_type"),
-          col("old_val.n").as("old_n"), col("old_val.last_type").as("old_last"),
-          col("new_val.n").as("new_n"), col("new_val.last_type").as("new_last"))
-        .orderBy("user_id")
-    }),
-
-    // point-in-interval range join (bucketized equi-join, no theta join):
-    // count global error events inside each user session
-    "q33_range_join" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val sessions = Sessionize.summarize(ev, "user_id", "ts_us", gapUs = 3600L * 1000000L)
-      val errors = ev.filter(col("event_type") === "error")
-        .select(col("ts_us").as("err_ts"))
-      RangeJoin.pointInInterval(errors, sessions, "err_ts",
-          "session_start_us", "session_end_us", bucketWidth = 3600L * 1000000L)
-        .groupBy("user_id", "session_seq")
-        .agg(count(lit(1)).as("n_errors"))
-        .orderBy("user_id", "session_seq")
-    }),
-
-    // interval-overlap join (bucketized equi-join, canonical-bucket emit —
-    // no theta/nested-loop join, no dedup shuffle): two order-window
-    // relations, every overlapping pair of 7-day windows
-    "q48_interval_overlap" -> ((s, d) => {
-      val o = Tables.orders(s, d)
-      def windows(mod: Int, kc: String, sc: String, ec: String) = o
-        .filter(col("o_orderkey") % mod === 0)
-        .select(col("o_orderkey").as(kc),
-          Tables.epochUs(col("o_orderdate")).as(sc),
-          (Tables.epochUs(col("o_orderdate")) + WeekUs).as(ec))
-      RangeJoin.intervalOverlap(
-        windows(97, "a_key", "a_start", "a_end"),
-        windows(89, "b_key", "b_start", "b_end"),
-        "a_start", "a_end", "b_start", "b_end", bucketWidth = WeekUs)
-        .select("a_key", "b_key", "a_start", "b_start")
-        .orderBy("a_key", "b_key")
-    }),
-
-    // gap-fill resampling: daily grid per user between first and last
-    // event, value carried forward over empty days (LOCF densification)
-    "q50_gap_fill" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .select(col("user_id"), col("ts_us"), col("event_id"),
-          round(col("value") * 100).cast("long").as("cents"))
-      Analytics.resampleLocf(ev, Seq("user_id"), "ts_us", "cents",
-          stepUs = DayUs, tieBreakCols = Seq("event_id"))
-        .select(col("user_id"), col("slot").as("day"), col("cents"), col("observed"))
-        .orderBy("user_id", "day")
-    }),
-
-    // entity resolution: fuzzy pairs (edit distance <= 2) closed into
-    // clusters — FuzzyJoin + connectedComponents composed; canonical
-    // entity = min 60-bit name hash (same md5-prefix longs both engines)
-    "q49_entity_resolution" -> ((s, d) => {
-      def h60(c: Column): Column =
-        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-      val names = Tables.part(s, d).select(col("p_name").as("name")).distinct()
-      val pairs = FuzzyJoin.editDistancePairs(names, "name", "name",
-        maxDistance = 2, maxTokenDf = 1000L)
-      val cc = GraphAlgorithms.connectedComponents(s,
-        pairs.select(h60(col("id_a")).as("src"), h60(col("id_b")).as("dst")))
-      names.withColumn("h", h60(col("name")))
-        .join(cc, col("h") === col("vertex"), "left")
-        .select(col("name"), coalesce(col("component"), col("h")).as("cluster_id"))
-        .orderBy("name")
-    }),
-
-    // fuzzy self-join: near-identical part names via token blocking +
-    // exact levenshtein on deduped candidate pairs
-    "q34_fuzzy_join" -> ((s, d) => {
-      val names = Tables.part(s, d).select(col("p_name").as("name")).distinct()
-      FuzzyJoin.editDistancePairs(names, "name", "name", maxDistance = 3, maxTokenDf = 1000L)
-        .select(col("id_a").as("name_a"), col("id_b").as("name_b"), col("dist"))
-        .orderBy("name_a", "name_b")
-    }),
-
-    // integer-exact fixed-iteration PageRank over the brand↔type graph
-    "q35_pagerank" -> ((s, d) => {
-      val bt = Tables.part(s, d).select(
-        concat(lit("b:"), col("p_brand")).as("src"),
-        concat(lit("t:"), col("p_type")).as("dst"))
-      val edges = bt.union(bt.select(col("dst").as("src"), col("src").as("dst")))
-      GraphAlgorithms.pageRankPpm(s, edges, iterations = 10)
-        .orderBy("vertex")
-    }),
-
-    // deterministic label propagation (plurality label, smallest-label
-    // tie-break, 3 synchronous rounds) over the brand↔type graph
-    "q66_label_prop" -> ((s, d) => {
-      val bt = Tables.part(s, d).select(
-        concat(lit("b:"), col("p_brand")).as("src"),
-        concat(lit("t:"), col("p_type")).as("dst"))
-      val edges = bt.union(bt.select(col("dst").as("src"), col("src").as("dst")))
-      GraphAlgorithms.labelPropagation(s, edges, iterations = 3)
-        .orderBy("vertex")
-    }),
-
-    // EXACT heavy hitters with a CMS-pruned shuffle: rows tested row-
-    // locally against materialized counters BEFORE the groupBy (CMS never
-    // underestimates -> no false negatives; colliding light keys die on
-    // the exact HAVING), so the oracle is the PLAIN exact query — the
-    // sketch only cuts shuffled keys
-    "q70_heavy_hitters" -> ((s, d) => {
-      Sketches.heavyHitters(Tables.lineitem(s, d), "l_suppkey",
-          threshold = 620L, depth = 3, width = 1024)
-        .orderBy("l_suppkey")
-    }),
-
-    // k-core (k=3) of the co-purchase graph by synchronous peeling —
-    // deterministic fixpoint (the k-core is unique), degree counts within
-    // the core; the dense-subgraph extraction that precedes community
-    // analytics
-    "q71_kcore" -> ((s, d) => {
-      GraphAlgorithms.kCore(s, GraphAlgorithms.cooccurrenceEdges(
-          Tables.lineitem(s, d), "l_orderkey", "l_partkey", minSupport = 2L),
-          k = 3)
-        .orderBy("vertex")
-    }),
-
-    // time-travel view: the latest-per-key state AS OF Jan 10 (the
-    // reference's bootstrap-to-checkpoint replay as a declarative filter;
-    // ts predicate sits below the compaction aggregate → row-group pruning)
-    "q77_time_travel" -> ((s, d) => {
-      KVTable(Tables.events(s, d), Seq("user_id"), "ts_us",
-          tieBreakCols = Seq("event_id"))
-        .asOf(Jan10_24)
-        .select(col("user_id"), col("event_id").as("last_event_id"),
-          col("value").as("last_value"), col("ts_us").as("last_ts_us"))
-        .orderBy("user_id")
-    }),
-
-    // per-key getAndUpdate RMW fold (P6, ExampleBank clamp-at-zero balance)
-    // in CLOSED FORM: b_n = S_n - min(0, min_k S_k) — one ordered window +
-    // one aggregate replaces sequential per-key state
-    "q80_rmw_fold" -> ((s, d) => {
-      val ev = Tables.events(s, d).select(col("user_id"),
-        (round(col("value") * 100).cast("long") - 3500L).as("delta_cents"),
-        col("ts_us"), col("event_id"))
-      Analytics.clampedRunningFold(ev, Seq("user_id"), "delta_cents",
-          Seq("ts_us", "event_id"))
-        .orderBy("user_id")
-    }),
-
-    // incremental materialized-view maintenance: additive per-key aggregate
-    // STATE (n, sum, max) computed on the log halves independently, then
-    // merged state-to-state — the oracle recomputes from the full log, so
-    // the hash match is the merge(state(base), state(delta)) ≡ state(full)
-    // invariant that lets a 100 TB history be scanned once, ever
-    "q81_mv_incremental" -> ((s, d) => {
-      val ev = Tables.events(s, d).select(col("user_id"),
-        round(col("value") * 100).cast("long").as("cents"), col("ts_us"))
-      val mid = ev.agg(min(col("ts_us")).as("mn"), max(col("ts_us")).as("mx"))
-        .select(expr("(mn + mx) div 2").as("mid_ts"))
-      val withMid = ev.crossJoin(broadcast(mid))
-      val base = Analytics.additiveAggState(
-        withMid.filter(col("ts_us") <= col("mid_ts")), Seq("user_id"), "cents", "ts_us")
-      val delta = Analytics.additiveAggState(
-        withMid.filter(col("ts_us") > col("mid_ts")), Seq("user_id"), "cents", "ts_us")
-      Analytics.mergeAdditiveStates(Seq(base, delta), Seq("user_id"))
-        .orderBy("user_id")
-    }),
-
-    // trailing-window anomaly monitor: |x − mean(hist)| > 3σ(hist) over the
-    // preceding 20 same-key values, tested EXACTLY in integer space
-    // ((n·x − S)² > 9·(n·Q − S²)) — no doubles, no division, bit-stable
-    "q82_rolling_anomaly" -> ((s, d) => {
-      val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
-          col("ts_us"), round(col("value") * 100).cast("long").as("cents"))
-        .filter(col("cents").isNotNull)
-      Analytics.rollingAnomalies(ev, Seq("user_id"), "cents",
-          Seq("ts_us", "event_id"), histRows = 20, minHist = 8, k = 3)
-        .select(col("user_id"), col("event_id"), col("ts_us"), col("cents"),
-          col("n_hist"))
-        .orderBy("user_id", "ts_us", "event_id")
-    }),
-
-    // gaps-and-islands interval coalescing: each event opens a 10-minute
-    // activity interval; overlapping intervals merge into islands (one
-    // ordered window + one co-partitioned aggregate, no self-join)
-    "q83_interval_merge" -> ((s, d) => {
-      val iv = Tables.events(s, d).select(col("user_id"),
-        col("ts_us").as("start_us"),
-        (col("ts_us") + lit(600000000L)).as("end_us"), col("event_id"))
-      Analytics.mergeIntervals(iv, Seq("user_id"), "start_us", "end_us",
-          Seq("event_id"))
-        .select(col("user_id"), col("island"), col("island_start"),
-          col("island_end"), col("n_rows"))
-        .orderBy("user_id", "island")
-    }),
-
-    // cumulative distinct event types per user per day: COUNT(DISTINCT)
-    // OVER in first-seen-flag form — Spark has no distinct windows and
-    // the naive spelling is O(n²) state; this is one narrow window + a
-    // running sum over period-sized rows
-    "q85_cumulative_distinct" -> ((s, d) => {
-      Analytics.cumulativeDistinct(Tables.events(s, d), Seq("user_id"),
-          "event_type", "ts_us", tieBreakCols = Seq("event_id"))
-        .select(col("user_id"), col("period_us"), col("n_new"),
-          col("n_events"), col("cum_distinct"))
-        .orderBy("user_id", "period_us")
-    }),
-
-    // click→purchase conversion-lag histogram: first click, first purchase
-    // strictly after it, floor-minute buckets — two co-partitioned
-    // aggregates (funnel frontiers), no per-pair join
-    "q86_conversion_lag" -> ((s, d) => {
-      val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts_us"))
-      val f1 = e.filter(col("event_type") === "click")
-        .groupBy("user_id").agg(min(col("ts_us")).as("t1"))
-      val f2 = e.filter(col("event_type") === "purchase")
-        .join(f1, "user_id").filter(col("ts_us") > col("t1"))
-        .groupBy("user_id", "t1").agg(min(col("ts_us")).as("t2"))
-      f2.select(expr("(t2 - t1) div 60000000").as("lag_min"))
-        .groupBy("lag_min").agg(count(lit(1)).as("n_users"))
-        .orderBy("lag_min")
-    }),
-
-    // link prediction on the co-purchase graph: Jaccard over common
-    // neighbors (hub-capped wedges), existing edges anti-joined away —
-    // "bought X also bought Y" candidates, top-20
-    // correlated-avg subquery (TPC-H Q17 shape): lineitems whose quantity is
-    // below 20% of their part's average — avg decorrelated into one per-part
-    // aggregate then re-joined on the SAME key (the agg shuffle partitioning
-    // is reusable; no per-row subquery execution). Exact: qc < sum/(5·cnt)
-    // cross-multiplied to 5·qc·cnt < sum — zero divisions, zero doubles
-    "q96_small_qty_parts" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).select(col("l_partkey"),
-        round(col("l_quantity") * 100).cast("long").as("qc"),
-        round(col("l_extendedprice") * 100).cast("long").as("pc"))
-      val perPart = li.groupBy("l_partkey")
-        .agg(count(lit(1)).as("cnt"), sum(col("qc")).as("sum_qc"))
-      li.join(perPart, "l_partkey")
-        .filter(col("qc") * lit(5L) * col("cnt") < col("sum_qc"))
-        .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"))),
-          col("l_partkey") === col("p_partkey"))
-        .groupBy("p_brand")
-        .agg(count(lit(1)).as("n_small"), sum(col("pc")).as("small_rev_cents"))
-        .orderBy("p_brand")
-    }),
-
-    // lone-late-supplier audit (TPC-H Q21 shape): suppliers that shipped
-    // >60 days after the order date on multi-supplier orders where every
-    // OTHER supplier was on time. EXISTS/NOT EXISTS decorrelated into
-    // per-order counts (n_supp ≥ 2, n_late = 1) — two group-bys on keys the
-    // data is already shuffled by, no correlated probes
-    "q97_waiting_suppliers" -> ((s, d) => {
-      val o = Tables.orders(s, d)
-        .select(col("o_orderkey"), Tables.epochUs(col("o_orderdate")).as("odate_us"))
-      val l = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_suppkey"), Tables.epochUs(col("l_shipdate")).as("sdate_us"))
-      val perOS = l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .groupBy("l_orderkey", "l_suppkey")
-        .agg(max(when(col("sdate_us") - col("odate_us") > lit(60L * DayUs), 1L)
-          .otherwise(0L)).as("any_late"))
-      val perO = perOS.groupBy(col("l_orderkey").as("ok"))
-        .agg(count(lit(1)).as("n_supp"), sum(col("any_late")).as("n_late"))
-      perOS.filter(col("any_late") === 1L)
-        .join(perO.filter(col("n_supp") >= 2L && col("n_late") === 1L),
-          col("l_orderkey") === col("ok"))
-        .groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))
-        .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
-          col("l_suppkey") === col("s_suppkey"))
-        .select(col("s_suppkey"), col("s_name"), col("numwait"))
-        .orderBy(col("numwait").desc, col("s_suppkey"))
-    }),
-
-    // top-revenue parts vs a global total (TPC-H Q11 shape): the scalar
-    // subquery becomes one 1-row broadcast; threshold rev > total div 2000
-    // keeps everything in long space (no 10000·rev overflow at 100 TB) and
-    // bounds the result to ≤2000 rows BY CONSTRUCTION at any scale
-    "q98_important_parts" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).select(col("l_partkey"),
-        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000).cast("long").as("rc"))
-      val perPart = li.groupBy("l_partkey").agg(sum(col("rc")).as("rev"))
-      val total = perPart.agg(sum(col("rev")).as("total"))
-      perPart.crossJoin(broadcast(total))
-        .filter(col("rev") > expr("total div 2000"))
-        .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"))),
-          col("l_partkey") === col("p_partkey"))
-        .select(col("l_partkey"), col("p_brand"),
-          (col("rev").cast("double") / 10000.0).as("revenue"),
-          // staged ppm: ×1000 then ÷(total÷1000) — same formula both engines,
-          // numerator headroom to ~$1e12 revenue per part (rev*1e6 would not)
-          expr("(rev * 1000) div (total div 1000)").as("share_ppm"))
-        .orderBy(col("revenue").desc, col("l_partkey"))
-    }),
-
-    // purchase cadence: median days between a customer's consecutive
-    // orders, per segment — one lag window on the customer key feeding the
-    // exact weighted-median machinery (unit weights)
-    "q127_purchase_cadence" -> ((s, d) => {
-      val o = Tables.orders(s, d)
-        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-        .select(col("c_mktsegment"), col("o_custkey"), col("o_orderkey"),
-          Tables.epochUs(col("o_orderdate")).as("od_us"))
-      val w = Window.partitionBy("o_custkey").orderBy(col("od_us"), col("o_orderkey"))
-      val gaps = o.withColumn("prev", lag(col("od_us"), 1).over(w))
-        .filter(col("prev").isNotNull)
-        .select(col("c_mktsegment"),
-          expr(s"(od_us - prev) div $DayUs").as("gap_days"))
-        .withColumn("one", lit(1L))
-      Analytics.weightedMedian(gaps, Seq("c_mktsegment"), "gap_days", "one")
-        .select(col("c_mktsegment"), col("n"), col("wmedian").as("median_gap_days"))
-        .orderBy("c_mktsegment")
-    }),
-
-    // ANN cost model: candidates each index would examine per query — LSH
-    // bucket population vs IVF probed-cell population, in exact ppm of the
-    // corpus. The audit that justifies (or indicts) an index BEFORE queries
-    // run; everything derives from index metadata, the corpus is scanned
-    // once to build it
-    "s24_ann_candidates" -> ((s, d) => {
-      import s.implicits._
-      val em = Tables.embeddings(s, d)
-      val vecs = em.select(col("vec_id").as("id"), quantize1000(col("embedding")).as("v"))
-        .localCheckpoint(true)
-      val corpusN = vecs.agg(count(lit(1)).as("corpus_n"))
-      val bucketed = vecs.withColumn("bucket", Similarity.lshBucketQ(col("v"), 8, 64))
-      val bsizes = bucketed.groupBy("bucket").agg(count(lit(1)).as("bn"))
-      val lsh = bucketed.filter(col("id") < 5).join(bsizes, "bucket")
-        .select(col("id").as("query_id"), (col("bn") - 1L).as("lsh_candidates"))
-      val (cells, centroids) = Similarity.ivfIndex(em, "vec_id", "embedding",
-        nCentroids = 16, iterations = 5)
-      val csizes = cells.groupBy("cell").agg(count(lit(1)).as("csz"))
-      val centDf = broadcast(
-        centroids.zipWithIndex.map { case (c, i) =>
-          (i, c.toSeq, c.map(x => x * x).sum)
-        }.toSeq.toDF("cell", "c", "cnorm"))
-      val probes = vecs.filter(col("id") < 5).crossJoin(centDf)
-        .withColumn("dist", col("cnorm") - lit(2L) * ldot(col("v"), col("c")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("id").orderBy(col("dist"), col("cell"))))
-        .filter(col("rn") <= 4)
-      val ivf = probes.join(csizes, "cell").groupBy("id")
-        .agg((sum(col("csz")) - 1L).as("ivf_candidates"))
-        .withColumnRenamed("id", "qid2")
-      lsh.join(ivf, col("query_id") === col("qid2")).drop("qid2")
-        .crossJoin(broadcast(corpusN))
-        .select(col("query_id"), col("lsh_candidates"), col("ivf_candidates"),
-          col("corpus_n"),
-          expr("(lsh_candidates * 1000000) div corpus_n").as("lsh_ppm"),
-          expr("(ivf_candidates * 1000000) div corpus_n").as("ivf_ppm"))
-        .orderBy("query_id")
-    }),
-
-    // session conversion by week: sessions flagged (had click, had
-    // purchase) via two bool-max aggregates on the session key — the
-    // abandoned-cart rate; exact ppm over session-sized frames
-    "q125_session_conversion" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
-      val sess = Sessionize.assign(ev, "user_id", "ts_us",
-        gapUs = 3600000000L, tieBreakCols = Seq("event_id"))
-      val flags = sess.groupBy("user_id", "session_seq")
-        .agg(min(col("ts_us")).as("t0"),
-          max((col("event_type") === "click").cast("long")).as("had_click"),
-          max((col("event_type") === "purchase").cast("long")).as("had_purchase"))
-      flags.filter(col("had_click") === 1L)
-        .groupBy(expr(s"t0 div $WeekUs").as("week"))
-        .agg(count(lit(1)).as("n_click_sessions"),
-          sum(col("had_purchase")).as("n_converted"))
-        .withColumn("conv_ppm", expr("(n_converted * 1000000) div n_click_sessions"))
-        .orderBy("week")
-    }),
-
-    // vocabulary health: hapax legomena (corpus-count-1 tokens) share per
-    // source — one token-count shuffle, token occurrences re-join their
-    // corpus count on the same key
-    "t24_hapax_ratio" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(col("source"), explode(tokens(col("text"))).as("tok"))
-      val corpus = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-      toks.join(corpus, "tok")
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_tokens"),
-          sum((col("c") === 1L).cast("long")).as("n_hapax"))
-        .withColumn("hapax_ppm", expr("(n_hapax * 1000000) div n_tokens"))
-        .orderBy("source")
-    }),
-
-    // late-order audit (TPC-H Q4 shape): orders with AT LEAST ONE lineitem
-    // shipped >30 days after the order date, counted per priority — the
-    // EXISTS is a left-semi join on the order key
-    "q126_priority_late" -> ((s, d) => {
-      val late = Tables.lineitem(s, d)
-        .join(Tables.orders(s, d).select(col("o_orderkey").as("ok2"),
-          Tables.epochUs(col("o_orderdate")).as("od_us")),
-          col("l_orderkey") === col("ok2"))
-        .filter(Tables.epochUs(col("l_shipdate")) - col("od_us") > lit(30L * DayUs))
-        .select(col("l_orderkey")).distinct()
-      Tables.orders(s, d)
-        .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n_late_orders"))
-        .orderBy("o_orderpriority")
-    }),
-
-    // 80/20 analysis: per segment, how many top customers cover 80% of
-    // revenue — descending cumulative window, threshold crossed via the
-    // integer test 5·cum ≥ 4·total (no percentage doubles)
-    "q124_pareto_8020" -> ((s, d) => {
-      val rev = Tables.orders(s, d)
-        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-        .groupBy(col("c_mktsegment"), col("c_custkey"))
-        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
-      val w = Window.partitionBy("c_mktsegment")
-        .orderBy(col("cents").desc, col("c_custkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tot = Window.partitionBy("c_mktsegment")
-      rev
-        .withColumn("cum", sum(col("cents")).over(w))
-        .withColumn("tot", sum(col("cents")).over(tot))
-        // first row where the running 80% threshold is met still counts
-        .withColumn("pre", col("cum") - col("cents"))
-        .filter(col("pre") * 5L < col("tot") * 4L)
-        .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n_top"),
-          max(expr("(cum * 1000000) div tot")).as("covered_ppm"))
-        .orderBy("c_mktsegment")
-    }),
-
-    // corpus duplication profile: near-dup cluster-size histogram (how many
-    // singletons / pairs / bigger families) — d7's clusters rolled up twice
-    // (cluster → size, size → count); frames are cluster-sized, never docs²
-    "d20_cluster_sizes" -> ((s, d) => {
-      val clusters = Dedup.nearDupClusters(s, Tables.documents(s, d), "doc_id", "text",
-        numHashes = 8, shingleSize = 3, rowsPerBand = 2, minEstimate = 0.5)
-      clusters.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
-        .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
-        .orderBy("cluster_size")
-    }),
-
-    // double-charge detector: purchases by the same user for the same
-    // whole-dollar amount within 24 h — one lag window on (user, amount),
-    // no self-join; surfaces the later event of each suspicious pair
-    "q123_double_charge" -> ((s, d) => {
-      val p = Tables.events(s, d).filter(col("event_type") === "purchase")
-        .filter(col("value").isNotNull)
-        .select(col("user_id"), col("event_id"), col("ts_us"),
-          round(col("value")).cast("long").as("amt"))
-      val w = Window.partitionBy("user_id", "amt").orderBy(col("ts_us"), col("event_id"))
-      p.withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
-        .withColumn("prev_id", lag(col("event_id"), 1).over(w))
-        .filter(col("prev_ts").isNotNull && col("ts_us") - col("prev_ts") <= lit(86400000000L))
-        .select(col("user_id"), col("amt"),
-          col("prev_id").as("first_event_id"), col("event_id").as("second_event_id"),
-          (col("ts_us") - col("prev_ts")).as("gap_us"))
-        .orderBy("user_id", "second_event_id")
-    }),
-
-    // graph cohesion: global clustering coefficient (transitivity) of the
-    // co-purchase graph — 3·triangles / wedges, both EXACT integers
-    // (wedges = Σ d(d−1)/2 is arithmetic on the degree table), one
-    // canonical double division at the end
-    "q122_clustering_coeff" -> ((s, d) => {
-      val edges = GraphAlgorithms.cooccurrenceEdges(Tables.lineitem(s, d),
-        "l_orderkey", "l_partkey", minSupport = 2L).localCheckpoint(true)
-      val tri = GraphAlgorithms.triangleCount(edges)
-      val wedges = edges.select(col("src").as("v"))
-        .unionByName(edges.select(col("dst").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("dg"))
-        .agg(sum(expr("(dg * (dg - 1)) div 2")).as("n_wedges"))
-      tri.crossJoin(broadcast(wedges))
-        .select(col("n_triangles"), col("n_wedges"),
-          ((col("n_triangles") * 3L).cast("double") / col("n_wedges").cast("double"))
-            .as("transitivity"))
-    }),
-
-    // entity-matching primitive: mutual nearest neighbors (a is b's 1-NN
-    // AND b is a's) within IVF cells — the high-precision pair proposer;
-    // candidate space is cell-bounded, the mutual check joins two
-    // CORPUS-sized (not pair-sized) 1-NN tables
-    "s23_mutual_nn" -> ((s, d) => {
-      val pairs = Similarity.ivfNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
-        minCosine = -1.0, nCentroids = 16, iterations = 5)
-      val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nb"), col("cosine"))
-        .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("nb"), col("cosine")))
-      val nn1 = sym.withColumn("rk", row_number().over(
-          Window.partitionBy("id").orderBy(col("cosine").desc, col("nb"))))
-        .filter(col("rk") === 1).select(col("id"), col("nb"), col("cosine"))
-      nn1.select(col("id").as("id_a"), col("nb").as("id_b"), col("cosine"))
-        .join(nn1.select(col("nb").as("id_a"), col("id").as("id_b")),
-          Seq("id_a", "id_b"))
-        .filter(col("id_a") < col("id_b"))
-        .orderBy("id_a")
-    }),
-
-    // nearest-direction as-of join (pandas merge_asof 'nearest'): each
-    // purchase attaches its closest click EITHER side, ties backward —
-    // both directional carries share one key exchange and one sort
-    "q121_nearest_click" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts_us"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts_us"), col("event_id").as("c_event_id"))
-        .withColumn("c_ts_us", col("ts_us"))
-      AsOfJoin.asOfNearest(purchases, clicks, "user_id", "ts_us",
-          rightCols = Seq("c_event_id", "c_ts_us"), rightTieBreak = Seq("c_event_id"))
-        .select(col("event_id"), col("user_id"), col("ts_us"),
-          col("right_c_event_id").as("click_event_id"),
-          col("right_c_ts_us").as("click_ts_us"),
-          col("asof_dist_us"))
-        .orderBy("event_id")
-    }),
-
-    // lexical-diversity audit: type-token ratio by document-length decile
-    // (does vocabulary keep growing with length?) — one ntile window over
-    // doc-level stats, exact ppm ratios
-    "t23_ttr_deciles" -> ((s, d) => {
-      val st = Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
-        size(tokens(col("text"))).cast("long").as("n_tok"),
-        size(array_distinct(tokens(col("text")))).cast("long").as("n_types"))
-      st.withColumn("decile",
-          ntile(10).over(Window.orderBy(col("n_chars"), col("doc_id"))))
-        .groupBy("decile")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tok")).as("tokens"),
-          sum(col("n_types")).as("types"))
-        .withColumn("ttr_ppm", expr("(types * 1000000) div tokens"))
-        .orderBy("decile")
-    }),
-
-    // kNN classifier eval: predict each query's label by 5-NN majority vote
-    // (plurality, ties → smallest label) against brute-force neighbors —
-    // the "are these embeddings any good" sanity eval; votes aggregate on
-    // RESULT-sized frames
-    "s22_knn_classifier" -> ((s, d) => {
-      val em = Tables.embeddings(s, d)
-      val qs = em.filter(col("vec_id") < 50)
-      val nn = Similarity.bruteForceTopK(em, qs, "vec_id", "embedding", k = 5)
-      val lbl = em.select(col("vec_id"), col("label"))
-      val votes = nn
-        .join(lbl.select(col("vec_id").as("neighbor_id"), col("label").as("nl")), "neighbor_id")
-        .groupBy("query_id", "nl").agg(count(lit(1)).as("v"))
-      val pred = votes
-        .withColumn("rk", row_number().over(Window.partitionBy("query_id")
-          .orderBy(col("v").desc, col("nl"))))
-        .filter(col("rk") === 1)
-        .select(col("query_id"), col("nl").as("predicted"))
-      pred.join(lbl.select(col("vec_id").as("query_id"), col("label").as("true_label")),
-          "query_id")
-        .select(col("query_id"), col("true_label"), col("predicted"),
-          (col("true_label") === col("predicted")).as("correct"))
-        .orderBy("query_id")
-    }),
-
-    // RFM segmentation: recency/frequency/monetary quintiles per customer
-    // (ntile over total orders — deterministic with the custkey tie-break;
-    // ntile's remainder-to-first-buckets rule is identical in both
-    // engines), rolled up per 125-cell segment
-    "q120_rfm_segments" -> ((s, d) => {
-      val m = Tables.orders(s, d)
-        .groupBy(col("o_custkey"))
-        .agg(max(Tables.epochUs(col("o_orderdate"))).as("last_us"),
-          count(lit(1)).as("f"),
-          sum(round(col("o_totalprice") * 100).cast("long")).as("mc"))
-      val seg = m
-        .withColumn("r_score", ntile(5).over(Window.orderBy(col("last_us"), col("o_custkey"))))
-        .withColumn("f_score", ntile(5).over(Window.orderBy(col("f"), col("o_custkey"))))
-        .withColumn("m_score", ntile(5).over(Window.orderBy(col("mc"), col("o_custkey"))))
-      seg.groupBy("r_score", "f_score", "m_score")
-        .agg(count(lit(1)).as("n_customers"), sum(col("mc")).as("rev_cents"))
-        .orderBy("r_score", "f_score", "m_score")
-    }),
-
-    // revenue-concentration audit per segment: exact Gini (rank-weighted
-    // integer sums — tie order provably cancels) and Herfindahl index,
-    // each ONE double division over exact decimal/HUGEINT moments
-    "q119_concentration" -> ((s, d) => {
-      val rev = Tables.orders(s, d)
-        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-        .groupBy(col("c_mktsegment"), col("c_custkey"))
-        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
-      val w = Window.partitionBy("c_mktsegment").orderBy(col("cents"), col("c_custkey"))
-      def dec(c: Column) = c.cast("decimal(38,0)")
-      rev.withColumn("i", row_number().over(w).cast("long"))
-        .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n"),
-          sum(dec(col("cents"))).as("t"),
-          sum(dec(col("cents")) * dec(col("cents"))).as("s2"),
-          sum(dec(col("i")) * dec(col("cents"))).as("w1"))
-        .select(col("c_mktsegment"), col("n"),
-          col("t").cast("double").as("total"),
-          ((lit(2).cast("decimal(38,0)") * col("w1") -
-            dec(col("n") + 1) * col("t")).cast("double") /
-            (dec(col("n")) * col("t")).cast("double")).as("gini"),
-          (col("s2").cast("double") /
-            (col("t").cast("double") * col("t").cast("double"))).as("hhi"))
-        .orderBy("c_mktsegment")
-    }),
-
-    // confidence-aware ranking: parts by the Wilson lower bound of their
-    // return rate — the "sort by rating" formula that beats raw k/n on
-    // small n; the whole double formula is ONE shared SQL string so both
-    // engines evaluate the identical IEEE tree
-    "q118_wilson_rank" -> ((s, d) => {
-      val parts = Tables.lineitem(s, d)
-        .groupBy("l_partkey")
-        .agg(count(lit(1)).as("n"),
-          sum((col("l_returnflag") === "R").cast("long")).as("k"))
-        .withColumn("wilson_lb", expr(WilsonLb))
-      parts.orderBy(col("wilson_lb").desc, col("l_partkey")).limit(20)
-        .withColumn("rank", row_number()
-          .over(Window.orderBy(col("wilson_lb").desc, col("l_partkey"))).cast("int"))
-        .select(col("rank"), col("l_partkey"), col("n"), col("k"), col("wilson_lb"))
-        .orderBy("rank")
-    }),
-
-    // EXACT DAU/MAU stickiness: distinct user-days explode onto the ≤30
-    // window days each covers (bounded 30× row-local blowup — never a
-    // per-day rescan), MAU = count distinct per window day, stickiness in
-    // exact ppm; q79 is the register-merge version of this, this is truth
-    "q116_stickiness" -> ((s, d) => {
-      val ud = Tables.events(s, d)
-        .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
-        .distinct()
-      val bounds = ud.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
-      val mau = ud
-        .select(col("user_id"), explode(sequence(col("day"), col("day") + 29L)).as("day"))
-        .distinct()
-        .crossJoin(broadcast(bounds))
-        .filter(col("day") <= col("d1"))
-        .groupBy("day").agg(count(lit(1)).as("mau"))
-      dau.join(mau, "day")
-        .select(col("day"), col("dau"), col("mau"),
-          expr("(dau * 1000000) div mau").as("stickiness_ppm"))
-        .orderBy("day")
-    }),
-
-    // week-over-week growth per event type: weekly counts, one lag window
-    // over the WEEK-sized frame, Laplace-smoothed growth in exact ppm
-    "q117_wow_growth" -> ((s, d) => {
-      val wk = Tables.events(s, d)
-        .groupBy(col("event_type"), expr(s"ts_us div $WeekUs").as("week"))
-        .agg(count(lit(1)).as("n"))
-      wk.withColumn("prev_n",
-          lag(col("n"), 1).over(Window.partitionBy("event_type").orderBy("week")))
-        .withColumn("growth_ppm",
-          when(col("prev_n").isNotNull,
-            expr("((n + 1) * 1000000) div (prev_n + 1)")))
-        .orderBy("event_type", "week")
-    }),
-
-    // novelty audit: what fraction of each doc's bigrams is it the FIRST
-    // (lowest-id) to introduce — the "is the corpus still adding new
-    // content" curve; one gram-keyed min + a co-keyed join back, never a
-    // doc×doc comparison
-    "t22_ngram_novelty" -> ((s, d) => {
-      val grams = Tables.documents(s, d)
-        .select(col("doc_id"), explode(wordNgrams(tokens(col("text")), 2)).as("g"))
-      val firstOwner = grams.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
-      grams.join(firstOwner, "g")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_grams"),
-          sum((col("doc_id") === col("first_doc")).cast("long")).as("n_novel"))
-        .withColumn("novelty_ppm", expr("(n_novel * 1000000) div n_grams"))
-        .orderBy("doc_id")
-    }),
-
-    // index-health audit: within-cell SSE of the IVF quantizer (the k-means
-    // distortion that decides "retrain or not") — centroids are integer by
-    // construction, so every squared distance is exact long arithmetic via
-    // ||v||² − 2v·c + ||c||², three codegen'd ldots per row
-    "s21_ivf_distortion" -> ((s, d) => {
-      import s.implicits._
-      val em = Tables.embeddings(s, d)
-      val (cells, centroids) = Similarity.ivfIndex(em, "vec_id", "embedding",
-        nCentroids = 16, iterations = 5)
-      val vecs = em.select(col("vec_id").as("id"), quantize1000(col("embedding")).as("v"))
-      val centDf = broadcast(
-        centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-          .toDF("cell", "c"))
-      vecs.join(cells, "id").join(centDf, "cell")
-        .select(col("cell"),
-          (ldot(col("v"), col("v")) - lit(2L) * ldot(col("v"), col("c")) +
-            ldot(col("c"), col("c"))).as("d2"))
-        .groupBy("cell")
-        .agg(count(lit(1)).as("n_vectors"), sum(col("d2")).as("sse"))
-        .select(col("cell").cast("long").as("cell"), col("n_vectors"), col("sse"))
-        .orderBy("cell")
-    }),
-
-    // effective-dataset-size report: per language, docs/tokens BEFORE and
-    // AFTER near-dup removal (d7's min-id keeper rule) — the KPI a corpus
-    // curation run actually publishes; dedup keeps its bounded LSH+CC
-    // shape, the report is one lang-keyed aggregate over the keeper join
-    "t21_effective_tokens" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val clusters = Dedup.nearDupClusters(s, docs, "doc_id", "text",
-        numHashes = 8, shingleSize = 3, rowsPerBand = 2, minEstimate = 0.5)
-      docs.select(col("doc_id"), col("lang"),
-          size(tokens(col("text"))).cast("long").as("n_tokens"))
-        .join(clusters.select(col("doc_id"), col("is_keeper")), "doc_id")
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("is_keeper").cast("long")).as("n_kept"),
-          sum(col("n_tokens")).as("tokens_raw"),
-          sum(when(col("is_keeper"), col("n_tokens")).otherwise(0L)).as("tokens_kept"))
-        .withColumn("kept_ppm", expr("(tokens_kept * 1000000) div tokens_raw"))
-        .orderBy("lang")
-    }),
-
-    // cohort lifetime-value curve: users cohorted by first-seen week, their
-    // purchase revenue laid out by week offset with a per-cohort running
-    // total — q40's retention matrix with money; one user-keyed aggregate,
-    // one co-keyed join, one COHORT-sized window
-    "q114_cohort_ltv" -> ((s, d) => {
-      val e = Tables.events(s, d)
-        .select(col("user_id"), col("ts_us"), col("event_type"),
-          round(coalesce(col("value"), lit(0.0)) * 100).cast("long").as("cents"))
-      val first = e.groupBy("user_id").agg(min(col("ts_us")).as("t0"))
-      val rev = e.filter(col("event_type") === "purchase")
-        .join(first, "user_id")
-        .select(expr(s"t0 div $WeekUs").as("cohort_week"),
-          expr(s"(ts_us - t0) div $WeekUs").as("offset_weeks"), col("cents"))
-        .groupBy("cohort_week", "offset_weeks")
-        .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("rev_cents"))
-      rev.withColumn("cum_rev_cents",
-          sum(col("rev_cents")).over(Window.partitionBy("cohort_week")
-            .orderBy("offset_weeks")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .orderBy("cohort_week", "offset_weeks")
-    }),
-
-    // robust statistics: per-type median, MAD, and |x−med| > 3·MAD outlier
-    // counts — two exact median passes (q110's tie-safe machinery with unit
-    // weights), all comparisons integer
-    "q115_mad_outliers" -> ((s, d) => {
-      val e = Tables.events(s, d).filter(col("value").isNotNull)
-        .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
-        .withColumn("one", lit(1L))
-      val med = Analytics.weightedMedian(e, Seq("event_type"), "cents", "one")
-        .select(col("event_type"), col("wmedian").as("med"))
-      val dev = e.join(broadcast(med), "event_type")
-        .withColumn("adev", abs(col("cents") - col("med")))
-      val mad = Analytics.weightedMedian(dev, Seq("event_type"), "adev", "one")
-        .select(col("event_type"), col("wmedian").as("mad"))
-      dev.join(broadcast(mad), "event_type")
-        .groupBy(col("event_type"), col("med"), col("mad"))
-        .agg(count(lit(1)).as("n"),
-          sum((col("adev") > col("mad") * 3L).cast("long")).as("n_outliers"))
-        .select("event_type", "n", "med", "mad", "n_outliers")
-        .orderBy("event_type")
-    }),
-
-    // international trade matrix (TPC-H Q7 shape): revenue between distinct
-    // (supplier nation, customer nation) pairs by ship year — the fact
-    // table takes two key-joins (order, supplier) while all four dimension
-    // hops broadcast; year from UTC epoch µs is calendar-identical
-    "q113_nation_volume" -> ((s, d) => {
-      val cust = Tables.orders(s, d)
-        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-        .select(col("o_orderkey"), col("n_name").as("cust_nation"))
-      Tables.lineitem(s, d)
-        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
-        .select(col("l_orderkey"), col("n_name").as("supp_nation"),
-          year(col("l_shipdate").cast("timestamp")).as("ship_year"),
-          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
-            .cast("long").as("rc"))
-        .join(cust, col("l_orderkey") === col("o_orderkey"))
-        .filter(col("supp_nation") =!= col("cust_nation"))
-        .groupBy("supp_nation", "cust_nation", "ship_year")
-        .agg(count(lit(1)).as("n_items"),
-          (sum(col("rc")).cast("double") / 10000.0).as("revenue"))
-        .orderBy("supp_nation", "cust_nation", "ship_year")
-    }),
-
-    // sequential patterns (SPADE-lite): in how many sessions does type A
-    // occur BEFORE type B (any gap) — "exists a<b" collapses to the exact
-    // test min_ts(A) < max_ts(B), so the corpus reduces to one (session,
-    // type) min/max aggregate and the pair join is 25 rows per session max
-    "q111_seq_patterns" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
-      val sess = Sessionize.assign(ev, "user_id", "ts_us",
-        gapUs = 3600000000L, tieBreakCols = Seq("event_id"))
-      val st = sess.groupBy("user_id", "session_seq", "event_type")
-        .agg(min(col("ts_us")).as("tmin"), max(col("ts_us")).as("tmax"))
-      st.select(col("user_id"), col("session_seq"),
-          col("event_type").as("a"), col("tmin"))
-        .join(st.select(col("user_id"), col("session_seq"),
-          col("event_type").as("b"), col("tmax")), Seq("user_id", "session_seq"))
-        .filter(col("tmin") < col("tmax"))
-        .groupBy("a", "b").agg(count(lit(1)).as("n_sessions"))
-        .orderBy("a", "b")
-    }),
-
-    // ratio-to-parent rollup: nation revenue as exact ppm of its region and
-    // of the grand total — window sums over the NATION-sized aggregate, the
-    // fact table shuffles once
-    "q112_ratio_to_parent" -> ((s, d) => {
-      val rev = Tables.orders(s, d)
-        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
-        .groupBy(col("r_name"), col("n_name"))
-        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
-      rev
-        .withColumn("region_cents",
-          sum(col("rev_cents")).over(Window.partitionBy("r_name")))
-        .withColumn("total_cents", sum(col("rev_cents")).over(Window.partitionBy()))
-        .select(col("r_name"), col("n_name"), col("rev_cents"),
-          expr("(rev_cents * 1000000) div region_cents").as("of_region_ppm"),
-          expr("(rev_cents * 1000000) div total_cents").as("of_total_ppm"))
-        .orderBy("r_name", "n_name")
-    }),
-
-    // exact weighted median price per (flag, status): smallest value whose
-    // tie-inclusive running weight reaches half the total — the RANGE
-    // default frame makes ties structural, 2·cum ≥ tot keeps it integer
-    "q110_weighted_median" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).select(col("l_returnflag"), col("l_linestatus"),
-        round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
-        round(col("l_quantity") * 100).cast("long").as("wq"))
-      Analytics.weightedMedian(li, Seq("l_returnflag", "l_linestatus"),
-          "price_cents", "wq")
-        .orderBy("l_returnflag", "l_linestatus")
-    }),
-
-    // PMI keyword pairs: top-20 token pairs by pointwise mutual information
-    // (ranked by the exact rational N·c(a,b)/(c(a)·c(b)) — log is monotone,
-    // so it never needs to exist); pairs explode row-locally from per-doc
-    // distinct token arrays, counts are two partial-agg'd shuffles
-    "t20_pmi_pairs" -> ((s, d) => {
-      val base = Tables.documents(s, d)
-        .select(col("doc_id"), array_sort(array_distinct(tokens(col("text")))).as("ps"))
-      val nDocs = base.agg(count(lit(1)).as("nd"))
-      val tokc = base.select(explode(col("ps")).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("c"))
-      // Boilerplate rule (pair DEFINITION, mirrored in the oracle): tokens
-      // in > 90% of documents never pair — df·10 > nd·9. Non-binding at the
-      // test SFs (synthetic df peaks at ~80%) but it bounds the head-token
-      // pair explosion at real corpus scale, where stopword df → ~100%.
-      // The banned set is ≤ avgDocLen/0.9 tokens by counting, so the
-      // broadcast is always tiny (the q70 runtime-filter pattern).
-      val banned = tokc.crossJoin(broadcast(nDocs))
-        .filter(col("c") * 10 > col("nd") * 9)
-        .agg(sort_array(collect_list(col("tok"))).as("banned"))
-      val filtered = base.crossJoin(broadcast(banned))
-        .select(col("doc_id"), array_except(col("ps"), col("banned")).as("ps"))
-        .filter(size(col("ps")) >= 2)
-      // ordered-pair explode as two native generators (posexplode + slice)
-      // — the previous nested transform/sequence/struct HOF chain was
-      // interpreted per element and dominated t20's wall clock
-      val pairs = filtered
-        .select(col("ps"), posexplode(col("ps")).as(Seq("i", "a")))
-        .select(col("a"),
-          explode(expr("slice(ps, i + 2, size(ps) - i - 1)")).as("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("cab"))
-        .filter(col("cab") >= 5L)
-      pairs
-        .join(tokc.select(col("tok").as("a"), col("c").as("ca")), "a")
-        .join(tokc.select(col("tok").as("b"), col("c").as("cb")), "b")
-        .crossJoin(broadcast(nDocs))
-        .withColumn("pmi_ratio",
-          (col("nd") * col("cab")).cast("double") / (col("ca") * col("cb")).cast("double"))
-        .orderBy(col("pmi_ratio").desc, col("a"), col("b")).limit(20)
-        .withColumn("rank", row_number()
-          .over(Window.orderBy(col("pmi_ratio").desc, col("a"), col("b"))).cast("int"))
-        .select(col("rank"), col("a"), col("b"), col("cab"), col("pmi_ratio"))
-        .orderBy("rank")
-    }),
-
-    // followed-by operator: for EVERY click, did the same user purchase
-    // within 10 min — the event-sequence join expressed as one ordered
-    // window (min future purchase ts over the strict-following frame), no
-    // per-event self-join; conversion curve by hour of day in exact ppm
-    "q109_followed_by" -> ((s, d) => {
-      val e = Tables.events(s, d)
-        .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
-      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
-        .rowsBetween(1, Window.unboundedFollowing)
-      e.withColumn("next_p",
-          min(when(col("event_type") === "purchase", col("ts_us"))).over(w))
-        .filter(col("event_type") === "click")
-        .withColumn("hour", expr("(ts_us div 3600000000) % 24"))
-        .groupBy("hour")
-        .agg(count(lit(1)).as("n_clicks"),
-          sum((col("next_p").isNotNull &&
-            col("next_p") - col("ts_us") <= lit(600000000L)).cast("long")).as("n_conv"))
-        .withColumn("conv_ppm", expr("(n_conv * 1000000) div n_clicks"))
-        .orderBy("hour")
-    }),
-
-    // item-item collaborative filtering: cosine over the (customer, part,
-    // Σquantity) matrix — co-rated pairs from the per-user self-join with
-    // whole-heavy-user drop (cap 40 → ≤1600 pairs/user), exact integer
-    // dots/norms, one canonical double division, TakeOrdered top-20
-    "s19_item_cosine" -> ((s, d) => {
-      val rat = Tables.lineitem(s, d)
-        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
-        .agg(sum(round(col("l_quantity") * 100).cast("long")).as("q"))
-      Similarity.itemCosine(rat, "u", "i", "q", maxUserItems = 40L, k = 20)
-        .orderBy("rank")
-    }),
-
-    // degree assortativity of the co-purchase graph (Newman 2002): Pearson
-    // over (deg u, deg v) across directed edge endpoints — do hubs link to
-    // hubs? Exact integer moments on a degree-join of the edge list; the
-    // symmetric adjacency makes x/y marginals identical
-    "q108_degree_assortativity" -> ((s, d) => {
-      val edges = GraphAlgorithms.cooccurrenceEdges(Tables.lineitem(s, d),
-        "l_orderkey", "l_partkey", minSupport = 2L, maxBasketSize = 5L)
-        .localCheckpoint(true)
-      val adj = edges.select(col("src").as("u"), col("dst").as("v"))
-        .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
-      val deg = adj.groupBy("u").agg(count(lit(1)).as("dg"))
-      val pairs = adj
-        .join(deg.select(col("u"), col("dg").as("du")), "u")
-        .join(deg.select(col("u").as("v"), col("dg").as("dv")), "v")
-        .withColumn("graph", lit("copurchase"))
-      Analytics.groupedCorrelation(pairs, Seq("graph"), "du", "dv")
-        .withColumnRenamed("corr", "assortativity")
-        .orderBy("graph")
-    }),
-
-    // incremental graph maintenance: components of the pre-2000 customer–
-    // supplier graph are CONTRACTED to their labels, and only the 2000+
-    // delta edges run through CC again — min-of-mins makes it exactly ≡
-    // recomputing on the full edge log, which is what the oracle does
-    "q107_incremental_cc" -> ((s, d) => {
-      val e = Tables.lineitem(s, d)
-        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("c:"), col("o_custkey")).as("src"),
-          concat(lit("s:"), col("l_suppkey")).as("dst"),
-          Tables.epochUs(col("o_orderdate")).as("odate_us"))
-      // the join projection is re-read by CC (count + collect + vertices)
-      // and the contraction — checkpoint each half once (the repo's re-read
-      // rule); dedup first so the pinned blocks are edge-set-sized
-      val base = e.filter(col("odate_us") < lit(Jan1_00)).select("src", "dst")
-        .localCheckpoint(true)
-      val delta = e.filter(col("odate_us") >= lit(Jan1_00)).select("src", "dst")
-        .localCheckpoint(true)
-      GraphAlgorithms.incrementalComponents(s, base, delta).orderBy("vertex")
-    }),
-
-    // PPJoin-family prefix-filtered similarity join: LOSSLESS candidates
-    // (unlike LSH/blocking) — rarest-first gram prefixes + in-join size
-    // filter, exact merge-count verify; the oracle is the plain all-pairs
-    // definition because the filter provably misses nothing
-    "d19_prefix_join" -> ((s, d) => {
-      Dedup.prefixFilterJaccard(Tables.documents(s, d), "doc_id", "text",
-          tNum = 1L, tDen = 2L, blockCols = Seq("lang"))
-        .orderBy("id_a", "id_b")
-    }),
-
-    // temperature-τ=½ corpus mixing: the q94 budget spread √-flattened —
-    // small (lang, source) domains get upweighted exactly, Σalloc = 1000
-    // by Hamilton construction; ⌊√(n·10⁶)⌋ is the one canonical double hop
-    "s18_temperature_mix" -> ((s, d) => {
-      Sampling.temperatureMixtureAlloc(Tables.documents(s, d),
-          Seq("lang", "source"), budget = 1000L)
-        .orderBy("lang", "source")
-    }),
-
-    // daily-seasonality detector: Pearson autocorrelation of the hourly
-    // event-count series at lag 24 h — the series is already aggregate-
-    // sized, the lag pair comes from an equi-join on h−24 (hours absent
-    // from the log pair with nothing; no dense gap-fill materializes), and
-    // the correlation is the exact-integer-moment fold of q95
-    "q105_autocorrelation" -> ((s, d) => {
-      val hc = Tables.events(s, d)
-        .groupBy(expr("ts_us div 3600000000").as("h"))
-        .agg(count(lit(1)).as("n"))
-      val pairs = hc.select(col("h"), col("n").as("n0"))
-        .join(hc.select((col("h") + 24L).as("h"), col("n").as("n24")), "h")
-        .withColumn("series", lit("hourly_lag24"))
-      Analytics.groupedCorrelation(pairs, Seq("series"), "n0", "n24")
-        .orderBy("series")
-    }),
-
-    // last-touch attribution: each purchase credits the user's most recent
-    // PRECEDING non-purchase event — one ordered window with an
-    // ignore-nulls last() over the strict-past frame; no per-purchase
-    // point lookup, no self-join
-    "q106_attribution" -> ((s, d) => {
-      val e = Tables.events(s, d)
-        .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
-      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      e.withColumn("src",
-          last(when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true)
-            .over(w))
-        .filter(col("event_type") === "purchase")
-        .groupBy(coalesce(col("src"), lit("(none)")).as("attributed"))
-        .agg(count(lit(1)).as("n_purchases"))
-        .orderBy("attributed")
-    }),
-
-    // top supplier(s) by 1996 revenue (TPC-H Q15 shape): the MAX-revenue
-    // scalar subquery is a 1-row broadcast against the same supplier-keyed
-    // aggregate — ties all surface; year filter prunes at the scan
-    "q103_top_supplier" -> ((s, d) => {
-      val rev = Tables.lineitem(s, d)
-        .withColumn("sd_us", Tables.epochUs(col("l_shipdate")))
-        .filter(col("sd_us") >= lit(Jan1_96) && col("sd_us") < lit(Jan1_97))
-        .select(col("l_suppkey"),
-          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
-            .cast("long").as("rc"))
-        .groupBy("l_suppkey").agg(sum(col("rc")).as("rev"))
-      val mx = rev.agg(max(col("rev")).as("mxr"))
-      rev.crossJoin(broadcast(mx)).filter(col("rev") === col("mxr"))
-        .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
-          col("l_suppkey") === col("s_suppkey"))
-        .select(col("s_suppkey"), col("s_name"),
-          (col("rev").cast("double") / 10000.0).as("total_revenue"))
-        .orderBy("s_suppkey")
-    }),
-
-    // rich-but-idle customers (TPC-H Q22 shape): balance above the positive-
-    // balance average (cross-multiplied: bal·n_pos > Σpos — no division) and
-    // no orders since 2000 (anti-join on the pruned order scan), per segment
-    "q104_idle_rich" -> ((s, d) => {
-      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"),
-        round(col("c_acctbal") * 100).cast("long").as("bal"))
-      val stats = c.filter(col("bal") > 0L)
-        .agg(count(lit(1)).as("npos"), sum(col("bal")).as("spos"))
-      val recent = Tables.orders(s, d)
-        .filter(Tables.epochUs(col("o_orderdate")) >= lit(Jan1_00))
-        .select(col("o_custkey")).distinct()
-      c.crossJoin(broadcast(stats))
-        .filter(col("bal") * col("npos") > col("spos"))
-        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
-        .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n_custs"), sum(col("bal")).as("sum_bal_cents"))
-        .orderBy("c_mktsegment")
-    }),
-
-    // exact phrase retrieval over a positional index: only the 3 query
-    // terms survive the posexplode, word i shifts to pos−i, and adjacency
-    // is two co-keyed equi-joins on (doc, pos) — the adjacency question a
-    // gram-SET index (q38) cannot answer
-    "t19_phrase_search" -> ((s, d) => {
-      Retrieval.phraseSearch(Tables.documents(s, d), "doc_id", "text",
-          phrase = Seq("slow", "hash", "batch"))
-        .orderBy("doc_id")
-    }),
-
-    // per-nation OLS of order value on customer balance: five exact integer
-    // moments in one shuffle (orders⋈customer on the join key, then one
-    // nation-keyed aggregate); only the final slope/intercept/r² divisions
-    // are doubles — identical IEEE expression trees on both engines
-    "q102_grouped_ols" -> ((s, d) => {
-      val o = Tables.orders(s, d).select(col("o_custkey"),
-        round(col("o_totalprice") * 100).cast("long").as("yc"))
-      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"),
-        round(col("c_acctbal") * 100).cast("long").as("xc"))
-      Analytics.groupedOls(o.join(c, o("o_custkey") === c("c_custkey")),
-          Seq("c_nationkey"), "xc", "yc")
-        .orderBy("c_nationkey")
-    }),
-
-    // quality-percentile normalization: per-language percent-rank of doc
-    // length in exact ppm — RANK over the value alone (ties share a rank,
-    // so no tie-break column is needed: the result depends only on the
-    // value multiset), ×1e6 floor-divided by (n−1)
-    "t18_rank_normalize" -> ((s, d) => {
-      val doc = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
-      val w = Window.partitionBy("lang")
-      doc
-        .withColumn("rk", rank().over(w.orderBy(col("n_chars"))))
-        .withColumn("n", count(lit(1)).over(w))
-        .select(col("doc_id"), col("lang"), col("n_chars"),
-          when(col("n") > 1L,
-            expr("(CAST(rk - 1 AS BIGINT) * 1000000) div (n - 1)"))
-            .otherwise(0L).as("pr_ppm"))
-        .orderBy("doc_id")
-    }),
-
-    // M4 downsampling: per (event_type, day) the 4 values a pixel-perfect
-    // chart needs — the render-a-billion-points reduction; output size is
-    // bucket count, not row count. Null values dropped explicitly (the
-    // events null policy), amounts in integer cents
-    "q100_m4_downsample" -> ((s, d) => {
-      val e = Tables.events(s, d).filter(col("value").isNotNull)
-        .select(col("event_type"), col("ts_us"), col("event_id"),
-          round(col("value") * 100).cast("long").as("cents"))
-      Analytics.m4Downsample(e, Seq("event_type"), "ts_us", "event_id", "cents",
-          bucketWidthUs = DayUs)
-        .orderBy("event_type", "bucket")
-    }),
-
-    // one-sided CUSUM monitor per event type against its own integer mean:
-    // the sequential clamp recurrence collapses to prefix-sum minus prefix-
-    // min (q80's closed form), so drift detection over 100 TB of events is
-    // two stacked windows on one shuffle — no state store, no fold
-    "q101_cusum" -> ((s, d) => {
-      val e = Tables.events(s, d).filter(col("value").isNotNull)
-        .select(col("event_type"), col("ts_us"), col("event_id"),
-          round(col("value") * 100).cast("long").as("cents"))
-      // sign-safe mean (q160/s27 offset rule): cents CAN go negative in
-      // principle, and Spark `div` truncates toward zero where DuckDB `//`
-      // floors — offsetting the numerator by 10^6·n keeps it non-negative
-      // (|cents| ≤ 10^6 by the events.value domain), where both agree; for
-      // all-positive data the result is bit-identical to `sum div count`
-      val tgt = e.groupBy(col("event_type").as("et"))
-        .agg(expr("((sum(cents) + 1000000 * count(1)) div count(1)) - 1000000")
-          .as("target"))
-      val j = e.join(broadcast(tgt), e("event_type") === tgt("et")).drop("et")
-      Analytics.cusum(j, Seq("event_type"), "cents", "target",
-          Seq("ts_us", "event_id"), threshold = 100000L)
-        .orderBy("event_type")
-    }),
-
-    // multi-source BFS over the co-purchase graph: hop distance ≤4 from the
-    // 5 highest-degree parts — per round the FRONTIER (not the cumulative
-    // table) expands through the adjacency and an anti-join drops
-    // already-labeled nodes, so total work tracks the wavefront, and the
-    // round count is a constant regardless of data scale
-    "q99_bfs_hops" -> ((s, d) => {
-      val edges = GraphAlgorithms.cooccurrenceEdges(Tables.lineitem(s, d),
-        "l_orderkey", "l_partkey", minSupport = 2L, maxBasketSize = 5L)
-        .localCheckpoint(true)
-      val deg = edges.select(col("src").as("u"))
-        .unionByName(edges.select(col("dst").as("u")))
-        .groupBy("u").agg(count(lit(1)).as("dg"))
-      val seeds = deg.orderBy(col("dg").desc, col("u")).limit(5)
-        .select(col("u").as("node"))
-      GraphAlgorithms.bfsHops(edges, seeds, maxHops = 4).orderBy("node")
-    }),
-
-    "s17_link_prediction" -> ((s, d) => {
-      GraphAlgorithms.jaccardLinkPrediction(
-        GraphAlgorithms.cooccurrenceEdges(Tables.lineitem(s, d),
-          "l_orderkey", "l_partkey", minSupport = 2L, maxBasketSize = 5L),
-        k = 20, maxHubDegree = 50L)
-        .orderBy("rank")
-    }),
-
-    // grouped Pearson correlation, exact integer moments: does amount
-    // correlate with hour-of-day per event type — built-in corr is a
-    // float fold (order-nondeterministic), this one hash-matches
-    "q95_grouped_corr" -> ((s, d) => {
-      val ev = Tables.events(s, d).select(col("event_type"),
-        round(col("value") * 100).cast("long").as("cents"),
-        expr("(ts_us div 3600000000) % 24").as("hour"))
-      Analytics.groupedCorrelation(ev, Seq("event_type"), "cents", "hour")
-        .orderBy("event_type")
-    }),
-
-    // largest-remainder apportionment: spread a 1000-doc sample budget
-    // across (lang, source) strata proportionally, EXACTLY — Σalloc = B
-    // by construction, no float rounding drift
-    "q94_budget_alloc" -> ((s, d) => {
-      Sampling.largestRemainderAlloc(Tables.documents(s, d),
-          Seq("lang", "source"), budget = 1000L)
-        .orderBy("lang", "source")
-    }),
-
-    // top-20 session paths: gap-sessionize, cap each session's path at its
-    // first 8 events (bounded strings), count identical paths — the
-    // behavioral-pattern miner; path order is total (ts, event_id)
-    "q93_session_paths" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
-      val sess = Sessionize.assign(ev, "user_id", "ts_us",
-        gapUs = 3600000000L, tieBreakCols = Seq("event_id"))
-      val wIn = Window.partitionBy(col("user_id"), col("session_seq"))
-        .orderBy(col("ts_us"), col("event_id"))
-      val paths = sess.withColumn("rn", row_number().over(wIn)).filter(col("rn") <= 8)
-        .groupBy("user_id", "session_seq")
-        .agg(array_join(
-          expr("transform(array_sort(collect_list(struct(ts_us, event_id, event_type))), x -> x.event_type)"),
-          ">").as("path"))
-      val counts = paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
-      // TakeOrdered top-20 FIRST, then rank the 20-row frame — the global
-      // window never sees the full path space
-      counts.orderBy(col("n_sessions").desc, col("path")).limit(20)
-        .withColumn("rank",
-          row_number().over(Window.orderBy(col("n_sessions").desc, col("path"))).cast("int"))
-        .select("rank", "path", "n_sessions")
-        .orderBy("rank")
-    }),
-
-    // recency-weighted engagement: power-of-two half-life decay — each
-    // whole day of age halves the contribution (cents div 2^age), integer
-    // EXACT where float exp-decay would be order-sensitive; age capped so
-    // the shift never overflows
-    "q91_decayed_sum" -> ((s, d) => {
-      val ev = Tables.events(s, d).select(col("user_id"),
-        round(col("value") * 100).cast("long").as("cents"), col("ts_us"))
-      val mx = ev.agg(max(col("ts_us")).as("mx"))
-      ev.crossJoin(broadcast(mx))
-        .withColumn("age",
-          least(expr("(mx - ts_us) div 86400000000"), lit(40L)).cast("int"))
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n_events"),
-          sum(col("cents")).as("sum_cents"),
-          sum(expr("cents div shiftleft(CAST(1 AS BIGINT), age)")).as("decayed_cents"))
-        .orderBy("user_id")
-    }),
-
-    // watermark-lag audit: out-of-orderness of event time vs ingest order
-    // (event_id) — the data-driven answer to "how late must the watermark
-    // be"; max lag + share of events more than 60 s late, per type
-    "q92_watermark_lag" -> ((s, d) => {
-      val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, d)
-        .select(col("event_type"), col("event_id"), col("ts_us"))
-        .withColumn("lag_us", max(col("ts_us")).over(w) - col("ts_us"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
-          max(col("lag_us")).as("max_lag_us"),
-          sum(when(col("lag_us") > 60000000L, 1L).otherwise(0L)).as("n_late_60s"))
-        .withColumn("late_60s_ppm",
-          call_function("div", col("n_late_60s") * 1000000L, col("n")))
-        .orderBy("event_type")
-    }),
-
-    // peak concurrency per event type: sweep line over 10-minute activity
-    // intervals — one ordered window, never the O(n²) overlap self-join;
-    // reports the peak and the earliest time it was reached
-    "q90_peak_concurrency" -> ((s, d) => {
-      val iv = Tables.events(s, d).select(col("event_type"),
-        col("ts_us").as("start_us"), (col("ts_us") + lit(600000000L)).as("end_us"))
-      Analytics.peakConcurrency(iv, Seq("event_type"), "start_us", "end_us")
-        .orderBy("event_type")
-    }),
-
-    // distribution drift between the log's time halves: exact integer
-    // total-variation distance per event type over shared value bins —
-    // the "did the data move under the model" monitor, no float probs
-    "q89_distribution_drift" -> ((s, d) => {
-      val ev = Tables.events(s, d).select(col("event_type"),
-        round(col("value") * 100).cast("long").as("cents"), col("ts_us"))
-      val mid = ev.agg(min(col("ts_us")).as("mn"), max(col("ts_us")).as("mx"))
-        .select(expr("(mn + mx) div 2").as("mid_ts"))
-      val coh = ev.crossJoin(broadcast(mid))
-        .select(col("event_type"), expr("cents div 1000").as("bin"),
-          when(col("ts_us") <= col("mid_ts"), 1).otherwise(2).as("cohort"))
-      Analytics.distributionDrift(coh, Seq("event_type"), "bin", "cohort")
-        .orderBy("event_type")
-    }),
-
-    // first-order Markov transitions over user event histories: lead
-    // window per user, state-space-sized counts, exact floor-ppm rows
-    "q87_markov_transitions" -> ((s, d) => {
-      Analytics.markovTransitions(Tables.events(s, d), Seq("user_id"),
-          "event_type", Seq("ts_us", "event_id"))
-        .orderBy("from_state", "to_state")
-    }),
-
-    // k-anonymity audit: quasi-identifiers (lang, source, length bucket);
-    // buckets under k=5 are the re-identification risk a release must
-    // suppress — the privacy-side complement of t7's PII scrubbing
-    "q88_k_anonymity" -> ((s, d) => {
-      Analytics.kAnonymity(
-          Tables.documents(s, d)
-            .select(col("lang"), col("source"), expr("n_chars div 100").as("len_bucket")),
-          Seq("lang", "source", "len_bucket"), k = 5L)
-        .orderBy("lang", "source", "len_bucket")
-    }),
-
-    // Pareto frontier (skyline) per event type, maximizing (amount,
-    // recency) — two windows on one sort, never the O(n²) dominance join
-    "q84_pareto_front" -> ((s, d) => {
-      val ev = Tables.events(s, d).select(col("event_type"), col("event_id"),
-          round(col("value") * 100).cast("long").as("cents"), col("ts_us"))
-        .filter(col("cents").isNotNull)
-      Analytics.paretoFrontier(ev, Seq("event_type"), "cents", "ts_us")
-        .select(col("event_type"), col("event_id"), col("cents"), col("ts_us"))
-        .orderBy("event_type", "cents", "ts_us", "event_id")
-    }),
-
-    // S3+S4 bootstrap-replay equivalence: snapshot the state at the log
-    // midpoint (bootstrap scan), apply the CDC tail on top, re-compact.
-    // The oracle computes latest-per-key over the FULL log in one pass, so
-    // the hash match IS the reference's checkpoint+replay ≡ full-reset
-    // invariant (spark/.../LogRDDSpec.scala:114-127)
-    "q78_bootstrap_replay" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .select(col("user_id"), col("ts_us"), col("event_id"),
-          col("event_type"), col("value"))
-      val mid = ev.agg(min(col("ts_us")).as("mn"), max(col("ts_us")).as("mx"))
-        .select(expr("(mn + mx) div 2").as("mid_ts"))
-      Changelog.bootstrapThenApply(ev.crossJoin(broadcast(mid)),
-          Seq("user_id"), "ts_us", "mid_ts", tieBreakCols = Seq("event_id"))
-        .select(col("user_id"), col("event_id").as("last_event_id"),
-          col("event_type").as("last_type"), col("value").as("last_value"),
-          col("ts_us").as("last_ts_us"))
-        .orderBy("user_id")
-    }),
-
-    // winsorized robust aggregation: per-event-type p1/p99 bounds from
-    // the mergeable log-histogram sketch, row-local clamp (broadcast
-    // bounds), raw vs clamped sums + clamp counts — one pathological value
-    // no longer owns the mean
-    "q76_winsorized" -> ((s, d) => {
-      Analytics.winsorizedStats(
-          Tables.events(s, d)
-            .select(col("event_type"), round(col("value") * 100).cast("long").as("cents")),
-          Seq("event_type"), "cents", loPpm = 10000L, hiPpm = 990000L, s = 3)
-        .orderBy("event_type")
-    }),
-
-    // sketch-derived range partitioning: bounds = octile quantiles of the
-    // mergeable log-histogram (no sampling scan, deterministic, mergeable
-    // across days); pid is a row-local indicator sum; footer-stat audit
-    // proves ordered non-overlapping ranges with near-equal counts
-    "q75_sketch_partition" -> ((s, d) => {
-      Layout.sketchRangeStats(
-          Tables.events(s, d).select(round(col("value") * 100).cast("long").as("cents")),
-          col("cents"), numPartitions = 8, s = 3)
-        .orderBy("pid")
-    }),
-
-    // k-truss (k=3) of the co-purchase graph: synchronous edge peeling by
-    // triangle support (degree-ordered enumeration per round) — the
-    // edge-level strengthening of k-core, unique fixpoint
-    "q73_ktruss" -> ((s, d) => {
-      GraphAlgorithms.kTruss(s, GraphAlgorithms.cooccurrenceEdges(
-          Tables.lineitem(s, d), "l_orderkey", "l_partkey", minSupport = 2L),
-          k = 3)
-        .orderBy("a", "b")
-    }),
-
-    // rendezvous (HRW) routing: per-key argmax of node-seeded hashes —
-    // the elastic-membership extension of J1's fixed murmur2 routing;
-    // adding node-d moves ONLY keys whose new max is node-d (~1/4),
-    // visible as n3 <> n4 rows existing solely with n4 = 'node-d'
-    "q74_rendezvous_route" -> ((s, d) => {
-      val nodes3 = Seq("node-a", "node-b", "node-c")
-      val keys = Tables.events(s, d).select(col("user_id")).distinct()
-      keys
-        .select(col("user_id"),
-          rendezvousNode(col("user_id"), nodes3).as("n3"),
-          rendezvousNode(col("user_id"), nodes3 :+ "node-d").as("n4"))
-        .groupBy("n3", "n4")
-        .agg(count(lit(1)).as("n_keys"))
-        .orderBy("n3", "n4")
-    }),
-
-    // CMS inner-product join-size estimate (Cormode–Muthukrishnan): the
-    // "how big is purchases ⋈ clicks before I shuffle it" planning
-    // primitive — registers only, corpora never rescanned, certified
-    // upper bound (min over rows of Σ cA·cB), exact join count beside
-    "q72_join_size_sketch" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val pur = ev.filter(col("event_type") === "purchase")
-      val cli = ev.filter(col("event_type") === "click")
-      val est = Sketches.cmsInnerProduct(
-        Sketches.cmsBuild(pur, col("user_id"), lit(1L), depth = 4, width = 64),
-        Sketches.cmsBuild(cli, col("user_id"), lit(1L), depth = 4, width = 64),
-        depth = 4)
-      val exact = pur.select(col("user_id"))
-        .join(cli.select(col("user_id")), "user_id")
-        .agg(count(lit(1)).as("n_exact"))
-      est.crossJoin(exact)
-        .select(col("n_exact"), col("join_size_est"),
-          (col("join_size_est") >= col("n_exact")).as("upper_bounds"))
-    }),
-
-    // winnowed-fingerprint copy candidates (MOSS): per-window min gram
-    // hash (packed hash|pos BIGINT argmin), df-capped inverted-index
-    // join, pairs sharing >= 2 fingerprints
-    "t15_winnowing" -> ((s, d) => {
-      Dedup.winnowedPairs(Tables.documents(s, d), "doc_id", "text",
-          n = 4, window = 4, minShared = 2L, maxFpDf = 50L)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // longest consecutive-day activity streak per user → user-count
-    // histogram. Gaps-and-islands: day − row_number is constant exactly
-    // within a run of consecutive days — two hash-aggs on the user key,
-    // one user-sized window, no self-join at any scale
-    "q128_activity_streaks" -> ((s, d) => {
-      val days = Tables.events(s, d)
-        .select(col("user_id"), expr(s"ts_us div $DayUs").as("day")).distinct()
-      val w = Window.partitionBy("user_id").orderBy("day")
-      days.withColumn("grp", col("day") - row_number().over(w))
-        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
-        .groupBy("user_id").agg(max(col("len")).as("streak_days"))
-        .groupBy("streak_days").agg(count(lit(1)).as("n_users"))
-        .orderBy("streak_days")
-    }),
-
-    // customer distribution by order count (TPC-H Q13 shape) — zero-order
-    // customers kept by the left join; shuffles once on the customer key
-    // then reduces to an order-count-sized histogram
-    "q129_custdist" -> ((s, d) => {
-      Tables.customer(s, d).select(col("c_custkey"))
-        .join(Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey")),
-          col("c_custkey") === col("o_custkey"), "left")
-        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
-        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
-        .orderBy(col("custdist").desc, col("c_count").desc)
-    }),
-
-    // hubs & authorities on the directed brand→type graph: exact-integer
-    // HITS (unnormalized = alternating-path counts), 3 rounds — brands are
-    // pure hubs, types pure authorities; ranking ≡ normalized HITS
-    "q130_hits" -> ((s, d) => {
-      val edges = Tables.part(s, d).select(
-        concat(lit("b:"), col("p_brand")).as("src"),
-        concat(lit("t:"), col("p_type")).as("dst"))
-      GraphAlgorithms.hitsExact(edges, iterations = 3)
-        .orderBy("vertex")
-    }),
-
-    // lexical diversity per source via the Simpson/repeat-probability index:
-    // P(two random tokens collide) = Σc(c−1)/(N(N−1)) — an exact rational
-    // from the token-count marginal (no logs, unlike entropy). Staged ×1000
-    // ppm division for long headroom (q98 pattern); corpora where Σc(c−1)
-    // itself exceeds long range need DECIMAL(38) moments
-    "t25_simpson_diversity" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(col("source"), explode(tokens(col("text"))).as("tok"))
-      toks.groupBy("source", "tok").agg(count(lit(1)).as("c"))
-        .groupBy("source")
-        .agg(sum(col("c")).as("n_tokens"),
-          count(lit(1)).as("n_types"),
-          sum(col("c") * (col("c") - 1L)).as("coll"))
-        .select(col("source"), col("n_tokens"), col("n_types"),
-          expr("(coll * 1000) div ((n_tokens * (n_tokens - 1)) div 1000)")
-            .as("collision_ppm"))
-        .orderBy("source")
-    }),
-
-    // revenue lost to returned items per customer nation (TPC-H Q10 shape):
-    // the return-flag filter prunes the fact scan first, dims join on keys,
-    // nation broadcast; exact ×10000 integer revenue (qSumWide pattern)
-    "q131_returned_revenue" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
-        .select(col("l_orderkey"),
-          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
-            .cast("long").as("rc"))
-      li.join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
-          col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
-          col("c_nationkey") === col("n_nationkey"))
-        .groupBy("n_name")
-        .agg((sum(col("rc")).cast("double") / 10000.0).as("lost_revenue"),
-          countDistinct(col("c_custkey")).as("n_customers"))
-        .orderBy(col("lost_revenue").desc, col("n_name"))
-    }),
-
-    // range search census: neighbors within cosine ≥ .95/.90/.80 of each
-    // query — all-integer via cross-multiplied squares (cos ≥ τ ⟺ dot>0 ∧
-    // q²·dot² ≥ p²·na·nb for τ = p/q), no sqrt anywhere; norms precomputed
-    // per side so the broadcast probe is one ldot per pair
-    "s25_radius_census" -> ((s, d) => {
-      val vecs = Tables.embeddings(s, d)
-        .select(col("vec_id"), quantize1000(col("embedding")).as("v"))
-        .withColumn("nv", ldot(col("v"), col("v")))
-      val q = vecs.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nv").as("nq"))
-      val hit = (p: Long, qq: Long) =>
-        col("dot") > 0L && col("dot") * col("dot") * qq >= col("nn") * p
-      vecs.filter(col("vec_id") >= 5).crossJoin(broadcast(q))
-        .withColumn("dot", ldot(col("v"), col("qv")))
-        .withColumn("nn", col("nv") * col("nq"))
-        .groupBy("query_id")
-        .agg(sum(when(hit(361L, 400L), 1L).otherwise(0L)).as("n_ge95"),
-          sum(when(hit(81L, 100L), 1L).otherwise(0L)).as("n_ge90"),
-          sum(when(hit(16L, 25L), 1L).otherwise(0L)).as("n_ge80"))
-        .orderBy("query_id")
-    }),
-
-    // promo-revenue share per ship month (TPC-H Q14 shape): one fact scan,
-    // part-type flag broadcast-joined, conditional integer sums, staged-ppm
-    // share (q98 pattern — headroom past 2⁶³ month revenue in cents·10⁴)
-    "q132_promo_share" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).select(col("l_partkey"),
-        unix_micros(date_trunc("month", col("l_shipdate").cast("timestamp")))
-          .as("month_us"),
-        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
-          .cast("long").as("rc"))
-      li.join(broadcast(Tables.part(s, d).select(col("p_partkey"),
-          col("p_type").startsWith("PROMO").cast("long").as("is_promo"))),
-          col("l_partkey") === col("p_partkey"))
-        .groupBy("month_us")
-        .agg(sum(col("rc") * col("is_promo")).as("promo_rc"),
-          sum(col("rc")).as("total_rc"))
-        .select(col("month_us"),
-          (col("promo_rc").cast("double") / 10000.0).as("promo_revenue"),
-          expr("(promo_rc * 1000) div (total_rc div 1000)").as("promo_ppm"))
-        .orderBy("month_us")
-    }),
-
-    // term burstiness: variance-to-mean ratio of per-document counts for the
-    // top-20 corpus terms, zeros included (docs without the term) — VMR > 1
-    // means clumped/topical, ≈1 Poisson-like function words. All-integer:
-    // VMR·1e6 = (N·Σx² − (Σx)²)·10⁶ div ((N−1)·Σx), non-negative by
-    // Cauchy–Schwarz so truncating div is engine-identical
-    "t26_burstiness" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val perDoc = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .groupBy("tok", "doc_id").agg(count(lit(1)).as("x"))
-      val stats = perDoc.groupBy("tok")
-        .agg(sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
-          count(lit(1)).as("n_docs_with"))
-        .orderBy(col("sx").desc, col("tok")).limit(20)
-      stats.crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
-        .select(col("tok"), col("sx").as("total_count"), col("n_docs_with"),
-          expr("((n * sxx - sx * sx) * 1000000) div ((n - 1) * sx)").as("vmr_ppm"))
-        .orderBy(col("total_count").desc, col("tok"))
-    }),
-
-    // rank agreement between supplier account balance and realized revenue:
-    // Spearman distance 6Σd²/(n(n²−1)) in staged ppm — RANK over the bare
-    // value (ties share a rank, deterministic in both engines, the t18
-    // rule), zero-revenue suppliers kept by the left join
-    "q133_spearman_balance" -> ((s, d) => {
-      val rev = Tables.lineitem(s, d).groupBy("l_suppkey")
-        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
-          .cast("long")).as("rev"))
-      val sup = Tables.supplier(s, d)
-        .select(col("s_suppkey"), round(col("s_acctbal") * 100).cast("long").as("bal"))
-        .join(rev, col("s_suppkey") === col("l_suppkey"), "left")
-        .withColumn("rev", coalesce(col("rev"), lit(0L)))
-      val ranked = sup.select(
-        rank().over(Window.orderBy(col("bal").desc)).cast("long").as("r_bal"),
-        rank().over(Window.orderBy(col("rev").desc)).cast("long").as("r_rev"))
-      ranked.agg(count(lit(1)).as("n"),
-          sum((col("r_bal") - col("r_rev")) * (col("r_bal") - col("r_rev")))
-            .as("sum_d2"))
-        .select(col("n"), col("sum_d2"),
-          // unstaged: headroom to n≈10⁴ suppliers (2e6·n³ < 2⁶³); bigger
-          // supplier dimensions would rank a hash-sample instead
-          expr("(6 * sum_d2 * 1000000) div (n * (n * n - 1))").as("dist_ppm"))
-    }),
-
-    // storage-savings report: bytes reclaimed per source by exact text
-    // dedup (keep-one-per-hash) — the go/no-go number before running the
-    // expensive near-dup passes; one groupBy on (source, md5) then a
-    // source-sized rollup, identical-text groups share n_chars so the
-    // keeper's size is min(n_chars)
-    "d21_dedup_savings" -> ((s, d) => {
-      val g = Tables.documents(s, d)
-        .select(col("source"), col("n_chars"), md5(col("text")).as("h"))
-        .groupBy("source", "h")
-        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("gc"),
-          min(col("n_chars")).as("kc"))
-      g.groupBy("source")
-        .agg(count(lit(1)).as("n_unique"), sum(col("n")).as("n_docs"),
-          sum(col("gc")).as("total_chars"), sum(col("kc")).as("kept_chars"))
-        .withColumn("savings_ppm",
-          expr("((total_chars - kept_chars) * 1000000) div total_chars"))
-        .orderBy("source")
-    }),
-
-    // fulfilment latency profile per order priority (TPC-H Q12 spirit):
-    // exact min / median / max / mean of ship−order delay in whole days —
-    // one join shuffle on the order key, medians via the tie-safe
-    // cumulative-count frame (q110 rule), mean as exact ppm-days
-    "q134_ship_delay_profile" -> ((s, d) => {
-      val delays = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), Tables.epochUs(col("l_shipdate")).as("sd_us"))
-        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
-          Tables.epochUs(col("o_orderdate")).as("od_us")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_orderpriority"),
-          expr(s"(sd_us - od_us) div $DayUs").as("delay_days"))
-        .withColumn("one", lit(1L))
-      val med = Analytics.weightedMedian(delays, Seq("o_orderpriority"),
-        "delay_days", "one")
-        .select(col("o_orderpriority"), col("wmedian").as("median_days"))
-      delays.groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n"), min(col("delay_days")).as("min_days"),
-          max(col("delay_days")).as("max_days"),
-          sum(col("delay_days")).as("sum_days"))
-        .join(med, "o_orderpriority")
-        .select(col("o_orderpriority"), col("n"), col("min_days"),
-          col("median_days"), col("max_days"),
-          expr("(sum_days * 1000000) div n").as("mean_days_ppm"))
-        .orderBy("o_orderpriority")
-    }),
-
-    // clustering-quality eval: majority-label purity per IVF cell (exact
-    // integer k-means, so cells are oracle-able) — the labeled-data sanity
-    // check on the same coarse quantizer the ANN queries probe; plurality
-    // label ties break to the smallest label, row_number over (count desc,
-    // label) is deterministic
-    "s26_cell_purity" -> ((s, d) => {
-      val em = Tables.embeddings(s, d)
-      val (cells, _) = Similarity.ivfIndex(em, "vec_id", "embedding",
-        nCentroids = 16, iterations = 5)
-      val cnt = cells.join(em.select(col("vec_id").as("id"), col("label")), "id")
-        .groupBy("cell", "label").agg(count(lit(1)).as("c"))
-      val tot = cnt.groupBy("cell").agg(sum(col("c")).as("n"))
-      cnt.withColumn("rn", row_number().over(
-          Window.partitionBy("cell").orderBy(col("c").desc, col("label"))))
-        .filter(col("rn") === 1)
-        .join(tot, "cell")
-        .select(col("cell").cast("long").as("cell"), col("n"),
-          col("label").as("top_label"),
-          expr("(c * 1000000) div n").as("purity_ppm"))
-        .orderBy("cell")
-    }),
-
-    // ABC inventory classification: parts partitioned into A (first 80% of
-    // revenue), B (to 95%), C (tail) by the integer pre-threshold test on a
-    // descending cumulative window (q124 rule — the crossing row belongs to
-    // the class it completes). Global window over the parts DIM (not the
-    // fact table); >10⁸-part catalogs would pre-bucket by sketched range
-    // bounds (Layout.sketchRangeBounds) first
-    "q135_abc_class" -> ((s, d) => {
-      val rev = Tables.lineitem(s, d).groupBy("l_partkey")
-        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
-          .cast("long")).as("rc"))
-      val w = Window.orderBy(col("rc").desc, col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      rev.withColumn("cum", sum(col("rc")).over(w))
-        .withColumn("tot", sum(col("rc")).over(
-          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-        .withColumn("pre", col("cum") - col("rc"))
-        .withColumn("abc_class",
-          when(col("pre") * 5L < col("tot") * 4L, "A")
-            .when(col("pre") * 20L < col("tot") * 19L, "B")
-            .otherwise("C"))
-        .groupBy("abc_class")
-        .agg(count(lit(1)).as("n_parts"),
-          (sum(col("rc")).cast("double") / 10000.0).as("revenue"))
-        .orderBy("abc_class")
-    }),
-
-    // copurchase-graph degree distribution: the shape audit run before any
-    // graph algorithm (is this graph peelable? skewed?) — symmetric edge
-    // union, two hash-aggs, histogram-sized result
-    "q136_degree_histogram" -> ((s, d) => {
-      val edges = GraphAlgorithms.cooccurrenceEdges(
-        Tables.lineitem(s, d), "l_orderkey", "l_partkey", minSupport = 2L)
-      edges.select(col("src").as("u")).unionByName(edges.select(col("dst").as("u")))
-        .groupBy("u").agg(count(lit(1)).as("degree"))
-        .groupBy("degree").agg(count(lit(1)).as("n_vertices"))
-        .orderBy("degree")
-    }),
-
-    // atypicality audit: 5 least-centroid-like docs per source by TF cosine
-    // between the doc's integer term counts and its source's aggregate term
-    // profile — low cosine = off-topic/outlier doc, the curation signal
-    // before manual review. Integer dot/norms + ONE canonical double
-    // division (the proven bit-identical formula), rank ties by doc_id
-    "t27_atypical_docs" -> ((s, d) => {
-      val dc = Tables.documents(s, d)
-        .select(col("source"), col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .groupBy("source", "doc_id", "tok").agg(count(lit(1)).as("cd"))
-      val sc = dc.groupBy("source", "tok").agg(sum(col("cd")).as("cs"))
-      val nd = dc.groupBy("source", "doc_id")
-        .agg(sum(col("cd") * col("cd")).as("nd"))
-      val ns = sc.groupBy("source").agg(sum(col("cs") * col("cs")).as("ns"))
-      val dot = dc.join(sc, Seq("source", "tok"))
-        .groupBy("source", "doc_id").agg(sum(col("cd") * col("cs")).as("dot"))
-      dot.join(nd, Seq("source", "doc_id")).join(ns, "source")
-        .withColumn("cosine",
-          col("dot").cast("double") / sqrt((col("nd") * col("ns")).cast("double")))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("source").orderBy(col("cosine"), col("doc_id"))))
-        .filter(col("rank") <= 5)
-        .select(col("source"), col("rank"), col("doc_id"), col("cosine"))
-        .orderBy("source", "rank")
-    }),
-
-    // Shewhart c-chart over daily event volume: days beyond the 2σ warning
-    // limits, all-integer via the cross-multiplied test
-    // (N·x − S)² > 4·(N·Q − S²)
-    // (population variance; both sides exact longs) — no float mean/stddev
-    // anywhere. Day counts roll up map-side; the 1-row moment frame
-    // broadcasts. Counts past ~10⁹/day need DECIMAL(38) moments
-    "q137_control_chart" -> ((s, d) => {
-      val daily = Tables.events(s, d)
-        .groupBy(expr(s"ts_us div $DayUs").as("day")).agg(count(lit(1)).as("x"))
-      val mom = daily.agg(count(lit(1)).as("nn"), sum(col("x")).as("ss"),
-        sum(col("x") * col("x")).as("qq"))
-      daily.crossJoin(broadcast(mom))
-        .filter((col("nn") * col("x") - col("ss")) * (col("nn") * col("x") - col("ss"))
-          > lit(4L) * (col("nn") * col("qq") - col("ss") * col("ss")))
-        .select(col("day"), col("x").as("n_events"),
-          when(col("nn") * col("x") > col("ss"), "high").otherwise("low").as("side"),
-          expr("(x * 1000000) div (ss div nn)").as("vs_mean_ppm"))
-        .orderBy("day")
-    }),
-
-    // per-dimension signal profile of the embedding space: exact integer
-    // mean/variance of the ×1000-quantized values per dim — the audit that
-    // drives PQ subspace allocation and dead-dimension pruning; posexplode
-    // shuffles (dim, value) pairs once, 64-row result
-    "s27_dim_variance" -> ((s, d) => {
-      val dims = Tables.embeddings(s, d)
-        .select(posexplode(quantize1000(col("embedding"))).as(Seq("dim", "v")))
-      dims.groupBy("dim")
-        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
-          sum(col("v") * col("v")).as("qv"))
-        .select(col("dim"), col("n"),
-          // +1000·n offset keeps the numerator non-negative (values ≥ −1000):
-          // truncating div ≡ floor ≡ DuckDB // only on non-negatives
-          expr("((sv + 1000 * n) div n) - 1000").as("mean_q"),
-          expr("(n * qv - sv * sv) div (n * n)").as("var_q"))
-        .orderBy("dim")
-    }),
-
-    // Benford first-digit audit on order totals (in cents, so the leading
-    // digit is of an integer — no locale/format dependence): digit
-    // frequencies in exact ppm; the classic fabricated-data screen
-    "q138_benford" -> ((s, d) => {
-      val digits = Tables.orders(s, d)
-        .select(substring(round(col("o_totalprice") * 100).cast("long")
-          .cast("string"), 1, 1).as("digit"))
-      val tot = digits.agg(count(lit(1)).as("n_total"))
-      digits.groupBy("digit").agg(count(lit(1)).as("n"))
-        .crossJoin(broadcast(tot))
-        .select(col("digit"), col("n"),
-          expr("(n * 1000000) div n_total").as("share_ppm"))
-        .orderBy("digit")
-    }),
-
-    // training-shard packing audit: media blobs assigned to fixed-size
-    // shards by running byte offset (shard = prefix-bytes div target) —
-    // the tar/webdataset layout plan. Global strict-past window here; at
-    // fleet scale the same assignment is two-pass (per-partition byte sums
-    // → broadcast offsets), which preserves the identical shard ids
-    "m5_shard_packing" -> ((s, d) => {
-      val m = Multimodal.withPayload(Tables.documents(s, d), "text")
-        .select(col("doc_id"), col("media_meta.size_bytes").as("sz"))
-      val w = Window.orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      m.withColumn("pre", coalesce(sum(col("sz")).over(w), lit(0L)))
-        .withColumn("shard_id", expr("pre div 65536"))
-        .groupBy("shard_id")
-        .agg(count(lit(1)).as("n_items"), sum(col("sz")).as("bytes"),
-          max(col("sz")).as("max_item"))
-        .orderBy("shard_id")
-    }),
-
-    // PQ codebook-usage balance: rows per (subspace, code) of the same
-    // deterministic encoder s13 searches with — a subspace collapsing onto
-    // few codes adds no discrimination; share in exact ppm of the corpus
-    "s28_pq_code_usage" -> ((s, d) => {
-      val em = Tables.embeddings(s, d)
-      val codes = Similarity.pqCodes(em, "vec_id", "embedding",
-        numSubspaces = 8, subCentroids = 16, iterations = 3)
-      val tot = em.agg(count(lit(1)).as("n_vec"))
-      codes.groupBy("subspace", "code").agg(count(lit(1)).as("n"))
-        .crossJoin(broadcast(tot))
-        .select(col("subspace"), col("code").cast("long").as("code"), col("n"),
-          expr("(n * 1000000) div n_vec").as("share_ppm"))
-        .orderBy("subspace", "code")
-    }),
-
-    // categorical-mix drift monitor: per month, the order-priority whose
-    // share deviates most from the all-time mix — |ppm − ppm| of two
-    // non-negative floor divisions, ties to the lexicographically first
-    // priority; the drift alarm for label/category distributions
-    "q139_priority_mix_shift" -> ((s, d) => {
-      val o = Tables.orders(s, d).select(
-        unix_micros(date_trunc("month", col("o_orderdate").cast("timestamp")))
-          .as("month_us"), col("o_orderpriority"))
-      val mc = o.groupBy("month_us", "o_orderpriority").agg(count(lit(1)).as("c"))
-      val mt = mc.groupBy("month_us").agg(sum(col("c")).as("n_m"))
-      val ac = o.groupBy("o_orderpriority").agg(count(lit(1)).as("c_all"))
-      val at = o.agg(count(lit(1)).as("n_all"))
-      val dev = mc.join(mt, "month_us")
-        .join(broadcast(ac), "o_orderpriority").crossJoin(broadcast(at))
-        .select(col("month_us"), col("o_orderpriority"),
-          abs(expr("(c * 1000000) div n_m") - expr("(c_all * 1000000) div n_all"))
-            .as("dev_ppm"))
-      dev.withColumn("rn", row_number().over(
-          Window.partitionBy("month_us")
-            .orderBy(col("dev_ppm").desc, col("o_orderpriority"))))
-        .filter(col("rn") === 1)
-        .select(col("month_us"), col("o_orderpriority"), col("dev_ppm"))
-        .orderBy("month_us")
-    }),
-
-    // error-burst detector: hours whose error share exceeds 2× the all-time
-    // error rate — the cross-multiplied test err·N > 2·E·n keeps everything
-    // in integers (no rate doubles); hour counts roll up map-side, the
-    // 1-row global register broadcasts
-    "q140_error_burst" -> ((s, d) => {
-      val hourly = Tables.events(s, d)
-        .groupBy(expr("ts_us div 3600000000").as("hour_idx"))
-        .agg(count(lit(1)).as("n_events"),
-          sum((col("event_type") === "error").cast("long")).as("n_errors"))
-      val glob = hourly.agg(sum(col("n_events")).as("nn"),
-        sum(col("n_errors")).as("ee"))
-      hourly.crossJoin(broadcast(glob))
-        .filter(col("n_errors") * col("nn") > lit(2L) * col("ee") * col("n_events"))
-        .select(col("hour_idx"), col("n_events"), col("n_errors"),
-          expr("(n_errors * 1000000) div n_events").as("err_ppm"))
-        .orderBy("hour_idx")
-    }),
-
-    // recency census: users by whole days idle since their last event
-    // (relative to the corpus max — the "as-of now" register), with the
-    // cumulative still-active share per idle bucket — the churn-curve input;
-    // one (max) rollup per user against one broadcast register
-    "q141_recency_histogram" -> ((s, d) => {
-      val u = Tables.events(s, d).groupBy("user_id")
-        .agg(max(col("ts_us")).as("l"))
-      val mx = u.agg(max(col("l")).as("m"), count(lit(1)).as("nt"))
-      val hist = u.crossJoin(broadcast(mx))
-        .groupBy(expr(s"(m - l) div $DayUs").as("days_idle"))
-        .agg(count(lit(1)).as("n_users"), max(col("nt")).as("nt"))
-      hist.withColumn("cum_users", sum(col("n_users")).over(
-          Window.orderBy("days_idle")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .select(col("days_idle"), col("n_users"),
-          expr("(cum_users * 1000000) div nt").as("cum_share_ppm"))
-        .orderBy("days_idle")
-    }),
-
-    // weekday-effect profile: volume and purchase propensity per day of
-    // week — dow from pure epoch-day arithmetic ((day+4) mod 7, day 0 was a
-    // Thursday), no calendar functions on either engine
-    "q142_weekend_effect" -> ((s, d) => {
-      Tables.events(s, d)
-        .groupBy(expr(s"((ts_us div $DayUs) + 4) % 7").as("dow"))
-        .agg(count(lit(1)).as("n_events"),
-          sum((col("event_type") === "purchase").cast("long")).as("n_purchases"))
-        .withColumn("purchase_ppm", expr("(n_purchases * 1000000) div n_events"))
-        .orderBy("dow")
-    }),
-
-    // U-shaped (position-based) attribution: each purchase's preceding
-    // touches since the prior purchase share credit 40/20/40 (first/
-    // middles/last; 100/50-50 for 1-2 touches) — journeys cut by a
-    // strict-past purchase counter (one user-keyed exchange serves every
-    // window), credit in integer ppm (middle remainder truncates,
-    // documented); complements q106's last-touch rule
-    "q143_position_attribution" -> ((s, d) => {
-      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
-      val jd = Tables.events(s, d)
-        .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
-        .withColumn("j", coalesce(
-          sum((col("event_type") === "purchase").cast("long"))
-            .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      val convs = jd.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("j"))
-      val tw = Window.partitionBy("user_id", "j").orderBy(col("ts_us"), col("event_id"))
-      jd.filter(col("event_type") =!= "purchase")
-        .join(convs, Seq("user_id", "j"), "left_semi")
-        .withColumn("rn", row_number().over(tw))
-        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("user_id", "j")))
-        .withColumn("credit_ppm",
-          when(col("cnt") === 1, 1000000L)
-            .when(col("cnt") === 2, 500000L)
-            .when(col("rn") === 1 || col("rn") === col("cnt"), 400000L)
-            .otherwise(expr("200000 div (cnt - 2)")))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n_touches"),
-          sum(col("credit_ppm")).as("credit_ppm_total"))
-        .orderBy("event_type")
-    }),
-
-    // chi-square independence of (day-of-week × event type): χ² in ppm from
-    // pure integer registers — per-cell term (O·N − R·C)²·10⁶/(N·R·C)
-    // with the staged floor division (deterministic on both engines; the
-    // per-cell floor is the documented convention). Contingency cells roll
-    // up map-side; margins broadcast
-    "q144_chi_square" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .select(expr(s"((ts_us div $DayUs) + 4) % 7").as("dow"), col("event_type"))
-      val obs = ev.groupBy("dow", "event_type").agg(count(lit(1)).as("o"))
-      val rowm = obs.groupBy("dow").agg(sum(col("o")).as("r"))
-      val colm = obs.groupBy("event_type").agg(sum(col("o")).as("c"))
-      val tot = obs.agg(sum(col("o")).as("nn"))
-      val cells = obs.join(rowm, "dow").join(broadcast(colm), "event_type")
-        .crossJoin(broadcast(tot))
-        .select(expr("((o*nn - r*c) * (o*nn - r*c)) div ((nn*r*c) div 1000000)")
-          .as("term_ppm"))
-      val dims = rowm.agg(count(lit(1)).as("n_dow"))
-        .crossJoin(colm.agg(count(lit(1)).as("n_types")))
-      cells.agg(sum(col("term_ppm")).as("chi2_ppm"))
-        .crossJoin(broadcast(dims))
-        .select(col("chi2_ppm"),
-          ((col("n_dow") - 1L) * (col("n_types") - 1L)).as("dof"))
-    }),
-
-    // LSH operating-curve sweep: candidate pairs surviving at each
-    // estimated-jaccard threshold (multiples of 1/8 — exact doubles) from
-    // ONE banding pass — the tuning table for choosing d2's minEstimate
-    "d22_lsh_threshold_sweep" -> ((s, d) => {
-      val pairs = Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
-        numHashes = 8, shingleSize = 3, rowsPerBand = 2, minEstimate = 0.0,
-        materializeCandidates = true)
-      pairs.agg(count(lit(1)).as("n_candidates"),
-        sum((col("jaccard_est") >= 0.25).cast("long")).as("n_ge25"),
-        sum((col("jaccard_est") >= 0.5).cast("long")).as("n_ge50"),
-        sum((col("jaccard_est") >= 0.75).cast("long")).as("n_ge75"),
-        sum((col("jaccard_est") >= 1.0).cast("long")).as("n_eq100"))
-    }),
-
-    // calendar seasonality index: order volume per month-of-year vs the
-    // uniform expectation, in exact ppm (10⁶ = an average month) — the
-    // capacity-planning profile; calendar month is deterministic on both
-    // engines (UTC session)
-    "q145_seasonality_index" -> ((s, d) => {
-      val o = Tables.orders(s, d)
-        .select(month(col("o_orderdate").cast("timestamp")).as("moy"))
-      val tot = o.agg(count(lit(1)).as("nt"))
-      o.groupBy("moy").agg(count(lit(1)).as("n_orders"))
-        .crossJoin(broadcast(tot))
-        .select(col("moy"), col("n_orders"),
-          expr("(n_orders * 12 * 1000000) div nt").as("index_ppm"))
-        .orderBy("moy")
-    }),
-
-    // acquisition vs retention: monthly revenue split between first-time
-    // and returning customers — the customer's first order month joins back
-    // on the customer key (one exchange), shares in exact cents-ppm
-    "q146_new_vs_returning" -> ((s, d) => {
-      val o = Tables.orders(s, d).select(col("o_custkey"),
-        unix_micros(date_trunc("month", col("o_orderdate").cast("timestamp")))
-          .as("month_us"),
-        round(col("o_totalprice") * 100).cast("long").as("cents"))
-      val firstm = o.groupBy("o_custkey").agg(min(col("month_us")).as("fm"))
-      o.join(firstm, "o_custkey")
-        .withColumn("is_new", (col("month_us") === col("fm")).cast("long"))
-        .groupBy("month_us")
-        .agg(sum(col("cents") * col("is_new")).as("new_cents"),
-          sum(col("cents")).as("total_cents"))
-        .select(col("month_us"),
-          (col("new_cents").cast("double") / 100.0).as("new_revenue"),
-          ((col("total_cents") - col("new_cents")).cast("double") / 100.0)
-            .as("returning_revenue"),
-          expr("(new_cents * 1000) div (total_cents div 1000)").as("new_share_ppm"))
-        .orderBy("month_us")
-    }),
-
-    // max drawdown of each user's running spend balance: prefix-sum →
-    // prefix-max → peak-to-trough gap, all in integer cents on ONE
-    // user-keyed exchange (three frames share the sort); top-20 deepest
-    "q147_max_drawdown" -> ((s, d) => {
-      val p = Tables.events(s, d).filter(col("value").isNotNull)
-        .select(col("user_id"), col("ts_us"), col("event_id"),
-          round(col("value") * 100).cast("long").as("cents"))
-      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      p.withColumn("bal", sum(col("cents")).over(w))
-        .withColumn("peak", max(col("bal")).over(w))
-        .withColumn("dd", col("peak") - col("bal"))
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n_points"), max(col("dd")).as("max_drawdown_cents"))
-        .orderBy(col("max_drawdown_cents").desc, col("user_id")).limit(20)
-    }),
-
-    // per-user day-activity bitmap: one BIGINT packs which of the (≤63)
-    // days since corpus start the user was active — bit_or is the map-side-
-    // combinable presence fold (the roaring-bitmap idea at word width),
-    // popcount gives active days for free. Longer horizons shard the mask
-    // by 63-day epoch and OR per shard
-    "q148_activity_bitmap" -> ((s, d) => {
-      val days = Tables.events(s, d)
-        .select(col("user_id"), expr(s"ts_us div $DayUs").as("day"))
-      val base = days.agg(min(col("day")).as("d0"))
-      days.crossJoin(broadcast(base))
-        .filter(col("day") - col("d0") < 63L)
-        .withColumn("bit", expr("shiftleft(CAST(1 AS BIGINT), CAST(day - d0 AS INT))"))
-        .groupBy("user_id")
-        .agg(bit_or(col("bit")).as("activity_mask"))
-        .withColumn("active_days", bit_count(col("activity_mask")))
-        .orderBy("user_id")
-    }),
-
-    // template detection: the 20 most duplicated 8-token document prefixes
-    // (form letters / boilerplate headers) with how many sources they span
-    // — a groupBy on the prefix string, no pairwise comparison anywhere
-    "t28_template_prefixes" -> ((s, d) => {
-      Tables.documents(s, d)
-        .select(col("source"),
-          concat_ws(" ", slice(tokens(col("text")), 1, 8)).as("prefix"))
-        .filter(size(tokens(col("text"))) >= 8)
-        .groupBy("prefix")
-        .agg(count(lit(1)).as("n_docs"),
-          countDistinct(col("source")).as("n_sources"))
-        .orderBy(col("n_docs").desc, col("prefix")).limit(20)
-    }),
-
-    // association lift between event types at user granularity:
-    // lift·10⁶ = (n_ab·N·10⁶) div (n_a·n_b) over presence sets — the
-    // market-basket signal; presence via one distinct, pairs via self-join
-    // on the user key (25→10 unordered type pairs, frames stay type²-sized)
-    "q149_event_lift" -> ((s, d) => {
-      val pres = Tables.events(s, d)
-        .select(col("user_id"), col("event_type")).distinct()
-        .localCheckpoint(true)
-      val nUsers = Tables.events(s, d).select(col("user_id")).distinct()
-        .agg(count(lit(1)).as("nt"))
-      val typeN = pres.groupBy("event_type").agg(count(lit(1)).as("n"))
-      val pairs = pres.select(col("user_id"), col("event_type").as("ta"))
-        .join(pres.select(col("user_id"), col("event_type").as("tb")), "user_id")
-        .filter(col("ta") < col("tb"))
-        .groupBy("ta", "tb").agg(count(lit(1)).as("n_ab"))
-      pairs
-        .join(broadcast(typeN.select(col("event_type").as("ta"), col("n").as("n_a"))), "ta")
-        .join(broadcast(typeN.select(col("event_type").as("tb"), col("n").as("n_b"))), "tb")
-        .crossJoin(broadcast(nUsers))
-        .select(col("ta"), col("tb"), col("n_ab"),
-          expr("(n_ab * nt * 1000000) div (n_a * n_b)").as("lift_ppm"))
-        .orderBy("ta", "tb")
-    }),
-
-    // data-skipping effectiveness audit: per layout (time-clustered vs
-    // Z-order blocks), the share of blocks a user-point predicate can skip
-    // using only min/max footer stats — the measured justification for
-    // q64's layout; blocks are z-prefix cells (z div 2¹²), probes are the
-    // 5 lowest user ids, everything integer
-    "q150_skipping_audit" -> ((s, d) => {
-      val ev = Tables.events(s, d).select(col("user_id"),
-        call_function("div", col("ts_us") - Jan1_24, lit(3600000000L)).as("hr"))
-        .localCheckpoint(true)
-      val probes = broadcast(
-        ev.select(col("user_id").as("u")).distinct().orderBy("u").limit(5))
-      def audit(layout: String, blk: Column) = {
-        val stats = ev.withColumn("blk", blk).groupBy("blk")
-          .agg(min(col("user_id")).as("mn"), max(col("user_id")).as("mx"))
-        val nb = stats.agg(count(lit(1)).as("n_blocks"))
-        val cand = stats.crossJoin(probes)
-          .filter(col("u") >= col("mn") && col("u") <= col("mx"))
-          .agg(count(lit(1)).as("n_candidate"))
-        nb.crossJoin(cand).select(lit(layout).as("layout"),
-          col("n_blocks"), col("n_candidate"),
-          expr("((n_blocks * 5 - n_candidate) * 1000000) div (n_blocks * 5)")
-            .as("skip_ppm"))
-      }
-      audit("time", expr("hr div 16"))
-        .unionByName(audit("zorder",
-          call_function("div", Layout.zValue(col("user_id"), col("hr"), 10),
-            lit(4096L))))
-        .orderBy("layout")
-    }),
-
-    // bloom-filter false-positive audit: the q62 filter (64 words × 3
-    // hashes) probed with the full customer dimension — measured fp rate
-    // over true negatives in exact ppm, the number that validates the
-    // (words, hashes) sizing before shipping the filter into a join
-    "q151_bloom_fpp" -> ((s, d) => {
-      val hot = Tables.orders(s, d)
-        .filter(col("o_totalprice") > 490000.0)
-        .select(col("o_custkey"))
-      val bloom = Sketches.bloomBuild(hot, col("o_custkey"), words = 64, hashes = 3)
-      val probes = Tables.customer(s, d).select(col("c_custkey"))
-      val actual = hot.distinct().withColumnRenamed("o_custkey", "c_custkey")
-        .withColumn("actually_in", lit(true))
-      Sketches.bloomProbe(bloom, probes, "c_custkey", words = 64, hashes = 3)
-        .join(actual, Seq("c_custkey"), "left")
-        .agg(count(lit(1)).as("n_probes"),
-          sum(col("maybe_present").cast("long")).as("n_maybe"),
-          sum(coalesce(col("actually_in"), lit(false)).cast("long")).as("n_true"))
-        .select(col("n_probes"), col("n_maybe"), col("n_true"),
-          expr("((n_maybe - n_true) * 1000000) div (n_probes - n_true)")
-            .as("fp_ppm"))
-    }),
-
-    // supplier diversity per product family (TPC-H Q16 shape): distinct
-    // suppliers per (brand, size) — the single-source-risk screen; the
-    // distinct shuffles once on the composite key, top-20 by coverage
-    "q152_supplier_coverage" -> ((s, d) => {
-      Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
-        .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand"),
-          col("p_size")), col("l_partkey") === col("p_partkey"))
-        .groupBy("p_brand", "p_size")
-        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
-        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
-        .limit(20)
-    }),
-
-    // promotion-forecast revenue (TPC-H Q6 shape): the would-be revenue
-    // change from eliminating a discount band in one shipping year — pure
-    // scan+filter+sum, the canonical predicate-pushdown probe; exact
-    // ×10⁶-quantized sum (price·discount carries 6 fractional digits)
-    "q153_forecast_revenue" -> ((s, d) => {
-      Tables.lineitem(s, d)
-        .filter(Tables.epochUs(col("l_shipdate")) >= lit(Jan1_96) &&
-          Tables.epochUs(col("l_shipdate")) < lit(Jan1_97) &&
-          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
-          col("l_quantity") < 24.0)
-        .agg(count(lit(1)).as("n_lineitems"),
-          (sum(round(col("l_extendedprice") * col("l_discount") * 1000000)
-            .cast("long")).cast("double") / 1000000.0).as("revenue_effect"))
-    }),
-
-    // Heaps-law corpus growth curve: cumulative docs / token occurrences /
-    // vocabulary size at each doc-id decile — new types charge their FIRST
-    // decile (min over a monotone bucketing ≡ decile of first occurrence),
-    // so one token shuffle serves the whole curve; sub-linear vocab growth
-    // is the healthy-corpus signature
-    "t29_vocab_growth" -> ((s, d) => {
-      val dec = Tables.documents(s, d).select(col("doc_id"))
-        .withColumn("decile", ntile(10).over(Window.orderBy("doc_id")))
-      val tokDec = Tables.documents(s, d)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .join(dec, "doc_id")
-      val occ = tokDec.groupBy("decile").agg(count(lit(1)).as("n_occ"))
-      val vocabNew = tokDec.groupBy("tok").agg(min(col("decile")).as("decile"))
-        .groupBy("decile").agg(count(lit(1)).as("new_types"))
-      val docsPer = dec.groupBy("decile").agg(count(lit(1)).as("n_docs"))
-      val w = Window.orderBy("decile")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docsPer.join(occ, "decile").join(vocabNew, Seq("decile"), "left")
-        .withColumn("nt0", coalesce(col("new_types"), lit(0L)))
-        .select(col("decile"),
-          sum(col("n_docs")).over(w).as("docs_cum"),
-          sum(col("n_occ")).over(w).as("tokens_cum"),
-          sum(col("nt0")).over(w).as("vocab_cum"))
-        .orderBy("decile")
-    }),
-
-    // tail-latency profile: p50/p90/p99 of event value per type (exact
-    // sort-based interpolated percentiles — Spark `percentile` ≡ DuckDB
-    // `quantile_cont`, the q26 parity) — the SLO dashboard numbers
-    "q154_tail_latency" -> ((s, d) => {
-      Tables.events(s, d).filter(col("value").isNotNull)
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
-          expr("percentile(value, 0.5)").as("p50"),
-          expr("percentile(value, 0.9)").as("p90"),
-          expr("percentile(value, 0.99)").as("p99"))
-        .orderBy("event_type")
-    }),
-
-    // referential-integrity audit across the star schema: orphan counts by
-    // left-anti join on each foreign key plus duplicate-key checks — the
-    // pre-flight data-quality gate; every check is one key-shuffle, results
-    // collapse to a single row
-    "q155_integrity_audit" -> ((s, d) => {
-      val orders = Tables.orders(s, d)
-      val li = Tables.lineitem(s, d)
-      val orphanOrders = orders.select(col("o_custkey"))
-        .join(Tables.customer(s, d).select(col("c_custkey")),
-          col("o_custkey") === col("c_custkey"), "left_anti")
-        .agg(count(lit(1)).as("orphan_orders"))
-      val orphanLines = li.select(col("l_orderkey"))
-        .join(orders.select(col("o_orderkey")),
-          col("l_orderkey") === col("o_orderkey"), "left_anti")
-        .agg(count(lit(1)).as("orphan_lineitems"))
-      val orphanParts = li.select(col("l_partkey"))
-        .join(Tables.part(s, d).select(col("p_partkey")),
-          col("l_partkey") === col("p_partkey"), "left_anti")
-        .agg(count(lit(1)).as("orphan_partrefs"))
-      val dupKeys = orders.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
-        .agg(sum((col("c") > 1L).cast("long")).as("dup_orderkeys"))
-      orphanOrders.crossJoin(orphanLines).crossJoin(orphanParts)
-        .crossJoin(dupKeys)
-    }),
-
-    // language purity per source: share of docs carrying the source's
-    // plurality language (ties to the lexicographically first lang) — the
-    // mislabeled-shard screen run before language-filtered training cuts
-    "t30_language_purity" -> ((s, d) => {
-      val cnt = Tables.documents(s, d).groupBy("source", "lang")
-        .agg(count(lit(1)).as("c"))
-      val tot = cnt.groupBy("source").agg(sum(col("c")).as("n_docs"))
-      cnt.withColumn("rn", row_number().over(
-          Window.partitionBy("source").orderBy(col("c").desc, col("lang"))))
-        .filter(col("rn") === 1)
-        .join(tot, "source")
-        .select(col("source"), col("n_docs"), col("lang").as("top_lang"),
-          expr("(c * 1000000) div n_docs").as("purity_ppm"))
-        .orderBy("source")
-    }),
-
-    // month-over-month revenue bridge: ΔMRR decomposed into new + expansion
-    // − contraction − churned via a FULL OUTER self-join of per-customer
-    // month revenue on consecutive month indices (year·12+month — calendar-
-    // safe), everything in exact cents; the four components provably sum to
-    // the total delta
-    "q156_revenue_bridge" -> ((s, d) => {
-      val rev = Tables.orders(s, d)
-        .groupBy(col("o_custkey"),
-          (year(col("o_orderdate").cast("timestamp")) * 12 +
-            month(col("o_orderdate").cast("timestamp"))).as("midx"))
-        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
-        .localCheckpoint(true)
-      val prev = rev.select(col("o_custkey").as("pc"),
-        (col("midx") + 1).as("pmidx"), col("cents").as("pcents"))
-      rev.join(prev, col("o_custkey") === col("pc") && col("midx") === col("pmidx"),
-          "full_outer")
-        .select(coalesce(col("midx"), col("pmidx")).as("m"),
-          coalesce(col("cents"), lit(0L)).as("cur"),
-          coalesce(col("pcents"), lit(0L)).as("prv"),
-          col("cents").isNull.as("gone"), col("pcents").isNull.as("fresh"))
-        .groupBy("m")
-        .agg(
-          sum(when(col("fresh"), col("cur")).otherwise(0L)).as("new_cents"),
-          sum(when(!col("fresh") && !col("gone") && col("cur") > col("prv"),
-            col("cur") - col("prv")).otherwise(0L)).as("expansion_cents"),
-          sum(when(!col("fresh") && !col("gone") && col("cur") < col("prv"),
-            col("prv") - col("cur")).otherwise(0L)).as("contraction_cents"),
-          sum(when(col("gone"), col("prv")).otherwise(0L)).as("churned_cents"))
-        .withColumn("delta_cents",
-          col("new_cents") + col("expansion_cents")
-            - col("contraction_cents") - col("churned_cents"))
-        .orderBy("m")
-    }),
-
-    // curse-of-dimensionality audit: per query, nearest vs mean squared
-    // distance over the corpus — contrast = mean/min in ppm (all-integer;
-    // a contrast near 1 means distances concentrate and ANN pruning loses
-    // power). min_d2 floor-guarded at 1 for exact-duplicate corpora
-    "s29_distance_contrast" -> ((s, d) => {
-      val vecs = Tables.embeddings(s, d)
-        .select(col("vec_id"), quantize1000(col("embedding")).as("v"))
-        .withColumn("nv", ldot(col("v"), col("v")))
-      val q = vecs.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nv").as("nq"))
-      vecs.filter(col("vec_id") >= 5).crossJoin(broadcast(q))
-        .withColumn("d2",
-          col("nv") + col("nq") - lit(2L) * ldot(col("v"), col("qv")))
-        .groupBy("query_id")
-        .agg(count(lit(1)).as("n"), min(col("d2")).as("min_d2"),
-          sum(col("d2")).as("sum_d2"))
-        .select(col("query_id"), col("n"), col("min_d2"),
-          expr("(sum_d2 * 1000000) div (n * greatest(min_d2, 1))")
-            .as("contrast_ppm"))
-        .orderBy("query_id")
-    }),
-
-    // survival curve: users still active k days after first contact —
-    // lifespan histogram plus a DESCENDING cumulative share (survivors at
-    // ≥ k days) in exact ppm; one (min,max) rollup per user
-    "q157_survival_curve" -> ((s, d) => {
-      val span = Tables.events(s, d).groupBy("user_id")
-        .agg(expr(s"(max(ts_us) - min(ts_us)) div $DayUs").as("lifespan_days"))
-      val tot = span.agg(count(lit(1)).as("nt"))
-      val hist = span.groupBy("lifespan_days").agg(count(lit(1)).as("n_users"))
-      hist.crossJoin(broadcast(tot))
-        .withColumn("surviving", sum(col("n_users")).over(
-          Window.orderBy(col("lifespan_days").desc)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .select(col("lifespan_days"), col("n_users"),
-          expr("(surviving * 1000000) div nt").as("surviving_ppm"))
-        .orderBy("lifespan_days")
-    }),
-
-    // IVF recall-vs-probe operating curve: recall@5 at nProbe ∈ {1,2,4}
-    // against brute-force truth — the cost/recall trade the index tuner
-    // reads before fixing nProbe; deterministic integer k-means makes the
-    // whole sweep oracle-able (the oracle shares ONE training chain)
-    "s30_probe_recall_curve" -> ((s, d) => {
-      val em = Tables.embeddings(s, d)
-      val qs = em.filter(col("vec_id") < 5)
-      val truth = Similarity.bruteForceTopK(em, qs, "vec_id", "embedding", k = 5)
-        .localCheckpoint(true)
-      val (cells, centroids) = Similarity.ivfIndex(em, "vec_id", "embedding",
-        nCentroids = 16)
-      val pinned = cells.localCheckpoint(true)
-      Seq(1, 2, 4).map { p =>
-        Similarity.annRecall(truth,
-            Similarity.ivfTopKFromIndex(pinned, centroids, em, qs,
-              "vec_id", "embedding", k = 5, nProbe = p), k = 5)
-          .withColumn("probe", lit(p))
-      }.reduce(_ unionByName _)
-        .select(col("query_id"), col("probe"), col("n_hits"), col("recall_ppm"))
-        .orderBy("query_id", "probe")
-    }),
-
-    // content-defined chunking dedup (the rsync/LBFS idea on tokens): a
-    // token whose cheap hash ≡ 0 (mod 8) closes a chunk, so chunk
-    // boundaries survive insertions/deletions unlike fixed windows; report
-    // corpus-level chunk count, distinct-content count, duplicate share
-    // and mean chunk length — the byte-savings estimate for chunk-level
-    // storage dedup
-    "d23_cdc_chunking" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-        .withColumn("b",
-          ((ascii(col("tok")) * 7 + length(col("tok"))) % 8 === 0).cast("long"))
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      val chunks = toks
-        .withColumn("chunk_id", coalesce(sum(col("b"))
-          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .groupBy("doc_id", "chunk_id")
-        .agg(count(lit(1)).as("n_toks"),
-          md5(expr(
-            "array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')"))
-            .as("h"))
-      chunks.agg(count(lit(1)).as("n_chunks"),
-          countDistinct(col("h")).as("distinct_chunks"),
-          sum(col("n_toks")).as("total_tokens"))
-        .select(col("n_chunks"), col("distinct_chunks"),
-          expr("((n_chunks - distinct_chunks) * 1000000) div n_chunks")
-            .as("dup_chunk_ppm"),
-          expr("(total_tokens * 1000000) div n_chunks")
-            .as("mean_chunk_tokens_ppm"))
-    }),
-
-    // temporal ping-pong motifs: A→B→A event-type bounces per (A, B) —
-    // two lags on the per-user ordered stream (one exchange serves both),
-    // the oscillation signal sequence mining misses when it only counts
-    // forward transitions (q87)
-    "q158_bounce_motifs" -> ((s, d) => {
-      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
-      Tables.events(s, d)
-        .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
-        .withColumn("a", lag(col("event_type"), 2).over(w))
-        .withColumn("b", lag(col("event_type"), 1).over(w))
-        .filter(col("a").isNotNull && col("a") === col("event_type")
-          && col("a") =!= col("b"))
-        .groupBy(col("a").as("t_outer"), col("b").as("t_inner"))
-        .agg(count(lit(1)).as("n_bounces"))
-        .orderBy("t_outer", "t_inner")
-    }),
-
-    // shipment backlog curve: orders placed vs fully shipped per month
-    // (an order ships when its LAST lineitem ships), running backlog =
-    // cumulative placed − shipped — the ops burndown; full-outer on the
-    // month index keeps tail months where shipments outlive placements
-    "q159_shipment_backlog" -> ((s, d) => {
-      def midx(c: Column) = year(c.cast("timestamp")) * 12 + month(c.cast("timestamp"))
-      val placed = Tables.orders(s, d)
-        .groupBy(midx(col("o_orderdate")).as("m")).agg(count(lit(1)).as("placed"))
-      val shipped = Tables.lineitem(s, d)
-        .groupBy("l_orderkey").agg(max(Tables.epochUs(col("l_shipdate"))).as("last_us"))
-        .groupBy(midx(timestamp_micros(col("last_us"))).as("m"))
-        .agg(count(lit(1)).as("shipped"))
-      placed.join(shipped, Seq("m"), "full_outer")
-        .select(col("m"), coalesce(col("placed"), lit(0L)).as("placed"),
-          coalesce(col("shipped"), lit(0L)).as("shipped"))
-        .withColumn("backlog", sum(col("placed") - col("shipped")).over(
-          Window.orderBy("m").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .orderBy("m")
-    }),
-
-    // average-order-value trend: AOV per month in exact floored cents plus
-    // the month-over-month ratio — ratio_ppm divides two POSITIVE longs
-    // (safe truncation), the signed change falls out by subtraction, never
-    // by dividing a negative
-    "q160_aov_trend" -> ((s, d) => {
-      val m = Tables.orders(s, d)
-        .groupBy((year(col("o_orderdate").cast("timestamp")) * 12 +
-          month(col("o_orderdate").cast("timestamp"))).as("m"))
-        .agg(count(lit(1)).as("n_orders"),
-          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
-        .withColumn("aov_cents", expr("cents div n_orders"))
-      m.withColumn("prev", lag(col("aov_cents"), 1).over(Window.orderBy("m")))
-        .withColumn("ratio_ppm",
-          when(col("prev").isNotNull, expr("(aov_cents * 1000000) div prev")))
-        .select(col("m"), col("n_orders"), col("aov_cents"),
-          col("ratio_ppm"), (col("ratio_ppm") - 1000000L).as("change_ppm"))
-        .orderBy("m")
-    }),
-
-    // SLA attainment per priority: orders FULLY shipped within 30 days of
-    // placement (order-granular — the max-lineitem rollup feeds one integer
-    // comparison), attainment in exact ppm; q134's line-granular profile
-    // aggregated to the number the contract actually binds
-    "q161_priority_sla" -> ((s, d) => {
-      val lastShip = Tables.lineitem(s, d).groupBy("l_orderkey")
-        .agg(max(Tables.epochUs(col("l_shipdate"))).as("last_us"))
-      Tables.orders(s, d)
-        .join(lastShip, col("o_orderkey") === col("l_orderkey"))
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n_orders"),
-          sum((col("last_us") - Tables.epochUs(col("o_orderdate"))
-            <= lit(30L * DayUs)).cast("long")).as("n_within_sla"))
-        .withColumn("sla_ppm", expr("(n_within_sla * 1000000) div n_orders"))
-        .orderBy("o_orderpriority")
-    }),
-
-    // k-means convergence audit: squared centroid movement in the LAST
-    // Lloyd iteration (iter 4 → 5) per cell — exact integers because the
-    // whole training is integer arithmetic; near-zero movement certifies
-    // the fixed iteration count the ANN family (s3/s4/s9/s10/s30) freezes
-    "s31_kmeans_convergence" -> ((s, d) => {
-      import s.implicits._
-      val em = Tables.embeddings(s, d)
-      val (_, c4) = Similarity.ivfIndex(em, "vec_id", "embedding",
-        nCentroids = 16, iterations = 4)
-      val (_, c5) = Similarity.ivfIndex(em, "vec_id", "embedding",
-        nCentroids = 16, iterations = 5)
-      c4.zip(c5).zipWithIndex.map { case ((a, b), cell) =>
-        (cell.toLong, a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
-      }.toSeq.toDF("cell", "move_d2").orderBy("cell")
-    }),
-
-    // corpus-diversity audit: exact vocabulary Jaccard between source
-    // pairs — distinct (source, token) sets self-join on the token key,
-    // |A∪B| = |A|+|B|−|A∩B|, overlap in ppm; 20 most-similar pairs
-    "t31_vocab_overlap" -> ((s, d) => {
-      val st = Tables.documents(s, d)
-        .select(col("source"), explode(tokens(col("text"))).as("tok"))
-        .distinct().localCheckpoint(true)
-      val sizes = st.groupBy("source").agg(count(lit(1)).as("n"))
-      val inter = st.select(col("source").as("sa"), col("tok"))
-        .join(st.select(col("source").as("sb"), col("tok")), "tok")
-        .filter(col("sa") < col("sb"))
-        .groupBy("sa", "sb").agg(count(lit(1)).as("n_inter"))
-      inter
-        .join(broadcast(sizes.select(col("source").as("sa"), col("n").as("na"))), "sa")
-        .join(broadcast(sizes.select(col("source").as("sb"), col("n").as("nb"))), "sb")
-        .select(col("sa"), col("sb"), col("n_inter"),
-          expr("(n_inter * 1000000) div (na + nb - n_inter)").as("jaccard_ppm"))
-        .orderBy(col("jaccard_ppm").desc, col("sa"), col("sb")).limit(20)
-    }),
-
-    // resurrection profile: users by their LONGEST dormancy gap in whole
-    // days (a long gap followed by any event = a comeback) — one lag on
-    // the user-keyed order, max per user, histogram; the reactivation-
-    // campaign sizing table
-    "q162_resurrection_gaps" -> ((s, d) => {
-      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
-      Tables.events(s, d)
-        .select(col("user_id"), col("ts_us"), col("event_id"))
-        .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
-        .filter(col("gap").isNotNull)
-        .groupBy("user_id")
-        .agg(expr(s"max(gap) div $DayUs").as("max_gap_days"))
-        .groupBy("max_gap_days").agg(count(lit(1)).as("n_users"))
-        .orderBy("max_gap_days")
-    }),
-
-    // brand cross-sell matrix: brand pairs co-appearing in one order —
-    // the distinct (order, brand) projection self-joins on the order key
-    // (25 brands bound the blow-up, orders are the shuffle key); top-20
-    "q163_brand_cross_sell" -> ((s, d) => {
-      val ob = Tables.lineitem(s, d)
-        .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"))),
-          col("l_partkey") === col("p_partkey"))
-        .select(col("l_orderkey").as("ok"), col("p_brand")).distinct()
-        .localCheckpoint(true)
-      ob.select(col("ok"), col("p_brand").as("ba"))
-        .join(ob.select(col("ok"), col("p_brand").as("bb")), "ok")
-        .filter(col("ba") < col("bb"))
-        .groupBy("ba", "bb").agg(count(lit(1)).as("n_orders"))
-        .orderBy(col("n_orders").desc, col("ba"), col("bb")).limit(20)
-    }),
-
-    // OOV-heavy documents: share of tokens whose corpus count ≤ 2, per
-    // doc in exact ppm — the docs most likely to be noise/garble; token
-    // occurrences re-join their corpus counts on the token key, top-20
-    "t32_rare_token_docs" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      val corpus = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-      toks.join(corpus, "tok")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          sum((col("c") <= 2L).cast("long")).as("n_rare"))
-        .withColumn("rare_ppm", expr("(n_rare * 1000000) div n_tokens"))
-        .orderBy(col("rare_ppm").desc, col("doc_id")).limit(20)
-    }),
-
-    // partition-balance audit of the J1 murmur2 router: keys per partition
-    // → max-vs-mean skew in ppm — the hot-partition early warning read off
-    // the SAME hash the cluster routes with (a skewed router at 100 TB is
-    // a stuck consumer, not a slow query)
-    "q164_route_balance" -> ((s, d) => {
-      val parts = Tables.events(s, d).select(col("user_id")).distinct()
-        .withColumn("partition", kafkaPartition(col("user_id").cast("string"), 32))
-        .groupBy("partition").agg(count(lit(1)).as("n_keys"))
-      parts.agg(count(lit(1)).as("n_partitions"),
-          sum(col("n_keys")).as("n_keys_total"),
-          min(col("n_keys")).as("min_keys"), max(col("n_keys")).as("max_keys"))
-        .select(col("n_partitions"), col("n_keys_total"),
-          col("min_keys"), col("max_keys"),
-          expr("(max_keys * n_partitions * 1000000) div n_keys_total")
-            .as("skew_ppm"))
-    }),
-
-    // PQ reconstruction distortion per subspace: Σ‖slice − codeword‖² in
-    // exact integers — which subspaces the codebook represents poorly (the
-    // complement of s28's usage balance); mean per vector via floored div
-    "s32_pq_distortion" -> ((s, d) => {
-      Similarity.pqDistortion(Tables.embeddings(s, d), "vec_id", "embedding",
-          numSubspaces = 8, subCentroids = 16, iterations = 3)
-        .select(col("subspace"), col("n"), col("sum_d2"),
-          expr("sum_d2 div n").as("mean_d2"))
-        .orderBy("subspace")
-    }),
-
-    // MinHash estimator calibration: |est − true| jaccard over EVERY banded
-    // candidate pair, in exact ppm (est is a multiple of 1/8 — exact in
-    // doubles; truth from the same 60-bit gram universe the signatures
-    // hashed) — the measured error bar behind d2's minEstimate choice
-    "d24_minhash_calibration" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val cand = Dedup.minhashLsh(docs, "doc_id", "text", numHashes = 8,
-        shingleSize = 3, rowsPerBand = 2, minEstimate = 0.0,
-        materializeCandidates = true)
-      val gs = docs.select(col("doc_id").as("doc"),
-          wordNgramHashSet(concat_ws(" ", tokens(col("text"))), 3).as("gs"))
-        .withColumn("ng", size(col("gs")).cast("long")).filter(col("ng") > 0)
-      cand
-        .join(gs.select(col("doc").as("id_a"), col("gs").as("ga"), col("ng").as("na")), "id_a")
-        .join(gs.select(col("doc").as("id_b"), col("gs").as("gb"), col("ng").as("nb")), "id_b")
-        .withColumn("inter", sortedIntersectCount(col("ga"), col("gb")).cast("long"))
-        .withColumn("true_ppm", expr("(inter * 1000000) div (na + nb - inter)"))
-        .withColumn("est_ppm", (col("jaccard_est") * 8).cast("long") * 125000L)
-        .withColumn("err", abs(col("est_ppm") - col("true_ppm")))
-        .agg(count(lit(1)).as("n_pairs"), sum(col("err")).as("sum_err"),
-          max(col("err")).as("max_err_ppm"))
-        .select(col("n_pairs"), expr("sum_err div n_pairs").as("mae_ppm"),
-          col("max_err_ppm"))
-    }),
-
-    // SimHash distance ↔ token-set Jaccard calibration: mean true Jaccard
-    // per Hamming distance over banded candidate pairs (4 bands of 8 bits
-    // ⇒ Hamming ≤ 3 complete) — monotone decay validates the fingerprint
-    // as a similarity proxy; set ops on token arrays, pair frames tiny.
-    // Scale bound (PLANS.md d25): 32-bit fingerprint keeps each band's
-    // value space at 256 (not 16), and capBuckets(128) whole-bucket-drops
-    // degenerate template clusters, so candidate pairs are ≤
-    // 4·256·128²/2 ≈ 8.4M at ANY corpus size — constant, not quadratic.
-    // Measured sf0.01→sf0.1: candidates 26k→262k (linear in docs).
-    "d25_simhash_calibration" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
-        bits = 32, maxHamming = 3, maxBucketSize = 128L)
-      val ts = docs.select(col("doc_id").as("doc"),
-        array_distinct(tokens(col("text"))).as("ts"))
-      pairs
-        .join(ts.select(col("doc").as("id_a"), col("ts").as("ta")), "id_a")
-        .join(ts.select(col("doc").as("id_b"), col("ts").as("tb")), "id_b")
-        .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
-        .withColumn("true_ppm", expr(
-          "(inter * 1000000) div (size(ta) + size(tb) - inter)"))
-        .groupBy("hamming")
-        .agg(count(lit(1)).as("n_pairs"), sum(col("true_ppm")).as("s"))
-        .select(col("hamming"), col("n_pairs"),
-          expr("s div n_pairs").as("mean_true_ppm"))
-        .orderBy("hamming")
-    }),
-
-    // receivables-style aging: orders still unshipped at the cutoff (their
-    // LAST lineitem ships on/after it) bucketed by days outstanding, with
-    // the value at risk in exact cents — the classic 30/60/90 report
-    "q165_aging_buckets" -> ((s, d) => {
-      val lastShip = Tables.lineitem(s, d).groupBy("l_orderkey")
-        .agg(max(Tables.epochUs(col("l_shipdate"))).as("last_us"))
-      Tables.orders(s, d)
-        .withColumn("od_us", Tables.epochUs(col("o_orderdate")))
-        .filter(col("od_us") < lit(Jan1_97))
-        .join(lastShip, col("o_orderkey") === col("l_orderkey"))
-        .filter(col("last_us") >= lit(Jan1_97))
-        .withColumn("age_days", expr(s"($Jan1_97 - od_us) div $DayUs"))
-        .withColumn("bucket",
-          when(col("age_days") <= 30, "a_0_30")
-            .when(col("age_days") <= 60, "b_31_60")
-            .when(col("age_days") <= 90, "c_61_90")
-            .otherwise("d_90_plus"))
-        .groupBy("bucket")
-        .agg(count(lit(1)).as("n_orders"),
-          sum(round(col("o_totalprice") * 100).cast("long")).as("open_cents"))
-        .orderBy("bucket")
-    }),
-
-    // behavioral rhythm: variance-to-mean of inter-event gaps (in whole
-    // minutes) per user — metronomes (bots, schedulers) sit near 0, human
-    // bursts high; staged-ppm VMR on integer gap moments, 20 most regular
-    // among users with ≥ 20 gaps
-    "q166_habit_regularity" -> ((s, d) => {
-      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
-      val gaps = Tables.events(s, d)
-        .select(col("user_id"), col("ts_us"), col("event_id"))
-        .withColumn("gap_min",
-          call_function("div", col("ts_us") - lag(col("ts_us"), 1).over(w),
-            lit(60000000L)))
-        .filter(col("gap_min").isNotNull)
-      gaps.groupBy("user_id")
-        .agg(count(lit(1)).as("n"), sum(col("gap_min")).as("sg"),
-          sum(col("gap_min") * col("gap_min")).as("qg"))
-        .filter(col("n") >= 20L && col("sg") > 0L)
-        .select(col("user_id"), col("n"),
-          // staged + floor-guarded denominator (tight same-minute streams)
-          expr("((n * qg - sg * sg) * 1000) div greatest(((n - 1) * sg) div 1000, 1)")
-            .as("vmr_ppm"))
-        .orderBy(col("vmr_ppm"), col("user_id")).limit(20)
-    }),
-
-    // customer value-segment migration: monetary quintile in 1995-97 vs
-    // 1998+ for customers active in both — the 5×5 transition matrix that
-    // prices retention programs; ntile over a TOTAL order (cents desc,
-    // custkey) is allocation-exact on both engines (q120 rule)
-    "q167_segment_migration" -> ((s, d) => {
-      def seg(df: DataFrame) = df
-        .groupBy("o_custkey")
-        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
-        .withColumn("seg", ntile(5).over(
-          Window.orderBy(col("cents").desc, col("o_custkey"))))
-      val o = Tables.orders(s, d)
-        .withColumn("od_us", Tables.epochUs(col("o_orderdate")))
-      val p1 = seg(o.filter(col("od_us") < lit(Jan1_98)))
-        .select(col("o_custkey"), col("seg").as("seg_early"))
-      val p2 = seg(o.filter(col("od_us") >= lit(Jan1_98)))
-        .select(col("o_custkey").as("c2"), col("seg").as("seg_late"))
-      p1.join(p2, col("o_custkey") === col("c2"))
-        .groupBy("seg_early", "seg_late").agg(count(lit(1)).as("n_customers"))
-        .orderBy("seg_early", "seg_late")
-    }),
-
-    // unit-price dispersion per part: same part billed at different
-    // per-unit prices (cents div whole-unit qty — exact) — the pricing-
-    // consistency audit; top-20 widest spreads
-    "q168_price_dispersion" -> ((s, d) => {
-      Tables.lineitem(s, d)
-        .select(col("l_partkey"),
-          expr("CAST(round(l_extendedprice * 100) AS BIGINT) div CAST(l_quantity AS BIGINT)")
-            .as("unit_cents"))
-        .groupBy("l_partkey")
-        .agg(count(lit(1)).as("n_sales"), min(col("unit_cents")).as("min_unit"),
-          max(col("unit_cents")).as("max_unit"))
-        .withColumn("spread_cents", col("max_unit") - col("min_unit"))
-        .orderBy(col("spread_cents").desc, col("l_partkey")).limit(20)
-    }),
-
-    // LSH candidate precision: share of banded candidates whose TRUE
-    // 3-gram jaccard clears 0.5 — with d24's MAE, the full quality card
-    // for the d2 index (recall is 1 by construction above the band design
-    // point); one row
-    "d26_lsh_precision" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val cand = Dedup.minhashLsh(docs, "doc_id", "text", numHashes = 8,
-        shingleSize = 3, rowsPerBand = 2, minEstimate = 0.0,
-        materializeCandidates = true)
-      val gs = docs.select(col("doc_id").as("doc"),
-          wordNgramHashSet(concat_ws(" ", tokens(col("text"))), 3).as("gs"))
-        .withColumn("ng", size(col("gs")).cast("long")).filter(col("ng") > 0)
-      cand
-        .join(gs.select(col("doc").as("id_a"), col("gs").as("ga"), col("ng").as("na")), "id_a")
-        .join(gs.select(col("doc").as("id_b"), col("gs").as("gb"), col("ng").as("nb")), "id_b")
-        .withColumn("inter", sortedIntersectCount(col("ga"), col("gb")).cast("long"))
-        .withColumn("hit",
-          (col("inter") * 2L >= (col("na") + col("nb") - col("inter"))).cast("long"))
-        .agg(count(lit(1)).as("n_candidates"), sum(col("hit")).as("n_verified"))
-        .withColumn("precision_ppm", expr("(n_verified * 1000000) div n_candidates"))
-    }),
-
-    // grouped control chart: (event type × day) volume cells beyond their
-    // TYPE's 2σ band — q137's cross-multiplied integer test with the
-    // moment registers computed per group instead of globally; the
-    // per-stream anomaly view a global chart averages away
-    "q169_typed_control_chart" -> ((s, d) => {
-      val daily = Tables.events(s, d)
-        .groupBy(col("event_type"), expr(s"ts_us div $DayUs").as("day"))
-        .agg(count(lit(1)).as("x"))
-      val mom = daily.groupBy("event_type")
-        .agg(count(lit(1)).as("nn"), sum(col("x")).as("ss"),
-          sum(col("x") * col("x")).as("qq"))
-      daily.join(broadcast(mom), "event_type")
-        .filter((col("nn") * col("x") - col("ss")) * (col("nn") * col("x") - col("ss"))
-          > lit(4L) * (col("nn") * col("qq") - col("ss") * col("ss")))
-        .select(col("event_type"), col("day"), col("x").as("n_events"),
-          when(col("nn") * col("x") > col("ss"), "high").otherwise("low").as("side"))
-        .orderBy("event_type", "day")
-    }),
-
-    // classifier-confidence margin: per labeled query, best same-label vs
-    // best other-label cosine over the corpus — a thin (or negative)
-    // margin marks the queries s22's vote will flip on; exact integer
-    // dots, one canonical double division per pair, max/subtract exact
-    "s33_knn_margin" -> ((s, d) => {
-      val em = Tables.embeddings(s, d)
-      val vecs = em.select(col("vec_id"), col("label"),
-          quantize1000(col("embedding")).as("v"))
-        .withColumn("nv", ldot(col("v"), col("v")))
-      val q = vecs.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
-          col("v").as("qv"), col("nv").as("nq"))
-      vecs.filter(col("vec_id") >= 5).crossJoin(broadcast(q))
-        .withColumn("dot", ldot(col("v"), col("qv")))
-        .withColumn("nn", col("nv") * col("nq"))
-        .withColumn("cosine", when(col("nn") === 0L, lit(0.0))
-          .otherwise(col("dot").cast("double") / sqrt(col("nn").cast("double"))))
-        .groupBy("query_id", "qlabel")
-        .agg(max(when(col("label") === col("qlabel"), col("cosine"))).as("best_same"),
-          max(when(col("label") =!= col("qlabel"), col("cosine"))).as("best_other"))
-        .withColumn("margin", col("best_same") - col("best_other"))
-        .orderBy("query_id")
-    }),
-
-    // acquisition quality: share of each first-order cohort month that
-    // places a SECOND order within 90 days — row_number picks order #1 and
-    // #2 on one customer-keyed window, exact ppm per cohort month
-    "q170_second_order_rate" -> ((s, d) => {
-      val w = Window.partitionBy("o_custkey")
-        .orderBy(col("od_us"), col("o_orderkey"))
-      val ranked = Tables.orders(s, d)
-        .select(col("o_custkey"), col("o_orderkey"),
-          Tables.epochUs(col("o_orderdate")).as("od_us"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 2)
-      val first = ranked.filter(col("rn") === 1)
-        .select(col("o_custkey"), col("od_us").as("first_us"))
-      val second = ranked.filter(col("rn") === 2)
-        .select(col("o_custkey").as("c2"), col("od_us").as("second_us"))
-      first.join(second, col("o_custkey") === col("c2"), "left")
-        .groupBy(unix_micros(date_trunc("month", timestamp_micros(col("first_us"))))
-          .as("cohort_us"))
-        .agg(count(lit(1)).as("n_new"),
-          sum((col("second_us").isNotNull &&
-            col("second_us") - col("first_us") <= lit(90L * DayUs)).cast("long"))
-            .as("n_repeat_90d"))
-        .withColumn("repeat_ppm", expr("(n_repeat_90d * 1000000) div n_new"))
-        .orderBy("cohort_us")
-    }),
-
-    // vocabulary concentration: exact Gini of token frequencies per source
-    // (q119's rank-weighted integer identity on the token-count marginal)
-    // — Zipfian corpora sit high; a flat Gini flags synthetic/templated
-    // text
-    "t34_token_gini" -> ((s, d) => {
-      def dec(c: Column) = c.cast("decimal(38,0)")
-      val cnt = Tables.documents(s, d)
-        .select(col("source"), explode(tokens(col("text"))).as("tok"))
-        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy("source").orderBy(col("c"), col("tok"))
-      cnt.withColumn("i", row_number().over(w).cast("long"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_types"), sum(dec(col("c"))).as("t"),
-          sum(dec(col("i")) * dec(col("c"))).as("w1"))
-        .select(col("source"), col("n_types"),
-          col("t").cast("double").as("n_tokens"),
-          ((lit(2).cast("decimal(38,0)") * col("w1") -
-            dec(col("n_types") + 1) * col("t")).cast("double") /
-            (dec(col("n_types")) * col("t")).cast("double")).as("gini"))
-        .orderBy("source")
-    }),
-
-    // LSH recall@k curve (k = 1/5/10 at fixed banding): how fast the
-    // single-probe index decays as k grows — both top-10 rankings computed
-    // once, per-k prefixes compared; the k-sweep companion to s30's probe
-    // sweep
-    "s34_recall_at_k" -> ((s, d) => {
-      val em = Tables.embeddings(s, d)
-      val qs = em.filter(col("vec_id") < 5)
-      val truth = Similarity.bruteForceTopK(em, qs, "vec_id", "embedding", k = 10)
-        .localCheckpoint(true)
-      val approx = Similarity.lshTopK(em, qs, "vec_id", "embedding", k = 10,
-        numPlanes = 8).localCheckpoint(true)
-      Seq(1, 5, 10).map { k =>
-        Similarity.annRecall(truth.filter(col("rank") <= k),
-            approx.filter(col("rank") <= k), k = k)
-          .withColumn("k", lit(k))
-      }.reduce(_ unionByName _)
-        .select(col("query_id"), col("k"), col("n_hits"), col("recall_ppm"))
-        .orderBy("query_id", "k")
-    }),
-
-    // discount-response analysis: per discount band, volume / mean quantity
-    // / return rate — does a deeper discount move more units or bounce more
-    // returns; all-integer means in ppm, bands from exact cent thresholds
-    // (discount doubles compare identically to the same literals on both
-    // engines)
-    "q171_discount_response" -> ((s, d) => {
-      Tables.lineitem(s, d)
-        .withColumn("band",
-          when(col("l_discount") < 0.02, "a_0_2")
-            .when(col("l_discount") < 0.05, "b_2_5")
-            .when(col("l_discount") < 0.08, "c_5_8")
-            .otherwise("d_8_plus"))
-        .groupBy("band")
-        .agg(count(lit(1)).as("n_lines"),
-          sum(col("l_quantity").cast("long")).as("qty"),
-          sum((col("l_returnflag") === "R").cast("long")).as("n_returns"))
-        .select(col("band"), col("n_lines"),
-          expr("(qty * 1000000) div n_lines").as("mean_qty_ppm"),
-          expr("(n_returns * 1000000) div n_lines").as("return_ppm"))
-        .orderBy("band")
-    }),
-
-    // dataset card: the one-row corpus summary a training run is stamped
-    // with — docs, tokens, vocabulary, exact-dup and near-dup-candidate
-    // ppm, language/source spread; every number exact and composed from
-    // the same primitives the dedicated queries use
-    "p4_dataset_card" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val toks = docs.select(explode(tokens(col("text"))).as("tok"))
-      val base = docs.agg(count(lit(1)).as("n_docs"),
-        countDistinct(col("lang")).as("n_langs"),
-        countDistinct(col("source")).as("n_sources"),
-        sum(col("n_chars")).as("total_chars"),
-        countDistinct(md5(col("text"))).as("n_unique_texts"))
-      val tk = toks.agg(count(lit(1)).as("n_tokens"),
-        countDistinct(col("tok")).as("n_types"))
-      val pairs = Dedup.minhashLsh(docs, "doc_id", "text", numHashes = 8,
-          shingleSize = 3, rowsPerBand = 2, minEstimate = 0.5,
-          materializeCandidates = true)
-        .localCheckpoint(true)
-      val nd = pairs.select(col("id_a"))
-        .union(pairs.select(col("id_b")))
-        .distinct().agg(count(lit(1)).as("n_near_dup_docs"))
-      base.crossJoin(tk).crossJoin(nd)
-        .select(col("n_docs"), col("n_langs"), col("n_sources"),
-          col("total_chars"), col("n_tokens"), col("n_types"),
-          expr("((n_docs - n_unique_texts) * 1000000) div n_docs")
-            .as("exact_dup_ppm"),
-          expr("(n_near_dup_docs * 1000000) div n_docs").as("near_dup_ppm"))
-    }),
-
-    // daypart profile: volume, purchase propensity and mean value by
-    // 6-hour band — hour from pure epoch arithmetic, value in exact cents,
-    // the capacity/staffing view of the event stream
-    "q172_daypart_profile" -> ((s, d) => {
-      Tables.events(s, d)
-        .withColumn("hour", expr(s"(ts_us div 3600000000) % 24"))
-        .withColumn("daypart",
-          when(col("hour") < 6, "a_night")
-            .when(col("hour") < 12, "b_morning")
-            .when(col("hour") < 18, "c_afternoon")
-            .otherwise("d_evening"))
-        .groupBy("daypart")
-        .agg(count(lit(1)).as("n_events"),
-          sum((col("event_type") === "purchase").cast("long")).as("n_purchases"),
-          sum(coalesce(round(col("value") * 100).cast("long"), lit(0L)))
-            .as("value_cents"))
-        .withColumn("purchase_ppm", expr("(n_purchases * 1000000) div n_events"))
-        .orderBy("daypart")
-    }),
-
-    // head heaviness: the top token's share of the top-10 mass per source —
-    // a Zipf-steepness proxy with no logs; rank over (count desc, token)
-    // is total so both prefix sums agree
-    "t35_head_heaviness" -> ((s, d) => {
-      val cnt = Tables.documents(s, d)
-        .select(col("source"), explode(tokens(col("text"))).as("tok"))
-        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
-      cnt.withColumn("rn", row_number().over(
-          Window.partitionBy("source").orderBy(col("c").desc, col("tok"))))
-        .filter(col("rn") <= 10)
-        .groupBy("source")
-        .agg(max(when(col("rn") === 1, col("c"))).as("top1"),
-          sum(col("c")).as("top10"))
-        .withColumn("head_ppm", expr("(top1 * 1000000) div top10"))
-        .orderBy("source")
-    }),
-
-    // embedding-space separability: mean within-label vs cross-label
-    // squared distance for a 50-anchor sample against the corpus — all
-    // integer d² sums, two floored means and their ratio; ratio ≪ 1e6
-    // means labels form real clusters
-    "s35_separability" -> ((s, d) => {
-      val vecs = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"), quantize1000(col("embedding")).as("v"))
-        .withColumn("nv", ldot(col("v"), col("v")))
-        .localCheckpoint(true)
-      val anchors = vecs.filter(col("vec_id") < 50)
-        .select(col("vec_id").as("aid"), col("label").as("alabel"),
-          col("v").as("av"), col("nv").as("an"))
-      vecs.crossJoin(broadcast(anchors))
-        .filter(col("vec_id") =!= col("aid"))
-        .withColumn("d2",
-          col("nv") + col("an") - lit(2L) * ldot(col("v"), col("av")))
-        .withColumn("same", (col("label") === col("alabel")).cast("long"))
-        .agg(sum(when(col("same") === 1L, col("d2"))).as("sw"),
-          sum(when(col("same") === 1L, 1L).otherwise(0L)).as("nw"),
-          sum(when(col("same") === 0L, col("d2"))).as("sx"),
-          sum(when(col("same") === 0L, 1L).otherwise(0L)).as("nx"))
-        .select(col("nw").as("n_within"), col("nx").as("n_cross"),
-          expr("sw div nw").as("mean_within_d2"),
-          expr("sx div nx").as("mean_cross_d2"),
-          expr("((sw div nw) * 1000000) div (sx div nx)").as("ratio_ppm"))
-    }),
-
-    // engagement-depth curve: purchase propensity by session SIZE (events
-    // per session, capped at 10+) — does a longer session convert better;
-    // q125's sessionization feeding a size-bucketed rollup, exact ppm
-    "q173_session_size_conversion" -> ((s, d) => {
-      val sess = Sessionize.assign(
-        Tables.events(s, d)
-          .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type")),
-        "user_id", "ts_us", gapUs = 3600000000L, tieBreakCols = Seq("event_id"))
-      sess.groupBy("user_id", "session_seq")
-        .agg(count(lit(1)).as("n_events"),
-          max((col("event_type") === "purchase").cast("long")).as("had_purchase"))
-        .withColumn("size_bucket", least(col("n_events"), lit(10L)))
-        .groupBy("size_bucket")
-        .agg(count(lit(1)).as("n_sessions"),
-          sum(col("had_purchase")).as("n_converted"))
-        .withColumn("conv_ppm", expr("(n_converted * 1000000) div n_sessions"))
-        .orderBy("size_bucket")
-    })
-  )
-
-  // ------------------------------------------------------------------
-  // DuckDB oracles. Table names are bound by the driver to the same parquet
-  // files. Shared SQL fragments mirror GraftFunctions exactly.
-  // ------------------------------------------------------------------
-
-  private val toksSql =
-    // explicit whitespace class, NOT RE2 '\s': Java/native tokenization
-    // treats vertical tab 0x0B as whitespace, RE2's \s does not
-    """list_filter(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0B\f\r]+'), x -> x != '')"""
-  private val normSql = """regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g')"""
-  /** Space-joined word n-gram starting at 1-based `ws[i]` (WordNgrams parity). */
-  private def wordGramSql(n: Int): String =
-    (0 until n).map(k => s"ws[i+$k]").mkString(" || ' ' || ")
-  private def qvSql(v: String) = s"[CAST(round(x::DOUBLE*1000) AS BIGINT) for x in $v]"
-  private val cosSql =
-    """CASE WHEN list_sum([qa[i]*qa[i] for i in range(1,65)]) * list_sum([qb[i]*qb[i] for i in range(1,65)]) = 0 THEN 0.0
-      |ELSE list_sum([qa[i]*qb[i] for i in range(1,65)])::DOUBLE /
-      |  sqrt((list_sum([qa[i]*qa[i] for i in range(1,65)]) * list_sum([qb[i]*qb[i] for i in range(1,65)]))::DOUBLE) END""".stripMargin
-
-  // 16-term simhash bit sum, generated to match Dedup.simhash exactly
-  private val simhashBitsSql: String = (0 until 16).map { i =>
-    val mask = 1L << i
-    s"(CASE WHEN 2*len([v for v in vals if (v & $mask) > 0]) > n THEN ${1L << i} ELSE 0 END)"
-  }.mkString(" + ")
-
-  // 32-bit variant (first 8 md5 hex digits per token — SimHashBits bits>16)
-  private val simhashBits32Sql: String = (0 until 32).map { i =>
-    val mask = 1L << i
-    s"(CASE WHEN 2*len([v for v in vals if (v & $mask) > 0]) > n THEN ${1L << i} ELSE 0 END)"
-  }.mkString(" + ")
-
-  // per-token 32-bit value: first 8 md5 hex chars big-endian
-  private val vals32Sql: String = {
-    val terms = (0 until 8).map { j =>
-      val w = 1L << (4 * (7 - j))
-      s"(strpos('0123456789abcdef', substr(md5(x),${j + 1},1))-1)*$w"
-    }.mkString("\n  + ")
-    s"[ $terms for x in t]"
-  }
-
-  // 8-plane LSH bucket, generated to match Similarity.lshBucket exactly
-  private val lshBucketSql: String = (0 until 8).map { p =>
-    val dot = s"list_sum([qv[j+1] * (CASE WHEN strpos('0123456789abcdef', substr(md5('p${p}_' || j::VARCHAR), 1, 1)) <= 8 THEN 1 ELSE -1 END) for j in range(0,64)])"
-    s"(CASE WHEN $dot >= 0 THEN ${1L << p} ELSE 0 END)"
-  }.mkString(" + ")
-
-  /** IVF top-k oracle: Similarity.ivfTopK's k-means training is
-    * deterministic (seed = `nCentroids` lowest-id vectors, a FIXED number of
-    * Lloyd iterations, exact integer distance algebra), so the whole index
-    * build unrolls into chained CTEs — one assignment + one recentering pair
-    * per iteration. Parity-critical details, each mirroring Similarity.scala:
-    *  - assignment argmin is over (cNorm − 2·v·c, cell) — integer-exact on
-    *    both engines (products < 2^53 so DuckDB's HUGEINT and Spark's LONG
-    *    agree), ties to the lowest cell like Spark's struct array_min;
-    *  - recentered coordinate = Java Math.round(sum/n) = FLOOR(x + 0.5)
-    *    (NOT DuckDB round(), which is half-away-from-zero);
-    *  - empty cells keep their previous centroid (LEFT JOIN + COALESCE);
-    *  - probes = the nProbe smallest (distance, cell) per query, matching
-    *    slice(array_sort(...)); candidate dedup via DISTINCT. */
-  /** Shared IVF cell-assignment CTE chain (`v`, `c0`..`c<iters>`, `cells`):
-    * the fixed-iteration integer k-means of Similarity.ivfIndex unrolled —
-    * used by both the s3 top-k oracle and the s4 semantic-dedup oracle. */
-  private def ivfCellsSql(nCentroids: Int, iterations: Int): String = {
-    def cnormOf(c: String) = s"list_sum([$c[i]*$c[i] for i in range(1,65)])"
-    def dotOf(c: String, v: String) = s"list_sum([$c[i]*$v[i] for i in range(1,65)])"
-    val iters = (1 to iterations).map { t =>
-      s"""d$t AS (SELECT a.id, a.v, c.cell,
-         |  ROW_NUMBER() OVER (PARTITION BY a.id
-         |    ORDER BY c.cn - 2*${dotOf("c.c", "a.v")}, c.cell) AS rn
-         |  FROM v a CROSS JOIN c${t - 1} c),
-         |a$t AS (SELECT id, v, cell FROM d$t WHERE rn = 1),
-         |u$t AS (SELECT cell, unnest(range(1, 65)) AS dim, unnest(v) AS val FROM a$t),
-         |m$t AS (SELECT cell, list(CAST(FLOOR(CAST(s AS DOUBLE)/n + 0.5) AS BIGINT) ORDER BY dim) AS c
-         |  FROM (SELECT cell, dim, SUM(val) AS s, COUNT(*) AS n FROM u$t GROUP BY cell, dim)
-         |  GROUP BY cell),
-         |c$t AS (SELECT p.cell, COALESCE(m.c, p.c) AS c, ${cnormOf("COALESCE(m.c, p.c)")} AS cn
-         |  FROM c${t - 1} p LEFT JOIN m$t m USING (cell))""".stripMargin
-    }.mkString(",\n")
-    s"""v AS (SELECT vec_id AS id, ${qvSql("embedding")} AS v FROM embeddings),
-       |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cell, v AS c, ${cnormOf("v")} AS cn
-       |  FROM (SELECT id, v FROM v ORDER BY id LIMIT $nCentroids) seed),
-       |$iters,
-       |fd AS (SELECT a.id, a.v, c.cell,
-       |  ROW_NUMBER() OVER (PARTITION BY a.id
-       |    ORDER BY c.cn - 2*${dotOf("c.c", "a.v")}, c.cell) AS rn
-       |  FROM v a CROSS JOIN c$iterations c),
-       |cells AS (SELECT id, v, cell FROM fd WHERE rn = 1)""".stripMargin
-  }
-
-  private def ivfTopKSql(nCentroids: Int, iterations: Int, nProbe: Int, k: Int): String = {
-    def dotOf(c: String, v: String) = s"list_sum([$c[i]*$v[i] for i in range(1,65)])"
-    s"""WITH ${ivfCellsSql(nCentroids, iterations)},
-       |pd AS (SELECT q.id AS query_id, c.cell,
-       |  ROW_NUMBER() OVER (PARTITION BY q.id
-       |    ORDER BY c.cn - 2*${dotOf("c.c", "q.v")}, c.cell) AS rn
-       |  FROM v q CROSS JOIN c$iterations c WHERE q.id < 5),
-       |probes AS (SELECT query_id, cell FROM pd WHERE rn <= $nProbe),
-       |p AS (SELECT DISTINCT pr.query_id, n.id AS neighbor_id, q.v AS qa, n.v AS qb
-       |  FROM probes pr
-       |  JOIN v q ON q.id = pr.query_id
-       |  JOIN cells n ON n.cell = pr.cell AND n.id != pr.query_id),
-       |sims AS (SELECT DISTINCT query_id, neighbor_id, $cosSql AS cosine FROM p),
-       |ranked AS (SELECT *, ROW_NUMBER() OVER
-       |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM sims)
-       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
-       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
-  }
-
-  /** PQ ANN unrolled: per subspace, the ivfCellsSql k-means pattern runs
-    * over the dimension slice (same seed/argmin/round rules); each corpus
-    * vector joins its assigned centroid VECTOR per subspace, and the
-    * asymmetric score sums integer slice-dots against those
-    * reconstructions — every code and score matches Spark bit-for-bit. */
-  /** Per-subspace k-means chains (`s{i}v`..`s{i}e`), referencing an
-    * existing `v (id, v)` CTE. `s{i}e` carries each vector's assigned
-    * centroid VECTOR for subspace i (the reconstruction the asymmetric
-    * score dots against). */
-  /** Probe-sweep recall oracle: ONE ivfCellsSql training chain shared by
-    * every probe depth; per depth, candidates → exact-cosine top-k →
-    * hit count against the brute-force truth. */
-  private def ivfProbeSweepSql(nCentroids: Int, iterations: Int,
-      probes: Seq[Int], k: Int): String = {
-    def dotOf(c: String, v: String) = s"list_sum([$c[i]*$v[i] for i in range(1,65)])"
-    val perProbe = probes.map { p =>
-      s"""cand$p AS (SELECT DISTINCT pr.query_id, n.id AS neighbor_id,
-         |    q.v AS qa, n.v AS qb
-         |  FROM (SELECT query_id, cell FROM pd WHERE rn <= $p) pr
-         |  JOIN v q ON q.id = pr.query_id
-         |  JOIN cells n ON n.cell = pr.cell AND n.id != pr.query_id),
-         |top$p AS (SELECT query_id, neighbor_id FROM (
-         |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY $cosSql DESC, neighbor_id) AS rank
-         |    FROM cand$p) WHERE rank <= $k),
-         |rec$p AS (SELECT tq.query_id, CAST($p AS INTEGER) AS probe,
-         |    CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-         |    CAST((1000000 * COALESCE(h.n_hits, 0)) // $k AS BIGINT) AS recall_ppm
-         |  FROM (SELECT DISTINCT query_id FROM truth) tq
-         |  LEFT JOIN (SELECT t.query_id, COUNT(*) AS n_hits FROM truth t
-         |    JOIN top$p a ON t.query_id = a.query_id
-         |      AND t.neighbor_id = a.neighbor_id GROUP BY 1) h
-         |    ON tq.query_id = h.query_id)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH ${ivfCellsSql(nCentroids, iterations)},
-       |tp AS (SELECT qq.id AS query_id, c.id AS neighbor_id, qq.v AS qa, c.v AS qb
-       |  FROM v qq JOIN v c ON qq.id < 5 AND qq.id != c.id),
-       |truth AS (SELECT query_id, neighbor_id FROM (
-       |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
-       |      ORDER BY $cosSql DESC, neighbor_id) AS rank FROM tp) WHERE rank <= $k),
-       |pd AS (SELECT q.id AS query_id, c.cell,
-       |  ROW_NUMBER() OVER (PARTITION BY q.id
-       |    ORDER BY c.cn - 2*${dotOf("c.c", "q.v")}, c.cell) AS rn
-       |  FROM v q CROSS JOIN c$iterations c WHERE q.id < 5),
-       |$perProbe
-       |${probes.map(p => s"SELECT * FROM rec$p").mkString("\nUNION ALL ")}
-       |ORDER BY query_id, probe""".stripMargin
-  }
-
-  private def pqSubspacesSql(m: Int, ksub: Int, iterations: Int): String = {
-    val subDim = 64 / m
-    val rng = s"range(1,${subDim + 1})"
-    def cnormOf(c: String) = s"list_sum([$c[i]*$c[i] for i in $rng])"
-    def dotOf(c: String, v: String) = s"list_sum([$c[i]*$v[i] for i in $rng])"
-    (0 until m).map { sIx =>
-      val p = s"s$sIx"
-      val lo = sIx * subDim + 1
-      val hi = (sIx + 1) * subDim
-      val iters = (1 to iterations).map { t =>
-        s"""${p}d$t AS (SELECT a.id, a.v, c.cell,
-           |  ROW_NUMBER() OVER (PARTITION BY a.id
-           |    ORDER BY c.cn - 2*${dotOf("c.c", "a.v")}, c.cell) AS rn
-           |  FROM ${p}v a CROSS JOIN ${p}c${t - 1} c),
-           |${p}a$t AS (SELECT id, v, cell FROM ${p}d$t WHERE rn = 1),
-           |${p}u$t AS (SELECT cell, unnest(range(1, ${subDim + 1})) AS dim, unnest(v) AS val FROM ${p}a$t),
-           |${p}m$t AS (SELECT cell, list(CAST(FLOOR(CAST(s AS DOUBLE)/n + 0.5) AS BIGINT) ORDER BY dim) AS c
-           |  FROM (SELECT cell, dim, SUM(val) AS s, COUNT(*) AS n FROM ${p}u$t GROUP BY cell, dim)
-           |  GROUP BY cell),
-           |${p}c$t AS (SELECT pp.cell, COALESCE(mm.c, pp.c) AS c, ${cnormOf("COALESCE(mm.c, pp.c)")} AS cn
-           |  FROM ${p}c${t - 1} pp LEFT JOIN ${p}m$t mm USING (cell))""".stripMargin
-      }.mkString(",\n")
-      s"""${p}v AS (SELECT id, v[$lo:$hi] AS v FROM v),
-         |${p}c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cell, v AS c, ${cnormOf("v")} AS cn
-         |  FROM (SELECT id, v FROM ${p}v ORDER BY id LIMIT $ksub) seed),
-         |$iters,
-         |${p}fd AS (SELECT a.id, c.c, c.cell,
-         |  ROW_NUMBER() OVER (PARTITION BY a.id
-         |    ORDER BY c.cn - 2*${dotOf("c.c", "a.v")}, c.cell) AS rn
-         |  FROM ${p}v a CROSS JOIN ${p}c$iterations c),
-         |${p}e AS (SELECT id, c AS cv FROM ${p}fd WHERE rn = 1)""".stripMargin
-    }.mkString(",\n")
-  }
-
-  /** `Σ_s ⟨q.v slice, s{i}e reconstruction⟩` — expects aliases `q` and `e{i}`. */
-  private def pqApproxSumSql(m: Int): String = {
-    val subDim = 64 / m
-    (0 until m).map { sIx =>
-      val off = sIx * subDim
-      s"list_sum([e$sIx.cv[i]*q.v[$off+i] for i in range(1,${subDim + 1})])"
-    }.mkString("\n      + ")
-  }
-
-  private def pqJoinsSql(m: Int, target: String): String =
-    (0 until m).map(sIx => s"JOIN s${sIx}e e$sIx ON e$sIx.id = $target").mkString("\n  ")
-
-  private def pqTopKSql(m: Int, ksub: Int, iterations: Int): String =
-    s"""v AS (SELECT vec_id AS id, ${qvSql("embedding")} AS v FROM embeddings),
-       |${pqSubspacesSql(m, ksub, iterations)},
-       |pairs AS (SELECT q.id AS query_id, n.id AS neighbor_id,
-       |    CAST(${pqApproxSumSql(m)} AS BIGINT) AS approx_dot
-       |  FROM v q JOIN v n ON q.id < 5 AND q.id != n.id
-       |  ${pqJoinsSql(m, "n.id")}),
-       |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-       |    ORDER BY approx_dot DESC, neighbor_id) AS rank FROM pairs)""".stripMargin
-
-  /** IVF-PQ oracle: ivfCellsSql's coarse cells gate candidates (probes =
-    * nProbe nearest cells per query), pqSubspacesSql's reconstructions
-    * provide the asymmetric score — both chains share the one `v` CTE. */
-  private def ivfPqSql(nCentroids: Int, ivfIters: Int, nProbe: Int,
-      m: Int, ksub: Int, pqIters: Int, k: Int): String = {
-    def dotOf64(c: String, v: String) = s"list_sum([$c[i]*$v[i] for i in range(1,65)])"
-    s"""WITH ${ivfCellsSql(nCentroids, ivfIters)},
-       |${pqSubspacesSql(m, ksub, pqIters)},
-       |pd AS (SELECT q.id AS query_id, c.cell,
-       |  ROW_NUMBER() OVER (PARTITION BY q.id
-       |    ORDER BY c.cn - 2*${dotOf64("c.c", "q.v")}, c.cell) AS rn
-       |  FROM v q CROSS JOIN c$ivfIters c WHERE q.id < 5),
-       |probes AS (SELECT query_id, cell FROM pd WHERE rn <= $nProbe),
-       |cand AS (SELECT DISTINCT pr.query_id, n.id AS neighbor_id
-       |  FROM probes pr JOIN cells n ON n.cell = pr.cell AND n.id != pr.query_id),
-       |pairs AS (SELECT cd.query_id, cd.neighbor_id,
-       |    CAST(${pqApproxSumSql(m)} AS BIGINT) AS approx_dot
-       |  FROM cand cd JOIN v q ON q.id = cd.query_id
-       |  ${pqJoinsSql(m, "cd.neighbor_id")}),
-       |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-       |    ORDER BY approx_dot DESC, neighbor_id) AS rank FROM pairs)
-       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, approx_dot
-       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
-  }
-
-  private def pqTopKSelectSql(m: Int, ksub: Int, iterations: Int, k: Int): String =
-    s"""WITH ${pqTopKSql(m, ksub, iterations)}
-       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, approx_dot
-       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
-
-  /** Two-stage retrieval: the PQ candidate chain at `poolSize`, then an
-    * exact quantized-cosine re-rank of the short list — same canonical
-    * cosSql double as every other s-query. */
-  private def pqRerankSql(m: Int, ksub: Int, iterations: Int, poolSize: Int, k: Int): String =
-    s"""WITH ${pqTopKSql(m, ksub, iterations)},
-       |cand AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= $poolSize),
-       |px AS (SELECT c.query_id, c.neighbor_id, q.v AS qa, n.v AS qb
-       |  FROM cand c JOIN v q ON q.id = c.query_id JOIN v n ON n.id = c.neighbor_id),
-       |sims AS (SELECT query_id, neighbor_id, $cosSql AS cosine FROM px),
-       |rr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-       |    ORDER BY cosine DESC, neighbor_id) AS rank FROM sims)
-       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
-       |FROM rr WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
-
-  /** Farthest-first traversal unrolled: each round is (top-1 by dmin DESC,
-    * id) + a LEAST(dmin, dist-to-pick) relax — every CTE MATERIALIZED
-    * (each is referenced twice: by the next pick and the next relax). */
-  private def kCenterSql(k: Int): String = {
-    val dot = "list_sum([a.v[i]*p.v[i] for i in range(1,65)])"
-    val rounds = (2 to k).map { r =>
-      val prev = if (r == 2) "d1" else s"d${r - 1}"
-      s"""p$r AS MATERIALIZED (SELECT id, v, nv, dmin FROM $prev ORDER BY dmin DESC, id LIMIT 1),
-         |d$r AS MATERIALIZED (SELECT a.id, a.v, a.nv,
-         |    LEAST(a.dmin, a.nv - 2*$dot + p.nv) AS dmin
-         |  FROM $prev a, p$r p)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH q0 AS (SELECT vec_id AS id, ${qvSql("embedding")} AS v FROM embeddings),
-       |n AS MATERIALIZED (SELECT id, v, list_sum([v[i]*v[i] for i in range(1,65)]) AS nv FROM q0),
-       |s1 AS MATERIALIZED (SELECT id, v, nv FROM n ORDER BY id LIMIT 1),
-       |d1 AS MATERIALIZED (SELECT a.id, a.v, a.nv,
-       |    a.nv - 2*$dot + p.nv AS dmin FROM n a, s1 p),
-       |$rounds
-       |SELECT * FROM (
-       |  SELECT 1 AS rank, id AS center_id, CAST(0 AS BIGINT) AS radius_sq FROM s1
-       |  ${(2 to k).map(r => s"UNION ALL SELECT $r, id, CAST(dmin AS BIGINT) FROM p$r").mkString("\n  ")})
-       |ORDER BY rank""".stripMargin
-  }
-
-  /** MMR greedy diversification unrolled as `k − 1` chained CTE rounds
-    * over a materialized top-`poolSize` pool + its pairwise cosine table
-    * (pool²/query rows — tiny). Every multiply-referenced CTE is
-    * MATERIALIZED (r7 CTE-inlining rule, else rounds expand k^rounds).
-    * Mirrors Similarity.mmrDiversifyTopK: same canonical cosines, same
-    * `0.5·rel − 0.5·maxSim` score, ties to the smallest neighbor id. */
-  private def mmrSql(poolSize: Int, k: Int): String = {
-    val rounds = (2 to k).map { r =>
-      s"""cand$r AS MATERIALIZED (
-         |  SELECT p.query_id, p.neighbor_id, p.cosine, MAX(pp.cos) AS ms
-         |  FROM pool p JOIN sel${r - 1} s ON s.query_id = p.query_id
-         |  JOIN pp ON pp.query_id = p.query_id AND pp.ia = p.neighbor_id
-         |    AND pp.ib = s.neighbor_id
-         |  WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} x
-         |      WHERE x.query_id = p.query_id AND x.neighbor_id = p.neighbor_id)
-         |  GROUP BY 1, 2, 3),
-         |pick$r AS (SELECT query_id, neighbor_id, cosine, $r AS rank FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY 0.5*cosine - 0.5*ms DESC, neighbor_id) AS rn FROM cand$r)
-         |  WHERE rn = 1),
-         |sel$r AS MATERIALIZED (SELECT * FROM sel${r - 1}
-         |  UNION ALL SELECT * FROM pick$r)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH q AS (SELECT vec_id, ${qvSql("embedding")} AS qv FROM embeddings),
-       |p0 AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id, qq.qv AS qa, c.qv AS qb
-       |      FROM q qq JOIN q c ON qq.vec_id < 5 AND qq.vec_id != c.vec_id),
-       |sims AS (SELECT query_id, neighbor_id, qb, $cosSql AS cosine FROM p0),
-       |pool AS MATERIALIZED (SELECT query_id, neighbor_id, qb, cosine FROM (
-       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-       |      ORDER BY cosine DESC, neighbor_id) AS prank FROM sims)
-       |  WHERE prank <= $poolSize),
-       |pp AS MATERIALIZED (SELECT query_id, ia, ib, $cosSql AS cos FROM (
-       |    SELECT a.query_id, a.neighbor_id AS ia, b.neighbor_id AS ib,
-       |      a.qb AS qa, b.qb AS qb
-       |    FROM pool a JOIN pool b ON a.query_id = b.query_id
-       |      AND a.neighbor_id != b.neighbor_id)),
-       |sel1 AS MATERIALIZED (SELECT query_id, neighbor_id, cosine, 1 AS rank FROM (
-       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-       |      ORDER BY cosine DESC, neighbor_id) AS rn FROM pool)
-       |  WHERE rn = 1),
-       |$rounds
-       |SELECT query_id, CAST(rank AS INTEGER) AS mmr_rank, neighbor_id, cosine
-       |FROM sel$k ORDER BY query_id, mmr_rank""".stripMargin
-  }
-
-  /** [[ivfTopKSql]] with the hard-negative label gate: candidates join the
-    * label table and drop same-label neighbors BEFORE ranking — mirrors
-    * Similarity.ivfHardNegatives over the same deterministic cells. */
-  private def ivfHardNegSql(nCentroids: Int, iterations: Int, nProbe: Int, k: Int): String = {
-    def dotOf(c: String, v: String) = s"list_sum([$c[i]*$v[i] for i in range(1,65)])"
-    s"""WITH ${ivfCellsSql(nCentroids, iterations)},
-       |lbl AS (SELECT vec_id AS id, label FROM embeddings),
-       |pd AS (SELECT q.id AS query_id, c.cell,
-       |  ROW_NUMBER() OVER (PARTITION BY q.id
-       |    ORDER BY c.cn - 2*${dotOf("c.c", "q.v")}, c.cell) AS rn
-       |  FROM v q CROSS JOIN c$iterations c WHERE q.id < 5),
-       |probes AS (SELECT query_id, cell FROM pd WHERE rn <= $nProbe),
-       |p AS (SELECT DISTINCT pr.query_id, n.id AS neighbor_id,
-       |    nl.label AS neighbor_label, q.v AS qa, n.v AS qb
-       |  FROM probes pr
-       |  JOIN v q ON q.id = pr.query_id
-       |  JOIN cells n ON n.cell = pr.cell AND n.id != pr.query_id
-       |  JOIN lbl ql ON ql.id = pr.query_id
-       |  JOIN lbl nl ON nl.id = n.id AND nl.label != ql.label),
-       |sims AS (SELECT DISTINCT query_id, neighbor_id, neighbor_label,
-       |    $cosSql AS cosine FROM p),
-       |ranked AS (SELECT *, ROW_NUMBER() OVER
-       |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM sims)
-       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
-       |  neighbor_label, cosine
-       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
-  }
-
-  /** Kafka murmur2 emulated in SQL: 32-bit arithmetic over 64-bit ints
-    * (mul32 splits the multiplier to stay under 2^63), little-endian 4-byte
-    * chunks folded with list_reduce, tail + avalanche per the published
-    * algorithm. Validated against the frozen JVM goldens (Murmur2Spec). */
-  private val murmur2PartitionSql: String = {
-    def mul32(a: String, b: String) =
-      s"((($a)*(($b)%65536) + (((($a)*(($b)//65536))%65536)*65536)) % 4294967296)"
-    val m = "1540483477" // 0x5bd1e995
-    val seedLen = "xor(2538058380, length(s))" // 0x9747b28c ^ len
-    val ks = "[ascii(substr(s,4*i+1,1)) + ascii(substr(s,4*i+2,1))*256 + " +
-      "ascii(substr(s,4*i+3,1))*65536 + ascii(substr(s,4*i+4,1))*16777216 " +
-      "for i in range(0, length(s)//4)]"
-    val k1 = mul32("k", m)
-    val k2 = s"xor($k1, ($k1)//16777216)" // k ^= k >>> 24
-    val step = s"xor(${mul32("h", m)}, ${mul32(k2, m)})"
-    val loop = s"list_reduce(list_prepend($seedLen, $ks), (h, k) -> $step)"
-    val tb = "ascii(substr(s,(length(s)//4)*4+%d,1))"
-    val tailVal = s"(CASE length(s)%4 WHEN 3 THEN ${tb.format(1)} + ${tb.format(2)}*256 + ${tb.format(3)}*65536 " +
-      s"WHEN 2 THEN ${tb.format(1)} + ${tb.format(2)}*256 WHEN 1 THEN ${tb.format(1)} ELSE NULL END)"
-    val ht = s"(CASE WHEN length(s)%4 = 0 THEN ($loop) ELSE ${mul32(s"xor(($loop), $tailVal)", m)} END)"
-    val f1 = s"xor($ht, ($ht)//8192)" // h ^= h >>> 13
-    val f2 = mul32(f1, m)
-    val f3 = s"xor($f2, ($f2)//32768)" // h ^= h >>> 15
-    s"CAST(((($f3) % 2147483648) % 32) AS INTEGER)" // (h & 0x7fffffff) % 32
-  }
-
-  private def langScoresSql(src: String = "documents"): String =
-    TextAnalysis.StopwordLists.toSeq.sortBy(_._1).map {
-      case (lang, words) =>
-        val lst = words.map(w => s"'$w'").mkString(", ")
-        s"SELECT doc_id, '$lang' AS lang, len(list_filter($toksSql, x -> list_contains([$lst], x))) AS score FROM $src"
-    }.mkString("\nUNION ALL\n")
-
-  /** MinHash+LSH candidate-pair CTE chain over `src` → relation
-    * mh_pairs(id_a, id_b, jaccard_est). Mirrors Dedup.minhashLsh with
-    * numHashes=8, shingleSize=3, rowsPerBand=2: one 60-bit md5 prefix per
-    * shingle, then the fixed (aᵢ·h+bᵢ) mod 2^61−1 permutations — HUGEINT
-    * keeps the 122-bit product exact, matching MinHashSignature.permute. */
-  /** Co-purchase triangle-count oracle (mirrors GraphAlgorithms
-    * .cooccurrenceEdges + triangleCount). `cap`: whole-bucket basket drop
-    * (≡ Dedup.capBuckets on the order key) applied BEFORE pairing. */
-  private def copurchaseTrianglesSql(cap: Option[Long]): String = {
-    val liSrc = cap.fold("li0")(c =>
-      s"(SELECT o, p FROM (SELECT o, p, COUNT(*) OVER (PARTITION BY o) AS bn FROM li0) WHERE bn <= $c)")
-    s"""WITH li0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-       |e AS (SELECT x.p AS a, y.p AS b
-       |      FROM $liSrc x JOIN $liSrc y ON x.o = y.o AND x.p < y.p
-       |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-       |deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM
-       |          (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
-       |        GROUP BY v),
-       |r AS (SELECT e.a, e.b, da.d*1000000000 + e.a AS ra, db.d*1000000000 + e.b AS rb
-       |      FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
-       |o AS (SELECT CASE WHEN ra < rb THEN a ELSE b END AS src,
-       |             CASE WHEN ra < rb THEN b ELSE a END AS dst,
-       |             greatest(ra, rb) AS rd FROM r),
-       |w AS (SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
-       |      FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.rd < o2.rd)
-       |SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
-       |FROM w JOIN o ON w.v = o.src AND w.w = o.dst""".stripMargin
-  }
-
-  private def minhashPairsSql(src: String, cap: Option[Long] = None): String = {
-    val as = (0 until 8).map(graft.functions.MinHashSignature.coeffA).mkString(", ")
-    val bs = (0 until 8).map(graft.functions.MinHashSignature.coeffB).mkString(", ")
-    // cap: mirror of Dedup.capBuckets — ALL rows of any (band, band_hash)
-    // bucket larger than the cap are dropped before pairing (whole-bucket
-    // rule: deterministic, no tie-breaking, so both engines drop the same
-    // rows and parity is exact)
-    val bandedSrc = cap.fold("mh_banded")(c =>
-      s"(SELECT * FROM (SELECT *, COUNT(*) OVER (PARTITION BY band, band_hash) AS bn FROM mh_banded) WHERE bn <= $c)")
-    s"""mh_toks AS (SELECT doc_id, $toksSql AS t FROM $src),
-       |mh_sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) AS gs
-       |          FROM mh_toks WHERE len(t) >= 3),
-       |mh_h AS (SELECT doc_id, [CAST(concat('0x', substr(md5(g),1,15)) AS BIGINT) for g in gs] AS hs FROM mh_sh),
-       |mh_sig AS (SELECT doc_id,
-       |             [list_min([CAST((CAST(h AS HUGEINT) * ([$as][s+1]) + ([$bs][s+1])) % 2305843009213693951 AS BIGINT) for h in hs])
-       |              for s in range(0,8)] AS sg FROM mh_h),
-       |mh_banded AS (SELECT doc_id, b AS band, md5(array_to_string(sg[b*2+1:b*2+2], '|')) AS band_hash, sg
-       |              FROM mh_sig, range(0,4) t(b)),
-       |mh_pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-       |               len([i for i in range(1,9) if a.sg[i] = b.sg[i]]) / 8.0 AS jaccard_est
-       |             FROM $bandedSrc a JOIN $bandedSrc b USING (band, band_hash)
-       |             WHERE a.doc_id < b.doc_id)""".stripMargin
-  }
-
-  /** Bigram-LM fluency (mirrors Retrieval.bigramLmFluency): add-one
-    * smoothing, mean bigram probability ppm, sub-bigram docs 0. Complete
-    * SELECT without ORDER BY — composable as a parenthesized subquery. */
-  /** The KMV estimator as DuckDB SQL (mirrors Sketches.kmvEstExpr, k=32):
-    * exact below k, else (k−1)·2⁴⁰ // (h_k // 2²⁰). */
-  private def kmvEstCaseSql(nReg: String, hk: String): String =
-    s"CAST(CASE WHEN $nReg < 32 THEN $nReg ELSE (31 * (1::BIGINT << 40)) " +
-      s"// greatest($hk // (1::BIGINT << 20), 1) END AS BIGINT)"
-
-  /** Integer-exact BM25 top-25 for terms (spark, join, shuffle) — the t13
-    * oracle, also embedded as the lexical CTE of s7_hybrid_rrf:
-    * idf = least((2(N−df)+1)·1e6 // (2df+1), 2e7) (Robertson idf argument
-    * as a rational, 20× saturation instead of log);
-    * tfsat = 44·tf·avgdl·1e6 // (20·tf·avgdl + 6·avgdl + 18·dl)
-    * (k1=1.2, b=0.75 scaled by 20·avgdl); avgdl floored. */
-  private def bm25TopKSql: String =
-    s"""WITH base AS (SELECT doc_id, $toksSql AS t,
-       |    CAST(len($toksSql) AS BIGINT) AS dl FROM documents),
-       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-       |    CAST(COALESCE(SUM(dl), 0) AS BIGINT) AS total_tokens FROM base),
-       |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
-       |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM base)
-       |  WHERE term IN ('spark', 'join', 'shuffle') GROUP BY doc_id, dl, term),
-       |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
-       |sc AS (SELECT tf.doc_id,
-       |    (least(((2*(st.n_docs - df.df) + 1)*1000000) // (2*df.df + 1), 20000000)
-       |     * ((44*tf.tf*(st.total_tokens//st.n_docs)*1000000)
-       |        // (20*tf.tf*(st.total_tokens//st.n_docs)
-       |            + 6*(st.total_tokens//st.n_docs) + 18*tf.dl))) // 1000000 AS contrib
-       |  FROM tf JOIN df USING (term) CROSS JOIN st)
-       |SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score,
-       |  CAST(COUNT(*) AS BIGINT) AS n_terms
-       |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
-
-  private def lmFluencySql: String =
-    s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
-       |bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
-       |  FROM tk, UNNEST(generate_series(1, len(t)-1)) AS u(i)),
-       |db AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
-       |  FROM bg GROUP BY doc_id, w1, w2),
-       |c12 AS (SELECT w1, w2, CAST(SUM(cnt) AS BIGINT) AS c12 FROM db GROUP BY w1, w2),
-       |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
-       |v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
-       |  FROM (SELECT unnest(t) AS tok FROM tk)),
-       |sc AS (SELECT db.doc_id,
-       |    CAST(SUM(db.cnt * (((c12.c12 + 1)*1000000) // (c1.c1 + v.v))) AS BIGINT) AS sp,
-       |    CAST(SUM(db.cnt) AS BIGINT) AS n_bigrams
-       |  FROM db JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
-       |  GROUP BY db.doc_id)
-       |SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
-       |  CASE WHEN COALESCE(sc.n_bigrams, 0) > 0 THEN sc.sp // sc.n_bigrams
-       |    ELSE 0 END AS fluency_ppm
-       |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
-
-  /** DSIR importance (mirrors Retrieval.dsirImportance, target = src1,
-    * B = 8192). Complete SELECT without ORDER BY — composable. */
-  private def dsirImportanceSql: String =
-    s"""WITH tk AS (SELECT doc_id, (source = 'src1') AS is_t, $toksSql AS t
-       |  FROM documents),
-       |bg AS (SELECT doc_id, is_t, t[i] || ' ' || t[i+1] AS gram
-       |  FROM tk, UNNEST(generate_series(1, len(t)-1)) AS u(i)),
-       |fe AS (SELECT doc_id, is_t,
-       |    CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) % 8192 AS b,
-       |    CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY doc_id, is_t, b),
-       |bs AS (SELECT b, CAST(SUM(CASE WHEN is_t THEN cnt ELSE 0 END) AS BIGINT) AS cnt_t,
-       |    CAST(SUM(cnt) AS BIGINT) AS cnt_r FROM fe GROUP BY b),
-       |tt AS (SELECT CAST(COALESCE(SUM(cnt_t), 0) AS BIGINT) AS tot_t,
-       |    CAST(COALESCE(SUM(cnt_r), 0) AS BIGINT) AS tot_r FROM bs),
-       |wt AS (SELECT b,
-       |    least((((cnt_t + 1)*1000000000) // (tot_t + 8192)) * 1000000
-       |      // greatest(((cnt_r + 1)*1000000000) // (tot_r + 8192), 1),
-       |      1000000000) AS w_ppm
-       |  FROM bs CROSS JOIN tt),
-       |sc AS (SELECT fe.doc_id, CAST(SUM(fe.cnt * wt.w_ppm) AS BIGINT) AS sw,
-       |    CAST(SUM(fe.cnt) AS BIGINT) AS n_feats
-       |  FROM fe JOIN wt USING (b) GROUP BY fe.doc_id)
-       |SELECT d.doc_id, (d.source = 'src1') AS is_target,
-       |  COALESCE(sc.n_feats, 0) AS n_feats,
-       |  CASE WHEN COALESCE(sc.n_feats, 0) > 0 THEN sc.sw // sc.n_feats
-       |    ELSE 0 END AS importance_ppm
-       |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
-
-  /** Top-100 repeated 5-gram spans (mirrors Dedup.repeatedSpans). The
-    * ORDER BY + LIMIT are part of the result contract (deterministic
-    * top-k), so they stay inside when composed as a subquery. */
-  private def repeatedSpansSql: String =
-    s"""WITH rw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-       |g AS (SELECT doc_id, ${wordGramSql(5)} AS gram
-       |  FROM rw, UNNEST(generate_series(1, len(ws) - 4)) AS t(i))
-       |SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
-       |  CAST(COUNT(*) AS BIGINT) AS n_occ, MIN(doc_id) AS first_doc
-       |FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
-       |ORDER BY df DESC, n_occ DESC, gram LIMIT 100""".stripMargin
-
-  /** Quality metrics CTE body over `src` (mirrors TextAnalysis.qualityScore). */
-  private def qualityMetricsSql(src: String): String = {
-    val allStop = TextAnalysis.StopwordLists.values.flatten.toSeq.distinct
-      .map(w => s"'$w'").mkString(", ")
-    s"""SELECT doc_id,
-       |  len($toksSql)::BIGINT AS n_tokens,
-       |  length(text)::BIGINT AS n_chars,
-       |  len(list_filter($toksSql, x -> list_contains([$allStop], x)))::BIGINT AS stop_hits,
-       |  length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::BIGINT AS alpha_len,
-       |  list_sum(list_prepend(0, [length(x) for x in $toksSql]))::BIGINT AS sum_tok_len
-       |FROM $src""".stripMargin
-  }
-
-  def oracleSql: Map[String, String] = Map(
-    "q1_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(CAST(SUM(CAST(round((l_quantity)*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0 AS sum_qty,
-        |  CAST(CAST(SUM(CAST(round((l_extendedprice)*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0 AS sum_base_price,
-        |  CAST(CAST(SUM(CAST(round((l_extendedprice*(1-l_discount))*10000) AS BIGINT)) AS BIGINT) AS DOUBLE)/10000.0 AS sum_disc_price,
-        |  COUNT(*) AS count_order,
-        |  CAST(CAST(SUM(CAST(round((l_quantity)*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0/COUNT(*) AS avg_qty
-        |FROM lineitem GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
-
-    "q2_range_scan" ->
-      s"""SELECT event_id, user_id, value, epoch_us(ts) AS ts_us FROM events
-         |WHERE event_type = 'click' AND epoch_us(ts) >= $Jan10_24 AND epoch_us(ts) < $Jan20_24
-         |ORDER BY event_id""".stripMargin,
-
-    "q3_point_lookup" ->
-      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-        |  epoch_us(o_orderdate) AS o_orderdate_us
-        |FROM orders WHERE o_orderkey = 42""".stripMargin,
-
-    "q4_compact_latest" ->
-      """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
-        |  value AS last_value, ts_us AS last_ts_us
-        |FROM (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
-        |        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
-        |      FROM events)
-        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
-
-    "q5_star_join" ->
-      """SELECT p_brand,
-        |  CAST(CAST(SUM(CAST(round((l_extendedprice*(1-l_discount))*10000) AS BIGINT)) AS BIGINT) AS DOUBLE)/10000.0 AS revenue,
-        |  COUNT(*) AS n_items
-        |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
-
-    "q6_secondary_index" ->
-      s"""SELECT doc_id, lang, n_chars FROM documents
-         |WHERE list_contains($toksSql, 'spark')
-         |ORDER BY doc_id""".stripMargin,
-
-    "q7_keep_last_n" ->
-      """SELECT user_id, CAST(rn AS INTEGER) AS recency_rank, event_id, ts_us
-        |FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-        |        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
-        |      FROM events)
-        |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
-
-    "q8_ttl_expiry" ->
-      s"""SELECT user_id, COUNT(*) AS n_live,
-         |  CAST(CAST(SUM(CAST(round((value)*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0 AS sum_value
-         |FROM events
-         |WHERE epoch_us(ts) >= (SELECT MAX(epoch_us(ts)) FROM events) - $WeekUs
-         |GROUP BY user_id ORDER BY user_id""".stripMargin,
-
-    "q9_num_keys" ->
-      """SELECT COUNT(DISTINCT user_id) AS num_users,
-        |  COUNT(DISTINCT event_type) AS num_types, COUNT(*) AS num_records
-        |FROM events""".stripMargin,
-
-    // centroid = truncated integer mean per dim (Spark div truncates
-    // toward zero; DuckDB // floors -> CASE emulation for negative sums);
-    // norm product multiplied in DOUBLE
-    "s5_label_outliers" ->
-      s"""WITH q AS (SELECT vec_id, label, ${qvSql("embedding")} AS qv FROM embeddings),
-         |x AS (SELECT label, i, CAST(SUM(qv[i]) AS BIGINT) AS s,
-         |        CAST(COUNT(*) AS BIGINT) AS n
-         |      FROM q, range(1, 65) t(i) GROUP BY label, i),
-         |xm AS (SELECT label, i,
-         |        CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END AS s FROM x),
-         |c AS (SELECT label, list(s ORDER BY i) AS cv FROM xm GROUP BY label),
-         |sc AS (SELECT q.vec_id, q.label,
-         |    CAST(list_sum([qv[i]*qv[i] for i in range(1,65)]) AS BIGINT) AS nv,
-         |    CAST(list_sum([cv[i]*cv[i] for i in range(1,65)]) AS BIGINT) AS nc,
-         |    CAST(list_sum([qv[i]*cv[i] for i in range(1,65)]) AS BIGINT) AS dot
-         |  FROM q JOIN c USING (label)),
-         |r AS (SELECT vec_id, label,
-         |    CASE WHEN nv = 0 OR nc = 0 THEN 0.0
-         |      ELSE dot::DOUBLE / sqrt(nv::DOUBLE * nc::DOUBLE) END AS centroid_cos
-         |  FROM sc)
-         |SELECT vec_id, label, centroid_cos, centroid_cos < 0.5 AS is_outlier
-         |FROM r ORDER BY vec_id""".stripMargin,
-
-    // bucket = md5_60bit(tok) % 4096; weight = (md5_60bit(bucket) % 1e6)
-    // % 2001 - 1000 — both engines derive the same integer weights
-    "t12_quality_classifier" ->
-      s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
-         |tb AS (SELECT doc_id,
-         |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 4096 AS b
-         |  FROM tk),
-         |tw AS (SELECT doc_id,
-         |    (CAST(concat('0x', substr(md5(CAST(b AS VARCHAR)), 1, 15)) AS BIGINT)
-         |      % 1000000) % 2001 - 1000 AS w
-         |  FROM tb),
-         |sc AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score FROM tw GROUP BY doc_id)
-         |SELECT d.doc_id, COALESCE(sc.score, 0) AS score,
-         |  COALESCE(sc.score, 0) >= 0 AS keep
-         |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
-
-    // integer-exact BM25: idf = least((2(N-df)+1)*1e6 // (2df+1), 2e7)
-    // (the Robertson idf argument as a rational, 20x saturation instead of
-    // log); tfsat = 44*tf*avgdl*1e6 // (20*tf*avgdl + 6*avgdl + 18*dl)
-    // (k1=1.2, b=0.75 with num/den scaled by 20*avgdl); avgdl floored
-    "t13_bm25_search" -> bm25TopKSql,
-
-    // RRF hybrid search: BM25 top-25 (t13's CTE verbatim) + brute-force
-    // cosine top-25 for query vector 0 (s1's CTE, single query), fused by
-    // sum of 1e6 // (60 + rank); top 15 by (fused score, doc_id)
-    "s7_hybrid_rrf" ->
-      s"""WITH lex AS (SELECT doc_id,
-         |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
-         |  FROM ($bm25TopKSql)),
-         |sem AS (SELECT neighbor_id AS doc_id, rank FROM (
-         |  WITH q AS (SELECT vec_id, ${qvSql("embedding")} AS qv FROM embeddings),
-         |  p AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id, qq.qv AS qa, c.qv AS qb
-         |        FROM q qq JOIN q c ON qq.vec_id = 0 AND qq.vec_id != c.vec_id),
-         |  sims AS (SELECT query_id, neighbor_id, $cosSql AS cosine FROM p),
-         |  ranked AS (SELECT *, ROW_NUMBER() OVER
-         |      (ORDER BY cosine DESC, neighbor_id) AS rank FROM sims)
-         |  SELECT neighbor_id, rank FROM ranked WHERE rank <= 25)),
-         |u AS (SELECT doc_id, rank FROM lex UNION ALL SELECT doc_id, rank FROM sem),
-         |f AS (SELECT doc_id, CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_ppm,
-         |      CAST(COUNT(*) AS BIGINT) AS n_lists FROM u GROUP BY doc_id)
-         |SELECT doc_id, rrf_ppm, n_lists FROM f
-         |ORDER BY rrf_ppm DESC, doc_id LIMIT 15""".stripMargin,
-
-    // add-one-smoothed bigram LM over graft_tokens; prefix counts c1 are
-    // sums over the bigram table (NOT raw unigram counts — the last token
-    // of each doc is no bigram prefix); V = corpus distinct tokens
-    "t14_lm_fluency" -> s"$lmFluencySql ORDER BY doc_id",
-
-    // two LMs over the same bigram algebra as t14 — the target LM from the
-    // src1 slice with LEFT-join add-one smoothing for unseen bigrams
-    "t16_moore_lewis" ->
-      s"""WITH tk AS (SELECT doc_id, source, $toksSql AS t FROM documents),
-         |bg AS (SELECT doc_id, source, t[i] AS w1, t[i+1] AS w2
-         |  FROM tk, UNNEST(generate_series(1, len(t)-1)) AS u(i)),
-         |db AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
-         |  FROM bg GROUP BY doc_id, w1, w2),
-         |t12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
-         |  FROM bg WHERE source = 'src1' GROUP BY w1, w2),
-         |t1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM t12 GROUP BY w1),
-         |tv AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
-         |  FROM (SELECT unnest(t) AS tok FROM tk WHERE source = 'src1')),
-         |g12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
-         |  FROM bg GROUP BY w1, w2),
-         |g1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM g12 GROUP BY w1),
-         |gv AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
-         |  FROM (SELECT unnest(t) AS tok FROM tk)),
-         |st AS (SELECT db.doc_id,
-         |    CAST(SUM(db.cnt * (((COALESCE(t12.c12, 0) + 1)*1000000)
-         |      // (COALESCE(t1.c1, 0) + tv.v))) AS BIGINT) AS sp,
-         |    CAST(SUM(db.cnt) AS BIGINT) AS nb
-         |  FROM db LEFT JOIN t12 USING (w1, w2) LEFT JOIN t1 USING (w1) CROSS JOIN tv
-         |  GROUP BY db.doc_id),
-         |sg AS (SELECT db.doc_id,
-         |    CAST(SUM(db.cnt * (((COALESCE(g12.c12, 0) + 1)*1000000)
-         |      // (COALESCE(g1.c1, 0) + gv.v))) AS BIGINT) AS sp,
-         |    CAST(SUM(db.cnt) AS BIGINT) AS nb
-         |  FROM db LEFT JOIN g12 USING (w1, w2) LEFT JOIN g1 USING (w1) CROSS JOIN gv
-         |  GROUP BY db.doc_id),
-         |f AS (SELECT d.doc_id, d.source,
-         |    CASE WHEN COALESCE(st.nb, 0) > 0 THEN st.sp // st.nb ELSE 0 END AS target_ppm,
-         |    CASE WHEN COALESCE(sg.nb, 0) > 0 THEN sg.sp // sg.nb ELSE 0 END AS general_ppm
-         |  FROM documents d LEFT JOIN st USING (doc_id) LEFT JOIN sg USING (doc_id))
-         |SELECT doc_id, source, target_ppm, general_ppm,
-         |  target_ppm - general_ppm AS ml_ppm
-         |FROM f ORDER BY doc_id""".stripMargin,
-
-    // DSIR ratio weights: p_ppb = (cnt+1)*1e9 // (tot+B) per side, ratio
-    // ppm saturated at 1e9; count-weighted per-doc mean; target = src1
-    "s6_dsir_importance" -> s"$dsirImportanceSql ORDER BY doc_id",
-
-    // surface-form 5-gram spans (string_split ' ', empties kept, same ws
-    // frame as d13) with multiplicity; total order df/n_occ/gram
-    "d14_repeated_spans" -> repeatedSpansSql,
-
-    // composed targeted curation: ban-list anti-join (top repeated spans),
-    // then two chained per-source keep-top-half rank gates (fluency, DSIR
-    // importance) — each stage's CTE is the verbatim standalone oracle
-    "p3_targeted_curation" ->
-      s"""WITH ban AS (SELECT gram FROM ($repeatedSpansSql)),
-         |rw2 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         |dg AS (SELECT doc_id, ${wordGramSql(5)} AS gram
-         |  FROM rw2, UNNEST(generate_series(1, len(ws) - 4)) AS t(i)),
-         |bd AS (SELECT DISTINCT doc_id FROM dg JOIN ban USING (gram)),
-         |fl AS (SELECT doc_id, fluency_ppm FROM ($lmFluencySql)),
-         |imp AS (SELECT doc_id, importance_ppm FROM ($dsirImportanceSql)),
-         |cand AS (SELECT d.doc_id, d.source, fl.fluency_ppm, imp.importance_ppm
-         |  FROM documents d JOIN fl USING (doc_id) JOIN imp USING (doc_id)
-         |  WHERE d.doc_id NOT IN (SELECT doc_id FROM bd)),
-         |g1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
-         |      ORDER BY fluency_ppm DESC, doc_id) AS r,
-         |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n FROM cand),
-         |k1 AS (SELECT doc_id, source, fluency_ppm, importance_ppm FROM g1
-         |  WHERE r <= (n*500000)//1000000),
-         |g2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
-         |      ORDER BY importance_ppm DESC, doc_id) AS r,
-         |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n FROM k1)
-         |SELECT doc_id, source, fluency_ppm, importance_ppm FROM g2
-         |WHERE r <= (n*500000)//1000000 ORDER BY doc_id""".stripMargin,
-
-    // same string_split(text,' ') gram semantics as d6; DISTINCT grams per
-    // doc (WordNgramHashSet is a set); whole-corpus df then left-mark join
-    "d13_boilerplate" ->
-      s"""WITH rw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         |g AS (SELECT DISTINCT doc_id, substr(md5(${wordGramSql(3)}), 1, 15) AS h
-         |      FROM rw, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
-         |b AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM g GROUP BY h) WHERE df > 50),
-         |sc AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
-         |         CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
-         |       FROM g LEFT JOIN b USING (h) GROUP BY g.doc_id)
-         |SELECT d.doc_id, COALESCE(sc.n_grams, 0) AS n_grams,
-         |  COALESCE(sc.n_boiler, 0) AS n_boiler,
-         |  CASE WHEN COALESCE(sc.n_grams, 0) > 0
-         |    THEN sc.n_boiler*1000000//sc.n_grams ELSE 0 END AS boiler_ppm
-         |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
-
-    // md5-coin fractional copies: copies = e//1e6 + (hash_ppm < e%1e6);
-    // range() in the SELECT list (lateral range on a column cannot join)
-    "q57_epoch_upsample" ->
-      """WITH c AS (SELECT doc_id, source,
-        |    CASE source WHEN 'src1' THEN 2500000 WHEN 'src2' THEN 1000000
-        |      WHEN 'src3' THEN 400000 ELSE 0 END AS e,
-        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-        |      % 1000000 AS hp
-        |  FROM documents),
-        |n AS (SELECT doc_id, source,
-        |    e//1000000 + CASE WHEN hp < e % 1000000 THEN 1 ELSE 0 END AS n_copies
-        |  FROM c WHERE e > 0)
-        |SELECT doc_id, source, CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy_idx
-        |FROM n WHERE n_copies > 0 ORDER BY doc_id, copy_idx""".stripMargin,
-
-    // priority = md5_ppm(key)*1e6 // max(weight,1); ROW_NUMBER -> INT cast
-    "q59_weighted_sample" ->
-      """WITH p AS (SELECT doc_id, source, n_chars,
-        |    (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-        |      % 1000000) * 1000000 // greatest(n_chars, 1) AS priority
-        |  FROM documents),
-        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
-        |        ORDER BY priority, doc_id) AS rank FROM p)
-        |SELECT doc_id, source, n_chars, priority, CAST(rank AS INTEGER) AS rank
-        |FROM r WHERE rank <= 20 ORDER BY source, rank""".stripMargin,
-
-    // window SUM returns HUGEINT -> CAST BIGINT; exclusive prefix via
-    // ROWS ... 1 PRECEDING, first row NULL -> 0
-    "q58_context_pack" ->
-      s"""WITH tk AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_tokens
-         |            FROM documents),
-         |p AS (SELECT doc_id, source, n_tokens,
-         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tb
-         |  FROM tk)
-         |SELECT doc_id, source, n_tokens, tb//512 AS bin FROM p ORDER BY doc_id""".stripMargin,
-
-    // KMV: k smallest distinct 60-bit md5 hashes; est = 31·2^40 //
-    // (h_k // 2^20) once the register set is full, exact below k
-    "q60_kmv_distinct" ->
-      """WITH h AS (SELECT DISTINCT event_type,
-        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
-        |  FROM events),
-        |r AS (SELECT event_type, hv,
-        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn FROM h),
-        |e AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_reg, MAX(hv) AS hk
-        |  FROM r WHERE rn <= 32 GROUP BY event_type),
-        |x AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
-        |  FROM events GROUP BY event_type)
-        |SELECT x.event_type, x.n_exact,
-        |  CAST(CASE WHEN e.n_reg < 32 THEN e.n_reg
-        |       ELSE (31 * (1::BIGINT << 40)) // greatest(hk // (1::BIGINT << 20), 1)
-        |       END AS BIGINT) AS n_est
-        |FROM x JOIN e USING (event_type) ORDER BY event_type""".stripMargin,
-
-    // CMS 4×64: bucket = md5_60("r:key") % 64, counter = row count; probe
-    // estimate = min over the 4 rows (COALESCE 0 for empty cells)
-    "q61_cms_counts" ->
-      """WITH cell AS (SELECT unnest(range(0, 4)) AS r, CAST(user_id AS VARCHAR) AS k
-        |  FROM events),
-        |cms AS (SELECT r,
-        |    CAST(concat('0x', substr(md5(CAST(r AS VARCHAR) || ':' || k), 1, 15)) AS BIGINT)
-        |      % 64 AS b,
-        |    CAST(COUNT(*) AS BIGINT) AS c
-        |  FROM cell GROUP BY 1, 2),
-        |p AS (SELECT DISTINCT user_id FROM events WHERE user_id < 20),
-        |pb AS (SELECT user_id, r,
-        |    CAST(concat('0x', substr(md5(CAST(r AS VARCHAR) || ':'
-        |      || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 64 AS b
-        |  FROM (SELECT user_id, unnest(range(0, 4)) AS r FROM p)),
-        |est AS (SELECT user_id, CAST(MIN(COALESCE(c, 0)) AS BIGINT) AS n_est
-        |  FROM pb LEFT JOIN cms USING (r, b) GROUP BY user_id),
-        |x AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact
-        |  FROM events WHERE user_id < 20 GROUP BY user_id)
-        |SELECT x.user_id, x.n_exact, est.n_est, est.n_est >= x.n_exact AS upper_bounds
-        |FROM x JOIN est USING (user_id) ORDER BY user_id""".stripMargin,
-
-    // Bloom 64 words × 60 bits, 3 hashes: pos = md5_60("i:key") % 3840,
-    // word = pos//60, mask = 1<<(pos%60), words bit_or'd; probe needs all
-    // 3 bits set; strict-positive 60-bit masks keep signed int64 safe
-    "q62_bloom_membership" ->
-      """WITH hot AS (SELECT DISTINCT o_custkey AS k FROM orders
-        |  WHERE o_totalprice > 490000),
-        |pp AS (SELECT CAST(concat('0x', substr(md5(CAST(i AS VARCHAR) || ':'
-        |      || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 3840 AS pos
-        |  FROM (SELECT k, unnest(range(0, 3)) AS i FROM hot)),
-        |bloom AS (SELECT pos // 60 AS word,
-        |    CAST(bit_or(1::BIGINT << CAST(pos % 60 AS INTEGER)) AS BIGINT) AS bits
-        |  FROM pp GROUP BY 1),
-        |prb AS (SELECT c_custkey, pos // 60 AS word,
-        |    1::BIGINT << CAST(pos % 60 AS INTEGER) AS mask
-        |  FROM (SELECT c_custkey,
-        |      CAST(concat('0x', substr(md5(CAST(i AS VARCHAR) || ':'
-        |        || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 3840 AS pos
-        |    FROM (SELECT c_custkey, unnest(range(0, 3)) AS i FROM customer))),
-        |hits AS (SELECT c_custkey,
-        |    CAST(SUM(CASE WHEN (COALESCE(bits, 0) & mask) <> 0 THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS nh
-        |  FROM prb LEFT JOIN bloom USING (word) GROUP BY c_custkey)
-        |SELECT h.c_custkey, nh = 3 AS maybe_present, hot.k IS NOT NULL AS actually_in
-        |FROM hits h LEFT JOIN hot ON h.c_custkey = hot.k
-        |WHERE nh = 3 ORDER BY h.c_custkey""".stripMargin,
-
-    // HLL m=64: idx = h%64, w = (h//64) mod 2^40, rho = 41−bitlength(w)
-    // (41 at w=0); register = max rho; S = Σ 2^(41−M) with empty registers
-    // contributing 2^41; raw estimate = 709·(64²·2^41 // S) // 1000
-    "q63_hll_distinct" ->
-      """WITH b AS (SELECT event_type,
-        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
-        |  FROM events),
-        |r AS (SELECT event_type, hv % 64 AS idx,
-        |    (hv // 64) % (1::BIGINT << 40) AS w40 FROM b),
-        |reg AS (SELECT event_type, idx,
-        |    MAX(CASE WHEN w40 = 0 THEN 41 ELSE 41 - length(bin(w40)) END) AS mreg
-        |  FROM r GROUP BY 1, 2),
-        |a AS (SELECT event_type,
-        |    CAST(SUM(1::BIGINT << CAST(41 - mreg AS INTEGER)) AS BIGINT) AS sp,
-        |    CAST(COUNT(*) AS BIGINT) AS np
-        |  FROM reg GROUP BY 1),
-        |e AS (SELECT event_type, sp + (64 - np) * (1::BIGINT << 41) AS s FROM a),
-        |x AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
-        |  FROM events GROUP BY event_type)
-        |SELECT x.event_type, x.n_exact,
-        |  CAST(709 * ((4096 * (1::BIGINT << 41)) // s) // 1000 AS BIGINT) AS n_est
-        |FROM x JOIN e USING (event_type) ORDER BY event_type""".stripMargin,
-
-    // q63's register algebra keyed by hour, then the BETWEEN merge join —
-    // window registers are max-merges of hourly ones, estimate unchanged
-    "q79_sliding_hll" ->
-      """WITH e AS (SELECT epoch_us(ts) // 3600000000 AS hour, user_id FROM events),
-        |w AS (SELECT DISTINCT hour AS win_end FROM e),
-        |b AS (SELECT hour,
-        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
-        |  FROM e),
-        |r AS (SELECT hour, hv % 64 AS idx,
-        |    (hv // 64) % (1::BIGINT << 40) AS w40 FROM b),
-        |reg AS (SELECT hour, idx,
-        |    MAX(CASE WHEN w40 = 0 THEN 41 ELSE 41 - length(bin(w40)) END) AS mreg
-        |  FROM r GROUP BY 1, 2),
-        |wreg AS (SELECT w.win_end, reg.idx, MAX(reg.mreg) AS mreg
-        |  FROM reg JOIN w ON reg.hour BETWEEN w.win_end - 2 AND w.win_end
-        |  GROUP BY 1, 2),
-        |a AS (SELECT win_end,
-        |    CAST(SUM(1::BIGINT << CAST(41 - mreg AS INTEGER)) AS BIGINT) AS sp,
-        |    CAST(COUNT(*) AS BIGINT) AS np
-        |  FROM wreg GROUP BY 1),
-        |es AS (SELECT win_end, sp + (64 - np) * (1::BIGINT << 41) AS s FROM a),
-        |x AS (SELECT w.win_end, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_exact
-        |  FROM e JOIN w ON e.hour BETWEEN w.win_end - 2 AND w.win_end GROUP BY 1)
-        |SELECT x.win_end, x.n_exact,
-        |  CAST(709 * ((4096 * (1::BIGINT << 41)) // s) // 1000 AS BIGINT) AS n_est
-        |FROM x JOIN es USING (win_end) ORDER BY win_end""".stripMargin,
-
-    // same ceiling-rank rule on both frames: bucket-id cumsum for the
-    // estimate, exact value cumsum for the truth; bucket lower bound
-    // reconstructed by the shared integer formula
-    "q69_quantile_sketch" ->
-      s"""WITH v AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents
-         |  FROM events),
-         |g AS (SELECT DISTINCT event_type FROM v),
-         |qq AS (SELECT event_type, unnest([500000, 900000, 990000]) AS q_ppm FROM g),
-         |sk AS (SELECT event_type, ${Sketches.logBucketSql("cents", 3)} AS id,
-         |    COUNT(*) AS cnt FROM v GROUP BY 1, 2),
-         |sc AS (SELECT event_type, id,
-         |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
-         |    CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM sk),
-         |est AS (SELECT qq.event_type, qq.q_ppm, MIN(sc.id) AS id
-         |  FROM qq JOIN sc ON sc.event_type = qq.event_type
-         |    AND sc.cum >= greatest((qq.q_ppm * sc.n + 999999) // 1000000, 1)
-         |  GROUP BY 1, 2),
-         |cc AS (SELECT event_type, cents,
-         |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
-         |    CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
-         |  FROM (SELECT event_type, cents, COUNT(*) AS cnt FROM v GROUP BY 1, 2)),
-         |ex AS (SELECT qq.event_type, qq.q_ppm, MIN(cc.cents) AS q_exact
-         |  FROM qq JOIN cc ON cc.event_type = qq.event_type
-         |    AND cc.cum >= greatest((qq.q_ppm * cc.n + 999999) // 1000000, 1)
-         |  GROUP BY 1, 2)
-         |SELECT est.event_type, CAST(est.q_ppm AS BIGINT) AS q_ppm,
-         |  ${Sketches.logBucketLowSql("est.id", 3)} AS q_est, ex.q_exact
-         |FROM est JOIN ex USING (event_type, q_ppm)
-         |ORDER BY event_type, q_ppm""".stripMargin,
-
-    // the PLAIN join — bloom false positives cannot change the result
-    "q68_bloom_join" ->
-      s"""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
-         |  ${qSumSql("l_extendedprice", "sum_price")}
-         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         |WHERE o_totalprice > 450000
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // tall per-column frame (stringified), base stats + plurality top
-    // value with (count desc, value asc) tie-break
-    "q67_profile" ->
-      """WITH tall AS (
-        |  SELECT 'event_type' AS col_name, event_type AS v FROM events
-        |  UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
-        |  UNION ALL SELECT 'props', props FROM events),
-        |base AS (SELECT col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |    CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
-        |    CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
-        |    MIN(v) AS v_min, MAX(v) AS v_max
-        |  FROM tall GROUP BY 1),
-        |t AS (SELECT col_name, v, COUNT(*) AS n FROM tall
-        |  WHERE v IS NOT NULL GROUP BY 1, 2),
-        |tp AS (SELECT col_name, v AS top_value, CAST(n AS BIGINT) AS top_n
-        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY col_name
-        |          ORDER BY n DESC, v) AS rn FROM t) WHERE rn = 1)
-        |SELECT base.col_name, base.n_rows, base.n_null, base.n_distinct,
-        |  base.v_min, base.v_max, tp.top_value, tp.top_n
-        |FROM base LEFT JOIN tp USING (col_name) ORDER BY col_name""".stripMargin,
-
-    // KMV registers per day (k=32), pair merge re-ranked, estimates via
-    // the shared estimator CASE; exact intersection from the distinct
-    // (day, user) frame; inclusion-exclusion clamped at 0
-    "q65_kmv_setops" -> {
-      val est = kmvEstCaseSql _
-      s"""WITH ev AS (SELECT 'd' || CAST((epoch_us(ts) - $Jan1_24) // $DayUs AS VARCHAR) AS day,
-         |    user_id FROM events WHERE (epoch_us(ts) - $Jan1_24) // $DayUs < 5),
-         |h AS (SELECT DISTINCT day,
-         |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
-         |  FROM ev),
-         |r AS (SELECT day, hv, ROW_NUMBER() OVER (PARTITION BY day ORDER BY hv) AS rn FROM h),
-         |reg AS (SELECT day, hv FROM r WHERE rn <= 32),
-         |e AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_reg, MAX(hv) AS hk
-         |  FROM reg GROUP BY 1),
-         |s AS (SELECT day, ${est("n_reg", "hk")} AS n_est FROM e),
-         |g AS (SELECT DISTINCT day FROM reg),
-         |pr AS (SELECT a.day AS ga, b.day AS gb FROM g a JOIN g b ON a.day < b.day),
-         |m AS (SELECT DISTINCT ga, gb, hv FROM (
-         |    SELECT pr.ga, pr.gb, reg.hv FROM pr JOIN reg ON reg.day = pr.ga
-         |    UNION ALL SELECT pr.ga, pr.gb, reg.hv FROM pr JOIN reg ON reg.day = pr.gb)),
-         |mr AS (SELECT ga, gb, hv,
-         |    ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY hv) AS rn FROM m),
-         |ue AS (SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS n_reg, MAX(hv) AS hk
-         |  FROM mr WHERE rn <= 32 GROUP BY 1, 2),
-         |un AS (SELECT ga, gb, ${est("n_reg", "hk")} AS union_est FROM ue),
-         |j AS (SELECT un.ga, un.gb, sa.n_est AS a_est, sb.n_est AS b_est, un.union_est,
-         |    greatest(sa.n_est + sb.n_est - un.union_est, 0) AS inter_est
-         |  FROM un JOIN s sa ON sa.day = un.ga JOIN s sb ON sb.day = un.gb),
-         |du AS (SELECT DISTINCT day, user_id FROM ev),
-         |x AS (SELECT a.day AS ga, b.day AS gb, CAST(COUNT(*) AS BIGINT) AS n_inter_exact
-         |  FROM du a JOIN du b ON a.user_id = b.user_id AND a.day < b.day GROUP BY 1, 2)
-         |SELECT j.ga, j.gb, j.a_est, j.b_est, j.union_est,
-         |  CAST(j.inter_est AS BIGINT) AS inter_est,
-         |  CAST(j.inter_est * 1000000 // greatest(j.union_est, 1) AS BIGINT) AS jaccard_ppm,
-         |  COALESCE(x.n_inter_exact, 0) AS n_inter_exact
-         |FROM j LEFT JOIN x USING (ga, gb) ORDER BY ga, gb""".stripMargin
-    },
-
-    // Morton z = Σ_j ((x>>j & 1) << 2j) + ((y>>j & 1) << 2j+1) over 10-bit
-    // coords (user bucket, hour since Jan 1); pid = top 6 z-bits
-    "q64_zorder_layout" ->
-      s"""WITH c AS (SELECT user_id & 1023 AS x,
-         |    ((epoch_us(ts) - $Jan1_24) // 3600000000) & 1023 AS y
-         |  FROM events),
-         |z AS (SELECT x, y, ${Layout.zValueSql("x", "y", 10)} AS z FROM c)
-         |SELECT z >> 14 AS pid, CAST(COUNT(*) AS BIGINT) AS n_rows,
-         |  MIN(x) AS x_min, MAX(x) AS x_max, MIN(y) AS y_min, MAX(y) AS y_max
-         |FROM z GROUP BY 1 ORDER BY pid""".stripMargin,
-
-    // hex-preimage signature mirrored verbatim: salt hex ‖ 16-digit hex
-    // minute ‖ path, one string sha256 per row on both engines
-    "q56_signed_requests" ->
-      s"""SELECT event_id,
-         |  upper(sha256('$CryptoSaltHex'
-         |    || lpad(upper(to_hex((epoch_us(ts)//60000000)*60)), 16, '0')
-         |    || '/api/events/' || event_type || '/' || CAST(event_id AS VARCHAR))) AS signature
-         |FROM events ORDER BY event_id""".stripMargin,
-
-    // DuckDB COUNT returns BIGINT already; no tombstone column -> 0
-    "q55_store_stats" ->
-      """SELECT CAST(COUNT(*) AS BIGINT) AS n_log_rows,
-        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
-        |  CAST(0 AS BIGINT) AS n_tombstones,
-        |  MIN(epoch_us(ts)) AS min_ts_us, MAX(epoch_us(ts)) AS max_ts_us
-        |FROM events""".stripMargin,
-
-    "q10_global_enrich" ->
-      """SELECT r_name, COUNT(*) AS n_orders,
-        |  CAST(CAST(SUM(CAST(round((o_totalprice)*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0 AS total_price
-        |FROM orders
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name ORDER BY r_name""".stripMargin,
-
-    "q11_wordcount" ->
-      s"""SELECT word, COUNT(*) AS cnt
-         |FROM (SELECT unnest($toksSql) AS word FROM documents)
-         |GROUP BY word ORDER BY word""".stripMargin,
-
-    "q12_connected_components" ->
-      """WITH RECURSIVE e AS (
-        |  SELECT DISTINCT 'b:' || p_brand AS src, 't:' || p_type AS dst FROM part
-        |), sym AS (
-        |  SELECT src, dst FROM e UNION SELECT dst, src FROM e
-        |), reach(a, b) AS (
-        |  SELECT src, src FROM sym
-        |  UNION
-        |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
-        |)
-        |SELECT a AS vertex, MIN(b) AS component FROM reach GROUP BY a ORDER BY vertex""".stripMargin,
-
-    // same orientation algebra: rank = degree*1e9 + id, wedges from
-    // out-pairs of the lowest-ranked corner, closure join on (v, w)
-    "q53_triangles" -> copurchaseTrianglesSql(cap = None),
-
-    // basket cap mirrored as the same whole-bucket drop rule (window
-    // count per order key, drop all rows of baskets > 5) before pairing
-    "q54_copurchase_capped" -> copurchaseTrianglesSql(cap = Some(5L)),
-
-    "q13_hourly_rollup" ->
-      """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
-        |  COUNT(*) AS n_events,
-        |  CAST(CAST(SUM(CAST(round((value)*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0 AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "q14_asof_join" ->
-      """WITH u AS (
-        |  SELECT user_id, epoch_us(ts) AS ts_us, 1 AS side, event_id,
-        |         NULL::BIGINT AS c_event_id, NULL::BIGINT AS c_ts_us
-        |  FROM events WHERE event_type = 'purchase'
-        |  UNION ALL
-        |  SELECT user_id, epoch_us(ts), 0, NULL, event_id, epoch_us(ts)
-        |  FROM events WHERE event_type = 'click'
-        |), w AS (
-        |  SELECT *,
-        |    last_value(c_event_id IGNORE NULLS) OVER
-        |      (PARTITION BY user_id ORDER BY ts_us, side, c_event_id ROWS UNBOUNDED PRECEDING) AS click_event_id,
-        |    last_value(c_ts_us IGNORE NULLS) OVER
-        |      (PARTITION BY user_id ORDER BY ts_us, side, c_event_id ROWS UNBOUNDED PRECEDING) AS click_ts_us
-        |  FROM u
-        |)
-        |SELECT event_id, user_id, ts_us, click_event_id, click_ts_us
-        |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
-
-    "q15_set_ops" ->
-      """SELECT tag_value, src FROM (
-        |  SELECT DISTINCT event_type AS tag_value, 'event' AS src FROM events
-        |  UNION ALL
-        |  SELECT DISTINCT o_orderstatus, 'order' FROM orders)
-        |ORDER BY src, tag_value""".stripMargin,
-
-    "q16_json_props" ->
-      """SELECT event_type, COUNT(*) AS n,
-        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    "q36_xml_view" ->
-      """WITH x AS (
-        |  SELECT '<event id="' || CAST(event_id AS VARCHAR)
-        |      || '" user="' || CAST(user_id AS VARCHAR)
-        |      || '"><type>' || event_type
-        |      || '</type><cents>' || CAST(CAST(round(value*100) AS BIGINT) AS VARCHAR)
-        |      || '</cents></event>' AS raw
-        |  FROM events
-        |), p AS (
-        |  SELECT regexp_extract(raw, '<type>([^<]*)</type>', 1) AS event_type,
-        |         CAST(regexp_extract(raw, ' user="([0-9]+)"', 1) AS BIGINT) AS user_id,
-        |         CAST(regexp_extract(raw, '<cents>(-?[0-9]+)</cents>', 1) AS BIGINT) AS cents
-        |  FROM x
-        |)
-        |SELECT event_type, COUNT(*) AS n,
-        |  COUNT(DISTINCT user_id) AS n_users,
-        |  CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE)/100.0 AS sum_value
-        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    "q17_topn_per_group" ->
-      """SELECT c_mktsegment, CAST(rank AS INTEGER) AS rank, c_custkey, c_acctbal
-        |FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
-        |        ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rank
-        |      FROM customer)
-        |WHERE rank <= 2 ORDER BY c_mktsegment, rank""".stripMargin,
-
-    "q18_route_partition" ->
-      s"""SELECT user_id, $murmur2PartitionSql AS partition
-         |FROM (SELECT DISTINCT user_id, user_id::VARCHAR AS s FROM events)
-         |ORDER BY user_id""".stripMargin,
-
-    "d1_dedup_exact" ->
-      s"""SELECT md5($normSql) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
-         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "d2_dedup_minhash" ->
-      s"""WITH ${minhashPairsSql("documents")}
-         |SELECT id_a, id_b, jaccard_est FROM mh_pairs WHERE jaccard_est >= 0.5
-         |ORDER BY id_a, id_b""".stripMargin,
-
-    // the incremental path is pair-for-pair the full-corpus LSH minus
-    // history-only pairs — the oracle says so literally
-    "d15_incremental_dedup" ->
-      s"""WITH ${minhashPairsSql("documents")}
-         |SELECT id_a, id_b, jaccard_est FROM mh_pairs
-         |WHERE jaccard_est >= 0.5 AND (id_a % 5 = 0 OR id_b % 5 = 0)
-         |ORDER BY id_a, id_b""".stripMargin,
-
-    // candidates from the same unrolled minhash CTEs (mh_h carries each
-    // doc's distinct shingle hashes), verified by exact list intersection
-    "d12_lsh_verified" ->
-      s"""WITH ${minhashPairsSql("documents")},
-         |g AS (SELECT doc_id, hs, len(hs) AS ng FROM mh_h),
-         |cand AS (SELECT id_a, id_b FROM mh_pairs WHERE jaccard_est >= 0.3),
-         |v AS (SELECT id_a, id_b,
-         |        len(list_intersect(a.hs, b.hs)) AS i, a.ng AS na, b.ng AS nb
-         |      FROM cand JOIN g a ON id_a = a.doc_id JOIN g b ON id_b = b.doc_id)
-         |SELECT id_a, id_b, CAST(i AS DOUBLE)/(na + nb - i) AS jaccard
-         |FROM v WHERE CAST(i AS DOUBLE)/(na + nb - i) >= 0.5
-         |ORDER BY id_a, id_b""".stripMargin,
-
-    "q26_percentiles" ->
-      """SELECT l_returnflag,
-        |  quantile_cont(l_quantity, 0.25) AS p25,
-        |  quantile_cont(l_quantity, 0.5) AS median,
-        |  quantile_cont(l_quantity, 0.75) AS p75
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-
-    "q27_rollup" ->
-      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-        |  CAST(CAST(SUM(CAST(round((l_quantity)*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0 AS sum_qty
-        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
-
-    "q28_pivot" ->
-      """SELECT user_id,
-        |  COUNT(*) FILTER (event_type = 'click') AS click,
-        |  COUNT(*) FILTER (event_type = 'view') AS view,
-        |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
-        |  COUNT(*) FILTER (event_type = 'signup') AS signup,
-        |  COUNT(*) FILTER (event_type = 'error') AS error
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
-
-    "p1_training_pipeline" ->
-      s"""WITH m AS (${qualityMetricsSql("documents")}),
-         |q AS (SELECT doc_id, n_tokens FROM m
-         |      WHERE n_tokens >= 10 AND n_tokens <= 100000
-         |        AND (CASE WHEN n_chars > 0 THEN alpha_len*1000000//n_chars ELSE 0 END) >= 500000),
-         |cand AS (SELECT d.*, q.n_tokens FROM documents d JOIN q USING (doc_id)),
-         |keepers AS (SELECT MIN(doc_id) AS doc_id
-         |            FROM (SELECT doc_id, md5($normSql) AS h FROM cand) GROUP BY h),
-         |ed AS (SELECT c.* FROM cand c JOIN keepers USING (doc_id)),
-         |${minhashPairsSql("ed")},
-         |dropped AS (SELECT DISTINCT id_b AS doc_id FROM mh_pairs WHERE jaccard_est >= 0.5),
-         |surv AS (SELECT * FROM ed ANTI JOIN dropped USING (doc_id)),
-         |sc AS (
-         |${langScoresSql("surv")}
-         |), best AS (SELECT doc_id, lang, score,
-         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM sc)
-         |SELECT s.doc_id,
-         |  (SELECT CASE WHEN b.score = 0 THEN 'und' ELSE b.lang END
-         |   FROM best b WHERE b.rn = 1 AND b.doc_id = s.doc_id) AS predicted_lang,
-         |  md5($normSql) AS content_fp, s.n_tokens
-         |FROM surv s ORDER BY s.doc_id""".stripMargin,
-
-    "d8_minhash_capped" ->
-      s"""WITH ${minhashPairsSql("documents", cap = Some(2L))}
-         |SELECT id_a, id_b, jaccard_est FROM mh_pairs WHERE jaccard_est >= 0.5
-         |ORDER BY id_a, id_b""".stripMargin,
-
-    // simhash per doc (same CTE chain as d3), then Manku-style banding:
-    // 2 byte-bands, equi-join on (band, byte value), exact popcount
-    // residual. bit_count returns TINYINT in DuckDB / INT in Spark → CAST.
-    "d9_simhash_pairs" ->
-      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
-         |tv AS (SELECT doc_id,
-         |  [ (strpos('0123456789abcdef', substr(md5(x),1,1))-1)*4096
-         |  + (strpos('0123456789abcdef', substr(md5(x),2,1))-1)*256
-         |  + (strpos('0123456789abcdef', substr(md5(x),3,1))-1)*16
-         |  + (strpos('0123456789abcdef', substr(md5(x),4,1))-1) for x in t] AS vals,
-         |  len(t) AS n FROM toks),
-         |sh AS (SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS simhash FROM tv),
-         |banded AS (SELECT doc_id, simhash, b, (simhash >> (b*8)) & 255 AS byte
-         |           FROM sh, range(0,2) t(b)),
-         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         |            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-         |          FROM banded a JOIN banded b USING (b, byte)
-         |          WHERE a.doc_id < b.doc_id)
-         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 1
-         |ORDER BY id_a, id_b""".stripMargin,
-
-    "d3_dedup_simhash" ->
-      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
-         |tv AS (SELECT doc_id,
-         |  [ (strpos('0123456789abcdef', substr(md5(x),1,1))-1)*4096
-         |  + (strpos('0123456789abcdef', substr(md5(x),2,1))-1)*256
-         |  + (strpos('0123456789abcdef', substr(md5(x),3,1))-1)*16
-         |  + (strpos('0123456789abcdef', substr(md5(x),4,1))-1) for x in t] AS vals,
-         |  len(t) AS n FROM toks)
-         |SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS simhash FROM tv ORDER BY doc_id""".stripMargin,
-
-    "d4_dedup_ngram" ->
-      s"""WITH n AS (SELECT doc_id, lang, n_chars//20 AS blk, $normSql AS s FROM documents),
-         |g AS (SELECT doc_id, lang, blk,
-         |        unnest(list_distinct([substr(md5(x), 1, 15) for x in
-         |          list_distinct([substr(s, i, 3) for i in range(1, greatest(length(s)-2, 0)+1)])])) AS gram
-         |      FROM n),
-         |sizes AS (SELECT doc_id, COUNT(*) AS ng FROM g GROUP BY doc_id),
-         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-         |          FROM g a JOIN g b ON a.lang = b.lang AND a.blk = b.blk AND a.gram = b.gram
-         |            AND a.doc_id < b.doc_id
-         |          GROUP BY 1, 2)
-         |SELECT id_a, id_b, CAST(i AS DOUBLE)/(sa.ng + sb.ng - i) AS jaccard
-         |FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
-         |WHERE CAST(i AS DOUBLE)/(sa.ng + sb.ng - i) >= 0.5
-         |ORDER BY id_a, id_b""".stripMargin,
-
-    // the d2/d9/d4 oracle pipelines verbatim (prefix-renamed CTEs), then
-    // pair-frame flag joins — the union is every pair ANY signal fired on
-    "d18_consensus_dedup" ->
-      s"""WITH ${minhashPairsSql("documents")},
-         |mhf AS (SELECT id_a, id_b FROM mh_pairs WHERE jaccard_est >= 0.5),
-         |stoks AS (SELECT doc_id, $toksSql AS t FROM documents),
-         |stv AS (SELECT doc_id,
-         |  [ (strpos('0123456789abcdef', substr(md5(x),1,1))-1)*4096
-         |  + (strpos('0123456789abcdef', substr(md5(x),2,1))-1)*256
-         |  + (strpos('0123456789abcdef', substr(md5(x),3,1))-1)*16
-         |  + (strpos('0123456789abcdef', substr(md5(x),4,1))-1) for x in t] AS vals,
-         |  len(t) AS n FROM stoks),
-         |ssh AS (SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS simhash FROM stv),
-         |sbanded AS (SELECT doc_id, simhash, b, (simhash >> (b*8)) & 255 AS byte
-         |           FROM ssh, range(0,2) t(b)),
-         |shf AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |          FROM sbanded a JOIN sbanded b USING (b, byte)
-         |          WHERE a.doc_id < b.doc_id
-         |            AND bit_count(xor(a.simhash, b.simhash)) <= 1),
-         |jn AS (SELECT doc_id, lang, n_chars//20 AS blk, $normSql AS s FROM documents),
-         |jg AS (SELECT doc_id, lang, blk,
-         |        unnest(list_distinct([substr(md5(x), 1, 15) for x in
-         |          list_distinct([substr(s, i, 3) for i in range(1, greatest(length(s)-2, 0)+1)])])) AS gram
-         |      FROM jn),
-         |jsizes AS (SELECT doc_id, COUNT(*) AS ng FROM jg GROUP BY doc_id),
-         |jinter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-         |          FROM jg a JOIN jg b ON a.lang = b.lang AND a.blk = b.blk AND a.gram = b.gram
-         |            AND a.doc_id < b.doc_id
-         |          GROUP BY 1, 2),
-         |jf AS (SELECT id_a, id_b FROM jinter
-         |  JOIN jsizes sa ON id_a = sa.doc_id JOIN jsizes sb ON id_b = sb.doc_id
-         |  WHERE CAST(i AS DOUBLE)/(sa.ng + sb.ng - i) >= 0.5),
-         |allp AS (SELECT id_a, id_b FROM mhf UNION
-         |         SELECT id_a, id_b FROM shf UNION
-         |         SELECT id_a, id_b FROM jf)
-         |SELECT p.id_a, p.id_b,
-         |  CAST(CASE WHEN m.id_a IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS minhash,
-         |  CAST(CASE WHEN s2.id_a IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS simhash,
-         |  CAST(CASE WHEN j2.id_a IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS jaccard,
-         |  CAST(CASE WHEN m.id_a IS NOT NULL THEN 1 ELSE 0 END
-         |     + CASE WHEN s2.id_a IS NOT NULL THEN 1 ELSE 0 END
-         |     + CASE WHEN j2.id_a IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS n_signals
-         |FROM allp p
-         |LEFT JOIN mhf m ON m.id_a = p.id_a AND m.id_b = p.id_b
-         |LEFT JOIN shf s2 ON s2.id_a = p.id_a AND s2.id_b = p.id_b
-         |LEFT JOIN jf j2 ON j2.id_a = p.id_a AND j2.id_b = p.id_b
-         |ORDER BY p.id_a, p.id_b""".stripMargin,
-
-    // d14's surface-form word-gram semantics (string_split ' ', empties
-    // kept) at n=2; tf is MATERIALIZED (referenced 4×, r7 CTE-inlining
-    // rule); same relative df cap and full-vector dot as the Spark side
-    "d17_tf_cosine" ->
-      s"""WITH rw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         |tf AS MATERIALIZED (SELECT doc_id, h, COUNT(*) AS tf FROM (
-         |    SELECT doc_id, substr(md5(${wordGramSql(2)}), 1, 15) AS h
-         |    FROM rw, UNNEST(generate_series(1, len(ws) - 1)) AS t(i))
-         |  GROUP BY doc_id, h),
-         |nrm AS (SELECT doc_id, CAST(SUM(tf*tf) AS BIGINT) AS n2 FROM tf GROUP BY 1),
-         |rare AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM tf GROUP BY h)
-         |  WHERE df <= (SELECT COUNT(*) FROM documents) // 50),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM tf a JOIN rare r ON a.h = r.h
-         |  JOIN tf b ON b.h = a.h AND a.doc_id < b.doc_id),
-         |dots AS (SELECT c.id_a, c.id_b, CAST(SUM(ta.tf * tb.tf) AS BIGINT) AS dot
-         |  FROM cand c JOIN tf ta ON ta.doc_id = c.id_a
-         |  JOIN tf tb ON tb.doc_id = c.id_b AND tb.h = ta.h
-         |  GROUP BY 1, 2),
-         |sims AS (SELECT d.id_a, d.id_b, d.dot,
-         |    CASE WHEN na.n2 * nb.n2 = 0 THEN 0.0
-         |         ELSE d.dot::DOUBLE / sqrt((na.n2 * nb.n2)::DOUBLE) END AS cosine
-         |  FROM dots d JOIN nrm na ON na.doc_id = d.id_a
-         |  JOIN nrm nb ON nb.doc_id = d.id_b)
-         |SELECT id_a, id_b, dot, cosine FROM sims WHERE cosine >= 0.05
-         |ORDER BY id_a, id_b""".stripMargin,
-
-    "d5_dedup_embedding" ->
-      s"""WITH q AS (SELECT vec_id, label, ${qvSql("embedding")} AS qv FROM embeddings),
-         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.qv AS qa, b.qv AS qb
-         |      FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id),
-         |c AS (SELECT id_a, id_b, $cosSql AS cosine FROM p)
-         |SELECT id_a, id_b, cosine FROM c WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin,
-
-    "s1_knn_bruteforce" ->
-      s"""WITH q AS (SELECT vec_id, ${qvSql("embedding")} AS qv FROM embeddings),
-         |p AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id, qq.qv AS qa, c.qv AS qb
-         |      FROM q qq JOIN q c ON qq.vec_id < 5 AND qq.vec_id != c.vec_id),
-         |sims AS (SELECT query_id, neighbor_id, $cosSql AS cosine FROM p),
-         |ranked AS (SELECT *, ROW_NUMBER() OVER
-         |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM sims)
-         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
-         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-
-    "s2_knn_lsh" ->
-      s"""WITH q AS (SELECT vec_id, ${qvSql("embedding")} AS qv FROM embeddings),
-         |bucketed AS (SELECT vec_id, qv, $lshBucketSql AS bucket FROM q),
-         |p AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id, qq.qv AS qa, c.qv AS qb
-         |      FROM bucketed qq JOIN bucketed c ON qq.bucket = c.bucket
-         |        AND qq.vec_id < 5 AND qq.vec_id != c.vec_id),
-         |sims AS (SELECT query_id, neighbor_id, $cosSql AS cosine FROM p),
-         |ranked AS (SELECT *, ROW_NUMBER() OVER
-         |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM sims)
-         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
-         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-
-    "s11_mmr_diversify" -> mmrSql(poolSize = 10, k = 5),
-
-    "s13_pq_topk" -> pqTopKSelectSql(m = 8, ksub = 16, iterations = 3, k = 5),
-
-    "s14_pq_rerank" -> pqRerankSql(m = 8, ksub = 16, iterations = 3, poolSize = 20, k = 5),
-
-    "s15_kcenter_coreset" -> kCenterSql(k = 8),
-
-    "s16_ivf_pq" -> ivfPqSql(nCentroids = 16, ivfIters = 5, nProbe = 4,
-      m = 8, ksub = 16, pqIters = 3, k = 5),
-
-    // the s1 and s2 pipelines verbatim as CTEs, then a result-sized join;
-    // recall_ppm uses DuckDB `//` ≡ Spark `div` (non-negative operands)
-    // s12's truth/approx CTEs with ranks kept; gain 6−rank, disc 60//(rank+1)
-    // (exact: 60 = lcm(2..6)), IDCG = 5·30+4·20+3·15+2·12+1·10 = 309
-    "s20_ndcg_eval" ->
-      s"""WITH q AS (SELECT vec_id, ${qvSql("embedding")} AS qv FROM embeddings),
-         |tp AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id, qq.qv AS qa, c.qv AS qb
-         |      FROM q qq JOIN q c ON qq.vec_id < 5 AND qq.vec_id != c.vec_id),
-         |tsims AS (SELECT query_id, neighbor_id, $cosSql AS cosine FROM tp),
-         |truth AS (SELECT query_id, neighbor_id, rank FROM (SELECT *, ROW_NUMBER() OVER
-         |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM tsims)
-         |  WHERE rank <= 5),
-         |bucketed AS (SELECT vec_id, qv, $lshBucketSql AS bucket FROM q),
-         |ap AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id, qq.qv AS qa, c.qv AS qb
-         |      FROM bucketed qq JOIN bucketed c ON qq.bucket = c.bucket
-         |        AND qq.vec_id < 5 AND qq.vec_id != c.vec_id),
-         |asims AS (SELECT query_id, neighbor_id, $cosSql AS cosine FROM ap),
-         |approx AS (SELECT query_id, neighbor_id, rank FROM (SELECT *, ROW_NUMBER() OVER
-         |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM asims)
-         |  WHERE rank <= 5),
-         |d AS (SELECT a.query_id,
-         |    CAST(SUM((6 - t.rank) * (60 // (a.rank + 1))) AS BIGINT) AS dcg_scaled
-         |  FROM approx a JOIN truth t
-         |    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
-         |  GROUP BY 1)
-         |SELECT tq.query_id, CAST(COALESCE(d.dcg_scaled, 0) AS BIGINT) AS dcg_scaled,
-         |  COALESCE(d.dcg_scaled, 0)::DOUBLE / 309.0 AS ndcg
-         |FROM (SELECT DISTINCT query_id FROM truth) tq
-         |LEFT JOIN d ON tq.query_id = d.query_id
-         |ORDER BY tq.query_id""".stripMargin,
-
-    "s12_ann_recall" ->
-      s"""WITH q AS (SELECT vec_id, ${qvSql("embedding")} AS qv FROM embeddings),
-         |tp AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id, qq.qv AS qa, c.qv AS qb
-         |      FROM q qq JOIN q c ON qq.vec_id < 5 AND qq.vec_id != c.vec_id),
-         |tsims AS (SELECT query_id, neighbor_id, $cosSql AS cosine FROM tp),
-         |truth AS (SELECT query_id, neighbor_id FROM (SELECT *, ROW_NUMBER() OVER
-         |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM tsims)
-         |  WHERE rank <= 5),
-         |bucketed AS (SELECT vec_id, qv, $lshBucketSql AS bucket FROM q),
-         |ap AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id, qq.qv AS qa, c.qv AS qb
-         |      FROM bucketed qq JOIN bucketed c ON qq.bucket = c.bucket
-         |        AND qq.vec_id < 5 AND qq.vec_id != c.vec_id),
-         |asims AS (SELECT query_id, neighbor_id, $cosSql AS cosine FROM ap),
-         |approx AS (SELECT query_id, neighbor_id FROM (SELECT *, ROW_NUMBER() OVER
-         |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM asims)
-         |  WHERE rank <= 5),
-         |hits AS (SELECT t.query_id, COUNT(*) AS n_hits FROM truth t
-         |  JOIN approx a ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
-         |  GROUP BY t.query_id)
-         |SELECT tq.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-         |  CAST((1000000 * COALESCE(h.n_hits, 0)) // 5 AS BIGINT) AS recall_ppm
-         |FROM (SELECT DISTINCT query_id FROM truth) tq
-         |LEFT JOIN hits h ON tq.query_id = h.query_id
-         |ORDER BY tq.query_id""".stripMargin,
-
-    "s3_knn_ivf" -> ivfTopKSql(nCentroids = 16, iterations = 5, nProbe = 4, k = 5),
-
-    "s10_hard_negatives" -> ivfHardNegSql(nCentroids = 16, iterations = 5, nProbe = 4, k = 5),
-
-    "s4_semantic_dedup" ->
-      s"""WITH ${ivfCellsSql(nCentroids = 16, iterations = 5)},
-         |p AS (SELECT a.id AS id_a, b.id AS id_b, a.v AS qa, b.v AS qb
-         |      FROM cells a JOIN cells b ON a.cell = b.cell AND a.id < b.id),
-         |sims AS (SELECT id_a, id_b, $cosSql AS cosine FROM p)
-         |SELECT id_a, id_b, cosine FROM sims WHERE cosine >= 0.3
-         |ORDER BY id_a, id_b""".stripMargin,
-
-    // ivfCellsSql's deterministic k-means cells + the q37 hash-rank cap rule
-    "s9_cluster_balanced" ->
-      s"""WITH ${ivfCellsSql(nCentroids = 16, iterations = 5)},
-         |r AS (SELECT id AS vec_id, cell,
-         |    ROW_NUMBER() OVER (PARTITION BY cell
-         |      ORDER BY md5(id::VARCHAR), id) AS rank
-         |  FROM cells)
-         |SELECT vec_id, cell, CAST(rank AS INTEGER) AS rank
-         |FROM r WHERE rank <= 20 ORDER BY cell, rank""".stripMargin,
-
-    "q29_split_sample" -> {
-      val hx = "'0123456789abcdef'"
-      val bucket =
-        s"CAST((strpos($hx, substr(md5(doc_id::VARCHAR), 31, 1)) - 1) * 16 + " +
-          s"(strpos($hx, substr(md5(doc_id::VARCHAR), 32, 1)) - 1) AS BIGINT)"
-      s"""SELECT doc_id, lang, $bucket AS bucket,
-         |  CASE WHEN $bucket < 200 THEN 'train'
-         |       WHEN $bucket < 228 THEN 'val' ELSE 'test' END AS split
-         |FROM documents ORDER BY doc_id""".stripMargin
-    },
-
-    "q43_grouping_sets" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
-        |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
-        |  COUNT(*) AS n,
-        |  CAST(CAST(SUM(CAST(round((l_quantity)*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0 AS sum_qty
-        |FROM lineitem
-        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus))
-        |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
-
-    "q30_cube" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
-        |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
-        |  COUNT(*) AS n,
-        |  CAST(CAST(SUM(CAST(round((l_quantity)*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0 AS sum_qty
-        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
-        |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
-
-    "q31_histogram" ->
-      """SELECT event_type, CAST(FLOOR(value/10.0) AS BIGINT) AS bin, COUNT(*) AS n
-        |FROM events WHERE value IS NOT NULL
-        |GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin,
-
-    "t5_top_terms" ->
-      s"""WITH tok AS (SELECT lang, unnest($toksSql) AS token FROM documents),
-         |c AS (SELECT lang, token, COUNT(*) AS n FROM tok GROUP BY 1, 2),
-         |r AS (SELECT *, ROW_NUMBER() OVER
-         |    (PARTITION BY lang ORDER BY n DESC, token) AS rank FROM c)
-         |SELECT lang, token, n, CAST(rank AS INTEGER) AS rank
-         |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
-
-    "q38_search_and" ->
-      s"""WITH tok AS (SELECT DISTINCT doc_id, token FROM (
-         |    SELECT doc_id, unnest($toksSql) AS token FROM documents)
-         |    WHERE token IN ('spark', 'window')),
-         |hits AS (SELECT doc_id FROM tok GROUP BY doc_id HAVING COUNT(*) = 2)
-         |SELECT d.doc_id, d.lang, d.source
-         |FROM documents d JOIN hits USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin,
-
-    "q39_funnel" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
-        |    WHERE epoch_us(ts) < 1704844800000000),
-        |f1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM e
-        |    WHERE event_type = 'click' GROUP BY user_id),
-        |f2 AS (SELECT e.user_id, MIN(ts_us) AS t2 FROM e JOIN f1 USING (user_id)
-        |    WHERE event_type = 'view' AND ts_us > f1.t1 GROUP BY e.user_id),
-        |f3 AS (SELECT e.user_id, MIN(ts_us) AS t3 FROM e JOIN f2 USING (user_id)
-        |    WHERE event_type = 'purchase' AND ts_us > f2.t2 GROUP BY e.user_id),
-        |s AS (SELECT f1.user_id,
-        |    CASE WHEN f3.t3 IS NOT NULL THEN 3
-        |         WHEN f2.t2 IS NOT NULL THEN 2 ELSE 1 END AS stage
-        |  FROM f1 LEFT JOIN f2 USING (user_id) LEFT JOIN f3 USING (user_id))
-        |SELECT CAST(stage AS INTEGER) AS stage, COUNT(*) AS n_entities
-        |FROM s GROUP BY stage ORDER BY stage""".stripMargin,
-
-    "q47_time_weighted" ->
-      """WITH h AS (SELECT user_id,
-        |    CAST(round(value*100) AS BIGINT) AS cents,
-        |    epoch_us(ts) AS vf,
-        |    LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
-        |      ORDER BY epoch_us(ts), event_id) AS vt
-        |  FROM events)
-        |SELECT user_id, COUNT(*) AS n_intervals,
-        |  (CAST(SUM(cents*(vt-vf)) AS DOUBLE)) / (CAST(SUM(vt-vf) AS DOUBLE)) AS twa_cents
-        |FROM h WHERE vt IS NOT NULL
-        |GROUP BY user_id ORDER BY user_id""".stripMargin,
-
-    "t7_pii_scrub" -> {
-      val em = graft.operators.TextAnalysis.EmailRe
-      val ip = graft.operators.TextAnalysis.Ipv4Re
-      val cc = graft.operators.TextAnalysis.CardRe
-      s"""WITH x AS (SELECT event_id, 'user ' || CAST(user_id AS VARCHAR)
-         |  || CASE WHEN user_id % 3 = 0
-         |       THEN ' mail u' || CAST(user_id AS VARCHAR) || '@example.com' ELSE '' END
-         |  || CASE WHEN user_id % 2 = 0
-         |       THEN ' ip 10.0.' || CAST(user_id % 250 AS VARCHAR) || '.7' ELSE '' END
-         |  || CASE WHEN event_id % 5 = 0
-         |       THEN ' card 4111222233334' || lpad(CAST(event_id % 1000 AS VARCHAR), 3, '0') ELSE '' END
-         |  || ' type=' || event_type AS raw FROM events)
-         |SELECT event_id,
-         |  len(regexp_extract_all(raw, '$em'))::BIGINT AS n_emails,
-         |  len(regexp_extract_all(raw, '$ip'))::BIGINT AS n_ips,
-         |  len(regexp_extract_all(raw, '$cc'))::BIGINT AS n_cards,
-         |  md5(regexp_replace(regexp_replace(regexp_replace(raw,
-         |    '$em', '[PII]', 'g'), '$ip', '[PII]', 'g'), '$cc', '[PII]', 'g')) AS scrub_md5
-         |FROM x ORDER BY event_id""".stripMargin
-    },
-
-    // chunk starts 0,48,96,… while < n (range(0,n,48)); slice caps at n on
-    // both engines; final short chunk keeps least(64, n-s) tokens
-    "t8_chunking" ->
-      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
-         |nn AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
-         |st AS (SELECT doc_id, t, n, unnest(range(0, n, 48)) AS s FROM nn),
-         |c AS (SELECT doc_id, CAST(s//48 AS INTEGER) AS chunk_idx,
-         |        array_to_string(t[CAST(s+1 AS INTEGER):CAST(s+64 AS INTEGER)], ' ') AS chunk_text,
-         |        CAST(least(64, n - s) AS BIGINT) AS n_chunk_tokens
-         |      FROM st)
-         |SELECT doc_id, chunk_idx, chunk_text, n_chunk_tokens FROM c
-         |ORDER BY doc_id, chunk_idx""".stripMargin,
-
-    "t9_adaptive_quality" ->
-      """WITH s AS (SELECT doc_id, source,
-        |    CASE WHEN length(text) > 0
-        |      THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))*1000000//length(text)
-        |      ELSE 0 END AS alpha_ppm
-        |  FROM documents),
-        |r AS (SELECT doc_id, source, alpha_ppm,
-        |    ROW_NUMBER() OVER (PARTITION BY source
-        |      ORDER BY alpha_ppm DESC, doc_id) AS rank,
-        |    COUNT(*) OVER (PARTITION BY source) AS n_total
-        |  FROM s)
-        |SELECT doc_id, source, alpha_ppm, CAST(rank AS INTEGER) AS rank
-        |FROM r WHERE rank <= n_total * 600000 // 1000000
-        |ORDER BY source, rank""".stripMargin,
-
-    "t10_vocab_stats" ->
-      s"""WITH tk AS (SELECT source, unnest($toksSql) AS tok FROM documents),
-         |c AS (SELECT source, tok, COUNT(*) AS cnt FROM tk GROUP BY 1, 2),
-         |a AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
-         |        CAST(COUNT(*) AS BIGINT) AS n_types,
-         |        CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
-         |      FROM c GROUP BY 1)
-         |SELECT source, n_tokens, n_types, n_hapax,
-         |  CASE WHEN n_tokens > 0 THEN n_types*1000000//n_tokens ELSE 0 END AS type_token_ppm,
-         |  CASE WHEN n_types > 0 THEN n_hapax*1000000//n_types ELSE 0 END AS hapax_ppm
-         |FROM a ORDER BY source""".stripMargin,
-
-    // two-step integer flooring mirrored exactly; corpus rate clamped >= 1
-    "t11_characteristic_terms" ->
-      s"""WITH tk AS (SELECT source, unnest($toksSql) AS term FROM documents),
-         |bs AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cnt_s FROM tk GROUP BY 1, 2),
-         |st AS (SELECT source, CAST(SUM(cnt_s) AS BIGINT) AS n_s FROM bs GROUP BY 1),
-         |bc AS (SELECT term, CAST(SUM(cnt_s) AS BIGINT) AS cnt_c FROM bs GROUP BY 1),
-         |ct AS (SELECT CAST(SUM(cnt_c) AS BIGINT) AS n_c FROM bc),
-         |sc AS (SELECT bs.source, bs.term, bs.cnt_s,
-         |         (cnt_s*1000000//n_s) * 1000000 // greatest(cnt_c*1000000//n_c, 1) AS lift_ppm
-         |       FROM bs JOIN st USING (source) JOIN bc USING (term) CROSS JOIN ct
-         |       WHERE cnt_s >= 2),
-         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
-         |        ORDER BY lift_ppm DESC, term) AS rank FROM sc)
-         |SELECT source, term, cnt_s, lift_ppm, CAST(rank AS INTEGER) AS rank
-         |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
-
-    "d10_containment" ->
-      s"""WITH n AS (SELECT doc_id, lang, $normSql AS s FROM documents),
-         |g AS (SELECT doc_id, lang,
-         |        unnest(list_distinct([substr(md5(x), 1, 15) for x in
-         |          list_distinct([substr(s, i, 3) for i in range(1, greatest(length(s)-2, 0)+1)])])) AS gram
-         |      FROM n),
-         |sizes AS (SELECT doc_id, COUNT(*) AS ng FROM g GROUP BY doc_id),
-         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-         |          FROM g a JOIN g b ON a.lang = b.lang AND a.gram = b.gram
-         |            AND a.doc_id < b.doc_id
-         |          GROUP BY 1, 2)
-         |SELECT id_a, id_b, CAST(i AS DOUBLE)/least(sa.ng, sb.ng) AS containment
-         |FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
-         |WHERE CAST(i AS DOUBLE)/least(sa.ng, sb.ng) >= 0.8
-         |ORDER BY id_a, id_b""".stripMargin,
-
-    "d11_source_overlap" ->
-      s"""WITH ${minhashPairsSql("documents")},
-         |f AS (SELECT id_a, id_b FROM mh_pairs WHERE jaccard_est >= 0.5)
-         |SELECT least(a.source, b.source) AS source_a,
-         |  greatest(a.source, b.source) AS source_b,
-         |  CAST(COUNT(*) AS BIGINT) AS n_pairs
-         |FROM f JOIN documents a ON f.id_a = a.doc_id
-         |       JOIN documents b ON f.id_b = b.doc_id
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "q46_salted_join" ->
-      s"""SELECT c_mktsegment, COUNT(*) AS n,
-         |  ${qSumSql("value", "sum_value")}
-         |FROM events JOIN customer ON events.user_id = customer.c_custkey
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q45_scd2" ->
-      """SELECT user_id, event_id, event_type,
-        |  epoch_us(ts) AS valid_from_us,
-        |  LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
-        |    ORDER BY epoch_us(ts), event_id) AS valid_to_us
-        |FROM events
-        |ORDER BY user_id, valid_from_us, event_id""".stripMargin,
-
-    "q44_rolling_active" ->
-      """WITH e AS (SELECT DISTINCT epoch_us(date_trunc('day', ts)) AS period_us,
-        |    user_id FROM events),
-        |observed AS (SELECT DISTINCT period_us AS end_us FROM e),
-        |c AS (SELECT user_id, unnest(range(period_us,
-        |    period_us + 7*86400000000, 86400000000)) AS end_us FROM e)
-        |SELECT c.end_us, COUNT(DISTINCT c.user_id) AS n_active
-        |FROM c JOIN observed USING (end_us)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q40_cohort_retention" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
-        |f AS (SELECT user_id, MIN(ts_us) AS first_us FROM e GROUP BY user_id),
-        |a AS (SELECT e.user_id,
-        |    epoch_us(date_trunc('week', make_timestamp(f.first_us))) AS cohort_us,
-        |    CAST((epoch_us(date_trunc('week', make_timestamp(e.ts_us)))
-        |        - epoch_us(date_trunc('week', make_timestamp(f.first_us))))
-        |      / 604800000000 AS BIGINT) AS period_offset
-        |  FROM e JOIN f USING (user_id))
-        |SELECT cohort_us, period_offset, COUNT(DISTINCT user_id) AS n_active
-        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "p2_curation_v2" ->
-      s"""WITH RECURSIVE
-         |rw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         |rg AS (SELECT doc_id, substr(md5(${wordGramSql(3)}), 1, 15) AS h
-         |    FROM rw, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
-         |ra AS (SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT h) AS nd
-         |    FROM rg GROUP BY doc_id),
-         |rep_ok AS (SELECT d.doc_id FROM documents d LEFT JOIN ra USING (doc_id)
-         |    WHERE CASE WHEN COALESCE(ra.n, 0) > 0
-         |      THEN FLOOR((ra.n - ra.nd) * 1000000 / ra.n) ELSE 0 END < 10000),
-         |train AS (SELECT d.doc_id, d.text, d.lang, d.source
-         |    FROM documents d JOIN rep_ok USING (doc_id) WHERE d.source <> 'src0'),
-         |tw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM train),
-         |tg AS (SELECT DISTINCT doc_id, substr(md5(${wordGramSql(8)}), 1, 15) AS h
-         |    FROM tw, UNNEST(generate_series(1, len(ws) - 7)) AS t(i)),
-         |ew AS (SELECT string_split(text, ' ') AS ws FROM documents WHERE source = 'src0'),
-         |eg AS (SELECT DISTINCT substr(md5(${wordGramSql(8)}), 1, 15) AS h
-         |    FROM ew, UNNEST(generate_series(1, len(ws) - 7)) AS t(i)),
-         |contaminated AS (SELECT DISTINCT doc_id FROM tg JOIN eg USING (h)),
-         |surv AS (SELECT t.* FROM train t LEFT JOIN contaminated c USING (doc_id)
-         |    WHERE c.doc_id IS NULL),
-         |${minhashPairsSql("surv")},
-         |cl_e AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs WHERE jaccard_est >= 0.5),
-         |cl_sym AS (SELECT src, dst FROM cl_e UNION SELECT dst, src FROM cl_e),
-         |cl_reach(a, b) AS (
-         |  SELECT src, src FROM cl_sym
-         |  UNION
-         |  SELECT r.a, s.dst FROM cl_reach r JOIN cl_sym s ON r.b = s.src),
-         |cl_comp AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM cl_reach GROUP BY a),
-         |kept AS (SELECT s.doc_id, s.lang, s.source
-         |    FROM surv s LEFT JOIN cl_comp c USING (doc_id)
-         |    WHERE COALESCE(c.cluster_id, s.doc_id) = s.doc_id),
-         |ranked AS (SELECT doc_id, lang, source, ROW_NUMBER() OVER
-         |    (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rank
-         |  FROM kept)
-         |SELECT doc_id, lang, source, CAST(rank AS INTEGER) AS rank
-         |FROM ranked WHERE rank <= 40 ORDER BY lang, rank""".stripMargin,
-
-    "q42_equidepth" ->
-      """WITH e AS (SELECT event_id, event_type,
-        |    CAST(round(value*100) AS BIGINT) AS cents FROM events),
-        |b AS (SELECT event_type, cents, NTILE(4) OVER
-        |    (PARTITION BY event_type ORDER BY cents, event_id) AS bucket FROM e)
-        |SELECT event_type, CAST(bucket AS INTEGER) AS bucket, COUNT(*) AS n,
-        |  MIN(cents) AS lo, MAX(cents) AS hi
-        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "q41_outliers" ->
-      """WITH e AS (SELECT event_id, event_type,
-        |    CAST(round(value*100) AS BIGINT) AS cents FROM events),
-        |s AS (SELECT event_type, COUNT(*) AS n, SUM(cents) AS sc,
-        |    SUM(cents*cents) AS sc2 FROM e GROUP BY 1)
-        |SELECT e.event_id, e.event_type, e.cents
-        |FROM e JOIN s USING (event_type)
-        |WHERE (CAST(s.n AS HUGEINT)*e.cents - sc) * (CAST(s.n AS HUGEINT)*e.cents - sc)
-        |    > 9 * (CAST(s.n AS HUGEINT)*sc2 - CAST(sc AS HUGEINT)*sc)
-        |ORDER BY e.event_id""".stripMargin,
-
-    // same cluster CTEs as d7 + the alpha-ppm quality rank; keeper =
-    // FIRST_VALUE over (alpha_ppm DESC, doc_id) per cluster
-    "d16_quality_keeper" ->
-      s"""WITH RECURSIVE ${minhashPairsSql("documents")},
-         |cl_e AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs WHERE jaccard_est >= 0.5),
-         |cl_sym AS (SELECT src, dst FROM cl_e UNION SELECT dst, src FROM cl_e),
-         |cl_reach(a, b) AS (
-         |  SELECT src, src FROM cl_sym
-         |  UNION
-         |  SELECT r.a, s.dst FROM cl_reach r JOIN cl_sym s ON r.b = s.src),
-         |cl_comp AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM cl_reach GROUP BY a),
-         |q AS (SELECT doc_id,
-         |    CASE WHEN length(text) > 0
-         |      THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))*1000000 // length(text)
-         |      ELSE 0 END AS alpha_ppm
-         |  FROM documents),
-         |j AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id, q.alpha_ppm
-         |  FROM documents d LEFT JOIN cl_comp c USING (doc_id) JOIN q USING (doc_id)),
-         |e AS (SELECT doc_id, cluster_id,
-         |    FIRST_VALUE(doc_id) OVER (PARTITION BY cluster_id
-         |      ORDER BY alpha_ppm DESC, doc_id) AS keeper_id,
-         |    CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
-         |  FROM j)
-         |SELECT doc_id, cluster_id, keeper_id, doc_id = keeper_id AS is_keeper,
-         |  cluster_size
-         |FROM e ORDER BY doc_id""".stripMargin,
-
-    "d7_dedup_clusters" ->
-      s"""WITH RECURSIVE ${minhashPairsSql("documents")},
-         |cl_e AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs WHERE jaccard_est >= 0.5),
-         |cl_sym AS (SELECT src, dst FROM cl_e UNION SELECT dst, src FROM cl_e),
-         |cl_reach(a, b) AS (
-         |  SELECT src, src FROM cl_sym
-         |  UNION
-         |  SELECT r.a, s.dst FROM cl_reach r JOIN cl_sym s ON r.b = s.src),
-         |cl_comp AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM cl_reach GROUP BY a)
-         |SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
-         |  d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS is_keeper
-         |FROM documents d LEFT JOIN cl_comp c USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin,
-
-    "d6_decontaminate" ->
-      s"""WITH tw AS (SELECT doc_id, string_split(text, ' ') AS ws
-         |    FROM documents WHERE source <> 'src0'),
-         |tg AS (SELECT DISTINCT doc_id, substr(md5(${wordGramSql(8)}), 1, 15) AS h
-         |    FROM tw, UNNEST(generate_series(1, len(ws) - 7)) AS t(i)),
-         |ew AS (SELECT string_split(text, ' ') AS ws
-         |    FROM documents WHERE source = 'src0'),
-         |eg AS (SELECT DISTINCT substr(md5(${wordGramSql(8)}), 1, 15) AS h
-         |    FROM ew, UNNEST(generate_series(1, len(ws) - 7)) AS t(i)),
-         |hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
-         |    FROM tg JOIN eg USING (h) GROUP BY doc_id)
-         |SELECT d.doc_id, COALESCE(hits.n_hits, 0) AS n_hits,
-         |  COALESCE(hits.n_hits, 0) > 0 AS contaminated
-         |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
-         |LEFT JOIN hits USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin,
-
-    "q37_stratified_cap" ->
-      """WITH r AS (SELECT doc_id, lang, source,
-        |    ROW_NUMBER() OVER (PARTITION BY lang
-        |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rank
-        |  FROM documents)
-        |SELECT doc_id, lang, source, CAST(rank AS INTEGER) AS rank
-        |FROM r WHERE rank <= 50 ORDER BY lang, rank""".stripMargin,
-
-    // layout-independent result: the oracle is the plain (unbucketed) join
-    "q52_bucketed_join" ->
-      s"""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
-        |  ${qSumWideSql("l_extendedprice*(1-l_discount)", "revenue")}
-        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-
-    // per-stratum limit = floor(total * ppm / 1e6): 40 * {0.5, 0.3, 0.2}
-    // -> 20/12/8; integer floor-division on both engines (parity rule 5)
-    "q51_mixture_sample" ->
-      """WITH r AS (SELECT doc_id, source,
-        |    ROW_NUMBER() OVER (PARTITION BY source
-        |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rank
-        |  FROM documents)
-        |SELECT doc_id, source, CAST(rank AS INTEGER) AS rank
-        |FROM r WHERE rank <= CASE source
-        |  WHEN 'src1' THEN 40 * 500000 // 1000000
-        |  WHEN 'src2' THEN 40 * 300000 // 1000000
-        |  WHEN 'src3' THEN 40 * 200000 // 1000000
-        |  ELSE 0 END
-        |ORDER BY source, rank""".stripMargin,
-
-    "t6_repetition" ->
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |g AS (SELECT doc_id,
-        |    substr(md5(${wordGramSql(3)}), 1, 15) AS h
-        |  FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
-        |a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
-        |    CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct FROM g GROUP BY doc_id)
-        |SELECT d.doc_id, COALESCE(a.n_grams, 0) AS n_grams,
-        |  COALESCE(a.n_distinct, 0) AS n_distinct,
-        |  CASE WHEN COALESCE(a.n_grams, 0) > 0
-        |    THEN CAST(FLOOR((a.n_grams - a.n_distinct) * 1000000 / a.n_grams) AS BIGINT)
-        |    ELSE 0 END AS dup_ppm
-        |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
-
-    "m3_frame_sample" ->
-      """WITH f AS (SELECT doc_id, text,
-        |    CAST(FLOOR(length(text)/16.0) AS BIGINT) AS nf FROM documents),
-        |s AS (SELECT doc_id, text, unnest(range(0, nf, 4)) AS frame_idx
-        |      FROM f WHERE nf > 0)
-        |SELECT doc_id, frame_idx,
-        |  md5(substr(text, CAST(frame_idx*16 + 1 AS INTEGER), 16)) AS frame_md5
-        |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
-
-    // same frame CTE as m3; pair packed as doc*2^20+idx so MIN is one
-    // comparable BIGINT on both engines
-    "m4_duplicate_frames" ->
-      """WITH f AS (SELECT doc_id, text,
-        |    CAST(FLOOR(length(text)/16.0) AS BIGINT) AS nf FROM documents),
-        |s AS (SELECT doc_id, text, unnest(range(0, nf, 4)) AS frame_idx
-        |      FROM f WHERE nf > 0),
-        |fr AS (SELECT doc_id, frame_idx,
-        |         md5(substr(text, CAST(frame_idx*16 + 1 AS INTEGER), 16)) AS frame_md5
-        |       FROM s),
-        |g AS (SELECT frame_md5, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_frames,
-        |        MIN(doc_id * 1048576 + frame_idx) AS fp
-        |      FROM fr GROUP BY frame_md5)
-        |SELECT frame_md5, n_docs, n_frames,
-        |  fp // 1048576 AS first_doc, fp % 1048576 AS first_idx
-        |FROM g WHERE n_docs >= 2 ORDER BY frame_md5""".stripMargin,
-
-    "q32_snapshot_diff" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),
-        |b AS (SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS mid FROM e),
-        |h1 AS (SELECT e.* FROM e, b WHERE ts_us < mid),
-        |h2 AS (SELECT e.* FROM e, b WHERE ts_us >= mid),
-        |o AS (SELECT c.user_id, c.n, l.last_type FROM
-        |  (SELECT user_id, COUNT(*) AS n FROM h1 GROUP BY 1) c JOIN
-        |  (SELECT user_id, event_type AS last_type FROM
-        |     (SELECT user_id, event_type,
-        |        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
-        |      FROM h1) WHERE rn = 1) l USING (user_id)),
-        |nn AS (SELECT c.user_id, c.n, l.last_type FROM
-        |  (SELECT user_id, COUNT(*) AS n FROM h2 GROUP BY 1) c JOIN
-        |  (SELECT user_id, event_type AS last_type FROM
-        |     (SELECT user_id, event_type,
-        |        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
-        |      FROM h2) WHERE rn = 1) l USING (user_id)),
-        |d AS (SELECT COALESCE(o.user_id, nn.user_id) AS user_id,
-        |  CASE WHEN o.user_id IS NULL THEN 'insert'
-        |       WHEN nn.user_id IS NULL THEN 'delete'
-        |       WHEN o.n IS DISTINCT FROM nn.n
-        |         OR o.last_type IS DISTINCT FROM nn.last_type THEN 'update' END AS change_type,
-        |  o.n AS old_n, o.last_type AS old_last, nn.n AS new_n, nn.last_type AS new_last
-        |  FROM o FULL OUTER JOIN nn ON o.user_id = nn.user_id)
-        |SELECT user_id, change_type, old_n, old_last, new_n, new_last
-        |FROM d WHERE change_type IS NOT NULL ORDER BY user_id""".stripMargin,
-
-    "t1_lang_id" ->
-      s"""WITH sc AS (
-         |${langScoresSql()}
-         |), best AS (SELECT doc_id, lang, score,
-         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM sc)
-         |SELECT doc_id, CASE WHEN score = 0 THEN 'und' ELSE lang END AS predicted_lang
-         |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
-
-    // t1's predicted-lang CTE joined back to the declared metadata lang
-    "t17_lang_confusion" ->
-      s"""WITH sc AS (
-         |${langScoresSql()}
-         |), best AS (SELECT doc_id, lang, score,
-         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM sc),
-         |pred AS (SELECT doc_id, CASE WHEN score = 0 THEN 'und' ELSE lang END AS predicted_lang
-         |  FROM best WHERE rn = 1),
-         |c AS (SELECT d.lang AS declared_lang, p.predicted_lang, COUNT(*) AS n
-         |  FROM documents d JOIN pred p USING (doc_id) GROUP BY 1, 2)
-         |SELECT declared_lang, predicted_lang, n,
-         |  CAST((n * 1000000) // CAST(SUM(n) OVER (PARTITION BY declared_lang) AS BIGINT)
-         |    AS BIGINT) AS share_ppm
-         |FROM c ORDER BY declared_lang, predicted_lang""".stripMargin,
-
-    "t2_quality_score" -> {
-      s"""WITH m AS (${qualityMetricsSql("documents")})
-         |SELECT doc_id, n_tokens, n_chars,
-         |  CASE WHEN n_tokens > 0 THEN stop_hits*1000000//n_tokens ELSE 0 END AS stopword_ppm,
-         |  CASE WHEN n_chars > 0 THEN alpha_len*1000000//n_chars ELSE 0 END AS alpha_ppm,
-         |  CASE WHEN n_tokens > 0 THEN sum_tok_len*1000000//n_tokens ELSE 0 END AS mean_tok_len_ppm,
-         |  (n_tokens >= 10 AND n_tokens <= 100000 AND
-         |   (CASE WHEN n_chars > 0 THEN alpha_len*1000000//n_chars ELSE 0 END) >= 500000) AS keep
-         |FROM m ORDER BY doc_id""".stripMargin
-    },
-
-    "t3_token_counts" ->
-      s"""SELECT doc_id, len($toksSql)::BIGINT AS ws_tokens,
-         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]'))::BIGINT AS bpe_tokens
-         |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "t4_fingerprints" ->
-      s"""SELECT doc_id, md5($normSql) AS content_fp,
-         |  list_reduce(list_prepend(0::BIGINT,
-         |    [ (ascii(substr(x,1,1))*7 + length(x))::BIGINT for x in $toksSql ]),
-         |    (a, b) -> (a*131 + b) % 1000000007) AS rolling_fp
-         |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "m2_media_metadata" ->
-      """SELECT doc_id, 'image/fake' AS kind,
-        |  octet_length(encode(text))::BIGINT AS size_bytes,
-        |  md5(text) AS content_md5
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "m1_multimodal_features" ->
-      """SELECT doc_id, octet_length(encode(text))::BIGINT AS size_bytes,
-        |  ascii(substr(text, 1, 1)) AS first_byte,
-        |  list_sum(list_prepend(0::BIGINT,
-        |    [ascii(substr(text, i, 1))::BIGINT for i in range(1, length(text)+1)]))::BIGINT % 1000000007 AS byte_sum_mod
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "q20_upsert_merge" ->
-      s"""SELECT o_orderkey,
-         |  CASE WHEN o_orderkey < 10 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice,
-         |  CASE WHEN o_orderkey < 10 THEN epoch_us(o_orderdate) + $WeekUs
-         |       ELSE epoch_us(o_orderdate) END AS o_orderdate_us
-         |FROM orders
-         |WHERE o_orderkey < 20 AND NOT (o_orderkey >= 10 AND o_orderkey < 15)
-         |ORDER BY o_orderkey""".stripMargin,
-
-    "q21_custom_gather" ->
-      """SELECT event_type, COUNT(*) AS n,
-        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    "q24_topk_revenue" ->
-      """SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
-        |  CAST(CAST(SUM(CAST(round((l_extendedprice*(1-l_discount))*10000) AS BIGINT)) AS BIGINT) AS DOUBLE)/10000.0 AS revenue
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |WHERE c_mktsegment = 'BUILDING'
-        |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
-        |  AND l_shipdate >= TIMESTAMP '1998-06-01 00:00:00'
-        |GROUP BY l_orderkey, o_orderdate
-        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
-
-    "q25_semi_anti" ->
-      """SELECT c_custkey, 'has_orders' AS status FROM customer
-        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        |UNION ALL
-        |SELECT c_custkey, 'no_orders' FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        |ORDER BY c_custkey""".stripMargin,
-
-    "q23_salted_rollup" ->
-      """SELECT user_id, COUNT(*) AS n,
-        |  CAST(CAST(SUM(CAST(round((value)*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0 AS sum_value
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
-
-    "q22_sliding_window" ->
-      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
-        |  CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
-        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_cnt
-        |FROM events ORDER BY event_id""".stripMargin,
-
-    "q19_sessionize" ->
-      """WITH flagged AS (
-        |  SELECT user_id, epoch_us(ts) AS ts_us,
-        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
-        |      (PARTITION BY user_id ORDER BY epoch_us(ts)) > 3600000000 THEN 1 ELSE 0 END AS new_s
-        |  FROM events
-        |), sess AS (
-        |  SELECT user_id, ts_us,
-        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
-        |  FROM flagged)
-        |SELECT user_id, session_seq, MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
-        |  MAX(ts_us) - MIN(ts_us) AS duration_us, COUNT(*) AS n_events
-        |FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
-
-    // the oracle is the PLAIN theta join — proving the bucket decomposition
-    // + canonical-bucket emit returns exactly the quadratic-join result
-    "q48_interval_overlap" ->
-      s"""WITH a AS (SELECT o_orderkey AS a_key, epoch_us(o_orderdate) AS a_start,
-         |             epoch_us(o_orderdate) + $WeekUs AS a_end
-         |           FROM orders WHERE o_orderkey % 97 = 0),
-         |b AS (SELECT o_orderkey AS b_key, epoch_us(o_orderdate) AS b_start,
-         |        epoch_us(o_orderdate) + $WeekUs AS b_end
-         |      FROM orders WHERE o_orderkey % 89 = 0)
-         |SELECT a_key, b_key, a_start, b_start
-         |FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
-         |ORDER BY a_key, b_key""".stripMargin,
-
-    "q33_range_join" ->
-      """WITH flagged AS (
-        |  SELECT user_id, epoch_us(ts) AS ts_us,
-        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
-        |      (PARTITION BY user_id ORDER BY epoch_us(ts)) > 3600000000 THEN 1 ELSE 0 END AS new_s
-        |  FROM events
-        |), sess AS (
-        |  SELECT user_id, ts_us,
-        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
-        |  FROM flagged
-        |), sessions AS (
-        |  SELECT user_id, session_seq, MIN(ts_us) AS s, MAX(ts_us) AS e
-        |  FROM sess GROUP BY user_id, session_seq
-        |), errors AS (SELECT epoch_us(ts) AS err_ts FROM events WHERE event_type = 'error')
-        |SELECT user_id, session_seq, COUNT(*) AS n_errors
-        |FROM sessions JOIN errors ON err_ts >= s AND err_ts <= e
-        |GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
-
-    // daily slots via epoch-µs floor-division; latest-in-slot by
-    // (ts, event_id) row_number; grid = unnest(range); LOCF via
-    // last_value IGNORE NULLS over the same (user, day) ordering
-    "q50_gap_fill" ->
-      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
-         |              CAST(round(value*100) AS BIGINT) AS cents,
-         |              epoch_us(ts) // $DayUs AS slot
-         |            FROM events),
-         |latest AS (SELECT user_id, slot, cents FROM (
-         |    SELECT user_id, slot, cents,
-         |      ROW_NUMBER() OVER (PARTITION BY user_id, slot
-         |                         ORDER BY ts_us DESC, event_id DESC) AS rn
-         |    FROM ev) WHERE rn = 1),
-         |bounds AS (SELECT user_id, MIN(slot) AS s0, MAX(slot) AS s1 FROM ev GROUP BY user_id),
-         |grid AS (SELECT user_id, unnest(range(s0, s1 + 1)) AS slot FROM bounds),
-         |filled AS (SELECT g.user_id, g.slot,
-         |    last_value(l.cents IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.slot
-         |      ROWS UNBOUNDED PRECEDING) AS cents,
-         |    l.cents IS NOT NULL AS observed
-         |  FROM grid g LEFT JOIN latest l ON g.user_id = l.user_id AND g.slot = l.slot)
-         |SELECT user_id, slot AS day, cents, observed FROM filled
-         |ORDER BY user_id, day""".stripMargin,
-
-    // same blocking/levenshtein as q34, closure per d7's recursive pattern;
-    // cluster id = MIN 60-bit md5-prefix hash (≡ Spark's conv(md5) longs)
-    "q49_entity_resolution" ->
-      """WITH RECURSIVE names AS (SELECT DISTINCT p_name AS name FROM part),
-        |hn AS (SELECT name, CAST(concat('0x', substr(md5(name),1,15)) AS BIGINT) AS h FROM names),
-        |toks AS (SELECT name, unnest(list_distinct(string_split(name, ' '))) AS tok FROM names),
-        |freq AS (SELECT tok FROM toks GROUP BY tok HAVING COUNT(*) <= 1000),
-        |blocked AS (SELECT t.name, t.tok FROM toks t JOIN freq f USING (tok)),
-        |pairs AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b
-        |          FROM blocked a JOIN blocked b USING (tok)
-        |          WHERE a.name < b.name AND levenshtein(a.name, b.name) <= 2),
-        |er_e AS (SELECT ha.h AS src, hb.h AS dst
-        |         FROM pairs p JOIN hn ha ON p.name_a = ha.name JOIN hn hb ON p.name_b = hb.name),
-        |er_sym AS (SELECT src, dst FROM er_e UNION SELECT dst, src FROM er_e),
-        |er_reach(a, b) AS (
-        |  SELECT src, src FROM er_sym
-        |  UNION
-        |  SELECT r.a, s.dst FROM er_reach r JOIN er_sym s ON r.b = s.src),
-        |er_comp AS (SELECT a AS h, MIN(b) AS cluster_id FROM er_reach GROUP BY a)
-        |SELECT n.name, COALESCE(c.cluster_id, n.h) AS cluster_id
-        |FROM hn n LEFT JOIN er_comp c USING (h)
-        |ORDER BY n.name""".stripMargin,
-
-    "q34_fuzzy_join" ->
-      """WITH names AS (SELECT DISTINCT p_name AS name FROM part),
-        |toks AS (SELECT name, unnest(list_distinct(string_split(name, ' '))) AS tok FROM names),
-        |freq AS (SELECT tok FROM toks GROUP BY tok HAVING COUNT(*) <= 1000),
-        |blocked AS (SELECT t.name, t.tok FROM toks t JOIN freq f USING (tok)),
-        |pairs AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b
-        |          FROM blocked a JOIN blocked b USING (tok) WHERE a.name < b.name)
-        |SELECT name_a, name_b, CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
-        |FROM pairs WHERE levenshtein(name_a, name_b) <= 3
-        |ORDER BY name_a, name_b""".stripMargin,
-
-    "q35_pagerank" -> pageRankSql(iterations = 10, dampingPpm = 850000L),
-
-    "q66_label_prop" -> labelPropSql(iterations = 3),
-
-    // exact heavy hitters: the CMS probe filter is invisible in the result
-    // (no false negatives; survivors re-verified exactly), so the oracle
-    // is the plain exact aggregate
-    "q70_heavy_hitters" ->
-      """SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem
-        |GROUP BY l_suppkey HAVING COUNT(*) >= 620 ORDER BY l_suppkey""".stripMargin,
-
-    "q71_kcore" -> kCoreSql(k = 3, rounds = 16),
-
-    "q73_ktruss" -> kTrussSql(k = 3, rounds = 4),
-
-    // mirrors Layout.sketchRangeStats: same logHist bucket/quantile
-    // formulas as q69, bounds gathered into a list, pid = per-row count
-    // of cleared bounds
-    "q77_time_travel" ->
-      s"""SELECT user_id, event_id AS last_event_id, value AS last_value,
-         |  ts_us AS last_ts_us
-         |FROM (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
-         |        ROW_NUMBER() OVER (PARTITION BY user_id
-         |          ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
-         |      FROM events WHERE epoch_us(ts) <= $Jan10_24)
-         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
-
-    // same closed form: running sum window, prefix-min for the clamp flag,
-    // order-free final aggregates
-    "q80_rmw_fold" ->
-      """WITH e AS (SELECT user_id,
-        |    CAST(round(value*100) AS BIGINT) - 3500 AS d,
-        |    epoch_us(ts) AS ts_us, event_id FROM events),
-        |r1 AS (SELECT user_id, d, ts_us, event_id,
-        |    CAST(SUM(d) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s
-        |  FROM e),
-        |r2 AS (SELECT user_id, d, s,
-        |    CAST(MIN(s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS pm
-        |  FROM r1)
-        |SELECT user_id,
-        |  CAST(SUM(d) AS BIGINT) - LEAST(0, CAST(MIN(s) AS BIGINT)) AS final_balance,
-        |  CAST(COUNT(*) AS BIGINT) AS n_updates,
-        |  CAST(SUM(CASE WHEN s < 0 AND s < COALESCE(pm, 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
-        |FROM r2 GROUP BY user_id ORDER BY user_id""".stripMargin,
-
-    // single-pass full-log recompute — equality with the Spark side's
-    // base-state + delta-state merge is the IVM invariant
-    "q81_mv_incremental" ->
-      """SELECT user_id, COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
-        |  MAX(epoch_us(ts)) AS last_ts_us
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
-
-    // same integer test; DuckDB window SUMs land in HUGEINT so the
-    // products never overflow (Spark side uses decimal(38,0))
-    "q82_rolling_anomaly" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-        |    CAST(round(value*100) AS BIGINT) AS cents
-        |  FROM events WHERE value IS NOT NULL),
-        |w AS (SELECT user_id, event_id, ts_us, cents,
-        |    COUNT(cents) OVER h AS n,
-        |    CAST(SUM(cents) OVER h AS HUGEINT) AS s,
-        |    CAST(SUM(cents*cents) OVER h AS HUGEINT) AS q
-        |  FROM e WINDOW h AS (PARTITION BY user_id ORDER BY ts_us, event_id
-        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
-        |SELECT user_id, event_id, ts_us, cents, CAST(n AS BIGINT) AS n_hist
-        |FROM w WHERE n >= 8 AND (n*cents - s)*(n*cents - s) > 9*(n*q - s*s)
-        |ORDER BY user_id, ts_us, event_id""".stripMargin,
-
-    // island flag = start exceeds running max end of all earlier intervals
-    // (COALESCE to start-1 ≡ Spark's Long.MinValue: first row always opens)
-    "q83_interval_merge" ->
-      """WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS start_us,
-        |    epoch_us(ts) + 600000000 AS end_us FROM events),
-        |f AS (SELECT user_id, event_id, start_us, end_us,
-        |    CASE WHEN start_us > COALESCE(MAX(end_us) OVER (PARTITION BY user_id
-        |      ORDER BY start_us, end_us, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), start_us - 1)
-        |      THEN 1 ELSE 0 END AS nw
-        |  FROM iv),
-        |g AS (SELECT user_id, start_us, end_us,
-        |    CAST(SUM(nw) OVER (PARTITION BY user_id
-        |      ORDER BY start_us, end_us, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
-        |  FROM f)
-        |SELECT user_id, island, MIN(start_us) AS island_start,
-        |  MAX(end_us) AS island_end, COUNT(*) AS n_rows
-        |FROM g GROUP BY user_id, island ORDER BY user_id, island""".stripMargin,
-
-    // same first-seen-flag identity; DuckDB window SUM → BIGINT casts
-    "q85_cumulative_distinct" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
-        |    epoch_us(date_trunc('day', ts)) AS day_us FROM events),
-        |f AS (SELECT user_id, day_us,
-        |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-        |      ORDER BY ts_us, event_id) = 1 THEN 1 ELSE 0 END AS first_seen
-        |  FROM e),
-        |d AS (SELECT user_id, day_us AS period_us,
-        |    CAST(SUM(first_seen) AS BIGINT) AS n_new, COUNT(*) AS n_events
-        |  FROM f GROUP BY 1, 2)
-        |SELECT user_id, period_us, n_new, n_events,
-        |  CAST(SUM(n_new) OVER (PARTITION BY user_id ORDER BY period_us
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_distinct
-        |FROM d ORDER BY user_id, period_us""".stripMargin,
-
-    // q39's frontier CTE shape; floor-minute via `//` ≡ Spark `div`
-    "q86_conversion_lag" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
-        |f1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM e
-        |    WHERE event_type = 'click' GROUP BY user_id),
-        |f2 AS (SELECT e.user_id, f1.t1, MIN(e.ts_us) AS t2
-        |  FROM e JOIN f1 USING (user_id)
-        |  WHERE e.event_type = 'purchase' AND e.ts_us > f1.t1
-        |  GROUP BY 1, 2)
-        |SELECT CAST((t2 - t1) // 60000000 AS BIGINT) AS lag_min,
-        |  COUNT(*) AS n_users
-        |FROM f2 GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // q54's edge CTE (support >= 2, basket cap 5) + hub-capped wedges;
-    // full-graph degrees in the denominator, one canonical double division
-    // cross-multiplied avg threshold: 5·qc·cnt < sum_qc, all BIGINT
-    "q96_small_qty_parts" ->
-      """WITH li AS (SELECT l_partkey, CAST(round(l_quantity*100) AS BIGINT) AS qc,
-        |    CAST(round(l_extendedprice*100) AS BIGINT) AS pc FROM lineitem),
-        |pa AS (SELECT l_partkey, COUNT(*) AS cnt,
-        |    CAST(SUM(qc) AS BIGINT) AS sum_qc FROM li GROUP BY 1)
-        |SELECT p_brand, COUNT(*) AS n_small, CAST(SUM(li.pc) AS BIGINT) AS small_rev_cents
-        |FROM li JOIN pa USING (l_partkey) JOIN part ON l_partkey = p_partkey
-        |WHERE li.qc*5*cnt < sum_qc
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // EXISTS/NOT EXISTS as per-order supplier/late counts (n_supp≥2, n_late=1)
-    "q97_waiting_suppliers" ->
-      """WITH os AS (SELECT l_orderkey, l_suppkey,
-        |    MAX(CASE WHEN epoch_us(l_shipdate) - epoch_us(o_orderdate)
-        |      > 5184000000000 THEN 1 ELSE 0 END) AS any_late
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |  GROUP BY 1, 2),
-        |po AS (SELECT l_orderkey, COUNT(*) AS n_supp,
-        |    CAST(SUM(any_late) AS BIGINT) AS n_late FROM os GROUP BY 1)
-        |SELECT s_suppkey, s_name, COUNT(*) AS numwait
-        |FROM os JOIN po USING (l_orderkey) JOIN supplier ON l_suppkey = s_suppkey
-        |WHERE os.any_late = 1 AND po.n_supp >= 2 AND po.n_late = 1
-        |GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey""".stripMargin,
-
-    // scalar subquery as a 1-row cross join; `//` ≡ `div` on non-negatives
-    "q98_important_parts" ->
-      """WITH li AS (SELECT l_partkey,
-        |    CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT) AS rc FROM lineitem),
-        |pp AS (SELECT l_partkey, CAST(SUM(rc) AS BIGINT) AS rev FROM li GROUP BY 1),
-        |t AS (SELECT CAST(SUM(rev) AS BIGINT) AS total FROM pp)
-        |SELECT l_partkey, p_brand, rev::DOUBLE/10000.0 AS revenue,
-        |  CAST((rev * 1000) // (total // 1000) AS BIGINT) AS share_ppm
-        |FROM pp, t JOIN part ON l_partkey = p_partkey
-        |WHERE rev > total // 2000
-        |ORDER BY revenue DESC, l_partkey""".stripMargin,
-
-    // lag gaps, then the q110 median frame with unit weights
-    "q127_purchase_cadence" ->
-      s"""WITH o AS (SELECT c_mktsegment, o_custkey, o_orderkey,
-         |    epoch_us(o_orderdate) AS od_us
-         |  FROM orders JOIN customer ON o_custkey = c_custkey),
-         |g AS (SELECT c_mktsegment,
-         |    (od_us - lag(od_us) OVER (PARTITION BY o_custkey
-         |      ORDER BY od_us, o_orderkey)) // $DayUs AS gap_days
-         |  FROM o),
-         |gg AS (SELECT * FROM g WHERE gap_days IS NOT NULL),
-         |w AS (SELECT c_mktsegment, gap_days,
-         |    CAST(COUNT(*) OVER (PARTITION BY c_mktsegment ORDER BY gap_days)
-         |      AS BIGINT) AS cum,
-         |    CAST(COUNT(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS tot
-         |  FROM gg)
-         |SELECT c_mktsegment, COUNT(*) AS n,
-         |  MIN(CASE WHEN cum*2 >= tot THEN gap_days END) AS median_gap_days
-         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // both index CTE families over the same v table; candidate counts are
-    // population arithmetic on bucket/cell sizes
-    "s24_ann_candidates" ->
-      s"""WITH ${ivfCellsSql(16, 5)},
-         |q AS (SELECT id AS vec_id, v AS qv FROM v),
-         |bucketed AS (SELECT vec_id, $lshBucketSql AS bucket FROM q),
-         |bs AS (SELECT bucket, COUNT(*) AS bn FROM bucketed GROUP BY 1),
-         |lsh AS (SELECT vec_id AS query_id, CAST(bn - 1 AS BIGINT) AS lsh_candidates
-         |  FROM bucketed JOIN bs USING (bucket) WHERE vec_id < 5),
-         |cs AS (SELECT cell, COUNT(*) AS csz FROM cells GROUP BY 1),
-         |pd AS (SELECT qq.id AS query_id, c.cell,
-         |  ROW_NUMBER() OVER (PARTITION BY qq.id
-         |    ORDER BY c.cn - 2*list_sum([c.c[i]*qq.v[i] for i in range(1,65)]), c.cell) AS rn
-         |  FROM v qq CROSS JOIN c5 c WHERE qq.id < 5),
-         |probes AS (SELECT query_id, cell FROM pd WHERE rn <= 4),
-         |ivf AS (SELECT query_id, CAST(SUM(csz) - 1 AS BIGINT) AS ivf_candidates
-         |  FROM probes JOIN cs USING (cell) GROUP BY 1),
-         |n AS (SELECT COUNT(*) AS corpus_n FROM v)
-         |SELECT query_id, lsh_candidates, ivf_candidates, corpus_n,
-         |  CAST((lsh_candidates * 1000000) // corpus_n AS BIGINT) AS lsh_ppm,
-         |  CAST((ivf_candidates * 1000000) // corpus_n AS BIGINT) AS ivf_ppm
-         |FROM lsh JOIN ivf USING (query_id), n ORDER BY query_id""".stripMargin,
-
-    // q93's sessionization + boolean-max flags per session
-    "q125_session_conversion" ->
-      s"""WITH flagged AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
-         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000
-         |      THEN 1 ELSE 0 END AS new_s
-         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
-         |sess AS (SELECT user_id, ts_us, event_type,
-         |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
-         |  FROM flagged),
-         |fl AS (SELECT user_id, session_seq, MIN(ts_us) AS t0,
-         |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS had_click,
-         |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS had_purchase
-         |  FROM sess GROUP BY 1, 2)
-         |SELECT t0 // $WeekUs AS week, COUNT(*) AS n_click_sessions,
-         |  CAST(SUM(had_purchase) AS BIGINT) AS n_converted,
-         |  CAST((CAST(SUM(had_purchase) AS BIGINT) * 1000000) // COUNT(*) AS BIGINT)
-         |    AS conv_ppm
-         |FROM fl WHERE had_click = 1
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // corpus token counts once; hapax = count exactly 1
-    "t24_hapax_ratio" ->
-      s"""WITH tok AS (SELECT source, unnest($toksSql) AS tok FROM documents),
-         |c AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY 1)
-         |SELECT source, COUNT(*) AS n_tokens,
-         |  CAST(SUM(CASE WHEN c.c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
-         |  CAST((CAST(SUM(CASE WHEN c.c = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
-         |    // COUNT(*) AS BIGINT) AS hapax_ppm
-         |FROM tok JOIN c USING (tok)
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // EXISTS as a semi-join on the order key
-    "q126_priority_late" ->
-      """SELECT o_orderpriority, COUNT(*) AS n_late_orders
-        |FROM orders
-        |WHERE EXISTS (SELECT 1 FROM lineitem
-        |  WHERE l_orderkey = o_orderkey
-        |    AND epoch_us(l_shipdate) - epoch_us(o_orderdate) > 2592000000000)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // descending cumulative share; the pre-threshold test keeps the
-    // crossing row (pre·5 < tot·4 ⟺ the row before it was under 80%)
-    "q124_pareto_8020" ->
-      """WITH r AS (SELECT c_mktsegment, c_custkey,
-        |    CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
-        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
-        |w AS (SELECT c_mktsegment, cents,
-        |    CAST(SUM(cents) OVER (PARTITION BY c_mktsegment
-        |      ORDER BY cents DESC, c_custkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
-        |    CAST(SUM(cents) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS tot
-        |  FROM r)
-        |SELECT c_mktsegment, COUNT(*) AS n_top,
-        |  CAST(MAX((cum * 1000000) // tot) AS BIGINT) AS covered_ppm
-        |FROM w WHERE (cum - cents) * 5 < tot * 4
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // d7's cluster CTEs → size histogram
-    "d20_cluster_sizes" ->
-      s"""WITH RECURSIVE ${minhashPairsSql("documents")},
-         |cl_e AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs WHERE jaccard_est >= 0.5),
-         |cl_sym AS (SELECT src, dst FROM cl_e UNION SELECT dst, src FROM cl_e),
-         |cl_reach(a, b) AS (
-         |  SELECT src, src FROM cl_sym
-         |  UNION
-         |  SELECT r.a, s.dst FROM cl_reach r JOIN cl_sym s ON r.b = s.src),
-         |cl_comp AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM cl_reach GROUP BY a),
-         |assigned AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
-         |  FROM documents d LEFT JOIN cl_comp c ON c.doc_id = d.doc_id),
-         |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM assigned GROUP BY 1)
-         |SELECT cluster_size, COUNT(*) AS n_clusters,
-         |  cluster_size * COUNT(*) AS n_docs
-         |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // same lag window on the (user, amount) partition
-    "q123_double_charge" ->
-      """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-        |    CAST(round(value) AS BIGINT) AS amt
-        |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
-        |l AS (SELECT *,
-        |    lag(ts_us) OVER w AS prev_ts, lag(event_id) OVER w AS prev_id
-        |  FROM p WINDOW w AS (PARTITION BY user_id, amt ORDER BY ts_us, event_id))
-        |SELECT user_id, amt, prev_id AS first_event_id,
-        |  event_id AS second_event_id, ts_us - prev_ts AS gap_us
-        |FROM l WHERE prev_ts IS NOT NULL AND ts_us - prev_ts <= 86400000000
-        |ORDER BY user_id, second_event_id""".stripMargin,
-
-    // q53's triangle CTEs + the degree-table wedge sum
-    "q122_clustering_coeff" ->
-      """WITH li0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |e AS (SELECT x.p AS a, y.p AS b
-        |      FROM li0 x JOIN li0 y ON x.o = y.o AND x.p < y.p
-        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-        |deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM
-        |          (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
-        |        GROUP BY v),
-        |r AS (SELECT e.a, e.b, da.d*1000000000 + e.a AS ra, db.d*1000000000 + e.b AS rb
-        |      FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
-        |o AS (SELECT CASE WHEN ra < rb THEN a ELSE b END AS src,
-        |             CASE WHEN ra < rb THEN b ELSE a END AS dst,
-        |             greatest(ra, rb) AS rd FROM r),
-        |w AS (SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
-        |      FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.rd < o2.rd),
-        |tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
-        |  FROM w JOIN o ON w.v = o.src AND w.w = o.dst),
-        |wd AS (SELECT CAST(SUM((d*(d-1))//2) AS BIGINT) AS n_wedges FROM deg)
-        |SELECT n_triangles, n_wedges,
-        |  (n_triangles*3)::DOUBLE / n_wedges::DOUBLE AS transitivity
-        |FROM tr, wd""".stripMargin,
-
-    // full k-means unroll → within-cell pair cosines → per-id 1-NN →
-    // the mutual join of two corpus-sized NN tables
-    "s23_mutual_nn" ->
-      s"""WITH ${ivfCellsSql(16, 5)},
-         |p AS (SELECT a.id AS id, b.id AS nb, a.v AS qa, b.v AS qb
-         |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.id != b.id),
-         |sims AS (SELECT id, nb, $cosSql AS cosine FROM p),
-         |nn AS (SELECT id, nb, cosine FROM (SELECT *, ROW_NUMBER() OVER
-         |    (PARTITION BY id ORDER BY cosine DESC, nb) AS rk FROM sims)
-         |  WHERE rk = 1)
-         |SELECT a.id AS id_a, a.nb AS id_b, a.cosine
-         |FROM nn a JOIN nn b ON a.nb = b.id AND b.nb = a.id AND a.id < b.id
-         |ORDER BY id_a""".stripMargin,
-
-    // q14's union-tag carry in BOTH directions over the same window order;
-    // the distance compare is row-local CASE arithmetic
-    "q121_nearest_click" ->
-      """WITH u AS (
-        |  SELECT user_id, epoch_us(ts) AS ts_us, 1 AS side, event_id,
-        |         NULL::BIGINT AS c_event_id, NULL::BIGINT AS c_ts_us
-        |  FROM events WHERE event_type = 'purchase'
-        |  UNION ALL
-        |  SELECT user_id, epoch_us(ts), 0, NULL, event_id, epoch_us(ts)
-        |  FROM events WHERE event_type = 'click'
-        |), w AS (
-        |  SELECT *,
-        |    last_value(c_event_id IGNORE NULLS) OVER wb AS b_id,
-        |    last_value(c_ts_us IGNORE NULLS) OVER wb AS b_ts,
-        |    first_value(c_event_id IGNORE NULLS) OVER wf AS f_id,
-        |    first_value(c_ts_us IGNORE NULLS) OVER wf AS f_ts
-        |  FROM u
-        |  WINDOW wb AS (PARTITION BY user_id ORDER BY ts_us, side, c_event_id
-        |    ROWS UNBOUNDED PRECEDING),
-        |  wf AS (PARTITION BY user_id ORDER BY ts_us, side, c_event_id
-        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-        |)
-        |SELECT event_id, user_id, ts_us,
-        |  CASE WHEN b_ts IS NULL THEN f_id WHEN f_ts IS NULL THEN b_id
-        |       WHEN ts_us - b_ts <= f_ts - ts_us THEN b_id ELSE f_id END AS click_event_id,
-        |  CASE WHEN b_ts IS NULL THEN f_ts WHEN f_ts IS NULL THEN b_ts
-        |       WHEN ts_us - b_ts <= f_ts - ts_us THEN b_ts ELSE f_ts END AS click_ts_us,
-        |  abs(ts_us - CASE WHEN b_ts IS NULL THEN f_ts WHEN f_ts IS NULL THEN b_ts
-        |       WHEN ts_us - b_ts <= f_ts - ts_us THEN b_ts ELSE f_ts END) AS asof_dist_us
-        |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
-
-    // doc-level token/type counts, one ntile; `//` ppm
-    "t23_ttr_deciles" ->
-      s"""WITH st AS (SELECT doc_id, n_chars,
-         |    CAST(len($toksSql) AS BIGINT) AS n_tok,
-         |    CAST(len(list_distinct($toksSql)) AS BIGINT) AS n_types
-         |  FROM documents),
-         |dd AS (SELECT *, CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS INTEGER)
-         |    AS decile FROM st)
-         |SELECT decile, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tokens,
-         |  CAST(SUM(n_types) AS BIGINT) AS types,
-         |  CAST((CAST(SUM(n_types) AS BIGINT) * 1000000)
-         |    // CAST(SUM(n_tok) AS BIGINT) AS BIGINT) AS ttr_ppm
-         |FROM dd GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // s12's brute-force truth CTE (k=5, 50 queries), then the plurality vote
-    "s22_knn_classifier" ->
-      s"""WITH q AS (SELECT vec_id, label, ${qvSql("embedding")} AS qv FROM embeddings),
-         |tp AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id, qq.qv AS qa, c.qv AS qb
-         |      FROM q qq JOIN q c ON qq.vec_id < 50 AND qq.vec_id != c.vec_id),
-         |tsims AS (SELECT query_id, neighbor_id, $cosSql AS cosine FROM tp),
-         |nn AS (SELECT query_id, neighbor_id FROM (SELECT *, ROW_NUMBER() OVER
-         |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM tsims)
-         |  WHERE rank <= 5),
-         |votes AS (SELECT nn.query_id, ql.label AS nl, COUNT(*) AS v
-         |  FROM nn JOIN q ql ON ql.vec_id = nn.neighbor_id GROUP BY 1, 2),
-         |pred AS (SELECT query_id, nl AS predicted FROM (SELECT *, ROW_NUMBER() OVER
-         |    (PARTITION BY query_id ORDER BY v DESC, nl) AS rk FROM votes)
-         |  WHERE rk = 1)
-         |SELECT p.query_id, t.label AS true_label, p.predicted,
-         |  t.label = p.predicted AS correct
-         |FROM pred p JOIN q t ON t.vec_id = p.query_id
-         |ORDER BY p.query_id""".stripMargin,
-
-    // ntile ≡ ntile (both: even split, remainder to the first buckets);
-    // Spark ntile is INT, DuckDB's BIGINT → cast
-    "q120_rfm_segments" ->
-      """WITH m AS (SELECT o_custkey, MAX(epoch_us(o_orderdate)) AS last_us,
-        |    COUNT(*) AS f,
-        |    CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS mc
-        |  FROM orders GROUP BY 1),
-        |s AS (SELECT mc,
-        |    CAST(ntile(5) OVER (ORDER BY last_us, o_custkey) AS INTEGER) AS r_score,
-        |    CAST(ntile(5) OVER (ORDER BY f, o_custkey) AS INTEGER) AS f_score,
-        |    CAST(ntile(5) OVER (ORDER BY mc, o_custkey) AS INTEGER) AS m_score
-        |  FROM m)
-        |SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
-        |  CAST(SUM(mc) AS BIGINT) AS rev_cents
-        |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
-
-    // same moments in HUGEINT; rank over (cents, custkey) — equal values
-    // make the i·x sum tie-order-invariant
-    "q119_concentration" ->
-      """WITH r AS (SELECT c_mktsegment, c_custkey,
-        |    CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
-        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
-        |k AS (SELECT c_mktsegment, cents,
-        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
-        |      ORDER BY cents, c_custkey) AS i FROM r),
-        |m AS (SELECT c_mktsegment, COUNT(*) AS n,
-        |    CAST(SUM(cents) AS HUGEINT) AS t,
-        |    CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS s2,
-        |    CAST(SUM(CAST(i AS HUGEINT) * cents) AS HUGEINT) AS w1
-        |  FROM k GROUP BY 1)
-        |SELECT c_mktsegment, n, t::DOUBLE AS total,
-        |  (2*w1 - (n+1)*t)::DOUBLE / (n*t)::DOUBLE AS gini,
-        |  s2::DOUBLE / (t::DOUBLE * t::DOUBLE) AS hhi
-        |FROM m ORDER BY c_mktsegment""".stripMargin,
-
-    // the SAME WilsonLb SQL string, verbatim
-    "q118_wilson_rank" ->
-      s"""WITH p AS (SELECT l_partkey, COUNT(*) AS n,
-         |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS k
-         |  FROM lineitem GROUP BY 1),
-         |w AS (SELECT l_partkey, n, k, $WilsonLb AS wilson_lb FROM p),
-         |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY wilson_lb DESC, l_partkey) AS rank
-         |  FROM w)
-         |SELECT CAST(rank AS INTEGER) AS rank, l_partkey, n, k, wilson_lb
-         |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
-
-    // same ≤30-day expansion via lateral unnest(range); trailing window =
-    // days [d−29, d] clipped at the observed max day
-    "q116_stickiness" ->
-      """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
-        |  FROM events),
-        |b AS (SELECT MAX(day) AS d1 FROM ud),
-        |dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1),
-        |mx AS (SELECT DISTINCT user_id, unnest(range(day, day + 30)) AS day FROM ud),
-        |mau AS (SELECT day, COUNT(*) AS mau FROM mx, b WHERE day <= b.d1 GROUP BY 1)
-        |SELECT day, dau, mau,
-        |  CAST((dau * 1000000) // mau AS BIGINT) AS stickiness_ppm
-        |FROM dau JOIN mau USING (day) ORDER BY day""".stripMargin,
-
-    // lag over the week-sized aggregate; +1 Laplace floor-div ppm
-    "q117_wow_growth" ->
-      s"""WITH wk AS (SELECT event_type, epoch_us(ts) // $WeekUs AS week, COUNT(*) AS n
-         |  FROM events GROUP BY 1, 2),
-         |l AS (SELECT event_type, week, n,
-         |    lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n FROM wk)
-         |SELECT event_type, week, n, prev_n,
-         |  CAST(CASE WHEN prev_n IS NOT NULL
-         |    THEN ((n + 1) * 1000000) // (prev_n + 1) END AS BIGINT) AS growth_ppm
-         |FROM l ORDER BY event_type, week""".stripMargin,
-
-    // distinct bigrams per doc; MIN over the gram key decides novelty
-    "t22_ngram_novelty" ->
-      s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
-         |gr AS (SELECT doc_id, unnest(list_distinct(
-         |    [t[i] || ' ' || t[i+1] for i in range(1, len(t))])) AS gram
-         |  FROM tk WHERE len(t) >= 2),
-         |f AS (SELECT gram, MIN(doc_id) AS first_doc FROM gr GROUP BY 1)
-         |SELECT doc_id, COUNT(*) AS n_grams,
-         |  CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
-         |  CAST((CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT)
-         |    * 1000000) // COUNT(*) AS BIGINT) AS novelty_ppm
-         |FROM gr JOIN f USING (gram)
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // the full k-means unroll, then per-row exact distance vs the final
-    // centroid table (cn = ||c||² is already in the CTE)
-    "s21_ivf_distortion" ->
-      s"""WITH ${ivfCellsSql(16, 5)},
-         |dd AS (SELECT x.cell,
-         |    list_sum([x.v[i]*x.v[i] for i in range(1,65)])
-         |      - 2*list_sum([cc.c[i]*x.v[i] for i in range(1,65)]) + cc.cn AS d2
-         |  FROM cells x JOIN c5 cc USING (cell))
-         |SELECT CAST(cell AS BIGINT) AS cell, COUNT(*) AS n_vectors,
-         |  CAST(SUM(d2) AS BIGINT) AS sse
-         |FROM dd GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // d7's cluster CTEs + per-doc token counts rolled up per language
-    "t21_effective_tokens" ->
-      s"""WITH RECURSIVE ${minhashPairsSql("documents")},
-         |cl_e AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs WHERE jaccard_est >= 0.5),
-         |cl_sym AS (SELECT src, dst FROM cl_e UNION SELECT dst, src FROM cl_e),
-         |cl_reach(a, b) AS (
-         |  SELECT src, src FROM cl_sym
-         |  UNION
-         |  SELECT r.a, s.dst FROM cl_reach r JOIN cl_sym s ON r.b = s.src),
-         |cl_comp AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM cl_reach GROUP BY a),
-         |k AS (SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tokens
-         |  FROM documents),
-         |j AS (SELECT k.lang, k.n_tokens,
-         |    CASE WHEN k.doc_id = COALESCE(c.cluster_id, k.doc_id) THEN 1 ELSE 0 END AS keep
-         |  FROM k LEFT JOIN cl_comp c ON c.doc_id = k.doc_id)
-         |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(keep) AS BIGINT) AS n_kept,
-         |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_raw,
-         |  CAST(SUM(keep * n_tokens) AS BIGINT) AS tokens_kept,
-         |  CAST((CAST(SUM(keep * n_tokens) AS BIGINT) * 1000000)
-         |    // CAST(SUM(n_tokens) AS BIGINT) AS BIGINT) AS kept_ppm
-         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // cohort by first-seen week over ALL events, revenue from purchases;
-    // window sums cast from HUGEINT
-    "q114_cohort_ltv" ->
-      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type,
-         |    CAST(round(COALESCE(value, 0)*100) AS BIGINT) AS cents FROM events),
-         |f AS (SELECT user_id, MIN(ts_us) AS t0 FROM e GROUP BY 1),
-         |r AS (SELECT t0 // $WeekUs AS cohort_week,
-         |    (ts_us - t0) // $WeekUs AS offset_weeks, cents
-         |  FROM e JOIN f USING (user_id) WHERE event_type = 'purchase'),
-         |a AS (SELECT cohort_week, offset_weeks, COUNT(*) AS n_purchases,
-         |    CAST(SUM(cents) AS BIGINT) AS rev_cents FROM r GROUP BY 1, 2)
-         |SELECT cohort_week, offset_weeks, n_purchases, rev_cents,
-         |  CAST(SUM(rev_cents) OVER (PARTITION BY cohort_week ORDER BY offset_weeks
-         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents
-         |FROM a ORDER BY cohort_week, offset_weeks""".stripMargin,
-
-    // two cum*2 >= tot median passes (q110's frame), then integer outlier test
-    "q115_mad_outliers" ->
-      """WITH e AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents
-        |  FROM events WHERE value IS NOT NULL),
-        |w1 AS (SELECT event_type, cents,
-        |    CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY cents) AS BIGINT) AS cum,
-        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS tot FROM e),
-        |med AS (SELECT event_type, MIN(CASE WHEN cum*2 >= tot THEN cents END) AS med
-        |  FROM w1 GROUP BY 1),
-        |d AS (SELECT e.event_type, cents, med, abs(cents - med) AS adev
-        |  FROM e JOIN med USING (event_type)),
-        |w2 AS (SELECT event_type, med, adev,
-        |    CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY adev) AS BIGINT) AS cum,
-        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS tot FROM d),
-        |mad AS (SELECT event_type, MIN(CASE WHEN cum*2 >= tot THEN adev END) AS mad
-        |  FROM w2 GROUP BY 1)
-        |SELECT d.event_type, COUNT(*) AS n, MAX(d.med) AS med, MAX(mad.mad) AS mad,
-        |  CAST(SUM(CASE WHEN adev > mad.mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-        |FROM d JOIN mad ON d.event_type = mad.event_type
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // DuckDB year() is BIGINT, Spark's is INT — cast in the oracle
-    "q113_nation_volume" ->
-      """WITH f AS (SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
-        |    CAST(year(l_shipdate) AS INTEGER) AS ship_year,
-        |    CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT) AS rc
-        |  FROM lineitem
-        |  JOIN supplier ON l_suppkey = s_suppkey
-        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
-        |  JOIN orders ON l_orderkey = o_orderkey
-        |  JOIN customer ON o_custkey = c_custkey
-        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
-        |  WHERE sn.n_name != cn.n_name)
-        |SELECT supp_nation, cust_nation, ship_year, COUNT(*) AS n_items,
-        |  CAST(SUM(rc) AS BIGINT)::DOUBLE/10000.0 AS revenue
-        |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
-
-    // q93's sessionization, then the min/max-per-(session, type) collapse
-    "q111_seq_patterns" ->
-      """WITH flagged AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
-        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000
-        |      THEN 1 ELSE 0 END AS new_s
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
-        |sess AS (SELECT user_id, ts_us, event_type,
-        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
-        |  FROM flagged),
-        |st AS (SELECT user_id, session_seq, event_type,
-        |    MIN(ts_us) AS tmin, MAX(ts_us) AS tmax
-        |  FROM sess GROUP BY 1, 2, 3)
-        |SELECT x.event_type AS a, y.event_type AS b, COUNT(*) AS n_sessions
-        |FROM st x JOIN st y ON x.user_id = y.user_id
-        |  AND x.session_seq = y.session_seq AND x.tmin < y.tmax
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // window sums over the nation-sized aggregate; `//` ≡ `div`, HUGEINT cast
-    "q112_ratio_to_parent" ->
-      """WITH rev AS (SELECT r_name, n_name,
-        |    CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_cents
-        |  FROM orders
-        |  JOIN customer ON o_custkey = c_custkey
-        |  JOIN nation ON c_nationkey = n_nationkey
-        |  JOIN region ON n_regionkey = r_regionkey
-        |  GROUP BY 1, 2),
-        |w AS (SELECT *, CAST(SUM(rev_cents) OVER (PARTITION BY r_name) AS BIGINT) AS rc,
-        |    CAST(SUM(rev_cents) OVER () AS BIGINT) AS tc FROM rev)
-        |SELECT r_name, n_name, rev_cents,
-        |  CAST((rev_cents * 1000000) // rc AS BIGINT) AS of_region_ppm,
-        |  CAST((rev_cents * 1000000) // tc AS BIGINT) AS of_total_ppm
-        |FROM w ORDER BY r_name, n_name""".stripMargin,
-
-    // default ordered frame is RANGE (tie-inclusive) in BOTH engines —
-    // the structural tie-safety the operator relies on
-    "q110_weighted_median" ->
-      """WITH li AS (SELECT l_returnflag, l_linestatus,
-        |    CAST(round(l_extendedprice*100) AS BIGINT) AS v,
-        |    CAST(round(l_quantity*100) AS BIGINT) AS wq
-        |  FROM lineitem),
-        |w AS (SELECT l_returnflag, l_linestatus, v, wq,
-        |    CAST(SUM(wq) OVER (PARTITION BY l_returnflag, l_linestatus
-        |      ORDER BY v) AS BIGINT) AS cum,
-        |    CAST(SUM(wq) OVER (PARTITION BY l_returnflag, l_linestatus)
-        |      AS BIGINT) AS tot
-        |  FROM li)
-        |SELECT l_returnflag, l_linestatus,
-        |  MIN(CASE WHEN cum*2 >= tot THEN v END) AS wmedian,
-        |  COUNT(*) AS n, MAX(tot) AS total_weight
-        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // pair counts via the doc-keyed self-join (≡ the engine's in-array
-    // explode on the same distinct sets); rank by the exact rational
-    "t20_pmi_pairs" ->
-      s"""WITH tk AS (SELECT doc_id, list_sort(list_distinct($toksSql)) AS ps FROM documents),
-         |nd AS (SELECT COUNT(*) AS nd FROM tk),
-         |po AS (SELECT doc_id, unnest(ps) AS tok FROM tk),
-         |tc AS (SELECT tok, COUNT(*) AS c FROM po GROUP BY 1),
-         |ok AS (SELECT doc_id, tok FROM po JOIN tc USING (tok)
-         |  WHERE c * 10 <= (SELECT nd FROM nd) * 9),
-         |pairs AS (SELECT x.tok AS a, y.tok AS b, COUNT(*) AS cab
-         |  FROM ok x JOIN ok y ON x.doc_id = y.doc_id AND x.tok < y.tok
-         |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
-         |sc AS (SELECT a, b, cab,
-         |    ((SELECT nd FROM nd) * cab)::DOUBLE / (ca.c * cb.c)::DOUBLE AS pmi_ratio
-         |  FROM pairs JOIN tc ca ON ca.tok = a JOIN tc cb ON cb.tok = b),
-         |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY pmi_ratio DESC, a, b) AS rank
-         |  FROM sc)
-         |SELECT CAST(rank AS INTEGER) AS rank, a, b, cab, pmi_ratio
-         |FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin,
-
-    // MIN over the strict-following ROWS frame on the same total order
-    "q109_followed_by" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
-        |  FROM events),
-        |n AS (SELECT event_type, ts_us,
-        |    MIN(CASE WHEN event_type = 'purchase' THEN ts_us END)
-        |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_p
-        |  FROM e),
-        |c AS (SELECT (ts_us // 3600000000) % 24 AS hour,
-        |    CASE WHEN next_p IS NOT NULL AND next_p - ts_us <= 600000000
-        |      THEN 1 ELSE 0 END AS conv
-        |  FROM n WHERE event_type = 'click')
-        |SELECT hour, COUNT(*) AS n_clicks, CAST(SUM(conv) AS BIGINT) AS n_conv,
-        |  CAST((CAST(SUM(conv) AS BIGINT) * 1000000) // COUNT(*) AS BIGINT) AS conv_ppm
-        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // same cap-and-drop matrix on both sides; dot::DOUBLE/sqrt(na*nb) is
-    // the canonical double tree
-    "s19_item_cosine" ->
-      """WITH r AS (SELECT o_custkey AS u, l_partkey AS i,
-        |    CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS q
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
-        |c AS (SELECT u, COUNT(*) AS ni FROM r GROUP BY 1),
-        |rc AS (SELECT r.* FROM r JOIN c USING (u) WHERE ni <= 40),
-        |nrm AS (SELECT i, CAST(SUM(q*q) AS BIGINT) AS n2 FROM rc GROUP BY 1),
-        |d AS (SELECT a.i AS item_a, b.i AS item_b,
-        |    CAST(SUM(a.q*b.q) AS BIGINT) AS dot
-        |  FROM rc a JOIN rc b ON a.u = b.u AND a.i < b.i GROUP BY 1, 2),
-        |sc AS (SELECT item_a, item_b, dot,
-        |    dot::DOUBLE / sqrt(na.n2::DOUBLE * nb.n2::DOUBLE) AS cosine
-        |  FROM d JOIN nrm na ON na.i = d.item_a JOIN nrm nb ON nb.i = d.item_b),
-        |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY cosine DESC, item_a, item_b) AS rank
-        |  FROM sc)
-        |SELECT CAST(rank AS INTEGER) AS rank, item_a, item_b, dot, cosine
-        |FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin,
-
-    // s17's edge CTEs → degree join → q95's moment algebra
-    "q108_degree_assortativity" ->
-      """WITH li0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |li AS (SELECT o, p FROM (SELECT o, p, COUNT(*) OVER (PARTITION BY o) AS bn
-        |    FROM li0) WHERE bn <= 5),
-        |e AS (SELECT x.p AS a, y.p AS b
-        |      FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
-        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-        |adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
-        |deg AS (SELECT u, COUNT(*) AS dg FROM adj GROUP BY 1),
-        |p AS (SELECT du.dg AS x, dv.dg AS y
-        |  FROM adj JOIN deg du ON du.u = adj.u JOIN deg dv ON dv.u = adj.v),
-        |m AS (SELECT COUNT(*) AS n,
-        |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
-        |    CAST(SUM(x*x) AS HUGEINT) AS sxx, CAST(SUM(y*y) AS HUGEINT) AS syy,
-        |    CAST(SUM(x*y) AS HUGEINT) AS sxy
-        |  FROM p),
-        |d AS (SELECT n, n*sxy - sx*sy AS num, n*sxx - sx*sx AS d1,
-        |    n*syy - sy*sy AS d2 FROM m)
-        |SELECT 'copurchase' AS graph, n,
-        |  CASE WHEN d1 > 0 AND d2 > 0
-        |    THEN num::DOUBLE / sqrt(d1::DOUBLE * d2::DOUBLE) END AS assortativity
-        |FROM d ORDER BY graph""".stripMargin,
-
-    // full-graph recompute (q12's reach fixpoint) over ALL edges — the
-    // incremental contraction must land on identical min-vertex labels
-    "q107_incremental_cc" ->
-      """WITH RECURSIVE e AS (
-        |  SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |), sym AS (
-        |  SELECT src, dst FROM e UNION SELECT dst, src FROM e
-        |), reach(a, b) AS (
-        |  SELECT src, src FROM sym
-        |  UNION
-        |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
-        |)
-        |SELECT a AS vertex, MIN(b) AS component FROM reach GROUP BY a
-        |ORDER BY vertex""".stripMargin,
-
-    // the DEFINITION the lossless filter implements: all pairs, bigram-set
-    // Jaccard ≥ 1/2 as the integer test 2·inter ≥ union; raw gram strings
-    // intersect identically to the engine's 60-bit hashes
-    "d19_prefix_join" ->
-      s"""WITH tk AS (SELECT doc_id, lang, $toksSql AS t FROM documents),
-         |g AS (SELECT doc_id, lang, list_sort(list_distinct(
-         |    [t[i] || ' ' || t[i+1] for i in range(1, len(t))])) AS gs FROM tk),
-         |sets AS (SELECT doc_id, lang, gs, CAST(len(gs) AS BIGINT) AS n FROM g
-         |  WHERE len(gs) > 0),
-         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) AS inter,
-         |    a.n AS na, b.n AS nb
-         |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id AND a.lang = b.lang
-         |    AND a.n <= 2*b.n AND b.n <= 2*a.n)
-         |SELECT id_a, id_b, inter,
-         |  inter::DOUBLE / (na + nb - inter) AS jaccard
-         |FROM p WHERE 2*inter >= na + nb - inter
-         |ORDER BY id_a, id_b""".stripMargin,
-
-    // q94's Hamilton SQL over ⌊√(n·10⁶)⌋ weights; FLOOR(SQRT(...)) is the
-    // same correctly-rounded double pipeline as the Spark side
-    "s18_temperature_mix" ->
-      """WITH st AS (SELECT lang, source, COUNT(*) AS n_rows FROM documents GROUP BY 1, 2),
-        |ws AS (SELECT lang, source, n_rows,
-        |    CAST(FLOOR(SQRT((n_rows::DOUBLE) * 1000000.0)) AS BIGINT) AS w FROM st),
-        |t AS (SELECT *, CAST(SUM(w) OVER () AS BIGINT) AS tw FROM ws),
-        |q AS (SELECT lang, source, n_rows, w,
-        |    CAST((1000*w) // tw AS BIGINT) AS quota,
-        |    CAST((1000*w) % tw AS BIGINT) AS rem FROM t),
-        |x AS (SELECT *, CAST(1000 - SUM(quota) OVER () AS BIGINT) AS leftover,
-        |    ROW_NUMBER() OVER (ORDER BY rem DESC, lang, source) AS rk FROM q)
-        |SELECT lang, source, n_rows, w, quota,
-        |  CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
-        |  CAST(quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
-        |FROM x ORDER BY lang, source""".stripMargin,
-
-    // q95's moment CTE over the lag-24 joined hourly series
-    "q105_autocorrelation" ->
-      """WITH hc AS (SELECT epoch_us(ts) // 3600000000 AS h, COUNT(*) AS n
-        |  FROM events GROUP BY 1),
-        |p AS (SELECT a.n AS x, b.n AS y
-        |  FROM hc a JOIN hc b ON a.h = b.h + 24),
-        |m AS (SELECT COUNT(*) AS n,
-        |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
-        |    CAST(SUM(x*x) AS HUGEINT) AS sxx, CAST(SUM(y*y) AS HUGEINT) AS syy,
-        |    CAST(SUM(x*y) AS HUGEINT) AS sxy
-        |  FROM p),
-        |d AS (SELECT n, n*sxy - sx*sy AS num, n*sxx - sx*sx AS d1,
-        |    n*syy - sy*sy AS d2 FROM m)
-        |SELECT 'hourly_lag24' AS series, n,
-        |  CASE WHEN d1 > 0 AND d2 > 0
-        |    THEN num::DOUBLE / sqrt(d1::DOUBLE * d2::DOUBLE) END AS corr
-        |FROM d ORDER BY series""".stripMargin,
-
-    // IGNORE NULLS last_value over the strict-past frame ≡ Spark
-    // last(..., ignoreNulls).over(rowsBetween(unboundedPreceding, -1))
-    "q106_attribution" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
-        |  FROM events),
-        |a AS (SELECT event_type,
-        |    LAST_VALUE(CASE WHEN event_type != 'purchase' THEN event_type END
-        |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS src
-        |  FROM e)
-        |SELECT COALESCE(src, '(none)') AS attributed, COUNT(*) AS n_purchases
-        |FROM a WHERE event_type = 'purchase'
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // max-scalar-subquery over the same aggregate; ties kept
-    "q103_top_supplier" ->
-      s"""WITH rev AS (SELECT l_suppkey,
-         |    CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) AS rev
-         |  FROM lineitem
-         |  WHERE epoch_us(l_shipdate) >= $Jan1_96 AND epoch_us(l_shipdate) < $Jan1_97
-         |  GROUP BY 1)
-         |SELECT s_suppkey, s_name, rev::DOUBLE/10000.0 AS total_revenue
-         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
-         |WHERE rev = (SELECT MAX(rev) FROM rev)
-         |ORDER BY s_suppkey""".stripMargin,
-
-    // positive-balance average via cross-multiplication; NOT EXISTS orders
-    "q104_idle_rich" ->
-      """WITH c AS (SELECT c_custkey, c_mktsegment,
-        |    CAST(round(c_acctbal*100) AS BIGINT) AS bal FROM customer),
-        |st AS (SELECT COUNT(*) AS npos, CAST(SUM(bal) AS BIGINT) AS spos
-        |  FROM c WHERE bal > 0)
-        |SELECT c_mktsegment, COUNT(*) AS n_custs, CAST(SUM(bal) AS BIGINT) AS sum_bal_cents
-        |FROM c, st
-        |WHERE bal * npos > spos
-        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
-        |    AND epoch_us(o_orderdate) >= 946684800000000)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // parallel unnest zips (term, 0-based pos); per-word CTEs shift by i
-    "t19_phrase_search" ->
-      s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
-         |po AS (SELECT doc_id, unnest(t) AS term, unnest(range(len(t))) AS pos FROM tk),
-         |w0 AS (SELECT doc_id, pos AS p FROM po WHERE term = 'slow'),
-         |w1 AS (SELECT doc_id, pos - 1 AS p FROM po WHERE term = 'hash'),
-         |w2 AS (SELECT doc_id, pos - 2 AS p FROM po WHERE term = 'batch')
-         |SELECT doc_id, COUNT(*) AS n_hits
-         |FROM w0 JOIN w1 USING (doc_id, p) JOIN w2 USING (doc_id, p)
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // q95's HUGEINT moment CTE; intercept/r² double trees shaped exactly
-    // like the Spark side (slope reused, corr squared)
-    "q102_grouped_ols" ->
-      """WITH j AS (SELECT c_nationkey, CAST(round(c_acctbal*100) AS BIGINT) AS x,
-        |    CAST(round(o_totalprice*100) AS BIGINT) AS y
-        |  FROM orders JOIN customer ON o_custkey = c_custkey),
-        |m AS (SELECT c_nationkey, COUNT(*) AS n,
-        |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
-        |    CAST(SUM(x*x) AS HUGEINT) AS sxx, CAST(SUM(y*y) AS HUGEINT) AS syy,
-        |    CAST(SUM(x*y) AS HUGEINT) AS sxy
-        |  FROM j GROUP BY 1),
-        |d AS (SELECT c_nationkey, n, sx, sy,
-        |    n*sxy - sx*sy AS num, n*sxx - sx*sx AS d1, n*syy - sy*sy AS d2
-        |  FROM m)
-        |SELECT c_nationkey, n,
-        |  CASE WHEN d1 > 0 THEN num::DOUBLE / d1::DOUBLE END AS slope,
-        |  CASE WHEN d1 > 0 THEN
-        |    (sy::DOUBLE - (num::DOUBLE / d1::DOUBLE) * sx::DOUBLE) / n::DOUBLE
-        |  END AS intercept,
-        |  CASE WHEN d1 > 0 AND d2 > 0 THEN
-        |    (num::DOUBLE / sqrt(d1::DOUBLE * d2::DOUBLE)) *
-        |    (num::DOUBLE / sqrt(d1::DOUBLE * d2::DOUBLE))
-        |  END AS r2
-        |FROM d ORDER BY c_nationkey""".stripMargin,
-
-    // RANK (ties share) over the bare value — order-free; Spark rank is INT
-    // so the oracle's BIGINT rank stays inside the CAST'd arithmetic
-    "t18_rank_normalize" ->
-      """WITH r AS (SELECT doc_id, lang, n_chars,
-        |    RANK() OVER (PARTITION BY lang ORDER BY n_chars) AS rk,
-        |    COUNT(*) OVER (PARTITION BY lang) AS n
-        |  FROM documents)
-        |SELECT doc_id, lang, n_chars,
-        |  CAST(CASE WHEN n > 1 THEN ((rk - 1) * 1000000) // (n - 1)
-        |    ELSE 0 END AS BIGINT) AS pr_ppm
-        |FROM r ORDER BY doc_id""".stripMargin,
-
-    // FIRST_VALUE over ordered window (default frame) ≡ Spark first().over
-    // (the d16-proven pairing); `//` ≡ `div` on non-negative epoch µs
-    "q100_m4_downsample" ->
-      """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id,
-        |    CAST(round(value*100) AS BIGINT) AS cents
-        |  FROM events WHERE value IS NOT NULL),
-        |w AS (SELECT event_type, ts_us // 86400000000 AS bucket, cents,
-        |    FIRST_VALUE(cents) OVER (PARTITION BY event_type, ts_us // 86400000000
-        |      ORDER BY ts_us, event_id) AS f,
-        |    FIRST_VALUE(cents) OVER (PARTITION BY event_type, ts_us // 86400000000
-        |      ORDER BY ts_us DESC, event_id DESC) AS l
-        |  FROM e)
-        |SELECT event_type, CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n,
-        |  MIN(cents) AS min_v, MAX(cents) AS max_v,
-        |  MIN(f) AS first_v, MIN(l) AS last_v
-        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // same closed form: C = S − min(0, prefix-min S); target = sum//count
-    // (floor ≡ div on the non-negative cents); window sums cast from HUGEINT
-    "q101_cusum" ->
-      """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id,
-        |    CAST(round(value*100) AS BIGINT) AS cents
-        |  FROM events WHERE value IS NOT NULL),
-        |t AS (SELECT event_type,
-        |    ((CAST(SUM(cents) AS BIGINT) + 1000000 * COUNT(*)) // COUNT(*))
-        |      - 1000000 AS target
-        |  FROM e GROUP BY 1),
-        |s AS (SELECT event_type, ts_us, event_id,
-        |    CAST(SUM(cents - target) OVER w AS BIGINT) AS s
-        |  FROM e JOIN t USING (event_type)
-        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
-        |    ROWS UNBOUNDED PRECEDING)),
-        |c AS (SELECT event_type, s - LEAST(0, MIN(s) OVER w) AS c
-        |  FROM s
-        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
-        |    ROWS UNBOUNDED PRECEDING))
-        |SELECT event_type, COUNT(*) AS n, MAX(c) AS max_cusum,
-        |  CAST(SUM(CASE WHEN c > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms
-        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // s17's edge CTEs, then 4 unrolled BFS rounds; every multiply-referenced
-    // CTE is MATERIALIZED (DuckDB inlines otherwise — the round k reference
-    // chain would expand 2^rounds); MIN over the union ≡ the anti-join
-    "q99_bfs_hops" ->
-      """WITH li0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |li AS (SELECT o, p FROM (SELECT o, p, COUNT(*) OVER (PARTITION BY o) AS bn
-        |    FROM li0) WHERE bn <= 5),
-        |e AS MATERIALIZED (SELECT x.p AS a, y.p AS b
-        |      FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
-        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-        |adj AS MATERIALIZED (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
-        |deg AS (SELECT u, COUNT(*) AS dg FROM adj GROUP BY 1),
-        |seeds AS (SELECT u AS node FROM
-        |  (SELECT u, ROW_NUMBER() OVER (ORDER BY dg DESC, u) AS rk FROM deg)
-        |  WHERE rk <= 5),
-        |d0 AS MATERIALIZED (SELECT node, 0 AS dist FROM seeds),
-        |d1 AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM (
-        |    SELECT node, dist FROM d0 UNION ALL
-        |    SELECT adj.v, 1 FROM adj JOIN d0 ON adj.u = d0.node WHERE d0.dist = 0)
-        |  GROUP BY 1),
-        |d2 AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM (
-        |    SELECT node, dist FROM d1 UNION ALL
-        |    SELECT adj.v, 2 FROM adj JOIN d1 ON adj.u = d1.node WHERE d1.dist = 1)
-        |  GROUP BY 1),
-        |d3 AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM (
-        |    SELECT node, dist FROM d2 UNION ALL
-        |    SELECT adj.v, 3 FROM adj JOIN d2 ON adj.u = d2.node WHERE d2.dist = 2)
-        |  GROUP BY 1),
-        |d4 AS (SELECT node, MIN(dist) AS dist FROM (
-        |    SELECT node, dist FROM d3 UNION ALL
-        |    SELECT adj.v, 4 FROM adj JOIN d3 ON adj.u = d3.node WHERE d3.dist = 3)
-        |  GROUP BY 1)
-        |SELECT node, CAST(dist AS INTEGER) AS dist FROM d4 ORDER BY node""".stripMargin,
-
-    "s17_link_prediction" ->
-      """WITH li0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |li AS (SELECT o, p FROM (SELECT o, p, COUNT(*) OVER (PARTITION BY o) AS bn
-        |    FROM li0) WHERE bn <= 5),
-        |e AS (SELECT x.p AS a, y.p AS b
-        |      FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
-        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-        |adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
-        |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1),
-        |hubadj AS (SELECT adj.u, adj.v FROM adj JOIN deg ON deg.u = adj.u
-        |  WHERE deg.d <= 50),
-        |inter AS (SELECT x.v AS a, y.v AS b, CAST(COUNT(*) AS BIGINT) AS inter
-        |  FROM hubadj x JOIN hubadj y ON x.u = y.u AND x.v < y.v
-        |  GROUP BY 1, 2),
-        |cand AS (SELECT i.a, i.b, i.inter FROM inter i
-        |  LEFT JOIN e ON e.a = i.a AND e.b = i.b WHERE e.a IS NULL),
-        |sc AS (SELECT c.a, c.b, c.inter,
-        |    CAST(c.inter AS DOUBLE) / CAST(da.d + db.d - c.inter AS DOUBLE) AS jaccard
-        |  FROM cand c JOIN deg da ON da.u = c.a JOIN deg db ON db.u = c.b),
-        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY jaccard DESC, a, b) AS rank FROM sc)
-        |SELECT CAST(rank AS INTEGER) AS rank, a, b, inter, jaccard
-        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
-
-    // same five integer moments in HUGEINT; the final division is the
-    // only double on both sides (correctly-rounded casts of exact ints)
-    "q95_grouped_corr" ->
-      """WITH e AS (SELECT event_type,
-        |    CAST(round(value*100) AS BIGINT) AS x,
-        |    (epoch_us(ts) // 3600000000) % 24 AS y
-        |  FROM events),
-        |m AS (SELECT event_type, COUNT(*) AS n,
-        |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
-        |    CAST(SUM(x*x) AS HUGEINT) AS sxx, CAST(SUM(y*y) AS HUGEINT) AS syy,
-        |    CAST(SUM(x*y) AS HUGEINT) AS sxy
-        |  FROM e GROUP BY 1),
-        |d AS (SELECT event_type, n,
-        |    n*sxy - sx*sy AS num, n*sxx - sx*sx AS d1, n*syy - sy*sy AS d2
-        |  FROM m)
-        |SELECT event_type, n,
-        |  CASE WHEN d1 > 0 AND d2 > 0
-        |    THEN num::DOUBLE / sqrt(d1::DOUBLE * d2::DOUBLE) END AS corr
-        |FROM d ORDER BY event_type""".stripMargin,
-
-    // same Hamilton arithmetic; `//`+`%` ≡ `div`+`%` on non-negatives
-    "q94_budget_alloc" ->
-      """WITH st AS (SELECT lang, source, COUNT(*) AS n_rows FROM documents GROUP BY 1, 2),
-        |t AS (SELECT *, CAST(SUM(n_rows) OVER () AS BIGINT) AS N FROM st),
-        |q AS (SELECT lang, source, n_rows,
-        |    CAST((1000*n_rows) // N AS BIGINT) AS quota,
-        |    CAST((1000*n_rows) % N AS BIGINT) AS rem FROM t),
-        |w AS (SELECT *, CAST(1000 - SUM(quota) OVER () AS BIGINT) AS leftover,
-        |    ROW_NUMBER() OVER (ORDER BY rem DESC, lang, source) AS rk FROM q)
-        |SELECT lang, source, n_rows, quota,
-        |  CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
-        |  CAST(quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
-        |FROM w ORDER BY lang, source""".stripMargin,
-
-    // q19's sessionization with total (ts, event_id) order; path built by
-    // string_agg with the same in-session ordering; global top-20 rank
-    "q93_session_paths" ->
-      """WITH flagged AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
-        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000
-        |      THEN 1 ELSE 0 END AS new_s
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
-        |sess AS (SELECT user_id, ts_us, event_id, event_type,
-        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
-        |  FROM flagged),
-        |capped AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER
-        |      (PARTITION BY user_id, session_seq ORDER BY ts_us, event_id) AS rn
-        |    FROM sess) WHERE rn <= 8),
-        |p AS (SELECT user_id, session_seq,
-        |    string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
-        |  FROM capped GROUP BY 1, 2),
-        |c AS (SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY 1),
-        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS rank FROM c)
-        |SELECT CAST(rank AS INTEGER) AS rank, path, n_sessions
-        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
-
-    // DuckDB `<<` takes a column amount (Spark needs the SQL shiftleft
-    // spelling); `//` ≡ `div` on the non-negative shift results
-    "q91_decayed_sum" ->
-      """WITH mx AS (SELECT MAX(epoch_us(ts)) AS mx FROM events),
-        |e AS (SELECT user_id, CAST(round(value*100) AS BIGINT) AS cents,
-        |    LEAST(((SELECT mx FROM mx) - epoch_us(ts)) // 86400000000, 40) AS age
-        |  FROM events)
-        |SELECT user_id, COUNT(*) AS n_events,
-        |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
-        |  CAST(SUM(cents // (CAST(1 AS BIGINT) << age)) AS BIGINT) AS decayed_cents
-        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
-
-    // prefix max over ingest order (event_id); HUGEINT window sums cast
-    "q92_watermark_lag" ->
-      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us FROM events),
-        |l AS (SELECT event_type,
-        |    CAST(MAX(ts_us) OVER (PARTITION BY event_type ORDER BY event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - ts_us AS lag_us
-        |  FROM e),
-        |a AS (SELECT event_type, COUNT(*) AS n, MAX(lag_us) AS max_lag_us,
-        |    CAST(SUM(CASE WHEN lag_us > 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_60s
-        |  FROM l GROUP BY 1)
-        |SELECT event_type, n, max_lag_us, n_late_60s,
-        |  CAST((n_late_60s * 1000000) // n AS BIGINT) AS late_60s_ppm
-        |FROM a ORDER BY event_type""".stripMargin,
-
-    // same sweep: UNION ALL of +1/-1 points, running sum over (t, delta)
-    "q90_peak_concurrency" ->
-      """WITH pts AS (
-        |  SELECT event_type, epoch_us(ts) AS t, 1 AS delta FROM events
-        |  UNION ALL
-        |  SELECT event_type, epoch_us(ts) + 600000000 AS t, -1 AS delta FROM events),
-        |r AS (SELECT event_type, t, delta,
-        |    CAST(SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
-        |  FROM pts),
-        |m AS (SELECT event_type, t, run,
-        |    CAST(MAX(run) OVER (PARTITION BY event_type) AS BIGINT) AS mx
-        |  FROM r)
-        |SELECT event_type, MIN(mx) AS max_concurrent,
-        |  MIN(CASE WHEN run = mx THEN t END) AS peak_ts_us
-        |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    // same common-denominator TV arithmetic in HUGEINT; `//` ≡ `div`
-    "q89_distribution_drift" ->
-      """WITH b AS (SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM events),
-        |e AS (SELECT event_type, CAST(round(value*100) AS BIGINT) // 1000 AS bin,
-        |    CASE WHEN epoch_us(ts) <= (SELECT (mn + mx) // 2 FROM b)
-        |      THEN 1 ELSE 2 END AS cohort
-        |  FROM events),
-        |c AS (SELECT event_type, bin,
-        |    CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-        |    CAST(SUM(CASE WHEN cohort = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
-        |  FROM e GROUP BY 1, 2),
-        |t AS (SELECT *,
-        |    CAST(SUM(n1) OVER (PARTITION BY event_type) AS BIGINT) AS t1,
-        |    CAST(SUM(n2) OVER (PARTITION BY event_type) AS BIGINT) AS t2
-        |  FROM c)
-        |SELECT event_type, COUNT(*) AS n_bins,
-        |  MIN(t1) AS n_cohort1, MIN(t2) AS n_cohort2,
-        |  CAST(CASE WHEN MIN(t1) > 0 AND MIN(t2) > 0 THEN
-        |      (1000000 * CAST(SUM(ABS(n1*t2 - n2*t1)) AS HUGEINT))
-        |        // (2 * MIN(t1) * MIN(t2))
-        |    ELSE 1000000 END AS BIGINT) AS tv_ppm
-        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    // LEAD over the same total order; window-SUM → HUGEINT cast before //
-    "q87_markov_transitions" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
-        |  FROM events),
-        |t AS (SELECT event_type AS from_state,
-        |    LEAD(event_type) OVER (PARTITION BY user_id
-        |      ORDER BY ts_us, event_id) AS to_state
-        |  FROM e),
-        |c AS (SELECT from_state, to_state, COUNT(*) AS n FROM t
-        |  WHERE to_state IS NOT NULL GROUP BY 1, 2)
-        |SELECT from_state, to_state, n,
-        |  CAST((n * 1000000) // CAST(SUM(n) OVER (PARTITION BY from_state) AS BIGINT)
-        |    AS BIGINT) AS p_ppm
-        |FROM c ORDER BY from_state, to_state""".stripMargin,
-
-    "q88_k_anonymity" ->
-      """SELECT lang, source, n_chars // 100 AS len_bucket, COUNT(*) AS n,
-        |  CAST(CASE WHEN COUNT(*) >= 5 THEN 1 ELSE 0 END AS INTEGER) AS is_anonymous
-        |FROM documents GROUP BY 1, 2, 3 ORDER BY lang, source, len_bucket""".stripMargin,
-
-    // dominated iff a strictly-larger-cents row has ts ≥ mine (RANGE frame
-    // on the DESC integer ordering ≡ cents > current) or a cents-tie has
-    // ts > mine; duplicates of (cents, ts) all survive — same two windows
-    "q84_pareto_front" ->
-      """WITH e AS (SELECT event_type, event_id,
-        |    CAST(round(value*100) AS BIGINT) AS cents, epoch_us(ts) AS ts_us
-        |  FROM events WHERE value IS NOT NULL),
-        |w AS (SELECT *,
-        |    MAX(ts_us) OVER (PARTITION BY event_type ORDER BY cents DESC
-        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mxy,
-        |    MAX(ts_us) OVER (PARTITION BY event_type, cents) AS mty
-        |  FROM e)
-        |SELECT event_type, event_id, cents, ts_us FROM w
-        |WHERE (mxy IS NULL OR mxy < ts_us) AND mty = ts_us
-        |ORDER BY event_type, cents, ts_us, event_id""".stripMargin,
-
-    // single-pass latest-per-key over the whole log — equality with the
-    // Spark side's two-phase bootstrap+tail replay is the point
-    "q78_bootstrap_replay" ->
-      """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
-        |  value AS last_value, ts_us AS last_ts_us
-        |FROM (SELECT user_id, event_id, event_type, value,
-        |        epoch_us(ts) AS ts_us,
-        |        ROW_NUMBER() OVER (PARTITION BY user_id
-        |          ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
-        |      FROM events)
-        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
-
-    // same per-group logHist quantile rule as q69 at q_ppm in (1e4, 99e4),
-    // pivoted to lo/hi, then a row-local clamp and integer sums
-    "q76_winsorized" ->
-      s"""WITH v AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents
-         |  FROM events),
-         |sk AS (SELECT event_type, ${Sketches.logBucketSql("cents", 3)} AS id,
-         |    COUNT(*) AS cnt FROM v GROUP BY 1, 2),
-         |sc AS (SELECT event_type, id,
-         |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
-         |    CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM sk),
-         |qq AS (SELECT event_type, unnest([10000, 990000]) AS q_ppm
-         |  FROM (SELECT DISTINCT event_type FROM v)),
-         |est AS (SELECT qq.event_type, qq.q_ppm, MIN(sc.id) AS id
-         |  FROM qq JOIN sc ON sc.event_type = qq.event_type
-         |    AND sc.cum >= greatest((qq.q_ppm * sc.n + 999999) // 1000000, 1)
-         |  GROUP BY 1, 2),
-         |b AS (SELECT event_type,
-         |    MIN(CASE WHEN q_ppm = 10000 THEN ${Sketches.logBucketLowSql("id", 3)} END) AS lo,
-         |    MIN(CASE WHEN q_ppm = 990000 THEN ${Sketches.logBucketLowSql("id", 3)} END) AS hi
-         |  FROM est GROUP BY event_type)
-         |SELECT v.event_type, CAST(COUNT(*) AS BIGINT) AS n,
-         |  CAST(SUM(cents) AS BIGINT) AS sum_raw,
-         |  CAST(SUM(greatest(b.lo, least(cents, b.hi))) AS BIGINT) AS sum_winsorized,
-         |  CAST(SUM(CASE WHEN cents < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_low,
-         |  CAST(SUM(CASE WHEN cents > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_high
-         |FROM v JOIN b USING (event_type)
-         |GROUP BY v.event_type ORDER BY v.event_type""".stripMargin,
-
-    "q75_sketch_partition" -> {
-      val qs = (1 until 8).map(i => i * 1000000L / 8).mkString(", ")
-      s"""WITH v AS (SELECT CAST(round(value*100) AS BIGINT) AS cents FROM events),
-         |sk AS (SELECT ${Sketches.logBucketSql("cents", 3)} AS id, COUNT(*) AS cnt
-         |  FROM v GROUP BY 1),
-         |sc AS (SELECT id,
-         |    CAST(SUM(cnt) OVER (ORDER BY id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
-         |    CAST(SUM(cnt) OVER () AS BIGINT) AS n FROM sk),
-         |qq AS (SELECT unnest([$qs]) AS q_ppm),
-         |est AS (SELECT qq.q_ppm, MIN(sc.id) AS id
-         |  FROM qq JOIN sc ON sc.cum >= greatest((qq.q_ppm * sc.n + 999999) // 1000000, 1)
-         |  GROUP BY 1),
-         |b AS (SELECT list(${Sketches.logBucketLowSql("id", 3)} ORDER BY q_ppm) AS bounds
-         |  FROM est),
-         |p AS (SELECT CAST(len([x FOR x IN b.bounds IF cents > x]) AS BIGINT) AS pid, cents
-         |  FROM v, b)
-         |SELECT pid, CAST(COUNT(*) AS BIGINT) AS n_rows,
-         |  MIN(cents) AS v_min, MAX(cents) AS v_max
-         |FROM p GROUP BY pid ORDER BY pid""".stripMargin
-    },
-
-    "q74_rendezvous_route" -> rendezvousRouteSql,
-
-    // same bucket formula as s2, queries expanded to bucket XOR each
-    // single-bit flip (0 = own bucket); DuckDB xor() ≡ Spark bitwiseXOR
-    "s8_knn_multiprobe" ->
-      s"""WITH q AS (SELECT vec_id, ${qvSql("embedding")} AS qv FROM embeddings),
-         |bucketed AS (SELECT vec_id, qv, $lshBucketSql AS bucket FROM q),
-         |probes AS (SELECT vec_id, qv, xor(bucket, f) AS bucket
-         |  FROM bucketed, unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) t(f)
-         |  WHERE vec_id < 5),
-         |p AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id, qq.qv AS qa, c.qv AS qb
-         |      FROM probes qq JOIN bucketed c ON qq.bucket = c.bucket
-         |        AND qq.vec_id != c.vec_id),
-         |sims AS (SELECT query_id, neighbor_id, $cosSql AS cosine FROM p),
-         |ranked AS (SELECT *, ROW_NUMBER() OVER
-         |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM sims)
-         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
-         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-
-    // mirrors cmsBuild (seeded 60-bit md5 % width, per q61) on both sides,
-    // then min over rows of the per-row cell-product sum
-    "q72_join_size_sketch" ->
-      """WITH pur AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events WHERE event_type = 'purchase'),
-        |cli AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events WHERE event_type = 'click'),
-        |ca AS (SELECT r,
-        |    CAST(concat('0x', substr(md5(CAST(r AS VARCHAR) || ':' || k), 1, 15)) AS BIGINT) % 64 AS b,
-        |    CAST(COUNT(*) AS BIGINT) AS c
-        |  FROM (SELECT unnest(range(0, 4)) AS r, k FROM pur) GROUP BY 1, 2),
-        |cb AS (SELECT r,
-        |    CAST(concat('0x', substr(md5(CAST(r AS VARCHAR) || ':' || k), 1, 15)) AS BIGINT) % 64 AS b,
-        |    CAST(COUNT(*) AS BIGINT) AS c
-        |  FROM (SELECT unnest(range(0, 4)) AS r, k FROM cli) GROUP BY 1, 2),
-        |dots AS (SELECT ca.r, CAST(SUM(ca.c * cb.c) AS BIGINT) AS dot
-        |  FROM ca JOIN cb ON ca.r = cb.r AND ca.b = cb.b GROUP BY ca.r),
-        |est AS (SELECT CAST(MIN(COALESCE(dot, 0)) AS BIGINT) AS join_size_est
-        |  FROM (SELECT unnest(range(0, 4)) AS r) s LEFT JOIN dots USING (r)),
-        |x AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact
-        |  FROM pur p JOIN cli c ON p.k = c.k)
-        |SELECT x.n_exact, est.join_size_est,
-        |  est.join_size_est >= x.n_exact AS upper_bounds
-        |FROM x CROSS JOIN est""".stripMargin,
-
-    "t15_winnowing" -> winnowingPairsSql(n = 4, window = 4,
-      minShared = 2L, maxFpDf = 50L),
-
-    // gaps-and-islands: day − row_number constant within a consecutive run
-    "q128_activity_streaks" ->
-      s"""WITH days AS (SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day
-         |  FROM events),
-         |g AS (SELECT user_id, day,
-         |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
-         |  FROM days),
-         |runs AS (SELECT user_id, COUNT(*) AS len FROM g GROUP BY user_id, grp),
-         |l AS (SELECT user_id, CAST(MAX(len) AS BIGINT) AS streak_days
-         |  FROM runs GROUP BY 1)
-         |SELECT streak_days, COUNT(*) AS n_users
-         |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // zero-order customers survive the left join with c_count 0
-    "q129_custdist" ->
-      """WITH c AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count
-        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-        |  GROUP BY 1)
-        |SELECT CAST(c_count AS BIGINT) AS c_count, COUNT(*) AS custdist
-        |FROM c GROUP BY 1
-        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
-
-    // 3 unrolled HITS rounds; hub/auth are exact alternating-path counts
-    "q130_hits" ->
-      """WITH e AS (SELECT DISTINCT 'b:' || p_brand AS src, 't:' || p_type AS dst
-        |  FROM part),
-        |verts AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
-        |h0 AS (SELECT vertex, CAST(1 AS BIGINT) AS hub FROM verts),
-        |a1 AS (SELECT dst AS vertex, CAST(SUM(hub) AS BIGINT) AS auth
-        |  FROM e JOIN h0 ON src = h0.vertex GROUP BY 1),
-        |h1 AS (SELECT src AS vertex, CAST(SUM(auth) AS BIGINT) AS hub
-        |  FROM e JOIN a1 ON dst = a1.vertex GROUP BY 1),
-        |a2 AS (SELECT dst AS vertex, CAST(SUM(hub) AS BIGINT) AS auth
-        |  FROM e JOIN h1 ON src = h1.vertex GROUP BY 1),
-        |h2 AS (SELECT src AS vertex, CAST(SUM(auth) AS BIGINT) AS hub
-        |  FROM e JOIN a2 ON dst = a2.vertex GROUP BY 1),
-        |a3 AS (SELECT dst AS vertex, CAST(SUM(hub) AS BIGINT) AS auth
-        |  FROM e JOIN h2 ON src = h2.vertex GROUP BY 1),
-        |h3 AS (SELECT src AS vertex, CAST(SUM(auth) AS BIGINT) AS hub
-        |  FROM e JOIN a3 ON dst = a3.vertex GROUP BY 1)
-        |SELECT v.vertex, COALESCE(h3.hub, 0) AS hub, COALESCE(a3.auth, 0) AS auth
-        |FROM verts v LEFT JOIN h3 ON v.vertex = h3.vertex
-        |LEFT JOIN a3 ON v.vertex = a3.vertex
-        |ORDER BY v.vertex""".stripMargin,
-
-    // token-count marginal → exact collision probability (staged ppm)
-    "t25_simpson_diversity" ->
-      s"""WITH tok AS (SELECT source, unnest($toksSql) AS tok FROM documents),
-         |c AS (SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
-         |m AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
-         |    COUNT(*) AS n_types,
-         |    CAST(SUM(c * (c - 1)) AS BIGINT) AS coll
-         |  FROM c GROUP BY 1)
-         |SELECT source, n_tokens, n_types,
-         |  CAST((coll * 1000) // ((n_tokens * (n_tokens - 1)) // 1000) AS BIGINT)
-         |    AS collision_ppm
-         |FROM m ORDER BY source""".stripMargin,
-
-    // return-flag filter first, then the key joins; qSumWide revenue
-    "q131_returned_revenue" ->
-      """SELECT n_name,
-        |  CAST(CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT))
-        |    AS BIGINT) AS DOUBLE)/10000.0 AS lost_revenue,
-        |  COUNT(DISTINCT c_custkey) AS n_customers
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |WHERE l_returnflag = 'R'
-        |GROUP BY 1 ORDER BY lost_revenue DESC, n_name""".stripMargin,
-
-    // cross-multiplied squared-cosine thresholds; HUGEINT intermediates in
-    // DuckDB, long-safe in Spark (dot ≤ 6.4e7 ⇒ 400·dot² ≤ 1.7e18)
-    "s25_radius_census" ->
-      s"""WITH v AS (SELECT vec_id, ${qvSql("embedding")} AS v FROM embeddings),
-         |n AS (SELECT vec_id, v,
-         |    CAST(list_sum([v[i]*v[i] for i in range(1,65)]) AS BIGINT) AS nv
-         |  FROM v),
-         |q AS (SELECT vec_id AS query_id, v AS qv, nv AS nq FROM n WHERE vec_id < 5),
-         |p AS (SELECT query_id,
-         |    CAST(list_sum([c.v[i]*q.qv[i] for i in range(1,65)]) AS BIGINT) AS dot,
-         |    c.nv * q.nq AS nn
-         |  FROM n c CROSS JOIN q q WHERE c.vec_id >= 5)
-         |SELECT query_id,
-         |  CAST(SUM(CASE WHEN dot > 0 AND dot*dot*400 >= nn*361 THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_ge95,
-         |  CAST(SUM(CASE WHEN dot > 0 AND dot*dot*100 >= nn*81 THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_ge90,
-         |  CAST(SUM(CASE WHEN dot > 0 AND dot*dot*25 >= nn*16 THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_ge80
-         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // conditional integer sums per ship month; staged-ppm share
-    "q132_promo_share" ->
-      """WITH li AS (SELECT epoch_us(date_trunc('month', l_shipdate)) AS month_us,
-        |    CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT) AS rc,
-        |    CASE WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS is_promo
-        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
-        |m AS (SELECT month_us, CAST(SUM(rc * is_promo) AS BIGINT) AS promo_rc,
-        |    CAST(SUM(rc) AS BIGINT) AS total_rc
-        |  FROM li GROUP BY 1)
-        |SELECT month_us, CAST(promo_rc AS DOUBLE)/10000.0 AS promo_revenue,
-        |  CAST((promo_rc * 1000) // (total_rc // 1000) AS BIGINT) AS promo_ppm
-        |FROM m ORDER BY month_us""".stripMargin,
-
-    // per-doc count moments; VMR from N·Σx² − (Σx)² (zeros implicit)
-    "t26_burstiness" ->
-      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
-         |x AS (SELECT tok, doc_id, COUNT(*) AS x FROM tok GROUP BY 1, 2),
-         |st AS (SELECT tok, CAST(SUM(x) AS BIGINT) AS sx,
-         |    CAST(SUM(x*x) AS BIGINT) AS sxx, COUNT(*) AS n_docs_with
-         |  FROM x GROUP BY 1
-         |  ORDER BY sx DESC, tok LIMIT 20),
-         |nd AS (SELECT COUNT(*) AS n FROM documents)
-         |SELECT tok, sx AS total_count, n_docs_with,
-         |  CAST(((n * sxx - sx * sx) * 1000000) // ((n - 1) * sx) AS BIGINT)
-         |    AS vmr_ppm
-         |FROM st, nd ORDER BY total_count DESC, tok""".stripMargin,
-
-    // two bare-value RANKs (tie-deterministic), one integer Spearman distance
-    "q133_spearman_balance" ->
-      """WITH rev AS (SELECT l_suppkey,
-        |    CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT))
-        |      AS BIGINT) AS rev
-        |  FROM lineitem GROUP BY 1),
-        |sup AS (SELECT CAST(round(s_acctbal*100) AS BIGINT) AS bal,
-        |    COALESCE(rev, 0) AS rev
-        |  FROM supplier LEFT JOIN rev ON s_suppkey = l_suppkey),
-        |r AS (SELECT CAST(RANK() OVER (ORDER BY bal DESC) AS BIGINT) AS r_bal,
-        |    CAST(RANK() OVER (ORDER BY rev DESC) AS BIGINT) AS r_rev
-        |  FROM sup),
-        |agg AS (SELECT COUNT(*) AS n,
-        |    CAST(SUM((r_bal - r_rev)*(r_bal - r_rev)) AS BIGINT) AS sum_d2
-        |  FROM r)
-        |SELECT n, sum_d2,
-        |  CAST((6 * sum_d2 * 1000000) // (n * (n * n - 1)) AS BIGINT) AS dist_ppm
-        |FROM agg""".stripMargin,
-
-    // keep-one-per-md5 groups; keeper size = min(n_chars) of the group
-    "d21_dedup_savings" ->
-      """WITH g AS (SELECT source, md5(text) AS h, COUNT(*) AS n,
-        |    CAST(SUM(n_chars) AS BIGINT) AS gc, MIN(n_chars) AS kc
-        |  FROM documents GROUP BY 1, 2)
-        |SELECT source, COUNT(*) AS n_unique, CAST(SUM(n) AS BIGINT) AS n_docs,
-        |  CAST(SUM(gc) AS BIGINT) AS total_chars,
-        |  CAST(SUM(kc) AS BIGINT) AS kept_chars,
-        |  CAST(((CAST(SUM(gc) AS BIGINT) - CAST(SUM(kc) AS BIGINT)) * 1000000)
-        |    // CAST(SUM(gc) AS BIGINT) AS BIGINT) AS savings_ppm
-        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // q110's tie-safe cumulative median frame with unit weights + moments
-    "q134_ship_delay_profile" ->
-      s"""WITH de AS (SELECT o_orderpriority,
-         |    (epoch_us(l_shipdate) - epoch_us(o_orderdate)) // $DayUs AS delay_days
-         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-         |w AS (SELECT o_orderpriority, delay_days,
-         |    CAST(COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY delay_days)
-         |      AS BIGINT) AS cum,
-         |    CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS tot
-         |  FROM de)
-         |SELECT o_orderpriority, COUNT(*) AS n,
-         |  MIN(delay_days) AS min_days,
-         |  MIN(CASE WHEN cum*2 >= tot THEN delay_days END) AS median_days,
-         |  MAX(delay_days) AS max_days,
-         |  CAST((CAST(SUM(delay_days) AS BIGINT) * 1000000) // COUNT(*) AS BIGINT)
-         |    AS mean_days_ppm
-         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // same integer-k-means cells CTE; plurality label via (c desc, label)
-    "s26_cell_purity" ->
-      s"""WITH ${ivfCellsSql(16, 5)},
-         |lab AS (SELECT c.cell, e.label FROM cells c JOIN embeddings e ON c.id = e.vec_id),
-         |cnt AS (SELECT cell, label, COUNT(*) AS c FROM lab GROUP BY 1, 2),
-         |tot AS (SELECT cell, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
-         |m AS (SELECT cell, label, c,
-         |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY c DESC, label) AS rn
-         |  FROM cnt)
-         |SELECT CAST(m.cell AS BIGINT) AS cell, tot.n, m.label AS top_label,
-         |  CAST((m.c * 1000000) // tot.n AS BIGINT) AS purity_ppm
-         |FROM m JOIN tot USING (cell) WHERE rn = 1 ORDER BY cell""".stripMargin,
-
-    // q124's pre-threshold classification at the 80% and 95% lines
-    "q135_abc_class" ->
-      """WITH rev AS (SELECT l_partkey,
-        |    CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT))
-        |      AS BIGINT) AS rc
-        |  FROM lineitem GROUP BY 1),
-        |w AS (SELECT rc,
-        |    CAST(SUM(rc) OVER (ORDER BY rc DESC, l_partkey
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
-        |    CAST(SUM(rc) OVER () AS BIGINT) AS tot
-        |  FROM rev),
-        |cl AS (SELECT rc,
-        |    CASE WHEN (cum - rc) * 5 < tot * 4 THEN 'A'
-        |         WHEN (cum - rc) * 20 < tot * 19 THEN 'B'
-        |         ELSE 'C' END AS abc_class
-        |  FROM w)
-        |SELECT abc_class, COUNT(*) AS n_parts,
-        |  CAST(CAST(SUM(rc) AS BIGINT) AS DOUBLE)/10000.0 AS revenue
-        |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // same co-order edge definition as the k-core/k-truss family
-    "q136_degree_histogram" ->
-      """WITH li0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |e AS (SELECT x.p AS a, y.p AS b
-        |  FROM li0 x JOIN li0 y ON x.o = y.o AND x.p < y.p
-        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-        |s AS (SELECT a AS u FROM e UNION ALL SELECT b FROM e),
-        |deg AS (SELECT u, COUNT(*) AS degree FROM s GROUP BY 1)
-        |SELECT CAST(degree AS BIGINT) AS degree, COUNT(*) AS n_vertices
-        |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // integer TF dot/norms per (doc, source); one canonical double division
-    "t27_atypical_docs" ->
-      s"""WITH tok AS (SELECT source, doc_id, unnest($toksSql) AS tok FROM documents),
-         |dc AS (SELECT source, doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cd
-         |  FROM tok GROUP BY 1, 2, 3),
-         |sc AS (SELECT source, tok, CAST(SUM(cd) AS BIGINT) AS cs
-         |  FROM dc GROUP BY 1, 2),
-         |nd AS (SELECT source, doc_id, CAST(SUM(cd*cd) AS BIGINT) AS nd
-         |  FROM dc GROUP BY 1, 2),
-         |ns AS (SELECT source, CAST(SUM(cs*cs) AS BIGINT) AS ns FROM sc GROUP BY 1),
-         |dt AS (SELECT dc.source, dc.doc_id, CAST(SUM(dc.cd * sc.cs) AS BIGINT) AS dot
-         |  FROM dc JOIN sc ON dc.source = sc.source AND dc.tok = sc.tok
-         |  GROUP BY 1, 2),
-         |cosd AS (SELECT dt.source, dt.doc_id,
-         |    CAST(dot AS DOUBLE) / sqrt(CAST(nd.nd * ns.ns AS DOUBLE)) AS cosine
-         |  FROM dt JOIN nd ON dt.source = nd.source AND dt.doc_id = nd.doc_id
-         |  JOIN ns ON dt.source = ns.source),
-         |r AS (SELECT source, doc_id, cosine,
-         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY cosine, doc_id) AS rank
-         |  FROM cosd)
-         |SELECT source, CAST(rank AS INTEGER) AS rank, doc_id, cosine
-         |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
-
-    // cross-multiplied |x−μ|>3σ on integer moments; floored-mean ppm
-    "q137_control_chart" ->
-      s"""WITH daily AS (SELECT epoch_us(ts) // $DayUs AS day, COUNT(*) AS x
-         |  FROM events GROUP BY 1),
-         |m AS (SELECT COUNT(*) AS nn, CAST(SUM(x) AS BIGINT) AS ss,
-         |    CAST(SUM(x*x) AS BIGINT) AS qq
-         |  FROM daily)
-         |SELECT day, x AS n_events,
-         |  CASE WHEN nn*x > ss THEN 'high' ELSE 'low' END AS side,
-         |  CAST((x * 1000000) // (ss // nn) AS BIGINT) AS vs_mean_ppm
-         |FROM daily, m
-         |WHERE (nn*x - ss)*(nn*x - ss) > 4*(nn*qq - ss*ss)
-         |ORDER BY day""".stripMargin,
-
-    // parallel unnest zips (value, 0-based dim); integer moments per dim
-    "s27_dim_variance" ->
-      s"""WITH v AS (SELECT ${qvSql("embedding")} AS v FROM embeddings),
-         |dims AS (SELECT CAST(unnest(range(len(v))) AS INTEGER) AS dim,
-         |    unnest(v) AS val FROM v),
-         |m AS (SELECT dim, COUNT(*) AS n, CAST(SUM(val) AS BIGINT) AS sv,
-         |    CAST(SUM(val*val) AS BIGINT) AS qv
-         |  FROM dims GROUP BY 1)
-         |SELECT dim, n, CAST(((sv + 1000*n) // n) - 1000 AS BIGINT) AS mean_q,
-         |  CAST((n*qv - sv*sv) // (n*n) AS BIGINT) AS var_q
-         |FROM m ORDER BY dim""".stripMargin,
-
-    // leading digit of the exact integer cents
-    "q138_benford" ->
-      """WITH d AS (SELECT substr(CAST(CAST(round(o_totalprice*100) AS BIGINT)
-        |    AS VARCHAR), 1, 1) AS digit
-        |  FROM orders),
-        |t AS (SELECT COUNT(*) AS n_total FROM d)
-        |SELECT digit, COUNT(*) AS n,
-        |  CAST((COUNT(*) * 1000000) // n_total AS BIGINT) AS share_ppm
-        |FROM d, t GROUP BY digit, n_total ORDER BY digit""".stripMargin,
-
-    // strict-past byte prefix sum → fixed-size shard id
-    "m5_shard_packing" ->
-      """WITH m AS (SELECT doc_id, octet_length(encode(text))::BIGINT AS sz
-        |  FROM documents),
-        |w AS (SELECT sz, COALESCE(CAST(SUM(sz) OVER (ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
-        |    AS pre
-        |  FROM m)
-        |SELECT pre // 65536 AS shard_id, COUNT(*) AS n_items,
-        |  CAST(SUM(sz) AS BIGINT) AS bytes, MAX(sz) AS max_item
-        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // final per-subspace assignments read straight from the s{i}fd CTEs
-    "s28_pq_code_usage" ->
-      s"""WITH v AS (SELECT vec_id AS id, ${qvSql("embedding")} AS v FROM embeddings),
-         |${pqSubspacesSql(8, 16, 3)},
-         |codes AS (${(0 until 8).map(i =>
-            s"SELECT CAST($i AS INTEGER) AS subspace, id, cell FROM s${i}fd WHERE rn = 1")
-            .mkString("\n  UNION ALL ")}),
-         |tot AS (SELECT COUNT(*) AS n_vec FROM v)
-         |SELECT subspace, CAST(cell AS BIGINT) AS code, COUNT(*) AS n,
-         |  CAST((COUNT(*) * 1000000) // n_vec AS BIGINT) AS share_ppm
-         |FROM codes, tot GROUP BY subspace, cell, n_vec
-         |ORDER BY subspace, code""".stripMargin,
-
-    // |month ppm − all-time ppm| of floor-division shares; argmax via rn
-    "q139_priority_mix_shift" ->
-      """WITH o AS (SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us,
-        |    o_orderpriority FROM orders),
-        |mc AS (SELECT month_us, o_orderpriority, COUNT(*) AS c FROM o GROUP BY 1, 2),
-        |mt AS (SELECT month_us, CAST(SUM(c) AS BIGINT) AS n_m FROM mc GROUP BY 1),
-        |ac AS (SELECT o_orderpriority, COUNT(*) AS c_all FROM o GROUP BY 1),
-        |at AS (SELECT COUNT(*) AS n_all FROM o),
-        |dev AS (SELECT mc.month_us, mc.o_orderpriority,
-        |    abs(CAST((mc.c * 1000000) // mt.n_m AS BIGINT)
-        |      - CAST((ac.c_all * 1000000) // at.n_all AS BIGINT)) AS dev_ppm
-        |  FROM mc JOIN mt USING (month_us) JOIN ac USING (o_orderpriority), at),
-        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY month_us
-        |    ORDER BY dev_ppm DESC, o_orderpriority) AS rn FROM dev)
-        |SELECT month_us, o_orderpriority, dev_ppm
-        |FROM r WHERE rn = 1 ORDER BY month_us""".stripMargin,
-
-    // cross-multiplied 2× rate test on integer hour/global registers
-    "q140_error_burst" ->
-      """WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hour_idx,
-        |    COUNT(*) AS n_events,
-        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n_errors
-        |  FROM events GROUP BY 1),
-        |g AS (SELECT CAST(SUM(n_events) AS BIGINT) AS nn,
-        |    CAST(SUM(n_errors) AS BIGINT) AS ee FROM h)
-        |SELECT hour_idx, n_events, n_errors,
-        |  CAST((n_errors * 1000000) // n_events AS BIGINT) AS err_ppm
-        |FROM h, g WHERE n_errors * nn > 2 * ee * n_events
-        |ORDER BY hour_idx""".stripMargin,
-
-    // max per user vs the broadcast corpus max; cumulative share over the
-    // idle-day buckets
-    "q141_recency_histogram" ->
-      s"""WITH u AS (SELECT user_id, MAX(epoch_us(ts)) AS l FROM events GROUP BY 1),
-         |mx AS (SELECT MAX(l) AS m, COUNT(*) AS nt FROM u),
-         |h AS (SELECT (m - l) // $DayUs AS days_idle, COUNT(*) AS n_users,
-         |    MAX(nt) AS nt
-         |  FROM u, mx GROUP BY 1),
-         |c AS (SELECT days_idle, n_users, nt,
-         |    CAST(SUM(n_users) OVER (ORDER BY days_idle
-         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
-         |  FROM h)
-         |SELECT days_idle, n_users,
-         |  CAST((cum_users * 1000000) // nt AS BIGINT) AS cum_share_ppm
-         |FROM c ORDER BY days_idle""".stripMargin,
-
-    // epoch-day arithmetic dow; purchase propensity in exact ppm
-    "q142_weekend_effect" ->
-      s"""SELECT ((epoch_us(ts) // $DayUs) + 4) % 7 AS dow,
-         |  COUNT(*) AS n_events,
-         |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_purchases,
-         |  CAST((CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-         |    AS BIGINT) * 1000000) // COUNT(*) AS BIGINT) AS purchase_ppm
-         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // strict-past purchase counter cuts journeys; 40/20/40 position credit
-    "q143_position_attribution" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
-        |    COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS j
-        |  FROM events),
-        |conv AS (SELECT DISTINCT user_id, j FROM e WHERE event_type = 'purchase'),
-        |t AS (SELECT e.user_id, e.j, e.event_type,
-        |    ROW_NUMBER() OVER (PARTITION BY e.user_id, e.j
-        |      ORDER BY e.ts_us, e.event_id) AS rn,
-        |    CAST(COUNT(*) OVER (PARTITION BY e.user_id, e.j) AS BIGINT) AS cnt
-        |  FROM e JOIN conv USING (user_id, j)
-        |  WHERE e.event_type != 'purchase'),
-        |cr AS (SELECT event_type,
-        |    CASE WHEN cnt = 1 THEN 1000000
-        |         WHEN cnt = 2 THEN 500000
-        |         WHEN rn = 1 OR rn = cnt THEN 400000
-        |         ELSE 200000 // (cnt - 2) END AS credit_ppm
-        |  FROM t)
-        |SELECT event_type, COUNT(*) AS n_touches,
-        |  CAST(SUM(credit_ppm) AS BIGINT) AS credit_ppm_total
-        |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // staged per-cell floor terms over the integer contingency registers
-    "q144_chi_square" ->
-      s"""WITH ev AS (SELECT ((epoch_us(ts) // $DayUs) + 4) % 7 AS dow, event_type
-         |  FROM events),
-         |obs AS (SELECT dow, event_type, COUNT(*) AS o FROM ev GROUP BY 1, 2),
-         |rm AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY 1),
-         |cm AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY 1),
-         |tt AS (SELECT CAST(SUM(o) AS BIGINT) AS nn FROM obs),
-         |cells AS (SELECT ((o*nn - r*c)*(o*nn - r*c)) // ((nn*r*c) // 1000000)
-         |    AS term_ppm
-         |  FROM obs JOIN rm USING (dow) JOIN cm USING (event_type), tt),
-         |dims AS (SELECT (SELECT COUNT(*) FROM rm) AS n_dow,
-         |    (SELECT COUNT(*) FROM cm) AS n_types)
-         |SELECT CAST(SUM(term_ppm) AS BIGINT) AS chi2_ppm,
-         |  CAST((n_dow - 1) * (n_types - 1) AS BIGINT) AS dof
-         |FROM cells, dims GROUP BY n_dow, n_types""".stripMargin,
-
-    // one banding pass, conditional sums at the 1/8-multiple thresholds
-    "d22_lsh_threshold_sweep" ->
-      s"""WITH ${minhashPairsSql("documents")}
-         |SELECT COUNT(*) AS n_candidates,
-         |  CAST(SUM(CASE WHEN jaccard_est >= 0.25 THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_ge25,
-         |  CAST(SUM(CASE WHEN jaccard_est >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_ge50,
-         |  CAST(SUM(CASE WHEN jaccard_est >= 0.75 THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_ge75,
-         |  CAST(SUM(CASE WHEN jaccard_est >= 1.0 THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_eq100
-         |FROM mh_pairs""".stripMargin,
-
-    // month-of-year volume vs the uniform 1/12 expectation
-    "q145_seasonality_index" ->
-      """WITH o AS (SELECT month(o_orderdate) AS moy FROM orders),
-        |t AS (SELECT COUNT(*) AS nt FROM o)
-        |SELECT moy, COUNT(*) AS n_orders,
-        |  CAST((COUNT(*) * 12 * 1000000) // nt AS BIGINT) AS index_ppm
-        |FROM o, t GROUP BY moy, nt ORDER BY moy""".stripMargin,
-
-    // first order month per customer; staged cents-ppm share
-    "q146_new_vs_returning" ->
-      """WITH o AS (SELECT o_custkey,
-        |    epoch_us(date_trunc('month', o_orderdate)) AS month_us,
-        |    CAST(round(o_totalprice*100) AS BIGINT) AS cents
-        |  FROM orders),
-        |f AS (SELECT o_custkey, MIN(month_us) AS fm FROM o GROUP BY 1),
-        |m AS (SELECT month_us,
-        |    CAST(SUM(CASE WHEN month_us = fm THEN cents ELSE 0 END) AS BIGINT)
-        |      AS new_cents,
-        |    CAST(SUM(cents) AS BIGINT) AS total_cents
-        |  FROM o JOIN f USING (o_custkey) GROUP BY 1)
-        |SELECT month_us, CAST(new_cents AS DOUBLE)/100.0 AS new_revenue,
-        |  CAST(total_cents - new_cents AS DOUBLE)/100.0 AS returning_revenue,
-        |  CAST((new_cents * 1000) // (total_cents // 1000) AS BIGINT)
-        |    AS new_share_ppm
-        |FROM m ORDER BY month_us""".stripMargin,
-
-    // prefix-sum balance, prefix-max peak, deepest peak-to-trough gap
-    "q147_max_drawdown" ->
-      """WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
-        |    CAST(round(value*100) AS BIGINT) AS cents
-        |  FROM events WHERE value IS NOT NULL),
-        |b AS (SELECT user_id, ts_us, event_id,
-        |    CAST(SUM(cents) OVER w AS BIGINT) AS bal
-        |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
-        |    ROWS UNBOUNDED PRECEDING)),
-        |dd AS (SELECT user_id,
-        |    CAST(MAX(bal) OVER w AS BIGINT) - bal AS dd
-        |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
-        |    ROWS UNBOUNDED PRECEDING))
-        |SELECT user_id, COUNT(*) AS n_points,
-        |  CAST(MAX(dd) AS BIGINT) AS max_drawdown_cents
-        |FROM dd GROUP BY 1
-        |ORDER BY max_drawdown_cents DESC, user_id LIMIT 20""".stripMargin,
-
-    // bit_or-packed day presence; TINYINT bit_count widened to INTEGER
-    "q148_activity_bitmap" ->
-      s"""WITH days AS (SELECT user_id, epoch_us(ts) // $DayUs AS day FROM events),
-         |b AS (SELECT MIN(day) AS d0 FROM days),
-         |m AS (SELECT user_id,
-         |    CAST(bit_or(1::BIGINT << CAST(day - d0 AS INTEGER)) AS BIGINT)
-         |      AS activity_mask
-         |  FROM days, b WHERE day - d0 < 63 GROUP BY 1)
-         |SELECT user_id, activity_mask,
-         |  CAST(bit_count(activity_mask) AS INTEGER) AS active_days
-         |FROM m ORDER BY user_id""".stripMargin,
-
-    // 8-token prefix families with source spread
-    "t28_template_prefixes" ->
-      s"""WITH t AS (SELECT source, $toksSql AS ts FROM documents),
-         |p AS (SELECT source, array_to_string(ts[1:8], ' ') AS prefix
-         |  FROM t WHERE len(ts) >= 8)
-         |SELECT prefix, COUNT(*) AS n_docs,
-         |  COUNT(DISTINCT source) AS n_sources
-         |FROM p GROUP BY 1
-         |ORDER BY n_docs DESC, prefix LIMIT 20""".stripMargin,
-
-    // presence sets → pair counts; integer lift vs independence
-    "q149_event_lift" ->
-      """WITH pres AS (SELECT DISTINCT user_id, event_type FROM events),
-        |nt AS (SELECT COUNT(DISTINCT user_id) AS nt FROM events),
-        |tn AS (SELECT event_type, COUNT(*) AS n FROM pres GROUP BY 1),
-        |pairs AS (SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS n_ab
-        |  FROM pres a JOIN pres b ON a.user_id = b.user_id
-        |    AND a.event_type < b.event_type
-        |  GROUP BY 1, 2)
-        |SELECT ta, tb, n_ab,
-        |  CAST((n_ab * nt * 1000000) // (na.n * nb.n) AS BIGINT) AS lift_ppm
-        |FROM pairs JOIN tn na ON na.event_type = ta
-        |JOIN tn nb ON nb.event_type = tb, nt
-        |ORDER BY ta, tb""".stripMargin,
-
-    // block min/max stats per layout; candidate = probe within [mn, mx]
-    "q150_skipping_audit" ->
-      s"""WITH ev AS (SELECT user_id,
-         |    (epoch_us(ts) - $Jan1_24) // 3600000000 AS hr FROM events),
-         |pr AS (SELECT u FROM (SELECT DISTINCT user_id AS u FROM ev
-         |  ORDER BY u LIMIT 5)),
-         |tstats AS (SELECT hr // 16 AS blk, MIN(user_id) AS mn, MAX(user_id) AS mx
-         |  FROM ev GROUP BY 1),
-         |zc AS (SELECT user_id, user_id & 1023 AS x, hr & 1023 AS y FROM ev),
-         |zstats AS (SELECT ${Layout.zValueSql("x", "y", 10)} // 4096 AS blk,
-         |    MIN(user_id) AS mn, MAX(user_id) AS mx
-         |  FROM zc GROUP BY 1),
-         |a AS (SELECT 'time' AS layout,
-         |    (SELECT COUNT(*) FROM tstats) AS n_blocks,
-         |    (SELECT COUNT(*) FROM tstats, pr WHERE u BETWEEN mn AND mx)
-         |      AS n_candidate
-         |  UNION ALL
-         |  SELECT 'zorder',
-         |    (SELECT COUNT(*) FROM zstats),
-         |    (SELECT COUNT(*) FROM zstats, pr WHERE u BETWEEN mn AND mx))
-         |SELECT layout, CAST(n_blocks AS BIGINT) AS n_blocks,
-         |  CAST(n_candidate AS BIGINT) AS n_candidate,
-         |  CAST(((n_blocks*5 - n_candidate)*1000000) // (n_blocks*5) AS BIGINT)
-         |    AS skip_ppm
-         |FROM a ORDER BY layout""".stripMargin,
-
-    // q62's bloom CTEs aggregated into a measured fp rate
-    "q151_bloom_fpp" ->
-      """WITH hot AS (SELECT DISTINCT o_custkey AS k FROM orders
-        |  WHERE o_totalprice > 490000),
-        |pp AS (SELECT CAST(concat('0x', substr(md5(CAST(i AS VARCHAR) || ':'
-        |      || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 3840 AS pos
-        |  FROM (SELECT k, unnest(range(0, 3)) AS i FROM hot)),
-        |bloom AS (SELECT pos // 60 AS word,
-        |    CAST(bit_or(1::BIGINT << CAST(pos % 60 AS INTEGER)) AS BIGINT) AS bits
-        |  FROM pp GROUP BY 1),
-        |prb AS (SELECT c_custkey, pos // 60 AS word,
-        |    1::BIGINT << CAST(pos % 60 AS INTEGER) AS mask
-        |  FROM (SELECT c_custkey,
-        |      CAST(concat('0x', substr(md5(CAST(i AS VARCHAR) || ':'
-        |        || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 3840 AS pos
-        |    FROM (SELECT c_custkey, unnest(range(0, 3)) AS i FROM customer))),
-        |hits AS (SELECT c_custkey,
-        |    CAST(SUM(CASE WHEN (COALESCE(bits, 0) & mask) <> 0 THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS nh
-        |  FROM prb LEFT JOIN bloom USING (word) GROUP BY c_custkey),
-        |agg AS (SELECT COUNT(*) AS n_probes,
-        |    CAST(SUM(CASE WHEN nh = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
-        |    CAST(SUM(CASE WHEN hot.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n_true
-        |  FROM hits h LEFT JOIN hot ON h.c_custkey = hot.k)
-        |SELECT n_probes, n_maybe, n_true,
-        |  CAST(((n_maybe - n_true) * 1000000) // (n_probes - n_true) AS BIGINT)
-        |    AS fp_ppm
-        |FROM agg""".stripMargin,
-
-    // distinct suppliers per (brand, size); top-20 coverage
-    "q152_supplier_coverage" ->
-      """SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
-        |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |GROUP BY 1, 2
-        |ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 20""".stripMargin,
-
-    // scan+filter+sum with the ×10⁶ exact quantization
-    "q153_forecast_revenue" ->
-      s"""SELECT COUNT(*) AS n_lineitems,
-         |  CAST(CAST(SUM(CAST(round(l_extendedprice*l_discount*1000000) AS BIGINT))
-         |    AS BIGINT) AS DOUBLE)/1000000.0 AS revenue_effect
-         |FROM lineitem
-         |WHERE epoch_us(l_shipdate) >= $Jan1_96 AND epoch_us(l_shipdate) < $Jan1_97
-         |  AND l_discount >= 0.05 AND l_discount <= 0.07
-         |  AND l_quantity < 24""".stripMargin,
-
-    // NTILE bucketing is allocation-exact on both engines (the q120 rule);
-    // new types charge their first decile
-    "t29_vocab_growth" ->
-      s"""WITH dec AS (SELECT doc_id, NTILE(10) OVER (ORDER BY doc_id) AS decile
-         |  FROM documents),
-         |tok AS (SELECT d.doc_id, unnest($toksSql) AS tok FROM documents d),
-         |td AS (SELECT t.tok, dec.decile FROM tok t JOIN dec ON t.doc_id = dec.doc_id),
-         |occ AS (SELECT decile, COUNT(*) AS n_occ FROM td GROUP BY 1),
-         |vn AS (SELECT decile, COUNT(*) AS new_types FROM (
-         |    SELECT tok, MIN(decile) AS decile FROM td GROUP BY 1) GROUP BY 1),
-         |dp AS (SELECT decile, COUNT(*) AS n_docs FROM dec GROUP BY 1)
-         |SELECT dp.decile,
-         |  CAST(SUM(n_docs) OVER w AS BIGINT) AS docs_cum,
-         |  CAST(SUM(n_occ) OVER w AS BIGINT) AS tokens_cum,
-         |  CAST(SUM(COALESCE(new_types, 0)) OVER w AS BIGINT) AS vocab_cum
-         |FROM dp JOIN occ USING (decile) LEFT JOIN vn USING (decile)
-         |WINDOW w AS (ORDER BY dp.decile ROWS UNBOUNDED PRECEDING)
-         |ORDER BY dp.decile""".stripMargin,
-
-    // quantile_cont ≡ Spark percentile (the q26 parity)
-    "q154_tail_latency" ->
-      """SELECT event_type, COUNT(*) AS n,
-        |  quantile_cont(value, 0.5) AS p50,
-        |  quantile_cont(value, 0.9) AS p90,
-        |  quantile_cont(value, 0.99) AS p99
-        |FROM events WHERE value IS NOT NULL
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // anti-join orphans + duplicate-key register, one row
-    "q155_integrity_audit" ->
-      """SELECT
-        |  (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
-        |    (SELECT c_custkey FROM customer)) AS orphan_orders,
-        |  (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN
-        |    (SELECT o_orderkey FROM orders)) AS orphan_lineitems,
-        |  (SELECT COUNT(*) FROM lineitem WHERE l_partkey NOT IN
-        |    (SELECT p_partkey FROM part)) AS orphan_partrefs,
-        |  (SELECT CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) FROM
-        |    (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey))
-        |    AS dup_orderkeys""".stripMargin,
-
-    // plurality lang per source (c desc, lang) then exact ppm purity
-    "t30_language_purity" ->
-      """WITH cnt AS (SELECT source, lang, COUNT(*) AS c FROM documents
-        |  GROUP BY 1, 2),
-        |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs FROM cnt GROUP BY 1),
-        |r AS (SELECT source, lang, c,
-        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, lang) AS rn
-        |  FROM cnt)
-        |SELECT r.source, tot.n_docs, r.lang AS top_lang,
-        |  CAST((r.c * 1000000) // tot.n_docs AS BIGINT) AS purity_ppm
-        |FROM r JOIN tot USING (source) WHERE rn = 1 ORDER BY r.source""".stripMargin,
-
-    // FULL OUTER on consecutive month indices; four components + identity
-    "q156_revenue_bridge" ->
-      """WITH rev AS (SELECT o_custkey,
-        |    year(o_orderdate)*12 + month(o_orderdate) AS midx,
-        |    CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
-        |  FROM orders GROUP BY 1, 2),
-        |j AS (SELECT COALESCE(c.midx, p.midx + 1) AS m,
-        |    COALESCE(c.cents, 0) AS cur, COALESCE(p.cents, 0) AS prv,
-        |    c.cents IS NULL AS gone, p.cents IS NULL AS fresh
-        |  FROM rev c FULL OUTER JOIN rev p
-        |    ON c.o_custkey = p.o_custkey AND c.midx = p.midx + 1),
-        |b AS (SELECT m,
-        |    CAST(SUM(CASE WHEN fresh THEN cur ELSE 0 END) AS BIGINT) AS new_cents,
-        |    CAST(SUM(CASE WHEN NOT fresh AND NOT gone AND cur > prv
-        |      THEN cur - prv ELSE 0 END) AS BIGINT) AS expansion_cents,
-        |    CAST(SUM(CASE WHEN NOT fresh AND NOT gone AND cur < prv
-        |      THEN prv - cur ELSE 0 END) AS BIGINT) AS contraction_cents,
-        |    CAST(SUM(CASE WHEN gone THEN prv ELSE 0 END) AS BIGINT) AS churned_cents
-        |  FROM j GROUP BY 1)
-        |SELECT m, new_cents, expansion_cents, contraction_cents, churned_cents,
-        |  new_cents + expansion_cents - contraction_cents - churned_cents
-        |    AS delta_cents
-        |FROM b ORDER BY m""".stripMargin,
-
-    // exact integer squared distances; mean/min contrast in ppm
-    "s29_distance_contrast" ->
-      s"""WITH v AS (SELECT vec_id, ${qvSql("embedding")} AS v FROM embeddings),
-         |n AS (SELECT vec_id, v,
-         |    CAST(list_sum([v[i]*v[i] for i in range(1,65)]) AS BIGINT) AS nv
-         |  FROM v),
-         |q AS (SELECT vec_id AS query_id, v AS qv, nv AS nq FROM n WHERE vec_id < 5),
-         |p AS (SELECT query_id,
-         |    c.nv + q.nq
-         |      - 2*CAST(list_sum([c.v[i]*q.qv[i] for i in range(1,65)]) AS BIGINT)
-         |      AS d2
-         |  FROM n c CROSS JOIN q q WHERE c.vec_id >= 5)
-         |SELECT query_id, COUNT(*) AS n, CAST(MIN(d2) AS BIGINT) AS min_d2,
-         |  CAST((CAST(SUM(d2) AS BIGINT) * 1000000)
-         |    // (COUNT(*) * greatest(CAST(MIN(d2) AS BIGINT), 1)) AS BIGINT)
-         |    AS contrast_ppm
-         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // lifespan histogram + descending cumulative survivors
-    "q157_survival_curve" ->
-      s"""WITH sp AS (SELECT user_id,
-         |    (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // $DayUs AS lifespan_days
-         |  FROM events GROUP BY 1),
-         |t AS (SELECT COUNT(*) AS nt FROM sp),
-         |h AS (SELECT lifespan_days, COUNT(*) AS n_users FROM sp GROUP BY 1),
-         |c AS (SELECT lifespan_days, n_users, nt,
-         |    CAST(SUM(n_users) OVER (ORDER BY lifespan_days DESC
-         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS surviving
-         |  FROM h, t)
-         |SELECT lifespan_days, n_users,
-         |  CAST((surviving * 1000000) // nt AS BIGINT) AS surviving_ppm
-         |FROM c ORDER BY lifespan_days""".stripMargin,
-
-    "s30_probe_recall_curve" -> ivfProbeSweepSql(nCentroids = 16,
-      iterations = 5, probes = Seq(1, 2, 4), k = 5),
-
-    // boundary token (hash ≡ 0 mod 8) closes a chunk; strict-past cumsum
-    // assigns ids; chunk content hashed via ORDER BY pos string_agg
-    "d23_cdc_chunking" ->
-      s"""WITH t0 AS (SELECT doc_id, $toksSql AS ts FROM documents),
-         |tok AS (SELECT doc_id, unnest(ts) AS tok,
-         |    unnest(range(len(ts))) AS pos FROM t0),
-         |b AS (SELECT doc_id, pos, tok,
-         |    CASE WHEN (ascii(substr(tok,1,1))*7 + length(tok)) % 8 = 0
-         |      THEN 1 ELSE 0 END AS bd
-         |  FROM tok),
-         |cid AS (SELECT doc_id, pos, tok,
-         |    COALESCE(CAST(SUM(bd) OVER (PARTITION BY doc_id ORDER BY pos
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
-         |      AS chunk_id
-         |  FROM b),
-         |ch AS (SELECT doc_id, chunk_id, COUNT(*) AS n_toks,
-         |    md5(string_agg(tok, ' ' ORDER BY pos)) AS h
-         |  FROM cid GROUP BY 1, 2),
-         |agg AS (SELECT COUNT(*) AS n_chunks,
-         |    COUNT(DISTINCT h) AS distinct_chunks,
-         |    CAST(SUM(n_toks) AS BIGINT) AS total_tokens FROM ch)
-         |SELECT n_chunks, distinct_chunks,
-         |  CAST(((n_chunks - distinct_chunks) * 1000000) // n_chunks AS BIGINT)
-         |    AS dup_chunk_ppm,
-         |  CAST((total_tokens * 1000000) // n_chunks AS BIGINT)
-         |    AS mean_chunk_tokens_ppm
-         |FROM agg""".stripMargin,
-
-    // double lag over the same per-user order
-    "q158_bounce_motifs" ->
-      """WITH e AS (SELECT user_id, event_type,
-        |    LAG(event_type, 2) OVER w AS a, LAG(event_type, 1) OVER w AS b
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
-        |SELECT a AS t_outer, b AS t_inner, COUNT(*) AS n_bounces
-        |FROM e WHERE a IS NOT NULL AND a = event_type AND a != b
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // order ships at its max lineitem shipdate; full outer on month index
-    "q159_shipment_backlog" ->
-      """WITH placed AS (SELECT year(o_orderdate)*12 + month(o_orderdate) AS m,
-        |    COUNT(*) AS placed FROM orders GROUP BY 1),
-        |lastship AS (SELECT l_orderkey, MAX(l_shipdate) AS sd FROM lineitem
-        |  GROUP BY 1),
-        |shipped AS (SELECT year(sd)*12 + month(sd) AS m, COUNT(*) AS shipped
-        |  FROM lastship GROUP BY 1),
-        |j AS (SELECT COALESCE(p.m, s.m) AS m, COALESCE(placed, 0) AS placed,
-        |    COALESCE(shipped, 0) AS shipped
-        |  FROM placed p FULL OUTER JOIN shipped s ON p.m = s.m)
-        |SELECT m, placed, shipped,
-        |  CAST(SUM(placed - shipped) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING)
-        |    AS BIGINT) AS backlog
-        |FROM j ORDER BY m""".stripMargin,
-
-    // floored-cents AOV; positive-operand ratio, signed change by subtraction
-    "q160_aov_trend" ->
-      """WITH m AS (SELECT year(o_orderdate)*12 + month(o_orderdate) AS m,
-        |    COUNT(*) AS n_orders,
-        |    CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
-        |  FROM orders GROUP BY 1),
-        |a AS (SELECT m, n_orders, cents // n_orders AS aov_cents FROM m),
-        |l AS (SELECT m, n_orders, aov_cents,
-        |    LAG(aov_cents, 1) OVER (ORDER BY m) AS prev FROM a)
-        |SELECT m, n_orders, CAST(aov_cents AS BIGINT) AS aov_cents,
-        |  CAST((aov_cents * 1000000) // prev AS BIGINT) AS ratio_ppm,
-        |  CAST((aov_cents * 1000000) // prev - 1000000 AS BIGINT) AS change_ppm
-        |FROM l ORDER BY m""".stripMargin,
-
-    // order-granular: max lineitem shipdate vs order date, 30-day bound
-    "q161_priority_sla" ->
-      s"""WITH ls AS (SELECT l_orderkey, MAX(epoch_us(l_shipdate)) AS last_us
-         |  FROM lineitem GROUP BY 1)
-         |SELECT o_orderpriority, COUNT(*) AS n_orders,
-         |  CAST(SUM(CASE WHEN last_us - epoch_us(o_orderdate) <= ${30L * DayUs}
-         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_within_sla,
-         |  CAST((CAST(SUM(CASE WHEN last_us - epoch_us(o_orderdate)
-         |    <= ${30L * DayUs} THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
-         |    // COUNT(*) AS BIGINT) AS sla_ppm
-         |FROM orders JOIN ls ON o_orderkey = l_orderkey
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // both centroid generations come out of ONE unrolled training chain
-    "s31_kmeans_convergence" ->
-      s"""WITH ${ivfCellsSql(16, 5)}
-         |SELECT CAST(p.cell AS BIGINT) AS cell,
-         |  CAST(list_sum([(p.c[i]-q.c[i])*(p.c[i]-q.c[i]) for i in range(1,65)])
-         |    AS BIGINT) AS move_d2
-         |FROM c4 p JOIN c5 q USING (cell) ORDER BY cell""".stripMargin,
-
-    // distinct (source, token) sets; |A∪B| = |A|+|B|−|A∩B|
-    "t31_vocab_overlap" ->
-      s"""WITH st AS (SELECT DISTINCT source, unnest($toksSql) AS tok
-         |  FROM documents),
-         |sz AS (SELECT source, COUNT(*) AS n FROM st GROUP BY 1),
-         |iv AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS n_inter
-         |  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
-         |  GROUP BY 1, 2)
-         |SELECT sa, sb, n_inter,
-         |  CAST((n_inter * 1000000) // (na.n + nb.n - n_inter) AS BIGINT)
-         |    AS jaccard_ppm
-         |FROM iv JOIN sz na ON na.source = sa JOIN sz nb ON nb.source = sb
-         |ORDER BY jaccard_ppm DESC, sa, sb LIMIT 20""".stripMargin,
-
-    // lag gaps → max per user → histogram
-    "q162_resurrection_gaps" ->
-      s"""WITH g AS (SELECT user_id,
-         |    epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id
-         |      ORDER BY epoch_us(ts), event_id) AS gap
-         |  FROM events),
-         |m AS (SELECT user_id, MAX(gap) // $DayUs AS max_gap_days
-         |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
-         |SELECT max_gap_days, COUNT(*) AS n_users
-         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // distinct (order, brand) self-join on the order key
-    "q163_brand_cross_sell" ->
-      """WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand
-        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
-        |SELECT a.p_brand AS ba, b.p_brand AS bb, COUNT(*) AS n_orders
-        |FROM ob a JOIN ob b ON a.ok = b.ok AND a.p_brand < b.p_brand
-        |GROUP BY 1, 2
-        |ORDER BY n_orders DESC, ba, bb LIMIT 20""".stripMargin,
-
-    // corpus counts re-joined per occurrence; rare = count ≤ 2
-    "t32_rare_token_docs" ->
-      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
-         |c AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY 1),
-         |p AS (SELECT doc_id, COUNT(*) AS n_tokens,
-         |    CAST(SUM(CASE WHEN c.c <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
-         |  FROM tok JOIN c USING (tok) GROUP BY 1)
-         |SELECT doc_id, n_tokens, n_rare,
-         |  CAST((n_rare * 1000000) // n_tokens AS BIGINT) AS rare_ppm
-         |FROM p ORDER BY rare_ppm DESC, doc_id LIMIT 20""".stripMargin,
-
-    // keys per murmur2 partition → max-vs-mean skew
-    "q164_route_balance" ->
-      s"""WITH k AS (SELECT DISTINCT user_id, user_id::VARCHAR AS s FROM events),
-         |p AS (SELECT $murmur2PartitionSql AS partition, COUNT(*) AS n_keys
-         |  FROM k GROUP BY 1),
-         |a AS (SELECT COUNT(*) AS n_partitions,
-         |    CAST(SUM(n_keys) AS BIGINT) AS n_keys_total,
-         |    MIN(n_keys) AS min_keys, MAX(n_keys) AS max_keys FROM p)
-         |SELECT n_partitions, n_keys_total, min_keys, max_keys,
-         |  CAST((max_keys * n_partitions * 1000000) // n_keys_total AS BIGINT)
-         |    AS skew_ppm
-         |FROM a""".stripMargin,
-
-    // s{i}v slices vs s{i}e codewords from the shared training chains
-    "s32_pq_distortion" ->
-      s"""WITH v AS (SELECT vec_id AS id, ${qvSql("embedding")} AS v FROM embeddings),
-         |${pqSubspacesSql(8, 16, 3)},
-         |d AS (${(0 until 8).map { i =>
-            s"""SELECT CAST($i AS INTEGER) AS subspace,
-               |  CAST(list_sum([(a.v[i]-e.cv[i])*(a.v[i]-e.cv[i]) for i in range(1,9)])
-               |    AS BIGINT) AS d2
-               |  FROM s${i}v a JOIN s${i}e e USING (id)""".stripMargin
-          }.mkString("\n  UNION ALL ")})
-         |SELECT subspace, COUNT(*) AS n, CAST(SUM(d2) AS BIGINT) AS sum_d2,
-         |  CAST(CAST(SUM(d2) AS BIGINT) // COUNT(*) AS BIGINT) AS mean_d2
-         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // every banded pair; est is k/8 exact, truth from the same gram universe
-    "d24_minhash_calibration" ->
-      s"""WITH ${minhashPairsSql("documents")},
-         |g AS (SELECT doc_id, hs, len(hs) AS ng FROM mh_h),
-         |vv AS (SELECT id_a, id_b, jaccard_est,
-         |    CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS i,
-         |    CAST(a.ng AS BIGINT) AS na, CAST(b.ng AS BIGINT) AS nb
-         |  FROM mh_pairs JOIN g a ON id_a = a.doc_id JOIN g b ON id_b = b.doc_id),
-         |e AS (SELECT CAST(jaccard_est * 8 AS BIGINT) * 125000 AS est_ppm,
-         |    CAST((i * 1000000) // (na + nb - i) AS BIGINT) AS true_ppm
-         |  FROM vv)
-         |SELECT COUNT(*) AS n_pairs,
-         |  CAST(CAST(SUM(abs(est_ppm - true_ppm)) AS BIGINT) // COUNT(*) AS BIGINT)
-         |    AS mae_ppm,
-         |  CAST(MAX(abs(est_ppm - true_ppm)) AS BIGINT) AS max_err_ppm
-         |FROM e""".stripMargin,
-
-    // d9's simhash banding at 4 bands of 4 bits; token-set jaccard truth
-    "d25_simhash_calibration" ->
-      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
-         |tv AS (SELECT doc_id, $vals32Sql AS vals, len(t) AS n FROM toks),
-         |sh AS (SELECT doc_id, CAST($simhashBits32Sql AS BIGINT) AS simhash FROM tv),
-         |banded0 AS (SELECT doc_id, simhash, b, (simhash >> (b*8)) & 255 AS byt
-         |           FROM sh, range(0,4) t(b)),
-         |banded AS (SELECT doc_id, simhash, b, byt FROM (
-         |    SELECT *, COUNT(*) OVER (PARTITION BY b, byt) AS bn FROM banded0)
-         |  WHERE bn <= 128),
-         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         |            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-         |          FROM banded a JOIN banded b USING (b, byt)
-         |          WHERE a.doc_id < b.doc_id),
-         |cand AS (SELECT * FROM pairs WHERE hamming <= 3),
-         |sets AS (SELECT doc_id, list_distinct(t) AS ts FROM toks),
-         |tp AS (SELECT hamming,
-         |    CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS i,
-         |    CAST(len(a.ts) AS BIGINT) AS na, CAST(len(b.ts) AS BIGINT) AS nb
-         |  FROM cand JOIN sets a ON id_a = a.doc_id JOIN sets b ON id_b = b.doc_id),
-         |e AS (SELECT hamming,
-         |    CAST((i * 1000000) // (na + nb - i) AS BIGINT) AS true_ppm FROM tp)
-         |SELECT hamming, COUNT(*) AS n_pairs,
-         |  CAST(CAST(SUM(true_ppm) AS BIGINT) // COUNT(*) AS BIGINT) AS mean_true_ppm
-         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // open at cutoff = last lineitem ships on/after it; 30/60/90 buckets
-    "q165_aging_buckets" ->
-      s"""WITH ls AS (SELECT l_orderkey, MAX(epoch_us(l_shipdate)) AS last_us
-         |  FROM lineitem GROUP BY 1),
-         |o AS (SELECT o_orderkey, epoch_us(o_orderdate) AS od_us,
-         |    CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders),
-         |open_o AS (SELECT ($Jan1_97 - od_us) // $DayUs AS age_days, cents
-         |  FROM o JOIN ls ON o_orderkey = l_orderkey
-         |  WHERE od_us < $Jan1_97 AND last_us >= $Jan1_97)
-         |SELECT CASE WHEN age_days <= 30 THEN 'a_0_30'
-         |    WHEN age_days <= 60 THEN 'b_31_60'
-         |    WHEN age_days <= 90 THEN 'c_61_90'
-         |    ELSE 'd_90_plus' END AS bucket,
-         |  COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS open_cents
-         |FROM open_o GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // staged VMR of whole-minute gaps; floor-guarded denominator
-    "q166_habit_regularity" ->
-      """WITH g AS (SELECT user_id,
-        |    (epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id
-        |      ORDER BY epoch_us(ts), event_id)) // 60000000 AS gap_min
-        |  FROM events),
-        |m AS (SELECT user_id, COUNT(*) AS n, CAST(SUM(gap_min) AS BIGINT) AS sg,
-        |    CAST(SUM(gap_min*gap_min) AS BIGINT) AS qg
-        |  FROM g WHERE gap_min IS NOT NULL GROUP BY 1)
-        |SELECT user_id, n,
-        |  CAST(((n * qg - sg * sg) * 1000) // greatest(((n - 1) * sg) // 1000, 1)
-        |    AS BIGINT) AS vmr_ppm
-        |FROM m WHERE n >= 20 AND sg > 0
-        |ORDER BY vmr_ppm, user_id LIMIT 20""".stripMargin,
-
-    // per-period monetary quintiles; inner join keeps both-period customers
-    "q167_segment_migration" ->
-      s"""WITH o AS (SELECT o_custkey, epoch_us(o_orderdate) AS od_us,
-         |    CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders),
-         |p1 AS (SELECT o_custkey, NTILE(5) OVER (ORDER BY SUM(cents) DESC,
-         |    o_custkey) AS seg_early
-         |  FROM o WHERE od_us < $Jan1_98 GROUP BY o_custkey),
-         |p2 AS (SELECT o_custkey, NTILE(5) OVER (ORDER BY SUM(cents) DESC,
-         |    o_custkey) AS seg_late
-         |  FROM o WHERE od_us >= $Jan1_98 GROUP BY o_custkey)
-         |SELECT CAST(seg_early AS INTEGER) AS seg_early,
-         |  CAST(seg_late AS INTEGER) AS seg_late, COUNT(*) AS n_customers
-         |FROM p1 JOIN p2 USING (o_custkey)
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // exact per-unit cents via integer division by the whole-valued qty
-    "q168_price_dispersion" ->
-      """WITH u AS (SELECT l_partkey,
-        |    CAST(round(l_extendedprice*100) AS BIGINT)
-        |      // CAST(l_quantity AS BIGINT) AS unit_cents
-        |  FROM lineitem),
-        |p AS (SELECT l_partkey, COUNT(*) AS n_sales,
-        |    MIN(unit_cents) AS min_unit, MAX(unit_cents) AS max_unit
-        |  FROM u GROUP BY 1)
-        |SELECT l_partkey, n_sales, min_unit, max_unit,
-        |  max_unit - min_unit AS spread_cents
-        |FROM p ORDER BY spread_cents DESC, l_partkey LIMIT 20""".stripMargin,
-
-    // banded candidates vs true-jaccard ≥ 0.5 (2·i ≥ union, integer)
-    "d26_lsh_precision" ->
-      s"""WITH ${minhashPairsSql("documents")},
-         |g AS (SELECT doc_id, hs, len(hs) AS ng FROM mh_h),
-         |vv AS (SELECT id_a, id_b,
-         |    CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS i,
-         |    CAST(a.ng AS BIGINT) AS na, CAST(b.ng AS BIGINT) AS nb
-         |  FROM mh_pairs JOIN g a ON id_a = a.doc_id JOIN g b ON id_b = b.doc_id),
-         |agg AS (SELECT COUNT(*) AS n_candidates,
-         |    CAST(SUM(CASE WHEN i * 2 >= (na + nb - i) THEN 1 ELSE 0 END)
-         |      AS BIGINT) AS n_verified
-         |  FROM vv)
-         |SELECT n_candidates, n_verified,
-         |  CAST((n_verified * 1000000) // n_candidates AS BIGINT) AS precision_ppm
-         |FROM agg""".stripMargin,
-
-    // q137's integer test with per-type registers
-    "q169_typed_control_chart" ->
-      s"""WITH daily AS (SELECT event_type, epoch_us(ts) // $DayUs AS day,
-         |    COUNT(*) AS x
-         |  FROM events GROUP BY 1, 2),
-         |m AS (SELECT event_type, COUNT(*) AS nn, CAST(SUM(x) AS BIGINT) AS ss,
-         |    CAST(SUM(x*x) AS BIGINT) AS qq
-         |  FROM daily GROUP BY 1)
-         |SELECT event_type, day, x AS n_events,
-         |  CASE WHEN nn*x > ss THEN 'high' ELSE 'low' END AS side
-         |FROM daily JOIN m USING (event_type)
-         |WHERE (nn*x - ss)*(nn*x - ss) > 4*(nn*qq - ss*ss)
-         |ORDER BY event_type, day""".stripMargin,
-
-    // best same-label vs other-label cosine; canonical double per pair
-    "s33_knn_margin" ->
-      s"""WITH v AS (SELECT vec_id, label, ${qvSql("embedding")} AS v FROM embeddings),
-         |n AS (SELECT vec_id, label, v,
-         |    CAST(list_sum([v[i]*v[i] for i in range(1,65)]) AS BIGINT) AS nv
-         |  FROM v),
-         |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv, nv AS nq
-         |  FROM n WHERE vec_id < 5),
-         |p AS (SELECT query_id, qlabel, c.label,
-         |    CASE WHEN c.nv * q.nq = 0 THEN 0.0
-         |      ELSE CAST(list_sum([c.v[i]*q.qv[i] for i in range(1,65)]) AS BIGINT)::DOUBLE
-         |        / sqrt((c.nv * q.nq)::DOUBLE) END AS cosine
-         |  FROM n c CROSS JOIN q q WHERE c.vec_id >= 5)
-         |SELECT query_id, qlabel,
-         |  MAX(CASE WHEN label = qlabel THEN cosine END) AS best_same,
-         |  MAX(CASE WHEN label != qlabel THEN cosine END) AS best_other,
-         |  MAX(CASE WHEN label = qlabel THEN cosine END)
-         |    - MAX(CASE WHEN label != qlabel THEN cosine END) AS margin
-         |FROM p GROUP BY 1, 2 ORDER BY query_id""".stripMargin,
-
-    // first/second order via one ranked window; 90-day bound
-    "q170_second_order_rate" ->
-      s"""WITH r AS (SELECT o_custkey, epoch_us(o_orderdate) AS od_us,
-         |    ROW_NUMBER() OVER (PARTITION BY o_custkey
-         |      ORDER BY epoch_us(o_orderdate), o_orderkey) AS rn
-         |  FROM orders),
-         |f AS (SELECT o_custkey, od_us AS first_us FROM r WHERE rn = 1),
-         |s2 AS (SELECT o_custkey, od_us AS second_us FROM r WHERE rn = 2),
-         |m AS (SELECT epoch_us(date_trunc('month', make_timestamp(first_us)))
-         |      AS cohort_us,
-         |    COUNT(*) AS n_new,
-         |    CAST(SUM(CASE WHEN second_us IS NOT NULL
-         |      AND second_us - first_us <= ${90L * DayUs} THEN 1 ELSE 0 END)
-         |      AS BIGINT) AS n_repeat_90d
-         |  FROM f LEFT JOIN s2 USING (o_custkey) GROUP BY 1)
-         |SELECT cohort_us, n_new, n_repeat_90d,
-         |  CAST((n_repeat_90d * 1000000) // n_new AS BIGINT) AS repeat_ppm
-         |FROM m ORDER BY cohort_us""".stripMargin,
-
-    // q119's rank-weighted Gini identity on the token-count marginal
-    "t34_token_gini" ->
-      s"""WITH tok AS (SELECT source, unnest($toksSql) AS tok FROM documents),
-         |c AS (SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
-         |k AS (SELECT source, c,
-         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY c, tok) AS i FROM c),
-         |m AS (SELECT source, COUNT(*) AS n_types, CAST(SUM(c) AS HUGEINT) AS t,
-         |    CAST(SUM(CAST(i AS HUGEINT) * c) AS HUGEINT) AS w1
-         |  FROM k GROUP BY 1)
-         |SELECT source, n_types, t::DOUBLE AS n_tokens,
-         |  (2*w1 - (n_types+1)*t)::DOUBLE / (n_types*t)::DOUBLE AS gini
-         |FROM m ORDER BY source""".stripMargin,
-
-    // both top-10 rankings once; per-k prefix intersection
-    "s34_recall_at_k" ->
-      s"""WITH q AS (SELECT vec_id, ${qvSql("embedding")} AS qv FROM embeddings),
-         |tp AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    qq.qv AS qa, c.qv AS qb
-         |  FROM q qq JOIN q c ON qq.vec_id < 5 AND qq.vec_id != c.vec_id),
-         |tr AS (SELECT query_id, neighbor_id, rank FROM (
-         |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY $cosSql DESC, neighbor_id) AS rank FROM tp) WHERE rank <= 10),
-         |bucketed AS (SELECT vec_id, qv, $lshBucketSql AS bucket FROM q),
-         |ap AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    qq.qv AS qa, c.qv AS qb
-         |  FROM bucketed qq JOIN bucketed c ON qq.bucket = c.bucket
-         |    AND qq.vec_id < 5 AND qq.vec_id != c.vec_id),
-         |ar AS (SELECT query_id, neighbor_id, rank FROM (
-         |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY $cosSql DESC, neighbor_id) AS rank FROM ap) WHERE rank <= 10),
-         |${Seq(1, 5, 10).map { k =>
-            s"""rec$k AS (SELECT tq.query_id, CAST($k AS INTEGER) AS k,
-               |    CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-               |    CAST((1000000 * COALESCE(h.n_hits, 0)) // $k AS BIGINT) AS recall_ppm
-               |  FROM (SELECT DISTINCT query_id FROM tr) tq
-               |  LEFT JOIN (SELECT t.query_id, COUNT(*) AS n_hits
-               |    FROM (SELECT * FROM tr WHERE rank <= $k) t
-               |    JOIN (SELECT * FROM ar WHERE rank <= $k) a
-               |      ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
-               |    GROUP BY 1) h ON tq.query_id = h.query_id)""".stripMargin
-          }.mkString(",\n")}
-         |SELECT * FROM rec1 UNION ALL SELECT * FROM rec5 UNION ALL
-         |SELECT * FROM rec10 ORDER BY query_id, k""".stripMargin,
-
-    // cent-threshold bands; integer means in ppm
-    "q171_discount_response" ->
-      """WITH b AS (SELECT
-        |    CASE WHEN l_discount < 0.02 THEN 'a_0_2'
-        |         WHEN l_discount < 0.05 THEN 'b_2_5'
-        |         WHEN l_discount < 0.08 THEN 'c_5_8'
-        |         ELSE 'd_8_plus' END AS band,
-        |    CAST(l_quantity AS BIGINT) AS q,
-        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r
-        |  FROM lineitem)
-        |SELECT band, COUNT(*) AS n_lines,
-        |  CAST((CAST(SUM(q) AS BIGINT) * 1000000) // COUNT(*) AS BIGINT)
-        |    AS mean_qty_ppm,
-        |  CAST((CAST(SUM(r) AS BIGINT) * 1000000) // COUNT(*) AS BIGINT)
-        |    AS return_ppm
-        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // base registers + token registers + near-dup doc set from mh_pairs
-    "p4_dataset_card" ->
-      s"""WITH ${minhashPairsSql("documents")},
-         |base AS (SELECT COUNT(*) AS n_docs,
-         |    COUNT(DISTINCT lang) AS n_langs,
-         |    COUNT(DISTINCT source) AS n_sources,
-         |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-         |    COUNT(DISTINCT md5(text)) AS n_unique_texts
-         |  FROM documents),
-         |tk AS (SELECT COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_types
-         |  FROM (SELECT unnest($toksSql) AS tok FROM documents)),
-         |nd AS (SELECT COUNT(*) AS n_near_dup_docs FROM (
-         |  SELECT id_a AS d FROM mh_pairs WHERE jaccard_est >= 0.5
-         |  UNION SELECT id_b FROM mh_pairs WHERE jaccard_est >= 0.5))
-         |SELECT n_docs, n_langs, n_sources, total_chars, n_tokens, n_types,
-         |  CAST(((n_docs - n_unique_texts) * 1000000) // n_docs AS BIGINT)
-         |    AS exact_dup_ppm,
-         |  CAST((n_near_dup_docs * 1000000) // n_docs AS BIGINT) AS near_dup_ppm
-         |FROM base, tk, nd""".stripMargin,
-
-    // epoch-hour mod 24 dayparts; null values contribute 0 cents
-    "q172_daypart_profile" ->
-      """WITH e AS (SELECT event_type, value,
-        |    (epoch_us(ts) // 3600000000) % 24 AS hour FROM events),
-        |b AS (SELECT CASE WHEN hour < 6 THEN 'a_night'
-        |    WHEN hour < 12 THEN 'b_morning'
-        |    WHEN hour < 18 THEN 'c_afternoon'
-        |    ELSE 'd_evening' END AS daypart, event_type, value FROM e)
-        |SELECT daypart, COUNT(*) AS n_events,
-        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_purchases,
-        |  CAST(SUM(COALESCE(CAST(round(value*100) AS BIGINT), 0)) AS BIGINT)
-        |    AS value_cents,
-        |  CAST((CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-        |    AS BIGINT) * 1000000) // COUNT(*) AS BIGINT) AS purchase_ppm
-        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // top-1 share of the top-10 mass; (c desc, tok) rank is total
-    "t35_head_heaviness" ->
-      s"""WITH tok AS (SELECT source, unnest($toksSql) AS tok FROM documents),
-         |c AS (SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
-         |r AS (SELECT source, c,
-         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, tok) AS rn
-         |  FROM c),
-         |m AS (SELECT source, MAX(CASE WHEN rn = 1 THEN c END) AS top1,
-         |    CAST(SUM(c) AS BIGINT) AS top10
-         |  FROM r WHERE rn <= 10 GROUP BY 1)
-         |SELECT source, top1, top10,
-         |  CAST((top1 * 1000000) // top10 AS BIGINT) AS head_ppm
-         |FROM m ORDER BY source""".stripMargin,
-
-    // integer d² sums over 50-anchor sample × corpus; floored means
-    "s35_separability" ->
-      s"""WITH v AS (SELECT vec_id, label, ${qvSql("embedding")} AS v FROM embeddings),
-         |n AS (SELECT vec_id, label, v,
-         |    CAST(list_sum([v[i]*v[i] for i in range(1,65)]) AS BIGINT) AS nv
-         |  FROM v),
-         |a AS (SELECT vec_id AS aid, label AS alabel, v AS av, nv AS an
-         |  FROM n WHERE vec_id < 50),
-         |p AS (SELECT c.label = a.alabel AS same,
-         |    c.nv + a.an
-         |      - 2*CAST(list_sum([c.v[i]*a.av[i] for i in range(1,65)]) AS BIGINT)
-         |      AS d2
-         |  FROM n c CROSS JOIN a WHERE c.vec_id != a.aid),
-         |agg AS (SELECT
-         |    CAST(SUM(CASE WHEN same THEN d2 END) AS BIGINT) AS sw,
-         |    CAST(SUM(CASE WHEN same THEN 1 ELSE 0 END) AS BIGINT) AS nw,
-         |    CAST(SUM(CASE WHEN NOT same THEN d2 END) AS BIGINT) AS sx,
-         |    CAST(SUM(CASE WHEN NOT same THEN 1 ELSE 0 END) AS BIGINT) AS nx
-         |  FROM p)
-         |SELECT nw AS n_within, nx AS n_cross,
-         |  CAST(sw // nw AS BIGINT) AS mean_within_d2,
-         |  CAST(sx // nx AS BIGINT) AS mean_cross_d2,
-         |  CAST(((sw // nw) * 1000000) // (sx // nx) AS BIGINT) AS ratio_ppm
-         |FROM agg""".stripMargin,
-
-    // q125's sessionization CTEs, size-bucketed (least(n,10))
-    "q173_session_size_conversion" ->
-      """WITH flagged AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
-        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000
-        |      THEN 1 ELSE 0 END AS new_s
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
-        |sess AS (SELECT user_id, event_type,
-        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
-        |  FROM flagged),
-        |fl AS (SELECT user_id, session_seq, COUNT(*) AS n_events,
-        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS had_purchase
-        |  FROM sess GROUP BY 1, 2)
-        |SELECT least(n_events, 10) AS size_bucket, COUNT(*) AS n_sessions,
-        |  CAST(SUM(had_purchase) AS BIGINT) AS n_converted,
-        |  CAST((CAST(SUM(had_purchase) AS BIGINT) * 1000000) // COUNT(*) AS BIGINT)
-        |    AS conv_ppm
-        |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin
-  )
-
-  /** Unrolled fixed-iteration PageRank oracle over the brand↔type graph —
-    * same chained-CTE trick as ivfTopKSql: every floor division the Spark
-    * loop performs appears literally, so ranks match bit-for-bit. DuckDB
-    * `//` on non-negative integers ≡ Spark `div`; SUM returns HUGEINT, cast
-    * back to BIGINT after the damped product. */
-  /** Unrolled fixed-iteration label propagation over the brand↔type graph
-    * — each round is neighbor-label counts, per-vertex plurality pick
-    * (count desc, label asc — ASCII byte order, identical collation both
-    * engines) and a keep-own-label fallback for isolated vertices. */
-  private def labelPropSql(iterations: Int): String = {
-    val iters = (1 to iterations).map { i =>
-      s"""l$i AS (SELECT l.vertex, COALESCE(p.label, l.label) AS label
-         |  FROM l${i - 1} l LEFT JOIN (
-         |    SELECT vertex, label FROM (
-         |      SELECT n.vertex, n.label,
-         |        ROW_NUMBER() OVER (PARTITION BY n.vertex
-         |          ORDER BY n.n DESC, n.label) AS rn
-         |      FROM (SELECT e.dst AS vertex, p.label, COUNT(*) AS n
-         |            FROM e JOIN l${i - 1} p ON p.vertex = e.src
-         |            GROUP BY e.dst, p.label) n)
-         |    WHERE rn = 1) p ON p.vertex = l.vertex)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH eraw AS (
-       |  SELECT 'b:' || p_brand AS src, 't:' || p_type AS dst FROM part
-       |  UNION ALL
-       |  SELECT 't:' || p_type AS src, 'b:' || p_brand AS dst FROM part),
-       |e AS (SELECT DISTINCT src, dst FROM eraw WHERE src <> dst),
-       |v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
-       |l0 AS (SELECT vertex, vertex AS label FROM v),
-       |$iters
-       |SELECT vertex, label FROM l$iterations ORDER BY vertex""".stripMargin
-  }
-
-  /** Unrolled synchronous k-core peeling over the co-purchase graph
-    * (mirrors GraphAlgorithms.kCore over cooccurrenceEdges): each round
-    * keeps vertices with current degree ≥ k, then restricts the symmetric
-    * adjacency to kept endpoints. The k-core fixpoint is unique and the
-    * synchronous schedule is deterministic, so `rounds` ≥ the peeling depth
-    * makes the tail rounds no-ops — Spark iterates to the edge-count
-    * fixpoint, the oracle just unrolls generously (like pageRankSql). */
-  private def kCoreSql(k: Int, rounds: Int): String = {
-    // each round references the previous EXACTLY ONCE (DuckDB inlines
-    // CTEs — a 3-reference round would expand 3^rounds). Window counts on
-    // the SYMMETRIC adjacency: COUNT() PARTITION BY u ≡ deg(u), ditto v,
-    // so one filtered projection is the whole peel.
-    val iters = (1 to rounds).map { i =>
-      s"""s$i AS (SELECT u, v FROM (
-         |    SELECT u, v, COUNT(*) OVER (PARTITION BY u) AS du,
-         |      COUNT(*) OVER (PARTITION BY v) AS dv FROM s${i - 1})
-         |  WHERE du >= $k AND dv >= $k)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH li0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-       |e AS (SELECT x.p AS a, y.p AS b
-       |      FROM li0 x JOIN li0 y ON x.o = y.o AND x.p < y.p
-       |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-       |s0 AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
-       |$iters
-       |SELECT u AS vertex, CAST(COUNT(*) AS BIGINT) AS degree
-       |FROM s$rounds GROUP BY u HAVING COUNT(*) >= $k ORDER BY vertex""".stripMargin
-  }
-
-  /** Unrolled synchronous k-truss peeling (mirrors GraphAlgorithms.kTruss
-    * over cooccurrenceEdges). Triangles enumerate once per round from the
-    * smallest corner (x < y < z; Spark's degree-ordered orientation finds
-    * the same triangle SET, so supports agree). Every round's edge/triangle
-    * CTE is MATERIALIZED — each is referenced 3×, and DuckDB inlines
-    * non-materialized CTEs (3^rounds blowup otherwise, the kCoreSql
-    * lesson). */
-  private def kTrussSql(k: Int, rounds: Int): String = {
-    def triSql(i: Int, src: String): String =
-      s"""t$i AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z
-         |  FROM $src e1 JOIN $src e2 ON e1.a = e2.a AND e1.b < e2.b
-         |  JOIN $src e3 ON e3.a = e1.b AND e3.b = e2.b),
-         |s$i AS MATERIALIZED (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM (
-         |    SELECT x AS a, y AS b FROM t$i
-         |    UNION ALL SELECT x, z FROM t$i
-         |    UNION ALL SELECT y, z FROM t$i) GROUP BY 1, 2)""".stripMargin
-    val iters = (1 to rounds).map { i =>
-      s"""${triSql(i, s"e${i - 1}")},
-         |e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
-         |  LEFT JOIN s$i s USING (a, b) WHERE COALESCE(s.c, 0) >= ${k - 2})""".stripMargin
-    }.mkString(",\n")
-    s"""WITH li0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-       |e0 AS MATERIALIZED (SELECT x.p AS a, y.p AS b
-       |  FROM li0 x JOIN li0 y ON x.o = y.o AND x.p < y.p
-       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-       |$iters,
-       |${triSql(rounds + 1, s"e$rounds")}
-       |SELECT e.a, e.b, CAST(COALESCE(s.c, 0) AS BIGINT) AS support
-       |FROM e$rounds e LEFT JOIN s${rounds + 1} s USING (a, b)
-       |WHERE COALESCE(s.c, 0) >= ${k - 2}
-       |ORDER BY a, b""".stripMargin
-  }
-
-  /** Rendezvous routing distribution (mirrors GraftFunctions.rendezvousNode
-    * twice: 3 nodes and 3+1 nodes). The CASE scans nodes in list order, so
-    * ties break identically to the Spark when-chain. */
-  private def rendezvousRouteSql: String = {
-    def h(n: String) =
-      s"CAST(concat('0x', substr(md5('$n:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)"
-    def pick(alias: String, nodes: Seq[String]): String = {
-      val g = s"greatest(${nodes.map(h).mkString(", ")})"
-      val cases = nodes.map(n => s"WHEN ${h(n)} = $g THEN '$n'").mkString(" ")
-      s"(CASE $cases END) AS $alias"
-    }
-    val n3 = Seq("node-a", "node-b", "node-c")
-    s"""WITH keys AS (SELECT DISTINCT user_id FROM events),
-       |r AS (SELECT user_id, ${pick("n3", n3)}, ${pick("n4", n3 :+ "node-d")}
-       |  FROM keys)
-       |SELECT n3, n4, CAST(COUNT(*) AS BIGINT) AS n_keys
-       |FROM r GROUP BY n3, n4 ORDER BY n3, n4""".stripMargin
-  }
-
-  /** Winnowed-fingerprint copy candidates (mirrors Dedup.winnowedPairs):
-    * packed `(hash60 >> 20) · 2²⁰ + pos` argmin per complete gram window,
-    * distinct (doc, fp), whole-bucket df cap, inverted-index pair join. */
-  private def winnowingPairsSql(
-      n: Int, window: Int, minShared: Long, maxFpDf: Long): String =
-    s"""WITH rw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-       |g AS (SELECT doc_id, i - 1 AS pos, ${wordGramSql(n)} AS gram
-       |  FROM rw, UNNEST(generate_series(1, len(ws) - ${n - 1})) AS t(i)),
-       |pk AS (SELECT doc_id, pos,
-       |    (CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) >> 20) * 1048576 + pos AS pk
-       |  FROM g WHERE pos < 1048576),
-       |wv AS (SELECT doc_id, pos,
-       |    MIN(pk) OVER (PARTITION BY doc_id ORDER BY pos
-       |      ROWS BETWEEN CURRENT ROW AND ${window - 1} FOLLOWING) AS wmin,
-       |    COUNT(*) OVER (PARTITION BY doc_id) AS ng
-       |  FROM pk),
-       |sel AS (SELECT DISTINCT doc_id, wmin FROM wv WHERE pos <= ng - $window),
-       |fp AS (SELECT DISTINCT doc_id, wmin >> 20 AS fp FROM sel),
-       |kept AS (SELECT doc_id, fp FROM (
-       |    SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS dfn FROM fp)
-       |  WHERE dfn <= $maxFpDf)
-       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
-       |FROM kept a JOIN kept b USING (fp) WHERE a.doc_id < b.doc_id
-       |GROUP BY 1, 2 HAVING COUNT(*) >= $minShared
-       |ORDER BY id_a, id_b""".stripMargin
-
-  private def pageRankSql(iterations: Int, dampingPpm: Long): String = {
-    val base = 1000000L - dampingPpm
-    val iters = (1 to iterations).map { i =>
-      s"""r$i AS (SELECT v.vertex,
-         |  CAST($base + ($dampingPpm * COALESCE(s.c, 0)) // 1000000 AS BIGINT) AS r
-         |  FROM v LEFT JOIN (
-         |    SELECT e.dst AS vertex, SUM(p.r // d.od) AS c
-         |    FROM e JOIN deg d ON e.src = d.src JOIN r${i - 1} p ON p.vertex = e.src
-         |    GROUP BY e.dst) s USING (vertex))""".stripMargin
-    }.mkString(",\n")
-    s"""WITH eraw AS (
-       |  SELECT 'b:' || p_brand AS src, 't:' || p_type AS dst FROM part
-       |  UNION ALL
-       |  SELECT 't:' || p_type AS src, 'b:' || p_brand AS dst FROM part),
-       |e AS (SELECT DISTINCT src, dst FROM eraw WHERE src <> dst),
-       |v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
-       |deg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
-       |r0 AS (SELECT vertex, CAST(1000000 AS BIGINT) AS r FROM v),
-       |$iters
-       |SELECT vertex, r AS rank_ppm FROM r$iterations ORDER BY vertex""".stripMargin
-  }
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    CoreQueries1.queries ++ CoreQueries2.queries ++ CoreQueries3.queries ++
+      TextQueries.queries ++ DedupQueries.queries ++
+      SimilarityQueries.queries ++ PipelineQueries.queries
+
+  def oracleSql: Map[String, String] =
+    CoreQueries1.oracles ++ CoreQueries2.oracles ++ CoreQueries3.oracles ++
+      TextQueries.oracles ++ DedupQueries.oracles ++
+      SimilarityQueries.oracles ++ PipelineQueries.oracles
 }

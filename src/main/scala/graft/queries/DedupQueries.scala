@@ -1,0 +1,831 @@
+package graft.queries
+
+import graft.core.{Changelog, Tables, TimeRange}
+import graft.functions.GraftFunctions
+import graft.functions.GraftFunctions._
+import graft.multimodal.Multimodal
+import graft.operators._
+import graft.state.{GlobalTable, KVTable, SecondaryIndex}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Support._
+
+/** Deduplication queries (d*). Registry split from the former monolithic
+  * SparkEntry maps; aggregated by [[graft.SparkEntry]]. Each query entry
+  * has its DuckDB oracle adjacent in [[DedupQueries.oracles]]. */
+private[graft] object DedupQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // boilerplate-contamination scoring: trigrams in > dfMax docs are
+    // boilerplate; docs scored by their boilerplate-gram ppm
+    "d13_boilerplate" -> ((s, d) => {
+      TextAnalysis.boilerplateScore(Tables.documents(s, d), "doc_id", "text",
+          n = 3, dfMax = 50L)
+        .orderBy("doc_id")
+    }),
+
+
+    // most-duplicated passages (memorization-risk audit): top 5-gram spans
+    // by cross-document frequency, with occurrence counts
+    "d14_repeated_spans" -> ((s, d) => {
+      Dedup.repeatedSpans(Tables.documents(s, d), "doc_id", "text",
+        n = 5, minDf = 2L, k = 100)
+    }),
+
+
+    // ---- LLM-data-pipeline operators ----
+
+    // exact dedup via content hash (all groups, keeper = min id)
+    "d1_dedup_exact" -> ((s, d) => {
+      Dedup.exact(Tables.documents(s, d), "doc_id", "text", minGroupSize = 1)
+        .orderBy("content_hash")
+    }),
+
+
+    // MinHash + LSH banded near-dup candidates (batch context → materialize
+    // the banded projection once for the self-join)
+    "d2_dedup_minhash" -> ((s, d) => {
+      Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
+        numHashes = 8, shingleSize = 3, rowsPerBand = 2, minEstimate = 0.5,
+        materializeCandidates = true)
+        .orderBy("id_a", "id_b")
+    }),
+
+
+    // incremental day-over-day dedup: the fresh 20% (doc_id % 5 = 0) pairs
+    // against the persisted band table of the other 80% — history never
+    // re-pairs itself; result ≡ full-corpus LSH restricted to ≥1-fresh pairs
+    "d15_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val history = Dedup.bandSignatures(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+        numHashes = 8, shingleSize = 3, rowsPerBand = 2)
+      Dedup.incrementalMinhashLsh(history, docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", numHashes = 8, shingleSize = 3, rowsPerBand = 2,
+        minEstimate = 0.5, materializeCandidates = true)
+        .orderBy("id_a", "id_b")
+    }),
+
+
+    // two-stage dedup: loose LSH candidates (est >= 0.3) verified against
+    // exact shingle Jaccard >= 0.5 — estimate false positives removed
+    "d12_lsh_verified" -> ((s, d) => {
+      Dedup.minhashLshVerified(Tables.documents(s, d), "doc_id", "text",
+        numHashes = 8, shingleSize = 3, rowsPerBand = 2,
+        minEstimate = 0.3, minJaccard = 0.5, materializeCandidates = true)
+        .orderBy("id_a", "id_b")
+    }),
+
+
+    // SimHash 16-bit fingerprints
+    "d3_dedup_simhash" -> ((s, d) => {
+      Dedup.simhash(Tables.documents(s, d), "doc_id", "text", bits = 16)
+        .orderBy("doc_id")
+    }),
+
+
+    // char-3-gram Jaccard within (lang, length-bucket) blocks
+    "d4_dedup_ngram" -> ((s, d) => {
+      val docs = Tables.documents(s, d).withColumn("blk", expr("n_chars div 20"))
+      Dedup.ngramJaccardBlocked(docs, "doc_id", "text", blockCols = Seq("lang", "blk"),
+        n = 3, minJaccard = 0.5, materializeGramSets = true)
+        .orderBy("id_a", "id_b")
+    }),
+
+
+    // consensus dedup: the d2 (MinHash LSH), d9 (SimHash) and d4 (blocked
+    // n-gram Jaccard) detectors merged pair-for-pair with per-signal flags
+    // — act on agreement, review single-signal pairs
+    "d18_consensus_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val mh = Dedup.minhashLsh(docs, "doc_id", "text",
+        numHashes = 8, shingleSize = 3, rowsPerBand = 2, minEstimate = 0.5,
+        materializeCandidates = true)
+      val sh = Dedup.simhashPairs(docs, "doc_id", "text", bits = 16, maxHamming = 1)
+      val nj = Dedup.ngramJaccardBlocked(
+        docs.withColumn("blk", expr("n_chars div 20")), "doc_id", "text",
+        blockCols = Seq("lang", "blk"), n = 3, minJaccard = 0.5,
+        materializeGramSets = true)
+      Dedup.consensusPairs(Seq("minhash" -> mh, "simhash" -> sh, "jaccard" -> nj))
+        .orderBy("id_a", "id_b")
+    }),
+
+
+    // TF-weighted bigram cosine join: candidates share a RARE gram
+    // (df ≤ |corpus| div 50 — a relative cap, so the blocking survives
+    // corpus growth), exact TF dot over the pair's full vectors
+    "d17_tf_cosine" -> ((s, d) => {
+      Dedup.tfCosineJoin(Tables.documents(s, d), "doc_id", "text",
+          n = 2, dfCapDivisor = 50L, minCosine = 0.05)
+        .orderBy("id_a", "id_b")
+    }),
+
+
+    // embedding near-dup within label blocks (quantized cosine)
+    "d5_dedup_embedding" -> ((s, d) => {
+      Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
+        blockCol = "label", minCosine = 0.3)
+        .orderBy("id_a", "id_b")
+    }),
+
+
+    // MinHash LSH with the degenerate-bucket cap ENABLED and tripped (cap=2
+    // drops every band bucket of 3+ docs at both sf0.01 and sf0.1): the
+    // 100 TB guard rail, oracle-proven — the DuckDB side mirrors the exact
+    // whole-bucket drop rule, so parity holds with rows actually dropped
+    "d8_minhash_capped" -> ((s, d) => {
+      Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
+        numHashes = 8, shingleSize = 3, rowsPerBand = 2, minEstimate = 0.5,
+        materializeCandidates = true, maxBucketSize = 2L)
+        .orderBy("id_a", "id_b")
+    }),
+
+
+    // SimHash Hamming-ball near-dup pairs (Manku et al. banding: 2 byte-
+    // bands catch every Hamming<=1 pair via pigeonhole, popcount residual)
+    "d9_simhash_pairs" -> ((s, d) => {
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+        bits = 16, maxHamming = 1)
+        .orderBy("id_a", "id_b")
+    }),
+
+
+    // containment pairs: truncated/embedded copies that Jaccard misses
+    // (blocked by lang only — length-bucketing would separate a copy from
+    // its longer source)
+    "d10_containment" -> ((s, d) => {
+      Dedup.ngramContainment(Tables.documents(s, d), "doc_id", "text",
+        blockCols = Seq("lang"), n = 3, minContainment = 0.8,
+        materializeGramSets = true)
+        .orderBy("id_a", "id_b")
+    }),
+
+
+    // inter-source duplication matrix: near-dup pair counts per source pair
+    // (which sources plagiarize which — the corpus-mix diagnostic). Pairs
+    // are tiny next to the corpus, so the source joins broadcast them.
+    "d11_source_overlap" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        numHashes = 8, shingleSize = 3, rowsPerBand = 2, minEstimate = 0.5,
+        materializeCandidates = true)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.toDF("id_a", "src_a"), "id_a")
+        .join(src.toDF("id_b", "src_b"), "id_b")
+        .select(least(col("src_a"), col("src_b")).as("source_a"),
+          greatest(col("src_a"), col("src_b")).as("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    }),
+
+
+    // near-dup clustering: LSH pairs closed into components, keeper = min id
+    "d7_dedup_clusters" -> ((s, d) => {
+      Dedup.nearDupClusters(s, Tables.documents(s, d), "doc_id", "text",
+        numHashes = 8, shingleSize = 3, rowsPerBand = 2, minEstimate = 0.5)
+        .orderBy("doc_id")
+    }),
+
+
+    // keeper selection: within each near-dup cluster keep the highest
+    // alpha-ratio member (tie -> lowest id) — the quality-aware refinement
+    // of d7's min-id placeholder rule
+    "d16_quality_keeper" -> ((s, d) => {
+      Dedup.qualityKeeper(s, Tables.documents(s, d), "doc_id", "text",
+        numHashes = 8, shingleSize = 3, rowsPerBand = 2, minEstimate = 0.5)
+        .orderBy("doc_id")
+    }),
+
+
+    // benchmark decontamination: train docs sharing an 8-gram with the
+    // (src0-as-benchmark) eval corpus; broadcast eval gram set, no shuffle
+    "d6_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminate(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
+
+    // corpus duplication profile: near-dup cluster-size histogram (how many
+    // singletons / pairs / bigger families) — d7's clusters rolled up twice
+    // (cluster → size, size → count); frames are cluster-sized, never docs²
+    "d20_cluster_sizes" -> ((s, d) => {
+      val clusters = Dedup.nearDupClusters(s, Tables.documents(s, d), "doc_id", "text",
+        numHashes = 8, shingleSize = 3, rowsPerBand = 2, minEstimate = 0.5)
+      clusters.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+        .orderBy("cluster_size")
+    }),
+
+
+    // PPJoin-family prefix-filtered similarity join: LOSSLESS candidates
+    // (unlike LSH/blocking) — rarest-first gram prefixes + in-join size
+    // filter, exact merge-count verify; the oracle is the plain all-pairs
+    // definition because the filter provably misses nothing
+    "d19_prefix_join" -> ((s, d) => {
+      Dedup.prefixFilterJaccard(Tables.documents(s, d), "doc_id", "text",
+          tNum = 1L, tDen = 2L, blockCols = Seq("lang"))
+        .orderBy("id_a", "id_b")
+    }),
+
+
+    // storage-savings report: bytes reclaimed per source by exact text
+    // dedup (keep-one-per-hash) — the go/no-go number before running the
+    // expensive near-dup passes; one groupBy on (source, md5) then a
+    // source-sized rollup, identical-text groups share n_chars so the
+    // keeper's size is min(n_chars)
+    "d21_dedup_savings" -> ((s, d) => {
+      val g = Tables.documents(s, d)
+        .select(col("source"), col("n_chars"), md5(col("text")).as("h"))
+        .groupBy("source", "h")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("gc"),
+          min(col("n_chars")).as("kc"))
+      g.groupBy("source")
+        .agg(count(lit(1)).as("n_unique"), sum(col("n")).as("n_docs"),
+          sum(col("gc")).as("total_chars"), sum(col("kc")).as("kept_chars"))
+        .withColumn("savings_ppm",
+          expr("((total_chars - kept_chars) * 1000000) div total_chars"))
+        .orderBy("source")
+    }),
+
+
+    // LSH operating-curve sweep: candidate pairs surviving at each
+    // estimated-jaccard threshold (multiples of 1/8 — exact doubles) from
+    // ONE banding pass — the tuning table for choosing d2's minEstimate
+    "d22_lsh_threshold_sweep" -> ((s, d) => {
+      val pairs = Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
+        numHashes = 8, shingleSize = 3, rowsPerBand = 2, minEstimate = 0.0,
+        materializeCandidates = true)
+      pairs.agg(count(lit(1)).as("n_candidates"),
+        sum((col("jaccard_est") >= 0.25).cast("long")).as("n_ge25"),
+        sum((col("jaccard_est") >= 0.5).cast("long")).as("n_ge50"),
+        sum((col("jaccard_est") >= 0.75).cast("long")).as("n_ge75"),
+        sum((col("jaccard_est") >= 1.0).cast("long")).as("n_eq100"))
+    }),
+
+
+    // content-defined chunking dedup (the rsync/LBFS idea on tokens): a
+    // token whose cheap hash ≡ 0 (mod 8) closes a chunk, so chunk
+    // boundaries survive insertions/deletions unlike fixed windows; report
+    // corpus-level chunk count, distinct-content count, duplicate share
+    // and mean chunk length — the byte-savings estimate for chunk-level
+    // storage dedup
+    "d23_cdc_chunking" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+        .withColumn("b",
+          ((ascii(col("tok")) * 7 + length(col("tok"))) % 8 === 0).cast("long"))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val chunks = toks
+        .withColumn("chunk_id", coalesce(sum(col("b"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .groupBy("doc_id", "chunk_id")
+        .agg(count(lit(1)).as("n_toks"),
+          md5(expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')"))
+            .as("h"))
+      chunks.agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("h")).as("distinct_chunks"),
+          sum(col("n_toks")).as("total_tokens"))
+        .select(col("n_chunks"), col("distinct_chunks"),
+          expr("((n_chunks - distinct_chunks) * 1000000) div n_chunks")
+            .as("dup_chunk_ppm"),
+          expr("(total_tokens * 1000000) div n_chunks")
+            .as("mean_chunk_tokens_ppm"))
+    }),
+
+
+    // MinHash estimator calibration: |est − true| jaccard over EVERY banded
+    // candidate pair, in exact ppm (est is a multiple of 1/8 — exact in
+    // doubles; truth from the same 60-bit gram universe the signatures
+    // hashed) — the measured error bar behind d2's minEstimate choice
+    "d24_minhash_calibration" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cand = Dedup.minhashLsh(docs, "doc_id", "text", numHashes = 8,
+        shingleSize = 3, rowsPerBand = 2, minEstimate = 0.0,
+        materializeCandidates = true)
+      val gs = docs.select(col("doc_id").as("doc"),
+          wordNgramHashSet(concat_ws(" ", tokens(col("text"))), 3).as("gs"))
+        .withColumn("ng", size(col("gs")).cast("long")).filter(col("ng") > 0)
+      cand
+        .join(gs.select(col("doc").as("id_a"), col("gs").as("ga"), col("ng").as("na")), "id_a")
+        .join(gs.select(col("doc").as("id_b"), col("gs").as("gb"), col("ng").as("nb")), "id_b")
+        .withColumn("inter", sortedIntersectCount(col("ga"), col("gb")).cast("long"))
+        .withColumn("true_ppm", expr("(inter * 1000000) div (na + nb - inter)"))
+        .withColumn("est_ppm", (col("jaccard_est") * 8).cast("long") * 125000L)
+        .withColumn("err", abs(col("est_ppm") - col("true_ppm")))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("err")).as("sum_err"),
+          max(col("err")).as("max_err_ppm"))
+        .select(col("n_pairs"), expr("sum_err div n_pairs").as("mae_ppm"),
+          col("max_err_ppm"))
+    }),
+
+
+    // SimHash distance ↔ token-set Jaccard calibration: mean true Jaccard
+    // per Hamming distance over banded candidate pairs (4 bands of 8 bits
+    // ⇒ Hamming ≤ 3 complete) — monotone decay validates the fingerprint
+    // as a similarity proxy; set ops on token arrays, pair frames tiny.
+    // Scale bound (PLANS.md d25): 32-bit fingerprint keeps each band's
+    // value space at 256 (not 16), and capBuckets(128) whole-bucket-drops
+    // degenerate template clusters, so candidate pairs are ≤
+    // 4·256·128²/2 ≈ 8.4M at ANY corpus size — constant, not quadratic.
+    // Measured sf0.01→sf0.1: candidates 26k→262k (linear in docs).
+    "d25_simhash_calibration" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+        bits = 32, maxHamming = 3, maxBucketSize = 128L)
+      val ts = docs.select(col("doc_id").as("doc"),
+        array_distinct(tokens(col("text"))).as("ts"))
+      pairs
+        .join(ts.select(col("doc").as("id_a"), col("ts").as("ta")), "id_a")
+        .join(ts.select(col("doc").as("id_b"), col("ts").as("tb")), "id_b")
+        .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+        .withColumn("true_ppm", expr(
+          "(inter * 1000000) div (size(ta) + size(tb) - inter)"))
+        .groupBy("hamming")
+        .agg(count(lit(1)).as("n_pairs"), sum(col("true_ppm")).as("s"))
+        .select(col("hamming"), col("n_pairs"),
+          expr("s div n_pairs").as("mean_true_ppm"))
+        .orderBy("hamming")
+    }),
+
+
+    // LSH candidate precision: share of banded candidates whose TRUE
+    // 3-gram jaccard clears 0.5 — with d24's MAE, the full quality card
+    // for the d2 index (recall is 1 by construction above the band design
+    // point); one row
+    "d26_lsh_precision" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cand = Dedup.minhashLsh(docs, "doc_id", "text", numHashes = 8,
+        shingleSize = 3, rowsPerBand = 2, minEstimate = 0.0,
+        materializeCandidates = true)
+      val gs = docs.select(col("doc_id").as("doc"),
+          wordNgramHashSet(concat_ws(" ", tokens(col("text"))), 3).as("gs"))
+        .withColumn("ng", size(col("gs")).cast("long")).filter(col("ng") > 0)
+      cand
+        .join(gs.select(col("doc").as("id_a"), col("gs").as("ga"), col("ng").as("na")), "id_a")
+        .join(gs.select(col("doc").as("id_b"), col("gs").as("gb"), col("ng").as("nb")), "id_b")
+        .withColumn("inter", sortedIntersectCount(col("ga"), col("gb")).cast("long"))
+        .withColumn("hit",
+          (col("inter") * 2L >= (col("na") + col("nb") - col("inter"))).cast("long"))
+        .agg(count(lit(1)).as("n_candidates"), sum(col("hit")).as("n_verified"))
+        .withColumn("precision_ppm", expr("(n_verified * 1000000) div n_candidates"))
+    }),
+
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    // same string_split(text,' ') gram semantics as d6; DISTINCT grams per
+    // doc (WordNgramHashSet is a set); whole-corpus df then left-mark join
+    "d13_boilerplate" ->
+      s"""WITH rw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |g AS (SELECT DISTINCT doc_id, substr(md5(${wordGramSql(3)}), 1, 15) AS h
+         |      FROM rw, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+         |b AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM g GROUP BY h) WHERE df > 50),
+         |sc AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |         CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+         |       FROM g LEFT JOIN b USING (h) GROUP BY g.doc_id)
+         |SELECT d.doc_id, COALESCE(sc.n_grams, 0) AS n_grams,
+         |  COALESCE(sc.n_boiler, 0) AS n_boiler,
+         |  CASE WHEN COALESCE(sc.n_grams, 0) > 0
+         |    THEN sc.n_boiler*1000000//sc.n_grams ELSE 0 END AS boiler_ppm
+         |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+
+    // surface-form 5-gram spans (string_split ' ', empties kept, same ws
+    // frame as d13) with multiplicity; total order df/n_occ/gram
+    "d14_repeated_spans" -> repeatedSpansSql,
+
+
+    "d1_dedup_exact" ->
+      s"""SELECT md5($normSql) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "d2_dedup_minhash" ->
+      s"""WITH ${minhashPairsSql("documents")}
+         |SELECT id_a, id_b, jaccard_est FROM mh_pairs WHERE jaccard_est >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+
+    // the incremental path is pair-for-pair the full-corpus LSH minus
+    // history-only pairs — the oracle says so literally
+    "d15_incremental_dedup" ->
+      s"""WITH ${minhashPairsSql("documents")}
+         |SELECT id_a, id_b, jaccard_est FROM mh_pairs
+         |WHERE jaccard_est >= 0.5 AND (id_a % 5 = 0 OR id_b % 5 = 0)
+         |ORDER BY id_a, id_b""".stripMargin,
+
+
+    // candidates from the same unrolled minhash CTEs (mh_h carries each
+    // doc's distinct shingle hashes), verified by exact list intersection
+    "d12_lsh_verified" ->
+      s"""WITH ${minhashPairsSql("documents")},
+         |g AS (SELECT doc_id, hs, len(hs) AS ng FROM mh_h),
+         |cand AS (SELECT id_a, id_b FROM mh_pairs WHERE jaccard_est >= 0.3),
+         |v AS (SELECT id_a, id_b,
+         |        len(list_intersect(a.hs, b.hs)) AS i, a.ng AS na, b.ng AS nb
+         |      FROM cand JOIN g a ON id_a = a.doc_id JOIN g b ON id_b = b.doc_id)
+         |SELECT id_a, id_b, CAST(i AS DOUBLE)/(na + nb - i) AS jaccard
+         |FROM v WHERE CAST(i AS DOUBLE)/(na + nb - i) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+
+    "d3_dedup_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |tv AS (SELECT doc_id,
+         |  [ (strpos('0123456789abcdef', substr(md5(x),1,1))-1)*4096
+         |  + (strpos('0123456789abcdef', substr(md5(x),2,1))-1)*256
+         |  + (strpos('0123456789abcdef', substr(md5(x),3,1))-1)*16
+         |  + (strpos('0123456789abcdef', substr(md5(x),4,1))-1) for x in t] AS vals,
+         |  len(t) AS n FROM toks)
+         |SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS simhash FROM tv ORDER BY doc_id""".stripMargin,
+
+
+    "d4_dedup_ngram" ->
+      s"""WITH n AS (SELECT doc_id, lang, n_chars//20 AS blk, $normSql AS s FROM documents),
+         |g AS (SELECT doc_id, lang, blk,
+         |        unnest(list_distinct([substr(md5(x), 1, 15) for x in
+         |          list_distinct([substr(s, i, 3) for i in range(1, greatest(length(s)-2, 0)+1)])])) AS gram
+         |      FROM n),
+         |sizes AS (SELECT doc_id, COUNT(*) AS ng FROM g GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+         |          FROM g a JOIN g b ON a.lang = b.lang AND a.blk = b.blk AND a.gram = b.gram
+         |            AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT id_a, id_b, CAST(i AS DOUBLE)/(sa.ng + sb.ng - i) AS jaccard
+         |FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+         |WHERE CAST(i AS DOUBLE)/(sa.ng + sb.ng - i) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+
+    // the d2/d9/d4 oracle pipelines verbatim (prefix-renamed CTEs), then
+    // pair-frame flag joins — the union is every pair ANY signal fired on
+    "d18_consensus_dedup" ->
+      s"""WITH ${minhashPairsSql("documents")},
+         |mhf AS (SELECT id_a, id_b FROM mh_pairs WHERE jaccard_est >= 0.5),
+         |stoks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |stv AS (SELECT doc_id,
+         |  [ (strpos('0123456789abcdef', substr(md5(x),1,1))-1)*4096
+         |  + (strpos('0123456789abcdef', substr(md5(x),2,1))-1)*256
+         |  + (strpos('0123456789abcdef', substr(md5(x),3,1))-1)*16
+         |  + (strpos('0123456789abcdef', substr(md5(x),4,1))-1) for x in t] AS vals,
+         |  len(t) AS n FROM stoks),
+         |ssh AS (SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS simhash FROM stv),
+         |sbanded AS (SELECT doc_id, simhash, b, (simhash >> (b*8)) & 255 AS byte
+         |           FROM ssh, range(0,2) t(b)),
+         |shf AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |          FROM sbanded a JOIN sbanded b USING (b, byte)
+         |          WHERE a.doc_id < b.doc_id
+         |            AND bit_count(xor(a.simhash, b.simhash)) <= 1),
+         |jn AS (SELECT doc_id, lang, n_chars//20 AS blk, $normSql AS s FROM documents),
+         |jg AS (SELECT doc_id, lang, blk,
+         |        unnest(list_distinct([substr(md5(x), 1, 15) for x in
+         |          list_distinct([substr(s, i, 3) for i in range(1, greatest(length(s)-2, 0)+1)])])) AS gram
+         |      FROM jn),
+         |jsizes AS (SELECT doc_id, COUNT(*) AS ng FROM jg GROUP BY doc_id),
+         |jinter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+         |          FROM jg a JOIN jg b ON a.lang = b.lang AND a.blk = b.blk AND a.gram = b.gram
+         |            AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |jf AS (SELECT id_a, id_b FROM jinter
+         |  JOIN jsizes sa ON id_a = sa.doc_id JOIN jsizes sb ON id_b = sb.doc_id
+         |  WHERE CAST(i AS DOUBLE)/(sa.ng + sb.ng - i) >= 0.5),
+         |allp AS (SELECT id_a, id_b FROM mhf UNION
+         |         SELECT id_a, id_b FROM shf UNION
+         |         SELECT id_a, id_b FROM jf)
+         |SELECT p.id_a, p.id_b,
+         |  CAST(CASE WHEN m.id_a IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS minhash,
+         |  CAST(CASE WHEN s2.id_a IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS simhash,
+         |  CAST(CASE WHEN j2.id_a IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS jaccard,
+         |  CAST(CASE WHEN m.id_a IS NOT NULL THEN 1 ELSE 0 END
+         |     + CASE WHEN s2.id_a IS NOT NULL THEN 1 ELSE 0 END
+         |     + CASE WHEN j2.id_a IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS n_signals
+         |FROM allp p
+         |LEFT JOIN mhf m ON m.id_a = p.id_a AND m.id_b = p.id_b
+         |LEFT JOIN shf s2 ON s2.id_a = p.id_a AND s2.id_b = p.id_b
+         |LEFT JOIN jf j2 ON j2.id_a = p.id_a AND j2.id_b = p.id_b
+         |ORDER BY p.id_a, p.id_b""".stripMargin,
+
+
+    // d14's surface-form word-gram semantics (string_split ' ', empties
+    // kept) at n=2; tf is MATERIALIZED (referenced 4×, r7 CTE-inlining
+    // rule); same relative df cap and full-vector dot as the Spark side
+    "d17_tf_cosine" ->
+      s"""WITH rw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |tf AS MATERIALIZED (SELECT doc_id, h, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, substr(md5(${wordGramSql(2)}), 1, 15) AS h
+         |    FROM rw, UNNEST(generate_series(1, len(ws) - 1)) AS t(i))
+         |  GROUP BY doc_id, h),
+         |nrm AS (SELECT doc_id, CAST(SUM(tf*tf) AS BIGINT) AS n2 FROM tf GROUP BY 1),
+         |rare AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM tf GROUP BY h)
+         |  WHERE df <= (SELECT COUNT(*) FROM documents) // 50),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM tf a JOIN rare r ON a.h = r.h
+         |  JOIN tf b ON b.h = a.h AND a.doc_id < b.doc_id),
+         |dots AS (SELECT c.id_a, c.id_b, CAST(SUM(ta.tf * tb.tf) AS BIGINT) AS dot
+         |  FROM cand c JOIN tf ta ON ta.doc_id = c.id_a
+         |  JOIN tf tb ON tb.doc_id = c.id_b AND tb.h = ta.h
+         |  GROUP BY 1, 2),
+         |sims AS (SELECT d.id_a, d.id_b, d.dot,
+         |    CASE WHEN na.n2 * nb.n2 = 0 THEN 0.0
+         |         ELSE d.dot::DOUBLE / sqrt((na.n2 * nb.n2)::DOUBLE) END AS cosine
+         |  FROM dots d JOIN nrm na ON na.doc_id = d.id_a
+         |  JOIN nrm nb ON nb.doc_id = d.id_b)
+         |SELECT id_a, id_b, dot, cosine FROM sims WHERE cosine >= 0.05
+         |ORDER BY id_a, id_b""".stripMargin,
+
+
+    "d5_dedup_embedding" ->
+      s"""WITH q AS (SELECT vec_id, label, ${qvSql("embedding")} AS qv FROM embeddings),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.qv AS qa, b.qv AS qb
+         |      FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id),
+         |c AS (SELECT id_a, id_b, $cosSql AS cosine FROM p)
+         |SELECT id_a, id_b, cosine FROM c WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+
+
+    "d8_minhash_capped" ->
+      s"""WITH ${minhashPairsSql("documents", cap = Some(2L))}
+         |SELECT id_a, id_b, jaccard_est FROM mh_pairs WHERE jaccard_est >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+
+    // simhash per doc (same CTE chain as d3), then Manku-style banding:
+    // 2 byte-bands, equi-join on (band, byte value), exact popcount
+    // residual. bit_count returns TINYINT in DuckDB / INT in Spark → CAST.
+    "d9_simhash_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |tv AS (SELECT doc_id,
+         |  [ (strpos('0123456789abcdef', substr(md5(x),1,1))-1)*4096
+         |  + (strpos('0123456789abcdef', substr(md5(x),2,1))-1)*256
+         |  + (strpos('0123456789abcdef', substr(md5(x),3,1))-1)*16
+         |  + (strpos('0123456789abcdef', substr(md5(x),4,1))-1) for x in t] AS vals,
+         |  len(t) AS n FROM toks),
+         |sh AS (SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS simhash FROM tv),
+         |banded AS (SELECT doc_id, simhash, b, (simhash >> (b*8)) & 255 AS byte
+         |           FROM sh, range(0,2) t(b)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |          FROM banded a JOIN banded b USING (b, byte)
+         |          WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 1
+         |ORDER BY id_a, id_b""".stripMargin,
+
+
+    "d10_containment" ->
+      s"""WITH n AS (SELECT doc_id, lang, $normSql AS s FROM documents),
+         |g AS (SELECT doc_id, lang,
+         |        unnest(list_distinct([substr(md5(x), 1, 15) for x in
+         |          list_distinct([substr(s, i, 3) for i in range(1, greatest(length(s)-2, 0)+1)])])) AS gram
+         |      FROM n),
+         |sizes AS (SELECT doc_id, COUNT(*) AS ng FROM g GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+         |          FROM g a JOIN g b ON a.lang = b.lang AND a.gram = b.gram
+         |            AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT id_a, id_b, CAST(i AS DOUBLE)/least(sa.ng, sb.ng) AS containment
+         |FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+         |WHERE CAST(i AS DOUBLE)/least(sa.ng, sb.ng) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+
+
+    "d11_source_overlap" ->
+      s"""WITH ${minhashPairsSql("documents")},
+         |f AS (SELECT id_a, id_b FROM mh_pairs WHERE jaccard_est >= 0.5)
+         |SELECT least(a.source, b.source) AS source_a,
+         |  greatest(a.source, b.source) AS source_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM f JOIN documents a ON f.id_a = a.doc_id
+         |       JOIN documents b ON f.id_b = b.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+
+    "d7_dedup_clusters" ->
+      s"""WITH RECURSIVE ${minhashPairsSql("documents")},
+         |cl_e AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs WHERE jaccard_est >= 0.5),
+         |cl_sym AS (SELECT src, dst FROM cl_e UNION SELECT dst, src FROM cl_e),
+         |cl_reach(a, b) AS (
+         |  SELECT src, src FROM cl_sym
+         |  UNION
+         |  SELECT r.a, s.dst FROM cl_reach r JOIN cl_sym s ON r.b = s.src),
+         |cl_comp AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM cl_reach GROUP BY a)
+         |SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         |  d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS is_keeper
+         |FROM documents d LEFT JOIN cl_comp c USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+
+    // same cluster CTEs as d7 + the alpha-ppm quality rank; keeper =
+    // FIRST_VALUE over (alpha_ppm DESC, doc_id) per cluster
+    "d16_quality_keeper" ->
+      s"""WITH RECURSIVE ${minhashPairsSql("documents")},
+         |cl_e AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs WHERE jaccard_est >= 0.5),
+         |cl_sym AS (SELECT src, dst FROM cl_e UNION SELECT dst, src FROM cl_e),
+         |cl_reach(a, b) AS (
+         |  SELECT src, src FROM cl_sym
+         |  UNION
+         |  SELECT r.a, s.dst FROM cl_reach r JOIN cl_sym s ON r.b = s.src),
+         |cl_comp AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM cl_reach GROUP BY a),
+         |q AS (SELECT doc_id,
+         |    CASE WHEN length(text) > 0
+         |      THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))*1000000 // length(text)
+         |      ELSE 0 END AS alpha_ppm
+         |  FROM documents),
+         |j AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id, q.alpha_ppm
+         |  FROM documents d LEFT JOIN cl_comp c USING (doc_id) JOIN q USING (doc_id)),
+         |e AS (SELECT doc_id, cluster_id,
+         |    FIRST_VALUE(doc_id) OVER (PARTITION BY cluster_id
+         |      ORDER BY alpha_ppm DESC, doc_id) AS keeper_id,
+         |    CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+         |  FROM j)
+         |SELECT doc_id, cluster_id, keeper_id, doc_id = keeper_id AS is_keeper,
+         |  cluster_size
+         |FROM e ORDER BY doc_id""".stripMargin,
+
+
+    "d6_decontaminate" ->
+      s"""WITH tw AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |    FROM documents WHERE source <> 'src0'),
+         |tg AS (SELECT DISTINCT doc_id, substr(md5(${wordGramSql(8)}), 1, 15) AS h
+         |    FROM tw, UNNEST(generate_series(1, len(ws) - 7)) AS t(i)),
+         |ew AS (SELECT string_split(text, ' ') AS ws
+         |    FROM documents WHERE source = 'src0'),
+         |eg AS (SELECT DISTINCT substr(md5(${wordGramSql(8)}), 1, 15) AS h
+         |    FROM ew, UNNEST(generate_series(1, len(ws) - 7)) AS t(i)),
+         |hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |    FROM tg JOIN eg USING (h) GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(hits.n_hits, 0) AS n_hits,
+         |  COALESCE(hits.n_hits, 0) > 0 AS contaminated
+         |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+         |LEFT JOIN hits USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+
+    // d7's cluster CTEs → size histogram
+    "d20_cluster_sizes" ->
+      s"""WITH RECURSIVE ${minhashPairsSql("documents")},
+         |cl_e AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs WHERE jaccard_est >= 0.5),
+         |cl_sym AS (SELECT src, dst FROM cl_e UNION SELECT dst, src FROM cl_e),
+         |cl_reach(a, b) AS (
+         |  SELECT src, src FROM cl_sym
+         |  UNION
+         |  SELECT r.a, s.dst FROM cl_reach r JOIN cl_sym s ON r.b = s.src),
+         |cl_comp AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM cl_reach GROUP BY a),
+         |assigned AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN cl_comp c ON c.doc_id = d.doc_id),
+         |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM assigned GROUP BY 1)
+         |SELECT cluster_size, COUNT(*) AS n_clusters,
+         |  cluster_size * COUNT(*) AS n_docs
+         |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    // the DEFINITION the lossless filter implements: all pairs, bigram-set
+    // Jaccard ≥ 1/2 as the integer test 2·inter ≥ union; raw gram strings
+    // intersect identically to the engine's 60-bit hashes
+    "d19_prefix_join" ->
+      s"""WITH tk AS (SELECT doc_id, lang, $toksSql AS t FROM documents),
+         |g AS (SELECT doc_id, lang, list_sort(list_distinct(
+         |    [t[i] || ' ' || t[i+1] for i in range(1, len(t))])) AS gs FROM tk),
+         |sets AS (SELECT doc_id, lang, gs, CAST(len(gs) AS BIGINT) AS n FROM g
+         |  WHERE len(gs) > 0),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) AS inter,
+         |    a.n AS na, b.n AS nb
+         |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id AND a.lang = b.lang
+         |    AND a.n <= 2*b.n AND b.n <= 2*a.n)
+         |SELECT id_a, id_b, inter,
+         |  inter::DOUBLE / (na + nb - inter) AS jaccard
+         |FROM p WHERE 2*inter >= na + nb - inter
+         |ORDER BY id_a, id_b""".stripMargin,
+
+
+    // keep-one-per-md5 groups; keeper size = min(n_chars) of the group
+    "d21_dedup_savings" ->
+      """WITH g AS (SELECT source, md5(text) AS h, COUNT(*) AS n,
+        |    CAST(SUM(n_chars) AS BIGINT) AS gc, MIN(n_chars) AS kc
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, COUNT(*) AS n_unique, CAST(SUM(n) AS BIGINT) AS n_docs,
+        |  CAST(SUM(gc) AS BIGINT) AS total_chars,
+        |  CAST(SUM(kc) AS BIGINT) AS kept_chars,
+        |  CAST(((CAST(SUM(gc) AS BIGINT) - CAST(SUM(kc) AS BIGINT)) * 1000000)
+        |    // CAST(SUM(gc) AS BIGINT) AS BIGINT) AS savings_ppm
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    // one banding pass, conditional sums at the 1/8-multiple thresholds
+    "d22_lsh_threshold_sweep" ->
+      s"""WITH ${minhashPairsSql("documents")}
+         |SELECT COUNT(*) AS n_candidates,
+         |  CAST(SUM(CASE WHEN jaccard_est >= 0.25 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_ge25,
+         |  CAST(SUM(CASE WHEN jaccard_est >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_ge50,
+         |  CAST(SUM(CASE WHEN jaccard_est >= 0.75 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_ge75,
+         |  CAST(SUM(CASE WHEN jaccard_est >= 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_eq100
+         |FROM mh_pairs""".stripMargin,
+
+
+    // boundary token (hash ≡ 0 mod 8) closes a chunk; strict-past cumsum
+    // assigns ids; chunk content hashed via ORDER BY pos string_agg
+    "d23_cdc_chunking" ->
+      s"""WITH t0 AS (SELECT doc_id, $toksSql AS ts FROM documents),
+         |tok AS (SELECT doc_id, unnest(ts) AS tok,
+         |    unnest(range(len(ts))) AS pos FROM t0),
+         |b AS (SELECT doc_id, pos, tok,
+         |    CASE WHEN (ascii(substr(tok,1,1))*7 + length(tok)) % 8 = 0
+         |      THEN 1 ELSE 0 END AS bd
+         |  FROM tok),
+         |cid AS (SELECT doc_id, pos, tok,
+         |    COALESCE(CAST(SUM(bd) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+         |      AS chunk_id
+         |  FROM b),
+         |ch AS (SELECT doc_id, chunk_id, COUNT(*) AS n_toks,
+         |    md5(string_agg(tok, ' ' ORDER BY pos)) AS h
+         |  FROM cid GROUP BY 1, 2),
+         |agg AS (SELECT COUNT(*) AS n_chunks,
+         |    COUNT(DISTINCT h) AS distinct_chunks,
+         |    CAST(SUM(n_toks) AS BIGINT) AS total_tokens FROM ch)
+         |SELECT n_chunks, distinct_chunks,
+         |  CAST(((n_chunks - distinct_chunks) * 1000000) // n_chunks AS BIGINT)
+         |    AS dup_chunk_ppm,
+         |  CAST((total_tokens * 1000000) // n_chunks AS BIGINT)
+         |    AS mean_chunk_tokens_ppm
+         |FROM agg""".stripMargin,
+
+
+    // every banded pair; est is k/8 exact, truth from the same gram universe
+    "d24_minhash_calibration" ->
+      s"""WITH ${minhashPairsSql("documents")},
+         |g AS (SELECT doc_id, hs, len(hs) AS ng FROM mh_h),
+         |vv AS (SELECT id_a, id_b, jaccard_est,
+         |    CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS i,
+         |    CAST(a.ng AS BIGINT) AS na, CAST(b.ng AS BIGINT) AS nb
+         |  FROM mh_pairs JOIN g a ON id_a = a.doc_id JOIN g b ON id_b = b.doc_id),
+         |e AS (SELECT CAST(jaccard_est * 8 AS BIGINT) * 125000 AS est_ppm,
+         |    CAST((i * 1000000) // (na + nb - i) AS BIGINT) AS true_ppm
+         |  FROM vv)
+         |SELECT COUNT(*) AS n_pairs,
+         |  CAST(CAST(SUM(abs(est_ppm - true_ppm)) AS BIGINT) // COUNT(*) AS BIGINT)
+         |    AS mae_ppm,
+         |  CAST(MAX(abs(est_ppm - true_ppm)) AS BIGINT) AS max_err_ppm
+         |FROM e""".stripMargin,
+
+
+    // d9's simhash banding at 4 bands of 4 bits; token-set jaccard truth
+    "d25_simhash_calibration" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |tv AS (SELECT doc_id, $vals32Sql AS vals, len(t) AS n FROM toks),
+         |sh AS (SELECT doc_id, CAST($simhashBits32Sql AS BIGINT) AS simhash FROM tv),
+         |banded0 AS (SELECT doc_id, simhash, b, (simhash >> (b*8)) & 255 AS byt
+         |           FROM sh, range(0,4) t(b)),
+         |banded AS (SELECT doc_id, simhash, b, byt FROM (
+         |    SELECT *, COUNT(*) OVER (PARTITION BY b, byt) AS bn FROM banded0)
+         |  WHERE bn <= 128),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |          FROM banded a JOIN banded b USING (b, byt)
+         |          WHERE a.doc_id < b.doc_id),
+         |cand AS (SELECT * FROM pairs WHERE hamming <= 3),
+         |sets AS (SELECT doc_id, list_distinct(t) AS ts FROM toks),
+         |tp AS (SELECT hamming,
+         |    CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS i,
+         |    CAST(len(a.ts) AS BIGINT) AS na, CAST(len(b.ts) AS BIGINT) AS nb
+         |  FROM cand JOIN sets a ON id_a = a.doc_id JOIN sets b ON id_b = b.doc_id),
+         |e AS (SELECT hamming,
+         |    CAST((i * 1000000) // (na + nb - i) AS BIGINT) AS true_ppm FROM tp)
+         |SELECT hamming, COUNT(*) AS n_pairs,
+         |  CAST(CAST(SUM(true_ppm) AS BIGINT) // COUNT(*) AS BIGINT) AS mean_true_ppm
+         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    // banded candidates vs true-jaccard ≥ 0.5 (2·i ≥ union, integer)
+    "d26_lsh_precision" ->
+      s"""WITH ${minhashPairsSql("documents")},
+         |g AS (SELECT doc_id, hs, len(hs) AS ng FROM mh_h),
+         |vv AS (SELECT id_a, id_b,
+         |    CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS i,
+         |    CAST(a.ng AS BIGINT) AS na, CAST(b.ng AS BIGINT) AS nb
+         |  FROM mh_pairs JOIN g a ON id_a = a.doc_id JOIN g b ON id_b = b.doc_id),
+         |agg AS (SELECT COUNT(*) AS n_candidates,
+         |    CAST(SUM(CASE WHEN i * 2 >= (na + nb - i) THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_verified
+         |  FROM vv)
+         |SELECT n_candidates, n_verified,
+         |  CAST((n_verified * 1000000) // n_candidates AS BIGINT) AS precision_ppm
+         |FROM agg""".stripMargin,
+
+  )
+}

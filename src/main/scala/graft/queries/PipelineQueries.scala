@@ -1,0 +1,304 @@
+package graft.queries
+
+import graft.core.{Changelog, Tables, TimeRange}
+import graft.functions.GraftFunctions
+import graft.functions.GraftFunctions._
+import graft.multimodal.Multimodal
+import graft.operators._
+import graft.state.{GlobalTable, KVTable, SecondaryIndex}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Support._
+
+/** Multimodal (m*) and composed training-data pipelines (p*). Registry split from the former monolithic
+  * SparkEntry maps; aggregated by [[graft.SparkEntry]]. Each query entry
+  * has its DuckDB oracle adjacent in [[PipelineQueries.oracles]]. */
+private[graft] object PipelineQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // targeted curation: repeated-span ban list, then per-source top-half
+    // gates by LM fluency and DSIR target-likeness (adaptive ranks — no
+    // corpus-specific thresholds, robust at any scale factor)
+    "p3_targeted_curation" -> ((s, d) => {
+      TrainingDataPipeline.curateTargeted(Tables.documents(s, d), "doc_id",
+          "text", "source", isTarget = col("source") === "src1")
+        .orderBy("doc_id")
+    }),
+
+
+    // multimodal metadata struct over the binary payload
+    "m2_media_metadata" -> ((s, d) => {
+      Multimodal.withPayload(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("media_meta.kind").as("kind"),
+          col("media_meta.size_bytes").as("size_bytes"),
+          col("media_meta.content_md5").as("content_md5"))
+        .orderBy("doc_id")
+    }),
+
+
+    // multimodal binary-column plumbing with stubbed decoder
+    "m1_multimodal_features" -> ((s, d) => {
+      val docs = Multimodal.withPayload(Tables.documents(s, d), "text")
+      Multimodal.decodeFeatures(docs, "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+
+    // composed curation pipeline: quality gate → exact dedup → minhash
+    // near-dup removal → language/fingerprint annotation, oracle-checked
+    // end-to-end
+    "p1_training_pipeline" -> ((s, d) => {
+      TrainingDataPipeline.curate(Tables.documents(s, d), "doc_id", "text",
+        minEstimate = 0.5, materializeCandidates = true)
+        .orderBy("doc_id")
+    }),
+
+
+    // curation v2: repetition gate → decontaminate → cluster dedup → lang cap
+    "p2_curation_v2" -> ((s, d) => {
+      TrainingDataPipeline.curateV2(s, Tables.documents(s, d), "doc_id", "text",
+        evalFilter = col("source") === "src0")
+        .select(col("doc_id"), col("lang"), col("source"), col("rank"))
+        .orderBy("lang", "rank")
+    }),
+
+
+    // video-shaped frame sampling: every 4th 16-char frame, fingerprinted
+    "m3_frame_sample" -> ((s, d) => {
+      Multimodal.sampleFrames(Tables.documents(s, d), "doc_id", "text",
+        frameChars = 16, stride = 4)
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+
+    // cross-media duplicate frames: sampled fingerprints shared by >= 2
+    // media, with the canonical first (doc, frame) occurrence
+    "m4_duplicate_frames" -> ((s, d) => {
+      Multimodal.duplicateFrames(Tables.documents(s, d), "doc_id", "text",
+        frameChars = 16, stride = 4, minDocs = 2L)
+        .orderBy("frame_md5")
+    }),
+
+
+    // training-shard packing audit: media blobs assigned to fixed-size
+    // shards by running byte offset (shard = prefix-bytes div target) —
+    // the tar/webdataset layout plan. Global strict-past window here; at
+    // fleet scale the same assignment is two-pass (per-partition byte sums
+    // → broadcast offsets), which preserves the identical shard ids
+    "m5_shard_packing" -> ((s, d) => {
+      val m = Multimodal.withPayload(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("media_meta.size_bytes").as("sz"))
+      val w = Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      m.withColumn("pre", coalesce(sum(col("sz")).over(w), lit(0L)))
+        .withColumn("shard_id", expr("pre div 65536"))
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_items"), sum(col("sz")).as("bytes"),
+          max(col("sz")).as("max_item"))
+        .orderBy("shard_id")
+    }),
+
+
+    // dataset card: the one-row corpus summary a training run is stamped
+    // with — docs, tokens, vocabulary, exact-dup and near-dup-candidate
+    // ppm, language/source spread; every number exact and composed from
+    // the same primitives the dedicated queries use
+    "p4_dataset_card" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(explode(tokens(col("text"))).as("tok"))
+      val base = docs.agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(md5(col("text"))).as("n_unique_texts"))
+      val tk = toks.agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_types"))
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text", numHashes = 8,
+          shingleSize = 3, rowsPerBand = 2, minEstimate = 0.5,
+          materializeCandidates = true)
+        .localCheckpoint(true)
+      val nd = pairs.select(col("id_a"))
+        .union(pairs.select(col("id_b")))
+        .distinct().agg(count(lit(1)).as("n_near_dup_docs"))
+      base.crossJoin(tk).crossJoin(nd)
+        .select(col("n_docs"), col("n_langs"), col("n_sources"),
+          col("total_chars"), col("n_tokens"), col("n_types"),
+          expr("((n_docs - n_unique_texts) * 1000000) div n_docs")
+            .as("exact_dup_ppm"),
+          expr("(n_near_dup_docs * 1000000) div n_docs").as("near_dup_ppm"))
+    }),
+
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    // composed targeted curation: ban-list anti-join (top repeated spans),
+    // then two chained per-source keep-top-half rank gates (fluency, DSIR
+    // importance) — each stage's CTE is the verbatim standalone oracle
+    "p3_targeted_curation" ->
+      s"""WITH ban AS (SELECT gram FROM ($repeatedSpansSql)),
+         |rw2 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |dg AS (SELECT doc_id, ${wordGramSql(5)} AS gram
+         |  FROM rw2, UNNEST(generate_series(1, len(ws) - 4)) AS t(i)),
+         |bd AS (SELECT DISTINCT doc_id FROM dg JOIN ban USING (gram)),
+         |fl AS (SELECT doc_id, fluency_ppm FROM ($lmFluencySql)),
+         |imp AS (SELECT doc_id, importance_ppm FROM ($dsirImportanceSql)),
+         |cand AS (SELECT d.doc_id, d.source, fl.fluency_ppm, imp.importance_ppm
+         |  FROM documents d JOIN fl USING (doc_id) JOIN imp USING (doc_id)
+         |  WHERE d.doc_id NOT IN (SELECT doc_id FROM bd)),
+         |g1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY fluency_ppm DESC, doc_id) AS r,
+         |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n FROM cand),
+         |k1 AS (SELECT doc_id, source, fluency_ppm, importance_ppm FROM g1
+         |  WHERE r <= (n*500000)//1000000),
+         |g2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY importance_ppm DESC, doc_id) AS r,
+         |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n FROM k1)
+         |SELECT doc_id, source, fluency_ppm, importance_ppm FROM g2
+         |WHERE r <= (n*500000)//1000000 ORDER BY doc_id""".stripMargin,
+
+
+    "m2_media_metadata" ->
+      """SELECT doc_id, 'image/fake' AS kind,
+        |  octet_length(encode(text))::BIGINT AS size_bytes,
+        |  md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+
+    "m1_multimodal_features" ->
+      """SELECT doc_id, octet_length(encode(text))::BIGINT AS size_bytes,
+        |  ascii(substr(text, 1, 1)) AS first_byte,
+        |  list_sum(list_prepend(0::BIGINT,
+        |    [ascii(substr(text, i, 1))::BIGINT for i in range(1, length(text)+1)]))::BIGINT % 1000000007 AS byte_sum_mod
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+
+    "p1_training_pipeline" ->
+      s"""WITH m AS (${qualityMetricsSql("documents")}),
+         |q AS (SELECT doc_id, n_tokens FROM m
+         |      WHERE n_tokens >= 10 AND n_tokens <= 100000
+         |        AND (CASE WHEN n_chars > 0 THEN alpha_len*1000000//n_chars ELSE 0 END) >= 500000),
+         |cand AS (SELECT d.*, q.n_tokens FROM documents d JOIN q USING (doc_id)),
+         |keepers AS (SELECT MIN(doc_id) AS doc_id
+         |            FROM (SELECT doc_id, md5($normSql) AS h FROM cand) GROUP BY h),
+         |ed AS (SELECT c.* FROM cand c JOIN keepers USING (doc_id)),
+         |${minhashPairsSql("ed")},
+         |dropped AS (SELECT DISTINCT id_b AS doc_id FROM mh_pairs WHERE jaccard_est >= 0.5),
+         |surv AS (SELECT * FROM ed ANTI JOIN dropped USING (doc_id)),
+         |sc AS (
+         |${langScoresSql("surv")}
+         |), best AS (SELECT doc_id, lang, score,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM sc)
+         |SELECT s.doc_id,
+         |  (SELECT CASE WHEN b.score = 0 THEN 'und' ELSE b.lang END
+         |   FROM best b WHERE b.rn = 1 AND b.doc_id = s.doc_id) AS predicted_lang,
+         |  md5($normSql) AS content_fp, s.n_tokens
+         |FROM surv s ORDER BY s.doc_id""".stripMargin,
+
+
+    "p2_curation_v2" ->
+      s"""WITH RECURSIVE
+         |rw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |rg AS (SELECT doc_id, substr(md5(${wordGramSql(3)}), 1, 15) AS h
+         |    FROM rw, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+         |ra AS (SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT h) AS nd
+         |    FROM rg GROUP BY doc_id),
+         |rep_ok AS (SELECT d.doc_id FROM documents d LEFT JOIN ra USING (doc_id)
+         |    WHERE CASE WHEN COALESCE(ra.n, 0) > 0
+         |      THEN FLOOR((ra.n - ra.nd) * 1000000 / ra.n) ELSE 0 END < 10000),
+         |train AS (SELECT d.doc_id, d.text, d.lang, d.source
+         |    FROM documents d JOIN rep_ok USING (doc_id) WHERE d.source <> 'src0'),
+         |tw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM train),
+         |tg AS (SELECT DISTINCT doc_id, substr(md5(${wordGramSql(8)}), 1, 15) AS h
+         |    FROM tw, UNNEST(generate_series(1, len(ws) - 7)) AS t(i)),
+         |ew AS (SELECT string_split(text, ' ') AS ws FROM documents WHERE source = 'src0'),
+         |eg AS (SELECT DISTINCT substr(md5(${wordGramSql(8)}), 1, 15) AS h
+         |    FROM ew, UNNEST(generate_series(1, len(ws) - 7)) AS t(i)),
+         |contaminated AS (SELECT DISTINCT doc_id FROM tg JOIN eg USING (h)),
+         |surv AS (SELECT t.* FROM train t LEFT JOIN contaminated c USING (doc_id)
+         |    WHERE c.doc_id IS NULL),
+         |${minhashPairsSql("surv")},
+         |cl_e AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs WHERE jaccard_est >= 0.5),
+         |cl_sym AS (SELECT src, dst FROM cl_e UNION SELECT dst, src FROM cl_e),
+         |cl_reach(a, b) AS (
+         |  SELECT src, src FROM cl_sym
+         |  UNION
+         |  SELECT r.a, s.dst FROM cl_reach r JOIN cl_sym s ON r.b = s.src),
+         |cl_comp AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM cl_reach GROUP BY a),
+         |kept AS (SELECT s.doc_id, s.lang, s.source
+         |    FROM surv s LEFT JOIN cl_comp c USING (doc_id)
+         |    WHERE COALESCE(c.cluster_id, s.doc_id) = s.doc_id),
+         |ranked AS (SELECT doc_id, lang, source, ROW_NUMBER() OVER
+         |    (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rank
+         |  FROM kept)
+         |SELECT doc_id, lang, source, CAST(rank AS INTEGER) AS rank
+         |FROM ranked WHERE rank <= 40 ORDER BY lang, rank""".stripMargin,
+
+
+    "m3_frame_sample" ->
+      """WITH f AS (SELECT doc_id, text,
+        |    CAST(FLOOR(length(text)/16.0) AS BIGINT) AS nf FROM documents),
+        |s AS (SELECT doc_id, text, unnest(range(0, nf, 4)) AS frame_idx
+        |      FROM f WHERE nf > 0)
+        |SELECT doc_id, frame_idx,
+        |  md5(substr(text, CAST(frame_idx*16 + 1 AS INTEGER), 16)) AS frame_md5
+        |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
+
+
+    // same frame CTE as m3; pair packed as doc*2^20+idx so MIN is one
+    // comparable BIGINT on both engines
+    "m4_duplicate_frames" ->
+      """WITH f AS (SELECT doc_id, text,
+        |    CAST(FLOOR(length(text)/16.0) AS BIGINT) AS nf FROM documents),
+        |s AS (SELECT doc_id, text, unnest(range(0, nf, 4)) AS frame_idx
+        |      FROM f WHERE nf > 0),
+        |fr AS (SELECT doc_id, frame_idx,
+        |         md5(substr(text, CAST(frame_idx*16 + 1 AS INTEGER), 16)) AS frame_md5
+        |       FROM s),
+        |g AS (SELECT frame_md5, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_frames,
+        |        MIN(doc_id * 1048576 + frame_idx) AS fp
+        |      FROM fr GROUP BY frame_md5)
+        |SELECT frame_md5, n_docs, n_frames,
+        |  fp // 1048576 AS first_doc, fp % 1048576 AS first_idx
+        |FROM g WHERE n_docs >= 2 ORDER BY frame_md5""".stripMargin,
+
+
+    // strict-past byte prefix sum → fixed-size shard id
+    "m5_shard_packing" ->
+      """WITH m AS (SELECT doc_id, octet_length(encode(text))::BIGINT AS sz
+        |  FROM documents),
+        |w AS (SELECT sz, COALESCE(CAST(SUM(sz) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |    AS pre
+        |  FROM m)
+        |SELECT pre // 65536 AS shard_id, COUNT(*) AS n_items,
+        |  CAST(SUM(sz) AS BIGINT) AS bytes, MAX(sz) AS max_item
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    // base registers + token registers + near-dup doc set from mh_pairs
+    "p4_dataset_card" ->
+      s"""WITH ${minhashPairsSql("documents")},
+         |base AS (SELECT COUNT(*) AS n_docs,
+         |    COUNT(DISTINCT lang) AS n_langs,
+         |    COUNT(DISTINCT source) AS n_sources,
+         |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |    COUNT(DISTINCT md5(text)) AS n_unique_texts
+         |  FROM documents),
+         |tk AS (SELECT COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_types
+         |  FROM (SELECT unnest($toksSql) AS tok FROM documents)),
+         |nd AS (SELECT COUNT(*) AS n_near_dup_docs FROM (
+         |  SELECT id_a AS d FROM mh_pairs WHERE jaccard_est >= 0.5
+         |  UNION SELECT id_b FROM mh_pairs WHERE jaccard_est >= 0.5))
+         |SELECT n_docs, n_langs, n_sources, total_chars, n_tokens, n_types,
+         |  CAST(((n_docs - n_unique_texts) * 1000000) // n_docs AS BIGINT)
+         |    AS exact_dup_ppm,
+         |  CAST((n_near_dup_docs * 1000000) // n_docs AS BIGINT) AS near_dup_ppm
+         |FROM base, tk, nd""".stripMargin,
+
+  )
+}

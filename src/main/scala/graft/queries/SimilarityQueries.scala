@@ -1,0 +1,1111 @@
+package graft.queries
+
+import graft.core.{Changelog, Tables, TimeRange}
+import graft.functions.GraftFunctions
+import graft.functions.GraftFunctions._
+import graft.multimodal.Multimodal
+import graft.operators._
+import graft.state.{GlobalTable, KVTable, SecondaryIndex}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Support._
+
+/** ANN/embedding similarity queries (s*). Registry split from the former monolithic
+  * SparkEntry maps; aggregated by [[graft.SparkEntry]]. Each query entry
+  * has its DuckDB oracle adjacent in [[SimilarityQueries.oracles]]. */
+private[graft] object SimilarityQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // hybrid search: BM25 lexical top-25 + embedding-cosine top-25 for
+    // query vector 0, reciprocal-rank fused (1e6 // (60 + rank), top 15)
+    "s7_hybrid_rrf" -> ((s, d) => {
+      val lexW = Window.orderBy(col("score").desc, col("doc_id"))
+      val lex = Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+          terms = Seq("spark", "join", "shuffle"), k = 25)
+        .select(col("doc_id"), row_number().over(lexW).as("rank"))
+      val em = Tables.embeddings(s, d)
+      val sem = Similarity.bruteForceTopK(em, em.filter(col("vec_id") === 0),
+          "vec_id", "embedding", k = 25)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(lex, sem), "doc_id", "rank", k = 15)
+        .orderBy(col("rrf_ppm").desc, col("doc_id"))
+    }),
+
+
+    // DSIR importance weights: hashed-bigram target/raw distribution
+    // ratio, target = src1 docs (the "wiki-like" slice)
+    "s6_dsir_importance" -> ((s, d) => {
+      Retrieval.dsirImportance(Tables.documents(s, d), "doc_id", "text",
+          isTarget = col("source") === "src1", buckets = 8192)
+        .orderBy("doc_id")
+    }),
+
+
+    // brute-force exact top-k cosine ANN baseline
+    // embedding-quality audit: cosine to own label centroid (integer sums,
+    // one double division), mislabel/outlier flag
+    "s5_label_outliers" -> ((s, d) => {
+      Similarity.labelCentroidAudit(Tables.embeddings(s, d),
+          "vec_id", "embedding", "label", minCosine = 0.5)
+        .orderBy("vec_id")
+    }),
+
+
+    "s1_knn_bruteforce" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(em, em.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
+
+    // LSH-bucketed ANN (random-hyperplane, 8 planes) — the scale path
+    "s2_knn_lsh" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      Similarity.lshTopK(em, em.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, numPlanes = 8)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
+
+    // IVF-PQ: the billion-scale index shape — coarse cells gate the
+    // candidates (probe-4), PQ codes score them; a query touches neither
+    // the corpus nor any full vector
+    "s16_ivf_pq" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      Similarity.ivfPqTopK(em, em.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, nCentroids = 16, nProbe = 4, numSubspaces = 8, subCentroids = 16,
+        pqIterations = 3)
+        .orderBy("query_id", "rank")
+    }),
+
+
+    // PQ (product quantization) ANN: 8 subspace codebooks, corpus encoded
+    // to 8 codes in one zero-shuffle projection, asymmetric integer score
+    // against reconstructed centroids — the searchable index is 64x
+    // smaller than the vectors; training fully unrolled in the oracle
+    "s13_pq_topk" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      Similarity.pqTopK(em, em.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, numSubspaces = 8, subCentroids = 16, iterations = 3)
+        .orderBy("query_id", "rank")
+    }),
+
+
+    // k-center greedy coreset (farthest-first): 8 diverse exemplars + the
+    // coverage-radius sequence; one running dmin register per row, k
+    // one-row reductions — no pairwise matrix
+    "s15_kcenter_coreset" -> ((s, d) => {
+      Similarity.kCenterSelect(Tables.embeddings(s, d), "vec_id", "embedding", k = 8)
+        .orderBy("rank")
+    }),
+
+
+    // two-stage PQ retrieval: codes narrow to 20 candidates, exact cosine
+    // re-ranks — the full-vector table is read per-candidate, not per-corpus
+    "s14_pq_rerank" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      Similarity.pqRerankTopK(em, em.filter(col("vec_id") < 5), "vec_id",
+        "embedding", k = 5, poolSize = 20, numSubspaces = 8, subCentroids = 16,
+        iterations = 3)
+        .orderBy("query_id", "rank")
+    }),
+
+
+    // MMR diversified top-5 from a brute-force top-10 pool: greedy
+    // redundancy-penalized re-rank (λ=0.5), distributed pool + bounded
+    // per-query greedy — no more "five copies of the same near-dup"
+    "s11_mmr_diversify" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      Similarity.mmrDiversifyTopK(em, em.filter(col("vec_id") < 5), "vec_id",
+          "embedding", k = 5, poolSize = 10)
+        .orderBy("query_id", "mmr_rank")
+    }),
+
+
+    // recall@k evaluation: LSH (s2) graded against brute-force ground
+    // truth (s1) — result-sized join, exact floor-ppm recall; queries the
+    // index missed entirely surface as 0 instead of silently dropping
+    // graded ranking eval: NDCG@5 of LSH vs brute-force truth with the
+    // EXACT harmonic discount (lcm-scaled integer DCG, one division by the
+    // constant ideal) — charges the ANN for ranking good neighbors low,
+    // which recall@k (s12) cannot see
+    "s20_ndcg_eval" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      val qs = em.filter(col("vec_id") < 5)
+      val truth = Similarity.bruteForceTopK(em, qs, "vec_id", "embedding", k = 5)
+      val approx = Similarity.lshTopK(em, qs, "vec_id", "embedding", k = 5, numPlanes = 8)
+      Similarity.ndcgAt(truth, approx, k = 5)
+        .orderBy("query_id")
+    }),
+
+
+    "s12_ann_recall" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      val qs = em.filter(col("vec_id") < 5)
+      val truth = Similarity.bruteForceTopK(em, qs, "vec_id", "embedding", k = 5)
+      val approx = Similarity.lshTopK(em, qs, "vec_id", "embedding", k = 5, numPlanes = 8)
+      Similarity.annRecall(truth, approx, k = 5)
+        .orderBy("query_id")
+    }),
+
+
+    // multi-probe LSH ANN: each query probes its bucket + all Hamming-1
+    // neighbor buckets — single-plane misses (the dominant LSH miss mode)
+    // recovered at 9x QUERY-side cost; corpus bucketed once, never
+    // re-shuffled. Recall >= single-probe pinned in SimilaritySpec
+    "s8_knn_multiprobe" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      Similarity.lshTopKMultiProbe(em, em.filter(col("vec_id") < 5), "vec_id",
+          "embedding", k = 5, numPlanes = 8)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
+
+    // IVF ANN (deterministic k-means coarse quantizer, probe-4). Training
+    // is a FIXED number of Lloyd iterations from a deterministic seed, so
+    // the oracle unrolls the whole index build as chained CTEs
+    // (ivfTopKSql); recall vs brute force is also pinned in SimilaritySpec
+    "s3_knn_ivf" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      Similarity.ivfTopK(em, em.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, nCentroids = 16, nProbe = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
+
+    // hard-negative mining (filtered ANN): top-5 most-similar vectors with
+    // a DIFFERENT label, served by the same full-corpus IVF index as s3 —
+    // one index, any label predicate
+    "s10_hard_negatives" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      Similarity.ivfHardNegatives(em, em.filter(col("vec_id") < 5), "vec_id",
+        "embedding", "label", k = 5, nCentroids = 16, nProbe = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("neighbor_label"), col("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
+
+    // semantic near-dup: k-means cells as candidate blocks — embedding
+    // dedup with NO metadata blocking key (oracle unrolls the same
+    // deterministic integer k-means as s3, then pairs within cells)
+    "s4_semantic_dedup" -> ((s, d) => {
+      Similarity.ivfNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
+        minCosine = 0.3, nCentroids = 16)
+        .orderBy("id_a", "id_b")
+    }),
+
+
+    // cluster-balanced subset: IVF cells as topic strata, hash-ranked cap
+    // per cell — the "no topic dominates the training mix" recipe; both
+    // stages are audited shapes (broadcast centroids, one stratum shuffle)
+    "s9_cluster_balanced" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      val (cells, _) = Similarity.ivfIndex(em, "vec_id", "embedding", nCentroids = 16)
+      Sampling.stratifiedCap(cells.withColumnRenamed("id", "vec_id"),
+          Seq("cell"), "vec_id", cap = 20)
+        .select(col("vec_id"), col("cell"), col("rank").cast("int").as("rank"))
+        .orderBy("cell", "rank")
+    }),
+
+
+    // ANN cost model: candidates each index would examine per query — LSH
+    // bucket population vs IVF probed-cell population, in exact ppm of the
+    // corpus. The audit that justifies (or indicts) an index BEFORE queries
+    // run; everything derives from index metadata, the corpus is scanned
+    // once to build it
+    "s24_ann_candidates" -> ((s, d) => {
+      import s.implicits._
+      val em = Tables.embeddings(s, d)
+      val vecs = em.select(col("vec_id").as("id"), quantize1000(col("embedding")).as("v"))
+        .localCheckpoint(true)
+      val corpusN = vecs.agg(count(lit(1)).as("corpus_n"))
+      val bucketed = vecs.withColumn("bucket", Similarity.lshBucketQ(col("v"), 8, 64))
+      val bsizes = bucketed.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      val lsh = bucketed.filter(col("id") < 5).join(bsizes, "bucket")
+        .select(col("id").as("query_id"), (col("bn") - 1L).as("lsh_candidates"))
+      val (cells, centroids) = Similarity.ivfIndex(em, "vec_id", "embedding",
+        nCentroids = 16, iterations = 5)
+      val csizes = cells.groupBy("cell").agg(count(lit(1)).as("csz"))
+      val centDf = broadcast(
+        centroids.zipWithIndex.map { case (c, i) =>
+          (i, c.toSeq, c.map(x => x * x).sum)
+        }.toSeq.toDF("cell", "c", "cnorm"))
+      val probes = vecs.filter(col("id") < 5).crossJoin(centDf)
+        .withColumn("dist", col("cnorm") - lit(2L) * ldot(col("v"), col("c")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("id").orderBy(col("dist"), col("cell"))))
+        .filter(col("rn") <= 4)
+      val ivf = probes.join(csizes, "cell").groupBy("id")
+        .agg((sum(col("csz")) - 1L).as("ivf_candidates"))
+        .withColumnRenamed("id", "qid2")
+      lsh.join(ivf, col("query_id") === col("qid2")).drop("qid2")
+        .crossJoin(broadcast(corpusN))
+        .select(col("query_id"), col("lsh_candidates"), col("ivf_candidates"),
+          col("corpus_n"),
+          expr("(lsh_candidates * 1000000) div corpus_n").as("lsh_ppm"),
+          expr("(ivf_candidates * 1000000) div corpus_n").as("ivf_ppm"))
+        .orderBy("query_id")
+    }),
+
+
+    // entity-matching primitive: mutual nearest neighbors (a is b's 1-NN
+    // AND b is a's) within IVF cells — the high-precision pair proposer;
+    // candidate space is cell-bounded, the mutual check joins two
+    // CORPUS-sized (not pair-sized) 1-NN tables
+    "s23_mutual_nn" -> ((s, d) => {
+      val pairs = Similarity.ivfNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
+        minCosine = -1.0, nCentroids = 16, iterations = 5)
+      val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nb"), col("cosine"))
+        .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("nb"), col("cosine")))
+      val nn1 = sym.withColumn("rk", row_number().over(
+          Window.partitionBy("id").orderBy(col("cosine").desc, col("nb"))))
+        .filter(col("rk") === 1).select(col("id"), col("nb"), col("cosine"))
+      nn1.select(col("id").as("id_a"), col("nb").as("id_b"), col("cosine"))
+        .join(nn1.select(col("nb").as("id_a"), col("id").as("id_b")),
+          Seq("id_a", "id_b"))
+        .filter(col("id_a") < col("id_b"))
+        .orderBy("id_a")
+    }),
+
+
+    // kNN classifier eval: predict each query's label by 5-NN majority vote
+    // (plurality, ties → smallest label) against brute-force neighbors —
+    // the "are these embeddings any good" sanity eval; votes aggregate on
+    // RESULT-sized frames
+    "s22_knn_classifier" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      val qs = em.filter(col("vec_id") < 50)
+      val nn = Similarity.bruteForceTopK(em, qs, "vec_id", "embedding", k = 5)
+      val lbl = em.select(col("vec_id"), col("label"))
+      val votes = nn
+        .join(lbl.select(col("vec_id").as("neighbor_id"), col("label").as("nl")), "neighbor_id")
+        .groupBy("query_id", "nl").agg(count(lit(1)).as("v"))
+      val pred = votes
+        .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("v").desc, col("nl"))))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), col("nl").as("predicted"))
+      pred.join(lbl.select(col("vec_id").as("query_id"), col("label").as("true_label")),
+          "query_id")
+        .select(col("query_id"), col("true_label"), col("predicted"),
+          (col("true_label") === col("predicted")).as("correct"))
+        .orderBy("query_id")
+    }),
+
+
+    // index-health audit: within-cell SSE of the IVF quantizer (the k-means
+    // distortion that decides "retrain or not") — centroids are integer by
+    // construction, so every squared distance is exact long arithmetic via
+    // ||v||² − 2v·c + ||c||², three codegen'd ldots per row
+    "s21_ivf_distortion" -> ((s, d) => {
+      import s.implicits._
+      val em = Tables.embeddings(s, d)
+      val (cells, centroids) = Similarity.ivfIndex(em, "vec_id", "embedding",
+        nCentroids = 16, iterations = 5)
+      val vecs = em.select(col("vec_id").as("id"), quantize1000(col("embedding")).as("v"))
+      val centDf = broadcast(
+        centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+          .toDF("cell", "c"))
+      vecs.join(cells, "id").join(centDf, "cell")
+        .select(col("cell"),
+          (ldot(col("v"), col("v")) - lit(2L) * ldot(col("v"), col("c")) +
+            ldot(col("c"), col("c"))).as("d2"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vectors"), sum(col("d2")).as("sse"))
+        .select(col("cell").cast("long").as("cell"), col("n_vectors"), col("sse"))
+        .orderBy("cell")
+    }),
+
+
+    // item-item collaborative filtering: cosine over the (customer, part,
+    // Σquantity) matrix — co-rated pairs from the per-user self-join with
+    // whole-heavy-user drop (cap 40 → ≤1600 pairs/user), exact integer
+    // dots/norms, one canonical double division, TakeOrdered top-20
+    "s19_item_cosine" -> ((s, d) => {
+      val rat = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
+        .agg(sum(round(col("l_quantity") * 100).cast("long")).as("q"))
+      Similarity.itemCosine(rat, "u", "i", "q", maxUserItems = 40L, k = 20)
+        .orderBy("rank")
+    }),
+
+
+    // temperature-τ=½ corpus mixing: the q94 budget spread √-flattened —
+    // small (lang, source) domains get upweighted exactly, Σalloc = 1000
+    // by Hamilton construction; ⌊√(n·10⁶)⌋ is the one canonical double hop
+    "s18_temperature_mix" -> ((s, d) => {
+      Sampling.temperatureMixtureAlloc(Tables.documents(s, d),
+          Seq("lang", "source"), budget = 1000L)
+        .orderBy("lang", "source")
+    }),
+
+
+    "s17_link_prediction" -> ((s, d) => {
+      GraphAlgorithms.jaccardLinkPrediction(
+        GraphAlgorithms.cooccurrenceEdges(Tables.lineitem(s, d),
+          "l_orderkey", "l_partkey", minSupport = 2L, maxBasketSize = 5L),
+        k = 20, maxHubDegree = 50L)
+        .orderBy("rank")
+    }),
+
+
+    // range search census: neighbors within cosine ≥ .95/.90/.80 of each
+    // query — all-integer via cross-multiplied squares (cos ≥ τ ⟺ dot>0 ∧
+    // q²·dot² ≥ p²·na·nb for τ = p/q), no sqrt anywhere; norms precomputed
+    // per side so the broadcast probe is one ldot per pair
+    "s25_radius_census" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+        .select(col("vec_id"), quantize1000(col("embedding")).as("v"))
+        .withColumn("nv", ldot(col("v"), col("v")))
+      val q = vecs.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nv").as("nq"))
+      val hit = (p: Long, qq: Long) =>
+        col("dot") > 0L && col("dot") * col("dot") * qq >= col("nn") * p
+      vecs.filter(col("vec_id") >= 5).crossJoin(broadcast(q))
+        .withColumn("dot", ldot(col("v"), col("qv")))
+        .withColumn("nn", col("nv") * col("nq"))
+        .groupBy("query_id")
+        .agg(sum(when(hit(361L, 400L), 1L).otherwise(0L)).as("n_ge95"),
+          sum(when(hit(81L, 100L), 1L).otherwise(0L)).as("n_ge90"),
+          sum(when(hit(16L, 25L), 1L).otherwise(0L)).as("n_ge80"))
+        .orderBy("query_id")
+    }),
+
+
+    // clustering-quality eval: majority-label purity per IVF cell (exact
+    // integer k-means, so cells are oracle-able) — the labeled-data sanity
+    // check on the same coarse quantizer the ANN queries probe; plurality
+    // label ties break to the smallest label, row_number over (count desc,
+    // label) is deterministic
+    "s26_cell_purity" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      val (cells, _) = Similarity.ivfIndex(em, "vec_id", "embedding",
+        nCentroids = 16, iterations = 5)
+      val cnt = cells.join(em.select(col("vec_id").as("id"), col("label")), "id")
+        .groupBy("cell", "label").agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy("cell").agg(sum(col("c")).as("n"))
+      cnt.withColumn("rn", row_number().over(
+          Window.partitionBy("cell").orderBy(col("c").desc, col("label"))))
+        .filter(col("rn") === 1)
+        .join(tot, "cell")
+        .select(col("cell").cast("long").as("cell"), col("n"),
+          col("label").as("top_label"),
+          expr("(c * 1000000) div n").as("purity_ppm"))
+        .orderBy("cell")
+    }),
+
+
+    // per-dimension signal profile of the embedding space: exact integer
+    // mean/variance of the ×1000-quantized values per dim — the audit that
+    // drives PQ subspace allocation and dead-dimension pruning; posexplode
+    // shuffles (dim, value) pairs once, 64-row result
+    "s27_dim_variance" -> ((s, d) => {
+      val dims = Tables.embeddings(s, d)
+        .select(posexplode(quantize1000(col("embedding"))).as(Seq("dim", "v")))
+      dims.groupBy("dim")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          sum(col("v") * col("v")).as("qv"))
+        .select(col("dim"), col("n"),
+          // +1000·n offset keeps the numerator non-negative (values ≥ −1000):
+          // truncating div ≡ floor ≡ DuckDB // only on non-negatives
+          expr("((sv + 1000 * n) div n) - 1000").as("mean_q"),
+          expr("(n * qv - sv * sv) div (n * n)").as("var_q"))
+        .orderBy("dim")
+    }),
+
+
+    // PQ codebook-usage balance: rows per (subspace, code) of the same
+    // deterministic encoder s13 searches with — a subspace collapsing onto
+    // few codes adds no discrimination; share in exact ppm of the corpus
+    "s28_pq_code_usage" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      val codes = Similarity.pqCodes(em, "vec_id", "embedding",
+        numSubspaces = 8, subCentroids = 16, iterations = 3)
+      val tot = em.agg(count(lit(1)).as("n_vec"))
+      codes.groupBy("subspace", "code").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .select(col("subspace"), col("code").cast("long").as("code"), col("n"),
+          expr("(n * 1000000) div n_vec").as("share_ppm"))
+        .orderBy("subspace", "code")
+    }),
+
+
+    // curse-of-dimensionality audit: per query, nearest vs mean squared
+    // distance over the corpus — contrast = mean/min in ppm (all-integer;
+    // a contrast near 1 means distances concentrate and ANN pruning loses
+    // power). min_d2 floor-guarded at 1 for exact-duplicate corpora
+    "s29_distance_contrast" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+        .select(col("vec_id"), quantize1000(col("embedding")).as("v"))
+        .withColumn("nv", ldot(col("v"), col("v")))
+      val q = vecs.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nv").as("nq"))
+      vecs.filter(col("vec_id") >= 5).crossJoin(broadcast(q))
+        .withColumn("d2",
+          col("nv") + col("nq") - lit(2L) * ldot(col("v"), col("qv")))
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n"), min(col("d2")).as("min_d2"),
+          sum(col("d2")).as("sum_d2"))
+        .select(col("query_id"), col("n"), col("min_d2"),
+          expr("(sum_d2 * 1000000) div (n * greatest(min_d2, 1))")
+            .as("contrast_ppm"))
+        .orderBy("query_id")
+    }),
+
+
+    // IVF recall-vs-probe operating curve: recall@5 at nProbe ∈ {1,2,4}
+    // against brute-force truth — the cost/recall trade the index tuner
+    // reads before fixing nProbe; deterministic integer k-means makes the
+    // whole sweep oracle-able (the oracle shares ONE training chain)
+    "s30_probe_recall_curve" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      val qs = em.filter(col("vec_id") < 5)
+      val truth = Similarity.bruteForceTopK(em, qs, "vec_id", "embedding", k = 5)
+        .localCheckpoint(true)
+      val (cells, centroids) = Similarity.ivfIndex(em, "vec_id", "embedding",
+        nCentroids = 16)
+      val pinned = cells.localCheckpoint(true)
+      Seq(1, 2, 4).map { p =>
+        Similarity.annRecall(truth,
+            Similarity.ivfTopKFromIndex(pinned, centroids, em, qs,
+              "vec_id", "embedding", k = 5, nProbe = p), k = 5)
+          .withColumn("probe", lit(p))
+      }.reduce(_ unionByName _)
+        .select(col("query_id"), col("probe"), col("n_hits"), col("recall_ppm"))
+        .orderBy("query_id", "probe")
+    }),
+
+
+    // k-means convergence audit: squared centroid movement in the LAST
+    // Lloyd iteration (iter 4 → 5) per cell — exact integers because the
+    // whole training is integer arithmetic; near-zero movement certifies
+    // the fixed iteration count the ANN family (s3/s4/s9/s10/s30) freezes
+    "s31_kmeans_convergence" -> ((s, d) => {
+      import s.implicits._
+      val em = Tables.embeddings(s, d)
+      val (_, c4) = Similarity.ivfIndex(em, "vec_id", "embedding",
+        nCentroids = 16, iterations = 4)
+      val (_, c5) = Similarity.ivfIndex(em, "vec_id", "embedding",
+        nCentroids = 16, iterations = 5)
+      c4.zip(c5).zipWithIndex.map { case ((a, b), cell) =>
+        (cell.toLong, a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+      }.toSeq.toDF("cell", "move_d2").orderBy("cell")
+    }),
+
+
+    // PQ reconstruction distortion per subspace: Σ‖slice − codeword‖² in
+    // exact integers — which subspaces the codebook represents poorly (the
+    // complement of s28's usage balance); mean per vector via floored div
+    "s32_pq_distortion" -> ((s, d) => {
+      Similarity.pqDistortion(Tables.embeddings(s, d), "vec_id", "embedding",
+          numSubspaces = 8, subCentroids = 16, iterations = 3)
+        .select(col("subspace"), col("n"), col("sum_d2"),
+          expr("sum_d2 div n").as("mean_d2"))
+        .orderBy("subspace")
+    }),
+
+
+    // classifier-confidence margin: per labeled query, best same-label vs
+    // best other-label cosine over the corpus — a thin (or negative)
+    // margin marks the queries s22's vote will flip on; exact integer
+    // dots, one canonical double division per pair, max/subtract exact
+    "s33_knn_margin" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      val vecs = em.select(col("vec_id"), col("label"),
+          quantize1000(col("embedding")).as("v"))
+        .withColumn("nv", ldot(col("v"), col("v")))
+      val q = vecs.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+          col("v").as("qv"), col("nv").as("nq"))
+      vecs.filter(col("vec_id") >= 5).crossJoin(broadcast(q))
+        .withColumn("dot", ldot(col("v"), col("qv")))
+        .withColumn("nn", col("nv") * col("nq"))
+        .withColumn("cosine", when(col("nn") === 0L, lit(0.0))
+          .otherwise(col("dot").cast("double") / sqrt(col("nn").cast("double"))))
+        .groupBy("query_id", "qlabel")
+        .agg(max(when(col("label") === col("qlabel"), col("cosine"))).as("best_same"),
+          max(when(col("label") =!= col("qlabel"), col("cosine"))).as("best_other"))
+        .withColumn("margin", col("best_same") - col("best_other"))
+        .orderBy("query_id")
+    }),
+
+
+    // LSH recall@k curve (k = 1/5/10 at fixed banding): how fast the
+    // single-probe index decays as k grows — both top-10 rankings computed
+    // once, per-k prefixes compared; the k-sweep companion to s30's probe
+    // sweep
+    "s34_recall_at_k" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      val qs = em.filter(col("vec_id") < 5)
+      val truth = Similarity.bruteForceTopK(em, qs, "vec_id", "embedding", k = 10)
+        .localCheckpoint(true)
+      val approx = Similarity.lshTopK(em, qs, "vec_id", "embedding", k = 10,
+        numPlanes = 8).localCheckpoint(true)
+      Seq(1, 5, 10).map { k =>
+        Similarity.annRecall(truth.filter(col("rank") <= k),
+            approx.filter(col("rank") <= k), k = k)
+          .withColumn("k", lit(k))
+      }.reduce(_ unionByName _)
+        .select(col("query_id"), col("k"), col("n_hits"), col("recall_ppm"))
+        .orderBy("query_id", "k")
+    }),
+
+
+    // embedding-space separability: mean within-label vs cross-label
+    // squared distance for a 50-anchor sample against the corpus — all
+    // integer d² sums, two floored means and their ratio; ratio ≪ 1e6
+    // means labels form real clusters
+    "s35_separability" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), quantize1000(col("embedding")).as("v"))
+        .withColumn("nv", ldot(col("v"), col("v")))
+        .localCheckpoint(true)
+      val anchors = vecs.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("aid"), col("label").as("alabel"),
+          col("v").as("av"), col("nv").as("an"))
+      vecs.crossJoin(broadcast(anchors))
+        .filter(col("vec_id") =!= col("aid"))
+        .withColumn("d2",
+          col("nv") + col("an") - lit(2L) * ldot(col("v"), col("av")))
+        .withColumn("same", (col("label") === col("alabel")).cast("long"))
+        .agg(sum(when(col("same") === 1L, col("d2"))).as("sw"),
+          sum(when(col("same") === 1L, 1L).otherwise(0L)).as("nw"),
+          sum(when(col("same") === 0L, col("d2"))).as("sx"),
+          sum(when(col("same") === 0L, 1L).otherwise(0L)).as("nx"))
+        .select(col("nw").as("n_within"), col("nx").as("n_cross"),
+          expr("sw div nw").as("mean_within_d2"),
+          expr("sx div nx").as("mean_cross_d2"),
+          expr("((sw div nw) * 1000000) div (sx div nx)").as("ratio_ppm"))
+    }),
+
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    // RRF hybrid search: BM25 top-25 (t13's CTE verbatim) + brute-force
+    // cosine top-25 for query vector 0 (s1's CTE, single query), fused by
+    // sum of 1e6 // (60 + rank); top 15 by (fused score, doc_id)
+    "s7_hybrid_rrf" ->
+      s"""WITH lex AS (SELECT doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+         |  FROM ($bm25TopKSql)),
+         |sem AS (SELECT neighbor_id AS doc_id, rank FROM (
+         |  WITH q AS (SELECT vec_id, ${qvSql("embedding")} AS qv FROM embeddings),
+         |  p AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id, qq.qv AS qa, c.qv AS qb
+         |        FROM q qq JOIN q c ON qq.vec_id = 0 AND qq.vec_id != c.vec_id),
+         |  sims AS (SELECT query_id, neighbor_id, $cosSql AS cosine FROM p),
+         |  ranked AS (SELECT *, ROW_NUMBER() OVER
+         |      (ORDER BY cosine DESC, neighbor_id) AS rank FROM sims)
+         |  SELECT neighbor_id, rank FROM ranked WHERE rank <= 25)),
+         |u AS (SELECT doc_id, rank FROM lex UNION ALL SELECT doc_id, rank FROM sem),
+         |f AS (SELECT doc_id, CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_ppm,
+         |      CAST(COUNT(*) AS BIGINT) AS n_lists FROM u GROUP BY doc_id)
+         |SELECT doc_id, rrf_ppm, n_lists FROM f
+         |ORDER BY rrf_ppm DESC, doc_id LIMIT 15""".stripMargin,
+
+
+    // DSIR ratio weights: p_ppb = (cnt+1)*1e9 // (tot+B) per side, ratio
+    // ppm saturated at 1e9; count-weighted per-doc mean; target = src1
+    "s6_dsir_importance" -> s"$dsirImportanceSql ORDER BY doc_id",
+
+
+    // centroid = truncated integer mean per dim (Spark div truncates
+    // toward zero; DuckDB // floors -> CASE emulation for negative sums);
+    // norm product multiplied in DOUBLE
+    "s5_label_outliers" ->
+      s"""WITH q AS (SELECT vec_id, label, ${qvSql("embedding")} AS qv FROM embeddings),
+         |x AS (SELECT label, i, CAST(SUM(qv[i]) AS BIGINT) AS s,
+         |        CAST(COUNT(*) AS BIGINT) AS n
+         |      FROM q, range(1, 65) t(i) GROUP BY label, i),
+         |xm AS (SELECT label, i,
+         |        CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END AS s FROM x),
+         |c AS (SELECT label, list(s ORDER BY i) AS cv FROM xm GROUP BY label),
+         |sc AS (SELECT q.vec_id, q.label,
+         |    CAST(list_sum([qv[i]*qv[i] for i in range(1,65)]) AS BIGINT) AS nv,
+         |    CAST(list_sum([cv[i]*cv[i] for i in range(1,65)]) AS BIGINT) AS nc,
+         |    CAST(list_sum([qv[i]*cv[i] for i in range(1,65)]) AS BIGINT) AS dot
+         |  FROM q JOIN c USING (label)),
+         |r AS (SELECT vec_id, label,
+         |    CASE WHEN nv = 0 OR nc = 0 THEN 0.0
+         |      ELSE dot::DOUBLE / sqrt(nv::DOUBLE * nc::DOUBLE) END AS centroid_cos
+         |  FROM sc)
+         |SELECT vec_id, label, centroid_cos, centroid_cos < 0.5 AS is_outlier
+         |FROM r ORDER BY vec_id""".stripMargin,
+
+
+    "s1_knn_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id, ${qvSql("embedding")} AS qv FROM embeddings),
+         |p AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id, qq.qv AS qa, c.qv AS qb
+         |      FROM q qq JOIN q c ON qq.vec_id < 5 AND qq.vec_id != c.vec_id),
+         |sims AS (SELECT query_id, neighbor_id, $cosSql AS cosine FROM p),
+         |ranked AS (SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM sims)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+
+    "s2_knn_lsh" ->
+      s"""WITH q AS (SELECT vec_id, ${qvSql("embedding")} AS qv FROM embeddings),
+         |bucketed AS (SELECT vec_id, qv, $lshBucketSql AS bucket FROM q),
+         |p AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id, qq.qv AS qa, c.qv AS qb
+         |      FROM bucketed qq JOIN bucketed c ON qq.bucket = c.bucket
+         |        AND qq.vec_id < 5 AND qq.vec_id != c.vec_id),
+         |sims AS (SELECT query_id, neighbor_id, $cosSql AS cosine FROM p),
+         |ranked AS (SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM sims)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+
+    "s16_ivf_pq" -> ivfPqSql(nCentroids = 16, ivfIters = 5, nProbe = 4,
+      m = 8, ksub = 16, pqIters = 3, k = 5),
+
+
+    "s13_pq_topk" -> pqTopKSelectSql(m = 8, ksub = 16, iterations = 3, k = 5),
+
+
+    "s15_kcenter_coreset" -> kCenterSql(k = 8),
+
+
+    "s14_pq_rerank" -> pqRerankSql(m = 8, ksub = 16, iterations = 3, poolSize = 20, k = 5),
+
+
+    "s11_mmr_diversify" -> mmrSql(poolSize = 10, k = 5),
+
+
+    // the s1 and s2 pipelines verbatim as CTEs, then a result-sized join;
+    // recall_ppm uses DuckDB `//` ≡ Spark `div` (non-negative operands)
+    // s12's truth/approx CTEs with ranks kept; gain 6−rank, disc 60//(rank+1)
+    // (exact: 60 = lcm(2..6)), IDCG = 5·30+4·20+3·15+2·12+1·10 = 309
+    "s20_ndcg_eval" ->
+      s"""WITH q AS (SELECT vec_id, ${qvSql("embedding")} AS qv FROM embeddings),
+         |tp AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id, qq.qv AS qa, c.qv AS qb
+         |      FROM q qq JOIN q c ON qq.vec_id < 5 AND qq.vec_id != c.vec_id),
+         |tsims AS (SELECT query_id, neighbor_id, $cosSql AS cosine FROM tp),
+         |truth AS (SELECT query_id, neighbor_id, rank FROM (SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM tsims)
+         |  WHERE rank <= 5),
+         |bucketed AS (SELECT vec_id, qv, $lshBucketSql AS bucket FROM q),
+         |ap AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id, qq.qv AS qa, c.qv AS qb
+         |      FROM bucketed qq JOIN bucketed c ON qq.bucket = c.bucket
+         |        AND qq.vec_id < 5 AND qq.vec_id != c.vec_id),
+         |asims AS (SELECT query_id, neighbor_id, $cosSql AS cosine FROM ap),
+         |approx AS (SELECT query_id, neighbor_id, rank FROM (SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM asims)
+         |  WHERE rank <= 5),
+         |d AS (SELECT a.query_id,
+         |    CAST(SUM((6 - t.rank) * (60 // (a.rank + 1))) AS BIGINT) AS dcg_scaled
+         |  FROM approx a JOIN truth t
+         |    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+         |  GROUP BY 1)
+         |SELECT tq.query_id, CAST(COALESCE(d.dcg_scaled, 0) AS BIGINT) AS dcg_scaled,
+         |  COALESCE(d.dcg_scaled, 0)::DOUBLE / 309.0 AS ndcg
+         |FROM (SELECT DISTINCT query_id FROM truth) tq
+         |LEFT JOIN d ON tq.query_id = d.query_id
+         |ORDER BY tq.query_id""".stripMargin,
+
+
+    "s12_ann_recall" ->
+      s"""WITH q AS (SELECT vec_id, ${qvSql("embedding")} AS qv FROM embeddings),
+         |tp AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id, qq.qv AS qa, c.qv AS qb
+         |      FROM q qq JOIN q c ON qq.vec_id < 5 AND qq.vec_id != c.vec_id),
+         |tsims AS (SELECT query_id, neighbor_id, $cosSql AS cosine FROM tp),
+         |truth AS (SELECT query_id, neighbor_id FROM (SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM tsims)
+         |  WHERE rank <= 5),
+         |bucketed AS (SELECT vec_id, qv, $lshBucketSql AS bucket FROM q),
+         |ap AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id, qq.qv AS qa, c.qv AS qb
+         |      FROM bucketed qq JOIN bucketed c ON qq.bucket = c.bucket
+         |        AND qq.vec_id < 5 AND qq.vec_id != c.vec_id),
+         |asims AS (SELECT query_id, neighbor_id, $cosSql AS cosine FROM ap),
+         |approx AS (SELECT query_id, neighbor_id FROM (SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM asims)
+         |  WHERE rank <= 5),
+         |hits AS (SELECT t.query_id, COUNT(*) AS n_hits FROM truth t
+         |  JOIN approx a ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+         |  GROUP BY t.query_id)
+         |SELECT tq.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST((1000000 * COALESCE(h.n_hits, 0)) // 5 AS BIGINT) AS recall_ppm
+         |FROM (SELECT DISTINCT query_id FROM truth) tq
+         |LEFT JOIN hits h ON tq.query_id = h.query_id
+         |ORDER BY tq.query_id""".stripMargin,
+
+
+    // same bucket formula as s2, queries expanded to bucket XOR each
+    // single-bit flip (0 = own bucket); DuckDB xor() ≡ Spark bitwiseXOR
+    "s8_knn_multiprobe" ->
+      s"""WITH q AS (SELECT vec_id, ${qvSql("embedding")} AS qv FROM embeddings),
+         |bucketed AS (SELECT vec_id, qv, $lshBucketSql AS bucket FROM q),
+         |probes AS (SELECT vec_id, qv, xor(bucket, f) AS bucket
+         |  FROM bucketed, unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) t(f)
+         |  WHERE vec_id < 5),
+         |p AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id, qq.qv AS qa, c.qv AS qb
+         |      FROM probes qq JOIN bucketed c ON qq.bucket = c.bucket
+         |        AND qq.vec_id != c.vec_id),
+         |sims AS (SELECT query_id, neighbor_id, $cosSql AS cosine FROM p),
+         |ranked AS (SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM sims)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+
+    "s3_knn_ivf" -> ivfTopKSql(nCentroids = 16, iterations = 5, nProbe = 4, k = 5),
+
+
+    "s10_hard_negatives" -> ivfHardNegSql(nCentroids = 16, iterations = 5, nProbe = 4, k = 5),
+
+
+    "s4_semantic_dedup" ->
+      s"""WITH ${ivfCellsSql(nCentroids = 16, iterations = 5)},
+         |p AS (SELECT a.id AS id_a, b.id AS id_b, a.v AS qa, b.v AS qb
+         |      FROM cells a JOIN cells b ON a.cell = b.cell AND a.id < b.id),
+         |sims AS (SELECT id_a, id_b, $cosSql AS cosine FROM p)
+         |SELECT id_a, id_b, cosine FROM sims WHERE cosine >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+
+    // ivfCellsSql's deterministic k-means cells + the q37 hash-rank cap rule
+    "s9_cluster_balanced" ->
+      s"""WITH ${ivfCellsSql(nCentroids = 16, iterations = 5)},
+         |r AS (SELECT id AS vec_id, cell,
+         |    ROW_NUMBER() OVER (PARTITION BY cell
+         |      ORDER BY md5(id::VARCHAR), id) AS rank
+         |  FROM cells)
+         |SELECT vec_id, cell, CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 20 ORDER BY cell, rank""".stripMargin,
+
+
+    // both index CTE families over the same v table; candidate counts are
+    // population arithmetic on bucket/cell sizes
+    "s24_ann_candidates" ->
+      s"""WITH ${ivfCellsSql(16, 5)},
+         |q AS (SELECT id AS vec_id, v AS qv FROM v),
+         |bucketed AS (SELECT vec_id, $lshBucketSql AS bucket FROM q),
+         |bs AS (SELECT bucket, COUNT(*) AS bn FROM bucketed GROUP BY 1),
+         |lsh AS (SELECT vec_id AS query_id, CAST(bn - 1 AS BIGINT) AS lsh_candidates
+         |  FROM bucketed JOIN bs USING (bucket) WHERE vec_id < 5),
+         |cs AS (SELECT cell, COUNT(*) AS csz FROM cells GROUP BY 1),
+         |pd AS (SELECT qq.id AS query_id, c.cell,
+         |  ROW_NUMBER() OVER (PARTITION BY qq.id
+         |    ORDER BY c.cn - 2*list_sum([c.c[i]*qq.v[i] for i in range(1,65)]), c.cell) AS rn
+         |  FROM v qq CROSS JOIN c5 c WHERE qq.id < 5),
+         |probes AS (SELECT query_id, cell FROM pd WHERE rn <= 4),
+         |ivf AS (SELECT query_id, CAST(SUM(csz) - 1 AS BIGINT) AS ivf_candidates
+         |  FROM probes JOIN cs USING (cell) GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS corpus_n FROM v)
+         |SELECT query_id, lsh_candidates, ivf_candidates, corpus_n,
+         |  CAST((lsh_candidates * 1000000) // corpus_n AS BIGINT) AS lsh_ppm,
+         |  CAST((ivf_candidates * 1000000) // corpus_n AS BIGINT) AS ivf_ppm
+         |FROM lsh JOIN ivf USING (query_id), n ORDER BY query_id""".stripMargin,
+
+
+    // full k-means unroll → within-cell pair cosines → per-id 1-NN →
+    // the mutual join of two corpus-sized NN tables
+    "s23_mutual_nn" ->
+      s"""WITH ${ivfCellsSql(16, 5)},
+         |p AS (SELECT a.id AS id, b.id AS nb, a.v AS qa, b.v AS qb
+         |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.id != b.id),
+         |sims AS (SELECT id, nb, $cosSql AS cosine FROM p),
+         |nn AS (SELECT id, nb, cosine FROM (SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY id ORDER BY cosine DESC, nb) AS rk FROM sims)
+         |  WHERE rk = 1)
+         |SELECT a.id AS id_a, a.nb AS id_b, a.cosine
+         |FROM nn a JOIN nn b ON a.nb = b.id AND b.nb = a.id AND a.id < b.id
+         |ORDER BY id_a""".stripMargin,
+
+
+    // s12's brute-force truth CTE (k=5, 50 queries), then the plurality vote
+    "s22_knn_classifier" ->
+      s"""WITH q AS (SELECT vec_id, label, ${qvSql("embedding")} AS qv FROM embeddings),
+         |tp AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id, qq.qv AS qa, c.qv AS qb
+         |      FROM q qq JOIN q c ON qq.vec_id < 50 AND qq.vec_id != c.vec_id),
+         |tsims AS (SELECT query_id, neighbor_id, $cosSql AS cosine FROM tp),
+         |nn AS (SELECT query_id, neighbor_id FROM (SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM tsims)
+         |  WHERE rank <= 5),
+         |votes AS (SELECT nn.query_id, ql.label AS nl, COUNT(*) AS v
+         |  FROM nn JOIN q ql ON ql.vec_id = nn.neighbor_id GROUP BY 1, 2),
+         |pred AS (SELECT query_id, nl AS predicted FROM (SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY query_id ORDER BY v DESC, nl) AS rk FROM votes)
+         |  WHERE rk = 1)
+         |SELECT p.query_id, t.label AS true_label, p.predicted,
+         |  t.label = p.predicted AS correct
+         |FROM pred p JOIN q t ON t.vec_id = p.query_id
+         |ORDER BY p.query_id""".stripMargin,
+
+
+    // the full k-means unroll, then per-row exact distance vs the final
+    // centroid table (cn = ||c||² is already in the CTE)
+    "s21_ivf_distortion" ->
+      s"""WITH ${ivfCellsSql(16, 5)},
+         |dd AS (SELECT x.cell,
+         |    list_sum([x.v[i]*x.v[i] for i in range(1,65)])
+         |      - 2*list_sum([cc.c[i]*x.v[i] for i in range(1,65)]) + cc.cn AS d2
+         |  FROM cells x JOIN c5 cc USING (cell))
+         |SELECT CAST(cell AS BIGINT) AS cell, COUNT(*) AS n_vectors,
+         |  CAST(SUM(d2) AS BIGINT) AS sse
+         |FROM dd GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    // same cap-and-drop matrix on both sides; dot::DOUBLE/sqrt(na*nb) is
+    // the canonical double tree
+    "s19_item_cosine" ->
+      """WITH r AS (SELECT o_custkey AS u, l_partkey AS i,
+        |    CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+        |c AS (SELECT u, COUNT(*) AS ni FROM r GROUP BY 1),
+        |rc AS (SELECT r.* FROM r JOIN c USING (u) WHERE ni <= 40),
+        |nrm AS (SELECT i, CAST(SUM(q*q) AS BIGINT) AS n2 FROM rc GROUP BY 1),
+        |d AS (SELECT a.i AS item_a, b.i AS item_b,
+        |    CAST(SUM(a.q*b.q) AS BIGINT) AS dot
+        |  FROM rc a JOIN rc b ON a.u = b.u AND a.i < b.i GROUP BY 1, 2),
+        |sc AS (SELECT item_a, item_b, dot,
+        |    dot::DOUBLE / sqrt(na.n2::DOUBLE * nb.n2::DOUBLE) AS cosine
+        |  FROM d JOIN nrm na ON na.i = d.item_a JOIN nrm nb ON nb.i = d.item_b),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY cosine DESC, item_a, item_b) AS rank
+        |  FROM sc)
+        |SELECT CAST(rank AS INTEGER) AS rank, item_a, item_b, dot, cosine
+        |FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+
+    // q94's Hamilton SQL over ⌊√(n·10⁶)⌋ weights; FLOOR(SQRT(...)) is the
+    // same correctly-rounded double pipeline as the Spark side
+    "s18_temperature_mix" ->
+      """WITH st AS (SELECT lang, source, COUNT(*) AS n_rows FROM documents GROUP BY 1, 2),
+        |ws AS (SELECT lang, source, n_rows,
+        |    CAST(FLOOR(SQRT((n_rows::DOUBLE) * 1000000.0)) AS BIGINT) AS w FROM st),
+        |t AS (SELECT *, CAST(SUM(w) OVER () AS BIGINT) AS tw FROM ws),
+        |q AS (SELECT lang, source, n_rows, w,
+        |    CAST((1000*w) // tw AS BIGINT) AS quota,
+        |    CAST((1000*w) % tw AS BIGINT) AS rem FROM t),
+        |x AS (SELECT *, CAST(1000 - SUM(quota) OVER () AS BIGINT) AS leftover,
+        |    ROW_NUMBER() OVER (ORDER BY rem DESC, lang, source) AS rk FROM q)
+        |SELECT lang, source, n_rows, w, quota,
+        |  CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+        |  CAST(quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM x ORDER BY lang, source""".stripMargin,
+
+
+    "s17_link_prediction" ->
+      """WITH li0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |li AS (SELECT o, p FROM (SELECT o, p, COUNT(*) OVER (PARTITION BY o) AS bn
+        |    FROM li0) WHERE bn <= 5),
+        |e AS (SELECT x.p AS a, y.p AS b
+        |      FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+        |hubadj AS (SELECT adj.u, adj.v FROM adj JOIN deg ON deg.u = adj.u
+        |  WHERE deg.d <= 50),
+        |inter AS (SELECT x.v AS a, y.v AS b, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM hubadj x JOIN hubadj y ON x.u = y.u AND x.v < y.v
+        |  GROUP BY 1, 2),
+        |cand AS (SELECT i.a, i.b, i.inter FROM inter i
+        |  LEFT JOIN e ON e.a = i.a AND e.b = i.b WHERE e.a IS NULL),
+        |sc AS (SELECT c.a, c.b, c.inter,
+        |    CAST(c.inter AS DOUBLE) / CAST(da.d + db.d - c.inter AS DOUBLE) AS jaccard
+        |  FROM cand c JOIN deg da ON da.u = c.a JOIN deg db ON db.u = c.b),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY jaccard DESC, a, b) AS rank FROM sc)
+        |SELECT CAST(rank AS INTEGER) AS rank, a, b, inter, jaccard
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+
+    // cross-multiplied squared-cosine thresholds; HUGEINT intermediates in
+    // DuckDB, long-safe in Spark (dot ≤ 6.4e7 ⇒ 400·dot² ≤ 1.7e18)
+    "s25_radius_census" ->
+      s"""WITH v AS (SELECT vec_id, ${qvSql("embedding")} AS v FROM embeddings),
+         |n AS (SELECT vec_id, v,
+         |    CAST(list_sum([v[i]*v[i] for i in range(1,65)]) AS BIGINT) AS nv
+         |  FROM v),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nv AS nq FROM n WHERE vec_id < 5),
+         |p AS (SELECT query_id,
+         |    CAST(list_sum([c.v[i]*q.qv[i] for i in range(1,65)]) AS BIGINT) AS dot,
+         |    c.nv * q.nq AS nn
+         |  FROM n c CROSS JOIN q q WHERE c.vec_id >= 5)
+         |SELECT query_id,
+         |  CAST(SUM(CASE WHEN dot > 0 AND dot*dot*400 >= nn*361 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_ge95,
+         |  CAST(SUM(CASE WHEN dot > 0 AND dot*dot*100 >= nn*81 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_ge90,
+         |  CAST(SUM(CASE WHEN dot > 0 AND dot*dot*25 >= nn*16 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_ge80
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    // same integer-k-means cells CTE; plurality label via (c desc, label)
+    "s26_cell_purity" ->
+      s"""WITH ${ivfCellsSql(16, 5)},
+         |lab AS (SELECT c.cell, e.label FROM cells c JOIN embeddings e ON c.id = e.vec_id),
+         |cnt AS (SELECT cell, label, COUNT(*) AS c FROM lab GROUP BY 1, 2),
+         |tot AS (SELECT cell, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+         |m AS (SELECT cell, label, c,
+         |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY c DESC, label) AS rn
+         |  FROM cnt)
+         |SELECT CAST(m.cell AS BIGINT) AS cell, tot.n, m.label AS top_label,
+         |  CAST((m.c * 1000000) // tot.n AS BIGINT) AS purity_ppm
+         |FROM m JOIN tot USING (cell) WHERE rn = 1 ORDER BY cell""".stripMargin,
+
+
+    // parallel unnest zips (value, 0-based dim); integer moments per dim
+    "s27_dim_variance" ->
+      s"""WITH v AS (SELECT ${qvSql("embedding")} AS v FROM embeddings),
+         |dims AS (SELECT CAST(unnest(range(len(v))) AS INTEGER) AS dim,
+         |    unnest(v) AS val FROM v),
+         |m AS (SELECT dim, COUNT(*) AS n, CAST(SUM(val) AS BIGINT) AS sv,
+         |    CAST(SUM(val*val) AS BIGINT) AS qv
+         |  FROM dims GROUP BY 1)
+         |SELECT dim, n, CAST(((sv + 1000*n) // n) - 1000 AS BIGINT) AS mean_q,
+         |  CAST((n*qv - sv*sv) // (n*n) AS BIGINT) AS var_q
+         |FROM m ORDER BY dim""".stripMargin,
+
+
+    // final per-subspace assignments read straight from the s{i}fd CTEs
+    "s28_pq_code_usage" ->
+      s"""WITH v AS (SELECT vec_id AS id, ${qvSql("embedding")} AS v FROM embeddings),
+         |${pqSubspacesSql(8, 16, 3)},
+         |codes AS (${(0 until 8).map(i =>
+            s"SELECT CAST($i AS INTEGER) AS subspace, id, cell FROM s${i}fd WHERE rn = 1")
+            .mkString("\n  UNION ALL ")}),
+         |tot AS (SELECT COUNT(*) AS n_vec FROM v)
+         |SELECT subspace, CAST(cell AS BIGINT) AS code, COUNT(*) AS n,
+         |  CAST((COUNT(*) * 1000000) // n_vec AS BIGINT) AS share_ppm
+         |FROM codes, tot GROUP BY subspace, cell, n_vec
+         |ORDER BY subspace, code""".stripMargin,
+
+
+    // exact integer squared distances; mean/min contrast in ppm
+    "s29_distance_contrast" ->
+      s"""WITH v AS (SELECT vec_id, ${qvSql("embedding")} AS v FROM embeddings),
+         |n AS (SELECT vec_id, v,
+         |    CAST(list_sum([v[i]*v[i] for i in range(1,65)]) AS BIGINT) AS nv
+         |  FROM v),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nv AS nq FROM n WHERE vec_id < 5),
+         |p AS (SELECT query_id,
+         |    c.nv + q.nq
+         |      - 2*CAST(list_sum([c.v[i]*q.qv[i] for i in range(1,65)]) AS BIGINT)
+         |      AS d2
+         |  FROM n c CROSS JOIN q q WHERE c.vec_id >= 5)
+         |SELECT query_id, COUNT(*) AS n, CAST(MIN(d2) AS BIGINT) AS min_d2,
+         |  CAST((CAST(SUM(d2) AS BIGINT) * 1000000)
+         |    // (COUNT(*) * greatest(CAST(MIN(d2) AS BIGINT), 1)) AS BIGINT)
+         |    AS contrast_ppm
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "s30_probe_recall_curve" -> ivfProbeSweepSql(nCentroids = 16,
+      iterations = 5, probes = Seq(1, 2, 4), k = 5),
+
+
+    // both centroid generations come out of ONE unrolled training chain
+    "s31_kmeans_convergence" ->
+      s"""WITH ${ivfCellsSql(16, 5)}
+         |SELECT CAST(p.cell AS BIGINT) AS cell,
+         |  CAST(list_sum([(p.c[i]-q.c[i])*(p.c[i]-q.c[i]) for i in range(1,65)])
+         |    AS BIGINT) AS move_d2
+         |FROM c4 p JOIN c5 q USING (cell) ORDER BY cell""".stripMargin,
+
+
+    // s{i}v slices vs s{i}e codewords from the shared training chains
+    "s32_pq_distortion" ->
+      s"""WITH v AS (SELECT vec_id AS id, ${qvSql("embedding")} AS v FROM embeddings),
+         |${pqSubspacesSql(8, 16, 3)},
+         |d AS (${(0 until 8).map { i =>
+            s"""SELECT CAST($i AS INTEGER) AS subspace,
+               |  CAST(list_sum([(a.v[i]-e.cv[i])*(a.v[i]-e.cv[i]) for i in range(1,9)])
+               |    AS BIGINT) AS d2
+               |  FROM s${i}v a JOIN s${i}e e USING (id)""".stripMargin
+          }.mkString("\n  UNION ALL ")})
+         |SELECT subspace, COUNT(*) AS n, CAST(SUM(d2) AS BIGINT) AS sum_d2,
+         |  CAST(CAST(SUM(d2) AS BIGINT) // COUNT(*) AS BIGINT) AS mean_d2
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    // best same-label vs other-label cosine; canonical double per pair
+    "s33_knn_margin" ->
+      s"""WITH v AS (SELECT vec_id, label, ${qvSql("embedding")} AS v FROM embeddings),
+         |n AS (SELECT vec_id, label, v,
+         |    CAST(list_sum([v[i]*v[i] for i in range(1,65)]) AS BIGINT) AS nv
+         |  FROM v),
+         |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv, nv AS nq
+         |  FROM n WHERE vec_id < 5),
+         |p AS (SELECT query_id, qlabel, c.label,
+         |    CASE WHEN c.nv * q.nq = 0 THEN 0.0
+         |      ELSE CAST(list_sum([c.v[i]*q.qv[i] for i in range(1,65)]) AS BIGINT)::DOUBLE
+         |        / sqrt((c.nv * q.nq)::DOUBLE) END AS cosine
+         |  FROM n c CROSS JOIN q q WHERE c.vec_id >= 5)
+         |SELECT query_id, qlabel,
+         |  MAX(CASE WHEN label = qlabel THEN cosine END) AS best_same,
+         |  MAX(CASE WHEN label != qlabel THEN cosine END) AS best_other,
+         |  MAX(CASE WHEN label = qlabel THEN cosine END)
+         |    - MAX(CASE WHEN label != qlabel THEN cosine END) AS margin
+         |FROM p GROUP BY 1, 2 ORDER BY query_id""".stripMargin,
+
+
+    // both top-10 rankings once; per-k prefix intersection
+    "s34_recall_at_k" ->
+      s"""WITH q AS (SELECT vec_id, ${qvSql("embedding")} AS qv FROM embeddings),
+         |tp AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    qq.qv AS qa, c.qv AS qb
+         |  FROM q qq JOIN q c ON qq.vec_id < 5 AND qq.vec_id != c.vec_id),
+         |tr AS (SELECT query_id, neighbor_id, rank FROM (
+         |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY $cosSql DESC, neighbor_id) AS rank FROM tp) WHERE rank <= 10),
+         |bucketed AS (SELECT vec_id, qv, $lshBucketSql AS bucket FROM q),
+         |ap AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    qq.qv AS qa, c.qv AS qb
+         |  FROM bucketed qq JOIN bucketed c ON qq.bucket = c.bucket
+         |    AND qq.vec_id < 5 AND qq.vec_id != c.vec_id),
+         |ar AS (SELECT query_id, neighbor_id, rank FROM (
+         |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY $cosSql DESC, neighbor_id) AS rank FROM ap) WHERE rank <= 10),
+         |${Seq(1, 5, 10).map { k =>
+            s"""rec$k AS (SELECT tq.query_id, CAST($k AS INTEGER) AS k,
+               |    CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+               |    CAST((1000000 * COALESCE(h.n_hits, 0)) // $k AS BIGINT) AS recall_ppm
+               |  FROM (SELECT DISTINCT query_id FROM tr) tq
+               |  LEFT JOIN (SELECT t.query_id, COUNT(*) AS n_hits
+               |    FROM (SELECT * FROM tr WHERE rank <= $k) t
+               |    JOIN (SELECT * FROM ar WHERE rank <= $k) a
+               |      ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+               |    GROUP BY 1) h ON tq.query_id = h.query_id)""".stripMargin
+          }.mkString(",\n")}
+         |SELECT * FROM rec1 UNION ALL SELECT * FROM rec5 UNION ALL
+         |SELECT * FROM rec10 ORDER BY query_id, k""".stripMargin,
+
+
+    // integer d² sums over 50-anchor sample × corpus; floored means
+    "s35_separability" ->
+      s"""WITH v AS (SELECT vec_id, label, ${qvSql("embedding")} AS v FROM embeddings),
+         |n AS (SELECT vec_id, label, v,
+         |    CAST(list_sum([v[i]*v[i] for i in range(1,65)]) AS BIGINT) AS nv
+         |  FROM v),
+         |a AS (SELECT vec_id AS aid, label AS alabel, v AS av, nv AS an
+         |  FROM n WHERE vec_id < 50),
+         |p AS (SELECT c.label = a.alabel AS same,
+         |    c.nv + a.an
+         |      - 2*CAST(list_sum([c.v[i]*a.av[i] for i in range(1,65)]) AS BIGINT)
+         |      AS d2
+         |  FROM n c CROSS JOIN a WHERE c.vec_id != a.aid),
+         |agg AS (SELECT
+         |    CAST(SUM(CASE WHEN same THEN d2 END) AS BIGINT) AS sw,
+         |    CAST(SUM(CASE WHEN same THEN 1 ELSE 0 END) AS BIGINT) AS nw,
+         |    CAST(SUM(CASE WHEN NOT same THEN d2 END) AS BIGINT) AS sx,
+         |    CAST(SUM(CASE WHEN NOT same THEN 1 ELSE 0 END) AS BIGINT) AS nx
+         |  FROM p)
+         |SELECT nw AS n_within, nx AS n_cross,
+         |  CAST(sw // nw AS BIGINT) AS mean_within_d2,
+         |  CAST(sx // nx AS BIGINT) AS mean_cross_d2,
+         |  CAST(((sw // nw) * 1000000) // (sx // nx) AS BIGINT) AS ratio_ppm
+         |FROM agg""".stripMargin,
+
+  )
+}

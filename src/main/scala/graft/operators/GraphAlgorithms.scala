@@ -309,16 +309,14 @@ object GraphAlgorithms {
       .groupBy(col(basketCol).as("o"))
       .agg(sort_array(collect_set(col(itemCol))).as("ps"))
       .filter(size(col("ps")).between(2, maxBasketSize))
-    val n = size(col("ps"))
+    // ordered-pair explode as two native generators (posexplode + slice)
+    // — the nested transform/sequence/struct HOF chain this replaces was
+    // interpreted per element and dominated every co-purchase query's
+    // edge-build time (same rewrite as t20's pair explode)
     baskets
-      .select(explode(flatten(transform(
-        sequence(lit(0), n - 2),
-        i => transform(
-          sequence(i + 1, n - 1),
-          j => struct(
-            element_at(col("ps"), i + 1).as("src"),
-            element_at(col("ps"), j + 1).as("dst")))))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .select(col("ps"), posexplode(col("ps")).as(Seq("i", "src")))
+      .select(col("src"),
+        explode(expr("slice(ps, i + 2, size(ps) - i - 1)")).as("dst"))
       .groupBy("src", "dst")
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)

@@ -845,13 +845,15 @@ object Similarity {
     * capped matrix; the only double is the final
     * `dot / √(‖a‖²·‖b‖²)` — the repo's canonical one-hop division.
     *
-    * Scale shape: co-rated pairs come from the per-user self-join, so one
-    * power user owns a quadratic pair set — users with more than
-    * `maxUserItems` distinct items are dropped WHOLE (the same
-    * cap-and-drop rule as every capped operator here, mirrored by the
-    * oracle) bounding per-user work at cap²; norms are one item-keyed
-    * aggregate; the top-k is TakeOrdered. The capped matrix is
-    * checkpointed once (read by norms + both pair sides).
+    * Scale shape: duplicate (user, item) rows are SUMMED first (so the cap
+    * counts distinct items by construction — no footgun), then ONE
+    * user-key shuffle builds each user's sorted (item, value) array, the
+    * cap is a free row-local size filter, and co-rated pairs are a
+    * row-local in-array explode (two native generators, the q54 basket
+    * shape) — per-user work bounded at cap², and the former per-user
+    * self-join's extra exchange is gone; norms are one item-keyed
+    * aggregate over the same capped arrays; the top-k is TakeOrdered. The
+    * capped array frame is checkpointed once (read by norms + pairs).
     *
     * Returns (rank, item_a, item_b, dot, cosine), top `k` by cosine. */
   def itemCosine(
@@ -862,19 +864,21 @@ object Similarity {
       maxUserItems: Long,
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // cap counts DISTINCT items so duplicate (user,item) rows can't slip a
-    // heavy user under the cap (they'd also double-count dot products —
-    // callers should still pre-aggregate to one row per (user,item))
-    val cnt = ratings.groupBy(userCol).agg(countDistinct(col(itemCol)).as("__ni"))
-    val rc = ratings.join(cnt, userCol).filter(col("__ni") <= maxUserItems)
-      .select(col(userCol).as("__u"), col(itemCol).as("__i"), col(valueCol).as("__q"))
+    val byUser = ratings
+      .groupBy(col(userCol).as("__u"), col(itemCol).as("__i"))
+      .agg(sum(col(valueCol)).as("__q"))
+      .groupBy("__u")
+      .agg(sort_array(collect_list(struct(col("__i").as("i"), col("__q").as("q"))))
+        .as("iv"))
+      .filter(size(col("iv")) <= maxUserItems)
       .localCheckpoint(true)
-    val nrm = rc.groupBy("__i").agg(sum(col("__q") * col("__q")).as("n2"))
-    val dots = rc.select(col("__u"), col("__i").as("item_a"), col("__q").as("qa"))
-      .join(rc.select(col("__u"), col("__i").as("item_b"), col("__q").as("qb")), "__u")
-      .filter(col("item_a") < col("item_b"))
-      .groupBy("item_a", "item_b")
-      .agg(sum(col("qa") * col("qb")).as("dot"))
+    val nrm = byUser.select(explode(col("iv")).as("e"))
+      .groupBy(col("e.i").as("__i")).agg(sum(col("e.q") * col("e.q")).as("n2"))
+    val dots = byUser
+      .select(col("iv"), posexplode(col("iv")).as(Seq("x", "a")))
+      .select(col("a"), explode(expr("slice(iv, x + 2, size(iv) - x - 1)")).as("b"))
+      .groupBy(col("a.i").as("item_a"), col("b.i").as("item_b"))
+      .agg(sum(col("a.q") * col("b.q")).as("dot"))
     val scored = dots
       .join(nrm.select(col("__i").as("item_a"), col("n2").as("na")), "item_a")
       .join(nrm.select(col("__i").as("item_b"), col("n2").as("nb")), "item_b")

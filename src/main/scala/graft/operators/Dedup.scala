@@ -51,6 +51,42 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
       .filter(col("dup_count") >= minGroupSize)
 
+  /** Incremental exact dedup — the daily-ingest form of [[exact]]: the
+    * 100 TB history participates ONLY through its persisted
+    * `(idCol, content_hash)` table (built once, on arrival — the d15/q81
+    * state-maintenance rule applied to content hashes); a fresh increment
+    * hashes its own documents and PROBES that table with its distinct
+    * hash set (increment-sized — broadcasts, or seeds a bloom runtime
+    * filter, so history is semi-join-pruned, never re-hashed or
+    * re-grouped whole).
+    *
+    * Equivalence by construction: every history member of a probed hash
+    * joins, so each output group carries its FULL corpus membership —
+    * `incrementalExact(history, fresh)` ≡ `exact(history ∪ fresh)`
+    * restricted to groups containing ≥ 1 fresh document, which is what
+    * the oracle asserts.
+    *
+    * Returns (content_hash, keep_id, dup_count, n_fresh). */
+  def incrementalExact(
+      historyHashes: DataFrame,
+      fresh: DataFrame,
+      idCol: String,
+      textCol: String,
+      minGroupSize: Int = 2): DataFrame = {
+    val fh = fresh
+      .select(col(idCol), md5(normalizeText(col(textCol))).as("content_hash"))
+    val probe = fh.select("content_hash").distinct()
+    val touched = historyHashes
+      .join(probe, "content_hash")
+      .select(col(idCol), col("content_hash"))
+    fh.withColumn("is_fresh", lit(1L))
+      .unionByName(touched.withColumn("is_fresh", lit(0L)))
+      .groupBy("content_hash")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"),
+        sum(col("is_fresh")).as("n_fresh"))
+      .filter(col("dup_count") >= minGroupSize)
+  }
+
   /** MinHash signature: each shingle hashed ONCE to a 60-bit md5 prefix,
     * then `numHashes` universal-hash permutations `(aᵢ·h+bᵢ) mod 2^61−1`
     * (see MinHashSignature) — min per permutation is the standard MinHash

@@ -670,12 +670,12 @@ private[graft] object CoreQueries2 {
           concat(lit("s:"), col("l_suppkey")).as("dst"),
           Tables.epochUs(col("o_orderdate")).as("odate_us"))
       // the join projection is re-read by CC (count + collect + vertices)
-      // and the contraction — checkpoint each half once (the repo's re-read
-      // rule); dedup first so the pinned blocks are edge-set-sized
-      val base = e.filter(col("odate_us") < lit(Jan1_00)).select("src", "dst")
-        .localCheckpoint(true)
-      val delta = e.filter(col("odate_us") >= lit(Jan1_00)).select("src", "dst")
-        .localCheckpoint(true)
+      // and the contraction — checkpoint the JOINED frame once and slice
+      // both halves from it (checkpointing each half separately ran the
+      // lineitem⋈orders join twice, the dominant cost here)
+      val ec = e.localCheckpoint(true)
+      val base = ec.filter(col("odate_us") < lit(Jan1_00)).select("src", "dst")
+      val delta = ec.filter(col("odate_us") >= lit(Jan1_00)).select("src", "dst")
       GraphAlgorithms.incrementalComponents(s, base, delta).orderBy("vertex")
     }),
 

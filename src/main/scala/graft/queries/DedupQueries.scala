@@ -45,6 +45,24 @@ private[graft] object DedupQueries {
     }),
 
 
+    // incremental exact dedup: history participates only through its
+    // persisted hash table, probed by the increment's distinct hashes —
+    // per-ingest cost tracks the increment; result ≡ full-corpus exact
+    // dedup restricted to groups gaining a fresh member (d15's
+    // equivalence-by-construction rule on content hashes). The increment
+    // is a simulated re-crawl (every 5th doc re-ingested under a new id —
+    // the synthetic corpus has no native exact duplicates, probed first)
+    "d28_incremental_exact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val history = docs
+        .select(col("doc_id"), md5(normalizeText(col("text"))).as("content_hash"))
+      val recrawl = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      Dedup.incrementalExact(history, recrawl, "doc_id", "text")
+        .orderBy("content_hash")
+    }),
+
+
     // MinHash + LSH banded near-dup candidates (batch context → materialize
     // the banded projection once for the self-join)
     "d2_dedup_minhash" -> ((s, d) => {
@@ -410,6 +428,21 @@ private[graft] object DedupQueries {
     "d1_dedup_exact" ->
       s"""SELECT md5($normSql) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    // full-(history ∪ re-crawl)-corpus groups restricted to those gaining
+    // a fresh member — the equivalence the incremental path guarantees
+    "d28_incremental_exact" ->
+      s"""WITH all_rows AS (
+         |  SELECT doc_id, md5($normSql) AS content_hash, 0 AS is_fresh FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, md5($normSql), 1 FROM documents WHERE doc_id % 5 = 0),
+         |g AS (SELECT content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count,
+         |    CAST(SUM(is_fresh) AS BIGINT) AS n_fresh
+         |  FROM all_rows GROUP BY 1)
+         |SELECT content_hash, keep_id, dup_count, n_fresh FROM g
+         |WHERE dup_count >= 2 AND n_fresh >= 1
+         |ORDER BY content_hash""".stripMargin,
 
 
     "d2_dedup_minhash" ->

@@ -180,6 +180,26 @@ private[graft] object SimilarityQueries {
     }),
 
 
+    // ANN under deletion: vectors vec_id ≡ 0 (mod 9) are tombstoned AFTER
+    // the index is built and masked at probe time (no retrain — the
+    // production delete path; q170's de-index rule applied to IVF).
+    // Masking the cell table masks the corpus join side with it, so a
+    // deleted vector can neither be a candidate nor a result — exactly the
+    // full-rebuild answer for the SAME (frozen, full-corpus) centroids,
+    // which is what the oracle asserts
+    "s35_ann_delete_mask" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      val qs = em.filter(col("vec_id") < 5)
+      val (cells, centroids) = Similarity.ivfIndex(em, "vec_id", "embedding",
+        nCentroids = 16)
+      val live = cells.filter(col("id") % 9 =!= 0)
+      Similarity.ivfTopKFromIndex(live, centroids, em, qs,
+        "vec_id", "embedding", k = 5, nProbe = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
+
     // hard-negative mining (filtered ANN): top-5 most-similar vectors with
     // a DIFFERENT label, served by the same full-corpus IVF index as s3 —
     // one index, any label predicate
@@ -759,6 +779,10 @@ private[graft] object SimilarityQueries {
 
 
     "s3_knn_ivf" -> ivfTopKSql(nCentroids = 16, iterations = 5, nProbe = 4, k = 5),
+
+    // same chain, tombstone mask on the candidate side only
+    "s35_ann_delete_mask" -> ivfTopKSql(nCentroids = 16, iterations = 5,
+      nProbe = 4, k = 5, candidatePred = " AND n.id % 9 != 0"),
 
 
     "s10_hard_negatives" -> ivfHardNegSql(nCentroids = 16, iterations = 5, nProbe = 4, k = 5),

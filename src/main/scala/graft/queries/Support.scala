@@ -145,7 +145,11 @@ private[graft] object Support {
        |cells AS (SELECT id, v, cell FROM fd WHERE rn = 1)""".stripMargin
   }
 
-  private[graft] def ivfTopKSql(nCentroids: Int, iterations: Int, nProbe: Int, k: Int): String = {
+  /** `candidatePred`: extra AND-predicate on the candidate side (alias
+    * `n`) — e.g. a tombstone mask `" AND n.id % 9 != 0"` (s35). Empty =
+    * unfiltered (all existing callers). */
+  private[graft] def ivfTopKSql(nCentroids: Int, iterations: Int, nProbe: Int, k: Int,
+      candidatePred: String = ""): String = {
     def dotOf(c: String, v: String) = s"list_sum([$c[i]*$v[i] for i in range(1,65)])"
     s"""WITH ${ivfCellsSql(nCentroids, iterations)},
        |pd AS (SELECT q.id AS query_id, c.cell,
@@ -156,7 +160,7 @@ private[graft] object Support {
        |p AS (SELECT DISTINCT pr.query_id, n.id AS neighbor_id, q.v AS qa, n.v AS qb
        |  FROM probes pr
        |  JOIN v q ON q.id = pr.query_id
-       |  JOIN cells n ON n.cell = pr.cell AND n.id != pr.query_id),
+       |  JOIN cells n ON n.cell = pr.cell AND n.id != pr.query_id$candidatePred),
        |sims AS (SELECT DISTINCT query_id, neighbor_id, $cosSql AS cosine FROM p),
        |ranked AS (SELECT *, ROW_NUMBER() OVER
        |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM sims)

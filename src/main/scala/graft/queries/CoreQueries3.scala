@@ -1133,6 +1133,28 @@ private[graft] object CoreQueries3 {
         .orderBy("size_bucket")
     }),
 
+    // privacy preflight for training-data release: k-anonymity risk
+    // histogram over the quasi-identifier (nation, segment, balance-band)
+    // — how many QI groups have size 1/2/3-5/6-10/10+, and how many rows
+    // sit in each re-identification band. Balance band uses the offset
+    // floor-div rule (acctbal goes negative; Spark div truncates, DuckDB
+    // // floors — offsetting makes the numerator non-negative where both
+    // agree). Two partial-agg'd shuffles, QI-space-sized frames.
+    "q175_k_anonymity" -> ((s, d) => {
+      val g = Tables.customer(s, d)
+        .withColumn("cents", round(col("c_acctbal") * 100).cast("long"))
+        .withColumn("bal_kb", expr("((cents + 100000000) div 100000) - 1000"))
+        .groupBy("c_nationkey", "c_mktsegment", "bal_kb")
+        .agg(count(lit(1)).as("gsz"))
+      g.withColumn("k_bucket",
+          when(col("gsz") === 1L, "a_1").when(col("gsz") === 2L, "b_2")
+            .when(col("gsz") <= 5L, "c_3_5").when(col("gsz") <= 10L, "d_6_10")
+            .otherwise("e_gt10"))
+        .groupBy("k_bucket")
+        .agg(count(lit(1)).as("n_groups"), sum(col("gsz")).as("n_rows"))
+        .orderBy("k_bucket")
+    }),
+
     // R6 de-index on tombstone: a changelog over documents tombstones every
     // doc_id ≡ 0 (mod 7), the secondary index REBUILDS from the compacted
     // latest view, and the 'spark' lookup must exclude the tombstoned docs
@@ -1141,7 +1163,7 @@ private[graft] object CoreQueries3 {
     // the index derives from the same latest view in the same plan, so it
     // CANNOT drift. Mirrors ESecondaryIndexSpec's delete-then-lookup
     // assertion as an oracle-checked query.
-    "q170_deindex_tombstone" -> ((s, d) => {
+    "q174_deindex_tombstone" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .withColumn("ts0", lit(0L)).withColumn("tombstone", lit(false))
       val dels = docs.filter(col("doc_id") % 7 === 0)
@@ -2056,8 +2078,20 @@ private[graft] object CoreQueries3 {
         |    AS conv_ppm
         |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // offset floor-div band; same bucket CASE on both engines
+    "q175_k_anonymity" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment,
+        |    ((CAST(round(c_acctbal*100) AS BIGINT) + 100000000) // 100000) - 1000 AS bal_kb,
+        |    COUNT(*) AS gsz
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT CASE WHEN gsz = 1 THEN 'a_1' WHEN gsz = 2 THEN 'b_2'
+        |    WHEN gsz <= 5 THEN 'c_3_5' WHEN gsz <= 10 THEN 'd_6_10'
+        |    ELSE 'e_gt10' END AS k_bucket,
+        |  COUNT(*) AS n_groups, CAST(SUM(gsz) AS BIGINT) AS n_rows
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // live docs = NOT tombstoned (doc_id % 7 != 0); index derives from them
-    "q170_deindex_tombstone" ->
+    "q174_deindex_tombstone" ->
       s"""SELECT doc_id, lang, n_chars FROM documents
          |WHERE list_contains($toksSql, 'spark') AND doc_id % 7 <> 0
          |ORDER BY doc_id""".stripMargin,

@@ -103,7 +103,10 @@ object Dedup {
       textCol: String,
       numHashes: Int,
       shingleSize: Int): DataFrame =
-    docs
+    // fanOut: shingling × numHashes permutations is the heaviest per-row
+    // projection in the engine — a small corpus scans as ONE partition and
+    // would compute every signature on one core (no-op on real-scale scans)
+    Par.fanOut(docs)
       .select(col(idCol), minhashSig(tokens(col(textCol)), numHashes, shingleSize).as("signature"))
       .filter(size(col("signature")) > 0)
 

@@ -159,7 +159,8 @@ private[graft] object TextQueries {
           .otherwise(lit("")),
         lit(" type="), col("event_type"))
       TextAnalysis.scrubPii(
-        ev.select(col("event_id"), raw.as("raw")), "event_id", "raw")
+        graft.core.Par.fanOut(ev.select(col("event_id"), raw.as("raw"))),
+        "event_id", "raw")
         .select(col("event_id"), col("n_emails"), col("n_ips"), col("n_cards"),
           md5(col("scrubbed")).as("scrub_md5"))
         .orderBy("event_id")
@@ -212,7 +213,7 @@ private[graft] object TextQueries {
     // content" curve; one gram-keyed min + a co-keyed join back, never a
     // doc×doc comparison
     "t22_ngram_novelty" -> ((s, d) => {
-      val grams = Tables.documents(s, d)
+      val grams = graft.core.Par.fanOut(Tables.documents(s, d))
         .select(col("doc_id"), explode(wordNgrams(tokens(col("text")), 2)).as("g"))
       val firstOwner = grams.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
       grams.join(firstOwner, "g")

@@ -303,6 +303,9 @@ private[graft] object CoreQueries3 {
         .select(col("o_orderpriority"),
           expr(s"(sd_us - od_us) div $DayUs").as("delay_days"))
         .withColumn("one", lit(1L))
+        // two consumers (median window + stats agg) — checkpoint the join
+        // once (the repo's re-read rule)
+        .localCheckpoint(true)
       val med = Analytics.weightedMedian(delays, Seq("o_orderpriority"),
         "delay_days", "one")
         .select(col("o_orderpriority"), col("wmedian").as("median_days"))

@@ -131,7 +131,7 @@ object PlanAudit {
     "q136_degree_histogram" -> "degree distribution: symmetric edge union partial-aggs into (vertex)->degree then (degree)->count — two hash-agg shuffles, histogram-sized result; the expensive part (cooccurrenceEdges) keeps its capped-basket bound (<=5^2 pairs per order)",
     "q122_clustering_coeff" -> "transitivity: triangles via degree-ordered orientation (out-degree <= sqrt(2m)), wedges are ARITHMETIC on the degree table (sum d(d-1)/2, no wedge materialization); both exact integers cross-joined as 1-row frames, one canonical double division",
     "d28_incremental_exact" -> "incremental exact dedup: the history corpus participates ONLY through its persisted (id, content_hash) table, semi-join-probed by the increment's DISTINCT hash set (increment-sized — broadcastable); per-ingest cost tracks the increment, equivalence to full-corpus dedup is by construction",
-    "s35_ann_delete_mask" -> "ANN under deletion: tombstoned vectors are masked on the CELL table at probe time (no retrain, no index rebuild) — masking the cells masks the corpus join side with it, so deleted vectors are neither candidates nor results; identical probe shape to s3",
+    "s36_ann_delete_mask" -> "ANN under deletion: tombstoned vectors are masked on the CELL table at probe time (no retrain, no index rebuild) — masking the cells masks the corpus join side with it, so deleted vectors are neither candidates nor results; identical probe shape to s3",
     "q174_deindex_tombstone" -> "R6 de-index: the secondary index derives from the compacted latest view in the SAME plan — tombstoned keys leave the index and the lookup in one pass, no separate de-index write to drift (the reference's CDC de-indexing TODOs dissolve structurally)",
     "q175_k_anonymity" -> "k-anonymity audit: two chained partial-agg'd shuffles (QI tuple -> group sizes -> k-band histogram), both frames QI-space-sized; the balance band is offset floor-div integer math inside codegen")
 

@@ -187,7 +187,7 @@ private[graft] object SimilarityQueries {
     // deleted vector can neither be a candidate nor a result — exactly the
     // full-rebuild answer for the SAME (frozen, full-corpus) centroids,
     // which is what the oracle asserts
-    "s35_ann_delete_mask" -> ((s, d) => {
+    "s36_ann_delete_mask" -> ((s, d) => {
       val em = Tables.embeddings(s, d)
       val qs = em.filter(col("vec_id") < 5)
       val (cells, centroids) = Similarity.ivfIndex(em, "vec_id", "embedding",
@@ -781,7 +781,7 @@ private[graft] object SimilarityQueries {
     "s3_knn_ivf" -> ivfTopKSql(nCentroids = 16, iterations = 5, nProbe = 4, k = 5),
 
     // same chain, tombstone mask on the candidate side only
-    "s35_ann_delete_mask" -> ivfTopKSql(nCentroids = 16, iterations = 5,
+    "s36_ann_delete_mask" -> ivfTopKSql(nCentroids = 16, iterations = 5,
       nProbe = 4, k = 5, candidatePred = " AND n.id % 9 != 0"),
 
 

@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** Structural guards over the per-domain query registries (split in r9):
+  * every query has an oracle, nothing is shadowed across registries, and
+  * query numbers stay unique (the driver compares by full name, but two
+  * q170s is how oracle/query drift starts). */
+class RegistryConsistencySpec extends AnyFlatSpec with Matchers {
+
+  private val registries = Seq(
+    "CoreQueries1" -> (graft.queries.CoreQueries1.queries, graft.queries.CoreQueries1.oracles),
+    "CoreQueries2" -> (graft.queries.CoreQueries2.queries, graft.queries.CoreQueries2.oracles),
+    "CoreQueries3" -> (graft.queries.CoreQueries3.queries, graft.queries.CoreQueries3.oracles),
+    "TextQueries" -> (graft.queries.TextQueries.queries, graft.queries.TextQueries.oracles),
+    "DedupQueries" -> (graft.queries.DedupQueries.queries, graft.queries.DedupQueries.oracles),
+    "SimilarityQueries" -> (graft.queries.SimilarityQueries.queries, graft.queries.SimilarityQueries.oracles),
+    "PipelineQueries" -> (graft.queries.PipelineQueries.queries, graft.queries.PipelineQueries.oracles))
+
+  "each registry" should "pair every query with an oracle in the SAME file" in {
+    for ((name, (qs, os)) <- registries)
+      withClue(s"$name: ") { qs.keySet shouldBe os.keySet }
+  }
+
+  "the aggregated registry" should "not shadow names across registries" in {
+    val all = registries.flatMap(_._2._1.keys)
+    all.size shouldBe all.distinct.size
+    SparkEntry.queries.keySet shouldBe all.toSet
+    SparkEntry.oracleSql.keySet shouldBe all.toSet
+  }
+
+  it should "keep query numbers unique" in {
+    val byNum = SparkEntry.queries.keys.toSeq
+      .groupBy(_.takeWhile(c => c.isLetter || c.isDigit))
+    val dupes = byNum.filter(_._2.size > 1)
+    withClue(s"colliding numbers: $dupes ") { dupes shouldBe empty }
+  }
+
+  it should "name every query with a known domain prefix" in {
+    all(SparkEntry.queries.keys.toSeq) should fullyMatch regex "[qtdsmp]\\d+_[a-z0-9_]+"
+  }
+}

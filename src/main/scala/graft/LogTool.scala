@@ -51,7 +51,7 @@ object LogTool {
     // fuzz-separated blocks: one ordered window, the distributed form of
     // the reference's maybeAddBlock loop (TimeLogTool.scala:91-95)
     val w = Window.orderBy(col("ts"))
-    val blocks = log.select(col(tsCol).as("ts"))
+    val blockFrame = log.select(col(tsCol).as("ts"))
       .withColumn("prev", lag(col("ts"), 1).over(w))
       .withColumn("nb", (col("prev").isNull || col("ts") - col("prev") > fuzzUs)
         .cast("long"))
@@ -59,8 +59,10 @@ object LogTool {
       .groupBy("blk")
       .agg(min(col("ts")).as("start_us"), max(col("ts")).as("end_us"),
         count(lit(1)).as("n_records"))
-      .orderBy("blk")
-      .collect()
+    // bounded driver footprint: total via count, detail rows via limit —
+    // a pathological log (every record its own block) must not OOM the tool
+    val nBlocks = blockFrame.count()
+    val blocks = blockFrame.orderBy("blk").limit(50).collect()
 
     // time-density chart: records per time bucket, bar-rendered
     val span = math.max(1L, mx - mn)
@@ -86,11 +88,11 @@ object LogTool {
       s"maximum timestamp: ${pretty(mx)}",
       s"live keys after compaction: $nKeys",
       s"compaction would drop: ${n - nKeys} records (${(n - nKeys) * 100 / n}%)",
-      s"blocks (fuzz = $fuzzMinutes min): ${blocks.length}") ++
-      blocks.take(50).map { r =>
+      s"blocks (fuzz = $fuzzMinutes min): $nBlocks") ++
+      blocks.map { r =>
         f"  block ${r.getLong(0)}%3d: ${pretty(r.getLong(1))} .. ${pretty(r.getLong(2))}  ${r.getLong(3)}%8d records"
       } ++
-      (if (blocks.length > 50) Seq(s"  ... ${blocks.length - 50} more blocks") else Nil) ++
+      (if (nBlocks > 50) Seq(s"  ... ${nBlocks - 50} more blocks") else Nil) ++
       Seq(s"record density over time (${pretty(mn)} .. ${pretty(mx)}):") ++
       rows.map("  |" + _)
   }

@@ -302,17 +302,24 @@ private[graft] object CoreQueries3 {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_orderpriority"),
           expr(s"(sd_us - od_us) div $DayUs").as("delay_days"))
-        .withColumn("one", lit(1L))
-        // two consumers (median window + stats agg) — checkpoint the join
-        // once (the repo's re-read rule)
+      // delay is a bounded integer domain: pre-aggregate to (priority,
+      // delay) counts, then run the weighted median over the COUNT frame —
+      // identical result (2·cum ≥ tot over weights ≡ the row-level rule),
+      // but the 5-partition ordered window sorts ~600 register rows
+      // instead of 600k raw rows. THE scalable exact-median shape when the
+      // value domain is small; the only corpus-sized work is one
+      // partial-agg'd shuffle. (q134 was window-bound before: a 5-value
+      // partition key caps window parallelism at 5 tasks at any scale.)
+      val counts = delays.groupBy("o_orderpriority", "delay_days")
+        .agg(count(lit(1)).as("w"))
         .localCheckpoint(true)
-      val med = Analytics.weightedMedian(delays, Seq("o_orderpriority"),
-        "delay_days", "one")
+      val med = Analytics.weightedMedian(counts, Seq("o_orderpriority"),
+        "delay_days", "w")
         .select(col("o_orderpriority"), col("wmedian").as("median_days"))
-      delays.groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n"), min(col("delay_days")).as("min_days"),
+      counts.groupBy("o_orderpriority")
+        .agg(sum(col("w")).as("n"), min(col("delay_days")).as("min_days"),
           max(col("delay_days")).as("max_days"),
-          sum(col("delay_days")).as("sum_days"))
+          sum(col("delay_days") * col("w")).as("sum_days"))
         .join(med, "o_orderpriority")
         .select(col("o_orderpriority"), col("n"), col("min_days"),
           col("median_days"), col("max_days"),

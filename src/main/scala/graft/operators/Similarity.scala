@@ -889,4 +889,56 @@ object Similarity {
         .over(Window.orderBy(col("cosine").desc, col("item_a"), col("item_b"))).cast("int"))
       .select(col("rank"), col("item_a"), col("item_b"), col("dot"), col("cosine"))
   }
+
+  /** Dominant principal direction of the embedding covariance by
+    * integer power iteration — the "collapsed embedding space" audit: a
+    * single direction soaking up most variance means the encoder (or a
+    * dedup bug upstream) has crushed the representation.
+    *
+    * DETERMINISTIC AND EXACT at any scale, by construction:
+    *  - vectors are ×1000-quantized; the per-dim mean is the offset-rule
+    *    truncated integer mean (sign-safe on both engines);
+    *  - the covariance register is Σ c_i·c_j over centered integers — one
+    *    (dim, dim)-keyed partial-agg'd shuffle, dims²-sized output; the
+    *    corpus is touched once (work n·d² map-side, like any Gram matrix);
+    *  - each power step is cov·v in DECIMAL(38) (≡ DuckDB HUGEINT —
+    *    products bounded by 64·4·10⁶·n·10⁶, inside 10³⁸ for any feasible
+    *    n), then an integer max-abs normalization to ±10⁶ ppm with the
+    *    sign canonicalized positive-at-argmax (offset floor-div rule, so
+    *    truncate-vs-floor can never diverge) — magnitudes CANNOT grow
+    *    across iterations, so the iteration count is unbounded-safe;
+    *  - argmax ties break to the lowest dim.
+    *
+    * Returns one row per dimension: (dim, loading_ppm ∈ [−10⁶, 10⁶]). */
+  def principalDirectionPpm(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      iterations: Int = 3): DataFrame = {
+    val qv = vectors.select(col(idCol).as("id"),
+      posexplode(quantize1000(col(vecCol))).as(Seq("i", "x")))
+    val mu = qv.groupBy("i").agg(
+      expr("((sum(x) + 1000 * count(1)) div count(1)) - 1000").as("mu"))
+    val cent = qv.join(broadcast(mu), "i")
+      .select(col("id"), col("i"), (col("x") - col("mu")).as("c"))
+      .localCheckpoint(true)
+    val cov = cent
+      .join(cent.select(col("id"), col("i").as("j"), col("c").as("cj")), "id")
+      .groupBy("i", "j").agg(sum(col("c") * col("cj")).as("cv"))
+      .localCheckpoint(true)
+    var v = mu.select(col("i").as("j"), lit(1L).cast("decimal(38,0)").as("vv"))
+    for (_ <- 1 to iterations) {
+      val u = cov.join(v, "j")
+        .groupBy(col("i"))
+        .agg(sum(col("cv").cast("decimal(38,0)") * col("vv")).as("u"))
+      val mx = u.orderBy(abs(col("u")).desc, col("i")).limit(1)
+        .select(col("u").as("um"))
+      v = u.crossJoin(broadcast(mx))
+        .select(col("i").as("j"),
+          expr("cast(((case when um < 0 then -u else u end) * 1000000" +
+            " + abs(um) * 1000000) div greatest(abs(um), 1) - 1000000 as decimal(38,0))")
+            .as("vv"))
+    }
+    v.select(col("j").cast("int").as("dim"), col("vv").cast("long").as("loading_ppm"))
+  }
 }

@@ -180,6 +180,18 @@ private[graft] object SimilarityQueries {
     }),
 
 
+    // spectral audit: dominant principal direction of the embedding
+    // covariance by integer power iteration (3 steps, ±1e6 max-abs
+    // normalization each step — overflow-proof at any corpus size) — the
+    // "collapsed embedding space" detector; covariance is one (dim,dim)-
+    // keyed partial-agg'd shuffle, iterations run on the 64-row register
+    "s37_principal_direction" -> ((s, d) => {
+      Similarity.principalDirectionPpm(Tables.embeddings(s, d),
+        "vec_id", "embedding", iterations = 3)
+        .orderBy("dim")
+    }),
+
+
     // ANN under deletion: vectors vec_id ≡ 0 (mod 9) are tombstoned AFTER
     // the index is built and masked at probe time (no retrain — the
     // production delete path; q170's de-index rule applied to IVF).
@@ -783,6 +795,8 @@ private[graft] object SimilarityQueries {
     // same chain, tombstone mask on the candidate side only
     "s36_ann_delete_mask" -> ivfTopKSql(nCentroids = 16, iterations = 5,
       nProbe = 4, k = 5, candidatePred = " AND n.id % 9 != 0"),
+
+    "s37_principal_direction" -> principalDirectionSql(iterations = 3),
 
 
     "s10_hard_negatives" -> ivfHardNegSql(nCentroids = 16, iterations = 5, nProbe = 4, k = 5),

@@ -145,6 +145,32 @@ private[graft] object Support {
        |cells AS (SELECT id, v, cell FROM fd WHERE rn = 1)""".stripMargin
   }
 
+  /** Integer power-iteration principal direction (s37) — mirrors
+    * Similarity.principalDirectionPpm: HUGEINT ≡ Spark DECIMAL(38),
+    * per-iteration ±10⁶ max-abs normalization with the offset floor-div
+    * rule and positive-at-argmax sign canonicalization. */
+  private[graft] def principalDirectionSql(iterations: Int): String = {
+    def itr(k: Int) =
+      s"""u$k AS (SELECT cov.i AS j, SUM(CAST(cv AS HUGEINT) * vv) AS u
+         |  FROM cov JOIN v${k - 1} ON cov.j = v${k - 1}.j GROUP BY 1),
+         |mx$k AS (SELECT u AS um FROM u$k ORDER BY abs(u) DESC, j LIMIT 1),
+         |v$k AS (SELECT j, CAST(((CASE WHEN (SELECT um FROM mx$k) < 0 THEN -u ELSE u END) * 1000000
+         |    + abs((SELECT um FROM mx$k)) * 1000000)
+         |    // greatest(abs((SELECT um FROM mx$k)), 1) - 1000000 AS HUGEINT) AS vv
+         |  FROM u$k)""".stripMargin
+    s"""WITH v AS (SELECT vec_id AS id, ${qvSql("embedding")} AS qv FROM embeddings),
+       |qv AS (SELECT id, unnest(qv) AS x, unnest(range(len(qv))) AS i FROM v),
+       |mu AS (SELECT i, ((CAST(SUM(x) AS BIGINT) + 1000 * COUNT(*)) // COUNT(*)) - 1000 AS mu
+       |  FROM qv GROUP BY 1),
+       |cent AS (SELECT id, qv.i, x - mu AS c FROM qv JOIN mu USING (i)),
+       |cov AS (SELECT a.i AS i, b.i AS j, CAST(SUM(a.c * b.c) AS BIGINT) AS cv
+       |  FROM cent a JOIN cent b ON a.id = b.id GROUP BY 1, 2),
+       |v0 AS (SELECT i AS j, CAST(1 AS HUGEINT) AS vv FROM mu),
+       |${(1 to iterations).map(itr).mkString(",\n")}
+       |SELECT CAST(j AS INTEGER) AS dim, CAST(vv AS BIGINT) AS loading_ppm
+       |FROM v$iterations ORDER BY dim""".stripMargin
+  }
+
   /** `candidatePred`: extra AND-predicate on the candidate side (alias
     * `n`) — e.g. a tombstone mask `" AND n.id % 9 != 0"` (s35). Empty =
     * unfiltered (all existing callers). */

@@ -941,4 +941,55 @@ object Similarity {
     }
     v.select(col("j").cast("int").as("dim"), col("vv").cast("long").as("loading_ppm"))
   }
+
+  /** How collapsed is the embedding space — the fraction of total variance
+    * along the [[principalDirectionPpm]] direction, as the exact integer
+    * Rayleigh-over-trace ratio `(vᵀCv · 10⁶) div (trace(C) · vᵀv)` ∈
+    * [0, 10⁶] ppm (C is PSD so the numerator is non-negative — floor and
+    * truncate agree). 1/dims ≈ 15625 ppm is isotropic; → 10⁶ means one
+    * direction owns the space (encoder collapse or upstream dedup bug).
+    * Same registers as the direction: cov is the only corpus-sized work. */
+  def varianceConcentrationPpm(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      iterations: Int = 3): DataFrame = {
+    val qv = vectors.select(col(idCol).as("id"),
+      posexplode(quantize1000(col(vecCol))).as(Seq("i", "x")))
+    val mu = qv.groupBy("i").agg(
+      expr("((sum(x) + 1000 * count(1)) div count(1)) - 1000").as("mu"))
+    val cent = qv.join(broadcast(mu), "i")
+      .select(col("id"), col("i"), (col("x") - col("mu")).as("c"))
+      .localCheckpoint(true)
+    val cov = cent
+      .join(cent.select(col("id"), col("i").as("j"), col("c").as("cj")), "id")
+      .groupBy("i", "j").agg(sum(col("c") * col("cj")).as("cv"))
+      .localCheckpoint(true)
+    var v = mu.select(col("i").as("j"), lit(1L).cast("decimal(38,0)").as("vv"))
+    for (_ <- 1 to iterations) {
+      val u = cov.join(v, "j")
+        .groupBy(col("i"))
+        .agg(sum(col("cv").cast("decimal(38,0)") * col("vv")).as("u"))
+      val mx = u.orderBy(abs(col("u")).desc, col("i")).limit(1)
+        .select(col("u").as("um"))
+      v = u.crossJoin(broadcast(mx))
+        .select(col("i").as("j"),
+          expr("cast(((case when um < 0 then -u else u end) * 1000000" +
+            " + abs(um) * 1000000) div greatest(abs(um), 1) - 1000000 as decimal(38,0))")
+            .as("vv"))
+    }
+    val rayleighNum = cov
+      .join(v.select(col("j").as("i"), col("vv").as("vi")), "i")
+      .join(v.select(col("j"), col("vv").as("vj")), "j")
+      .agg(sum(col("vi") * col("cv").cast("decimal(38,0)") * col("vj")).as("num"))
+    val traceNorm = cov.filter(col("i") === col("j"))
+      .agg(sum(col("cv").cast("decimal(38,0)")).as("trace"))
+      .crossJoin(broadcast(v.agg(sum(col("vv") * col("vv")).as("vnorm"))))
+    val nVec = vectors.agg(count(lit(1)).as("n_vectors"))
+    rayleighNum.crossJoin(broadcast(traceNorm)).crossJoin(broadcast(nVec))
+      .select(col("n_vectors"),
+        col("trace").cast("long").as("trace"),
+        expr("cast((num * 1000000) div (trace * vnorm) as bigint)")
+          .as("rayleigh_ppm"))
+  }
 }

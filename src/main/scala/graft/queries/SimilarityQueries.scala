@@ -192,6 +192,15 @@ private[graft] object SimilarityQueries {
     }),
 
 
+    // the actionable number behind s37: fraction of total variance along
+    // the dominant direction, exact integer Rayleigh/trace in ppm —
+    // ~15625 (1/64) is isotropic, → 1e6 is encoder collapse
+    "s38_variance_concentration" -> ((s, d) => {
+      Similarity.varianceConcentrationPpm(Tables.embeddings(s, d),
+        "vec_id", "embedding", iterations = 3)
+    }),
+
+
     // ANN under deletion: vectors vec_id ≡ 0 (mod 9) are tombstoned AFTER
     // the index is built and masked at probe time (no retrain — the
     // production delete path; q170's de-index rule applied to IVF).
@@ -797,6 +806,8 @@ private[graft] object SimilarityQueries {
       nProbe = 4, k = 5, candidatePred = " AND n.id % 9 != 0"),
 
     "s37_principal_direction" -> principalDirectionSql(iterations = 3),
+
+    "s38_variance_concentration" -> varianceConcentrationSql(iterations = 3),
 
 
     "s10_hard_negatives" -> ivfHardNegSql(nCentroids = 16, iterations = 5, nProbe = 4, k = 5),

@@ -171,6 +171,23 @@ private[graft] object Support {
        |FROM v$iterations ORDER BY dim""".stripMargin
   }
 
+  /** Rayleigh-over-trace concentration (s38) — shares the s37 chain. */
+  private[graft] def varianceConcentrationSql(iterations: Int): String = {
+    val base = principalDirectionSql(iterations)
+    val cut = base.lastIndexOf("SELECT CAST(j AS INTEGER)")
+    base.take(cut) +
+      s""",
+         |ray AS (SELECT SUM(vi.vv * CAST(cv AS HUGEINT) * vj.vv) AS num
+         |  FROM cov JOIN v$iterations vi ON cov.i = vi.j
+         |           JOIN v$iterations vj ON cov.j = vj.j),
+         |tn AS (SELECT (SELECT CAST(SUM(cv) AS HUGEINT) FROM cov WHERE i = j) AS trace,
+         |       (SELECT SUM(vv * vv) FROM v$iterations) AS vnorm)
+         |SELECT (SELECT COUNT(*) FROM v) AS n_vectors,
+         |  CAST((SELECT trace FROM tn) AS BIGINT) AS trace,
+         |  CAST((SELECT num FROM ray) * 1000000
+         |    // ((SELECT trace FROM tn) * (SELECT vnorm FROM tn)) AS BIGINT) AS rayleigh_ppm""".stripMargin
+  }
+
   /** `candidatePred`: extra AND-predicate on the candidate side (alias
     * `n`) — e.g. a tombstone mask `" AND n.id % 9 != 0"` (s35). Empty =
     * unfiltered (all existing callers). */

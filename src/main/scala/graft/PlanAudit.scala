@@ -133,7 +133,9 @@ object PlanAudit {
     "d28_incremental_exact" -> "incremental exact dedup: the history corpus participates ONLY through its persisted (id, content_hash) table, semi-join-probed by the increment's DISTINCT hash set (increment-sized — broadcastable); per-ingest cost tracks the increment, equivalence to full-corpus dedup is by construction",
     "s36_ann_delete_mask" -> "ANN under deletion: tombstoned vectors are masked on the CELL table at probe time (no retrain, no index rebuild) — masking the cells masks the corpus join side with it, so deleted vectors are neither candidates nor results; identical probe shape to s3",
     "q174_deindex_tombstone" -> "R6 de-index: the secondary index derives from the compacted latest view in the SAME plan — tombstoned keys leave the index and the lookup in one pass, no separate de-index write to drift (the reference's CDC de-indexing TODOs dissolve structurally)",
-    "q175_k_anonymity" -> "k-anonymity audit: two chained partial-agg'd shuffles (QI tuple -> group sizes -> k-band histogram), both frames QI-space-sized; the balance band is offset floor-div integer math inside codegen")
+    "q175_k_anonymity" -> "k-anonymity audit: two chained partial-agg'd shuffles (QI tuple -> group sizes -> k-band histogram), both frames QI-space-sized; the balance band is offset floor-div integer math inside codegen",
+    "s37_principal_direction" -> "integer power iteration: the covariance register is ONE (dim,dim)-keyed partial-agg'd shuffle (corpus touched once, work n*d^2 map-side); every power step runs on the d^2-row register with a 1-row broadcast max — DECIMAL(38) matvec + per-iteration ppm normalization means magnitudes cannot grow, so iteration count is unbounded-safe",
+    "s38_variance_concentration" -> "Rayleigh/trace ppm over the SAME covariance + direction registers as s37 — the only corpus-sized work is the one Gram-matrix shuffle; numerator is PSD (floor==truncate), everything else is register-sized arithmetic")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

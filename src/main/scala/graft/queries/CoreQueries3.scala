@@ -1186,6 +1186,28 @@ private[graft] object CoreQueries3 {
         .orderBy("doc_id")
     }),
 
+    // q175's companion privacy preflight: l-diversity — a (nation,
+    // segment) equivalence class is safe only if the SENSITIVE attribute
+    // (the balance band, q175's offset floor-div rule) takes >= l distinct
+    // values inside it, else group membership leaks the band. Histogram of
+    // classes by their l plus the minimum l (the release's diversity
+    // floor). Two partial-agg'd shuffles over QI-space-sized frames.
+    "q176_l_diversity" -> ((s, d) => {
+      val g = Tables.customer(s, d)
+        .withColumn("cents", round(col("c_acctbal") * 100).cast("long"))
+        .withColumn("bal_kb", expr("((cents + 100000000) div 100000) - 1000"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(countDistinct(col("bal_kb")).as("l_div"), count(lit(1)).as("gsz"))
+      g.withColumn("l_bucket",
+          when(col("l_div") === 1L, "a_1").when(col("l_div") === 2L, "b_2")
+            .when(col("l_div") <= 5L, "c_3_5").when(col("l_div") <= 10L, "d_6_10")
+            .otherwise("e_gt10"))
+        .groupBy("l_bucket")
+        .agg(count(lit(1)).as("n_groups"), sum(col("gsz")).as("n_rows"),
+          min(col("l_div")).as("min_l"))
+        .orderBy("l_bucket")
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -2105,6 +2127,20 @@ private[graft] object CoreQueries3 {
       s"""SELECT doc_id, lang, n_chars FROM documents
          |WHERE list_contains($toksSql, 'spark') AND doc_id % 7 <> 0
          |ORDER BY doc_id""".stripMargin,
+
+    // distinct sensitive bands per QI class; same bucket CASE both engines
+    "q176_l_diversity" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment,
+        |    COUNT(DISTINCT ((CAST(round(c_acctbal*100) AS BIGINT) + 100000000)
+        |      // 100000) - 1000) AS l_div,
+        |    COUNT(*) AS gsz
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CASE WHEN l_div = 1 THEN 'a_1' WHEN l_div = 2 THEN 'b_2'
+        |    WHEN l_div <= 5 THEN 'c_3_5' WHEN l_div <= 10 THEN 'd_6_10'
+        |    ELSE 'e_gt10' END AS l_bucket,
+        |  COUNT(*) AS n_groups, CAST(SUM(gsz) AS BIGINT) AS n_rows,
+        |  MIN(l_div) AS min_l
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
 
   )
 }

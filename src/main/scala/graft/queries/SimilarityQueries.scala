@@ -628,6 +628,42 @@ private[graft] object SimilarityQueries {
           expr("((sw div nw) * 1000000) div (sx div nx)").as("ratio_ppm"))
     }),
 
+    // embedding-space clustering for curation: connected components of the
+    // MUTUAL-1-NN graph (s23's high-precision pair proposer) with a
+    // per-cluster label-purity audit — the "what natural groups does the
+    // corpus form, and do they agree with the labels" report. Candidate
+    // space is IVF-cell-bounded, the mutual check joins two CORPUS-sized
+    // 1-NN tables, and CC runs on the mutual edge set (≤ n/2 edges — every
+    // vertex has out-degree 1 in the 1-NN graph, so mutual pairs are a
+    // partial matching... of chains under transitivity); purity is the
+    // integer-ppm floor-div rule
+    "s39_embedding_clusters" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      val pairs = Similarity.ivfNearDup(em, "vec_id", "embedding",
+        minCosine = -1.0, nCentroids = 16, iterations = 5)
+      val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nb"), col("cosine"))
+        .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("nb"), col("cosine")))
+      val nn1 = sym.withColumn("rk", row_number().over(
+          Window.partitionBy("id").orderBy(col("cosine").desc, col("nb"))))
+        .filter(col("rk") === 1).select(col("id"), col("nb"))
+      val edges = nn1.select(col("id").as("src"), col("nb").as("dst"))
+        .join(nn1.select(col("nb").as("src"), col("id").as("dst")), Seq("src", "dst"))
+        .filter(col("src") < col("dst"))
+      val cc = GraphAlgorithms.connectedComponents(s, edges)
+      val per = cc.join(em.select(col("vec_id").as("vertex"), col("label")), "vertex")
+      val sz = per.groupBy("component").agg(count(lit(1)).as("n_members"))
+      val top = per.groupBy("component", "label").agg(count(lit(1)).as("lcnt"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("component").orderBy(col("lcnt").desc, col("label"))))
+        .filter(col("rk") === 1)
+        .select(col("component"), col("label").as("top_label"), col("lcnt"))
+      sz.join(top, "component")
+        .select(col("component"), col("n_members"), col("top_label"),
+          call_function("div", col("lcnt") * lit(1000000L), col("n_members"))
+            .as("purity_ppm"))
+        .orderBy("component")
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -1155,6 +1191,37 @@ private[graft] object SimilarityQueries {
          |  CAST(sx // nx AS BIGINT) AS mean_cross_d2,
          |  CAST(((sw // nw) * 1000000) // (sx // nx) AS BIGINT) AS ratio_ppm
          |FROM agg""".stripMargin,
+
+    // s23's mutual-1-NN chain verbatim, then min-label reachability CC
+    // over the (small) mutual edge set and the plurality-label purity
+    "s39_embedding_clusters" ->
+      s"""WITH RECURSIVE ${ivfCellsSql(16, 5)},
+         |p AS (SELECT a.id AS id, b.id AS nb, a.v AS qa, b.v AS qb
+         |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.id != b.id),
+         |sims AS (SELECT id, nb, $cosSql AS cosine FROM p),
+         |nn AS MATERIALIZED (SELECT id, nb FROM (SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY id ORDER BY cosine DESC, nb) AS rk FROM sims)
+         |  WHERE rk = 1),
+         |e AS MATERIALIZED (SELECT a.id AS src, a.nb AS dst
+         |  FROM nn a JOIN nn b ON a.nb = b.id AND b.nb = a.id AND a.id < a.nb),
+         |sym2 AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+         |reach(a, b) AS (
+         |  SELECT a, a FROM sym2
+         |  UNION
+         |  SELECT r.a, s.b FROM reach r JOIN sym2 s ON r.b = s.a),
+         |cc AS (SELECT a AS vertex, MIN(b) AS component FROM reach GROUP BY a),
+         |per AS (SELECT component, label
+         |  FROM cc JOIN embeddings ON vec_id = vertex),
+         |szc AS (SELECT component, COUNT(*) AS gsz FROM per GROUP BY 1),
+         |tp AS (SELECT component, label AS top_label, lcnt
+         |  FROM (SELECT *, ROW_NUMBER() OVER
+         |      (PARTITION BY component ORDER BY lcnt DESC, label) AS rk
+         |    FROM (SELECT component, label, COUNT(*) AS lcnt
+         |      FROM per GROUP BY 1, 2))
+         |  WHERE rk = 1)
+         |SELECT s.component, s.gsz AS n_members, tp.top_label,
+         |  CAST((lcnt * 1000000) // gsz AS BIGINT) AS purity_ppm
+         |FROM szc s JOIN tp USING (component) ORDER BY component""".stripMargin,
 
   )
 }

@@ -1,0 +1,114 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Byte-pair-encoding merge learning over a corpus — the tokenizer-training
+  * primitive of an LLM data pipeline (Sennrich et al., ACL'16: BPE is
+  * trained on the WORD-TYPE frequency table, not the running text).
+  *
+  * Exactness / oracle parity:
+  *  - a word's symbol sequence is one delimited string `<s1><s2>…<sN>`;
+  *    applying a merge (a,b) is the native string `replace(seq,
+  *    '<a><b>', '<ab>')` — both engines scan left-to-right over
+  *    non-overlapping occurrences, which IS greedy BPE merge application
+  *    (`aaa` + merge (a,a) → `<aa><a>`), with zero HOFs in the loop;
+  *  - the wrappers `<`/`>` cannot collide with symbol text because the
+  *    type table keeps only purely-alphabetic words (`^[a-z]+$`, length
+  *    ≤ maxWordLen) — a DEFINITION mirrored verbatim in the oracle;
+  *  - pair weights count EVERY adjacent position (overlapping pairs
+  *    included: `aaa` contributes (a,a) twice) — the standard BPE count,
+  *    identical on both sides by construction;
+  *  - the winning pair per round is the total order (weight DESC, left,
+  *    right) — deterministic under ties.
+  *
+  * Scale shape: ONE corpus-sized token explode + groupBy builds the type
+  * table; every round after that runs on the VOCABULARY-sized frame
+  * (corpus-size-independent — the 100 TB corpus and the 100 GB corpus pay
+  * the same per-round cost once types are aggregated). Per round: one
+  * row-local pair explode + partial-agg'd count, one 1-row argmax collect
+  * (bounded, the s15 greedy pattern), one row-local replace. The type
+  * frame is checkpointed per round so round r+1 never replays round r.
+  */
+object Bpe {
+
+  /** (seq, cnt) word-type table: `<c><h><a><r>`-delimited char symbols
+    * weighted by corpus frequency. */
+  def wordTypes(docs: DataFrame, maxWordLen: Int): DataFrame =
+    docs.select(explode(GraftFunctions.tokens(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$") && length(col("word")) <= maxWordLen)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(regexp_replace(col("word"), "(.)", "<$1>").as("seq"), col("cnt"))
+
+  private val mergeSchema = StructType(Seq(
+    StructField("round", LongType, nullable = false),
+    StructField("left_sym", StringType, nullable = false),
+    StructField("right_sym", StringType, nullable = false),
+    StructField("merged", StringType, nullable = false),
+    StructField("wt", LongType, nullable = false)))
+
+  /** Run `rounds` merge rounds; returns (merge table, initial type table,
+    * final type table). The merge table is driver-built from `rounds`
+    * 1-row argmax collects (bounded); the type tables stay distributed
+    * throughout (the initial one checkpointed — reading it costs no
+    * second corpus pass). */
+  def learn(
+      spark: SparkSession,
+      docs: DataFrame,
+      rounds: Int,
+      maxWordLen: Int = 16): (DataFrame, DataFrame, DataFrame) = {
+    require(rounds >= 1 && rounds <= 64, "rounds must be in [1, 64]")
+    val types0 = wordTypes(docs, maxWordLen).localCheckpoint(true)
+    var types = types0
+    val merges = ArrayBuffer.empty[Row]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val syms = types.select(
+        split(expr("substring(seq, 2, length(seq) - 2)"), "><").as("sym"),
+        col("cnt"))
+      val best = syms
+        .select(col("sym"), col("cnt"), posexplode(col("sym")).as(Seq("x", "a")))
+        .filter(col("x") + lit(2) <= size(col("sym")))
+        .select(col("a"), element_at(col("sym"), col("x") + lit(2)).as("b"), col("cnt"))
+        .groupBy("a", "b").agg(sum(col("cnt")).as("wt"))
+        .orderBy(col("wt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, w) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += Row(r.toLong, a, b, a + b, w)
+        types = types
+          .withColumn("seq", call_function("replace", col("seq"),
+            lit(s"<$a><$b>"), lit(s"<$a$b>")))
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    (spark.createDataFrame(
+      spark.sparkContext.parallelize(merges.toSeq, 1), mergeSchema), types0, types)
+  }
+
+  /** One-row corpus compression audit of the final type table vs the
+    * character baseline: Σ cnt·|symbols| before and after the merges and
+    * the ratio in ppm (floor-div rule). */
+  def compressionAudit(types0: DataFrame, typesFinal: DataFrame): DataFrame = {
+    def symLen(df: DataFrame) = df.select(
+      col("cnt"),
+      size(split(expr("substring(seq, 2, length(seq) - 2)"), "><"))
+        .cast("long").as("ns"))
+    val base = symLen(types0).agg(
+      count(lit(1)).as("n_types"),
+      sum(col("cnt")).as("n_tokens"),
+      sum(col("cnt") * col("ns")).as("base_syms"))
+    val fin = symLen(typesFinal).agg(sum(col("cnt") * col("ns")).as("merged_syms"))
+    base.crossJoin(fin).select(
+      col("n_types"), col("n_tokens"), col("base_syms"), col("merged_syms"),
+      call_function("div", col("merged_syms") * lit(1000000L), col("base_syms"))
+        .as("compression_ppm"))
+  }
+}

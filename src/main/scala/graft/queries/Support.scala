@@ -811,4 +811,58 @@ private[graft] object Support {
        |$iters
        |SELECT vertex, r AS rank_ppm FROM r$iterations ORDER BY vertex""".stripMargin
   }
+
+  /** BPE merge-learning CTE chain (t36/t37, Bpe.learn parity): word-type
+    * table t0 (purely-alphabetic words as `<c><h><a><r>` delimited symbol
+    * strings), then per round r: overlapping adjacent-pair weights p_r,
+    * the 1-row winner b_r (weight DESC, left, right — the deterministic
+    * total order), and the merged table t_r via native `replace` (both
+    * engines scan left-to-right non-overlapping ≡ greedy BPE). b_r/t_r are
+    * referenced twice → AS MATERIALIZED (the q71 inlining rule). */
+  private[graft] def bpeChainSql(rounds: Int, maxWordLen: Int): String = {
+    val t0 =
+      s"""t0 AS MATERIALIZED (
+         |  SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS seq,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest($toksSql) AS word FROM documents)
+         |  WHERE regexp_matches(word, '^[a-z]+$$') AND length(word) <= $maxWordLen
+         |  GROUP BY word)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS wt FROM (
+         |    SELECT unnest(sym[1:len(sym)-1]) AS a, unnest(sym[2:len(sym)]) AS b, cnt
+         |    FROM (SELECT string_split(seq[2:len(seq)-1], '><') AS sym, cnt
+         |      FROM t${r - 1}))
+         |  GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (SELECT a, b, wt FROM p$r
+         |  ORDER BY wt DESC, a, b LIMIT 1),
+         |t$r AS MATERIALIZED (SELECT replace(seq, '<'||m.a||'><'||m.b||'>',
+         |    '<'||m.a||m.b||'>') AS seq, cnt FROM t${r - 1}, b$r m)""".stripMargin
+    }
+    (t0 +: steps).mkString(",\n")
+  }
+
+  private[graft] def bpeMergesSql(rounds: Int, maxWordLen: Int): String = {
+    val rows = (1 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round, a AS left_sym, b AS right_sym,
+         |    a||b AS merged, wt FROM b$r""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH ${bpeChainSql(rounds, maxWordLen)}
+       |SELECT * FROM (
+       |  $rows
+       |) ORDER BY round""".stripMargin
+  }
+
+  private[graft] def bpeCompressionSql(rounds: Int, maxWordLen: Int): String = {
+    def syms(src: String) =
+      s"CAST(SUM(cnt * len(string_split(seq[2:len(seq)-1], '><'))) AS BIGINT)"
+    s"""WITH ${bpeChainSql(rounds, maxWordLen)},
+       |base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+       |    CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       |    ${syms("t0")} AS base_syms
+       |  FROM t0),
+       |fin AS (SELECT ${syms(s"t$rounds")} AS merged_syms FROM t$rounds)
+       |SELECT n_types, n_tokens, base_syms, merged_syms,
+       |  CAST((merged_syms * 1000000) // base_syms AS BIGINT) AS compression_ppm
+       |FROM base, fin""".stripMargin
+  }
 }

@@ -532,6 +532,20 @@ private[graft] object TextQueries {
         .orderBy("source")
     }),
 
+    // tokenizer training: the first 8 BPE merges learned on the corpus
+    // word-type table — one corpus-sized token aggregate, then every
+    // round runs on the VOCABULARY-sized frame (corpus-size-independent;
+    // see Bpe scaladoc for the greedy-replace parity argument)
+    "t36_bpe_merges" -> ((s, d) =>
+      Bpe.learn(s, Tables.documents(s, d), rounds = 8)._1.orderBy("round")),
+
+    // the training's acceptance number: corpus symbols before/after the 8
+    // merges and the compression ratio in ppm — rides the same chain
+    "t37_bpe_compression" -> ((s, d) => {
+      val (_, t0, fin) = Bpe.learn(s, Tables.documents(s, d), rounds = 8)
+      Bpe.compressionAudit(t0, fin)
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -1029,6 +1043,12 @@ private[graft] object TextQueries {
          |SELECT source, top1, top10,
          |  CAST((top1 * 1000000) // top10 AS BIGINT) AS head_ppm
          |FROM m ORDER BY source""".stripMargin,
+
+    // 8 unrolled merge rounds over the word-type table (Support.bpeChainSql)
+    "t36_bpe_merges" -> bpeMergesSql(rounds = 8, maxWordLen = 16),
+
+    // same chain, aggregated before/after symbol mass
+    "t37_bpe_compression" -> bpeCompressionSql(rounds = 8, maxWordLen = 16),
 
   )
 }

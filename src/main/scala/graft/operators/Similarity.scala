@@ -261,6 +261,22 @@ object Similarity {
   private def assignCells(vecs: DataFrame, centroids: Array[Array[Long]]): DataFrame =
     vecs.withColumn("cell", cellExpr(col("v"), centroids))
 
+  /** Production ANN INSERT path: assign new vectors to a FROZEN centroid
+    * table (no retrain) — returns the same `(id, cell)` shape as
+    * [[ivfIndex]]'s cell table, so inserts are a `unionByName` onto the
+    * existing index. Row-local map-side work only (broadcast-sized
+    * centroid literals, codegen'd ldot distances); by construction the
+    * result equals a full re-assignment of the combined corpus against
+    * the same centroids — which is what the s40 oracle asserts. */
+  def assignToIndex(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Long]]): DataFrame =
+    assignCells(
+      vectors.select(col(idCol).as("id"), quantize1000(col(vecCol)).as("v")),
+      centroids).select(col("id"), col("cell"))
+
   /** IVF top-k: search only vectors in the `nProbe` cells nearest to each
     * query. Exact cosine within the probed cells. */
   def ivfTopK(

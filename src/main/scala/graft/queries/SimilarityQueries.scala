@@ -664,6 +664,26 @@ private[graft] object SimilarityQueries {
         .orderBy("component")
     }),
 
+    // ANN under insertion — s36's companion: the index is TRAINED on 90%
+    // of the corpus, the remaining 10% arrives later and is assigned to
+    // the FROZEN centroids (no retrain — the production insert path,
+    // row-local map-side work). By construction the combined cell table
+    // equals a full re-assignment of the whole corpus against the same
+    // centroids, which is exactly what the oracle computes
+    "s40_ann_insert" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      val qs = em.filter(col("vec_id") < 5)
+      val old = em.filter(col("vec_id") % 10 =!= 0)
+      val (oldCells, centroids) = Similarity.ivfIndex(old, "vec_id", "embedding",
+        nCentroids = 16)
+      val inserted = Similarity.assignToIndex(em.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", centroids)
+      Similarity.ivfTopKFromIndex(oldCells.unionByName(inserted), centroids,
+          em, qs, "vec_id", "embedding", k = 5, nProbe = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -840,6 +860,11 @@ private[graft] object SimilarityQueries {
     // same chain, tombstone mask on the candidate side only
     "s36_ann_delete_mask" -> ivfTopKSql(nCentroids = 16, iterations = 5,
       nProbe = 4, k = 5, candidatePred = " AND n.id % 9 != 0"),
+
+    // train on the 90% (seeds + Lloyd from the filtered v CTE), assign the
+    // FULL corpus to the frozen final centroids — insert ≡ full rebuild
+    "s40_ann_insert" -> ivfTopKSql(nCentroids = 16, iterations = 5,
+      nProbe = 4, k = 5, trainWhere = "vec_id % 10 <> 0", assignAll = true),
 
     "s37_principal_direction" -> principalDirectionSql(iterations = 3),
 

@@ -118,7 +118,14 @@ private[graft] object Support {
   /** Shared IVF cell-assignment CTE chain (`v`, `c0`..`c<iters>`, `cells`):
     * the fixed-iteration integer k-means of Similarity.ivfIndex unrolled —
     * used by both the s3 top-k oracle and the s4 semantic-dedup oracle. */
-  private[graft] def ivfCellsSql(nCentroids: Int, iterations: Int): String = {
+  /** Unrolled deterministic k-means cells (Similarity.ivfIndex parity).
+    * `trainWhere` restricts the TRAINING set (seeds + Lloyd iterations);
+    * with `assignAll` the final assignment runs over the FULL embeddings
+    * table against the frozen centroids — the s40 insert-into-frozen-index
+    * semantics. Defaults reproduce the original full-corpus chain
+    * byte-identically. */
+  private[graft] def ivfCellsSql(nCentroids: Int, iterations: Int,
+      trainWhere: String = "", assignAll: Boolean = false): String = {
     def cnormOf(c: String) = s"list_sum([$c[i]*$c[i] for i in range(1,65)])"
     def dotOf(c: String, v: String) = s"list_sum([$c[i]*$v[i] for i in range(1,65)])"
     val iters = (1 to iterations).map { t =>
@@ -134,14 +141,20 @@ private[graft] object Support {
          |c$t AS (SELECT p.cell, COALESCE(m.c, p.c) AS c, ${cnormOf("COALESCE(m.c, p.c)")} AS cn
          |  FROM c${t - 1} p LEFT JOIN m$t m USING (cell))""".stripMargin
     }.mkString(",\n")
-    s"""v AS (SELECT vec_id AS id, ${qvSql("embedding")} AS v FROM embeddings),
-       |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cell, v AS c, ${cnormOf("v")} AS cn
+    val where = if (trainWhere.isEmpty) "" else s" WHERE $trainWhere"
+    val va = if (assignAll)
+      s"""|va AS (SELECT vec_id AS id, ${qvSql("embedding")} AS v FROM embeddings),
+          |""".stripMargin
+    else ""
+    val assignSrc = if (assignAll) "va" else "v"
+    s"""v AS (SELECT vec_id AS id, ${qvSql("embedding")} AS v FROM embeddings$where),
+       |${va}c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cell, v AS c, ${cnormOf("v")} AS cn
        |  FROM (SELECT id, v FROM v ORDER BY id LIMIT $nCentroids) seed),
        |$iters,
        |fd AS (SELECT a.id, a.v, c.cell,
        |  ROW_NUMBER() OVER (PARTITION BY a.id
        |    ORDER BY c.cn - 2*${dotOf("c.c", "a.v")}, c.cell) AS rn
-       |  FROM v a CROSS JOIN c$iterations c),
+       |  FROM $assignSrc a CROSS JOIN c$iterations c),
        |cells AS (SELECT id, v, cell FROM fd WHERE rn = 1)""".stripMargin
   }
 
@@ -192,17 +205,19 @@ private[graft] object Support {
     * `n`) — e.g. a tombstone mask `" AND n.id % 9 != 0"` (s35). Empty =
     * unfiltered (all existing callers). */
   private[graft] def ivfTopKSql(nCentroids: Int, iterations: Int, nProbe: Int, k: Int,
-      candidatePred: String = ""): String = {
+      candidatePred: String = "", trainWhere: String = "",
+      assignAll: Boolean = false): String = {
     def dotOf(c: String, v: String) = s"list_sum([$c[i]*$v[i] for i in range(1,65)])"
-    s"""WITH ${ivfCellsSql(nCentroids, iterations)},
+    val qsrc = if (assignAll) "va" else "v"
+    s"""WITH ${ivfCellsSql(nCentroids, iterations, trainWhere, assignAll)},
        |pd AS (SELECT q.id AS query_id, c.cell,
        |  ROW_NUMBER() OVER (PARTITION BY q.id
        |    ORDER BY c.cn - 2*${dotOf("c.c", "q.v")}, c.cell) AS rn
-       |  FROM v q CROSS JOIN c$iterations c WHERE q.id < 5),
+       |  FROM $qsrc q CROSS JOIN c$iterations c WHERE q.id < 5),
        |probes AS (SELECT query_id, cell FROM pd WHERE rn <= $nProbe),
        |p AS (SELECT DISTINCT pr.query_id, n.id AS neighbor_id, q.v AS qa, n.v AS qb
        |  FROM probes pr
-       |  JOIN v q ON q.id = pr.query_id
+       |  JOIN $qsrc q ON q.id = pr.query_id
        |  JOIN cells n ON n.cell = pr.cell AND n.id != pr.query_id$candidatePred),
        |sims AS (SELECT DISTINCT query_id, neighbor_id, $cosSql AS cosine FROM p),
        |ranked AS (SELECT *, ROW_NUMBER() OVER

@@ -399,6 +399,17 @@ private[graft] object DedupQueries {
         .withColumn("precision_ppm", expr("(n_verified * 1000000) div n_candidates"))
     }),
 
+    // the THIRD blocker family: sorted-neighborhood (sort by normalized-
+    // text prefix within lang, window of 4 ranks) — candidate count is
+    // O(n·w) BY CONSTRUCTION, the strongest bound of the dedup family
+    // (hash/LSH buckets can degenerate; a rank window cannot); exact
+    // hashed-gram Jaccard verifies the window pairs
+    "d30_sorted_neighborhood" -> ((s, d) =>
+      Dedup.sortedNeighborhoodJaccard(Tables.documents(s, d), "doc_id", "text",
+          partitionCols = Seq("lang"), keyLen = 24, window = 4, n = 3,
+          minJaccard = 0.5)
+        .orderBy("id_a", "id_b")),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -859,6 +870,30 @@ private[graft] object DedupQueries {
          |SELECT n_candidates, n_verified,
          |  CAST((n_verified * 1000000) // n_candidates AS BIGINT) AS precision_ppm
          |FROM agg""".stripMargin,
+
+    // d4's gram sets + a per-lang prefix-sort rank window; pairs are the
+    // rank-distance ≤ 4 self-join, canonicalized by least/greatest
+    "d30_sorted_neighborhood" ->
+      s"""WITH nn AS (SELECT doc_id, lang, $normSql AS s FROM documents),
+         |g AS (SELECT doc_id, lang, substr(s, 1, 24) AS sk,
+         |    list_distinct([substr(md5(x), 1, 15) for x in
+         |      list_distinct([substr(s, i, 3) for i in
+         |        range(1, greatest(length(s)-2, 0)+1)])]) AS grams
+         |  FROM nn),
+         |sz AS (SELECT doc_id, lang, sk, grams, len(grams) AS ng
+         |  FROM g WHERE len(grams) > 0),
+         |r AS (SELECT doc_id, lang, sk, grams, ng, ROW_NUMBER() OVER
+         |    (PARTITION BY lang ORDER BY sk, doc_id) AS rn
+         |  FROM sz),
+         |c AS (SELECT least(a.doc_id, b.doc_id) AS id_a,
+         |    greatest(a.doc_id, b.doc_id) AS id_b,
+         |    len(list_intersect(a.grams, b.grams)) AS i,
+         |    a.ng AS na, b.ng AS nb
+         |  FROM r a JOIN r b
+         |    ON a.lang = b.lang AND b.rn - a.rn BETWEEN 1 AND 4)
+         |SELECT id_a, id_b, CAST(i AS DOUBLE)/(na + nb - i) AS jaccard
+         |FROM c WHERE CAST(i AS DOUBLE)/(na + nb - i) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
 
   )
 }

@@ -135,7 +135,13 @@ object PlanAudit {
     "q174_deindex_tombstone" -> "R6 de-index: the secondary index derives from the compacted latest view in the SAME plan — tombstoned keys leave the index and the lookup in one pass, no separate de-index write to drift (the reference's CDC de-indexing TODOs dissolve structurally)",
     "q175_k_anonymity" -> "k-anonymity audit: two chained partial-agg'd shuffles (QI tuple -> group sizes -> k-band histogram), both frames QI-space-sized; the balance band is offset floor-div integer math inside codegen",
     "s37_principal_direction" -> "integer power iteration: the covariance register is ONE (dim,dim)-keyed partial-agg'd shuffle (corpus touched once, work n*d^2 map-side); every power step runs on the d^2-row register with a 1-row broadcast max — DECIMAL(38) matvec + per-iteration ppm normalization means magnitudes cannot grow, so iteration count is unbounded-safe",
-    "s38_variance_concentration" -> "Rayleigh/trace ppm over the SAME covariance + direction registers as s37 — the only corpus-sized work is the one Gram-matrix shuffle; numerator is PSD (floor==truncate), everything else is register-sized arithmetic")
+    "s38_variance_concentration" -> "Rayleigh/trace ppm over the SAME covariance + direction registers as s37 — the only corpus-sized work is the one Gram-matrix shuffle; numerator is PSD (floor==truncate), everything else is register-sized arithmetic",
+    "q176_l_diversity" -> "l-diversity audit: countDistinct partial-aggs on the (QI, band) pair then rolls to QI — two chained QI-space-sized shuffles, no row-level window",
+    "s39_embedding_clusters" -> "mutual-1-NN clustering: candidate cosines bounded by IVF cells (sum |cell|^2, never n^2); the mutual check joins two CORPUS-sized 1-NN tables; CC runs on the mutual edge set (<= n/2 edges, every vertex 1-NN out-degree 1); purity aggregates are component-space-sized",
+    "s40_ann_insert" -> "insert-into-frozen-index: new vectors assign map-side against broadcast centroid literals (codegen'd ldot, zero shuffle) and union onto the existing cell table — no retrain, no corpus re-scan; probe path identical to s3",
+    "d30_sorted_neighborhood" -> "sorted-neighborhood blocking: ONE ordered-window exchange per lang builds ranks; candidates are window row-local lead()s — O(n*w) pairs BY CONSTRUCTION (a rank window cannot degenerate like a hash bucket); exact verify joins the checkpointed gram-set frame by id",
+    "t36_bpe_merges" -> "BPE training: ONE corpus-sized token aggregate builds the word-type table; every merge round runs on the VOCABULARY-sized frame (corpus-size-independent) — pair explode is row-local, argmax is a 1-row bounded collect, merge application is native codegen'd replace",
+    "t37_bpe_compression" -> "same chain as t36; the audit is two one-row aggregates over the initial/final type tables crossed into one row")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

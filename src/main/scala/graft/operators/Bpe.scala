@@ -93,6 +93,17 @@ object Bpe {
       spark.sparkContext.parallelize(merges.toSeq, 1), mergeSchema), types0, types)
   }
 
+  /** Apply an ALREADY-LEARNED merge table (t36's output shape) to a fresh
+    * type table, in round order — the tokenizer-drift path: no retrain,
+    * the increment pays k row-local replaces. The merge table is k-row by
+    * construction (one per round) so the collect is bounded. */
+  def applyMerges(types: DataFrame, merges: DataFrame): DataFrame =
+    merges.orderBy("round").collect().foldLeft(types) { (t, m) =>
+      val (a, b) = (m.getString(1), m.getString(2))
+      t.withColumn("seq", call_function("replace", col("seq"),
+        lit(s"<$a><$b>"), lit(s"<$a$b>")))
+    }
+
   /** One-row corpus compression audit of the final type table vs the
     * character baseline: Σ cnt·|symbols| before and after the merges and
     * the ratio in ppm (floor-div rule). */

@@ -834,14 +834,23 @@ private[graft] object Support {
     * total order), and the merged table t_r via native `replace` (both
     * engines scan left-to-right non-overlapping ≡ greedy BPE). b_r/t_r are
     * referenced twice → AS MATERIALIZED (the q71 inlining rule). */
-  private[graft] def bpeChainSql(rounds: Int, maxWordLen: Int): String = {
-    val t0 =
-      s"""t0 AS MATERIALIZED (
-         |  SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS seq,
-         |    CAST(COUNT(*) AS BIGINT) AS cnt
-         |  FROM (SELECT unnest($toksSql) AS word FROM documents)
-         |  WHERE regexp_matches(word, '^[a-z]+$$') AND length(word) <= $maxWordLen
-         |  GROUP BY word)""".stripMargin
+  /** One delimited-symbol word-type CTE named `$name` over documents
+    * (optionally filtered by `docWhere`). */
+  private[graft] def bpeTypesSql(name: String, maxWordLen: Int,
+      docWhere: String = ""): String = {
+    val src = if (docWhere.isEmpty) "documents"
+      else s"(SELECT * FROM documents WHERE $docWhere)"
+    s"""$name AS MATERIALIZED (
+       |  SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS seq,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest($toksSql) AS word FROM $src)
+       |  WHERE regexp_matches(word, '^[a-z]+$$') AND length(word) <= $maxWordLen
+       |  GROUP BY word)""".stripMargin
+  }
+
+  private[graft] def bpeChainSql(rounds: Int, maxWordLen: Int,
+      trainWhere: String = ""): String = {
+    val t0 = bpeTypesSql("t0", maxWordLen, trainWhere)
     val steps = (1 to rounds).map { r =>
       s"""p$r AS (SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS wt FROM (
          |    SELECT unnest(sym[1:len(sym)-1]) AS a, unnest(sym[2:len(sym)]) AS b, cnt
@@ -867,15 +876,37 @@ private[graft] object Support {
        |) ORDER BY round""".stripMargin
   }
 
-  private[graft] def bpeCompressionSql(rounds: Int, maxWordLen: Int): String = {
-    def syms(src: String) =
-      s"CAST(SUM(cnt * len(string_split(seq[2:len(seq)-1], '><'))) AS BIGINT)"
+  private[graft] val bpeSymMassSql =
+    "CAST(SUM(cnt * len(string_split(seq[2:len(seq)-1], '><'))) AS BIGINT)"
+
+  private[graft] def bpeCompressionSql(rounds: Int, maxWordLen: Int): String =
     s"""WITH ${bpeChainSql(rounds, maxWordLen)},
        |base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
        |    CAST(SUM(cnt) AS BIGINT) AS n_tokens,
-       |    ${syms("t0")} AS base_syms
+       |    $bpeSymMassSql AS base_syms
        |  FROM t0),
-       |fin AS (SELECT ${syms(s"t$rounds")} AS merged_syms FROM t$rounds)
+       |fin AS (SELECT $bpeSymMassSql AS merged_syms FROM t$rounds)
+       |SELECT n_types, n_tokens, base_syms, merged_syms,
+       |  CAST((merged_syms * 1000000) // base_syms AS BIGINT) AS compression_ppm
+       |FROM base, fin""".stripMargin
+
+  /** t38: merges trained on `trainWhere` docs, applied (round order, no
+    * retrain) to the `incWhere` increment's type table; the compression
+    * audit runs on the INCREMENT. */
+  private[graft] def bpeDriftSql(rounds: Int, maxWordLen: Int,
+      trainWhere: String, incWhere: String): String = {
+    val inc = (1 to rounds).map { r =>
+      s"""i$r AS MATERIALIZED (SELECT replace(seq, '<'||m.a||'><'||m.b||'>',
+         |    '<'||m.a||m.b||'>') AS seq, cnt FROM i${r - 1}, b$r m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeChainSql(rounds, maxWordLen, trainWhere)},
+       |${bpeTypesSql("i0", maxWordLen, incWhere)},
+       |$inc,
+       |base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+       |    CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       |    $bpeSymMassSql AS base_syms
+       |  FROM i0),
+       |fin AS (SELECT $bpeSymMassSql AS merged_syms FROM i$rounds)
        |SELECT n_types, n_tokens, base_syms, merged_syms,
        |  CAST((merged_syms * 1000000) // base_syms AS BIGINT) AS compression_ppm
        |FROM base, fin""".stripMargin

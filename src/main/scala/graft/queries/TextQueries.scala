@@ -546,6 +546,20 @@ private[graft] object TextQueries {
       Bpe.compressionAudit(t0, fin)
     }),
 
+    // tokenizer drift monitor: merges trained on 90% of the corpus are
+    // applied AS-IS (no retrain — k row-local replaces) to the arriving
+    // 10% increment; the compression audit runs on the increment. A
+    // falling ratio vs t37 is the "retrain the tokenizer" alarm. Per-
+    // increment cost tracks the increment's vocabulary, not the corpus
+    "t38_bpe_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (merges, _, _) = Bpe.learn(s, docs.filter(col("doc_id") % 10 =!= 0),
+        rounds = 8)
+      val inc0 = Bpe.wordTypes(docs.filter(col("doc_id") % 10 === 0), 16)
+        .localCheckpoint(true)
+      Bpe.compressionAudit(inc0, Bpe.applyMerges(inc0, merges))
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -1049,6 +1063,10 @@ private[graft] object TextQueries {
 
     // same chain, aggregated before/after symbol mass
     "t37_bpe_compression" -> bpeCompressionSql(rounds = 8, maxWordLen = 16),
+
+    // train chain on the 90%, replay b1..b8 over the increment types
+    "t38_bpe_drift" -> bpeDriftSql(rounds = 8, maxWordLen = 16,
+      trainWhere = "doc_id % 10 <> 0", incWhere = "doc_id % 10 = 0"),
 
   )
 }

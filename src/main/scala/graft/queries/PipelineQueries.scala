@@ -132,6 +132,39 @@ private[graft] object PipelineQueries {
           expr("(n_near_dup_docs * 1000000) div n_docs").as("near_dup_ppm"))
     }),
 
+    // release gate: the end-to-end pre-training data contract in ONE row —
+    // length gate → sorted-neighborhood dedup (keep-min-id of each window
+    // pair) → decontamination against the held-out src0 eval set → BPE
+    // tokenizer compression learned on the survivors. Every stage is an
+    // audited shape (row-local gate, O(n·w) window blocker, broadcast
+    // eval-gram semi-join, vocabulary-sized merge rounds); the card
+    // crossJoins one-row aggregates only (the q155 pattern)
+    "p5_release_gate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val train = docs.filter(col("source") =!= "src0")
+      val evalSet = docs.filter(col("source") === "src0")
+      val q = train.filter(col("n_chars") >= 150)
+      val losers = Dedup.sortedNeighborhoodJaccard(q, "doc_id", "text",
+          partitionCols = Seq("lang"), keyLen = 24, window = 4, n = 3,
+          minJaccard = 0.5)
+        .select(col("id_b").as("doc_id")).distinct()
+      val deduped = q.join(losers, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      val contaminated = Dedup.decontaminate(deduped, evalSet, "doc_id", "text",
+          n = 8)
+        .filter(col("contaminated")).select("doc_id")
+      val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      val (_, t0, fin) = Bpe.learn(s, clean, rounds = 8)
+      val card = Bpe.compressionAudit(t0, fin)
+        .select(col("n_tokens"), col("compression_ppm"))
+      train.agg(count(lit(1)).as("n_input"))
+        .crossJoin(q.agg(count(lit(1)).as("n_quality")))
+        .crossJoin(deduped.agg(count(lit(1)).as("n_dedup")))
+        .crossJoin(clean.agg(count(lit(1)).as("n_clean")))
+        .crossJoin(card)
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -299,6 +332,56 @@ private[graft] object PipelineQueries {
          |    AS exact_dup_ppm,
          |  CAST((n_near_dup_docs * 1000000) // n_docs AS BIGINT) AS near_dup_ppm
          |FROM base, tk, nd""".stripMargin,
+
+    // stage CTEs are the d30 / d6 / t36 oracle chains verbatim, re-rooted
+    // on each stage's survivor set; the card is one-row aggregates crossed
+    "p5_release_gate" ->
+      s"""WITH q5 AS MATERIALIZED (SELECT * FROM documents
+         |    WHERE source <> 'src0' AND n_chars >= 150),
+         |nn AS (SELECT doc_id, lang, $normSql AS s FROM q5),
+         |g AS (SELECT doc_id, lang, substr(s, 1, 24) AS sk,
+         |    list_distinct([substr(md5(x), 1, 15) for x in
+         |      list_distinct([substr(s, i, 3) for i in
+         |        range(1, greatest(length(s)-2, 0)+1)])]) AS grams
+         |  FROM nn),
+         |sz AS (SELECT doc_id, lang, sk, grams, len(grams) AS ng
+         |  FROM g WHERE len(grams) > 0),
+         |r AS (SELECT doc_id, lang, sk, grams, ng, ROW_NUMBER() OVER
+         |    (PARTITION BY lang ORDER BY sk, doc_id) AS rn
+         |  FROM sz),
+         |pr AS (SELECT least(a.doc_id, b.doc_id) AS id_a,
+         |    greatest(a.doc_id, b.doc_id) AS id_b,
+         |    len(list_intersect(a.grams, b.grams)) AS i,
+         |    a.ng AS na, b.ng AS nb
+         |  FROM r a JOIN r b
+         |    ON a.lang = b.lang AND b.rn - a.rn BETWEEN 1 AND 4),
+         |losers AS (SELECT DISTINCT id_b AS doc_id FROM pr
+         |  WHERE CAST(i AS DOUBLE)/(na + nb - i) >= 0.5),
+         |ded AS MATERIALIZED (SELECT * FROM q5
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+         |tw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM ded),
+         |tg AS (SELECT DISTINCT doc_id, substr(md5(${wordGramSql(8)}), 1, 15) AS h
+         |    FROM tw, UNNEST(generate_series(1, len(ws) - 7)) AS t(i)),
+         |ew AS (SELECT string_split(text, ' ') AS ws
+         |    FROM documents WHERE source = 'src0'),
+         |eg AS (SELECT DISTINCT substr(md5(${wordGramSql(8)}), 1, 15) AS h
+         |    FROM ew, UNNEST(generate_series(1, len(ws) - 7)) AS t(i)),
+         |contam AS (SELECT DISTINCT doc_id FROM tg JOIN eg USING (h)),
+         |clean AS MATERIALIZED (SELECT * FROM ded
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         |${bpeChainSql(8, 16, "clean")},
+         |base AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         |    $bpeSymMassSql AS base_syms FROM t0),
+         |fin AS (SELECT $bpeSymMassSql AS merged_syms FROM t8),
+         |cnts AS (SELECT
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+         |      WHERE source <> 'src0') AS n_input,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM q5) AS n_quality,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ded) AS n_dedup,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM clean) AS n_clean)
+         |SELECT n_input, n_quality, n_dedup, n_clean, n_tokens,
+         |  CAST((merged_syms * 1000000) // base_syms AS BIGINT) AS compression_ppm
+         |FROM cnts, base, fin""".stripMargin,
 
   )
 }

@@ -834,23 +834,21 @@ private[graft] object Support {
     * total order), and the merged table t_r via native `replace` (both
     * engines scan left-to-right non-overlapping ≡ greedy BPE). b_r/t_r are
     * referenced twice → AS MATERIALIZED (the q71 inlining rule). */
-  /** One delimited-symbol word-type CTE named `$name` over documents
-    * (optionally filtered by `docWhere`). */
+  /** One delimited-symbol word-type CTE named `$name` over `srcSql` (a
+    * table name, CTE name, or parenthesized subquery with a `text`
+    * column). */
   private[graft] def bpeTypesSql(name: String, maxWordLen: Int,
-      docWhere: String = ""): String = {
-    val src = if (docWhere.isEmpty) "documents"
-      else s"(SELECT * FROM documents WHERE $docWhere)"
+      srcSql: String = "documents"): String =
     s"""$name AS MATERIALIZED (
        |  SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS seq,
        |    CAST(COUNT(*) AS BIGINT) AS cnt
-       |  FROM (SELECT unnest($toksSql) AS word FROM $src)
+       |  FROM (SELECT unnest($toksSql) AS word FROM $srcSql)
        |  WHERE regexp_matches(word, '^[a-z]+$$') AND length(word) <= $maxWordLen
        |  GROUP BY word)""".stripMargin
-  }
 
   private[graft] def bpeChainSql(rounds: Int, maxWordLen: Int,
-      trainWhere: String = ""): String = {
-    val t0 = bpeTypesSql("t0", maxWordLen, trainWhere)
+      trainSrcSql: String = "documents"): String = {
+    val t0 = bpeTypesSql("t0", maxWordLen, trainSrcSql)
     val steps = (1 to rounds).map { r =>
       s"""p$r AS (SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS wt FROM (
          |    SELECT unnest(sym[1:len(sym)-1]) AS a, unnest(sym[2:len(sym)]) AS b, cnt
@@ -899,8 +897,9 @@ private[graft] object Support {
       s"""i$r AS MATERIALIZED (SELECT replace(seq, '<'||m.a||'><'||m.b||'>',
          |    '<'||m.a||m.b||'>') AS seq, cnt FROM i${r - 1}, b$r m)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${bpeChainSql(rounds, maxWordLen, trainWhere)},
-       |${bpeTypesSql("i0", maxWordLen, incWhere)},
+    s"""WITH ${bpeChainSql(rounds, maxWordLen,
+          s"(SELECT * FROM documents WHERE $trainWhere)")},
+       |${bpeTypesSql("i0", maxWordLen, s"(SELECT * FROM documents WHERE $incWhere)")},
        |$inc,
        |base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
        |    CAST(SUM(cnt) AS BIGINT) AS n_tokens,

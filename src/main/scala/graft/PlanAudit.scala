@@ -142,7 +142,8 @@ object PlanAudit {
     "d30_sorted_neighborhood" -> "sorted-neighborhood blocking: ONE ordered-window exchange per lang builds ranks; candidates are window row-local lead()s — O(n*w) pairs BY CONSTRUCTION (a rank window cannot degenerate like a hash bucket); exact verify joins the checkpointed gram-set frame by id",
     "t36_bpe_merges" -> "BPE training: ONE corpus-sized token aggregate builds the word-type table; every merge round runs on the VOCABULARY-sized frame (corpus-size-independent) — pair explode is row-local, argmax is a 1-row bounded collect, merge application is native codegen'd replace",
     "t37_bpe_compression" -> "same chain as t36; the audit is two one-row aggregates over the initial/final type tables crossed into one row",
-    "t38_bpe_drift" -> "frozen merges replayed over the increment's type table: k row-local replaces, no retrain — per-increment cost tracks the increment's vocabulary, not the corpus")
+    "t38_bpe_drift" -> "frozen merges replayed over the increment's type table: k row-local replaces, no retrain — per-increment cost tracks the increment's vocabulary, not the corpus",
+    "p5_release_gate" -> "composed release gate: row-local length gate -> O(n*w) window blocker -> broadcast eval-gram semi-join -> vocabulary-sized BPE rounds; the card crossJoins one-row aggregates only — no stage is all-pairs or corpus-quadratic")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -926,23 +926,46 @@ object Similarity {
     *  - argmax ties break to the lowest dim.
     *
     * Returns one row per dimension: (dim, loading_ppm ∈ [−10⁶, 10⁶]). */
+  /** Exact integer covariance register `(i, j, cv)` over ×1000-quantized
+    * vectors — the ONE corpus-sized pass behind s37/s38. The offset-mean
+    * register is dim-sized, so collecting it is bounded (the sketch-
+    * register rule) and centering becomes a row-local zip_with against a
+    * literal; the Gram outer product is then a row-local two-generator
+    * upper-triangle explode (the q54 basket shape — n·d²/2 rows straight
+    * into a d²-keyed partial agg, NO id-keyed self-join exchange: the
+    * former cent⋈cent shuffle was the whole cost of s38) mirrored to the
+    * full matrix at register size. */
+  private def covarianceRegister(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val q = vectors.select(col(idCol).as("id"), quantize1000(col(vecCol)).as("qv"))
+    val muArr = q.select(posexplode(col("qv")).as(Seq("i", "x")))
+      .groupBy("i").agg(
+        expr("((sum(x) + 1000 * count(1)) div count(1)) - 1000").as("mu"))
+      .orderBy("i").collect().map(_.getLong(1)) // dim-sized register collect
+    val cent = q.select(
+      zip_with(col("qv"), lit(muArr), (x, m) => x - m).as("c"))
+    val ut = cent
+      .select(col("c"), posexplode(col("c")).as(Seq("x", "ci")))
+      .select(col("x").as("i"), col("ci"),
+        posexplode(expr("slice(c, x + 1, size(c) - x)")).as(Seq("p", "cj")))
+      .select(col("i"), (col("i") + col("p")).as("j"),
+        (col("ci") * col("cj")).as("t"))
+      .groupBy("i", "j").agg(sum(col("t")).as("cv"))
+    ut.unionByName(ut.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("cv")))
+      .localCheckpoint(true)
+  }
+
   def principalDirectionPpm(
       vectors: DataFrame,
       idCol: String,
       vecCol: String,
       iterations: Int = 3): DataFrame = {
-    val qv = vectors.select(col(idCol).as("id"),
-      posexplode(quantize1000(col(vecCol))).as(Seq("i", "x")))
-    val mu = qv.groupBy("i").agg(
-      expr("((sum(x) + 1000 * count(1)) div count(1)) - 1000").as("mu"))
-    val cent = qv.join(broadcast(mu), "i")
-      .select(col("id"), col("i"), (col("x") - col("mu")).as("c"))
-      .localCheckpoint(true)
-    val cov = cent
-      .join(cent.select(col("id"), col("i").as("j"), col("c").as("cj")), "id")
-      .groupBy("i", "j").agg(sum(col("c") * col("cj")).as("cv"))
-      .localCheckpoint(true)
-    var v = mu.select(col("i").as("j"), lit(1L).cast("decimal(38,0)").as("vv"))
+    val cov = covarianceRegister(vectors, idCol, vecCol)
+    val dims = cov.filter(col("j") === 0).select(col("i"))
+    var v = dims.select(col("i").as("j"), lit(1L).cast("decimal(38,0)").as("vv"))
     for (_ <- 1 to iterations) {
       val u = cov.join(v, "j")
         .groupBy(col("i"))
@@ -970,18 +993,9 @@ object Similarity {
       idCol: String,
       vecCol: String,
       iterations: Int = 3): DataFrame = {
-    val qv = vectors.select(col(idCol).as("id"),
-      posexplode(quantize1000(col(vecCol))).as(Seq("i", "x")))
-    val mu = qv.groupBy("i").agg(
-      expr("((sum(x) + 1000 * count(1)) div count(1)) - 1000").as("mu"))
-    val cent = qv.join(broadcast(mu), "i")
-      .select(col("id"), col("i"), (col("x") - col("mu")).as("c"))
-      .localCheckpoint(true)
-    val cov = cent
-      .join(cent.select(col("id"), col("i").as("j"), col("c").as("cj")), "id")
-      .groupBy("i", "j").agg(sum(col("c") * col("cj")).as("cv"))
-      .localCheckpoint(true)
-    var v = mu.select(col("i").as("j"), lit(1L).cast("decimal(38,0)").as("vv"))
+    val cov = covarianceRegister(vectors, idCol, vecCol)
+    val dims = cov.filter(col("j") === 0).select(col("i"))
+    var v = dims.select(col("i").as("j"), lit(1L).cast("decimal(38,0)").as("vv"))
     for (_ <- 1 to iterations) {
       val u = cov.join(v, "j")
         .groupBy(col("i"))

@@ -926,6 +926,32 @@ object Similarity {
     *  - argmax ties break to the lowest dim.
     *
     * Returns one row per dimension: (dim, loading_ppm ∈ [−10⁶, 10⁶]). */
+  /** Mutual-1-NN pairs from an undirected `(id_a, id_b, cosine)` candidate
+    * pair table (e.g. [[ivfNearDup]] output): each vector's single best
+    * neighbor, kept only when the choice is reciprocal — the high-
+    * precision pair proposer of entity matching and the edge set of
+    * [[graft.queries]] s39's clustering.
+    *
+    * The per-id 1-NN election is ONE map-side partial agg: max of a
+    * `(cosine, -nb)` struct ≡ highest cosine with ties to the SMALLEST
+    * neighbor id — identical to the `row_number() over (order by cosine
+    * desc, nb)` = 1 election, without shuffling the full pair table
+    * through a per-id sort. The 1-NN table (corpus-sized, tiny next to
+    * the pairs) is checkpointed once so the mutual self-join doesn't
+    * recompute the candidate chain on both sides. */
+  def mutualOneNn(pairs: DataFrame): DataFrame = {
+    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nb"), col("cosine"))
+      .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("nb"), col("cosine")))
+    val nn1 = sym.groupBy("id")
+      .agg(max(struct(col("cosine"), (-col("nb")).as("nnb"))).as("m"))
+      .select(col("id"), (-col("m.nnb")).as("nb"), col("m.cosine").as("cosine"))
+      .localCheckpoint(true)
+    nn1.select(col("id").as("id_a"), col("nb").as("id_b"), col("cosine"))
+      .join(nn1.select(col("nb").as("id_a"), col("id").as("id_b")),
+        Seq("id_a", "id_b"))
+      .filter(col("id_a") < col("id_b"))
+  }
+
   /** Exact integer covariance register `(i, j, cv)` over ×1000-quantized
     * vectors — the ONE corpus-sized pass behind s37/s38. The offset-mean
     * register is dim-sized, so collecting it is bounded (the sketch-

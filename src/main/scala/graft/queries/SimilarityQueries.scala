@@ -302,17 +302,9 @@ private[graft] object SimilarityQueries {
     // candidate space is cell-bounded, the mutual check joins two
     // CORPUS-sized (not pair-sized) 1-NN tables
     "s23_mutual_nn" -> ((s, d) => {
-      val pairs = Similarity.ivfNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
-        minCosine = -1.0, nCentroids = 16, iterations = 5)
-      val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nb"), col("cosine"))
-        .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("nb"), col("cosine")))
-      val nn1 = sym.withColumn("rk", row_number().over(
-          Window.partitionBy("id").orderBy(col("cosine").desc, col("nb"))))
-        .filter(col("rk") === 1).select(col("id"), col("nb"), col("cosine"))
-      nn1.select(col("id").as("id_a"), col("nb").as("id_b"), col("cosine"))
-        .join(nn1.select(col("nb").as("id_a"), col("id").as("id_b")),
-          Seq("id_a", "id_b"))
-        .filter(col("id_a") < col("id_b"))
+      Similarity.mutualOneNn(
+          Similarity.ivfNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
+            minCosine = -1.0, nCentroids = 16, iterations = 5))
         .orderBy("id_a")
     }),
 
@@ -639,16 +631,10 @@ private[graft] object SimilarityQueries {
     // integer-ppm floor-div rule
     "s39_embedding_clusters" -> ((s, d) => {
       val em = Tables.embeddings(s, d)
-      val pairs = Similarity.ivfNearDup(em, "vec_id", "embedding",
-        minCosine = -1.0, nCentroids = 16, iterations = 5)
-      val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nb"), col("cosine"))
-        .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("nb"), col("cosine")))
-      val nn1 = sym.withColumn("rk", row_number().over(
-          Window.partitionBy("id").orderBy(col("cosine").desc, col("nb"))))
-        .filter(col("rk") === 1).select(col("id"), col("nb"))
-      val edges = nn1.select(col("id").as("src"), col("nb").as("dst"))
-        .join(nn1.select(col("nb").as("src"), col("id").as("dst")), Seq("src", "dst"))
-        .filter(col("src") < col("dst"))
+      val edges = Similarity.mutualOneNn(
+          Similarity.ivfNearDup(em, "vec_id", "embedding",
+            minCosine = -1.0, nCentroids = 16, iterations = 5))
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
       val cc = GraphAlgorithms.connectedComponents(s, edges)
       val per = cc.join(em.select(col("vec_id").as("vertex"), col("label")), "vertex")
       val sz = per.groupBy("component").agg(count(lit(1)).as("n_members"))

@@ -89,4 +89,17 @@ class PlanShapeSpec extends SparkSpec {
       plan should include("SortMergeJoin")
     }
   }
+
+  "d30's sorted-neighborhood blocker" should "rank on a window with no cartesian or nested-loop" in {
+    val docs = (1 to 200).map(i =>
+      (i.toLong, "en", s"the quick brown fox ${i % 9} jumps over dog ${i % 5}"))
+      .toDF("doc_id", "lang", "text")
+    withNoBroadcast {
+      val plan = planOf(graft.operators.Dedup.sortedNeighborhoodJaccard(
+        docs, "doc_id", "text", partitionCols = Seq("lang")))
+      plan should include("Window") // the one ordered-rank exchange
+      (plan should not).include("BroadcastNestedLoopJoin")
+      (plan should not).include("CartesianProduct")
+    }
+  }
 }

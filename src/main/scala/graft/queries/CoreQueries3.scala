@@ -1208,6 +1208,27 @@ private[graft] object CoreQueries3 {
         .orderBy("l_bucket")
     }),
 
+    // temporal graph churn: how much of the customer–supplier purchase
+    // structure survives the century boundary — persisted/new/dropped
+    // edge counts and the edge-set Jaccard in ppm. Edge half-membership
+    // folds to min/max flags in ONE edge-keyed partial-agg'd shuffle; no
+    // edge-set self-join, no second scan
+    "q177_edge_churn" -> ((s, d) => {
+      val e = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"),
+          (Tables.epochUs(col("o_orderdate")) >= lit(Jan1_00)).cast("long").as("h"))
+      e.groupBy("src", "dst").agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .agg(
+          sum(when(col("h0") === 0L && col("h1") === 1L, 1L).otherwise(0L))
+            .as("n_persisted"),
+          sum(when(col("h0") === 1L, 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("h1") === 0L, 1L).otherwise(0L)).as("n_dropped"))
+        .select(col("n_persisted"), col("n_new"), col("n_dropped"),
+          expr("(n_persisted * 1000000) div (n_persisted + n_new + n_dropped)")
+            .as("jaccard_ppm"))
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -2141,6 +2162,23 @@ private[graft] object CoreQueries3 {
         |  COUNT(*) AS n_groups, CAST(SUM(gsz) AS BIGINT) AS n_rows,
         |  MIN(l_div) AS min_l
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // half-membership min/max fold, then one classification aggregate
+    "q177_edge_churn" ->
+      s"""WITH e AS (SELECT o_custkey AS src, l_suppkey AS dst,
+         |    CASE WHEN epoch_us(o_orderdate) >= $Jan1_00 THEN 1 ELSE 0 END AS h
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |f AS (SELECT src, dst, MIN(h) AS h0, MAX(h) AS h1 FROM e GROUP BY 1, 2),
+         |agg AS (SELECT
+         |    CAST(SUM(CASE WHEN h0 = 0 AND h1 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_persisted,
+         |    CAST(SUM(CASE WHEN h0 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+         |    CAST(SUM(CASE WHEN h1 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+         |  FROM f)
+         |SELECT n_persisted, n_new, n_dropped,
+         |  CAST((n_persisted * 1000000) // (n_persisted + n_new + n_dropped)
+         |    AS BIGINT) AS jaccard_ppm
+         |FROM agg""".stripMargin,
 
   )
 }

@@ -545,6 +545,39 @@ object Similarity {
     val vecs = corpus.select(col(idCol).as("id"), quantize1000(col(vecCol)).as("v"))
       .localCheckpoint(true)
     val codebooks = pqCodebooks(vecs, numSubspaces, subDim, subCentroids, iterations)
+    distortionAgainst(vecs, codebooks, numSubspaces, subDim)
+  }
+
+  /** PQ codebook drift — the PQ leg of the index-maintenance trilogy
+    * (IVF delete s36, IVF insert s40): codebooks trained on `train` are
+    * FROZEN and the distortion is measured on `target` (a corpus
+    * increment) — rising per-subspace distortion vs the training-corpus
+    * baseline is the "retrain the quantizer" alarm. Encoding the target
+    * is row-local map-side work against literal codebooks; the increment
+    * pays no training cost. */
+  def pqDistortionFrozen(
+      train: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numSubspaces: Int = 8,
+      subCentroids: Int = 16,
+      iterations: Int = 3,
+      dims: Int = 64): DataFrame = {
+    require(dims % numSubspaces == 0, "dims must divide evenly into subspaces")
+    val subDim = dims / numSubspaces
+    val tv = train.select(col(idCol).as("id"), quantize1000(col(vecCol)).as("v"))
+      .localCheckpoint(true)
+    val codebooks = pqCodebooks(tv, numSubspaces, subDim, subCentroids, iterations)
+    val vecs = target.select(col(idCol).as("id"), quantize1000(col(vecCol)).as("v"))
+    distortionAgainst(vecs, codebooks, numSubspaces, subDim)
+  }
+
+  /** Per-subspace quantization error of `vecs` against literal codebooks:
+    * one row-local encode + explode, one subspace-keyed partial agg. */
+  private def distortionAgainst(vecs: DataFrame,
+      codebooks: Array[Array[Array[Long]]], numSubspaces: Int,
+      subDim: Int): DataFrame = {
     val enc = vecs.select(col("id") +: col("v") +:
       pqCodeCols(numSubspaces, subDim, codebooks): _*)
     val perSub = (0 until numSubspaces).map { s =>

@@ -650,6 +650,22 @@ private[graft] object SimilarityQueries {
         .orderBy("component")
     }),
 
+    // PQ codebook drift — the quantizer leg of the index-maintenance
+    // trilogy (s36 delete, s40 insert): codebooks trained on 90% of the
+    // corpus are FROZEN and the per-subspace distortion is measured on
+    // the arriving 10% — rising mean_d2 vs s32's training baseline is
+    // the "retrain the quantizer" alarm; the increment pays row-local
+    // encode cost only
+    "s41_pq_drift" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      Similarity.pqDistortionFrozen(em.filter(col("vec_id") % 10 =!= 0),
+          em.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+          numSubspaces = 8, subCentroids = 16, iterations = 3)
+        .select(col("subspace"), col("n"), col("sum_d2"),
+          expr("sum_d2 div n").as("mean_d2"))
+        .orderBy("subspace")
+    }),
+
     // ANN under insertion — s36's companion: the index is TRAINED on 90%
     // of the corpus, the remaining 10% arrives later and is assigned to
     // the FROZEN centroids (no retrain — the production insert path,
@@ -851,6 +867,11 @@ private[graft] object SimilarityQueries {
     // FULL corpus to the frozen final centroids — insert ≡ full rebuild
     "s40_ann_insert" -> ivfTopKSql(nCentroids = 16, iterations = 5,
       nProbe = 4, k = 5, trainWhere = "vec_id % 10 <> 0", assignAll = true),
+
+    // subspace chains over the filtered v, increment assigned to the
+    // frozen s{i}c3 tables, s32's distortion rollup on the increment
+    "s41_pq_drift" -> pqDriftSql(m = 8, ksub = 16, iterations = 3,
+      trainWhere = "vec_id % 10 <> 0", incWhere = "vec_id % 10 = 0"),
 
     "s37_principal_direction" -> principalDirectionSql(iterations = 3),
 

@@ -331,6 +331,40 @@ private[graft] object Support {
        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |    ORDER BY approx_dot DESC, neighbor_id) AS rank FROM pairs)""".stripMargin
 
+  /** s41: codebooks trained on the `trainWhere` subset (pqSubspacesSql
+    * over the filtered `v`), frozen, and applied to the `incWhere`
+    * increment — per-subspace assignment to the final `s{i}c{iters}`
+    * centroid tables, then the s32 distortion rollup on the increment. */
+  private[graft] def pqDriftSql(m: Int, ksub: Int, iterations: Int,
+      trainWhere: String, incWhere: String): String = {
+    val subDim = 64 / m
+    val rng = s"range(1,${subDim + 1})"
+    def dotOf(c: String, v: String) = s"list_sum([$c[i]*$v[i] for i in $rng])"
+    val per = (0 until m).map { i =>
+      val lo = i * subDim + 1
+      val hi = (i + 1) * subDim
+      s"""x$i AS (SELECT a.id, a.sv, c.c,
+         |    ROW_NUMBER() OVER (PARTITION BY a.id
+         |      ORDER BY c.cn - 2*${dotOf("c.c", "a.sv")}, c.cell) AS rn
+         |  FROM (SELECT id, v[$lo:$hi] AS sv FROM iv) a
+         |  CROSS JOIN s${i}c$iterations c),
+         |y$i AS (SELECT CAST($i AS INTEGER) AS subspace,
+         |    CAST(list_sum([(sv[k]-c[k])*(sv[k]-c[k]) for k in $rng])
+         |      AS BIGINT) AS d2
+         |  FROM x$i WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id AS id, ${qvSql("embedding")} AS v
+       |    FROM embeddings WHERE $trainWhere),
+       |${pqSubspacesSql(m, ksub, iterations)},
+       |iv AS (SELECT vec_id AS id, ${qvSql("embedding")} AS v
+       |    FROM embeddings WHERE $incWhere),
+       |$per,
+       |d AS (${(0 until m).map(i => s"SELECT * FROM y$i").mkString(" UNION ALL ")})
+       |SELECT subspace, COUNT(*) AS n, CAST(SUM(d2) AS BIGINT) AS sum_d2,
+       |  CAST(CAST(SUM(d2) AS BIGINT) // COUNT(*) AS BIGINT) AS mean_d2
+       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** IVF-PQ oracle: ivfCellsSql's coarse cells gate candidates (probes =
     * nProbe nearest cells per query), pqSubspacesSql's reconstructions
     * provide the asymmetric score — both chains share the one `v` CTE. */

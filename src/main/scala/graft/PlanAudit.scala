@@ -143,7 +143,9 @@ object PlanAudit {
     "t36_bpe_merges" -> "BPE training: ONE corpus-sized token aggregate builds the word-type table; every merge round runs on the VOCABULARY-sized frame (corpus-size-independent) — pair explode is row-local, argmax is a 1-row bounded collect, merge application is native codegen'd replace",
     "t37_bpe_compression" -> "same chain as t36; the audit is two one-row aggregates over the initial/final type tables crossed into one row",
     "t38_bpe_drift" -> "frozen merges replayed over the increment's type table: k row-local replaces, no retrain — per-increment cost tracks the increment's vocabulary, not the corpus",
-    "p5_release_gate" -> "composed release gate: row-local length gate -> O(n*w) window blocker -> broadcast eval-gram semi-join -> vocabulary-sized BPE rounds; the card crossJoins one-row aggregates only — no stage is all-pairs or corpus-quadratic")
+    "p5_release_gate" -> "composed release gate: row-local length gate -> O(n*w) window blocker -> broadcast eval-gram semi-join -> vocabulary-sized BPE rounds; the card crossJoins one-row aggregates only — no stage is all-pairs or corpus-quadratic",
+    "q177_edge_churn" -> "temporal edge churn: half-membership folds to min/max flags in ONE edge-keyed partial-agg'd shuffle — no edge-set self-join, no second scan",
+    "s41_pq_drift" -> "PQ drift: training is threshold-gated on the OLD corpus; the increment pays a row-local encode against literal codebooks + one subspace-keyed partial agg — no retrain, no corpus re-scan")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -546,6 +546,24 @@ private[graft] object TextQueries {
       Bpe.compressionAudit(t0, fin)
     }),
 
+    // curation gate ablation: which combination of the three standard
+    // gates (length, quality keep-flag, lang-id agreement) passes how many
+    // docs/tokens — the "why was my data dropped" matrix every filter
+    // pipeline tuning session starts from; three row-local flags, one
+    // 8-cell aggregate
+    "t39_gate_ablation" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), col("keep").as("q_ok"))
+      docs.select(col("doc_id"), col("lang"), (col("n_chars") >= 150).as("len_ok"))
+        .join(q, "doc_id")
+        .join(TextAnalysis.languageId(docs, "doc_id", "text"), "doc_id")
+        .withColumn("lang_ok", col("predicted_lang") === col("lang"))
+        .groupBy("len_ok", "q_ok", "lang_ok")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy("len_ok", "q_ok", "lang_ok")
+    }),
+
     // tokenizer drift monitor: merges trained on 90% of the corpus are
     // applied AS-IS (no retrain — k row-local replaces) to the arriving
     // 10% increment; the compression audit runs on the increment. A
@@ -1067,6 +1085,29 @@ private[graft] object TextQueries {
     // train chain on the 90%, replay b1..b8 over the increment types
     "t38_bpe_drift" -> bpeDriftSql(rounds = 8, maxWordLen = 16,
       trainWhere = "doc_id % 10 <> 0", incWhere = "doc_id % 10 = 0"),
+
+    // t2's keep-flag + t17's predicted-lang chains, one 8-cell aggregate
+    "t39_gate_ablation" ->
+      s"""WITH m AS (${qualityMetricsSql("documents")}),
+         |qf AS (SELECT doc_id, n_tokens,
+         |    (n_tokens >= 10 AND n_tokens <= 100000 AND
+         |     (CASE WHEN n_chars > 0 THEN alpha_len*1000000//n_chars ELSE 0 END)
+         |       >= 500000) AS q_ok
+         |  FROM m),
+         |sc AS (
+         |${langScoresSql()}
+         |), best AS (SELECT doc_id, lang, score,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, lang DESC) AS rn FROM sc),
+         |pred AS (SELECT doc_id,
+         |    CASE WHEN score = 0 THEN 'und' ELSE lang END AS predicted_lang
+         |  FROM best WHERE rn = 1),
+         |j AS (SELECT d.doc_id, (d.n_chars >= 150) AS len_ok, q.q_ok,
+         |    (p.predicted_lang = d.lang) AS lang_ok, q.n_tokens
+         |  FROM documents d JOIN qf q USING (doc_id) JOIN pred p USING (doc_id))
+         |SELECT len_ok, q_ok, lang_ok, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |FROM j GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
   )
 }

@@ -145,7 +145,8 @@ object PlanAudit {
     "t38_bpe_drift" -> "frozen merges replayed over the increment's type table: k row-local replaces, no retrain — per-increment cost tracks the increment's vocabulary, not the corpus",
     "p5_release_gate" -> "composed release gate: row-local length gate -> O(n*w) window blocker -> broadcast eval-gram semi-join -> vocabulary-sized BPE rounds; the card crossJoins one-row aggregates only — no stage is all-pairs or corpus-quadratic",
     "q177_edge_churn" -> "temporal edge churn: half-membership folds to min/max flags in ONE edge-keyed partial-agg'd shuffle — no edge-set self-join, no second scan",
-    "s41_pq_drift" -> "PQ drift: training is threshold-gated on the OLD corpus; the increment pays a row-local encode against literal codebooks + one subspace-keyed partial agg — no retrain, no corpus re-scan")
+    "s41_pq_drift" -> "PQ drift: training is threshold-gated on the OLD corpus; the increment pays a row-local encode against literal codebooks + one subspace-keyed partial agg — no retrain, no corpus re-scan",
+    "t39_gate_ablation" -> "gate ablation: all three gate flags are row-local codegen'd column math (native stopword/lang-score expressions); the matrix is ONE 8-cell partial-agg'd aggregate")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

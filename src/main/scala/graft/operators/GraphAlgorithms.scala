@@ -296,7 +296,8 @@ object GraphAlgorithms {
       basketCol: String,
       itemCol: String,
       minSupport: Long = 2L,
-      maxBasketSize: Long = Long.MaxValue): DataFrame = {
+      maxBasketSize: Long = Long.MaxValue,
+      keepSupport: Boolean = false): DataFrame = {
     // ONE shuffle builds per-basket sorted distinct item arrays
     // (collect_set dedups in the partial agg — no separate distinct pass),
     // the cap is then a free row-local size filter (no window), and pair
@@ -313,14 +314,14 @@ object GraphAlgorithms {
     // — the nested transform/sequence/struct HOF chain this replaces was
     // interpreted per element and dominated every co-purchase query's
     // edge-build time (same rewrite as t20's pair explode)
-    baskets
+    val withSupport = baskets
       .select(col("ps"), posexplode(col("ps")).as(Seq("i", "src")))
       .select(col("src"),
         explode(expr("slice(ps, i + 2, size(ps) - i - 1)")).as("dst"))
       .groupBy("src", "dst")
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
-      .drop("support")
+    if (keepSupport) withSupport else withSupport.drop("support")
   }
 
   /** Deterministic synchronous label propagation (Raghavan et al. 2007) —

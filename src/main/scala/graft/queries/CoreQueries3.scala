@@ -1229,6 +1229,34 @@ private[graft] object CoreQueries3 {
             .as("jaccard_ppm"))
     }),
 
+    // market-basket association rules (Agrawal-Srikant 2-itemset form):
+    // confidence and lift in exact integer ppm over the q53 co-purchase
+    // supports. Lift is STAGED ((conf_ppm · N) div supp(cons), the q144
+    // floor-per-term convention) so the numerator stays ≤ 10⁶·N — safe in
+    // a long at any corpus size, where the single-expression form
+    // 10⁶·s·N would overflow at ~10⁹ baskets. Top 50 by (lift, ante,
+    // cons) — a TakeOrdered, never a full sort
+    "q178_association_rules" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        .localCheckpoint(true)
+      val edges = GraphAlgorithms.cooccurrenceEdges(Tables.lineitem(s, d),
+        "l_orderkey", "l_partkey", minSupport = 2L, keepSupport = true)
+      val items = li.groupBy("p").agg(count(lit(1)).as("supp"))
+      val n = li.agg(countDistinct(col("o")).as("n_orders"))
+      edges.select(col("src").as("ante"), col("dst").as("cons"), col("support"))
+        .unionByName(edges.select(col("dst").as("ante"), col("src").as("cons"),
+          col("support")))
+        .join(items.select(col("p").as("ante"), col("supp").as("sa")), "ante")
+        .join(items.select(col("p").as("cons"), col("supp").as("sc")), "cons")
+        .crossJoin(broadcast(n))
+        .withColumn("confidence_ppm", expr("(support * 1000000) div sa"))
+        .select(col("ante"), col("cons"), col("support"), col("confidence_ppm"),
+          expr("(confidence_ppm * n_orders) div sc").as("lift_ppm"))
+        .orderBy(col("lift_ppm").desc, col("ante"), col("cons"))
+        .limit(50)
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -2179,6 +2207,23 @@ private[graft] object CoreQueries3 {
          |  CAST((n_persisted * 1000000) // (n_persisted + n_new + n_dropped)
          |    AS BIGINT) AS jaccard_ppm
          |FROM agg""".stripMargin,
+
+    // q53's support CTE, both rule directions, staged ppm divisions
+    "q178_association_rules" ->
+      """WITH li0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT x.p AS a, y.p AS b, CAST(COUNT(*) AS BIGINT) AS support
+        |  FROM li0 x JOIN li0 y ON x.o = y.o AND x.p < y.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |it AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS supp FROM li0 GROUP BY p),
+        |nn AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM li0),
+        |dir AS (SELECT a AS ante, b AS cons, support FROM e
+        |  UNION ALL SELECT b, a, support FROM e),
+        |r AS (SELECT ante, cons, support,
+        |    CAST((support * 1000000) // sa.supp AS BIGINT) AS confidence_ppm,
+        |    CAST((CAST((support * 1000000) // sa.supp AS BIGINT) * n_orders)
+        |      // sc.supp AS BIGINT) AS lift_ppm
+        |  FROM dir JOIN it sa ON ante = sa.p JOIN it sc ON cons = sc.p, nn)
+        |SELECT * FROM r ORDER BY lift_ppm DESC, ante, cons LIMIT 50""".stripMargin,
 
   )
 }

@@ -410,6 +410,28 @@ private[graft] object DedupQueries {
           minJaccard = 0.5)
         .orderBy("id_a", "id_b")),
 
+    // d18 with the fourth signal: every pair ANY of the four blocker
+    // families fired on (LSH bands, simhash bytes, hash blocks, rank
+    // window), with per-signal flags — disagreement between blockers is
+    // exactly the review queue a production dedup run triages
+    "d31_consensus_v2" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val mh = Dedup.minhashLsh(docs, "doc_id", "text",
+        numHashes = 8, shingleSize = 3, rowsPerBand = 2, minEstimate = 0.5,
+        materializeCandidates = true)
+      val sh = Dedup.simhashPairs(docs, "doc_id", "text", bits = 16, maxHamming = 1)
+      val nj = Dedup.ngramJaccardBlocked(
+        docs.withColumn("blk", expr("n_chars div 20")), "doc_id", "text",
+        blockCols = Seq("lang", "blk"), n = 3, minJaccard = 0.5,
+        materializeGramSets = true)
+      val snm = Dedup.sortedNeighborhoodJaccard(docs, "doc_id", "text",
+        partitionCols = Seq("lang"), keyLen = 24, window = 4, n = 3,
+        minJaccard = 0.5)
+      Dedup.consensusPairs(Seq("minhash" -> mh, "simhash" -> sh,
+          "jaccard" -> nj, "snm" -> snm))
+        .orderBy("id_a", "id_b")
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -870,6 +892,78 @@ private[graft] object DedupQueries {
          |SELECT n_candidates, n_verified,
          |  CAST((n_verified * 1000000) // n_candidates AS BIGINT) AS precision_ppm
          |FROM agg""".stripMargin,
+
+    // d18's three signal chains verbatim + the d30 chain (w-prefixed),
+    // four flag joins over the union of all fired pairs
+    "d31_consensus_v2" ->
+      s"""WITH ${minhashPairsSql("documents")},
+         |mhf AS (SELECT id_a, id_b FROM mh_pairs WHERE jaccard_est >= 0.5),
+         |stoks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |stv AS (SELECT doc_id,
+         |  [ (strpos('0123456789abcdef', substr(md5(x),1,1))-1)*4096
+         |  + (strpos('0123456789abcdef', substr(md5(x),2,1))-1)*256
+         |  + (strpos('0123456789abcdef', substr(md5(x),3,1))-1)*16
+         |  + (strpos('0123456789abcdef', substr(md5(x),4,1))-1) for x in t] AS vals,
+         |  len(t) AS n FROM stoks),
+         |ssh AS (SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS simhash FROM stv),
+         |sbanded AS (SELECT doc_id, simhash, b, (simhash >> (b*8)) & 255 AS byte
+         |           FROM ssh, range(0,2) t(b)),
+         |shf AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |          FROM sbanded a JOIN sbanded b USING (b, byte)
+         |          WHERE a.doc_id < b.doc_id
+         |            AND bit_count(xor(a.simhash, b.simhash)) <= 1),
+         |jn AS (SELECT doc_id, lang, n_chars//20 AS blk, $normSql AS s FROM documents),
+         |jg AS (SELECT doc_id, lang, blk,
+         |        unnest(list_distinct([substr(md5(x), 1, 15) for x in
+         |          list_distinct([substr(s, i, 3) for i in range(1, greatest(length(s)-2, 0)+1)])])) AS gram
+         |      FROM jn),
+         |jsizes AS (SELECT doc_id, COUNT(*) AS ng FROM jg GROUP BY doc_id),
+         |jinter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+         |          FROM jg a JOIN jg b ON a.lang = b.lang AND a.blk = b.blk AND a.gram = b.gram
+         |            AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |jf AS (SELECT id_a, id_b FROM jinter
+         |  JOIN jsizes sa ON id_a = sa.doc_id JOIN jsizes sb ON id_b = sb.doc_id
+         |  WHERE CAST(i AS DOUBLE)/(sa.ng + sb.ng - i) >= 0.5),
+         |wnn AS (SELECT doc_id, lang, $normSql AS s FROM documents),
+         |wg AS (SELECT doc_id, lang, substr(s, 1, 24) AS sk,
+         |    list_distinct([substr(md5(x), 1, 15) for x in
+         |      list_distinct([substr(s, i, 3) for i in
+         |        range(1, greatest(length(s)-2, 0)+1)])]) AS grams
+         |  FROM wnn),
+         |wsz AS (SELECT doc_id, lang, sk, grams, len(grams) AS ng
+         |  FROM wg WHERE len(grams) > 0),
+         |wr AS (SELECT doc_id, lang, sk, grams, ng, ROW_NUMBER() OVER
+         |    (PARTITION BY lang ORDER BY sk, doc_id) AS rn
+         |  FROM wsz),
+         |wpr AS (SELECT least(a.doc_id, b.doc_id) AS id_a,
+         |    greatest(a.doc_id, b.doc_id) AS id_b,
+         |    len(list_intersect(a.grams, b.grams)) AS i,
+         |    a.ng AS na, b.ng AS nb
+         |  FROM wr a JOIN wr b
+         |    ON a.lang = b.lang AND b.rn - a.rn BETWEEN 1 AND 4),
+         |snmf AS (SELECT id_a, id_b FROM wpr
+         |  WHERE CAST(i AS DOUBLE)/(na + nb - i) >= 0.5),
+         |allp AS (SELECT id_a, id_b FROM mhf UNION
+         |         SELECT id_a, id_b FROM shf UNION
+         |         SELECT id_a, id_b FROM jf UNION
+         |         SELECT id_a, id_b FROM snmf)
+         |SELECT p.id_a, p.id_b,
+         |  CAST(CASE WHEN m.id_a IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS minhash,
+         |  CAST(CASE WHEN s2.id_a IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS simhash,
+         |  CAST(CASE WHEN j2.id_a IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS jaccard,
+         |  CAST(CASE WHEN w2.id_a IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS snm,
+         |  CAST(CASE WHEN m.id_a IS NOT NULL THEN 1 ELSE 0 END
+         |     + CASE WHEN s2.id_a IS NOT NULL THEN 1 ELSE 0 END
+         |     + CASE WHEN j2.id_a IS NOT NULL THEN 1 ELSE 0 END
+         |     + CASE WHEN w2.id_a IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS n_signals
+         |FROM allp p
+         |LEFT JOIN mhf m ON m.id_a = p.id_a AND m.id_b = p.id_b
+         |LEFT JOIN shf s2 ON s2.id_a = p.id_a AND s2.id_b = p.id_b
+         |LEFT JOIN jf j2 ON j2.id_a = p.id_a AND j2.id_b = p.id_b
+         |LEFT JOIN (SELECT DISTINCT id_a, id_b FROM snmf) w2
+         |  ON w2.id_a = p.id_a AND w2.id_b = p.id_b
+         |ORDER BY p.id_a, p.id_b""".stripMargin,
 
     // d4's gram sets + a per-lang prefix-sort rank window; pairs are the
     // rank-distance ≤ 4 self-join, canonicalized by least/greatest

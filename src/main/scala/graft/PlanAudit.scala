@@ -146,7 +146,9 @@ object PlanAudit {
     "p5_release_gate" -> "composed release gate: row-local length gate -> O(n*w) window blocker -> broadcast eval-gram semi-join -> vocabulary-sized BPE rounds; the card crossJoins one-row aggregates only — no stage is all-pairs or corpus-quadratic",
     "q177_edge_churn" -> "temporal edge churn: half-membership folds to min/max flags in ONE edge-keyed partial-agg'd shuffle — no edge-set self-join, no second scan",
     "s41_pq_drift" -> "PQ drift: training is threshold-gated on the OLD corpus; the increment pays a row-local encode against literal codebooks + one subspace-keyed partial agg — no retrain, no corpus re-scan",
-    "t39_gate_ablation" -> "gate ablation: all three gate flags are row-local codegen'd column math (native stopword/lang-score expressions); the matrix is ONE 8-cell partial-agg'd aggregate")
+    "t39_gate_ablation" -> "gate ablation: all three gate flags are row-local codegen'd column math (native stopword/lang-score expressions); the matrix is ONE 8-cell partial-agg'd aggregate",
+    "q178_association_rules" -> "association rules: supports come from the one-basket-shuffle co-purchase aggregate (pair volume bounded per basket); rule math is staged integer ppm on pair-sized frames; top-50 is a TakeOrdered",
+    "d31_consensus_v2" -> "four-signal consensus: each signal is its own audited blocker (capped LSH bands / simhash bytes / hash blocks / O(n*w) rank window); flag joins run on PAIR-sized frames, the corpus is never re-shuffled by the merge")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -151,6 +151,18 @@ object Similarity {
     // re-quantizes (iterations × full-scan jobs).
     val vecs = corpus.select(col(idCol).as("id"), quantize1000(col(vecCol)).as("v"))
       .localCheckpoint(true)
+    ivfIndexQuantized(vecs, nCentroids, iterations, localTrainThreshold)
+  }
+
+  /** [[ivfIndex]] over a PRE-QUANTIZED, already-checkpointed `(id, v)`
+    * frame — lets composite indexes (IVF-PQ) share ONE corpus quantize
+    * pass instead of each sub-index re-scanning and re-checkpointing the
+    * same projection. */
+  def ivfIndexQuantized(
+      vecs: DataFrame,
+      nCentroids: Int,
+      iterations: Int = 5,
+      localTrainThreshold: Long = LocalTrainThreshold): (DataFrame, Array[Array[Long]]) = {
     val centroids = trainCentroids(vecs, nCentroids, iterations, localTrainThreshold)
     (assignCells(vecs, centroids).select(col("id"), col("cell")), centroids)
   }
@@ -249,14 +261,20 @@ object Similarity {
   /** argmin over centroids of ‖v−c‖² ≡ argmin of (‖c‖² − 2·v·c): ‖v‖² is
     * constant per row, so distances reduce to one codegen'd integer dot per
     * centroid against a broadcast literal. */
-  private def cellExpr(v: Column, centroids: Array[Array[Long]]): Column = {
-    val dists = centroids.zipWithIndex.map { case (c, i) =>
+  /** Per-centroid `(distance, cell)` structs for a quantized vector
+    * column against LITERAL centroids — the one distance/tie-break
+    * algebra shared by cell assignment and every probed-cells site
+    * (s3/s10/s16/s36/s40): a fix here lands everywhere at once, which is
+    * what the oracle mirrors. */
+  private def probeCellStructs(v: Column, centroids: Array[Array[Long]]): Seq[Column] =
+    centroids.zipWithIndex.toSeq.map { case (c, i) =>
       val cNorm = c.map(x => x * x).sum
       val d = lit(cNorm) - lit(2L) * ldot(v, lit(c))
       struct(d.as("d"), lit(i).as("cell"))
     }
-    array_min(array(dists: _*)).getField("cell")
-  }
+
+  private def cellExpr(v: Column, centroids: Array[Array[Long]]): Column =
+    array_min(array(probeCellStructs(v, centroids): _*)).getField("cell")
 
   private def assignCells(vecs: DataFrame, centroids: Array[Array[Long]]): DataFrame =
     vecs.withColumn("cell", cellExpr(col("v"), centroids))
@@ -306,18 +324,12 @@ object Similarity {
     val c = quantized(corpus, idCol, vecCol, "neighbor_id", "qv_c", "n_c")
       .join(cells.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
     // query probes: its nProbe nearest centroids (same quantized space and
-    // same ldot distance algebra as training)
-    val qVecs = queries.select(col(idCol).as("query_id"), quantize1000(col(vecCol)).as("v"))
-    val probeCells = centroids.zipWithIndex.map { case (cvec, i) =>
-      val cNorm = cvec.map(x => x * x).sum
-      val d = lit(cNorm) - lit(2L) * ldot(col("v"), lit(cvec))
-      struct(d.as("d"), lit(i).as("cell"))
-    }
+    // same ldot distance algebra as training) — one quantized projection,
+    // probes exploded in place (no second quantize + self-join)
+    val probeCells = probeCellStructs(col("qv_q"), centroids)
     val q = quantized(queries, idCol, vecCol, "query_id", "qv_q", "n_q")
-      .join(
-        qVecs.select(col("query_id"),
-          explode(slice(array_sort(array(probeCells: _*)), 1, nProbe).getField("cell")).as("cell")),
-        "query_id")
+      .withColumn("cell",
+        explode(slice(array_sort(array(probeCells: _*)), 1, nProbe).getField("cell")))
     val sims = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -352,19 +364,12 @@ object Similarity {
       .join(corpus.select(col(idCol).as("neighbor_id"),
         col(labelCol).as("neighbor_label")), "neighbor_id")
       .join(cells.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
-    val qVecs = queries.select(col(idCol).as("query_id"), quantize1000(col(vecCol)).as("v"))
-    val probeCells = centroids.zipWithIndex.map { case (cvec, i) =>
-      val cNorm = cvec.map(x => x * x).sum
-      val d = lit(cNorm) - lit(2L) * ldot(col("v"), lit(cvec))
-      struct(d.as("d"), lit(i).as("cell"))
-    }
+    val probeCells = probeCellStructs(col("qv_q"), centroids)
     val q = quantized(queries, idCol, vecCol, "query_id", "qv_q", "n_q")
       .join(queries.select(col(idCol).as("query_id"),
         col(labelCol).as("query_label")), "query_id")
-      .join(
-        qVecs.select(col("query_id"),
-          explode(slice(array_sort(array(probeCells: _*)), 1, nProbe).getField("cell")).as("cell")),
-        "query_id")
+      .withColumn("cell",
+        explode(slice(array_sort(array(probeCells: _*)), 1, nProbe).getField("cell")))
     // the label gate runs BEFORE ranking (a same-label near-miss must not
     // occupy a rank slot) and map-side (inside the cell join, so filtered
     // candidates never reach the top-k window)
@@ -403,7 +408,6 @@ object Similarity {
     Dedup.embeddingNearDup(withCell, idCol, vecCol, "cell", minCosine, maxCellSize)
   }
 
-  /** LSH-bucketed top-k: neighbors searched only within the query's bucket. */
   /** Multi-probe LSH top-k (the Hamming-1 form of Lv et al., VLDB'07): each
     * query probes its own hyperplane bucket PLUS the `numPlanes` buckets
     * differing in exactly one plane bit — a near neighbor that fell on the
@@ -437,6 +441,7 @@ object Similarity {
     sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** LSH-bucketed top-k: neighbors searched only within the query's bucket. */
   def lshTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -642,24 +647,20 @@ object Similarity {
       dims: Int = 64): DataFrame = {
     require(dims % numSubspaces == 0, "dims must divide evenly into subspaces")
     val subDim = dims / numSubspaces
-    val (cells, centroids) = ivfIndex(corpus, idCol, vecCol, nCentroids)
+    // ONE corpus quantize pass + checkpoint shared by the coarse IVF
+    // training and the PQ codebooks (each used to re-scan + re-checkpoint
+    // the identical projection)
     val vecs = corpus.select(col(idCol).as("id"), quantize1000(col(vecCol)).as("v"))
       .localCheckpoint(true)
+    val (cells, centroids) = ivfIndexQuantized(vecs, nCentroids)
     val codebooks = pqCodebooks(vecs, numSubspaces, subDim, subCentroids, pqIterations)
     val enc = vecs.select(col("id").as("neighbor_id") +:
         pqCodeCols(numSubspaces, subDim, codebooks): _*)
       .join(cells.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
-    val qVecs = queries.select(col(idCol).as("query_id"), quantize1000(col(vecCol)).as("v"))
-    val probeCells = centroids.zipWithIndex.map { case (cvec, i) =>
-      val cNorm = cvec.map(x => x * x).sum
-      val d = lit(cNorm) - lit(2L) * ldot(col("v"), lit(cvec))
-      struct(d.as("d"), lit(i).as("cell"))
-    }
+    val probeCells = probeCellStructs(col("qv_q"), centroids)
     val q = queries.select(col(idCol).as("query_id"), quantize1000(col(vecCol)).as("qv_q"))
-      .join(
-        qVecs.select(col("query_id"),
-          explode(slice(array_sort(array(probeCells: _*)), 1, nProbe).getField("cell")).as("cell")),
-        "query_id")
+      .withColumn("cell",
+        explode(slice(array_sort(array(probeCells: _*)), 1, nProbe).getField("cell")))
     val sims = enc.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -939,26 +940,6 @@ object Similarity {
       .select(col("rank"), col("item_a"), col("item_b"), col("dot"), col("cosine"))
   }
 
-  /** Dominant principal direction of the embedding covariance by
-    * integer power iteration — the "collapsed embedding space" audit: a
-    * single direction soaking up most variance means the encoder (or a
-    * dedup bug upstream) has crushed the representation.
-    *
-    * DETERMINISTIC AND EXACT at any scale, by construction:
-    *  - vectors are ×1000-quantized; the per-dim mean is the offset-rule
-    *    truncated integer mean (sign-safe on both engines);
-    *  - the covariance register is Σ c_i·c_j over centered integers — one
-    *    (dim, dim)-keyed partial-agg'd shuffle, dims²-sized output; the
-    *    corpus is touched once (work n·d² map-side, like any Gram matrix);
-    *  - each power step is cov·v in DECIMAL(38) (≡ DuckDB HUGEINT —
-    *    products bounded by 64·4·10⁶·n·10⁶, inside 10³⁸ for any feasible
-    *    n), then an integer max-abs normalization to ±10⁶ ppm with the
-    *    sign canonicalized positive-at-argmax (offset floor-div rule, so
-    *    truncate-vs-floor can never diverge) — magnitudes CANNOT grow
-    *    across iterations, so the iteration count is unbounded-safe;
-    *  - argmax ties break to the lowest dim.
-    *
-    * Returns one row per dimension: (dim, loading_ppm ∈ [−10⁶, 10⁶]). */
   /** Mutual-1-NN pairs from an undirected `(id_a, id_b, cosine)` candidate
     * pair table (e.g. [[ivfNearDup]] output): each vector's single best
     * neighbor, kept only when the choice is reciprocal — the high-
@@ -985,7 +966,30 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
   }
 
-  /** Exact integer covariance register `(i, j, cv)` over ×1000-quantized
+  /** Dominant principal direction of the embedding covariance by
+    * integer power iteration ([[principalDirectionPpm]]) — the "collapsed
+    * embedding space" audit: a single direction soaking up most variance
+    * means the encoder (or a dedup bug upstream) has crushed the
+    * representation.
+    *
+    * DETERMINISTIC AND EXACT at any scale, by construction:
+    *  - vectors are ×1000-quantized; the per-dim mean is the offset-rule
+    *    truncated integer mean (sign-safe on both engines);
+    *  - the covariance register is Σ c_i·c_j over centered integers — one
+    *    (dim, dim)-keyed partial-agg'd shuffle, dims²-sized output; the
+    *    corpus is touched once (work n·d² map-side, like any Gram matrix);
+    *  - each power step is cov·v in DECIMAL(38) (≡ DuckDB HUGEINT —
+    *    products bounded by 64·4·10⁶·n·10⁶, inside 10³⁸ for any feasible
+    *    n), then an integer max-abs normalization to ±10⁶ ppm with the
+    *    sign canonicalized positive-at-argmax (offset floor-div rule, so
+    *    truncate-vs-floor can never diverge) — magnitudes CANNOT grow
+    *    across iterations, so the iteration count is unbounded-safe;
+    *  - argmax ties break to the lowest dim.
+    *
+    * [[principalDirectionPpm]] returns one row per dimension:
+    * (dim, loading_ppm ∈ [−10⁶, 10⁶]).
+    *
+    * Below: the exact integer covariance register `(i, j, cv)` over ×1000-quantized
     * vectors — the ONE corpus-sized pass behind s37/s38. The offset-mean
     * register is dim-sized, so collecting it is bounded (the sketch-
     * register rule) and centering becomes a row-local zip_with against a
@@ -997,11 +1001,19 @@ object Similarity {
   private def covarianceRegister(
       vectors: DataFrame,
       idCol: String,
-      vecCol: String): DataFrame = {
+      vecCol: String): (DataFrame, DataFrame) = {
+    // checkpoint: the mean collect and the Gram pass both read this frame,
+    // and the interpreted quantize HOF must not run per pass (the
+    // labelCentroidAudit two-pass rule); callers also count it for free
     val q = vectors.select(col(idCol).as("id"), quantize1000(col(vecCol)).as("qv"))
+      .localCheckpoint(true)
+    // mean offset 10⁶ (not 10³): floor((s+K·n)/n)−K is K-invariant where
+    // the numerator is non-negative, so this is hash-identical to the old
+    // 10³ offset while staying sign-safe down to a per-dim mean of −10⁶
+    // (quantized) instead of −10³ — same spelling in the oracle chain
     val muArr = q.select(posexplode(col("qv")).as(Seq("i", "x")))
       .groupBy("i").agg(
-        expr("((sum(x) + 1000 * count(1)) div count(1)) - 1000").as("mu"))
+        expr("((sum(x) + 1000000 * count(1)) div count(1)) - 1000000").as("mu"))
       .orderBy("i").collect().map(_.getLong(1)) // dim-sized register collect
     val cent = q.select(
       zip_with(col("qv"), lit(muArr), (x, m) => x - m).as("c"))
@@ -1012,17 +1024,21 @@ object Similarity {
       .select(col("i"), (col("i") + col("p")).as("j"),
         (col("ci") * col("cj")).as("t"))
       .groupBy("i", "j").agg(sum(col("t")).as("cv"))
-    ut.unionByName(ut.filter(col("i") =!= col("j"))
+    val cov = ut.unionByName(ut.filter(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("cv")))
       .localCheckpoint(true)
+    (cov, q)
   }
 
-  def principalDirectionPpm(
-      vectors: DataFrame,
-      idCol: String,
-      vecCol: String,
-      iterations: Int = 3): DataFrame = {
-    val cov = covarianceRegister(vectors, idCol, vecCol)
+  /** Shared integer power iteration over a `(i, j, cv)` covariance
+    * register: v₀ = 1, each step is C·v in DECIMAL(38) then a ±10⁶
+    * max-abs ppm normalization (offset floor-div, sign canonicalized
+    * positive-at-argmax, argmax ties to the lowest dim) — magnitudes
+    * CANNOT grow, so the iteration count is unbounded-safe. Returns the
+    * final `(j, vv)` register, checkpointed (dim-sized) so multi-consumer
+    * reads (s38 touches it three times) never replay the iteration
+    * chain. */
+  private def powerIterationPpm(cov: DataFrame, iterations: Int): DataFrame = {
     val dims = cov.filter(col("j") === 0).select(col("i"))
     var v = dims.select(col("i").as("j"), lit(1L).cast("decimal(38,0)").as("vv"))
     for (_ <- 1 to iterations) {
@@ -1037,7 +1053,17 @@ object Similarity {
             " + abs(um) * 1000000) div greatest(abs(um), 1) - 1000000 as decimal(38,0))")
             .as("vv"))
     }
-    v.select(col("j").cast("int").as("dim"), col("vv").cast("long").as("loading_ppm"))
+    v.localCheckpoint(true)
+  }
+
+  def principalDirectionPpm(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      iterations: Int = 3): DataFrame = {
+    val (cov, _) = covarianceRegister(vectors, idCol, vecCol)
+    powerIterationPpm(cov, iterations)
+      .select(col("j").cast("int").as("dim"), col("vv").cast("long").as("loading_ppm"))
   }
 
   /** How collapsed is the embedding space — the fraction of total variance
@@ -1052,21 +1078,8 @@ object Similarity {
       idCol: String,
       vecCol: String,
       iterations: Int = 3): DataFrame = {
-    val cov = covarianceRegister(vectors, idCol, vecCol)
-    val dims = cov.filter(col("j") === 0).select(col("i"))
-    var v = dims.select(col("i").as("j"), lit(1L).cast("decimal(38,0)").as("vv"))
-    for (_ <- 1 to iterations) {
-      val u = cov.join(v, "j")
-        .groupBy(col("i"))
-        .agg(sum(col("cv").cast("decimal(38,0)") * col("vv")).as("u"))
-      val mx = u.orderBy(abs(col("u")).desc, col("i")).limit(1)
-        .select(col("u").as("um"))
-      v = u.crossJoin(broadcast(mx))
-        .select(col("i").as("j"),
-          expr("cast(((case when um < 0 then -u else u end) * 1000000" +
-            " + abs(um) * 1000000) div greatest(abs(um), 1) - 1000000 as decimal(38,0))")
-            .as("vv"))
-    }
+    val (cov, q) = covarianceRegister(vectors, idCol, vecCol)
+    val v = powerIterationPpm(cov, iterations)
     val rayleighNum = cov
       .join(v.select(col("j").as("i"), col("vv").as("vi")), "i")
       .join(v.select(col("j"), col("vv").as("vj")), "j")
@@ -1074,7 +1087,8 @@ object Similarity {
     val traceNorm = cov.filter(col("i") === col("j"))
       .agg(sum(col("cv").cast("decimal(38,0)")).as("trace"))
       .crossJoin(broadcast(v.agg(sum(col("vv") * col("vv")).as("vnorm"))))
-    val nVec = vectors.agg(count(lit(1)).as("n_vectors"))
+    // count the checkpointed quantized frame — no third raw-corpus scan
+    val nVec = q.agg(count(lit(1)).as("n_vectors"))
     rayleighNum.crossJoin(broadcast(traceNorm)).crossJoin(broadcast(nVec))
       .select(col("n_vectors"),
         col("trace").cast("long").as("trace"),

@@ -158,11 +158,16 @@ private[graft] object Support {
        |cells AS (SELECT id, v, cell FROM fd WHERE rn = 1)""".stripMargin
   }
 
-  /** Integer power-iteration principal direction (s37) — mirrors
-    * Similarity.principalDirectionPpm: HUGEINT ≡ Spark DECIMAL(38),
-    * per-iteration ±10⁶ max-abs normalization with the offset floor-div
-    * rule and positive-at-argmax sign canonicalization. */
-  private[graft] def principalDirectionSql(iterations: Int): String = {
+  /** Shared s37/s38 CTE chain — covariance register + unrolled integer
+    * power iteration, ending at `v$iterations`. Mirrors
+    * Similarity.covarianceRegister/powerIterationPpm: HUGEINT ≡ Spark
+    * DECIMAL(38), per-iteration ±10⁶ max-abs normalization with the
+    * offset floor-div rule and positive-at-argmax sign canonicalization.
+    * The mean offset is 10⁶ (not 10³): floor((s+K·n)/n)−K is identical
+    * for any K where the numerator is non-negative, so the larger K keeps
+    * every historical hash while staying sign-safe down to a per-dim mean
+    * of −10⁶ (embedding mean −1000.0) instead of −1.0. */
+  private[graft] def powerIterationChainSql(iterations: Int): String = {
     def itr(k: Int) =
       s"""u$k AS (SELECT cov.i AS j, SUM(CAST(cv AS HUGEINT) * vv) AS u
          |  FROM cov JOIN v${k - 1} ON cov.j = v${k - 1}.j GROUP BY 1),
@@ -171,35 +176,34 @@ private[graft] object Support {
          |    + abs((SELECT um FROM mx$k)) * 1000000)
          |    // greatest(abs((SELECT um FROM mx$k)), 1) - 1000000 AS HUGEINT) AS vv
          |  FROM u$k)""".stripMargin
-    s"""WITH v AS (SELECT vec_id AS id, ${qvSql("embedding")} AS qv FROM embeddings),
+    s"""v AS (SELECT vec_id AS id, ${qvSql("embedding")} AS qv FROM embeddings),
        |qv AS (SELECT id, unnest(qv) AS x, unnest(range(len(qv))) AS i FROM v),
-       |mu AS (SELECT i, ((CAST(SUM(x) AS BIGINT) + 1000 * COUNT(*)) // COUNT(*)) - 1000 AS mu
+       |mu AS (SELECT i, ((CAST(SUM(x) AS BIGINT) + 1000000 * COUNT(*)) // COUNT(*)) - 1000000 AS mu
        |  FROM qv GROUP BY 1),
        |cent AS (SELECT id, qv.i, x - mu AS c FROM qv JOIN mu USING (i)),
        |cov AS (SELECT a.i AS i, b.i AS j, CAST(SUM(a.c * b.c) AS BIGINT) AS cv
        |  FROM cent a JOIN cent b ON a.id = b.id GROUP BY 1, 2),
        |v0 AS (SELECT i AS j, CAST(1 AS HUGEINT) AS vv FROM mu),
-       |${(1 to iterations).map(itr).mkString(",\n")}
-       |SELECT CAST(j AS INTEGER) AS dim, CAST(vv AS BIGINT) AS loading_ppm
-       |FROM v$iterations ORDER BY dim""".stripMargin
+       |${(1 to iterations).map(itr).mkString(",\n")}""".stripMargin
   }
 
+  private[graft] def principalDirectionSql(iterations: Int): String =
+    s"""WITH ${powerIterationChainSql(iterations)}
+       |SELECT CAST(j AS INTEGER) AS dim, CAST(vv AS BIGINT) AS loading_ppm
+       |FROM v$iterations ORDER BY dim""".stripMargin
+
   /** Rayleigh-over-trace concentration (s38) — shares the s37 chain. */
-  private[graft] def varianceConcentrationSql(iterations: Int): String = {
-    val base = principalDirectionSql(iterations)
-    val cut = base.lastIndexOf("SELECT CAST(j AS INTEGER)")
-    base.take(cut) +
-      s""",
-         |ray AS (SELECT SUM(vi.vv * CAST(cv AS HUGEINT) * vj.vv) AS num
-         |  FROM cov JOIN v$iterations vi ON cov.i = vi.j
-         |           JOIN v$iterations vj ON cov.j = vj.j),
-         |tn AS (SELECT (SELECT CAST(SUM(cv) AS HUGEINT) FROM cov WHERE i = j) AS trace,
-         |       (SELECT SUM(vv * vv) FROM v$iterations) AS vnorm)
-         |SELECT (SELECT COUNT(*) FROM v) AS n_vectors,
-         |  CAST((SELECT trace FROM tn) AS BIGINT) AS trace,
-         |  CAST((SELECT num FROM ray) * 1000000
-         |    // ((SELECT trace FROM tn) * (SELECT vnorm FROM tn)) AS BIGINT) AS rayleigh_ppm""".stripMargin
-  }
+  private[graft] def varianceConcentrationSql(iterations: Int): String =
+    s"""WITH ${powerIterationChainSql(iterations)},
+       |ray AS (SELECT SUM(vi.vv * CAST(cv AS HUGEINT) * vj.vv) AS num
+       |  FROM cov JOIN v$iterations vi ON cov.i = vi.j
+       |           JOIN v$iterations vj ON cov.j = vj.j),
+       |tn AS (SELECT (SELECT CAST(SUM(cv) AS HUGEINT) FROM cov WHERE i = j) AS trace,
+       |       (SELECT SUM(vv * vv) FROM v$iterations) AS vnorm)
+       |SELECT (SELECT COUNT(*) FROM v) AS n_vectors,
+       |  CAST((SELECT trace FROM tn) AS BIGINT) AS trace,
+       |  CAST((SELECT num FROM ray) * 1000000
+       |    // ((SELECT trace FROM tn) * (SELECT vnorm FROM tn)) AS BIGINT) AS rayleigh_ppm""".stripMargin
 
   /** `candidatePred`: extra AND-predicate on the candidate side (alias
     * `n`) — e.g. a tombstone mask `" AND n.id % 9 != 0"` (s35). Empty =
@@ -437,8 +441,11 @@ private[graft] object Support {
     * over a materialized top-`poolSize` pool + its pairwise cosine table
     * (pool²/query rows — tiny). Every multiply-referenced CTE is
     * MATERIALIZED (r7 CTE-inlining rule, else rounds expand k^rounds).
-    * Mirrors Similarity.mmrDiversifyTopK: same canonical cosines, same
-    * `0.5·rel − 0.5·maxSim` score, ties to the smallest neighbor id. */
+    * Mirrors Similarity.mmrDiversifyTopK AT ITS DEFAULT lambda = 0.5
+    * ONLY (the `0.5·rel − 0.5·maxSim` score is hard-coded here): a query
+    * pairing this oracle with a non-default lambda silently diverges —
+    * thread the lambda through this builder first. Ties to the smallest
+    * neighbor id. */
   private[graft] def mmrSql(poolSize: Int, k: Int): String = {
     val rounds = (2 to k).map { r =>
       s"""cand$r AS MATERIALIZED (
@@ -891,8 +898,10 @@ private[graft] object Support {
          |  GROUP BY 1, 2),
          |b$r AS MATERIALIZED (SELECT a, b, wt FROM p$r
          |  ORDER BY wt DESC, a, b LIMIT 1),
-         |t$r AS MATERIALIZED (SELECT replace(seq, '<'||m.a||'><'||m.b||'>',
-         |    '<'||m.a||m.b||'>') AS seq, cnt FROM t${r - 1}, b$r m)""".stripMargin
+         |t$r AS MATERIALIZED (SELECT CASE WHEN m.a IS NULL THEN seq
+         |    ELSE replace(seq, '<'||m.a||'><'||m.b||'>', '<'||m.a||m.b||'>')
+         |    END AS seq, cnt
+         |  FROM t${r - 1} LEFT JOIN b$r m ON TRUE)""".stripMargin
     }
     (t0 +: steps).mkString(",\n")
   }
@@ -927,9 +936,14 @@ private[graft] object Support {
     * audit runs on the INCREMENT. */
   private[graft] def bpeDriftSql(rounds: Int, maxWordLen: Int,
       trainWhere: String, incWhere: String): String = {
+    // LEFT JOIN ON TRUE (not a cross join): an exhausted chain has an
+    // EMPTY b$r, and the increment replay must then be the identity —
+    // exactly Bpe.applyMerges on a short merge table (same rule as t$r)
     val inc = (1 to rounds).map { r =>
-      s"""i$r AS MATERIALIZED (SELECT replace(seq, '<'||m.a||'><'||m.b||'>',
-         |    '<'||m.a||m.b||'>') AS seq, cnt FROM i${r - 1}, b$r m)""".stripMargin
+      s"""i$r AS MATERIALIZED (SELECT CASE WHEN m.a IS NULL THEN seq
+         |    ELSE replace(seq, '<'||m.a||'><'||m.b||'>', '<'||m.a||m.b||'>')
+         |    END AS seq, cnt
+         |  FROM i${r - 1} LEFT JOIN b$r m ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""WITH ${bpeChainSql(rounds, maxWordLen,
           s"(SELECT * FROM documents WHERE $trainWhere)")},

@@ -38,6 +38,10 @@ object Bpe {
 
   /** (seq, cnt) word-type table: `<c><h><a><r>`-delimited char symbols
     * weighted by corpus frequency. */
+  // NO Par.fanOut on the corpus pass: measured 1.55→1.76 s at sf0.1 —
+  // the tokenize+filter is cheap and the added exchange + 32-task
+  // scheduling taxes the many small type-table round jobs that follow
+  // (Par's "narrow or tiny frames lose" caveat)
   def wordTypes(docs: DataFrame, maxWordLen: Int): DataFrame =
     docs.select(explode(GraftFunctions.tokens(col("text"))).as("word"))
       .filter(col("word").rlike("^[a-z]+$") && length(col("word")) <= maxWordLen)

@@ -361,8 +361,13 @@ private[graft] object DedupQueries {
       val docs = Tables.documents(s, d)
       val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
         bits = 32, maxHamming = 3, maxBucketSize = 128L)
+      // token-less docs are excluded from the calibration BY DEFINITION
+      // (their Jaccard is 0/0; they all share the all-zeros fingerprint,
+      // so one empty-doc cluster would also crash the ANSI div) — the
+      // d4/minhashLsh emptiness rule, mirrored in the oracle
       val ts = docs.select(col("doc_id").as("doc"),
         array_distinct(tokens(col("text"))).as("ts"))
+        .filter(size(col("ts")) > 0)
       pairs
         .join(ts.select(col("doc").as("id_a"), col("ts").as("ta")), "id_a")
         .join(ts.select(col("doc").as("id_b"), col("ts").as("tb")), "id_b")
@@ -850,7 +855,7 @@ private[graft] object DedupQueries {
          |FROM e""".stripMargin,
 
 
-    // d9's simhash banding at 4 bands of 4 bits; token-set jaccard truth
+    // 4 bands of 8 bits over the 32-bit fingerprint; token-set jaccard truth
     "d25_simhash_calibration" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
          |tv AS (SELECT doc_id, $vals32Sql AS vals, len(t) AS n FROM toks),
@@ -865,7 +870,9 @@ private[graft] object DedupQueries {
          |          FROM banded a JOIN banded b USING (b, byt)
          |          WHERE a.doc_id < b.doc_id),
          |cand AS (SELECT * FROM pairs WHERE hamming <= 3),
-         |sets AS (SELECT doc_id, list_distinct(t) AS ts FROM toks),
+         |sets AS (SELECT doc_id, ts FROM (
+         |    SELECT doc_id, list_distinct(t) AS ts FROM toks)
+         |  WHERE len(ts) > 0),
          |tp AS (SELECT hamming,
          |    CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS i,
          |    CAST(len(a.ts) AS BIGINT) AS na, CAST(len(b.ts) AS BIGINT) AS nb

@@ -344,7 +344,11 @@ private[graft] object TextQueries {
           count(lit(1)).as("n_types"),
           sum(col("c") * (col("c") - 1L)).as("coll"))
         .select(col("source"), col("n_tokens"), col("n_types"),
-          expr("(coll * 1000) div ((n_tokens * (n_tokens - 1)) div 1000)")
+          // greatest(…, 1): a source with ≤ 32 token occurrences has
+          // n·(n−1) div 1000 = 0 — below the staged formula's resolution;
+          // clamping the denominator reports a saturated ratio instead of
+          // an ANSI divide-by-zero abort (rule mirrored in the oracle)
+          expr("(coll * 1000) div greatest((n_tokens * (n_tokens - 1)) div 1000, 1)")
             .as("collision_ppm"))
         .orderBy("source")
     }),
@@ -933,8 +937,8 @@ private[graft] object TextQueries {
          |    CAST(SUM(c * (c - 1)) AS BIGINT) AS coll
          |  FROM c GROUP BY 1)
          |SELECT source, n_tokens, n_types,
-         |  CAST((coll * 1000) // ((n_tokens * (n_tokens - 1)) // 1000) AS BIGINT)
-         |    AS collision_ppm
+         |  CAST((coll * 1000) // greatest((n_tokens * (n_tokens - 1)) // 1000, 1)
+         |    AS BIGINT) AS collision_ppm
          |FROM m ORDER BY source""".stripMargin,
 
 

@@ -236,6 +236,20 @@ object Dedup {
       .filter(col("jaccard_est") >= minEstimate)
   }
 
+  /** Hashed word-shingle set frame `(doc, gs, ng: long)` over EXACTLY the
+    * gram universe MinHashSignature hashes (concat_ws(" ", tokens) is the
+    * canonical normalized text, so WordNgramHashSet's single-space grams
+    * are the signature's token shingles — same universe, same 60-bit md5
+    * prefix), gram-less docs dropped. The verification frame behind
+    * [[minhashLshVerified]] and the d24/d26 calibration queries: the
+    * "same universe as the signature" invariant lives HERE only. */
+  def gramSetFrame(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int): DataFrame =
+    docs.select(col(idCol).as("doc"),
+        wordNgramHashSet(concat_ws(" ", tokens(col(textCol))), shingleSize).as("gs"))
+      .withColumn("ng", size(col("gs")).cast("long"))
+      .filter(col("ng") > 0)
+
   def minhashLshVerified(
       docs: DataFrame,
       idCol: String,
@@ -250,13 +264,7 @@ object Dedup {
     val cand = minhashLsh(docs, idCol, textCol, numHashes, shingleSize,
       rowsPerBand, minEstimate, materializeCandidates, maxBucketSize)
       .select(col("id_a"), col("id_b"))
-    // concat_ws(" ", tokens(text)) is the canonical normalized text, so the
-    // single-space word grams of WordNgramHashSet are exactly the token
-    // shingles MinHashSignature hashed — same universe, same 60-bit hash
-    val gs = docs.select(col(idCol).as("doc"),
-      wordNgramHashSet(concat_ws(" ", tokens(col(textCol))), shingleSize).as("gs"))
-      .withColumn("ng", size(col("gs")))
-      .filter(col("ng") > 0)
+    val gs = gramSetFrame(docs, idCol, textCol, shingleSize)
     cand
       .join(gs.select(col("doc").as("id_a"), col("gs").as("ga"), col("ng").as("na")), "id_a")
       .join(gs.select(col("doc").as("id_b"), col("gs").as("gb"), col("ng").as("nb")), "id_b")
@@ -591,13 +599,10 @@ object Dedup {
     val clusters = nearDupClusters(spark, docs, idCol, textCol, numHashes,
       shingleSize, rowsPerBand, minEstimate, maxBucketSize)
       .select(col(idCol), col("cluster_id"))
-    // alpha-ratio ppm exactly as TextAnalysis.qualityScore: exact integer
-    // floor-division (`div`), zero-length texts score 0
-    val alphaPpm = when(length(col(textCol)) > 0,
-      call_function("div",
-        length(regexp_replace(col(textCol), "[^a-zA-Z]", "")).cast("long") * 1000000L,
-        length(col(textCol)).cast("long"))).otherwise(0L)
-    val quality = docs.select(col(idCol), alphaPpm.as("alpha_ppm"))
+    // alpha-ratio ppm single-sourced from TextAnalysis (the same Column
+    // the quality gate reports — the election CANNOT drift from it)
+    val quality = docs.select(col(idCol),
+      TextAnalysis.alphaPpmCol(col(textCol)).as("alpha_ppm"))
     val byCluster = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
     val election = byCluster.orderBy(col("alpha_ppm").desc, col(idCol))
     clusters.join(quality, Seq(idCol))

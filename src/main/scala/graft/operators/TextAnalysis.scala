@@ -45,6 +45,17 @@ object TextAnalysis {
   def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), predictedLangCol(col(textCol)).as("predicted_lang"))
 
+  /** Alpha-ratio in exact integer ppm over a text column — THE quality
+    * number [[qualityScore]] reports and
+    * [[graft.operators.Dedup.qualityKeeper]] elects keepers on;
+    * single-sourced so the election can never drift from the gate.
+    * Zero-length texts score 0. */
+  def alphaPpmCol(text: Column): Column = {
+    val textLen = length(text).cast("long")
+    val alphaLen = length(regexp_replace(text, "[^a-zA-Z]", "")).cast("long")
+    when(textLen > 0, ldiv(alphaLen * 1000000L, textLen)).otherwise(0L)
+  }
+
   /** Quality scoring: token count, character stats, stopword ratio (ppm),
     * alpha ratio (ppm), mean token length (ppm) and a boolean keep flag.
     * Heuristics follow public quality-filter recipes (Gopher/C4-style
@@ -55,7 +66,6 @@ object TextAnalysis {
     val allStop = StopwordLists.values.flatten.toSeq.distinct
     val stopHits = stopwordHits(toks, allStop).cast("long")
     val textLen = length(col(textCol)).cast("long")
-    val alphaLen = length(regexp_replace(col(textCol), "[^a-zA-Z]", "")).cast("long")
     val sumTokLen = sumTokenChars(toks)
     // exact long floor-division ≡ DuckDB `//` at any magnitude
     def ppm(num: Column, den: Column): Column =
@@ -65,9 +75,10 @@ object TextAnalysis {
       nTok.as("n_tokens"),
       textLen.as("n_chars"),
       ppm(stopHits, nTok).as("stopword_ppm"),
-      ppm(alphaLen, textLen).as("alpha_ppm"),
+      alphaPpmCol(col(textCol)).as("alpha_ppm"),
       ppm(sumTokLen, nTok).as("mean_tok_len_ppm"),
-      (nTok >= 10 && nTok <= 100000 && ppm(alphaLen, textLen) >= 500000L).as("keep"))
+      (nTok >= 10 && nTok <= 100000 &&
+        alphaPpmCol(col(textCol)) >= 500000L).as("keep"))
   }
 
   /** Token counting: whitespace tokens plus a BPE-ish subword segmentation

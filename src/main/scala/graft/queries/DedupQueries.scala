@@ -331,9 +331,7 @@ private[graft] object DedupQueries {
       val cand = Dedup.minhashLsh(docs, "doc_id", "text", numHashes = 8,
         shingleSize = 3, rowsPerBand = 2, minEstimate = 0.0,
         materializeCandidates = true)
-      val gs = docs.select(col("doc_id").as("doc"),
-          wordNgramHashSet(concat_ws(" ", tokens(col("text"))), 3).as("gs"))
-        .withColumn("ng", size(col("gs")).cast("long")).filter(col("ng") > 0)
+      val gs = Dedup.gramSetFrame(docs, "doc_id", "text", shingleSize = 3)
       cand
         .join(gs.select(col("doc").as("id_a"), col("gs").as("ga"), col("ng").as("na")), "id_a")
         .join(gs.select(col("doc").as("id_b"), col("gs").as("gb"), col("ng").as("nb")), "id_b")
@@ -391,9 +389,7 @@ private[graft] object DedupQueries {
       val cand = Dedup.minhashLsh(docs, "doc_id", "text", numHashes = 8,
         shingleSize = 3, rowsPerBand = 2, minEstimate = 0.0,
         materializeCandidates = true)
-      val gs = docs.select(col("doc_id").as("doc"),
-          wordNgramHashSet(concat_ws(" ", tokens(col("text"))), 3).as("gs"))
-        .withColumn("ng", size(col("gs")).cast("long")).filter(col("ng") > 0)
+      val gs = Dedup.gramSetFrame(docs, "doc_id", "text", shingleSize = 3)
       cand
         .join(gs.select(col("doc").as("id_a"), col("gs").as("ga"), col("ng").as("na")), "id_a")
         .join(gs.select(col("doc").as("id_b"), col("gs").as("gb"), col("ng").as("nb")), "id_b")

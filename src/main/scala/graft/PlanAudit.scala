@@ -114,8 +114,8 @@ object PlanAudit {
     "q101_cusum" -> "CUSUM in closed form: prefix sum and prefix min share ONE ordered window exchange per key; the per-type integer target is a 5-row broadcast — the sequential monitor never runs sequentially",
     "d19_prefix_join" -> "prefix-filtered similarity join: candidates from the RAREST-first prefix postings (lossless — provably superset of all qualifying pairs), size filter applied inside the join, exact verify one codegen'd merge-intersect per candidate; gram sets checkpointed once, read by df/prefix/verify",
     "q107_incremental_cc" -> "incremental CC: the delta CC runs on the CONTRACTED graph (component-label vertices + delta edges), the 100 TB base edge log contributes only its label table, re-joined once — base edges are never re-iterated",
-    "s19_item_cosine" -> "item-item CF: co-rated pairs from the per-user self-join with whole-heavy-user drop (cap^2 bound per user), norms one item-keyed partial agg, capped matrix checkpointed once; top-k is TakeOrdered",
-    "q110_weighted_median" -> "weighted median: running weight sum and group total share ONE ordered window exchange (RANGE default frame makes ties structural); the answer is an order-free min aggregate — no per-group sort-and-pick",
+    "s19_item_cosine" -> "item-item CF: ONE user-key shuffle builds each user's sorted (item, value) array ((user,item) dupes pre-summed so the cap counts distinct items), the cap is a row-local size filter with whole-heavy-user drop (cap^2 bound per user), co-rated pairs are a row-local in-array upper-triangle explode (two native generators — the former per-user self-join exchange is gone), norms one item-keyed partial agg over the same checkpointed arrays; top-k is TakeOrdered",
+    "q110_weighted_median" -> "weighted median on VALUE REGISTERS: one partial-agg'd shuffle to (group, value, sum-weight, count) — parallelism follows (group, value) cardinality, so a low-cardinality group key no longer caps the job at |groups| tasks sorting the corpus; the ordered window (cumulative register sum ≡ the tie-inclusive RANGE cumulative over raw rows) and the 2·cum ≥ tot min-aggregate run over registers only",
     "t20_pmi_pairs" -> "PMI pairs: >90%-df boilerplate tokens leave BEFORE pairing (banned set is <=avgDocLen/0.9 tokens, broadcast — the q70 runtime-filter pattern), the ordered-pair explode is two native generators (posexplode + slice, no interpreted HOFs), two chained partial-agg'd count shuffles (pair, token), broadcast N — at real corpus scale the stopword head (df->100%) is exactly what the rule removes, so per-doc pair volume is bounded by the distinct NON-boilerplate token count squared",
     "q116_stickiness" -> "exact DAU/MAU: each distinct user-day explodes onto its <=30 window days ROW-LOCALLY (bounded blowup), then one (day)-keyed distinct+count — the raw log is scanned once, no per-day rescan, no sliding-distinct state",
     "q121_nearest_click" -> "nearest as-of: backward last() and forward first() carries share ONE key exchange AND one sort; the direction pick is row-local CASE arithmetic — the range join (O(n*m) per key) never forms",
@@ -148,7 +148,13 @@ object PlanAudit {
     "s41_pq_drift" -> "PQ drift: training is threshold-gated on the OLD corpus; the increment pays a row-local encode against literal codebooks + one subspace-keyed partial agg — no retrain, no corpus re-scan",
     "t39_gate_ablation" -> "gate ablation: all three gate flags are row-local codegen'd column math (native stopword/lang-score expressions); the matrix is ONE 8-cell partial-agg'd aggregate",
     "q178_association_rules" -> "association rules: supports come from the one-basket-shuffle co-purchase aggregate (pair volume bounded per basket); rule math is staged integer ppm on pair-sized frames; top-50 is a TakeOrdered",
-    "d31_consensus_v2" -> "four-signal consensus: each signal is its own audited blocker (capped LSH bands / simhash bytes / hash blocks / O(n*w) rank window); flag joins run on PAIR-sized frames, the corpus is never re-shuffled by the merge")
+    "d31_consensus_v2" -> "four-signal consensus: each signal is its own audited blocker (capped LSH bands / simhash bytes / hash blocks / O(n*w) rank window); flag joins run on PAIR-sized frames, the corpus is never re-shuffled by the merge",
+    "s16_ivf_pq" -> "IVF-PQ (the billion-scale index shape): coarse centroids AND the per-subspace codebooks are driver literals (broadcast into codegen), cell assignment + 8-code encode are zero-shuffle projections; a query scores only probed-cell candidates against CODES — it touches neither the corpus nor any full vector, so query cost follows probed-cell size at any scale",
+    "t21_effective_tokens" -> "effective-dataset-size KPI: dedup keeps its bounded LSH+CC shape (capped bands, pair-graph CC); the report joins the doc-keyed keeper table back on the doc key and rolls up per lang — one lang-keyed partial agg over corpus-sized (not pair-sized) frames",
+    "s30_probe_recall_curve" -> "probe sweep on ONE shared training: the IVF index is built once and checkpointed; each probe depth re-joins only the probed cells (candidate volume follows probe depth), recall joins RESULT-sized top-k frames — 3 sweep points cost 3 probe joins, never 3 trainings or 3 corpus scans",
+    "d20_cluster_sizes" -> "duplication profile: clustering keeps its capped-band LSH + pair-graph CC bound; the histogram is two chained partial-agg'd rollups (cluster -> size, size -> count) over CLUSTER-sized frames — never docs^2",
+    "q163_brand_cross_sell" -> "brand co-occurrence: the fact joins the brand dim broadcast, distinct (order, brand) is one partial-agg'd shuffle, and the self-join key is the ORDER key with <=25 brands bounding the per-order blow-up (<=300 pairs/order) — pair volume is linear in orders; top-20 is TakeOrdered",
+    "t23_ttr_deciles" -> "lexical diversity: token stats are row-local native expressions at scan speed; the ntile ranks the DOC-LEVEL stats frame (corpus-sized but narrow — at 100 TB the decile bounds would come from Layout.sketchRangeBounds registers instead of a global sort), rollup is one 10-key partial agg")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

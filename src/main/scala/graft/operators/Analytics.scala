@@ -718,15 +718,21 @@ object Analytics {
   /** Exact weighted median per group: the smallest value v such that
     * Σ weight(rows with value ≤ v) ≥ half the group's total weight.
     *
-    * Tie-safety is structural: the running weight sum uses the DEFAULT
-    * ordered-window frame — RANGE UNBOUNDED PRECEDING TO CURRENT ROW in
-    * both Spark and DuckDB — which includes ALL rows tied on the value, so
-    * the cumulative sum at any value is well-defined no matter how ties
-    * land across partitions. The ≥-half test is the integer comparison
+    * Scale shape (the q134 register rewrite, now inside the operator):
+    * first pre-aggregate to (group, value) weight REGISTERS — one
+    * partial-agg'd shuffle whose parallelism follows (group, value)
+    * cardinality — then run the ordered window over the register frame.
+    * The cumulative register sum at value v ≡ the tie-inclusive RANGE
+    * cumulative over raw rows (registers collapse every value tie into one
+    * row), so the 2·cum ≥ tot integer test is unchanged; but a
+    * low-cardinality group key no longer caps parallelism at |groups|
+    * tasks sorting the full corpus — the per-group sort touches only
+    * distinct values. The ≥-half test stays the integer comparison
     * 2·cum ≥ total (no halving, no doubles).
     *
-    * Scale shape: ONE ordered window exchange per group (running sum and
-    * group total share it) + one order-free min aggregate.
+    * Output is identical to the raw-frame form: `n` counts RAW input rows
+    * (carried through the registers as a count column), `total_weight` is
+    * the group's Σ weight.
     *
     * PRECONDITION: weights must be non-negative — the cumulative-sum-
     * crosses-half rule needs a monotone running sum; a negative weight
@@ -738,15 +744,18 @@ object Analytics {
       weightCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g = keyCols.map(col)
+    val reg = df
+      .groupBy((keyCols :+ valueCol).map(col): _*)
+      .agg(sum(col(weightCol)).as("__w"), count(lit(1)).as("__c"))
     val wOrd = Window.partitionBy(g: _*).orderBy(col(valueCol))
     val wAll = Window.partitionBy(g: _*)
-    df
-      .withColumn("__cum", sum(col(weightCol)).over(wOrd))
-      .withColumn("__tot", sum(col(weightCol)).over(wAll))
+    reg
+      .withColumn("__cum", sum(col("__w")).over(wOrd))
+      .withColumn("__tot", sum(col("__w")).over(wAll))
       .groupBy(g: _*)
       .agg(
         min(when(col("__cum") * 2 >= col("__tot"), col(valueCol))).as("wmedian"),
-        count(lit(1)).as("n"),
+        sum(col("__c")).as("n"),
         max(col("__tot")).as("total_weight"))
   }
 

@@ -64,7 +64,13 @@ object Dedup {
     * joins, so each output group carries its FULL corpus membership —
     * `incrementalExact(history, fresh)` ≡ `exact(history ∪ fresh)`
     * restricted to groups containing ≥ 1 fresh document, which is what
-    * the oracle asserts.
+    * the oracle asserts. A document RE-INGESTED under an id already in
+    * `historyHashes` with identical content would otherwise appear on
+    * both sides of the union and double-count; the probed history rows
+    * are therefore anti-joined on the fresh `(id, content_hash)` pairs —
+    * the fresh copy survives (deterministically, with is_fresh = 1), so
+    * re-crawls of unchanged documents count once. A no-op whenever the
+    * id spaces are disjoint (the d28 shape).
     *
     * Returns (content_hash, keep_id, dup_count, n_fresh). */
   def incrementalExact(
@@ -79,6 +85,9 @@ object Dedup {
     val touched = historyHashes
       .join(probe, "content_hash")
       .select(col(idCol), col("content_hash"))
+      // re-ingested identical documents: drop the history copy of any
+      // (id, hash) pair the increment re-ships — increment-sized anti-join
+      .join(fh, Seq(idCol, "content_hash"), "left_anti")
     fh.withColumn("is_fresh", lit(1L))
       .unionByName(touched.withColumn("is_fresh", lit(0L)))
       .groupBy("content_hash")

@@ -952,7 +952,11 @@ object Similarity {
     * desc, nb)` = 1 election, without shuffling the full pair table
     * through a per-id sort. The 1-NN table (corpus-sized, tiny next to
     * the pairs) is checkpointed once so the mutual self-join doesn't
-    * recompute the candidate chain on both sides. */
+    * recompute the candidate chain on both sides.
+    *
+    * PRECONDITION: id columns must be NUMERIC (the tie-break negates
+    * `nb`) — a string-id pair table fails analysis; map string ids to
+    * longs first (the q107 long-encoding rule). */
   def mutualOneNn(pairs: DataFrame): DataFrame = {
     val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nb"), col("cosine"))
       .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("nb"), col("cosine")))
@@ -1047,10 +1051,16 @@ object Similarity {
         .agg(sum(col("cv").cast("decimal(38,0)") * col("vv")).as("u"))
       val mx = u.orderBy(abs(col("u")).desc, col("i")).limit(1)
         .select(col("u").as("um"))
+      // um = 0 (all-zero matvec: zero covariance, or n = 1) would
+      // normalize to a confident-looking −10⁶ on every dim; emit 0
+      // loadings instead (mirrored in the oracle's v$k CTE — a no-op
+      // whenever the matvec is nonzero, so hashes cannot move)
       v = u.crossJoin(broadcast(mx))
         .select(col("i").as("j"),
-          expr("cast(((case when um < 0 then -u else u end) * 1000000" +
-            " + abs(um) * 1000000) div greatest(abs(um), 1) - 1000000 as decimal(38,0))")
+          expr("cast(case when um = 0 then 0 else" +
+            " ((case when um < 0 then -u else u end) * 1000000" +
+            " + abs(um) * 1000000) div greatest(abs(um), 1) - 1000000 end" +
+            " as decimal(38,0))")
             .as("vv"))
     }
     v.localCheckpoint(true)
@@ -1089,10 +1099,14 @@ object Similarity {
       .crossJoin(broadcast(v.agg(sum(col("vv") * col("vv")).as("vnorm"))))
     // count the checkpointed quantized frame — no third raw-corpus scan
     val nVec = q.agg(count(lit(1)).as("n_vectors"))
+    // greatest(..., 1): a zero-variance corpus (all vectors identical)
+    // gives trace = 0 — clamp the staged denominator so the ANSI
+    // IntegralDivide cannot abort (the t25/d25 rule; a no-op whenever any
+    // variance exists, and num = 0 when trace = 0, so the result is 0 ppm)
     rayleighNum.crossJoin(broadcast(traceNorm)).crossJoin(broadcast(nVec))
       .select(col("n_vectors"),
         col("trace").cast("long").as("trace"),
-        expr("cast((num * 1000000) div (trace * vnorm) as bigint)")
+        expr("cast((num * 1000000) div greatest(trace * vnorm, 1) as bigint)")
           .as("rayleigh_ppm"))
   }
 }

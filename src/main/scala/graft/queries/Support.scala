@@ -172,9 +172,10 @@ private[graft] object Support {
       s"""u$k AS (SELECT cov.i AS j, SUM(CAST(cv AS HUGEINT) * vv) AS u
          |  FROM cov JOIN v${k - 1} ON cov.j = v${k - 1}.j GROUP BY 1),
          |mx$k AS (SELECT u AS um FROM u$k ORDER BY abs(u) DESC, j LIMIT 1),
-         |v$k AS (SELECT j, CAST(((CASE WHEN (SELECT um FROM mx$k) < 0 THEN -u ELSE u END) * 1000000
+         |v$k AS (SELECT j, CAST(CASE WHEN (SELECT um FROM mx$k) = 0 THEN 0 ELSE
+         |    ((CASE WHEN (SELECT um FROM mx$k) < 0 THEN -u ELSE u END) * 1000000
          |    + abs((SELECT um FROM mx$k)) * 1000000)
-         |    // greatest(abs((SELECT um FROM mx$k)), 1) - 1000000 AS HUGEINT) AS vv
+         |    // greatest(abs((SELECT um FROM mx$k)), 1) - 1000000 END AS HUGEINT) AS vv
          |  FROM u$k)""".stripMargin
     s"""v AS (SELECT vec_id AS id, ${qvSql("embedding")} AS qv FROM embeddings),
        |qv AS (SELECT id, unnest(qv) AS x, unnest(range(len(qv))) AS i FROM v),
@@ -203,7 +204,7 @@ private[graft] object Support {
        |SELECT (SELECT COUNT(*) FROM v) AS n_vectors,
        |  CAST((SELECT trace FROM tn) AS BIGINT) AS trace,
        |  CAST((SELECT num FROM ray) * 1000000
-       |    // ((SELECT trace FROM tn) * (SELECT vnorm FROM tn)) AS BIGINT) AS rayleigh_ppm""".stripMargin
+       |    // greatest((SELECT trace FROM tn) * (SELECT vnorm FROM tn), 1) AS BIGINT) AS rayleigh_ppm""".stripMargin
 
   /** `candidatePred`: extra AND-predicate on the candidate side (alias
     * `n`) — e.g. a tombstone mask `" AND n.id % 9 != 0"` (s35). Empty =

@@ -108,6 +108,62 @@ object Bpe {
         lit(s"<$a><$b>"), lit(s"<$a$b>")))
     }
 
+  /** Document-level BPE encoding — the artifact a training pipeline
+    * actually ships: `(doc_id, n_words, n_tokens, token_ids)` per document
+    * with token ids in reading order (the space-joined id string keeps the
+    * result hash-comparable across engines; collect_list alone would be
+    * order-nondeterministic — the d23 array_sort(struct) rule).
+    *
+    * Token-id assignment is part of the DEFINITION (mirrored in the
+    * oracle): the vocabulary is the distinct symbol set of the LEARNED
+    * final type table `typesFinal`, ids = 1-based rank in lexicographic
+    * symbol order. Words outside the type-table definition
+    * (non-`^[a-z]+$`, or longer than `maxWordLen`) are dropped, and docs
+    * with zero qualifying words do not appear — encoding covers exactly
+    * the universe the tokenizer was trained on. When docs ⊆ the training
+    * corpus (same filter, same merges), every final symbol is in the
+    * vocabulary by construction, so the inner vocab join is lossless.
+    *
+    * Scale shape: the corpus pays one tokenize-explode; merge replay runs
+    * on the DISTINCT-WORD table (vocabulary-sized, k row-local replaces —
+    * never per token), the word → id-array map is vocabulary-sized (AQE
+    * broadcasts it into the word join at runtime), and the per-doc rollup
+    * is one doc-keyed partial-agg'd shuffle. */
+  def encodeDocs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: DataFrame,
+      typesFinal: DataFrame,
+      maxWordLen: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def symsOf(c: String) = split(expr(s"substring($c, 2, length($c) - 2)"), "><")
+    val dw = docs
+      .select(col(idCol), posexplode(GraftFunctions.tokens(col(textCol))).as(Seq("pos", "word")))
+      .filter(col("word").rlike("^[a-z]+$") && length(col("word")) <= maxWordLen)
+    val w0 = dw.select("word").distinct()
+      .withColumn("seq", regexp_replace(col("word"), "(.)", "<$1>"))
+    val wf = applyMerges(w0, merges)
+    // vocab-sized global window: ids are dense ranks over the sorted
+    // distinct symbol set of the trained vocabulary
+    val vocab = typesFinal.select(explode(symsOf("seq")).as("sym")).distinct()
+      .withColumn("tid", row_number().over(Window.orderBy("sym")))
+    val wids = wf.select(col("word"), posexplode(symsOf("seq")).as(Seq("spos", "sym")))
+      .join(vocab, "sym")
+      .groupBy("word")
+      .agg(array_sort(collect_list(struct(col("spos"), col("tid")))).as("st"))
+      .select(col("word"), expr("transform(st, x -> x.tid)").as("tids"))
+    dw.join(wids, "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        array_sort(collect_list(struct(col("pos"), col("tids")))).as("pt"))
+      .select(col(idCol), col("n_words"),
+        expr("flatten(transform(pt, x -> x.tids))").as("ids"))
+      .select(col(idCol), col("n_words"),
+        size(col("ids")).cast("long").as("n_tokens"),
+        array_join(expr("transform(ids, x -> cast(x as string))"), " ").as("token_ids"))
+  }
+
   /** One-row corpus compression audit of the final type table vs the
     * character baseline: Σ cnt·|symbols| before and after the merges and
     * the ratio in ppm (floor-div rule). */

@@ -140,21 +140,7 @@ private[graft] object PipelineQueries {
     // eval-gram semi-join, vocabulary-sized merge rounds); the card
     // crossJoins one-row aggregates only (the q155 pattern)
     "p5_release_gate" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val train = docs.filter(col("source") =!= "src0")
-      val evalSet = docs.filter(col("source") === "src0")
-      val q = train.filter(col("n_chars") >= 150)
-      val losers = Dedup.sortedNeighborhoodJaccard(q, "doc_id", "text",
-          partitionCols = Seq("lang"), keyLen = 24, window = 4, n = 3,
-          minJaccard = 0.5)
-        .select(col("id_b").as("doc_id")).distinct()
-      val deduped = q.join(losers, Seq("doc_id"), "left_anti")
-        .localCheckpoint(true)
-      val contaminated = Dedup.decontaminate(deduped, evalSet, "doc_id", "text",
-          n = 8)
-        .filter(col("contaminated")).select("doc_id")
-      val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
-        .localCheckpoint(true)
+      val (train, q, deduped, clean) = releaseGateStages(s, d)
       val (_, t0, fin) = Bpe.learn(s, clean, rounds = 8)
       val card = Bpe.compressionAudit(t0, fin)
         .select(col("n_tokens"), col("compression_ppm"))
@@ -165,7 +151,48 @@ private[graft] object PipelineQueries {
         .crossJoin(card)
     }),
 
+
+    // the shipped artifact on top of p5's gate chain: tokenizer trained on
+    // the CLEAN survivors, every clean document encoded to its id stream,
+    // release manifest rolled up per lang — the end-to-end "what does the
+    // training run actually ingest" number; encode replay stays
+    // vocabulary-sized, the rollup is one lang-keyed partial agg
+    "p6_tokenized_release" -> ((s, d) => {
+      val (_, _, _, clean) = releaseGateStages(s, d)
+      val (merges, _, fin) = Bpe.learn(s, clean, rounds = 8)
+      Bpe.encodeDocs(clean, "doc_id", "text", merges, fin)
+        .join(clean.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .orderBy("lang")
+    }),
+
   )
+
+  /** p5/p6's shared gate chain (single-sourced so the release card and the
+    * tokenized release can never drift): length gate → sorted-neighborhood
+    * dedup → decontamination. Returns (train, quality, deduped, clean);
+    * deduped and clean are checkpointed (each is read by ≥2 consumers). */
+  private def releaseGateStages(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, d)
+    val train = docs.filter(col("source") =!= "src0")
+    val evalSet = docs.filter(col("source") === "src0")
+    val q = train.filter(col("n_chars") >= 150)
+    val losers = Dedup.sortedNeighborhoodJaccard(q, "doc_id", "text",
+        partitionCols = Seq("lang"), keyLen = 24, window = 4, n = 3,
+        minJaccard = 0.5)
+      .select(col("id_b").as("doc_id")).distinct()
+    val deduped = q.join(losers, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val contaminated = Dedup.decontaminate(deduped, evalSet, "doc_id", "text",
+        n = 8)
+      .filter(col("contaminated")).select("doc_id")
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    (train, q, deduped, clean)
+  }
 
   val oracles: Map[String, String] = Map(
 
@@ -336,39 +363,7 @@ private[graft] object PipelineQueries {
     // stage CTEs are the d30 / d6 / t36 oracle chains verbatim, re-rooted
     // on each stage's survivor set; the card is one-row aggregates crossed
     "p5_release_gate" ->
-      s"""WITH q5 AS MATERIALIZED (SELECT * FROM documents
-         |    WHERE source <> 'src0' AND n_chars >= 150),
-         |nn AS (SELECT doc_id, lang, $normSql AS s FROM q5),
-         |g AS (SELECT doc_id, lang, substr(s, 1, 24) AS sk,
-         |    list_distinct([substr(md5(x), 1, 15) for x in
-         |      list_distinct([substr(s, i, 3) for i in
-         |        range(1, greatest(length(s)-2, 0)+1)])]) AS grams
-         |  FROM nn),
-         |sz AS (SELECT doc_id, lang, sk, grams, len(grams) AS ng
-         |  FROM g WHERE len(grams) > 0),
-         |r AS (SELECT doc_id, lang, sk, grams, ng, ROW_NUMBER() OVER
-         |    (PARTITION BY lang ORDER BY sk, doc_id) AS rn
-         |  FROM sz),
-         |pr AS (SELECT least(a.doc_id, b.doc_id) AS id_a,
-         |    greatest(a.doc_id, b.doc_id) AS id_b,
-         |    len(list_intersect(a.grams, b.grams)) AS i,
-         |    a.ng AS na, b.ng AS nb
-         |  FROM r a JOIN r b
-         |    ON a.lang = b.lang AND b.rn - a.rn BETWEEN 1 AND 4),
-         |losers AS (SELECT DISTINCT id_b AS doc_id FROM pr
-         |  WHERE CAST(i AS DOUBLE)/(na + nb - i) >= 0.5),
-         |ded AS MATERIALIZED (SELECT * FROM q5
-         |  WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
-         |tw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM ded),
-         |tg AS (SELECT DISTINCT doc_id, substr(md5(${wordGramSql(8)}), 1, 15) AS h
-         |    FROM tw, UNNEST(generate_series(1, len(ws) - 7)) AS t(i)),
-         |ew AS (SELECT string_split(text, ' ') AS ws
-         |    FROM documents WHERE source = 'src0'),
-         |eg AS (SELECT DISTINCT substr(md5(${wordGramSql(8)}), 1, 15) AS h
-         |    FROM ew, UNNEST(generate_series(1, len(ws) - 7)) AS t(i)),
-         |contam AS (SELECT DISTINCT doc_id FROM tg JOIN eg USING (h)),
-         |clean AS MATERIALIZED (SELECT * FROM ded
-         |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+      s"""WITH $releaseGateChainSql,
          |${bpeChainSql(8, 16, "clean")},
          |base AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens,
          |    $bpeSymMassSql AS base_syms FROM t0),
@@ -383,5 +378,54 @@ private[graft] object PipelineQueries {
          |  CAST((merged_syms * 1000000) // base_syms AS BIGINT) AS compression_ppm
          |FROM cnts, base, fin""".stripMargin,
 
+    // same gate chain, then the word-keyed encode replay + per-lang
+    // release manifest (Support.bpeEncodeChainSql)
+    "p6_tokenized_release" ->
+      s"""WITH $releaseGateChainSql,
+         |${bpeEncodeChainSql(8, 16, "clean")}
+         |SELECT c.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_words) AS BIGINT) AS n_words,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         |FROM enc JOIN clean c USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
   )
+
+  /** The p5/p6 shared gate-chain CTE prefix (`q5` → `clean`) — the oracle
+    * mirror of [[releaseGateStages]], single-sourced for the same reason:
+    * d30's rank blocker + d6's gram decontamination re-rooted per stage. */
+  private lazy val releaseGateChainSql: String =
+    s"""q5 AS MATERIALIZED (SELECT * FROM documents
+       |    WHERE source <> 'src0' AND n_chars >= 150),
+       |nn AS (SELECT doc_id, lang, $normSql AS s FROM q5),
+       |g AS (SELECT doc_id, lang, substr(s, 1, 24) AS sk,
+       |    list_distinct([substr(md5(x), 1, 15) for x in
+       |      list_distinct([substr(s, i, 3) for i in
+       |        range(1, greatest(length(s)-2, 0)+1)])]) AS grams
+       |  FROM nn),
+       |sz AS (SELECT doc_id, lang, sk, grams, len(grams) AS ng
+       |  FROM g WHERE len(grams) > 0),
+       |r AS (SELECT doc_id, lang, sk, grams, ng, ROW_NUMBER() OVER
+       |    (PARTITION BY lang ORDER BY sk, doc_id) AS rn
+       |  FROM sz),
+       |pr AS (SELECT least(a.doc_id, b.doc_id) AS id_a,
+       |    greatest(a.doc_id, b.doc_id) AS id_b,
+       |    len(list_intersect(a.grams, b.grams)) AS i,
+       |    a.ng AS na, b.ng AS nb
+       |  FROM r a JOIN r b
+       |    ON a.lang = b.lang AND b.rn - a.rn BETWEEN 1 AND 4),
+       |losers AS (SELECT DISTINCT id_b AS doc_id FROM pr
+       |  WHERE CAST(i AS DOUBLE)/(na + nb - i) >= 0.5),
+       |ded AS MATERIALIZED (SELECT * FROM q5
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+       |tw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM ded),
+       |tg AS (SELECT DISTINCT doc_id, substr(md5(${wordGramSql(8)}), 1, 15) AS h
+       |    FROM tw, UNNEST(generate_series(1, len(ws) - 7)) AS t(i)),
+       |ew AS (SELECT string_split(text, ' ') AS ws
+       |    FROM documents WHERE source = 'src0'),
+       |eg AS (SELECT DISTINCT substr(md5(${wordGramSql(8)}), 1, 15) AS h
+       |    FROM ew, UNNEST(generate_series(1, len(ws) - 7)) AS t(i)),
+       |contam AS (SELECT DISTINCT doc_id FROM tg JOIN eg USING (h)),
+       |clean AS MATERIALIZED (SELECT * FROM ded
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM contam))""".stripMargin
 }

@@ -932,6 +932,44 @@ private[graft] object Support {
        |  CAST((merged_syms * 1000000) // base_syms AS BIGINT) AS compression_ppm
        |FROM base, fin""".stripMargin
 
+  /** t40/p6: document-level BPE encoding (Bpe.encodeDocs parity). Extends
+    * bpeChainSql with a WORD-KEYED merge replay (`w0`..`w<rounds>` keep the
+    * word column; LEFT JOIN ON TRUE so an exhausted chain replays as the
+    * identity — the t$r rule), the lexicographic-rank vocabulary over the
+    * final type table's symbols, and the per-doc id rollup (`enc`).
+    * string_agg ORDER BY (pos, spos) ≡ Spark's array_sort(struct) +
+    * flatten — reading order, deterministic. `enc` has
+    * (doc_id, n_words, n_tokens, token_ids). */
+  private[graft] def bpeEncodeChainSql(rounds: Int, maxWordLen: Int,
+      srcSql: String = "documents"): String = {
+    val wreplay = (1 to rounds).map { r =>
+      s"""w$r AS MATERIALIZED (SELECT word, CASE WHEN m.a IS NULL THEN seq
+         |    ELSE replace(seq, '<'||m.a||'><'||m.b||'>', '<'||m.a||m.b||'>')
+         |    END AS seq
+         |  FROM w${r - 1} LEFT JOIN b$r m ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    s"""${bpeChainSql(rounds, maxWordLen, srcSql)},
+       |dw AS MATERIALIZED (SELECT doc_id, pos, word FROM (
+       |    SELECT doc_id, unnest(ws) AS word, unnest(range(len(ws))) AS pos
+       |    FROM (SELECT doc_id, $toksSql AS ws FROM $srcSql))
+       |  WHERE regexp_matches(word, '^[a-z]+$$') AND length(word) <= $maxWordLen),
+       |w0 AS (SELECT DISTINCT word,
+       |    regexp_replace(word, '(.)', '<\\1>', 'g') AS seq FROM dw),
+       |$wreplay,
+       |vocab AS (SELECT sym, ROW_NUMBER() OVER (ORDER BY sym) AS tid FROM (
+       |    SELECT DISTINCT unnest(string_split(seq[2:len(seq)-1], '><')) AS sym
+       |    FROM t$rounds)),
+       |wsy AS (SELECT word, unnest(sym) AS sym, unnest(range(len(sym))) AS spos
+       |  FROM (SELECT word, string_split(seq[2:len(seq)-1], '><') AS sym
+       |    FROM w$rounds)),
+       |wid AS (SELECT word, spos, tid FROM wsy JOIN vocab USING (sym)),
+       |enc AS (SELECT dw.doc_id,
+       |    CAST(COUNT(DISTINCT dw.pos) AS BIGINT) AS n_words,
+       |    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |    string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY dw.pos, wid.spos) AS token_ids
+       |  FROM dw JOIN wid USING (word) GROUP BY 1)""".stripMargin
+  }
+
   /** t38: merges trained on `trainWhere` docs, applied (round order, no
     * retrain) to the `incWhere` increment's type table; the compression
     * audit runs on the INCREMENT. */

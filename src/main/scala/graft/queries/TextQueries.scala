@@ -582,6 +582,20 @@ private[graft] object TextQueries {
       Bpe.compressionAudit(inc0, Bpe.applyMerges(inc0, merges))
     }),
 
+
+    // the tokenizer loop closed: the learned merges applied to the
+    // DOCUMENTS — per doc, the BPE token-id stream (ids = lexicographic
+    // rank in the final vocabulary), in reading order as a hash-stable
+    // space-joined string. Merge replay is vocabulary-sized (distinct
+    // words, never per token); the corpus pays one tokenize-explode and
+    // one doc-keyed rollup shuffle
+    "t40_bpe_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (merges, _, fin) = Bpe.learn(s, docs, rounds = 8)
+      Bpe.encodeDocs(docs, "doc_id", "text", merges, fin)
+        .orderBy("doc_id")
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -1089,6 +1103,13 @@ private[graft] object TextQueries {
     // train chain on the 90%, replay b1..b8 over the increment types
     "t38_bpe_drift" -> bpeDriftSql(rounds = 8, maxWordLen = 16,
       trainWhere = "doc_id % 10 <> 0", incWhere = "doc_id % 10 = 0"),
+
+    // word-keyed replay of the same chain + lexicographic-rank vocab +
+    // per-doc id rollup (Support.bpeEncodeChainSql)
+    "t40_bpe_encode" ->
+      s"""WITH ${bpeEncodeChainSql(rounds = 8, maxWordLen = 16)}
+         |SELECT doc_id, n_words, n_tokens, token_ids
+         |FROM enc ORDER BY doc_id""".stripMargin,
 
     // t2's keep-flag + t17's predicted-lang chains, one 8-cell aggregate
     "t39_gate_ablation" ->

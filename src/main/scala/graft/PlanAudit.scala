@@ -112,7 +112,7 @@ object PlanAudit {
     "q97_waiting_suppliers" -> "EXISTS/NOT-EXISTS decorrelated into per-order counts (Q21 shape): two chained partial-agg'd group-bys on keys the join already shuffled by — no correlated probes, no row-at-a-time semi-joins",
     "q99_bfs_hops" -> "frontier BFS: each round joins the FRONTIER (not the cumulative labels) to the adjacency and anti-joins known nodes — work tracks the expanding wavefront; round count constant; frontier + labels checkpoint per round so lineage stays flat",
     "q101_cusum" -> "CUSUM in closed form: prefix sum and prefix min share ONE ordered window exchange per key; the per-type integer target is a 5-row broadcast — the sequential monitor never runs sequentially",
-    "d19_prefix_join" -> "prefix-filtered similarity join: candidates from the RAREST-first prefix postings (lossless — provably superset of all qualifying pairs), size filter applied inside the join, exact verify one codegen'd merge-intersect per candidate; gram sets checkpointed once, read by df/prefix/verify",
+    "d19_prefix_join" -> "prefix-filtered similarity join: candidates from the RAREST-first prefix postings (lossless — provably superset of all qualifying pairs), size filter applied inside the join, exact verify one codegen'd merge-intersect per candidate; gram sets checkpointed once, read by df/prefix/verify. Measured candidate growth (CandidateProbe): 7.7k -> 8.4k -> 911k at 500/500/5000 docs — QUADRATIC on this vocabulary-saturated corpus, and provably irreducible while lossless (true pairs share only common grams: median min-shared-df 94 at 5k docs, so any posting cap loses pairs). Data-dependent by design; the maxGramDf escape hatch (capBuckets pattern, changes the pair definition) or a lossy blocker (d2/d25/d30) is the 100 TB path when the vocabulary saturates",
     "q107_incremental_cc" -> "incremental CC: the delta CC runs on the CONTRACTED graph (component-label vertices + delta edges), the 100 TB base edge log contributes only its label table, re-joined once — base edges are never re-iterated",
     "s19_item_cosine" -> "item-item CF: ONE user-key shuffle builds each user's sorted (item, value) array ((user,item) dupes pre-summed so the cap counts distinct items), the cap is a row-local size filter with whole-heavy-user drop (cap^2 bound per user), co-rated pairs are a row-local in-array upper-triangle explode (two native generators — the former per-user self-join exchange is gone), norms one item-keyed partial agg over the same checkpointed arrays; top-k is TakeOrdered",
     "q110_weighted_median" -> "weighted median on VALUE REGISTERS: one partial-agg'd shuffle to (group, value, sum-weight, count) — parallelism follows (group, value) cardinality, so a low-cardinality group key no longer caps the job at |groups| tasks sorting the corpus; the ordered window (cumulative register sum ≡ the tie-inclusive RANGE cumulative over raw rows) and the 2·cum ≥ tot min-aggregate run over registers only",

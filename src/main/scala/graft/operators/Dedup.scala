@@ -661,6 +661,22 @@ object Dedup {
     * possible overlap below α, and optional `blockCols` scope the pair
     * DEFINITION (e.g. near-dups within a language — the standard dedup
     * practice), which shrinks every posting bucket by the block's share.
+    *
+    * GROWTH BOUND (measured, graft.CandidateProbe): candidate volume is
+    * data-dependent — ∝ Σ prefix-bucket². On a corpus whose vocabulary
+    * keeps growing (real text: rare grams stay rare), prefix buckets stay
+    * small and growth is near-linear. On a vocabulary-SATURATED corpus
+    * (the driver testdata: ~900 bigrams per lang, so every gram's df grows
+    * ∝ corpus), it is inherently quadratic — and provably not fixable
+    * while staying lossless, because the qualifying pairs there share
+    * ONLY common grams (measured: median min-shared-df 94 at 5k docs), so
+    * any posting cap that bounds candidates also loses true pairs. The
+    * bounded-cost path at that regime is a lossy-by-design blocker (LSH
+    * d2, SNM d30, capped simhash d25). For callers who accept a stated
+    * recall cut instead, `maxGramDf` whole-drops prefix postings with
+    * df > cap — the capBuckets escape hatch; the pair DEFINITION then
+    * becomes "Jaccard ≥ t AND ≥ 1 shared prefix gram with df ≤ cap" and
+    * any oracle must mirror it. Default = unbounded = lossless.
     * Returns (id_a, id_b, inter, jaccard). */
   def prefixFilterJaccard(
       docs: DataFrame,
@@ -668,8 +684,35 @@ object Dedup {
       textCol: String,
       tNum: Long = 1L,
       tDen: Long = 2L,
-      blockCols: Seq[String] = Seq.empty): DataFrame = {
+      blockCols: Seq[String] = Seq.empty,
+      maxGramDf: Long = Long.MaxValue): DataFrame = {
+    val (sets, cand) =
+      prefixFilterCandidates(docs, idCol, textCol, tNum, tDen, blockCols, maxGramDf)
+    cand
+      .join(sets.select(col("doc").as("id_a"), col("ts").as("ta"), col("sz").as("na")), "id_a")
+      .join(sets.select(col("doc").as("id_b"), col("ts").as("tb"), col("sz").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        sortedIntersectCount(col("ta"), col("tb")).as("inter"), col("na"), col("nb"))
+      .filter(col("inter") * tDen >= (col("na") + col("nb") - col("inter")) * tNum)
+      .select(col("id_a"), col("id_b"), col("inter"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+  }
+
+  /** The candidate stage of [[prefixFilterJaccard]], exposed so the
+    * scaling probe (scripts/ + PLANS.md d19 growth curve) counts the SAME
+    * candidate set the operator verifies — never a re-implementation.
+    * Returns (checkpointed gram-set frame, distinct candidate pairs). */
+  private[graft] def prefixFilterCandidates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tNum: Long,
+      tDen: Long,
+      blockCols: Seq[String],
+      maxGramDf: Long = Long.MaxValue): (DataFrame, DataFrame) = {
     require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
+    require(maxGramDf > 0, "maxGramDf must be positive")
     import org.apache.spark.sql.expressions.Window
     val blocks = blockCols.map(col)
     val sets = Par.fanOut(docs)
@@ -686,6 +729,10 @@ object Dedup {
         row_number().over(Window.partitionBy("doc").orderBy(col("df"), col("h")))
           .cast("long"))
       .filter(col("rn") <= col("sz") - expr(s"(sz * $tNum + ${tDen - 1}) div $tDen") + 1L)
+      // capBuckets escape hatch: rn is computed over the FULL rarest-first
+      // order (prefix definition unchanged), then capped postings are
+      // whole-dropped — candidates need a shared prefix gram with df ≤ cap
+      .filter(col("df") <= maxGramDf)
       .select(Seq(col("h")) ++ blocks ++ Seq(col("doc"), col("sz"), col("rn")): _*)
     // PPJoin position filter (Xiao et al. WWW'08): a pair generated from
     // prefix positions (i, j) can still overlap at most min(|a|−i, |b|−j)+1
@@ -705,15 +752,7 @@ object Dedup {
         least(col("na") - col("ra"), col("nb") - col("rb")) + 1L >=
           call_function("div", alpha, lit(tNum + tDen)))
       .select("id_a", "id_b").distinct()
-    cand
-      .join(sets.select(col("doc").as("id_a"), col("ts").as("ta"), col("sz").as("na")), "id_a")
-      .join(sets.select(col("doc").as("id_b"), col("ts").as("tb"), col("sz").as("nb")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        sortedIntersectCount(col("ta"), col("tb")).as("inter"), col("na"), col("nb"))
-      .filter(col("inter") * tDen >= (col("na") + col("nb") - col("inter")) * tNum)
-      .select(col("id_a"), col("id_b"), col("inter"),
-        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-          .as("jaccard"))
+    (sets, cand)
   }
 
   def decontaminate(

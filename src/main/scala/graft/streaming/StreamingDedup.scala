@@ -92,4 +92,45 @@ object StreamingDedup {
         out.result().iterator
       }
   }
+
+  /** Streaming exact-dup detection — the streaming face of
+    * `operators.Dedup.exact` and the second consensus signal (d31's
+    * update-mode shape): each content-hash group keeps only the FIRST
+    * (lowest-id) arrival as state, every later arrival is flagged against
+    * it. State is one (hash → keeper id) entry per distinct content — the
+    * compacted view, not the stream.
+    *
+    * Doc-level parity with batch (asserted by StreamingDedupSpec): the
+    * flagged set ≡ `Dedup.exact(corpus).members − keepers` when arrival
+    * order is id order (within a micro-batch the group processes ascending
+    * ids, so replaying a changelog in id order reproduces batch exactly). */
+  def exactDupFlags(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): Dataset[ExactMatch] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("doc"),
+        md5(normalizeText(col(textCol))).as("h"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, ExactMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) { (_, rows, state) =>
+        var keeper = state.getOption.getOrElse(Long.MaxValue)
+        val out = Seq.newBuilder[ExactMatch]
+        rows.toSeq.sortBy(_._1).foreach { case (doc, _) =>
+          if (keeper != Long.MaxValue && doc != keeper)
+            out += ExactMatch(doc, Some(keeper))
+          else out += ExactMatch(doc, None)
+          if (doc < keeper) keeper = doc
+        }
+        state.update(keeper)
+        out.result().iterator
+      }
+  }
 }
+
+/** One emission per document from [[StreamingDedup.exactDupFlags]]: the
+  * content group's keeper if this arrival is a duplicate, else none. */
+case class ExactMatch(doc_id: Long, match_id: Option[Long])

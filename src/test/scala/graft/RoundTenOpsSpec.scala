@@ -1,0 +1,117 @@
+package graft
+
+import graft.operators.{Analytics, Bpe, Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Guards for the round-10 operator changes: document-level BPE encoding
+  * (hand-computed streams + the symbol-mass identity), the weightedMedian
+  * register rewrite's output contract, incrementalExact's re-ingested-id
+  * handling, and the zero-variance spectral degenerate cases. */
+class RoundTenOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  "Bpe.encodeDocs" should "emit token ids in reading order with lexicographic vocab ranks" in {
+    // corpus: "aaa" x2, "ab" x3 (the BpeSpec training example) → merges
+    // (a,a) then (a,b); final types <aa><a>, <ab>; vocab sorted:
+    // a→1, aa→2, ab→3
+    val docs = (Seq((1L, "aaa ab"), (2L, "ab aaa"), (3L, "ab")) ++
+      Seq((4L, "aaa"), (5L, "ab"))).toDF("doc_id", "text")
+    // word counts: aaa in docs 1,2,4 = 3; ab in 1,2,3,5 = 4 →
+    // pair weights r1: (a,a)=6, (a,b)=4 → merge (a,a); r2: (aa,a)=3,
+    // (a,b)=4 → merge (a,b)
+    val (merges, _, fin) = Bpe.learn(spark, docs, rounds = 2)
+    val enc = Bpe.encodeDocs(docs, "doc_id", "text", merges, fin)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    enc shouldBe Array(
+      (1L, 2L, 3L, "2 1 3"), // aaa→[aa,a]=2 1, ab→[ab]=3
+      (2L, 2L, 3L, "3 2 1"), // reading order, not id-sorted
+      (3L, 1L, 1L, "3"),
+      (4L, 1L, 2L, "2 1"),
+      (5L, 1L, 1L, "3"))
+  }
+
+  it should "satisfy the symbol-mass identity: Σ n_tokens ≡ compressionAudit merged_syms" in {
+    // every corpus word instance contributes its type's final symbol count,
+    // so encoding the training corpus must total exactly the audit's
+    // merged symbol mass
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "beta gamma gamma beta"),
+      (3L, "alpha delta")).toDF("doc_id", "text")
+    val (merges, t0, fin) = Bpe.learn(spark, docs, rounds = 4)
+    val mass = Bpe.compressionAudit(t0, fin).collect()(0).getLong(3)
+    val total = Bpe.encodeDocs(docs, "doc_id", "text", merges, fin)
+      .agg(sum("n_tokens")).as[Long].head()
+    total shouldBe mass
+  }
+
+  it should "drop non-qualifying words and docs with no qualifying word" in {
+    // tokenization lowercases, so "ZZ" qualifies as "zz"; "123"/"???" never do
+    val docs = Seq((1L, "ok 123 ZZ"), (2L, "???"), (3L, "ok ok")).toDF("doc_id", "text")
+    val (merges, _, fin) = Bpe.learn(spark, docs, rounds = 1)
+    val enc = Bpe.encodeDocs(docs, "doc_id", "text", merges, fin)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    enc.map(_._1) shouldBe Array(1L, 3L) // doc 2 has no qualifying word
+    enc shouldBe Array((1L, 2L), (3L, 2L))
+  }
+
+  "Analytics.weightedMedian (register form)" should "still count RAW rows in n and keep total_weight" in {
+    // duplicate values collapse into one register row — n must stay the
+    // raw row count, total_weight the weight sum (the pre-rewrite contract)
+    val df = Seq(("g", 5L, 2L), ("g", 5L, 3L), ("g", 7L, 1L), ("h", 1L, 4L))
+      .toDF("k", "v", "wq")
+    val got = Analytics.weightedMedian(df, Seq("k"), "v", "wq")
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got shouldBe Array(("g", 5L, 3L, 6L), ("h", 1L, 1L, 4L))
+  }
+
+  "Dedup.incrementalExact" should "count a re-ingested identical (id, content) once" in {
+    val history = Seq((1L, "same text"), (2L, "other")).toDF("id", "text")
+    val hashes = history.select(col("id"),
+      md5(graft.functions.GraftFunctions.normalizeText(col("text"))).as("content_hash"))
+    // the re-crawl re-ships doc 1 unchanged and adds doc 3 with the same content
+    val fresh = Seq((1L, "same text"), (3L, "same text")).toDF("id", "text")
+    val inc = Dedup.incrementalExact(hashes, fresh, "id", "text").collect()
+    inc should have size 1
+    val r = inc(0)
+    // members {1, 3}: the history copy of (1, hash) must not double-count
+    (r.getLong(1), r.getLong(2), r.getLong(3)) shouldBe ((1L, 2L, 2L))
+  }
+
+  "prefixFilterJaccard maxGramDf" should "be a subset of lossless, and lossless when evidence is rare" in {
+    // docs 1/2 are near-dups sharing rare grams (df 2); docs 3..8 share a
+    // common boilerplate phrase (df 6) that makes them pairwise similar
+    val boiler = "the same boiler plate phrase repeated"
+    val docs = (Seq(
+      1L -> "unique alpha beta gamma delta epsilon zeta",
+      2L -> "unique alpha beta gamma delta epsilon eta") ++
+      (3L to 8L).map(i => i -> s"$boiler tail$i")).toDF("doc_id", "text")
+    def pairs(cap: Long) = Dedup.prefixFilterJaccard(docs, "doc_id", "text",
+        tNum = 1L, tDen = 2L, maxGramDf = cap)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lossless = pairs(Long.MaxValue)
+    lossless should contain ((1L, 2L))
+    lossless.count { case (a, b) => a >= 3L && b >= 3L } should be > 0
+    val capped = pairs(3L)
+    capped shouldBe a[Set[_]]
+    capped.subsetOf(lossless) shouldBe true
+    capped should contain ((1L, 2L)) // rare-evidence pair survives any cap ≥ its df
+    // the boilerplate-only pairs need df-6 evidence → dropped at cap 3
+    capped.count { case (a, b) => a >= 3L && b >= 3L } shouldBe 0
+  }
+
+  "varianceConcentrationPpm" should "survive a zero-variance corpus (trace = 0 → 0 ppm)" in {
+    val vecs = Seq((1L, Seq(0.5f, -0.25f, 1.0f)), (2L, Seq(0.5f, -0.25f, 1.0f)),
+      (3L, Seq(0.5f, -0.25f, 1.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.varianceConcentrationPpm(vecs, "vec_id", "embedding").collect()(0)
+    (r.getLong(0), r.getLong(1), r.getLong(2)) shouldBe ((3L, 0L, 0L))
+  }
+
+  "principalDirectionPpm" should "emit 0 loadings on a zero-covariance corpus" in {
+    val vecs = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val loads = Similarity.principalDirectionPpm(vecs, "vec_id", "embedding")
+      .collect().map(_.getLong(1))
+    loads shouldBe Array(0L, 0L)
+  }
+}

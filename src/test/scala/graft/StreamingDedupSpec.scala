@@ -2,6 +2,7 @@ package graft
 
 import graft.streaming.StreamingDedup
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, md5}
 
 /** Streaming near-dup detection: LSH band buckets as flatMapGroupsWithState
   * state, scored against prior members across micro-batches. */
@@ -101,5 +102,67 @@ class StreamingDedupSpec extends SparkSpec {
         .as[Long].collect().sorted.toSeq
       dup shouldBe (2L to 10L)
     } finally q.stop()
+  }
+
+  it should "pin d31's consensus semantics in streaming mode (per-signal doc flags ≡ batch)" in {
+    // The consensus shape: each signal flags docs independently, the merge
+    // attributes per-signal agreement. Streaming replay (ascending id
+    // order) of the two streamable signals — LSH band state + exact
+    // content-hash state — must flag exactly the docs batch flags, signal
+    // by signal, so per-doc n_signals matches too.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus: Seq[(Long, String)] = Seq(
+      1L -> base,
+      2L -> "an entirely different document about spark physical plans",
+      3L -> base, // exact dup of 1 → both signals
+      4L -> (base + " with a small suffix appended"), // near-dup only
+      5L -> "an entirely different document about spark physical plans", // exact dup of 2
+      6L -> "completely unique third subject with no shared shingles at all")
+    val docs = corpus.toDF("doc_id", "text")
+
+    // batch reference flags
+    val batchMh = graft.operators.Dedup.minhashLsh(docs, "doc_id", "text",
+        numHashes = 8, shingleSize = 3, rowsPerBand = 2, minEstimate = 0.5,
+        maxBucketSize = 16L)
+      .select("id_b").distinct().as[Long].collect().toSet
+    val hashes = docs.select(col("doc_id"),
+      md5(graft.functions.GraftFunctions.normalizeText(col("text"))).as("content_hash"))
+    val batchEx = graft.operators.Dedup.exact(docs, "doc_id", "text")
+      .join(hashes, "content_hash")
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select("doc_id").as[Long].collect().toSet
+
+    val in1 = MemoryStream[(Long, String)]
+    val in2 = MemoryStream[(Long, String)]
+    val q1 = StreamingDedup.nearDupFlags(in1.toDS().toDF("doc_id", "text"),
+        "doc_id", "text", minEstimate = 0.5)
+      .writeStream.format("memory").queryName("cons_mh").outputMode("append").start()
+    val q2 = StreamingDedup.exactDupFlags(in2.toDS().toDF("doc_id", "text"),
+        "doc_id", "text")
+      .writeStream.format("memory").queryName("cons_ex").outputMode("append").start()
+    try {
+      corpus.grouped(2).foreach { b =>
+        in1.addData(b: _*); in2.addData(b: _*)
+        q1.processAllAvailable(); q2.processAllAvailable()
+      }
+      val streamMh = spark.sql(
+        "SELECT DISTINCT doc_id FROM cons_mh WHERE match_id IS NOT NULL")
+        .as[Long].collect().toSet
+      val streamEx = spark.sql(
+        "SELECT DISTINCT doc_id FROM cons_ex WHERE match_id IS NOT NULL")
+        .as[Long].collect().toSet
+      streamMh shouldBe batchMh
+      streamEx shouldBe batchEx
+      // per-doc signal counts (the consensus merge) agree by implication,
+      // but assert it explicitly on the merged frame
+      val consensus = corpus.map(_._1).map { id =>
+        id -> ((if (streamMh(id)) 1 else 0) + (if (streamEx(id)) 1 else 0))
+      }.toMap
+      consensus(3L) shouldBe 2 // both signals
+      consensus(4L) shouldBe 1 // near-dup only
+      consensus(5L) shouldBe 2 // exact dup (and LSH catches exact dups too)
+      consensus(1L) shouldBe 0 // keepers are never flagged
+      batchEx should not be empty
+    } finally { q1.stop(); q2.stop() }
   }
 }

@@ -892,6 +892,59 @@ object Dedup {
       .limit(k)
   }
 
+  /** Cross-document duplicated-span coverage — the exact-substring dedup
+    * signal (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better") at word-n-gram granularity: per document, the fraction
+    * of tokens lying inside an n-gram window that also occurs in at least
+    * `minDf` DISTINCT documents. This is the trim/drop decision input for
+    * substring-level dedup (boilerplate headers, licence blocks, syndicated
+    * paragraphs) that whole-doc and pairwise detectors cannot localize.
+    *
+    * Unlike the pairwise detectors it needs NO candidate pair table: the
+    * duplicated-gram set is vocabulary-sized and each gram OCCURRENCE joins
+    * it at most once, so total volume is linear in corpus tokens at any
+    * scale — a hot boilerplate gram with df in the millions adds exactly
+    * its occurrence count, never a pair product. The occurrence frame is
+    * locally checkpointed once (it feeds both the df table and the
+    * coverage join).
+    *
+    * Returns per-doc `(id, n_tokens, dup_windows, covered_tokens,
+    * coverage_ppm)` with zero registers for untouched/sub-n docs. */
+  def duplicatedSpanCoverage(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minDf: Long = 2L): DataFrame = {
+    require(n > 0 && minDf >= 2, "need n > 0 and minDf >= 2")
+    val grams = Par.fanOut(docs)
+      .select(col(idCol),
+        posexplode(wordNgramList(col(textCol), n)).as(Seq("pos", "gram")))
+      .localCheckpoint(true)
+    val dupGrams = grams
+      .groupBy("gram")
+      .agg(count_distinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDf)
+      .select("gram")
+    val cov = grams.join(dupGrams, "gram")
+      .select(col(idCol), col("pos"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
+      .groupBy(idCol)
+      .agg(
+        count_distinct(col("p")).as("covered_tokens"),
+        count_distinct(col("pos")).as("dup_windows"))
+    docs
+      .select(col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .join(cov, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        call_function("div",
+          coalesce(col("covered_tokens"), lit(0L)) * 1000000L,
+          greatest(col("n_tokens"), lit(1L))).as("coverage_ppm"))
+  }
+
   /** Consensus of independent near-dup signals: full-outer-merge the
     * (id_a, id_b) pair sets of several detectors into one frame with a
     * 0/1 flag per signal and the agreement count. The production dedup

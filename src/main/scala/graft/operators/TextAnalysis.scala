@@ -362,6 +362,52 @@ object TextAnalysis {
           .otherwise(0L).as("boiler_ppm"))
   }
 
+  /** Intra-document repetition (the Gopher/MassiveText repetition-filter
+    * family, Rae et al. 2021 §A1.1): per document, the fraction of tokens
+    * covered by a word n-gram that occurs MORE THAN ONCE within the same
+    * document — template spam, copy-paste stutter and decoding loops all
+    * light up this signal while healthy prose stays near zero.
+    *
+    * `repetition_ppm = 10⁶ · |distinct covered token positions| / n_tokens`
+    * (exact integer floor-division); `dup_occ` counts the duplicated gram
+    * occurrences themselves. Docs shorter than n emit no grams → all-zero
+    * registers (mirrored in the oracle).
+    *
+    * Scale shape: one row-local gram explode (native WordNgramList), one
+    * count window over the HIGH-cardinality (doc, gram) key, one row-local
+    * coverage explode (n rows per duplicated occurrence) into a doc-keyed
+    * partial agg, one doc-keyed left merge — linear in corpus tokens, no
+    * pair table, nothing corpus². */
+  def intraDocRepetition(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3): DataFrame = {
+    require(n > 0, "need n > 0")
+    val byGram = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol), col("gram"))
+    val dup = docs
+      .select(col(idCol), posexplode(wordNgramList(col(textCol), n)).as(Seq("pos", "gram")))
+      .withColumn("c", count(lit(1)).over(byGram))
+      .filter(col("c") >= 2)
+    val cov = dup
+      .select(col(idCol), col("pos"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
+      .groupBy(idCol)
+      .agg(
+        count_distinct(col("p")).as("covered_tokens"),
+        count_distinct(col("pos")).as("dup_occ"))
+    docs
+      .select(col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .join(cov, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_occ"), lit(0L)).as("dup_occ"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        ldiv(coalesce(col("covered_tokens"), lit(0L)) * 1000000L,
+          greatest(col("n_tokens"), lit(1L))).as("repetition_ppm"))
+  }
+
   /** Corpus vocabulary statistics per stratum: token count, distinct types,
     * hapax legomena (types seen once), and the derived type-token / hapax
     * ratios (exact integer ppm). The drift signals corpus curation watches:

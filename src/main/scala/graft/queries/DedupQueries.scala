@@ -433,6 +433,14 @@ private[graft] object DedupQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // exact-substring dedup signal (Lee et al. 2022) at 8-gram granularity:
+    // per-doc fraction of tokens inside a window shared by >= 2 docs —
+    // NO pair table; occurrence-linear at any corpus size
+    "d32_span_coverage" -> ((s, d) =>
+      Dedup.duplicatedSpanCoverage(Tables.documents(s, d), "doc_id", "text",
+          n = 8, minDf = 2L)
+        .orderBy("doc_id")),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -991,6 +999,9 @@ private[graft] object DedupQueries {
          |SELECT id_a, id_b, CAST(i AS DOUBLE)/(na + nb - i) AS jaccard
          |FROM c WHERE CAST(i AS DOUBLE)/(na + nb - i) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // positional 8-grams, df >= 2 over DISTINCT docs, covered positions
+    "d32_span_coverage" -> duplicatedSpanCoverageSql(n = 8, minDf = 2L),
 
   )
 }

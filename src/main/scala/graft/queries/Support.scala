@@ -694,6 +694,52 @@ private[graft] object Support {
        |FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
        |ORDER BY df DESC, n_occ DESC, gram LIMIT 100""".stripMargin
 
+  /** Per-doc intra-document duplicate-n-gram registers (mirrors
+    * TextAnalysis.intraDocRepetition): positions 0-based, coverage =
+    * distinct token positions under any within-doc duplicated gram. */
+  private[graft] def intraDocRepetitionSql(n: Int): String =
+    s"""WITH rw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |g AS (SELECT doc_id, i - 1 AS pos, ${wordGramSql(n)} AS gram
+       |  FROM rw, UNNEST(generate_series(1, len(ws) - ${n - 1})) AS t(i)),
+       |d AS (SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY doc_id, gram) AS c FROM g)
+       |  WHERE c >= 2),
+       |cov AS (SELECT doc_id,
+       |    CAST(COUNT(DISTINCT p) AS BIGINT) AS covered_tokens,
+       |    CAST(COUNT(DISTINCT pos) AS BIGINT) AS dup_occ
+       |  FROM (SELECT doc_id, pos, UNNEST(range(pos, pos + $n)) AS p FROM d)
+       |  GROUP BY doc_id)
+       |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(c.dup_occ, 0) AS BIGINT) AS dup_occ,
+       |  CAST(COALESCE(c.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+       |  CAST((COALESCE(c.covered_tokens, 0) * 1000000)
+       |    // GREATEST(len(w.ws), 1) AS BIGINT) AS repetition_ppm
+       |FROM rw w LEFT JOIN cov c USING (doc_id) ORDER BY w.doc_id""".stripMargin
+
+  /** Per-doc cross-document duplicated-span coverage (mirrors
+    * Dedup.duplicatedSpanCoverage): grams with df ≥ minDf over distinct
+    * docs, coverage = distinct token positions under any such window.
+    * `g` is multiply-referenced → AS MATERIALIZED (r7 inlining rule). */
+  private[graft] def duplicatedSpanCoverageSql(n: Int, minDf: Long): String =
+    s"""WITH rw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |g AS MATERIALIZED (SELECT doc_id, i - 1 AS pos, ${wordGramSql(n)} AS gram
+       |  FROM rw, UNNEST(generate_series(1, len(ws) - ${n - 1})) AS t(i)),
+       |dg AS (SELECT gram FROM (
+       |    SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gram)
+       |  WHERE df >= $minDf),
+       |cov AS (SELECT doc_id,
+       |    CAST(COUNT(DISTINCT p) AS BIGINT) AS covered_tokens,
+       |    CAST(COUNT(DISTINCT pos) AS BIGINT) AS dup_windows
+       |  FROM (SELECT g.doc_id, g.pos, UNNEST(range(g.pos, g.pos + $n)) AS p
+       |        FROM g JOIN dg USING (gram))
+       |  GROUP BY doc_id)
+       |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(c.dup_windows, 0) AS BIGINT) AS dup_windows,
+       |  CAST(COALESCE(c.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+       |  CAST((COALESCE(c.covered_tokens, 0) * 1000000)
+       |    // GREATEST(len(w.ws), 1) AS BIGINT) AS coverage_ppm
+       |FROM rw w LEFT JOIN cov c USING (doc_id) ORDER BY w.doc_id""".stripMargin
+
   /** Quality metrics CTE body over `src` (mirrors TextAnalysis.qualityScore). */
   private[graft] def qualityMetricsSql(src: String): String = {
     val allStop = TextAnalysis.StopwordLists.values.flatten.toSeq.distinct

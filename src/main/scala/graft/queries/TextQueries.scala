@@ -596,6 +596,31 @@ private[graft] object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Gopher-style intra-document repetition gate: per-doc fraction of
+    // tokens covered by a within-doc duplicated word 3-gram (exact ppm)
+    "t41_intra_doc_repetition" -> ((s, d) =>
+      TextAnalysis.intraDocRepetition(Tables.documents(s, d), "doc_id", "text",
+          n = 3)
+        .orderBy("doc_id")),
+
+    // tokenizer fertility per language: BPE tokens per qualifying word
+    // (the per-lang cost-of-tokenization card, computed on the t40 chain)
+    "t42_bpe_fertility" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (merges, _, fin) = Bpe.learn(s, docs, rounds = 8)
+      Bpe.encodeDocs(docs, "doc_id", "text", merges, fin)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_tokens")).as("n_tokens"))
+        .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+          call_function("div", col("n_tokens") * 1000000L,
+            greatest(col("n_words"), lit(1L))).as("fertility_ppm"))
+        .orderBy("lang")
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -1110,6 +1135,22 @@ private[graft] object TextQueries {
       s"""WITH ${bpeEncodeChainSql(rounds = 8, maxWordLen = 16)}
          |SELECT doc_id, n_words, n_tokens, token_ids
          |FROM enc ORDER BY doc_id""".stripMargin,
+
+    // within-doc duplicated 3-gram coverage in exact integer ppm
+    "t41_intra_doc_repetition" -> intraDocRepetitionSql(n = 3),
+
+    // per-lang rollup of the same encode chain (docs with zero qualifying
+    // words drop out of enc on BOTH sides)
+    "t42_bpe_fertility" ->
+      s"""WITH ${bpeEncodeChainSql(rounds = 8, maxWordLen = 16)},
+         |f AS (SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(e.n_words) AS BIGINT) AS n_words,
+         |    CAST(SUM(e.n_tokens) AS BIGINT) AS n_tokens
+         |  FROM enc e JOIN documents d USING (doc_id) GROUP BY d.lang)
+         |SELECT lang, n_docs, n_words, n_tokens,
+         |  CAST((n_tokens * 1000000) // GREATEST(n_words, 1) AS BIGINT)
+         |    AS fertility_ppm
+         |FROM f ORDER BY lang""".stripMargin,
 
     // t2's keep-flag + t17's predicted-lang chains, one 8-cell aggregate
     "t39_gate_ablation" ->

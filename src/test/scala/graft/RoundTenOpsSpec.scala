@@ -114,4 +114,50 @@ class RoundTenOpsSpec extends SparkSpec {
       .collect().map(_.getLong(1))
     loads shouldBe Array(0L, 0L)
   }
+
+  "TextAnalysis.intraDocRepetition" should "count covered positions, not occurrences" in {
+    // doc 1: "a b c a b c d" — 3-gram "a b c" at pos 0 and 3 → dup_occ 2,
+    // covered positions {0..5} = 6 of 7 tokens; overlapping duplicate
+    // occurrences must NOT double-count positions.
+    // doc 2: all-distinct grams → zero registers. doc 3: shorter than n.
+    val docs = Seq((1L, "a b c a b c d"), (2L, "p q r s t"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis
+      .intraDocRepetition(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+    r shouldBe Array(
+      (1L, 7L, 2L, 6L, 6000000L / 7L),
+      (2L, 5L, 0L, 0L, 0L),
+      (3L, 2L, 0L, 0L, 0L))
+  }
+
+  it should "cover the whole doc when one token repeats throughout" in {
+    val docs = Seq((1L, "z z z z")).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis
+      .intraDocRepetition(docs, "doc_id", "text", n = 2)
+      .collect()(0)
+    // grams "z z" at 0,1,2 all duplicated → covered {0,1,2,3} = 4/4
+    (r.getLong(2), r.getLong(3), r.getLong(4)) shouldBe ((3L, 4L, 1000000L))
+  }
+
+  "Dedup.duplicatedSpanCoverage" should "flag only windows shared across distinct docs" in {
+    val shared = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"$shared tail1 tail2"),         // 10 tokens, shared 8-gram at pos 0
+      (2L, s"head1 head2 $shared"),         // 10 tokens, shared 8-gram at pos 2
+      (3L, "a b c d e f g h i j"),          // no cross-doc gram
+      // intra-doc duplicate gram only in one doc must NOT fire (df counts
+      // DISTINCT docs)
+      (4L, "m1 m2 m3 m4 m5 m6 m7 m8 m1 m2 m3 m4 m5 m6 m7 m8"))
+      .toDF("doc_id", "text")
+    val r = Dedup.duplicatedSpanCoverage(docs, "doc_id", "text", n = 8, minDf = 2L)
+      .orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+    r shouldBe Array(
+      (1L, 10L, 1L, 8L, 800000L),
+      (2L, 10L, 1L, 8L, 800000L),
+      (3L, 10L, 0L, 0L, 0L),
+      (4L, 16L, 0L, 0L, 0L))
+  }
 }

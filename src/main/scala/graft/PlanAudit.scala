@@ -154,7 +154,12 @@ object PlanAudit {
     "s30_probe_recall_curve" -> "probe sweep on ONE shared training: the IVF index is built once and checkpointed; each probe depth re-joins only the probed cells (candidate volume follows probe depth), recall joins RESULT-sized top-k frames — 3 sweep points cost 3 probe joins, never 3 trainings or 3 corpus scans",
     "d20_cluster_sizes" -> "duplication profile: clustering keeps its capped-band LSH + pair-graph CC bound; the histogram is two chained partial-agg'd rollups (cluster -> size, size -> count) over CLUSTER-sized frames — never docs^2",
     "q163_brand_cross_sell" -> "brand co-occurrence: the fact joins the brand dim broadcast, distinct (order, brand) is one partial-agg'd shuffle, and the self-join key is the ORDER key with <=25 brands bounding the per-order blow-up (<=300 pairs/order) — pair volume is linear in orders; top-20 is TakeOrdered",
-    "t23_ttr_deciles" -> "lexical diversity: token stats are row-local native expressions at scan speed; the ntile ranks the DOC-LEVEL stats frame (corpus-sized but narrow — at 100 TB the decile bounds would come from Layout.sketchRangeBounds registers instead of a global sort), rollup is one 10-key partial agg")
+    "t23_ttr_deciles" -> "lexical diversity: token stats are row-local native expressions at scan speed; the ntile ranks the DOC-LEVEL stats frame (corpus-sized but narrow — at 100 TB the decile bounds would come from Layout.sketchRangeBounds registers instead of a global sort), rollup is one 10-key partial agg",
+    "t40_bpe_encode" -> "document encoding: merge replay runs on the DISTINCT-WORD table (vocabulary-sized, never per token); the corpus pays one tokenize-explode, one word-keyed join against the vocab-sized id table (AQE-broadcastable), one doc-keyed rollup — vocab rank is a window over the vocabulary frame only",
+    "t42_bpe_fertility" -> "fertility card: the t40 encode chain (vocabulary-sized replay, one corpus tokenize-explode, one doc-keyed rollup) followed by a lang-keyed partial agg over the DOC-sized encode output — the rollup never revisits tokens",
+    "p6_tokenized_release" -> "tokenized release: p5's gate chain (row-local gates, O(n*w) window blocker, broadcast decontamination) feeds the t40 encode on SURVIVORS only; the manifest is a lang-keyed partial agg over the doc-sized encode output",
+    "t41_intra_doc_repetition" -> "intra-doc repetition gate: one row-local gram explode, one count window over the HIGH-cardinality (doc, gram) key (parallelism follows docs, not groups), coverage explodes n rows per duplicated occurrence into a doc-keyed partial agg — linear in corpus tokens, no joins beyond the doc-keyed merge",
+    "d32_span_coverage" -> "exact-substring span coverage: NO pair table — the dup-gram set is vocabulary-sized (one gram-keyed partial-agg'd distinct-doc count) and each gram OCCURRENCE joins it at most once, so a million-df boilerplate gram adds its occurrence count, never a pair product; coverage is a doc-keyed partial agg; the occurrence frame is checkpointed once for its two readers")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

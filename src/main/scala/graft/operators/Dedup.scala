@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.core.Par
 import graft.functions.GraftFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale document corpora.
@@ -891,6 +891,37 @@ object Dedup {
       .orderBy(col("df").desc, col("n_occ").desc, col("gram"))
       .limit(k)
   }
+
+  /** Train/eval split-leakage audit (the GPT-2/3 "test-set overlap" check,
+    * run BEFORE training instead of after): given near-dup pairs from any
+    * audited blocker and a deterministic id→split rule, report every
+    * eval-side document that has a near-duplicate on the train side — the
+    * docs whose eval loss is contaminated by memorization.
+    *
+    * The split label is a ROW-LOCAL function of the id (hash-bucket
+    * splits; [[Sampling.splitCol]]), so the audit adds ZERO joins and zero
+    * extra shuffles: both ends are labeled in place on the pair frame,
+    * pairs with exactly one train end survive, and the eval-doc rollup is
+    * one pair-sized partial agg. Composes with any pair generator
+    * (minhashLsh, simhashPairs, sortedNeighborhoodJaccard, consensusPairs).
+    *
+    * Returns `(id, split, n_train_dups)` for leaked eval docs only. */
+  def splitLeakage(
+      pairs: DataFrame,
+      idCol: String,
+      splitOf: Column => Column,
+      trainLabel: String = "train"): DataFrame =
+    pairs
+      .select(col("id_a"), col("id_b"),
+        splitOf(col("id_a")).as("split_a"), splitOf(col("id_b")).as("split_b"))
+      .filter((col("split_a") === trainLabel) =!= (col("split_b") === trainLabel))
+      .select(
+        when(col("split_a") === trainLabel, col("id_b"))
+          .otherwise(col("id_a")).as(idCol),
+        when(col("split_a") === trainLabel, col("split_b"))
+          .otherwise(col("split_a")).as("split"))
+      .groupBy(idCol, "split")
+      .agg(count(lit(1)).as("n_train_dups"))
 
   /** Cross-document duplicated-span coverage — the exact-substring dedup
     * signal (Lee et al. 2022, "Deduplicating Training Data Makes Language

@@ -1101,13 +1101,9 @@ private[graft] object CoreQueries1 {
 
 
     "q29_split_sample" -> {
-      val hx = "'0123456789abcdef'"
-      val bucket =
-        s"CAST((strpos($hx, substr(md5(doc_id::VARCHAR), 31, 1)) - 1) * 16 + " +
-          s"(strpos($hx, substr(md5(doc_id::VARCHAR), 32, 1)) - 1) AS BIGINT)"
+      val bucket = md5Bucket256Sql("doc_id")
       s"""SELECT doc_id, lang, $bucket AS bucket,
-         |  CASE WHEN $bucket < 200 THEN 'train'
-         |       WHEN $bucket < 228 THEN 'val' ELSE 'test' END AS split
+         |  ${md5SplitCaseSql("doc_id")} AS split
          |FROM documents ORDER BY doc_id""".stripMargin
     },
 

@@ -441,6 +441,17 @@ private[graft] object DedupQueries {
           n = 8, minDf = 2L)
         .orderBy("doc_id")),
 
+    // split-leakage audit: d2's LSH pairs x q29's md5 split — eval docs
+    // with a train-side near-dup; split labels are row-local on the pair
+    // frame (zero joins added to the blocker)
+    "d33_split_leakage" -> ((s, d) => {
+      val pairs = Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
+        numHashes = 8, shingleSize = 3, rowsPerBand = 2, minEstimate = 0.5,
+        materializeCandidates = true)
+      Dedup.splitLeakage(pairs, "doc_id", Sampling.splitCol(_))
+        .orderBy("doc_id", "split")
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -1002,6 +1013,18 @@ private[graft] object DedupQueries {
 
     // positional 8-grams, df >= 2 over DISTINCT docs, covered positions
     "d32_span_coverage" -> duplicatedSpanCoverageSql(n = 8, minDf = 2L),
+
+    // d2's mh_pairs chain + the q29 split rule applied to both pair ends
+    "d33_split_leakage" ->
+      s"""WITH ${minhashPairsSql("documents")},
+         |pr AS (SELECT id_a, id_b FROM mh_pairs WHERE jaccard_est >= 0.5),
+         |sp AS (SELECT id_a, id_b, ${md5SplitCaseSql("id_a")} AS sa,
+         |    ${md5SplitCaseSql("id_b")} AS sb FROM pr),
+         |lk AS (SELECT CASE WHEN sa = 'train' THEN id_b ELSE id_a END AS doc_id,
+         |    CASE WHEN sa = 'train' THEN sb ELSE sa END AS split
+         |  FROM sp WHERE (sa = 'train') <> (sb = 'train'))
+         |SELECT doc_id, split, CAST(COUNT(*) AS BIGINT) AS n_train_dups
+         |FROM lk GROUP BY doc_id, split ORDER BY doc_id, split""".stripMargin,
 
   )
 }

@@ -694,6 +694,19 @@ private[graft] object Support {
        |FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
        |ORDER BY df DESC, n_occ DESC, gram LIMIT 100""".stripMargin
 
+  /** 0..255 md5 bucket of a key expression (mirrors Sampling.md5Bucket256:
+    * last two md5 hex digits). Single-sourced for q29 and d33. */
+  private[graft] def md5Bucket256Sql(key: String): String = {
+    val hx = "'0123456789abcdef'"
+    s"CAST((strpos($hx, substr(md5($key::VARCHAR), 31, 1)) - 1) * 16 + " +
+      s"(strpos($hx, substr(md5($key::VARCHAR), 32, 1)) - 1) AS BIGINT)"
+  }
+
+  /** train/val/test label of a key (mirrors Sampling.splitCol defaults). */
+  private[graft] def md5SplitCaseSql(key: String): String =
+    s"CASE WHEN ${md5Bucket256Sql(key)} < 200 THEN 'train' " +
+      s"WHEN ${md5Bucket256Sql(key)} < 228 THEN 'val' ELSE 'test' END"
+
   /** Per-doc intra-document duplicate-n-gram registers (mirrors
     * TextAnalysis.intraDocRepetition): positions 0-based, coverage =
     * distinct token positions under any within-doc duplicated gram. */

@@ -141,6 +141,24 @@ class RoundTenOpsSpec extends SparkSpec {
     (r.getLong(2), r.getLong(3), r.getLong(4)) shouldBe ((3L, 4L, 1000000L))
   }
 
+  "Dedup.splitLeakage" should "orient pairs eval-side and ignore same-side pairs" in {
+    import org.apache.spark.sql.Column
+    val pairs = Seq(
+      (1L, 2L),  // train-train → no leak
+      (3L, 4L),  // train-val   → val doc 4 leaks
+      (5L, 4L),  // train-val   → val doc 4 leaks again (n_train_dups 2)
+      (6L, 7L),  // val-test    → NOT train leakage
+      (8L, 9L))  // train-test  → test doc 9 leaks
+      .toDF("id_a", "id_b")
+    val split: Column => Column = id =>
+      when(id.isin(1L, 2L, 3L, 5L, 8L), "train")
+        .when(id.isin(4L, 6L), "val").otherwise("test")
+    val r = Dedup.splitLeakage(pairs, "doc_id", split)
+      .orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    r shouldBe Array((4L, "val", 2L), (9L, "test", 1L))
+  }
+
   "Dedup.duplicatedSpanCoverage" should "flag only windows shared across distinct docs" in {
     val shared = "one two three four five six seven eight"
     val docs = Seq(

@@ -252,4 +252,19 @@ object Sampling {
     df.withColumn("bucket", md5Bucket256(col(keyCol)))
       .withColumn("split", splitCol(col(keyCol), trainUpTo, valUpTo))
   }
+
+  /** Leakage-free train/val/test split: label every doc by the md5 bucket
+    * of its near-dup CLUSTER representative instead of its own id, so no
+    * near-dup pair can ever cross a split boundary — both ends of any pair
+    * share the representative by construction. The production remedy for
+    * what [[graft.operators.Dedup.splitLeakage]] measures; row-local given
+    * the cluster label (zero shuffles added to the clustering). */
+  def clusterAwareSplit(
+      clustered: DataFrame,
+      clusterCol: String = "cluster_id",
+      trainUpTo: Int = 200,
+      valUpTo: Int = 228): DataFrame = {
+    require(0 <= trainUpTo && trainUpTo <= valUpTo && valUpTo <= 256, "thresholds must be ordered")
+    clustered.withColumn("split", splitCol(col(clusterCol), trainUpTo, valUpTo))
+  }
 }

@@ -441,6 +441,15 @@ private[graft] object DedupQueries {
           n = 8, minDf = 2L)
         .orderBy("doc_id")),
 
+    // the d33 remedy: split by the near-dup CLUSTER representative's hash
+    // — no near-dup pair can cross a boundary (both ends share the
+    // representative by construction; the spec asserts leakage = 0)
+    "d34_cluster_split" -> ((s, d) =>
+      Sampling.clusterAwareSplit(
+          Dedup.nearDupClusters(s, Tables.documents(s, d), "doc_id", "text"))
+        .select(col("doc_id"), col("cluster_id"), col("split"))
+        .orderBy("doc_id")),
+
     // split-leakage audit: d2's LSH pairs x q29's md5 split — eval docs
     // with a train-side near-dup; split labels are row-local on the pair
     // frame (zero joins added to the blocker)
@@ -698,13 +707,7 @@ private[graft] object DedupQueries {
 
     "d7_dedup_clusters" ->
       s"""WITH RECURSIVE ${minhashPairsSql("documents")},
-         |cl_e AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs WHERE jaccard_est >= 0.5),
-         |cl_sym AS (SELECT src, dst FROM cl_e UNION SELECT dst, src FROM cl_e),
-         |cl_reach(a, b) AS (
-         |  SELECT src, src FROM cl_sym
-         |  UNION
-         |  SELECT r.a, s.dst FROM cl_reach r JOIN cl_sym s ON r.b = s.src),
-         |cl_comp AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM cl_reach GROUP BY a)
+         |$clusterCompSql
          |SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
          |  d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS is_keeper
          |FROM documents d LEFT JOIN cl_comp c USING (doc_id)
@@ -715,13 +718,7 @@ private[graft] object DedupQueries {
     // FIRST_VALUE over (alpha_ppm DESC, doc_id) per cluster
     "d16_quality_keeper" ->
       s"""WITH RECURSIVE ${minhashPairsSql("documents")},
-         |cl_e AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs WHERE jaccard_est >= 0.5),
-         |cl_sym AS (SELECT src, dst FROM cl_e UNION SELECT dst, src FROM cl_e),
-         |cl_reach(a, b) AS (
-         |  SELECT src, src FROM cl_sym
-         |  UNION
-         |  SELECT r.a, s.dst FROM cl_reach r JOIN cl_sym s ON r.b = s.src),
-         |cl_comp AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM cl_reach GROUP BY a),
+         |$clusterCompSql,
          |q AS (SELECT doc_id,
          |    CASE WHEN length(text) > 0
          |      THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))*1000000 // length(text)
@@ -760,13 +757,7 @@ private[graft] object DedupQueries {
     // d7's cluster CTEs → size histogram
     "d20_cluster_sizes" ->
       s"""WITH RECURSIVE ${minhashPairsSql("documents")},
-         |cl_e AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs WHERE jaccard_est >= 0.5),
-         |cl_sym AS (SELECT src, dst FROM cl_e UNION SELECT dst, src FROM cl_e),
-         |cl_reach(a, b) AS (
-         |  SELECT src, src FROM cl_sym
-         |  UNION
-         |  SELECT r.a, s.dst FROM cl_reach r JOIN cl_sym s ON r.b = s.src),
-         |cl_comp AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM cl_reach GROUP BY a),
+         |$clusterCompSql,
          |assigned AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
          |  FROM documents d LEFT JOIN cl_comp c ON c.doc_id = d.doc_id),
          |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM assigned GROUP BY 1)
@@ -1013,6 +1004,15 @@ private[graft] object DedupQueries {
 
     // positional 8-grams, df >= 2 over DISTINCT docs, covered positions
     "d32_span_coverage" -> duplicatedSpanCoverageSql(n = 8, minDf = 2L),
+
+    // d7's cluster labels + the q29 split rule on the REPRESENTATIVE id
+    "d34_cluster_split" ->
+      s"""WITH RECURSIVE ${minhashPairsSql("documents")},
+         |$clusterCompSql
+         |SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         |  ${md5SplitCaseSql("COALESCE(c.cluster_id, d.doc_id)")} AS split
+         |FROM documents d LEFT JOIN cl_comp c USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     // d2's mh_pairs chain + the q29 split rule applied to both pair ends
     "d33_split_leakage" ->

@@ -282,13 +282,7 @@ private[graft] object PipelineQueries {
          |surv AS (SELECT t.* FROM train t LEFT JOIN contaminated c USING (doc_id)
          |    WHERE c.doc_id IS NULL),
          |${minhashPairsSql("surv")},
-         |cl_e AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs WHERE jaccard_est >= 0.5),
-         |cl_sym AS (SELECT src, dst FROM cl_e UNION SELECT dst, src FROM cl_e),
-         |cl_reach(a, b) AS (
-         |  SELECT src, src FROM cl_sym
-         |  UNION
-         |  SELECT r.a, s.dst FROM cl_reach r JOIN cl_sym s ON r.b = s.src),
-         |cl_comp AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM cl_reach GROUP BY a),
+         |$clusterCompSql,
          |kept AS (SELECT s.doc_id, s.lang, s.source
          |    FROM surv s LEFT JOIN cl_comp c USING (doc_id)
          |    WHERE COALESCE(c.cluster_id, s.doc_id) = s.doc_id),

@@ -694,6 +694,20 @@ private[graft] object Support {
        |FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
        |ORDER BY df DESC, n_occ DESC, gram LIMIT 100""".stripMargin
 
+  /** Near-dup cluster labels over the mh_pairs chain (mirrors
+    * Dedup.nearDupClusters): CC of the jaccard_est ≥ 0.5 pair graph as a
+    * recursive reach, label = min vertex. Requires `WITH RECURSIVE` and a
+    * preceding `minhashPairsSql(...)` in the same WITH. Single-sourced for
+    * d7/d16/d20/d34, p2 and t21. */
+  private[graft] val clusterCompSql: String =
+    """cl_e AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs WHERE jaccard_est >= 0.5),
+      |cl_sym AS (SELECT src, dst FROM cl_e UNION SELECT dst, src FROM cl_e),
+      |cl_reach(a, b) AS (
+      |  SELECT src, src FROM cl_sym
+      |  UNION
+      |  SELECT r.a, s.dst FROM cl_reach r JOIN cl_sym s ON r.b = s.src),
+      |cl_comp AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM cl_reach GROUP BY a)""".stripMargin
+
   /** 0..255 md5 bucket of a key expression (mirrors Sampling.md5Bucket256:
     * last two md5 hex digits). Single-sourced for q29 and d33. */
   private[graft] def md5Bucket256Sql(key: String): String = {

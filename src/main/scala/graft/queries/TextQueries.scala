@@ -897,13 +897,7 @@ private[graft] object TextQueries {
     // d7's cluster CTEs + per-doc token counts rolled up per language
     "t21_effective_tokens" ->
       s"""WITH RECURSIVE ${minhashPairsSql("documents")},
-         |cl_e AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs WHERE jaccard_est >= 0.5),
-         |cl_sym AS (SELECT src, dst FROM cl_e UNION SELECT dst, src FROM cl_e),
-         |cl_reach(a, b) AS (
-         |  SELECT src, src FROM cl_sym
-         |  UNION
-         |  SELECT r.a, s.dst FROM cl_reach r JOIN cl_sym s ON r.b = s.src),
-         |cl_comp AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM cl_reach GROUP BY a),
+         |$clusterCompSql,
          |k AS (SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tokens
          |  FROM documents),
          |j AS (SELECT k.lang, k.n_tokens,

@@ -159,6 +159,27 @@ class RoundTenOpsSpec extends SparkSpec {
     r shouldBe Array((4L, "val", 2L), (9L, "test", 1L))
   }
 
+  "Sampling.clusterAwareSplit" should "produce zero split leakage by construction" in {
+    // three near-dup "clusters" via trivially similar texts; whatever the
+    // LSH finds, splitting by the cluster representative must leave NO
+    // pair crossing the train boundary
+    val docs = (1L to 40L).map(i =>
+      (i, s"alpha beta gamma delta epsilon zeta eta theta common${i % 7} tail"))
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.minhashLsh(docs, "doc_id", "text",
+      numHashes = 8, shingleSize = 3, rowsPerBand = 2, minEstimate = 0.5,
+      materializeCandidates = true)
+    pairs.count() should be > 0L // the guard is vacuous on an empty pair set
+    val clustered = graft.operators.Dedup
+      .nearDupClusters(spark, docs, "doc_id", "text")
+    val byCluster = graft.operators.Sampling.clusterAwareSplit(clustered)
+      .select(col("doc_id"), col("split"))
+    val splitOf = byCluster.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val leaks = pairs.select("id_a", "id_b").collect()
+      .count(r => (splitOf(r.getLong(0)) == "train") != (splitOf(r.getLong(1)) == "train"))
+    leaks shouldBe 0
+  }
+
   "Dedup.duplicatedSpanCoverage" should "flag only windows shared across distinct docs" in {
     val shared = "one two three four five six seven eight"
     val docs = Seq(

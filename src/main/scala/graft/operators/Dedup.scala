@@ -976,6 +976,66 @@ object Dedup {
           greatest(col("n_tokens"), lit(1L))).as("coverage_ppm"))
   }
 
+  /** Duplicated-span TRIMMING — the remedy half of
+    * [[duplicatedSpanCoverage]] (Lee et al. 2022 remove duplicated
+    * substrings keeping one copy): emit each document with every token
+    * dropped that is covered by a cross-document duplicated n-gram
+    * occurrence OTHER than that gram's globally-first occurrence.
+    *
+    * Keeper election is deterministic on both engines: the packed BIGINT
+    * min of `doc_id · 2²⁰ + pos` per gram (smallest doc, earliest position
+    * on ties — the winnowing argmin trick; positions are bounded to 2²⁰
+    * grams/doc and doc ids to 2⁴³, rows beyond dropped deterministically).
+    * A position survives unless ≥1 NON-keeper duplicated occurrence covers
+    * it, so the first copy of a syndicated paragraph stays readable while
+    * every later copy is excised.
+    *
+    * Scale shape: same occurrence-linear frames as the coverage signal
+    * (vocabulary-sized dup-gram table, occurrence-sized joins, doc-keyed
+    * rollups) plus one (doc, pos)-keyed anti-join — still NO pair table.
+    * Returns `(id, n_tokens, kept_tokens, trimmed_text)`. */
+  def trimDuplicatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minDf: Long = 2L): DataFrame = {
+    require(n > 0 && minDf >= 2, "need n > 0 and minDf >= 2")
+    val posCap = 1L << 20
+    val grams = Par.fanOut(docs)
+      .select(col(idCol),
+        posexplode(wordNgramList(col(textCol), n)).as(Seq("pos", "gram")))
+      .filter(col("pos") < posCap && col(idCol).cast("long") < (1L << 43))
+      .localCheckpoint(true)
+    val dupKeeper = grams
+      .groupBy("gram")
+      .agg(
+        count_distinct(col(idCol)).as("df"),
+        min(col(idCol).cast("long") * posCap + col("pos")).as("kpk"))
+      .filter(col("df") >= minDf)
+      .select(col("gram"), col("kpk"))
+    val dropped = grams.join(dupKeeper, "gram")
+      .filter(col(idCol).cast("long") * posCap + col("pos") =!= col("kpk"))
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
+      .distinct()
+    val toks = docs.select(col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("p", "tok")))
+    val kept = toks.join(dropped, Seq(idCol, "p"), "left_anti")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("kept_tokens"),
+        array_join(expr("transform(array_sort(collect_list(struct(p, tok))), x -> x.tok)"), " ")
+          .as("trimmed_text"))
+    docs
+      .select(col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("trimmed_text"), lit("")).as("trimmed_text"))
+  }
+
   /** Consensus of independent near-dup signals: full-outer-merge the
     * (id_a, id_b) pair sets of several detectors into one frame with a
     * 0/1 flag per signal and the agreement count. The production dedup

@@ -441,6 +441,26 @@ private[graft] object DedupQueries {
           n = 8, minDf = 2L)
         .orderBy("doc_id")),
 
+    // the remedy half of d32: drop every token covered by a non-keeper
+    // duplicated 8-gram occurrence (keeper = globally-first, packed-min
+    // elected); first copy survives, later copies are excised
+    "d35_span_trim" -> ((s, d) =>
+      Dedup.trimDuplicatedSpans(Tables.documents(s, d), "doc_id", "text",
+          n = 8, minDf = 2L)
+        .orderBy("doc_id")),
+
+    // duplicate-discounted sampling weights: weight_ppm = 1e6 // cluster
+    // size — suppress duplicates during training without dropping them
+    "d36_dup_weights" -> ((s, d) => {
+      val cl = Dedup.nearDupClusters(s, Tables.documents(s, d), "doc_id", "text")
+      val sizes = cl.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      cl.select(col("doc_id"), col("cluster_id"))
+        .join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          call_function("div", lit(1000000L), col("cluster_size")).as("weight_ppm"))
+        .orderBy("doc_id")
+    }),
+
     // the d33 remedy: split by the near-dup CLUSTER representative's hash
     // — no near-dup pair can cross a boundary (both ends share the
     // representative by construction; the spec asserts leakage = 0)
@@ -1004,6 +1024,23 @@ private[graft] object DedupQueries {
 
     // positional 8-grams, df >= 2 over DISTINCT docs, covered positions
     "d32_span_coverage" -> duplicatedSpanCoverageSql(n = 8, minDf = 2L),
+
+    // keeper = packed min(doc*2^20+pos) per dup gram; drop covered
+    // non-keeper positions; rebuild text by position order
+    "d35_span_trim" -> trimDuplicatedSpansSql(n = 8, minDf = 2L),
+
+    // d7's cluster chain + size rollup + integer ppm weight
+    "d36_dup_weights" ->
+      s"""WITH RECURSIVE ${minhashPairsSql("documents")},
+         |$clusterCompSql,
+         |asg AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN cl_comp c USING (doc_id)),
+         |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |  FROM asg GROUP BY cluster_id)
+         |SELECT a.doc_id, a.cluster_id, s.cluster_size,
+         |  CAST(1000000 // s.cluster_size AS BIGINT) AS weight_ppm
+         |FROM asg a JOIN sz s USING (cluster_id)
+         |ORDER BY a.doc_id""".stripMargin,
 
     // d7's cluster labels + the q29 split rule on the REPRESENTATIVE id
     "d34_cluster_split" ->

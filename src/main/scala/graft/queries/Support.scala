@@ -767,6 +767,33 @@ private[graft] object Support {
        |    // GREATEST(len(w.ws), 1) AS BIGINT) AS coverage_ppm
        |FROM rw w LEFT JOIN cov c USING (doc_id) ORDER BY w.doc_id""".stripMargin
 
+  /** Per-doc duplicated-span TRIM (mirrors Dedup.trimDuplicatedSpans):
+    * keeper occurrence per dup gram = packed min(doc·2²⁰ + pos); a token
+    * position is dropped iff covered by a non-keeper dup occurrence. */
+  private[graft] def trimDuplicatedSpansSql(n: Int, minDf: Long): String =
+    s"""WITH rw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |g AS MATERIALIZED (SELECT doc_id, i - 1 AS pos, ${wordGramSql(n)} AS gram
+       |  FROM rw, UNNEST(generate_series(1, len(ws) - ${n - 1})) AS t(i)
+       |  WHERE i - 1 < 1048576 AND doc_id < 8796093022208),
+       |dk AS (SELECT gram, MIN(doc_id * 1048576 + pos) AS kpk FROM g
+       |  GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= $minDf),
+       |dr AS (SELECT DISTINCT doc_id, p
+       |  FROM (SELECT g.doc_id, UNNEST(range(g.pos, g.pos + $n)) AS p
+       |        FROM g JOIN dk USING (gram)
+       |        WHERE g.doc_id * 1048576 + g.pos <> dk.kpk)),
+       |tk AS (SELECT doc_id, i - 1 AS p, ws[i] AS tok
+       |  FROM rw, UNNEST(generate_series(1, len(ws))) AS t(i)),
+       |kp AS (SELECT t.doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+       |    string_agg(t.tok, ' ' ORDER BY t.p) AS trimmed_text
+       |  FROM tk t LEFT JOIN dr ON dr.doc_id = t.doc_id AND dr.p = t.p
+       |  WHERE dr.p IS NULL
+       |  GROUP BY t.doc_id)
+       |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       |  COALESCE(k.trimmed_text, '') AS trimmed_text
+       |FROM rw w LEFT JOIN kp k USING (doc_id) ORDER BY w.doc_id""".stripMargin
+
   /** Quality metrics CTE body over `src` (mirrors TextAnalysis.qualityScore). */
   private[graft] def qualityMetricsSql(src: String): String = {
     val allStop = TextAnalysis.StopwordLists.values.flatten.toSeq.distinct

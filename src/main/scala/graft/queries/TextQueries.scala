@@ -596,6 +596,28 @@ private[graft] object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // vocabulary-coverage curve: fraction of token OCCURRENCES covered by
+    // the top-k types at k in {1k..16k} — the "how big must the vocab be"
+    // card; ranked/cumulated over the VOCAB-sized type table only
+    "t43_vocab_coverage" -> ((s, d) => {
+      val tt = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val ranked = tt.withColumn("rn",
+        row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
+      val tot = tt.agg(sum(col("cnt")).as("total_occ"),
+        count(lit(1)).as("n_types"))
+      s.sql("SELECT explode(array(1000, 2000, 4000, 8000, 16000)) AS vocab_size")
+        .join(ranked, col("rn") <= col("vocab_size"))
+        .groupBy("vocab_size").agg(sum(col("cnt")).as("covered_occ"))
+        .crossJoin(tot)
+        .select(col("vocab_size").cast("long").as("vocab_size"),
+          col("n_types"), col("covered_occ"), col("total_occ"),
+          call_function("div", col("covered_occ") * 1000000L,
+            greatest(col("total_occ"), lit(1L))).as("coverage_ppm"))
+        .orderBy("vocab_size")
+    }),
+
     // Gopher-style intra-document repetition gate: per-doc fraction of
     // tokens covered by a within-doc duplicated word 3-gram (exact ppm)
     "t41_intra_doc_repetition" -> ((s, d) =>
@@ -1132,6 +1154,22 @@ private[graft] object TextQueries {
 
     // within-doc duplicated 3-gram coverage in exact integer ppm
     "t41_intra_doc_repetition" -> intraDocRepetitionSql(n = 3),
+
+    // rank types by (count desc, tok), cumulate at each threshold
+    "t43_vocab_coverage" ->
+      s"""WITH tt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+         |    FROM (SELECT unnest($toksSql) AS tok FROM documents) GROUP BY tok),
+         |r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rn FROM tt),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_occ,
+         |    CAST(COUNT(*) AS BIGINT) AS n_types FROM tt),
+         |ks AS (SELECT UNNEST([1000, 2000, 4000, 8000, 16000]) AS vocab_size),
+         |cv AS (SELECT k.vocab_size, CAST(SUM(r.cnt) AS BIGINT) AS covered_occ
+         |  FROM ks k JOIN r ON r.rn <= k.vocab_size GROUP BY k.vocab_size)
+         |SELECT CAST(c.vocab_size AS BIGINT) AS vocab_size, t.n_types,
+         |  c.covered_occ, t.total_occ,
+         |  CAST((c.covered_occ * 1000000) // GREATEST(t.total_occ, 1) AS BIGINT)
+         |    AS coverage_ppm
+         |FROM cv c CROSS JOIN tot t ORDER BY vocab_size""".stripMargin,
 
     // per-lang rollup of the same encode chain (docs with zero qualifying
     // words drop out of enc on BOTH sides)

@@ -159,6 +159,31 @@ class RoundTenOpsSpec extends SparkSpec {
     r shouldBe Array((4L, "val", 2L), (9L, "test", 1L))
   }
 
+  "Dedup.trimDuplicatedSpans" should "keep the globally-first occurrence and excise later copies" in {
+    val shared = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"$shared tail1 tail2"),     // keeper (smallest doc) — untouched
+      (2L, s"head1 head2 $shared"),     // non-keeper → span at pos 2..9 dropped
+      (3L, "a b c d e"))                // no dup grams — untouched
+      .toDF("doc_id", "text")
+    val r = Dedup.trimDuplicatedSpans(docs, "doc_id", "text", n = 8, minDf = 2L)
+      .orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+    r shouldBe Array(
+      (1L, 10L, 10L, s"$shared tail1 tail2"),
+      (2L, 10L, 2L, "head1 head2"),
+      (3L, 5L, 5L, "a b c d e"))
+  }
+
+  it should "emit an empty doc when every token is a later copy" in {
+    val eight = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val docs = Seq((1L, eight), (2L, eight)).toDF("doc_id", "text")
+    val r = Dedup.trimDuplicatedSpans(docs, "doc_id", "text", n = 8, minDf = 2L)
+      .orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(2), x.getString(3)))
+    r shouldBe Array((1L, 8L, eight), (2L, 0L, ""))
+  }
+
   "Sampling.clusterAwareSplit" should "produce zero split leakage by construction" in {
     // three near-dup "clusters" via trivially similar texts; whatever the
     // LSH finds, splitting by the cluster representative must leave NO

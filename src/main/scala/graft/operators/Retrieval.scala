@@ -191,20 +191,33 @@ object Retrieval {
       trainDocs: DataFrame,
       idCol: String,
       textCol: String,
-      scoreName: String): DataFrame = {
-    val docBi = explodeBigrams(docs, Seq(col(idCol)), tokens(col(textCol)))
-      .groupBy(col(idCol), col("w1"), col("w2"))
+      scoreName: String,
+      partitionCols: Seq[String] = Nil): DataFrame = {
+    // partitionCols scope the LM: counts, prefix sums and the vocabulary
+    // are keyed per partition (e.g. per language — the CCNet shape), and a
+    // doc whose partition has NO training rows scores 0 via the final left
+    // join (its bigrams drop at the inner vocab join). Nil reproduces the
+    // single-LM behavior byte-identically.
+    val p = partitionCols.map(col)
+    val docBi = explodeBigrams(docs, col(idCol) +: p, tokens(col(textCol)))
+      .groupBy((col(idCol) +: p) ++ Seq(col("w1"), col("w2")): _*)
       .agg(count(lit(1)).as("cnt"))
-    val c12 = explodeBigrams(trainDocs, Nil, tokens(col(textCol)))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
-    val vocab = trainDocs
-      .select(explode(tokens(col(textCol))).as("tok"))
-      .agg(count_distinct(col("tok")).as("v"))
-    val scored = docBi
-      .join(c12, Seq("w1", "w2"), "left")
-      .join(c1, Seq("w1"), "left")
-      .crossJoin(broadcast(vocab))
+    val c12 = explodeBigrams(trainDocs, p, tokens(col(textCol)))
+      .groupBy(p ++ Seq(col("w1"), col("w2")): _*).agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy(p :+ col("w1"): _*).agg(sum(col("c12")).as("c1"))
+    val vocabToks = trainDocs
+      .select(p :+ explode(tokens(col(textCol))).as("tok"): _*)
+    val vocab =
+      if (partitionCols.isEmpty) vocabToks.agg(count_distinct(col("tok")).as("v"))
+      else vocabToks.groupBy(p: _*).agg(count_distinct(col("tok")).as("v"))
+    val withVocab = {
+      val base = docBi
+        .join(c12, partitionCols ++ Seq("w1", "w2"), "left")
+        .join(c1, partitionCols :+ "w1", "left")
+      if (partitionCols.isEmpty) base.crossJoin(broadcast(vocab))
+      else base.join(broadcast(vocab), partitionCols)
+    }
+    val scored = withVocab
       .select(col(idCol), col("cnt"),
         ldiv((coalesce(col("c12"), lit(0L)) + 1L) * 1000000L,
           coalesce(col("c1"), lit(0L)) + col("v")).as("p_ppm"))

@@ -596,6 +596,26 @@ private[graft] object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020, the repo's
+    // integer bigram-LM algebra in place of KenLM): every doc scored under
+    // a PER-LANGUAGE reference LM (trained on the src0 slice), then
+    // per-lang terciles head/middle/tail — the classic quality-mixing
+    // partition for web corpora
+    "t44_ccnet_buckets" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = Retrieval.bigramLmScore(docs,
+        docs.filter(col("source") === "src0"), "doc_id", "text", "lm_ppm",
+        partitionCols = Seq("lang"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(scored.select(col("doc_id"), col("lm_ppm")), Seq("doc_id"))
+        .withColumn("nt", ntile(3).over(
+          Window.partitionBy("lang").orderBy(col("lm_ppm").desc, col("doc_id"))))
+        .select(col("doc_id"), col("lang"), col("lm_ppm"),
+          when(col("nt") === 1, "head").when(col("nt") === 2, "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy("doc_id")
+    }),
+
     // vocabulary-coverage curve: fraction of token OCCURRENCES covered by
     // the top-k types at k in {1k..16k} — the "how big must the vocab be"
     // card; ranked/cumulated over the VOCAB-sized type table only
@@ -1154,6 +1174,39 @@ private[graft] object TextQueries {
 
     // within-doc duplicated 3-gram coverage in exact integer ppm
     "t41_intra_doc_repetition" -> intraDocRepetitionSql(n = 3),
+
+    // lang-scoped t14 algebra trained on src0; unseen bigrams hit the
+    // coalesce-to-0 left joins; ntile(3) per lang (desc score, doc_id)
+    "t44_ccnet_buckets" ->
+      s"""WITH tk AS (SELECT doc_id, lang, source, $toksSql AS t FROM documents),
+         |bg AS (SELECT doc_id, lang, source, t[i] AS w1, t[i+1] AS w2
+         |  FROM tk, UNNEST(generate_series(1, len(t)-1)) AS u(i)),
+         |db AS (SELECT doc_id, lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM bg GROUP BY doc_id, lang, w1, w2),
+         |c12 AS (SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+         |  FROM bg WHERE source = 'src0' GROUP BY lang, w1, w2),
+         |c1 AS (SELECT lang, w1, CAST(SUM(c12) AS BIGINT) AS c1
+         |  FROM c12 GROUP BY lang, w1),
+         |v AS (SELECT lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+         |  FROM (SELECT lang, unnest(t) AS tok FROM tk WHERE source = 'src0')
+         |  GROUP BY lang),
+         |sc AS (SELECT db.doc_id,
+         |    CAST(SUM(db.cnt * (((COALESCE(c12.c12, 0) + 1)*1000000)
+         |      // (COALESCE(c1.c1, 0) + v.v))) AS BIGINT) AS sp,
+         |    CAST(SUM(db.cnt) AS BIGINT) AS n_bigrams
+         |  FROM db LEFT JOIN c12 USING (lang, w1, w2)
+         |    LEFT JOIN c1 USING (lang, w1) JOIN v USING (lang)
+         |  GROUP BY db.doc_id),
+         |s2 AS (SELECT d.doc_id, d.lang,
+         |    CAST(CASE WHEN COALESCE(sc.n_bigrams, 0) > 0
+         |      THEN sc.sp // sc.n_bigrams ELSE 0 END AS BIGINT) AS lm_ppm
+         |  FROM documents d LEFT JOIN sc USING (doc_id)),
+         |b AS (SELECT doc_id, lang, lm_ppm,
+         |    NTILE(3) OVER (PARTITION BY lang ORDER BY lm_ppm DESC, doc_id) AS nt
+         |  FROM s2)
+         |SELECT doc_id, lang, lm_ppm,
+         |  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     // rank types by (count desc, tok), cumulate at each threshold
     "t43_vocab_coverage" ->

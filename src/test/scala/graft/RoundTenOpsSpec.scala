@@ -159,6 +159,34 @@ class RoundTenOpsSpec extends SparkSpec {
     r shouldBe Array((4L, "val", 2L), (9L, "test", 1L))
   }
 
+  "Retrieval.bigramLmScore" should "reduce partitioned scoring to the single-LM score on one partition" in {
+    val docs = Seq(
+      (1L, "en", "the cat sat on the mat"),
+      (2L, "en", "the dog sat on the rug"),
+      (3L, "en", "a bird flew over the mat"))
+      .toDF("doc_id", "lang", "text")
+    val flat = graft.operators.Retrieval
+      .bigramLmScore(docs, docs, "doc_id", "text", "s")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    val part = graft.operators.Retrieval
+      .bigramLmScore(docs, docs, "doc_id", "text", "s", partitionCols = Seq("lang"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    part shouldBe flat
+  }
+
+  it should "score docs of a train-empty partition as 0" in {
+    val docs = Seq(
+      (1L, "en", "the cat sat on the mat"),
+      (2L, "de", "der hund sitzt auf dem teppich"))
+      .toDF("doc_id", "lang", "text")
+    val r = graft.operators.Retrieval
+      .bigramLmScore(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text", "s", partitionCols = Seq("lang"))
+      .orderBy("doc_id").collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    r(1) shouldBe ((2L, 0L, 0L)) // de has no reference rows → zero registers
+    r(0)._3 should be > 0L
+  }
+
   "Dedup.trimDuplicatedSpans" should "keep the globally-first occurrence and excise later copies" in {
     val shared = "one two three four five six seven eight"
     val docs = Seq(

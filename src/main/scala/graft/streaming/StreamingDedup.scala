@@ -129,8 +129,59 @@ object StreamingDedup {
         out.result().iterator
       }
   }
+
+  /** Streaming duplicated-span detection — the streaming face of
+    * `operators.Dedup.duplicatedSpanCoverage`/`trimDuplicatedSpans`: an
+    * n-gram occurrence is flagged iff a PRIOR occurrence of the same gram
+    * from a DIFFERENT document has been seen (you can only trim against
+    * history — the prefix-causal reading of the batch df ≥ 2 rule; batch
+    * additionally drops EARLIER non-keeper occurrences once a later doc
+    * repeats the gram, which no causal stream can know).
+    *
+    * State per gram is CONSTANT-size regardless of occurrence count:
+    * (first doc seen, another-doc-seen flag) — "∃ prior occurrence from a
+    * different doc" ⟺ another-doc-seen ∨ (first ≠ current). One shuffle on
+    * the gram-hash key; consumers roll covered positions up per doc
+    * outside the stateful stage (distinct `sequence(pos, pos+n-1)` —
+    * exactly the batch coverage math).
+    *
+    * Determinism: within a micro-batch each gram group processes its
+    * occurrences in ascending (doc, pos) order. */
+  def spanDupFlags(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): Dataset[SpanHit] = {
+    require(n > 0, "need n > 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("doc"),
+        posexplode(wordNgramList(col(textCol), n)).as(Seq("pos", "gram")))
+      .select(col("doc"), col("pos").cast("long").as("pos"),
+        md5Hash60(col("gram")).as("g"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[(Long, Boolean), SpanHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) { (_, rows, state) =>
+        var (first, other) = state.getOption.getOrElse((Long.MinValue, false))
+        val out = Seq.newBuilder[SpanHit]
+        rows.toSeq.sortBy(r => (r._1, r._2)).foreach { case (doc, pos, _) =>
+          val dup = other || (first != Long.MinValue && first != doc)
+          out += SpanHit(doc, pos, dup)
+          if (first == Long.MinValue) first = doc
+          else if (first != doc) other = true
+        }
+        state.update((first, other))
+        out.result().iterator
+      }
+  }
 }
 
 /** One emission per document from [[StreamingDedup.exactDupFlags]]: the
   * content group's keeper if this arrival is a duplicate, else none. */
 case class ExactMatch(doc_id: Long, match_id: Option[Long])
+
+/** One emission per n-gram occurrence from [[StreamingDedup.spanDupFlags]]:
+  * `dup` = a prior occurrence of this gram from another doc exists. */
+case class SpanHit(doc_id: Long, pos: Long, dup: Boolean)

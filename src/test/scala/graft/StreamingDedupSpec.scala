@@ -165,4 +165,42 @@ class StreamingDedupSpec extends SparkSpec {
       batchEx should not be empty
     } finally { q1.stop(); q2.stop() }
   }
+
+  it should "flag span occurrences prefix-causally and never the first-doc occurrence" in {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val shared = "one two three four five six seven eight"
+    val input = MemoryStream[(Long, String)]
+    val hits = StreamingDedup.spanDupFlags(
+      input.toDS().toDF("doc_id", "text"), "doc_id", "text", n = 8)
+    val q = hits.writeStream.format("memory").queryName("spans")
+      .outputMode("append").start()
+    def dupPositions() = spark.sql(
+      "SELECT doc_id, pos FROM spans WHERE dup ORDER BY doc_id, pos")
+      .as[(Long, Long)].collect().toSeq
+    try {
+      // batch 1: doc 1 carries the span (first ever), doc 1 repeats it
+      // INTRA-doc later — same doc, must not fire
+      input.addData((1L, s"$shared tail $shared"))
+      q.processAllAvailable()
+      dupPositions() shouldBe empty
+      // batch 2: doc 2 repeats the span → its occurrence (pos 2) fires;
+      // doc 1's earlier emissions are history and stay unflagged (the
+      // prefix-causal difference from batch trim, documented)
+      input.addData((2L, s"p q $shared"))
+      q.processAllAvailable()
+      dupPositions() shouldBe Seq((2L, 2L))
+      // batch 3: doc 3 = doc 2's full text → every complete window fires
+      // (all its grams now have a prior occurrence from another doc)
+      input.addData((3L, s"p q $shared"))
+      q.processAllAvailable()
+      dupPositions() shouldBe Seq((2L, 2L), (3L, 0L), (3L, 1L), (3L, 2L))
+      // coverage rollup outside the stateful stage ≡ batch coverage math
+      val covered = spark.sql(
+        """SELECT doc_id, count(DISTINCT p) AS c FROM (
+          |  SELECT doc_id, explode(sequence(pos, pos + 7)) AS p
+          |  FROM spans WHERE dup) GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        .as[(Long, Long)].collect().toSeq
+      covered shouldBe Seq((2L, 8L), (3L, 10L))
+    } finally q.stop()
+  }
 }

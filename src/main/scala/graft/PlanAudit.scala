@@ -159,10 +159,10 @@ object PlanAudit {
     "t42_bpe_fertility" -> "fertility card: the t40 encode chain (vocabulary-sized replay, one corpus tokenize-explode, one doc-keyed rollup) followed by a lang-keyed partial agg over the DOC-sized encode output — the rollup never revisits tokens",
     "p6_tokenized_release" -> "tokenized release: p5's gate chain (row-local gates, O(n*w) window blocker, broadcast decontamination) feeds the t40 encode on SURVIVORS only; the manifest is a lang-keyed partial agg over the doc-sized encode output",
     "t41_intra_doc_repetition" -> "intra-doc repetition gate: one row-local gram explode, one count window over the HIGH-cardinality (doc, gram) key (parallelism follows docs, not groups), coverage explodes n rows per duplicated occurrence into a doc-keyed partial agg — linear in corpus tokens, no joins beyond the doc-keyed merge",
-    "d32_span_coverage" -> "exact-substring span coverage: NO pair table — the dup-gram set is vocabulary-sized (one gram-keyed partial-agg'd distinct-doc count) and each gram OCCURRENCE joins it at most once, so a million-df boilerplate gram adds its occurrence count, never a pair product; coverage is a doc-keyed partial agg; the occurrence frame is checkpointed once for its two readers",
+    "d32_span_coverage" -> "exact-substring span coverage: NO pair table — the dup-gram set is vocabulary-sized (one gram-keyed partial-agg'd distinct-doc count) and each gram OCCURRENCE joins it at most once, so a million-df boilerplate gram adds its occurrence count, never a pair product; gram keys shuffle as 60-bit md5 longs, not strings; coverage is a doc-keyed partial agg; the occurrence frame is checkpointed once for its two readers",
     "d33_split_leakage" -> "split-leakage audit: the split label is a ROW-LOCAL md5 function of the id, so labeling both pair ends adds ZERO joins and zero shuffles to the blocker's pair frame; the eval-doc rollup is one pair-sized partial agg — audit cost rides the blocker, never the corpus",
     "d34_cluster_split" -> "cluster-aware split: one row-local md5 label on the clustering's output (zero shuffles beyond the audited LSH+CC chain); leakage is zero BY CONSTRUCTION — both ends of any pair share the representative id",
-    "d35_span_trim" -> "span trimming: same occurrence-linear frames as d32 (vocabulary-sized dup-gram/keeper table via one gram-keyed partial agg, occurrence-sized join) plus one (doc, pos)-keyed anti-join and a doc-keyed rebuild rollup — still no pair table; keeper election is a packed-BIGINT min (map-side partial agg, no window sort)",
+    "d35_span_trim" -> "span trimming: same occurrence-linear frames as d32 (vocabulary-sized dup-gram/keeper table via one gram-keyed partial agg, occurrence-sized join) plus one (doc, pos)-keyed anti-join and a doc-keyed rebuild rollup — still no pair table; gram keys shuffle as 60-bit md5 longs; keeper election is a packed-BIGINT min (map-side partial agg, no window sort)",
     "d36_dup_weights" -> "duplicate-discounted weights: the d7 cluster chain (bounded LSH + pair-graph CC) followed by a CLUSTER-sized size rollup and a doc-keyed join — weight math is row-local integer ppm",
     "t43_vocab_coverage" -> "vocab coverage curve: one corpus token aggregate to the VOCABULARY-sized type table; rank, cumulation and the 5-threshold join all run over the type table (the 5-row threshold side broadcasts into a nested-loop over vocab rows) — the corpus is scanned once")
 

@@ -34,7 +34,9 @@ object ScaleProbe {
     "d19_prefix_join", "q107_incremental_cc", "s13_pq_topk",
     "d31_consensus_v2", "q178_association_rules", "s19_item_cosine",
     "q73_ktruss", "s17_link_prediction", "p2_curation_v2",
-    "s38_variance_concentration")
+    "s38_variance_concentration", "d32_span_coverage", "d35_span_trim",
+    "d34_cluster_split", "t40_bpe_encode", "p6_tokenized_release",
+    "t44_ccnet_buckets")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

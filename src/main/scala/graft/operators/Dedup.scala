@@ -948,16 +948,20 @@ object Dedup {
       n: Int = 8,
       minDf: Long = 2L): DataFrame = {
     require(n > 0 && minDf >= 2, "need n > 0 and minDf >= 2")
+    // grams shuffle as their 60-bit md5 longs (convention rule 4), not as
+    // ~50-byte strings — the df aggregate and the coverage join are the
+    // two heaviest exchanges here
     val grams = Par.fanOut(docs)
       .select(col(idCol),
         posexplode(wordNgramList(col(textCol), n)).as(Seq("pos", "gram")))
+      .select(col(idCol), col("pos"), md5Hash60(col("gram")).as("g"))
       .localCheckpoint(true)
     val dupGrams = grams
-      .groupBy("gram")
+      .groupBy("g")
       .agg(count_distinct(col(idCol)).as("df"))
       .filter(col("df") >= minDf)
-      .select("gram")
-    val cov = grams.join(dupGrams, "gram")
+      .select("g")
+    val cov = grams.join(dupGrams, "g")
       .select(col(idCol), col("pos"),
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
       .groupBy(idCol)
@@ -1002,19 +1006,21 @@ object Dedup {
       minDf: Long = 2L): DataFrame = {
     require(n > 0 && minDf >= 2, "need n > 0 and minDf >= 2")
     val posCap = 1L << 20
+    // gram key shuffles as its 60-bit md5 long (convention rule 4)
     val grams = Par.fanOut(docs)
       .select(col(idCol),
         posexplode(wordNgramList(col(textCol), n)).as(Seq("pos", "gram")))
       .filter(col("pos") < posCap && col(idCol).cast("long") < (1L << 43))
+      .select(col(idCol), col("pos"), md5Hash60(col("gram")).as("g"))
       .localCheckpoint(true)
     val dupKeeper = grams
-      .groupBy("gram")
+      .groupBy("g")
       .agg(
         count_distinct(col(idCol)).as("df"),
         min(col(idCol).cast("long") * posCap + col("pos")).as("kpk"))
       .filter(col("df") >= minDf)
-      .select(col("gram"), col("kpk"))
-    val dropped = grams.join(dupKeeper, "gram")
+      .select(col("g"), col("kpk"))
+    val dropped = grams.join(dupKeeper, "g")
       .filter(col(idCol).cast("long") * posCap + col("pos") =!= col("kpk"))
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))

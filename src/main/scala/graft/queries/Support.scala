@@ -749,16 +749,17 @@ private[graft] object Support {
     * `g` is multiply-referenced → AS MATERIALIZED (r7 inlining rule). */
   private[graft] def duplicatedSpanCoverageSql(n: Int, minDf: Long): String =
     s"""WITH rw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-       |g AS MATERIALIZED (SELECT doc_id, i - 1 AS pos, ${wordGramSql(n)} AS gram
+       |g AS MATERIALIZED (SELECT doc_id, i - 1 AS pos,
+       |    CAST(concat('0x', substr(md5(${wordGramSql(n)}), 1, 15)) AS BIGINT) AS gh
        |  FROM rw, UNNEST(generate_series(1, len(ws) - ${n - 1})) AS t(i)),
-       |dg AS (SELECT gram FROM (
-       |    SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gram)
+       |dg AS (SELECT gh FROM (
+       |    SELECT gh, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gh)
        |  WHERE df >= $minDf),
        |cov AS (SELECT doc_id,
        |    CAST(COUNT(DISTINCT p) AS BIGINT) AS covered_tokens,
        |    CAST(COUNT(DISTINCT pos) AS BIGINT) AS dup_windows
        |  FROM (SELECT g.doc_id, g.pos, UNNEST(range(g.pos, g.pos + $n)) AS p
-       |        FROM g JOIN dg USING (gram))
+       |        FROM g JOIN dg USING (gh))
        |  GROUP BY doc_id)
        |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
        |  CAST(COALESCE(c.dup_windows, 0) AS BIGINT) AS dup_windows,
@@ -772,14 +773,15 @@ private[graft] object Support {
     * position is dropped iff covered by a non-keeper dup occurrence. */
   private[graft] def trimDuplicatedSpansSql(n: Int, minDf: Long): String =
     s"""WITH rw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-       |g AS MATERIALIZED (SELECT doc_id, i - 1 AS pos, ${wordGramSql(n)} AS gram
+       |g AS MATERIALIZED (SELECT doc_id, i - 1 AS pos,
+       |    CAST(concat('0x', substr(md5(${wordGramSql(n)}), 1, 15)) AS BIGINT) AS gh
        |  FROM rw, UNNEST(generate_series(1, len(ws) - ${n - 1})) AS t(i)
        |  WHERE i - 1 < 1048576 AND doc_id < 8796093022208),
-       |dk AS (SELECT gram, MIN(doc_id * 1048576 + pos) AS kpk FROM g
-       |  GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= $minDf),
+       |dk AS (SELECT gh, MIN(doc_id * 1048576 + pos) AS kpk FROM g
+       |  GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= $minDf),
        |dr AS (SELECT DISTINCT doc_id, p
        |  FROM (SELECT g.doc_id, UNNEST(range(g.pos, g.pos + $n)) AS p
-       |        FROM g JOIN dk USING (gram)
+       |        FROM g JOIN dk USING (gh)
        |        WHERE g.doc_id * 1048576 + g.pos <> dk.kpk)),
        |tk AS (SELECT doc_id, i - 1 AS p, ws[i] AS tok
        |  FROM rw, UNNEST(generate_series(1, len(ws))) AS t(i)),

@@ -115,7 +115,7 @@ object PlanAudit {
     "d19_prefix_join" -> "prefix-filtered similarity join: candidates from the RAREST-first prefix postings (lossless — provably superset of all qualifying pairs), size filter applied inside the join, exact verify one codegen'd merge-intersect per candidate; gram sets checkpointed once, read by df/prefix/verify. Measured candidate growth (CandidateProbe): 7.7k -> 8.4k -> 911k at 500/500/5000 docs — QUADRATIC on this vocabulary-saturated corpus, and provably irreducible while lossless (true pairs share only common grams: median min-shared-df 94 at 5k docs, so any posting cap loses pairs). Data-dependent by design; the maxGramDf escape hatch (capBuckets pattern, changes the pair definition) or a lossy blocker (d2/d25/d30) is the 100 TB path when the vocabulary saturates",
     "q107_incremental_cc" -> "incremental CC: the delta CC runs on the CONTRACTED graph (component-label vertices + delta edges), the 100 TB base edge log contributes only its label table, re-joined once — base edges are never re-iterated",
     "s19_item_cosine" -> "item-item CF: ONE user-key shuffle builds each user's sorted (item, value) array ((user,item) dupes pre-summed so the cap counts distinct items), the cap is a row-local size filter with whole-heavy-user drop (cap^2 bound per user), co-rated pairs are a row-local in-array upper-triangle explode (two native generators — the former per-user self-join exchange is gone), norms one item-keyed partial agg over the same checkpointed arrays; top-k is TakeOrdered",
-    "q110_weighted_median" -> "weighted median on VALUE REGISTERS: one partial-agg'd shuffle to (group, value, sum-weight, count) — parallelism follows (group, value) cardinality, so a low-cardinality group key no longer caps the job at |groups| tasks sorting the corpus; the ordered window (cumulative register sum ≡ the tie-inclusive RANGE cumulative over raw rows) and the 2·cum ≥ tot min-aggregate run over registers only",
+    "q110_weighted_median" -> "weighted median via BUCKETED two-phase election over (group, value) weight registers: the registers (one corpus-sized partial-agg'd shuffle) roll up to (group, value>>12) bucket weights, the median bucket is elected on that tiny frame (cum monotone → the first bucket whose end-cumulative passes 2·cum ≥ tot provably contains the elected value), and ONLY the winning bucket's registers see an ordered window — no stage sorts more than max(buckets/group, values/bucket) rows even on a near-unique value domain (which made the single-window register form slower than raw: measured 3.05s vs 2.3s fresh-JVM, scaling 4.4x → 1.6x)",
     "t20_pmi_pairs" -> "PMI pairs: >90%-df boilerplate tokens leave BEFORE pairing (banned set is <=avgDocLen/0.9 tokens, broadcast — the q70 runtime-filter pattern), the ordered-pair explode is two native generators (posexplode + slice, no interpreted HOFs), two chained partial-agg'd count shuffles (pair, token), broadcast N — at real corpus scale the stopword head (df->100%) is exactly what the rule removes, so per-doc pair volume is bounded by the distinct NON-boilerplate token count squared",
     "q116_stickiness" -> "exact DAU/MAU: each distinct user-day explodes onto its <=30 window days ROW-LOCALLY (bounded blowup), then one (day)-keyed distinct+count — the raw log is scanned once, no per-day rescan, no sliding-distinct state",
     "q121_nearest_click" -> "nearest as-of: backward last() and forward first() carries share ONE key exchange AND one sort; the direction pick is row-local CASE arithmetic — the range join (O(n*m) per key) never forms",

@@ -718,16 +718,19 @@ object Analytics {
   /** Exact weighted median per group: the smallest value v such that
     * Σ weight(rows with value ≤ v) ≥ half the group's total weight.
     *
-    * Scale shape (the q134 register rewrite, now inside the operator):
-    * first pre-aggregate to (group, value) weight REGISTERS — one
-    * partial-agg'd shuffle whose parallelism follows (group, value)
-    * cardinality — then run the ordered window over the register frame.
-    * The cumulative register sum at value v ≡ the tie-inclusive RANGE
-    * cumulative over raw rows (registers collapse every value tie into one
-    * row), so the 2·cum ≥ tot integer test is unchanged; but a
-    * low-cardinality group key no longer caps parallelism at |groups|
-    * tasks sorting the full corpus — the per-group sort touches only
-    * distinct values. The ≥-half test stays the integer comparison
+    * Scale shape — bucketed two-phase election over (group, value) weight
+    * REGISTERS (cumulative register sum at v ≡ the tie-inclusive RANGE
+    * cumulative over raw rows, so the 2·cum ≥ tot integer test is
+    * unchanged): the registers roll up once more to (group, bucket =
+    * value >> 12) weights, the MEDIAN BUCKET is elected on that tiny frame
+    * (cum is monotone, so the first bucket whose end-cumulative passes the
+    * half test provably contains the elected value), and only the winning
+    * bucket's registers see an ordered window. No stage sorts more than
+    * max(buckets per group, values per bucket) rows, even when the value
+    * domain is as large as the corpus (measured: a near-unique cents
+    * domain made the single-window register form SLOWER than raw at
+    * sf0.1) — and a low-cardinality group key caps nothing but the two
+    * tiny per-group passes. The ≥-half test stays the integer comparison
     * 2·cum ≥ total (no halving, no doubles).
     *
     * Output is identical to the raw-frame form: `n` counts RAW input rows
@@ -744,18 +747,49 @@ object Analytics {
       weightCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g = keyCols.map(col)
+    // (group, value) weight registers — the only corpus-sized shuffle, and
+    // it partial-aggs map-side. Checkpointed once: read by the bucket
+    // rollup and the in-bucket election.
     val reg = df
       .groupBy((keyCols :+ valueCol).map(col): _*)
       .agg(sum(col(weightCol)).as("__w"), count(lit(1)).as("__c"))
-    val wOrd = Window.partitionBy(g: _*).orderBy(col(valueCol))
+      // arithmetic shift ≡ floor-division by 4096 for NEGATIVE values too
+      // (a truncating div would fold buckets -0 and 0 together)
+      .withColumn("__b", shiftright(col(valueCol).cast("long"), 12))
+      .localCheckpoint(true)
+    // Phase A: bucket rollup — high-cardinality (group, bucket) partial
+    // agg; the per-group frames below are BUCKET-counted, not value-counted
+    val bw = reg.groupBy(g :+ col("__b"): _*)
+      .agg(sum(col("__w")).as("__bw"), sum(col("__c")).as("__bc"))
+    // Phase B: elect the median bucket per group on the tiny bucket frame.
+    // cumEnd(b) = cumulative weight through the END of bucket b; the
+    // elected value's tie-inclusive test 2·cum ≥ tot first succeeds inside
+    // the first bucket whose cumEnd passes it (cum is monotone), so the
+    // ordered window only ever sorts bucket counts, never value counts.
+    val wOrd = Window.partitionBy(g: _*).orderBy(col("__b"))
     val wAll = Window.partitionBy(g: _*)
-    reg
-      .withColumn("__cum", sum(col("__w")).over(wOrd))
-      .withColumn("__tot", sum(col("__w")).over(wAll))
+    val elected = bw
+      .withColumn("__cumEnd", sum(col("__bw")).over(wOrd))
+      .withColumn("__tot", sum(col("__bw")).over(wAll))
+      .withColumn("__n", sum(col("__bc")).over(wAll))
+      .filter(col("__cumEnd") * 2 >= col("__tot"))
+      .groupBy(g: _*)
+      .agg(
+        min(struct(col("__b"), (col("__cumEnd") - col("__bw")).as("__prev"))).as("__e"),
+        max(col("__tot")).as("__tot"),
+        max(col("__n")).as("__n"))
+      .select(g ++ Seq(col("__e.__b").as("__b"), col("__e.__prev").as("__prev"),
+        col("__tot"), col("__n")): _*)
+    // Phase C: the in-bucket election touches ONLY the median bucket's
+    // registers (the elected-bucket frame is |groups| rows → broadcast)
+    val inBucket = reg.join(broadcast(elected), keyCols :+ "__b")
+    inBucket
+      .withColumn("__cum", col("__prev") + sum(col("__w")).over(
+        Window.partitionBy(g: _*).orderBy(col(valueCol))))
       .groupBy(g: _*)
       .agg(
         min(when(col("__cum") * 2 >= col("__tot"), col(valueCol))).as("wmedian"),
-        sum(col("__c")).as("n"),
+        max(col("__n")).as("n"),
         max(col("__tot")).as("total_weight"))
   }
 

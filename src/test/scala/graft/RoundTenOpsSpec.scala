@@ -159,6 +159,33 @@ class RoundTenOpsSpec extends SparkSpec {
     r shouldBe Array((4L, "val", 2L), (9L, "test", 1L))
   }
 
+  "Analytics.weightedMedian" should "match the brute-force median across bucket boundaries and negative values" in {
+    // values straddle the 4096 bucket width and zero (shiftright must act
+    // as FLOOR division; a truncating div folds buckets -0 and 0)
+    val rows = Seq(
+      ("a", -5000L, 3L), ("a", -1L, 2L), ("a", 4095L, 1L), ("a", 4096L, 5L),
+      ("a", 9000L, 2L),
+      ("b", 4095L, 1L), ("b", 4096L, 1L),
+      ("c", 7L, 5L))
+    val df = rows.toDF("k", "v", "w")
+    def brute(k: String): Long = {
+      val vs = rows.filter(_._1 == k).sortBy(_._2)
+      val tot = vs.map(_._3).sum
+      var cum = 0L
+      vs.find { case (_, _, w) => cum += w; 2 * cum >= tot }.get._2
+    }
+    val r = Analytics.weightedMedian(df, Seq("k"), "v", "w")
+      .orderBy("k").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    r shouldBe Array(
+      ("a", brute("a"), 5L, 13L),
+      ("b", brute("b"), 2L, 2L),
+      ("c", brute("c"), 1L, 5L))
+    brute("a") shouldBe 4096L // non-vacuous: elected in a LATER bucket than
+    // the first passing value's neighborhood (cum crosses half inside b=1)
+    brute("b") shouldBe 4095L // tie at half elects the SMALLER value
+  }
+
   "Retrieval.bigramLmScore" should "reduce partitioned scoring to the single-LM score on one partition" in {
     val docs = Seq(
       (1L, "en", "the cat sat on the mat"),

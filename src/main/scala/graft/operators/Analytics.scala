@@ -793,6 +793,70 @@ object Analytics {
         max(col("__tot")).as("total_weight"))
   }
 
+  /** Exact weighted quantiles per group — [[weightedMedian]]'s bucketed
+    * two-phase election generalized to any rational rank: quantile
+    * `num/den` is the smallest value v with `den · cumw(v) ≥ num · tot`
+    * (tie-inclusive; (1, 2) reproduces the median test exactly). ONE
+    * register pass and ONE bucket rollup serve ALL requested quantiles —
+    * the bucket frame explodes a literal quantile array, each quantile
+    * elects its bucket independently, and the in-bucket windows partition
+    * by (group, quantile) so p25 and p99 sort concurrently.
+    *
+    * Same scale bounds as the median: no stage sorts more than
+    * max(buckets per group, values per bucket) rows. Overflow-safe while
+    * `max total weight · max den < 2⁶³` (a 100 TB row count against
+    * den ≤ 1000 is ~1e14). Weights must be non-negative (the
+    * [[weightedMedian]] precondition).
+    *
+    * Returns one row per (group, quantile): `(keys…, quantile,
+    * quantile_value)`. */
+  def weightedQuantiles(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      weightCol: String,
+      quantiles: Seq[(String, Long, Long)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(quantiles.nonEmpty &&
+      quantiles.forall { case (_, n, d) => n >= 0 && d > 0 && n <= d },
+      "quantile ranks must satisfy 0 <= num <= den, den > 0")
+    val g = keyCols.map(col)
+    val reg = df
+      .groupBy((keyCols :+ valueCol).map(col): _*)
+      .agg(sum(col(weightCol)).as("__w"))
+      .withColumn("__b", shiftright(col(valueCol).cast("long"), 12))
+      .localCheckpoint(true)
+    val bw = reg.groupBy(g :+ col("__b"): _*).agg(sum(col("__w")).as("__bw"))
+    val wOrd = Window.partitionBy(g: _*).orderBy(col("__b"))
+    val wAll = Window.partitionBy(g: _*)
+    val qArr = array(quantiles.map { case (name, n, d) =>
+      struct(lit(name).as("__q"), lit(n).as("__num"), lit(d).as("__den"))
+    }: _*)
+    val elected = bw
+      .withColumn("__cumEnd", sum(col("__bw")).over(wOrd))
+      .withColumn("__tot", sum(col("__bw")).over(wAll))
+      .withColumn("__qs", explode(qArr))
+      .select(g ++ Seq(col("__b"), col("__bw"), col("__cumEnd"), col("__tot"),
+        col("__qs.__q").as("__q"), col("__qs.__num").as("__num"),
+        col("__qs.__den").as("__den")): _*)
+      .filter(col("__cumEnd") * col("__den") >= col("__tot") * col("__num"))
+      .groupBy(g :+ col("__q"): _*)
+      .agg(
+        min(struct(col("__b"), (col("__cumEnd") - col("__bw")).as("__prev"))).as("__e"),
+        max(col("__tot")).as("__tot"),
+        max(col("__num")).as("__num"), max(col("__den")).as("__den"))
+      .select(g ++ Seq(col("__q"), col("__e.__b").as("__b"),
+        col("__e.__prev").as("__prev"), col("__tot"),
+        col("__num"), col("__den")): _*)
+    reg.join(broadcast(elected), keyCols :+ "__b")
+      .withColumn("__cum", col("__prev") + sum(col("__w")).over(
+        Window.partitionBy(g :+ col("__q"): _*).orderBy(col(valueCol))))
+      .groupBy(g :+ col("__q"): _*)
+      .agg(min(when(col("__cum") * col("__den") >= col("__tot") * col("__num"),
+        col(valueCol))).as("quantile_value"))
+      .withColumnRenamed("__q", "quantile")
+  }
+
   /** One-sided CUSUM change detection (Page 1954) against a per-group
     * integer target: C_n = max(0, C_{n−1} + (x_n − target)).
     *

@@ -1257,6 +1257,24 @@ private[graft] object CoreQueries3 {
         .limit(50)
     }),
 
+    // exact p25/p50/p75/p99 ship-delay profile per priority — ONE register
+    // pass serves all four ranks via the bucketed two-phase election; no
+    // stage sorts more than max(buckets/group, values/bucket) rows
+    "q179_delay_quantiles" -> ((s, d) => {
+      val delays = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), Tables.epochUs(col("l_shipdate")).as("sd_us"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+          Tables.epochUs(col("o_orderdate")).as("od_us")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          expr(s"(sd_us - od_us) div $DayUs").as("delay_days"),
+          lit(1L).as("one"))
+      Analytics.weightedQuantiles(delays, Seq("o_orderpriority"),
+          "delay_days", "one",
+          Seq(("p25", 1L, 4L), ("p50", 1L, 2L), ("p75", 3L, 4L), ("p99", 99L, 100L)))
+        .orderBy("o_orderpriority", "quantile")
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -2224,6 +2242,26 @@ private[graft] object CoreQueries3 {
         |      // sc.supp AS BIGINT) AS lift_ppm
         |  FROM dir JOIN it sa ON ante = sa.p JOIN it sc ON cons = sc.p, nn)
         |SELECT * FROM r ORDER BY lift_ppm DESC, ante, cons LIMIT 50""".stripMargin,
+
+    // raw-row cumulative form of the same tie-inclusive rank test:
+    // quantile num/den = MIN value with cum*den >= tot*num
+    "q179_delay_quantiles" ->
+      s"""WITH de AS (SELECT o_orderpriority,
+         |    (epoch_us(l_shipdate) - epoch_us(o_orderdate)) // $DayUs AS delay_days
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |w AS (SELECT o_orderpriority, delay_days,
+         |    CAST(COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY delay_days)
+         |      AS BIGINT) AS cum,
+         |    CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS tot
+         |  FROM de),
+         |qs AS (SELECT * FROM (VALUES ('p25', 1, 4), ('p50', 1, 2),
+         |    ('p75', 3, 4), ('p99', 99, 100)) AS q(quantile, num, den))
+         |SELECT w.o_orderpriority, q.quantile,
+         |  CAST(MIN(CASE WHEN w.cum * q.den >= w.tot * q.num
+         |    THEN w.delay_days END) AS BIGINT) AS quantile_value
+         |FROM w CROSS JOIN qs q
+         |GROUP BY w.o_orderpriority, q.quantile
+         |ORDER BY w.o_orderpriority, q.quantile""".stripMargin,
 
   )
 }

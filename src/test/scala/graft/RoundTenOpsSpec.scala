@@ -186,6 +186,27 @@ class RoundTenOpsSpec extends SparkSpec {
     brute("b") shouldBe 4095L // tie at half elects the SMALLER value
   }
 
+  "Analytics.weightedQuantiles" should "match brute force for every rank in one pass" in {
+    val rows = Seq(
+      ("a", -5000L, 3L), ("a", -1L, 2L), ("a", 4095L, 1L), ("a", 4096L, 5L),
+      ("a", 9000L, 2L), ("b", 10L, 1L), ("b", 20L, 1L), ("b", 30L, 1L))
+    val qs = Seq(("p00", 0L, 1L), ("p25", 1L, 4L), ("p50", 1L, 2L),
+      ("p75", 3L, 4L), ("p99", 99L, 100L))
+    def brute(k: String, num: Long, den: Long): Long = {
+      val vs = rows.filter(_._1 == k).sortBy(_._2)
+      val tot = vs.map(_._3).sum
+      var cum = 0L
+      vs.find { case (_, _, w) => cum += w; cum * den >= tot * num }.get._2
+    }
+    val r = Analytics.weightedQuantiles(rows.toDF("k", "v", "w"),
+        Seq("k"), "v", "w", qs)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    for (k <- Seq("a", "b"); (q, n, d) <- qs)
+      withClue(s"$k/$q: ") { r((k, q)) shouldBe brute(k, n, d) }
+    r(("a", "p50")) shouldBe 4096L // crosses into a later bucket
+    r(("a", "p00")) shouldBe -5000L // rank 0 = group minimum
+  }
+
   "Retrieval.bigramLmScore" should "reduce partitioned scoring to the single-LM score on one partition" in {
     val docs = Seq(
       (1L, "en", "the cat sat on the mat"),

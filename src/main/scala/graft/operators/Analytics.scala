@@ -744,73 +744,54 @@ object Analytics {
       df: DataFrame,
       keyCols: Seq[String],
       valueCol: String,
-      weightCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val g = keyCols.map(col)
-    // (group, value) weight registers — the only corpus-sized shuffle, and
-    // it partial-aggs map-side. Checkpointed once: read by the bucket
-    // rollup and the in-bucket election.
-    val reg = df
-      .groupBy((keyCols :+ valueCol).map(col): _*)
-      .agg(sum(col(weightCol)).as("__w"), count(lit(1)).as("__c"))
-      // arithmetic shift ≡ floor-division by 4096 for NEGATIVE values too
-      // (a truncating div would fold buckets -0 and 0 together)
-      .withColumn("__b", shiftright(col(valueCol).cast("long"), 12))
-      .localCheckpoint(true)
-    // Phase A: bucket rollup — high-cardinality (group, bucket) partial
-    // agg; the per-group frames below are BUCKET-counted, not value-counted
-    val bw = reg.groupBy(g :+ col("__b"): _*)
-      .agg(sum(col("__w")).as("__bw"), sum(col("__c")).as("__bc"))
-    // Phase B: elect the median bucket per group on the tiny bucket frame.
-    // cumEnd(b) = cumulative weight through the END of bucket b; the
-    // elected value's tie-inclusive test 2·cum ≥ tot first succeeds inside
-    // the first bucket whose cumEnd passes it (cum is monotone), so the
-    // ordered window only ever sorts bucket counts, never value counts.
-    val wOrd = Window.partitionBy(g: _*).orderBy(col("__b"))
-    val wAll = Window.partitionBy(g: _*)
-    val elected = bw
-      .withColumn("__cumEnd", sum(col("__bw")).over(wOrd))
-      .withColumn("__tot", sum(col("__bw")).over(wAll))
-      .withColumn("__n", sum(col("__bc")).over(wAll))
-      .filter(col("__cumEnd") * 2 >= col("__tot"))
-      .groupBy(g: _*)
-      .agg(
-        min(struct(col("__b"), (col("__cumEnd") - col("__bw")).as("__prev"))).as("__e"),
-        max(col("__tot")).as("__tot"),
-        max(col("__n")).as("__n"))
-      .select(g ++ Seq(col("__e.__b").as("__b"), col("__e.__prev").as("__prev"),
-        col("__tot"), col("__n")): _*)
-    // Phase C: the in-bucket election touches ONLY the median bucket's
-    // registers (the elected-bucket frame is |groups| rows → broadcast)
-    val inBucket = reg.join(broadcast(elected), keyCols :+ "__b")
-    inBucket
-      .withColumn("__cum", col("__prev") + sum(col("__w")).over(
-        Window.partitionBy(g: _*).orderBy(col(valueCol))))
-      .groupBy(g: _*)
-      .agg(
-        min(when(col("__cum") * 2 >= col("__tot"), col(valueCol))).as("wmedian"),
-        max(col("__n")).as("n"),
-        max(col("__tot")).as("total_weight"))
-  }
+      weightCol: String): DataFrame =
+    bucketedRankElection(df, keyCols, valueCol, weightCol,
+      Seq(("wmedian", 1L, 2L)))
+      .select(keyCols.map(col) ++ Seq(
+        col("quantile_value").as("wmedian"), col("n"), col("total_weight")): _*)
 
-  /** Exact weighted quantiles per group — [[weightedMedian]]'s bucketed
-    * two-phase election generalized to any rational rank: quantile
-    * `num/den` is the smallest value v with `den · cumw(v) ≥ num · tot`
-    * (tie-inclusive; (1, 2) reproduces the median test exactly). ONE
-    * register pass and ONE bucket rollup serve ALL requested quantiles —
-    * the bucket frame explodes a literal quantile array, each quantile
-    * elects its bucket independently, and the in-bucket windows partition
-    * by (group, quantile) so p25 and p99 sort concurrently.
-    *
-    * Same scale bounds as the median: no stage sorts more than
-    * max(buckets per group, values per bucket) rows. Overflow-safe while
-    * `max total weight · max den < 2⁶³` (a 100 TB row count against
-    * den ≤ 1000 is ~1e14). Weights must be non-negative (the
-    * [[weightedMedian]] precondition).
+  /** Exact weighted quantiles per group — the same bucketed two-phase
+    * election at any rational rank: quantile `num/den` is the smallest
+    * value v with `den · cumw(v) ≥ num · tot` (tie-inclusive; (1, 2) is
+    * exactly the median test). ONE register pass and ONE bucket rollup
+    * serve ALL requested quantiles — each rank elects its bucket
+    * independently off the exploded literal quantile array, and the
+    * in-bucket windows partition by (group, quantile) so p25 and p99 sort
+    * concurrently. Same preconditions and scale bounds as
+    * [[weightedMedian]]; overflow-safe while
+    * `max total weight · max den < 2⁶³`.
     *
     * Returns one row per (group, quantile): `(keys…, quantile,
     * quantile_value)`. */
   def weightedQuantiles(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      weightCol: String,
+      quantiles: Seq[(String, Long, Long)]): DataFrame =
+    bucketedRankElection(df, keyCols, valueCol, weightCol, quantiles)
+      .select(keyCols.map(col) ++ Seq(col("quantile"), col("quantile_value")): _*)
+
+  /** The shared bucketed two-phase election behind [[weightedMedian]] and
+    * [[weightedQuantiles]].
+    *
+    * Phase 0: (group, value) weight registers — the only corpus-sized
+    * shuffle, partial-agg'd map-side, checkpointed once for its two
+    * readers. Values must be NON-NULL integrals (the bucket is
+    * `value >> 12`; arithmetic shift ≡ floor-division for negatives — a
+    * null value would elect an unjoinable null bucket and silently drop
+    * its group, so nulls are the caller's to filter).
+    * Phase A: bucket rollup to the tiny (group, bucket) frame.
+    * Phase B: each rank elects the first bucket whose END-cumulative
+    * passes `den · cum ≥ num · tot` — cum is monotone, so that bucket
+    * provably contains the elected value.
+    * Phase C: only the winning buckets' registers see an ordered window.
+    * No stage sorts more than max(buckets per group, values per bucket)
+    * rows, even on a near-unique value domain (which made a single-window
+    * register form SLOWER than raw at sf0.1). The elected-bucket side is
+    * |groups|·|ranks| rows — left un-hinted so AQE broadcasts from runtime
+    * size (round-6 rule). */
+  private def bucketedRankElection(
       df: DataFrame,
       keyCols: Seq[String],
       valueCol: String,
@@ -820,13 +801,16 @@ object Analytics {
     require(quantiles.nonEmpty &&
       quantiles.forall { case (_, n, d) => n >= 0 && d > 0 && n <= d },
       "quantile ranks must satisfy 0 <= num <= den, den > 0")
+    require(quantiles.map(_._1).distinct.size == quantiles.size,
+      "quantile names must be distinct (Phase B groups by name)")
     val g = keyCols.map(col)
     val reg = df
       .groupBy((keyCols :+ valueCol).map(col): _*)
-      .agg(sum(col(weightCol)).as("__w"))
+      .agg(sum(col(weightCol)).as("__w"), count(lit(1)).as("__c"))
       .withColumn("__b", shiftright(col(valueCol).cast("long"), 12))
       .localCheckpoint(true)
-    val bw = reg.groupBy(g :+ col("__b"): _*).agg(sum(col("__w")).as("__bw"))
+    val bw = reg.groupBy(g :+ col("__b"): _*)
+      .agg(sum(col("__w")).as("__bw"), sum(col("__c")).as("__bc"))
     val wOrd = Window.partitionBy(g: _*).orderBy(col("__b"))
     val wAll = Window.partitionBy(g: _*)
     val qArr = array(quantiles.map { case (name, n, d) =>
@@ -835,25 +819,29 @@ object Analytics {
     val elected = bw
       .withColumn("__cumEnd", sum(col("__bw")).over(wOrd))
       .withColumn("__tot", sum(col("__bw")).over(wAll))
+      .withColumn("__n", sum(col("__bc")).over(wAll))
       .withColumn("__qs", explode(qArr))
       .select(g ++ Seq(col("__b"), col("__bw"), col("__cumEnd"), col("__tot"),
-        col("__qs.__q").as("__q"), col("__qs.__num").as("__num"),
+        col("__n"), col("__qs.__q").as("__q"), col("__qs.__num").as("__num"),
         col("__qs.__den").as("__den")): _*)
       .filter(col("__cumEnd") * col("__den") >= col("__tot") * col("__num"))
       .groupBy(g :+ col("__q"): _*)
       .agg(
         min(struct(col("__b"), (col("__cumEnd") - col("__bw")).as("__prev"))).as("__e"),
-        max(col("__tot")).as("__tot"),
+        max(col("__tot")).as("__tot"), max(col("__n")).as("__n"),
         max(col("__num")).as("__num"), max(col("__den")).as("__den"))
       .select(g ++ Seq(col("__q"), col("__e.__b").as("__b"),
-        col("__e.__prev").as("__prev"), col("__tot"),
+        col("__e.__prev").as("__prev"), col("__tot"), col("__n"),
         col("__num"), col("__den")): _*)
-    reg.join(broadcast(elected), keyCols :+ "__b")
+    reg.join(elected, keyCols :+ "__b")
       .withColumn("__cum", col("__prev") + sum(col("__w")).over(
         Window.partitionBy(g :+ col("__q"): _*).orderBy(col(valueCol))))
       .groupBy(g :+ col("__q"): _*)
-      .agg(min(when(col("__cum") * col("__den") >= col("__tot") * col("__num"),
-        col(valueCol))).as("quantile_value"))
+      .agg(
+        min(when(col("__cum") * col("__den") >= col("__tot") * col("__num"),
+          col(valueCol))).as("quantile_value"),
+        max(col("__n")).as("n"),
+        max(col("__tot")).as("total_weight"))
       .withColumnRenamed("__q", "quantile")
   }
 

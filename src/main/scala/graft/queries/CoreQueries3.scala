@@ -17,6 +17,18 @@ import Support._
   * has its DuckDB oracle adjacent in [[CoreQueries3.oracles]]. */
 private[graft] object CoreQueries3 {
 
+  /** (o_orderpriority, delay_days) — the ship-delay frame shared by q134's
+    * latency profile and q179's quantile profile (single-source rule: the
+    * two profiles must agree on the delay definition). */
+  private def shipDelayDays(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), Tables.epochUs(col("l_shipdate")).as("sd_us"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+        Tables.epochUs(col("o_orderdate")).as("od_us")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        expr(s"(sd_us - od_us) div $DayUs").as("delay_days"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // purchase cadence: median days between a customer's consecutive
@@ -295,13 +307,7 @@ private[graft] object CoreQueries3 {
     // one join shuffle on the order key, medians via the tie-safe
     // cumulative-count frame (q110 rule), mean as exact ppm-days
     "q134_ship_delay_profile" -> ((s, d) => {
-      val delays = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), Tables.epochUs(col("l_shipdate")).as("sd_us"))
-        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
-          Tables.epochUs(col("o_orderdate")).as("od_us")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_orderpriority"),
-          expr(s"(sd_us - od_us) div $DayUs").as("delay_days"))
+      val delays = shipDelayDays(s, d)
       // delay is a bounded integer domain: pre-aggregate to (priority,
       // delay) counts, then run the weighted median over the COUNT frame —
       // identical result (2·cum ≥ tot over weights ≡ the row-level rule),
@@ -1261,14 +1267,7 @@ private[graft] object CoreQueries3 {
     // pass serves all four ranks via the bucketed two-phase election; no
     // stage sorts more than max(buckets/group, values/bucket) rows
     "q179_delay_quantiles" -> ((s, d) => {
-      val delays = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), Tables.epochUs(col("l_shipdate")).as("sd_us"))
-        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
-          Tables.epochUs(col("o_orderdate")).as("od_us")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_orderpriority"),
-          expr(s"(sd_us - od_us) div $DayUs").as("delay_days"),
-          lit(1L).as("one"))
+      val delays = shipDelayDays(s, d).withColumn("one", lit(1L))
       Analytics.weightedQuantiles(delays, Seq("o_orderpriority"),
           "delay_days", "one",
           Seq(("p25", 1L, 4L), ("p50", 1L, 2L), ("p75", 3L, 4L), ("p99", 99L, 100L)))

@@ -168,6 +168,22 @@ private[graft] object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // the round-10 split machinery composed end-to-end on p5's gate chain:
+    // clean survivors → near-dup clusters → CLUSTER-representative split
+    // (leakage-free by construction, d34) → per-(split, lang) manifest —
+    // "which shard does each clean doc ship in, and how big is each shard"
+    "p7_split_release" -> ((s, d) => {
+      val (_, _, _, clean) = releaseGateStages(s, d)
+      val clustered = Dedup.nearDupClusters(s, clean, "doc_id", "text")
+      Sampling.clusterAwareSplit(clustered)
+        .select(col("doc_id"), col("split"))
+        .join(clean.select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("nt")), "doc_id")
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+        .orderBy("split", "lang")
+    }),
+
   )
 
   /** p5/p6's shared gate chain (single-sourced so the release card and the
@@ -382,6 +398,22 @@ private[graft] object PipelineQueries {
          |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
          |FROM enc JOIN clean c USING (doc_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same gate chain, then d7's cluster labels over the CLEAN set and the
+    // q29 split rule on the representative id (d34's leakage-free split)
+    "p7_split_release" ->
+      s"""WITH RECURSIVE $releaseGateChainSql,
+         |${minhashPairsSql("clean")},
+         |$clusterCompSql,
+         |asg AS (SELECT c.doc_id, c.lang,
+         |    CAST(len(string_split(c.text, ' ')) AS BIGINT) AS nt,
+         |    COALESCE(cc.cluster_id, c.doc_id) AS cluster_id
+         |  FROM clean c LEFT JOIN cl_comp cc USING (doc_id)),
+         |sp AS (SELECT lang, nt, ${md5SplitCaseSql("cluster_id")} AS split
+         |  FROM asg)
+         |SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(nt) AS BIGINT) AS n_tokens
+         |FROM sp GROUP BY split, lang ORDER BY split, lang""".stripMargin,
 
   )
 

@@ -207,6 +207,35 @@ class RoundTenOpsSpec extends SparkSpec {
     r(("a", "p00")) shouldBe -5000L // rank 0 = group minimum
   }
 
+  it should "match brute force on seeded-random frames (zero weights, negatives, boundary straddles)" in {
+    // the repo's seeded Sampled idiom: 30 random groups in ONE frame (the
+    // trial id is part of the group key), every rank checked against the
+    // reference definition "smallest v with den·cumw(v) >= num·tot"
+    val rnd = new java.util.Random(20260815L)
+    val qs = Seq(("p00", 0L, 1L), ("p37", 37L, 100L), ("p50", 1L, 2L),
+      ("p63", 5L, 8L), ("p100", 1L, 1L))
+    val rows = (0 until 30).flatMap { trial =>
+      val n = 5 + rnd.nextInt(36)
+      (0 until n).map { _ =>
+        (s"t$trial", rnd.nextInt(18001).toLong - 9000L, rnd.nextInt(6).toLong)
+      }
+    }
+    def brute(k: String, num: Long, den: Long): Long = {
+      // register form: weights summed per value first (duplicate values
+      // collapse), then the cumulative test over sorted distinct values
+      val byV = rows.filter(_._1 == k).groupBy(_._2).view
+        .mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+      val tot = byV.map(_._2).sum
+      var cum = 0L
+      byV.find { case (_, w) => cum += w; cum * den >= tot * num }.get._1
+    }
+    val r = Analytics.weightedQuantiles(rows.toDF("k", "v", "w"),
+        Seq("k"), "v", "w", qs)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    for (trial <- 0 until 30; (q, num, den) <- qs)
+      withClue(s"t$trial/$q: ") { r((s"t$trial", q)) shouldBe brute(s"t$trial", num, den) }
+  }
+
   "Retrieval.bigramLmScore" should "reduce partitioned scoring to the single-LM score on one partition" in {
     val docs = Seq(
       (1L, "en", "the cat sat on the mat"),

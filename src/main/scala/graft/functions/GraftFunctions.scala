@@ -63,6 +63,8 @@ object GraftFunctions {
         c => PredictedLang(c(0), litStr("graft_langid", c(1))))),
     ("graft_toklen", "graft_toklen(tokens) — sum of token lengths in characters",
       arity("graft_toklen", "(array<string>)", 1)(c => SumTokenChars(c.head))),
+    ("graft_alpha_count", "graft_alpha_count(text) — count of ASCII letters [A-Za-z]",
+      arity("graft_alpha_count", "(string)", 1)(c => AsciiAlphaCount(c.head))),
     ("graft_wngram_stats", "graft_wngram_stats(text, n) — [total, distinct] word n-grams",
       arity("graft_wngram_stats", "(string, literal int)", 2)(
         c => WordNgramStats(c(0), litInt("graft_wngram_stats", c(1))))),

@@ -102,6 +102,42 @@ object SimHashBits {
   }
 }
 
+/** Count of ASCII letters in a string — equals
+  * `length(regexp_replace(s, "[^a-zA-Z]", ""))` because [A-Za-z] code
+  * points are single-byte in UTF-8 and continuation bytes are >= 0x80, so
+  * a byte scan counts exactly the chars the regex keeps. Replaces the
+  * regex spelling in every alpha-ratio quality site: regexp_replace
+  * materializes the stripped string per row (the dominant cost of t2/d16's
+  * quality projection on a single-split scan); this is one allocation-free
+  * pass. */
+object AsciiAlphaCount {
+  def compute(s: UTF8String): Long = {
+    val b = s.getBytes
+    var i = 0
+    var n = 0L
+    while (i < b.length) {
+      val c = b(i)
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) n += 1L
+      i += 1
+    }
+    n
+  }
+}
+
+case class AsciiAlphaCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_alpha_count"
+
+  protected override def nullSafeEval(input: Any): Any =
+    AsciiAlphaCount.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.AsciiAlphaCount.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): AsciiAlphaCount =
+    copy(child = newChild)
+}
+
 case class SimHashBits(child: Expression, bits: Int) extends UnaryExpression {
   require(bits >= 1 && bits <= 32,
     "simhash uses the first 4 (bits<=16) or 8 (bits<=32) md5 hex digits")

@@ -52,7 +52,10 @@ object TextAnalysis {
     * Zero-length texts score 0. */
   def alphaPpmCol(text: Column): Column = {
     val textLen = length(text).cast("long")
-    val alphaLen = length(regexp_replace(text, "[^a-zA-Z]", "")).cast("long")
+    // native byte-scan count ≡ length(regexp_replace(text, "[^a-zA-Z]", ""))
+    // (AsciiAlphaCount scaladoc) — the regex spelling allocates the stripped
+    // string per row and dominated t2/d16's single-split quality projection
+    val alphaLen = call_function("graft_alpha_count", text)
     when(textLen > 0, ldiv(alphaLen * 1000000L, textLen)).otherwise(0L)
   }
 
@@ -225,10 +228,9 @@ object TextAnalysis {
       strataCol: String,
       keepPpm: Long): DataFrame = {
     require(keepPpm >= 0 && keepPpm <= 1000000L, "keepPpm is parts-per-million")
-    val textLen = length(col(textCol)).cast("long")
-    val alphaLen = length(regexp_replace(col(textCol), "[^a-zA-Z]", "")).cast("long")
-    // exact long floor-division ≡ DuckDB `//` at any magnitude
-    val score = when(textLen > 0, ldiv(alphaLen * 1000000L, textLen)).otherwise(0L)
+    // single-sourced: the stratum filter ranks by the SAME alpha-ppm the
+    // quality gate and keeper election report (alphaPpmCol)
+    val score = alphaPpmCol(col(textCol))
     val part = org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol))
     docs.select(col(idCol), col(strataCol), score.as("alpha_ppm"))
       .withColumn("rank",

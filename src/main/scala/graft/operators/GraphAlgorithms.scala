@@ -730,4 +730,56 @@ object GraphAlgorithms {
         coalesce(col("hub"), lit(0L)).as("hub"),
         coalesce(col("auth"), lit(0L)).as("auth"))
   }
+
+  /** Newman modularity of a community assignment, per community, in exact
+    * integer ppm — the standard audit AFTER any community detection
+    * ([[labelPropagation]], [[connectedComponents]], LSH clusters): did the
+    * partition actually concentrate edges inside communities?
+    *
+    * Q = Σ_c [ m_c/m − (d_c/2m)² ] over communities c, where m = undirected
+    * edge count, m_c = intra-community edges, d_c = community degree sum.
+    * On the SYMMETRIC directed frame (2m rows): m_c/m = intra2_c/m2 and
+    * (d_c/2m)² = d_c²/m2², so each community's contribution is
+    * `(intra2·10⁶) div m2 − (d_c²·10⁶) div (m2²)` — both divisions on
+    * non-negative operands (div is floor ≡ truncate there; the signed
+    * contribution comes from the SUBTRACTION, never from dividing a
+    * negative — the q160/s27 rule). The d² and m2² products are computed
+    * in DECIMAL(38,0) (≡ DuckDB HUGEINT, the s37 rule) so a 10⁹-edge graph
+    * cannot overflow; IntegralDivide on decimals returns BIGINT on both
+    * engines. Per-term flooring is the documented staged convention
+    * (q144): both engines floor identically, so the statistic is
+    * deterministic even though it is not the real-valued Q.
+    *
+    * `edges` must be the symmetric distinct loop-free frame (src, dst) —
+    * exactly what [[labelPropagation]] normalizes to — and `labels` a
+    * total (vertex, label) map over its endpoints. Scale shape: one
+    * degree aggregate, two edge⋈label equi-joins (the CC/HITS shape), all
+    * partial-agg'd; the 1-row total is broadcast. Returns one row per
+    * community: (label, n_vertices, intra_edges, degree_sum, contrib_ppm). */
+  def modularityPpm(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    val lab = labels.select(col("vertex"), col("label"))
+    val tot = e.agg(count(lit(1)).as("m2"))
+    val deg = e.groupBy(col("src").as("vertex")).agg(count(lit(1)).as("d"))
+    val comm = lab.join(deg, "vertex")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vertices"), sum(col("d")).as("degree_sum"))
+    val intra = e
+      .join(lab.select(col("vertex").as("src"), col("label").as("la")), "src")
+      .join(lab.select(col("vertex").as("dst"), col("label").as("lb")), "dst")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("intra2"))
+    comm.join(intra, Seq("label"), "left")
+      .withColumn("intra2", coalesce(col("intra2"), lit(0L)))
+      .join(broadcast(tot))
+      .select(col("label"), col("n_vertices"),
+        call_function("div", col("intra2"), lit(2L)).as("intra_edges"),
+        col("degree_sum"),
+        (call_function("div", col("intra2") * 1000000L, col("m2")) -
+          call_function("div",
+            col("degree_sum").cast("decimal(38,0)") * col("degree_sum") * 1000000L,
+            col("m2").cast("decimal(38,0)") * col("m2"))).as("contrib_ppm"))
+  }
 }

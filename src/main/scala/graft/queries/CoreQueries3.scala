@@ -1274,6 +1274,19 @@ private[graft] object CoreQueries3 {
         .orderBy("o_orderpriority", "quantile")
     }),
 
+    // modularity audit of q66's label-propagation communities on the same
+    // brand/type graph — per-community exact-integer Newman contribution
+    // (did the partition concentrate edges inside communities?); signed
+    // value comes from SUBTRACTION of two non-negative floor-divisions
+    "q180_modularity" -> ((s, d) => {
+      val bt = Tables.part(s, d).select(
+        concat(lit("b:"), col("p_brand")).as("src"),
+        concat(lit("t:"), col("p_type")).as("dst"))
+      val edges = bt.union(bt.select(col("dst").as("src"), col("src").as("dst")))
+      val labels = GraphAlgorithms.labelPropagation(s, edges, iterations = 3)
+      GraphAlgorithms.modularityPpm(edges, labels).orderBy("label")
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -2261,6 +2274,31 @@ private[graft] object CoreQueries3 {
          |FROM w CROSS JOIN qs q
          |GROUP BY w.o_orderpriority, q.quantile
          |ORDER BY w.o_orderpriority, q.quantile""".stripMargin,
+
+    // q66's exact label chain, then modularity on the symmetric frame:
+    // m_c/m = intra2/m2, (d_c/2m)^2 = d^2/m2^2; HUGEINT products, per-term
+    // floors (q144 convention), signed result by subtraction only
+    "q180_modularity" ->
+      s"""WITH ${labelPropChainSql(iterations = 3)},
+         |lab AS (SELECT vertex, label FROM l3),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM e),
+         |deg AS (SELECT src AS vertex, CAST(COUNT(*) AS BIGINT) AS d
+         |  FROM e GROUP BY 1),
+         |cm AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vertices,
+         |    CAST(SUM(d) AS BIGINT) AS degree_sum
+         |  FROM lab JOIN deg USING (vertex) GROUP BY label),
+         |intra AS (SELECT la.label, CAST(COUNT(*) AS BIGINT) AS intra2
+         |  FROM e JOIN lab la ON la.vertex = e.src
+         |         JOIN lab lb ON lb.vertex = e.dst
+         |  WHERE la.label = lb.label GROUP BY la.label)
+         |SELECT cm.label, cm.n_vertices,
+         |  CAST(COALESCE(intra.intra2, 0) // 2 AS BIGINT) AS intra_edges,
+         |  cm.degree_sum,
+         |  CAST((COALESCE(intra.intra2, 0) * 1000000) // m2
+         |    - (cm.degree_sum * cm.degree_sum * 1000000) // (m2 * m2)
+         |    AS BIGINT) AS contrib_ppm
+         |FROM cm LEFT JOIN intra ON cm.label = intra.label, tot
+         |ORDER BY cm.label""".stripMargin,
 
   )
 }

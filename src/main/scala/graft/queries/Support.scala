@@ -819,7 +819,11 @@ private[graft] object Support {
     * — each round is neighbor-label counts, per-vertex plurality pick
     * (count desc, label asc — ASCII byte order, identical collation both
     * engines) and a keep-own-label fallback for isolated vertices. */
-  private[graft] def labelPropSql(iterations: Int): String = {
+  /** The label-propagation CTE chain over the brand/type bipartite graph
+    * (eraw → e → v → l0 → l1..l`iterations`), shared by q66 (the labels
+    * themselves) and q180 (modularity of the same labels — single-source
+    * rule: the audit must score EXACTLY the partition q66 reports). */
+  private[graft] def labelPropChainSql(iterations: Int): String = {
     val iters = (1 to iterations).map { i =>
       s"""l$i AS (SELECT l.vertex, COALESCE(p.label, l.label) AS label
          |  FROM l${i - 1} l LEFT JOIN (
@@ -832,16 +836,19 @@ private[graft] object Support {
          |            GROUP BY e.dst, p.label) n)
          |    WHERE rn = 1) p ON p.vertex = l.vertex)""".stripMargin
     }.mkString(",\n")
-    s"""WITH eraw AS (
+    s"""eraw AS (
        |  SELECT 'b:' || p_brand AS src, 't:' || p_type AS dst FROM part
        |  UNION ALL
        |  SELECT 't:' || p_type AS src, 'b:' || p_brand AS dst FROM part),
        |e AS (SELECT DISTINCT src, dst FROM eraw WHERE src <> dst),
        |v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
        |l0 AS (SELECT vertex, vertex AS label FROM v),
-       |$iters
-       |SELECT vertex, label FROM l$iterations ORDER BY vertex""".stripMargin
+       |$iters""".stripMargin
   }
+
+  private[graft] def labelPropSql(iterations: Int): String =
+    s"""WITH ${labelPropChainSql(iterations)}
+       |SELECT vertex, label FROM l$iterations ORDER BY vertex""".stripMargin
 
   /** Unrolled synchronous k-core peeling over the co-purchase graph
     * (mirrors GraphAlgorithms.kCore over cooccurrenceEdges): each round

@@ -754,8 +754,17 @@ object GraphAlgorithms {
     * exactly what [[labelPropagation]] normalizes to — and `labels` a
     * total (vertex, label) map over its endpoints. Scale shape: one
     * degree aggregate, two edge⋈label equi-joins (the CC/HITS shape), all
-    * partial-agg'd; the 1-row total is broadcast. Returns one row per
-    * community: (label, n_vertices, intra_edges, degree_sum, contrib_ppm). */
+    * partial-agg'd; the 1-row total is broadcast.
+    *
+    * The same registers also yield each community's CONDUCTANCE — the
+    * other standard partition audit (cut quality, not density):
+    * cut_c = d_c − intra2_c boundary edge-ends, and
+    * φ_c = cut_c / min(d_c, 2m − d_c) in ppm, floor-divided with the
+    * denominator clamped to ≥ 1 (a single-community partition has
+    * 2m − d_c = 0; the clamp is the t25 staged-denominator rule, a no-op
+    * whenever a boundary exists). Returns one row per community:
+    * (label, n_vertices, intra_edges, degree_sum, contrib_ppm,
+    * cut_edges, conductance_ppm). */
   def modularityPpm(edges: DataFrame, labels: DataFrame): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct()
@@ -780,6 +789,54 @@ object GraphAlgorithms {
         (call_function("div", col("intra2") * 1000000L, col("m2")) -
           call_function("div",
             col("degree_sum").cast("decimal(38,0)") * col("degree_sum") * 1000000L,
-            col("m2").cast("decimal(38,0)") * col("m2"))).as("contrib_ppm"))
+            col("m2").cast("decimal(38,0)") * col("m2"))).as("contrib_ppm"),
+        // boundary edges: each one-end-inside edge adds exactly 1 directed
+        // row with src in c, so cut = d_c - intra2 (no halving)
+        (col("degree_sum") - col("intra2")).as("cut_edges"),
+        call_function("div", (col("degree_sum") - col("intra2")) * 1000000L,
+          greatest(least(col("degree_sum"), col("m2") - col("degree_sum")), lit(1L)))
+          .as("conductance_ppm"))
+  }
+
+  /** Rich-club coefficient φ(k) = 2·E_k / (N_k·(N_k−1)) for each degree
+    * threshold in `ks` (Zhou & Mondragón 2004): among the N_k vertices of
+    * degree ≥ k, what fraction of possible edges actually exist? A rising
+    * φ(k) means hubs preferentially interconnect — the "rich club".
+    *
+    * `edges` is one row per undirected edge (src, dst). Exact integers:
+    * φ in ppm by floor-division with the N_k(N_k−1) denominator clamped
+    * to ≥ 1 (empty clubs report 0). Scale shape: one symmetric degree
+    * aggregate, one edges⋈degree join per endpoint, then the tiny
+    * (|ks|-row) threshold frame broadcast against the min-degree
+    * projection — per-k work is a map-side filter + partial count, never
+    * a per-k pass over the graph. The 10⁶-scaled numerator rides
+    * DECIMAL(38,0) so a 10⁹-edge club cannot overflow. Thresholds with
+    * no qualifying vertices still emit a row (left join from the
+    * threshold frame). Returns (k, n_nodes, n_edges, density_ppm). */
+  def richClubPpm(edges: DataFrame, ks: Seq[Long]): DataFrame = {
+    require(ks.nonEmpty, "need at least one degree threshold")
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.select(col("src").as("u"))
+      .unionByName(e.select(col("dst").as("u")))
+      .groupBy("u").agg(count(lit(1)).as("dg"))
+    val kf = e.sparkSession.range(1)
+      .select(explode(array(ks.map(lit(_)): _*)).as("k"))
+    val mins = e
+      .join(deg.select(col("u").as("src"), col("dg").as("da")), "src")
+      .join(deg.select(col("u").as("dst"), col("dg").as("db")), "dst")
+      .select(least(col("da"), col("db")).as("mn"))
+    val nk = deg.crossJoin(broadcast(kf)).filter(col("dg") >= col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_nodes"))
+    val ek = mins.crossJoin(broadcast(kf)).filter(col("mn") >= col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_edges"))
+    kf.join(nk, Seq("k"), "left").join(ek, Seq("k"), "left")
+      .select(col("k"),
+        coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"))
+      .withColumn("density_ppm",
+        call_function("div",
+          col("n_edges").cast("decimal(38,0)") * 2L * 1000000L,
+          greatest(col("n_nodes").cast("decimal(38,0)") * (col("n_nodes") - 1L),
+            lit(1L).cast("decimal(38,0)"))))
   }
 }

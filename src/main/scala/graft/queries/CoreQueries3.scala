@@ -1287,6 +1287,17 @@ private[graft] object CoreQueries3 {
       GraphAlgorithms.modularityPpm(edges, labels).orderBy("label")
     }),
 
+    // rich-club coefficient on the co-purchase graph (q99's edge set): do
+    // high-degree parts preferentially co-occur with each other? One
+    // degree aggregate + one two-sided degree join; the 4-row threshold
+    // frame broadcasts, so per-k work is a map-side filter
+    "q181_rich_club" -> ((s, d) => {
+      val edges = GraphAlgorithms.cooccurrenceEdges(Tables.lineitem(s, d),
+        "l_orderkey", "l_partkey", minSupport = 2L, maxBasketSize = 5L)
+        .localCheckpoint(true)
+      GraphAlgorithms.richClubPpm(edges, Seq(2L, 4L, 8L, 16L)).orderBy("k")
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -2296,9 +2307,38 @@ private[graft] object CoreQueries3 {
          |  cm.degree_sum,
          |  CAST((COALESCE(intra.intra2, 0) * 1000000) // m2
          |    - (cm.degree_sum * cm.degree_sum * 1000000) // (m2 * m2)
-         |    AS BIGINT) AS contrib_ppm
+         |    AS BIGINT) AS contrib_ppm,
+         |  CAST(cm.degree_sum - COALESCE(intra.intra2, 0) AS BIGINT) AS cut_edges,
+         |  CAST(((cm.degree_sum - COALESCE(intra.intra2, 0)) * 1000000)
+         |    // GREATEST(LEAST(cm.degree_sum, m2 - cm.degree_sum), 1)
+         |    AS BIGINT) AS conductance_ppm
          |FROM cm LEFT JOIN intra ON cm.label = intra.label, tot
          |ORDER BY cm.label""".stripMargin,
+
+    // q99's co-purchase edge chain; deg/e/mins multiply referenced ->
+    // MATERIALIZED; club density floors with a clamped denominator
+    "q181_rich_club" ->
+      """WITH li0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |li AS (SELECT o, p FROM (SELECT o, p, COUNT(*) OVER (PARTITION BY o) AS bn
+        |    FROM li0) WHERE bn <= 5),
+        |e AS MATERIALIZED (SELECT x.p AS a, y.p AS b
+        |      FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS MATERIALIZED (SELECT u, CAST(COUNT(*) AS BIGINT) AS dg
+        |  FROM adj GROUP BY 1),
+        |ks AS (SELECT CAST(k AS BIGINT) AS k FROM (VALUES (2), (4), (8), (16)) AS t(k)),
+        |mins AS MATERIALIZED (SELECT LEAST(da.dg, db.dg) AS mn
+        |  FROM e JOIN deg da ON e.a = da.u JOIN deg db ON e.b = db.u),
+        |nk AS (SELECT ks.k, CAST(COUNT(d.u) AS BIGINT) AS n_nodes
+        |  FROM ks LEFT JOIN deg d ON d.dg >= ks.k GROUP BY ks.k),
+        |ek AS (SELECT ks.k, CAST(COUNT(m.mn) AS BIGINT) AS n_edges
+        |  FROM ks LEFT JOIN mins m ON m.mn >= ks.k GROUP BY ks.k)
+        |SELECT nk.k, nk.n_nodes, ek.n_edges,
+        |  CAST((ek.n_edges * 2 * 1000000) //
+        |    GREATEST(nk.n_nodes * (nk.n_nodes - 1), 1) AS BIGINT) AS density_ppm
+        |FROM nk JOIN ek ON nk.k = ek.k
+        |ORDER BY nk.k""".stripMargin,
 
   )
 }

@@ -686,6 +686,27 @@ private[graft] object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // matryoshka-truncation audit: recall@10 of exact top-k computed on
+    // only the FIRST 8/16/32 dims vs the full 64-dim truth — "can we
+    // store half the vector?" Quantization commutes with the slice, so
+    // truncated search is the same brute-force shape on shorter arrays
+    "s42_matryoshka_recall" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      val qs = em.filter(col("vec_id") < 5)
+      val truth = Similarity.bruteForceTopK(em, qs, "vec_id", "embedding", k = 10)
+        .localCheckpoint(true)
+      Seq(8, 16, 32).map { dims =>
+        val trunc = em.select(col("vec_id"),
+          slice(col("embedding"), 1, dims).as("embedding"))
+        Similarity.annRecall(truth,
+            Similarity.bruteForceTopK(trunc, trunc.filter(col("vec_id") < 5),
+              "vec_id", "embedding", k = 10), k = 10)
+          .withColumn("dims", lit(dims))
+      }.reduce(_ unionByName _)
+        .select(col("query_id"), col("dims"), col("n_hits"), col("recall_ppm"))
+        .orderBy("query_id", "dims")
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -872,6 +893,34 @@ private[graft] object SimilarityQueries {
     // frozen s{i}c3 tables, s32's distortion rollup on the increment
     "s41_pq_drift" -> pqDriftSql(m = 8, ksub = 16, iterations = 3,
       trainWhere = "vec_id % 10 <> 0", incWhere = "vec_id % 10 = 0"),
+
+    // truncated cosine = cosSqlDims(d) over the FULL arrays (it only reads
+    // the first d elements, exactly the slice); tp/tr are multiply
+    // referenced -> MATERIALIZED (DuckDB inlines CTEs otherwise)
+    "s42_matryoshka_recall" ->
+      s"""WITH q AS (SELECT vec_id, ${qvSql("embedding")} AS qv FROM embeddings),
+         |tp AS MATERIALIZED (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    qq.qv AS qa, c.qv AS qb
+         |  FROM q qq JOIN q c ON qq.vec_id < 5 AND qq.vec_id != c.vec_id),
+         |tr AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY $cosSql DESC, neighbor_id) AS rank FROM tp) WHERE rank <= 10),
+         |${Seq(8, 16, 32).map { dims =>
+            s"""ar$dims AS (SELECT query_id, neighbor_id FROM (
+               |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+               |      ORDER BY ${cosSqlDims(dims)} DESC, neighbor_id) AS rank FROM tp)
+               |  WHERE rank <= 10),
+               |rec$dims AS (SELECT tq.query_id, CAST($dims AS INTEGER) AS dims,
+               |    CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+               |    CAST((1000000 * COALESCE(h.n_hits, 0)) // 10 AS BIGINT) AS recall_ppm
+               |  FROM (SELECT DISTINCT query_id FROM tr) tq
+               |  LEFT JOIN (SELECT t.query_id, COUNT(*) AS n_hits
+               |    FROM tr t JOIN ar$dims a
+               |      ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+               |    GROUP BY 1) h ON tq.query_id = h.query_id)""".stripMargin
+          }.mkString(",\n")}
+         |SELECT * FROM rec8 UNION ALL SELECT * FROM rec16 UNION ALL
+         |SELECT * FROM rec32 ORDER BY query_id, dims""".stripMargin,
 
     "s37_principal_direction" -> principalDirectionSql(iterations = 3),
 

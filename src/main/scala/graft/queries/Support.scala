@@ -70,10 +70,17 @@ private[graft] object Support {
   private[graft] def wordGramSql(n: Int): String =
     (0 until n).map(k => s"ws[i+$k]").mkString(" || ' ' || ")
   private[graft] def qvSql(v: String) = s"[CAST(round(x::DOUBLE*1000) AS BIGINT) for x in $v]"
-  private[graft] val cosSql =
-    """CASE WHEN list_sum([qa[i]*qa[i] for i in range(1,65)]) * list_sum([qb[i]*qb[i] for i in range(1,65)]) = 0 THEN 0.0
-      |ELSE list_sum([qa[i]*qb[i] for i in range(1,65)])::DOUBLE /
-      |  sqrt((list_sum([qa[i]*qa[i] for i in range(1,65)]) * list_sum([qb[i]*qb[i] for i in range(1,65)]))::DOUBLE) END""".stripMargin
+  /** Quantized cosine over the first `dims` elements of qa/qb — the
+    * canonical-double spelling every s-query shares; `dims` < the stored
+    * width is the matryoshka-truncation case (s42). */
+  private[graft] def cosSqlDims(dims: Int) = {
+    val r = s"range(1,${dims + 1})"
+    s"""CASE WHEN list_sum([qa[i]*qa[i] for i in $r]) * list_sum([qb[i]*qb[i] for i in $r]) = 0 THEN 0.0
+       |ELSE list_sum([qa[i]*qb[i] for i in $r])::DOUBLE /
+       |  sqrt((list_sum([qa[i]*qa[i] for i in $r]) * list_sum([qb[i]*qb[i] for i in $r]))::DOUBLE) END""".stripMargin
+  }
+
+  private[graft] val cosSql = cosSqlDims(64)
 
   // 16-term simhash bit sum, generated to match Dedup.simhash exactly
   private[graft] val simhashBitsSql: String = (0 until 16).map { i =>

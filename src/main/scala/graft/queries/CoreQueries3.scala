@@ -1298,6 +1298,43 @@ private[graft] object CoreQueries3 {
       GraphAlgorithms.richClubPpm(edges, Seq(2L, 4L, 8L, 16L)).orderBy("k")
     }),
 
+    // t-closeness — the third classic privacy audit next to k-anonymity
+    // (q88/q175) and l-diversity (q176), on q176's exact frame: per
+    // quasi-identifier group, the total-variation distance (ppm) between
+    // the group's sensitive-band distribution and the corpus-wide one.
+    // Exact integers: TV·2·n_g·N = Σ_v |n_gv·N − n_v·n_g|, where bands
+    // ABSENT from the group contribute their mass in closed form
+    // (n_g·(N − Σ_present n_v)) — no dense (group × band) expansion. The
+    // ~11-band value table and the 1-row total broadcast; products ride
+    // DECIMAL(38,0) so a 10¹⁰-row corpus cannot overflow
+    "q182_t_closeness" -> ((s, d) => {
+      val rows = Tables.customer(s, d)
+        .withColumn("cents", round(col("c_acctbal") * 100).cast("long"))
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          expr("((cents + 100000000) div 100000) - 1000").as("bal_kb"))
+      val gv = rows.groupBy("c_nationkey", "c_mktsegment", "bal_kb")
+        .agg(count(lit(1)).as("n_gv"))
+        // group size via a window over the register frame — the window and
+        // the final rollup share the quasi-key exchange
+        .withColumn("n_g", sum(col("n_gv"))
+          .over(Window.partitionBy("c_nationkey", "c_mktsegment")))
+      val v = rows.groupBy("bal_kb").agg(count(lit(1)).as("n_v"))
+      val tot = rows.agg(count(lit(1)).as("n_total"))
+      gv.join(broadcast(v), "bal_kb").crossJoin(broadcast(tot))
+        .groupBy("c_nationkey", "c_mktsegment", "n_g", "n_total")
+        .agg(sum(abs(col("n_gv").cast("decimal(38,0)") * col("n_total") -
+            col("n_v").cast("decimal(38,0)") * col("n_g"))).as("present_dev"),
+          sum(col("n_v")).as("sv"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n_g"),
+          call_function("div",
+            (col("present_dev") +
+              col("n_g").cast("decimal(38,0)") * (col("n_total") - col("sv")))
+              * 1000000L,
+            col("n_g").cast("decimal(38,0)") * col("n_total") * 2L)
+            .as("tv_ppm"))
+        .orderBy("c_nationkey", "c_mktsegment")
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -2339,6 +2376,29 @@ private[graft] object CoreQueries3 {
         |    GREATEST(nk.n_nodes * (nk.n_nodes - 1), 1) AS BIGINT) AS density_ppm
         |FROM nk JOIN ek ON nk.k = ek.k
         |ORDER BY nk.k""".stripMargin,
+
+    // q176's band definition; absent bands folded in closed form
+    // (n_g·(N − Σ_present n_v)); HUGEINT products, one floor division
+    "q182_t_closeness" ->
+      """WITH r0 AS (SELECT c_nationkey, c_mktsegment,
+        |    ((CAST(round(c_acctbal*100) AS BIGINT) + 100000000) // 100000) - 1000
+        |      AS bal_kb
+        |  FROM customer),
+        |gv AS (SELECT c_nationkey, c_mktsegment, bal_kb,
+        |    CAST(COUNT(*) AS BIGINT) AS n_gv
+        |  FROM r0 GROUP BY 1, 2, 3),
+        |gg AS (SELECT *, CAST(SUM(n_gv) OVER (PARTITION BY c_nationkey,
+        |    c_mktsegment) AS BIGINT) AS n_g FROM gv),
+        |v AS (SELECT bal_kb, CAST(COUNT(*) AS BIGINT) AS n_v
+        |  FROM r0 GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM r0)
+        |SELECT g.c_nationkey, g.c_mktsegment, g.n_g,
+        |  CAST(((SUM(ABS(g.n_gv * n_total - v.n_v * g.n_g))
+        |      + g.n_g * (n_total - SUM(v.n_v))) * 1000000)
+        |    // (g.n_g * n_total * 2) AS BIGINT) AS tv_ppm
+        |FROM gg g JOIN v USING (bal_kb), tot
+        |GROUP BY g.c_nationkey, g.c_mktsegment, g.n_g, n_total
+        |ORDER BY 1, 2""".stripMargin,
 
   )
 }

@@ -29,10 +29,10 @@ object SparkEntry {
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries1.queries ++ CoreQueries2.queries ++ CoreQueries3.queries ++
       TextQueries.queries ++ DedupQueries.queries ++
-      SimilarityQueries.queries ++ PipelineQueries.queries
+      SimilarityQueries.queries ++ PipelineQueries.queries ++ StreamingQueries.queries
 
   def oracleSql: Map[String, String] =
     CoreQueries1.oracles ++ CoreQueries2.oracles ++ CoreQueries3.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++
-      SimilarityQueries.oracles ++ PipelineQueries.oracles
+      SimilarityQueries.oracles ++ PipelineQueries.oracles ++ StreamingQueries.oracles
 }

@@ -46,16 +46,39 @@ object Tables {
     * Any other type fails fast with a schema message rather than 43 opaque
     * per-query analysis errors (round-7 regression). */
   def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
     val raw = read(s, d, "events")
-    val tsUs = raw.schema("ts").dataType match {
+    raw.withColumn("ts_us", tsUsOf(raw.schema)).drop("ts")
+  }
+
+  /** The schema-adaptive ts→epoch-µs expression shared by [[events]] and
+    * [[eventsStream]] (single source: the streaming view can never drift
+    * from the batch one when the driver regenerates the parquet). */
+  private def tsUsOf(schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+    schema("ts").dataType match {
       case LongType                          => expr("ts div 1000")
       case TimestampType | TimestampNTZType  => epochUs(col("ts"))
       case other => throw new IllegalStateException(
         s"events.parquet 'ts' has unsupported type $other; expected epoch-ns LongType " +
           "(INT64 TIMESTAMP(NANOS) under nanosAsLong) or timestamp/timestamp_ntz (INT64 TIMESTAMP(MICROS))")
     }
-    raw.withColumn("ts_us", tsUs).drop("ts")
+  }
+
+  /** Structured-Streaming view of events with the same `ts_us: Long` as
+    * [[events]] (S2's unbounded-source shape over the file log). The
+    * batch-read schema seeds the stream reader, so the nanos/micros
+    * adaptivity applies identically. */
+  def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.functions.GraftFunctions.register(s)
+    val schema = s.read.parquet(path(d, "events")).schema
+    // FileStreamSource requires a DIRECTORY path; select the single log
+    // file with a glob filter over the testdata dir
+    val raw = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+    raw.withColumn("ts_us", tsUsOf(schema)).drop("ts")
   }
 
   /** Epoch microseconds of any timestamp/timestamp_ntz column (session tz is

@@ -16,7 +16,8 @@ class RegistryConsistencySpec extends AnyFlatSpec with Matchers {
     "TextQueries" -> (graft.queries.TextQueries.queries, graft.queries.TextQueries.oracles),
     "DedupQueries" -> (graft.queries.DedupQueries.queries, graft.queries.DedupQueries.oracles),
     "SimilarityQueries" -> (graft.queries.SimilarityQueries.queries, graft.queries.SimilarityQueries.oracles),
-    "PipelineQueries" -> (graft.queries.PipelineQueries.queries, graft.queries.PipelineQueries.oracles))
+    "PipelineQueries" -> (graft.queries.PipelineQueries.queries, graft.queries.PipelineQueries.oracles),
+    "StreamingQueries" -> (graft.queries.StreamingQueries.queries, graft.queries.StreamingQueries.oracles))
 
   "each registry" should "pair every query with an oracle in the SAME file" in {
     for ((name, (qs, os)) <- registries)
@@ -38,6 +39,6 @@ class RegistryConsistencySpec extends AnyFlatSpec with Matchers {
   }
 
   it should "name every query with a known domain prefix" in {
-    all(SparkEntry.queries.keys.toSeq) should fullyMatch regex "[qtdsmp]\\d+_[a-z0-9_]+"
+    all(SparkEntry.queries.keys.toSeq) should fullyMatch regex "[qtdsmpw]\\d+_[a-z0-9_]+"
   }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.streaming.StreamRun
+import graft.streaming.{StatefulOps, StreamRun}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -14,12 +14,15 @@ import Support._
   * asserts streaming ≡ batch on the replayed log. This is the §2.7
   * windows/watermarks surface promoted from spec-only to hash-gated:
   * windowed aggregation state (w1), arbitrary aggregation state (w2) and
-  * dropDuplicates dedup state (w3) each face the batch oracle directly.
+  * dropDuplicates dedup state (w3), session-window merge state (w4),
+  * arbitrary flatMapGroupsWithState RMW state (w5) and sliding-window
+  * state (w6) each face the batch oracle directly.
   *
   * Scale notes: complete-mode output is aggregate-sized (hours × types,
-  * users, type cardinality), never event-sized; a production deployment
-  * would bound the w3 dedup state with a watermark TTL — the replayed-log
-  * gate here needs the full state to equal the batch distinct. */
+  * users, type cardinality, sessions), never event-sized; a production
+  * deployment would bound the w3 dedup state with a watermark TTL — the
+  * replayed-log gate here needs the full state to equal the batch
+  * distinct. w5's per-key state is three longs regardless of history. */
 private[graft] object StreamingQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -61,6 +64,68 @@ private[graft] object StreamingQueries {
         .orderBy("event_type")
     }),
 
+    // session_window merge state streaming (§2.7's session surface as a
+    // native SS stateful op). Boundary semantics probed empirically: two
+    // events exactly `gap` apart MERGE (diff ≤ gap ⇒ same session), which
+    // is precisely the q19 island convention (diff > gap ⇒ new session),
+    // so the gap/island oracle mirrors the merge rule exactly; Spark's
+    // session end = last event + gap ⇒ oracle MAX(ts) + gap.
+    "w4_stream_sessions" -> ((s, d) => {
+      val ev = Tables.eventsStream(s, d)
+        .withColumn("t", timestamp_micros(col("ts_us")))
+      val agg = ev.groupBy(col("user_id"), session_window(col("t"), "1 hour"))
+        .agg(count(lit(1)).as("n_events"))
+      StreamRun.toMemory(agg, "w4_sink")
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          unix_micros(col("session_window.end")).as("session_end_us"),
+          col("n_events"))
+        .orderBy("user_id", "session_start_us")
+    }),
+
+    // arbitrary stateful RMW (P6 getAndUpdate) as a REAL streaming fold:
+    // flatMapGroupsWithState runs b ← max(0, b + Δ) per user while the
+    // oracle is the Lindley closed form S − min(0, prefix-min S) — the
+    // hash match IS the recurrence ≡ closed-form proof on real data.
+    // n_updates is strictly increasing across micro-batches, so the
+    // argmax-n row per key is the final register even if the source
+    // splits into several batches. Nulls in `value` are excluded BY
+    // DEFINITION on both sides (CLAUDE.md: events.value has nulls at
+    // some SFs; a null delta is meaningless in a sequential fold).
+    "w5_stream_rmw_fold" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.eventsStream(s, d)
+        .where(col("value").isNotNull)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          (round(col("value") * 100).cast("long") - 3500L).as("delta_cents"))
+        .as[(Long, Long, Long, Long)]
+      val folded = StatefulOps.clampedFoldMonitor(ev)
+        .toDF("user_id", "final_balance", "n_updates", "n_clamped")
+      StreamRun.toMemory(folded, "w5_sink", outputMode = "append")
+        .groupBy("user_id")
+        .agg(max(struct(col("n_updates"), col("final_balance"),
+          col("n_clamped"))).as("r"))
+        .select(col("user_id"), col("r.final_balance").as("final_balance"),
+          col("r.n_updates").as("n_updates"), col("r.n_clamped").as("n_clamped"))
+        .orderBy("user_id")
+    }),
+
+    // sliding-window (1h window / 15min slide) streaming aggregation
+    // state: each event lands in exactly windowDuration/slide = 4
+    // epoch-aligned windows; the oracle materializes the same 4 window
+    // starts per event with floor-division arithmetic.
+    "w6_stream_sliding" -> ((s, d) => {
+      val ev = Tables.eventsStream(s, d)
+        .withColumn("t", timestamp_micros(col("ts_us")))
+      val agg = ev.groupBy(window(col("t"), "1 hour", "15 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      StreamRun.toMemory(agg, "w6_sink")
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          col("event_type"), col("n_events"))
+        .orderBy("win_start_us", "event_type")
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -79,6 +144,46 @@ private[graft] object StreamingQueries {
     "w3_stream_distinct_reach" ->
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "w4_stream_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts)) > 3600000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |), sess AS (
+        |  SELECT user_id, ts_us,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
+        |  FROM flagged)
+        |SELECT user_id, MIN(ts_us) AS session_start_us,
+        |  MAX(ts_us) + 3600000000 AS session_end_us, COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id, seq ORDER BY user_id, session_start_us""".stripMargin,
+
+    "w5_stream_rmw_fold" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(round(value*100) AS BIGINT) - 3500 AS d,
+        |    epoch_us(ts) AS ts_us, event_id FROM events WHERE value IS NOT NULL),
+        |r1 AS (SELECT user_id, d, ts_us, event_id,
+        |    CAST(SUM(d) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+        |  FROM e),
+        |r2 AS (SELECT user_id, d, s,
+        |    CAST(MIN(s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS pm
+        |  FROM r1)
+        |SELECT user_id,
+        |  CAST(SUM(d) AS BIGINT) - LEAST(0, CAST(MIN(s) AS BIGINT)) AS final_balance,
+        |  CAST(COUNT(*) AS BIGINT) AS n_updates,
+        |  CAST(SUM(CASE WHEN s < 0 AND s < COALESCE(pm, 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+        |FROM r2 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "w6_stream_sliding" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us FROM events),
+        |w AS (SELECT event_type,
+        |    (ts_us // 900000000) * 900000000 - k * 900000000 AS win_start_us
+        |  FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS k) ks)
+        |SELECT win_start_us, event_type, COUNT(*) AS n_events
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
   )
 }

@@ -202,6 +202,38 @@ object StatefulOps {
       }
   }
 
+  /** Streaming clamp-at-zero getAndUpdate fold — the P6 RMW semantics run
+    * as REAL per-key stream state (reference KVStore.getAndUpdate,
+    * core/.../state/KVStore.scala:118-129): b ← max(0, b + Δ), one
+    * 3-long register per key (balance, n_updates, n_clamped). The batch
+    * counterpart ([[graft.operators.Analytics.clampedRunningFold]]) uses
+    * the Lindley closed form S − min(0, prefix-min S); this runs the
+    * recurrence itself, and the two are provably the same fold — which is
+    * exactly what the w5 oracle gate asserts. Emits the register ONCE per
+    * key per micro-batch; n_updates is strictly increasing across batches,
+    * so the LAST emission per key (argmax n_updates) is the final state.
+    *
+    * Input (key, tsUs, tieBreak, deltaCents); rows inside one micro-batch
+    * process in (tsUs, tieBreak) order. */
+  def clampedFoldMonitor[K](
+      input: Dataset[(K, Long, Long, Long)])(
+      implicit ke: Encoder[K], se: Encoder[(Long, Long, Long)],
+      oe: Encoder[(K, Long, Long, Long)]): Dataset[(K, Long, Long, Long)] = {
+    input
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (K, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) { (key, rows, state) =>
+        var (bal, n, clamped) = state.getOption.getOrElse((0L, 0L, 0L))
+        rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+          val next = bal + r._4
+          if (next < 0L) { clamped += 1; bal = 0L } else bal = next
+          n += 1
+        }
+        state.update((bal, n, clamped))
+        Iterator.single((key, bal, n, clamped))
+      }
+  }
+
   /** Output-mode guidance mirroring the reference's at-least-once commit
     * loop (GatewayStream.scala:187-211): update mode + checkpointing. */
   val DefaultOutputMode: OutputMode = OutputMode.Update()

@@ -231,6 +231,63 @@ object Retrieval {
           .otherwise(0L).as(scoreName))
   }
 
+  /** Kneser-Ney-smoothed bigram fluency — the published interpolated
+    * absolute-discounting LM (Kneser & Ney 1995) in exact integer ppm,
+    * one tier above [[bigramLmFluency]]'s add-one smoothing: instead of
+    * flattening all mass uniformly, probability discounted from observed
+    * bigrams is redistributed by CONTINUATION probability (how many
+    * distinct contexts a word follows), which is what separates versatile
+    * words from words frozen inside templates — a sharper template-spam
+    * signal than add-one.
+    *
+    * Discount d = 3/4 carried as a rational (×4 numerators, never a
+    * float):
+    * `p_ppm(w1,w2) = ⌊(4·c12 − 3)·10⁶ / (4·c1)⌋
+    *   + ⌊⌊3·n1pre(w1)·10⁶ / (4·c1)⌋ · ⌊n1suf(w2)·10⁶ / T⌋ / 10⁶⌋`
+    * where `n1pre(w1)` = distinct continuations of w1, `n1suf(w2)` =
+    * distinct contexts preceding w2, `T` = distinct bigram types. Each
+    * division floors identically in both engines (staged-division
+    * convention, q144); doc score is the count-weighted mean ppm, docs
+    * with <2 tokens score 0. Self-trained, so every scored bigram exists
+    * in the model (c12 ≥ 1 ⇒ the first numerator ≥ 10⁶ > 0).
+    *
+    * Scale shape: identical to [[bigramLmScore]] — the model is
+    * vocabulary-sized partial-agg'd shuffles; the type table `c12` feeds
+    * four readers (model join, prefix stats, suffix stats, T) so it is
+    * checkpointed once; T is a 1-row broadcast. Bound: 4·c12·10⁶ must
+    * stay under 2⁶³, i.e. any single bigram below ~2.3·10¹² occurrences. */
+  def knBigramFluency(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docBi = explodeBigrams(docs, Seq(col(idCol)), tokens(col(textCol)))
+      .groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    val c12 = docBi.groupBy("w1", "w2").agg(sum(col("cnt")).as("c12"))
+      .localCheckpoint(true)
+    val c1n1 = c12.groupBy("w1")
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1pre"))
+    val n1suf = c12.groupBy("w2").agg(count(lit(1)).as("n1suf"))
+    val tTypes = c12.agg(count(lit(1)).as("t_types"))
+    val scored = docBi
+      .join(c12, Seq("w1", "w2"))
+      .join(c1n1, Seq("w1"))
+      .join(n1suf, Seq("w2"))
+      .crossJoin(broadcast(tTypes))
+      .select(col(idCol), col("cnt"),
+        (ldiv((lit(4L) * col("c12") - 3L) * 1000000L, lit(4L) * col("c1")) +
+          ldiv(
+            ldiv(lit(3L) * col("n1pre") * 1000000L, lit(4L) * col("c1")) *
+              ldiv(col("n1suf") * 1000000L, col("t_types")),
+            lit(1000000L))).as("p_ppm"))
+      .groupBy(idCol)
+      .agg(sum(col("cnt") * col("p_ppm")).as("sp"),
+        sum(col("cnt")).as("n_bigrams"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0L,
+          ldiv(col("sp"), col("n_bigrams"))).otherwise(0L).as("kn_ppm"))
+  }
+
   /** Moore-Lewis contrastive data selection (Moore & Lewis 2010, the
     * published cross-entropy-difference recipe, integer form): score every
     * document under a TARGET-domain LM and under the GENERAL-corpus LM;

@@ -1335,6 +1335,41 @@ private[graft] object CoreQueries3 {
         .orderBy("c_nationkey", "c_mktsegment")
     }),
 
+    // two-sample Kolmogorov-Smirnov drift: per event_type, the sup-norm
+    // CDF distance between weekend and weekday value distributions —
+    // the sup-norm sibling of q89's total-variation drift. Exact integer
+    // cross-multiplication: D·n_wd·n_we = max_v |n_we·cum_wd(v) −
+    // n_wd·cum_we(v)| over the MERGED value support, one register frame
+    // per type (distinct values, never rows); products ride DECIMAL(38,0)
+    // so a 10¹⁰-event corpus cannot overflow. Null values excluded BY
+    // DEFINITION (CLAUDE.md: events.value has nulls at some SFs); both
+    // per-type windows share one exchange.
+    "q183_ks_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d).where(col("value").isNotNull)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("v"),
+          when(dayofweek(timestamp_micros(col("ts_us"))).isin(1, 7), 1L)
+            .otherwise(0L).as("we"))
+      val cnts = ev.groupBy("event_type", "v")
+        .agg(sum(lit(1L) - col("we")).as("c_wd"), sum(col("we")).as("c_we"))
+      val wOrd = Window.partitionBy("event_type").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("event_type")
+      val cum = cnts
+        .withColumn("cum_wd", sum(col("c_wd")).over(wOrd))
+        .withColumn("cum_we", sum(col("c_we")).over(wOrd))
+        .withColumn("n_wd", sum(col("c_wd")).over(wAll))
+        .withColumn("n_we", sum(col("c_we")).over(wAll))
+      cum.groupBy("event_type", "n_wd", "n_we")
+        .agg(max(abs(col("n_we").cast("decimal(38,0)") * col("cum_wd") -
+          col("n_wd").cast("decimal(38,0)") * col("cum_we"))).as("dmax"))
+        .select(col("event_type"), col("n_wd"), col("n_we"),
+          call_function("div", col("dmax") * 1000000L,
+            greatest(col("n_wd").cast("decimal(38,0)") * col("n_we"),
+              lit(1L).cast("decimal(38,0)"))).as("ks_ppm"))
+        .orderBy("event_type")
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -2399,6 +2434,28 @@ private[graft] object CoreQueries3 {
         |FROM gg g JOIN v USING (bal_kb), tot
         |GROUP BY g.c_nationkey, g.c_mktsegment, g.n_g, n_total
         |ORDER BY 1, 2""".stripMargin,
+
+    // weekend = dayofweek IN (0,6) in DuckDB ≡ Spark dayofweek IN (1,7)
+    // (Sunday is 0 there, 1 here); same cross-multiplied sup-norm
+    "q183_ks_drift" ->
+      """WITH e AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS v,
+        |    CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS we
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT event_type, v,
+        |    CAST(SUM(1 - we) AS BIGINT) AS c_wd, CAST(SUM(we) AS BIGINT) AS c_we
+        |  FROM e GROUP BY 1, 2),
+        |cum AS (SELECT event_type,
+        |    CAST(SUM(c_wd) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_wd,
+        |    CAST(SUM(c_we) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_we,
+        |    CAST(SUM(c_wd) OVER (PARTITION BY event_type) AS BIGINT) AS n_wd,
+        |    CAST(SUM(c_we) OVER (PARTITION BY event_type) AS BIGINT) AS n_we
+        |  FROM c)
+        |SELECT event_type, n_wd, n_we,
+        |  CAST((MAX(ABS(n_we * cum_wd - n_wd * cum_we)) * 1000000)
+        |    // GREATEST(n_wd * n_we, 1) AS BIGINT) AS ks_ppm
+        |FROM cum GROUP BY event_type, n_wd, n_we ORDER BY event_type""".stripMargin,
 
   )
 }

@@ -110,6 +110,33 @@ private[graft] object StreamingQueries {
         .orderBy("user_id")
     }),
 
+    // stream-stream interval join (J6's enrich as TWO live streams): click
+    // events join purchase events of the same user within the following
+    // hour. Both sides carry event-time watermarks and the join condition
+    // bounds state retention to the interval — the canonical SS
+    // stream-stream join shape. Inner join in append mode emits exactly
+    // the batch join of the replayed log, which is what the oracle hashes.
+    "w7_stream_interval_join" -> ((s, d) => {
+      val clicks = Tables.eventsStream(s, d)
+        .where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          timestamp_micros(col("ts_us")).as("ct"))
+        .withWatermark("ct", "1 hour")
+      val purchases = Tables.eventsStream(s, d)
+        .where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          timestamp_micros(col("ts_us")).as("pt"))
+        .withWatermark("pt", "1 hour")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("pt") >= col("ct") &&
+          col("pt") <= col("ct") + expr("INTERVAL 1 HOUR"))
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          (unix_micros(col("pt")) - unix_micros(col("ct"))).as("lag_us"))
+      StreamRun.toMemory(joined, "w7_sink", outputMode = "append")
+        .orderBy("click_id", "purchase_id")
+    }),
+
     // sliding-window (1h window / 15min slide) streaming aggregation
     // state: each event lands in exactly windowDuration/slide = 4
     // epoch-aligned windows; the oracle materializes the same 4 window
@@ -176,6 +203,15 @@ private[graft] object StreamingQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_updates,
         |  CAST(SUM(CASE WHEN s < 0 AND s < COALESCE(pm, 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
         |FROM r2 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "w7_stream_interval_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND epoch_us(p.ts) >= epoch_us(c.ts)
+        |  AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     "w6_stream_sliding" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us FROM events),

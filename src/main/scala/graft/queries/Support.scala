@@ -661,6 +661,38 @@ private[graft] object Support {
        |    ELSE 0 END AS fluency_ppm
        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
 
+  /** Kneser-Ney bigram fluency (mirrors Retrieval.knBigramFluency):
+    * absolute discount 3/4 as a rational, continuation-probability
+    * interpolation, staged integer floor divisions. `c12` feeds four
+    * readers → AS MATERIALIZED (round-7 CTE-inlining gotcha). Complete
+    * SELECT without ORDER BY — composable. */
+  private[graft] def knFluencySql: String =
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+       |  FROM tk, UNNEST(generate_series(1, len(t)-1)) AS u(i)),
+       |db AS MATERIALIZED (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM bg GROUP BY doc_id, w1, w2),
+       |c12 AS MATERIALIZED (SELECT w1, w2, CAST(SUM(cnt) AS BIGINT) AS c12
+       |  FROM db GROUP BY w1, w2),
+       |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+       |    CAST(COUNT(*) AS BIGINT) AS n1pre FROM c12 GROUP BY w1),
+       |ns AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1suf FROM c12 GROUP BY w2),
+       |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_types FROM c12),
+       |sc AS (SELECT db.doc_id,
+       |    CAST(SUM(db.cnt * (
+       |      ((4*c12.c12 - 3)*1000000) // (4*c1.c1)
+       |      + (((3*c1.n1pre*1000000) // (4*c1.c1))
+       |         * ((ns.n1suf*1000000) // tt.t_types)) // 1000000
+       |    )) AS BIGINT) AS sp,
+       |    CAST(SUM(db.cnt) AS BIGINT) AS n_bigrams
+       |  FROM db JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+       |    JOIN ns USING (w2) CROSS JOIN tt
+       |  GROUP BY db.doc_id)
+       |SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+       |  CASE WHEN COALESCE(sc.n_bigrams, 0) > 0 THEN sc.sp // sc.n_bigrams
+       |    ELSE 0 END AS kn_ppm
+       |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
+
   /** DSIR importance (mirrors Retrieval.dsirImportance, target = src1,
     * B = 8192). Complete SELECT without ORDER BY — composable. */
   private[graft] def dsirImportanceSql: String =

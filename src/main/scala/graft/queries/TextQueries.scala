@@ -44,6 +44,14 @@ private[graft] object TextQueries {
     }),
 
 
+    // Kneser-Ney smoothed bigram LM: absolute discount + continuation-
+    // probability interpolation, exact integer ppm (t14's sharper sibling)
+    "t45_kn_fluency" -> ((s, d) => {
+      Retrieval.knBigramFluency(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+
     // language ID (stopword n-gram heuristic)
     "t1_lang_id" -> ((s, d) => {
       TextAnalysis.languageId(Tables.documents(s, d), "doc_id", "text")
@@ -695,6 +703,9 @@ private[graft] object TextQueries {
     // sums over the bigram table (NOT raw unigram counts — the last token
     // of each doc is no bigram prefix); V = corpus distinct tokens
     "t14_lm_fluency" -> s"$lmFluencySql ORDER BY doc_id",
+
+
+    "t45_kn_fluency" -> s"$knFluencySql ORDER BY doc_id",
 
 
     "t1_lang_id" ->

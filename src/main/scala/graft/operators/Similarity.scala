@@ -109,6 +109,54 @@ object Similarity {
       .withColumn("is_outlier", col("centroid_cos") < lit(minCosine))
   }
 
+  /** Exact ROC-AUC of the centroid-dot classifier — "does similarity to
+    * the positive class centroid rank positives above negatives?", the
+    * standard embedding-quality / linear-probe audit as ONE exact integer
+    * statistic. The score is the int64 dot of each ×1000-quantized vector
+    * with the positive-label centroid (same truncated-mean centroid as
+    * [[labelCentroidAudit]]); AUC is the tie-corrected Mann-Whitney
+    * statistic computed on the (distinct score, count, positive count)
+    * REGISTER frame: a tie group spanning ranks [a, b] contributes its
+    * positives at doubled average rank `2a + n_s − 1` (= `2·cum_before +
+    * n_s + 1`), so `AUC·2·n₁·n₀ = Σ_s p_s·(2·cum_s + n_s + 1) −
+    * n₁·(n₁+1)` — every term integral, one final floor division to ppm.
+    *
+    * Scale shape: centroid = one posexplode partial agg + dim-sized
+    * collect (sketch-register rule); scoring is a map-side codegen'd dot;
+    * the ordered window runs over DISTINCT scores only (q110's register
+    * playbook — never the row frame); sums ride DECIMAL(38,0) so 10¹⁰
+    * vectors cannot overflow the rank products. */
+  def centroidScoreAuc(
+      vectors: DataFrame,
+      vecCol: String,
+      labelCol: String,
+      posLabel: Int): DataFrame = {
+    val q = vectors.select(col(labelCol).as("lbl"), quantize1000(col(vecCol)).as("qv"))
+      .localCheckpoint(true)
+    val centroid = q.filter(col("lbl") === posLabel)
+      .select(posexplode(col("qv")).as(Seq("i", "x")))
+      .groupBy("i").agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .select(col("i"), call_function("div", col("s"), col("n")).as("s"))
+      .agg(collect_list(struct(col("i"), col("s"))).as("cl"))
+      .select(expr("transform(array_sort(cl), e -> e.s)").as("cv"))
+    val regs = q.crossJoin(broadcast(centroid))
+      .select(col("lbl"), ldot(col("qv"), col("cv")).as("score"))
+      .groupBy("score")
+      .agg(count(lit(1)).as("ns"),
+        sum(when(col("lbl") === posLabel, 1L).otherwise(0L)).as("ps"))
+    val cum = regs.withColumn("cb",
+      coalesce(sum(col("ns")).over(Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    cum.agg(sum(col("ps")).as("n1"), sum(col("ns")).as("n"),
+        sum(dec(col("ps")) * (lit(2L) * col("cb") + col("ns") + 1L)).as("r2"))
+      .select(col("n1").as("n_pos"), (col("n") - col("n1")).as("n_neg"),
+        call_function("div",
+          (col("r2") - dec(col("n1")) * (col("n1") + 1L)) * 1000000L,
+          greatest(dec(col("n1")) * (col("n") - col("n1")) * 2L,
+            lit(1L).cast("decimal(38,0)"))).as("auc_ppm"))
+  }
+
   /** Exact top-k cosine neighbors for each query vector (self excluded).
     * `queries` should be small (it is broadcast). */
   def bruteForceTopK(

@@ -707,6 +707,14 @@ private[graft] object SimilarityQueries {
         .orderBy("query_id", "dims")
     }),
 
+    // exact ROC-AUC of the centroid-dot linear probe (label 0 vs rest):
+    // tie-corrected Mann-Whitney over the distinct-score register frame,
+    // one integer statistic for "are the embeddings linearly separable"
+    "s43_auc_rank" -> ((s, d) => {
+      Similarity.centroidScoreAuc(Tables.embeddings(s, d),
+        "embedding", "label", posLabel = 0)
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -921,6 +929,31 @@ private[graft] object SimilarityQueries {
           }.mkString(",\n")}
          |SELECT * FROM rec8 UNION ALL SELECT * FROM rec16 UNION ALL
          |SELECT * FROM rec32 ORDER BY query_id, dims""".stripMargin,
+
+    // centroid = s5's truncated-mean xm shape restricted to label 0;
+    // tie-corrected Mann-Whitney on the distinct-score register frame
+    "s43_auc_rank" ->
+      s"""WITH q AS (SELECT label, ${qvSql("embedding")} AS qv FROM embeddings),
+         |x AS (SELECT i, CAST(SUM(qv[i]) AS BIGINT) AS s,
+         |        CAST(COUNT(*) AS BIGINT) AS n
+         |      FROM q, range(1, 65) t(i) WHERE label = 0 GROUP BY i),
+         |xm AS (SELECT i,
+         |        CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END AS s FROM x),
+         |c AS (SELECT list(s ORDER BY i) AS cv FROM xm),
+         |sc AS (SELECT q.label,
+         |    CAST(list_sum([qv[i]*cv[i] for i in range(1,65)]) AS BIGINT) AS score
+         |  FROM q CROSS JOIN c),
+         |regs AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS ns,
+         |    CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ps
+         |  FROM sc GROUP BY score),
+         |cum AS (SELECT *, CAST(COALESCE(SUM(ns) OVER (ORDER BY score
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+         |  FROM regs)
+         |SELECT CAST(SUM(ps) AS BIGINT) AS n_pos,
+         |  CAST(SUM(ns) - SUM(ps) AS BIGINT) AS n_neg,
+         |  CAST(((SUM(ps*(2*cb + ns + 1)) - SUM(ps)*(SUM(ps)+1)) * 1000000)
+         |    // GREATEST(SUM(ps) * (SUM(ns)-SUM(ps)) * 2, 1) AS BIGINT) AS auc_ppm
+         |FROM cum""".stripMargin,
 
     "s37_principal_direction" -> principalDirectionSql(iterations = 3),
 

@@ -329,4 +329,33 @@ class RoundTenOpsSpec extends SparkSpec {
       (3L, 10L, 0L, 0L, 0L),
       (4L, 16L, 0L, 0L, 0L))
   }
+
+  "Retrieval.knBigramFluency" should "match the hand-computed Kneser-Ney ppm" in {
+    // model: c12 = {(a,b)→3, (b,a)→1, (b,c)→1}; c1 = {a→3 (n1pre 1),
+    //   b→2 (n1pre 2)}; n1suf = {b→1, a→1, c→1}; T = 3
+    // p(a,b) = (12−3)e6//12 + ((3e6//12)·(1e6//3))//1e6 = 750000+83333
+    // p(b,a) = p(b,c) = (4−3)e6//8 + ((6e6//8)·(1e6//3))//1e6 = 125000+249999
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val r = graft.operators.Retrieval.knBigramFluency(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    r shouldBe Array(
+      (1L, 3L, (2L * 833333L + 374999L) / 3L), // 680555
+      (2L, 2L, (833333L + 374999L) / 2L),      // 604166
+      (3L, 0L, 0L))
+  }
+
+  "Similarity.centroidScoreAuc" should "compute the tie-corrected Mann-Whitney AUC" in {
+    // label-0 centroid = trunc((1000+500)/2, 0) = (750, 0); scores are
+    // 750·x: pos {750000, 375000}, neg {−750000, 375000 (tie), −375000}
+    // → R1 = 5 + 3.5 = 8.5, AUC = 5.5/6 → ⌊11e6/12⌋ = 916666
+    val vecs = Seq(
+      (0, Array(1.0f, 0.0f)), (0, Array(0.5f, 0.0f)),
+      (1, Array(-1.0f, 0.0f)), (1, Array(0.5f, 0.0f)), (1, Array(-0.5f, 0.0f)))
+      .toDF("label", "embedding")
+    val r = Similarity.centroidScoreAuc(vecs, "embedding", "label", posLabel = 0)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    r shouldBe Array((2L, 3L, 916666L))
+  }
 }

@@ -224,4 +224,38 @@ class StatefulWordCountSpec extends SparkSpec {
       }
     } finally query.stop()
   }
+
+  "clampedFoldMonitor" should "match the batch Lindley closed form across micro-batches" in {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(47)
+    // deltas biased negative so clamps genuinely fire
+    val rows = for (key <- 1L to 6L; i <- 0 until 50)
+      yield (key, i.toLong * 1000L, key * 1000L + i, rnd.nextInt(201).toLong - 110L)
+    val batch = graft.operators.Analytics.clampedRunningFold(
+      rows.toDF("k", "ts", "eid", "delta"), Seq("k"), "delta", Seq("ts", "eid"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    batch.values.map(_._3).sum should be > 0L // fixture must actually clamp
+    val input = MemoryStream[(Long, Long, Long, Long)]
+    val query = StatefulOps.clampedFoldMonitor(input.toDS())
+      .toDF("k", "bal", "n", "clamped")
+      .writeStream.format("memory").queryName("cfold").outputMode(OutputMode.Append())
+      .start()
+    try {
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      sorted.grouped(80).foreach { chunk =>
+        input.addData(chunk: _*)
+        query.processAllAvailable()
+      }
+      // final register per key = the row with max n (strictly increasing)
+      val streamed = spark.sql(
+        "SELECT k, MAX(STRUCT(n, bal, clamped)) AS r FROM cfold GROUP BY k")
+        .selectExpr("k", "r.bal", "r.n", "r.clamped")
+        .as[(Long, Long, Long, Long)].collect()
+        .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+      batch.foreach { case (k, (balB, nB, clB)) =>
+        streamed(k) shouldBe ((balB, nB, clB))
+      }
+    } finally query.stop()
+  }
 }

@@ -131,16 +131,7 @@ object Similarity {
       vecCol: String,
       labelCol: String,
       posLabel: Int): DataFrame = {
-    val q = vectors.select(col(labelCol).as("lbl"), quantize1000(col(vecCol)).as("qv"))
-      .localCheckpoint(true)
-    val centroid = q.filter(col("lbl") === posLabel)
-      .select(posexplode(col("qv")).as(Seq("i", "x")))
-      .groupBy("i").agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-      .select(col("i"), call_function("div", col("s"), col("n")).as("s"))
-      .agg(collect_list(struct(col("i"), col("s"))).as("cl"))
-      .select(expr("transform(array_sort(cl), e -> e.s)").as("cv"))
-    val regs = q.crossJoin(broadcast(centroid))
-      .select(col("lbl"), ldot(col("qv"), col("cv")).as("score"))
+    val regs = centroidScores(vectors, lit(0L), vecCol, labelCol, posLabel)
       .groupBy("score")
       .agg(count(lit(1)).as("ns"),
         sum(when(col("lbl") === posLabel, 1L).otherwise(0L)).as("ps"))
@@ -155,6 +146,64 @@ object Similarity {
           (col("r2") - dec(col("n1")) * (col("n1") + 1L)) * 1000000L,
           greatest(dec(col("n1")) * (col("n") - col("n1")) * 2L,
             lit(1L).cast("decimal(38,0)"))).as("auc_ppm"))
+  }
+
+  /** The centroid-dot score frame `(vid, lbl, score)` shared by
+    * [[centroidScoreAuc]] and [[scoreCalibration]] (single-source rule:
+    * the AUC and the calibration report must agree on the score
+    * definition): truncated-mean positive-label centroid in ×1000
+    * quantized space, codegen'd int64 dot per vector. */
+  private def centroidScores(
+      vectors: DataFrame,
+      idExpr: Column,
+      vecCol: String,
+      labelCol: String,
+      posLabel: Int): DataFrame = {
+    val q = vectors.select(idExpr.as("vid"), col(labelCol).as("lbl"),
+      quantize1000(col(vecCol)).as("qv"))
+      .localCheckpoint(true)
+    val centroid = q.filter(col("lbl") === posLabel)
+      .select(posexplode(col("qv")).as(Seq("i", "x")))
+      .groupBy("i").agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .select(col("i"), call_function("div", col("s"), col("n")).as("s"))
+      .agg(collect_list(struct(col("i"), col("s"))).as("cl"))
+      .select(expr("transform(array_sort(cl), e -> e.s)").as("cv"))
+    q.crossJoin(broadcast(centroid))
+      .select(col("vid"), col("lbl"), ldot(col("qv"), col("cv")).as("score"))
+  }
+
+  /** Calibration report of the centroid-dot classifier: score-ordered
+    * NTILE bins with per-bin positive rate — the reliability-diagram
+    * companion to [[centroidScoreAuc]]'s single ranking statistic (a
+    * well-ranked score can still be mis-calibrated; the bin table shows
+    * WHERE). NTILE allocation over the total order (score, vid) is
+    * engine-exact (q120/t23 precedent); the per-bin mean score uses the
+    * offset floor-division trick because scores can be negative
+    * (`(Σ + 10⁹·n) div n − 10⁹`, s27 rule — truncate ≠ floor below 0).
+    *
+    * Scale note: NTILE over an unpartitioned ORDER BY is a global row
+    * sort — this is a REPORT over a scored table (bins are the output,
+    * rows the input), the one shape where a total sort is the semantics;
+    * at 100 TB you'd bin by fixed score ranges instead (one map-side
+    * pass), trading exact deciles for boundedness. */
+  def scoreCalibration(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      posLabel: Int,
+      bins: Int = 10): DataFrame = {
+    val scored = centroidScores(vectors, col(idCol), vecCol, labelCol, posLabel)
+      .withColumn("bin",
+        ntile(bins).over(Window.orderBy(col("score"), col("vid"))).cast("integer"))
+    scored.groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("lbl") === posLabel, 1L).otherwise(0L)).as("n_pos"),
+        sum(col("score")).as("ssum"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        call_function("div", col("n_pos") * 1000000L, col("n")).as("pos_rate_ppm"),
+        (call_function("div", col("ssum") + lit(1000000000L) * col("n"), col("n"))
+          - 1000000000L).as("mean_score"))
   }
 
   /** Exact top-k cosine neighbors for each query vector (self excluded).

@@ -715,6 +715,16 @@ private[graft] object SimilarityQueries {
         "embedding", "label", posLabel = 0)
     }),
 
+    // reliability diagram of the same centroid-dot probe (single-source
+    // score frame with s43): score-decile bins, per-bin positive rate —
+    // ranking can be good (high AUC) while calibration is off; this shows
+    // where
+    "s44_calibration_bins" -> ((s, d) => {
+      Similarity.scoreCalibration(Tables.embeddings(s, d),
+        "vec_id", "embedding", "label", posLabel = 0, bins = 10)
+        .orderBy("bin")
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -954,6 +964,29 @@ private[graft] object SimilarityQueries {
          |  CAST(((SUM(ps*(2*cb + ns + 1)) - SUM(ps)*(SUM(ps)+1)) * 1000000)
          |    // GREATEST(SUM(ps) * (SUM(ns)-SUM(ps)) * 2, 1) AS BIGINT) AS auc_ppm
          |FROM cum""".stripMargin,
+
+    // same centroid/score CTEs as s43; NTILE over (score, vec_id) total
+    // order; negative-safe mean via the +1e9 offset floor division (s27)
+    "s44_calibration_bins" ->
+      s"""WITH q AS (SELECT vec_id, label, ${qvSql("embedding")} AS qv FROM embeddings),
+         |x AS (SELECT i, CAST(SUM(qv[i]) AS BIGINT) AS s,
+         |        CAST(COUNT(*) AS BIGINT) AS n
+         |      FROM q, range(1, 65) t(i) WHERE label = 0 GROUP BY i),
+         |xm AS (SELECT i,
+         |        CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END AS s FROM x),
+         |c AS (SELECT list(s ORDER BY i) AS cv FROM xm),
+         |sc AS (SELECT q.vec_id, q.label,
+         |    CAST(list_sum([qv[i]*cv[i] for i in range(1,65)]) AS BIGINT) AS score
+         |  FROM q CROSS JOIN c),
+         |b AS (SELECT vec_id, label, score,
+         |    CAST(NTILE(10) OVER (ORDER BY score, vec_id) AS INTEGER) AS bin FROM sc)
+         |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |  CAST((SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) * 1000000) // COUNT(*)
+         |    AS BIGINT) AS pos_rate_ppm,
+         |  CAST((SUM(score) + 1000000000 * COUNT(*)) // COUNT(*) - 1000000000
+         |    AS BIGINT) AS mean_score
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
 
     "s37_principal_direction" -> principalDirectionSql(iterations = 3),
 

@@ -137,6 +137,28 @@ private[graft] object StreamingQueries {
         .orderBy("click_id", "purchase_id")
     }),
 
+    // CHAINED stateful aggregations in ONE streaming query (Spark's
+    // multiple-stateful-operator support): hourly counts re-windowed into
+    // daily peak/total, append mode. Append emits a window only once the
+    // watermark (here max event time, delay 0) passes its end, so the
+    // drained result is exactly the batch aggregate restricted to days
+    // whose end ≤ max ts — that cutoff is mirrored in the oracle, making
+    // the late-data gate itself part of what the hash asserts.
+    "w8_stream_chained_agg" -> ((s, d) => {
+      val ev = Tables.eventsStream(s, d)
+        .withColumn("t", timestamp_micros(col("ts_us")))
+        .withWatermark("t", "0 seconds")
+      val hourly = ev.groupBy(window(col("t"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      val daily = hourly.groupBy(window(col("window"), "1 day"), col("event_type"))
+        .agg(max(col("n_events")).as("peak_hourly"),
+          sum(col("n_events")).as("n_day"))
+      StreamRun.toMemory(daily, "w8_sink", outputMode = "append")
+        .select(unix_micros(col("window.start")).as("day_us"),
+          col("event_type"), col("peak_hourly"), col("n_day"))
+        .orderBy("day_us", "event_type")
+    }),
+
     // sliding-window (1h window / 15min slide) streaming aggregation
     // state: each event lands in exactly windowDuration/slide = 4
     // epoch-aligned windows; the oracle materializes the same 4 window
@@ -212,6 +234,17 @@ private[graft] object StreamingQueries {
         |  AND epoch_us(p.ts) >= epoch_us(c.ts)
         |  AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    // append-mode watermark cutoff: only days fully past max(ts) emit
+    "w8_stream_chained_agg" ->
+      """WITH mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events),
+        |h AS (SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type,
+        |    date_trunc('hour', ts) AS hr, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT day_us, event_type, CAST(MAX(n) AS BIGINT) AS peak_hourly,
+        |  CAST(SUM(n) AS BIGINT) AS n_day
+        |FROM h, mx WHERE day_us + 86400000000 <= m
+        |GROUP BY day_us, event_type ORDER BY day_us, event_type""".stripMargin,
 
     "w6_stream_sliding" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us FROM events),

@@ -257,9 +257,13 @@ object Retrieval {
     * checkpointed once; T is a 1-row broadcast. Bound: 4·c12·10⁶ must
     * stay under 2⁶³, i.e. any single bigram below ~2.3·10¹² occurrences. */
   def knBigramFluency(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // docBi feeds BOTH the model chain and the scoring join — checkpoint
+    // it so the corpus explode+shuffle runs once, and checkpoint the
+    // (vocabulary-sized) c12 since four readers derive from it
     val docBi = explodeBigrams(docs, Seq(col(idCol)), tokens(col(textCol)))
       .groupBy(col(idCol), col("w1"), col("w2"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val c12 = docBi.groupBy("w1", "w2").agg(sum(col("cnt")).as("c12"))
       .localCheckpoint(true)
     val c1n1 = c12.groupBy("w1")

@@ -93,14 +93,7 @@ object Similarity {
     val q = vectors.select(col(idCol).as("vid"), col(labelCol).as("lbl"),
       quantize1000(col(vecCol)).as("qv"))
       .localCheckpoint(true)
-    val centroids = q
-      .select(col("lbl"), posexplode(col("qv")).as(Seq("i", "x")))
-      .groupBy("lbl", "i").agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-      .select(col("lbl"), col("i"), call_function("div", col("s"), col("n")).as("s"))
-      .groupBy("lbl").agg(collect_list(struct(col("i"), col("s"))).as("cl"))
-      // reassemble in dim order; interpreted HOF is fine here — the frame
-      // is |labels| rows, never the corpus
-      .select(col("lbl"), expr("transform(array_sort(cl), e -> e.s)").as("cv"))
+    val centroids = truncMeanCentroids(q)
       .withColumn("nc", ldot(col("cv"), col("cv")))
     q.withColumn("nv", ldot(col("qv"), col("qv")))
       .join(broadcast(centroids), "lbl")
@@ -148,6 +141,21 @@ object Similarity {
             lit(1L).cast("decimal(38,0)"))).as("auc_ppm"))
   }
 
+  /** `(lbl, qv)` frame → `(lbl, cv)` truncated-mean centroids: the
+    * element-wise TRUNCATED integer mean `sum(q_i) div n` per label in
+    * ×1000-quantized space — the ONE centroid definition shared by
+    * [[labelCentroidAudit]], [[centroidScoreAuc]] and [[scoreCalibration]]
+    * (single-source rule; see labelCentroidAudit's scaladoc for why the
+    * mean, not the raw sum, and why truncation is mirrored in the
+    * oracles). Reassembly in dim order via an interpreted HOF is fine —
+    * the frame is |labels| rows, never the corpus. */
+  private def truncMeanCentroids(q: DataFrame): DataFrame =
+    q.select(col("lbl"), posexplode(col("qv")).as(Seq("i", "x")))
+      .groupBy("lbl", "i").agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .select(col("lbl"), col("i"), call_function("div", col("s"), col("n")).as("s"))
+      .groupBy("lbl").agg(collect_list(struct(col("i"), col("s"))).as("cl"))
+      .select(col("lbl"), expr("transform(array_sort(cl), e -> e.s)").as("cv"))
+
   /** The centroid-dot score frame `(vid, lbl, score)` shared by
     * [[centroidScoreAuc]] and [[scoreCalibration]] (single-source rule:
     * the AUC and the calibration report must agree on the score
@@ -162,12 +170,7 @@ object Similarity {
     val q = vectors.select(idExpr.as("vid"), col(labelCol).as("lbl"),
       quantize1000(col(vecCol)).as("qv"))
       .localCheckpoint(true)
-    val centroid = q.filter(col("lbl") === posLabel)
-      .select(posexplode(col("qv")).as(Seq("i", "x")))
-      .groupBy("i").agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-      .select(col("i"), call_function("div", col("s"), col("n")).as("s"))
-      .agg(collect_list(struct(col("i"), col("s"))).as("cl"))
-      .select(expr("transform(array_sort(cl), e -> e.s)").as("cv"))
+    val centroid = truncMeanCentroids(q.filter(col("lbl") === posLabel)).drop("lbl")
     q.crossJoin(broadcast(centroid))
       .select(col("vid"), col("lbl"), ldot(col("qv"), col("cv")).as("score"))
   }

@@ -940,19 +940,11 @@ private[graft] object SimilarityQueries {
          |SELECT * FROM rec8 UNION ALL SELECT * FROM rec16 UNION ALL
          |SELECT * FROM rec32 ORDER BY query_id, dims""".stripMargin,
 
-    // centroid = s5's truncated-mean xm shape restricted to label 0;
-    // tie-corrected Mann-Whitney on the distinct-score register frame
+    // shared centroid/score chain (centroidScoreSql ≡ Similarity
+    // .centroidScores); tie-corrected Mann-Whitney on the distinct-score
+    // register frame
     "s43_auc_rank" ->
-      s"""WITH q AS (SELECT label, ${qvSql("embedding")} AS qv FROM embeddings),
-         |x AS (SELECT i, CAST(SUM(qv[i]) AS BIGINT) AS s,
-         |        CAST(COUNT(*) AS BIGINT) AS n
-         |      FROM q, range(1, 65) t(i) WHERE label = 0 GROUP BY i),
-         |xm AS (SELECT i,
-         |        CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END AS s FROM x),
-         |c AS (SELECT list(s ORDER BY i) AS cv FROM xm),
-         |sc AS (SELECT q.label,
-         |    CAST(list_sum([qv[i]*cv[i] for i in range(1,65)]) AS BIGINT) AS score
-         |  FROM q CROSS JOIN c),
+      s"""WITH ${centroidScoreSql(0)},
          |regs AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS ns,
          |    CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ps
          |  FROM sc GROUP BY score),
@@ -965,19 +957,11 @@ private[graft] object SimilarityQueries {
          |    // GREATEST(SUM(ps) * (SUM(ns)-SUM(ps)) * 2, 1) AS BIGINT) AS auc_ppm
          |FROM cum""".stripMargin,
 
-    // same centroid/score CTEs as s43; NTILE over (score, vec_id) total
-    // order; negative-safe mean via the +1e9 offset floor division (s27)
+    // shared centroid/score chain with s43 (centroidScoreSql); NTILE over
+    // (score, vec_id) total order; negative-safe mean via the +1e9 offset
+    // floor division (s27)
     "s44_calibration_bins" ->
-      s"""WITH q AS (SELECT vec_id, label, ${qvSql("embedding")} AS qv FROM embeddings),
-         |x AS (SELECT i, CAST(SUM(qv[i]) AS BIGINT) AS s,
-         |        CAST(COUNT(*) AS BIGINT) AS n
-         |      FROM q, range(1, 65) t(i) WHERE label = 0 GROUP BY i),
-         |xm AS (SELECT i,
-         |        CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END AS s FROM x),
-         |c AS (SELECT list(s ORDER BY i) AS cv FROM xm),
-         |sc AS (SELECT q.vec_id, q.label,
-         |    CAST(list_sum([qv[i]*cv[i] for i in range(1,65)]) AS BIGINT) AS score
-         |  FROM q CROSS JOIN c),
+      s"""WITH ${centroidScoreSql(0)},
          |b AS (SELECT vec_id, label, score,
          |    CAST(NTILE(10) OVER (ORDER BY score, vec_id) AS INTEGER) AS bin FROM sc)
          |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,

@@ -661,6 +661,23 @@ private[graft] object Support {
        |    ELSE 0 END AS fluency_ppm
        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
 
+  /** Centroid-dot score CTE chain `q/x/xm/c/sc` shared by the s43 AUC and
+    * s44 calibration oracles (mirrors Similarity.centroidScores):
+    * truncated-mean centroid of `posLabel` (s5's xm shape — Spark `div`
+    * truncates toward zero, so negative sums emulate it), int64 dot per
+    * vector. Composable WITH-prefix (no leading WITH, no trailing comma). */
+  private[graft] def centroidScoreSql(posLabel: Int): String =
+    s"""q AS (SELECT vec_id, label, ${qvSql("embedding")} AS qv FROM embeddings),
+       |x AS (SELECT i, CAST(SUM(qv[i]) AS BIGINT) AS s,
+       |        CAST(COUNT(*) AS BIGINT) AS n
+       |      FROM q, range(1, 65) t(i) WHERE label = $posLabel GROUP BY i),
+       |xm AS (SELECT i,
+       |        CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END AS s FROM x),
+       |c AS (SELECT list(s ORDER BY i) AS cv FROM xm),
+       |sc AS (SELECT q.vec_id, q.label,
+       |    CAST(list_sum([qv[i]*cv[i] for i in range(1,65)]) AS BIGINT) AS score
+       |  FROM q CROSS JOIN c)""".stripMargin
+
   /** Kneser-Ney bigram fluency (mirrors Retrieval.knBigramFluency):
     * absolute discount 3/4 as a rational, continuation-probability
     * interpolation, staged integer floor divisions. `c12` feeds four

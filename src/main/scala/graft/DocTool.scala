@@ -31,7 +31,8 @@ object DocTool {
       "TextQueries" -> graft.queries.TextQueries.queries,
       "DedupQueries" -> graft.queries.DedupQueries.queries,
       "SimilarityQueries" -> graft.queries.SimilarityQueries.queries,
-      "PipelineQueries" -> graft.queries.PipelineQueries.queries)
+      "PipelineQueries" -> graft.queries.PipelineQueries.queries,
+      "StreamingQueries" -> graft.queries.StreamingQueries.queries)
     sb.append("| registry | queries | names |\n|---|---|---|\n")
     regs.foreach { case (name, qs) =>
       sb.append(s"| $name | ${qs.size} | ${qs.keys.toSeq.sorted.mkString(", ")} |\n")

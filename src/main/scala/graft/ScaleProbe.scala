@@ -36,7 +36,10 @@ object ScaleProbe {
     "q73_ktruss", "s17_link_prediction", "p2_curation_v2",
     "s38_variance_concentration", "d32_span_coverage", "d35_span_trim",
     "d34_cluster_split", "t40_bpe_encode", "p6_tokenized_release",
-    "t44_ccnet_buckets")
+    "t44_ccnet_buckets",
+    // round-10 second-session additions (batch only — the w-streaming
+    // registry drains real SS jobs and is gated at sf0.01/sf0.1 instead)
+    "t45_kn_fluency", "q183_ks_drift", "s43_auc_rank", "s44_calibration_bins")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -63,11 +66,19 @@ object ScaleProbe {
     runToNoop(SparkEntry.queries("q1_pricing_summary")(spark, src))
 
     val rows = names.map { name =>
+      // best-of-2 per (query, dir): a single cold pass carries JIT +
+      // checkpoint-materialization + GC-debt costs that swamp the plan on
+      // the heaviest queries (s19 measured 81.6 s cold vs 9.9-16 s warm
+      // isolated at sf1) — the warm number is the one that reflects the
+      // plan's scaling
       def time(dir: String): Double = {
-        hygiene()
-        val t0 = System.nanoTime()
-        runToNoop(SparkEntry.queries(name)(spark, dir))
-        (System.nanoTime() - t0) / 1e9
+        def once(): Double = {
+          hygiene()
+          val t0 = System.nanoTime()
+          runToNoop(SparkEntry.queries(name)(spark, dir))
+          (System.nanoTime() - t0) / 1e9
+        }
+        math.min(once(), once())
       }
       val t01 = time(src)
       val t1 = time(out)

@@ -78,6 +78,53 @@ object Analytics {
     *
     * Returns one row per key: (keyCols*, final_balance, n_updates,
     * n_clamped). Deterministic when (keyCols, orderCols) is unique. */
+  /** Holt double-exponential smoothing (level + trend) over an ORDERED
+    * register frame — time-series forecasting in exact integers, the
+    * recursive-smoother tier next to the closed-form folds (q80/q101).
+    * Smoothing constants α = β = 1/4 carried as rationals:
+    * `l_t = ⌊(x_t + 3(l_{t−1}+b_{t−1}))/4⌋`,
+    * `b_t = ⌊((l_t − l_{t−1}) + 3·b_{t−1})/4⌋`, seeded l₁ = x₁, b₁ = 0;
+    * the one-step-ahead forecast is `f_t = l_{t−1} + b_{t−1}` (f₁ = x₁,
+    * so err₁ = 0). Every division is Scala Long `/` (truncation toward
+    * zero) ≡ DuckDB `//` at any sign (probed: −7 // 2 = −3 — DuckDB `//`
+    * TRUNCATES on negatives, same as Spark's IntegralDivide; the trend
+    * numerator goes negative on down-turns, so the convention matters),
+    * so the oracle runs the IDENTICAL recursion as a RECURSIVE CTE.
+    *
+    * The input must be a CALENDAR-bounded register frame (months, days —
+    * never the corpus): the fold is a bounded driver collect under the
+    * sketch-register rule, exactly like the BPE merge tables and greedy
+    * rounds; a 100 TB history still aggregates to the same few hundred
+    * calendar rows before this runs. Output columns:
+    * (orderCol, valueCol, level, trend, forecast, err). */
+  def holtLinearForecast(
+      registers: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      maxRegisters: Int = 100000): DataFrame = {
+    val s = registers.sparkSession
+    val rows = registers
+      .select(col(orderCol).cast("long"), col(valueCol).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    require(rows.nonEmpty, "holtLinearForecast needs a non-empty register frame")
+    require(rows.length <= maxRegisters,
+      s"register frame has ${rows.length} rows (> $maxRegisters) — " +
+        "pre-aggregate to a calendar-bounded frame before smoothing")
+    val out = Vector.newBuilder[(Long, Long, Long, Long, Long, Long)]
+    var l = rows.head._2
+    var b = 0L
+    out += ((rows.head._1, rows.head._2, l, b, rows.head._2, 0L))
+    rows.tail.foreach { case (t, x) =>
+      val f = l + b
+      val l2 = (x + 3L * (l + b)) / 4L
+      val b2 = ((l2 - l) + 3L * b) / 4L
+      l = l2; b = b2
+      out += ((t, x, l, b, f, x - f))
+    }
+    import s.implicits._
+    out.result().toDF(orderCol, valueCol, "level", "trend", "forecast", "err")
+  }
+
   def clampedRunningFold(
       df: org.apache.spark.sql.DataFrame,
       keyCols: Seq[String],

@@ -1370,6 +1370,19 @@ private[graft] object CoreQueries3 {
         .orderBy("event_type")
     }),
 
+    // Holt double-exponential revenue forecast: the monthly revenue
+    // register frame (calendar-bounded — ~80 rows at any corpus size) runs
+    // the exact integer level+trend recursion (α = β = 1/4 as rationals,
+    // floorDiv ≡ //); the oracle replays the IDENTICAL recursion as a
+    // RECURSIVE CTE. One-step-ahead forecast + residual per month.
+    "q184_holt_forecast" -> ((s, d) => {
+      val m = Tables.orders(s, d)
+        .groupBy((year(col("o_orderdate").cast("timestamp")) * 12 +
+          month(col("o_orderdate").cast("timestamp"))).as("midx"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      Analytics.holtLinearForecast(m, "midx", "cents").orderBy("midx")
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -2456,6 +2469,28 @@ private[graft] object CoreQueries3 {
         |  CAST((MAX(ABS(n_we * cum_wd - n_wd * cum_we)) * 1000000)
         |    // GREATEST(n_wd * n_we, 1) AS BIGINT) AS ks_ppm
         |FROM cum GROUP BY event_type, n_wd, n_we ORDER BY event_type""".stripMargin,
+
+    // the identical integer Holt recursion as a recursive CTE; DuckDB `//`
+    // truncates toward zero at any sign (probed: -7 // 2 = -3), exactly
+    // like the operator's Scala Long `/`
+    "q184_holt_forecast" ->
+      """WITH RECURSIVE m AS (SELECT year(o_orderdate)*12 + month(o_orderdate) AS midx,
+        |    CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |o AS (SELECT midx, cents,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY midx) AS BIGINT) AS i FROM m),
+        |h AS (
+        |  SELECT i, midx, cents, cents AS level, CAST(0 AS BIGINT) AS trend,
+        |    cents AS forecast, CAST(0 AS BIGINT) AS err
+        |  FROM o WHERE i = 1
+        |  UNION ALL
+        |  SELECT o.i, o.midx, o.cents,
+        |    (o.cents + 3*(h.level + h.trend)) // 4,
+        |    ((((o.cents + 3*(h.level + h.trend)) // 4) - h.level) + 3*h.trend) // 4,
+        |    h.level + h.trend,
+        |    o.cents - (h.level + h.trend)
+        |  FROM h JOIN o ON o.i = h.i + 1)
+        |SELECT midx, cents, level, trend, forecast, err FROM h ORDER BY midx""".stripMargin,
 
   )
 }

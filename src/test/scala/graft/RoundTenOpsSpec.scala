@@ -346,6 +346,21 @@ class RoundTenOpsSpec extends SparkSpec {
       (3L, 0L, 0L))
   }
 
+  "Analytics.holtLinearForecast" should "run the hand-computed integer Holt recursion" in {
+    // x = [100, 50, 120, 40]; α = β = 1/4; TRUNCATING division pins the
+    // convention: b₂ = (−13)/4 = −3 (floor would give −4), b₃ = (−3)/4 = 0
+    val regs = Seq((1L, 100L), (2L, 50L), (3L, 120L), (4L, 40L)).toDF("t", "x")
+    val r = Analytics.holtLinearForecast(regs, "t", "x")
+      .orderBy("t")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getLong(5)))
+    r shouldBe Array(
+      (1L, 100L, 100L, 0L, 100L, 0L),
+      (2L, 50L, 87L, -3L, 100L, -50L),
+      (3L, 120L, 93L, 0L, 84L, 36L),
+      (4L, 40L, 79L, -3L, 93L, -53L))
+  }
+
   "Similarity.centroidScoreAuc" should "compute the tie-corrected Mann-Whitney AUC" in {
     // label-0 centroid = trunc((1000+500)/2, 0) = (750, 0); scores are
     // 750·x: pos {750000, 375000}, neg {−750000, 375000 (tie), −375000}

@@ -1,7 +1,7 @@
 package graft.queries
 
-import graft.core.Tables
-import graft.streaming.{StatefulOps, StreamRun}
+import graft.core.{Changelog, Tables}
+import graft.streaming.{EosSink, StatefulOps, StreamRun}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -137,6 +137,34 @@ private[graft] object StreamingQueries {
         .orderBy("click_id", "purchase_id")
     }),
 
+    // the reference's FULL stream → state → write-back loop hash-gated
+    // (GatewayStream's commit cycle, S6+S10 promoted from spec-only):
+    // per-user profile state in update mode streams through the EOS file
+    // sink as a batchId-keyed upsert changelog (torn batches invisible,
+    // replays no-ops), and the committed view compacts last-writer-wins
+    // per user — by construction equal to the batch aggregate, which is
+    // exactly what the oracle hashes. Update mode emits one row per
+    // changed key per micro-batch, so (user, batch) is unique and the
+    // batch id is the compaction recency.
+    "w9_stream_writeback" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_w9_").toString
+      val ev = Tables.eventsStream(s, d)
+      val agg = ev.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), qSum(col("value"), "sum_value"))
+      val q = agg.writeStream.outputMode("update")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          EosSink.processBatch(batch.withColumn("__batch", lit(id)), id, s"$tmp/out")
+          ()
+        }.start()
+      q.awaitTermination()
+      Changelog.compact(EosSink.committedView(s, s"$tmp/out"),
+          Seq("user_id"), "__batch")
+        .drop("__batch")
+        .orderBy("user_id")
+    }),
+
     // CHAINED stateful aggregations in ONE streaming query (Spark's
     // multiple-stateful-operator support): hourly counts re-windowed into
     // daily peak/total, append mode. Append emits a window only once the
@@ -234,6 +262,14 @@ private[graft] object StreamingQueries {
         |  AND epoch_us(p.ts) >= epoch_us(c.ts)
         |  AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    // the write-back loop lands on the same per-user profile as w2 — the
+    // oracle is intentionally identical; what w9 adds to the hash gate is
+    // the EOS sink + compaction path the profile travels through
+    "w9_stream_writeback" ->
+      s"""SELECT user_id, COUNT(*) AS n_events,
+         |  ${qSumSql("value", "sum_value")}
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // append-mode watermark cutoff: only days fully past max(ts) emit
     "w8_stream_chained_agg" ->

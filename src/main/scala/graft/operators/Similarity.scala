@@ -170,7 +170,13 @@ object Similarity {
     val q = vectors.select(idExpr.as("vid"), col(labelCol).as("lbl"),
       quantize1000(col(vecCol)).as("qv"))
       .localCheckpoint(true)
-    val centroid = truncMeanCentroids(q.filter(col("lbl") === posLabel)).drop("lbl")
+    // the grouped centroid agg is EMPTY when posLabel is absent from the
+    // data; fold to ONE row (a global agg always emits) defaulting to the
+    // empty centroid — ldot with [] is 0, so the operator stays total
+    // (all scores 0, AUC 0) instead of emitting a NULL row
+    val centroid = truncMeanCentroids(q.filter(col("lbl") === posLabel))
+      .agg(first(col("cv")).as("cv"))
+      .select(coalesce(col("cv"), array().cast("array<bigint>")).as("cv"))
     q.crossJoin(broadcast(centroid))
       .select(col("vid"), col("lbl"), ldot(col("qv"), col("cv")).as("score"))
   }

@@ -39,4 +39,33 @@ class DegenerateInputsSpec extends AnyFlatSpec with Matchers {
     val pairs = Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "cosine")
     Similarity.mutualOneNn(pairs).count() shouldBe 0L
   }
+
+  "knBigramFluency" should "score 0 over 0 bigrams when no doc has two tokens" in {
+    // the model tables are all empty; the per-bigram divisions (incl. the
+    // ÷ t_types) never evaluate because the scored frame is empty
+    val docs = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
+    val r = graft.operators.Retrieval.knBigramFluency(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    r shouldBe Array((1L, 0L, 0L), (2L, 0L, 0L))
+  }
+
+  "centroidScoreAuc" should "return 0 ppm (not divide by zero) with no positives" in {
+    // centroid of an absent label is the empty aggregate (cv = []) — the
+    // dot is 0 for every row, n_pos = 0, and the greatest(..,1) guard
+    // keeps the final division alive
+    val vecs = Seq((1, Array(1.0f, 0.0f)), (1, Array(0.0f, 1.0f)))
+      .toDF("label", "embedding")
+    val r = Similarity.centroidScoreAuc(vecs, "embedding", "label", posLabel = 0)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    r shouldBe Array((0L, 2L, 0L))
+  }
+
+  "holtLinearForecast" should "refuse an empty register frame with a clear message" in {
+    val empty = Seq.empty[(Long, Long)].toDF("t", "x")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Analytics.holtLinearForecast(empty, "t", "x")
+    }
+    e.getMessage should include("non-empty")
+  }
 }

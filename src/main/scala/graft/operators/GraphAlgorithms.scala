@@ -128,12 +128,17 @@ object GraphAlgorithms {
       vertices: DataFrame,
       eDeg: DataFrame,
       iterations: Int,
-      dampingPpm: Long): DataFrame = {
+      dampingPpm: Long,
+      seedSet: Option[Set[Any]] = None): DataFrame = {
     import scala.jdk.CollectionConverters._
     val verts = vertices.collect().map(_.get(0))
     val edgesL = eDeg.collect().map(r => (r.get(0), r.get(1), r.getLong(2)))
+    def ind(v: Any): Long = seedSet match {
+      case None => 1L
+      case Some(s) => if (s.contains(v)) 1L else 0L
+    }
     var rank = new java.util.HashMap[Any, java.lang.Long]()
-    verts.foreach(v => rank.put(v, 1000000L))
+    verts.foreach(v => rank.put(v, 1000000L * ind(v)))
     var it = 0
     while (it < iterations) {
       val in = new java.util.HashMap[Any, java.lang.Long]()
@@ -143,7 +148,7 @@ object GraphAlgorithms {
       val next = new java.util.HashMap[Any, java.lang.Long]()
       verts.foreach { v =>
         val inC: Long = Option(in.get(v)).map(_.longValue()).getOrElse(0L)
-        next.put(v, (1000000L - dampingPpm) + (dampingPpm * inC) / 1000000L)
+        next.put(v, (1000000L - dampingPpm) * ind(v) + (dampingPpm * inC) / 1000000L)
       }
       rank = next
       it += 1
@@ -223,13 +228,21 @@ object GraphAlgorithms {
     * iterations to bound lineage/planning depth on long runs (eager
     * per-iteration checkpoints measured ~10× the whole query's cost on
     * small graphs). */
+  /** `seeds` (optional single-column `vertex` frame, assumed SMALL — it is
+    * collected on the local path and broadcast-joined on the distributed
+    * one) switches the restart distribution from uniform to the seed set:
+    * personalized PageRank — restart mass `(1e6 − d)` lands only on seed
+    * vertices (unnormalized, ranking-equivalent to the normalized form,
+    * exact integers), initial ranks are the restart vector. `None`
+    * reproduces classic PageRank with the identical arithmetic. */
   def pageRankPpm(
       spark: SparkSession,
       edges: DataFrame,
       iterations: Int = 10,
       dampingPpm: Long = 850000L,
       checkpointInterval: Int = 16,
-      localThreshold: Long = LocalEdgeThreshold): DataFrame = {
+      localThreshold: Long = LocalEdgeThreshold,
+      seeds: Option[DataFrame] = None): DataFrame = {
     require(checkpointInterval > 0, "checkpointInterval must be positive")
     require(dampingPpm >= 0 && dampingPpm <= 1000000L, "dampingPpm must be in [0, 1e6]")
     val e = edges.select(col("src"), col("dst"))
@@ -245,18 +258,30 @@ object GraphAlgorithms {
     // same adaptive trade as connectedComponents: the arithmetic is exact
     // integer ppm either way, so a subcritical graph computes identical
     // ranks on the driver without 10 rounds of join scheduling
-    if (eDeg.count() <= localThreshold && locallyOrderable(vertices.schema.head.dataType))
-      return localPageRank(spark, vertices, eDeg, iterations, dampingPpm)
+    if (eDeg.count() <= localThreshold && locallyOrderable(vertices.schema.head.dataType)) {
+      val seedSet = seeds.map(_.select(col("vertex")).distinct()
+        .collect().map(_.get(0)).toSet)
+      return localPageRank(spark, vertices, eDeg, iterations, dampingPpm, seedSet)
+    }
 
-    var ranks = vertices.withColumn("rank_ppm", lit(1000000L))
+    // restart indicator per vertex: 1 everywhere (classic) or the seed set
+    val vInd = (seeds match {
+      case None => vertices.withColumn("ind", lit(1L))
+      case Some(sd) => vertices
+        .join(broadcast(sd.select(col("vertex")).distinct()
+          .withColumn("ind0", lit(1L))), Seq("vertex"), "left")
+        .select(col("vertex"), coalesce(col("ind0"), lit(0L)).as("ind"))
+    }).localCheckpoint(true)
+    var ranks = vInd.select(col("vertex"),
+      (lit(1000000L) * col("ind")).as("rank_ppm"))
     var it = 0
     while (it < iterations) {
       val contrib = eDeg.join(ranks, eDeg("src") === ranks("vertex"))
         .select(col("dst").as("vertex"), expr("rank_ppm div out_deg").as("c"))
         .groupBy("vertex").agg(sum(col("c")).as("in_c"))
-      ranks = vertices.join(contrib, Seq("vertex"), "left")
+      ranks = vInd.join(contrib, Seq("vertex"), "left")
         .select(col("vertex"),
-          (lit(1000000L - dampingPpm) +
+          (lit(1000000L - dampingPpm) * col("ind") +
             expr(s"(${dampingPpm}L * coalesce(in_c, 0L)) div 1000000L")).as("rank_ppm"))
       it += 1
       if (it % checkpointInterval == 0 && it < iterations) ranks = ranks.localCheckpoint(true)

@@ -1383,6 +1383,22 @@ private[graft] object CoreQueries3 {
       Analytics.holtLinearForecast(m, "midx", "cents").orderBy("midx")
     }),
 
+    // personalized PageRank on q35's brand-type graph, seeded at one brand:
+    // restart mass lands only on the seed, so ranks measure random-walk
+    // proximity TO Brand#13 — the seeded-relevance / recommendation form
+    // of q35 (same exact integer ppm iteration, same operator with the
+    // seeds param; q35's uniform case re-verifies in the same gate)
+    "q185_personalized_pagerank" -> ((s, d) => {
+      import s.implicits._
+      val bt = Tables.part(s, d).select(
+        concat(lit("b:"), col("p_brand")).as("src"),
+        concat(lit("t:"), col("p_type")).as("dst"))
+      val edges = bt.union(bt.select(col("dst").as("src"), col("src").as("dst")))
+      GraphAlgorithms.pageRankPpm(s, edges, iterations = 10,
+          seeds = Some(Seq("b:Brand#13").toDF("vertex")))
+        .orderBy("vertex")
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -2491,6 +2507,10 @@ private[graft] object CoreQueries3 {
         |    o.cents - (h.level + h.trend)
         |  FROM h JOIN o ON o.i = h.i + 1)
         |SELECT midx, cents, level, trend, forecast, err FROM h ORDER BY midx""".stripMargin,
+
+    "q185_personalized_pagerank" ->
+      pageRankSql(iterations = 10, dampingPpm = 850000L,
+        seedCondSql = Some("vertex = 'b:Brand#13'")),
 
   )
 }

@@ -1012,24 +1012,43 @@ private[graft] object Support {
        |GROUP BY 1, 2 HAVING COUNT(*) >= $minShared
        |ORDER BY id_a, id_b""".stripMargin
 
-  private[graft] def pageRankSql(iterations: Int, dampingPpm: Long): String = {
+  /** `seedCondSql` (a boolean SQL over `vertex`) switches the restart
+    * distribution to the seed set — personalized PageRank (mirrors
+    * GraphAlgorithms.pageRankPpm(seeds)); None reproduces the classic
+    * uniform-restart SQL byte-identically. */
+  private[graft] def pageRankSql(iterations: Int, dampingPpm: Long,
+      seedCondSql: Option[String] = None): String = {
     val base = 1000000L - dampingPpm
+    val baseTerm = seedCondSql match {
+      case None => s"$base"
+      case Some(_) => s"$base * v.ind"
+    }
     val iters = (1 to iterations).map { i =>
       s"""r$i AS (SELECT v.vertex,
-         |  CAST($base + ($dampingPpm * COALESCE(s.c, 0)) // 1000000 AS BIGINT) AS r
+         |  CAST($baseTerm + ($dampingPpm * COALESCE(s.c, 0)) // 1000000 AS BIGINT) AS r
          |  FROM v LEFT JOIN (
          |    SELECT e.dst AS vertex, SUM(p.r // d.od) AS c
          |    FROM e JOIN deg d ON e.src = d.src JOIN r${i - 1} p ON p.vertex = e.src
          |    GROUP BY e.dst) s USING (vertex))""".stripMargin
     }.mkString(",\n")
+    val vSql = seedCondSql match {
+      case None => "v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e)"
+      case Some(cond) =>
+        s"""v AS (SELECT vertex, CASE WHEN $cond THEN 1 ELSE 0 END AS ind
+           |  FROM (SELECT src AS vertex FROM e UNION SELECT dst FROM e))""".stripMargin
+    }
+    val r0Sql = seedCondSql match {
+      case None => "r0 AS (SELECT vertex, CAST(1000000 AS BIGINT) AS r FROM v)"
+      case Some(_) => "r0 AS (SELECT vertex, CAST(1000000 * ind AS BIGINT) AS r FROM v)"
+    }
     s"""WITH eraw AS (
        |  SELECT 'b:' || p_brand AS src, 't:' || p_type AS dst FROM part
        |  UNION ALL
        |  SELECT 't:' || p_type AS src, 'b:' || p_brand AS dst FROM part),
        |e AS (SELECT DISTINCT src, dst FROM eraw WHERE src <> dst),
-       |v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
+       |$vSql,
        |deg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
-       |r0 AS (SELECT vertex, CAST(1000000 AS BIGINT) AS r FROM v),
+       |$r0Sql,
        |$iters
        |SELECT vertex, r AS rank_ppm FROM r$iterations ORDER BY vertex""".stripMargin
   }

@@ -361,6 +361,18 @@ class RoundTenOpsSpec extends SparkSpec {
       (4L, 40L, 79L, -3L, 93L, -53L))
   }
 
+  "GraphAlgorithms.pageRankPpm(seeds)" should "restart only at the seed set" in {
+    // 2-cycle a<->b, seed {a}, d = 1/2, 2 iterations, by hand:
+    // init a=1e6 b=0; it1 a=500000 b=500000; it2 a=750000 b=250000
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val r = graft.operators.GraphAlgorithms.pageRankPpm(spark, edges,
+        iterations = 2, dampingPpm = 500000L,
+        seeds = Some(Seq("a").toDF("vertex")))
+      .orderBy("vertex")
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    r shouldBe Array(("a", 750000L), ("b", 250000L))
+  }
+
   "Similarity.centroidScoreAuc" should "compute the tie-corrected Mann-Whitney AUC" in {
     // label-0 centroid = trunc((1000+500)/2, 0) = (750, 0); scores are
     // 750·x: pos {750000, 375000}, neg {−750000, 375000 (tie), −375000}

@@ -137,6 +137,35 @@ private[graft] object StreamingQueries {
         .orderBy("click_id", "purchase_id")
     }),
 
+    // the reference's per-key CDC loop hash-gated through updateAndGet
+    // (P6) itself: state = latest (ts, event_id, type) per user — the
+    // max fold is order-free, so in-batch iterator order cannot matter —
+    // and a user whose LATEST event is an 'error' is tombstoned out of
+    // the final table (S5 tombstone + q4 compact-latest semantics as one
+    // streaming query). Emissions are monotone in (ts, eid), so the
+    // argmax-struct dedup over the drained update stream is
+    // batching-independent.
+    "w10_stream_compact_tombstone" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.eventsStream(s, d)
+        .select(col("user_id"),
+          struct(col("ts_us"), col("event_id"), col("event_type")).as("v"))
+        .as[(Long, (Long, Long, String))]
+      val latest = StatefulOps.updateAndGet[
+          Long, (Long, Long, String), (Long, Long, String)](
+        ev,
+        (cur, v) => Some(
+          if (cur.exists(c => c._1 > v._1 || (c._1 == v._1 && c._2 >= v._2)))
+            cur.get else v))
+      val dd = StreamRun.toMemory(latest.toDF("user_id", "st"), "w10_sink",
+        outputMode = "update")
+      dd.groupBy("user_id").agg(max(col("st")).as("st"))
+        .select(col("user_id"), col("st._1").as("ts_us"),
+          col("st._2").as("event_id"), col("st._3").as("event_type"))
+        .where(col("event_type") =!= "error")
+        .orderBy("user_id")
+    }),
+
     // the reference's FULL stream → state → write-back loop hash-gated
     // (GatewayStream's commit cycle, S6+S10 promoted from spec-only):
     // per-user profile state in update mode streams through the EOS file
@@ -262,6 +291,16 @@ private[graft] object StreamingQueries {
         |  AND epoch_us(p.ts) >= epoch_us(c.ts)
         |  AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    // last-writer-wins per user, tombstoned when the latest event errors
+    "w10_stream_compact_tombstone" ->
+      """WITH latest AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, ts_us, event_id, event_type
+        |FROM latest WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
 
     // the write-back loop lands on the same per-user profile as w2 — the
     // oracle is intentionally identical; what w9 adds to the hash gate is

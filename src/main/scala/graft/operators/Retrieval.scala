@@ -331,6 +331,62 @@ object Retrieval {
     * are ONE partial-agg'd shuffle on ≤ `buckets` keys; the weight table
     * is `buckets` rows, broadcast back — the corpus itself is never
     * joined fact-to-fact. */
+  /** Balanced Rocchio (class-weighted centroid-difference) classifier
+    * over hashed bigram features — a TRAINED linear model entirely
+    * in-engine, exact and oracle-able (the trainable tier above t12's
+    * fixed-weight hashed score). One-shot, order-free training:
+    * `w(b) = Σ_d y_d·m_d·cnt(d,b)` with class balance `m_d = n_neg` for
+    * positives and `n_pos` for negatives (both classes contribute equal
+    * total mass, so a 5%-positive corpus cannot collapse to the majority
+    * class); a doc's margin is the integer dot `Σ_b cnt·w`, prediction is
+    * its sign. Chosen over the batch perceptron after measuring: the
+    * all-misclassified batch update OSCILLATES (accuracy peaked then fell
+    * across rounds on this corpus) while the balanced one-shot difference
+    * is monotone in bucket count — probe, don't assume, per CLAUDE.md.
+    *
+    * All integers: counts and weights are longs, margins ride
+    * DECIMAL(38,0) (mirrored as HUGEINT) and surface as BIGINT — loud
+    * ANSI overflow rather than silent wrap. Ties (margin = 0) predict −1
+    * in both engines.
+    *
+    * Scale shape: the feature frame is one (doc, bucket)-keyed partial
+    * agg, checkpointed for its two readers; training is one bucket-keyed
+    * partial agg to a ≤`buckets`-row weight table; scoring broadcasts it
+    * — never an all-pairs, never a row sort. */
+  def rocchioScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isPositive: Column,
+      buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val y = when(isPositive, 1L).otherwise(-1L)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val fe = explodeBigrams(docs, Seq(col(idCol), y.as("y")), tokens(col(textCol)))
+      .select(col(idCol), col("y"), (md5Hash60(col("gram")) % buckets).as("b"))
+      .groupBy(col(idCol), col("y"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val classes = docs.agg(
+      sum(when(isPositive, 1L).otherwise(0L)).as("n_pos"),
+      sum(when(isPositive, 0L).otherwise(1L)).as("n_neg"))
+    val w = fe.crossJoin(broadcast(classes))
+      .select(col("b"),
+        (col("y") * when(col("y") === 1L, col("n_neg")).otherwise(col("n_pos"))
+          * col("cnt")).as("c"))
+      .groupBy("b").agg(sum(col("c")).as("w"))
+    val mf = fe.join(broadcast(w), "b")
+      .groupBy(col(idCol), col("y"))
+      .agg(sum(dec(col("cnt")) * col("w")).as("m"))
+    docs.select(col(idCol), y.as("label"))
+      .join(mf.select(col(idCol), col("m")), Seq(idCol), "left")
+      .select(col(idCol), col("label"),
+        coalesce(col("m"), lit(0L).cast("decimal(38,0)")).cast("long").as("margin"),
+        when(coalesce(col("m"), lit(0L).cast("decimal(38,0)")) > 0L, 1L)
+          .otherwise(-1L).as("pred"))
+      .withColumn("correct", col("label") === col("pred"))
+  }
+
   def dsirImportance(
       docs: DataFrame,
       idCol: String,

@@ -678,6 +678,38 @@ private[graft] object Support {
        |    CAST(list_sum([qv[i]*cv[i] for i in range(1,65)]) AS BIGINT) AS score
        |  FROM q CROSS JOIN c)""".stripMargin
 
+  /** Balanced-Rocchio CTE chain (mirrors Retrieval.rocchioScore):
+    * hashed-bigram features, one class-weighted centroid-difference
+    * weight table (`w(b) = Σ y·m·cnt`, m = opposite-class count), margins
+    * as HUGEINT, final BIGINT surface. fe is multiply-referenced → AS
+    * MATERIALIZED. */
+  private[graft] def rocchioSql(buckets: Int): String =
+    s"""WITH fe AS MATERIALIZED (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+       |    CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) % $buckets AS b,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM (SELECT doc_id, lang, t[i] || ' ' || t[i+1] AS gram
+       |        FROM (SELECT doc_id, lang, $toksSql AS t FROM documents) tk,
+       |        UNNEST(generate_series(1, len(t)-1)) AS u(i))
+       |  GROUP BY doc_id, y, b),
+       |cl AS (SELECT
+       |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |    CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+       |  FROM documents),
+       |w AS (SELECT b, CAST(SUM(y * (CASE WHEN y = 1 THEN cl.n_neg ELSE cl.n_pos END)
+       |      * cnt) AS BIGINT) AS w
+       |  FROM fe CROSS JOIN cl GROUP BY b),
+       |mf AS (SELECT doc_id, y, SUM(CAST(cnt AS HUGEINT)*w) AS m
+       |  FROM fe JOIN w USING (b) GROUP BY doc_id, y)
+       |SELECT d.doc_id,
+       |  CAST(CASE WHEN d.lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS label,
+       |  CAST(COALESCE(mf.m, 0) AS BIGINT) AS margin,
+       |  CAST(CASE WHEN COALESCE(mf.m, 0) > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
+       |  (CASE WHEN d.lang = 'en' THEN 1 ELSE -1 END)
+       |    = (CASE WHEN COALESCE(mf.m, 0) > 0 THEN 1 ELSE -1 END) AS correct
+       |FROM documents d LEFT JOIN mf USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Kneser-Ney bigram fluency (mirrors Retrieval.knBigramFluency):
     * absolute discount 3/4 as a rational, continuation-probability
     * interpolation, staged integer floor divisions. `c12` feeds four

@@ -52,6 +52,18 @@ private[graft] object TextQueries {
     }),
 
 
+    // TRAINED linear classifier in-engine: balanced Rocchio on hashed
+    // bigram features, English-vs-rest (probed: 218/282 and vocabulary-
+    // separable; a source target collapsed to the majority class, and the
+    // batch-perceptron rounds oscillated — the measured winner is the
+    // one-shot class-weighted centroid difference, 86% here)
+    "t46_rocchio_classifier" -> ((s, d) => {
+      Retrieval.rocchioScore(Tables.documents(s, d), "doc_id", "text",
+          isPositive = col("lang") === "en", buckets = 4096)
+        .orderBy("doc_id")
+    }),
+
+
     // language ID (stopword n-gram heuristic)
     "t1_lang_id" -> ((s, d) => {
       TextAnalysis.languageId(Tables.documents(s, d), "doc_id", "text")
@@ -706,6 +718,9 @@ private[graft] object TextQueries {
 
 
     "t45_kn_fluency" -> s"$knFluencySql ORDER BY doc_id",
+
+
+    "t46_rocchio_classifier" -> rocchioSql(buckets = 4096),
 
 
     "t1_lang_id" ->

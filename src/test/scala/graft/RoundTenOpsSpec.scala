@@ -361,6 +361,23 @@ class RoundTenOpsSpec extends SparkSpec {
       (4L, 40L, 79L, -3L, 93L, -53L))
   }
 
+  "Retrieval.rocchioScore" should "separate disjoint-vocabulary classes with balanced mass" in {
+    // 1 positive vs 3 negatives: the class weights (m_pos = 3, m_neg = 1)
+    // balance total mass, so the lone positive is not drowned out
+    val docs = Seq(
+      (1L, "alpha beta alpha beta", true),
+      (2L, "gamma delta gamma", false),
+      (3L, "delta gamma delta", false),
+      (4L, "gamma gamma delta", false)).toDF("doc_id", "text", "is_en")
+    val r = graft.operators.Retrieval.rocchioScore(docs, "doc_id", "text",
+        isPositive = col("is_en"))
+      .orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(3), x.getBoolean(4)))
+    r shouldBe Array(
+      (1L, 1L, 1L, true), (2L, -1L, -1L, true),
+      (3L, -1L, -1L, true), (4L, -1L, -1L, true))
+  }
+
   "GraphAlgorithms.pageRankPpm(seeds)" should "restart only at the seed set" in {
     // 2-cycle a<->b, seed {a}, d = 1/2, 2 iterations, by hand:
     // init a=1e6 b=0; it1 a=500000 b=500000; it2 a=750000 b=250000

@@ -39,7 +39,8 @@ object ScaleProbe {
     "t44_ccnet_buckets",
     // round-10 second-session additions (batch only — the w-streaming
     // registry drains real SS jobs and is gated at sf0.01/sf0.1 instead)
-    "t45_kn_fluency", "q183_ks_drift", "s43_auc_rank", "s44_calibration_bins")
+    "t45_kn_fluency", "q183_ks_drift", "s43_auc_rank", "s44_calibration_bins",
+    "t46_rocchio_classifier", "s45_silhouette")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -358,6 +358,42 @@ private[graft] object SimilarityQueries {
     }),
 
 
+    // simplified silhouette per IVF cell (Hruschka et al. — centroid
+    // distances instead of all-pairs, the form that survives scale):
+    // a = d² to own centroid, b = min d² to any other; s = (b−a)/max(a,b)
+    // in ppm. All integer: quantized d² via ldot identities, signed
+    // division is div ≡ // (both truncate), the per-cell mean uses the
+    // +1e6 offset (s27 rule). The 16-row centroid table cross-joins
+    // broadcast — 16× row fan-out map-side, never an all-pairs
+    "s45_silhouette" -> ((s, d) => {
+      import s.implicits._
+      val em = Tables.embeddings(s, d)
+      val (cells, centroids) = Similarity.ivfIndex(em, "vec_id", "embedding",
+        nCentroids = 16, iterations = 5)
+      val vecs = em.select(col("vec_id").as("id"), quantize1000(col("embedding")).as("v"))
+      val centDf = broadcast(
+        centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+          .toDF("ccell", "c"))
+      val d2 = vecs.join(cells, "id").crossJoin(centDf)
+        .select(col("id"), col("cell"), col("ccell"),
+          (ldot(col("v"), col("v")) - lit(2L) * ldot(col("v"), col("c")) +
+            ldot(col("c"), col("c"))).as("d2"))
+      val ab = d2.groupBy("id", "cell").agg(
+        max(when(col("ccell") === col("cell"), col("d2"))).as("a"),
+        min(when(col("ccell") =!= col("cell"), col("d2"))).as("b"))
+      ab.select(col("cell"),
+          call_function("div", (col("b") - col("a")) * 1000000L,
+            greatest(greatest(col("a"), col("b")), lit(1L))).as("s_ppm"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vectors"),
+          (call_function("div",
+            sum(col("s_ppm")) + lit(1000000L) * count(lit(1)), count(lit(1)))
+            - 1000000L).as("mean_sil_ppm"))
+        .select(col("cell").cast("long").as("cell"), col("n_vectors"),
+          col("mean_sil_ppm"))
+        .orderBy("cell")
+    }),
+
     // item-item collaborative filtering: cosine over the (customer, part,
     // Σquantity) matrix — co-rated pairs from the per-user self-join with
     // whole-heavy-user drop (cap 40 → ≤1600 pairs/user), exact integer
@@ -1061,6 +1097,25 @@ private[graft] object SimilarityQueries {
 
     // the full k-means unroll, then per-row exact distance vs the final
     // centroid table (cn = ||c||² is already in the CTE)
+    // same ivf chain; a/b from a 16-row cross join, signed // truncation
+    "s45_silhouette" ->
+      s"""WITH ${ivfCellsSql(16, 5)},
+         |dd AS (SELECT x.id, x.cell, cc.cell AS ccell,
+         |    list_sum([x.v[i]*x.v[i] for i in range(1,65)])
+         |      - 2*list_sum([cc.c[i]*x.v[i] for i in range(1,65)]) + cc.cn AS d2
+         |  FROM cells x CROSS JOIN c5 cc),
+         |ab AS (SELECT id, cell,
+         |    MAX(CASE WHEN ccell = cell THEN d2 END) AS a,
+         |    MIN(CASE WHEN ccell <> cell THEN d2 END) AS b
+         |  FROM dd GROUP BY id, cell),
+         |sil AS (SELECT cell,
+         |    CAST(((b - a) * 1000000) // GREATEST(GREATEST(a, b), 1) AS BIGINT) AS s_ppm
+         |  FROM ab)
+         |SELECT CAST(cell AS BIGINT) AS cell, COUNT(*) AS n_vectors,
+         |  CAST((SUM(s_ppm) + 1000000 * COUNT(*)) // COUNT(*) - 1000000 AS BIGINT)
+         |    AS mean_sil_ppm
+         |FROM sil GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "s21_ivf_distortion" ->
       s"""WITH ${ivfCellsSql(16, 5)},
          |dd AS (SELECT x.cell,

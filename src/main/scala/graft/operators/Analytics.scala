@@ -103,13 +103,22 @@ object Analytics {
       valueCol: String,
       maxRegisters: Int = 100000): DataFrame = {
     val s = registers.sparkSession
+    // bound the collect BEFORE it happens: limit(max+1) caps driver memory
+    // even when a caller hands over a corpus-sized frame by mistake — the
+    // require below then fails with the message instead of an OOM
     val rows = registers
       .select(col(orderCol).cast("long"), col(valueCol).cast("long"))
+      .limit(maxRegisters + 1)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     require(rows.nonEmpty, "holtLinearForecast needs a non-empty register frame")
     require(rows.length <= maxRegisters,
-      s"register frame has ${rows.length} rows (> $maxRegisters) — " +
+      s"register frame exceeds $maxRegisters rows — " +
         "pre-aggregate to a calendar-bounded frame before smoothing")
+    // the recursion is order-sensitive and ties on orderCol would make the
+    // fold partition-order-dependent (and oracle-divergent): refuse them
+    require(rows.iterator.map(_._1).toSet.size == rows.length,
+      s"holtLinearForecast needs unique '$orderCol' values — " +
+        "aggregate duplicates before smoothing")
     val out = Vector.newBuilder[(Long, Long, Long, Long, Long, Long)]
     var l = rows.head._2
     var b = 0L

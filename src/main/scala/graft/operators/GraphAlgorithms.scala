@@ -264,14 +264,19 @@ object GraphAlgorithms {
       return localPageRank(spark, vertices, eDeg, iterations, dampingPpm, seedSet)
     }
 
-    // restart indicator per vertex: 1 everywhere (classic) or the seed set
-    val vInd = (seeds match {
+    // restart indicator per vertex: 1 everywhere (classic) or the seed
+    // set. Only the seeded branch checkpoints — the None projection is a
+    // free map over the already-checkpointed vertices (a second eager
+    // checkpoint there would add a materialization job + pinned blocks to
+    // every classic pageRank call)
+    val vInd = seeds match {
       case None => vertices.withColumn("ind", lit(1L))
       case Some(sd) => vertices
         .join(broadcast(sd.select(col("vertex")).distinct()
           .withColumn("ind0", lit(1L))), Seq("vertex"), "left")
         .select(col("vertex"), coalesce(col("ind0"), lit(0L)).as("ind"))
-    }).localCheckpoint(true)
+        .localCheckpoint(true)
+    }
     var ranks = vInd.select(col("vertex"),
       (lit(1000000L) * col("ind")).as("rank_ppm"))
     var it = 0

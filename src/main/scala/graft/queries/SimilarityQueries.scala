@@ -367,10 +367,13 @@ private[graft] object SimilarityQueries {
     // broadcast — 16× row fan-out map-side, never an all-pairs
     "s45_silhouette" -> ((s, d) => {
       import s.implicits._
-      val em = Tables.embeddings(s, d)
-      val (cells, centroids) = Similarity.ivfIndex(em, "vec_id", "embedding",
+      // ONE quantize pass shared by training and scoring (the
+      // ivfIndexQuantized seam — ivfIndex would re-scan and re-quantize)
+      val vecs = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), quantize1000(col("embedding")).as("v"))
+        .localCheckpoint(true)
+      val (cells, centroids) = Similarity.ivfIndexQuantized(vecs,
         nCentroids = 16, iterations = 5)
-      val vecs = em.select(col("vec_id").as("id"), quantize1000(col("embedding")).as("v"))
       val centDf = broadcast(
         centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
           .toDF("ccell", "c"))

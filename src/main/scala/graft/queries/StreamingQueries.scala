@@ -176,18 +176,15 @@ private[graft] object StreamingQueries {
     // changed key per micro-batch, so (user, batch) is unique and the
     // batch id is the compaction recency.
     "w9_stream_writeback" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_w9_").toString
+      val tmpPath = java.nio.file.Files.createTempDirectory("graft_w9_")
+      Support.deleteOnExit(tmpPath)
+      val tmp = tmpPath.toString
       val ev = Tables.eventsStream(s, d)
       val agg = ev.groupBy("user_id")
         .agg(count(lit(1)).as("n_events"), qSum(col("value"), "sum_value"))
-      val q = agg.writeStream.outputMode("update")
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, id: Long) =>
-          EosSink.processBatch(batch.withColumn("__batch", lit(id)), id, s"$tmp/out")
-          ()
-        }.start()
-      q.awaitTermination()
+      EosSink.writer(agg, s"$tmp/out", s"$tmp/ckpt", outputMode = "update",
+          tag = (b, id) => b.withColumn("__batch", lit(id)))
+        .start().awaitTermination()
       Changelog.compact(EosSink.committedView(s, s"$tmp/out"),
           Seq("user_id"), "__batch")
         .drop("__batch")

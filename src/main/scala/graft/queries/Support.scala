@@ -661,6 +661,20 @@ private[graft] object Support {
        |    ELSE 0 END AS fluency_ppm
        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
 
+  /** Register a recursive delete of `path` at JVM exit — bounds the temp
+    * footprint of queries that must write through a real file sink (w9):
+    * the sink dir stays readable for the query's lazy downstream reads
+    * within the run, and a Verify/Bench/PlanAudit JVM leaves nothing
+    * behind. */
+  private[graft] def deleteOnExit(path: java.nio.file.Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(path.toFile)
+    }))
+
   /** Centroid-dot score CTE chain `q/x/xm/c/sc` shared by the s43 AUC and
     * s44 calibration oracles (mirrors Similarity.centroidScores):
     * truncated-mean centroid of `posLabel` (s5's xm shape — Spark `div`

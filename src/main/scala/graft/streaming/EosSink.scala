@@ -72,14 +72,19 @@ object EosSink {
   }
 
   /** Wire a streaming frame to the sink (AvailableNow, one ledger per
-    * outDir). */
-  def writer(stream: DataFrame, outDir: String, checkpoint: String): DataStreamWriter[Row] =
+    * outDir). `outputMode` defaults to append; `tag` lets the caller
+    * stamp each batch before the idempotent write (e.g. a batchId column
+    * for last-writer-wins compaction, the w9 shape) — it must be a pure
+    * function of (batch, batchId) or replay healing breaks. */
+  def writer(stream: DataFrame, outDir: String, checkpoint: String,
+      outputMode: String = "append",
+      tag: (DataFrame, Long) => DataFrame = (b, _) => b): DataStreamWriter[Row] =
     stream.writeStream
-      .outputMode("append")
+      .outputMode(outputMode)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, outDir)
+        processBatch(tag(batch, batchId), batchId, outDir)
         ()
       }
 }

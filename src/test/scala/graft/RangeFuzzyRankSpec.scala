@@ -115,6 +115,22 @@ class PageRankSpec extends SparkSpec {
     ranks(Long.MaxValue) shouldBe ranks(0L) // union of exact integer paths
   }
 
+  it should "compute identical SEEDED ranks from the local and distributed paths" in {
+    val edges = (Seq(("a", "b"), ("b", "a"), ("c", "a"), ("c", "b"), ("d", "c")) ++
+      (1 to 20).map(i => (s"x$i", s"x${i % 20 + 1}"))).toDF("src", "dst")
+    def ranks(localThreshold: Long) =
+      GraphAlgorithms.pageRankPpm(spark, edges, iterations = 12,
+        localThreshold = localThreshold,
+        seeds = Some(Seq("a", "d").toDF("vertex")))
+        .as[(String, Long)].collect().toMap
+    val local = ranks(Long.MaxValue)
+    local shouldBe ranks(0L) // the seeded vInd arithmetic, both paths
+    // restart mass reaches only the seeds; x-ring vertices are unreachable
+    // from them and must decay to 0
+    local("x5") shouldBe 0L
+    local("a") should be > 0L
+  }
+
   it should "converge ring graphs to uniform rank" in {
     val ring = (0 until 6).map(i => (s"v$i", s"v${(i + 1) % 6}")).toDF("src", "dst")
     val r = GraphAlgorithms.pageRankPpm(spark, ring, iterations = 20)

@@ -256,6 +256,25 @@ private[graft] object DedupQueries {
     }),
 
 
+    // d19's documented 100 TB escape hatch as its OWN gated definition:
+    // prefix postings with df > 64 are whole-dropped (capBuckets pattern),
+    // so candidate volume is bounded by cap² per posting at ANY corpus
+    // size — the pair DEFINITION changes and the recall trade is MEASURED,
+    // not assumed: 6/6 of d19's pairs survive at sf0.01 but only 3/79 at
+    // sf0.1 (this synthetic corpus saturates its vocabulary, so true pairs
+    // share only common grams — PLANS.md d19); on a natural corpus whose
+    // vocabulary grows with size, near-dup pairs share rare grams and the
+    // cap is cheap. Warm cost 3.5 s vs d19's 5.2 s at sf0.1. When recall
+    // on a saturated corpus matters, the lossy-but-calibrated banding
+    // blockers (d2/d25/d30) are the right tool instead. The oracle mirrors
+    // the full rarest-first (df, hash) prefix + cap + size + position rules
+    "d37_prefix_join_capped" -> ((s, d) => {
+      Dedup.prefixFilterJaccard(Tables.documents(s, d), "doc_id", "text",
+          tNum = 1L, tDen = 2L, blockCols = Seq("lang"), maxGramDf = 64L)
+        .orderBy("id_a", "id_b")
+    }),
+
+
     // storage-savings report: bytes reclaimed per source by exact text
     // dedup (keep-one-per-hash) — the go/no-go number before running the
     // expensive near-dup passes; one groupBy on (source, md5) then a
@@ -800,6 +819,41 @@ private[graft] object DedupQueries {
          |    a.n AS na, b.n AS nb
          |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id AND a.lang = b.lang
          |    AND a.n <= 2*b.n AND b.n <= 2*a.n)
+         |SELECT id_a, id_b, inter,
+         |  inter::DOUBLE / (na + nb - inter) AS jaccard
+         |FROM p WHERE 2*inter >= na + nb - inter
+         |ORDER BY id_a, id_b""".stripMargin,
+
+
+    // full mirror of the capped candidate rule: hashed gram sets (60-bit
+    // md5 longs), df over hash postings, per-doc rarest-first ROW_NUMBER
+    // ordered (df, h), prefix cut rn <= sz - ceil(sz/2) + 1, df <= 64,
+    // size + PPJoin position filters, exact hash-set intersect verify
+    "d37_prefix_join_capped" ->
+      s"""WITH tk AS (SELECT doc_id, lang, $toksSql AS t FROM documents),
+         |hs AS (SELECT doc_id, lang, list_sort(list_distinct(
+         |    [CAST(concat('0x', substr(md5(t[i] || ' ' || t[i+1]), 1, 15)) AS BIGINT)
+         |     for i in range(1, len(t))])) AS ts FROM tk),
+         |sets AS MATERIALIZED (SELECT doc_id, lang, ts, CAST(len(ts) AS BIGINT) AS sz
+         |  FROM hs WHERE len(ts) > 0),
+         |ex AS (SELECT doc_id, lang, sz, unnest(ts) AS h FROM sets),
+         |dfr AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM ex GROUP BY h),
+         |pfx AS MATERIALIZED (SELECT ex.h, ex.lang, ex.doc_id, ex.sz, dfr.df,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY ex.doc_id
+         |      ORDER BY dfr.df, ex.h) AS BIGINT) AS rn
+         |  FROM ex JOIN dfr USING (h)),
+         |pfx2 AS MATERIALIZED (SELECT * FROM pfx
+         |  WHERE rn <= sz - ((sz + 1) // 2) + 1 AND df <= 64),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM pfx2 a JOIN pfx2 b ON a.h = b.h AND a.lang = b.lang
+         |    AND a.doc_id < b.doc_id
+         |    AND a.sz <= 2*b.sz AND b.sz <= 2*a.sz
+         |    AND least(a.sz - a.rn, b.sz - b.rn) + 1 >= ((a.sz + b.sz + 2) // 3)),
+         |p AS (SELECT c.id_a, c.id_b,
+         |    CAST(len(list_intersect(sa.ts, sb.ts)) AS BIGINT) AS inter,
+         |    sa.sz AS na, sb.sz AS nb
+         |  FROM cand c JOIN sets sa ON sa.doc_id = c.id_a
+         |    JOIN sets sb ON sb.doc_id = c.id_b)
          |SELECT id_a, id_b, inter,
          |  inter::DOUBLE / (na + nb - inter) AS jaccard
          |FROM p WHERE 2*inter >= na + nb - inter

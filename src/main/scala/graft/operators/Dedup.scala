@@ -677,7 +677,18 @@ object Dedup {
     * df > cap — the capBuckets escape hatch; the pair DEFINITION then
     * becomes "Jaccard ≥ t AND ≥ 1 shared prefix gram with df ≤ cap" and
     * any oracle must mirror it. Default = unbounded = lossless.
-    * Returns (id_a, id_b, inter, jaccard). */
+    *
+    * `capQuantilePpm` AUTO-CALIBRATES the cap from the measured df
+    * distribution instead of a corpus-blind constant: cap = the smallest
+    * df value covering ≥ quantile of DISTINCT grams (END-cumulative
+    * election over the (df → gram count) register frame — vocabulary-
+    * sized, one tiny aggregate), floored at `maxGramDf`. Because the
+    * posting set grows monotonically with the cap, the floor makes the
+    * verified pair set a SUPERSET of the fixed-cap form's by construction
+    * — recall degrades predictably with the quantile instead of cliff-ing
+    * on vocabulary-saturated corpora where every df scales with corpus
+    * size (measured here: q90 df is 36 at sf0.01 but 305 at sf0.1 on the
+    * same ~930-gram vocabulary). Returns (id_a, id_b, inter, jaccard). */
   def prefixFilterJaccard(
       docs: DataFrame,
       idCol: String,
@@ -685,9 +696,11 @@ object Dedup {
       tNum: Long = 1L,
       tDen: Long = 2L,
       blockCols: Seq[String] = Seq.empty,
-      maxGramDf: Long = Long.MaxValue): DataFrame = {
+      maxGramDf: Long = Long.MaxValue,
+      capQuantilePpm: Option[Long] = None): DataFrame = {
     val (sets, cand) =
-      prefixFilterCandidates(docs, idCol, textCol, tNum, tDen, blockCols, maxGramDf)
+      prefixFilterCandidates(docs, idCol, textCol, tNum, tDen, blockCols,
+        maxGramDf, capQuantilePpm)
     cand
       .join(sets.select(col("doc").as("id_a"), col("ts").as("ta"), col("sz").as("na")), "id_a")
       .join(sets.select(col("doc").as("id_b"), col("ts").as("tb"), col("sz").as("nb")), "id_b")
@@ -710,9 +723,12 @@ object Dedup {
       tNum: Long,
       tDen: Long,
       blockCols: Seq[String],
-      maxGramDf: Long = Long.MaxValue): (DataFrame, DataFrame) = {
+      maxGramDf: Long = Long.MaxValue,
+      capQuantilePpm: Option[Long] = None): (DataFrame, DataFrame) = {
     require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
     require(maxGramDf > 0, "maxGramDf must be positive")
+    require(capQuantilePpm.forall(q => q > 0 && q <= 1000000L),
+      "capQuantilePpm must be in (0, 1e6]")
     import org.apache.spark.sql.expressions.Window
     val blocks = blockCols.map(col)
     val sets = Par.fanOut(docs)
@@ -724,15 +740,35 @@ object Dedup {
     val exploded = sets.select(
       Seq(col("doc"), col("sz")) ++ blocks :+ explode(col("ts")).as("h"): _*)
     val dfreq = exploded.groupBy("h").agg(count(lit(1)).as("df"))
-    val prefix = exploded.join(dfreq, "h")
+    val prefixBase = exploded.join(dfreq, "h")
       .withColumn("rn",
         row_number().over(Window.partitionBy("doc").orderBy(col("df"), col("h")))
           .cast("long"))
       .filter(col("rn") <= col("sz") - expr(s"(sz * $tNum + ${tDen - 1}) div $tDen") + 1L)
-      // capBuckets escape hatch: rn is computed over the FULL rarest-first
-      // order (prefix definition unchanged), then capped postings are
-      // whole-dropped — candidates need a shared prefix gram with df ≤ cap
-      .filter(col("df") <= maxGramDf)
+    // capBuckets escape hatch: rn is computed over the FULL rarest-first
+    // order (prefix definition unchanged), then capped postings are
+    // whole-dropped — candidates need a shared prefix gram with df ≤ cap.
+    // None reproduces the fixed-cap plan byte-identically; Some(q) elects
+    // the smallest df whose END-cumulative covers ≥ q of distinct grams
+    // over the vocabulary-sized (df → count) register frame, floored at
+    // maxGramDf (candidate monotonicity ⇒ recall ≥ the fixed form's), and
+    // gates via a broadcast 1-row frame — no driver collect.
+    val prefix = (capQuantilePpm match {
+      case None => prefixBase.filter(col("df") <= maxGramDf)
+      case Some(q) =>
+        val floorCap = if (maxGramDf == Long.MaxValue) 1L else maxGramDf
+        val wCum = Window.orderBy("df")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val capFrame = dfreq.groupBy("df").agg(count(lit(1)).as("cnt"))
+          .select(col("df"), sum(col("cnt")).over(wCum).as("cum"),
+            sum(col("cnt")).over(Window.partitionBy()).as("tot"))
+          .filter(col("cum") * 1000000L >= col("tot") * q)
+          .agg(min(col("df")).as("__qcap"))
+          // empty corpus → NULL __qcap; greatest skips nulls → the floor
+          .select(greatest(col("__qcap"), lit(floorCap)).as("__cap"))
+        prefixBase.crossJoin(broadcast(capFrame))
+          .filter(col("df") <= col("__cap"))
+    })
       .select(Seq(col("h")) ++ blocks ++ Seq(col("doc"), col("sz"), col("rn")): _*)
     // PPJoin position filter (Xiao et al. WWW'08): a pair generated from
     // prefix positions (i, j) can still overlap at most min(|a|−i, |b|−j)+1

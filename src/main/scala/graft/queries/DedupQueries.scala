@@ -275,6 +275,24 @@ private[graft] object DedupQueries {
     }),
 
 
+    // d37's fixed cap AUTO-CALIBRATED (VERDICT r10 #7): cap = max(q90 of
+    // the distinct-gram df distribution, 64) — one vocabulary-sized
+    // register election, broadcast as a 1-row frame. On this saturated
+    // corpus q90 df scales with size (36 at sf0.01, 305 at sf0.1), so the
+    // cap follows the corpus instead of cliff-ing: recall is ≥ d37's BY
+    // CONSTRUCTION (posting set monotone in cap; the floor pins the
+    // sf0.01 behavior) and MEASURED: 6/6 of d19's lossless pairs at
+    // sf0.01 (= d37) and 79/79 at sf0.1 (d37: 3/79). Cost stays bounded:
+    // the cap still excludes the df tail above q90, which is where the
+    // bucket² candidate volume concentrates.
+    "d38_prefix_join_autocap" -> ((s, d) => {
+      Dedup.prefixFilterJaccard(Tables.documents(s, d), "doc_id", "text",
+          tNum = 1L, tDen = 2L, blockCols = Seq("lang"), maxGramDf = 64L,
+          capQuantilePpm = Some(900000L))
+        .orderBy("id_a", "id_b")
+    }),
+
+
     // storage-savings report: bytes reclaimed per source by exact text
     // dedup (keep-one-per-hash) — the go/no-go number before running the
     // expensive near-dup passes; one groupBy on (source, md5) then a
@@ -501,6 +519,40 @@ private[graft] object DedupQueries {
     }),
 
   )
+
+  /** d37/d38 shared oracle: the capped prefix-join mirror with the cap as
+    * a plug-in — `capCte` (extra CTEs after `pfx`, or empty) and `capRef`
+    * (the SQL expression postings are gated on). Single-source rule: the
+    * fixed-cap and auto-calibrated forms must differ ONLY in the cap. */
+  private def prefixCappedSql(capCte: String, capRef: String): String =
+    s"""WITH tk AS (SELECT doc_id, lang, $toksSql AS t FROM documents),
+       |hs AS (SELECT doc_id, lang, list_sort(list_distinct(
+       |    [CAST(concat('0x', substr(md5(t[i] || ' ' || t[i+1]), 1, 15)) AS BIGINT)
+       |     for i in range(1, len(t))])) AS ts FROM tk),
+       |sets AS MATERIALIZED (SELECT doc_id, lang, ts, CAST(len(ts) AS BIGINT) AS sz
+       |  FROM hs WHERE len(ts) > 0),
+       |ex AS (SELECT doc_id, lang, sz, unnest(ts) AS h FROM sets),
+       |dfr AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM ex GROUP BY h),
+       |pfx AS MATERIALIZED (SELECT ex.h, ex.lang, ex.doc_id, ex.sz, dfr.df,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY ex.doc_id
+       |      ORDER BY dfr.df, ex.h) AS BIGINT) AS rn
+       |  FROM ex JOIN dfr USING (h)),
+       |${capCte}pfx2 AS MATERIALIZED (SELECT * FROM pfx
+       |  WHERE rn <= sz - ((sz + 1) // 2) + 1 AND df <= $capRef),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM pfx2 a JOIN pfx2 b ON a.h = b.h AND a.lang = b.lang
+       |    AND a.doc_id < b.doc_id
+       |    AND a.sz <= 2*b.sz AND b.sz <= 2*a.sz
+       |    AND least(a.sz - a.rn, b.sz - b.rn) + 1 >= ((a.sz + b.sz + 2) // 3)),
+       |p AS (SELECT c.id_a, c.id_b,
+       |    CAST(len(list_intersect(sa.ts, sb.ts)) AS BIGINT) AS inter,
+       |    sa.sz AS na, sb.sz AS nb
+       |  FROM cand c JOIN sets sa ON sa.doc_id = c.id_a
+       |    JOIN sets sb ON sb.doc_id = c.id_b)
+       |SELECT id_a, id_b, inter,
+       |  inter::DOUBLE / (na + nb - inter) AS jaccard
+       |FROM p WHERE 2*inter >= na + nb - inter
+       |ORDER BY id_a, id_b""".stripMargin
 
   val oracles: Map[String, String] = Map(
 
@@ -829,35 +881,18 @@ private[graft] object DedupQueries {
     // md5 longs), df over hash postings, per-doc rarest-first ROW_NUMBER
     // ordered (df, h), prefix cut rn <= sz - ceil(sz/2) + 1, df <= 64,
     // size + PPJoin position filters, exact hash-set intersect verify
-    "d37_prefix_join_capped" ->
-      s"""WITH tk AS (SELECT doc_id, lang, $toksSql AS t FROM documents),
-         |hs AS (SELECT doc_id, lang, list_sort(list_distinct(
-         |    [CAST(concat('0x', substr(md5(t[i] || ' ' || t[i+1]), 1, 15)) AS BIGINT)
-         |     for i in range(1, len(t))])) AS ts FROM tk),
-         |sets AS MATERIALIZED (SELECT doc_id, lang, ts, CAST(len(ts) AS BIGINT) AS sz
-         |  FROM hs WHERE len(ts) > 0),
-         |ex AS (SELECT doc_id, lang, sz, unnest(ts) AS h FROM sets),
-         |dfr AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM ex GROUP BY h),
-         |pfx AS MATERIALIZED (SELECT ex.h, ex.lang, ex.doc_id, ex.sz, dfr.df,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY ex.doc_id
-         |      ORDER BY dfr.df, ex.h) AS BIGINT) AS rn
-         |  FROM ex JOIN dfr USING (h)),
-         |pfx2 AS MATERIALIZED (SELECT * FROM pfx
-         |  WHERE rn <= sz - ((sz + 1) // 2) + 1 AND df <= 64),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM pfx2 a JOIN pfx2 b ON a.h = b.h AND a.lang = b.lang
-         |    AND a.doc_id < b.doc_id
-         |    AND a.sz <= 2*b.sz AND b.sz <= 2*a.sz
-         |    AND least(a.sz - a.rn, b.sz - b.rn) + 1 >= ((a.sz + b.sz + 2) // 3)),
-         |p AS (SELECT c.id_a, c.id_b,
-         |    CAST(len(list_intersect(sa.ts, sb.ts)) AS BIGINT) AS inter,
-         |    sa.sz AS na, sb.sz AS nb
-         |  FROM cand c JOIN sets sa ON sa.doc_id = c.id_a
-         |    JOIN sets sb ON sb.doc_id = c.id_b)
-         |SELECT id_a, id_b, inter,
-         |  inter::DOUBLE / (na + nb - inter) AS jaccard
-         |FROM p WHERE 2*inter >= na + nb - inter
-         |ORDER BY id_a, id_b""".stripMargin,
+    "d37_prefix_join_capped" -> prefixCappedSql("", "64"),
+
+    // d38: the cap ELECTED from the df distribution (q90 over distinct
+    // grams, END-cumulative election on the (df → count) register frame)
+    // floored at 64 — mirrors Dedup.prefixFilterJaccard(capQuantilePpm)
+    "d38_prefix_join_autocap" -> prefixCappedSql(
+      """capr AS (SELECT df AS dv, SUM(COUNT(*)) OVER (ORDER BY df) AS cum,
+        |    SUM(COUNT(*)) OVER () AS tot FROM dfr GROUP BY df),
+        |cap AS (SELECT GREATEST(MIN(dv), 64) AS cap FROM capr
+        |  WHERE 1000000*cum >= 900000*tot),
+        |""".stripMargin,
+      "(SELECT cap FROM cap)"),
 
 
     // keep-one-per-md5 groups; keeper size = min(n_chars) of the group

@@ -1104,8 +1104,8 @@ private[graft] object SimilarityQueries {
     "s45_silhouette" ->
       s"""WITH ${ivfCellsSql(16, 5)},
          |dd AS (SELECT x.id, x.cell, cc.cell AS ccell,
-         |    list_sum([x.v[i]*x.v[i] for i in range(1,65)])
-         |      - 2*list_sum([cc.c[i]*x.v[i] for i in range(1,65)]) + cc.cn AS d2
+         |    list_sum([x.v[i]*x.v[i] for i in range(1, len(x.v)+1)])
+         |      - 2*list_sum([cc.c[i]*x.v[i] for i in range(1, least(len(cc.c), len(x.v))+1)]) + cc.cn AS d2
          |  FROM cells x CROSS JOIN c5 cc),
          |ab AS (SELECT id, cell,
          |    MAX(CASE WHEN ccell = cell THEN d2 END) AS a,

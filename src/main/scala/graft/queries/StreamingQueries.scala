@@ -1,7 +1,9 @@
 package graft.queries
 
 import graft.core.{Changelog, Tables}
-import graft.streaming.{EosSink, StatefulOps, StreamRun}
+import graft.functions.GraftFunctions.md5Hash60
+import graft.operators.Sketches
+import graft.streaming.{EosSink, StatefulOps, StreamingSketches, StreamRun}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -87,11 +89,14 @@ private[graft] object StreamingQueries {
     // flatMapGroupsWithState runs b ← max(0, b + Δ) per user while the
     // oracle is the Lindley closed form S − min(0, prefix-min S) — the
     // hash match IS the recurrence ≡ closed-form proof on real data.
-    // n_updates is strictly increasing across micro-batches, so the
-    // argmax-n row per key is the final register even if the source
-    // splits into several batches. Nulls in `value` are excluded BY
-    // DEFINITION on both sides (CLAUDE.md: events.value has nulls at
-    // some SFs; a null delta is meaningless in a sequential fold).
+    // PRECONDITION (asserted via assertSingleBatch): the fold sorts rows
+    // within a micro-batch only, so oracle equality needs the whole log
+    // in ONE batch — the single-file AvailableNow source delivers that.
+    // Only the argmax-n DEDUP over the drained sink is batching-
+    // independent (n_updates strictly increases); the fold itself is not.
+    // Nulls in `value` are excluded BY DEFINITION on both sides
+    // (CLAUDE.md: events.value has nulls at some SFs; a null delta is
+    // meaningless in a sequential fold).
     "w5_stream_rmw_fold" -> ((s, d) => {
       import s.implicits._
       val ev = Tables.eventsStream(s, d)
@@ -101,7 +106,8 @@ private[graft] object StreamingQueries {
         .as[(Long, Long, Long, Long)]
       val folded = StatefulOps.clampedFoldMonitor(ev)
         .toDF("user_id", "final_balance", "n_updates", "n_clamped")
-      StreamRun.toMemory(folded, "w5_sink", outputMode = "append")
+      StreamRun.toMemory(folded, "w5_sink", outputMode = "append",
+          assertSingleBatch = true)
         .groupBy("user_id")
         .agg(max(struct(col("n_updates"), col("final_balance"),
           col("n_clamped"))).as("r"))
@@ -213,6 +219,74 @@ private[graft] object StreamingQueries {
         .orderBy("day_us", "event_type")
     }),
 
+    // STREAMING sketch maintenance hash-gated (the StreamingSketches
+    // surface promoted from spec-only): the batch HLL register builder
+    // runs unchanged on the stream — max aggregation per (event_type,
+    // idx), Structured Streaming's state store IS the sketch, exactly m
+    // registers per group regardless of history. The drained registers
+    // must be BIT-IDENTICAL to the batch build (q63's register algebra),
+    // and the estimate computed over the sunk registers rides along.
+    "w11_stream_hll_sketch" -> ((s, d) => {
+      val ev = Tables.eventsStream(s, d)
+      val regs = Sketches.hllRegisters(ev, Seq("event_type"), "user_id", m = 64)
+      val sunk = StreamRun.toMemory(regs, "w11_sink")
+      // estimate via a window over the sunk registers (a join back onto
+      // the memory-sink view would self-conflict its attributes); the
+      // arithmetic is hllEstimate's verbatim: S = Σ 2^(41−M) with empty
+      // registers contributing 2^41, E = 709·(m²·2⁴¹ div S) div 1000
+      val byType = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+      val sp = sum(expr("shiftleft(CAST(1 AS BIGINT), 41 - mreg)")).over(byType)
+      val np = count(lit(1)).over(byType)
+      val sTot = sp + (lit(64L) - np) * (1L << 41)
+      sunk.select(col("event_type"), col("idx"), col("mreg"),
+          call_function("div",
+            lit(709L) * call_function("div", lit(64L * 64L * (1L << 41)), sTot),
+            lit(1000L)).as("n_est"))
+        .orderBy("event_type", "idx")
+    }),
+
+    // TTL'd first-seen dedup — the watermark-BOUNDED production form of
+    // w3's dropDuplicates (whose state grows with distinct keys forever):
+    // one long of state per key, a key re-emits once its previous
+    // emission is more than TTL behind in EVENT time. The oracle mirrors
+    // the TTL cutoff as the greedy chain eᵢ₊₁ = min{ts > eᵢ + ttl} via a
+    // recursive CTE — the hash gate asserts the TTL rule itself, the way
+    // w8's gate asserts the watermark cutoff. Single-batch precondition
+    // asserted (order-sensitive fold; see clampedFoldMonitor).
+    "w12_stream_ttl_dedup" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.eventsStream(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+        .as[(Long, Long, Long)]
+      val emitted = StatefulOps.firstSeenWithTtl(ev, ttlUs = 21600000000L)
+        .toDF("user_id", "ts_us")
+      StreamRun.toMemory(emitted, "w12_sink", outputMode = "append",
+          assertSingleBatch = true)
+        .orderBy("user_id", "ts_us")
+    }),
+
+    // streaming KMV distinct-count registers — the ONE sketch whose state
+    // is not a plain aggregate (a k-smallest SET): mapGroupsWithState
+    // holds the k-set per group, bounded at 8·k bytes regardless of
+    // history. Drained through an update-mode sink + argmax-n dedup
+    // (n_updates strictly increases, so the fold is batching-independent
+    // like w10's max); final registers must equal the batch k smallest
+    // DISTINCT 60-bit hashes per group, exploded to (group, rk, hv) rows.
+    "w13_stream_kmv" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.eventsStream(s, d)
+        .select(col("event_type"), md5Hash60(col("user_id")))
+        .as[(String, Long)]
+      val regs = StreamingSketches.kmvRegisterStream(ev, k = 32)
+        .toDF("event_type", "n_updates", "registers")
+      val dd = StreamRun.toMemory(regs, "w13_sink", outputMode = "update")
+      dd.groupBy("event_type")
+        .agg(max(struct(col("n_updates"), col("registers"))).as("r"))
+        .select(col("event_type"), posexplode(col("r.registers")).as(Seq("pos", "hv")))
+        .select(col("event_type"), (col("pos") + 1).as("rk"), col("hv"))
+        .orderBy("event_type", "rk")
+    }),
+
     // sliding-window (1h window / 15min slide) streaming aggregation
     // state: each event lands in exactly windowDuration/slide = 4
     // epoch-aligned windows; the oracle materializes the same 4 window
@@ -317,6 +391,54 @@ private[graft] object StreamingQueries {
         |  CAST(SUM(n) AS BIGINT) AS n_day
         |FROM h, mx WHERE day_us + 86400000000 <= m
         |GROUP BY day_us, event_type ORDER BY day_us, event_type""".stripMargin,
+
+    // q63's register algebra verbatim — the gate asserts streamed
+    // registers ≡ batch registers bit-identically, estimate alongside
+    "w11_stream_hll_sketch" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM events),
+        |r AS (SELECT event_type, hv % 64 AS idx,
+        |    (hv // 64) % (1::BIGINT << 40) AS w40 FROM b),
+        |reg AS (SELECT event_type, idx,
+        |    MAX(CASE WHEN w40 = 0 THEN 41 ELSE 41 - length(bin(w40)) END) AS mreg
+        |  FROM r GROUP BY 1, 2),
+        |a AS (SELECT event_type,
+        |    CAST(SUM(1::BIGINT << CAST(41 - mreg AS INTEGER)) AS BIGINT) AS sp,
+        |    CAST(COUNT(*) AS BIGINT) AS np
+        |  FROM reg GROUP BY 1),
+        |e AS (SELECT event_type, sp + (64 - np) * (1::BIGINT << 41) AS s FROM a)
+        |SELECT reg.event_type, CAST(idx AS BIGINT) AS idx,
+        |  CAST(mreg AS INTEGER) AS mreg,
+        |  CAST(709 * ((4096 * (1::BIGINT << 41)) // s) // 1000 AS BIGINT) AS n_est
+        |FROM reg JOIN e USING (event_type)
+        |ORDER BY event_type, idx""".stripMargin,
+
+    // the TTL cutoff as a recursive greedy chain: first event per user,
+    // then repeatedly the earliest event more than TTL after the last
+    // emission — exactly the firstSeenWithTtl state rule
+    "w12_stream_ttl_dedup" ->
+      """WITH RECURSIVE e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |em AS (
+        |  SELECT user_id, MIN(ts_us) AS ts_us FROM e GROUP BY user_id
+        |  UNION ALL
+        |  SELECT em.user_id, n.ts AS ts_us FROM em, LATERAL (
+        |    SELECT MIN(ts_us) AS ts FROM e
+        |    WHERE e.user_id = em.user_id AND e.ts_us > em.ts_us + 21600000000) n
+        |  WHERE n.ts IS NOT NULL
+        |)
+        |SELECT user_id, ts_us FROM em ORDER BY user_id, ts_us""".stripMargin,
+
+    // k smallest DISTINCT 60-bit hashes per group (KMV register
+    // definition), ranked ascending — Spark row_number is INT (rule 5)
+    "w13_stream_kmv" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM events),
+        |r AS (SELECT event_type, hv,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rk FROM h)
+        |SELECT event_type, CAST(rk AS INTEGER) AS rk, hv
+        |FROM r WHERE rk <= 32 ORDER BY event_type, rk""".stripMargin,
 
     "w6_stream_sliding" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us FROM events),

@@ -666,30 +666,44 @@ private[graft] object Support {
     * the sink dir stays readable for the query's lazy downstream reads
     * within the run, and a Verify/Bench/PlanAudit JVM leaves nothing
     * behind. */
-  private[graft] def deleteOnExit(path: java.nio.file.Path): Unit =
+  private val exitPaths = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  private lazy val exitHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
         f.delete(): Unit
       }
-      rm(path.toFile)
+      var p = exitPaths.poll()
+      while (p != null) { rm(p.toFile); p = exitPaths.poll() }
     }))
+  private[graft] def deleteOnExit(path: java.nio.file.Path): Unit = {
+    exitHook
+    exitPaths.add(path): Unit
+  }
 
   /** Centroid-dot score CTE chain `q/x/xm/c/sc` shared by the s43 AUC and
     * s44 calibration oracles (mirrors Similarity.centroidScores):
     * truncated-mean centroid of `posLabel` (s5's xm shape — Spark `div`
     * truncates toward zero, so negative sums emulate it), int64 dot per
-    * vector. Composable WITH-prefix (no leading WITH, no trailing comma). */
+    * vector. Composable WITH-prefix (no leading WITH, no trailing comma).
+    * Dimension-agnostic (index range derives from each row's len(qv), like
+    * the operator) and total on posLabel-absent input: the empty-centroid
+    * fallback mirrors Similarity.centroidScores's coalesce-to-[] (ldot
+    * iterates min(len) → score 0), so operator and oracle agree on ALL
+    * inputs, not just ones where the label exists. */
   private[graft] def centroidScoreSql(posLabel: Int): String =
     s"""q AS (SELECT vec_id, label, ${qvSql("embedding")} AS qv FROM embeddings),
        |x AS (SELECT i, CAST(SUM(qv[i]) AS BIGINT) AS s,
        |        CAST(COUNT(*) AS BIGINT) AS n
-       |      FROM q, range(1, 65) t(i) WHERE label = $posLabel GROUP BY i),
+       |      FROM (SELECT qv, unnest(range(1, len(qv)+1)) AS i FROM q
+       |            WHERE label = $posLabel) GROUP BY i),
        |xm AS (SELECT i,
        |        CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END AS s FROM x),
-       |c AS (SELECT list(s ORDER BY i) AS cv FROM xm),
+       |c AS (SELECT COALESCE(list(s ORDER BY i), CAST([] AS BIGINT[])) AS cv FROM xm),
        |sc AS (SELECT q.vec_id, q.label,
-       |    CAST(list_sum([qv[i]*cv[i] for i in range(1,65)]) AS BIGINT) AS score
+       |    CAST(COALESCE(list_sum(
+       |      [qv[i]*cv[i] for i in range(1, least(len(qv), len(cv))+1)]), 0)
+       |      AS BIGINT) AS score
        |  FROM q CROSS JOIN c)""".stripMargin
 
   /** Balanced-Rocchio CTE chain (mirrors Retrieval.rocchioScore):

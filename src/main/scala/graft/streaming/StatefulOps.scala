@@ -213,8 +213,14 @@ object StatefulOps {
     * key per micro-batch; n_updates is strictly increasing across batches,
     * so the LAST emission per key (argmax n_updates) is the final state.
     *
-    * Input (key, tsUs, tieBreak, deltaCents); rows inside one micro-batch
-    * process in (tsUs, tieBreak) order. */
+    * Input (key, tsUs, tieBreak, deltaCents); rows are sorted in
+    * (tsUs, tieBreak) order WITHIN each micro-batch only. Equality with a
+    * globally-ordered oracle therefore requires the whole log to arrive in
+    * ONE batch (the w5 gate asserts this via StreamRun's
+    * assertSingleBatch); only the argmax-n sink dedup — not the fold — is
+    * batching-independent. A multi-batch source whose batch boundaries
+    * respect global (tsUs, tieBreak) order would also fold correctly, but
+    * nothing here enforces that, so the gate pins the stronger form. */
   def clampedFoldMonitor[K](
       input: Dataset[(K, Long, Long, Long)])(
       implicit ke: Encoder[K], se: Encoder[(Long, Long, Long)],
@@ -231,6 +237,48 @@ object StatefulOps {
         }
         state.update((bal, n, clamped))
         Iterator.single((key, bal, n, clamped))
+      }
+  }
+
+  /** TTL'd first-seen-only dedup — the PRODUCTION form of streaming
+    * dedup state (reference: the at-least-once gateway loop suppresses
+    * per-key re-emissions, GatewayStream.scala:165-238; TTL from StateConf
+    * `ttl.sec`, KVStoreLocal.scala:413-464): an event emits iff its key
+    * has no emission within the preceding `ttlUs` of EVENT time, i.e. the
+    * greedy chain e₁ = min ts, eᵢ₊₁ = min { ts > eᵢ + ttl }. Unlike w3's
+    * plain dropDuplicates the state is ONE long per key and a key's entry
+    * is re-emittable after the TTL — state size is bounded by live keys,
+    * not history, which is what makes the operator deployable on an
+    * unbounded stream (the same capped-state discipline as
+    * [[StreamingDedup]]).
+    *
+    * Input (key, tsUs, tieBreak); rows are sorted by (tsUs, tieBreak)
+    * WITHIN each micro-batch only, so oracle equality needs the whole log
+    * in one batch (the w12 gate asserts it via StreamRun's
+    * assertSingleBatch) — same precondition as [[clampedFoldMonitor]].
+    * Emissions depend only on the SET of timestamps once the processing
+    * order is globally sorted; ties on tsUs emit exactly once (strict
+    * `>` test). */
+  def firstSeenWithTtl[K](
+      input: Dataset[(K, Long, Long)],
+      ttlUs: Long)(
+      implicit ke: Encoder[K], se: Encoder[Long],
+      oe: Encoder[(K, Long)]): Dataset[(K, Long)] = {
+    require(ttlUs > 0, "TTL must be positive")
+    input
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (K, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) { (key, rows, state) =>
+        var last = state.getOption
+        val out = scala.collection.mutable.ArrayBuffer.empty[(K, Long)]
+        rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+          if (last.forall(l => r._2 > l + ttlUs)) {
+            out += ((key, r._2))
+            last = Some(r._2)
+          }
+        }
+        last.foreach(state.update)
+        out.iterator
       }
   }
 

@@ -22,14 +22,30 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamRun {
   private val counter = new AtomicLong(0)
 
+  /** `assertSingleBatch = true` enforces the precondition of order-sensitive
+    * stateful folds (w5's clamped RMW, w12's TTL'd first-seen): their
+    * per-group sort is WITHIN a micro-batch, so equality with a globally
+    * (ts, id)-ordered oracle holds only when the whole log arrives in one
+    * batch — true for a single-file AvailableNow source, and asserted here
+    * so a source change that splits the log fails loudly instead of
+    * silently diverging from the oracle. Order-free folds (max/sum/min
+    * aggregation state, monotone-emission argmax dedup) don't need it. */
   def toMemory(df: DataFrame, prefix: String,
-      outputMode: String = "complete"): DataFrame = {
+      outputMode: String = "complete",
+      assertSingleBatch: Boolean = false): DataFrame = {
     val name = s"${prefix}_${counter.incrementAndGet()}"
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(outputMode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    if (assertSingleBatch) {
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches <= 1,
+        s"$prefix: order-sensitive stateful fold requires the whole log in " +
+          s"ONE micro-batch (got $dataBatches with input rows); " +
+          "the within-batch group sort no longer equals the global order")
+    }
     df.sparkSession.table(name)
   }
 }

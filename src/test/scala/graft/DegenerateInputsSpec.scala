@@ -68,4 +68,32 @@ class DegenerateInputsSpec extends AnyFlatSpec with Matchers {
     }
     e.getMessage should include("non-empty")
   }
+
+  // round-11 division sweep (VERDICT #5): the three sites whose
+  // denominators are not a per-group count — pinned non-throwing here
+
+  "Bpe.compressionAudit" should "not throw on an empty vocabulary (NULL ratio, no ANSI divide)" in {
+    val (_, t0, fin) = Bpe.learn(spark,
+      Seq(("1", "123 ???")).toDF("doc_id", "text"), rounds = 2)
+    val r = Bpe.compressionAudit(t0, fin).collect()
+    r.length shouldBe 1
+    r(0).getLong(0) shouldBe 0L // n_types
+    r(0).isNullAt(4) shouldBe true // compression_ppm NULL, not a throw
+  }
+
+  "bm25TopK" should "survive avgdl flooring to 0 (the 18·dl term keeps the denominator > 0)" in {
+    // 3 docs, 2 tokens total → avgdl = 2 div 3 = 0; a matching term still
+    // scores because tfsat's denominator has the 18·dl ≥ 18 term
+    val docs = Seq((1L, "alpha"), (2L, "beta"), (3L, "")).toDF("doc_id", "text")
+    val r = graft.operators.Retrieval.bm25TopK(docs, "doc_id", "text",
+      terms = Seq("alpha"), k = 2).collect()
+    r.length shouldBe 1
+    r(0).getLong(0) shouldBe 1L
+  }
+
+  "temperatureMixtureAlloc" should "emit no rows (and no mod-by-zero) on an empty frame" in {
+    val empty = Seq.empty[(String, Long)].toDF("source", "x")
+    graft.operators.Sampling.temperatureMixtureAlloc(empty, Seq("source"), 100L)
+      .count() shouldBe 0L
+  }
 }

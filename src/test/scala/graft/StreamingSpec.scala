@@ -258,4 +258,58 @@ class StatefulWordCountSpec extends SparkSpec {
       }
     } finally query.stop()
   }
+
+  "firstSeenWithTtl" should "emit the greedy TTL chain and re-emit after expiry" in {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // key 1: 0 emits; 5 and 10 inside TTL=10 of 0 suppressed; 11 > 0+10
+    // emits; 21 == 11+10 suppressed (strict >); 22 emits.
+    // key 2: tie at ts 0 emits exactly once; 30 emits.
+    val rows = Seq(
+      (1L, 0L, 1L), (1L, 5L, 2L), (1L, 10L, 3L), (1L, 11L, 4L),
+      (1L, 21L, 5L), (1L, 22L, 6L),
+      (2L, 0L, 1L), (2L, 0L, 2L), (2L, 30L, 3L))
+    val input = MemoryStream[(Long, Long, Long)]
+    val query = StatefulOps.firstSeenWithTtl(input.toDS(), ttlUs = 10L)
+      .toDF("k", "ts")
+      .writeStream.format("memory").queryName("fsttl")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      val got = spark.sql("SELECT k, ts FROM fsttl")
+        .as[(Long, Long)].collect().sorted.toSeq
+      got shouldBe Seq((1L, 0L), (1L, 11L), (1L, 22L), (2L, 0L), (2L, 30L))
+    } finally query.stop()
+  }
+
+  it should "carry the last-emission state across micro-batches fed in global order" in {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    val rows = (for (key <- 1L to 5L; i <- 0 until 60)
+      yield (key, rnd.nextInt(500).toLong, key * 100L + i)).sortBy(r => (r._2, r._3))
+    // offline greedy chain per key over globally sorted rows
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (k, rs) =>
+      var last = Option.empty[Long]
+      rs.sortBy(r => (r._2, r._3)).flatMap { r =>
+        if (last.forall(l => r._2 > l + 50L)) { last = Some(r._2); Some((k, r._2)) }
+        else None
+      }
+    }.toSeq.sorted
+    val input = MemoryStream[(Long, Long, Long)]
+    val query = StatefulOps.firstSeenWithTtl(input.toDS(), ttlUs = 50L)
+      .toDF("k", "ts")
+      .writeStream.format("memory").queryName("fsttl2")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch boundaries respect the global (ts, tie) order, so the fold
+      // state must carry the chain across batches exactly
+      rows.grouped(70).foreach { chunk =>
+        input.addData(chunk: _*)
+        query.processAllAvailable()
+      }
+      val got = spark.sql("SELECT k, ts FROM fsttl2")
+        .as[(Long, Long)].collect().sorted.toSeq
+      got shouldBe expected
+    } finally query.stop()
+  }
 }

@@ -40,7 +40,12 @@ object ScaleProbe {
     // round-10 second-session additions (batch only — the w-streaming
     // registry drains real SS jobs and is gated at sf0.01/sf0.1 instead)
     "t45_kn_fluency", "q183_ks_drift", "s43_auc_rank", "s44_calibration_bins",
-    "t46_rocchio_classifier", "s45_silhouette")
+    "t46_rocchio_classifier", "s45_silhouette",
+    // round-11 backfill: every round-10 query >= ~1s at sf0.1 gets a
+    // one-decade ratio (VERDICT r10 #6), plus the new d38 auto-cap join
+    "q180_modularity", "q181_rich_club", "s42_matryoshka_recall",
+    "t42_bpe_fertility", "d33_split_leakage", "d36_dup_weights",
+    "d37_prefix_join_capped", "d38_prefix_join_autocap")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -81,6 +81,17 @@ object Tables {
     raw.withColumn("ts_us", tsUsOf(schema)).drop("ts")
   }
 
+  /** Structured-Streaming view of the documents table — the streaming
+    * ingest side of the LLM-data pipeline (w15's quality gate): same
+    * batch-seeded schema discipline as [[eventsStream]]. */
+  def documentsStream(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val schema = s.read.parquet(path(d, "documents")).schema
+    s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+  }
+
   /** Epoch microseconds of any timestamp/timestamp_ntz column (session tz is
     * UTC everywhere, so NTZ and LTZ agree). Output contract: query results
     * never expose raw timestamp columns — always epoch µs BIGINT. */

@@ -433,4 +433,31 @@ object TextAnalysis {
           .otherwise(0L).as("type_token_ppm"),
         when(col("n_types") > 0, ldiv(col("n_hapax") * 1000000L, col("n_types")))
           .otherwise(0L).as("hapax_ppm"))
+
+  /** Zipf rank-frequency fit per group: OLS slope of bitlength(freq) vs
+    * bitlength(rank) over the vocabulary's rank-ordered type table — the
+    * corpus-health check that the token distribution still follows a
+    * power law (slope ≈ −(Zipf exponent); a truncated/templated corpus
+    * flattens it). Log₂ buckets come from `length(bin(x))` — EXACT on
+    * both engines (no float log; the q63 rho trick), and the regression
+    * is [[Analytics.groupedOls]]'s exact integer moments with its
+    * canonical one-double-division tree, so the doubles hash-match.
+    *
+    * Scale shape: one corpus-sized token explode partial-aggs into the
+    * VOCABULARY-sized type table; the rank window and the OLS moments run
+    * over vocabulary rows only. Ranks tie-break (freq desc, token asc) —
+    * deterministic; the bitlength x/y are rank-stable under that order. */
+  def zipfFit(docs: DataFrame, groupCols: Seq[String], textCol: String): DataFrame = {
+    val g = groupCols.map(col)
+    val types = docs.select(g :+ explode(tokens(col(textCol))).as("tok"): _*)
+      .groupBy(g :+ col("tok"): _*).agg(count(lit(1)).as("freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("freq").desc, col("tok"))
+    val pts = types
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(g ++ Seq(
+        length(bin(col("rank"))).cast("long").as("rb"),
+        length(bin(col("freq"))).cast("long").as("fb")): _*)
+    Analytics.groupedOls(pts, groupCols, "rb", "fb")
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core.{Changelog, Tables}
 import graft.functions.GraftFunctions.md5Hash60
-import graft.operators.Sketches
+import graft.operators.{Sketches, TextAnalysis}
 import graft.streaming.{EosSink, StatefulOps, StreamingSketches, StreamRun}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -287,6 +287,40 @@ private[graft] object StreamingQueries {
         .orderBy("event_type", "rk")
     }),
 
+    // stream-STATIC enrich (J8's global store consumed by a live stream):
+    // the customer dim joins map-side as a broadcast against every
+    // micro-batch — NO join state (unlike w7's stream-stream form), which
+    // is the production enrich shape at any dim size Spark can broadcast;
+    // the rollup is ordinary streaming aggregation state on the enriched
+    // keys. Oracle = the batch join + aggregate of the replayed log.
+    "w14_stream_enrich" -> ((s, d) => {
+      val ev = Tables.eventsStream(s, d)
+      val dim = broadcast(Tables.customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment")))
+      val agg = ev.join(dim, "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(count(lit(1)).as("n_events"), qSum(col("value"), "sum_value"))
+      StreamRun.toMemory(agg, "w14_sink")
+        .orderBy("c_mktsegment", "event_type")
+    }),
+
+    // the LLM-pipeline quality gate ON THE INGEST STREAM: t2's row-local
+    // quality metrics (native codegen'd expressions — no state at all)
+    // flag each arriving document, and the per-language admission monitor
+    // is one streaming aggregate. This is the shape that matters at
+    // 100 TB/day ingest: the gate costs scan speed, state is
+    // |langs|-sized, and the drained monitor must equal the batch gate
+    // (t2's keep rule) exactly.
+    "w15_stream_quality_gate" -> ((s, d) => {
+      val m = TextAnalysis.qualityScore(
+        Tables.documentsStream(s, d), "lang", "text")
+      val agg = m.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_keep"),
+        sum(when(col("keep"), col("n_tokens")).otherwise(0L)).as("kept_tokens"))
+      StreamRun.toMemory(agg, "w15_sink").orderBy("lang")
+    }),
+
     // sliding-window (1h window / 15min slide) streaming aggregation
     // state: each event lands in exactly windowDuration/slide = 4
     // epoch-aligned windows; the oracle materializes the same 4 window
@@ -439,6 +473,26 @@ private[graft] object StreamingQueries {
         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rk FROM h)
         |SELECT event_type, CAST(rk AS INTEGER) AS rk, hv
         |FROM r WHERE rk <= 32 ORDER BY event_type, rk""".stripMargin,
+
+    "w14_stream_enrich" ->
+      s"""SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n_events,
+         |  ${qSumSql("e.value", "sum_value")}
+         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // t2's keep rule grouped per language — the same qualityMetricsSql
+    // chain, with the ppm floor-divisions spelled identically
+    "w15_stream_quality_gate" ->
+      s"""WITH m AS (${qualityMetricsSql("documents")}),
+         |g AS (SELECT d.lang, m.n_tokens,
+         |    (m.n_tokens >= 10 AND m.n_tokens <= 100000 AND
+         |     (CASE WHEN m.n_chars > 0 THEN m.alpha_len*1000000//m.n_chars
+         |      ELSE 0 END) >= 500000) AS keep
+         |  FROM m JOIN documents d USING (doc_id))
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |  CAST(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+         |FROM g GROUP BY lang ORDER BY lang""".stripMargin,
 
     "w6_stream_sliding" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us FROM events),

@@ -64,6 +64,17 @@ private[graft] object TextQueries {
     }),
 
 
+    // Zipf rank-frequency fit per language: power-law health check of the
+    // token distribution (a templated/truncated corpus flattens the
+    // slope). Exact log2 via bitlength (the q63 rho trick), exact integer
+    // OLS moments (q102 machinery) — vocabulary-sized after one corpus
+    // token aggregate
+    "t47_zipf_fit" -> ((s, d) => {
+      TextAnalysis.zipfFit(Tables.documents(s, d), Seq("lang"), "text")
+        .orderBy("lang")
+    }),
+
+
     // language ID (stopword n-gram heuristic)
     "t1_lang_id" -> ((s, d) => {
       TextAnalysis.languageId(Tables.documents(s, d), "doc_id", "text")
@@ -721,6 +732,36 @@ private[graft] object TextQueries {
 
 
     "t46_rocchio_classifier" -> rocchioSql(buckets = 4096),
+
+
+    // exact bitlength log2 buckets (length(bin(x)), the q63 rho spelling)
+    // + the q102 exact-integer-moment OLS double tree, verbatim
+    "t47_zipf_fit" ->
+      s"""WITH tk AS (SELECT lang, unnest($toksSql) AS tok FROM documents),
+         |ty AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS freq
+         |  FROM tk GROUP BY 1, 2),
+         |rk AS (SELECT lang, freq, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+         |    ORDER BY freq DESC, tok) AS BIGINT) AS rank FROM ty),
+         |pt AS (SELECT lang, CAST(length(bin(rank)) AS BIGINT) AS x,
+         |    CAST(length(bin(freq)) AS BIGINT) AS y FROM rk),
+         |m AS (SELECT lang, COUNT(*) AS n,
+         |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+         |    CAST(SUM(x*x) AS HUGEINT) AS sxx, CAST(SUM(y*y) AS HUGEINT) AS syy,
+         |    CAST(SUM(x*y) AS HUGEINT) AS sxy
+         |  FROM pt GROUP BY 1),
+         |dd AS (SELECT lang, n, sx, sy,
+         |    n*sxy - sx*sy AS num, n*sxx - sx*sx AS d1, n*syy - sy*sy AS d2
+         |  FROM m)
+         |SELECT lang, n,
+         |  CASE WHEN d1 > 0 THEN num::DOUBLE / d1::DOUBLE END AS slope,
+         |  CASE WHEN d1 > 0 THEN
+         |    (sy::DOUBLE - (num::DOUBLE / d1::DOUBLE) * sx::DOUBLE) / n::DOUBLE
+         |  END AS intercept,
+         |  CASE WHEN d1 > 0 AND d2 > 0 THEN
+         |    (num::DOUBLE / sqrt(d1::DOUBLE * d2::DOUBLE)) *
+         |    (num::DOUBLE / sqrt(d1::DOUBLE * d2::DOUBLE))
+         |  END AS r2
+         |FROM dd ORDER BY lang""".stripMargin,
 
 
     "t1_lang_id" ->

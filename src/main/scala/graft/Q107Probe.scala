@@ -1,6 +1,5 @@
 package graft
 
-import graft.core.Tables
 import graft.operators.GraphAlgorithms
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -28,18 +27,15 @@ object Q107Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val Jan1_00 = 946684800000000L
+    val Jan1_00 = graft.queries.Support.Jan1_00
     def time[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f
       (r, (System.nanoTime() - t0) / 1e9)
     }
     for (d <- dirs) {
-      val e = Tables.lineitem(spark, d)
-        .join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2L).as("src"),
-          (col("l_suppkey") * 2L + 1L).as("dst"),
-          Tables.epochUs(col("o_orderdate")).as("odate_us"))
-        .localCheckpoint(true)
+      // the SAME edge builder the gated query uses — the probe cannot
+      // drift from q107's definition
+      val e = graft.queries.Support.q107EdgeLog(spark, d)
       val base = e.filter(col("odate_us") < lit(Jan1_00)).select("src", "dst")
       val delta = e.filter(col("odate_us") >= lit(Jan1_00)).select("src", "dst")
       val baseDistinct = base.filter(col("src") =!= col("dst")).distinct().count()

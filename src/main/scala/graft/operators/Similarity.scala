@@ -1215,4 +1215,63 @@ object Similarity {
         expr("cast((num * 1000000) div greatest(trace * vnorm, 1) as bigint)")
           .as("rayleigh_ppm"))
   }
+
+  /** Embedding-space COHORT DRIFT — each label cohort against the rest of
+    * the corpus, entirely in exact integer register math (the crawl-drift
+    * monitor an embedding pipeline runs before trusting a new batch: a
+    * cohort whose centroid moved or whose dispersion blew up is a
+    * distribution shift, per-dim mean registers are the ×1000-quantized
+    * convention):
+    *
+    *  - `shift_d2` = ‖c − c_rest‖² between the truncated-mean cohort
+    *    centroid and the complement centroid (both integer vectors);
+    *  - `disp_own` / `disp_rest` = mean squared distance to the own/rest
+    *    centroid, derived from REGISTERS only:
+    *    Σ‖x−c‖² = Σ‖x‖² − 2·Σᵢcᵢ·sᵢ + n·‖c‖² — the corpus is touched by
+    *    exactly two scans (per-dim sums + per-row ‖x‖²), never per
+    *    (cohort × row);
+    *  - `drift_ppm` = ⌊disp_own·10⁶ / max(disp_rest, 1)⌋ (clamped — class
+    *    (a) of the division-sweep taxonomy; a single-label corpus has an
+    *    empty rest).
+    *
+    * Scale shape: two corpus-sized partial-agg'd scans into a (labels ×
+    * dims) register frame; everything after is register arithmetic. */
+  def cohortDrift(vectors: DataFrame, vecCol: String, labelCol: String): DataFrame = {
+    def ld(a: Column, b: Column): Column = call_function("div", a, b)
+    val q = vectors
+      .select(col(labelCol).as("lbl"), quantize1000(col(vecCol)).as("qv"))
+      .localCheckpoint(true)
+    val perDim = q.select(col("lbl"), posexplode(col("qv")).as(Seq("i", "x")))
+      .groupBy("lbl", "i").agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+    val tot = perDim.groupBy("i").agg(sum(col("s")).as("ts"), sum(col("n")).as("tn"))
+    // integer truncated means — Spark `div` and DuckDB `//` both truncate
+    // toward zero on negatives (CLAUDE.md r10), so plain div mirrors
+    val dims = perDim.join(tot, "i")
+      .select(col("lbl"), col("s"), col("n"),
+        ld(col("s"), col("n")).as("c"),
+        ld(col("ts") - col("s"), greatest(col("tn") - col("n"), lit(1L))).as("cr"),
+        (col("ts") - col("s")).as("sr"))
+    val regs = dims.groupBy("lbl").agg(
+      // min, not first: the oracle's MIN(n) — identical when every vector
+      // has the same width, and deterministic (not first()-arbitrary) on
+      // ragged input
+      min(col("n")).as("n"),
+      sum(col("c") * col("s")).as("cs"),
+      sum(col("cr") * col("sr")).as("crsr"),
+      sum(col("c") * col("c")).as("cc"),
+      sum(col("cr") * col("cr")).as("crcr"),
+      sum((col("c") - col("cr")) * (col("c") - col("cr"))).as("shift_d2"))
+    val xx = q.select(col("lbl"), ldot(col("qv"), col("qv")).as("x2"))
+      .groupBy("lbl").agg(sum(col("x2")).as("sxx"))
+    val gx = xx.agg(sum(col("sxx")).as("txx"), count(lit(1)).as("n_labels"))
+    regs.join(xx, "lbl").crossJoin(broadcast(gx))
+      .crossJoin(broadcast(q.agg(count(lit(1)).as("nn"))))
+      .select(col("lbl").cast("long").as("label"), col("n"), col("shift_d2"),
+        ld(col("sxx") - col("cs") * 2L + col("n") * col("cc"), col("n")).as("disp_own"),
+        ld(col("txx") - col("sxx") - col("crsr") * 2L +
+            (col("nn") - col("n")) * col("crcr"),
+          greatest(col("nn") - col("n"), lit(1L))).as("disp_rest"))
+      .withColumn("drift_ppm",
+        ld(col("disp_own") * 1000000L, greatest(col("disp_rest"), lit(1L))))
+  }
 }

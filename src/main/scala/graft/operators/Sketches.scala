@@ -43,8 +43,10 @@ object Sketches {
   private def ldiv(a: Column, b: Column): Column = call_function("div", a, b)
 
   /** `1L << n` with a COLUMN shift amount (the Scala `functions.shiftleft`
-    * only takes a literal Int amount; the SQL function takes expressions). */
-  private def pow2(n: Column): Column =
+    * only takes a literal Int amount; the SQL function takes expressions).
+    * private[graft]: the w11 streaming drain computes the same Σ 2^(41−M)
+    * register term in window form. */
+  private[graft] def pow2(n: Column): Column =
     call_function("shiftleft", lit(1L), n.cast("int"))
 
   /** Seeded portable hash: 60-bit md5 of `"<seed>:<key>"`. */
@@ -552,9 +554,20 @@ object Sketches {
     val agg = regs.groupBy(groupCols.map(col): _*)
       .agg(sum(pow2(lit(41) - col("mreg"))).as("s_present"),
         count(lit(1)).as("n_present"))
-    val s = col("s_present") + (lit(m.toLong) - col("n_present")) * (1L << 41)
     agg.select(groupCols.map(col) :+
-      ldiv(lit(alphaPm.toLong) * ldiv(lit(m.toLong * m.toLong * (1L << 41)), s),
-        lit(1000L)).as("n_est"): _*)
+      hllEstimateCol(col("s_present"), col("n_present"), m, alphaPm).as("n_est"): _*)
+  }
+
+  /** The raw-estimate formula over present-register aggregates
+    * (`sPresent = Σ 2^(41−M)` over present registers, `nPresent` = their
+    * count) as ONE Column — single source shared by [[hllEstimate]]'s
+    * group-by path and w11's window-over-drained-registers path (the
+    * r9 single-source rule: a comment promising "identical arithmetic"
+    * is exactly the drift a shared helper prevents). */
+  private[graft] def hllEstimateCol(
+      sPresent: Column, nPresent: Column, m: Int, alphaPm: Int = 709): Column = {
+    val s = sPresent + (lit(m.toLong) - nPresent) * (1L << 41)
+    ldiv(lit(alphaPm.toLong) * ldiv(lit(m.toLong * m.toLong * (1L << 41)), s),
+      lit(1000L))
   }
 }

@@ -80,8 +80,15 @@ object TextAnalysis {
       ppm(stopHits, nTok).as("stopword_ppm"),
       alphaPpmCol(col(textCol)).as("alpha_ppm"),
       ppm(sumTokLen, nTok).as("mean_tok_len_ppm"),
-      (nTok >= 10 && nTok <= 100000 &&
-        alphaPpmCol(col(textCol)) >= 500000L).as("keep"))
+      keepCol(col(textCol)).as("keep"))
+  }
+
+  /** The t2 keep rule as ONE reusable row-local Column (single-source:
+    * [[qualityScore]], the w15 streaming gate and the w16 curation loop
+    * must agree on the gate definition by construction). */
+  def keepCol(text: Column): Column = {
+    val nTok = size(tokens(text)).cast("long")
+    nTok >= 10L && nTok <= 100000L && alphaPpmCol(text) >= 500000L
   }
 
   /** Token counting: whitespace tokens plus a BPE-ish subword segmentation

@@ -670,16 +670,12 @@ private[graft] object CoreQueries2 {
       // strings (measured ~1.3x on the full query); labels decode to the
       // reference's 'c:'/'s:' strings only at the very end, so component =
       // min ENCODED vertex (the oracle mins the same encoding)
-      val e = Tables.lineitem(s, d)
-        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2L).as("src"),
-          (col("l_suppkey") * 2L + 1L).as("dst"),
-          Tables.epochUs(col("o_orderdate")).as("odate_us"))
-      // the join projection is re-read by CC (count + collect + vertices)
-      // and the contraction — checkpoint the JOINED frame once and slice
-      // both halves from it (checkpointing each half separately ran the
-      // lineitem⋈orders join twice, the dominant cost here)
-      val ec = e.localCheckpoint(true)
+      // shared with graft.Q107Probe (Support.q107EdgeLog) — the join
+      // projection is re-read by CC (count + collect + vertices) and the
+      // contraction, so the builder checkpoints the JOINED frame once and
+      // both halves slice from it (checkpointing each half separately ran
+      // the lineitem⋈orders join twice, the dominant cost here)
+      val ec = Support.q107EdgeLog(s, d)
       val base = ec.filter(col("odate_us") < lit(Jan1_00)).select("src", "dst")
       val delta = ec.filter(col("odate_us") >= lit(Jan1_00)).select("src", "dst")
       def decode(c: String) = expr(
@@ -1151,26 +1147,14 @@ private[graft] object CoreQueries2 {
 
     // HLL m=64: idx = h%64, w = (h//64) mod 2^40, rho = 41−bitlength(w)
     // (41 at w=0); register = max rho; S = Σ 2^(41−M) with empty registers
-    // contributing 2^41; raw estimate = 709·(64²·2^41 // S) // 1000
+    // contributing 2^41; raw estimate = 709·(64²·2^41 // S) // 1000 —
+    // the chain is the shared hllChainSql builder (also w11's)
     "q63_hll_distinct" ->
-      """WITH b AS (SELECT event_type,
-        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
-        |  FROM events),
-        |r AS (SELECT event_type, hv % 64 AS idx,
-        |    (hv // 64) % (1::BIGINT << 40) AS w40 FROM b),
-        |reg AS (SELECT event_type, idx,
-        |    MAX(CASE WHEN w40 = 0 THEN 41 ELSE 41 - length(bin(w40)) END) AS mreg
-        |  FROM r GROUP BY 1, 2),
-        |a AS (SELECT event_type,
-        |    CAST(SUM(1::BIGINT << CAST(41 - mreg AS INTEGER)) AS BIGINT) AS sp,
-        |    CAST(COUNT(*) AS BIGINT) AS np
-        |  FROM reg GROUP BY 1),
-        |e AS (SELECT event_type, sp + (64 - np) * (1::BIGINT << 41) AS s FROM a),
-        |x AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
-        |  FROM events GROUP BY event_type)
-        |SELECT x.event_type, x.n_exact,
-        |  CAST(709 * ((4096 * (1::BIGINT << 41)) // s) // 1000 AS BIGINT) AS n_est
-        |FROM x JOIN e USING (event_type) ORDER BY event_type""".stripMargin,
+      s"""WITH ${hllChainSql("event_type", "events")},
+         |x AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+         |  FROM events GROUP BY event_type)
+         |SELECT x.event_type, x.n_exact, $hllEstSql AS n_est
+         |FROM x JOIN e USING (event_type) ORDER BY event_type""".stripMargin,
 
 
     // q63's register algebra keyed by hour, then the BETWEEN merge join —

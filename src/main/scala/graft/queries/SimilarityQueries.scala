@@ -358,6 +358,16 @@ private[graft] object SimilarityQueries {
     }),
 
 
+    // embedding cohort drift: each label cohort vs the REST — centroid
+    // shift d², own/rest dispersion and their ppm ratio, all from
+    // (labels × dims) registers (two corpus scans total, no cohort×row
+    // work). The crawl-drift monitor before trusting a new batch.
+    "s46_cohort_drift" -> ((s, d) => {
+      Similarity.cohortDrift(Tables.embeddings(s, d), "embedding", "label")
+        .orderBy("label")
+    }),
+
+
     // simplified silhouette per IVF cell (Hruschka et al. — centroid
     // distances instead of all-pairs, the form that survives scale):
     // a = d² to own centroid, b = min d² to any other; s = (b−a)/max(a,b)
@@ -1101,6 +1111,38 @@ private[graft] object SimilarityQueries {
     // the full k-means unroll, then per-row exact distance vs the final
     // centroid table (cn = ||c||² is already in the CTE)
     // same ivf chain; a/b from a 16-row cross join, signed // truncation
+    // register mirror: per-dim sums via parallel unnest zip, truncated
+    // integer means (// ≡ div, both truncate toward zero), dispersion from
+    // the Σ‖x‖² / Σc·s / ‖c‖² identity — GREATEST clamps are class (a)
+    "s46_cohort_drift" ->
+      s"""WITH q AS (SELECT label AS lbl, ${qvSql("embedding")} AS qv FROM embeddings),
+         |pe AS (SELECT lbl, unnest(range(1, len(qv)+1)) AS i, unnest(qv) AS x FROM q),
+         |pd AS (SELECT lbl, i, CAST(SUM(x) AS BIGINT) AS s,
+         |    CAST(COUNT(*) AS BIGINT) AS n FROM pe GROUP BY 1, 2),
+         |tt AS (SELECT i, CAST(SUM(s) AS BIGINT) AS ts,
+         |    CAST(SUM(n) AS BIGINT) AS tn FROM pd GROUP BY 1),
+         |dm AS (SELECT lbl, s, n, s // n AS c,
+         |    (ts - s) // GREATEST(tn - n, 1) AS cr, ts - s AS sr
+         |  FROM pd JOIN tt USING (i)),
+         |rg AS (SELECT lbl, MIN(n) AS n, CAST(SUM(c*s) AS BIGINT) AS cs,
+         |    CAST(SUM(cr*sr) AS BIGINT) AS crsr,
+         |    CAST(SUM(c*c) AS BIGINT) AS cc, CAST(SUM(cr*cr) AS BIGINT) AS crcr,
+         |    CAST(SUM((c-cr)*(c-cr)) AS BIGINT) AS shift_d2
+         |  FROM dm GROUP BY 1),
+         |xx AS (SELECT lbl, CAST(SUM(list_sum(
+         |    [qv[i]*qv[i] for i in range(1, len(qv)+1)])) AS BIGINT) AS sxx
+         |  FROM q GROUP BY 1),
+         |g AS (SELECT CAST(SUM(sxx) AS BIGINT) AS txx FROM xx),
+         |cn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM q),
+         |f AS (SELECT CAST(rg.lbl AS BIGINT) AS label, rg.n, rg.shift_d2,
+         |    (xx.sxx - 2*cs + rg.n*cc) // rg.n AS disp_own,
+         |    (g.txx - xx.sxx - 2*crsr + (cn.nn - rg.n)*crcr)
+         |      // GREATEST(cn.nn - rg.n, 1) AS disp_rest
+         |  FROM rg JOIN xx USING (lbl) CROSS JOIN g CROSS JOIN cn)
+         |SELECT label, n, shift_d2, disp_own, disp_rest,
+         |  (disp_own * 1000000) // GREATEST(disp_rest, 1) AS drift_ppm
+         |FROM f ORDER BY label""".stripMargin,
+
     "s45_silhouette" ->
       s"""WITH ${ivfCellsSql(16, 5)},
          |dd AS (SELECT x.id, x.cell, cc.cell AS ccell,

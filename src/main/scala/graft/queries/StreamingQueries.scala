@@ -232,16 +232,14 @@ private[graft] object StreamingQueries {
       val sunk = StreamRun.toMemory(regs, "w11_sink")
       // estimate via a window over the sunk registers (a join back onto
       // the memory-sink view would self-conflict its attributes); the
-      // arithmetic is hllEstimate's verbatim: S = Σ 2^(41−M) with empty
-      // registers contributing 2^41, E = 709·(m²·2⁴¹ div S) div 1000
+      // arithmetic is Sketches.hllEstimateCol — the SAME Column helper
+      // hllEstimate's group-by path uses (single-source rule), fed the
+      // window forms of its two register aggregates
       val byType = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
-      val sp = sum(expr("shiftleft(CAST(1 AS BIGINT), 41 - mreg)")).over(byType)
+      val sp = sum(Sketches.pow2(lit(41) - col("mreg"))).over(byType)
       val np = count(lit(1)).over(byType)
-      val sTot = sp + (lit(64L) - np) * (1L << 41)
       sunk.select(col("event_type"), col("idx"), col("mreg"),
-          call_function("div",
-            lit(709L) * call_function("div", lit(64L * 64L * (1L << 41)), sTot),
-            lit(1000L)).as("n_est"))
+          Sketches.hllEstimateCol(sp, np, m = 64).as("n_est"))
         .orderBy("event_type", "idx")
     }),
 
@@ -295,8 +293,12 @@ private[graft] object StreamingQueries {
     // keys. Oracle = the batch join + aggregate of the replayed log.
     "w14_stream_enrich" -> ((s, d) => {
       val ev = Tables.eventsStream(s, d)
-      val dim = broadcast(Tables.customer(s, d)
-        .select(col("c_custkey").as("user_id"), col("c_mktsegment")))
+      // un-hinted: the planner auto-broadcasts at any SF where the dim
+      // fits, and falls back to a shuffled stream-static join when it
+      // doesn't — a forced broadcast() would OOM on a grown dim
+      // (CLAUDE.md r6 rule)
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
       val agg = ev.join(dim, "user_id")
         .groupBy("c_mktsegment", "event_type")
         .agg(count(lit(1)).as("n_events"), qSum(col("value"), "sum_value"))
@@ -319,6 +321,56 @@ private[graft] object StreamingQueries {
         sum(col("keep").cast("long")).as("n_keep"),
         sum(when(col("keep"), col("n_tokens")).otherwise(0L)).as("kept_tokens"))
       StreamRun.toMemory(agg, "w15_sink").orderBy("lang")
+    }),
+
+    // the FULL streaming curation loop in one topology — the LLM-data
+    // pipeline's ingest path end to end: row-local quality gate (t2's
+    // keep rule, zero state) → streaming content-hash dedup (distinct-
+    // pair-sized state) → exactly-once file sink (batchId-keyed idempotent
+    // writes, torn batches invisible) → compacted manifest off the
+    // committed view. The oracle is the batch composition: per-language
+    // count of DISTINCT kept texts — gate, dedup and EOS plumbing all
+    // inside the hash gate at once.
+    "w16_stream_curation" -> ((s, d) => {
+      val tmpPath = java.nio.file.Files.createTempDirectory("graft_w16_")
+      Support.deleteOnExit(tmpPath)
+      val tmp = tmpPath.toString
+      val kept = Tables.documentsStream(s, d)
+        .filter(TextAnalysis.keepCol(col("text")))
+        .select(col("lang"), md5(col("text")).as("h"))
+        .dropDuplicates("lang", "h")
+      EosSink.writer(kept, s"$tmp/out", s"$tmp/ckpt").start().awaitTermination()
+      EosSink.committedView(s, s"$tmp/out")
+        .groupBy("lang").agg(count(lit(1)).as("n_unique_kept"))
+        .orderBy("lang")
+    }),
+
+    // STREAMING graph-state maintenance hash-gated (J9's streaming form,
+    // GraphStreamSpec's merge/split logic promoted to the oracle): the
+    // event log is read as an EDGE CHANGELOG — each event upserts the
+    // user ↔ event-type edge, and a low-engagement mutation
+    // (coalesce(value,0) < 20, ~33% of events at every SF — probed, so
+    // the rule is NON-vacuous and compaction ordering is load-bearing)
+    // RETRACTS it; an edge is live iff its LATEST mutation by
+    // (ts, event_id) is not a retraction. maintainComponents compacts
+    // latest-per-edge, drops tombstoned edges and recomputes components
+    // per micro-batch behind an atomic swap; the drained component table
+    // must equal the batch compact → live-CC of the replayed changelog.
+    // Vertices ride the q107 long encoding (user·2 even, md5(type)·2+1
+    // odd); component = min encoded vertex on both sides.
+    "w17_stream_graph_maintain" -> ((s, d) => {
+      val tmpPath = java.nio.file.Files.createTempDirectory("graft_w17_")
+      Support.deleteOnExit(tmpPath)
+      val tmp = tmpPath.toString
+      val ch = Tables.eventsStream(s, d).select(
+        (col("user_id") * 2L).as("src"),
+        (md5Hash60(col("event_type")) * 2L + 1L).as("dst"),
+        col("ts_us"), col("event_id"),
+        (coalesce(col("value"), lit(0.0)) < 20.0).as("tombstone"))
+      graft.streaming.GraphStream.maintainComponents(ch, s"$tmp/g",
+          s"$tmp/ckpt", tieBreakCols = Seq("event_id"))
+        .start().awaitTermination()
+      s.read.parquet(s"$tmp/g/components").orderBy("vertex")
     }),
 
     // sliding-window (1h window / 15min slide) streaming aggregation
@@ -426,27 +478,15 @@ private[graft] object StreamingQueries {
         |FROM h, mx WHERE day_us + 86400000000 <= m
         |GROUP BY day_us, event_type ORDER BY day_us, event_type""".stripMargin,
 
-    // q63's register algebra verbatim — the gate asserts streamed
-    // registers ≡ batch registers bit-identically, estimate alongside
+    // q63's register algebra via the SHARED hllChainSql builder — the
+    // gate asserts streamed registers ≡ batch registers bit-identically,
+    // estimate alongside
     "w11_stream_hll_sketch" ->
-      """WITH b AS (SELECT event_type,
-        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
-        |  FROM events),
-        |r AS (SELECT event_type, hv % 64 AS idx,
-        |    (hv // 64) % (1::BIGINT << 40) AS w40 FROM b),
-        |reg AS (SELECT event_type, idx,
-        |    MAX(CASE WHEN w40 = 0 THEN 41 ELSE 41 - length(bin(w40)) END) AS mreg
-        |  FROM r GROUP BY 1, 2),
-        |a AS (SELECT event_type,
-        |    CAST(SUM(1::BIGINT << CAST(41 - mreg AS INTEGER)) AS BIGINT) AS sp,
-        |    CAST(COUNT(*) AS BIGINT) AS np
-        |  FROM reg GROUP BY 1),
-        |e AS (SELECT event_type, sp + (64 - np) * (1::BIGINT << 41) AS s FROM a)
-        |SELECT reg.event_type, CAST(idx AS BIGINT) AS idx,
-        |  CAST(mreg AS INTEGER) AS mreg,
-        |  CAST(709 * ((4096 * (1::BIGINT << 41)) // s) // 1000 AS BIGINT) AS n_est
-        |FROM reg JOIN e USING (event_type)
-        |ORDER BY event_type, idx""".stripMargin,
+      s"""WITH ${hllChainSql("event_type", "events")}
+         |SELECT reg.event_type, CAST(idx AS BIGINT) AS idx,
+         |  CAST(mreg AS INTEGER) AS mreg, $hllEstSql AS n_est
+         |FROM reg JOIN e USING (event_type)
+         |ORDER BY event_type, idx""".stripMargin,
 
     // the TTL cutoff as a recursive greedy chain: first event per user,
     // then repeatedly the earliest event more than TTL after the last
@@ -484,15 +524,45 @@ private[graft] object StreamingQueries {
     // chain, with the ppm floor-divisions spelled identically
     "w15_stream_quality_gate" ->
       s"""WITH m AS (${qualityMetricsSql("documents")}),
-         |g AS (SELECT d.lang, m.n_tokens,
-         |    (m.n_tokens >= 10 AND m.n_tokens <= 100000 AND
-         |     (CASE WHEN m.n_chars > 0 THEN m.alpha_len*1000000//m.n_chars
-         |      ELSE 0 END) >= 500000) AS keep
+         |g AS (SELECT d.lang, m.n_tokens, ${keepSql("m.")} AS keep
          |  FROM m JOIN documents d USING (doc_id))
          |SELECT lang, COUNT(*) AS n_docs,
          |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
          |  CAST(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
          |FROM g GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the batch composition of gate → distinct → count; the md5 identity
+    // itself never surfaces, so only distinctness must agree (it does:
+    // md5 is collision-free at corpus scale and identical hex on both)
+    "w16_stream_curation" ->
+      s"""WITH m AS (${qualityMetricsSql("documents")}),
+         |k AS (SELECT d.lang, md5(d.text) AS h
+         |  FROM m JOIN documents d USING (doc_id)
+         |  WHERE ${keepSql("m.")})
+         |SELECT lang, CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique_kept
+         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // compact latest-per-edge (ts desc, event_id desc), drop tombstones,
+    // transitive-closure CC (min encoded vertex), vertices from live edges
+    "w17_stream_graph_maintain" ->
+      """WITH RECURSIVE ch AS (SELECT user_id*2 AS s0,
+        |    CAST(concat('0x', substr(md5(event_type), 1, 15)) AS BIGINT)*2+1 AS d0,
+        |    epoch_us(ts) AS ts_us, event_id,
+        |    (COALESCE(value, 0) < 20) AS tombstone
+        |  FROM events),
+        |cn AS (SELECT LEAST(s0, d0) AS src, GREATEST(s0, d0) AS dst,
+        |    ts_us, event_id, tombstone FROM ch),
+        |latest AS (SELECT src, dst, tombstone, ROW_NUMBER() OVER
+        |    (PARTITION BY src, dst ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  FROM cn),
+        |live AS (SELECT src, dst FROM latest WHERE rn = 1 AND NOT tombstone),
+        |sym AS (SELECT src, dst FROM live UNION SELECT dst, src FROM live),
+        |reach(a, b) AS (
+        |  SELECT src, src FROM sym
+        |  UNION
+        |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+        |comp AS (SELECT a AS vertex, MIN(b) AS component FROM reach GROUP BY a)
+        |SELECT vertex, component FROM comp ORDER BY vertex""".stripMargin,
 
     "w6_stream_sliding" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us FROM events),

@@ -30,6 +30,22 @@ private[graft] object Support {
   private[graft] val Jan1_96 = 820454400000000L // 1996-01-01T00:00:00Z
   private[graft] val Jan1_98 = 883612800000000L // 1998-01-01T00:00:00Z
   private[graft] val Jan1_00 = 946684800000000L // 2000-01-01T00:00:00Z
+
+  /** q107's long-encoded customer–supplier edge frame (src = cust·2,
+    * dst = supp·2+1, odate_us), checkpointed — SHARED by the
+    * q107_incremental_cc query and graft.Q107Probe so the committed
+    * scaling evidence can never quietly measure a different edge
+    * definition than the gated query. */
+  private[graft] def q107EdgeLog(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.core.Tables.lineitem(s, d)
+      .join(graft.core.Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2L).as("src"),
+        (col("l_suppkey") * 2L + 1L).as("dst"),
+        graft.core.Tables.epochUs(col("o_orderdate")).as("odate_us"))
+      .localCheckpoint(true)
+  }
   private[graft] val Jan1_97 = 852076800000000L // 1997-01-01T00:00:00Z
   private[graft] val Jan1_24 = 1704067200000000L // 2024-01-01T00:00:00Z
   private[graft] val Jan10_24 = 1704844800000000L // 2024-01-10T00:00:00Z
@@ -911,6 +927,41 @@ private[graft] object Support {
        |  CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
        |  COALESCE(k.trimmed_text, '') AS trimmed_text
        |FROM rw w LEFT JOIN kp k USING (doc_id) ORDER BY w.doc_id""".stripMargin
+
+  /** HLL (m=64) register/estimate CTE chain keyed by `key` over `from`
+    * (user_id hashed): b → r → reg → a → e, with [[hllEstSql]] the
+    * estimate expression over e.s — single source for the q63 batch gate
+    * and the w11 streaming drain (whose Spark sides share
+    * Sketches.hllEstimateCol the same way). q79's sliding variant keeps
+    * its own chain: it interposes a window merge between reg and a.
+    * Composable WITH-prefix (no leading WITH, no trailing comma). */
+  private[graft] def hllChainSql(key: String, from: String): String =
+    s"""b AS (SELECT $key,
+       |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+       |  FROM $from),
+       |r AS (SELECT $key, hv % 64 AS idx,
+       |    (hv // 64) % (1::BIGINT << 40) AS w40 FROM b),
+       |reg AS (SELECT $key, idx,
+       |    MAX(CASE WHEN w40 = 0 THEN 41 ELSE 41 - length(bin(w40)) END) AS mreg
+       |  FROM r GROUP BY 1, 2),
+       |a AS (SELECT $key,
+       |    CAST(SUM(1::BIGINT << CAST(41 - mreg AS INTEGER)) AS BIGINT) AS sp,
+       |    CAST(COUNT(*) AS BIGINT) AS np
+       |  FROM reg GROUP BY 1),
+       |e AS (SELECT $key, sp + (64 - np) * (1::BIGINT << 41) AS s FROM a)""".stripMargin
+
+  /** The HLL raw-estimate expression over [[hllChainSql]]'s `e.s`. */
+  private[graft] val hllEstSql: String =
+    "CAST(709 * ((4096 * (1::BIGINT << 41)) // s) // 1000 AS BIGINT)"
+
+  /** The t2 keep predicate over [[qualityMetricsSql]]'s columns (mirrors
+    * TextAnalysis.keepCol — ONE spelling for the t2/w15/w16 oracles, the
+    * same single-source discipline as keepCol on the Spark side). Pass a
+    * qualifier (e.g. "m.") when the metrics CTE is joined to documents,
+    * whose own n_tokens/n_chars would otherwise be ambiguous. */
+  private[graft] def keepSql(q: String = ""): String =
+    s"(${q}n_tokens >= 10 AND ${q}n_tokens <= 100000 AND " +
+      s"(CASE WHEN ${q}n_chars > 0 THEN ${q}alpha_len*1000000//${q}n_chars ELSE 0 END) >= 500000)"
 
   /** Quality metrics CTE body over `src` (mirrors TextAnalysis.qualityScore). */
   private[graft] def qualityMetricsSql(src: String): String = {

@@ -795,8 +795,7 @@ private[graft] object TextQueries {
          |  CASE WHEN n_tokens > 0 THEN stop_hits*1000000//n_tokens ELSE 0 END AS stopword_ppm,
          |  CASE WHEN n_chars > 0 THEN alpha_len*1000000//n_chars ELSE 0 END AS alpha_ppm,
          |  CASE WHEN n_tokens > 0 THEN sum_tok_len*1000000//n_tokens ELSE 0 END AS mean_tok_len_ppm,
-         |  (n_tokens >= 10 AND n_tokens <= 100000 AND
-         |   (CASE WHEN n_chars > 0 THEN alpha_len*1000000//n_chars ELSE 0 END) >= 500000) AS keep
+         |  ${keepSql()} AS keep
          |FROM m ORDER BY doc_id""".stripMargin
     },
 

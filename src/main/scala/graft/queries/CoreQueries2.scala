@@ -1096,15 +1096,10 @@ private[graft] object CoreQueries2 {
 
 
     // CMS 4×64: bucket = md5_60("r:key") % 64, counter = row count; probe
-    // estimate = min over the 4 rows (COALESCE 0 for empty cells)
+    // estimate = min over the 4 rows (COALESCE 0 for empty cells) — the
+    // register CTEs are the shared cmsCellsSql builder (also w21's)
     "q61_cms_counts" ->
-      """WITH cell AS (SELECT unnest(range(0, 4)) AS r, CAST(user_id AS VARCHAR) AS k
-        |  FROM events),
-        |cms AS (SELECT r,
-        |    CAST(concat('0x', substr(md5(CAST(r AS VARCHAR) || ':' || k), 1, 15)) AS BIGINT)
-        |      % 64 AS b,
-        |    CAST(COUNT(*) AS BIGINT) AS c
-        |  FROM cell GROUP BY 1, 2),
+      s"""WITH $cmsCellsSql,
         |p AS (SELECT DISTINCT user_id FROM events WHERE user_id < 20),
         |pb AS (SELECT user_id, r,
         |    CAST(concat('0x', substr(md5(CAST(r AS VARCHAR) || ':'
@@ -1359,19 +1354,8 @@ private[graft] object CoreQueries2 {
 
     // same integer test; DuckDB window SUMs land in HUGEINT so the
     // products never overflow (Spark side uses decimal(38,0))
-    "q82_rolling_anomaly" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-        |    CAST(round(value*100) AS BIGINT) AS cents
-        |  FROM events WHERE value IS NOT NULL),
-        |w AS (SELECT user_id, event_id, ts_us, cents,
-        |    COUNT(cents) OVER h AS n,
-        |    CAST(SUM(cents) OVER h AS HUGEINT) AS s,
-        |    CAST(SUM(cents*cents) OVER h AS HUGEINT) AS q
-        |  FROM e WINDOW h AS (PARTITION BY user_id ORDER BY ts_us, event_id
-        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
-        |SELECT user_id, event_id, ts_us, cents, CAST(n AS BIGINT) AS n_hist
-        |FROM w WHERE n >= 8 AND (n*cents - s)*(n*cents - s) > 9*(n*q - s*s)
-        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+    // shared verbatim with w18's streaming drain (Support single-source)
+    "q82_rolling_anomaly" -> rollingAnomalySql,
 
 
     // island flag = start exceeds running max end of all earlier intervals

@@ -1399,6 +1399,37 @@ private[graft] object CoreQueries3 {
         .orderBy("vertex")
     }),
 
+
+    // Theil–Sen robust trend per event type — the EXACT median of all
+    // pairwise slopes of the daily-count series (Sen 1968), the
+    // outlier-proof alternative to OLS (q102) for monitoring drift in
+    // ingest volume. The daily series is calendar-bounded (≤31 points per
+    // type), so the all-pairs slope frame is ≤465 rows per type BY
+    // CONSTRUCTION — a register-sized self-join, never corpus²; slopes
+    // are integer ppm/day (div ≡ // on negatives — both truncate toward
+    // zero), the median is the tie-safe 2·cum ≥ tot register rule.
+    "q186_theil_sen" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          call_function("div", col("ts_us") - Jan1_24, lit(DayUs)).as("di"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val slopes = daily.select(col("event_type"), col("di").as("i"), col("c").as("ci"))
+        .join(daily.select(col("event_type"), col("di").as("j"), col("c").as("cj")),
+          Seq("event_type"))
+        .filter(col("j") > col("i"))
+        .select(col("event_type"),
+          call_function("div", (col("cj") - col("ci")) * 1000000L,
+            col("j") - col("i")).as("slope_ppm"))
+        .withColumn("one", lit(1L))
+      val med = Analytics.weightedMedian(slopes, Seq("event_type"), "slope_ppm", "one")
+        .select(col("event_type"), col("wmedian").as("theil_sen_ppm"))
+      slopes.groupBy("event_type").agg(count(lit(1)).as("n_pairs"))
+        .join(med, "event_type")
+        .select(col("event_type"), col("n_pairs"), col("theil_sen_ppm"))
+        .orderBy("event_type")
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -2511,6 +2542,24 @@ private[graft] object CoreQueries3 {
     "q185_personalized_pagerank" ->
       pageRankSql(iterations = 10, dampingPpm = 850000L,
         seedCondSql = Some("vertex = 'b:Brand#13'")),
+
+
+    // all-pairs slopes over the ≤31-point daily series, q110 median rule
+    "q186_theil_sen" ->
+      s"""WITH daily AS (SELECT event_type, (epoch_us(ts) - $Jan1_24) // $DayUs AS di,
+         |    CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+         |p AS (SELECT a.event_type,
+         |    ((b.c - a.c) * 1000000) // (b.di - a.di) AS slope_ppm
+         |  FROM daily a JOIN daily b
+         |    ON a.event_type = b.event_type AND b.di > a.di),
+         |w AS (SELECT event_type, slope_ppm,
+         |    CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY slope_ppm)
+         |      AS BIGINT) AS cum,
+         |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+         |  FROM p)
+         |SELECT event_type, COUNT(*) AS n_pairs,
+         |  MIN(CASE WHEN cum*2 >= tot THEN slope_ppm END) AS theil_sen_ppm
+         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
 
   )
 }

@@ -373,6 +373,95 @@ private[graft] object StreamingQueries {
       s.read.parquet(s"$tmp/g/components").orderBy("vertex")
     }),
 
+    // q82's rolling 3σ anomaly monitor as a LIVE stream: anomalyMonitor
+    // carries a bounded 20-value ring per user (state is histRows longs
+    // per key — history-independent), flags via the same integer
+    // cross-multiplied test as the batch operator, and the drained flags
+    // face q82's oracle VERBATIM (one SQL spelling, Support single-source)
+    // — streaming monitor ≡ batch window on the replayed log. Order-
+    // sensitive fold ⇒ single-batch precondition asserted (w5 rule).
+    "w18_stream_anomaly" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.eventsStream(s, d)
+        .where(col("value").isNotNull)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .as[(Long, Long, Long, Long)]
+      val flagged = StatefulOps.anomalyMonitor(ev,
+          histRows = 20, minHist = 8, k = 3)
+        .toDF("user_id", "ts_us", "event_id", "cents", "n_hist")
+      StreamRun.toMemory(flagged, "w18_sink", outputMode = "append",
+          assertSingleBatch = true)
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
+    // q101's one-sided CUSUM drift monitor as a LIVE stream: the per-type
+    // reference level is computed from the batch view (a monitor's target
+    // is configuration at stream start — q101's sign-safe offset mean
+    // verbatim), joined stream-static (stateless), then cusumMonitor runs
+    // C ← max(0, C + (x − target)) with a THREE-long register per key and
+    // emits alarm rows where C > threshold. The oracle is the per-row
+    // Lindley closed form Cᵢ = Sᵢ − min(0, min_{k≤i} Sₖ) filtered to
+    // alarms — recurrence ≡ closed form, asserted on real data (the w5
+    // proof shape, per-row instead of final-register). Single-batch
+    // precondition asserted (order-sensitive fold).
+    "w19_stream_cusum" -> ((s, d) => {
+      import s.implicits._
+      val batch = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      val tgt = batch.groupBy(col("event_type").as("et"))
+        .agg(expr("((sum(cents) + 1000000 * count(1)) div count(1)) - 1000000")
+          .as("target"))
+      val ev = Tables.eventsStream(s, d).where(col("value").isNotNull)
+        .select(col("event_type"), col("ts_us"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .join(tgt, col("event_type") === col("et")).drop("et")
+        .select(col("event_type"), col("ts_us"), col("event_id"),
+          col("cents"), col("target"))
+        .as[(String, Long, Long, Long, Long)]
+      val alarms = StatefulOps.cusumMonitor(ev, threshold = 100000L)
+        .toDF("event_type", "ts_us", "event_id", "cusum")
+      StreamRun.toMemory(alarms, "w19_sink", outputMode = "append",
+          assertSingleBatch = true)
+        .orderBy("event_type", "ts_us", "event_id")
+    }),
+
+    // q147's max-drawdown as a LIVE alert stream: drawdownMonitor carries
+    // (balance, peak, maxDrawdown) — three longs per user — and emits a
+    // row each time a user's drawdown RECORD deepens, so output volume is
+    // O(record improvements), never O(events). The oracle replays the
+    // same recurrence as windows: prefix-sum balance, prefix-max peak,
+    // dd = peak − bal, emit where dd exceeds the strict-past running max
+    // — streamed alert rows ≡ batch window rows, hash-asserted.
+    // Single-batch precondition asserted (order-sensitive fold).
+    "w20_stream_drawdown" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.eventsStream(s, d)
+        .where(col("value").isNotNull)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          (round(col("value") * 100).cast("long") - 3500L).as("delta_cents"))
+        .as[(Long, Long, Long, Long)]
+      val alerts = StatefulOps.drawdownMonitor(ev)
+        .toDF("user_id", "ts_us", "event_id", "max_drawdown_cents")
+      StreamRun.toMemory(alerts, "w20_sink", outputMode = "append",
+          assertSingleBatch = true)
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
+    // streaming CMS maintenance — the frequency-sketch sibling of w11:
+    // cmsBuild's sum-merge registers run UNCHANGED on the stream (the
+    // state store IS the sketch, exactly depth×width cells at any
+    // history), drained registers must be bit-identical to the batch
+    // build (q61's register CTEs, shared cmsCellsSql oracle)
+    "w21_stream_cms" -> ((s, d) => {
+      val ev = Tables.eventsStream(s, d)
+      val regs = graft.streaming.StreamingSketches.cmsRegisterStream(
+        ev, "user_id", depth = 4, width = 64)
+      StreamRun.toMemory(regs, "w21_sink")
+        .select(col("r"), col("b"), col("c"))
+        .orderBy("r", "b")
+    }),
+
     // sliding-window (1h window / 15min slide) streaming aggregation
     // state: each event lands in exactly windowDuration/slide = 4
     // epoch-aligned windows; the oracle materializes the same 4 window
@@ -563,6 +652,58 @@ private[graft] object StreamingQueries {
         |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
         |comp AS (SELECT a AS vertex, MIN(b) AS component FROM reach GROUP BY a)
         |SELECT vertex, component FROM comp ORDER BY vertex""".stripMargin,
+
+    "w18_stream_anomaly" -> rollingAnomalySql,
+
+    // the shared q61 register CTEs, registers surfaced directly
+    "w21_stream_cms" ->
+      s"""WITH $cmsCellsSql
+         |SELECT CAST(r AS INTEGER) AS r, b, c FROM cms ORDER BY r, b""".stripMargin,
+
+    // prefix-sum balance, prefix-max peak, record-deepening filter (dds
+    // are >= 0, so COALESCE(strict-past max, 0) is the monitor's maxdd)
+    "w20_stream_drawdown" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CAST(round(value*100) AS BIGINT) - 3500 AS d
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT user_id, ts_us, event_id,
+        |    CAST(SUM(d) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS bal
+        |  FROM e),
+        |pk AS (SELECT user_id, ts_us, event_id, bal,
+        |    CAST(MAX(bal) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak
+        |  FROM b),
+        |dd AS (SELECT user_id, ts_us, event_id,
+        |    GREATEST(peak, 0) - bal AS dd
+        |  FROM pk)
+        |SELECT user_id, ts_us, event_id, dd AS max_drawdown_cents
+        |FROM (SELECT *, COALESCE(MAX(dd) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND 1 PRECEDING), 0) AS prev FROM dd)
+        |WHERE dd > prev
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    // q101's offset-mean target, running sum of (x − target), per-row
+    // Lindley C = s − LEAST(0, running min s), alarm filter
+    "w19_stream_cusum" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+        |    CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |t AS (SELECT event_type,
+        |    ((CAST(SUM(cents) AS BIGINT) + 1000000*COUNT(*)) // COUNT(*)) - 1000000
+        |      AS target
+        |  FROM e GROUP BY 1),
+        |r AS (SELECT e.event_type, ts_us, event_id,
+        |    CAST(SUM(cents - target) OVER (PARTITION BY e.event_type
+        |      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+        |  FROM e JOIN t USING (event_type)),
+        |c AS (SELECT event_type, ts_us, event_id,
+        |    s - LEAST(0, CAST(MIN(s) OVER (PARTITION BY event_type
+        |      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)) AS cusum
+        |  FROM r)
+        |SELECT event_type, ts_us, event_id, cusum FROM c WHERE cusum > 100000
+        |ORDER BY event_type, ts_us, event_id""".stripMargin,
 
     "w6_stream_sliding" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us FROM events),

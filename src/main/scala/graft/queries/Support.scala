@@ -928,6 +928,38 @@ private[graft] object Support {
        |  COALESCE(k.trimmed_text, '') AS trimmed_text
        |FROM rw w LEFT JOIN kp k USING (doc_id) ORDER BY w.doc_id""".stripMargin
 
+  /** q82's trailing-window anomaly oracle (20-row history, min 8, 3σ via
+    * integer cross-multiplication) — shared VERBATIM by the batch gate
+    * (q82, Analytics.rollingAnomalies) and the streaming drain (w18,
+    * StatefulOps.anomalyMonitor): the two operators implement the same
+    * flag rule by definition, so they must face one SQL spelling. */
+  private[graft] val rollingAnomalySql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    CAST(round(value*100) AS BIGINT) AS cents
+      |  FROM events WHERE value IS NOT NULL),
+      |w AS (SELECT user_id, event_id, ts_us, cents,
+      |    COUNT(cents) OVER h AS n,
+      |    CAST(SUM(cents) OVER h AS HUGEINT) AS s,
+      |    CAST(SUM(cents*cents) OVER h AS HUGEINT) AS q
+      |  FROM e WINDOW h AS (PARTITION BY user_id ORDER BY ts_us, event_id
+      |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+      |SELECT user_id, event_id, ts_us, cents, CAST(n AS BIGINT) AS n_hist
+      |FROM w WHERE n >= 8 AND (n*cents - s)*(n*cents - s) > 9*(n*q - s*s)
+      |ORDER BY user_id, ts_us, event_id""".stripMargin
+
+  /** q61's CMS (4×64, weight 1, per-user events) register CTEs — shared
+    * by the q61 batch gate and the w21 streaming drain (whose Spark sides
+    * both call Sketches.cmsBuild): bucket = seeded md5-60 % 64, counter =
+    * row count. Composable WITH-prefix. */
+  private[graft] val cmsCellsSql: String =
+    """cell AS (SELECT unnest(range(0, 4)) AS r, CAST(user_id AS VARCHAR) AS k
+      |  FROM events),
+      |cms AS (SELECT r,
+      |    CAST(concat('0x', substr(md5(CAST(r AS VARCHAR) || ':' || k), 1, 15)) AS BIGINT)
+      |      % 64 AS b,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM cell GROUP BY 1, 2)""".stripMargin
+
   /** HLL (m=64) register/estimate CTE chain keyed by `key` over `from`
     * (user_id hashed): b → r → reg → a → e, with [[hllEstSql]] the
     * estimate expression over e.s — single source for the q63 batch gate

@@ -806,8 +806,7 @@ private[graft] object CoreQueries2 {
       // (|cents| ≤ 10^6 by the events.value domain), where both agree; for
       // all-positive data the result is bit-identical to `sum div count`
       val tgt = e.groupBy(col("event_type").as("et"))
-        .agg(expr("((sum(cents) + 1000000 * count(1)) div count(1)) - 1000000")
-          .as("target"))
+        .agg(expr(offsetMeanSparkSql).as("target"))
       val j = e.join(broadcast(tgt), e("event_type") === tgt("et")).drop("et")
       Analytics.cusum(j, Seq("event_type"), "cents", "target",
           Seq("ts_us", "event_id"), threshold = 100000L)
@@ -1792,12 +1791,11 @@ private[graft] object CoreQueries2 {
     // same closed form: C = S − min(0, prefix-min S); target = sum//count
     // (floor ≡ div on the non-negative cents); window sums cast from HUGEINT
     "q101_cusum" ->
-      """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+      s"""WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id,
         |    CAST(round(value*100) AS BIGINT) AS cents
         |  FROM events WHERE value IS NOT NULL),
         |t AS (SELECT event_type,
-        |    ((CAST(SUM(cents) AS BIGINT) + 1000000 * COUNT(*)) // COUNT(*))
-        |      - 1000000 AS target
+        |    $offsetMeanDuckSql AS target
         |  FROM e GROUP BY 1),
         |s AS (SELECT event_type, ts_us, event_id,
         |    CAST(SUM(cents - target) OVER w AS BIGINT) AS s

@@ -1403,11 +1403,13 @@ private[graft] object CoreQueries3 {
     // Theil–Sen robust trend per event type — the EXACT median of all
     // pairwise slopes of the daily-count series (Sen 1968), the
     // outlier-proof alternative to OLS (q102) for monitoring drift in
-    // ingest volume. The daily series is calendar-bounded (≤31 points per
-    // type), so the all-pairs slope frame is ≤465 rows per type BY
-    // CONSTRUCTION — a register-sized self-join, never corpus²; slopes
-    // are integer ppm/day (div ≡ // on negatives — both truncate toward
-    // zero), the median is the tie-safe 2·cum ≥ tot register rule.
+    // ingest volume. The slope frame is DAY-PAIR-sized (k·(k−1)/2 per
+    // type for a k-day span — 435 at the current 30-day testdata, ~66k
+    // for a year; register-sized either way, never corpus²) off one
+    // partial-agg'd count shuffle; slopes are integer ppm/day (div ≡ //
+    // on negatives — both truncate toward zero), the median is the
+    // tie-safe 2·cum ≥ tot register rule, and its total_weight (Σ unit
+    // weights) IS the pair count — no second pass over the self-join.
     "q186_theil_sen" -> ((s, d) => {
       val daily = Tables.events(s, d)
         .groupBy(col("event_type"),
@@ -1422,11 +1424,9 @@ private[graft] object CoreQueries3 {
           call_function("div", (col("cj") - col("ci")) * 1000000L,
             col("j") - col("i")).as("slope_ppm"))
         .withColumn("one", lit(1L))
-      val med = Analytics.weightedMedian(slopes, Seq("event_type"), "slope_ppm", "one")
-        .select(col("event_type"), col("wmedian").as("theil_sen_ppm"))
-      slopes.groupBy("event_type").agg(count(lit(1)).as("n_pairs"))
-        .join(med, "event_type")
-        .select(col("event_type"), col("n_pairs"), col("theil_sen_ppm"))
+      Analytics.weightedMedian(slopes, Seq("event_type"), "slope_ppm", "one")
+        .select(col("event_type"), col("total_weight").as("n_pairs"),
+          col("wmedian").as("theil_sen_ppm"))
         .orderBy("event_type")
     }),
 

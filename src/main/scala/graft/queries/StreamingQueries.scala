@@ -410,8 +410,7 @@ private[graft] object StreamingQueries {
       val batch = Tables.events(s, d).filter(col("value").isNotNull)
         .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
       val tgt = batch.groupBy(col("event_type").as("et"))
-        .agg(expr("((sum(cents) + 1000000 * count(1)) div count(1)) - 1000000")
-          .as("target"))
+        .agg(expr(offsetMeanSparkSql).as("target"))
       val ev = Tables.eventsStream(s, d).where(col("value").isNotNull)
         .select(col("event_type"), col("ts_us"), col("event_id"),
           round(col("value") * 100).cast("long").as("cents"))
@@ -687,12 +686,10 @@ private[graft] object StreamingQueries {
     // q101's offset-mean target, running sum of (x − target), per-row
     // Lindley C = s − LEAST(0, running min s), alarm filter
     "w19_stream_cusum" ->
-      """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+      s"""WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id,
         |    CAST(round(value*100) AS BIGINT) AS cents
         |  FROM events WHERE value IS NOT NULL),
-        |t AS (SELECT event_type,
-        |    ((CAST(SUM(cents) AS BIGINT) + 1000000*COUNT(*)) // COUNT(*)) - 1000000
-        |      AS target
+        |t AS (SELECT event_type, $offsetMeanDuckSql AS target
         |  FROM e GROUP BY 1),
         |r AS (SELECT e.event_type, ts_us, event_id,
         |    CAST(SUM(cents - target) OVER (PARTITION BY e.event_type

@@ -928,6 +928,16 @@ private[graft] object Support {
        |  COALESCE(k.trimmed_text, '') AS trimmed_text
        |FROM rw w LEFT JOIN kp k USING (doc_id) ORDER BY w.doc_id""".stripMargin
 
+  /** q101's sign-safe per-type integer mean of `cents` (the q160/s27
+    * offset rule: numerator shifted by 10⁶·n so truncation and floor
+    * agree below zero) — ONE spelling PER ENGINE, shared by the batch
+    * CUSUM (q101) and the streaming monitor (w19): the two gates must
+    * assert the same reference level by construction. */
+  private[graft] val offsetMeanSparkSql: String =
+    "((sum(cents) + 1000000 * count(1)) div count(1)) - 1000000"
+  private[graft] val offsetMeanDuckSql: String =
+    "((CAST(SUM(cents) AS BIGINT) + 1000000 * COUNT(*)) // COUNT(*)) - 1000000"
+
   /** q82's trailing-window anomaly oracle (20-row history, min 8, 3σ via
     * integer cross-multiplication) — shared VERBATIM by the batch gate
     * (q82, Analytics.rollingAnomalies) and the streaming drain (w18,

@@ -1430,6 +1430,82 @@ private[graft] object CoreQueries3 {
         .orderBy("event_type")
     }),
 
+
+    // Mann–Kendall trend test on daily order revenue — the significance
+    // companion to q186's Theil–Sen slope estimate (Mann 1945, Kendall
+    // 1975): S = Σ_{i<j} sign(r_j − r_i) over the CALENDAR-bounded daily
+    // register frame (~2.4k days whatever the corpus size — the pair join
+    // is days², never rows²), with the exact tie-corrected variance
+    // 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5). Significance at z=1.96
+    // is the cross-multiplied integer test 2500·18·S² ≥ 9604·var18 (no
+    // sqrt, no doubles; 1.96² = 9604/2500 exactly) — the q137 σ-band
+    // pattern applied to a rank statistic. No continuity correction (the
+    // convention is documented here and mirrored in the oracle).
+    "q187_mann_kendall" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(call_function("div", Tables.epochUs(col("o_orderdate")),
+          lit(DayUs)).as("di"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .localCheckpoint(true)
+      val pairs = daily.select(col("di").as("i"), col("cents").as("ci"))
+        .crossJoin(broadcast(daily.select(col("di").as("j"), col("cents").as("cj"))))
+        .filter(col("j") > col("i"))
+      val sStat = pairs.agg(sum(when(col("cj") > col("ci"), 1L)
+        .when(col("cj") < col("ci"), -1L).otherwise(0L)).as("s_stat"))
+      val base = daily.agg(count(lit(1)).as("n_days"))
+      val tieTerm = daily.groupBy("cents").agg(count(lit(1)).as("t"))
+        .agg(coalesce(sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L)),
+          lit(0L)).as("tie18"))
+      base.crossJoin(sStat).crossJoin(tieTerm)
+        .withColumn("var18",
+          col("n_days") * (col("n_days") - 1L) * (lit(2L) * col("n_days") + 5L)
+            - col("tie18"))
+        .select(col("n_days"), col("s_stat"), col("var18"),
+          when(lit(2500L) * 18L * col("s_stat") * col("s_stat") >=
+              lit(9604L) * col("var18"),
+            when(col("s_stat") > 0L, lit("increasing")).otherwise(lit("decreasing")))
+            .otherwise(lit("none")).as("trend"))
+    }),
+
+
+    // Goodman–Kruskal gamma between line-item quantity and discount — an
+    // exact rank-association statistic (concordant vs discordant pairs)
+    // computed ENTIRELY on the (quantity, discount-cents) cell register
+    // frame: both domains are tiny (≤50 × ≤11 values), so the corpus-sized
+    // pair space collapses to ≤ 550² cell pairs with nc/nd as products of
+    // cell counts — one map-side-combinable groupBy, then a broadcast
+    // self-join of a ~550-row register. gamma = (nc−nd)/(nc+nd) needs no
+    // sqrt (unlike tau-b), so it stays in exact integer ppm: divide
+    // POSITIVE operands, apply the sign by CASE (the q160 rule). Counts
+    // ride in decimal(38,0) so nc/nd (Σ products of cell counts ≤ N²/2)
+    // cannot overflow before ~1e19 rows; surfaced CAST to BIGINT (q89
+    // rule). Denominator clamp greatest(nc+nd, 1): class (a) — an
+    // all-ties corpus legally yields nc = nd = 0.
+    "q188_rank_concordance" -> ((s, d) => {
+      val cells = Tables.lineitem(s, d)
+        .groupBy(col("l_quantity").cast("long").as("q"),
+          round(col("l_discount") * 100).cast("long").as("dc"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"))
+      val agg = cells.select(col("q").as("qa"), col("dc").as("da"), col("n").as("na"))
+        .crossJoin(broadcast(cells.select(col("q").as("qb"), col("dc").as("db"),
+          col("n").as("nb"))))
+        .filter(col("qa") < col("qb"))
+        .agg(
+          coalesce(sum(when(col("da") < col("db"), col("na") * col("nb"))),
+            lit(0L).cast("decimal(38,0)")).as("ncd"),
+          coalesce(sum(when(col("da") > col("db"), col("na") * col("nb"))),
+            lit(0L).cast("decimal(38,0)")).as("ndd"))
+      agg.select(
+          col("ncd").cast("long").as("n_concordant"),
+          col("ndd").cast("long").as("n_discordant"),
+          (when(col("ncd") >= col("ndd"), 1L).otherwise(-1L) *
+            call_function("div",
+              (when(col("ncd") >= col("ndd"), col("ncd") - col("ndd"))
+                .otherwise(col("ndd") - col("ncd"))) * lit(1000000L),
+              greatest(col("ncd") + col("ndd"), lit(1L).cast("decimal(38,0)"))))
+            .as("gamma_ppm"))
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -2560,6 +2636,47 @@ private[graft] object CoreQueries3 {
          |SELECT event_type, COUNT(*) AS n_pairs,
          |  MIN(CASE WHEN cum*2 >= tot THEN slope_ppm END) AS theil_sen_ppm
          |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    // day-pair sign sum + exact tie-corrected variance; cross-multiplied
+    // z-test (1.96² = 9604/2500), no continuity correction
+    "q187_mann_kendall" ->
+      s"""WITH daily AS (SELECT epoch_us(o_orderdate) // $DayUs AS di,
+         |    CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+         |  FROM orders GROUP BY 1),
+         |p AS (SELECT CASE WHEN b.cents > a.cents THEN 1
+         |    WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sg
+         |  FROM daily a JOIN daily b ON b.di > a.di),
+         |s AS (SELECT CAST(COALESCE(SUM(sg), 0) AS BIGINT) AS s_stat FROM p),
+         |n AS (SELECT COUNT(*) AS n_days FROM daily),
+         |t AS (SELECT CAST(COALESCE(SUM(t*(t-1)*(2*t+5)), 0) AS BIGINT) AS tie18
+         |  FROM (SELECT COUNT(*) AS t FROM daily GROUP BY cents)),
+         |v AS (SELECT n_days, s_stat,
+         |    n_days*(n_days-1)*(2*n_days+5) - tie18 AS var18 FROM n, s, t)
+         |SELECT n_days, s_stat, var18,
+         |  CASE WHEN 2500*18*s_stat*s_stat >= 9604*var18
+         |    THEN CASE WHEN s_stat > 0 THEN 'increasing' ELSE 'decreasing' END
+         |    ELSE 'none' END AS trend
+         |FROM v""".stripMargin,
+
+
+    // (quantity, discount-cents) cell registers; nc/nd as products of cell
+    // counts over the ≤550² cell-pair space; gamma = sign · |nc−nd|·1e6 //
+    // (nc+nd) with the all-ties clamp
+    "q188_rank_concordance" ->
+      """WITH cells AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(round(l_discount*100) AS BIGINT) AS dc, COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |p AS (SELECT a.dc AS da, b.dc AS db, a.n * b.n AS nn
+        |  FROM cells a JOIN cells b ON a.q < b.q),
+        |agg AS (SELECT COALESCE(SUM(CASE WHEN da < db THEN nn END), 0) AS ncd,
+        |    COALESCE(SUM(CASE WHEN da > db THEN nn END), 0) AS ndd FROM p)
+        |SELECT CAST(ncd AS BIGINT) AS n_concordant,
+        |  CAST(ndd AS BIGINT) AS n_discordant,
+        |  CAST((CASE WHEN ncd >= ndd THEN 1 ELSE -1 END) *
+        |    ((CASE WHEN ncd >= ndd THEN ncd - ndd ELSE ndd - ncd END) * 1000000
+        |      // GREATEST(ncd + ndd, 1)) AS BIGINT) AS gamma_ppm
+        |FROM agg""".stripMargin,
 
   )
 }

@@ -774,6 +774,47 @@ private[graft] object SimilarityQueries {
         .orderBy("bin")
     }),
 
+    // MRR + MAP@10 of the single-probe LSH index against brute-force
+    // ground truth — the retrieval-eval pair that completes recall@k
+    // (s34) and NDCG (s20): MRR grades WHERE the true 1-NN lands in the
+    // approx ranking, MAP grades the whole relevant-set ordering. Exact
+    // integers throughout: reciprocal rank is 1e6 div rank, and AP rides
+    // the s20 LCM trick (every precision@k term scaled by 2520 =
+    // lcm(1..10), one floor division at the surface). Both rankings are
+    // per-query top-10 frames (query count is fixed, never corpus-sized).
+    "s47_mrr_map" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      val qs = em.filter(col("vec_id") < 5)
+      val truth = Similarity.bruteForceTopK(em, qs, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .localCheckpoint(true)
+      val approx = Similarity.lshTopK(em, qs, "vec_id", "embedding", k = 10,
+          numPlanes = 8)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("arank"))
+        .localCheckpoint(true)
+      val top1 = truth.filter(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id").as("nid1"))
+      val rr = top1.join(approx, Seq("query_id"), "left")
+        .withColumn("hit_rank",
+          when(col("neighbor_id") === col("nid1"), col("arank")))
+        .groupBy("query_id").agg(min(col("hit_rank")).as("rr_rank"))
+      val rel = approx.join(
+        truth.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      val wq = Window.partitionBy("query_id").orderBy("arank")
+      val ap = rel.withColumn("hits", row_number().over(wq).cast("long"))
+        .withColumn("term", expr("hits * (2520 div arank)"))
+        .groupBy("query_id").agg(sum(col("term")).as("ap_scaled"))
+      truth.groupBy("query_id").agg(count(lit(1)).as("n_relevant"))
+        .join(rr, Seq("query_id"), "left")
+        .join(ap, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_relevant"), col("rr_rank"),
+          coalesce(expr("1000000 div rr_rank"), lit(0L)).as("rr_ppm"),
+          expr("(1000000 * coalesce(ap_scaled, 0L)) div (2520 * n_relevant)")
+            .as("ap_ppm"))
+        .orderBy("query_id")
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -1453,6 +1494,47 @@ private[graft] object SimilarityQueries {
          |SELECT s.component, s.gsz AS n_members, tp.top_label,
          |  CAST((lcnt * 1000000) // gsz AS BIGINT) AS purity_ppm
          |FROM szc s JOIN tp USING (component) ORDER BY component""".stripMargin,
+
+
+    // s34's truth/approx ranking CTEs; reciprocal rank of the true 1-NN,
+    // AP@10 via the 2520-LCM integer precision terms
+    "s47_mrr_map" ->
+      s"""WITH q AS (SELECT vec_id, ${qvSql("embedding")} AS qv FROM embeddings),
+         |tp AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    qq.qv AS qa, c.qv AS qb
+         |  FROM q qq JOIN q c ON qq.vec_id < 5 AND qq.vec_id != c.vec_id),
+         |tr AS (SELECT query_id, neighbor_id, rank FROM (
+         |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY $cosSql DESC, neighbor_id) AS rank FROM tp) WHERE rank <= 10),
+         |bucketed AS (SELECT vec_id, qv, $lshBucketSql AS bucket FROM q),
+         |ap AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    qq.qv AS qa, c.qv AS qb
+         |  FROM bucketed qq JOIN bucketed c ON qq.bucket = c.bucket
+         |    AND qq.vec_id < 5 AND qq.vec_id != c.vec_id),
+         |ar AS (SELECT query_id, neighbor_id, rank FROM (
+         |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY $cosSql DESC, neighbor_id) AS rank FROM ap) WHERE rank <= 10),
+         |t1 AS (SELECT query_id, neighbor_id AS nid1 FROM tr WHERE rank = 1),
+         |rrk AS (SELECT t1.query_id, MIN(a.rank) AS rr_rank
+         |  FROM t1 LEFT JOIN ar a ON a.query_id = t1.query_id
+         |    AND a.neighbor_id = t1.nid1
+         |  GROUP BY 1),
+         |rel AS (SELECT a.query_id, a.rank AS arank,
+         |    ROW_NUMBER() OVER (PARTITION BY a.query_id ORDER BY a.rank) AS hits
+         |  FROM ar a JOIN tr t
+         |    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id),
+         |apx AS (SELECT query_id,
+         |    CAST(SUM(hits * (2520 // arank)) AS BIGINT) AS ap_scaled
+         |  FROM rel GROUP BY 1),
+         |rc AS (SELECT query_id, COUNT(*) AS n_relevant FROM tr GROUP BY 1)
+         |SELECT r.query_id, r.n_relevant,
+         |  CAST(k.rr_rank AS INTEGER) AS rr_rank,
+         |  CAST(COALESCE(1000000 // k.rr_rank, 0) AS BIGINT) AS rr_ppm,
+         |  CAST((1000000 * COALESCE(a.ap_scaled, 0)) // (2520 * r.n_relevant)
+         |    AS BIGINT) AS ap_ppm
+         |FROM rc r LEFT JOIN rrk k ON r.query_id = k.query_id
+         |LEFT JOIN apx a ON r.query_id = a.query_id
+         |ORDER BY r.query_id""".stripMargin,
 
   )
 }

@@ -3,7 +3,8 @@ package graft.queries
 import graft.core.{Changelog, Tables}
 import graft.functions.GraftFunctions.md5Hash60
 import graft.operators.{Sketches, TextAnalysis}
-import graft.streaming.{EosSink, StatefulOps, StreamingSketches, StreamRun}
+import graft.streaming.{EosSink, StatefulOps, StreamingSketches, StreamRun,
+  TwsEvent, TwsOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -477,6 +478,50 @@ private[graft] object StreamingQueries {
         .orderBy("win_start_us", "event_type")
     }),
 
+    // keep-last-N per user on Spark 4's transformWithState arbitrary-state
+    // API (typed ListState + ValueState over the RocksDB store) — the
+    // STREAMING form of q7's CDC keep-last-N listener (R8) and the first
+    // w-query on the StatefulProcessor surface. State is the ≤3-element
+    // window itself; the drain dedups by the monotone n_seen tag (latest
+    // emission per user wins), so the gate is batching-independent — no
+    // single-batch assertion needed, unlike the order-sensitive folds.
+    "w22_stream_keep_last_n" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.eventsStream(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+        .as[TwsEvent]
+      val drained = TwsOps.withRocksDb(s) {
+        StreamRun.toMemory(TwsOps.keepLastN(ev, n = 3).toDF(),
+          "w22_sink", outputMode = "append")
+      }.localCheckpoint(true)
+      val latest = drained.groupBy(col("user_id").as("u"))
+        .agg(max(col("n_seen")).as("mx"))
+      drained.join(latest,
+          col("user_id") === col("u") && col("n_seen") === col("mx"))
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
+    // per-user event-type profile on transformWithState MapState — the
+    // J10 stateful count with the type dimension held INSIDE one key's
+    // typed map (the reference's per-key record maps, KVStore.scala:107)
+    // rather than widening the grouping key. Counts are monotone per
+    // (user, type), so max(n) over the drained emissions IS the final
+    // state under any micro-batch split of the log.
+    "w23_stream_type_profile" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.eventsStream(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+        .as[TwsEvent]
+      val drained = TwsOps.withRocksDb(s) {
+        StreamRun.toMemory(TwsOps.typeCounts(ev).toDF(),
+          "w23_sink", outputMode = "append")
+      }
+      drained.groupBy("user_id", "event_type")
+        .agg(max(col("n")).as("n_events"))
+        .orderBy("user_id", "event_type")
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -709,6 +754,21 @@ private[graft] object StreamingQueries {
         |  FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS k) ks)
         |SELECT win_start_us, event_type, COUNT(*) AS n_events
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the final ≤3-element per-user window ≡ the batch last-3 by
+    // (ts, event_id) — q7's keep-last-N rule
+    "w22_stream_keep_last_n" ->
+      """SELECT user_id, ts_us, event_id, event_type
+        |FROM (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn <= 3 ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    // final MapState registers ≡ the batch (user, type) counts
+    "w23_stream_type_profile" ->
+      """SELECT user_id, event_type, COUNT(*) AS n_events
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
   )
 }

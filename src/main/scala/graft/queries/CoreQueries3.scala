@@ -20,6 +20,28 @@ private[graft] object CoreQueries3 {
   /** (o_orderpriority, delay_days) — the ship-delay frame shared by q134's
     * latency profile and q179's quantile profile (single-source rule: the
     * two profiles must agree on the delay definition). */
+  /** One-row (chi2_ppm, nn, n_dow, n_types) register of the day-of-week ×
+    * event-type contingency — q144's staged-floor χ² (each cell term
+    * floored to ppm; the documented q144/q169 convention) single-sourced
+    * so q190's effect size can never drift from q144's statistic. */
+  private def chi2DowType(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(expr(s"((ts_us div $DayUs) + 4) % 7").as("dow"), col("event_type"))
+    val obs = ev.groupBy("dow", "event_type").agg(count(lit(1)).as("o"))
+    val rowm = obs.groupBy("dow").agg(sum(col("o")).as("r"))
+    val colm = obs.groupBy("event_type").agg(sum(col("o")).as("c"))
+    val tot = obs.agg(sum(col("o")).as("nn"))
+    val cells = obs.join(rowm, "dow").join(broadcast(colm), "event_type")
+      .crossJoin(broadcast(tot))
+      .select(expr("((o*nn - r*c) * (o*nn - r*c)) div ((nn*r*c) div 1000000)")
+        .as("term_ppm"))
+    val dims = rowm.agg(count(lit(1)).as("n_dow"))
+      .crossJoin(colm.agg(count(lit(1)).as("n_types")))
+    cells.agg(sum(col("term_ppm")).as("chi2_ppm"))
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(dims))
+  }
+
   private def shipDelayDays(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), Tables.epochUs(col("l_shipdate")).as("sd_us"))
@@ -527,20 +549,7 @@ private[graft] object CoreQueries3 {
     // per-cell floor is the documented convention). Contingency cells roll
     // up map-side; margins broadcast
     "q144_chi_square" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .select(expr(s"((ts_us div $DayUs) + 4) % 7").as("dow"), col("event_type"))
-      val obs = ev.groupBy("dow", "event_type").agg(count(lit(1)).as("o"))
-      val rowm = obs.groupBy("dow").agg(sum(col("o")).as("r"))
-      val colm = obs.groupBy("event_type").agg(sum(col("o")).as("c"))
-      val tot = obs.agg(sum(col("o")).as("nn"))
-      val cells = obs.join(rowm, "dow").join(broadcast(colm), "event_type")
-        .crossJoin(broadcast(tot))
-        .select(expr("((o*nn - r*c) * (o*nn - r*c)) div ((nn*r*c) div 1000000)")
-          .as("term_ppm"))
-      val dims = rowm.agg(count(lit(1)).as("n_dow"))
-        .crossJoin(colm.agg(count(lit(1)).as("n_types")))
-      cells.agg(sum(col("term_ppm")).as("chi2_ppm"))
-        .crossJoin(broadcast(dims))
+      chi2DowType(s, d)
         .select(col("chi2_ppm"),
           ((col("n_dow") - 1L) * (col("n_types") - 1L)).as("dof"))
     }),
@@ -1504,6 +1513,60 @@ private[graft] object CoreQueries3 {
                 .otherwise(col("ndd") - col("ncd"))) * lit(1000000L),
               greatest(col("ncd") + col("ndd"), lit(1L).cast("decimal(38,0)"))))
             .as("gamma_ppm"))
+    }),
+
+
+    // McNemar / paired sign test: did users who were active in BOTH
+    // halves of the log shift their purchase VOLUME between halves? The
+    // pair per user is (H1 purchase count, H2 purchase count); only the
+    // discordant directions carry signal — b = count decreased, c =
+    // increased, ties drop out (the sign-test form of McNemar; the
+    // binary purchased-at-all flags were probed first and are CONCORDANT
+    // for every paired user on this corpus — a flag test would be
+    // degenerate, the round-9 probe-the-data rule). χ²₁ = (b−c)²/(b+c)
+    // at the 1.96² level is the cross-multiplied integer test
+    // 2500·(b−c)² ≥ 9604·(b+c) (the q187/q137 convention, no continuity
+    // correction); b+c = 0 is legal and must NOT read as significant —
+    // the explicit b+c > 0 guard, both engines. One user-keyed partial
+    // agg against a broadcast midpoint register.
+    "q189_mcnemar" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val mid = ev.agg(call_function("div",
+        min(col("ts_us")) + max(col("ts_us")), lit(2L)).as("mid_us"))
+      val per = ev.crossJoin(broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+          max(when(col("ts_us") < col("mid_us"), 1L).otherwise(0L)).as("a1"),
+          max(when(col("ts_us") >= col("mid_us"), 1L).otherwise(0L)).as("a2"),
+          sum(when(col("ts_us") < col("mid_us") &&
+            col("event_type") === "purchase", 1L).otherwise(0L)).as("p1"),
+          sum(when(col("ts_us") >= col("mid_us") &&
+            col("event_type") === "purchase", 1L).otherwise(0L)).as("p2"))
+        .filter(col("a1") === 1L && col("a2") === 1L)
+      per.agg(count(lit(1)).as("n_paired"),
+          sum(when(col("p1") > col("p2"), 1L).otherwise(0L)).as("b"),
+          sum(when(col("p2") > col("p1"), 1L).otherwise(0L)).as("c"))
+        .select(col("n_paired"), col("b"), col("c"),
+          (col("b") + col("c") > 0L &&
+            lit(2500L) * (col("b") - col("c")) * (col("b") - col("c")) >=
+              lit(9604L) * (col("b") + col("c"))).as("significant"))
+    }),
+
+
+    // Cramér's V effect size for q144's day-of-week × event-type
+    // contingency — significance (χ² vs dof) says WHETHER the association
+    // is real, V says HOW STRONG on a 0..1 scale comparable across table
+    // shapes: V² = (χ²/N)/min(r−1, c−1). Single-sourced on the same
+    // chi2DowType register as q144 (the χ² value in this row is
+    // BYTE-IDENTICAL to q144's), one extra floor division for v_sq_ppm.
+    "q190_cramers_v" -> ((s, d) => {
+      chi2DowType(s, d)
+        .select(col("chi2_ppm"),
+          ((col("n_dow") - 1L) * (col("n_types") - 1L)).as("dof"),
+          col("nn").as("n_events"),
+          call_function("div", col("chi2_ppm"),
+            col("nn") * least(col("n_dow") - 1L, col("n_types") - 1L))
+            .as("v_sq_ppm"))
     }),
 
   )
@@ -2677,6 +2740,52 @@ private[graft] object CoreQueries3 {
         |    ((CASE WHEN ncd >= ndd THEN ncd - ndd ELSE ndd - ncd END) * 1000000
         |      // GREATEST(ncd + ndd, 1)) AS BIGINT) AS gamma_ppm
         |FROM agg""".stripMargin,
+
+
+    // paired H1/H2 purchase COUNTS for both-halves-active users; the
+    // discordant-direction χ²₁ (sign-test form) as the 2500/9604
+    // cross-multiplied test with the explicit b+c > 0 guard
+    "q189_mcnemar" ->
+      """WITH m AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid_us
+        |  FROM events),
+        |per AS (SELECT user_id,
+        |    MAX(CASE WHEN epoch_us(ts) < mid_us THEN 1 ELSE 0 END) AS a1,
+        |    MAX(CASE WHEN epoch_us(ts) >= mid_us THEN 1 ELSE 0 END) AS a2,
+        |    CAST(SUM(CASE WHEN epoch_us(ts) < mid_us AND event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+        |    CAST(SUM(CASE WHEN epoch_us(ts) >= mid_us AND event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS p2
+        |  FROM events, m GROUP BY user_id),
+        |pp AS (SELECT * FROM per WHERE a1 = 1 AND a2 = 1),
+        |agg AS (SELECT COUNT(*) AS n_paired,
+        |    CAST(SUM(CASE WHEN p1 > p2 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN p2 > p1 THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM pp)
+        |SELECT n_paired, b, c,
+        |  (b + c > 0 AND 2500*(b - c)*(b - c) >= 9604*(b + c)) AS significant
+        |FROM agg""".stripMargin,
+
+
+    // q144's contingency CTEs + one more floor division: V² =
+    // (χ²/N)/min(r−1, c−1) in ppm
+    "q190_cramers_v" ->
+      s"""WITH ev AS (SELECT ((epoch_us(ts) // $DayUs) + 4) % 7 AS dow, event_type
+         |  FROM events),
+         |obs AS (SELECT dow, event_type, COUNT(*) AS o FROM ev GROUP BY 1, 2),
+         |rm AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY 1),
+         |cm AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY 1),
+         |tt AS (SELECT CAST(SUM(o) AS BIGINT) AS nn FROM obs),
+         |cells AS (SELECT ((o*nn - r*c)*(o*nn - r*c)) // ((nn*r*c) // 1000000)
+         |    AS term_ppm
+         |  FROM obs JOIN rm USING (dow) JOIN cm USING (event_type), tt),
+         |dims AS (SELECT (SELECT COUNT(*) FROM rm) AS n_dow,
+         |    (SELECT COUNT(*) FROM cm) AS n_types)
+         |SELECT CAST(SUM(term_ppm) AS BIGINT) AS chi2_ppm,
+         |  CAST((n_dow - 1) * (n_types - 1) AS BIGINT) AS dof,
+         |  nn AS n_events,
+         |  CAST(CAST(SUM(term_ppm) AS BIGINT)
+         |    // (nn * LEAST(n_dow - 1, n_types - 1)) AS BIGINT) AS v_sq_ppm
+         |FROM cells, dims, tt GROUP BY n_dow, n_types, nn""".stripMargin,
 
   )
 }

@@ -184,6 +184,62 @@ private[graft] object PipelineQueries {
         .orderBy("split", "lang")
     }),
 
+    // INCREMENTAL release: a new crawl lands against a FROZEN base release
+    // — the operational shape at 100 TB, where re-running the full p5
+    // chain per ingest is off the table. The increment (a simulated
+    // re-crawl: 20% exact re-ingests + 20% edited re-ingests under fresh
+    // ids — the d28 convention; this corpus has no native increment) flows
+    // through the frozen row-local gates, is exact-deduped against the
+    // base's PERSISTED hash table (history participates only through
+    // hashes — the d28/d15 incremental rule), deduped within itself
+    // (min-id keeper), decontaminated against the frozen src0 eval set,
+    // and split-assigned by the row-local d33 hash rule (no history
+    // needed: the split is a FUNCTION of the id). Output is the ingest
+    // funnel card: every stage's survivor count in one row. Per-ingest
+    // cost tracks the INCREMENT size; the base corpus is touched once to
+    // build the hash table it would already have persisted.
+    "p8_incremental_release" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val increment = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+          col("lang"), col("source"))
+        .unionByName(docs.filter(col("doc_id") % 5 === 1)
+          .select((col("doc_id") + 200000L).as("doc_id"),
+            concat(col("text"), lit(" updatedcontent")).as("text"),
+            col("lang"), col("source")))
+        .localCheckpoint(true)
+      val gated = increment
+        .filter(col("source") =!= "src0" && length(col("text")) >= 150)
+      val history = docs
+        .filter(col("source") =!= "src0" && col("n_chars") >= 150)
+        .select(md5(normalizeText(col("text"))).as("content_hash")).distinct()
+      val fresh = gated
+        .withColumn("content_hash", md5(normalizeText(col("text"))))
+        .join(history, Seq("content_hash"), "left_anti")
+      val kept = fresh
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("content_hash").orderBy("doc_id")))
+        .filter(col("rn") === 1).drop("rn")
+        .localCheckpoint(true)
+      val contaminated = Dedup.decontaminate(kept,
+          docs.filter(col("source") === "src0"), "doc_id", "text", n = 8)
+        .filter(col("contaminated")).select("doc_id")
+      val clean = kept.join(contaminated, Seq("doc_id"), "left_anti")
+        .withColumn("split", Sampling.splitCol(col("doc_id")))
+        .localCheckpoint(true)
+      increment.agg(count(lit(1)).as("n_increment"))
+        .crossJoin(gated.agg(count(lit(1)).as("n_gated")))
+        .crossJoin(fresh.agg(count(lit(1)).as("n_fresh")))
+        .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+        .crossJoin(clean.agg(count(lit(1)).as("n_clean"),
+          coalesce(sum(when(col("split") === "train", 1L).otherwise(0L)), lit(0L))
+            .as("n_train"),
+          coalesce(sum(when(col("split") === "val", 1L).otherwise(0L)), lit(0L))
+            .as("n_val"),
+          coalesce(sum(when(col("split") === "test", 1L).otherwise(0L)), lit(0L))
+            .as("n_test")))
+    }),
+
   )
 
   /** p5/p6's shared gate chain (single-sourced so the release card and the
@@ -414,6 +470,49 @@ private[graft] object PipelineQueries {
          |SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |  CAST(SUM(nt) AS BIGINT) AS n_tokens
          |FROM sp GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+
+    // increment CTE (re-crawl + edits), frozen gates, hash anti-join vs
+    // the base hash table, min-id keeper, d6 decontamination re-rooted on
+    // the kept set, d33 split case — the funnel as scalar counts
+    "p8_incremental_release" ->
+      s"""WITH inc AS (
+         |  SELECT doc_id + 100000 AS doc_id, text, lang, source
+         |    FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 200000, text || ' updatedcontent', lang, source
+         |    FROM documents WHERE doc_id % 5 = 1),
+         |g AS MATERIALIZED (SELECT doc_id, text, lang, source, md5($normSql) AS h
+         |  FROM inc WHERE source <> 'src0' AND length(text) >= 150),
+         |hist AS (SELECT DISTINCT md5($normSql) AS h FROM documents
+         |  WHERE source <> 'src0' AND n_chars >= 150),
+         |fresh AS MATERIALIZED (SELECT * FROM g
+         |  WHERE h NOT IN (SELECT h FROM hist)),
+         |kept AS MATERIALIZED (SELECT doc_id, text FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+         |    FROM fresh) WHERE rn = 1),
+         |kw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM kept),
+         |kg AS (SELECT DISTINCT doc_id, substr(md5(${wordGramSql(8)}), 1, 15) AS gh
+         |  FROM kw, UNNEST(generate_series(1, len(ws) - 7)) AS t(i)),
+         |ew AS (SELECT string_split(text, ' ') AS ws FROM documents
+         |  WHERE source = 'src0'),
+         |eg AS (SELECT DISTINCT substr(md5(${wordGramSql(8)}), 1, 15) AS gh
+         |  FROM ew, UNNEST(generate_series(1, len(ws) - 7)) AS t(i)),
+         |cont AS (SELECT DISTINCT doc_id FROM kg JOIN eg USING (gh)),
+         |clean AS MATERIALIZED (SELECT doc_id,
+         |    ${md5SplitCaseSql("doc_id")} AS split
+         |  FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+         |SELECT
+         |  (SELECT COUNT(*) FROM inc) AS n_increment,
+         |  (SELECT COUNT(*) FROM g) AS n_gated,
+         |  (SELECT COUNT(*) FROM fresh) AS n_fresh,
+         |  (SELECT COUNT(*) FROM kept) AS n_kept,
+         |  (SELECT COUNT(*) FROM clean) AS n_clean,
+         |  (SELECT CAST(COALESCE(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) FROM clean) AS n_train,
+         |  (SELECT CAST(COALESCE(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) FROM clean) AS n_val,
+         |  (SELECT CAST(COALESCE(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) FROM clean) AS n_test""".stripMargin,
 
   )
 

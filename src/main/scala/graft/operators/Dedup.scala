@@ -770,6 +770,11 @@ object Dedup {
           .filter(col("df") <= col("__cap"))
     })
       .select(Seq(col("h")) ++ blocks ++ Seq(col("doc"), col("sz"), col("rn")): _*)
+      // both sides of the candidate self-join read this frame; without the
+      // checkpoint the explode → df join → per-doc rank window computes
+      // TWICE (the r2 self-join rule; measured best-of-3 at sf0.1:
+      // d19 5.6 → 4.7 s, d37 3.8 → 3.0 s, d38 5.4 → 4.9 s)
+      .localCheckpoint(true)
     // PPJoin position filter (Xiao et al. WWW'08): a pair generated from
     // prefix positions (i, j) can still overlap at most min(|a|−i, |b|−j)+1
     // grams — below the required α = ⌈t/(1+t)·(|a|+|b|)⌉ the candidate

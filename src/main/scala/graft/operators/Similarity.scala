@@ -1064,16 +1064,25 @@ object Similarity {
     * `nb`) — a string-id pair table fails analysis; map string ids to
     * longs first (the q107 long-encoding rule). */
   def mutualOneNn(pairs: DataFrame): DataFrame = {
-    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nb"), col("cosine"))
-      .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("nb"), col("cosine")))
-    val nn1 = sym.groupBy("id")
-      .agg(max(struct(col("cosine"), (-col("nb")).as("nnb"))).as("m"))
-      .select(col("id"), (-col("m.nnb")).as("nb"), col("m.cosine").as("cosine"))
-      .localCheckpoint(true)
+    val nn1 = oneNnTable(pairs)
     nn1.select(col("id").as("id_a"), col("nb").as("id_b"), col("cosine"))
       .join(nn1.select(col("nb").as("id_a"), col("id").as("id_b")),
         Seq("id_a", "id_b"))
       .filter(col("id_a") < col("id_b"))
+  }
+
+  /** The per-id 1-NN election behind [[mutualOneNn]], exposed for the
+    * hubness audit (s48): each id's single best neighbor from an
+    * undirected candidate pair table — the map-side `max(struct(cosine,
+    * -nb))` election, checkpointed (≥2 consumers downstream in every
+    * caller). Same NUMERIC-id precondition as [[mutualOneNn]]. */
+  def oneNnTable(pairs: DataFrame): DataFrame = {
+    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nb"), col("cosine"))
+      .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("nb"), col("cosine")))
+    sym.groupBy("id")
+      .agg(max(struct(col("cosine"), (-col("nb")).as("nnb"))).as("m"))
+      .select(col("id"), (-col("m.nnb")).as("nb"), col("m.cosine").as("cosine"))
+      .localCheckpoint(true)
   }
 
   /** Dominant principal direction of the embedding covariance by

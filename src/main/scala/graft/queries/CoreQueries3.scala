@@ -1569,6 +1569,28 @@ private[graft] object CoreQueries3 {
             .as("v_sq_ppm"))
     }),
 
+
+    // the ACF LADDER: daily-volume autocorrelation at lags 1/2/3/7 in one
+    // result — the full correlogram q105 samples at a single lag (lag-7
+    // vs lag-1..3 separates weekly seasonality from short-memory decay).
+    // One calendar-bounded daily register (checkpointed: 4 lag joins read
+    // it), each lag an equi-join of the register against its shift, all
+    // moments exact decimals through groupedCorrelation (q95/q105
+    // machinery), one canonical double per series at the surface.
+    "q191_acf_ladder" -> ((s, d) => {
+      val dc = Tables.events(s, d)
+        .groupBy(call_function("div", col("ts_us"), lit(DayUs)).as("di"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      Seq(1, 2, 3, 7).map { lag =>
+        val pairs = dc.select(col("di"), col("n").as("n0"))
+          .join(dc.select((col("di") + lag.toLong).as("di"), col("n").as("nl")),
+            "di")
+          .withColumn("series", lit(s"day_lag$lag"))
+        Analytics.groupedCorrelation(pairs, Seq("series"), "n0", "nl")
+      }.reduce(_ unionByName _).orderBy("series")
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -2786,6 +2808,31 @@ private[graft] object CoreQueries3 {
          |  CAST(CAST(SUM(term_ppm) AS BIGINT)
          |    // (nn * LEAST(n_dow - 1, n_types - 1)) AS BIGINT) AS v_sq_ppm
          |FROM cells, dims, tt GROUP BY n_dow, n_types, nn""".stripMargin,
+
+
+    // q105's exact-moment correlation CTEs instantiated per lag over the
+    // shared daily register, UNION ALL'd
+    "q191_acf_ladder" ->
+      s"""WITH dc AS (SELECT epoch_us(ts) // $DayUs AS di, COUNT(*) AS n
+         |  FROM events GROUP BY 1),
+         |${Seq(1, 2, 3, 7).map { l =>
+             s"""p$l AS (SELECT a.n AS x, b.n AS y
+                |  FROM dc a JOIN dc b ON a.di = b.di + $l),
+                |m$l AS (SELECT COUNT(*) AS n,
+                |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+                |    CAST(SUM(x*x) AS HUGEINT) AS sxx, CAST(SUM(y*y) AS HUGEINT) AS syy,
+                |    CAST(SUM(x*y) AS HUGEINT) AS sxy
+                |  FROM p$l),
+                |d$l AS (SELECT n, n*sxy - sx*sy AS num, n*sxx - sx*sx AS d1,
+                |    n*syy - sy*sy AS d2 FROM m$l)""".stripMargin
+           }.mkString(",\n")}
+         |${Seq(1, 2, 3, 7).map { l =>
+             s"""SELECT 'day_lag$l' AS series, n,
+                |  CASE WHEN d1 > 0 AND d2 > 0
+                |    THEN num::DOUBLE / sqrt(d1::DOUBLE * d2::DOUBLE) END AS corr
+                |FROM d$l""".stripMargin
+           }.mkString("\nUNION ALL\n")}
+         |ORDER BY series""".stripMargin,
 
   )
 }

@@ -815,6 +815,27 @@ private[graft] object SimilarityQueries {
         .orderBy("query_id")
     }),
 
+    // hubness audit (Radovanović et al., JMLR 2010): the in-degree
+    // histogram of the 1-NN graph — how many vectors are chosen as
+    // someone's nearest neighbor 0, 1, 2… times. A long tail of high
+    // in-degree "hub" vectors is the high-dimensional pathology that
+    // makes ANN retrieval collapse onto a few points; the healthy profile
+    // is concentrated at 0-2. Candidates are IVF-cell-bounded (s23's
+    // proposer), the election is s23's map-side argmax (shared operator
+    // — the one extra stage is a vector-sized count + histogram rollup).
+    "s48_hubness" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      val nn1 = Similarity.oneNnTable(
+        Similarity.ivfNearDup(em, "vec_id", "embedding",
+          minCosine = -1.0, nCentroids = 16, iterations = 5))
+      val indeg = nn1.groupBy(col("nb").as("id")).agg(count(lit(1)).as("deg"))
+      em.select(col("vec_id").as("id"))
+        .join(indeg, Seq("id"), "left")
+        .select(coalesce(col("deg"), lit(0L)).as("in_degree"))
+        .groupBy("in_degree").agg(count(lit(1)).as("n_vectors"))
+        .orderBy("in_degree")
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -1535,6 +1556,23 @@ private[graft] object SimilarityQueries {
          |FROM rc r LEFT JOIN rrk k ON r.query_id = k.query_id
          |LEFT JOIN apx a ON r.query_id = a.query_id
          |ORDER BY r.query_id""".stripMargin,
+
+
+    // s23's cell-pair + 1-NN election CTEs; in-degree per chosen
+    // neighbor, zero class via LEFT JOIN on the full id set
+    "s48_hubness" ->
+      s"""WITH ${ivfCellsSql(16, 5)},
+         |p AS (SELECT a.id AS id, b.id AS nb, a.v AS qa, b.v AS qb
+         |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.id != b.id),
+         |sims AS (SELECT id, nb, $cosSql AS cosine FROM p),
+         |nn AS (SELECT id, nb, cosine FROM (SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY id ORDER BY cosine DESC, nb) AS rk FROM sims)
+         |  WHERE rk = 1),
+         |ind AS (SELECT nb AS id, COUNT(*) AS deg FROM nn GROUP BY nb),
+         |alld AS (SELECT e.vec_id AS id, COALESCE(ind.deg, 0) AS in_degree
+         |  FROM embeddings e LEFT JOIN ind ON e.vec_id = ind.id)
+         |SELECT in_degree, COUNT(*) AS n_vectors
+         |FROM alld GROUP BY 1 ORDER BY 1""".stripMargin,
 
   )
 }

@@ -522,6 +522,48 @@ private[graft] object StreamingQueries {
         .orderBy("user_id", "event_type")
     }),
 
+    // watermark-BOUNDED streaming dedup via dropDuplicatesWithinWatermark
+    // — the production form of w3 whose per-key state EXPIRES once the
+    // watermark passes (w3's plain dropDuplicates holds state forever by
+    // design of that gate). Which physical row represents a key within a
+    // batch is task-order-dependent, so the gated output is the KEY SET
+    // only (deterministic under any order); the replayed single-file log
+    // arrives inside one watermark horizon, so the emitted key set equals
+    // batch DISTINCT exactly.
+    "w24_stream_dedup_within_wm" -> ((s, d) => {
+      val ev = Tables.eventsStream(s, d)
+        .select(col("user_id"), col("event_type"),
+          timestamp_micros(col("ts_us")).as("t"))
+        .withWatermark("t", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+      StreamRun.toMemory(ev, "w24_sink", outputMode = "append")
+        .orderBy("user_id", "event_type")
+    }),
+
+    // DYNAMIC-GAP session windows: the gap is a per-row EXPRESSION
+    // (purchases close a session after 30 min, everything else after 1 h)
+    // — the session_window API surface w4's fixed gap doesn't touch. The
+    // oracle replays the same merge rule as the q19 island convention
+    // with the PER-ROW gap: a session extends while the next event starts
+    // at or before the previous event's type-dependent horizon (Spark
+    // merges at diff == gap — probed round 10), and the session END is
+    // max over members of (ts + gap(type)).
+    "w25_stream_dynamic_sessions" -> ((s, d) => {
+      val ev = Tables.eventsStream(s, d)
+        .withColumn("t", timestamp_micros(col("ts_us")))
+      val gap = when(col("event_type") === "purchase", lit("30 minutes"))
+        .otherwise(lit("1 hour"))
+      val agg = ev.groupBy(col("user_id"), session_window(col("t"), gap))
+        .agg(count(lit(1)).as("n_events"))
+      StreamRun.toMemory(agg, "w25_sink")
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          unix_micros(col("session_window.end")).as("session_end_us"),
+          col("n_events"))
+        .orderBy("user_id", "session_start_us")
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -769,6 +811,38 @@ private[graft] object StreamingQueries {
     "w23_stream_type_profile" ->
       """SELECT user_id, event_type, COUNT(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the emitted key set ≡ batch DISTINCT (single-horizon replay)
+    "w24_stream_dedup_within_wm" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    // interval-union sweep with the PER-ROW gap: a new session starts
+    // strictly past the running max of (ts + gap) over earlier members
+    // (touch merges — the probed session_window convention); session end
+    // = max(ts + gap) over members
+    "w25_stream_dynamic_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CASE WHEN event_type = 'purchase' THEN 1800000000
+        |      ELSE 3600000000 END AS gap
+        |  FROM events),
+        |f AS (SELECT user_id, ts_us, event_id, gap,
+        |    MAX(ts_us + gap) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM e),
+        |g AS (SELECT user_id, ts_us, event_id, gap,
+        |    CASE WHEN prev_end IS NULL OR ts_us > prev_end THEN 1 ELSE 0 END
+        |      AS new_s
+        |  FROM f),
+        |s AS (SELECT user_id, ts_us, gap,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
+        |  FROM g)
+        |SELECT user_id, MIN(ts_us) AS session_start_us,
+        |  MAX(ts_us + gap) AS session_end_us, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, seq
+        |ORDER BY user_id, session_start_us""".stripMargin,
 
   )
 }

@@ -115,6 +115,48 @@ object Multimodal {
         (col("first_packed") % (1L << 20)).as("first_idx"))
   }
 
+  /** Near-duplicate MEDIA via sampled-frame fingerprint overlap — the
+    * video/audio analogue of document near-dup: two media are candidates
+    * when they share ≥1 sampled frame fingerprint, scored by the overlap
+    * coefficient |A∩B| / min(|A|,|B|) in exact ppm (containment-style, so
+    * a clip embedded in a longer reel still scores high — the d10 rule).
+    *
+    * Scale shape: the pair space is generated ONLY through shared
+    * fingerprints whose document frequency is in [2, maxFrameDf] — unique
+    * frames pair nothing and boilerplate frames (intros/color bars) are
+    * excluded BY DEFINITION (df > maxFrameDf, the d13/capBuckets rule,
+    * mirrored in the oracle), so candidate volume is bounded by
+    * Σ_capped df² — never media². One fingerprint-keyed shuffle plus two
+    * size joins. */
+  def mediaNearDup(
+      df: DataFrame,
+      idCol: String,
+      bufCol: String,
+      frameChars: Int = 16,
+      stride: Int = 4,
+      maxFrameDf: Long = 64L,
+      minOverlapPpm: Long = 0L): DataFrame = {
+    require(maxFrameDf >= 2, "maxFrameDf must be >= 2")
+    val frames = sampleFrames(df, idCol, bufCol, frameChars, stride)
+      .select(col(idCol).as("id"), col("frame_md5").as("h"))
+      .distinct().localCheckpoint(true)
+    val sizes = frames.groupBy("id").agg(count(lit(1)).as("nf"))
+    val fdf = frames.groupBy("h").agg(count(lit(1)).as("df"))
+    val shared = frames.join(fdf, "h")
+      .filter(col("df") >= 2L && col("df") <= maxFrameDf)
+      .select("id", "h")
+    val pairs = shared.select(col("id").as("id_a"), col("h"))
+      .join(shared.select(col("id").as("id_b"), col("h")), "h")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("id").as("id_a"), col("nf").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("nf").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("inter"), col("na"), col("nb"),
+        expr("(inter * 1000000) div least(na, nb)").as("overlap_ppm"))
+      .filter(col("overlap_ppm") >= minOverlapPpm)
+  }
+
   /** The stub "codec": first code point + code-point sum mod 1e9+7, decoded
     * from the UTF-8 payload. Code points (not raw bytes) so the DuckDB
     * oracle — which can only iterate characters via `ascii(substr(...))` —

@@ -84,6 +84,17 @@ private[graft] object PipelineQueries {
     }),
 
 
+    // near-duplicate media by sampled-frame fingerprint overlap: the
+    // re-encoded/re-posted-clip detector (a clip contained in a longer
+    // reel scores 1e6 — the d10 containment rule on frame sets).
+    // Boilerplate frames excluded by definition (df > 64); pair volume
+    // bounded by the capped-df rule at any corpus size
+    "m6_media_near_dup" -> ((s, d) => {
+      Multimodal.mediaNearDup(Tables.documents(s, d), "doc_id", "text",
+        frameChars = 16, stride = 4, maxFrameDf = 64L, minOverlapPpm = 100000L)
+        .orderBy("id_a", "id_b")
+    }),
+
     // training-shard packing audit: media blobs assigned to fixed-size
     // shards by running byte offset (shard = prefix-bytes div target) —
     // the tar/webdataset layout plan. Global strict-past window here; at
@@ -392,6 +403,30 @@ private[graft] object PipelineQueries {
         |  fp // 1048576 AS first_doc, fp % 1048576 AS first_idx
         |FROM g WHERE n_docs >= 2 ORDER BY frame_md5""".stripMargin,
 
+
+    // m3's frame CTE distinct'd per media; df-capped shared-fingerprint
+    // pairs; overlap coefficient vs the smaller frame set
+    "m6_media_near_dup" ->
+      """WITH f AS (SELECT doc_id, text,
+        |    CAST(FLOOR(length(text)/16.0) AS BIGINT) AS nf FROM documents),
+        |s AS (SELECT doc_id, text, unnest(range(0, nf, 4)) AS frame_idx
+        |      FROM f WHERE nf > 0),
+        |fr AS (SELECT DISTINCT doc_id AS id,
+        |    md5(substr(text, CAST(frame_idx*16 + 1 AS INTEGER), 16)) AS h
+        |  FROM s),
+        |sz AS (SELECT id, COUNT(*) AS nf FROM fr GROUP BY id),
+        |fdf AS (SELECT h, COUNT(*) AS df FROM fr GROUP BY h),
+        |sh AS (SELECT fr.id, fr.h FROM fr JOIN fdf USING (h)
+        |  WHERE df >= 2 AND df <= 64),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.h = b.h AND a.id < b.id GROUP BY 1, 2),
+        |o AS (SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+        |    sa.nf AS na, sb.nf AS nb,
+        |    CAST((inter * 1000000) // LEAST(sa.nf, sb.nf) AS BIGINT)
+        |      AS overlap_ppm
+        |  FROM p JOIN sz sa ON p.id_a = sa.id JOIN sz sb ON p.id_b = sb.id)
+        |SELECT * FROM o WHERE overlap_ppm >= 100000
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // strict-past byte prefix sum → fixed-size shard id
     "m5_shard_packing" ->

@@ -1591,6 +1591,49 @@ private[graft] object CoreQueries3 {
       }.reduce(_ unionByName _).orderBy("series")
     }),
 
+
+    // Wald–Wolfowitz runs test on daily revenue moves: are up/down days
+    // RANDOM, or do they streak (momentum) / alternate (mean-reversion)?
+    // Zero-diffs drop (the standard convention); R = 1 + sign changes on
+    // the surviving sequence. Exact integer significance with no sqrt:
+    // Z² = (RN − 2n₁n₂ − N)²·(N−1) / (2n₁n₂(2n₁n₂ − N)), tested at 1.96²
+    // as 2500·lhs ≥ 9604·rhs — operands ride decimal(38,0) ≡ HUGEINT
+    // (2500·(RN)²·N exceeds int64 past ~1.4k days, the q89 rule), and a
+    // one-sided series (2n₁n₂ ≤ N ⇒ σ² ≤ 0) reads NOT significant by the
+    // explicit guard. All on the CALENDAR-bounded daily register.
+    "q192_runs_test" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(call_function("div", Tables.epochUs(col("o_orderdate")),
+          lit(DayUs)).as("di"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val wd = Window.orderBy("di")
+      val signs = daily
+        .withColumn("diff", col("cents") - lag(col("cents"), 1).over(wd))
+        .filter(col("diff").isNotNull && col("diff") =!= 0L)
+        .withColumn("sgn", when(col("diff") > 0L, 1L).otherwise(-1L))
+      val seq = signs
+        .withColumn("prev", lag(col("sgn"), 1).over(Window.orderBy("di")))
+        .agg(
+          sum(when(col("sgn") === 1L, 1L).otherwise(0L)).as("n_up"),
+          sum(when(col("sgn") === -1L, 1L).otherwise(0L)).as("n_down"),
+          (lit(1L) + sum(when(col("prev").isNotNull &&
+            col("sgn") =!= col("prev"), 1L).otherwise(0L))).as("runs"))
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      seq.select(col("n_up"), col("n_down"), col("runs"),
+          (col("n_up") + col("n_down")).as("nn"))
+        .select(col("n_up"), col("n_down"), col("runs"),
+          (dec(lit(2L)) * dec(col("n_up")) * dec(col("n_down")) > dec(col("nn")) &&
+            dec(lit(2500L)) *
+              (dec(col("runs")) * dec(col("nn")) -
+                dec(lit(2L)) * dec(col("n_up")) * dec(col("n_down")) - dec(col("nn"))) *
+              (dec(col("runs")) * dec(col("nn")) -
+                dec(lit(2L)) * dec(col("n_up")) * dec(col("n_down")) - dec(col("nn"))) *
+              (dec(col("nn")) - dec(lit(1L))) >=
+            dec(lit(9604L)) * dec(lit(2L)) * dec(col("n_up")) * dec(col("n_down")) *
+              (dec(lit(2L)) * dec(col("n_up")) * dec(col("n_down")) - dec(col("nn"))))
+            .as("significant"))
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -2833,6 +2876,36 @@ private[graft] object CoreQueries3 {
                 |FROM d$l""".stripMargin
            }.mkString("\nUNION ALL\n")}
          |ORDER BY series""".stripMargin,
+
+
+    // daily diff signs (zeros drop), runs = 1 + changes; the σ²-free
+    // cross-multiplied Z² test on HUGEINT operands with the one-sided
+    // guard
+    "q192_runs_test" ->
+      s"""WITH daily AS (SELECT epoch_us(o_orderdate) // $DayUs AS di,
+         |    CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+         |  FROM orders GROUP BY 1),
+         |df AS (SELECT di, cents - lag(cents) OVER (ORDER BY di) AS diff
+         |  FROM daily),
+         |sg AS (SELECT di, CASE WHEN diff > 0 THEN 1 ELSE -1 END AS sgn
+         |  FROM df WHERE diff IS NOT NULL AND diff != 0),
+         |ch AS (SELECT sgn, lag(sgn) OVER (ORDER BY di) AS prev FROM sg),
+         |agg AS (SELECT
+         |    CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+         |    CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+         |    1 + CAST(SUM(CASE WHEN prev IS NOT NULL AND sgn != prev
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS runs
+         |  FROM ch),
+         |h AS (SELECT n_up, n_down, runs,
+         |    CAST(n_up + n_down AS HUGEINT) AS nn,
+         |    CAST(runs AS HUGEINT) AS rh,
+         |    2 * CAST(n_up AS HUGEINT) * CAST(n_down AS HUGEINT) AS t2
+         |  FROM agg)
+         |SELECT n_up, n_down, runs,
+         |  (t2 > nn AND
+         |   2500 * (rh*nn - t2 - nn) * (rh*nn - t2 - nn) * (nn - 1)
+         |     >= 9604 * t2 * (t2 - nn)) AS significant
+         |FROM h""".stripMargin,
 
   )
 }

@@ -226,6 +226,31 @@ private[graft] object CoreQueries1 {
     }),
 
 
+    // global transitivity (Newman's clustering coefficient): 3·triangles /
+    // wedges on q53's co-purchase graph — the one-number "how cliquish is
+    // the product graph" companion to q122's per-vertex coefficients.
+    // Wedges = Σ d(d−1)/2 over the degree register (d(d−1) is even, so
+    // the floor-div is exact); triangles reuse the q53 rank-packed count;
+    // wedges = 0 is legal (edgeless graph) → the greatest clamp, class (a).
+    "q193_transitivity" -> ((s, d) => {
+      val edges = GraphAlgorithms.cooccurrenceEdges(
+        Tables.lineitem(s, d), "l_orderkey", "l_partkey", minSupport = 2L)
+      val und = edges.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct().localCheckpoint(true)
+      val wedges = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+        .agg(coalesce(sum(expr("(d * (d - 1)) div 2")), lit(0L)).as("n_wedges"))
+      GraphAlgorithms.triangleCount(
+          und.select(col("a").as("src"), col("b").as("dst")))
+        .crossJoin(wedges)
+        .select(col("n_triangles"), col("n_wedges"),
+          expr("(3000000 * n_triangles) div greatest(n_wedges, 1)")
+            .as("transitivity_ppm"))
+    }),
+
+
     // same analytic with the PRODUCTION basket cap ON (drop baskets > 5
     // items before the quadratic pair join — the whole-bucket rule of
     // Dedup.capBuckets, mirrored verbatim in the oracle as d8 does): one
@@ -927,6 +952,10 @@ private[graft] object CoreQueries1 {
     // same orientation algebra: rank = degree*1e9 + id, wedges from
     // out-pairs of the lowest-ranked corner, closure join on (v, w)
     "q53_triangles" -> copurchaseTrianglesSql(cap = None),
+
+    // q53's CTE chain with the wedge register and the 3T/W ratio
+    "q193_transitivity" -> copurchaseTrianglesSql(cap = None,
+      transitivity = true),
 
 
     // basket cap mirrored as the same whole-bucket drop rule (window

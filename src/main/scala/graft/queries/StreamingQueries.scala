@@ -541,6 +541,37 @@ private[graft] object StreamingQueries {
         .orderBy("user_id", "event_type")
     }),
 
+    // stream-stream LEFT OUTER interval join — w7's inner join plus the
+    // null-extended rows for clicks with no purchase in the following
+    // hour. An unmatched click can only be DECLARED unmatched once the
+    // watermark passes its whole candidate interval (ct + 1h), and the
+    // final watermark of the drained log is maxEventTime − 1h — so
+    // exactly the clicks with ct + 2h ≤ maxTs finalize as null rows
+    // before termination, and the oracle mirrors that cutoff the same
+    // way w8 mirrors the watermark for append-mode windows. Matched rows
+    // emit regardless (inner-join semantics are watermark-free).
+    "w26_stream_outer_join" -> ((s, d) => {
+      val clicks = Tables.eventsStream(s, d)
+        .where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          timestamp_micros(col("ts_us")).as("ct"))
+        .withWatermark("ct", "1 hour")
+      val purchases = Tables.eventsStream(s, d)
+        .where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          timestamp_micros(col("ts_us")).as("pt"))
+        .withWatermark("pt", "1 hour")
+      val joined = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("pt") >= col("ct") &&
+            col("pt") <= col("ct") + expr("INTERVAL 1 HOUR"),
+          "left_outer")
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          (unix_micros(col("pt")) - unix_micros(col("ct"))).as("lag_us"))
+      StreamRun.toMemory(joined, "w26_sink", outputMode = "append")
+        .orderBy("click_id", "purchase_id")
+    }),
+
     // DYNAMIC-GAP session windows: the gap is a per-row EXPRESSION
     // (purchases close a session after 30 min, everything else after 1 h)
     // — the session_window API surface w4's fixed gap doesn't touch. The
@@ -811,6 +842,32 @@ private[graft] object StreamingQueries {
     "w23_stream_type_profile" ->
       """SELECT user_id, event_type, COUNT(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // w7's inner-join rows, plus null-extended clicks whose candidate
+    // interval closed under the final watermark. The global watermark is
+    // the MIN over the two input streams' per-column max event times
+    // (probed: max-over-all-events over-emits by the clicks that only the
+    // later stream's tail covers) minus the 1h delay — so the cutoff is
+    // ct + 2h ≤ min(max click ts, max purchase ts).
+    "w26_stream_outer_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS ct_us
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pt_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |mx AS (SELECT LEAST((SELECT MAX(ct_us) FROM c),
+        |    (SELECT MAX(pt_us) FROM p)) AS mt),
+        |matched AS (SELECT c.click_id, p.purchase_id, c.user_id,
+        |    p.pt_us - c.ct_us AS lag_us
+        |  FROM c JOIN p ON c.user_id = p.user_id
+        |    AND p.pt_us >= c.ct_us AND p.pt_us <= c.ct_us + 3600000000),
+        |unmatched AS (SELECT c.click_id, CAST(NULL AS BIGINT) AS purchase_id,
+        |    c.user_id, CAST(NULL AS BIGINT) AS lag_us
+        |  FROM c, mx
+        |  WHERE c.ct_us + 7200000000 <= mx.mt
+        |    AND NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+        |      AND p.pt_us >= c.ct_us AND p.pt_us <= c.ct_us + 3600000000))
+        |SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     // the emitted key set ≡ batch DISTINCT (single-horizon replay)
     "w24_stream_dedup_within_wm" ->

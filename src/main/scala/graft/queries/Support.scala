@@ -578,9 +578,23 @@ private[graft] object Support {
   /** Co-purchase triangle-count oracle (mirrors GraphAlgorithms
     * .cooccurrenceEdges + triangleCount). `cap`: whole-bucket basket drop
     * (≡ Dedup.capBuckets on the order key) applied BEFORE pairing. */
-  private[graft] def copurchaseTrianglesSql(cap: Option[Long]): String = {
+  private[graft] def copurchaseTrianglesSql(cap: Option[Long],
+      transitivity: Boolean = false): String = {
     val liSrc = cap.fold("li0")(c =>
       s"(SELECT o, p FROM (SELECT o, p, COUNT(*) OVER (PARTITION BY o) AS bn FROM li0) WHERE bn <= $c)")
+    val finalSelect =
+      if (!transitivity)
+        """SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+          |FROM w JOIN o ON w.v = o.src AND w.w = o.dst""".stripMargin
+      else
+        """tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+          |      FROM w JOIN o ON w.v = o.src AND w.w = o.dst),
+          |wg AS (SELECT CAST(COALESCE(SUM((d*(d-1))//2), 0) AS BIGINT) AS n_wedges
+          |      FROM deg)
+          |SELECT n_triangles, n_wedges,
+          |  CAST((3000000 * n_triangles) // GREATEST(n_wedges, 1) AS BIGINT)
+          |    AS transitivity_ppm
+          |FROM tri, wg""".stripMargin
     s"""WITH li0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
        |e AS (SELECT x.p AS a, y.p AS b
        |      FROM $liSrc x JOIN $liSrc y ON x.o = y.o AND x.p < y.p
@@ -594,9 +608,9 @@ private[graft] object Support {
        |             CASE WHEN ra < rb THEN b ELSE a END AS dst,
        |             greatest(ra, rb) AS rd FROM r),
        |w AS (SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
-       |      FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.rd < o2.rd)
-       |SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
-       |FROM w JOIN o ON w.v = o.src AND w.w = o.dst""".stripMargin
+       |      FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.rd < o2.rd)${
+         if (transitivity) "," else ""}
+       |$finalSelect""".stripMargin
   }
 
   private[graft] def minhashPairsSql(src: String, cap: Option[Long] = None): String = {

@@ -45,7 +45,13 @@ object ScaleProbe {
     // one-decade ratio (VERDICT r10 #6), plus the new d38 auto-cap join
     "q180_modularity", "q181_rich_club", "s42_matryoshka_recall",
     "t42_bpe_fertility", "d33_split_leakage", "d36_dup_weights",
-    "d37_prefix_join_capped", "d38_prefix_join_autocap")
+    "d37_prefix_join_capped", "d38_prefix_join_autocap",
+    // round-11 third-session additions (batch only, ≥~0.5s at sf0.1 or
+    // novel scale shapes: the incremental funnel, frame-overlap media
+    // dedup, 1-NN hubness, rank-frame retrieval eval, graph transitivity,
+    // and the calendar-register Mann-Kendall pair join)
+    "p8_incremental_release", "m6_media_near_dup", "s48_hubness",
+    "s47_mrr_map", "q193_transitivity", "q187_mann_kendall")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -153,6 +153,8 @@ object Multimodal {
       .join(sizes.select(col("id").as("id_a"), col("nf").as("na")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("nf").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"), col("inter"), col("na"), col("nb"),
+        // div class (c): a pair row implies both media have >= 1 distinct
+        // frame, so least(na, nb) >= 1 structurally
         expr("(inter * 1000000) div least(na, nb)").as("overlap_ppm"))
       .filter(col("overlap_ppm") >= minOverlapPpm)
   }

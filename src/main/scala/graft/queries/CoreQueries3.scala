@@ -1564,8 +1564,12 @@ private[graft] object CoreQueries3 {
         .select(col("chi2_ppm"),
           ((col("n_dow") - 1L) * (col("n_types") - 1L)).as("dof"),
           col("nn").as("n_events"),
+          // clamp class (a): a single-day or single-type corpus is legal
+          // and makes min(r-1, c-1) = 0 — the sweep-rule greatest guard,
+          // a no-op on current data, mirrored in the oracle
           call_function("div", col("chi2_ppm"),
-            col("nn") * least(col("n_dow") - 1L, col("n_types") - 1L))
+            greatest(col("nn") * least(col("n_dow") - 1L, col("n_types") - 1L),
+              lit(1L)))
             .as("v_sq_ppm"))
     }),
 
@@ -2849,7 +2853,8 @@ private[graft] object CoreQueries3 {
          |  CAST((n_dow - 1) * (n_types - 1) AS BIGINT) AS dof,
          |  nn AS n_events,
          |  CAST(CAST(SUM(term_ppm) AS BIGINT)
-         |    // (nn * LEAST(n_dow - 1, n_types - 1)) AS BIGINT) AS v_sq_ppm
+         |    // GREATEST(nn * LEAST(n_dow - 1, n_types - 1), 1) AS BIGINT)
+         |    AS v_sq_ppm
          |FROM cells, dims, tt GROUP BY n_dow, n_types, nn""".stripMargin,
 
 

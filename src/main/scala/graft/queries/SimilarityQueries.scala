@@ -809,6 +809,9 @@ private[graft] object SimilarityQueries {
         .join(rr, Seq("query_id"), "left")
         .join(ap, Seq("query_id"), "left")
         .select(col("query_id"), col("n_relevant"), col("rr_rank"),
+          // divs class (c): rr_rank >= 1 when non-null (null propagates to
+          // the coalesce), arank in 1..10 divides 2520, and n_relevant is
+          // a count per emitted group (>= 1 by construction)
           coalesce(expr("1000000 div rr_rank"), lit(0L)).as("rr_ppm"),
           expr("(1000000 * coalesce(ap_scaled, 0L)) div (2520 * n_relevant)")
             .as("ap_ppm"))

@@ -159,6 +159,48 @@ object Multimodal {
       .filter(col("overlap_ppm") >= minOverlapPpm)
   }
 
+  /** SHOT-BOUNDARY segmentation — the video analogue of session islands:
+    * a per-frame scalar "scene level" (STUB: the code point of the frame
+    * window's first character — a real build plugs a decoded frame
+    * histogram distance here), a CUT wherever the level jumps by more
+    * than `cutThreshold` between consecutive frames, shots = maximal
+    * cut-free runs (gaps-and-islands over the frame sequence). One row
+    * per media: n_frames, n_shots, longest_shot.
+    *
+    * Scale shape: frames explode row-locally (length/frameChars rows per
+    * media); the only exchange is the media-keyed window — millions of
+    * media parallelize perfectly, and one media's frame sequence on one
+    * task is the semantics' minimum. */
+  def shotBoundaries(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      frameChars: Int = 16,
+      cutThreshold: Int = 13): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(frameChars > 0 && cutThreshold >= 0,
+      "frameChars must be positive, cutThreshold non-negative")
+    // exact: length < 2^26 chars, so the double quotient floors exactly
+    val nFrames = floor(length(col(textCol)) / frameChars.toDouble).cast("long")
+    val w = Window.partitionBy(idCol).orderBy("fi")
+    df.filter(nFrames > 0)
+      .select(col(idCol), col(textCol).as("_t"),
+        explode(sequence(lit(0L), nFrames - 1L)).as("fi"))
+      .select(col(idCol), col("fi"),
+        ascii(col("_t").substr((col("fi") * frameChars + 1L).cast("int"),
+          lit(1))).as("lvl"))
+      .withColumn("cut",
+        when(abs(col("lvl") - lag(col("lvl"), 1).over(w)) > cutThreshold, 1L)
+          .otherwise(0L))
+      .withColumn("run",
+        sum(col("cut")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("run")).agg(count(lit(1)).as("len"))
+      .groupBy(col(idCol))
+      .agg(sum(col("len")).as("n_frames"),
+        (max(col("run")) + 1L).as("n_shots"),
+        max(col("len")).as("longest_shot"))
+  }
+
   /** The stub "codec": first code point + code-point sum mod 1e9+7, decoded
     * from the UTF-8 payload. Code points (not raw bytes) so the DuckDB
     * oracle — which can only iterate characters via `ascii(substr(...))` —

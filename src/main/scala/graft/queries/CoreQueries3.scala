@@ -1638,6 +1638,131 @@ private[graft] object CoreQueries3 {
             .as("significant"))
     }),
 
+
+    // LINK PREDICTION on the co-purchase graph: resource-allocation index
+    // (Zhou/Lü/Zhang 2009) — for each NON-adjacent pair, Σ over common
+    // neighbors z of 1/deg(z), in exact ppm (1e6 div deg — deg ≥ 1 by
+    // construction, class (c): z appears as a neighbor, so it has ≥ 1
+    // edge). RA is the division-friendly cousin of Adamic-Adar (1/log deg
+    // needs doubles; 1/deg is exact integer) and outperforms it on dense
+    // product graphs. Scale shape: pairs are generated ONLY through shared
+    // neighbors whose degree is ≤ 64 (the d13/m6 whole-hub rule, mirrored
+    // in the oracle) — a celebrity hub never emits its deg² pair block, so
+    // candidate volume is bounded by 64·|E|, never |V|². One adjacency
+    // shuffle + one z-keyed self-join + one anti-join against the edge set.
+    "q194_link_prediction" -> ((s, d) => {
+      val edges = GraphAlgorithms.cooccurrenceEdges(
+        Tables.lineitem(s, d), "l_orderkey", "l_partkey", minSupport = 2L)
+      val und = edges.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct().localCheckpoint(true)
+      GraphAlgorithms.resourceAllocationIndex(und, maxHubDegree = 64L)
+        .orderBy(desc("ra_ppm"), col("a"), col("b"))
+        .limit(20)
+        .select(col("a").as("part_a"), col("b").as("part_b"),
+          col("n_common"), col("ra_ppm"))
+    }),
+
+
+    // DURBIN–WATSON statistic on daily revenue — first-order serial
+    // correlation of the level series, the companion q191 (ACF) and q192
+    // (runs test) don't cover: DW = Σ(xᵢ−xᵢ₋₁)² / Σ(xᵢ−x̄)², exact in ppm
+    // via the centered-moment identity Σ(x−x̄)² = (N·Σx² − S²)/N ⇒
+    // DW_ppm = 1e6·N·ΣΔ² div (N·Σx² − S²) — no mean, no doubles. Daily
+    // cents ride decimal(38,0) ≡ HUGEINT (x² ~ 1e19 exceeds int64 at
+    // sf0.1 already — the q89 rule). DW ≈ 2e6 means white noise, → 0
+    // momentum, → 4e6 mean-reversion. Clamp class (a): a constant series
+    // (all days equal) is legal and zeroes the centered moment.
+    "q195_durbin_watson" -> ((s, d) => {
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      val daily = Tables.orders(s, d)
+        .groupBy(call_function("div", Tables.epochUs(col("o_orderdate")),
+          lit(DayUs)).as("di"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
+      val wd = Window.orderBy("di")
+      daily
+        .withColumn("dx", col("x") - lag(col("x"), 1).over(wd))
+        .agg(count(lit(1)).as("n"), sum(dec(col("x"))).as("sx"),
+          sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+          sum(when(col("dx").isNotNull, dec(col("dx")) * dec(col("dx")))
+            .otherwise(dec(lit(0L)))).as("sdd"))
+        .select(col("n").as("n_days"),
+          call_function("div", dec(lit(1000000L)) * dec(col("n")) * col("sdd"),
+            greatest(dec(col("n")) * col("sxx") - col("sx") * col("sx"),
+              dec(lit(1L)))).as("dw_ppm"))
+    }),
+
+
+    // GINI COEFFICIENT of customer spend — the one-number revenue
+    // concentration audit (companion to q70's heavy hitters). Register
+    // form: group customers by exact spend value, then Gini =
+    // (2·Σ rank·x − (N+1)·Σx) / (N·Σx) where a tie group spanning ranks
+    // [cb+1, cb+n] contributes x·(n·cb + n(n+1)/2) — the s43 doubled-rank
+    // trick, so NO row-level sort ever happens (the ordered window runs
+    // over the distinct-value register; t34's token Gini row-ranks its
+    // type table — this is the shape that survives a near-unique value
+    // domain at scale). Products ride decimal(38,0) ≡
+    // HUGEINT (N·S exceeds int64 past ~1e6 customers — the q89 rule);
+    // clamp class (a): a single zero-spend corpus makes N·S = 0.
+    "q196_gini_concentration" -> ((s, d) => {
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      val reg = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("n"))
+      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+      val c = reg
+        .withColumn("cb", coalesce(sum(col("n")).over(w), lit(0L)))
+        .select(
+          (dec(col("v")) * (dec(col("n")) * dec(col("cb")) +
+            dec(call_function("div", col("n") * (col("n") + 1L), lit(2L)))))
+            .as("sr"),
+          (dec(col("v")) * dec(col("n"))).as("sv"), col("n"))
+      c.agg(sum(col("n")).as("nl"), sum(col("sv")).as("s"),
+          sum(col("sr")).as("srr"))
+        .select(col("nl").as("n_customers"),
+          col("s").cast("long").as("total_cents"),
+          call_function("div",
+            dec(lit(1000000L)) * (dec(lit(2L)) * col("srr") -
+              (dec(col("nl")) + dec(lit(1L))) * col("s")),
+            greatest(dec(col("nl")) * col("s"), dec(lit(1L))))
+            .as("gini_ppm"))
+    }),
+
+
+    // COHEN'S KAPPA between the declared document language and the
+    // stopword language-ID prediction — chance-corrected agreement over
+    // t17's confusion matrix (the pred CTE is t1/t17's, single-sourced via
+    // TextAnalysis.predictedLangCol / langScoresSql so the three queries
+    // can never drift). κ = (N·diag − Σ row·col) / (N² − Σ row·col) in
+    // truncating-division ppm (κ can be negative; both engines truncate
+    // toward zero — the q89/CLAUDE.md convention). Marginal products ride
+    // decimal(38,0) ≡ HUGEINT (N² ppm exceeds int64 past ~3e6 docs).
+    // Clamp class (a): a single-label corpus with perfect agreement makes
+    // N² = Σ row·col.
+    "q197_lang_id_kappa" -> ((s, d) => {
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      val cells = Tables.documents(s, d)
+        .select(col("lang").as("actual"),
+          TextAnalysis.predictedLangCol(col("text")).as("pred"))
+        .groupBy("actual", "pred").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val tot = cells.agg(sum(col("n")).as("nn"))
+      val diag = cells.filter(col("actual") === col("pred"))
+        .agg(coalesce(sum(col("n")), lit(0L)).as("diag"))
+      val rowm = cells.groupBy("actual").agg(sum(col("n")).as("r"))
+      val colm = cells.groupBy("pred").agg(sum(col("n")).as("c"))
+      val src = rowm.join(colm, rowm("actual") === colm("pred"))
+        .agg(coalesce(sum(dec(col("r")) * dec(col("c"))), dec(lit(0L))).as("src"))
+      tot.crossJoin(broadcast(diag)).crossJoin(broadcast(src))
+        .select(col("nn").as("n_docs"), col("diag").as("n_agree"),
+          call_function("div",
+            dec(lit(1000000L)) * (dec(col("nn")) * dec(col("diag")) - col("src")),
+            greatest(dec(col("nn")) * dec(col("nn")) - col("src"), dec(lit(1L))))
+            .as("kappa_ppm"))
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -2911,6 +3036,97 @@ private[graft] object CoreQueries3 {
          |   2500 * (rh*nn - t2 - nn) * (rh*nn - t2 - nn) * (nn - 1)
          |     >= 9604 * t2 * (t2 - nn)) AS significant
          |FROM h""".stripMargin,
+
+
+    // q53's edge CTEs + the degree-capped (<= 64, whole-hub rule) common
+    // neighbor self-join; RA score = SUM(1e6 // deg(z)); anti-join drops
+    // already-adjacent pairs
+    "q194_link_prediction" ->
+      """WITH li0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT x.p AS a, y.p AS b
+        |      FROM li0 x JOIN li0 y ON x.o = y.o AND x.p < y.p
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |adj AS (SELECT a AS v, b AS z FROM e UNION ALL SELECT b, a FROM e),
+        |dz AS (SELECT z, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+        |ac AS (SELECT adj.v, adj.z, dz.d FROM adj JOIN dz USING (z)
+        |       WHERE dz.d <= 64),
+        |p AS (SELECT x.v AS part_a, y.v AS part_b, x.d
+        |      FROM ac x JOIN ac y ON x.z = y.z AND x.v < y.v),
+        |sc AS (SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS n_common,
+        |         CAST(SUM(1000000 // d) AS BIGINT) AS ra_ppm
+        |       FROM p GROUP BY 1, 2),
+        |ne AS (SELECT sc.* FROM sc LEFT JOIN e
+        |         ON sc.part_a = e.a AND sc.part_b = e.b
+        |       WHERE e.a IS NULL)
+        |SELECT part_a, part_b, n_common, ra_ppm FROM ne
+        |ORDER BY ra_ppm DESC, part_a, part_b LIMIT 20""".stripMargin,
+
+
+    // q192's daily register; DW_ppm = 1e6*N*SUM(diff^2) // (N*SUM(x^2) -
+    // S^2), all HUGEINT (= Spark decimal(38,0))
+    "q195_durbin_watson" ->
+      s"""WITH daily AS (SELECT epoch_us(o_orderdate) // $DayUs AS di,
+         |    CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS x
+         |  FROM orders GROUP BY 1),
+         |df AS (SELECT x, x - lag(x) OVER (ORDER BY di) AS dx FROM daily),
+         |agg AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         |    CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         |    CAST(COALESCE(SUM(CASE WHEN dx IS NOT NULL
+         |      THEN CAST(dx AS HUGEINT) * dx END), 0) AS HUGEINT) AS sdd
+         |  FROM df)
+         |SELECT CAST(n AS BIGINT) AS n_days,
+         |  CAST((1000000 * n * sdd) // GREATEST(n * sxx - sx * sx, 1) AS BIGINT)
+         |    AS dw_ppm
+         |FROM agg""".stripMargin,
+
+
+    // distinct-spend register + strict-past cumulative count; tie group
+    // spanning ranks [cb+1, cb+n] contributes v*(n*cb + n(n+1)/2) to
+    // SUM(rank*x); all products HUGEINT (= Spark decimal(38,0))
+    "q196_gini_concentration" ->
+      """WITH cs AS (SELECT o_custkey,
+        |    CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |reg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n FROM cs GROUP BY 1),
+        |w AS (SELECT v, n, COALESCE(CAST(SUM(n) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cb
+        |  FROM reg),
+        |c AS (SELECT n,
+        |    CAST(v AS HUGEINT) * (CAST(n AS HUGEINT) * cb + (n * (n + 1)) // 2) AS sr,
+        |    CAST(v AS HUGEINT) * n AS sv
+        |  FROM w),
+        |t AS (SELECT CAST(SUM(n) AS HUGEINT) AS nn, SUM(sv) AS s, SUM(sr) AS srr
+        |  FROM c)
+        |SELECT CAST(nn AS BIGINT) AS n_customers, CAST(s AS BIGINT) AS total_cents,
+        |  CAST((1000000 * (2*srr - (nn + 1)*s)) // GREATEST(nn*s, 1) AS BIGINT)
+        |    AS gini_ppm
+        |FROM t""".stripMargin,
+
+
+    // t1/t17's pred CTE verbatim; kappa in truncating-division ppm over
+    // the marginal-product register (HUGEINT = Spark decimal(38,0))
+    "q197_lang_id_kappa" ->
+      s"""WITH sc AS (
+         |${langScoresSql()}
+         |), best AS (SELECT doc_id, lang, score,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM sc),
+         |pred AS (SELECT doc_id, CASE WHEN score = 0 THEN 'und' ELSE lang END AS predicted_lang
+         |  FROM best WHERE rn = 1),
+         |cm AS (SELECT d.lang AS actual, p.predicted_lang AS pred,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM documents d JOIN pred p USING (doc_id) GROUP BY 1, 2),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cm),
+         |dg AS (SELECT CAST(COALESCE(SUM(CASE WHEN actual = pred THEN n END), 0)
+         |    AS BIGINT) AS diag FROM cm),
+         |rm AS (SELECT actual AS lbl, CAST(SUM(n) AS HUGEINT) AS r FROM cm GROUP BY 1),
+         |co AS (SELECT pred AS lbl, CAST(SUM(n) AS HUGEINT) AS c FROM cm GROUP BY 1),
+         |rc AS (SELECT COALESCE(SUM(r * c), CAST(0 AS HUGEINT)) AS src
+         |  FROM rm JOIN co USING (lbl))
+         |SELECT nn AS n_docs, diag AS n_agree,
+         |  CAST((1000000 * (CAST(nn AS HUGEINT)*diag - src))
+         |    // GREATEST(CAST(nn AS HUGEINT)*nn - src, 1) AS BIGINT) AS kappa_ppm
+         |FROM tot, dg, rc""".stripMargin,
 
   )
 }

@@ -95,6 +95,17 @@ private[graft] object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // shot-boundary segmentation on the sampled-frame scene levels (the
+    // m3 frame grid at stride 1): cuts where the stubbed per-frame level
+    // jumps > 13 between consecutive frames, shots = cut-free runs —
+    // the video curation primitive (shots/media, longest shot) that
+    // feeds frame-dedup and clip-extraction decisions
+    "m7_shot_boundaries" -> ((s, d) => {
+      Multimodal.shotBoundaries(Tables.documents(s, d), "doc_id", "text",
+        frameChars = 16, cutThreshold = 13)
+        .orderBy("doc_id")
+    }),
+
     // training-shard packing audit: media blobs assigned to fixed-size
     // shards by running byte offset (shard = prefix-bytes div target) —
     // the tar/webdataset layout plan. Global strict-past window here; at
@@ -427,6 +438,28 @@ private[graft] object PipelineQueries {
         |  FROM p JOIN sz sa ON p.id_a = sa.id JOIN sz sb ON p.id_b = sb.id)
         |SELECT * FROM o WHERE overlap_ppm >= 100000
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // m3's frame grid at stride 1; level = ascii of the frame's first
+    // char; cut flag via lag (NULL first row -> 0 in both engines);
+    // islands = running cut sum
+    "m7_shot_boundaries" ->
+      """WITH f AS (SELECT doc_id, text,
+        |    CAST(FLOOR(length(text)/16.0) AS BIGINT) AS nf FROM documents),
+        |s AS (SELECT doc_id, text, unnest(range(0, nf)) AS fi
+        |      FROM f WHERE nf > 0),
+        |lv AS (SELECT doc_id, fi,
+        |    ascii(substr(text, CAST(fi*16 + 1 AS INTEGER), 1)) AS lvl FROM s),
+        |ct AS (SELECT doc_id, fi, CASE WHEN abs(lvl - lag(lvl) OVER
+        |    (PARTITION BY doc_id ORDER BY fi)) > 13 THEN 1 ELSE 0 END AS cut
+        |  FROM lv),
+        |rn AS (SELECT doc_id, CAST(SUM(cut) OVER (PARTITION BY doc_id
+        |    ORDER BY fi ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run FROM ct),
+        |sh AS (SELECT doc_id, run, CAST(COUNT(*) AS BIGINT) AS len
+        |  FROM rn GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(len) AS BIGINT) AS n_frames,
+        |  CAST(MAX(run) + 1 AS BIGINT) AS n_shots,
+        |  CAST(MAX(len) AS BIGINT) AS longest_shot
+        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // strict-past byte prefix sum → fixed-size shard id
     "m5_shard_packing" ->

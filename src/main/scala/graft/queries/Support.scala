@@ -1179,12 +1179,27 @@ private[graft] object Support {
        |GROUP BY 1, 2 HAVING COUNT(*) >= $minShared
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** The q35/q185 brand–type bipartite edge list (both directions) — the
+    * default raw-edge body of [[pageRankSql]]. */
+  private[graft] val brandTypeErawSql: String =
+    """  SELECT 'b:' || p_brand AS src, 't:' || p_type AS dst FROM part
+      |  UNION ALL
+      |  SELECT 't:' || p_type AS src, 'b:' || p_brand AS dst FROM part""".stripMargin
+
   /** `seedCondSql` (a boolean SQL over `vertex`) switches the restart
     * distribution to the seed set — personalized PageRank (mirrors
     * GraphAlgorithms.pageRankPpm(seeds)); None reproduces the classic
-    * uniform-restart SQL byte-identically. */
+    * uniform-restart SQL byte-identically. `erawSql` is the raw
+    * SYMMETRIC edge select (src, dst — both directions; dedup/self-loop
+    * removal happens in the builder's `e` CTE) and `finalSelect` the
+    * closing projection over the last round (`{r}` is substituted) —
+    * defaults reproduce the q35 SQL byte-identically (the trainWhere
+    * rule: existing oracle hashes cannot move). */
   private[graft] def pageRankSql(iterations: Int, dampingPpm: Long,
-      seedCondSql: Option[String] = None): String = {
+      seedCondSql: Option[String] = None,
+      erawSql: String = brandTypeErawSql,
+      finalSelect: String =
+        "SELECT vertex, r AS rank_ppm FROM {r} ORDER BY vertex"): String = {
     val base = 1000000L - dampingPpm
     val baseTerm = seedCondSql match {
       case None => s"$base"
@@ -1209,15 +1224,13 @@ private[graft] object Support {
       case Some(_) => "r0 AS (SELECT vertex, CAST(1000000 * ind AS BIGINT) AS r FROM v)"
     }
     s"""WITH eraw AS (
-       |  SELECT 'b:' || p_brand AS src, 't:' || p_type AS dst FROM part
-       |  UNION ALL
-       |  SELECT 't:' || p_type AS src, 'b:' || p_brand AS dst FROM part),
+       |$erawSql),
        |e AS (SELECT DISTINCT src, dst FROM eraw WHERE src <> dst),
        |$vSql,
        |deg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
        |$r0Sql,
        |$iters
-       |SELECT vertex, r AS rank_ppm FROM r$iterations ORDER BY vertex""".stripMargin
+       |${finalSelect.replace("{r}", s"r$iterations")}""".stripMargin
   }
 
   /** BPE merge-learning CTE chain (t36/t37, Bpe.learn parity): word-type

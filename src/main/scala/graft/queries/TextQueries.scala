@@ -75,6 +75,31 @@ private[graft] object TextQueries {
     }),
 
 
+    // TEXTRANK keyword extraction (Mihalcea & Tarau 2004): PageRank on
+    // the word co-occurrence graph — an edge between tokens at distance
+    // ≤ 2 within a document, undirected — top 15 corpus keywords by rank.
+    // Pair generation is t20's native-generator explode (posexplode +
+    // slice, never an interpreted HOF chain); the graph is
+    // VOCABULARY-sized after the distinct, so the exact ppm iteration
+    // (q35's pageRankPpm, 10 rounds, d = 0.85, oracle = the same unrolled
+    // CTE chain with the word-pair edge source) runs on a frame that
+    // cannot grow with corpus row count — only with vocabulary.
+    "t48_textrank_keywords" -> ((s, d) => {
+      val pos = Tables.documents(s, d)
+        .select(tokens(col("text")).as("t"))
+        .select(col("t"), posexplode(col("t")).as(Seq("i", "w")))
+      val fwd = pos.select(col("w").as("src"),
+          explode(expr("slice(t, i + 2, 2)")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val sym = fwd.unionAll(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      GraphAlgorithms.pageRankPpm(s, sym, iterations = 10, dampingPpm = 850000L)
+        .orderBy(desc("rank_ppm"), col("vertex"))
+        .limit(15)
+        .select(col("vertex").as("word"), col("rank_ppm"))
+    }),
+
+
     // language ID (stopword n-gram heuristic)
     "t1_lang_id" -> ((s, d) => {
       TextAnalysis.languageId(Tables.documents(s, d), "doc_id", "text")
@@ -762,6 +787,27 @@ private[graft] object TextQueries {
          |    (num::DOUBLE / sqrt(d1::DOUBLE * d2::DOUBLE))
          |  END AS r2
          |FROM dd ORDER BY lang""".stripMargin,
+
+
+    // q35's unrolled PageRank CTE chain with the word co-occurrence edge
+    // source (positional parallel unnest, 0-based ≡ posexplode; distance
+    // 1..2 forward pairs + their reverses; dedup/self-loop removal happen
+    // in the builder's `e` CTE exactly as the Spark side's pageRankPpm)
+    "t48_textrank_keywords" -> {
+      val wt = s"(SELECT doc_id, unnest($toksSql) AS w, " +
+        s"unnest(range(len($toksSql))) AS i FROM documents)"
+      pageRankSql(iterations = 10, dampingPpm = 850000L,
+        erawSql =
+          s"""  SELECT a.w AS src, b.w AS dst
+             |  FROM $wt a JOIN $wt b
+             |    ON a.doc_id = b.doc_id AND b.i - a.i BETWEEN 1 AND 2 AND a.w <> b.w
+             |  UNION ALL
+             |  SELECT b.w AS src, a.w AS dst
+             |  FROM $wt a JOIN $wt b
+             |    ON a.doc_id = b.doc_id AND b.i - a.i BETWEEN 1 AND 2 AND a.w <> b.w""".stripMargin,
+        finalSelect = "SELECT vertex AS word, r AS rank_ppm FROM {r} " +
+          "ORDER BY rank_ppm DESC, word LIMIT 15")
+    },
 
 
     "t1_lang_id" ->

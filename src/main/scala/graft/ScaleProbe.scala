@@ -51,7 +51,12 @@ object ScaleProbe {
     // dedup, 1-NN hubness, rank-frame retrieval eval, graph transitivity,
     // and the calendar-register Mann-Kendall pair join)
     "p8_incremental_release", "m6_media_near_dup", "s48_hubness",
-    "s47_mrr_map", "q193_transitivity", "q187_mann_kendall")
+    "s47_mrr_map", "q193_transitivity", "q187_mann_kendall",
+    // round-11 fourth-session additions (novel scale shapes: hub-capped
+    // wedge link prediction, register-form Gini, vocabulary-graph
+    // TextRank, within-cell triplet mining, frame-window shot runs)
+    "q194_link_prediction", "q196_gini_concentration",
+    "t48_textrank_keywords", "s49_hard_negatives", "m7_shot_boundaries")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -365,6 +365,14 @@ object GraphAlgorithms {
     * `und` is an undirected edge frame (a, b) with a < b, deduplicated.
     * Returns (a, b, n_common, ra_ppm) for non-adjacent pairs only.
     *
+    * Same hub-capped wedge shape as [[jaccardLinkPrediction]] (s17) but a
+    * different score: Jaccard rates the ENDPOINT neighborhoods' set
+    * overlap, RA weights each shared neighbor by 1/its degree — which is
+    * why this join must carry the WEDGE CENTER's degree through the
+    * self-join while Jaccard joins endpoint degrees back afterwards (the
+    * two candidate generations don't factor into one helper without
+    * passing the score through the join shape).
+    *
     * Scale shape: candidate pairs are generated ONLY through shared
     * neighbors of degree ≤ `maxHubDegree` (the d13/m6 whole-hub rule —
     * the caller's oracle must mirror it): a celebrity hub never emits its

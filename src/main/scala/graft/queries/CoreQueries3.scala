@@ -1640,16 +1640,12 @@ private[graft] object CoreQueries3 {
 
 
     // LINK PREDICTION on the co-purchase graph: resource-allocation index
-    // (Zhou/Lü/Zhang 2009) — for each NON-adjacent pair, Σ over common
-    // neighbors z of 1/deg(z), in exact ppm (1e6 div deg — deg ≥ 1 by
-    // construction, class (c): z appears as a neighbor, so it has ≥ 1
-    // edge). RA is the division-friendly cousin of Adamic-Adar (1/log deg
-    // needs doubles; 1/deg is exact integer) and outperforms it on dense
-    // product graphs. Scale shape: pairs are generated ONLY through shared
-    // neighbors whose degree is ≤ 64 (the d13/m6 whole-hub rule, mirrored
-    // in the oracle) — a celebrity hub never emits its deg² pair block, so
-    // candidate volume is bounded by 64·|E|, never |V|². One adjacency
-    // shuffle + one z-keyed self-join + one anti-join against the edge set.
+    // (s17's Jaccard companion — RA weights each common neighbor by
+    // 1/deg(z) instead of rating endpoint-set overlap, so hub-mediated
+    // evidence is discounted, exactly integer, div class (c)). Runs on
+    // the UNCAPPED-basket support-2 graph (q53/q193's) where s17 uses the
+    // capped one. Hub rule + anti-join + exact ppm live in
+    // GraphAlgorithms.resourceAllocationIndex; top-20 under a total order.
     "q194_link_prediction" -> ((s, d) => {
       val edges = GraphAlgorithms.cooccurrenceEdges(
         Tables.lineitem(s, d), "l_orderkey", "l_partkey", minSupport = 2L)
@@ -1728,6 +1724,38 @@ private[graft] object CoreQueries3 {
               (dec(col("nl")) + dec(lit(1L))) * col("s")),
             greatest(dec(col("nl")) * col("s"), dec(lit(1L))))
             .as("gini_ppm"))
+    }),
+
+
+    // LORENZ CURVE by spend decile — q196's distributional companion (the
+    // Gini IS twice the area between this curve and the diagonal): NTILE
+    // allocation over (spend, custkey) — the one acceptable row-sort
+    // shape, the sort IS the semantics (s44/q120 rule) — then per-decile
+    // share and cumulative share of total spend in exact ppm. Sums ride
+    // decimal(38,0) ≡ HUGEINT (1e6·total overflows int64 at sf1 scale);
+    // clamp class (a): an all-zero-spend corpus zeroes the total.
+    "q198_lorenz_deciles" -> ((s, d) => {
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      val spend = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+      val byDecile = spend
+        .withColumn("decile",
+          ntile(10).over(Window.orderBy(col("v"), col("o_custkey"))))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_customers"), sum(dec(col("v"))).as("s"))
+      val wcum = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      byDecile
+        .withColumn("cum", sum(col("s")).over(wcum))
+        .withColumn("tot", sum(col("s")).over(Window.partitionBy()))
+        .select(col("decile"), col("n_customers"),
+          col("s").cast("long").as("cents"),
+          call_function("div", dec(lit(1000000L)) * col("s"),
+            greatest(col("tot"), dec(lit(1L)))).as("share_ppm"),
+          call_function("div", dec(lit(1000000L)) * col("cum"),
+            greatest(col("tot"), dec(lit(1L)))).as("cum_share_ppm"))
+        .orderBy("decile")
     }),
 
 
@@ -3102,6 +3130,30 @@ private[graft] object CoreQueries3 {
         |  CAST((1000000 * (2*srr - (nn + 1)*s)) // GREATEST(nn*s, 1) AS BIGINT)
         |    AS gini_ppm
         |FROM t""".stripMargin,
+
+
+    // NTILE(10) over (spend, custkey) — Spark ntile is INT, DuckDB NTILE
+    // BIGINT (rule 5 cast); HUGEINT sums, cumulative + total windows over
+    // the 10-row decile frame
+    "q198_lorenz_deciles" ->
+      """WITH cs AS (SELECT o_custkey,
+        |    CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |nt AS (SELECT v,
+        |    CAST(NTILE(10) OVER (ORDER BY v, o_custkey) AS INTEGER) AS decile
+        |  FROM cs),
+        |g AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |    CAST(SUM(CAST(v AS HUGEINT)) AS HUGEINT) AS s
+        |  FROM nt GROUP BY 1),
+        |w AS (SELECT decile, n_customers, s,
+        |    SUM(s) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(s) OVER () AS tot
+        |  FROM g)
+        |SELECT decile, n_customers, CAST(s AS BIGINT) AS cents,
+        |  CAST((1000000 * s) // GREATEST(tot, 1) AS BIGINT) AS share_ppm,
+        |  CAST((1000000 * cum) // GREATEST(tot, 1) AS BIGINT) AS cum_share_ppm
+        |FROM w ORDER BY decile""".stripMargin,
 
 
     // t1/t17's pred CTE verbatim; kappa in truncating-division ppm over

@@ -839,6 +839,47 @@ private[graft] object SimilarityQueries {
         .orderBy("in_degree")
     }),
 
+
+    // TRIPLET HARD-NEGATIVE MINING — the contrastive-training data op:
+    // per anchor, the closest SAME-label vector (hard positive) and the
+    // closest DIFFERENT-label vector (hard negative) by exact quantized
+    // squared euclidean, mined WITHIN the anchor's IVF cell (the standard
+    // scale path: mining against the whole corpus is N² — within-cell is
+    // Σ cell², bounded when nCentroids grows with the corpus, and hard
+    // examples are near ones by definition). Election is the winnowing
+    // packed-min d2·2³¹+nb (argmin by (d2, nb) as ONE comparable BIGINT,
+    // never a per-anchor sort); margin_q = d2(neg) − d2(pos) < 0 flags
+    // label noise / boundary anchors. pk div/mod by the 2³¹ constant is
+    // sweep class (b); anchors lacking a same-label or different-label
+    // cellmate drop by definition.
+    "s49_hard_negatives" -> ((s, d) => {
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("label"),
+          quantize1000(col("embedding")).as("v"))
+        .localCheckpoint(true)
+      val (cells, _) = Similarity.ivfIndexQuantized(
+        base.select("id", "v"), nCentroids = 16, iterations = 5)
+      val wc = base.join(cells, "id").localCheckpoint(true)
+      val pairs = wc.select(col("cell"), col("id"), col("label"), col("v"))
+        .join(wc.select(col("cell"), col("id").as("nb"),
+          col("label").as("nb_label"), col("v").as("vb")), Seq("cell"))
+        .filter(col("id") =!= col("nb"))
+        .select(col("id"), col("label"),
+          (col("label") === col("nb_label")).as("same"),
+          ((ldot(col("v"), col("v")) - lit(2L) * ldot(col("v"), col("vb")) +
+            ldot(col("vb"), col("vb"))) * lit(1L << 31) + col("nb")).as("pk"))
+      pairs.groupBy("id", "label")
+        .agg(min(when(col("same"), col("pk"))).as("pos_pk"),
+          min(when(!col("same"), col("pk"))).as("neg_pk"))
+        .filter(col("pos_pk").isNotNull && col("neg_pk").isNotNull)
+        .select(col("id"), col("label"),
+          (col("pos_pk") % (1L << 31)).as("pos_id"),
+          (col("neg_pk") % (1L << 31)).as("neg_id"),
+          (call_function("div", col("neg_pk"), lit(1L << 31)) -
+            call_function("div", col("pos_pk"), lit(1L << 31))).as("margin_q"))
+        .orderBy("id")
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -1576,6 +1617,31 @@ private[graft] object SimilarityQueries {
          |  FROM embeddings e LEFT JOIN ind ON e.vec_id = ind.id)
          |SELECT in_degree, COUNT(*) AS n_vectors
          |FROM alld GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    // the shared cell chain + labels; within-cell pairs; packed-min
+    // d2*2^31+nb election per (anchor, same-label?) class
+    "s49_hard_negatives" ->
+      s"""WITH ${ivfCellsSql(16, 5)},
+         |lb AS (SELECT vec_id AS id, label FROM embeddings),
+         |wc AS (SELECT c.id, c.cell, l.label, c.v
+         |  FROM cells c JOIN lb l USING (id)),
+         |pr AS (SELECT a.id, a.label, (a.label = b.label) AS same,
+         |    CAST(list_sum([a.v[i]*a.v[i] for i in range(1,65)])
+         |      - 2*list_sum([a.v[i]*b.v[i] for i in range(1,65)])
+         |      + list_sum([b.v[i]*b.v[i] for i in range(1,65)]) AS BIGINT)
+         |      * 2147483648 + b.id AS pk
+         |  FROM wc a JOIN wc b ON a.cell = b.cell AND a.id <> b.id),
+         |el AS (SELECT id, label,
+         |    MIN(CASE WHEN same THEN pk END) AS pos_pk,
+         |    MIN(CASE WHEN NOT same THEN pk END) AS neg_pk
+         |  FROM pr GROUP BY 1, 2)
+         |SELECT id, label, pos_pk % 2147483648 AS pos_id,
+         |  neg_pk % 2147483648 AS neg_id,
+         |  CAST(neg_pk // 2147483648 - pos_pk // 2147483648 AS BIGINT)
+         |    AS margin_q
+         |FROM el WHERE pos_pk IS NOT NULL AND neg_pk IS NOT NULL
+         |ORDER BY id""".stripMargin,
 
   )
 }

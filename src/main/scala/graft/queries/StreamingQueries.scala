@@ -572,6 +572,81 @@ private[graft] object StreamingQueries {
         .orderBy("click_id", "purchase_id")
     }),
 
+    // stream-stream FULL OUTER interval join — w26 plus the null rows
+    // from the PURCHASE side. The two sides finalize on DIFFERENT
+    // conditions (both probed at sf0.001 AND sf0.01, where the boundary
+    // cases discriminate): an unmatched click needs the watermark past
+    // its whole candidate interval (ct + 1h interval + 1h delay ≤ mt,
+    // the w26 rule), while an unmatched purchase only needs the watermark
+    // past its own event time (pt + 1h delay ≤ mt) — its candidate
+    // clicks all have ct ≤ pt, so nothing future can match once pt is
+    // below the watermark. mt = min over both input streams of max event
+    // ts. NULL sort keys order differently across engines (Spark NULLS
+    // FIRST, DuckDB NULLS LAST) — both sides sort on COALESCE(id, 2^63−1).
+    "w27_stream_full_outer_join" -> ((s, d) => {
+      val clicks = Tables.eventsStream(s, d)
+        .where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          timestamp_micros(col("ts_us")).as("ct"))
+        .withWatermark("ct", "1 hour")
+      val purchases = Tables.eventsStream(s, d)
+        .where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          timestamp_micros(col("ts_us")).as("pt"))
+        .withWatermark("pt", "1 hour")
+      val joined = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("pt") >= col("ct") &&
+            col("pt") <= col("ct") + expr("INTERVAL 1 HOUR"),
+          "full_outer")
+        .select(col("click_id"), col("purchase_id"),
+          coalesce(col("user_id"), col("p_user")).as("user_id"),
+          (unix_micros(col("pt")) - unix_micros(col("ct"))).as("lag_us"))
+      StreamRun.toMemory(joined, "w27_sink", outputMode = "append")
+        .orderBy(coalesce(col("click_id"), lit(Long.MaxValue)),
+          coalesce(col("purchase_id"), lit(Long.MaxValue)))
+    }),
+
+    // UNION of two streams with DIFFERENT watermark delays feeding one
+    // windowed aggregate — the multi-source ingest shape (fast click feed
+    // + slow purchase feed). Spark's global watermark under the default
+    // multipleWatermarkPolicy = min is min(maxCt − 30min, maxPt − 2h),
+    // and exactly the windows with end ≤ that emit (probed: the emitted
+    // day set equals the cutoff set at sf0.001). The oracle mirrors the
+    // two per-stream delays in one LEAST — the first w-query whose cutoff
+    // is not a single stream's horizon.
+    "w28_stream_union_min_watermark" -> ((s, d) => {
+      val clicks = Tables.eventsStream(s, d)
+        .where(col("event_type") === "click")
+        .select(timestamp_micros(col("ts_us")).as("t"))
+        .withWatermark("t", "30 minutes")
+      val purchases = Tables.eventsStream(s, d)
+        .where(col("event_type") === "purchase")
+        .select(timestamp_micros(col("ts_us")).as("t"))
+        .withWatermark("t", "2 hours")
+      val agg = clicks.unionByName(purchases)
+        .groupBy(window(col("t"), "1 day"))
+        .agg(count(lit(1)).as("n_events"))
+      StreamRun.toMemory(agg, "w28_sink", outputMode = "append")
+        .select(unix_micros(col("window.start")).as("day_us"),
+          col("n_events"))
+        .orderBy("day_us")
+    }),
+
+    // streaming TOP-K maintenance: sort + limit over a streaming
+    // aggregate — legal ONLY in complete output mode (the one output mode
+    // where the sink sees the whole result every batch), the leaderboard
+    // shape (top users by activity, live). The drained final batch is by
+    // construction the batch top-k; total (n DESC, user) order makes the
+    // cut deterministic on both engines.
+    "w29_stream_topk" -> ((s, d) => {
+      val agg = Tables.eventsStream(s, d)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+        .orderBy(desc("n_events"), col("user_id")).limit(10)
+      StreamRun.toMemory(agg, "w29_sink")
+        .orderBy(desc("n_events"), col("user_id"))
+    }),
+
     // DYNAMIC-GAP session windows: the gap is a per-row EXPRESSION
     // (purchases close a session after 30 min, everything else after 1 h)
     // — the session_window API surface w4's fixed gap doesn't touch. The
@@ -868,6 +943,59 @@ private[graft] object StreamingQueries {
         |      AND p.pt_us >= c.ct_us AND p.pt_us <= c.ct_us + 3600000000))
         |SELECT * FROM matched UNION ALL SELECT * FROM unmatched
         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    // w26's CTEs + the purchase-side nulls: a purchase finalizes at
+    // pt + delay <= mt (its candidate clicks all have ct <= pt), clicks
+    // at ct + interval + delay <= mt; COALESCE ordering (engine-neutral
+    // NULL placement)
+    "w27_stream_full_outer_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS ct_us
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pt_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |mx AS (SELECT LEAST((SELECT MAX(ct_us) FROM c),
+        |    (SELECT MAX(pt_us) FROM p)) AS mt),
+        |matched AS (SELECT c.click_id, p.purchase_id, c.user_id,
+        |    p.pt_us - c.ct_us AS lag_us
+        |  FROM c JOIN p ON c.user_id = p.user_id
+        |    AND p.pt_us >= c.ct_us AND p.pt_us <= c.ct_us + 3600000000),
+        |un_c AS (SELECT c.click_id, CAST(NULL AS BIGINT) AS purchase_id,
+        |    c.user_id, CAST(NULL AS BIGINT) AS lag_us
+        |  FROM c, mx
+        |  WHERE c.ct_us + 7200000000 <= mx.mt
+        |    AND NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+        |      AND p.pt_us >= c.ct_us AND p.pt_us <= c.ct_us + 3600000000)),
+        |un_p AS (SELECT CAST(NULL AS BIGINT) AS click_id, p.purchase_id,
+        |    p.user_id, CAST(NULL AS BIGINT) AS lag_us
+        |  FROM p, mx
+        |  WHERE p.pt_us + 3600000000 <= mx.mt
+        |    AND NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
+        |      AND p.pt_us >= c.ct_us AND p.pt_us <= c.ct_us + 3600000000)),
+        |allr AS (SELECT * FROM matched UNION ALL SELECT * FROM un_c
+        |  UNION ALL SELECT * FROM un_p)
+        |SELECT * FROM allr
+        |ORDER BY COALESCE(click_id, 9223372036854775807),
+        |  COALESCE(purchase_id, 9223372036854775807)""".stripMargin,
+
+    // daily counts of the unioned event set, gated at the min-policy
+    // global watermark: end <= LEAST(max ct - 30min, max pt - 2h)
+    "w28_stream_union_min_watermark" ->
+      s"""WITH e AS (SELECT epoch_us(ts) AS ts_us, event_type FROM events
+         |  WHERE event_type IN ('click', 'purchase')),
+         |mx AS (SELECT LEAST(
+         |    (SELECT MAX(ts_us) - 1800000000 FROM e WHERE event_type = 'click'),
+         |    (SELECT MAX(ts_us) - 7200000000 FROM e WHERE event_type = 'purchase'))
+         |    AS wm),
+         |dc AS (SELECT (ts_us // $DayUs) * $DayUs AS day_us, COUNT(*) AS n_events
+         |  FROM e GROUP BY 1)
+         |SELECT day_us, n_events FROM dc, mx
+         |WHERE day_us + $DayUs <= mx.wm ORDER BY day_us""".stripMargin,
+
+    // complete-mode top-k == the batch top-k (total order, so the cut is
+    // deterministic)
+    "w29_stream_topk" ->
+      """SELECT user_id, COUNT(*) AS n_events FROM events
+        |GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin,
 
     // the emitted key set ≡ batch DISTINCT (single-horizon replay)
     "w24_stream_dedup_within_wm" ->

@@ -159,6 +159,58 @@ object Multimodal {
       .filter(col("overlap_ppm") >= minOverlapPpm)
   }
 
+  /** TEMPORAL ALIGNMENT of near-duplicate media — the clip-offset
+    * detector: for every [[mediaNearDup]] candidate pair, the frame shift
+    * that aligns the most shared fingerprints (is B the same footage as A
+    * offset by k frames — a re-posted clip with an added intro?).
+    *
+    * Each fingerprint votes with its FIRST occurrence per media (min
+    * frame index — the canonical-occurrence rule: a within-media repeated
+    * frame would otherwise vote with its full multiplicity PRODUCT across
+    * the pair), shift = first(B) − first(A), and the winning shift is the
+    * winnowing packed-max `n·2²¹ + (2²⁰ − shift)` — most aligned frames,
+    * smallest signed shift on ties, one comparable BIGINT (frame indices
+    * stay under 2²⁰ for any sub-16M-char buffer, the duplicateFrames
+    * bound). Returns (id_a, id_b, n_aligned, best_shift).
+    *
+    * Scale shape: alignment frames (stride 1) are computed ONLY for media
+    * that appear in a candidate pair (semi-join); per-pair work is its
+    * shared-fingerprint count — the pair set itself is df-cap-bounded by
+    * [[mediaNearDup]]. */
+  def alignMedia(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      frameChars: Int = 16,
+      candStride: Int = 4,
+      maxFrameDf: Long = 64L,
+      minOverlapPpm: Long = 100000L): DataFrame = {
+    val cand = mediaNearDup(df, idCol, textCol, frameChars, candStride,
+        maxFrameDf, minOverlapPpm)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val ids = cand.select(col("id_a").as("__aid"))
+      .unionAll(cand.select(col("id_b").as("__aid"))).distinct()
+    val docs = df.join(ids, col(idCol) === col("__aid"), "left_semi")
+    val fo = sampleFrames(docs, idCol, textCol, frameChars, stride = 1)
+      .groupBy(col(idCol).as("fid"), col("frame_md5").as("h"))
+      .agg(min(col("frame_idx")).as("fi"))
+    val matches = cand
+      .join(fo.select(col("fid").as("id_a"), col("h"), col("fi").as("fa")),
+        Seq("id_a"))
+      .join(fo.select(col("fid").as("id_b"), col("h"), col("fi").as("fb")),
+        Seq("id_b", "h"))
+      .select(col("id_a"), col("id_b"), (col("fb") - col("fa")).as("shift"))
+    matches.groupBy("id_a", "id_b", "shift")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("id_a", "id_b")
+      .agg(max(col("n") * lit(1L << 21) +
+        (lit(1L << 20) - col("shift"))).as("pk"))
+      // pk div/mod by the 2^21 constant: sweep class (b)
+      .select(col("id_a"), col("id_b"),
+        expr(s"pk div ${1L << 21}").as("n_aligned"),
+        (lit(1L << 20) - (col("pk") % lit(1L << 21))).as("best_shift"))
+  }
+
   /** SHOT-BOUNDARY segmentation — the video analogue of session islands:
     * a per-frame scalar "scene level" (STUB: the code point of the frame
     * window's first character — a real build plugs a decoded frame

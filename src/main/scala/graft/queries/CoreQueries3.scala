@@ -1596,6 +1596,32 @@ private[graft] object CoreQueries3 {
     }),
 
 
+    // CROSS-correlation ladder between the click and purchase daily
+    // series at lags −3..+3 — the conversion-delay detector (do clicks
+    // LEAD purchases, and by how many days?) completing q191's
+    // autocorrelation ladder. Two calendar-bounded daily registers
+    // (checkpointed — 7 lag joins read each), every lag one equi-join,
+    // exact decimal moments through groupedCorrelation, one canonical
+    // double per series.
+    "q199_ccf_ladder" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def daily(t: String) = ev.filter(col("event_type") === t)
+        .groupBy(call_function("div", col("ts_us"), lit(DayUs)).as("di"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val dc = daily("click")
+      val dp = daily("purchase")
+      (-3 to 3).map { lag =>
+        val tag = if (lag < 0) s"m${-lag}" else s"p$lag"
+        val pairs = dc.select(col("di"), col("n").as("x"))
+          .join(dp.select((col("di") - lag.toLong).as("di"), col("n").as("y")),
+            "di")
+          .withColumn("series", lit(s"lag_$tag"))
+        Analytics.groupedCorrelation(pairs, Seq("series"), "x", "y")
+      }.reduce(_ unionByName _).orderBy("series")
+    }),
+
+
     // Wald–Wolfowitz runs test on daily revenue moves: are up/down days
     // RANDOM, or do they streak (momentum) / alternate (mean-reversion)?
     // Zero-diffs drop (the standard convention); R = 1 + sign changes on
@@ -3009,6 +3035,35 @@ private[graft] object CoreQueries3 {
          |    // GREATEST(nn * LEAST(n_dow - 1, n_types - 1), 1) AS BIGINT)
          |    AS v_sq_ppm
          |FROM cells, dims, tt GROUP BY n_dow, n_types, nn""".stripMargin,
+
+
+    // q191's per-lag moment CTEs instantiated over TWO typed daily
+    // registers (clicks x, purchases y), UNION ALL'd
+    "q199_ccf_ladder" ->
+      s"""WITH cc AS (SELECT epoch_us(ts) // $DayUs AS di, COUNT(*) AS n
+         |  FROM events WHERE event_type = 'click' GROUP BY 1),
+         |pp AS (SELECT epoch_us(ts) // $DayUs AS di, COUNT(*) AS n
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |${(-3 to 3).map { l =>
+             val tag = if (l < 0) s"m${-l}" else s"p$l"
+             s"""w$tag AS (SELECT a.n AS x, b.n AS y
+                |  FROM cc a JOIN pp b ON b.di = a.di + $l),
+                |m$tag AS (SELECT COUNT(*) AS n,
+                |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+                |    CAST(SUM(x*x) AS HUGEINT) AS sxx, CAST(SUM(y*y) AS HUGEINT) AS syy,
+                |    CAST(SUM(x*y) AS HUGEINT) AS sxy
+                |  FROM w$tag),
+                |d$tag AS (SELECT n, n*sxy - sx*sy AS num, n*sxx - sx*sx AS d1,
+                |    n*syy - sy*sy AS d2 FROM m$tag)""".stripMargin
+           }.mkString(",\n")}
+         |${(-3 to 3).map { l =>
+             val tag = if (l < 0) s"m${-l}" else s"p$l"
+             s"""SELECT 'lag_$tag' AS series, n,
+                |  CASE WHEN d1 > 0 AND d2 > 0
+                |    THEN num::DOUBLE / sqrt(d1::DOUBLE * d2::DOUBLE) END AS corr
+                |FROM d$tag""".stripMargin
+           }.mkString("\nUNION ALL\n")}
+         |ORDER BY series""".stripMargin,
 
 
     // q105's exact-moment correlation CTEs instantiated per lag over the

@@ -95,6 +95,16 @@ private[graft] object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // temporal alignment of m6's near-dup media pairs: the frame OFFSET
+    // aligning the most shared fingerprints (re-posted clip with an
+    // added intro) — first-occurrence votes, packed-max election; the
+    // candidate-pair definition is single-sourced with m6
+    // (Support.mediaCandPairsSql on the oracle side)
+    "m8_media_alignment" -> ((s, d) => {
+      Multimodal.alignMedia(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    }),
+
     // shot-boundary segmentation on the sampled-frame scene levels (the
     // m3 frame grid at stride 1): cuts where the stubbed per-frame level
     // jumps > 13 between consecutive frames, shots = cut-free runs —
@@ -418,26 +428,31 @@ private[graft] object PipelineQueries {
     // m3's frame CTE distinct'd per media; df-capped shared-fingerprint
     // pairs; overlap coefficient vs the smaller frame set
     "m6_media_near_dup" ->
-      """WITH f AS (SELECT doc_id, text,
-        |    CAST(FLOOR(length(text)/16.0) AS BIGINT) AS nf FROM documents),
-        |s AS (SELECT doc_id, text, unnest(range(0, nf, 4)) AS frame_idx
-        |      FROM f WHERE nf > 0),
-        |fr AS (SELECT DISTINCT doc_id AS id,
-        |    md5(substr(text, CAST(frame_idx*16 + 1 AS INTEGER), 16)) AS h
-        |  FROM s),
-        |sz AS (SELECT id, COUNT(*) AS nf FROM fr GROUP BY id),
-        |fdf AS (SELECT h, COUNT(*) AS df FROM fr GROUP BY h),
-        |sh AS (SELECT fr.id, fr.h FROM fr JOIN fdf USING (h)
-        |  WHERE df >= 2 AND df <= 64),
-        |p AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
-        |  FROM sh a JOIN sh b ON a.h = b.h AND a.id < b.id GROUP BY 1, 2),
-        |o AS (SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
-        |    sa.nf AS na, sb.nf AS nb,
-        |    CAST((inter * 1000000) // LEAST(sa.nf, sb.nf) AS BIGINT)
-        |      AS overlap_ppm
-        |  FROM p JOIN sz sa ON p.id_a = sa.id JOIN sz sb ON p.id_b = sb.id)
-        |SELECT * FROM o WHERE overlap_ppm >= 100000
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH ${mediaCandPairsSql(100000L)}
+         |SELECT id_a, id_b, inter, na, nb, overlap_ppm FROM mcand
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // m6's shared pair chain + stride-1 first-occurrence frames for the
+    // candidate ids only; shift votes; packed-max n*2^21 + (2^20 - shift)
+    "m8_media_alignment" ->
+      s"""WITH ${mediaCandPairsSql(100000L)},
+         |ids AS (SELECT id_a AS id FROM mcand UNION SELECT id_b FROM mcand),
+         |s1 AS (SELECT doc_id, text, unnest(range(0, nf)) AS fi1
+         |      FROM f JOIN ids ON f.doc_id = ids.id WHERE nf > 0),
+         |fo AS (SELECT doc_id AS id,
+         |    md5(substr(text, CAST(fi1*16 + 1 AS INTEGER), 16)) AS h,
+         |    CAST(MIN(fi1) AS BIGINT) AS fi
+         |  FROM s1 GROUP BY 1, 2),
+         |mt AS (SELECT c.id_a, c.id_b, b.fi - a.fi AS shift
+         |  FROM mcand c JOIN fo a ON a.id = c.id_a
+         |  JOIN fo b ON b.id = c.id_b AND a.h = b.h),
+         |cnt AS (SELECT id_a, id_b, shift, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM mt GROUP BY 1, 2, 3),
+         |el AS (SELECT id_a, id_b,
+         |    MAX(n * 2097152 + (1048576 - shift)) AS pk FROM cnt GROUP BY 1, 2)
+         |SELECT id_a, id_b, CAST(pk // 2097152 AS BIGINT) AS n_aligned,
+         |  CAST(1048576 - (pk % 2097152) AS BIGINT) AS best_shift
+         |FROM el ORDER BY id_a, id_b""".stripMargin,
 
     // m3's frame grid at stride 1; level = ascii of the frame's first
     // char; cut flag via lag (NULL first row -> 0 in both engines);

@@ -4,7 +4,7 @@ import graft.core.{Changelog, Tables}
 import graft.functions.GraftFunctions.md5Hash60
 import graft.operators.{Sketches, TextAnalysis}
 import graft.streaming.{EosSink, StatefulOps, StreamingSketches, StreamRun,
-  TwsEvent, TwsOps}
+  TwsEvent, TwsOps, TwsTimedEvent}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -633,6 +633,29 @@ private[graft] object StreamingQueries {
         .orderBy("day_us")
     }),
 
+    // transformWithState EVENT-TIME TIMERS — idle-key expiry (the
+    // session-timeout / abandoned-cart shape): each arrival reschedules
+    // the key's single timer to last+30min; handleExpiredTimer fires when
+    // the watermark passes it. PROBED (incl. a crafted exact-boundary
+    // log): timers fire at expiry ≤ watermark (non-strict), the watermark
+    // is the max event time in FLOOR-ms, and AvailableNow runs the
+    // trailing zero-input batch that delivers the fires — so exactly the
+    // users with (last_us div 1000) + 1800000 ≤ (max_us div 1000) emit,
+    // each exactly once, with their final (last_us, n_events) state.
+    "w30_stream_idle_expiry" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.eventsStream(s, d)
+        .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"),
+          col("ts_us"))
+        .withWatermark("ts", "0 seconds")
+        .as[TwsTimedEvent]
+      val drained = TwsOps.withRocksDb(s) {
+        StreamRun.toMemory(TwsOps.idleExpiry(ev, gapMs = 1800000L).toDF(),
+          "w30_sink", outputMode = "append", assertSingleBatch = true)
+      }
+      drained.orderBy("user_id")
+    }),
+
     // streaming TOP-K maintenance: sort + limit over a streaming
     // aggregate — legal ONLY in complete output mode (the one output mode
     // where the sink sees the whole result every batch), the leaderboard
@@ -990,6 +1013,17 @@ private[graft] object StreamingQueries {
          |  FROM e GROUP BY 1)
          |SELECT day_us, n_events FROM dc, mx
          |WHERE day_us + $DayUs <= mx.wm ORDER BY day_us""".stripMargin,
+
+    // users idle >= 30min before log end (the probed non-strict floor-ms
+    // timer cutoff), with their final per-key registers
+    "w30_stream_idle_expiry" ->
+      """WITH u AS (SELECT user_id, MAX(epoch_us(ts)) AS last_us,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1),
+        |mx AS (SELECT MAX(epoch_us(ts)) // 1000 AS wm_ms FROM events)
+        |SELECT user_id, last_us, n_events FROM u, mx
+        |WHERE (last_us // 1000) + 1800000 <= wm_ms
+        |ORDER BY user_id""".stripMargin,
 
     // complete-mode top-k == the batch top-k (total order, so the cut is
     // deterministic)

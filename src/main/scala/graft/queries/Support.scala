@@ -1179,6 +1179,34 @@ private[graft] object Support {
        |GROUP BY 1, 2 HAVING COUNT(*) >= $minShared
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** m6's frame-fingerprint candidate-pair CTE chain (mirrors
+    * Multimodal.mediaNearDup: frameChars=16, stride=4, maxFrameDf=64) —
+    * ends at `mcand(id_a, id_b, inter, na, nb, overlap_ppm)` filtered at
+    * `minOverlapPpm`. Shared by m6 (the surface) and m8 (the alignment
+    * seed) so the candidate-pair DEFINITION cannot drift; also leaves the
+    * stride-4 frame grid CTE `f` open for reuse. */
+  private[graft] def mediaCandPairsSql(minOverlapPpm: Long): String =
+    s"""f AS (SELECT doc_id, text,
+       |    CAST(FLOOR(length(text)/16.0) AS BIGINT) AS nf FROM documents),
+       |s AS (SELECT doc_id, text, unnest(range(0, nf, 4)) AS frame_idx
+       |      FROM f WHERE nf > 0),
+       |fr AS (SELECT DISTINCT doc_id AS id,
+       |    md5(substr(text, CAST(frame_idx*16 + 1 AS INTEGER), 16)) AS h
+       |  FROM s),
+       |sz AS (SELECT id, COUNT(*) AS nf FROM fr GROUP BY id),
+       |fdf AS (SELECT h, COUNT(*) AS df FROM fr GROUP BY h),
+       |sh AS (SELECT fr.id, fr.h FROM fr JOIN fdf USING (h)
+       |  WHERE df >= 2 AND df <= 64),
+       |p AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.h = b.h AND a.id < b.id GROUP BY 1, 2),
+       |mcand AS (SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+       |    sa.nf AS na, sb.nf AS nb,
+       |    CAST((inter * 1000000) // LEAST(sa.nf, sb.nf) AS BIGINT)
+       |      AS overlap_ppm
+       |  FROM p JOIN sz sa ON p.id_a = sa.id JOIN sz sb ON p.id_b = sb.id
+       |  WHERE CAST((inter * 1000000) // LEAST(sa.nf, sb.nf) AS BIGINT)
+       |    >= $minOverlapPpm)""".stripMargin
+
   /** The q35/q185 brand–type bipartite edge list (both directions) — the
     * default raw-edge body of [[pageRankSql]]. */
   private[graft] val brandTypeErawSql: String =
@@ -1271,12 +1299,13 @@ private[graft] object Support {
     (t0 +: steps).mkString(",\n")
   }
 
-  private[graft] def bpeMergesSql(rounds: Int, maxWordLen: Int): String = {
+  private[graft] def bpeMergesSql(rounds: Int, maxWordLen: Int,
+      trainSrcSql: String = "documents"): String = {
     val rows = (1 to rounds).map { r =>
       s"""SELECT CAST($r AS BIGINT) AS round, a AS left_sym, b AS right_sym,
          |    a||b AS merged, wt FROM b$r""".stripMargin
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH ${bpeChainSql(rounds, maxWordLen)}
+    s"""WITH ${bpeChainSql(rounds, maxWordLen, trainSrcSql)}
        |SELECT * FROM (
        |  $rows
        |) ORDER BY round""".stripMargin

@@ -606,6 +606,62 @@ private[graft] object TextQueries {
       Bpe.compressionAudit(t0, fin)
     }),
 
+    // tokenizer TRAINING-STABILITY audit: the 8-round merge sequences
+    // learned independently on the even-id and odd-id corpus halves,
+    // joined per round — disagreement at round k means the tokenizer is
+    // sensitive to the data split from rank k on (the "can I retrain on a
+    // sample" question). Both trainings run on vocabulary-sized type
+    // tables; the oracle runs two scoped bpe chains (WITH inside each
+    // join side — CTE names cannot collide) over the same halves.
+    "t49_bpe_stability" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val even = Bpe.learn(s, docs.filter(col("doc_id") % 2 === 0L), rounds = 8)._1
+      val odd = Bpe.learn(s, docs.filter(col("doc_id") % 2 === 1L), rounds = 8)._1
+      even.select(col("round"), col("merged").as("merged_even"))
+        .join(odd.select(col("round"), col("merged").as("merged_odd")),
+          Seq("round"), "full_outer")
+        .select(col("round"), col("merged_even"), col("merged_odd"),
+          coalesce(col("merged_even") === col("merged_odd"), lit(false))
+            .as("agree"))
+        .orderBy("round")
+    }),
+
+
+    // VOCABULARY GROWTH (Heaps' law) curve: cumulative distinct-token
+    // count at 10 ingestion checkpoints (NTILE deciles of doc_id — the
+    // acceptable row-sort) plus type-token ratio — the "is the corpus
+    // still teaching the tokenizer new words" audit, t47's Zipf
+    // companion. The whole curve costs ONE token aggregate: a token's
+    // first-occurrence doc (min doc_id per type) makes cumulative vocab
+    // at threshold t = count(first_doc ≤ t) — no per-prefix distinct
+    // passes; both range joins broadcast the 10-row checkpoint frame.
+    "t50_heaps_curve" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tiles = docs
+        .select(col("doc_id"), ntile(10).over(Window.orderBy("doc_id")).as("k"))
+        .groupBy("k").agg(max(col("doc_id")).as("thr"), count(lit(1)).as("nd"))
+        .localCheckpoint(true)
+      val perDoc = docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("ntk"))
+      val firstDoc = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(min(col("doc_id")).as("fdoc"))
+      val vocabCum = broadcast(tiles).join(firstDoc, col("fdoc") <= col("thr"))
+        .groupBy("k").agg(count(lit(1)).as("vocab_cum"))
+      val tokCum = broadcast(tiles).join(perDoc, col("doc_id") <= col("thr"))
+        .groupBy("k").agg(sum(col("ntk")).as("n_tokens_cum"))
+      val wcum = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+      tiles.withColumn("n_docs_cum", sum(col("nd")).over(wcum))
+        .join(tokCum, "k").join(vocabCum, "k")
+        .select(col("k"), col("thr"), col("n_docs_cum"),
+          col("n_tokens_cum"), col("vocab_cum"),
+          // class (a): an all-empty-text corpus is legal
+          call_function("div", col("vocab_cum") * 1000000L,
+            greatest(col("n_tokens_cum"), lit(1L))).as("ttr_ppm"))
+        .orderBy("k")
+    }),
+
+
     // curation gate ablation: which combination of the three standard
     // gates (length, quality keep-flag, lang-id agreement) passes how many
     // docs/tokens — the "why was my data dropped" matrix every filter
@@ -1269,6 +1325,42 @@ private[graft] object TextQueries {
 
     // 8 unrolled merge rounds over the word-type table (Support.bpeChainSql)
     "t36_bpe_merges" -> bpeMergesSql(rounds = 8, maxWordLen = 16),
+
+    // first-occurrence register: vocab at threshold = count(fdoc <= thr);
+    // NTILE(10) checkpoints (Spark ntile INT -> rule-5 cast)
+    "t50_heaps_curve" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |tile AS (SELECT doc_id,
+         |    CAST(NTILE(10) OVER (ORDER BY doc_id) AS INTEGER) AS k
+         |  FROM documents),
+         |tl AS (SELECT k, MAX(doc_id) AS thr, CAST(COUNT(*) AS BIGINT) AS nd
+         |  FROM tile GROUP BY 1),
+         |nt AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS ntk FROM t),
+         |fd AS (SELECT tok, MIN(doc_id) AS fdoc
+         |  FROM (SELECT doc_id, unnest(tk) AS tok FROM t) GROUP BY 1),
+         |vc AS (SELECT tl.k, CAST(COUNT(*) AS BIGINT) AS vocab_cum
+         |  FROM tl JOIN fd ON fd.fdoc <= tl.thr GROUP BY 1),
+         |tc AS (SELECT tl.k, CAST(SUM(nt.ntk) AS BIGINT) AS n_tokens_cum
+         |  FROM tl JOIN nt ON nt.doc_id <= tl.thr GROUP BY 1),
+         |dc AS (SELECT k, thr, CAST(SUM(nd) OVER (ORDER BY k
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_docs_cum FROM tl)
+         |SELECT dc.k, dc.thr, dc.n_docs_cum, tc.n_tokens_cum, vc.vocab_cum,
+         |  CAST((vc.vocab_cum * 1000000) // GREATEST(tc.n_tokens_cum, 1)
+         |    AS BIGINT) AS ttr_ppm
+         |FROM dc JOIN tc USING (k) JOIN vc USING (k) ORDER BY k""".stripMargin,
+
+    // two SCOPED bpe chains (WITH inside each join side); explicit ON +
+    // COALESCE key for the full outer round alignment
+    "t49_bpe_stability" ->
+      s"""SELECT COALESCE(le.round, ri.round) AS round,
+         |  le.merged AS merged_even, ri.merged AS merged_odd,
+         |  COALESCE(le.merged = ri.merged, FALSE) AS agree
+         |FROM (${bpeMergesSql(rounds = 8, maxWordLen = 16,
+              trainSrcSql = "(SELECT * FROM documents WHERE doc_id % 2 = 0)")}) le
+         |FULL OUTER JOIN (${bpeMergesSql(rounds = 8, maxWordLen = 16,
+              trainSrcSql = "(SELECT * FROM documents WHERE doc_id % 2 = 1)")}) ri
+         |  ON le.round = ri.round
+         |ORDER BY round""".stripMargin,
 
     // same chain, aggregated before/after symbol mass
     "t37_bpe_compression" -> bpeCompressionSql(rounds = 8, maxWordLen = 16),

@@ -1,8 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
-import org.apache.spark.sql.streaming.{ListState, MapState, OutputMode,
-  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, MapState,
+  OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Per-key event row fed to the transformWithState processors. */
 case class TwsEvent(user_id: Long, ts_us: Long, event_id: Long, event_type: String)
@@ -16,6 +16,16 @@ case class TwsKept(user_id: Long, ts_us: Long, event_id: Long,
 
 /** [[TwsOps.typeCounts]] emission: current per-(key, type) running count. */
 case class TwsTypeCount(user_id: Long, event_type: String, n: Long)
+
+/** Event row for the EVENT-TIME-mode processors: `ts` is the watermarked
+  * timestamp column (transformWithState in TimeMode.EventTime requires a
+  * watermark on the input), `ts_us` the exact epoch-µs long the outputs
+  * surface (rule 1: results never expose raw timestamps). */
+case class TwsTimedEvent(user_id: Long, ts: java.sql.Timestamp, ts_us: Long)
+
+/** [[TwsOps.idleExpiry]] emission, fired by the EVENT-TIME TIMER when a key
+  * goes idle: its last event time and lifetime count at expiry. */
+case class TwsExpiry(user_id: Long, last_us: Long, n_events: Long)
 
 /** The reference's per-key stores re-expressed on Spark 4's
   * `transformWithState` arbitrary-state API (StatefulProcessor + typed
@@ -124,5 +134,53 @@ object TwsOps {
     ev.groupByKey(_.user_id)(Encoders.scalaLong)
       .transformWithState(new TypeCountProcessor,
         TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Idle-key expiry on EVENT-TIME TIMERS — the session-timeout /
+    * abandoned-cart shape: each arrival batch reschedules the key's single
+    * timer to (last event + gap); when the event-time watermark passes it,
+    * `handleExpiredTimer` fires once with the key's final (last_us,
+    * n_events). State is two longs + one timer per key; emission happens
+    * ONLY at expiry, so output is idle-key-sized, never event-sized. */
+  private class IdleExpiryProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, TwsTimedEvent, TwsExpiry] {
+    @transient private var lastSeen: ValueState[Long] = _
+    @transient private var nSeen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      lastSeen = getHandle.getValueState[Long]("last",
+        Encoders.scalaLong, TTLConfig.NONE)
+      nSeen = getHandle.getValueState[Long]("n",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[TwsTimedEvent],
+        timerValues: TimerValues): Iterator[TwsExpiry] = {
+      var last = if (lastSeen.exists()) lastSeen.get() else Long.MinValue
+      var n = if (nSeen.exists()) nSeen.get() else 0L
+      rows.foreach { e =>
+        if (e.ts_us > last) last = e.ts_us
+        n += 1L
+      }
+      lastSeen.update(last)
+      nSeen.update(n)
+      // one live timer per key: reschedule to the NEW last + gap (timer
+      // registry is in epoch ms; last_us floor-divides exactly)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(last / 1000L + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[TwsExpiry] =
+      Iterator.single(TwsExpiry(key, lastSeen.get(), nSeen.get()))
+  }
+
+  def idleExpiry(ev: Dataset[TwsTimedEvent], gapMs: Long): Dataset[TwsExpiry] = {
+    implicit val exEnc: org.apache.spark.sql.Encoder[TwsExpiry] =
+      Encoders.product[TwsExpiry]
+    ev.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new IdleExpiryProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

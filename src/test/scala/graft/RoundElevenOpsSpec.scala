@@ -50,6 +50,18 @@ class RoundElevenOpsSpec extends SparkSpec {
     r13 shouldBe Array((1L, 1L), (2L, 2L), (3L, 1L))
   }
 
+  "alignMedia" should "recover the frame offset of a shifted copy" in {
+    // doc 2 = a 1-frame intro + doc 1's footage: every shared fingerprint
+    // votes shift +1; n_aligned = the 4 shared frames
+    val a = "abcdefghijklmnop" + "qrstuvwxyzabcdef" +
+      "ghijklmnopqrstuv" + "wxyzabcdefghijkl"
+    val docs = Seq((1L, a), (2L, "zzzzzzzzzzzzzzzz" + a)).toDF("doc_id", "text")
+    val r = Multimodal.alignMedia(docs, "doc_id", "text",
+      frameChars = 16, candStride = 1)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    r shouldBe Array((1L, 2L, 4L, 1L))
+  }
+
   it should "drop media shorter than one frame and floor the frame count" in {
     // 16-char frames: a 15-char doc has no frame; a 33-char doc has 2
     val docs = Seq((1L, "a" * 15), (2L, "a" * 33)).toDF("doc_id", "text")

@@ -68,6 +68,32 @@ class TwsOpsSpec extends SparkSpec {
       (2L, "purchase", 1L), (3L, "click", 1L))
   }
 
+  "TwsOps.idleExpiry" should "fire the event-time timer once the watermark passes last+gap, rescheduling on new arrivals" in withRocks {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.{TwsTimedEvent => TE}
+    def ev(u: Long, ms: Long) =
+      TE(u, new java.sql.Timestamp(ms), ms * 1000L)
+    val base = 1700000000000L
+    val input = MemoryStream[TE]
+    val q = TwsOps.idleExpiry(
+        input.toDS().withWatermark("ts", "0 seconds"), gapMs = 60000L)
+      .toDF()
+      .writeStream.format("memory").queryName("tws_idle")
+      .outputMode("append").start()
+    try {
+      // batch 1: both users at T; batch 2 advances the watermark 10 min
+      // via a NEW user-2 event -> user 2's timer reschedules, user 1's
+      // (T+60s <= wm=T+600s) fires in the trailing batch
+      input.addData(Seq(ev(1L, base), ev(2L, base)))
+      q.processAllAvailable()
+      input.addData(Seq(ev(2L, base + 600000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val fired = spark.table("tws_idle")
+      .as[(Long, Long, Long)].collect().toSet
+    fired shouldBe Set((1L, base * 1000L, 1L))
+  }
+
   "TwsOps.withRocksDb" should "restore the previous provider setting" in {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val before = spark.conf.getOption(key)

@@ -92,6 +92,18 @@ object Tables {
       .parquet(d)
   }
 
+  /** Structured-Streaming view of the embeddings table — the streaming
+    * vector-ingest side of the ANN pipeline (w31's frozen-index
+    * assignment): same batch-seeded schema discipline as
+    * [[eventsStream]]/[[documentsStream]]. */
+  def embeddingsStream(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val schema = s.read.parquet(path(d, "embeddings")).schema
+    s.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(d)
+  }
+
   /** Epoch microseconds of any timestamp/timestamp_ntz column (session tz is
     * UTC everywhere, so NTZ and LTZ agree). Output contract: query results
     * never expose raw timestamp columns — always epoch µs BIGINT. */

@@ -1596,6 +1596,34 @@ private[graft] object CoreQueries3 {
     }),
 
 
+    // RFM SEGMENTATION — the classic CRM grid: customers scored 1-5 on
+    // Recency (last order date), Frequency (order count) and Monetary
+    // (spend cents) via NTILE quintiles (the acceptable row-sort; ties
+    // broken by custkey so the allocation is a total order on both
+    // engines), then the occupied (r, f, m) cells with their population
+    // and spend. Everything after the three quintile windows runs on the
+    // ≤125-cell grid; spend sums ride decimal(38,0).
+    "q200_rfm_segments" -> ((s, d) => {
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      val per = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(max(Tables.epochUs(col("o_orderdate"))).as("last_us"),
+          count(lit(1)).as("freq"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("mon"))
+      val scored = per
+        .withColumn("r", ntile(5).over(
+          Window.orderBy(col("last_us"), col("o_custkey"))))
+        .withColumn("f", ntile(5).over(
+          Window.orderBy(col("freq"), col("o_custkey"))))
+        .withColumn("m", ntile(5).over(
+          Window.orderBy(col("mon"), col("o_custkey"))))
+      scored.groupBy("r", "f", "m")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(dec(col("mon"))).cast("long").as("total_cents"))
+        .orderBy("r", "f", "m")
+    }),
+
+
     // CROSS-correlation ladder between the click and purchase daily
     // series at lags −3..+3 — the conversion-delay detector (do clicks
     // LEAD purchases, and by how many days?) completing q191's
@@ -3035,6 +3063,24 @@ private[graft] object CoreQueries3 {
          |    // GREATEST(nn * LEAST(n_dow - 1, n_types - 1), 1) AS BIGINT)
          |    AS v_sq_ppm
          |FROM cells, dims, tt GROUP BY n_dow, n_types, nn""".stripMargin,
+
+
+    // three NTILE quintiles with the custkey tiebreak (rule-5 INTEGER
+    // casts); HUGEINT spend per occupied grid cell
+    "q200_rfm_segments" ->
+      """WITH per AS (SELECT o_custkey,
+        |    MAX(epoch_us(o_orderdate)) AS last_us,
+        |    CAST(COUNT(*) AS BIGINT) AS freq,
+        |    CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS mon
+        |  FROM orders GROUP BY 1),
+        |sc AS (SELECT mon,
+        |    CAST(NTILE(5) OVER (ORDER BY last_us, o_custkey) AS INTEGER) AS r,
+        |    CAST(NTILE(5) OVER (ORDER BY freq, o_custkey) AS INTEGER) AS f,
+        |    CAST(NTILE(5) OVER (ORDER BY mon, o_custkey) AS INTEGER) AS m
+        |  FROM per)
+        |SELECT r, f, m, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(CAST(mon AS HUGEINT)) AS BIGINT) AS total_cents
+        |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
 
     // q191's per-lag moment CTEs instantiated over TWO typed daily

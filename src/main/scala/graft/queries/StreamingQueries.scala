@@ -1,8 +1,8 @@
 package graft.queries
 
 import graft.core.{Changelog, Tables}
-import graft.functions.GraftFunctions.md5Hash60
-import graft.operators.{Sketches, TextAnalysis}
+import graft.functions.GraftFunctions.{ldot, md5Hash60, quantize1000}
+import graft.operators.{Similarity, Sketches, TextAnalysis}
 import graft.streaming.{EosSink, StatefulOps, StreamingSketches, StreamRun,
   TwsEvent, TwsOps, TwsTimedEvent}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -656,6 +656,32 @@ private[graft] object StreamingQueries {
       drained.orderBy("user_id")
     }),
 
+    // STREAMING VECTOR INGEST against a frozen ANN index: the IVF
+    // centroids are trained on the BATCH view at stream start (w19's
+    // monitor-configuration rule) and arriving embeddings are assigned
+    // STATELESSLY — the 16 centroids ride the plan as literals and the
+    // argmin is a row-local array_min over (distance, cell) structs
+    // (lowest cell on ties, exactly assignCells' ROW_NUMBER order), so
+    // the ingest path holds zero state and scales with arrival rate
+    // alone. Drained assignment ≡ the batch ivfCellsSql assignment.
+    "w31_stream_ivf_ingest" -> ((s, d) => {
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), quantize1000(col("embedding")).as("v"))
+      val (_, centroids) = Similarity.ivfIndexQuantized(base,
+        nCentroids = 16, iterations = 5)
+      val stream = Tables.embeddingsStream(s, d)
+        .select(col("vec_id").as("id"), quantize1000(col("embedding")).as("v"))
+      val cands = centroids.zipWithIndex.map { case (c, i) =>
+        val cn = c.map(x => x * x).sum
+        struct((lit(cn) - ldot(col("v"), typedlit(c.toSeq)) * 2L).as("d"),
+          lit(i.toLong).as("cell"))
+      }
+      val assigned = stream.select(col("id"),
+        array_min(array(cands: _*)).getField("cell").as("cell"))
+      StreamRun.toMemory(assigned, "w31_sink", outputMode = "append")
+        .orderBy("id")
+    }),
+
     // streaming TOP-K maintenance: sort + limit over a streaming
     // aggregate — legal ONLY in complete output mode (the one output mode
     // where the sink sees the whole result every batch), the leaderboard
@@ -1013,6 +1039,11 @@ private[graft] object StreamingQueries {
          |  FROM e GROUP BY 1)
          |SELECT day_us, n_events FROM dc, mx
          |WHERE day_us + $DayUs <= mx.wm ORDER BY day_us""".stripMargin,
+
+    // the shared frozen-index chain: streamed assignment == batch cells
+    "w31_stream_ivf_ingest" ->
+      s"""WITH ${ivfCellsSql(16, 5)}
+         |SELECT id, cell FROM cells ORDER BY id""".stripMargin,
 
     // users idle >= 30min before log end (the probed non-strict floor-ms
     // timer cutoff), with their final per-key registers

@@ -56,7 +56,8 @@ object ScaleProbe {
     // wedge link prediction, register-form Gini, vocabulary-graph
     // TextRank, within-cell triplet mining, frame-window shot runs)
     "q194_link_prediction", "q196_gini_concentration",
-    "t48_textrank_keywords", "s49_hard_negatives", "m7_shot_boundaries")
+    "t48_textrank_keywords", "s49_hard_negatives", "m7_shot_boundaries",
+    "m8_media_alignment", "d39_cross_source_matrix")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -1596,6 +1596,31 @@ private[graft] object CoreQueries3 {
     }),
 
 
+    // DAY-OF-WEEK seasonal index — the multiplicative factor table
+    // (dow mean / grand mean, cross-multiplied to exact ppm on
+    // decimal(38,0) — no mean is ever materialized) that q183's KS drift
+    // and q191's ACF presuppose; idx 1e6 = flat. Denominator class (c):
+    // a dow row implies n_days ≥ 1 and its events contribute to the
+    // total.
+    "q201_dow_seasonality" -> ((s, d) => {
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      val daily = Tables.events(s, d)
+        .groupBy(call_function("div", col("ts_us"), lit(DayUs)).as("di"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("dow", (col("di") + 4L) % 7L)
+      val per = daily.groupBy("dow")
+        .agg(count(lit(1)).as("n_days"), sum(col("n")).as("n_events"))
+      per
+        .withColumn("td", sum(col("n_days")).over(Window.partitionBy()))
+        .withColumn("te", sum(col("n_events")).over(Window.partitionBy()))
+        .select(col("dow"), col("n_days"), col("n_events"),
+          call_function("div",
+            dec(col("n_events")) * dec(lit(1000000L)) * dec(col("td")),
+            dec(col("n_days")) * dec(col("te"))).as("idx_ppm"))
+        .orderBy("dow")
+    }),
+
+
     // RFM SEGMENTATION — the classic CRM grid: customers scored 1-5 on
     // Recency (last order date), Frequency (order count) and Monetary
     // (spend cents) via NTILE quintiles (the acceptable row-sort; ties
@@ -3064,6 +3089,21 @@ private[graft] object CoreQueries3 {
          |    AS v_sq_ppm
          |FROM cells, dims, tt GROUP BY n_dow, n_types, nn""".stripMargin,
 
+
+    // calendar-day register -> dow register; cross-multiplied index on
+    // HUGEINT
+    "q201_dow_seasonality" ->
+      s"""WITH daily AS (SELECT epoch_us(ts) // $DayUs AS di, COUNT(*) AS n
+         |  FROM events GROUP BY 1),
+         |per AS (SELECT (di + 4) % 7 AS dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |    CAST(SUM(n) AS BIGINT) AS n_events
+         |  FROM daily GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_days) AS HUGEINT) AS td,
+         |    CAST(SUM(n_events) AS HUGEINT) AS te FROM per)
+         |SELECT dow, n_days, n_events,
+         |  CAST((CAST(n_events AS HUGEINT) * 1000000 * td)
+         |    // (CAST(n_days AS HUGEINT) * te) AS BIGINT) AS idx_ppm
+         |FROM per, t ORDER BY dow""".stripMargin,
 
     // three NTILE quintiles with the custkey tiebreak (rule-5 INTEGER
     // casts); HUGEINT spend per occupied grid cell

@@ -73,6 +73,30 @@ private[graft] object DedupQueries {
     }),
 
 
+    // CROSS-SOURCE duplication matrix — "which crawls duplicate each
+    // other": d2's exact near-dup pair set labeled with both endpoints'
+    // sources (two dimension joins on the pair-sized frame, zero new
+    // shuffles over the corpus), rolled up per unordered source pair
+    // (LEAST/GREATEST — string comparison is identical across engines).
+    // The curation call this answers: drop the whole overlapping source,
+    // or dedup pairwise?
+    "d39_cross_source_matrix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        numHashes = 8, shingleSize = 3, rowsPerBand = 2, minEstimate = 0.5)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")),
+          "id_a")
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")),
+          "id_b")
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    }),
+
+
     // incremental day-over-day dedup: the fresh 20% (doc_id % 5 = 0) pairs
     // against the persisted band table of the other 80% — history never
     // re-pairs itself; result ≡ full-corpus LSH restricted to ≥1-fresh pairs
@@ -602,6 +626,18 @@ private[graft] object DedupQueries {
       s"""WITH ${minhashPairsSql("documents")}
          |SELECT id_a, id_b, jaccard_est FROM mh_pairs WHERE jaccard_est >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // d2's pair CTE labeled with both endpoints' sources; unordered
+    // source-pair rollup
+    "d39_cross_source_matrix" ->
+      s"""WITH ${minhashPairsSql("documents")},
+         |sp AS (SELECT id_a, id_b FROM mh_pairs WHERE jaccard_est >= 0.5),
+         |lab AS (SELECT da.source AS sa, db.source AS sb
+         |  FROM sp p JOIN documents da ON p.id_a = da.doc_id
+         |  JOIN documents db ON p.id_b = db.doc_id)
+         |SELECT LEAST(sa, sb) AS source_a, GREATEST(sa, sb) AS source_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
 
     // the incremental path is pair-for-pair the full-corpus LSH minus

@@ -656,6 +656,38 @@ private[graft] object StreamingQueries {
       drained.orderBy("user_id")
     }),
 
+    // CHAINED STATEFUL pipeline — stream-stream interval join FEEDING a
+    // windowed aggregate (the conversion-funnel-per-day shape, two
+    // stateful operators in one topology). The join consumes the
+    // downstream watermark slack: a day window emits iff
+    // end + interval + delay < mt, STRICT (probed with crafted
+    // exact-boundary logs: ruled out 0/1h/3h cutoffs and the non-strict
+    // 2h form — the join can emit rows up to `interval` later than its
+    // inputs, so the agg's effective watermark is global wm minus the
+    // join interval, and the boundary itself holds).
+    "w32_stream_join_then_agg" -> ((s, d) => {
+      val clicks = Tables.eventsStream(s, d)
+        .where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          timestamp_micros(col("ts_us")).as("ct"))
+        .withWatermark("ct", "1 hour")
+      val purchases = Tables.eventsStream(s, d)
+        .where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          timestamp_micros(col("ts_us")).as("pt"))
+        .withWatermark("pt", "1 hour")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("pt") >= col("ct") &&
+          col("pt") <= col("ct") + expr("INTERVAL 1 HOUR"))
+      val agg = joined.groupBy(window(col("pt"), "1 day"))
+        .agg(count(lit(1)).as("n_conversions"))
+      StreamRun.toMemory(agg, "w32_sink", outputMode = "append")
+        .select(unix_micros(col("window.start")).as("day_us"),
+          col("n_conversions"))
+        .orderBy("day_us")
+    }),
+
     // STREAMING VECTOR INGEST against a frozen ANN index: the IVF
     // centroids are trained on the BATCH view at stream start (w19's
     // monitor-configuration rule) and arriving embeddings are assigned
@@ -1039,6 +1071,24 @@ private[graft] object StreamingQueries {
          |  FROM e GROUP BY 1)
          |SELECT day_us, n_events FROM dc, mx
          |WHERE day_us + $DayUs <= mx.wm ORDER BY day_us""".stripMargin,
+
+    // w7's join + daily rollup, gated at the probed STRICT chained
+    // cutoff: end + interval(1h) + delay(1h) < min-over-streams max ts
+    "w32_stream_join_then_agg" ->
+      s"""WITH c AS (SELECT user_id, epoch_us(ts) AS ct_us
+         |  FROM events WHERE event_type = 'click'),
+         |p AS (SELECT user_id, epoch_us(ts) AS pt_us
+         |  FROM events WHERE event_type = 'purchase'),
+         |mx AS (SELECT LEAST((SELECT MAX(ct_us) FROM c),
+         |    (SELECT MAX(pt_us) FROM p)) AS mt),
+         |j AS (SELECT p.pt_us FROM c JOIN p ON c.user_id = p.user_id
+         |  AND p.pt_us >= c.ct_us AND p.pt_us <= c.ct_us + 3600000000),
+         |dc AS (SELECT (pt_us // $DayUs) * $DayUs AS day_us,
+         |    CAST(COUNT(*) AS BIGINT) AS n_conversions
+         |  FROM j GROUP BY 1)
+         |SELECT day_us, n_conversions FROM dc, mx
+         |WHERE day_us + $DayUs + 7200000000 < mx.mt
+         |ORDER BY day_us""".stripMargin,
 
     // the shared frozen-index chain: streamed assignment == batch cells
     "w31_stream_ivf_ingest" ->

@@ -191,6 +191,16 @@ object Multimodal {
     val ids = cand.select(col("id_a").as("__aid"))
       .unionAll(cand.select(col("id_b").as("__aid"))).distinct()
     val docs = df.join(ids, col(idCol) === col("__aid"), "left_semi")
+    // sweep class (b): the packed-max n·2²¹ + (2²⁰ − shift) needs every
+    // frame index (hence |shift|) under 2²⁰ — enforce on the candidate
+    // media's lengths (one tiny agg over the semi-joined frame) instead of
+    // silently mis-electing on a ≥ ~16.8M-char buffer
+    val maxLen = docs.agg(max(length(col(textCol)).cast("long"))).head()
+    if (!maxLen.isNullAt(0)) require(
+      maxLen.getLong(0) < (1L << 20) * frameChars,
+      s"alignMedia: media text must stay under 2^20 frames " +
+        s"(${(1L << 20) * frameChars} chars at frameChars=$frameChars); " +
+        s"saw length ${maxLen.getLong(0)}")
     val fo = sampleFrames(docs, idCol, textCol, frameChars, stride = 1)
       .groupBy(col(idCol).as("fid"), col("frame_md5").as("h"))
       .agg(min(col("frame_idx")).as("fi"))

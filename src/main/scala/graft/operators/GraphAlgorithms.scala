@@ -386,7 +386,11 @@ object GraphAlgorithms {
     val adj = und.select(col("a").as("v"), col("b").as("z"))
       .unionAll(und.select(col("b").as("v"), col("a").as("z")))
     val degz = adj.groupBy("z").agg(count(lit(1)).as("dz"))
+    // both sides of the z-keyed self-join read this frame — without the
+    // checkpoint the whole adjacency + degree + filter chain computes twice
+    // (the checkpoint-self-join-sides rule; the frame is hub-cap-bounded)
     val adjc = adj.join(degz.filter(col("dz") <= maxHubDegree), "z")
+      .localCheckpoint(true)
     val pairs = adjc.select(col("z"), col("v").as("pa"), col("dz"))
       .join(adjc.select(col("z"), col("v").as("pb")), "z")
       .filter(col("pa") < col("pb"))

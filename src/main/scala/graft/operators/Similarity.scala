@@ -382,6 +382,14 @@ object Similarity {
   private def cellExpr(v: Column, centroids: Array[Array[Long]]): Column =
     array_min(array(probeCellStructs(v, centroids): _*)).getField("cell")
 
+  /** [[cellExpr]] surfaced as BIGINT — the single-source assignment
+    * formula for callers whose oracle rides a long cell column (w31's
+    * streaming ingest): same struct array_min, same lowest-cell tie-break
+    * as [[assignCells]], cast after the argmin so the election cannot
+    * drift from the batch path. */
+  def assignCellExprLong(v: Column, centroids: Array[Array[Long]]): Column =
+    cellExpr(v, centroids).cast("long")
+
   private def assignCells(vecs: DataFrame, centroids: Array[Array[Long]]): DataFrame =
     vecs.withColumn("cell", cellExpr(col("v"), centroids))
 

@@ -857,6 +857,14 @@ private[graft] object SimilarityQueries {
         .select(col("vec_id").as("id"), col("label"),
           quantize1000(col("embedding")).as("v"))
         .localCheckpoint(true)
+      // sweep class (b): the pk packing d2·2³¹ + nb is injective only for
+      // ids in [0, 2³¹) — enforce on the checkpointed frame (one tiny agg)
+      // instead of silently corrupting pos_id/neg_id and the min election
+      val idBounds = base.agg(min(col("id")), max(col("id"))).head()
+      if (!idBounds.isNullAt(0)) require(
+        idBounds.getLong(0) >= 0L && idBounds.getLong(1) < (1L << 31),
+        s"s49: vec_id must lie in [0, 2^31) for pk packing; saw " +
+          s"[${idBounds.getLong(0)}, ${idBounds.getLong(1)}]")
       val (cells, _) = Similarity.ivfIndexQuantized(
         base.select("id", "v"), nCentroids = 16, iterations = 5)
       val wc = base.join(cells, "id").localCheckpoint(true)

@@ -703,13 +703,11 @@ private[graft] object StreamingQueries {
         nCentroids = 16, iterations = 5)
       val stream = Tables.embeddingsStream(s, d)
         .select(col("vec_id").as("id"), quantize1000(col("embedding")).as("v"))
-      val cands = centroids.zipWithIndex.map { case (c, i) =>
-        val cn = c.map(x => x * x).sum
-        struct((lit(cn) - ldot(col("v"), typedlit(c.toSeq)) * 2L).as("d"),
-          lit(i.toLong).as("cell"))
-      }
+      // single-sourced assignment formula (Similarity.probeCellStructs via
+      // the long-cell variant) — the ingest election CANNOT drift from the
+      // batch assignCells path
       val assigned = stream.select(col("id"),
-        array_min(array(cands: _*)).getField("cell").as("cell"))
+        Similarity.assignCellExprLong(col("v"), centroids).as("cell"))
       StreamRun.toMemory(assigned, "w31_sink", outputMode = "append")
         .orderBy("id")
     }),

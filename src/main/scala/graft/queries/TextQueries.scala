@@ -849,21 +849,23 @@ private[graft] object TextQueries {
     // source (positional parallel unnest, 0-based ≡ posexplode; distance
     // 1..2 forward pairs + their reverses; dedup/self-loop removal happen
     // in the builder's `e` CTE exactly as the Spark side's pageRankPpm)
-    "t48_textrank_keywords" -> {
-      val wt = s"(SELECT doc_id, unnest($toksSql) AS w, " +
-        s"unnest(range(len($toksSql))) AS i FROM documents)"
+    // the token-position frame is hoisted into a scoped AS MATERIALIZED
+    // CTE (the q71 inlining rule): the four join-side references otherwise
+    // make DuckDB tokenize the corpus 4× per verification run
+    "t48_textrank_keywords" ->
       pageRankSql(iterations = 10, dampingPpm = 850000L,
         erawSql =
-          s"""  SELECT a.w AS src, b.w AS dst
-             |  FROM $wt a JOIN $wt b
+          s"""  WITH wt AS MATERIALIZED (SELECT doc_id, unnest($toksSql) AS w,
+             |    unnest(range(len($toksSql))) AS i FROM documents)
+             |  SELECT a.w AS src, b.w AS dst
+             |  FROM wt a JOIN wt b
              |    ON a.doc_id = b.doc_id AND b.i - a.i BETWEEN 1 AND 2 AND a.w <> b.w
              |  UNION ALL
              |  SELECT b.w AS src, a.w AS dst
-             |  FROM $wt a JOIN $wt b
+             |  FROM wt a JOIN wt b
              |    ON a.doc_id = b.doc_id AND b.i - a.i BETWEEN 1 AND 2 AND a.w <> b.w""".stripMargin,
         finalSelect = "SELECT vertex AS word, r AS rank_ppm FROM {r} " +
-          "ORDER BY rank_ppm DESC, word LIMIT 15")
-    },
+          "ORDER BY rank_ppm DESC, word LIMIT 15"),
 
 
     "t1_lang_id" ->

@@ -42,24 +42,86 @@ object GraphAlgorithms {
       edges: DataFrame,
       maxIter: Int = 50,
       localThreshold: Long = LocalEdgeThreshold): DataFrame = {
+    // NOT eagerly materialized: the local path collects it exactly once
+    // (driver union-find) and the distributed path reads it exactly once
+    // (the final mapping join) — an upfront checkpoint would be a pure
+    // extra materialization job on both
     val vertices = edges.select(col("src").as("vertex"))
       .union(edges.select(col("dst").as("vertex")))
       .distinct()
-      .localCheckpoint(true)
-
-    var e = edges.select(col("src").as("a"), col("dst").as("b"))
+    val orderable = locallyOrderable(vertices.schema.head.dataType)
+    val eRaw = edges.select(col("src").as("a"), col("dst").as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint(true)
 
-    val edgeCount = e.count()
-    if (edgeCount <= localThreshold && locallyOrderable(vertices.schema.head.dataType))
-      return localComponents(spark, vertices, e)
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    def stamp(label: String, t0: Long): Unit =
+      if (debug) println(f"[cc] $label (${(System.nanoTime() - t0) / 1e9}%.2f s)")
 
+    // PER-PARTITION PRE-CONTRACTION (the 100 TB cost cut): each partition
+    // union-finds its edge chunk and re-emits it as a locally-min-rooted
+    // star forest — a provably-safe contraction (original edge (a,b) in
+    // partition p ⇒ a,b stay connected through p's stars; no vertex of a
+    // ≥2-vertex component ever drops out), so connectivity over the FULL
+    // vertex set is preserved exactly. Union-find eats duplicate and
+    // repeated edges for free, so the raw edge log needs NO distinct
+    // shuffle first: pass 0 is completely shuffle-free and emits ≤
+    // min(m_p, n_p − c_p) rows per partition (task memory is O(distinct
+    // vertices per chunk) — bounded by the input split size, the standard
+    // pre-aggregation trade). Pass 1 then repartitions by the child key so
+    // one vertex's stars from different chunks merge; its output has one
+    // row per non-root vertex (globally distinct by construction). Most
+    // graphs land at ≤ localThreshold stars and finish with the driver
+    // union-find; the residual goes to the star loop, which now starts on
+    // a near-forest. Guarded by the same orderable test as the local path
+    // (the local min election needs Catalyst-consistent equality/ordering
+    // on raw values).
+    if (orderable) {
+      val tp0 = System.nanoTime()
+      var e = contractPartitions(eRaw).localCheckpoint(true)
+      var n = e.count()
+      stamp(s"pre-contract pass0 (shuffle-free): -> $n stars", tp0)
+      if (n > localThreshold) {
+        val tp1 = System.nanoTime()
+        val n0 = n
+        e = contractPartitions(e.repartition(col("a"))).localCheckpoint(true)
+        n = e.count()
+        stamp(s"pre-contract pass1 (child-keyed): $n0 -> $n stars", tp1)
+      }
+      if (n <= localThreshold) {
+        val tl = System.nanoTime()
+        val r = localComponents(spark, vertices, e)
+        stamp(s"local finish on $n star edges", tl)
+        return r
+      }
+      val tLoop = System.nanoTime()
+      val r = starLoop(spark, vertices.localCheckpoint(true), e, maxIter, stamp)
+      stamp("star loop total", tLoop)
+      return r
+    }
+
+    // non-orderable vertex types (binary/array/struct): raw-value driver
+    // maps would silently mis-unify, so both the local path and the
+    // contraction are off — dedup with a distinct and run the star loop
+    val e = eRaw.distinct().localCheckpoint(true)
+    starLoop(spark, vertices.localCheckpoint(true), e, maxIter, stamp)
+  }
+
+  /** The alternating large-star/small-star contraction loop (Kiveris et
+    * al.) over a deduplicated edge frame, with the (count, hash-xor)
+    * fingerprint convergence test. Factored out so both the orderable
+    * (pre-contracted) and non-orderable entry paths share one loop. */
+  private def starLoop(
+      spark: SparkSession,
+      vertices: DataFrame,
+      edges0: DataFrame,
+      maxIter: Int,
+      stamp: (String, Long) => Unit): DataFrame = {
+    var e = edges0
     var converged = e.isEmpty
     var lastFp = (-1L, -1L)
     var iter = 0
     while (!converged && iter < maxIter) {
+      val tr = System.nanoTime()
       // LARGE-STAR: every vertex u links its strictly-larger neighbors to
       // min(Γ(u) ∪ {u}).
       val sym = e.select(col("a").as("u"), col("b").as("v"))
@@ -91,12 +153,54 @@ object GraphAlgorithms {
       lastFp = fp
       e = small
       iter += 1
+      stamp(s"star round $iter: ${fp._1} edges", tr)
     }
 
     // converged edge set is a star forest (child -> component root)
     val mapping = e.select(col("a").as("vertex"), col("b").as("component"))
     vertices.join(mapping, Seq("vertex"), "left")
       .select(col("vertex"), coalesce(col("component"), col("vertex")).as("component"))
+  }
+
+  /** One per-partition contraction pass over an (a, b) edge frame: local
+    * union-find with path compression, re-emitted as the partition's
+    * star forest (child → local-min root, one row per non-root vertex —
+    * distinct by construction, ≤ min(m_p, n_p − c_p) rows). Callers must
+    * hold the [[locallyOrderable]] guard: the raw-value HashMap needs
+    * boxed equality ≡ Catalyst equality (binary/struct vertices would
+    * silently mis-unify, same reason the local path is guarded). */
+  private def contractPartitions(e: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(e.schema)
+    e.mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x: Any): Any = {
+        var root = x
+        var p = parent.getOrDefault(root, root)
+        while (p != root) { root = p; p = parent.getOrDefault(root, root) }
+        var cur = x
+        while (cur != root) { val nxt = parent.get(cur); parent.put(cur, root); cur = nxt }
+        root
+      }
+      val verts = new java.util.HashSet[Any]()
+      it.foreach { r =>
+        val a = r.get(0); val b = r.get(1)
+        verts.add(a); verts.add(b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent.put(ra, rb)
+      }
+      val minOf = new java.util.HashMap[Any, Any]()
+      verts.forEach { v =>
+        val r = find(v)
+        val cur = minOf.get(r)
+        if (cur == null || localLt(v, cur)) minOf.put(r, v)
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      verts.forEach { v =>
+        val m = minOf.get(find(v))
+        if (v != m) out += org.apache.spark.sql.Row(v, m)
+      }
+      out.iterator
+    }(enc)
   }
 
   /** Vertex types the driver-side paths handle with Spark-identical

@@ -726,6 +726,40 @@ private[graft] object StreamingQueries {
         .orderBy(desc("n_events"), col("user_id"))
     }),
 
+    // NATIVE STATE TTL on transformWithState (w22 + TTLConfig — the
+    // reference's per-store TTL, StateConf.java:30-31, on the Spark 4
+    // managed-state path): the keep-last-5 ListState AND the lifetime
+    // ValueState both carry a 1-hour PROCESSING-time TTL (TTL requires
+    // TimeMode.ProcessingTime). The replayed-log drain completes far
+    // inside the TTL horizon by construction — the processing-time
+    // analogue of the w19 monitor-config rule — so no state expires
+    // mid-drain and the drained final window ≡ batch keep-last-5 with
+    // the per-user lifetime count, which is what the oracle asserts.
+    // The ACTUAL expiry (an idle key's window and count read as absent
+    // once TTL passes between batches) is pinned by TwsOpsSpec's
+    // two-batch sleep-past-TTL drain.
+    "w33_stream_keeplastn_ttl" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.eventsStream(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+        .as[TwsEvent]
+      // toMemoryDrainStop, not toMemory: processing-time TTL keeps
+      // shouldRunAnotherBatch true, so an AvailableNow drain never
+      // self-terminates (see StreamRun scaladoc)
+      val drained = TwsOps.withRocksDb(s) {
+        StreamRun.toMemoryDrainStop(
+          TwsOps.keepLastNTtl(ev, n = 5, java.time.Duration.ofHours(1)).toDF(),
+          "w33_sink", outputMode = "append")
+      }.localCheckpoint(true)
+      val latest = drained.groupBy(col("user_id").as("u"))
+        .agg(max(col("n_seen")).as("mx"))
+      drained.join(latest,
+          col("user_id") === col("u") && col("n_seen") === col("mx"))
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type"), col("n_seen"))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
     // DYNAMIC-GAP session windows: the gap is a per-row EXPRESSION
     // (purchases close a session after 30 min, everything else after 1 h)
     // — the session_window API surface w4's fixed gap doesn't touch. The
@@ -991,6 +1025,17 @@ private[graft] object StreamingQueries {
         |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM events)
         |WHERE rn <= 3 ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    // TTL ≫ drain duration ⇒ nothing expires mid-drain: final window =
+    // batch keep-last-5, n_seen = the per-user lifetime count
+    "w33_stream_keeplastn_ttl" ->
+      """SELECT user_id, ts_us, event_id, event_type, n_seen
+        |FROM (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_seen
+        |  FROM events)
+        |WHERE rn <= 5 ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     // final MapState registers ≡ the batch (user, type) counts
     "w23_stream_type_profile" ->

@@ -48,4 +48,37 @@ object StreamRun {
     }
     df.sparkSession.table(name)
   }
+
+  /** [[toMemory]] for topologies whose stateful operator never lets the
+    * AvailableNow trigger SELF-terminate: processing-time-TTL'd state
+    * (transformWithState + TTLConfig, which Spark only allows in
+    * TimeMode.ProcessingTime) keeps `shouldRunAnotherBatch` true on every
+    * batch — the engine idles zero-input batches forever to advance
+    * processing time for expiry (probed round 12: both
+    * `processAllAvailable()` and an AvailableNow `awaitTermination()` hang
+    * indefinitely). AvailableNow consumes every available file BEFORE
+    * idling, so the source is fully drained exactly when a completed batch
+    * reports zero input rows — poll `lastProgress` for that state, then
+    * stop the query explicitly. Emissions happen only in data batches, so
+    * the stopped sink table is complete. */
+  def toMemoryDrainStop(df: DataFrame, prefix: String,
+      outputMode: String = "append", timeoutSec: Long = 300L): DataFrame = {
+    val name = s"${prefix}_${counter.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val deadline = System.nanoTime() + timeoutSec * 1000000000L
+    def drained: Boolean = {
+      val p = q.lastProgress
+      p != null && p.numInputRows == 0L
+    }
+    while (!drained && System.nanoTime() < deadline) Thread.sleep(100L)
+    val ok = drained
+    q.stop()
+    q.awaitTermination()
+    require(ok,
+      s"$prefix: drain never reached a zero-input batch within ${timeoutSec}s")
+    df.sparkSession.table(name)
+  }
 }

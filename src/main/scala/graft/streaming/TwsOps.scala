@@ -68,17 +68,25 @@ object TwsOps {
   /** Keep-last-N per key as transformWithState ListState — the streaming
     * form of the reference's keep-last-N CDC listener (R8, q7): state is
     * the current ≤N-element window ordered by (ts_us, event_id), merged
-    * and re-trimmed on every arrival batch. */
-  private class KeepLastNProcessor(n: Int)
+    * and re-trimmed on every arrival batch.
+    *
+    * `ttl` is Spark 4's NATIVE state TTL (the reference's per-store TTL
+    * config, StateConf.java:30-31 / read-side expiry MemStore.java:140-154,
+    * on the managed-state path): both the window ListState and the
+    * lifetime counter expire `ttl` of PROCESSING time after their last
+    * write — an idle key's window and count reset, exactly the read-side
+    * expiry rule (state the store hasn't touched for TTL reads as absent).
+    * TTLConfig.NONE keeps the w22 keep-forever behavior. */
+  private class KeepLastNProcessor(n: Int, ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[Long, TwsEvent, TwsKept] {
     @transient private var kept: ListState[TwsEvent] = _
     @transient private var seen: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       kept = getHandle.getListState[TwsEvent]("kept",
-        Encoders.product[TwsEvent], TTLConfig.NONE)
+        Encoders.product[TwsEvent], ttl)
       seen = getHandle.getValueState[Long]("seen",
-        Encoders.scalaLong, TTLConfig.NONE)
+        Encoders.scalaLong, ttl)
     }
 
     override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
@@ -100,6 +108,19 @@ object TwsOps {
     ev.groupByKey(_.user_id)(Encoders.scalaLong)
       .transformWithState(new KeepLastNProcessor(n),
         TimeMode.None(), OutputMode.Append())
+  }
+
+  /** [[keepLastN]] with NATIVE state TTL (w33): Spark requires
+    * TimeMode.ProcessingTime when any state is TTL'd — with no timers
+    * registered the per-batch semantics are otherwise identical to the
+    * TimeMode.None form, plus the read-side expiry of idle keys' state. */
+  def keepLastNTtl(ev: Dataset[TwsEvent], n: Int,
+      ttl: java.time.Duration): Dataset[TwsKept] = {
+    implicit val keptEnc: org.apache.spark.sql.Encoder[TwsKept] =
+      Encoders.product[TwsKept]
+    ev.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new KeepLastNProcessor(n, TTLConfig(ttl)),
+        TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
   /** Running per-(key, event_type) counts as transformWithState MapState —

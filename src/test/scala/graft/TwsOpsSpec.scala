@@ -50,6 +50,49 @@ class TwsOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap shouldBe Map(1L -> 5L, 2L -> 1L, 3L -> 1L)
   }
 
+  "TwsOps.keepLastNTtl" should "expire an idle key's window and count once the TTL passes between batches" in withRocks {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[TwsEvent]
+    // 2s processing-time TTL; the inter-batch sleep (6s) is 3x the TTL so
+    // the expiry is not timing-sensitive. NB processAllAvailable() NEVER
+    // RETURNS under TimeMode.ProcessingTime — TTL'd state keeps
+    // shouldRunAnotherBatch true, so the engine runs idle batches forever
+    // (that idling is also what advances processing time past the TTL
+    // here); poll the sink's row count instead.
+    val q = TwsOps.keepLastNTtl(input.toDS(), n = 3,
+        java.time.Duration.ofSeconds(2)).toDF()
+      .writeStream.format("memory").queryName("tws_keep_ttl")
+      .outputMode("append").start()
+    def awaitRows(n: Long): Unit = {
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (spark.table("tws_keep_ttl").count() < n &&
+        System.nanoTime() < deadline) Thread.sleep(200L)
+      spark.table("tws_keep_ttl").count() should be >= n
+    }
+    try {
+      // batch 1 emits user 1's merged 3-window + user 2's single row
+      input.addData(batch1); awaitRows(4L)
+      Thread.sleep(6000L)
+      // batch 2: user 1's state EXPIRED -> only its 2 fresh rows; user 3 new
+      input.addData(batch2); awaitRows(7L)
+    } finally q.stop()
+    // assert the EXACT emission set — NOT the w22 argmax-n_seen dedup: a
+    // TTL reset restarts the counter, so "largest tag = latest" no longer
+    // holds after an expiry (which is exactly why the w33 gate's argmax is
+    // legal only under its TTL ≫ drain-duration precondition)
+    val drained = spark.table("tws_keep_ttl")
+      .select("user_id", "ts_us", "event_id", "n_seen")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    drained shouldBe Set(
+      // batch 1: user 1's merged 3-window tagged with its count 3
+      (1L, 100L, 1L, 3L), (1L, 200L, 2L, 3L), (1L, 300L, 3L, 3L),
+      // batch 2 AFTER the 3x-TTL sleep: user 1's window AND lifetime
+      // counter expired — only the fresh rows, count restarted at 2
+      // (keepLastN without TTL emits (250,300,400) tagged 5 here)
+      (1L, 250L, 5L, 2L), (1L, 400L, 6L, 2L),
+      (2L, 150L, 4L, 1L), (3L, 500L, 7L, 1L))
+  }
+
   "TwsOps.typeCounts" should "accumulate MapState across batches; max(n) is the final register" in withRocks {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[TwsEvent]

@@ -1621,6 +1621,27 @@ private[graft] object CoreQueries3 {
     }),
 
 
+    // §2.6d DATE-TIME PARSE oracle (VERDICT r11 #7 — the last spec-only
+    // row a DuckDB oracle can reach): both reference formats
+    // (EventTime.java:92-102 — ISO offset via the default parser, the
+    // legacy dd.MM.yyyy HH:mm:ssx via the explicit pattern) parsed by
+    // core.EventTimes.parseEventTimeUs on strings DERIVED in-engine from
+    // the event log (zero-padded integer component formatting is
+    // bit-identical across engines; the '+02:00'/'+02' offsets are
+    // appended constants, so the parsed UTC epoch = formatted wall time
+    // − 2h on both sides — DuckDB mirrors with strptime %z).
+    "q202_event_time_parse" -> ((s, d) => {
+      val t = timestamp_micros(col("ts_us"))
+      val iso = concat(date_format(t, "yyyy-MM-dd'T'HH:mm:ss"), lit("+02:00"))
+      val euro = concat(date_format(t, "dd.MM.yyyy HH:mm:ss"), lit("+02"))
+      Tables.events(s, d)
+        .select(col("event_id"), iso.as("iso_str"), euro.as("euro_str"),
+          graft.core.EventTimes.parseEventTimeUs(iso).as("iso_us"),
+          graft.core.EventTimes.parseEventTimeUs(euro).as("euro_us"))
+        .orderBy("event_id")
+    }),
+
+
     // RFM SEGMENTATION — the classic CRM grid: customers scored 1-5 on
     // Recency (last order date), Frequency (order count) and Monetary
     // (spend cents) via NTILE quintiles (the acceptable row-sort; ties
@@ -3104,6 +3125,19 @@ private[graft] object CoreQueries3 {
          |  CAST((CAST(n_events AS HUGEINT) * 1000000 * td)
          |    // (CAST(n_days AS HUGEINT) * te) AS BIGINT) AS idx_ppm
          |FROM per, t ORDER BY dow""".stripMargin,
+
+    // real strptime parses on both formats (%z accepts '+02:00' AND the
+    // minute-less '+02' — probed), so the oracle exercises actual parsing,
+    // not epoch arithmetic
+    "q202_event_time_parse" ->
+      """WITH s AS (SELECT event_id,
+        |    strftime(ts, '%Y-%m-%dT%H:%M:%S') || '+02:00' AS iso_str,
+        |    strftime(ts, '%d.%m.%Y %H:%M:%S') || '+02' AS euro_str
+        |  FROM events)
+        |SELECT event_id, iso_str, euro_str,
+        |  epoch_us(strptime(iso_str, '%Y-%m-%dT%H:%M:%S%z')) AS iso_us,
+        |  epoch_us(strptime(euro_str, '%d.%m.%Y %H:%M:%S%z')) AS euro_us
+        |FROM s ORDER BY event_id""".stripMargin,
 
     // three NTILE quintiles with the custkey tiebreak (rule-5 INTEGER
     // casts); HUGEINT spend per occupied grid cell

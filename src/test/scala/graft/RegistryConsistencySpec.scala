@@ -41,4 +41,13 @@ class RegistryConsistencySpec extends AnyFlatSpec with Matchers {
   it should "name every query with a known domain prefix" in {
     all(SparkEntry.queries.keys.toSeq) should fullyMatch regex "[qtdsmpw]\\d+_[a-z0-9_]+"
   }
+
+  // DocTool's hand-maintained list silently missed StreamingQueries for a
+  // session (r10): a registry present here (≡ SparkEntry) but absent from
+  // DocTool.registries now fails at spec time instead of shipping
+  // truncated DOCS.md
+  it should "render every registry in DocTool" in {
+    DocTool.registries.map(_._1).toSet shouldBe registries.map(_._1).toSet
+    DocTool.registries.flatMap(_._2.keys).toSet shouldBe SparkEntry.queries.keySet
+  }
 }

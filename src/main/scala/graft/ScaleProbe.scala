@@ -57,7 +57,15 @@ object ScaleProbe {
     // TextRank, within-cell triplet mining, frame-window shot runs)
     "q194_link_prediction", "q196_gini_concentration",
     "t48_textrank_keywords", "s49_hard_negatives", "m7_shot_boundaries",
-    "m8_media_alignment", "d39_cross_source_matrix")
+    "m8_media_alignment", "d39_cross_source_matrix",
+    // round-12: the four most expensive bench queries are STREAMING
+    // (w32/w27/w26/w30, 4-8s fixed drain overhead at sf0.1) — their
+    // claimed constant-overhead scaling gets one-decade evidence here
+    // (each drains a real SS job over the inflated events log), plus the
+    // new TTL'd transformWithState drain and the r12 survival register
+    "w26_stream_outer_join", "w27_stream_full_outer_join", "w30_stream_idle_expiry",
+    "w32_stream_join_then_agg", "w33_stream_keeplastn_ttl",
+    "q203_censored_hazard")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -568,8 +568,16 @@ private[graft] object CoreQueries1 {
         .groupBy("user_id")
         .agg(
           count(lit(1)).as("n_intervals"),
-          (sum((col("cents") * col("dur_us")).cast("decimal(38,0)")).cast("double") /
-            sum(col("dur_us").cast("decimal(38,0)")).cast("double")).as("twa_cents"))
+          sum((col("cents") * col("dur_us")).cast("decimal(38,0)")).as("tp"),
+          sum(col("dur_us").cast("decimal(38,0)")).as("td"))
+        // div class (a): a user whose history is all at ONE instant has
+        // zero total duration (legal; ANSI throws even on DOUBLE /) —
+        // the time-weighted average is undefined there → NULL both sides
+        // (degenerate-world gate r12)
+        .select(col("user_id"), col("n_intervals"),
+          when(col("td") > 0,
+            col("tp").cast("double") / col("td").cast("double"))
+            .as("twa_cents"))
         .orderBy("user_id")
     }),
 
@@ -1199,7 +1207,9 @@ private[graft] object CoreQueries1 {
         |      ORDER BY epoch_us(ts), event_id) AS vt
         |  FROM events)
         |SELECT user_id, COUNT(*) AS n_intervals,
-        |  (CAST(SUM(cents*(vt-vf)) AS DOUBLE)) / (CAST(SUM(vt-vf) AS DOUBLE)) AS twa_cents
+        |  CASE WHEN SUM(vt-vf) > 0 THEN
+        |    (CAST(SUM(cents*(vt-vf)) AS DOUBLE)) / (CAST(SUM(vt-vf) AS DOUBLE))
+        |  END AS twa_cents
         |FROM h WHERE vt IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 

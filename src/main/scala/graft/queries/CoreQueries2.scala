@@ -697,8 +697,12 @@ private[graft] object CoreQueries2 {
         .agg(count(lit(1)).as("n"))
       val pairs = hc.select(col("h"), col("n").as("n0"))
         .join(hc.select((col("h") + 24L).as("h"), col("n").as("n24")), "h")
+      // GLOBAL aggregate + literal series attached after: grouping BY the
+      // constant literal emits ZERO rows when the lag join is empty (a
+      // sub-24h log is legal — degenerate-world gate r12) while the
+      // oracle's global-aggregate CTE emits its (n=0, corr NULL) row
+      Analytics.groupedCorrelation(pairs, Seq.empty, "n0", "n24")
         .withColumn("series", lit("hourly_lag24"))
-      Analytics.groupedCorrelation(pairs, Seq("series"), "n0", "n24")
         .orderBy("series")
     }),
 

@@ -1459,8 +1459,10 @@ private[graft] object CoreQueries3 {
       val pairs = daily.select(col("di").as("i"), col("cents").as("ci"))
         .crossJoin(broadcast(daily.select(col("di").as("j"), col("cents").as("cj"))))
         .filter(col("j") > col("i"))
-      val sStat = pairs.agg(sum(when(col("cj") > col("ci"), 1L)
-        .when(col("cj") < col("ci"), -1L).otherwise(0L)).as("s_stat"))
+      // coalesce: a single-day log has NO pairs and the empty global sum
+      // is NULL, while the oracle COALESCEs to 0 (degenerate-world gate r12)
+      val sStat = pairs.agg(coalesce(sum(when(col("cj") > col("ci"), 1L)
+        .when(col("cj") < col("ci"), -1L).otherwise(0L)), lit(0L)).as("s_stat"))
       val base = daily.agg(count(lit(1)).as("n_days"))
       val tieTerm = daily.groupBy("cents").agg(count(lit(1)).as("t"))
         .agg(coalesce(sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L)),
@@ -1590,8 +1592,11 @@ private[graft] object CoreQueries3 {
         val pairs = dc.select(col("di"), col("n").as("n0"))
           .join(dc.select((col("di") + lag.toLong).as("di"), col("n").as("nl")),
             "di")
+        // global agg + literal after, NOT groupBy(literal): an empty lag
+        // join must still emit its (n=0, corr NULL) row like the oracle's
+        // global-aggregate CTE (degenerate-world gate r12)
+        Analytics.groupedCorrelation(pairs, Seq.empty, "n0", "nl")
           .withColumn("series", lit(s"day_lag$lag"))
-        Analytics.groupedCorrelation(pairs, Seq("series"), "n0", "nl")
       }.reduce(_ unionByName _).orderBy("series")
     }),
 
@@ -1618,6 +1623,47 @@ private[graft] object CoreQueries3 {
             dec(col("n_events")) * dec(lit(1000000L)) * dec(col("td")),
             dec(col("n_days")) * dec(col("te"))).as("idx_ppm"))
         .orderBy("dow")
+    }),
+
+
+    // RIGHT-CENSORED Nelson–Aalen cumulative hazard of order→ship delay —
+    // survival analysis with real censoring (q157's curve is an
+    // uncensored lifespan histogram; here items unshipped by the
+    // administrative cutoff C are CENSORED at C and leave the risk set
+    // without counting as events — dropping them instead would bias the
+    // hazard up). Definitions (mirrored in the oracle): rows are
+    // ship ≥ order lineitems ordered by C; T_day = (min(ship, C) − order)
+    // days, event = shipped ≤ C; per event time t: d(t) events,
+    // n(t) = #{T ≥ t} at risk, hazard term d·1e6 div n (n ≥ d ≥ 1
+    // structurally, sweep class (c)), H(t) = running sum — the q144
+    // staged-floor convention, deterministic on both engines. Everything
+    // past the one delay-register groupBy runs on the distinct-delay
+    // frame (two windows over ~2.4k register rows, never 600k items).
+    "q203_censored_hazard" -> ((s, d) => {
+      val C = 915148800000000L // 1999-01-01T00:00:00Z
+      val base = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(Tables.epochUs(col("o_orderdate")).as("order_us"),
+          Tables.epochUs(col("l_shipdate")).as("ship_us"))
+        .filter(col("ship_us") >= col("order_us") && col("order_us") <= C)
+        .select(
+          expr(s"(least(ship_us, ${C}L) - order_us) div $DayUs").as("t_day"),
+          (col("ship_us") <= C).as("event"))
+      val reg = base.groupBy("t_day")
+        .agg(sum(when(col("event"), 1L).otherwise(0L)).as("d_events"),
+          count(lit(1)).as("nt"))
+      val atRisk = Window.orderBy(col("t_day").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = Window.orderBy(col("t_day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      reg.withColumn("n_at_risk", sum(col("nt")).over(atRisk))
+        .filter(col("d_events") >= 1L)
+        .withColumn("hazard_ppm",
+          expr("(d_events * 1000000) div n_at_risk"))
+        .withColumn("cum_hazard_ppm", sum(col("hazard_ppm")).over(cum))
+        .select(col("t_day"), col("d_events"), col("n_at_risk"),
+          col("hazard_ppm"), col("cum_hazard_ppm"))
+        .orderBy("t_day")
     }),
 
 
@@ -1690,8 +1736,10 @@ private[graft] object CoreQueries3 {
         val pairs = dc.select(col("di"), col("n").as("x"))
           .join(dp.select((col("di") - lag.toLong).as("di"), col("n").as("y")),
             "di")
+        // global agg + literal after, NOT groupBy(literal) — the empty-lag
+        // row rule, see q191 (degenerate-world gate r12)
+        Analytics.groupedCorrelation(pairs, Seq.empty, "x", "y")
           .withColumn("series", lit(s"lag_$tag"))
-        Analytics.groupedCorrelation(pairs, Seq("series"), "x", "y")
       }.reduce(_ unionByName _).orderBy("series")
     }),
 
@@ -3125,6 +3173,34 @@ private[graft] object CoreQueries3 {
          |  CAST((CAST(n_events AS HUGEINT) * 1000000 * td)
          |    // (CAST(n_days AS HUGEINT) * te) AS BIGINT) AS idx_ppm
          |FROM per, t ORDER BY dow""".stripMargin,
+
+    // the delay register + DESC at-risk window + ASC cumulative-hazard
+    // window, per-term floors staged exactly as the Spark side
+    "q203_censored_hazard" ->
+      """WITH base AS (SELECT
+        |    (least(epoch_us(l.l_shipdate), 915148800000000)
+        |      - epoch_us(o.o_orderdate)) // 86400000000 AS t_day,
+        |    epoch_us(l.l_shipdate) <= 915148800000000 AS event
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE epoch_us(l.l_shipdate) >= epoch_us(o.o_orderdate)
+        |    AND epoch_us(o.o_orderdate) <= 915148800000000),
+        |reg AS (SELECT t_day,
+        |    CAST(SUM(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS d_events,
+        |    CAST(COUNT(*) AS BIGINT) AS nt
+        |  FROM base GROUP BY t_day),
+        |risk AS (SELECT t_day, d_events,
+        |    CAST(SUM(nt) OVER (ORDER BY t_day DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS n_at_risk
+        |  FROM reg),
+        |h AS (SELECT t_day, d_events, n_at_risk,
+        |    CAST((d_events * 1000000) // n_at_risk AS BIGINT) AS hazard_ppm
+        |  FROM risk WHERE d_events >= 1)
+        |SELECT t_day, d_events, n_at_risk, hazard_ppm,
+        |  CAST(SUM(hazard_ppm) OVER (ORDER BY t_day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_hazard_ppm
+        |FROM h ORDER BY t_day""".stripMargin,
 
     // real strptime parses on both formats (%z accepts '+02:00' AND the
     // minute-less '+02' — probed), so the oracle exercises actual parsing,

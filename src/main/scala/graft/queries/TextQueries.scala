@@ -259,7 +259,9 @@ private[graft] object TextQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tok")).as("tokens"),
           sum(col("n_types")).as("types"))
-        .withColumn("ttr_ppm", expr("(types * 1000000) div tokens"))
+        // div class (a): a decile of all-EMPTY documents is legal input
+        // (tokens = 0 → ttr 0; caught by the degenerate-world gate r12)
+        .withColumn("ttr_ppm", expr("(types * 1000000) div greatest(tokens, 1)"))
         .orderBy("decile")
     }),
 
@@ -1087,7 +1089,7 @@ private[graft] object TextQueries {
          |SELECT decile, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tokens,
          |  CAST(SUM(n_types) AS BIGINT) AS types,
          |  CAST((CAST(SUM(n_types) AS BIGINT) * 1000000)
-         |    // CAST(SUM(n_tok) AS BIGINT) AS BIGINT) AS ttr_ppm
+         |    // greatest(CAST(SUM(n_tok) AS BIGINT), 1) AS BIGINT) AS ttr_ppm
          |FROM dd GROUP BY 1 ORDER BY 1""".stripMargin,
 
 

@@ -49,6 +49,7 @@ object S19Probe {
           col("__q").as("q")))).as("iv"))
         .filter(size(col("iv")) <= 40L)
 
+      val (nRatings, tRat) = best2(ratings.count())
       val (nUsers, tBuild) = best2(byUserF.count())
       val byUser = byUserF.localCheckpoint(true)
       val (nItems, tNorm) = best2(byUser.select(explode(col("iv")).as("e"))
@@ -60,9 +61,9 @@ object S19Probe {
         .agg(sum(col("a.q") * col("b.q"))).count())
       val (_, tFull) = best2(
         SparkEntry.queries("s19_item_cosine")(spark, d).count())
-      println(f"$d: users_capped=$nUsers items=$nItems pair_groups=$nPairs " +
-        f"build=$tBuild%.2f s norms=$tNorm%.2f s pair_dots=$tDots%.2f s " +
-        f"full_query=$tFull%.2f s")
+      println(f"$d: ratings=$nRatings users_capped=$nUsers items=$nItems " +
+        f"pair_groups=$nPairs ratings_agg=$tRat%.2f s build=$tBuild%.2f s " +
+        f"norms=$tNorm%.2f s pair_dots=$tDots%.2f s full_query=$tFull%.2f s")
     }
     spark.stop()
   }

@@ -75,9 +75,7 @@ object Tables {
     val schema = s.read.parquet(path(d, "events")).schema
     // FileStreamSource requires a DIRECTORY path; select the single log
     // file with a glob filter over the testdata dir
-    val raw = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
+    val raw = streamRead(s, d, "events", schema)
     raw.withColumn("ts_us", tsUsOf(schema)).drop("ts")
   }
 
@@ -87,9 +85,7 @@ object Tables {
   def documentsStream(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val schema = s.read.parquet(path(d, "documents")).schema
-    s.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(d)
+    streamRead(s, d, "documents", schema)
   }
 
   /** Structured-Streaming view of the embeddings table — the streaming
@@ -99,9 +95,23 @@ object Tables {
   def embeddingsStream(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val schema = s.read.parquet(path(d, "embeddings")).schema
-    s.readStream.schema(schema)
-      .option("pathGlobFilter", "embeddings.parquet")
-      .parquet(d)
+    streamRead(s, d, "embeddings", schema)
+  }
+
+
+  /** Layout-adaptive FileStreamSource reader shared by every *Stream view.
+    * Driver testdata ships each table as ONE parquet FILE (stream the
+    * parent dir with a pathGlobFilter — FileStreamSource needs a
+    * directory), but Spark-written tables (ScaleProbe's inflated sf1
+    * world) are DIRECTORIES of part files, where that glob matches
+    * NOTHING and a stream silently drains empty (caught r12: every
+    * streaming sf1 probe ratio read 0.0x). A directory streams directly. */
+  private def streamRead(s: SparkSession, d: String, name: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val p = path(d, name)
+    if (new java.io.File(p).isDirectory) s.readStream.schema(schema).parquet(p)
+    else s.readStream.schema(schema)
+      .option("pathGlobFilter", s"$name.parquet").parquet(d)
   }
 
   /** Epoch microseconds of any timestamp/timestamp_ntz column (session tz is

@@ -1626,6 +1626,53 @@ private[graft] object CoreQueries3 {
     }),
 
 
+    // CRAMÉR–VON MISES two-sample drift between early and late order
+    // prices (q183's KS companion: CvM integrates the SQUARED ECDF gap
+    // over the pooled sample, so it is sensitive to distributed shape
+    // drift a single max-gap statistic can miss). Exact on the
+    // distinct-price register: with per-value counts (a,b), cumulative
+    // (A,B) and totals (n,m), T = Σ (a+b)·(A·m − B·n)² / (n·m·N²) — all
+    // integer on decimal(38,0); the two stage divisions compose exactly
+    // (⌊⌊x/p⌋/q⌋ = ⌊x/(pq)⌋ on positives) and keep every operand under
+    // decimal38 to ~1e6 rows per side (beyond that, pre-aggregate — the
+    // modularity headroom rule). Empty side ⇒ T undefined ⇒ NULL (CASE'd
+    // both engines — the degenerate single-day world takes this branch).
+    // Decision at the α=0.05 critical value 0.461.
+    "q204_cvm_drift" -> ((s, d) => {
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      val C = 899251200000000L // 1998-07-01T00:00:00Z
+      val reg = Tables.orders(s, d)
+        .select(round(col("o_totalprice") * 100).cast("long").as("cents"),
+          (Tables.epochUs(col("o_orderdate")) < C).as("isx"))
+        .groupBy("cents")
+        .agg(sum(when(col("isx"), 1L).otherwise(0L)).as("a"),
+          sum(when(!col("isx"), 1L).otherwise(0L)).as("b"))
+      val w = Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = reg
+        .withColumn("ca", sum(col("a")).over(w))
+        .withColumn("cb", sum(col("b")).over(w))
+      val tot = reg.agg(
+        coalesce(sum(col("a")), lit(0L)).as("n_x"),
+        coalesce(sum(col("b")), lit(0L)).as("n_y"))
+      val gap = dec(col("ca")) * dec(col("n_y")) - dec(col("cb")) * dec(col("n_x"))
+      val s2f = cum.crossJoin(broadcast(tot))
+        .agg(coalesce(sum(dec(col("a") + col("b")) * gap * gap),
+          lit(0L).cast("decimal(38,0)")).as("s2"))
+      val cvm = call_function("div",
+        dec(call_function("div", col("s2") * lit(1000000L),
+          dec(col("n_x")) * dec(col("n_y")))),
+        dec(col("n_x") + col("n_y")) * dec(col("n_x") + col("n_y")))
+      tot.crossJoin(broadcast(s2f))
+        .select(col("n_x"), col("n_y"),
+          when(col("n_x") > 0 && col("n_y") > 0, cvm).as("cvm_ppm"))
+        .withColumn("verdict",
+          when(col("cvm_ppm").isNull, lit(null).cast("string"))
+            .when(col("cvm_ppm") >= 461000L, lit("drift"))
+            .otherwise(lit("none")))
+    }),
+
+
     // RIGHT-CENSORED Nelson–Aalen cumulative hazard of order→ship delay —
     // survival analysis with real censoring (q157's curve is an
     // uncensored lifespan histogram; here items unshipped by the
@@ -3173,6 +3220,38 @@ private[graft] object CoreQueries3 {
          |  CAST((CAST(n_events AS HUGEINT) * 1000000 * td)
          |    // (CAST(n_days AS HUGEINT) * te) AS BIGINT) AS idx_ppm
          |FROM per, t ORDER BY dow""".stripMargin,
+
+    // the same register/cumulative/total CTEs on HUGEINT; the two stage
+    // floors compose exactly on positives, empty side CASEs to NULL
+    "q204_cvm_drift" ->
+      """WITH v AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+        |    epoch_us(o_orderdate) < 899251200000000 AS isx FROM orders),
+        |reg AS (SELECT cents,
+        |    CAST(SUM(CASE WHEN isx THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN isx THEN 0 ELSE 1 END) AS BIGINT) AS b
+        |  FROM v GROUP BY cents),
+        |cum AS (SELECT a, b,
+        |    CAST(SUM(a) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+        |    CAST(SUM(b) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb
+        |  FROM reg),
+        |tot AS (SELECT CAST(COALESCE(SUM(a), 0) AS BIGINT) AS n_x,
+        |    CAST(COALESCE(SUM(b), 0) AS BIGINT) AS n_y FROM reg),
+        |s AS (SELECT COALESCE(SUM(CAST(a + b AS HUGEINT) *
+        |      (CAST(ca AS HUGEINT)*n_y - CAST(cb AS HUGEINT)*n_x) *
+        |      (CAST(ca AS HUGEINT)*n_y - CAST(cb AS HUGEINT)*n_x)), 0) AS s2
+        |  FROM cum, tot),
+        |f AS (SELECT n_x, n_y,
+        |    CASE WHEN n_x > 0 AND n_y > 0 THEN
+        |      CAST(((s2 * 1000000) // (CAST(n_x AS HUGEINT) * n_y))
+        |        // (CAST(n_x + n_y AS HUGEINT) * (n_x + n_y)) AS BIGINT)
+        |    END AS cvm_ppm
+        |  FROM s, tot)
+        |SELECT n_x, n_y, cvm_ppm,
+        |  CASE WHEN cvm_ppm IS NULL THEN NULL
+        |    WHEN cvm_ppm >= 461000 THEN 'drift' ELSE 'none' END AS verdict
+        |FROM f""".stripMargin,
 
     // the delay register + DESC at-risk window + ASC cumulative-hazard
     // window, per-term floors staged exactly as the Spark side

@@ -374,6 +374,32 @@ private[graft] object StreamingQueries {
       s.read.parquet(s"$tmp/g/components").orderBy("vertex")
     }),
 
+    // LIVE SECONDARY-INDEX MAINTENANCE under streaming ingest (R4 build +
+    // R6 tombstone de-index as a STREAMING loop — w17's foreachBatch
+    // compaction discipline applied to the reference's CDC-listener index,
+    // KVStoreLocal.scala:195-248): each micro-batch compacts the changelog
+    // into the latest-per-key table and RE-DERIVES the inverted index from
+    // the non-tombstone view, both swapped crash-safely. Derived-not-
+    // patched means tombstoned keys leave the index and superseded
+    // postings vanish BY CONSTRUCTION (the q174 de-index rule, live); the
+    // drained index ≡ the batch index of the replayed log, which is what
+    // the oracle asserts.
+    "w34_stream_index_maintain" -> ((s, d) => {
+      val tmpPath = java.nio.file.Files.createTempDirectory("graft_w34_")
+      Support.deleteOnExit(tmpPath)
+      val tmp = tmpPath.toString
+      val ch = Tables.eventsStream(s, d).select(
+        col("user_id"), col("event_type"), col("ts_us"), col("event_id"),
+        (coalesce(col("value"), lit(0.0)) < 20.0).as("tombstone"))
+      graft.streaming.ChangelogStream.maintainIndexed(ch, Seq("user_id"),
+          "ts_us", array(col("event_type")), s"$tmp/t", s"$tmp/idx",
+          s"$tmp/ckpt", tieBreakCols = Seq("event_id"))
+        .start().awaitTermination()
+      s.read.parquet(s"$tmp/idx")
+        .select(col("index_key"), col("user_id"))
+        .orderBy("index_key", "user_id")
+    }),
+
     // q82's rolling 3σ anomaly monitor as a LIVE stream: anomalyMonitor
     // carries a bounded 20-value ring per user (state is histRows longs
     // per key — history-independent), flags via the same integer
@@ -1025,6 +1051,17 @@ private[graft] object StreamingQueries {
         |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM events)
         |WHERE rn <= 3 ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    // latest row per user (ts, event_id tie-break), tombstoned users leave
+    // the index entirely — the q174 rule on the replayed log
+    "w34_stream_index_maintain" ->
+      """WITH latest AS (SELECT user_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT event_type AS index_key, user_id FROM latest
+        |WHERE rn = 1 AND NOT (COALESCE(value, 0) < 20)
+        |ORDER BY index_key, user_id""".stripMargin,
 
     // TTL ≫ drain duration ⇒ nothing expires mid-drain: final window =
     // batch keep-last-5, n_seen = the per-user lifetime count

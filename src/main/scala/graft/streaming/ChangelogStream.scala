@@ -108,5 +108,45 @@ object ChangelogStream {
       }
   }
 
+  /** [[materializeLatest]] plus LIVE secondary-index maintenance (w34 —
+    * the R4/R6 surface in streaming form): each micro-batch compacts the
+    * changelog into the latest-per-key table AND re-derives the inverted
+    * index from the compacted non-tombstone view (SecondaryIndex.build),
+    * swapping both crash-safely. Because the index is DERIVED from the
+    * same latest view every batch (never incrementally patched), tombstone
+    * de-indexing and stale-posting removal hold by construction — the
+    * declarative dissolution of the reference's CDC-listener de-indexing
+    * bugs (KVStoreLocal.scala:214 TODO #242/#248), now also live under
+    * streaming ingest. The index is re-read from the freshly swapped
+    * table path so its lineage never spans the swap. */
+  def maintainIndexed(
+      changelog: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      indexFn: org.apache.spark.sql.Column,
+      tablePath: String,
+      indexPath: String,
+      checkpoint: String,
+      tieBreakCols: Seq[String] = Nil): DataStreamWriter[Row] = {
+    val spark = changelog.sparkSession
+    changelog.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val existing =
+          if (AtomicSwap.recover(tablePath)) Some(spark.read.parquet(tablePath)) else None
+        val all = existing.fold(batch)(e => e.unionByName(batch, allowMissingColumns = true))
+        val latest = graft.core.Changelog.compact(all, keyCols, tsCol, tieBreakCols)
+        AtomicSwap.swap(latest, tablePath, batchId)
+        val live = spark.read.parquet(tablePath).filter(!col("tombstone"))
+        AtomicSwap.recover(indexPath)
+        AtomicSwap.swap(
+          graft.state.SecondaryIndex.build(live, keyCols, indexFn),
+          indexPath, batchId)
+        ()
+      }
+  }
+
   def start(w: DataStreamWriter[Row]): StreamingQuery = w.start()
 }

@@ -1626,6 +1626,53 @@ private[graft] object CoreQueries3 {
     }),
 
 
+    // DETERMINISTIC BOOTSTRAP confidence interval for mean daily revenue —
+    // resampling inference with ZERO RNG: resample b draws day-slot j's
+    // replacement via md5Hash60(b:j) mod n_days (rule-4 60-bit md5 longs,
+    // bit-identical in both engines), so the B=200 bootstrap means — and
+    // hence the CI — are exact integers reproducible anywhere. CI bounds
+    // are the 5th and 196th order statistics of the 200 resample means
+    // (≈2.5%/97.5%, ties broken by resample id). Scale shape: the corpus
+    // reduces to the calendar-day register FIRST; draws are B×D register
+    // rows (the hash pick is row-local), one rk-keyed equi-join, one
+    // B-sized groupBy — never corpus-sized resamples. div by n_days is
+    // class (c): a draw row exists only if the register is non-empty.
+    "q205_bootstrap_ci" -> ((s, d) => {
+      val B = 200
+      val daily = Tables.orders(s, d)
+        .groupBy(call_function("div", Tables.epochUs(col("o_orderdate")),
+          lit(DayUs)).as("di"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
+      val ranked = daily
+        .withColumn("rk",
+          row_number().over(Window.orderBy("di")).cast("long") - 1L)
+        .localCheckpoint(true)
+      val nd = ranked.agg(count(lit(1)).as("n_days"),
+        coalesce(sum(col("rev")), lit(0L)).as("tot"))
+      val draws = s.range(B).select(col("id").as("b"))
+        .crossJoin(ranked.select(col("rk").as("j")))
+        .crossJoin(broadcast(nd))
+        .select(col("b"), col("n_days"),
+          (md5Hash60(concat_ws(":", col("b"), col("j"))) % col("n_days"))
+            .as("idx"))
+      val means = draws
+        .join(ranked.select(col("rk").as("idx"), col("rev")), "idx")
+        .groupBy("b", "n_days")
+        .agg(sum(col("rev")).as("sm"))
+        .select(col("b"), expr("sm div n_days").as("mean_b"))
+      val ob = means.withColumn("rn",
+        row_number().over(Window.orderBy(col("mean_b"), col("b"))))
+      nd.crossJoin(broadcast(ob.filter(col("rn") === 5)
+          .select(col("mean_b").as("ci_lo_cents"))))
+        .crossJoin(broadcast(ob.filter(col("rn") === 196)
+          .select(col("mean_b").as("ci_hi_cents"))))
+        // greatest-clamp class (a): an empty orders table is legal (tot=0)
+        .select(col("n_days"),
+          expr("tot div greatest(n_days, 1)").as("point_mean_cents"),
+          col("ci_lo_cents"), col("ci_hi_cents"))
+    }),
+
+
     // CRAMÉR–VON MISES two-sample drift between early and late order
     // prices (q183's KS companion: CvM integrates the SQUARED ECDF gap
     // over the pooled sample, so it is sensitive to distributed shape
@@ -3220,6 +3267,35 @@ private[graft] object CoreQueries3 {
          |  CAST((CAST(n_events AS HUGEINT) * 1000000 * td)
          |    // (CAST(n_days AS HUGEINT) * te) AS BIGINT) AS idx_ppm
          |FROM per, t ORDER BY dow""".stripMargin,
+
+    // identical register/draw/order-statistic chain; md5Hash60 ≡
+    // CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT) (rule 4)
+    "q205_bootstrap_ci" ->
+      s"""WITH daily AS (SELECT epoch_us(o_orderdate) // $DayUs AS di,
+         |    CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev
+         |  FROM orders GROUP BY 1),
+         |ranked AS (SELECT rev,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY di) AS BIGINT) - 1 AS rk
+         |  FROM daily),
+         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         |    CAST(COALESCE(SUM(rev), 0) AS BIGINT) AS tot FROM ranked),
+         |draws AS (SELECT bb.b, r.rk AS j
+         |  FROM (SELECT unnest(range(200)) AS b) bb, ranked r),
+         |pick AS (SELECT b,
+         |    (CAST(concat('0x', substr(md5(concat(b, ':', j)), 1, 15)) AS BIGINT)
+         |      % n_days) AS idx
+         |  FROM draws, nd),
+         |means AS (SELECT p.b,
+         |    CAST(CAST(SUM(r.rev) AS BIGINT) // n_days AS BIGINT) AS mean_b
+         |  FROM pick p JOIN ranked r ON r.rk = p.idx, nd
+         |  GROUP BY p.b, n_days),
+         |ob AS (SELECT mean_b,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY mean_b, b) AS BIGINT) AS rn
+         |  FROM means)
+         |SELECT n_days, CAST(tot // greatest(n_days, 1) AS BIGINT) AS point_mean_cents,
+         |  (SELECT mean_b FROM ob WHERE rn = 5) AS ci_lo_cents,
+         |  (SELECT mean_b FROM ob WHERE rn = 196) AS ci_hi_cents
+         |FROM nd""".stripMargin,
 
     // the same register/cumulative/total CTEs on HUGEINT; the two stage
     // floors compose exactly on positives, empty side CASEs to NULL

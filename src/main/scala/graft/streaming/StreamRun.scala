@@ -22,6 +22,29 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamRun {
   private val counter = new AtomicLong(0)
 
+  /** Stateful-operator partition count for the drained gate queries.
+    * Streaming state partitioning is FIXED at query start from
+    * spark.sql.shuffle.partitions; at 32, every micro-batch pays 32 state
+    * stores × (snapshot + delta + commit files + permission shell forks)
+    * per stateful operator — pure fixed overhead at gate data sizes
+    * (measured r12: w32 8.1→?, see commit). 8 keeps plenty of parallelism
+    * for the ≤600k-row drains while quartering the per-batch state-store
+    * file churn. Production jobs size this to the cluster as usual — the
+    * scope here is ONLY the query-start window of gate drains. */
+  private val StreamShufflePartitions = "8"
+
+  /** Scope spark.sql.shuffle.partitions to a streaming query START (state
+    * partitioning is captured at start; the conf is restored immediately
+    * after, so downstream batch plans in the same query function keep the
+    * session's setting). */
+  private def withStreamPartitions[T](df: DataFrame)(start: => T): T = {
+    val s = df.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, StreamShufflePartitions)
+    try start finally s.conf.set(key, prev)
+  }
+
   /** `assertSingleBatch = true` enforces the precondition of order-sensitive
     * stateful folds (w5's clamped RMW, w12's TTL'd first-seen): their
     * per-group sort is WITHIN a micro-batch, so equality with a globally
@@ -34,10 +57,12 @@ object StreamRun {
       outputMode: String = "complete",
       assertSingleBatch: Boolean = false): DataFrame = {
     val name = s"${prefix}_${counter.incrementAndGet()}"
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val q = withStreamPartitions(df) {
+      df.writeStream.format("memory").queryName(name)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     if (assertSingleBatch) {
       val dataBatches = q.recentProgress.count(_.numInputRows > 0)
@@ -64,10 +89,12 @@ object StreamRun {
   def toMemoryDrainStop(df: DataFrame, prefix: String,
       outputMode: String = "append", timeoutSec: Long = 300L): DataFrame = {
     val name = s"${prefix}_${counter.incrementAndGet()}"
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val q = withStreamPartitions(df) {
+      df.writeStream.format("memory").queryName(name)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     val deadline = System.nanoTime() + timeoutSec * 1000000000L
     def drained: Boolean = {
       val p = q.lastProgress

@@ -191,19 +191,24 @@ object Multimodal {
     val ids = cand.select(col("id_a").as("__aid"))
       .unionAll(cand.select(col("id_b").as("__aid"))).distinct()
     val docs = df.join(ids, col(idCol) === col("__aid"), "left_semi")
-    // sweep class (b): the packed-max n·2²¹ + (2²⁰ − shift) needs every
-    // frame index (hence |shift|) under 2²⁰ — enforce on the candidate
-    // media's lengths (one tiny agg over the semi-joined frame) instead of
-    // silently mis-electing on a ≥ ~16.8M-char buffer
-    val maxLen = docs.agg(max(length(col(textCol)).cast("long"))).head()
-    if (!maxLen.isNullAt(0)) require(
-      maxLen.getLong(0) < (1L << 20) * frameChars,
-      s"alignMedia: media text must stay under 2^20 frames " +
-        s"(${(1L << 20) * frameChars} chars at frameChars=$frameChars); " +
-        s"saw length ${maxLen.getLong(0)}")
+    // checkpoint: BOTH join sides of `matches` read this frame (it was
+    // recomputed twice before — r12 review), and the packing guard below
+    // aggregates it a third time; the frame is candidate-bounded
     val fo = sampleFrames(docs, idCol, textCol, frameChars, stride = 1)
       .groupBy(col(idCol).as("fid"), col("frame_md5").as("h"))
       .agg(min(col("frame_idx")).as("fi"))
+      .localCheckpoint(true)
+    // sweep class (b): the packed-max n·2²¹ + (2²⁰ − shift) needs every
+    // frame index (hence |shift|) under 2²⁰ — enforced on the aggregated
+    // first-occurrence frame (one tiny agg over the checkpoint, not a
+    // second corpus scan) instead of silently mis-electing on a
+    // ≥ ~16.8M-char buffer
+    val maxFi = fo.agg(max(col("fi"))).head()
+    if (!maxFi.isNullAt(0)) require(
+      maxFi.getLong(0) < (1L << 20),
+      s"alignMedia: media must stay under 2^20 frames " +
+        s"(${(1L << 20) * frameChars} chars at frameChars=$frameChars); " +
+        s"saw frame index ${maxFi.getLong(0)}")
     val matches = cand
       .join(fo.select(col("fid").as("id_a"), col("h"), col("fi").as("fa")),
         Seq("id_a"))

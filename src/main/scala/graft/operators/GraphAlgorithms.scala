@@ -68,11 +68,15 @@ object GraphAlgorithms {
     // min(m_p, n_p − c_p) rows per partition (task memory is O(distinct
     // vertices per chunk) — bounded by the input split size, the standard
     // pre-aggregation trade). Pass 1 then repartitions by the child key so
-    // one vertex's stars from different chunks merge; its output has one
-    // row per non-root vertex (globally distinct by construction). Most
-    // graphs land at ≤ localThreshold stars and finish with the driver
-    // union-find; the residual goes to the star loop, which now starts on
-    // a near-forest. Guarded by the same orderable test as the local path
+    // one vertex's stars from different chunks merge. NB the output is
+    // NOT globally distinct: a vertex also rides other partitions as a
+    // ROOT and can re-emit as a child there, so `n` may OVERCOUNT the
+    // true star count (conservative — at worst a local-eligible graph
+    // takes the star loop, whose first large-star half-round distincts
+    // duplicates away; r12 review). Most graphs land at ≤ localThreshold
+    // stars and finish with the driver union-find (union-find is
+    // duplicate-insensitive); the residual goes to the star loop, which
+    // now starts on a near-forest. Guarded by the same orderable test as the local path
     // (the local min election needs Catalyst-consistent equality/ordering
     // on raw values).
     if (orderable) {
@@ -107,9 +111,11 @@ object GraphAlgorithms {
   }
 
   /** The alternating large-star/small-star contraction loop (Kiveris et
-    * al.) over a deduplicated edge frame, with the (count, hash-xor)
-    * fingerprint convergence test. Factored out so both the orderable
-    * (pre-contracted) and non-orderable entry paths share one loop. */
+    * al.) with the (count, hash-xor) fingerprint convergence test.
+    * Duplicate input edges are tolerated (the first large-star half-round
+    * distincts them); self-loops must already be gone. Factored out so
+    * both the orderable (pre-contracted) and non-orderable entry paths
+    * share one loop. */
   private def starLoop(
       spark: SparkSession,
       vertices: DataFrame,

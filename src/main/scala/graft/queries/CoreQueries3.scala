@@ -1662,10 +1662,14 @@ private[graft] object CoreQueries3 {
         .select(col("b"), expr("sm div n_days").as("mean_b"))
       val ob = means.withColumn("rn",
         row_number().over(Window.orderBy(col("mean_b"), col("b"))))
-      nd.crossJoin(broadcast(ob.filter(col("rn") === 5)
-          .select(col("mean_b").as("ci_lo_cents"))))
-        .crossJoin(broadcast(ob.filter(col("rn") === 196)
-          .select(col("mean_b").as("ci_hi_cents"))))
+      // the CI picks ride GLOBAL aggregates (min over the rn filter), not
+      // crossJoins of filtered frames: an EMPTY orders table (legal — the
+      // greatest clamp below exists for it) must still emit the one
+      // (n_days=0, NULL, NULL) row the oracle's scalar subqueries produce
+      val ci = ob.agg(
+        min(when(col("rn") === 5, col("mean_b"))).as("ci_lo_cents"),
+        min(when(col("rn") === 196, col("mean_b"))).as("ci_hi_cents"))
+      nd.crossJoin(broadcast(ci))
         // greatest-clamp class (a): an empty orders table is legal (tot=0)
         .select(col("n_days"),
           expr("tot div greatest(n_days, 1)").as("point_mean_cents"),
@@ -1679,10 +1683,12 @@ private[graft] object CoreQueries3 {
     // drift a single max-gap statistic can miss). Exact on the
     // distinct-price register: with per-value counts (a,b), cumulative
     // (A,B) and totals (n,m), T = Σ (a+b)·(A·m − B·n)² / (n·m·N²) — all
-    // integer on decimal(38,0); the two stage divisions compose exactly
-    // (⌊⌊x/p⌋/q⌋ = ⌊x/(pq)⌋ on positives) and keep every operand under
-    // decimal38 to ~1e6 rows per side (beyond that, pre-aggregate — the
-    // modularity headroom rule). Empty side ⇒ T undefined ⇒ NULL (CASE'd
+    // integer on decimal(38,0), ONE division with the full decimal
+    // divisor (staging through an intermediate BIGINT quotient would
+    // ANSI-overflow on a legal maximal-drift input — caught by the r12
+    // review pass; the single divisor n·m·N² stays under decimal38 to
+    // ~3e8 rows per side, beyond that pre-aggregate — the modularity
+    // headroom rule). Empty side ⇒ T undefined ⇒ NULL (CASE'd
     // both engines — the degenerate single-day world takes this branch).
     // Decision at the α=0.05 critical value 0.461.
     "q204_cvm_drift" -> ((s, d) => {
@@ -1706,10 +1712,9 @@ private[graft] object CoreQueries3 {
       val s2f = cum.crossJoin(broadcast(tot))
         .agg(coalesce(sum(dec(col("a") + col("b")) * gap * gap),
           lit(0L).cast("decimal(38,0)")).as("s2"))
-      val cvm = call_function("div",
-        dec(call_function("div", col("s2") * lit(1000000L),
-          dec(col("n_x")) * dec(col("n_y")))),
-        dec(col("n_x") + col("n_y")) * dec(col("n_x") + col("n_y")))
+      val cvm = call_function("div", col("s2") * lit(1000000L),
+        dec(col("n_x")) * dec(col("n_y")) *
+          dec(col("n_x") + col("n_y")) * dec(col("n_x") + col("n_y")))
       tot.crossJoin(broadcast(s2f))
         .select(col("n_x"), col("n_y"),
           when(col("n_x") > 0 && col("n_y") > 0, cvm).as("cvm_ppm"))
@@ -3320,8 +3325,8 @@ private[graft] object CoreQueries3 {
         |  FROM cum, tot),
         |f AS (SELECT n_x, n_y,
         |    CASE WHEN n_x > 0 AND n_y > 0 THEN
-        |      CAST(((s2 * 1000000) // (CAST(n_x AS HUGEINT) * n_y))
-        |        // (CAST(n_x + n_y AS HUGEINT) * (n_x + n_y)) AS BIGINT)
+        |      CAST((s2 * 1000000) // (CAST(n_x AS HUGEINT) * n_y
+        |        * (n_x + n_y) * (n_x + n_y)) AS BIGINT)
         |    END AS cvm_ppm
         |  FROM s, tot)
         |SELECT n_x, n_y, cvm_ppm,

@@ -27,7 +27,7 @@ object StreamRun {
     * spark.sql.shuffle.partitions; at 32, every micro-batch pays 32 state
     * stores × (snapshot + delta + commit files + permission shell forks)
     * per stateful operator — pure fixed overhead at gate data sizes
-    * (measured r12: w32 8.1→?, see commit). 8 keeps plenty of parallelism
+    * (measured r12: w32 8.1→4.2 s, w26 7.9→3.4 s). 8 keeps plenty of parallelism
     * for the ≤600k-row drains while quartering the per-batch state-store
     * file churn. Production jobs size this to the cluster as usual — the
     * scope here is ONLY the query-start window of gate drains. */
@@ -100,10 +100,14 @@ object StreamRun {
       val p = q.lastProgress
       p != null && p.numInputRows == 0L
     }
-    while (!drained && System.nanoTime() < deadline) Thread.sleep(100L)
+    // also break on death: a failed/terminated query never reports the
+    // zero-input batch, and spinning the full timeout would bury the real
+    // exception under a 5-minute hang (r12 review)
+    while (!drained && q.isActive && q.exception.isEmpty &&
+      System.nanoTime() < deadline) Thread.sleep(100L)
     val ok = drained
     q.stop()
-    q.awaitTermination()
+    q.awaitTermination() // rethrows the stream's exception if it failed
     require(ok,
       s"$prefix: drain never reached a zero-input batch within ${timeoutSec}s")
     df.sparkSession.table(name)

@@ -1041,6 +1041,25 @@ class GraphSpec extends SparkSpec {
     local.find(_._1 == 55L).get._2 shouldBe 1L  // chain bridged to the ring
   }
 
+  it should "pre-contract a scattered path graph identically across the local-finish and star-loop paths" in {
+    // a 401-vertex path with duplicate + reversed edges scattered over 16
+    // partitions: the worst case for per-partition union-find (chains
+    // cross chunks everywhere), duplicates exercise the no-upfront-distinct
+    // claim, and the thresholds force each post-contraction path
+    val base = (0 until 400).map(i => (i.toLong, (i + 1).toLong))
+    val edges = (base ++ base.map(_.swap) ++ base)
+      .toDF("src", "dst").repartition(16)
+    def canon(localThreshold: Long) =
+      GraphAlgorithms.connectedComponents(spark, edges, localThreshold = localThreshold)
+        .orderBy("vertex").as[(Long, Long)].collect().toSeq
+    val viaDriver = canon(Long.MaxValue)       // pure driver union-find
+    val viaContractLocal = canon(1000L)        // pass0/pass1 -> local finish
+    val viaStarLoop = canon(0L)                // contraction -> star loop
+    viaDriver shouldBe viaContractLocal
+    viaDriver shouldBe viaStarLoop
+    viaDriver.map(_._2).distinct shouldBe Seq(0L) // one component, min label
+  }
+
   it should "fall back to the distributed loop for binary vertices" in {
     // Array[Byte] has reference equality on the driver — the local path
     // must not claim it; the distributed loop handles it correctly

@@ -108,8 +108,15 @@ object Tables {
     * streaming sf1 probe ratio read 0.0x). A directory streams directly. */
   private def streamRead(s: SparkSession, d: String, name: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    val p = path(d, name)
-    if (new java.io.File(p).isDirectory) s.readStream.schema(schema).parquet(p)
+    // layout check via the Hadoop FileSystem API, not java.io.File: a
+    // Hadoop-scheme dir (hdfs://, s3a://) is never a local File, so the
+    // File form would silently fall back to the glob that matches nothing
+    // and the stream drains empty (r12 advice) — the exact failure this
+    // adaptive read exists to prevent
+    val p = new org.apache.hadoop.fs.Path(path(d, name))
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val isDir = fs.exists(p) && fs.getFileStatus(p).isDirectory
+    if (isDir) s.readStream.schema(schema).parquet(p.toString)
     else s.readStream.schema(schema)
       .option("pathGlobFilter", s"$name.parquet").parquet(d)
   }

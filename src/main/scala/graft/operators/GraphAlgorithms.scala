@@ -213,11 +213,18 @@ object GraphAlgorithms {
     * equality AND ordering: JVM value types whose boxed equals/compareTo
     * match Catalyst semantics. Strings are ordered by UTF-8 bytes (not
     * String.compareTo — UTF-16 code-unit order diverges for supplementary
-    * characters). Binary/array/struct vertices fall back to the distributed
-    * loop, where collected reference equality would silently mis-unify. */
+    * characters). Float/Double are EXCLUDED: boxed −0.0 ≠ 0.0 (and
+    * NaN ≠ NaN) under equals(), while Catalyst normalizes both — a
+    * float-vertex component joined through ±0.0 would silently split in
+    * the HashMap union-find (r12 advice), so those fall through to the
+    * distinct+starLoop path like binary/struct. Decimal is safe: a single
+    * column carries one fixed scale, so BigDecimal.equals ≡ value
+    * equality and there is no signed zero. */
   private def locallyOrderable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
     case org.apache.spark.sql.types.StringType => true
     case org.apache.spark.sql.types.BooleanType => true
+    case org.apache.spark.sql.types.FloatType => false
+    case org.apache.spark.sql.types.DoubleType => false
     case _: org.apache.spark.sql.types.NumericType => true
     case _ => false
   }

@@ -1677,6 +1677,31 @@ private[graft] object CoreQueries3 {
     }),
 
 
+    // REGISTRY WIRE FRAME, the oracle-able half of §2.6a (r12 verdict #6):
+    // frames are built IN-PLAN by GraftFunctions.wrapRegistry — pinned
+    // byte-identical to AvroBridge.frame (magic 0x00 ‖ schema id BE32 ‖
+    // payload, reference AvroSerde.scala:123-138) by AvroBridgeSpec — and
+    // decoded back with the engine's own header readers (registrySchemaId,
+    // binary substring + hex), while the oracle assembles the same frame
+    // as a hex STRING from printf/substr and decodes via '0x'-cast. Any
+    // drift in the header layout (magic value, id width, endianness)
+    // breaks either the spec or this hash. The Avro payload body stays
+    // spec-only (NUL bytes are un-oracle-able — the sha256-VARCHAR
+    // closure, CLAUDE.md r6).
+    "q206_wire_frame" -> ((s, d) => {
+      val framed = Tables.documents(s, d)
+        .select(col("doc_id"),
+          GraftFunctions.wrapRegistry(col("text").cast("binary"),
+            (col("doc_id") % 1000L).cast("int")).as("frame"))
+      framed.select(col("doc_id"),
+        lower(hex(substring(col("frame"), 1, 5))).as("hdr_hex"),
+        (hex(substring(col("frame"), 1, 1)) === "00").as("magic_ok"),
+        GraftFunctions.registrySchemaId(col("frame")).cast("long")
+          .as("schema_id"),
+        (length(col("frame")) - 5).cast("long").as("payload_len"))
+        .orderBy("doc_id")
+    }),
+
     // CRAMÉR–VON MISES two-sample drift between early and late order
     // prices (q183's KS companion: CvM integrates the SQUARED ECDF gap
     // over the pooled sample, so it is sensitive to distributed shape
@@ -1686,11 +1711,13 @@ private[graft] object CoreQueries3 {
     // integer on decimal(38,0), ONE division with the full decimal
     // divisor (staging through an intermediate BIGINT quotient would
     // ANSI-overflow on a legal maximal-drift input — caught by the r12
-    // review pass; the single divisor n·m·N² stays under decimal38 to
-    // ~3e8 rows per side, beyond that pre-aggregate — the modularity
-    // headroom rule). Empty side ⇒ T undefined ⇒ NULL (CASE'd
-    // both engines — the degenerate single-day world takes this branch).
-    // Decision at the α=0.05 critical value 0.461.
+    // review pass). Overflow headroom is bound by the NUMERATOR, not the
+    // divisor (r12 advice): s2 ≤ N⁵/16 on a maximal-drift input, so
+    // s2·1e6 crosses decimal(38) at roughly N ≈ 4e6 POOLED rows —
+    // beyond that, pre-aggregate prices into coarser cells (the
+    // modularity headroom rule) before this statistic. Empty side ⇒ T
+    // undefined ⇒ NULL (CASE'd both engines — the degenerate single-day
+    // world takes this branch). Decision at the α=0.05 value 0.461.
     "q204_cvm_drift" -> ((s, d) => {
       def dec(c: Column) = c.cast("decimal(38,0)")
       val C = 899251200000000L // 1998-07-01T00:00:00Z
@@ -1700,11 +1727,29 @@ private[graft] object CoreQueries3 {
         .groupBy("cents")
         .agg(sum(when(col("isx"), 1L).otherwise(0L)).as("a"),
           sum(when(!col("isx"), 1L).otherwise(0L)).as("b"))
-      val w = Window.orderBy("cents")
+      // two-level cumulative sums on the near-unique price register (the
+      // q110 bucket shape — r12 verdict: a global Window.orderBy over the
+      // ~corpus-sized register is ONE task at any scale): per-bucket
+      // (cents >> 12) sums, EXCLUSIVE prefix over the ~domain/4096 bucket
+      // frame, then within-bucket cumulative windows PARTITIONED by
+      // bucket — ca/cb identical by associativity of +, no global
+      // single-task sort. shiftright is floor-division (bucket order
+      // monotone in cents even below 0 — r10 rule); cents is non-null by
+      // construction (o_totalprice NOT NULL), which the bucket equi-join
+      // requires (null bucket would silently drop — q110 rule).
+      val bucketed = reg.withColumn("bk", shiftright(col("cents"), 12))
+      val wPre = Window.orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val pre = bucketed.groupBy("bk")
+        .agg(sum(col("a")).as("sa"), sum(col("b")).as("sb"))
+        .select(col("bk"),
+          coalesce(sum(col("sa")).over(wPre), lit(0L)).as("pa"),
+          coalesce(sum(col("sb")).over(wPre), lit(0L)).as("pb"))
+      val wIn = Window.partitionBy("bk").orderBy("cents")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = reg
-        .withColumn("ca", sum(col("a")).over(w))
-        .withColumn("cb", sum(col("b")).over(w))
+      val cum = bucketed.join(pre, "bk")
+        .withColumn("ca", col("pa") + sum(col("a")).over(wIn))
+        .withColumn("cb", col("pb") + sum(col("b")).over(wIn))
       val tot = reg.agg(
         coalesce(sum(col("a")), lit(0L)).as("n_x"),
         coalesce(sum(col("b")), lit(0L)).as("n_y"))
@@ -3301,6 +3346,21 @@ private[graft] object CoreQueries3 {
          |  (SELECT mean_b FROM ob WHERE rn = 5) AS ci_lo_cents,
          |  (SELECT mean_b FROM ob WHERE rn = 196) AS ci_hi_cents
          |FROM nd""".stripMargin,
+
+    // the oracle assembles the frame independently as a hex string
+    // (printf BE id + utf8 payload hex) and decodes header fields with
+    // substr + '0x'-cast — layout parity with the engine's binary build
+    "q206_wire_frame" ->
+      """WITH f AS (SELECT doc_id,
+        |    '00' || printf('%08x', doc_id % 1000)
+        |      || lower(hex(encode(text))) AS frame_hex
+        |  FROM documents)
+        |SELECT doc_id,
+        |  substr(frame_hex, 1, 10) AS hdr_hex,
+        |  substr(frame_hex, 1, 2) = '00' AS magic_ok,
+        |  ('0x' || substr(frame_hex, 3, 8))::BIGINT AS schema_id,
+        |  CAST((length(frame_hex) - 10) // 2 AS BIGINT) AS payload_len
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     // the same register/cumulative/total CTEs on HUGEINT; the two stage
     // floors compose exactly on positives, empty side CASEs to NULL

@@ -377,13 +377,18 @@ private[graft] object StreamingQueries {
     // LIVE SECONDARY-INDEX MAINTENANCE under streaming ingest (R4 build +
     // R6 tombstone de-index as a STREAMING loop — w17's foreachBatch
     // compaction discipline applied to the reference's CDC-listener index,
-    // KVStoreLocal.scala:195-248): each micro-batch compacts the changelog
-    // into the latest-per-key table and RE-DERIVES the inverted index from
-    // the non-tombstone view, both swapped crash-safely. Derived-not-
-    // patched means tombstoned keys leave the index and superseded
-    // postings vanish BY CONSTRUCTION (the q174 de-index rule, live); the
-    // drained index ≡ the batch index of the replayed log, which is what
-    // the oracle asserts.
+    // KVStoreLocal.scala:195-248), INCREMENTAL since r13: table and index
+    // live in key-hash bucket dirs and each micro-batch reads back,
+    // compacts, and swaps ONLY the buckets its keys touch — per-batch
+    // work is O(batch + touched buckets), never O(table) (r12 verdict
+    // #1; the reference's own competency, KVStoreIndex.put:46-66).
+    // Derived-not-patched holds WITHIN each touched bucket (postings
+    // rebuilt from that bucket's fresh latest view), so tombstoned keys
+    // leave the index and superseded postings vanish BY CONSTRUCTION
+    // (the q174 de-index rule, live); the drained index ≡ the batch
+    // index of the replayed log, which is what the oracle asserts —
+    // MaintenanceSpec additionally pins ≡ the full per-batch
+    // re-derivation on a multi-batch tombstoned drain.
     "w34_stream_index_maintain" -> ((s, d) => {
       val tmpPath = java.nio.file.Files.createTempDirectory("graft_w34_")
       Support.deleteOnExit(tmpPath)
@@ -391,11 +396,12 @@ private[graft] object StreamingQueries {
       val ch = Tables.eventsStream(s, d).select(
         col("user_id"), col("event_type"), col("ts_us"), col("event_id"),
         (coalesce(col("value"), lit(0.0)) < 20.0).as("tombstone"))
-      graft.streaming.ChangelogStream.maintainIndexed(ch, Seq("user_id"),
-          "ts_us", array(col("event_type")), s"$tmp/t", s"$tmp/idx",
-          s"$tmp/ckpt", tieBreakCols = Seq("event_id"))
+      graft.streaming.ChangelogStream.maintainIndexedBucketed(ch,
+          Seq("user_id"), "ts_us", array(col("event_type")), s"$tmp/t",
+          s"$tmp/idx", s"$tmp/ckpt", numBuckets = 8,
+          tieBreakCols = Seq("event_id"))
         .start().awaitTermination()
-      s.read.parquet(s"$tmp/idx")
+      graft.streaming.BucketedStore.read(s, s"$tmp/idx").get
         .select(col("index_key"), col("user_id"))
         .orderBy("index_key", "user_id")
     }),

@@ -46,19 +46,27 @@ object AtomicSwap {
   def swap(df: DataFrame, path: String, batchId: Long): Unit = {
     val tmp = s"$path.tmp-$batchId"
     df.write.mode("overwrite").parquet(tmp)
+    swapDir(tmp, path, batchId)
+  }
+
+  /** Swap an ALREADY-WRITTEN directory into place as the new content of
+    * `path` — the rename half of [[swap]], for callers that stage many
+    * tables in one partitioned write (BucketedStore). `src` must be on the
+    * same filesystem as `path`. */
+  def swapDir(src: String, path: String, batchId: Long): Unit = {
     val target = new File(path)
     val old = new File(s"$path.old-$batchId")
     if (target.exists() && !target.renameTo(old))
       throw new java.io.IOException(s"swap rename failed: $target -> $old")
-    if (!new File(tmp).renameTo(target)) {
+    if (!new File(src).renameTo(target)) {
       // restore the backup before failing so readers still see the old table
       if (old.exists()) old.renameTo(target)
-      throw new java.io.IOException(s"swap rename failed: $tmp -> $target")
+      throw new java.io.IOException(s"swap rename failed: $src -> $target")
     }
     deleteRecursively(old)
   }
 
-  private def deleteRecursively(f: File): Unit = {
+  private[streaming] def deleteRecursively(f: File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete()
     ()

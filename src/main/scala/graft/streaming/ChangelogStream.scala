@@ -148,5 +148,92 @@ object ChangelogStream {
       }
   }
 
+  /** Per-batch maintenance evidence for [[maintainIndexedBucketed]]:
+    * `existingRowsRead` counts the rows the batch pulled back from the
+    * table (touched buckets ONLY) and `tableRowsTotal` the whole table
+    * after the swap — the spec's proof that per-batch input is
+    * batch + touched buckets, never O(table). */
+  final case class BucketBatchStats(
+      batchId: Long,
+      batchRows: Long,
+      existingRowsRead: Long,
+      touchedBuckets: Int,
+      totalBuckets: Int,
+      tableRowsTotal: Long)
+
+  /** INCREMENTAL [[maintainIndexed]] (w34 — r12 verdict #1): the
+    * latest-per-key table and its inverted index live in `numBuckets`
+    * key-hash bucket dirs ([[BucketedStore]]); each micro-batch
+    *
+    *   1. routes its keys to bucket ids (one small distinct over the batch),
+    *   2. reads back ONLY those buckets, compacts batch ∪ touched buckets,
+    *   3. swaps exactly the touched table buckets, and
+    *   4. re-derives index postings for exactly the touched buckets
+    *      (delete+insert per bucket — an untouched bucket's postings are
+    *      untouched by construction, since postings are a row-local
+    *      function of that bucket's latest rows).
+    *
+    * Per-batch work is O(batch + touched-bucket rows), never O(table) —
+    * the reference's incremental CDC index maintenance
+    * (KVStoreIndex.put:46-66, KVStoreLocal.index:195-248) with the
+    * derived-not-patched guarantee kept WITHIN each bucket: a touched
+    * bucket's postings are rebuilt from its fresh latest view, so
+    * tombstone de-indexing and stale-posting removal still hold by
+    * construction (the bugs the reference's own TODO #242/#248 chase).
+    * MaintenanceSpec asserts ≡ [[maintainIndexed]]'s full re-derivation on
+    * a multi-batch tombstoned drain, and that recorded per-batch reads
+    * stay under the table size.
+    *
+    * The changelog must carry a boolean `tombstone` column (same contract
+    * as [[maintainIndexed]]). */
+  def maintainIndexedBucketed(
+      changelog: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      indexFn: org.apache.spark.sql.Column,
+      tablePath: String,
+      indexPath: String,
+      checkpoint: String,
+      numBuckets: Int = 16,
+      tieBreakCols: Seq[String] = Nil,
+      stats: Option[scala.collection.mutable.Buffer[BucketBatchStats]] = None)
+      : DataStreamWriter[Row] = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    val spark = changelog.sparkSession
+    changelog.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val bexpr = BucketedStore.bucketCol(keyCols, numBuckets)
+        val touched = batch0.select(bexpr.cast("int").as("__b")).distinct()
+          .collect().map(_.getInt(0)).toSeq.sorted // ≤ numBuckets ids
+        if (touched.nonEmpty) {
+          val existing = BucketedStore.readBuckets(spark, tablePath, touched)
+          val all = existing.fold(batch0)(
+            e => e.unionByName(batch0, allowMissingColumns = true))
+          // checkpointed: read again by the table write, the index derive
+          // and (spec-only) the stats counts — and it cuts lineage, so the
+          // index never reads through the swapped table path
+          val latest = graft.core.Changelog
+            .compact(all, keyCols, tsCol, tieBreakCols).localCheckpoint(true)
+          // spec-only evidence counts run BEFORE the swap replaces the
+          // files `existing` lazily points at
+          val preSwap = stats.map(_ =>
+            (batch0.count(), existing.map(_.count()).getOrElse(0L)))
+          BucketedStore.writeBuckets(latest, bexpr, tablePath, touched, batchId)
+          val idx = graft.state.SecondaryIndex.build(
+            latest.filter(!col("tombstone")), keyCols, indexFn)
+          BucketedStore.writeBuckets(idx, bexpr, indexPath, touched, batchId)
+          stats.zip(preSwap).foreach { case (buf, (batchRows, existingRows)) =>
+            buf += BucketBatchStats(batchId, batchRows,
+              existingRows, touched.size, numBuckets,
+              BucketedStore.read(spark, tablePath).map(_.count()).getOrElse(0L))
+          }
+        }
+        ()
+      }
+  }
+
   def start(w: DataStreamWriter[Row]): StreamingQuery = w.start()
 }

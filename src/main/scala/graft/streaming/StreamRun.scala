@@ -105,7 +105,10 @@ object StreamRun {
     // exception under a 5-minute hang (r12 review)
     while (!drained && q.isActive && q.exception.isEmpty &&
       System.nanoTime() < deadline) Thread.sleep(100L)
-    val ok = drained
+    // a non-TTL topology SELF-terminates after its last data batch without
+    // ever idling: clean termination IS a complete drain (r12 advice) —
+    // only a still-active query that never idled within the timeout fails
+    val ok = drained || (!q.isActive && q.exception.isEmpty)
     q.stop()
     q.awaitTermination() // rethrows the stream's exception if it failed
     require(ok,

@@ -65,7 +65,12 @@ object ScaleProbe {
     // new TTL'd transformWithState drain and the r12 survival register
     "w26_stream_outer_join", "w27_stream_full_outer_join", "w30_stream_idle_expiry",
     "w32_stream_join_then_agg", "w33_stream_keeplastn_ttl",
-    "q203_censored_hazard")
+    "q203_censored_hazard",
+    // round-13: the r12 additions that shipped without one-decade evidence
+    // (VERDICT #3 — q204's bucketed windows, w34's touched-buckets-only
+    // maintenance) plus this round's wire-frame query
+    "q202_event_time_parse", "q204_cvm_drift", "q205_bootstrap_ci",
+    "w34_stream_index_maintain", "q206_wire_frame")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

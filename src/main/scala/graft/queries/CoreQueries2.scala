@@ -652,9 +652,13 @@ private[graft] object CoreQueries2 {
       val pairs = adj
         .join(deg.select(col("u"), col("dg").as("du")), "u")
         .join(deg.select(col("u").as("v"), col("dg").as("dv")), "v")
-        .withColumn("graph", lit("copurchase"))
-      Analytics.groupedCorrelation(pairs, Seq("graph"), "du", "dv")
+      // GLOBAL aggregate + series literal attached AFTER (degen-gate class
+      // (b), caught again by the r13 SKEW world: the hot part empties the
+      // support-≥2 edge set, groupBy(lit) would emit ZERO rows while the
+      // oracle's global-agg CTE emits its n=0/NULL row)
+      Analytics.groupedCorrelation(pairs, Seq.empty, "du", "dv")
         .withColumnRenamed("corr", "assortativity")
+        .withColumn("graph", lit("copurchase"))
         .orderBy("graph")
     }),
 

@@ -197,6 +197,36 @@ object ChangelogStream {
       numBuckets: Int = 16,
       tieBreakCols: Seq[String] = Nil,
       stats: Option[scala.collection.mutable.Buffer[BucketBatchStats]] = None)
+      : DataStreamWriter[Row] =
+    bucketedWriter(changelog, keyCols, tsCol, tablePath, checkpoint,
+      numBuckets, tieBreakCols, Some((indexFn, indexPath)), stats)
+
+  /** [[materializeLatest]] with the bucketed touched-buckets-only rewrite
+    * and no index — same O(batch + touched buckets) per-batch contract as
+    * [[maintainIndexedBucketed]]. */
+  def materializeLatestBucketed(
+      changelog: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      tablePath: String,
+      checkpoint: String,
+      numBuckets: Int = 16,
+      tieBreakCols: Seq[String] = Nil,
+      stats: Option[scala.collection.mutable.Buffer[BucketBatchStats]] = None)
+      : DataStreamWriter[Row] =
+    bucketedWriter(changelog, keyCols, tsCol, tablePath, checkpoint,
+      numBuckets, tieBreakCols, None, stats)
+
+  private def bucketedWriter(
+      changelog: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      tablePath: String,
+      checkpoint: String,
+      numBuckets: Int,
+      tieBreakCols: Seq[String],
+      index: Option[(org.apache.spark.sql.Column, String)],
+      stats: Option[scala.collection.mutable.Buffer[BucketBatchStats]])
       : DataStreamWriter[Row] = {
     require(numBuckets > 0, "numBuckets must be positive")
     val spark = changelog.sparkSession
@@ -222,9 +252,11 @@ object ChangelogStream {
           val preSwap = stats.map(_ =>
             (batch0.count(), existing.map(_.count()).getOrElse(0L)))
           BucketedStore.writeBuckets(latest, bexpr, tablePath, touched, batchId)
-          val idx = graft.state.SecondaryIndex.build(
-            latest.filter(!col("tombstone")), keyCols, indexFn)
-          BucketedStore.writeBuckets(idx, bexpr, indexPath, touched, batchId)
+          index.foreach { case (indexFn, indexPath) =>
+            val idx = graft.state.SecondaryIndex.build(
+              latest.filter(!col("tombstone")), keyCols, indexFn)
+            BucketedStore.writeBuckets(idx, bexpr, indexPath, touched, batchId)
+          }
           stats.zip(preSwap).foreach { case (buf, (batchRows, existingRows)) =>
             buf += BucketBatchStats(batchId, batchRows,
               existingRows, touched.size, numBuckets,

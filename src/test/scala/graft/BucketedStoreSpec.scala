@@ -102,6 +102,57 @@ class BucketedStoreSpec extends SparkSpec {
     stats.head.touchedBuckets shouldBe NumBuckets // the seed batch hits all
   }
 
+  "materializeLatestBucketed" should "equal the unbucketed materializeLatest across a restart" in {
+    val root = Files.createTempDirectory("graft-bstore3").toFile.getAbsolutePath
+    val in = s"$root/in"
+    new java.io.File(in).mkdirs()
+    def drainBoth(): Unit = {
+      ChangelogStream.materializeLatestBucketed(
+          spark.readStream.schema(ddl).parquet(in), Seq("key"), "ts_us",
+          s"$root/bt", s"$root/bckpt", numBuckets = NumBuckets)
+        .start().awaitTermination()
+      ChangelogStream.materializeLatest(
+          spark.readStream.schema(ddl).parquet(in), Seq("key"), "ts_us",
+          s"$root/ft", s"$root/fckpt")
+        .start().awaitTermination()
+    }
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("key", "value", "ts_us", "tombstone").orderBy("key")
+        .as[(Int, String, Long, Boolean)].collect().toSeq
+
+    Seq((1, "a1", 100L, false), (2, "b1", 100L, false))
+      .toDF("key", "value", "ts_us", "tombstone")
+      .coalesce(1).write.mode("append").parquet(in)
+    drainBoth()
+    canon(BucketedStore.read(spark, s"$root/bt").get) shouldBe
+      canon(spark.read.parquet(s"$root/ft"))
+
+    // restart with an update + insert on the same checkpoints
+    Seq((1, "a2", 200L, false), (3, "c1", 150L, false))
+      .toDF("key", "value", "ts_us", "tombstone")
+      .coalesce(1).write.mode("append").parquet(in)
+    drainBoth()
+    val got = canon(BucketedStore.read(spark, s"$root/bt").get)
+    got shouldBe canon(spark.read.parquet(s"$root/ft"))
+    got.map(r => (r._1, r._2)) shouldBe Seq((1, "a2"), (2, "b1"), (3, "c1"))
+  }
+
+  "BucketedStore.read" should "recover a bucket caught mid-swap (crash between the two renames)" in {
+    val root = Files.createTempDirectory("graft-bstore4").toFile.getAbsolutePath
+    Seq((1, "a"), (2, "b")).toDF("key", "value")
+      .write.parquet(BucketedStore.bucketDir(root, 0))
+    Seq((3, "c")).toDF("key", "value")
+      .write.parquet(BucketedStore.bucketDir(root, 1))
+    // simulate the crash window: bucket 1 renamed to its backup, new dir
+    // never arrived
+    new java.io.File(BucketedStore.bucketDir(root, 1))
+      .renameTo(new java.io.File(s"${BucketedStore.bucketDir(root, 1)}.old-7")) shouldBe true
+    BucketedStore.existingBuckets(root) shouldBe Seq(0, 1) // backup counts
+    BucketedStore.read(spark, root).get
+      .orderBy("key").as[(Int, String)].collect().toSeq shouldBe
+      Seq((1, "a"), (2, "b"), (3, "c"))
+  }
+
   it should "swap a fully-tombstoned bucket's index to empty (stale postings vanish)" in {
     val root = Files.createTempDirectory("graft-bstore2").toFile.getAbsolutePath
     val in = s"$root/in"

@@ -406,6 +406,40 @@ private[graft] object StreamingQueries {
         .orderBy("index_key", "user_id")
     }),
 
+    // LIVE R5 MULTI-TERM INDEX LOOKUP on the bucketed store (w34's
+    // topology + the reference's multi-IK intersection query,
+    // KVStoreIndex.scala:20-66): ingest maintains a TWO-term inverted
+    // index per user (latest event_type + a value band), then the drained
+    // bucketed index serves SecondaryIndex.multiLookup(click ∧ band:0) —
+    // postings-count intersection, term filter pruned before any shuffle,
+    // hit set broadcast into the primary semi-join. ≡ filtering the batch
+    // latest view on both predicates, which is what the oracle does. The
+    // band is the canonical-double FLOOR(value/50.0) — one shared IEEE
+    // expression, bit-identical across engines (the q118 rule).
+    "w35_stream_index_lookup" -> ((s, d) => {
+      val tmpPath = java.nio.file.Files.createTempDirectory("graft_w35_")
+      Support.deleteOnExit(tmpPath)
+      val tmp = tmpPath.toString
+      val ch = Tables.eventsStream(s, d).select(
+        col("user_id"), col("event_type"), col("ts_us"), col("event_id"),
+        col("value"),
+        (coalesce(col("value"), lit(0.0)) < 20.0).as("tombstone"))
+      val indexFn = array(col("event_type"),
+        concat(lit("band:"),
+          floor(coalesce(col("value"), lit(0.0)) / 50.0).cast("long")))
+      graft.streaming.ChangelogStream.maintainIndexedBucketed(ch,
+          Seq("user_id"), "ts_us", indexFn, s"$tmp/t", s"$tmp/idx",
+          s"$tmp/ckpt", numBuckets = 8, tieBreakCols = Seq("event_id"))
+        .start().awaitTermination()
+      val idx = graft.streaming.BucketedStore.read(s, s"$tmp/idx").get
+      val live = graft.streaming.BucketedStore.read(s, s"$tmp/t").get
+        .filter(!col("tombstone"))
+      graft.state.SecondaryIndex.multiLookup(idx, live, Seq("user_id"),
+          Seq("click", "band:0"))
+        .select(col("user_id"), col("event_type"), col("ts_us"))
+        .orderBy("user_id")
+    }),
+
     // q82's rolling 3σ anomaly monitor as a LIVE stream: anomalyMonitor
     // carries a bounded 20-value ring per user (state is histRows longs
     // per key — history-independent), flags via the same integer
@@ -1068,6 +1102,21 @@ private[graft] object StreamingQueries {
         |SELECT event_type AS index_key, user_id FROM latest
         |WHERE rn = 1 AND NOT (COALESCE(value, 0) < 20)
         |ORDER BY index_key, user_id""".stripMargin,
+
+    // the index set per user is {event_type, band} — containing BOTH
+    // 'click' and 'band:0' ⟺ latest row is a click with value in [0,50);
+    // FLOOR(value/50.0) is the shared canonical-double expression
+    "w35_stream_index_lookup" ->
+      """WITH latest AS (SELECT user_id, event_type, value,
+        |    epoch_us(ts) AS ts_us,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, ts_us FROM latest
+        |WHERE rn = 1 AND NOT (COALESCE(value, 0) < 20)
+        |  AND event_type = 'click'
+        |  AND CAST(FLOOR(COALESCE(value, 0)/50.0) AS BIGINT) = 0
+        |ORDER BY user_id""".stripMargin,
 
     // TTL ≫ drain duration ⇒ nothing expires mid-drain: final window =
     // batch keep-last-5, n_seen = the per-user lifetime count

@@ -440,6 +440,42 @@ private[graft] object StreamingQueries {
         .orderBy("user_id")
     }),
 
+    // CRASH-WINDOW ROLLBACK under the oracle gate (P7's rollback half,
+    // live — previously spec-only in AtomicSwapSpec): after a streamed
+    // bucketed materialization, one bucket is put into the EXACT state a
+    // crash between swapDir's two renames leaves behind (current dir
+    // renamed to its .old- backup, replacement never arrived), and the
+    // read path's recovery must roll the backup forward — the drained,
+    // crashed-and-recovered table ≡ the batch compaction of the replayed
+    // log, which is what the oracle asserts. The reference's rollback is
+    // the memstore write-through failure path (KVStoreLocal.put:477-513);
+    // here recovery is a property of the READ, so a crashed writer can
+    // never publish a half-table.
+    "w36_stream_crash_rollback" -> ((s, d) => {
+      val tmpPath = java.nio.file.Files.createTempDirectory("graft_w36_")
+      Support.deleteOnExit(tmpPath)
+      val tmp = tmpPath.toString
+      val ch = Tables.eventsStream(s, d).select(
+        col("user_id"), col("event_type"), col("ts_us"), col("event_id"),
+        (coalesce(col("value"), lit(0.0)) < 20.0).as("tombstone"))
+      graft.streaming.ChangelogStream.materializeLatestBucketed(ch,
+          Seq("user_id"), "ts_us", s"$tmp/t", s"$tmp/ckpt",
+          numBuckets = 8, tieBreakCols = Seq("event_id"))
+        .start().awaitTermination()
+      // simulate the crash window on the first populated bucket (the degen
+      // world's single user fills exactly one)
+      val victim = graft.streaming.BucketedStore
+        .existingBuckets(s"$tmp/t").head
+      val dir = new java.io.File(
+        graft.streaming.BucketedStore.bucketDir(s"$tmp/t", victim))
+      require(dir.renameTo(new java.io.File(s"${dir.getPath}.old-99")),
+        s"crash simulation rename failed for $dir")
+      graft.streaming.BucketedStore.read(s, s"$tmp/t").get
+        .filter(!col("tombstone"))
+        .select(col("user_id"), col("event_type"), col("ts_us"))
+        .orderBy("user_id")
+    }),
+
     // q82's rolling 3σ anomaly monitor as a LIVE stream: anomalyMonitor
     // carries a bounded 20-value ring per user (state is histRows longs
     // per key — history-independent), flags via the same integer
@@ -1102,6 +1138,18 @@ private[graft] object StreamingQueries {
         |SELECT event_type AS index_key, user_id FROM latest
         |WHERE rn = 1 AND NOT (COALESCE(value, 0) < 20)
         |ORDER BY index_key, user_id""".stripMargin,
+
+    // recovery is invisible to the result: the rolled-back table is the
+    // plain latest-per-key compaction of the replayed log
+    "w36_stream_crash_rollback" ->
+      """WITH latest AS (SELECT user_id, event_type, value,
+        |    epoch_us(ts) AS ts_us,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, ts_us FROM latest
+        |WHERE rn = 1 AND NOT (COALESCE(value, 0) < 20)
+        |ORDER BY user_id""".stripMargin,
 
     // the index set per user is {event_type, band} — containing BOTH
     // 'click' and 'band:0' ⟺ latest row is a click with value in [0,50);

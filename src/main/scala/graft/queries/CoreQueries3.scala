@@ -1677,6 +1677,48 @@ private[graft] object CoreQueries3 {
     }),
 
 
+    // PARTITION-SKEW AUDIT across the three hot key spaces — the
+    // operational query a 100 TB operator runs BEFORE choosing salt
+    // buckets (Skew.saltedCountSum/saltedJoin) or a bucketed layout:
+    // per keyspace, key cardinality, the top-1 key's row share (ppm),
+    // inverse-Simpson effective key count (1e6·n²/Σc² — how many "equally
+    // hot" keys the distribution behaves like), and the salt-bucket
+    // suggestion ceil(32·top1/n)+… = (top1·32 div n)+1 that caps any one
+    // (key, salt) cell near an even 32-way split. Everything reduces to
+    // one count-register per keyspace; global aggregates with the
+    // keyspace literal attached AFTER (degen class b), div denominators
+    // greatest-clamped (class a — an empty table is legal). Distinct from
+    // q119, which concentrates revenue WEIGHT within segments; this
+    // audits ROW routing for partition planning.
+    "q207_key_skew_audit" -> ((s, d) => {
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      def audit(df: DataFrame, key: String, label: String): DataFrame = {
+        val reg = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+        reg.agg(
+            count(lit(1)).as("n_keys"),
+            coalesce(sum(col("c")), lit(0L)).as("n_rows"),
+            coalesce(max(col("c")), lit(0L)).as("top1_rows"),
+            coalesce(sum(dec(col("c")) * dec(col("c"))),
+              lit(0L).cast("decimal(38,0)")).as("__s2"))
+          .select(lit(label).as("keyspace"), col("n_keys"), col("n_rows"),
+            col("top1_rows"),
+            expr("(top1_rows * 1000000) div greatest(n_rows, 1)")
+              .as("top1_share_ppm"),
+            call_function("div",
+              dec(col("n_rows")) * dec(col("n_rows")) * lit(1000000L),
+              greatest(col("__s2"), lit(1L).cast("decimal(38,0)")))
+              .as("eff_keys_ppm"),
+            (expr("(top1_rows * 32) div greatest(n_rows, 1)") + 1L)
+              .as("salt_buckets"))
+      }
+      audit(Tables.events(s, d), "user_id", "events.user_id")
+        .unionByName(audit(Tables.orders(s, d), "o_custkey",
+          "orders.o_custkey"))
+        .unionByName(audit(Tables.lineitem(s, d), "l_partkey",
+          "lineitem.l_partkey"))
+        .orderBy("keyspace")
+    }),
+
     // REGISTRY WIRE FRAME, the oracle-able half of §2.6a (r12 verdict #6):
     // frames are built IN-PLAN by GraftFunctions.wrapRegistry — pinned
     // byte-identical to AvroBridge.frame (magic 0x00 ‖ schema id BE32 ‖
@@ -3346,6 +3388,38 @@ private[graft] object CoreQueries3 {
          |  (SELECT mean_b FROM ob WHERE rn = 5) AS ci_lo_cents,
          |  (SELECT mean_b FROM ob WHERE rn = 196) AS ci_hi_cents
          |FROM nd""".stripMargin,
+
+    // one count-register per keyspace, HUGEINT squares, both divisions
+    // greatest-clamped exactly as the Spark side
+    "q207_key_skew_audit" ->
+      """WITH
+        |re AS (SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY 1),
+        |ro AS (SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY 1),
+        |rl AS (SELECT l_partkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+        |ae AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_rows,
+        |    CAST(COALESCE(MAX(c), 0) AS BIGINT) AS top1_rows,
+        |    COALESCE(SUM(CAST(c AS HUGEINT) * c), 0) AS s2 FROM re),
+        |ao AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_rows,
+        |    CAST(COALESCE(MAX(c), 0) AS BIGINT) AS top1_rows,
+        |    COALESCE(SUM(CAST(c AS HUGEINT) * c), 0) AS s2 FROM ro),
+        |al AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_rows,
+        |    CAST(COALESCE(MAX(c), 0) AS BIGINT) AS top1_rows,
+        |    COALESCE(SUM(CAST(c AS HUGEINT) * c), 0) AS s2 FROM rl),
+        |u AS (
+        |  SELECT 'events.user_id' AS keyspace, * FROM ae
+        |  UNION ALL SELECT 'orders.o_custkey', * FROM ao
+        |  UNION ALL SELECT 'lineitem.l_partkey', * FROM al)
+        |SELECT keyspace, n_keys, n_rows, top1_rows,
+        |  CAST((top1_rows * 1000000) // GREATEST(n_rows, 1) AS BIGINT)
+        |    AS top1_share_ppm,
+        |  CAST((CAST(n_rows AS HUGEINT) * n_rows * 1000000)
+        |    // GREATEST(s2, 1) AS BIGINT) AS eff_keys_ppm,
+        |  CAST((top1_rows * 32) // GREATEST(n_rows, 1) + 1 AS BIGINT)
+        |    AS salt_buckets
+        |FROM u ORDER BY keyspace""".stripMargin,
 
     // the oracle assembles the frame independently as a hex string
     // (printf BE id + utf8 payload hex) and decodes header fields with

@@ -440,6 +440,36 @@ private[graft] object StreamingQueries {
         .orderBy("user_id")
     }),
 
+    // ROUTED POINT SERVE (P1 with the reference's cost model, live): after
+    // a streamed bucketed materialization, the probe key is murmur3-routed
+    // DRIVER-SIDE to its one bucket dir and the serving scan reads exactly
+    // 1/N of the table by construction — the Spark-batch analogue of the
+    // reference's Murmur2Partitioner single-partition point read
+    // (api/.../Murmur2Partitioner.java, Coordinator routing). The probe is
+    // min(user_id) from the batch view (serving-config-at-start, the w19
+    // rule); result ≡ that user's latest non-tombstone row, which is what
+    // the oracle asserts. BucketedStoreSpec pins the single-bucket scan
+    // via inputFiles.
+    "w37_stream_point_serve" -> ((s, d) => {
+      val tmpPath = java.nio.file.Files.createTempDirectory("graft_w37_")
+      Support.deleteOnExit(tmpPath)
+      val tmp = tmpPath.toString
+      val ch = Tables.eventsStream(s, d).select(
+        col("user_id"), col("event_type"), col("ts_us"), col("event_id"),
+        (coalesce(col("value"), lit(0.0)) < 20.0).as("tombstone"))
+      graft.streaming.ChangelogStream.materializeLatestBucketed(ch,
+          Seq("user_id"), "ts_us", s"$tmp/t", s"$tmp/ckpt",
+          numBuckets = 8, tieBreakCols = Seq("event_id"))
+        .start().awaitTermination()
+      val uid = Tables.events(s, d)
+        .agg(min(col("user_id")).as("u")).head.getLong(0)
+      graft.streaming.BucketedStore.pointLookup(s, s"$tmp/t",
+          Seq("user_id"), Seq(uid)).get
+        .filter(!col("tombstone"))
+        .select(col("user_id"), col("event_type"), col("ts_us"))
+        .orderBy("user_id")
+    }),
+
     // CRASH-WINDOW ROLLBACK under the oracle gate (P7's rollback half,
     // live — previously spec-only in AtomicSwapSpec): after a streamed
     // bucketed materialization, one bucket is put into the EXACT state a
@@ -1138,6 +1168,18 @@ private[graft] object StreamingQueries {
         |SELECT event_type AS index_key, user_id FROM latest
         |WHERE rn = 1 AND NOT (COALESCE(value, 0) < 20)
         |ORDER BY index_key, user_id""".stripMargin,
+
+    // the routed read serves exactly the probed user's latest live row
+    "w37_stream_point_serve" ->
+      """WITH latest AS (SELECT user_id, event_type, value,
+        |    epoch_us(ts) AS ts_us,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, ts_us FROM latest
+        |WHERE rn = 1 AND NOT (COALESCE(value, 0) < 20)
+        |  AND user_id = (SELECT MIN(user_id) FROM events)
+        |ORDER BY user_id""".stripMargin,
 
     // recovery is invisible to the result: the rolled-back table is the
     // plain latest-per-key compaction of the replayed log

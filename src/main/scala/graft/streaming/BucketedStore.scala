@@ -60,6 +60,42 @@ object BucketedStore {
   def read(spark: SparkSession, root: String): Option[DataFrame] =
     readBuckets(spark, root, existingBuckets(root))
 
+  /** The layout's bucket count, persisted at first write (`root/.buckets`)
+    * so readers can ROUTE a key to its one bucket without scanning. */
+  def numBuckets(root: String): Option[Int] = {
+    val f = new File(root, ".buckets")
+    if (f.isFile)
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        .trim.toIntOption
+    else None
+  }
+
+  /** P1 point read with the reference's routing cost model
+    * (Murmur2Partitioner: key → ONE partition, api/.../Coordinator): the
+    * key tuple is murmur3-hashed DRIVER-SIDE (same Catalyst Murmur3Hash
+    * the write path's [[bucketCol]] plans, seed 42), and the scan reads
+    * exactly that one bucket dir — 1/N of the table by construction, at
+    * any table size. Values must carry the STORED key types (a Long key
+    * probed with an Int hashes differently — same contract as Kafka's
+    * serialized-key routing). None when the table has never been
+    * written. */
+  def pointLookup(
+      spark: SparkSession,
+      root: String,
+      keyCols: Seq[String],
+      values: Seq[Any]): Option[DataFrame] = {
+    require(keyCols.nonEmpty && keyCols.size == values.size,
+      "keyCols and values must align")
+    numBuckets(root).flatMap { n =>
+      import org.apache.spark.sql.catalyst.expressions.{Literal => CLit, Murmur3Hash}
+      val h = Murmur3Hash(values.map(CLit(_)), 42).eval(null).asInstanceOf[Int]
+      val id = java.lang.Math.floorMod(h, n)
+      readBuckets(spark, root, Seq(id)).map(df =>
+        keyCols.zip(values).foldLeft(df) { case (d, (c, v)) =>
+          d.filter(col(c) === lit(v)) })
+    }
+  }
+
   /** Replace exactly the `touched` bucket dirs of `root` with `df`'s rows
     * (bucketed by `bexpr`). One partitioned write stages every touched
     * bucket in a single job; each staged subdir is then renamed into place
@@ -72,8 +108,13 @@ object BucketedStore {
       bexpr: Column,
       root: String,
       touched: Seq[Int],
-      batchId: Long): Unit = {
+      batchId: Long,
+      arity: Int): Unit = {
     new File(root).mkdirs()
+    // persist the routing arity once so pointLookup can route keys
+    val meta = new File(root, ".buckets")
+    if (!meta.isFile)
+      java.nio.file.Files.write(meta.toPath, arity.toString.getBytes("UTF-8"))
     // sweep stale stagings from interrupted batches before writing ours
     Option(new File(root).listFiles()).getOrElse(Array.empty[File])
       .filter(_.getName.startsWith(".staging-")).foreach(AtomicSwap.deleteRecursively)

@@ -251,11 +251,13 @@ object ChangelogStream {
           // files `existing` lazily points at
           val preSwap = stats.map(_ =>
             (batch0.count(), existing.map(_.count()).getOrElse(0L)))
-          BucketedStore.writeBuckets(latest, bexpr, tablePath, touched, batchId)
+          BucketedStore.writeBuckets(latest, bexpr, tablePath, touched,
+            batchId, numBuckets)
           index.foreach { case (indexFn, indexPath) =>
             val idx = graft.state.SecondaryIndex.build(
               latest.filter(!col("tombstone")), keyCols, indexFn)
-            BucketedStore.writeBuckets(idx, bexpr, indexPath, touched, batchId)
+            BucketedStore.writeBuckets(idx, bexpr, indexPath, touched,
+              batchId, numBuckets)
           }
           stats.zip(preSwap).foreach { case (buf, (batchRows, existingRows)) =>
             buf += BucketBatchStats(batchId, batchRows,

@@ -135,6 +135,17 @@ class BucketedStoreSpec extends SparkSpec {
     val got = canon(BucketedStore.read(spark, s"$root/bt").get)
     got shouldBe canon(spark.read.parquet(s"$root/ft"))
     got.map(r => (r._1, r._2)) shouldBe Seq((1, "a2"), (2, "b1"), (3, "c1"))
+
+    // routed point lookup: right row, and the scan touches ONE bucket dir
+    BucketedStore.numBuckets(s"$root/bt") shouldBe Some(NumBuckets)
+    val pl = BucketedStore.pointLookup(spark, s"$root/bt", Seq("key"), Seq(1))
+    pl shouldBe defined
+    pl.get.select("key", "value").as[(Int, String)].collect().toSeq shouldBe
+      Seq((1, "a2"))
+    val scannedDirs = pl.get.inputFiles
+      .map(f => f.split('/').takeRight(2).head).toSet
+    scannedDirs.size shouldBe 1
+    scannedDirs.head should fullyMatch regex "b\\d+"
   }
 
   "BucketedStore.read" should "recover a bucket caught mid-swap (crash between the two renames)" in {

@@ -70,7 +70,12 @@ object ScaleProbe {
     // (VERDICT #3 — q204's bucketed windows, w34's touched-buckets-only
     // maintenance) plus this round's wire-frame query
     "q202_event_time_parse", "q204_cvm_drift", "q205_bootstrap_ci",
-    "w34_stream_index_maintain", "q206_wire_frame")
+    "w34_stream_index_maintain", "q206_wire_frame",
+    // round-13 additions: the bucketed-store serving/lookup/rollback
+    // drains (flat-overhead claims get one-decade evidence like w34's)
+    // and the register-sized skew audit
+    "w35_stream_index_lookup", "w36_stream_crash_rollback",
+    "w37_stream_point_serve", "q207_key_skew_audit")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

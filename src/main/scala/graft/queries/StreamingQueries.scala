@@ -440,6 +440,44 @@ private[graft] object StreamingQueries {
         .orderBy("user_id")
     }),
 
+    // PER-KEY SUBSCRIPTION CONTRACT (R7, live): the reference's
+    // KeyValueMediator pushes the key's CURRENT value on subscribe, then
+    // every subsequent change (actor/Partition.scala:155-192). Here the
+    // subscribe point is T = midpoint of the batch event-time span
+    // (serving-config-at-start, the w19 rule): the initial value is the
+    // key's latest row AT T from the batch view, and the change feed is a
+    // REAL stateless SS job filtered to (key, ts > T) in append mode —
+    // feed rows ≡ the key's post-T log slice, init ≡ its pre-T latest,
+    // which is what the oracle asserts. The WebSocket push wire itself
+    // stays spec-side (WsServerSpec) — this gates the subscription's
+    // VALUE contract.
+    "w38_stream_key_subscribe" -> ((s, d) => {
+      val batch = Tables.events(s, d)
+      val cfg = batch.agg(min(col("user_id")).as("u"),
+        expr("(min(ts_us) + max(ts_us)) div 2").as("t")).head
+      val empty = batch
+        .select(lit("x").as("kind"), col("ts_us"), col("event_id"),
+          col("event_type")).limit(0)
+      if (cfg.isNullAt(0)) empty
+      else {
+        val uid = cfg.getLong(0)
+        val t = cfg.getLong(1)
+        val feed = Tables.eventsStream(s, d)
+          .filter(col("user_id") === uid && col("ts_us") > t)
+          .select(col("ts_us"), col("event_id"), col("event_type"))
+        val changes = StreamRun.toMemory(feed, "w38_sink",
+            outputMode = "append")
+          .select(lit("change").as("kind"), col("ts_us"), col("event_id"),
+            col("event_type"))
+        val init = batch
+          .filter(col("user_id") === uid && col("ts_us") <= t)
+          .orderBy(col("ts_us").desc, col("event_id").desc).limit(1)
+          .select(lit("init").as("kind"), col("ts_us"), col("event_id"),
+            col("event_type"))
+        init.unionByName(changes).orderBy("kind", "ts_us", "event_id")
+      }
+    }),
+
     // ROUTED POINT SERVE (P1 with the reference's cost model, live): after
     // a streamed bucketed materialization, the probe key is murmur3-routed
     // DRIVER-SIDE to its one bucket dir and the serving scan reads exactly
@@ -1168,6 +1206,21 @@ private[graft] object StreamingQueries {
         |SELECT event_type AS index_key, user_id FROM latest
         |WHERE rn = 1 AND NOT (COALESCE(value, 0) < 20)
         |ORDER BY index_key, user_id""".stripMargin,
+
+    // init = the key's latest row at the subscribe midpoint T, feed = its
+    // post-T log slice; T and the key from the same scalar aggregates
+    "w38_stream_key_subscribe" ->
+      """WITH b AS (SELECT MIN(user_id) AS u,
+        |    (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS t FROM events),
+        |init AS (SELECT 'init' AS kind, epoch_us(ts) AS ts_us, event_id,
+        |    event_type
+        |  FROM events, b WHERE user_id = u AND epoch_us(ts) <= t
+        |  ORDER BY epoch_us(ts) DESC, event_id DESC LIMIT 1),
+        |chg AS (SELECT 'change' AS kind, epoch_us(ts) AS ts_us, event_id,
+        |    event_type
+        |  FROM events, b WHERE user_id = u AND epoch_us(ts) > t)
+        |SELECT * FROM (SELECT * FROM init UNION ALL SELECT * FROM chg)
+        |ORDER BY kind, ts_us, event_id""".stripMargin,
 
     // the routed read serves exactly the probed user's latest live row
     "w37_stream_point_serve" ->

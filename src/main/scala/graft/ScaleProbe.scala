@@ -75,7 +75,8 @@ object ScaleProbe {
     // drains (flat-overhead claims get one-decade evidence like w34's)
     // and the register-sized skew audit
     "w35_stream_index_lookup", "w36_stream_crash_rollback",
-    "w37_stream_point_serve", "q207_key_skew_audit")
+    "w37_stream_point_serve", "q207_key_skew_audit",
+    "w38_stream_key_subscribe")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

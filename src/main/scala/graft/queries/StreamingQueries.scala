@@ -387,7 +387,7 @@ private[graft] object StreamingQueries {
     // leave the index and superseded postings vanish BY CONSTRUCTION
     // (the q174 de-index rule, live); the drained index ≡ the batch
     // index of the replayed log, which is what the oracle asserts —
-    // MaintenanceSpec additionally pins ≡ the full per-batch
+    // BucketedStoreSpec additionally pins ≡ the full per-batch
     // re-derivation on a multi-batch tombstoned drain.
     "w34_stream_index_maintain" -> ((s, d) => {
       val tmpPath = java.nio.file.Files.createTempDirectory("graft_w34_")

@@ -180,7 +180,7 @@ object ChangelogStream {
     * bucket's postings are rebuilt from its fresh latest view, so
     * tombstone de-indexing and stale-posting removal still hold by
     * construction (the bugs the reference's own TODO #242/#248 chase).
-    * MaintenanceSpec asserts ≡ [[maintainIndexed]]'s full re-derivation on
+    * BucketedStoreSpec asserts ≡ [[maintainIndexed]]'s full re-derivation on
     * a multi-batch tombstoned drain, and that recorded per-batch reads
     * stay under the table size.
     *

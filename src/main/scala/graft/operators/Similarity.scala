@@ -292,6 +292,12 @@ object Similarity {
     // deterministic seed: the nCentroids lowest-id vectors
     var centroids: Array[Array[Long]] = vecs.orderBy("id").limit(nCentroids)
       .select("v").collect().map(_.getSeq[Long](0).toArray)
+    // contract, not clamp: centroids ship as PLAN LITERALS (array_min over
+    // a literal struct array), so an empty corpus cannot even build the
+    // assignment plan — refuse loudly (the empty-world gate enumerates
+    // this family as documented refusals; DEGEN_GATE.md)
+    require(centroids.nonEmpty,
+      "index training requires a non-empty corpus (kmeans/IVF centroids are plan literals)")
     if (vecs.count() <= localTrainThreshold) {
       val rows = vecs.select("v").collect().map(_.getSeq[Long](0).toArray)
       centroids = trainLocal(rows, centroids, iterations)
@@ -815,7 +821,12 @@ object Similarity {
       val cn = c.map(x => x * x).sum
       ldot(col("v"), col("v")) - lit(2L) * ldot(col("v"), lit(c)) + lit(cn)
     }
-    val seed = vecs.orderBy("id").limit(1).select("id", "v").collect()(0)
+    val seedRows = vecs.orderBy("id").limit(1).select("id", "v").collect()
+    // same contract as trainCentroids: greedy k-center seeds are plan
+    // literals, an empty corpus refuses loudly (empty-world gate)
+    require(seedRows.nonEmpty,
+      "k-center training requires a non-empty corpus")
+    val seed = seedRows(0)
     val picks = scala.collection.mutable.ArrayBuffer(
       (1, seed.getLong(0), 0L))
     var cur = vecs.withColumn("dmin", distTo(seed.getSeq[Long](1).toArray))

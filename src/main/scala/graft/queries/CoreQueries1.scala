@@ -1058,6 +1058,7 @@ private[graft] object CoreQueries1 {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |  CAST(CAST(SUM(CAST(round((l_quantity)*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0 AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |HAVING COUNT(*) > 0 -- Spark rollup emits NO ()-set row on empty input (empty-world gate); only that row can have n=0
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
 
@@ -1163,6 +1164,7 @@ private[graft] object CoreQueries1 {
         |  COUNT(*) AS n,
         |  CAST(CAST(SUM(CAST(round((l_quantity)*100) AS BIGINT)) AS BIGINT) AS DOUBLE)/100.0 AS sum_qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |HAVING COUNT(*) > 0 -- Spark cube emits NO ()-set row on empty input (empty-world gate)
         |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
 

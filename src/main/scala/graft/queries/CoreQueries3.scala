@@ -676,7 +676,8 @@ private[graft] object CoreQueries3 {
           .agg(count(lit(1)).as("n_candidate"))
         nb.crossJoin(cand).select(lit(layout).as("layout"),
           col("n_blocks"), col("n_candidate"),
-          expr("((n_blocks * 5 - n_candidate) * 1000000) div (n_blocks * 5)")
+          // greatest-clamp class (a): an empty log is legal (empty-world gate)
+          expr("((n_blocks * 5 - n_candidate) * 1000000) div greatest(n_blocks * 5, 1)")
             .as("skip_ppm"))
       }
       audit("time", expr("hr div 16"))
@@ -2015,8 +2016,10 @@ private[graft] object CoreQueries3 {
         .withColumn("dx", col("x") - lag(col("x"), 1).over(wd))
         .agg(count(lit(1)).as("n"), sum(dec(col("x"))).as("sx"),
           sum(dec(col("x")) * dec(col("x"))).as("sxx"),
-          sum(when(col("dx").isNotNull, dec(col("dx")) * dec(col("dx")))
-            .otherwise(dec(lit(0L)))).as("sdd"))
+          // coalesce: the empty-input global sum is NULL while the oracle
+          // COALESCEs (degen class c; empty-world gate)
+          coalesce(sum(when(col("dx").isNotNull, dec(col("dx")) * dec(col("dx")))
+            .otherwise(dec(lit(0L)))), dec(lit(0L))).as("sdd"))
         .select(col("n").as("n_days"),
           call_function("div", dec(lit(1000000L)) * dec(col("n")) * col("sdd"),
             greatest(dec(col("n")) * col("sxx") - col("sx") * col("sx"),
@@ -2558,9 +2561,11 @@ private[graft] object CoreQueries3 {
          |  FROM obs JOIN rm USING (dow) JOIN cm USING (event_type), tt),
          |dims AS (SELECT (SELECT COUNT(*) FROM rm) AS n_dow,
          |    (SELECT COUNT(*) FROM cm) AS n_types)
-         |SELECT CAST(SUM(term_ppm) AS BIGINT) AS chi2_ppm,
+         |-- scalar-subquery form: ONE row even on an empty log (the Spark
+         |-- side is a global aggregate — empty-world gate, degen class b)
+         |SELECT (SELECT CAST(SUM(term_ppm) AS BIGINT) FROM cells) AS chi2_ppm,
          |  CAST((n_dow - 1) * (n_types - 1) AS BIGINT) AS dof
-         |FROM cells, dims GROUP BY n_dow, n_types""".stripMargin,
+         |FROM dims""".stripMargin,
 
 
     // month-of-year volume vs the uniform 1/12 expectation
@@ -2661,7 +2666,7 @@ private[graft] object CoreQueries3 {
          |    (SELECT COUNT(*) FROM zstats, pr WHERE u BETWEEN mn AND mx))
          |SELECT layout, CAST(n_blocks AS BIGINT) AS n_blocks,
          |  CAST(n_candidate AS BIGINT) AS n_candidate,
-         |  CAST(((n_blocks*5 - n_candidate)*1000000) // (n_blocks*5) AS BIGINT)
+         |  CAST(((n_blocks*5 - n_candidate)*1000000) // GREATEST(n_blocks*5, 1) AS BIGINT)
          |    AS skip_ppm
          |FROM a ORDER BY layout""".stripMargin,
 
@@ -3336,13 +3341,15 @@ private[graft] object CoreQueries3 {
          |  FROM obs JOIN rm USING (dow) JOIN cm USING (event_type), tt),
          |dims AS (SELECT (SELECT COUNT(*) FROM rm) AS n_dow,
          |    (SELECT COUNT(*) FROM cm) AS n_types)
-         |SELECT CAST(SUM(term_ppm) AS BIGINT) AS chi2_ppm,
+         |-- scalar-subquery form: ONE row even on an empty log (empty-world
+         |-- gate, same convention as q144)
+         |SELECT (SELECT CAST(SUM(term_ppm) AS BIGINT) FROM cells) AS chi2_ppm,
          |  CAST((n_dow - 1) * (n_types - 1) AS BIGINT) AS dof,
          |  nn AS n_events,
-         |  CAST(CAST(SUM(term_ppm) AS BIGINT)
+         |  CAST((SELECT CAST(SUM(term_ppm) AS BIGINT) FROM cells)
          |    // GREATEST(nn * LEAST(n_dow - 1, n_types - 1), 1) AS BIGINT)
          |    AS v_sq_ppm
-         |FROM cells, dims, tt GROUP BY n_dow, n_types, nn""".stripMargin,
+         |FROM dims, tt""".stripMargin,
 
 
     // calendar-day register -> dow register; cross-multiplied index on

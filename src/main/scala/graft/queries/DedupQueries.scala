@@ -376,9 +376,10 @@ private[graft] object DedupQueries {
           countDistinct(col("h")).as("distinct_chunks"),
           sum(col("n_toks")).as("total_tokens"))
         .select(col("n_chunks"), col("distinct_chunks"),
-          expr("((n_chunks - distinct_chunks) * 1000000) div n_chunks")
+          // greatest-clamp class (a): an empty corpus is legal (empty-world gate)
+          expr("((n_chunks - distinct_chunks) * 1000000) div greatest(n_chunks, 1)")
             .as("dup_chunk_ppm"),
-          expr("(total_tokens * 1000000) div n_chunks")
+          expr("(total_tokens * 1000000) div greatest(n_chunks, 1)")
             .as("mean_chunk_tokens_ppm"))
     }),
 
@@ -981,9 +982,9 @@ private[graft] object DedupQueries {
          |    COUNT(DISTINCT h) AS distinct_chunks,
          |    CAST(SUM(n_toks) AS BIGINT) AS total_tokens FROM ch)
          |SELECT n_chunks, distinct_chunks,
-         |  CAST(((n_chunks - distinct_chunks) * 1000000) // n_chunks AS BIGINT)
+         |  CAST(((n_chunks - distinct_chunks) * 1000000) // GREATEST(n_chunks, 1) AS BIGINT)
          |    AS dup_chunk_ppm,
-         |  CAST((total_tokens * 1000000) // n_chunks AS BIGINT)
+         |  CAST((total_tokens * 1000000) // GREATEST(n_chunks, 1) AS BIGINT)
          |    AS mean_chunk_tokens_ppm
          |FROM agg""".stripMargin,
 

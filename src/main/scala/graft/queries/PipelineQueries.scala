@@ -159,9 +159,10 @@ private[graft] object PipelineQueries {
       base.crossJoin(tk).crossJoin(nd)
         .select(col("n_docs"), col("n_langs"), col("n_sources"),
           col("total_chars"), col("n_tokens"), col("n_types"),
-          expr("((n_docs - n_unique_texts) * 1000000) div n_docs")
+          // greatest-clamp class (a): an empty corpus is legal (empty-world gate)
+          expr("((n_docs - n_unique_texts) * 1000000) div greatest(n_docs, 1)")
             .as("exact_dup_ppm"),
-          expr("(n_near_dup_docs * 1000000) div n_docs").as("near_dup_ppm"))
+          expr("(n_near_dup_docs * 1000000) div greatest(n_docs, 1)").as("near_dup_ppm"))
     }),
 
     // release gate: the end-to-end pre-training data contract in ONE row —
@@ -504,9 +505,9 @@ private[graft] object PipelineQueries {
          |  SELECT id_a AS d FROM mh_pairs WHERE jaccard_est >= 0.5
          |  UNION SELECT id_b FROM mh_pairs WHERE jaccard_est >= 0.5))
          |SELECT n_docs, n_langs, n_sources, total_chars, n_tokens, n_types,
-         |  CAST(((n_docs - n_unique_texts) * 1000000) // n_docs AS BIGINT)
+         |  CAST(((n_docs - n_unique_texts) * 1000000) // GREATEST(n_docs, 1) AS BIGINT)
          |    AS exact_dup_ppm,
-         |  CAST((n_near_dup_docs * 1000000) // n_docs AS BIGINT) AS near_dup_ppm
+         |  CAST((n_near_dup_docs * 1000000) // GREATEST(n_docs, 1) AS BIGINT) AS near_dup_ppm
          |FROM base, tk, nd""".stripMargin,
 
     // stage CTEs are the d30 / d6 / t36 oracle chains verbatim, re-rooted

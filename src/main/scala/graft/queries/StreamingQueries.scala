@@ -401,7 +401,12 @@ private[graft] object StreamingQueries {
           s"$tmp/idx", s"$tmp/ckpt", numBuckets = 8,
           tieBreakCols = Seq("event_id"))
         .start().awaitTermination()
-      graft.streaming.BucketedStore.read(s, s"$tmp/idx").get
+      // an EMPTY replay is legal (empty-world gate): zero batches means
+      // the store was never created — the index is the empty relation
+      graft.streaming.BucketedStore.read(s, s"$tmp/idx")
+        .getOrElse(Tables.events(s, d)
+          .select(col("event_type").as("index_key"), col("user_id"))
+          .limit(0))
         .select(col("index_key"), col("user_id"))
         .orderBy("index_key", "user_id")
     }),
@@ -431,8 +436,16 @@ private[graft] object StreamingQueries {
           Seq("user_id"), "ts_us", indexFn, s"$tmp/t", s"$tmp/idx",
           s"$tmp/ckpt", numBuckets = 8, tieBreakCols = Seq("event_id"))
         .start().awaitTermination()
-      val idx = graft.streaming.BucketedStore.read(s, s"$tmp/idx").get
-      val live = graft.streaming.BucketedStore.read(s, s"$tmp/t").get
+      // empty replay ⇒ empty store ⇒ empty lookup (empty-world gate)
+      val emptyT = Tables.events(s, d).select(
+        col("user_id"), col("event_type"), col("ts_us"), col("event_id"),
+        col("value"),
+        (coalesce(col("value"), lit(0.0)) < 20.0).as("tombstone")).limit(0)
+      val idx = graft.streaming.BucketedStore.read(s, s"$tmp/idx")
+        .getOrElse(emptyT.select(col("event_type").as("index_key"),
+          col("user_id")))
+      val live = graft.streaming.BucketedStore.read(s, s"$tmp/t")
+        .getOrElse(emptyT)
         .filter(!col("tombstone"))
       graft.state.SecondaryIndex.multiLookup(idx, live, Seq("user_id"),
           Seq("click", "band:0"))
@@ -499,12 +512,18 @@ private[graft] object StreamingQueries {
           Seq("user_id"), "ts_us", s"$tmp/t", s"$tmp/ckpt",
           numBuckets = 8, tieBreakCols = Seq("event_id"))
         .start().awaitTermination()
-      val uid = Tables.events(s, d)
-        .agg(min(col("user_id")).as("u")).head.getLong(0)
-      graft.streaming.BucketedStore.pointLookup(s, s"$tmp/t",
-          Seq("user_id"), Seq(uid)).get
-        .filter(!col("tombstone"))
-        .select(col("user_id"), col("event_type"), col("ts_us"))
+      val probe = Tables.events(s, d).agg(min(col("user_id")).as("u")).head
+      // empty events ⇒ no probe key AND no store — the empty relation
+      // (empty-world gate); the oracle's scalar-subquery filter matches
+      // nothing on its side too
+      val emptyT = Tables.events(s, d).select(col("user_id"),
+        col("event_type"), col("ts_us")).limit(0)
+      if (probe.isNullAt(0)) emptyT
+      else graft.streaming.BucketedStore.pointLookup(s, s"$tmp/t",
+          Seq("user_id"), Seq(probe.getLong(0)))
+        .map(_.filter(!col("tombstone"))
+          .select(col("user_id"), col("event_type"), col("ts_us")))
+        .getOrElse(emptyT)
         .orderBy("user_id")
     }),
 
@@ -531,14 +550,19 @@ private[graft] object StreamingQueries {
           numBuckets = 8, tieBreakCols = Seq("event_id"))
         .start().awaitTermination()
       // simulate the crash window on the first populated bucket (the degen
-      // world's single user fills exactly one)
-      val victim = graft.streaming.BucketedStore
-        .existingBuckets(s"$tmp/t").head
-      val dir = new java.io.File(
-        graft.streaming.BucketedStore.bucketDir(s"$tmp/t", victim))
-      require(dir.renameTo(new java.io.File(s"${dir.getPath}.old-99")),
-        s"crash simulation rename failed for $dir")
-      graft.streaming.BucketedStore.read(s, s"$tmp/t").get
+      // world's single user fills exactly one; an EMPTY replay has no
+      // bucket to crash — the store is the empty relation)
+      graft.streaming.BucketedStore.existingBuckets(s"$tmp/t")
+        .headOption.foreach { victim =>
+          val dir = new java.io.File(
+            graft.streaming.BucketedStore.bucketDir(s"$tmp/t", victim))
+          require(dir.renameTo(new java.io.File(s"${dir.getPath}.old-99")),
+            s"crash simulation rename failed for $dir")
+        }
+      graft.streaming.BucketedStore.read(s, s"$tmp/t")
+        .getOrElse(Tables.events(s, d).select(col("user_id"),
+          col("event_type"), col("ts_us"),
+          lit(false).as("tombstone")).limit(0))
         .filter(!col("tombstone"))
         .select(col("user_id"), col("event_type"), col("ts_us"))
         .orderBy("user_id")

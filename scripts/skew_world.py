@@ -14,7 +14,10 @@ exclusion, AQE skew handling, salting) never goes quadratic or wrong when
 one key dominates — every `groupBy(key)` the degen world collapses to a
 single group anyway gets a real hot-vs-tail distribution here.
 
-Usage:  python3 scripts/skew_world.py [outdir]     (default /tmp/graft_skew)
+Usage:  python3 scripts/skew_world.py [outdir] [srcdir]
+        (defaults /tmp/graft_skew, /root/testdata/sf0.001; pass
+        /root/testdata/sf0.1 as srcdir for the SKEW BENCH world — same
+        transforms at bench scale, r13 verdict #4)
 Then:   sbt "runMain graft.Verify <outdir> /tmp/out_skew"
         python3 scripts/check.py <outdir> /tmp/out_skew
 """
@@ -22,8 +25,8 @@ import sys
 
 import duckdb
 
-SRC = "/root/testdata/sf0.001"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_skew"
+SRC = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
 
 # the one hot calendar day ~99% of orders land on (legal mid-range date)
 HOT_DAY = "TIMESTAMP '1996-03-11 00:00:00'"

@@ -47,6 +47,13 @@ object Verify {
     // rows-only query that failed at runtime (it writes no output dir)
     Files.writeString(Paths.get(s"$outDir/queries.json"),
       SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    // names this run actually ATTEMPTED — check_empty_refusals.py requires
+    // it to equal the full registry before reading a missing output dir as
+    // a contract refusal (a `only`-filtered run is indistinguishable
+    // otherwise)
+    Files.writeString(Paths.get(s"$outDir/attempted.json"),
+      SparkEntry.queries.keys.toSeq.sorted
+        .filter(n => only.forall(_.contains(n))).map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -1745,6 +1745,43 @@ private[graft] object CoreQueries3 {
         .orderBy("doc_id")
     }),
 
+    // §2.6c SERDE COERCIONS oracled on their ASCII-safe projections (r13
+    // verdict #3 — the q206 move, promoting the last oracle-able serde
+    // row): deterministic uuid text / enum symbol / fixed(8) bytes are
+    // derived from md5 hex per doc, pushed through REAL single-field Avro
+    // encode→decode round trips (AvroBridge.coercionAudit — the record
+    // body of a single-field record IS the coerced wire form), and the
+    // surfaced wire/roundtrip columns are compared against DuckDB's
+    // independent hex/string assembly of the same coercion definitions
+    // (reference AvroRecord.scala:443-509: fixed(16)+uuid ⇄ canonical
+    // text, enum ⇄ symbol, @Fixed ⇄ bytes). A uuid byte-order bug, enum
+    // index-lookup bug, or fixed passthrough bug changes the wire hex; a
+    // decode-direction bug changes the _rt columns. Multi-field Avro
+    // bodies stay spec-only (NUL-bearing varint framing — the
+    // sha256-VARCHAR closure, CLAUDE.md r6).
+    "q208_serde_coerce" -> ((s, d) => {
+      val in = Tables.documents(s, d).select(col("doc_id"),
+          md5(concat_ws("", lit("u:"), col("doc_id"))).as("h"),
+          pmod(col("doc_id"), lit(4L)).as("ki"),
+          unhex(substring(md5(concat_ws("", lit("f:"), col("doc_id"))), 1, 16))
+            .as("f8"))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          concat_ws("-", substring(col("h"), 1, 8), substring(col("h"), 9, 4),
+            substring(col("h"), 13, 4), substring(col("h"), 17, 4),
+            substring(col("h"), 21, 12)).as("uuid_text"),
+          when(col("ki") === 0, "HTML").when(col("ki") === 1, "PDF")
+            .when(col("ki") === 2, "TXT").otherwise("MD").as("enum_sym"),
+          col("f8"))
+      graft.serde.AvroBridge.coercionAudit(in, Seq("HTML", "PDF", "TXT", "MD"))
+        .select(col("doc_id"),
+          lower(hex(col("uuid_wire"))).as("uuid_wire_hex"),
+          col("uuid_rt"),
+          lower(hex(col("enum_wire"))).as("enum_wire_hex"),
+          col("enum_rt"),
+          lower(hex(col("fixed_wire"))).as("fixed_wire_hex"))
+        .orderBy("doc_id")
+    }),
+
     // CRAMÉR–VON MISES two-sample drift between early and late order
     // prices (q183's KS companion: CvM integrates the SQUARED ECDF gap
     // over the pooled sample, so it is sensitive to distributed shape
@@ -3442,6 +3479,28 @@ private[graft] object CoreQueries3 {
         |  ('0x' || substr(frame_hex, 3, 8))::BIGINT AS schema_id,
         |  CAST((length(frame_hex) - 10) // 2 AS BIGINT) AS payload_len
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // the oracle assembles each coercion's wire form independently: the
+    // uuid's 16 bytes ARE the 32 md5 hex chars (big-endian msb‖lsb —
+    // byte-order drift would break this equality), the enum body is the
+    // zigzag varint of the symbol index (2·ki, single byte for ki<64),
+    // the fixed(8) body is its 16 input hex chars; roundtrip columns are
+    // the canonical 8-4-4-4-12 text and the CASE'd symbol
+    "q208_serde_coerce" ->
+      """WITH b AS (SELECT doc_id,
+        |    md5(concat('u:', doc_id)) AS h,
+        |    doc_id % 4 AS ki,
+        |    substr(md5(concat('f:', doc_id)), 1, 16) AS f8
+        |  FROM documents)
+        |SELECT doc_id,
+        |  h AS uuid_wire_hex,
+        |  concat(substr(h,1,8),'-',substr(h,9,4),'-',substr(h,13,4),'-',
+        |    substr(h,17,4),'-',substr(h,21,12)) AS uuid_rt,
+        |  printf('%02x', 2*ki) AS enum_wire_hex,
+        |  CASE ki WHEN 0 THEN 'HTML' WHEN 1 THEN 'PDF' WHEN 2 THEN 'TXT'
+        |    ELSE 'MD' END AS enum_rt,
+        |  f8 AS fixed_wire_hex
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     // the same register/cumulative/total CTEs on HUGEINT; the two stage
     // floors compose exactly on positives, empty side CASEs to NULL

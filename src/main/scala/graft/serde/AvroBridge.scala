@@ -353,6 +353,60 @@ object AvroBridge {
       ((framed(3) & 0xff) << 8) | (framed(4) & 0xff)
     (id, java.util.Arrays.copyOfRange(framed, 5, framed.length))
   }
+
+  // ------------------------------------------------------------------
+  // §2.6c coercions, ASCII-safe (q208 — r13 verdict #3)
+  // ------------------------------------------------------------------
+
+  /** Surface the serde coercions (reference AvroRecord.scala:443-509 —
+    * fixed(16)+uuid ⇄ canonical text, enum ⇄ symbol string, @Fixed ⇄
+    * bytes) in a batch-oracle-comparable form: each input value is encoded
+    * as a SINGLE-FIELD Avro record, so the record body IS exactly the
+    * coerced wire form — raw big-endian msb‖lsb for the uuid, the zigzag
+    * varint symbol index for the enum, the raw bytes for the fixed — then
+    * decoded back. The `*_wire` columns pin the ENCODE direction
+    * byte-exactly (a uuid byte-order or enum index-lookup bug changes
+    * them); the `*_rt` columns pin DECODE. Runs distributed
+    * (mapPartitions at the serde boundary, same as the multimodal codec).
+    *
+    * Input df columns, positionally: (doc_id LONG, uuid_text STRING —
+    * canonical 8-4-4-4-12 lowercase, enum_sym STRING ∈ symbols,
+    * fixed8 BINARY(8)). */
+  def coercionAudit(df: org.apache.spark.sql.DataFrame, symbols: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    require(symbols.nonEmpty && symbols.forall(_.matches("[A-Za-z][A-Za-z0-9_]*")),
+      "enum symbols must be valid Avro names")
+    val out = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("uuid_wire", BinaryType, nullable = false),
+      StructField("uuid_rt", StringType, nullable = false),
+      StructField("enum_wire", BinaryType, nullable = false),
+      StructField("enum_rt", StringType, nullable = false),
+      StructField("fixed_wire", BinaryType, nullable = false)))
+    val symJson = symbols.map(s => "\"" + s + "\"").mkString(",")
+    val uuidJson = """{"type":"record","name":"cu","namespace":"graft",
+      |"fields":[{"name":"v","type":{"type":"fixed","name":"u16","size":16,
+      |"logicalType":"uuid"}}]}""".stripMargin.replace("\n", "")
+    val enumJson = s"""{"type":"record","name":"ce","namespace":"graft",
+      |"fields":[{"name":"v","type":{"type":"enum","name":"sym",
+      |"symbols":[$symJson]}}]}""".stripMargin.replace("\n", "")
+    val fixedJson = """{"type":"record","name":"cf","namespace":"graft",
+      |"fields":[{"name":"v","type":{"type":"fixed","name":"f8","size":8}}]}"""
+      .stripMargin.replace("\n", "")
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    df.mapPartitions { it =>
+      val us = new Schema.Parser().parse(uuidJson)
+      val es = new Schema.Parser().parse(enumJson)
+      val fsch = new Schema.Parser().parse(fixedJson)
+      it.map { r =>
+        val uw = encodeRow(Row(r.getString(1)), us)
+        val ew = encodeRow(Row(r.getString(2)), es)
+        val fw = encodeRow(Row(r.getAs[Array[Byte]](3)), fsch)
+        Row(r.getLong(0), uw, decodeRow(uw, us).getString(0),
+          ew, decodeRow(ew, es).getString(0), fw)
+      }
+    }(enc)
+  }
 }
 
 /** In-memory schema registry with the reference's semantics: content-hashed

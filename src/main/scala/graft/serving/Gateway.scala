@@ -50,11 +50,51 @@ final class ChangeFeed(keepLastN: Int = 256, maxKeys: Int = 65536) {
   }
 }
 
+object Gateway {
+
+  /** Partition-routed `/kv` backend (r13 verdict #6): the key murmur3-
+    * routes DRIVER-SIDE to its one [[graft.streaming.BucketedStore]]
+    * bucket and the serving scan reads exactly 1/N of the table — the
+    * reference's partition-routed point read
+    * (core/.../actor/Group.scala:78-82, Murmur2Partitioner), vs the
+    * [[Snapshot]] route's driver map over a SMALL store. Key types come
+    * from the store's own schema, so URL segments always coerce to the
+    * STORED types (the murmur3 routing contract). `lastScanDirs` stamps
+    * the dirs the most recent request actually scanned — GatewaySpec's
+    * evidence that a point read touches one bucket, never the table. */
+  final class BucketedRoute(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      val keyCols: Seq[String],
+      fs: graft.streaming.StoreFs = graft.streaming.LocalFs) {
+    import graft.streaming.BucketedStore
+    val keyTypes: Seq[org.apache.spark.sql.types.DataType] =
+      BucketedStore.read(spark, root, fs)
+        .map(df => keyCols.map(c => df.schema(c).dataType))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no bucketed table at $root"))
+    @volatile var lastScanDirs: Seq[String] = Nil
+
+    def get(values: Seq[Any]): Option[org.apache.spark.sql.Row] =
+      BucketedStore.pointLookup(spark, root, keyCols, values, fs).flatMap { df =>
+        lastScanDirs =
+          df.inputFiles.map(f => new java.io.File(f).getParent).distinct.toSeq
+        // changelog semantics: a tombstoned key is a miss (404), same as
+        // the snapshot route's compact-then-drop
+        val live = if (df.columns.contains("tombstone"))
+          df.filter(!org.apache.spark.sql.functions.col("tombstone"))
+        else df
+        live.collect().headOption
+      }
+  }
+}
+
 final class Gateway(
     snapshot: Snapshot,
     feed: ChangeFeed = new ChangeFeed(),
     saltHex: Option[String] = None,
-    clock: () => Long = () => System.currentTimeMillis() / 1000L) {
+    clock: () => Long = () => System.currentTimeMillis() / 1000L,
+    bucketed: Option[Gateway.BucketedRoute] = None) {
 
   private val mapper = new ObjectMapper
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
@@ -101,13 +141,15 @@ final class Gateway(
     mapper.writeValueAsString(node)
   }
 
-  /** Coerce URL path segments (strings) to the snapshot's key types.
+  /** Coerce URL path segments (strings) to the route's key types.
     * Returns None when a segment cannot be a value of its key type (or the
     * type is one a URL path cannot address) — the caller answers 404, a
     * miss, never a 500. */
-  private def coerceKey(segments: Seq[String]): Option[Seq[Any]] = {
+  private def coerceKey(
+      segments: Seq[String],
+      types: Seq[org.apache.spark.sql.types.DataType]): Option[Seq[Any]] = {
     import org.apache.spark.sql.types._
-    try Some(segments.zip(snapshot.keyTypes).map {
+    try Some(segments.zip(types).map {
       case (s, LongType) => s.toLong
       case (s, IntegerType) => s.toInt
       case (s, ShortType) => s.toShort
@@ -130,8 +172,15 @@ final class Gateway(
         path.split("/").filter(_.nonEmpty).toSeq match {
           case Seq("stats") =>
             respond(ex, 200, s"""{"num_keys":${snapshot.size}}""")
-          case "kv" +: key if key.length == snapshot.keyCols.length =>
-            coerceKey(key).flatMap(snapshot.get) match {
+          case "kv" +: key if key.length ==
+              bucketed.fold(snapshot.keyCols.length)(_.keyCols.length) =>
+            // bucketed route when configured: murmur3-routed 1/N scan of a
+            // live BucketedStore table; snapshot route otherwise
+            val hit = bucketed match {
+              case Some(r) => coerceKey(key, r.keyTypes).flatMap(r.get)
+              case None => coerceKey(key, snapshot.keyTypes).flatMap(snapshot.get)
+            }
+            hit match {
               case Some(row) => respond(ex, 200, rowJson(row))
               case None => respond(ex, 404, """{"error":"not found"}""")
             }

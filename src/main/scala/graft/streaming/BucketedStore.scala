@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.io.File
-
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -14,16 +12,26 @@ import org.apache.spark.sql.functions._
   * O(store). This is the same layout for foreachBatch-materialized
   * tables: `root/b<i>` holds the rows whose key hashes to bucket i
   * (Spark murmur3 `hash()`, deterministic across sessions), each bucket an
-  * independently [[AtomicSwap]]-swapped parquet dir. A micro-batch
+  * independently [[AtomicSwap]]-committed parquet table. A micro-batch
   * rewrites ONLY the buckets its keys touch; at 100 TB with N sized so a
   * bucket ≈ a healthy task, per-batch IO is batch + (touched/N)·table
   * instead of the whole table — the difference between a live index that
   * scales and one that re-derives the corpus per batch (r12 verdict #1).
   *
-  * Crash safety: per-bucket swaps inherit the AtomicSwap protocol; a crash
-  * between bucket swaps re-runs the same micro-batch (checkpoint offset
-  * uncommitted), and re-compacting an already-updated bucket with the same
-  * batch is idempotent (latest-per-key is an associative, idempotent max).
+  * Filesystem portability (r13 verdict #1): all metadata IO goes through
+  * the [[StoreFs]] seam. On the default [[LocalFs]] the layout and crash
+  * protocol are byte-identical to the pre-seam code (per-bucket two-rename
+  * swaps); on a rename-less store (`atomicRename = false`) each bucket is
+  * committed by an atomic pointer-file flip and the staged partition dirs
+  * ARE the bucket generations — no data ever moves. Single WRITER per
+  * store root (the streaming checkpoint already serializes batches);
+  * readers are safe in every crash window under both protocols.
+  *
+  * Crash safety: per-bucket commits inherit the AtomicSwap protocol; a
+  * crash between bucket commits re-runs the same micro-batch (checkpoint
+  * offset uncommitted), and re-compacting an already-updated bucket with
+  * the same batch is idempotent (latest-per-key is an associative,
+  * idempotent max).
   */
 object BucketedStore {
 
@@ -36,39 +44,39 @@ object BucketedStore {
   def bucketDir(root: String, id: Int): String = s"$root/b$id"
 
   private val BucketName = "^b(\\d+)$".r
+  private val BucketLeftover = "^b(\\d+)\\.(old|tmp|gen)-\\d+$".r
+  private val BucketPtr = "^b(\\d+)\\.ptr$".r
 
-  /** Bucket ids with an existing (or recoverable) dir under `root`. */
-  def existingBuckets(root: String): Seq[Int] = {
-    val kids = Option(new File(root).listFiles()).getOrElse(Array.empty[File])
-    kids.flatMap(f => f.getName match {
-      // tmp/old leftovers count: recover() may roll the bucket back to life
+  /** Bucket ids with an existing (or recoverable) table under `root` —
+    * live dirs, rename-protocol leftovers (recover() may roll them back to
+    * life), and manifest pointers/generations all count. */
+  def existingBuckets(root: String, fs: StoreFs = LocalFs): Seq[Int] =
+    fs.listNames(root).flatMap {
       case BucketName(i) => Some(i.toInt)
-      case n if n.matches("^b(\\d+)\\.(old|tmp)-\\d+$") =>
-        Some(n.drop(1).takeWhile(_.isDigit).toInt)
+      case BucketLeftover(i, _) => Some(i.toInt)
+      case BucketPtr(i) => Some(i.toInt)
       case _ => None
-    }).distinct.sorted.toSeq
-  }
+    }.distinct.sorted
 
   /** Union of the given buckets' tables, each crash-recovered first.
     * None when no bucket exists — the table has never been written. */
-  def readBuckets(spark: SparkSession, root: String, ids: Seq[Int]): Option[DataFrame] = {
-    val dirs = ids.map(bucketDir(root, _)).filter(AtomicSwap.recover)
+  def readBuckets(
+      spark: SparkSession,
+      root: String,
+      ids: Seq[Int],
+      fs: StoreFs = LocalFs): Option[DataFrame] = {
+    val dirs = ids.flatMap(id => AtomicSwap.resolve(bucketDir(root, id), fs))
     if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
   }
 
   /** Full-table read: every existing bucket, recovered. */
-  def read(spark: SparkSession, root: String): Option[DataFrame] =
-    readBuckets(spark, root, existingBuckets(root))
+  def read(spark: SparkSession, root: String, fs: StoreFs = LocalFs): Option[DataFrame] =
+    readBuckets(spark, root, existingBuckets(root, fs), fs)
 
   /** The layout's bucket count, persisted at first write (`root/.buckets`)
     * so readers can ROUTE a key to its one bucket without scanning. */
-  def numBuckets(root: String): Option[Int] = {
-    val f = new File(root, ".buckets")
-    if (f.isFile)
-      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-        .trim.toIntOption
-    else None
-  }
+  def numBuckets(root: String, fs: StoreFs = LocalFs): Option[Int] =
+    fs.readString(s"$root/.buckets").flatMap(_.trim.toIntOption)
 
   /** P1 point read with the reference's routing cost model
     * (Murmur2Partitioner: key → ONE partition, api/.../Coordinator): the
@@ -77,29 +85,73 @@ object BucketedStore {
     * exactly that one bucket dir — 1/N of the table by construction, at
     * any table size. Values must carry the STORED key types (a Long key
     * probed with an Int hashes differently — same contract as Kafka's
-    * serialized-key routing). None when the table has never been
+    * serialized-key routing); a mistyped probe throws rather than
+    * returning a silent empty result. None when the table has never been
     * written. */
   def pointLookup(
       spark: SparkSession,
       root: String,
       keyCols: Seq[String],
-      values: Seq[Any]): Option[DataFrame] = {
+      values: Seq[Any],
+      fs: StoreFs = LocalFs): Option[DataFrame] = {
     require(keyCols.nonEmpty && keyCols.size == values.size,
       "keyCols and values must align")
-    numBuckets(root).flatMap { n =>
+    numBuckets(root, fs).flatMap { n =>
       import org.apache.spark.sql.catalyst.expressions.{Literal => CLit, Murmur3Hash}
-      val h = Murmur3Hash(values.map(CLit(_)), 42).eval(null).asInstanceOf[Int]
+      val lits = values.map(CLit(_))
+      val h = Murmur3Hash(lits, 42).eval(null).asInstanceOf[Int]
       val id = java.lang.Math.floorMod(h, n)
-      readBuckets(spark, root, Seq(id)).map(df =>
+      readBuckets(spark, root, Seq(id), fs).map { df =>
+        // routing-correctness guard: a probe literal whose type differs
+        // from the stored column hashes differently and would route to the
+        // wrong bucket — fail loudly instead of returning empty (cheap,
+        // driver-side schema comparison only)
+        keyCols.zip(lits).foreach { case (c, l) =>
+          val stored = df.schema(c).dataType
+          if (l.value != null && l.dataType != stored)
+            throw new IllegalArgumentException(
+              s"pointLookup probe type mismatch on '$c': probe ${l.dataType} " +
+                s"vs stored $stored — the murmur3 route would be wrong")
+        }
         keyCols.zip(values).foldLeft(df) { case (d, (c, v)) =>
-          d.filter(col(c) === lit(v)) })
+          d.filter(col(c) === lit(v)) }
+      }
     }
+  }
+
+  /** Staging dir of a batch's partitioned write. Under the manifest
+    * protocol its `__b=<id>` subdirs become live bucket generations. */
+  private def stagingDir(root: String, batchId: Long): String =
+    s"$root/.staging-$batchId"
+
+  private val StagingName = "^\\.staging-(\\d+)$".r
+
+  /** Sweep stale staging dirs from interrupted batches. Rename protocol:
+    * any staging with a DIFFERENT batchId is dead (its subdirs were either
+    * all renamed out or the batch will re-run from the checkpoint).
+    * Manifest protocol: a staging subdir may be a LIVE bucket generation —
+    * only sweep stagings no bucket pointer references into. Never touches
+    * the current batch's staging (single-writer contract; a same-batch
+    * leftover is overwritten by the write itself). */
+  private def sweepStagings(root: String, batchId: Long, fs: StoreFs): Unit = {
+    val stale = fs.listNames(root).collect {
+      case n @ StagingName(id) if id.toLong != batchId => s"$root/$n"
+    }
+    if (stale.isEmpty) return
+    val referenced: Set[String] =
+      if (fs.atomicRename) Set.empty
+      else fs.listNames(root).collect { case n @ BucketPtr(_) =>
+        fs.readString(s"$root/$n").map(_.trim)
+      }.flatten.toSet
+    stale.filterNot(s => referenced.exists(_.startsWith(s + "/")))
+      .foreach(fs.deleteRecursively)
   }
 
   /** Replace exactly the `touched` bucket dirs of `root` with `df`'s rows
     * (bucketed by `bexpr`). One partitioned write stages every touched
-    * bucket in a single job; each staged subdir is then renamed into place
-    * under the AtomicSwap protocol. A touched bucket with NO staged rows
+    * bucket in a single job; each staged subdir is then committed under
+    * the AtomicSwap protocol (renamed into place, or pointer-flipped in
+    * place on a rename-less store). A touched bucket with NO staged rows
     * (every key tombstone-filtered out — the index-delta case) is swapped
     * to an empty table so stale rows vanish. `df` must not contain a
     * `__b` column. */
@@ -109,23 +161,30 @@ object BucketedStore {
       root: String,
       touched: Seq[Int],
       batchId: Long,
-      arity: Int): Unit = {
-    new File(root).mkdirs()
-    // persist the routing arity once so pointLookup can route keys
-    val meta = new File(root, ".buckets")
-    if (!meta.isFile)
-      java.nio.file.Files.write(meta.toPath, arity.toString.getBytes("UTF-8"))
-    // sweep stale stagings from interrupted batches before writing ours
-    Option(new File(root).listFiles()).getOrElse(Array.empty[File])
-      .filter(_.getName.startsWith(".staging-")).foreach(AtomicSwap.deleteRecursively)
-    val staging = s"$root/.staging-$batchId"
+      arity: Int,
+      fs: StoreFs = LocalFs): Unit = {
+    fs.mkdirs(root)
+    // persist the routing arity once; reopening an existing store with a
+    // DIFFERENT bucket count would strand rows in old-arity buckets and
+    // break pointLookup routing — fail loudly on the mismatch
+    numBuckets(root, fs) match {
+      case Some(existing) => require(existing == arity,
+        s"bucket-count mismatch for $root: store has $existing, caller passed " +
+          s"$arity — reopening with a different arity would corrupt routing")
+      case None => fs.writeString(s"$root/.buckets", arity.toString)
+    }
+    sweepStagings(root, batchId, fs)
+    val staging = stagingDir(root, batchId)
     df.withColumn("__b", bexpr)
       .write.partitionBy("__b").mode("overwrite").parquet(staging)
     touched.foreach { id =>
-      val sub = new File(s"$staging/__b=$id")
-      if (sub.isDirectory) AtomicSwap.swapDir(sub.getPath, bucketDir(root, id), batchId)
-      else AtomicSwap.swap(df.limit(0), bucketDir(root, id), batchId)
+      val sub = s"$staging/__b=$id"
+      if (fs.isDir(sub)) AtomicSwap.swapDir(sub, bucketDir(root, id), batchId, fs)
+      else AtomicSwap.swap(df.limit(0), bucketDir(root, id), batchId, fs)
     }
-    AtomicSwap.deleteRecursively(new File(staging))
+    // rename protocol: every committed subdir was renamed OUT of staging —
+    // the husk is dead. Manifest: the subdirs ARE the live generations;
+    // the staging root is swept once fully unreferenced (see sweepStagings).
+    if (fs.atomicRename) fs.deleteRecursively(staging)
   }
 }

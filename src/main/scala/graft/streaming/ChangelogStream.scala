@@ -196,10 +196,11 @@ object ChangelogStream {
       checkpoint: String,
       numBuckets: Int = 16,
       tieBreakCols: Seq[String] = Nil,
-      stats: Option[scala.collection.mutable.Buffer[BucketBatchStats]] = None)
+      stats: Option[scala.collection.mutable.Buffer[BucketBatchStats]] = None,
+      fs: StoreFs = LocalFs)
       : DataStreamWriter[Row] =
     bucketedWriter(changelog, keyCols, tsCol, tablePath, checkpoint,
-      numBuckets, tieBreakCols, Some((indexFn, indexPath)), stats)
+      numBuckets, tieBreakCols, Some((indexFn, indexPath)), stats, fs)
 
   /** [[materializeLatest]] with the bucketed touched-buckets-only rewrite
     * and no index — same O(batch + touched buckets) per-batch contract as
@@ -212,10 +213,11 @@ object ChangelogStream {
       checkpoint: String,
       numBuckets: Int = 16,
       tieBreakCols: Seq[String] = Nil,
-      stats: Option[scala.collection.mutable.Buffer[BucketBatchStats]] = None)
+      stats: Option[scala.collection.mutable.Buffer[BucketBatchStats]] = None,
+      fs: StoreFs = LocalFs)
       : DataStreamWriter[Row] =
     bucketedWriter(changelog, keyCols, tsCol, tablePath, checkpoint,
-      numBuckets, tieBreakCols, None, stats)
+      numBuckets, tieBreakCols, None, stats, fs)
 
   private def bucketedWriter(
       changelog: DataFrame,
@@ -226,7 +228,8 @@ object ChangelogStream {
       numBuckets: Int,
       tieBreakCols: Seq[String],
       index: Option[(org.apache.spark.sql.Column, String)],
-      stats: Option[scala.collection.mutable.Buffer[BucketBatchStats]])
+      stats: Option[scala.collection.mutable.Buffer[BucketBatchStats]],
+      fs: StoreFs = LocalFs)
       : DataStreamWriter[Row] = {
     require(numBuckets > 0, "numBuckets must be positive")
     val spark = changelog.sparkSession
@@ -239,7 +242,7 @@ object ChangelogStream {
         val touched = batch0.select(bexpr.cast("int").as("__b")).distinct()
           .collect().map(_.getInt(0)).toSeq.sorted // ≤ numBuckets ids
         if (touched.nonEmpty) {
-          val existing = BucketedStore.readBuckets(spark, tablePath, touched)
+          val existing = BucketedStore.readBuckets(spark, tablePath, touched, fs)
           val all = existing.fold(batch0)(
             e => e.unionByName(batch0, allowMissingColumns = true))
           // checkpointed: read again by the table write, the index derive
@@ -252,17 +255,17 @@ object ChangelogStream {
           val preSwap = stats.map(_ =>
             (batch0.count(), existing.map(_.count()).getOrElse(0L)))
           BucketedStore.writeBuckets(latest, bexpr, tablePath, touched,
-            batchId, numBuckets)
+            batchId, numBuckets, fs)
           index.foreach { case (indexFn, indexPath) =>
             val idx = graft.state.SecondaryIndex.build(
               latest.filter(!col("tombstone")), keyCols, indexFn)
             BucketedStore.writeBuckets(idx, bexpr, indexPath, touched,
-              batchId, numBuckets)
+              batchId, numBuckets, fs)
           }
           stats.zip(preSwap).foreach { case (buf, (batchRows, existingRows)) =>
             buf += BucketBatchStats(batchId, batchRows,
               existingRows, touched.size, numBuckets,
-              BucketedStore.read(spark, tablePath).map(_.count()).getOrElse(0L))
+              BucketedStore.read(spark, tablePath, fs).map(_.count()).getOrElse(0L))
           }
         }
         ()

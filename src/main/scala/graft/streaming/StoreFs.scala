@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.io.File
+
+/** Filesystem seam under the bucketed-store commit protocol (r13 verdict
+  * #1). The reference keeps its stores pluggable behind an SPI for exactly
+  * this reason (reference: api/src/main/java/io/amient/affinity/core/
+  * storage/MemStore.java:41 — RocksDB/SimpleMap/SortedMap bindings); here
+  * the pluggable surface is the METADATA half of a table commit: listing,
+  * rename, recursive delete, and small-text-file (pointer/metadata) IO.
+  *
+  * Bulk DATA writes (parquet) stay on Spark's own Hadoop IO — on a real
+  * object store those go through Spark's cloud committers, which is a
+  * solved problem outside this seam. What the seam ports is OUR protocol:
+  * [[AtomicSwap]] picks the two-rename swap when [[atomicRename]] holds
+  * (POSIX, HDFS) and the pointer-file (manifest) commit when it does not
+  * (S3-style stores, where rename is copy+delete and never atomic).
+  *
+  * Contract notes:
+  *   - [[writeString]] must be an atomic single-object put — it is the
+  *     manifest protocol's commit primitive (an object-store PUT is
+  *     atomic at object granularity; the local impl writes a temp file
+  *     and renames, which is atomic on POSIX).
+  *   - [[rename]] may simply return false (or throw) on a store without
+  *     it; the manifest branch never calls it.
+  */
+trait StoreFs {
+
+  /** True when rename(src, dst) is atomic and O(1) — POSIX/HDFS. False
+    * selects the pointer-file commit protocol in [[AtomicSwap]]. */
+  def atomicRename: Boolean
+
+  /** Child names (not paths) of `dir`; empty when absent. */
+  def listNames(dir: String): Seq[String]
+
+  def exists(path: String): Boolean
+
+  def isDir(path: String): Boolean
+
+  /** Atomic move; false on failure. Never called by the manifest branch. */
+  def rename(src: String, dst: String): Boolean
+
+  def deleteRecursively(path: String): Unit
+
+  def mkdirs(path: String): Unit
+
+  /** Small text file (pointer/metadata) read; None when absent. */
+  def readString(path: String): Option[String]
+
+  /** Atomic single-object put of a small text file (commit primitive). */
+  def writeString(path: String, content: String): Unit
+}
+
+/** Local-POSIX [[StoreFs]]: byte-identical to the pre-seam java.io.File
+  * code paths — the existing AtomicSwap/BucketedStore specs pin that. */
+object LocalFs extends StoreFs {
+  override def atomicRename: Boolean = true
+
+  override def listNames(dir: String): Seq[String] =
+    Option(new File(dir).listFiles()).getOrElse(Array.empty[File])
+      .map(_.getName).toSeq
+
+  override def exists(path: String): Boolean = new File(path).exists()
+
+  override def isDir(path: String): Boolean = new File(path).isDirectory
+
+  override def rename(src: String, dst: String): Boolean =
+    new File(src).renameTo(new File(dst))
+
+  override def deleteRecursively(path: String): Unit = del(new File(path))
+
+  private def del(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(del)
+    f.delete()
+    ()
+  }
+
+  override def mkdirs(path: String): Unit = {
+    new File(path).mkdirs()
+    ()
+  }
+
+  override def readString(path: String): Option[String] = {
+    val f = new File(path)
+    if (f.isFile)
+      Some(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+    else None
+  }
+
+  override def writeString(path: String, content: String): Unit = {
+    // temp-write + rename: atomic on POSIX, so a reader never sees a
+    // half-written pointer — mirrors the object-store atomic-PUT contract
+    val tmp = new File(path + ".w")
+    java.nio.file.Files.write(tmp.toPath, content.getBytes("UTF-8"))
+    if (!tmp.renameTo(new File(path))) {
+      tmp.delete()
+      throw new java.io.IOException(s"pointer write failed: $path")
+    }
+  }
+}

@@ -108,4 +108,35 @@ class GatewaySpec extends SparkSpec {
       get(s"$base/watch/acct1").body() should not include """"balance":10"""
     } finally gw.stop()
   }
+
+  it should "serve /kv through the bucketed route, scanning exactly ONE bucket dir per request (r13 verdict #6)" in {
+    import graft.streaming.BucketedStore
+    val root = java.nio.file.Files.createTempDirectory("graft-gwb")
+      .toFile.getAbsolutePath
+    val df = Seq(
+      (1L, "alice", false),
+      (2L, "robert", false),
+      (3L, "carol", true)) // tombstoned key: a 404, same as the snapshot route
+      .toDF("account", "owner", "tombstone")
+    BucketedStore.writeBuckets(df, BucketedStore.bucketCol(Seq("account"), 4),
+      root, Seq(0, 1, 2, 3), 0L, arity = 4)
+
+    val route = new Gateway.BucketedRoute(spark, root, Seq("account"))
+    route.keyTypes shouldBe Seq(org.apache.spark.sql.types.LongType) // from the STORE schema
+    val gw = new Gateway(Snapshot.of(store), bucketed = Some(route)).start()
+    try {
+      val base = s"http://127.0.0.1:${gw.port}"
+      val ok = get(s"$base/kv/2")
+      ok.statusCode() shouldBe 200
+      ok.body() should include(""""owner":"robert"""")
+      // the stamped scan metric: one bucket dir, never the table — the
+      // reference's partition-routed read cost model (Group.scala:78-82)
+      route.lastScanDirs.size shouldBe 1
+      new java.io.File(route.lastScanDirs.head).getName should
+        fullyMatch regex "b\\d+"
+      get(s"$base/kv/3").statusCode() shouldBe 404 // tombstoned
+      get(s"$base/kv/99").statusCode() shouldBe 404 // miss
+      get(s"$base/kv/not-a-long").statusCode() shouldBe 404 // uncoercible
+    } finally gw.stop()
+  }
 }

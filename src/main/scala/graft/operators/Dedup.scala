@@ -724,7 +724,8 @@ object Dedup {
       tDen: Long,
       blockCols: Seq[String],
       maxGramDf: Long = Long.MaxValue,
-      capQuantilePpm: Option[Long] = None): (DataFrame, DataFrame) = {
+      capQuantilePpm: Option[Long] = None,
+      dedupeCandidates: Boolean = true): (DataFrame, DataFrame) = {
     require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
     require(maxGramDf > 0, "maxGramDf must be positive")
     require(capQuantilePpm.forall(q => q > 0 && q <= 1000000L),
@@ -792,8 +793,8 @@ object Dedup {
         col("nb") * tNum <= col("na") * tDen &&
         least(col("na") - col("ra"), col("nb") - col("rb")) + 1L >=
           call_function("div", alpha, lit(tNum + tDen)))
-      .select("id_a", "id_b").distinct()
-    (sets, cand)
+      .select("id_a", "id_b")
+    (sets, if (dedupeCandidates) cand.distinct() else cand)
   }
 
   def decontaminate(

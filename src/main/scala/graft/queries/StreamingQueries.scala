@@ -568,6 +568,51 @@ private[graft] object StreamingQueries {
         .orderBy("user_id")
     }),
 
+    // THE MANIFEST (RENAME-LESS) COMMIT PROTOCOL UNDER THE ORACLE GATE
+    // (r14 — the StoreFs seam, r13 verdict #1): the w34/w36 ingest
+    // topology drains against ObjectStoreSimFs, whose rename THROWS — so
+    // bucket generations are immutable dirs committed solely by atomic
+    // pointer-file puts, the S3 model. After the drain the manifest crash
+    // window is simulated: an ORPHAN generation (fully written, never
+    // pointed at) carrying poisoned rows is planted next to a live
+    // bucket; the read path must serve exactly the committed generation
+    // set — ≡ the batch compaction of the replayed log, which the oracle
+    // asserts. A protocol bug that leaked an uncommitted generation
+    // (poison surfaces) or lost a committed one (rows vanish) breaks the
+    // hash; a protocol that still renames anywhere throws outright.
+    "w39_stream_manifest_store" -> ((s, d) => {
+      val tmpPath = java.nio.file.Files.createTempDirectory("graft_w39_")
+      Support.deleteOnExit(tmpPath)
+      val tmp = tmpPath.toString
+      val fs = graft.streaming.ObjectStoreSimFs
+      val ch = Tables.eventsStream(s, d).select(
+        col("user_id"), col("event_type"), col("ts_us"), col("event_id"),
+        (coalesce(col("value"), lit(0.0)) < 20.0).as("tombstone"))
+      graft.streaming.ChangelogStream.materializeLatestBucketed(ch,
+          Seq("user_id"), "ts_us", s"$tmp/t", s"$tmp/ckpt",
+          numBuckets = 8, tieBreakCols = Seq("event_id"), fs = fs)
+        .start().awaitTermination()
+      // crash-window simulation (empty replay ⇒ no bucket to poison —
+      // the store is the empty relation, empty-world gate)
+      graft.streaming.BucketedStore.existingBuckets(s"$tmp/t", fs)
+        .headOption.foreach { b =>
+          val dir = graft.streaming.BucketedStore.bucketDir(s"$tmp/t", b)
+          graft.streaming.BucketedStore.read(s, s"$tmp/t", fs).get.limit(1)
+            .withColumn("event_type", lit("__LEAKED_UNCOMMITTED__"))
+            // live + non-tombstoned: if the protocol leaked this
+            // generation, the poison row MUST surface and break the hash
+            .withColumn("tombstone", lit(false))
+            .write.mode("overwrite").parquet(s"$dir.gen-999999")
+        }
+      graft.streaming.BucketedStore.read(s, s"$tmp/t", fs)
+        .getOrElse(Tables.events(s, d).select(col("user_id"),
+          col("event_type"), col("ts_us"),
+          lit(false).as("tombstone")).limit(0))
+        .filter(!col("tombstone"))
+        .select(col("user_id"), col("event_type"), col("ts_us"))
+        .orderBy("user_id")
+    }),
+
     // q82's rolling 3σ anomaly monitor as a LIVE stream: anomalyMonitor
     // carries a bounded 20-value ring per user (state is histRows longs
     // per key — history-independent), flags via the same integer
@@ -1261,6 +1306,19 @@ private[graft] object StreamingQueries {
     // recovery is invisible to the result: the rolled-back table is the
     // plain latest-per-key compaction of the replayed log
     "w36_stream_crash_rollback" ->
+      """WITH latest AS (SELECT user_id, event_type, value,
+        |    epoch_us(ts) AS ts_us,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, ts_us FROM latest
+        |WHERE rn = 1 AND NOT (COALESCE(value, 0) < 20)
+        |ORDER BY user_id""".stripMargin,
+
+    // committed generations only: the drained manifest-protocol store ≡
+    // the batch compaction of the replayed log; a leaked uncommitted
+    // generation would surface its poison row and break this
+    "w39_stream_manifest_store" ->
       """WITH latest AS (SELECT user_id, event_type, value,
         |    epoch_us(ts) AS ts_us,
         |    ROW_NUMBER() OVER (PARTITION BY user_id

@@ -51,6 +51,29 @@ trait StoreFs {
   def writeString(path: String, content: String): Unit
 }
 
+/** Rename-less [[StoreFs]] over local disk — the S3 atomicity model for
+  * environments without an object store (this container has none): rename
+  * is UNSUPPORTED and THROWS, proving at runtime that the manifest commit
+  * protocol never issues one; all other ops delegate to [[LocalFs]]. A
+  * real S3/GCS binding implements the same trait with client calls
+  * (list/exists/delete + one atomic small-object PUT for [[writeString]]);
+  * everything above the seam is identical. Used by w39's oracle-gated
+  * drain and StoreFsSpec's crash-window matrix. */
+object ObjectStoreSimFs extends StoreFs {
+  override def atomicRename: Boolean = false
+  override def rename(src: String, dst: String): Boolean =
+    throw new UnsupportedOperationException(
+      s"rename on a rename-less store: $src -> $dst")
+  override def listNames(dir: String): Seq[String] = LocalFs.listNames(dir)
+  override def exists(path: String): Boolean = LocalFs.exists(path)
+  override def isDir(path: String): Boolean = LocalFs.isDir(path)
+  override def deleteRecursively(path: String): Unit = LocalFs.deleteRecursively(path)
+  override def mkdirs(path: String): Unit = LocalFs.mkdirs(path)
+  override def readString(path: String): Option[String] = LocalFs.readString(path)
+  override def writeString(path: String, content: String): Unit =
+    LocalFs.writeString(path, content)
+}
+
 /** Local-POSIX [[StoreFs]]: byte-identical to the pre-seam java.io.File
   * code paths — the existing AtomicSwap/BucketedStore specs pin that. */
 object LocalFs extends StoreFs {

@@ -3,37 +3,22 @@ package graft
 import java.io.File
 import java.nio.file.Files
 
-import graft.streaming.{AtomicSwap, BucketedStore, ChangelogStream, LocalFs, StoreFs}
+import graft.streaming.{AtomicSwap, BucketedStore, ChangelogStream, ObjectStoreSimFs, StoreFs}
 import org.apache.spark.sql.functions._
 
 /** The [[StoreFs]] seam (r13 verdict #1): a rename-less filesystem (the
   * S3 model — rename is copy+delete, never atomic) must get the manifest
   * (pointer-file) commit protocol, survive the same crash windows
   * AtomicSwapSpec probes for the rename protocol, and carry the full
-  * bucketed maintenance drain to the same result. The fixture's rename
-  * THROWS, so any rename issued on the manifest branch fails the test —
-  * not just "works without", but "provably never renames". */
+  * bucketed maintenance drain to the same result. [[ObjectStoreSimFs]]'s
+  * rename THROWS, so any rename issued on the manifest branch fails the
+  * test — not just "works without", but "provably never renames". (Spark's
+  * parquet data writes go through Hadoop, outside the seam — on a real
+  * object store that's the cloud committer's job.) */
 class StoreFsSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Rename-less [[StoreFs]] over the local disk: data IO works (Spark's
-    * parquet writes go through Hadoop, outside the seam — on a real object
-    * store that's the cloud committer's job), but OUR protocol gets no
-    * rename. */
-  private object NoRenameFs extends StoreFs {
-    override def atomicRename: Boolean = false
-    override def rename(src: String, dst: String): Boolean =
-      throw new UnsupportedOperationException(
-        s"rename on a rename-less store: $src -> $dst")
-    override def listNames(dir: String) = LocalFs.listNames(dir)
-    override def exists(path: String) = LocalFs.exists(path)
-    override def isDir(path: String) = LocalFs.isDir(path)
-    override def deleteRecursively(path: String): Unit = LocalFs.deleteRecursively(path)
-    override def mkdirs(path: String): Unit = LocalFs.mkdirs(path)
-    override def readString(path: String) = LocalFs.readString(path)
-    override def writeString(path: String, content: String): Unit =
-      LocalFs.writeString(path, content)
-  }
+  private val NoRenameFs: StoreFs = ObjectStoreSimFs
 
   private def write(path: String, v: String, fs: StoreFs): Unit =
     AtomicSwap.swap(Seq(v).toDF("v"), path, batchId = 1, fs)

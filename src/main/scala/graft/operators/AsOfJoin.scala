@@ -104,10 +104,19 @@ object AsOfJoin {
     val ord = Window.partitionBy(keyCol)
       .orderBy(col(tsCol) +: col("_side") +: tieCols: _*)
     val wBack = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wFwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // forward carry as a RUNNING window over the REVERSED order (last
+    // ignore-nulls to the current row in DESC ≡ first ignore-nulls from
+    // the current row in ASC, current row included on both spellings):
+    // Spark's unbounded-FOLLOWING frames re-aggregate from each row to
+    // the partition end — O(n²) on a hot key (132 s on the skew world's
+    // single-user events, r14 skew bench) — while running frames are
+    // incremental. Same one exchange; the reversed sort stays in-partition.
+    val ordDesc = Window.partitionBy(keyCol)
+      .orderBy((col(tsCol) +: col("_side") +: tieCols).map(_.desc): _*)
+    val wFwd = ordDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned
       .withColumn("_bw", last(col("_payload"), ignoreNulls = true).over(wBack))
-      .withColumn("_fw", first(col("_payload"), ignoreNulls = true).over(wFwd))
+      .withColumn("_fw", last(col("_payload"), ignoreNulls = true).over(wFwd))
       .filter(col("_side") === 1)
     val db = col(tsCol) - col("_bw").getField(tsCol)
     val df_ = col("_fw").getField(tsCol) - col(tsCol)

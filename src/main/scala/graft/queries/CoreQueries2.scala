@@ -623,8 +623,15 @@ private[graft] object CoreQueries2 {
     "q109_followed_by" -> ((s, d) => {
       val e = Tables.events(s, d)
         .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
-      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
-        .rowsBetween(1, Window.unboundedFollowing)
+      // min over the rows strictly AFTER current ≡ a RUNNING min over the
+      // REVERSED order with a strict-past frame: Spark's unbounded-
+      // FOLLOWING frames re-aggregate from each row to the partition end
+      // (O(n²) per partition — 209 s on the skew world's 99%-one-user
+      // events, r14 skew bench), while unbounded-PRECEDING frames are
+      // incremental. Identical result, one extra in-partition sort.
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
       e.withColumn("next_p",
           min(when(col("event_type") === "purchase", col("ts_us"))).over(w))
         .filter(col("event_type") === "click")

@@ -76,7 +76,10 @@ object ScaleProbe {
     // and the register-sized skew audit
     "w35_stream_index_lookup", "w36_stream_crash_rollback",
     "w37_stream_point_serve", "q207_key_skew_audit",
-    "w38_stream_key_subscribe")
+    "w38_stream_key_subscribe",
+    // round-14 additions: the manifest-protocol drain and the serde
+    // coercion round-trip
+    "w39_stream_manifest_store", "q208_serde_coerce")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -101,11 +101,13 @@ object BucketedStore {
       val lits = values.map(CLit(_))
       val h = Murmur3Hash(lits, 42).eval(null).asInstanceOf[Int]
       val id = java.lang.Math.floorMod(h, n)
-      readBuckets(spark, root, Seq(id), fs).map { df =>
-        // routing-correctness guard: a probe literal whose type differs
-        // from the stored column hashes differently and would route to the
-        // wrong bucket — fail loudly instead of returning empty (cheap,
-        // driver-side schema comparison only)
+      // routing-correctness guard: a probe literal whose type differs from
+      // the stored column hashes differently and would route to the wrong
+      // bucket — fail loudly instead of returning empty (cheap,
+      // driver-side schema comparison only). Checked against the routed
+      // bucket, or ANY bucket when the routed one was never written (a
+      // mistyped probe routing to a hole must still throw, not miss).
+      def checkTypes(df: DataFrame): Unit =
         keyCols.zip(lits).foreach { case (c, l) =>
           val stored = df.schema(c).dataType
           if (l.value != null && l.dataType != stored)
@@ -113,8 +115,14 @@ object BucketedStore {
               s"pointLookup probe type mismatch on '$c': probe ${l.dataType} " +
                 s"vs stored $stored — the murmur3 route would be wrong")
         }
-        keyCols.zip(values).foldLeft(df) { case (d, (c, v)) =>
-          d.filter(col(c) === lit(v)) }
+      readBuckets(spark, root, Seq(id), fs) match {
+        case Some(df) =>
+          checkTypes(df)
+          Some(keyCols.zip(values).foldLeft(df) { case (d, (c, v)) =>
+            d.filter(col(c) === lit(v)) })
+        case None =>
+          read(spark, root, fs).foreach(checkTypes)
+          None
       }
     }
   }

@@ -179,5 +179,20 @@ class StoreFsSpec extends SparkSpec {
     // correctly-typed probe works
     BucketedStore.pointLookup(spark, root, Seq("key"), Seq(2L))
       .get.select("value").as[String].collect().toSeq shouldBe Seq("b")
+
+    // a mistyped probe that routes to a NEVER-WRITTEN bucket must still
+    // throw (checked against any existing bucket), not silently miss
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CLit, Murmur3Hash}
+    val holey = Files.createTempDirectory("mfs9").toFile.getAbsolutePath
+    val one = Seq((2L, "b")).toDF("key", "value")
+    val b2 = java.lang.Math.floorMod(
+      Murmur3Hash(Seq(CLit(2L)), 42).eval(null).asInstanceOf[Int], 2)
+    BucketedStore.writeBuckets(one, BucketedStore.bucketCol(Seq("key"), 2),
+      holey, Seq(b2), 0L, arity = 2) // the OTHER bucket is a hole
+    val intToHole = (0 to 100).find(v => java.lang.Math.floorMod(
+      Murmur3Hash(Seq(CLit(v)), 42).eval(null).asInstanceOf[Int], 2) != b2).get
+    intercept[IllegalArgumentException] {
+      BucketedStore.pointLookup(spark, holey, Seq("key"), Seq(intToHole))
+    }.getMessage should include("probe type mismatch")
   }
 }

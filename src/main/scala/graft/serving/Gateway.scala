@@ -87,6 +87,36 @@ object Gateway {
         live.collect().headOption
       }
   }
+
+  /** R5 secondary-index lookup route over the LIVE bucketed index
+    * (w35's topology behind HTTP — the reference gateway's index query,
+    * KVStoreIndex.scala:20-66): `GET /index/{t1,t2,…}` answers the
+    * multi-term AND intersection. The postings scan is pruned to the
+    * queried terms before any shuffle (`isin` pushdown) and the hit set
+    * broadcasts into the primary semi-join; responses are bounded by
+    * `maxHits` (a serving tier returns a page, not a table). Tombstoned
+    * primary rows never serve. */
+  final class IndexRoute(
+      spark: org.apache.spark.sql.SparkSession,
+      tableRoot: String,
+      indexRoot: String,
+      keyCols: Seq[String],
+      maxHits: Int = 256,
+      fs: graft.streaming.StoreFs = graft.streaming.LocalFs) {
+    import graft.streaming.BucketedStore
+    def lookup(terms: Seq[String]): Seq[org.apache.spark.sql.Row] =
+      (BucketedStore.read(spark, indexRoot, fs),
+        BucketedStore.read(spark, tableRoot, fs)) match {
+        case (Some(idx), Some(tbl)) if terms.nonEmpty =>
+          val live = if (tbl.columns.contains("tombstone"))
+            tbl.filter(!org.apache.spark.sql.functions.col("tombstone"))
+          else tbl
+          graft.state.SecondaryIndex
+            .multiLookup(idx, live, keyCols, terms)
+            .limit(maxHits).collect().toSeq
+        case _ => Seq.empty
+      }
+  }
 }
 
 final class Gateway(
@@ -94,7 +124,8 @@ final class Gateway(
     feed: ChangeFeed = new ChangeFeed(),
     saltHex: Option[String] = None,
     clock: () => Long = () => System.currentTimeMillis() / 1000L,
-    bucketed: Option[Gateway.BucketedRoute] = None) {
+    bucketed: Option[Gateway.BucketedRoute] = None,
+    index: Option[Gateway.IndexRoute] = None) {
 
   private val mapper = new ObjectMapper
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
@@ -184,6 +215,10 @@ final class Gateway(
               case Some(row) => respond(ex, 200, rowJson(row))
               case None => respond(ex, 404, """{"error":"not found"}""")
             }
+          case Seq("index", terms) if index.isDefined =>
+            val hits = index.get
+              .lookup(terms.split(',').toSeq.filter(_.nonEmpty).distinct)
+            respond(ex, 200, hits.map(rowJson).mkString("[", ",", "]"))
           case Seq("watch", key) =>
             val from = queryParams(ex).get("from").map(_.toLong).getOrElse(0L)
             val changes = feed.since(key, from)

@@ -139,4 +139,36 @@ class GatewaySpec extends SparkSpec {
       get(s"$base/kv/not-a-long").statusCode() shouldBe 404 // uncoercible
     } finally gw.stop()
   }
+
+  it should "serve multi-term index lookups from the live bucketed index (R5 over HTTP)" in {
+    import graft.streaming.BucketedStore
+    val root = java.nio.file.Files.createTempDirectory("graft-gwi")
+      .toFile.getAbsolutePath
+    val tbl = Seq(
+      (1L, "alice etl", false),
+      (2L, "bob etl gpu", false),
+      (3L, "carol gpu", false),
+      (4L, "dan etl gpu", true)) // tombstoned: indexed nowhere served
+      .toDF("account", "tags", "tombstone")
+    val bexpr = BucketedStore.bucketCol(Seq("account"), 4)
+    BucketedStore.writeBuckets(tbl, bexpr, s"$root/t", Seq(0, 1, 2, 3), 0L, 4)
+    val idx = graft.state.SecondaryIndex.build(
+      tbl.filter(!org.apache.spark.sql.functions.col("tombstone")),
+      Seq("account"),
+      org.apache.spark.sql.functions.split($"tags", " "))
+    BucketedStore.writeBuckets(idx, bexpr, s"$root/i", Seq(0, 1, 2, 3), 0L, 4)
+
+    val route = new Gateway.IndexRoute(spark, s"$root/t", s"$root/i", Seq("account"))
+    val gw = new Gateway(Snapshot.of(store), index = Some(route)).start()
+    try {
+      val base = s"http://127.0.0.1:${gw.port}"
+      val both = get(s"$base/index/etl,gpu").body()
+      both should include(""""account":2""")
+      both should not include """"account":1""" // etl only
+      both should not include """"account":3""" // gpu only
+      both should not include """"account":4""" // tombstoned
+      get(s"$base/index/gpu").body() should include(""""account":3""")
+      get(s"$base/index/nope").body() shouldBe "[]"
+    } finally gw.stop()
+  }
 }

@@ -732,9 +732,14 @@ object Dedup {
       "capQuantilePpm must be in (0, 1e6]")
     import org.apache.spark.sql.expressions.Window
     val blocks = blockCols.map(col)
+    // one native pass (WordNgramHashSet over the space-joined token string)
+    // ≡ hashedSet(wordNgrams(tokens(text), 2)) — same gram strings, same
+    // 60-bit hashes — without the interpreted transform/sequence/slice HOF
+    // chain (the gramSetFrame trick; r15 in-bench best-of-2×2 at sf0.1:
+    // d19 6.5 → 3.8 s, d37 4.2 → 1.9 s, d38 7.1 → 4.0 s)
     val sets = Par.fanOut(docs)
       .select(col(idCol).as("doc") +: blocks :+
-        hashedSet(wordNgrams(tokens(col(textCol)), 2)).as("ts"): _*)
+        wordNgramHashSet(concat_ws(" ", tokens(col(textCol))), 2).as("ts"): _*)
       .withColumn("sz", size(col("ts")).cast("long"))
       .filter(col("sz") > 0L)
       .localCheckpoint(true)

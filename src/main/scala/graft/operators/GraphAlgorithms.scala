@@ -965,7 +965,14 @@ object GraphAlgorithms {
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct()
       .localCheckpoint(true)
-    val lab = labels.select(col("vertex"), col("label"))
+    // labels is read THREE times below (community rollup + both ends of the
+    // intra join); an un-truncated caller lineage (q180: the 3-round
+    // label-propagation chain) would otherwise be replanned and recomputed
+    // per read — the r2 self-join rule (r15 like-for-like bench-only
+    // best-of-2×2: q180 3.9 → 2.5 s; the final plan shrank from 170
+    // Exchanges / 126 Windows to a checkpoint scan, and the recompute it
+    // removes is 3 corpus-keyed joins + windows per extra read at any scale)
+    val lab = labels.select(col("vertex"), col("label")).localCheckpoint(true)
     val tot = e.agg(count(lit(1)).as("m2"))
     val deg = e.groupBy(col("src").as("vertex")).agg(count(lit(1)).as("d"))
     val comm = lab.join(deg, "vertex")

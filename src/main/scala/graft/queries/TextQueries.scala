@@ -271,8 +271,14 @@ private[graft] object TextQueries {
     // content" curve; one gram-keyed min + a co-keyed join back, never a
     // doc×doc comparison
     "t22_ngram_novelty" -> ((s, d) => {
+      // native one-pass distinct-bigram HASH set (≡ the old interpreted
+      // explode(wordNgrams(tokens(text),2)) definition: same distinct gram
+      // set per doc, keyed by its 60-bit md5 instead of the string — the
+      // rule-4 convention, so the gram-keyed shuffle moves longs, never
+      // gram text; oracle unchanged, counts identical)
       val grams = graft.core.Par.fanOut(Tables.documents(s, d))
-        .select(col("doc_id"), explode(wordNgrams(tokens(col("text")), 2)).as("g"))
+        .select(col("doc_id"),
+          explode(wordNgramHashSet(concat_ws(" ", tokens(col("text"))), 2)).as("g"))
       val firstOwner = grams.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
       grams.join(firstOwner, "g")
         .groupBy("doc_id")

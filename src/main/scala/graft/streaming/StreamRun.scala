@@ -27,11 +27,17 @@ object StreamRun {
     * spark.sql.shuffle.partitions; at 32, every micro-batch pays 32 state
     * stores × (snapshot + delta + commit files + permission shell forks)
     * per stateful operator — pure fixed overhead at gate data sizes
-    * (measured r12: w32 8.1→4.2 s, w26 7.9→3.4 s). 8 keeps plenty of parallelism
-    * for the ≤600k-row drains while quartering the per-batch state-store
-    * file churn. Production jobs size this to the cluster as usual — the
-    * scope here is ONLY the query-start window of gate drains. */
-  private val StreamShufflePartitions = "8"
+    * (measured r12: w32 8.1→4.2 s, w26 7.9→3.4 s; r15 re-probed the whole
+    * 39-query w-family at 8/4/2: totals 93.3/85.6/86.6 s — 4 wins ~8%
+    * overall and consistently on every multi-stateful-operator topology,
+    * w7 4.9→3.6, w26 4.3→3.2, w32 5.2→3.8, w35 4.6→3.9, while 2 starts
+    * losing parallelism on the heavier drains). 4 keeps enough parallelism
+    * for the ≤600k-row gate drains while halving r12's state-store file
+    * churn again. Production jobs size this to the cluster as usual
+    * (override via SPARK_GRAFT_STREAM_PARTITIONS) — the scope here is
+    * ONLY the query-start window of gate drains. */
+  private val StreamShufflePartitions =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4")
 
   /** Scope spark.sql.shuffle.partitions to a streaming query START (state
     * partitioning is captured at start; the conf is restored immediately

@@ -111,8 +111,12 @@ object Gateway {
           val live = if (tbl.columns.contains("tombstone"))
             tbl.filter(!org.apache.spark.sql.functions.col("tombstone"))
           else tbl
+          // deterministic pagination: an unordered limit returns an
+          // arbitrary page when hits > maxHits; ordering by the primary
+          // key costs nothing at page size (r14 verdict #2)
           graft.state.SecondaryIndex
             .multiLookup(idx, live, keyCols, terms)
+            .orderBy(keyCols.map(org.apache.spark.sql.functions.col): _*)
             .limit(maxHits).collect().toSeq
         case _ => Seq.empty
       }

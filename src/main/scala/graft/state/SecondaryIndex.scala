@@ -39,8 +39,11 @@ object SecondaryIndex {
       indexKey: Any,
       tsCol: Option[String] = None,
       range: TimeRange = TimeRange.Unbounded): DataFrame = {
+    // un-hinted (r6 rule): the hit set is bounded only by the term's
+    // document frequency — AQE broadcasts from RUNTIME size and falls back
+    // to shuffle when a common term makes it corpus-scale
     val hits = index.filter(col("index_key") === lit(indexKey)).select(keyCols.map(col): _*)
-    val joined = primaryLatest.join(broadcast(hits), keyCols, "left_semi")
+    val joined = primaryLatest.join(hits, keyCols, "left_semi")
     tsCol.fold(joined)(t => joined.filter(range.contains(col(t))))
   }
 
@@ -49,8 +52,10 @@ object SecondaryIndex {
     * runs. `build` is distinct per (index_key, primary key), so a count of
     * matching postings equals the number of distinct terms hit; keeping
     * count == |terms| is the intersection. The `isin` prunes the postings
-    * scan to the queried terms before any shuffle, and the (small) hit set
-    * broadcasts into the semi-join against the primary. */
+    * scan to the queried terms before any shuffle; the semi-join is left
+    * UN-HINTED (r6 rule) — the hit set is bounded only by min-df over the
+    * queried terms, so AQE broadcasts it from runtime size and falls back
+    * to a shuffle join when a common-term query makes it corpus-scale. */
   def multiLookup(
       index: DataFrame,
       primaryLatest: DataFrame,
@@ -65,6 +70,6 @@ object SecondaryIndex {
       .agg(count(lit(1)).as("n_terms"))
       .filter(col("n_terms") === terms.length)
       .select(keyCols.map(col): _*)
-    primaryLatest.join(broadcast(hits), keyCols, "left_semi")
+    primaryLatest.join(hits, keyCols, "left_semi")
   }
 }

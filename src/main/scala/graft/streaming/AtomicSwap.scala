@@ -35,18 +35,41 @@ object AtomicSwap {
 
   private def ptrFile(path: String): String = s"$path.ptr"
 
-  /** The readable location of table `path` after crash recovery: the path
-    * itself under the rename protocol, the pointed-to generation dir under
-    * the manifest protocol. None when the table has never been committed
-    * (or its data is gone). */
+  /** The readable location of table `path`: the path itself (or, in the
+    * between-renames crash window, the newest backup) under the rename
+    * protocol, the pointed-to generation dir under the manifest protocol.
+    * None when the table has never been committed (or its data is gone).
+    *
+    * PASSIVE (r14 advice): performs ZERO metadata mutations. The old
+    * sweep-on-read let a reader concurrent with the single writer delete
+    * the writer's fully-written-but-not-yet-committed generation
+    * (`swap` writes `gen-B` BEFORE `commitPointer` flips the pointer; a
+    * concurrent read's sweep saw it as superseded) — the writer then
+    * committed a pointer to a deleted dir, an unrecoverable table.
+    * Rollback and sweeping belong to the WRITER/recovery entry
+    * ([[recover]], called by the maintenance batch paths); serving-tier
+    * reads (Gateway routes) only ever resolve. */
   def resolve(path: String, fs: StoreFs = LocalFs): Option[String] =
-    if (fs.atomicRename) { if (recover(path, fs)) Some(path) else None }
-    else resolveManifest(path, fs)
+    if (fs.atomicRename) {
+      if (fs.exists(path)) Some(path)
+      else newestBackup(path, fs) // mid-crash window: serve the old generation in place
+    } else resolveManifest(path, fs, sweep = false)
+
+  /** Newest `path.old-<batchId>` backup dir (numeric id order), if any —
+    * the old generation a crashed two-rename swap left behind. */
+  private def newestBackup(path: String, fs: StoreFs): Option[String] = {
+    val target = new File(path)
+    val dir = Option(target.getParent).getOrElse(".")
+    val name = target.getName
+    fs.listNames(dir).filter(_.startsWith(s"$name.old-"))
+      .sortBy(n => n.stripPrefix(s"$name.old-").toLongOption.getOrElse(-1L))
+      .lastOption.map(n => s"$dir/$n")
+  }
 
   /** Roll back an interrupted swap and sweep leftovers; call before reading
     * `path`. Returns true if the table exists after recovery. */
   def recover(path: String, fs: StoreFs = LocalFs): Boolean = {
-    if (!fs.atomicRename) return resolveManifest(path, fs).isDefined
+    if (!fs.atomicRename) return resolveManifest(path, fs, sweep = true).isDefined
     val target = new File(path)
     val dir = Option(target.getParent).getOrElse(".")
     val name = target.getName
@@ -68,10 +91,13 @@ object AtomicSwap {
     fs.exists(path)
   }
 
-  private def resolveManifest(path: String, fs: StoreFs): Option[String] =
+  /** Manifest resolution. `sweep = false` (read paths) is PASSIVE; only
+    * the recovery entry sweeps superseded/orphan generations — a read-side
+    * sweep raced the writer's not-yet-committed generation (see resolve). */
+  private def resolveManifest(path: String, fs: StoreFs, sweep: Boolean): Option[String] =
     fs.readString(ptrFile(path)).map(_.trim) match {
       case Some(t) if fs.exists(t) =>
-        sweepGens(path, keep = Some(t), fs)
+        if (sweep) sweepGens(path, keep = Some(t), fs)
         Some(t)
       case Some(_) =>
         // pointer exists but its data is gone — unrecoverable; leave the
@@ -79,7 +105,7 @@ object AtomicSwap {
         None
       case None =>
         // never committed: any gen dir is an uncommitted orphan
-        sweepGens(path, keep = None, fs)
+        if (sweep) sweepGens(path, keep = None, fs)
         None
     }
 
@@ -108,14 +134,27 @@ object AtomicSwap {
     old.filter(_ != target).foreach(fs.deleteRecursively)
   }
 
-  /** Write `df` as the new content of `path` with a checked commit. */
+  /** Write `df` as the new content of `path` with a checked commit. The
+    * WRITER is the recovery entry (reads are passive since r15): roll back
+    * / sweep this table's crash leftovers first — a re-run after a crash
+    * between the two renames would otherwise collide with its own
+    * `old-<batchId>` husk. */
   def swap(df: DataFrame, path: String, batchId: Long, fs: StoreFs = LocalFs): Unit =
     if (fs.atomicRename) {
+      recover(path, fs)
       val tmp = s"$path.tmp-$batchId"
       df.write.mode("overwrite").parquet(tmp)
       swapDir(tmp, path, batchId, fs)
     } else {
-      val gen = s"$path.gen-$batchId"
+      // never overwrite the LIVE generation: a re-run of a batch whose
+      // previous attempt already committed `gen-B` would delete the
+      // pointed-to dir before re-committing (dangling-pointer window —
+      // the r14-advice destructive-overwrite class). Pick the first
+      // attempt name the current pointer does not reference.
+      val live = fs.readString(ptrFile(path)).map(_.trim)
+      val gen = Iterator.from(0)
+        .map(k => if (k == 0) s"$path.gen-$batchId" else s"$path.gen-$batchId-a$k")
+        .find(g => !live.contains(g)).get
       df.write.mode("overwrite").parquet(gen)
       commitPointer(gen, path, fs)
     }

@@ -44,7 +44,7 @@ object BucketedStore {
   def bucketDir(root: String, id: Int): String = s"$root/b$id"
 
   private val BucketName = "^b(\\d+)$".r
-  private val BucketLeftover = "^b(\\d+)\\.(old|tmp|gen)-\\d+$".r
+  private val BucketLeftover = "^b(\\d+)\\.(old|tmp|gen)-\\d+(?:-a\\d+)?$".r
   private val BucketPtr = "^b(\\d+)\\.ptr$".r
 
   /** Bucket ids with an existing (or recoverable) table under `root` —
@@ -132,7 +132,35 @@ object BucketedStore {
   private def stagingDir(root: String, batchId: Long): String =
     s"$root/.staging-$batchId"
 
-  private val StagingName = "^\\.staging-(\\d+)$".r
+  // `-a<k>` suffixes are manifest-protocol RE-RUN attempts (see freshStaging)
+  private val StagingName = "^\\.staging-(\\d+)(?:-a\\d+)?$".r
+
+  /** Bucket-pointer targets under `root` (manifest protocol). */
+  private def pointerTargets(root: String, fs: StoreFs): Set[String] =
+    fs.listNames(root).collect { case n @ BucketPtr(_) =>
+      fs.readString(s"$root/$n").map(_.trim)
+    }.flatten.toSet
+
+  /** Staging dir for THIS attempt of `batchId`. Rename protocol: always
+    * `.staging-<batchId>` — committed subdirs were renamed OUT, so
+    * overwriting a same-batch leftover destroys only uncommitted data
+    * (equivalent to a crash at k=0). Manifest protocol: a previous attempt
+    * of this batch may have already committed bucket pointers INTO its
+    * staging (the staged subdirs ARE the live generations); Spark's
+    * overwrite would delete those pointed-to dirs before the re-flip —
+    * a dangling-pointer window where a second crash or a concurrent read
+    * loses the bucket's pre-batch rows permanently (r14 advice, high).
+    * Each attempt therefore stages to the first `.staging-<batchId>[-a<k>]`
+    * no bucket pointer references into. */
+  private def freshStaging(root: String, batchId: Long, fs: StoreFs): String = {
+    val base = stagingDir(root, batchId)
+    if (fs.atomicRename) return base
+    val referenced = pointerTargets(root, fs)
+    def isReferenced(s: String) = referenced.exists(_.startsWith(s + "/"))
+    Iterator.from(0)
+      .map(k => if (k == 0) base else s"$base-a$k")
+      .find(!isReferenced(_)).get
+  }
 
   /** Sweep stale staging dirs from interrupted batches. Rename protocol:
     * any staging with a DIFFERENT batchId is dead (its subdirs were either
@@ -147,10 +175,7 @@ object BucketedStore {
     }
     if (stale.isEmpty) return
     val referenced: Set[String] =
-      if (fs.atomicRename) Set.empty
-      else fs.listNames(root).collect { case n @ BucketPtr(_) =>
-        fs.readString(s"$root/$n").map(_.trim)
-      }.flatten.toSet
+      if (fs.atomicRename) Set.empty else pointerTargets(root, fs)
     stale.filterNot(s => referenced.exists(_.startsWith(s + "/")))
       .foreach(fs.deleteRecursively)
   }
@@ -182,7 +207,10 @@ object BucketedStore {
       case None => fs.writeString(s"$root/.buckets", arity.toString)
     }
     sweepStagings(root, batchId, fs)
-    val staging = stagingDir(root, batchId)
+    // the WRITER is the recovery entry (reads are passive since r15): roll
+    // back / sweep each touched bucket's crash leftovers before swapping
+    touched.foreach(id => AtomicSwap.recover(bucketDir(root, id), fs))
+    val staging = freshStaging(root, batchId, fs)
     df.withColumn("__b", bexpr)
       .write.partitionBy("__b").mode("overwrite").parquet(staging)
     touched.foreach { id =>

@@ -111,13 +111,32 @@ object LocalFs extends StoreFs {
   }
 
   override def writeString(path: String, content: String): Unit = {
-    // temp-write + rename: atomic on POSIX, so a reader never sees a
-    // half-written pointer — mirrors the object-store atomic-PUT contract
+    // temp-write + fsync + rename (+ parent-dir fsync): atomic on POSIX
+    // against process crash AND durable against OS crash/power loss — an
+    // object-store PUT is durable on ack, and this is the manifest
+    // protocol's COMMIT primitive, so the rename must not be reordered
+    // past the data flush (r14 advice). The parent-dir fsync makes the
+    // rename itself durable; skipped silently where the OS refuses a
+    // directory handle (non-POSIX local fs) — atomicity is unaffected.
     val tmp = new File(path + ".w")
-    java.nio.file.Files.write(tmp.toPath, content.getBytes("UTF-8"))
+    val ch = java.nio.channels.FileChannel.open(tmp.toPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      ch.write(java.nio.ByteBuffer.wrap(content.getBytes("UTF-8")))
+      ch.force(true)
+    } finally ch.close()
     if (!tmp.renameTo(new File(path))) {
       tmp.delete()
       throw new java.io.IOException(s"pointer write failed: $path")
+    }
+    Option(new File(path).getParentFile).foreach { dir =>
+      try {
+        val dch = java.nio.channels.FileChannel.open(dir.toPath,
+          java.nio.file.StandardOpenOption.READ)
+        try dch.force(true) finally dch.close()
+      } catch { case _: java.io.IOException => () }
     }
   }
 }

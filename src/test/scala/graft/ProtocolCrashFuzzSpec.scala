@@ -22,8 +22,13 @@ import org.apache.spark.sql.functions._
   *
   * The single-table AtomicSwap.swap is fuzzed the same way with the
   * stronger whole-table old-XOR-new assertion. Data writes (Spark
-  * parquet) are outside the seam; a crash during them is equivalent to
-  * k=0 (nothing committed). */
+  * parquet) are outside the seam; a crash during a FIRST attempt's data
+  * write is equivalent to k=0 (nothing committed). A batch RE-RUN's data
+  * write is NOT (r14 advice, high): under the manifest protocol the
+  * previous attempt's committed generations live inside its staging dir,
+  * so the re-run must never overwrite it — the third fuzz drives every
+  * crash point of a re-run after a maximally-committed first crash and
+  * asserts no window dangles a bucket pointer. */
 class ProtocolCrashFuzzSpec extends SparkSpec {
   import spark.implicits._
 
@@ -124,6 +129,62 @@ class ProtocolCrashFuzzSpec extends SparkSpec {
 
   "the manifest protocol" should "be per-bucket atomic and re-run-healable at EVERY crash point" in {
     fuzzProtocol(ObjectStoreSimFs, "manifest")
+  }
+
+  it should "survive every crash point of a batch RE-RUN after a maximally-committed first crash" in {
+    // the destructive-overwrite class (r14 advice, high): the first attempt
+    // of batch 2 crashes at its LAST metadata mutation — every bucket
+    // pointer it managed to flip targets `.staging-2/__b=i`. The re-run
+    // stages to a FRESH attempt dir (never overwriting the referenced
+    // staging), so at every crash point j of the re-run each bucket still
+    // reads exactly OLD or NEW — no window dangles a pointer into a
+    // deleted staging (the old code's silent-loss window).
+    val base: StoreFs = ObjectStoreSimFs
+    val keys = (1 to 12).toSeq
+    val oldRows = keys.map(k => (k, s"old$k"))
+    val newRows = keys.map(k => (k, s"new$k"))
+    val byBucket: Map[Int, Seq[Int]] = keys.groupBy(bucketOf)
+
+    def firstCrashOps(root: String): Int = {
+      writeBatch(root, oldRows, 1L, base)
+      val counter = new CrashFs(base, Int.MaxValue)
+      writeBatch(root, newRows, 2L, counter)
+      counter.ops
+    }
+    val proto = Files.createTempDirectory("fz-rerun-probe").toFile.getAbsolutePath
+    val batchOps = firstCrashOps(proto)
+
+    def crashedFirstAttempt(root: String): Unit = {
+      writeBatch(root, oldRows, 1L, base)
+      intercept[Crash] {
+        writeBatch(root, newRows, 2L, new CrashFs(base, batchOps - 1))
+      }
+    }
+    // re-run mutation budget (on a tree shaped by the crashed first attempt)
+    val proto2 = Files.createTempDirectory("fz-rerun-probe2").toFile.getAbsolutePath
+    crashedFirstAttempt(proto2)
+    val counter2 = new CrashFs(base, Int.MaxValue)
+    writeBatch(proto2, newRows, 2L, counter2)
+    val rerunOps = counter2.ops
+    rerunOps should be > 3
+
+    for (j <- 0 until rerunOps) {
+      val root = Files.createTempDirectory(s"fz-rerun-$j").toFile.getAbsolutePath
+      crashedFirstAttempt(root)
+      intercept[Crash] { writeBatch(root, newRows, 2L, new CrashFs(base, j)) }
+      val state = readState(root, base)
+      byBucket.foreach { case (b, bk) =>
+        val got = bk.map(kk => kk -> state.get(kk)).toMap
+        val isOld = bk.forall(kk => got(kk).contains(s"old$kk"))
+        val isNew = bk.forall(kk => got(kk).contains(s"new$kk"))
+        withClue(s"re-run j=$j bucket $b torn/lost: $got ") {
+          isOld || isNew shouldBe true
+        }
+      }
+      // a third run converges
+      writeBatch(root, newRows, 2L, base)
+      readState(root, base) shouldBe newRows.toMap
+    }
   }
 
   "AtomicSwap.swap" should "leave the table exactly OLD or exactly NEW at every crash point, both protocols" in {

@@ -61,4 +61,18 @@ class RegistryConsistencySpec extends AnyFlatSpec with Matchers {
     withClue(s"queries missing from README.md: ${missing.mkString(", ")} ")(
       missing shouldBe empty)
   }
+
+  // the prose total drifted to "396 queries" while the registry held 398
+  // (r14 verdict #3): pin the exact "<N> queries" phrase to the registry size
+  it should "state the exact registry size in the README prose" in {
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    val expected = s"${SparkEntry.queries.size} queries"
+    withClue(s"README.md must contain the phrase '$expected': ")(
+      readme should include(expected))
+    val stale = "\\b(\\d+) queries".r.findAllMatchIn(readme)
+      .map(_.group(1).toInt).filterNot(_ == SparkEntry.queries.size).toSeq
+    withClue(s"stale '<N> queries' phrases in README.md: $stale ")(
+      stale shouldBe empty)
+  }
 }

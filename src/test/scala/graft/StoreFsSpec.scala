@@ -3,7 +3,7 @@ package graft
 import java.io.File
 import java.nio.file.Files
 
-import graft.streaming.{AtomicSwap, BucketedStore, ChangelogStream, ObjectStoreSimFs, StoreFs}
+import graft.streaming.{AtomicSwap, BucketedStore, ChangelogStream, LocalFs, ObjectStoreSimFs, StoreFs}
 import org.apache.spark.sql.functions._
 
 /** The [[StoreFs]] seam (r13 verdict #1): a rename-less filesystem (the
@@ -62,18 +62,63 @@ class StoreFsSpec extends SparkSpec {
     Seq("v2").toDF("v").write.parquet(s"$t.gen-2")
     NoRenameFs.writeString(s"$t.ptr", s"$t.gen-2")
     readV(t, NoRenameFs) shouldBe "v2"
+    // resolve (a READ) is passive since r15 — the superseded gen-1 stays
+    // until the recovery entry sweeps it (a read-side sweep could delete
+    // a concurrent writer's not-yet-committed generation)
     new File(root).listFiles().map(_.getName).sorted.toSeq shouldBe
-      Seq("table.gen-2", "table.ptr") // superseded gen-1 swept on resolve
+      Seq("table.gen-1", "table.gen-2", "table.ptr")
+    AtomicSwap.recover(t, NoRenameFs) shouldBe true
+    new File(root).listFiles().map(_.getName).sorted.toSeq shouldBe
+      Seq("table.gen-2", "table.ptr") // superseded gen-1 swept on recover
   }
 
-  it should "report a never-committed table as unrecoverable and sweep uncommitted generations" in {
+  it should "report a never-committed table as unrecoverable and sweep uncommitted generations on recover" in {
     val root = Files.createTempDirectory("mfs4").toFile.getAbsolutePath
     val t = s"$root/table"
     AtomicSwap.recover(t, NoRenameFs) shouldBe false
-    // a generation with no pointer is an uncommitted orphan
+    // a generation with no pointer is an uncommitted orphan; a passive
+    // resolve leaves it (forensics/writer-race safety), recover sweeps it
     Seq("junk").toDF("v").write.parquet(s"$t.gen-3")
     AtomicSwap.resolve(t, NoRenameFs) shouldBe None
+    new File(s"$t.gen-3").isDirectory shouldBe true
+    AtomicSwap.recover(t, NoRenameFs) shouldBe false
     new File(root).listFiles() shouldBe empty
+  }
+
+  it should "resolve with ZERO metadata mutations under both protocols (passive reads)" in {
+    // a reader concurrent with the single writer must never delete the
+    // writer's fully-written-but-not-yet-committed generation (r14 advice,
+    // medium): any mutation issued by resolve throws here
+    final class NoMutationFs(delegate: StoreFs) extends StoreFs {
+      private def mutation(op: String): Nothing =
+        throw new IllegalStateException(s"resolve issued a mutation: $op")
+      override def atomicRename: Boolean = delegate.atomicRename
+      override def listNames(dir: String): Seq[String] = delegate.listNames(dir)
+      override def exists(path: String): Boolean = delegate.exists(path)
+      override def isDir(path: String): Boolean = delegate.isDir(path)
+      override def readString(path: String): Option[String] = delegate.readString(path)
+      override def rename(src: String, dst: String): Boolean = mutation(s"rename $src")
+      override def deleteRecursively(path: String): Unit = mutation(s"delete $path")
+      override def mkdirs(path: String): Unit = mutation(s"mkdirs $path")
+      override def writeString(path: String, content: String): Unit =
+        mutation(s"writeString $path")
+    }
+    // manifest: live gen + a writer's in-flight (unreferenced) gen + an orphan
+    val root = Files.createTempDirectory("mfs-passive").toFile.getAbsolutePath
+    val t = s"$root/table"
+    write(t, "v1", NoRenameFs)
+    Seq("in-flight").toDF("v").write.parquet(s"$t.gen-7") // writer mid-swap
+    AtomicSwap.resolve(t, new NoMutationFs(NoRenameFs)) shouldBe defined
+    readV(t, NoRenameFs) shouldBe "v1"
+    new File(s"$t.gen-7").isDirectory shouldBe true // the in-flight gen survived the read
+    // rename protocol: mid-crash window (table missing, backup present) —
+    // a passive read serves the newest backup IN PLACE, no rollback
+    val root2 = Files.createTempDirectory("mfs-passive2").toFile.getAbsolutePath
+    val t2 = s"$root2/table"
+    Seq("old").toDF("v").write.parquet(s"$t2.old-3")
+    val served = AtomicSwap.resolve(t2, new NoMutationFs(LocalFs))
+    served shouldBe Some(s"$t2.old-3")
+    spark.read.parquet(served.get).as[String].head() shouldBe "old"
   }
 
   it should "not sweep data when the pointer's target is missing (forensics, not destruction)" in {

@@ -148,20 +148,24 @@ object Bpe {
     // distinct symbol set of the trained vocabulary
     val vocab = typesFinal.select(explode(symsOf("seq")).as("sym")).distinct()
       .withColumn("tid", row_number().over(Window.orderBy("sym")))
+    // per-word id string and token count are VOCABULARY-sized precomputes
+    // (guide §2.3: the corpus-side rollup then never pays a per-token HOF —
+    // the old shape ran flatten(transform) + a per-token cast-to-string
+    // transform over every document's nested id arrays; r15)
     val wids = wf.select(col("word"), posexplode(symsOf("seq")).as(Seq("spos", "sym")))
       .join(vocab, "sym")
       .groupBy("word")
       .agg(array_sort(collect_list(struct(col("spos"), col("tid")))).as("st"))
-      .select(col("word"), expr("transform(st, x -> x.tid)").as("tids"))
+      .select(col("word"),
+        expr("array_join(transform(st, x -> cast(x.tid as string)), ' ')").as("tid_str"),
+        size(col("st")).cast("long").as("n_syms"))
     dw.join(wids, "word")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"),
-        array_sort(collect_list(struct(col("pos"), col("tids")))).as("pt"))
-      .select(col(idCol), col("n_words"),
-        expr("flatten(transform(pt, x -> x.tids))").as("ids"))
-      .select(col(idCol), col("n_words"),
-        size(col("ids")).cast("long").as("n_tokens"),
-        array_join(expr("transform(ids, x -> cast(x as string))"), " ").as("token_ids"))
+        sum(col("n_syms")).as("n_tokens"),
+        array_sort(collect_list(struct(col("pos"), col("tid_str")))).as("pt"))
+      .select(col(idCol), col("n_words"), col("n_tokens"),
+        array_join(expr("transform(pt, x -> x.tid_str)"), " ").as("token_ids"))
   }
 
   /** One-row corpus compression audit of the final type table vs the

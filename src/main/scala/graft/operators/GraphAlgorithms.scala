@@ -500,8 +500,16 @@ object GraphAlgorithms {
     * pair, vanishing exactly when it is dropped. */
   def resourceAllocationIndex(und: DataFrame, maxHubDegree: Long = 64L): DataFrame = {
     require(maxHubDegree >= 1, "maxHubDegree must be >= 1")
-    val adj = und.select(col("a").as("v"), col("b").as("z"))
-      .unionAll(und.select(col("b").as("v"), col("a").as("z")))
+    // `und` (typically a full co-occurrence edge build) is read by the
+    // adjacency AND the final anti-join; without the checkpoint the
+    // caller's whole edge chain replans and recomputes per read (the r2
+    // multi-read rule, r15 — callers must NOT also checkpoint, q194).
+    // The orientation doubling is a row-local explode, not a second read.
+    val e = und.localCheckpoint(true)
+    val adj = e.select(explode(array(
+        struct(col("a").as("v"), col("b").as("z")),
+        struct(col("b").as("v"), col("a").as("z")))).as("vz"))
+      .select(col("vz.v").as("v"), col("vz.z").as("z"))
     val degz = adj.groupBy("z").agg(count(lit(1)).as("dz"))
     // both sides of the z-keyed self-join read this frame — without the
     // checkpoint the whole adjacency + degree + filter chain computes twice
@@ -514,8 +522,8 @@ object GraphAlgorithms {
     val scored = pairs.groupBy("pa", "pb")
       .agg(count(lit(1)).as("n_common"),
         sum(call_function("div", lit(1000000L), col("dz"))).as("ra_ppm"))
-    scored.join(und,
-        scored("pa") === und("a") && scored("pb") === und("b"), "left_anti")
+    scored.join(e,
+        scored("pa") === e("a") && scored("pb") === e("b"), "left_anti")
       .select(col("pa").as("a"), col("pb").as("b"), col("n_common"),
         col("ra_ppm"))
   }
@@ -778,8 +786,16 @@ object GraphAlgorithms {
       k: Int,
       maxHubDegree: Long = 50L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val adj = edges.select(col("src").as("u"), col("dst").as("v"))
-      .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
+    // ONE read of the caller's edge chain (typically a full co-occurrence
+    // build): the orientation doubling is a row-local explode, and the
+    // anti-join's edge set is recovered from the checkpointed adjacency by
+    // the u < v filter (edges carry src < dst by contract) — the old shape
+    // replanned and recomputed the edge chain for the union's second leg
+    // AND the anti-join (3 scans → 1; the r2 multi-read rule, r15)
+    val adj = edges.select(explode(array(
+        struct(col("src").as("u"), col("dst").as("v")),
+        struct(col("dst").as("u"), col("src").as("v")))).as("uv"))
+      .select(col("uv.u").as("u"), col("uv.v").as("v"))
       .localCheckpoint(true)
     val deg = adj.groupBy("u").agg(count(lit(1)).as("d"))
     val hubs = deg.filter(col("d") <= maxHubDegree).select("u")
@@ -789,7 +805,8 @@ object GraphAlgorithms {
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
     val cand = inter.join(
-      edges.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b"), "left_anti")
+      adj.filter(col("u") < col("v")).select(col("u").as("a"), col("v").as("b")),
+      Seq("a", "b"), "left_anti")
     val scored = cand
       .join(deg.select(col("u").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("u").as("b"), col("d").as("db")), "b")
@@ -1018,9 +1035,12 @@ object GraphAlgorithms {
     * threshold frame). Returns (k, n_nodes, n_edges, density_ppm). */
   def richClubPpm(edges: DataFrame, ks: Seq[Long]): DataFrame = {
     require(ks.nonEmpty, "need at least one degree threshold")
-    val e = edges.select(col("src"), col("dst"))
-    val deg = e.select(col("src").as("u"))
-      .unionByName(e.select(col("dst").as("u")))
+    // the caller's edge chain (typically a full co-occurrence build) is
+    // read by the degree rollup AND both endpoint joins of `mins` —
+    // checkpoint once (r2 multi-read rule, r15); the degree union is a
+    // row-local explode, not a second read
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val deg = e.select(explode(array(col("src"), col("dst"))).as("u"))
       .groupBy("u").agg(count(lit(1)).as("dg"))
     val kf = e.sparkSession.range(1)
       .select(explode(array(ks.map(lit(_)): _*)).as("k"))

@@ -369,10 +369,14 @@ private[graft] object CoreQueries2 {
         .select(col("o_orderkey"), Tables.epochUs(col("o_orderdate")).as("odate_us"))
       val l = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_suppkey"), Tables.epochUs(col("l_shipdate")).as("sdate_us"))
+      // read twice below (the per-order rollup + the late-supplier filter
+      // side of the join): checkpoint or the lineitem⋈orders join + agg
+      // computes twice (r2 multi-read rule, r15)
       val perOS = l.join(o, col("l_orderkey") === col("o_orderkey"))
         .groupBy("l_orderkey", "l_suppkey")
         .agg(max(when(col("sdate_us") - col("odate_us") > lit(60L * DayUs), 1L)
           .otherwise(0L)).as("any_late"))
+        .localCheckpoint(true)
       val perO = perOS.groupBy(col("l_orderkey").as("ok"))
         .agg(count(lit(1)).as("n_supp"), sum(col("any_late")).as("n_late"))
       perOS.filter(col("any_late") === 1L)

@@ -1302,9 +1302,10 @@ private[graft] object CoreQueries3 {
     // degree aggregate + one two-sided degree join; the 4-row threshold
     // frame broadcasts, so per-k work is a map-side filter
     "q181_rich_club" -> ((s, d) => {
+      // no checkpoint here: richClubPpm checkpoints its input internally
+      // (r15) — a caller-side one would double-materialize
       val edges = GraphAlgorithms.cooccurrenceEdges(Tables.lineitem(s, d),
         "l_orderkey", "l_partkey", minSupport = 2L, maxBasketSize = 5L)
-        .localCheckpoint(true)
       GraphAlgorithms.richClubPpm(edges, Seq(2L, 4L, 8L, 16L)).orderBy("k")
     }),
 
@@ -2021,10 +2022,12 @@ private[graft] object CoreQueries3 {
     "q194_link_prediction" -> ((s, d) => {
       val edges = GraphAlgorithms.cooccurrenceEdges(
         Tables.lineitem(s, d), "l_orderkey", "l_partkey", minSupport = 2L)
+      // no checkpoint here: resourceAllocationIndex checkpoints its input
+      // internally (r15) — a caller-side one would double-materialize
       val und = edges.filter(col("src") =!= col("dst"))
         .select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
-        .distinct().localCheckpoint(true)
+        .distinct()
       GraphAlgorithms.resourceAllocationIndex(und, maxHubDegree = 64L)
         .orderBy(desc("ra_ppm"), col("a"), col("b"))
         .limit(20)

@@ -843,15 +843,22 @@ object GraphAlgorithms {
       .unionByName(deltaEdges.select(col("src").as("vertex")))
       .unionByName(deltaEdges.select(col("dst").as("vertex")))
       .distinct()
-    // comp0: base labels, delta-only vertices label themselves
+    // comp0 is read THREE times (both contraction joins + the final join)
+    // and contracted feeds the inner CC's vertex scan, pre-contraction AND
+    // mapping join — both join tails re-run per read even under AQE
+    // exchange reuse (r2 multi-read rule; q107's delta chain showed the
+    // contraction computing ~3x in the CC debug stamps, r15). Both frames
+    // are bounded: comp0 is vertex-sized, contracted is delta-sized.
     val comp0 = allVertices.join(cc0, Seq("vertex"), "left")
       .select(col("vertex"), coalesce(col("component"), col("vertex")).as("c0"))
+      .localCheckpoint(true)
     val contracted = deltaEdges
       .join(comp0.select(col("vertex").as("src"), col("c0").as("cs")), Seq("src"))
       .join(comp0.select(col("vertex").as("dst"), col("c0").as("cd")), Seq("dst"))
       .select(col("cs").as("src"), col("cd").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
+      .localCheckpoint(true)
     val cc1 = connectedComponents(spark, contracted)
       .select(col("vertex").as("c0"), col("component").as("c1"))
     comp0.join(cc1, Seq("c0"), "left")

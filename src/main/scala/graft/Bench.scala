@@ -15,6 +15,15 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "true"))
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCALMAP", "0"))
+      // AQE partition-coalescing A/B knobs (guide §2.2): parallelismFirst
+      // false makes AQE honor advisoryPartitionSizeInBytes instead of
+      // stopping at defaultParallelism × minPartitionSize — the setting
+      // Spark's own docs recommend for right-sizing. Defaults are Spark's
+      // defaults; overridable for measurement.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "64MB"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -33,6 +33,32 @@ object GraftFunctions {
     e.eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
   }
 
+  /** Literal `array<array<bigint>>` (centroid table) baked into a native
+    * expression at plan time. */
+  private def litLongMatrix(name: String, e: Expression)
+      : Seq[Seq[Long]] = {
+    require(e.foldable, s"$name: the centroid table must be a literal")
+    val ad = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    (0 until ad.numElements()).map { i =>
+      val row = ad.getArray(i)
+      (0 until row.numElements()).map(row.getLong).toSeq
+    }
+  }
+
+  /** Literal `array<array<array<bigint>>>` (per-subspace codebooks). */
+  private def litLongCube(name: String, e: Expression)
+      : Seq[Seq[Seq[Long]]] = {
+    require(e.foldable, s"$name: the codebook table must be a literal")
+    val ad = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    (0 until ad.numElements()).map { s =>
+      val cb = ad.getArray(s)
+      (0 until cb.numElements()).map { i =>
+        val row = cb.getArray(i)
+        (0 until row.numElements()).map(row.getLong).toSeq
+      }
+    }
+  }
+
   /** The single source of truth for native-function registration — consumed
     * by both `register` (imperative) and GraftExtensions (session
     * extensions), so the two surfaces cannot drift. */
@@ -83,7 +109,21 @@ object GraftFunctions {
         c => PiiScrub(c(0), litStr("graft_scrub_pii", c(1)), litStr("graft_scrub_pii", c(2)),
           litStr("graft_scrub_pii", c(3)), litStr("graft_scrub_pii", c(4))))),
     ("graft_rolling_fp", "graft_rolling_fp(tokens) — polynomial rolling fingerprint mod 1e9+7",
-      arity("graft_rolling_fp", "(array<string>)", 1)(c => RollingFingerprint(c.head))))
+      arity("graft_rolling_fp", "(array<string>)", 1)(c => RollingFingerprint(c.head))),
+    ("graft_cell_argmin", "graft_cell_argmin(v, centroids) — argmin ‖v−c‖² centroid index",
+      arity("graft_cell_argmin", "(array<bigint>, literal array<array<bigint>>)", 2)(
+        c => CellArgmin(c(0), litLongMatrix("graft_cell_argmin", c(1))))),
+    ("graft_pq_encode", "graft_pq_encode(v, codebooks, subDim) — all m PQ codes in one pass",
+      arity("graft_pq_encode", "(array<bigint>, literal array<array<array<bigint>>>, literal int)", 3)(
+        c => PqEncode(c(0), litLongCube("graft_pq_encode", c(1)), litInt("graft_pq_encode", c(2))))),
+    ("graft_pq_approx_dot", "graft_pq_approx_dot(qv, codes, codebooks, subDim) — Σ_s ⟨q_s, cb_s[code_s]⟩",
+      arity("graft_pq_approx_dot", "(array<bigint>, array<int>, literal codebooks, literal int)", 4)(
+        c => PqApproxDot(c(0), c(1), litLongCube("graft_pq_approx_dot", c(2)),
+          litInt("graft_pq_approx_dot", c(3))))),
+    ("graft_pq_sub_distortions", "graft_pq_sub_distortions(v, codes, codebooks, subDim) — per-subspace ‖v_s−cw_s‖²",
+      arity("graft_pq_sub_distortions", "(array<bigint>, array<int>, literal codebooks, literal int)", 4)(
+        c => PqSubDistortions(c(0), c(1), litLongCube("graft_pq_sub_distortions", c(2)),
+          litInt("graft_pq_sub_distortions", c(3))))))
 
   /** Register expression-backed functions for SQL use (idempotent; called
     * from Tables so every query session has them). */
@@ -314,6 +354,30 @@ object GraftFunctions {
     val qb = quantize1000(b)
     quantizedCosinePre(qa, qb, ldot(qa, qa), ldot(qb, qb))
   }
+
+  /** Native IVF cell assignment: argmin centroid index of `v` against a
+    * literal centroid table (CellArgmin) — same (distance, lowest-index)
+    * tie-break as the `array_min(array(struct(...)))` spelling. */
+  def cellArgmin(v: Column, centroids: Array[Array[Long]]): Column =
+    call_function("graft_cell_argmin", v,
+      typedlit(centroids.map(_.toSeq).toSeq))
+
+  /** All m PQ codes of `v` in one native pass (PqEncode). */
+  def pqEncode(v: Column, codebooks: Array[Array[Array[Long]]], subDim: Int): Column =
+    call_function("graft_pq_encode", v,
+      typedlit(codebooks.map(_.map(_.toSeq).toSeq).toSeq), lit(subDim))
+
+  /** Asymmetric PQ score Σ_s ⟨q_s, codebook_s[code_s]⟩ (PqApproxDot). */
+  def pqApproxDot(qv: Column, codes: Column,
+      codebooks: Array[Array[Array[Long]]], subDim: Int): Column =
+    call_function("graft_pq_approx_dot", qv, codes,
+      typedlit(codebooks.map(_.map(_.toSeq).toSeq).toSeq), lit(subDim))
+
+  /** Per-subspace PQ reconstruction error array (PqSubDistortions). */
+  def pqSubDistortions(v: Column, codes: Column,
+      codebooks: Array[Array[Array[Long]]], subDim: Int): Column =
+    call_function("graft_pq_sub_distortions", v, codes,
+      typedlit(codebooks.map(_.map(_.toSeq).toSeq).toSeq), lit(subDim))
 
   /** Cosine from pre-quantized vectors + precomputed self-dots (norms²).
     * Pre-quantizing each side once before a pair join avoids re-quantizing

@@ -289,38 +289,44 @@ object Similarity {
       nCentroids: Int,
       iterations: Int,
       localTrainThreshold: Long = LocalTrainThreshold): Array[Array[Long]] = {
+    if (vecs.count() <= localTrainThreshold) {
+      // ONE ordered collect supplies the seeds (nCentroids lowest-id
+      // vectors) AND the training rows — the old seed-collect + row-collect
+      // was an extra job of pure scheduling overhead per training (the PQ
+      // family pays this per subspace; guide §1.2 step 1). trainLocal's
+      // sums commute, so row order is irrelevant beyond seed selection.
+      val rows = vecs.orderBy("id").select("v").collect()
+        .map(_.getSeq[Long](0).toArray)
+      // contract, not clamp: centroids ship as PLAN LITERALS, so an empty
+      // corpus cannot even build the assignment plan — refuse loudly (the
+      // empty-world gate enumerates this family as documented refusals)
+      require(rows.nonEmpty,
+        "index training requires a non-empty corpus (kmeans/IVF centroids are plan literals)")
+      return trainLocal(rows, rows.take(nCentroids), iterations)
+    }
     // deterministic seed: the nCentroids lowest-id vectors
     var centroids: Array[Array[Long]] = vecs.orderBy("id").limit(nCentroids)
       .select("v").collect().map(_.getSeq[Long](0).toArray)
-    // contract, not clamp: centroids ship as PLAN LITERALS (array_min over
-    // a literal struct array), so an empty corpus cannot even build the
-    // assignment plan — refuse loudly (the empty-world gate enumerates
-    // this family as documented refusals; DEGEN_GATE.md)
     require(centroids.nonEmpty,
       "index training requires a non-empty corpus (kmeans/IVF centroids are plan literals)")
-    if (vecs.count() <= localTrainThreshold) {
-      val rows = vecs.select("v").collect().map(_.getSeq[Long](0).toArray)
-      centroids = trainLocal(rows, centroids, iterations)
-    } else {
-      var it = 0
-      while (it < iterations) {
-        val assigned = assignCells(vecs, centroids)
-        // new centroid = rounded mean of members; empty cells keep theirs
-        val dims = centroids(0).length
-        val sums = assigned
-          .groupBy("cell")
-          .agg(count(lit(1)).as("n"),
-            array((0 until dims).map(i => sum(element_at(col("v"), i + 1))): _*).as("sums"))
-          .collect()
-        val next = centroids.map(_.clone())
-        sums.foreach { r =>
-          val n = r.getAs[Long]("n")
-          next(r.getAs[Int]("cell")) =
-            r.getSeq[Long](r.fieldIndex("sums")).map(s => Math.round(s.toDouble / n)).toArray
-        }
-        centroids = next
-        it += 1
+    var it = 0
+    while (it < iterations) {
+      val assigned = assignCells(vecs, centroids)
+      // new centroid = rounded mean of members; empty cells keep theirs
+      val dims = centroids(0).length
+      val sums = assigned
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"),
+          array((0 until dims).map(i => sum(element_at(col("v"), i + 1))): _*).as("sums"))
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.foreach { r =>
+        val n = r.getAs[Long]("n")
+        next(r.getAs[Int]("cell")) =
+          r.getSeq[Long](r.fieldIndex("sums")).map(s => Math.round(s.toDouble / n)).toArray
       }
+      centroids = next
+      it += 1
     }
     centroids
   }
@@ -386,7 +392,11 @@ object Similarity {
     }
 
   private def cellExpr(v: Column, centroids: Array[Array[Long]]): Column =
-    array_min(array(probeCellStructs(v, centroids): _*)).getField("cell")
+    // native argmin (CellArgmin) ≡ array_min(array(probeCellStructs)).cell:
+    // same ‖c‖²−2·v·c integer distances, same lowest-cell tie-break, zero
+    // per-row struct/array allocation — this runs once per corpus row in
+    // every IVF assignment (r15 verdict #3, guide §1.2 step 2)
+    cellArgmin(v, centroids)
 
   /** [[cellExpr]] surfaced as BIGINT — the single-source assignment
     * formula for callers whose oracle rides a long cell column (w31's
@@ -614,13 +624,13 @@ object Similarity {
     val vecs = corpus.select(col(idCol).as("id"), quantize1000(col(vecCol)).as("v"))
       .localCheckpoint(true)
     val codebooks = pqCodebooks(vecs, numSubspaces, subDim, subCentroids, iterations)
-    val enc = vecs.select(col("id").as("neighbor_id") +:
-      pqCodeCols(numSubspaces, subDim, codebooks): _*)
+    val enc = vecs.select(col("id").as("neighbor_id"),
+      pqCodesCol(numSubspaces, subDim, codebooks).as("codes"))
     val q = queries.select(col(idCol).as("query_id"),
       quantize1000(col(vecCol)).as("qv_q"))
     val sims = enc.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        pqApproxExpr(numSubspaces, subDim, codebooks).as("approx_dot"))
+        pqApproxCol(subDim, codebooks).as("approx_dot"))
     val w = Window.partitionBy("query_id").orderBy(col("approx_dot").desc, col("neighbor_id"))
     sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("approx_dot"))
@@ -645,11 +655,9 @@ object Similarity {
     val vecs = corpus.select(col(idCol).as("id"), quantize1000(col(vecCol)).as("v"))
       .localCheckpoint(true)
     val codebooks = pqCodebooks(vecs, numSubspaces, subDim, subCentroids, iterations)
-    val enc = vecs.select(col("id") +: pqCodeCols(numSubspaces, subDim, codebooks): _*)
-    enc.select(col("id"), explode(array((0 until numSubspaces).map { s =>
-        struct(lit(s).as("subspace"), col(s"c$s").as("code"))
-      }: _*)).as("sc"))
-      .select(col("id"), col("sc.subspace").as("subspace"), col("sc.code").as("code"))
+    vecs.select(col("id"),
+        pqCodesCol(numSubspaces, subDim, codebooks).as("codes"))
+      .select(col("id"), posexplode(col("codes")).as(Seq("subspace", "code")))
   }
 
   /** PQ reconstruction distortion per subspace — Σ‖v_s − codebook_s[code_s]‖²
@@ -702,48 +710,60 @@ object Similarity {
     * one row-local encode + explode, one subspace-keyed partial agg. */
   private def distortionAgainst(vecs: DataFrame,
       codebooks: Array[Array[Array[Long]]], numSubspaces: Int,
-      subDim: Int): DataFrame = {
-    val enc = vecs.select(col("id") +: col("v") +:
-      pqCodeCols(numSubspaces, subDim, codebooks): _*)
-    val perSub = (0 until numSubspaces).map { s =>
-      val sl = slice(col("v"), s * subDim + 1, subDim)
-      val cw = element_at(typedLit(codebooks(s).map(_.toSeq).toSeq), col(s"c$s") + 1)
-      struct(lit(s).as("subspace"),
-        (ldot(sl, sl) - lit(2L) * ldot(sl, cw) + ldot(cw, cw)).as("d2"))
-    }
-    enc.select(explode(array(perSub: _*)).as("sd"))
-      .select(col("sd.subspace").as("subspace"), col("sd.d2").as("d2"))
+      subDim: Int): DataFrame =
+    vecs.select(col("v"),
+        pqCodesCol(numSubspaces, subDim, codebooks).as("codes"))
+      .select(posexplode(
+          pqSubDistortions(col("v"), col("codes"), codebooks, subDim))
+        .as(Seq("subspace", "d2")))
       .groupBy("subspace")
       .agg(count(lit(1)).as("n"), sum(col("d2")).as("sum_d2"))
-  }
 
   /** Per-subspace codebooks over a pre-quantized `(id, v)` frame —
-    * bounded driver state: m × ksub × subDim longs. */
+    * bounded driver state: m × ksub × subDim longs.
+    *
+    * Below the local-training threshold the frame is collected ONCE
+    * (ordered by id) and every subspace trains on driver-side slices —
+    * identical arithmetic (seeds = the ksub lowest-id vectors' slices,
+    * same trainLocal loop; Long sums commute so row order is irrelevant)
+    * at 2 Spark jobs instead of the per-subspace path's 3·m (seed collect
+    * + count + row collect per subspace dominated the PQ family's gate
+    * time — pure job-scheduling overhead, guide §1.2 step 1). */
   private def pqCodebooks(vecs: DataFrame, m: Int, subDim: Int, ksub: Int,
       iterations: Int): Array[Array[Array[Long]]] =
-    (0 until m).map { s =>
-      trainCentroids(
-        vecs.select(col("id"), slice(col("v"), s * subDim + 1, subDim).as("v")),
-        ksub, iterations)
-    }.toArray
+    if (vecs.count() <= LocalTrainThreshold) {
+      val rows = vecs.orderBy("id").select("v").collect()
+        .map(_.getSeq[Long](0).toArray)
+      require(rows.nonEmpty,
+        "index training requires a non-empty corpus (kmeans/IVF centroids are plan literals)")
+      (0 until m).map { s =>
+        val off = s * subDim
+        // slice semantics of slice(v, off+1, subDim): in-bounds elements only
+        val sl = rows.map { v =>
+          val lo = math.min(off, v.length)
+          java.util.Arrays.copyOfRange(v, lo, math.min(off + subDim, v.length))
+        }
+        trainLocal(sl, sl.take(ksub), iterations)
+      }.toArray
+    } else
+      (0 until m).map { s =>
+        trainCentroids(
+          vecs.select(col("id"), slice(col("v"), s * subDim + 1, subDim).as("v")),
+          ksub, iterations)
+      }.toArray
 
-  /** All m codes in ONE projection — the argmin per subspace is a
-    * row-local codegen'd expression against literal codebooks. */
-  private def pqCodeCols(m: Int, subDim: Int,
-      codebooks: Array[Array[Array[Long]]]): Seq[Column] =
-    (0 until m).map { s =>
-      cellExpr(slice(col("v"), s * subDim + 1, subDim), codebooks(s)).as(s"c$s")
-    }
-
-  /** Asymmetric PQ score `Σ_s ⟨q_s, codebook_s[code_s]⟩` — the code
-    * indexes a literal nested array, the dot is the codegen'd integer
-    * primitive. Expects `qv_q` (query vector) and `c0..c{m-1}` columns. */
-  private def pqApproxExpr(m: Int, subDim: Int,
+  /** All m codes in ONE native pass (PqEncode) — argmin per subspace
+    * against literal codebooks, no per-centroid slice/struct allocation. */
+  private def pqCodesCol(m: Int, subDim: Int,
       codebooks: Array[Array[Array[Long]]]): Column =
-    (0 until m).map { s =>
-      ldot(slice(col("qv_q"), s * subDim + 1, subDim),
-        element_at(typedLit(codebooks(s).map(_.toSeq).toSeq), col(s"c$s") + 1))
-    }.reduce(_ + _)
+    pqEncode(col("v"), codebooks, subDim)
+
+  /** Asymmetric PQ score `Σ_s ⟨q_s, codebook_s[code_s]⟩` — one native pass
+    * (PqApproxDot) per candidate pair. Expects `qv_q` (query vector) and a
+    * `codes` array column. */
+  private def pqApproxCol(subDim: Int,
+      codebooks: Array[Array[Array[Long]]]): Column =
+    pqApproxDot(col("qv_q"), col("codes"), codebooks, subDim)
 
   /** IVF-PQ: the billion-scale index shape — the IVF coarse quantizer
     * gates CANDIDATES (only `nProbe` cells are searched) and PQ codes
@@ -774,8 +794,8 @@ object Similarity {
       .localCheckpoint(true)
     val (cells, centroids) = ivfIndexQuantized(vecs, nCentroids)
     val codebooks = pqCodebooks(vecs, numSubspaces, subDim, subCentroids, pqIterations)
-    val enc = vecs.select(col("id").as("neighbor_id") +:
-        pqCodeCols(numSubspaces, subDim, codebooks): _*)
+    val enc = vecs.select(col("id").as("neighbor_id"),
+        pqCodesCol(numSubspaces, subDim, codebooks).as("codes"))
       .join(cells.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
     val probeCells = probeCellStructs(col("qv_q"), centroids)
     val q = queries.select(col(idCol).as("query_id"), quantize1000(col(vecCol)).as("qv_q"))
@@ -784,7 +804,7 @@ object Similarity {
     val sims = enc.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        pqApproxExpr(numSubspaces, subDim, codebooks).as("approx_dot"))
+        pqApproxCol(subDim, codebooks).as("approx_dot"))
       .distinct()
     val w = Window.partitionBy("query_id").orderBy(col("approx_dot").desc, col("neighbor_id"))
     sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -68,13 +68,26 @@ object AtomicSwap {
 
   /** Roll back an interrupted swap and sweep leftovers; call before reading
     * `path`. Returns true if the table exists after recovery. */
-  def recover(path: String, fs: StoreFs = LocalFs): Boolean = {
+  def recover(path: String, fs: StoreFs = LocalFs): Boolean =
+    recover(path, fs, None)
+
+  /** [[recover]] with an optional pre-captured parent-dir listing, so a
+    * batch writer recovering MANY tables under one root (BucketedStore)
+    * pays ONE directory listing instead of one per bucket — a fixed-cost
+    * hoist that matters on object stores where LIST is a metered API call
+    * (guide §6). The listing is only a candidate filter (names are
+    * re-checked per path), so a stale entry is harmless; entries created
+    * AFTER the capture belong to this writer and need no recovery
+    * (single-writer contract). */
+  private[streaming] def recover(
+      path: String, fs: StoreFs, parentListing: Option[Seq[String]]): Boolean = {
     if (!fs.atomicRename) return resolveManifest(path, fs, sweep = true).isDefined
     val target = new File(path)
     val dir = Option(target.getParent).getOrElse(".")
     val name = target.getName
-    def leftovers() = fs.listNames(dir)
+    def leftovers() = parentListing.getOrElse(fs.listNames(dir))
       .filter(n => n.startsWith(s"$name.old-") || n.startsWith(s"$name.tmp-"))
+      .filter(n => fs.exists(s"$dir/$n"))
     if (!fs.exists(path)) {
       // crashed between the two renames: restore the newest backup
       // newest backup by NUMERIC batch id — a lexicographic name sort would

@@ -135,9 +135,11 @@ object BucketedStore {
   // `-a<k>` suffixes are manifest-protocol RE-RUN attempts (see freshStaging)
   private val StagingName = "^\\.staging-(\\d+)(?:-a\\d+)?$".r
 
-  /** Bucket-pointer targets under `root` (manifest protocol). */
-  private def pointerTargets(root: String, fs: StoreFs): Set[String] =
-    fs.listNames(root).collect { case n @ BucketPtr(_) =>
+  /** Bucket-pointer targets under `root` (manifest protocol), from a
+    * pre-captured root listing. */
+  private def pointerTargets(rootListing: Seq[String], root: String,
+      fs: StoreFs): Set[String] =
+    rootListing.collect { case n @ BucketPtr(_) =>
       fs.readString(s"$root/$n").map(_.trim)
     }.flatten.toSet
 
@@ -151,11 +153,12 @@ object BucketedStore {
     * a dangling-pointer window where a second crash or a concurrent read
     * loses the bucket's pre-batch rows permanently (r14 advice, high).
     * Each attempt therefore stages to the first `.staging-<batchId>[-a<k>]`
-    * no bucket pointer references into. */
-  private def freshStaging(root: String, batchId: Long, fs: StoreFs): String = {
+    * no bucket pointer references into. `referenced` is the batch's one
+    * pointer-target capture (see [[writeBuckets]]). */
+  private def freshStaging(root: String, batchId: Long, fs: StoreFs,
+      referenced: Set[String]): String = {
     val base = stagingDir(root, batchId)
     if (fs.atomicRename) return base
-    val referenced = pointerTargets(root, fs)
     def isReferenced(s: String) = referenced.exists(_.startsWith(s + "/"))
     Iterator.from(0)
       .map(k => if (k == 0) base else s"$base-a$k")
@@ -168,14 +171,15 @@ object BucketedStore {
     * Manifest protocol: a staging subdir may be a LIVE bucket generation —
     * only sweep stagings no bucket pointer references into. Never touches
     * the current batch's staging (single-writer contract; a same-batch
-    * leftover is overwritten by the write itself). */
-  private def sweepStagings(root: String, batchId: Long, fs: StoreFs): Unit = {
-    val stale = fs.listNames(root).collect {
+    * leftover is overwritten by the write itself). `rootListing` /
+    * `referenced` are the batch's one listing/pointer capture — sweeping
+    * never invalidates them for later use (only UNreferenced dirs go). */
+  private def sweepStagings(root: String, batchId: Long, fs: StoreFs,
+      rootListing: Seq[String], referenced: Set[String]): Unit = {
+    val stale = rootListing.collect {
       case n @ StagingName(id) if id.toLong != batchId => s"$root/$n"
     }
     if (stale.isEmpty) return
-    val referenced: Set[String] =
-      if (fs.atomicRename) Set.empty else pointerTargets(root, fs)
     stale.filterNot(s => referenced.exists(_.startsWith(s + "/")))
       .foreach(fs.deleteRecursively)
   }
@@ -206,11 +210,20 @@ object BucketedStore {
           s"$arity — reopening with a different arity would corrupt routing")
       case None => fs.writeString(s"$root/.buckets", arity.toString)
     }
-    sweepStagings(root, batchId, fs)
+    // ONE root listing + ONE pointer-target capture serve the whole batch's
+    // staging sweep, per-bucket recovery and staging election — the old
+    // per-call listings were 2 + |touched| LIST operations per batch, a
+    // metered-API fixed cost on object stores (guide §6; r15 verdict #1).
+    val rootListing = fs.listNames(root)
+    val referenced: Set[String] =
+      if (fs.atomicRename) Set.empty
+      else pointerTargets(rootListing, root, fs)
+    sweepStagings(root, batchId, fs, rootListing, referenced)
     // the WRITER is the recovery entry (reads are passive since r15): roll
     // back / sweep each touched bucket's crash leftovers before swapping
-    touched.foreach(id => AtomicSwap.recover(bucketDir(root, id), fs))
-    val staging = freshStaging(root, batchId, fs)
+    touched.foreach(id =>
+      AtomicSwap.recover(bucketDir(root, id), fs, Some(rootListing)))
+    val staging = freshStaging(root, batchId, fs, referenced)
     df.withColumn("__b", bexpr)
       .write.partitionBy("__b").mode("overwrite").parquet(staging)
     touched.foreach { id =>

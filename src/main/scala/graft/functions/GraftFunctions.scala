@@ -110,6 +110,9 @@ object GraftFunctions {
           litStr("graft_scrub_pii", c(3)), litStr("graft_scrub_pii", c(4))))),
     ("graft_rolling_fp", "graft_rolling_fp(tokens) — polynomial rolling fingerprint mod 1e9+7",
       arity("graft_rolling_fp", "(array<string>)", 1)(c => RollingFingerprint(c.head))),
+    ("graft_drop_tokens_at", "graft_drop_tokens_at(text, sorted_positions) — re-join with tokens at positions removed",
+      arity("graft_drop_tokens_at", "(string, array<int>)", 2)(
+        c => DropTokensAt(c(0), c(1)))),
     ("graft_cell_argmin", "graft_cell_argmin(v, centroids) — argmin ‖v−c‖² centroid index",
       arity("graft_cell_argmin", "(array<bigint>, literal array<array<bigint>>)", 2)(
         c => CellArgmin(c(0), litLongMatrix("graft_cell_argmin", c(1))))),
@@ -354,6 +357,11 @@ object GraftFunctions {
     val qb = quantize1000(b)
     quantizedCosinePre(qa, qb, ldot(qa, qa), ldot(qb, qb))
   }
+
+  /** Re-join single-space-split `text` with the tokens at the given SORTED
+    * int positions removed (DropTokensAt — the span-trim rebuild). */
+  def dropTokensAt(text: Column, sortedPositions: Column): Column =
+    call_function("graft_drop_tokens_at", text, sortedPositions)
 
   /** Native IVF cell assignment: argmin centroid index of `v` against a
     * literal centroid table (CellArgmin) — same (distance, lowest-index)

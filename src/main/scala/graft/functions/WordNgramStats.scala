@@ -171,6 +171,53 @@ case class WordNgramList(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Re-join a single-space-split text with the tokens at the given sorted
+  * positions REMOVED — the span-trim rebuild: equivalent to
+  * `array_join(transform(array_sort(collect_list(struct(p, tok))), x -> x.tok), " ")`
+  * over the kept (position, token) rows, computed in one native pass over
+  * the ORIGINAL text instead of a token-explode + anti-join + per-doc
+  * interpreted HOF rollup. Split convention is WordNgrams' single-space
+  * split with empties KEPT (DuckDB `string_split(text, ' ')`); `positions`
+  * must be sorted ascending and non-null (out-of-range entries are
+  * ignored — they cannot arise from in-bounds gram windows). */
+object DropTokensAt {
+  def compute(str: UTF8String, positions: ArrayData): UTF8String = {
+    val words = str.toString.split(" ", -1)
+    val np = positions.numElements()
+    val sb = new java.lang.StringBuilder(str.numBytes())
+    var pi = 0
+    var i = 0
+    var first = true
+    while (i < words.length) {
+      while (pi < np && positions.getInt(pi) < i) pi += 1
+      val drop = pi < np && positions.getInt(pi) == i
+      if (!drop) {
+        if (!first) sb.append(' ')
+        sb.append(words(i))
+        first = false
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+case class DropTokensAt(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "graft_drop_tokens_at"
+
+  protected override def nullSafeEval(s: Any, p: Any): Any =
+    DropTokensAt.compute(s.asInstanceOf[UTF8String], p.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, p) => s"graft.functions.DropTokensAt.compute($s, $p)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DropTokensAt =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Space-joined n-gram text list of a token ARRAY (duplicates included,
   * document order) — the multiplicity-preserving sibling of
   * [[graft.functions.GraftFunctions.wordNgrams]]. */

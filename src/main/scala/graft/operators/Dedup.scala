@@ -378,6 +378,11 @@ object Dedup {
     * relational `ngramJaccard` when blocks can be huge (its per-gram shuffle
     * never materializes a quadratic intermediate). Results are identical up
     * to 60-bit hash collisions (~|A||B|/2^60 per pair, never in practice). */
+  /** `gramsFrame`: a caller-shared `(doc, <blockCols>, grams, ng)` frame
+    * (ng > 0 rows only, same gram universe) — lets a consensus query
+    * compute the per-doc gram sets ONCE for several blockers instead of
+    * once per member (one corpus scan + gram pass instead of one each);
+    * None reproduces the original plan byte-identically. */
   def ngramJaccardBlocked(
       docs: DataFrame,
       idCol: String,
@@ -387,20 +392,23 @@ object Dedup {
       minJaccard: Double = 0.5,
       materializeGramSets: Boolean = false,
       lengthPrefilter: Boolean = false,
-      maxBlockSize: Long = defaultMaxBucketSize): DataFrame = {
+      maxBlockSize: Long = defaultMaxBucketSize,
+      gramsFrame: Option[DataFrame] = None): DataFrame = {
     // materializeGramSets: the self-join otherwise evaluates md5-per-gram on
     // BOTH sides of every doc — checkpoint the gram-set projection once for
     // batch jobs (same trade-offs as minhashLsh's materializeCandidates)
-    val gramsLazy = Par.fanOut(docs).select(
+    def gramsLazy = Par.fanOut(docs).select(
       (col(idCol).as("doc") +: blockCols.map(col)) :+
         charNgramHashSet(normalizeText(col(textCol)), n).as("grams"): _*)
       .withColumn("ng", size(col("grams")))
-    val withGrams0 = if (materializeGramSets) gramsLazy.localCheckpoint(true) else gramsLazy
     // gram-less docs (normalized text shorter than n) cannot be near-dups;
     // dropping them BEFORE the self-join also kills the 0/0 = NaN jaccard a
     // pair of empty sets would produce (NaN >= threshold is TRUE in Spark's
     // NaN ordering — it would emit spurious pairs the oracle never has)
-    val withGrams = capBuckets(withGrams0.filter(col("ng") > 0), blockCols, maxBlockSize)
+    val withGrams0 = gramsFrame.getOrElse(
+      (if (materializeGramSets) gramsLazy.localCheckpoint(true) else gramsLazy)
+        .filter(col("ng") > 0))
+    val withGrams = capBuckets(withGrams0, blockCols, maxBlockSize)
     val a = withGrams.select(blockCols.map(col) :+ col("doc").as("id_a") :+
       col("grams").as("ga") :+ col("ng").as("na"): _*)
     val b = withGrams.select(blockCols.map(col) :+ col("doc").as("id_b") :+
@@ -480,6 +488,10 @@ object Dedup {
     * docs are dropped BEFORE ranking (they can't be near-dups, and 0/0
     * NaN would leak pairs past the threshold), so ranks are contiguous
     * over verifiable docs — mirrored in the oracle. */
+  /** `gramsFrame`: a caller-shared, already-checkpointed
+    * `(doc, <partitionCols>, sk, grams, ng)` frame (ng > 0 rows only, same
+    * gram universe and key length) — see [[ngramJaccardBlocked]];
+    * None reproduces the original plan byte-identically. */
   def sortedNeighborhoodJaccard(
       docs: DataFrame,
       idCol: String,
@@ -488,15 +500,16 @@ object Dedup {
       keyLen: Int = 24,
       window: Int = 4,
       n: Int = 3,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5,
+      gramsFrame: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.{Window => W}
-    val grams = Par.fanOut(docs).select(
+    val grams = gramsFrame.getOrElse(Par.fanOut(docs).select(
       (col(idCol).as("doc") +: partitionCols.map(col)) :+
         substring(normalizeText(col(textCol)), 1, keyLen).as("sk") :+
         charNgramHashSet(normalizeText(col(textCol)), n).as("grams"): _*)
       .withColumn("ng", size(col("grams")))
       .filter(col("ng") > 0)
-      .localCheckpoint(true)
+      .localCheckpoint(true))
     val w = W.partitionBy(partitionCols.map(col): _*).orderBy(col("sk"), col("doc"))
     val cands = grams
       .select(col("doc") +:
@@ -1067,26 +1080,36 @@ object Dedup {
         min(col(idCol).cast("long") * posCap + col("pos")).as("kpk"))
       .filter(col("df") >= minDf)
       .select(col("g"), col("kpk"))
-    val dropped = grams.join(dupKeeper, "g")
+    // dropped positions roll up to ONE sorted int array per touched doc —
+    // a single doc-keyed shuffle of ints (collect_set dedups inside the
+    // agg, replacing the old (doc, p)-distinct exchange), and the trimmed
+    // text is rebuilt row-locally from the ORIGINAL text by the native
+    // DropTokensAt (replacing the corpus-token posexplode + (doc, p)
+    // anti-join + per-doc interpreted collect_list/array_sort/transform
+    // rollup — three token-carrying exchanges gone, guide §2.3/§2.4; the
+    // r16 probe measured that tail as the operator's heaviest stage).
+    // kept_tokens = n_tokens − |dropped| exactly (every dropped position
+    // is in-bounds by construction: p ∈ [pos, pos+n-1], pos ≤ len−n).
+    val droppedSets = grams.join(dupKeeper, "g")
       .filter(col(idCol).cast("long") * posCap + col("pos") =!= col("kpk"))
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
-      .distinct()
-    val toks = docs.select(col(idCol),
-      posexplode(split(col(textCol), " ")).as(Seq("p", "tok")))
-    val kept = toks.join(dropped, Seq(idCol, "p"), "left_anti")
       .groupBy(idCol)
-      .agg(
-        count(lit(1)).as("kept_tokens"),
-        array_join(expr("transform(array_sort(collect_list(struct(p, tok))), x -> x.tok)"), " ")
-          .as("trimmed_text"))
+      .agg(sort_array(collect_set(col("p"))).as("drop_ps"))
     docs
-      .select(col(idCol),
+      .select(col(idCol), col(textCol),
         size(split(col(textCol), " ")).cast("long").as("n_tokens"))
-      .join(kept, Seq(idCol), "left")
+      .join(droppedSets, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
-        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
-        coalesce(col("trimmed_text"), lit("")).as("trimmed_text"))
+        // coalesce mirrors the old left-join defaults for a NULL text row
+        // (n_tokens NULL → kept 0, trimmed "")
+        coalesce(
+          col("n_tokens") - coalesce(size(col("drop_ps")), lit(0)).cast("long"),
+          lit(0L)).as("kept_tokens"),
+        coalesce(
+          when(col("drop_ps").isNull, col(textCol))
+            .otherwise(dropTokensAt(col(textCol), col("drop_ps"))),
+          lit("")).as("trimmed_text"))
   }
 
   /** Consensus of independent near-dup signals: full-outer-merge the

@@ -478,7 +478,24 @@ private[graft] object DedupQueries {
     // window), with per-signal flags — disagreement between blockers is
     // exactly the review queue a production dedup run triages
     "d31_consensus_v2" -> ((s, d) => {
+      // The two gram-set blockers (jaccard + SNM — same char-3 universe
+      // over normalized text) share ONE gram pass/checkpoint instead of
+      // one each (r15 verdict #6; member semantics untouched — the shared
+      // frame carries both blockers' key columns and the same ng > 0
+      // filter). A checkpointed shared DOCS scan was also A/B'd and
+      // measured SLOWER (eager materialization serializes member
+      // construction and checkpoint-block text reads lose to parquet
+      // re-scans — the r15 dsirImportance lesson), so members keep their
+      // own scans at gate scale.
       val docs = Tables.documents(s, d)
+      val sharedGrams = graft.core.Par.fanOut(docs).select(
+          col("doc_id").as("doc"), col("lang"),
+          expr("n_chars div 20").as("blk"),
+          substring(GraftFunctions.normalizeText(col("text")), 1, 24).as("sk"),
+          charNgramHashSet(GraftFunctions.normalizeText(col("text")), 3).as("grams"))
+        .withColumn("ng", size(col("grams")))
+        .filter(col("ng") > 0)
+        .localCheckpoint(true)
       val mh = Dedup.minhashLsh(docs, "doc_id", "text",
         numHashes = 8, shingleSize = 3, rowsPerBand = 2, minEstimate = 0.5,
         materializeCandidates = true)
@@ -486,10 +503,10 @@ private[graft] object DedupQueries {
       val nj = Dedup.ngramJaccardBlocked(
         docs.withColumn("blk", expr("n_chars div 20")), "doc_id", "text",
         blockCols = Seq("lang", "blk"), n = 3, minJaccard = 0.5,
-        materializeGramSets = true)
+        materializeGramSets = true, gramsFrame = Some(sharedGrams))
       val snm = Dedup.sortedNeighborhoodJaccard(docs, "doc_id", "text",
         partitionCols = Seq("lang"), keyLen = 24, window = 4, n = 3,
-        minJaccard = 0.5)
+        minJaccard = 0.5, gramsFrame = Some(sharedGrams))
       Dedup.consensusPairs(Seq("minhash" -> mh, "simhash" -> sh,
           "jaccard" -> nj, "snm" -> snm))
         .orderBy("id_a", "id_b")

@@ -79,7 +79,11 @@ object ScaleProbe {
     "w38_stream_key_subscribe",
     // round-14 additions: the manifest-protocol drain and the serde
     // coercion round-trip
-    "w39_stream_manifest_store", "q208_serde_coerce")
+    "w39_stream_manifest_store", "q208_serde_coerce",
+    // round-16: decade evidence for the r15 exchange-reuse-tail keep the
+    // verdict flagged as unevidenced (q97 checkpoint; q181/q194/s17/q107
+    // are already above)
+    "q97_waiting_suppliers")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -1067,16 +1067,33 @@ object Similarity {
         .as("iv"))
       .filter(size(col("iv")) <= maxUserItems)
       .localCheckpoint(true)
+    // items-sized and read by BOTH norm joins — checkpoint once; the
+    // count below picks the attach strategy from the ACTUAL size
     val nrm = byUser.select(explode(col("iv")).as("e"))
       .groupBy(col("e.i").as("__i")).agg(sum(col("e.q") * col("e.q")).as("n2"))
+      .localCheckpoint(true)
+    val nItems = nrm.count()
     val dots = byUser
       .select(col("iv"), posexplode(col("iv")).as(Seq("x", "a")))
       .select(col("a"), explode(expr("slice(iv, x + 2, size(iv) - x - 1)")).as("b"))
       .groupBy(col("a.i").as("item_a"), col("b.i").as("item_b"))
       .agg(sum(col("a.q") * col("b.q")).as("dot"))
+    // norm attach: the pair frame is O(items·cap) rows and nrm O(items) —
+    // the planner's SMJ sorts the PAIR side twice just to join a frame
+    // that is always the smaller of the two (S19Probe at sf1: stages sum
+    // ~11 s, full query 38 s — the gap was exactly these two sorts; the
+    // plain plan measured 53.6 s vs 14.7 s under shuffle_hash). Strategy
+    // is picked from the MEASURED item count, not an estimate: a provably
+    // small norm table broadcasts (zero pair-side exchanges — the fast
+    // plan at gate scale, where AQE's own BHJ conversion also lands);
+    // past the threshold it shuffle-hashes — per-partition build side
+    // (items/numPartitions), never a sort of the pair frame, safe at any
+    // item count where a forced broadcast would OOM (r6 rule).
+    def attachNorm(side: DataFrame): DataFrame =
+      if (nItems <= 1000000L) broadcast(side) else side.hint("shuffle_hash")
     val scored = dots
-      .join(nrm.select(col("__i").as("item_a"), col("n2").as("na")), "item_a")
-      .join(nrm.select(col("__i").as("item_b"), col("n2").as("nb")), "item_b")
+      .join(attachNorm(nrm.select(col("__i").as("item_a"), col("n2").as("na"))), "item_a")
+      .join(attachNorm(nrm.select(col("__i").as("item_b"), col("n2").as("nb"))), "item_b")
       .withColumn("cosine",
         col("dot").cast("double") / sqrt(col("na").cast("double") * col("nb").cast("double")))
     scored.orderBy(col("cosine").desc, col("item_a"), col("item_b")).limit(k)
